@@ -1,0 +1,487 @@
+package graft.functions
+
+import graft.geom.Geom
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+
+/**
+ * Catalyst expressions for the ST_ function catalog.
+ *
+ * Re-expression of the Sedona function surface the reference registers via
+ * SedonaExpressionsRegistrator (reference: extension/.../UDF/SedonaExpressionsRegistrator.scala:37),
+ * built directly as Spark `Expression`s over WKB `BINARY` values — no UDT,
+ * no Scala UDF wrapper, so Catalyst sees ordinary deterministic,
+ * null-intolerant expressions it can fold, push, and reorder.
+ *
+ * Foldable (literal) geometry operands are deserialized once per thread —
+ * predicates additionally build a JTS PreparedGeometry (indexed) for the
+ * constant side, which is the same trick Sedona's range-query path uses
+ * and is what makes `WHERE ST_Contains(<const poly>, geom)` cheap on wide
+ * scans.
+ */
+object StKit {
+  def bytes(a: Any): Array[Byte] = a.asInstanceOf[Array[Byte]]
+  def geom(a: Any): Geometry = Geom.deserialize(bytes(a))
+  def out(g: Geometry): Array[Byte] = Geom.serialize(g)
+  def str(s: String): UTF8String = UTF8String.fromString(s)
+}
+import StKit._
+
+// ---------------------------------------------------------------------------
+// Base shapes
+// ---------------------------------------------------------------------------
+
+/** Unary geometry expression: BINARY(wkb) -> dataType. */
+abstract class StUnary extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+  protected def run(g: Geometry): Any
+  override def nullSafeEval(input: Any): Any = run(geom(input))
+}
+
+/** Geometry x Geometry -> Boolean predicate with prepared-literal fast path. */
+abstract class StPredicate extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  /** Plain JTS predicate. */
+  protected def op(l: Geometry, r: Geometry): Boolean
+  /** Prepared-side variant; `base` is the prepared (constant) geometry.
+    * `baseIsLeft` says which argument position it came from. */
+  protected def prepOp(base: PreparedGeometry, other: Geometry, baseIsLeft: Boolean): Boolean
+
+  @transient private lazy val foldedLeft: Array[Byte] =
+    if (left.foldable) bytes(left.eval(null)) else null
+  @transient private lazy val foldedRight: Array[Byte] =
+    if (!left.foldable && right.foldable) bytes(right.eval(null)) else null
+
+  // PreparedGeometry lazily builds its internal index → not safe to share
+  // across task threads; one per thread.
+  @transient private lazy val prepCache: ThreadLocal[PreparedGeometry] =
+    ThreadLocal.withInitial { () =>
+      val b = if (foldedLeft != null) foldedLeft else foldedRight
+      PreparedGeometryFactory.prepare(Geom.deserialize(b))
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    if (foldedLeft != null) prepOp(prepCache.get(), geom(r), baseIsLeft = true)
+    else if (foldedRight != null) prepOp(prepCache.get(), geom(l), baseIsLeft = false)
+    else op(geom(l), geom(r))
+  }
+}
+
+/** Geometry x Geometry -> result (non-predicate binary ops). */
+abstract class StBinary extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullIntolerant: Boolean = true
+  protected def run(l: Geometry, r: Geometry): Any
+  override def nullSafeEval(l: Any, r: Any): Any = run(geom(l), geom(r))
+}
+
+/** N-ary expression evaluating all children, null if any input is null. */
+abstract class StNary extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def run(values: Seq[Any]): Any
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null else run(vs)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Constructors
+// ---------------------------------------------------------------------------
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(x: Any, y: Any): Any =
+    out(Geom.point(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override def prettyName: String = "st_point"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StPolygonFromEnvelope(children: Seq[Expression]) extends StNary {
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  protected def run(vs: Seq[Any]): Any = {
+    val d = vs.map(_.asInstanceOf[Double])
+    out(Geom.polygonFromEnvelope(d(0), d(1), d(2), d(3)))
+  }
+  override def prettyName: String = "st_polygonfromenvelope"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = out(Geom.fromWkt(v.toString))
+  override def prettyName: String = "st_geomfromtext"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeomFromWKB(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  // Normalizes arbitrary (possibly EWKB) input bytes into our canonical form.
+  override def nullSafeEval(v: Any): Any = out(geom(v))
+  override def prettyName: String = "st_geomfromwkb"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---------------------------------------------------------------------------
+// Output / accessors
+// ---------------------------------------------------------------------------
+
+case class StAsText(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = str(Geom.toWkt(g))
+  override def prettyName: String = "st_astext"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsGeoJson(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = str(Geom.toGeoJson(g))
+  override def prettyName: String = "st_asgeojson"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StAsBinary(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = new org.locationtech.jts.io.WKBWriter(2, false).write(g)
+  override def prettyName: String = "st_asbinary"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StX(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g match {
+    case p: org.locationtech.jts.geom.Point => p.getX
+    case _ => null
+  }
+  override def prettyName: String = "st_x"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StY(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g match {
+    case p: org.locationtech.jts.geom.Point => p.getY
+    case _ => null
+  }
+  override def prettyName: String = "st_y"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StXMin(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getEnvelopeInternal.getMinX
+  override def prettyName: String = "st_xmin"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMin(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getEnvelopeInternal.getMinY
+  override def prettyName: String = "st_ymin"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StXMax(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getEnvelopeInternal.getMaxX
+  override def prettyName: String = "st_xmax"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+case class StYMax(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getEnvelopeInternal.getMaxY
+  override def prettyName: String = "st_ymax"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StArea(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getArea
+  override def prettyName: String = "st_area"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StLength(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = g.getLength
+  override def prettyName: String = "st_length"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StCentroid(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = out(g.getCentroid)
+  override def prettyName: String = "st_centroid"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StEnvelope(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = out(g.getEnvelope)
+  override def prettyName: String = "st_envelope"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StBoundary(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = out(g.getBoundary)
+  override def prettyName: String = "st_boundary"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StGeometryType(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = str("ST_" + g.getGeometryType)
+  override def prettyName: String = "st_geometrytype"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StNumPoints(child: Expression) extends StUnary {
+  override def dataType: DataType = IntegerType
+  protected def run(g: Geometry): Any = g.getNumPoints
+  override def prettyName: String = "st_numpoints"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StNumGeometries(child: Expression) extends StUnary {
+  override def dataType: DataType = IntegerType
+  protected def run(g: Geometry): Any = g.getNumGeometries
+  override def prettyName: String = "st_numgeometries"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StIsEmpty(child: Expression) extends StUnary {
+  override def dataType: DataType = BooleanType
+  protected def run(g: Geometry): Any = g.isEmpty
+  override def prettyName: String = "st_isempty"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StIsValid(child: Expression) extends StUnary {
+  override def dataType: DataType = BooleanType
+  protected def run(g: Geometry): Any = g.isValid
+  override def prettyName: String = "st_isvalid"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StSrid(child: Expression) extends StUnary {
+  override def dataType: DataType = IntegerType
+  protected def run(g: Geometry): Any = g.getSRID
+  override def prettyName: String = "st_srid"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StSetSrid(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, srid: Any): Any = {
+    val geo = geom(g)
+    geo.setSRID(srid.asInstanceOf[Int])
+    out(geo)
+  }
+  override def prettyName: String = "st_setsrid"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StNormalize(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = { val c = g.copy(); c.normalize(); out(c) }
+  override def prettyName: String = "st_normalize"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+// ---------------------------------------------------------------------------
+// Predicates
+// ---------------------------------------------------------------------------
+
+case class StContains(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.contains(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.contains(o) else p.within(o)
+  override def prettyName: String = "st_contains"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StWithin(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.within(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.within(o) else p.contains(o)
+  override def prettyName: String = "st_within"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StIntersects(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.intersects(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean = p.intersects(o)
+  override def prettyName: String = "st_intersects"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StDisjoint(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.disjoint(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean = p.disjoint(o)
+  override def prettyName: String = "st_disjoint"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StCovers(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.covers(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.covers(o) else p.coveredBy(o)
+  override def prettyName: String = "st_covers"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StCoveredBy(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.coveredBy(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.coveredBy(o) else p.covers(o)
+  override def prettyName: String = "st_coveredby"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StCrosses(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.crosses(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.crosses(o) else o.crosses(p.getGeometry)
+  override def prettyName: String = "st_crosses"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StOverlaps(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.overlaps(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean = p.overlaps(o)
+  override def prettyName: String = "st_overlaps"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StTouches(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.touches(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean = p.touches(o)
+  override def prettyName: String = "st_touches"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StEquals(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.equalsTopo(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    p.getGeometry.equalsTopo(o)
+  override def prettyName: String = "st_equals"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StOrderingEquals(left: Expression, right: Expression) extends StPredicate {
+  protected def op(l: Geometry, r: Geometry): Boolean = l.equalsExact(r)
+  protected def prepOp(p: PreparedGeometry, o: Geometry, baseIsLeft: Boolean): Boolean =
+    if (baseIsLeft) p.getGeometry.equalsExact(o) else o.equalsExact(p.getGeometry)
+  override def prettyName: String = "st_orderingequals"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StDWithin(children: Seq[Expression]) extends StNary {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  protected def run(vs: Seq[Any]): Any =
+    geom(vs(0)).isWithinDistance(geom(vs(1)), vs(2).asInstanceOf[Double])
+  override def prettyName: String = "st_dwithin"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+// ---------------------------------------------------------------------------
+// Measures / transforms on pairs
+// ---------------------------------------------------------------------------
+
+case class StDistance(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = DoubleType
+  protected def run(l: Geometry, r: Geometry): Any = l.distance(r)
+  override def prettyName: String = "st_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StUnion(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any = out(l.union(r))
+  override def prettyName: String = "st_union"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StIntersection(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any = out(l.intersection(r))
+  override def prettyName: String = "st_intersection"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StDifference(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any = out(l.difference(r))
+  override def prettyName: String = "st_difference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StSymDifference(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any = out(l.symDifference(r))
+  override def prettyName: String = "st_symdifference"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, d: Any): Any = out(geom(g).buffer(d.asInstanceOf[Double]))
+  override def prettyName: String = "st_buffer"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StConvexHull(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = out(g.convexHull())
+  override def prettyName: String = "st_convexhull"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, d: Any): Any =
+    out(DouglasPeuckerSimplifier.simplify(geom(g), d.asInstanceOf[Double]))
+  override def prettyName: String = "st_simplify"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StSimplifyPreserveTopology(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, d: Any): Any =
+    out(TopologyPreservingSimplifier.simplify(geom(g), d.asInstanceOf[Double]))
+  override def prettyName: String = "st_simplifypreservetopology"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

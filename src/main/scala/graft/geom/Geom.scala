@@ -1,0 +1,70 @@
+package graft.geom
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/**
+ * Geometry model + serde for graft.
+ *
+ * Geometry values travel through Spark as WKB bytes in plain `BINARY`
+ * columns: parquet-native, kryo-free, and identical on every engine that
+ * speaks WKB. This mirrors the reference's unified WKB serializer
+ * (reference: extension/.../org/apache/sedona/sql/utils/GeometrySerializer.scala:26)
+ * without introducing a UDT, so every built-in Spark operator (joins,
+ * shuffles, parquet IO, stats) treats geometry as ordinary binary data.
+ *
+ * JTS reader/writer objects are not thread-safe; executor task threads
+ * share expression instances in local mode, so all of them live in
+ * ThreadLocals.
+ */
+object Geom {
+  val factory = new GeometryFactory(new PrecisionModel(), 4326)
+
+  private val wkbReaders = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
+  private val wktReaders = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriters = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+
+  def serialize(g: Geometry): Array[Byte] = wkbWriters.get.write(g)
+  def deserialize(bytes: Array[Byte]): Geometry = wkbReaders.get.read(bytes)
+
+  def fromWkt(wkt: String): Geometry = wktReaders.get.read(wkt)
+  def toWkt(g: Geometry): String = wktWriters.get.write(g)
+
+  def point(x: Double, y: Double): Point =
+    factory.createPoint(new Coordinate(x, y))
+
+  def polygonFromEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Polygon =
+    factory.createPolygon(Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin)))
+
+  /** GeoJSON text for a geometry (jts-core has no GeoJSON IO; tiny writer here). */
+  def toGeoJson(g: Geometry): String = {
+    def coord(c: Coordinate): String = s"[${c.x},${c.y}]"
+    def coords(cs: Array[Coordinate]): String = cs.map(coord).mkString("[", ",", "]")
+    def polyCoords(p: Polygon): String = {
+      val shell = coords(p.getExteriorRing.getCoordinates)
+      val holes = (0 until p.getNumInteriorRing).map(i => coords(p.getInteriorRingN(i).getCoordinates))
+      (shell +: holes).mkString("[", ",", "]")
+    }
+    g match {
+      case p: Point => s"""{"type":"Point","coordinates":${coord(p.getCoordinate)}}"""
+      case l: LineString => s"""{"type":"LineString","coordinates":${coords(l.getCoordinates)}}"""
+      case p: Polygon => s"""{"type":"Polygon","coordinates":${polyCoords(p)}}"""
+      case m: MultiPoint =>
+        val cs = (0 until m.getNumGeometries).map(i => coord(m.getGeometryN(i).asInstanceOf[Point].getCoordinate))
+        s"""{"type":"MultiPoint","coordinates":${cs.mkString("[", ",", "]")}}"""
+      case m: MultiLineString =>
+        val cs = (0 until m.getNumGeometries).map(i => coords(m.getGeometryN(i).getCoordinates))
+        s"""{"type":"MultiLineString","coordinates":${cs.mkString("[", ",", "]")}}"""
+      case m: MultiPolygon =>
+        val cs = (0 until m.getNumGeometries).map(i => polyCoords(m.getGeometryN(i).asInstanceOf[Polygon]))
+        s"""{"type":"MultiPolygon","coordinates":${cs.mkString("[", ",", "]")}}"""
+      case gc: GeometryCollection =>
+        val gs = (0 until gc.getNumGeometries).map(i => toGeoJson(gc.getGeometryN(i)))
+        s"""{"type":"GeometryCollection","geometries":${gs.mkString("[", ",", "]")}}"""
+    }
+  }
+}
