@@ -1,13 +1,416 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract — SURVEY.md §2 inventory, one `queries` entry per
+ * operator, with a DuckDB oracle in `oracleSql` wherever the semantics are
+ * SQL-expressible (SURVEY.md §5 lays out the exact-representability rules
+ * these queries follow: decimal sums, integer-coordinate geometry oracles,
+ * epoch-second session gaps).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register ST_ functions + one temp view per testdata table. */
+  def prep(spark: SparkSession, dir: String): SparkSession = {
+    GraftFunctions.register(spark)
+    // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet reader
+    // rejects; read nanos as long and restore a (micro-truncated) timestamp.
+    // Second-granularity logic downstream is unaffected.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val fixed =
+        if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        else df
+      fixed.createOrReplaceTempView(t)
+    }
+    spark
+  }
+
+  /** Flagship: spatial range query + aggregate via the Column DSL (no SQL
+    * registration needed — works on a vanilla driver session). */
+  def entry(spark: SparkSession): DataFrame = {
+    import GraftFunctions._
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val pt = st_point(col("c_acctbal"), col("c_nationkey").cast("double"))
+    c.withColumn("pt", pt)
+      .where(st_contains(st_polygonFromEnvelope(lit(0.005), lit(-0.5), lit(9000.005), lit(24.5)), col("pt")))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), st_x(st_centroid_aggr(col("pt"))).as("cx"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Spark-side query per operator. Most run through spark.sql over the
+    * registered catalog (exercising SQL registration); entries marked DSL
+    * use the Column API. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- relational core (§2.14) -----
+    "q1_pricing" -> ((s, d) => prep(s, d).sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    "q3_shipping" -> ((s, d) => prep(s, d).sql("""
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")),
+
+    "q5_local_supplier" -> ((s, d) => prep(s, d).sql("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")),
+
+    "topk_per_group" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_brand, p_partkey, rn FROM (
+        SELECT p_brand, p_partkey,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) t
+      WHERE rn <= 3
+      ORDER BY p_brand, rn""")),
+
+    "sessionize_batch" -> ((s, d) => prep(s, d).sql("""
+      WITH e AS (
+        SELECT user_id, event_id, UNIX_TIMESTAMP(ts) AS sec FROM events
+      ), flagged AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                    OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+      ), sess AS (
+        SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+      )
+      SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id""")),
+
+    "events_hourly" -> ((s, d) => prep(s, d).sql("""
+      SELECT UNIX_TIMESTAMP(DATE_TRUNC('HOUR', ts)) AS hour_sec, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""")),
+
+    // ----- geometry constructors + accessors (§2.2, §2.3) -----
+    "st_point_xy" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_custkey, st_x(pt) AS x, st_y(pt) AS y
+      FROM (SELECT c_custkey, st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS pt FROM customer)
+      ORDER BY c_custkey""")),
+
+    "st_astext_point" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_custkey,
+             st_astext(st_point(CAST(c_nationkey AS DOUBLE), CAST(c_custkey % 7 AS DOUBLE))) AS wkt
+      FROM customer ORDER BY c_custkey""")),
+
+    "st_area_envelope" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_area(st_polygonfromenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                            CAST(p_size AS DOUBLE), CAST(p_size + 2 AS DOUBLE))) AS area
+      FROM part ORDER BY p_partkey""")),
+
+    "st_distance_points" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_distance(st_point(CAST(p_size AS DOUBLE), CAST(0 AS DOUBLE)),
+                         st_point(CAST(0 AS DOUBLE), CAST(p_size + 1 AS DOUBLE))) AS dist
+      FROM part ORDER BY p_partkey""")),
+
+    "st_length_line" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_length(st_geomfromtext(CONCAT('LINESTRING (0 0, ', CAST(p_size AS STRING), ' ', CAST(p_size + 2 AS STRING), ')'))) AS len
+      FROM part ORDER BY p_partkey""")),
+
+    "st_geometrytype_mix" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_geometrytype(st_point(CAST(p_size AS DOUBLE), 0.0D)) AS pt_type,
+             st_geometrytype(st_polygonfromenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE), 1.0D)) AS poly_type
+      FROM part ORDER BY p_partkey""")),
+
+    // ----- predicates (§2.4) -----
+    "st_contains_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE st_contains(st_polygonfromenvelope(0.005D, -0.5D, 5000.005D, 10.5D),
+                        st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)))
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    "st_within_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE st_within(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+                      st_polygonfromenvelope(1000.005D, 4.5D, 8000.005D, 19.5D))
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    "st_intersects_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE st_intersects(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+                          st_polygonfromenvelope(-500.005D, -0.5D, 2500.005D, 14.5D))
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    "st_disjoint_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT COUNT(*) AS n FROM customer
+      WHERE st_disjoint(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+                        st_polygonfromenvelope(0.005D, -0.5D, 5000.005D, 24.5D))""")),
+
+    "st_covers_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT COUNT(*) AS n FROM customer
+      WHERE st_covers(st_polygonfromenvelope(0.005D, -0.5D, 5000.005D, 24.5D),
+                      st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)))""")),
+
+    "st_coveredby_range" -> ((s, d) => prep(s, d).sql("""
+      SELECT COUNT(*) AS n FROM customer
+      WHERE st_coveredby(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+                         st_polygonfromenvelope(0.005D, -0.5D, 5000.005D, 24.5D))""")),
+
+    "st_dwithin_filter" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_custkey FROM customer
+      WHERE st_dwithin(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+                       st_point(5000.0D, 12.0D), 1000.0D)
+      ORDER BY c_custkey""")),
+
+    // ----- spatial aggregates (§2.6) -----
+    "st_envelope_aggr_bounds" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey,
+             st_xmin(env) AS xmin, st_ymin(env) AS ymin,
+             st_xmax(env) AS xmax, st_ymax(env) AS ymax
+      FROM (SELECT c_nationkey,
+                   st_envelope_aggr(st_point(c_acctbal, CAST(c_custkey % 100 AS DOUBLE))) AS env
+            FROM customer GROUP BY c_nationkey)
+      ORDER BY c_nationkey""")),
+
+    "st_centroid_aggr_points" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey,
+             st_x(ctr) AS cx, st_y(ctr) AS cy
+      FROM (SELECT c_nationkey,
+                   st_centroid_aggr(st_point(CAST(c_custkey % 97 AS DOUBLE), CAST(c_custkey % 89 AS DOUBLE))) AS ctr
+            FROM customer GROUP BY c_nationkey)
+      ORDER BY c_nationkey""")),
+
+    "st_union_aggr_points" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey, st_numgeometries(st_union_aggr(pt)) AS n_distinct
+      FROM (SELECT c_nationkey, st_point(CAST(c_custkey % 50 AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS pt
+            FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ----- transformations (§2.5): rows-only (no closed-form SQL oracle) -----
+    "st_buffer_area" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey, st_area(st_buffer(st_point(CAST(p_size AS DOUBLE), 0.0D), 2.0D)) AS a
+      FROM part ORDER BY p_partkey""")),
+
+    // ----- text analysis (§2.11) -----
+    "doc_token_count" -> ((s, d) => prep(s, d).sql("""
+      SELECT doc_id, SIZE(SPLIT(TRIM(text), ' +')) AS n_tokens FROM documents ORDER BY doc_id""")),
+
+    "doc_char_stats" -> ((s, d) => prep(s, d).sql("""
+      SELECT doc_id, LENGTH(text) AS len,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+             n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    "dedup_exact" -> ((s, d) => prep(s, d).sql("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    "lang_distribution" -> ((s, d) => prep(s, d).sql("""
+      SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""")),
+  )
+
+  /** DuckDB-dialect oracle per query (same aliases, same ordering). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping" -> """
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "q5_local_supplier" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "topk_per_group" -> """
+      SELECT p_brand, p_partkey, rn FROM (
+        SELECT p_brand, p_partkey,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) t
+      WHERE rn <= 3
+      ORDER BY p_brand, rn""",
+
+    "sessionize_batch" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events
+      ), flagged AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                    OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+      ), sess AS (
+        SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+      )
+      SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id""",
+
+    "events_hourly" -> """
+      SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_sec, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""",
+
+    "st_point_xy" -> """
+      SELECT c_custkey, c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
+      FROM customer ORDER BY c_custkey""",
+
+    "st_astext_point" -> """
+      SELECT c_custkey,
+             'POINT (' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey % 7 AS VARCHAR) || ')' AS wkt
+      FROM customer ORDER BY c_custkey""",
+
+    "st_area_envelope" -> """
+      SELECT p_partkey, CAST(p_size AS DOUBLE) * CAST(p_size + 2 AS DOUBLE) AS area
+      FROM part ORDER BY p_partkey""",
+
+    "st_distance_points" -> """
+      SELECT p_partkey,
+             sqrt(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
+                  + CAST(p_size + 1 AS DOUBLE) * CAST(p_size + 1 AS DOUBLE)) AS dist
+      FROM part ORDER BY p_partkey""",
+
+    "st_length_line" -> """
+      SELECT p_partkey,
+             sqrt(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
+                  + CAST(p_size + 2 AS DOUBLE) * CAST(p_size + 2 AS DOUBLE)) AS len
+      FROM part ORDER BY p_partkey""",
+
+    "st_geometrytype_mix" -> """
+      SELECT p_partkey, 'ST_Point' AS pt_type, 'ST_Polygon' AS poly_type
+      FROM part ORDER BY p_partkey""",
+
+    "st_contains_range" -> """
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE c_acctbal > 0.005 AND c_acctbal < 5000.005
+        AND c_nationkey >= 0 AND c_nationkey <= 10
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_within_range" -> """
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE c_acctbal > 1000.005 AND c_acctbal < 8000.005
+        AND c_nationkey >= 5 AND c_nationkey <= 19
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_intersects_range" -> """
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE c_acctbal > -500.005 AND c_acctbal < 2500.005
+        AND c_nationkey >= 0 AND c_nationkey <= 14
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_disjoint_range" -> """
+      SELECT COUNT(*) AS n FROM customer
+      WHERE NOT (c_acctbal > 0.005 AND c_acctbal < 5000.005
+                 AND c_nationkey >= 0 AND c_nationkey <= 24)""",
+
+    "st_covers_range" -> """
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_acctbal > 0.005 AND c_acctbal < 5000.005
+        AND c_nationkey >= 0 AND c_nationkey <= 24""",
+
+    "st_coveredby_range" -> """
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_acctbal > 0.005 AND c_acctbal < 5000.005
+        AND c_nationkey >= 0 AND c_nationkey <= 24""",
+
+    "st_dwithin_filter" -> """
+      SELECT c_custkey FROM customer
+      WHERE sqrt((c_acctbal - 5000.0) * (c_acctbal - 5000.0)
+                 + (CAST(c_nationkey AS DOUBLE) - 12.0) * (CAST(c_nationkey AS DOUBLE) - 12.0)) <= 1000.0
+      ORDER BY c_custkey""",
+
+    "st_envelope_aggr_bounds" -> """
+      SELECT c_nationkey,
+             MIN(c_acctbal) AS xmin, MIN(CAST(c_custkey % 100 AS DOUBLE)) AS ymin,
+             MAX(c_acctbal) AS xmax, MAX(CAST(c_custkey % 100 AS DOUBLE)) AS ymax
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_centroid_aggr_points" -> """
+      SELECT c_nationkey,
+             SUM(CAST(c_custkey % 97 AS DOUBLE)) / COUNT(*) AS cx,
+             SUM(CAST(c_custkey % 89 AS DOUBLE)) / COUNT(*) AS cy
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_union_aggr_points" -> """
+      SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey % 50) AS INT) AS n_distinct
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "doc_token_count" -> """
+      SELECT doc_id, CAST(len(string_split_regex(TRIM(text), ' +')) AS INT) AS n_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "doc_char_stats" -> """
+      SELECT doc_id, CAST(LENGTH(text) AS INT) AS len,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_spaces,
+             n_chars
+      FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" -> """
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "lang_distribution" -> """
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+  )
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * The ST_ function catalog: SQL registration + Column DSL.
+ *
+ * Capability match for the reference's registrator
+ * (reference: extension/.../SedonaIcebergExtensions.scala:38 registers the
+ * Sedona catalog on session init); here the catalog is a plain
+ * name→builder map usable both from SparkSessionExtensions (injectFunction)
+ * and post-hoc on a live session.
+ */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def arity(n: Int, name: String)(f: Seq[Expression] => Expression): Builder =
+    es => {
+      require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+      f(es)
+    }
+
+  /** name → builder for every scalar + aggregate ST_ function. */
+  val catalog: Seq[(String, Builder)] = Seq[(String, Int, Seq[Expression] => Expression)](
+    // constructors
+    ("st_point", 2, es => StPoint(es(0), es(1))),
+    ("st_makepoint", 2, es => StPoint(es(0), es(1))),
+    ("st_polygonfromenvelope", 4, es => StPolygonFromEnvelope(es)),
+    ("st_makeenvelope", 4, es => StPolygonFromEnvelope(es)),
+    ("st_geomfromtext", 1, es => StGeomFromText(es.head)),
+    ("st_geomfromwkt", 1, es => StGeomFromText(es.head)),
+    ("st_geomfromwkb", 1, es => StGeomFromWKB(es.head)),
+    // output
+    ("st_astext", 1, es => StAsText(es.head)),
+    ("st_asgeojson", 1, es => StAsGeoJson(es.head)),
+    ("st_asbinary", 1, es => StAsBinary(es.head)),
+    // accessors & measures
+    ("st_x", 1, es => StX(es.head)),
+    ("st_y", 1, es => StY(es.head)),
+    ("st_xmin", 1, es => StXMin(es.head)),
+    ("st_ymin", 1, es => StYMin(es.head)),
+    ("st_xmax", 1, es => StXMax(es.head)),
+    ("st_ymax", 1, es => StYMax(es.head)),
+    ("st_area", 1, es => StArea(es.head)),
+    ("st_length", 1, es => StLength(es.head)),
+    ("st_perimeter", 1, es => StLength(es.head)),
+    ("st_distance", 2, es => StDistance(es(0), es(1))),
+    ("st_centroid", 1, es => StCentroid(es.head)),
+    ("st_envelope", 1, es => StEnvelope(es.head)),
+    ("st_boundary", 1, es => StBoundary(es.head)),
+    ("st_geometrytype", 1, es => StGeometryType(es.head)),
+    ("st_numpoints", 1, es => StNumPoints(es.head)),
+    ("st_numgeometries", 1, es => StNumGeometries(es.head)),
+    ("st_isempty", 1, es => StIsEmpty(es.head)),
+    ("st_isvalid", 1, es => StIsValid(es.head)),
+    ("st_srid", 1, es => StSrid(es.head)),
+    ("st_setsrid", 2, es => StSetSrid(es(0), es(1))),
+    ("st_normalize", 1, es => StNormalize(es.head)),
+    // predicates
+    ("st_contains", 2, es => StContains(es(0), es(1))),
+    ("st_within", 2, es => StWithin(es(0), es(1))),
+    ("st_intersects", 2, es => StIntersects(es(0), es(1))),
+    ("st_disjoint", 2, es => StDisjoint(es(0), es(1))),
+    ("st_covers", 2, es => StCovers(es(0), es(1))),
+    ("st_coveredby", 2, es => StCoveredBy(es(0), es(1))),
+    ("st_crosses", 2, es => StCrosses(es(0), es(1))),
+    ("st_overlaps", 2, es => StOverlaps(es(0), es(1))),
+    ("st_touches", 2, es => StTouches(es(0), es(1))),
+    ("st_equals", 2, es => StEquals(es(0), es(1))),
+    ("st_orderingequals", 2, es => StOrderingEquals(es(0), es(1))),
+    ("st_dwithin", 3, es => StDWithin(es)),
+    // transforms
+    ("st_union", 2, es => StUnion(es(0), es(1))),
+    ("st_intersection", 2, es => StIntersection(es(0), es(1))),
+    ("st_difference", 2, es => StDifference(es(0), es(1))),
+    ("st_symdifference", 2, es => StSymDifference(es(0), es(1))),
+    ("st_buffer", 2, es => StBuffer(es(0), es(1))),
+    ("st_convexhull", 1, es => StConvexHull(es.head)),
+    ("st_simplify", 2, es => StSimplify(es(0), es(1))),
+    ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
+    // aggregates (analyzer wraps the returned AggregateFunction)
+    ("st_union_aggr", 1, es => StUnionAggr(es.head)),
+    ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),
+    ("st_centroid_aggr", 1, es => StCentroidAggr(es.head)),
+    ("st_collect", 1, es => StCollectAggr(es.head)),
+  ).map { case (name, n, f) => name -> arity(n, name)(f) }
+
+  /** Idempotent: (re)binds every catalog function on the given session. */
+  def register(spark: SparkSession): Unit =
+    catalog.foreach { case (name, b) => GraftShim.registerFunction(spark, name, b) }
+
+  // -------------------------------------------------------------------------
+  // Column DSL (works without SQL registration)
+  // -------------------------------------------------------------------------
+  private def e(c: Column): Expression = GraftShim.expression(c)
+  private def col(x: Expression): Column = GraftShim.column(x)
+
+  def st_point(x: Column, y: Column): Column = col(StPoint(e(x), e(y)))
+  def st_polygonFromEnvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StPolygonFromEnvelope(Seq(e(xmin), e(ymin), e(xmax), e(ymax))))
+  def st_geomFromText(wkt: Column): Column = col(StGeomFromText(e(wkt)))
+  def st_asText(g: Column): Column = col(StAsText(e(g)))
+  def st_x(g: Column): Column = col(StX(e(g)))
+  def st_y(g: Column): Column = col(StY(e(g)))
+  def st_xmin(g: Column): Column = col(StXMin(e(g)))
+  def st_ymin(g: Column): Column = col(StYMin(e(g)))
+  def st_xmax(g: Column): Column = col(StXMax(e(g)))
+  def st_ymax(g: Column): Column = col(StYMax(e(g)))
+  def st_area(g: Column): Column = col(StArea(e(g)))
+  def st_length(g: Column): Column = col(StLength(e(g)))
+  def st_distance(a: Column, b: Column): Column = col(StDistance(e(a), e(b)))
+  def st_centroid(g: Column): Column = col(StCentroid(e(g)))
+  def st_envelope(g: Column): Column = col(StEnvelope(e(g)))
+  def st_contains(a: Column, b: Column): Column = col(StContains(e(a), e(b)))
+  def st_within(a: Column, b: Column): Column = col(StWithin(e(a), e(b)))
+  def st_intersects(a: Column, b: Column): Column = col(StIntersects(e(a), e(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column = col(StDWithin(Seq(e(a), e(b), e(d))))
+  def st_buffer(g: Column, d: Column): Column = col(StBuffer(e(g), e(d)))
+  def st_union_aggr(g: Column): Column = agg(StUnionAggr(e(g)))
+  def st_envelope_aggr(g: Column): Column = agg(StEnvelopeAggr(e(g)))
+  def st_centroid_aggr(g: Column): Column = agg(StCentroidAggr(e(g)))
+  def st_collect(g: Column): Column = agg(StCollectAggr(e(g)))
+
+  private def agg(a: AggregateFunction): Column = col(a.toAggregateExpression())
+}

@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.locationtech.jts.geom._
 import org.locationtech.jts.operation.union.UnaryUnionOp
 
@@ -220,24 +220,22 @@ case class StUnionAggr(
   // a single (unioned) geometry instead of the whole input set.
   override def serialize(buf: ArrayBuffer[Geometry]): Array[Byte] =
     if (buf.isEmpty) super.serialize(buf)
-    else Geom.serialize(Geom.factory.createGeometryCollection(Array(UnaryUnionOp.union(buf.toArray.toList.asInstanceOf[List[Geometry]].asJavaCollection))))
+    else Geom.serialize(Geom.factory.createGeometryCollection(Array(union(buf))))
 
   override def eval(buf: ArrayBuffer[Geometry]): Any =
     if (buf.isEmpty) null
-    else Geom.serialize(UnaryUnionOp.union(buf.toList.asJavaCollection))
+    else Geom.serialize(union(buf))
+
+  private def union(buf: ArrayBuffer[Geometry]): Geometry = {
+    val al = new java.util.ArrayList[Geometry](buf.size)
+    buf.foreach(al.add)
+    UnaryUnionOp.union(al)
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): StUnionAggr = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): StUnionAggr = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
   override def prettyName: String = "st_union_aggr"
-
-  private implicit class RichList[A](l: List[A]) {
-    def asJavaCollection: java.util.Collection[A] = {
-      val al = new java.util.ArrayList[A](l.size)
-      l.foreach(al.add)
-      al
-    }
-  }
 }
 
 /** ST_Collect: gather inputs into a geometry collection (Multi* when homogeneous). */

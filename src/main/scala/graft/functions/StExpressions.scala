@@ -31,6 +31,18 @@ object StKit {
   def geom(a: Any): Geometry = Geom.deserialize(bytes(a))
   def out(g: Geometry): Array[Byte] = Geom.serialize(g)
   def str(s: String): UTF8String = UTF8String.fromString(s)
+  // Runtime numeric coercion: with AbstractDataType private[sql] in Spark
+  // 4.1 we can't declare ImplicitCastInputTypes, so accept any numeric
+  // (SQL integer literals arrive as java.lang.Integer/Long).
+  def dbl(a: Any): Double = a match {
+    case d: java.lang.Number => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => other.asInstanceOf[Double]
+  }
+  def int(a: Any): Int = a match {
+    case d: java.lang.Number => d.intValue()
+    case other => other.asInstanceOf[Int]
+  }
 }
 import StKit._
 
@@ -39,16 +51,14 @@ import StKit._
 // ---------------------------------------------------------------------------
 
 /** Unary geometry expression: BINARY(wkb) -> dataType. */
-abstract class StUnary extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+abstract class StUnary extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
   protected def run(g: Geometry): Any
   override def nullSafeEval(input: Any): Any = run(geom(input))
 }
 
 /** Geometry x Geometry -> Boolean predicate with prepared-literal fast path. */
-abstract class StPredicate extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+abstract class StPredicate extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 
@@ -79,15 +89,14 @@ abstract class StPredicate extends BinaryExpression with ExpectsInputTypes with 
 }
 
 /** Geometry x Geometry -> result (non-predicate binary ops). */
-abstract class StBinary extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+abstract class StBinary extends BinaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
   protected def run(l: Geometry, r: Geometry): Any
   override def nullSafeEval(l: Any, r: Any): Any = run(geom(l), geom(r))
 }
 
 /** N-ary expression evaluating all children, null if any input is null. */
-abstract class StNary extends Expression with ExpectsInputTypes with CodegenFallback {
+abstract class StNary extends Expression with CodegenFallback {
   override def nullable: Boolean = true
   protected def run(values: Seq[Any]): Any
   override def eval(input: InternalRow): Any = {
@@ -101,21 +110,19 @@ abstract class StNary extends Expression with ExpectsInputTypes with CodegenFall
 // ---------------------------------------------------------------------------
 
 case class StPoint(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(x: Any, y: Any): Any =
-    out(Geom.point(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+    out(Geom.point(dbl(x), dbl(y)))
   override def prettyName: String = "st_point"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class StPolygonFromEnvelope(children: Seq[Expression]) extends StNary {
-  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
   override def dataType: DataType = BinaryType
   protected def run(vs: Seq[Any]): Any = {
-    val d = vs.map(_.asInstanceOf[Double])
+    val d = vs.map(dbl)
     out(Geom.polygonFromEnvelope(d(0), d(1), d(2), d(3)))
   }
   override def prettyName: String = "st_polygonfromenvelope"
@@ -123,8 +130,7 @@ case class StPolygonFromEnvelope(children: Seq[Expression]) extends StNary {
 }
 
 case class StGeomFromText(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any = out(Geom.fromWkt(v.toString))
@@ -133,8 +139,7 @@ case class StGeomFromText(child: Expression)
 }
 
 case class StGeomFromWKB(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   // Normalizes arbitrary (possibly EWKB) input bytes into our canonical form.
@@ -163,7 +168,7 @@ case class StAsGeoJson(child: Expression) extends StUnary {
 
 case class StAsBinary(child: Expression) extends StUnary {
   override def dataType: DataType = BinaryType
-  protected def run(g: Geometry): Any = new org.locationtech.jts.io.WKBWriter(2, false).write(g)
+  protected def run(g: Geometry): Any = Geom.serialize(g)
   override def prettyName: String = "st_asbinary"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -291,13 +296,12 @@ case class StSrid(child: Expression) extends StUnary {
 }
 
 case class StSetSrid(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(g: Any, srid: Any): Any = {
     val geo = geom(g)
-    geo.setSRID(srid.asInstanceOf[Int])
+    geo.setSRID(int(srid))
     out(geo)
   }
   override def prettyName: String = "st_setsrid"
@@ -400,10 +404,9 @@ case class StOrderingEquals(left: Expression, right: Expression) extends StPredi
 }
 
 case class StDWithin(children: Seq[Expression]) extends StNary {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType, DoubleType)
   override def dataType: DataType = BooleanType
   protected def run(vs: Seq[Any]): Any =
-    geom(vs(0)).isWithinDistance(geom(vs(1)), vs(2).asInstanceOf[Double])
+    geom(vs(0)).isWithinDistance(geom(vs(1)), dbl(vs(2)))
   override def prettyName: String = "st_dwithin"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
@@ -448,11 +451,10 @@ case class StSymDifference(left: Expression, right: Expression) extends StBinary
 }
 
 case class StBuffer(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(g: Any, d: Any): Any = out(geom(g).buffer(d.asInstanceOf[Double]))
+  override def nullSafeEval(g: Any, d: Any): Any = out(geom(g).buffer(dbl(d)))
   override def prettyName: String = "st_buffer"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
@@ -465,23 +467,21 @@ case class StConvexHull(child: Expression) extends StUnary {
 }
 
 case class StSimplify(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(g: Any, d: Any): Any =
-    out(DouglasPeuckerSimplifier.simplify(geom(g), d.asInstanceOf[Double]))
+    out(DouglasPeuckerSimplifier.simplify(geom(g), dbl(d)))
   override def prettyName: String = "st_simplify"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class StSimplifyPreserveTopology(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(g: Any, d: Any): Any =
-    out(TopologyPreservingSimplifier.simplify(geom(g), d.asInstanceOf[Double]))
+    out(TopologyPreservingSimplifier.simplify(geom(g), dbl(d)))
   override def prettyName: String = "st_simplifypreservetopology"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }

@@ -21,7 +21,7 @@ object Geom {
   val factory = new GeometryFactory(new PrecisionModel(), 4326)
 
   private val wkbReaders = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
-  private val wkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
+  private val wkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, true))
   private val wktReaders = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriters = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
 

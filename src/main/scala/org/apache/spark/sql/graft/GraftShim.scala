@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.{ExpressionUtils, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Narrow bridge into `private[sql]` Spark internals. Lives under
+ * `org.apache.spark.sql` so the package-private pieces (sessionState,
+ * ExpressionUtils) are visible — the same escape hatch every production
+ * Spark extension uses (Sedona's expressions live in
+ * org.apache.spark.sql.sedona_sql for exactly this reason; reference:
+ * extension/src/main/scala/org/apache/spark/sql/iceberg/SedonaPredicatePushDown.scala:1
+ * does the same for its optimizer rule).
+ *
+ * Everything else in graft stays in plain `graft.*` packages; only this
+ * object touches internals, so an API move in a future Spark release is a
+ * one-file fix.
+ */
+object GraftShim {
+
+  /** Register a Catalyst expression builder on a live session (post-hoc —
+    * works on any session, not just those built with our extensions). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+  }
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column back to its Catalyst Expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
