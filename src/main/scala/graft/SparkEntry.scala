@@ -218,6 +218,51 @@ object SparkEntry {
             FROM customer)
       GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // ----- spatial joins (§2.7) -----
+    "spatial_tile_join" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val env = s.table("nation").select(col("n_nationkey"),
+        st_polygonFromEnvelope(col("n_nationkey") * 400.0 + 0.005, lit(-0.5),
+          col("n_nationkey") * 400.0 + 800.005, lit(24.5)).as("env"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.plans.SpatialJoin.tileJoin(env, col("env"), pts, col("pt"), "contains", cellSize = 500.0)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n")).orderBy("n_nationkey")
+    }),
+
+    "spatial_bcast_join" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val env = s.table("nation").select(col("n_nationkey"),
+        st_polygonFromEnvelope(col("n_nationkey") * 400.0 + 0.005, lit(-0.5),
+          col("n_nationkey") * 400.0 + 600.005, lit(24.5)).as("env"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.plans.SpatialJoin.broadcastTileJoin(pts, col("pt"), env, col("env"), "within", cellSize = 500.0)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n")).orderBy("n_nationkey")
+    }),
+
+    "spatial_dwithin_join" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val ctr = s.table("nation").select(col("n_nationkey"),
+        st_point(col("n_nationkey") * 400.0, lit(12.0)).as("ctr"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.plans.SpatialJoin.distanceJoin(pts, col("pt"), ctr, col("ctr"), dist = 300.0, cellSize = 250.0)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n")).orderBy("n_nationkey")
+    }),
+
+    "spatial_knn_join" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val ctr = s.table("nation").select(col("n_nationkey"),
+        st_point(col("n_nationkey") * 400.0, lit(12.0)).as("ctr"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.plans.SpatialJoin.knnJoin(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
+          k = 3, tieBreak = Seq(col("n_nationkey")))
+        .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
+        .orderBy(col("c_custkey"), col("knn_rank"))
+    }),
+
     // ----- transformations (§2.5): rows-only (no closed-form SQL oracle) -----
     "st_buffer_area" -> ((s, d) => prep(s, d).sql("""
       SELECT p_partkey, st_area(st_buffer(st_point(CAST(p_size AS DOUBLE), 0.0D), 2.0D)) AS a
@@ -394,6 +439,36 @@ object SparkEntry {
     "st_union_aggr_points" -> """
       SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey % 50) AS INT) AS n_distinct
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "spatial_tile_join" -> """
+      SELECT n_nationkey, COUNT(*) AS n
+      FROM nation JOIN customer
+        ON c_acctbal > n_nationkey*400.0 + 0.005 AND c_acctbal < n_nationkey*400.0 + 800.005
+      GROUP BY n_nationkey ORDER BY n_nationkey""",
+
+    "spatial_bcast_join" -> """
+      SELECT n_nationkey, COUNT(*) AS n
+      FROM nation JOIN customer
+        ON c_acctbal > n_nationkey*400.0 + 0.005 AND c_acctbal < n_nationkey*400.0 + 600.005
+      GROUP BY n_nationkey ORDER BY n_nationkey""",
+
+    "spatial_dwithin_join" -> """
+      SELECT n_nationkey, COUNT(*) AS n
+      FROM nation JOIN customer
+        ON sqrt((c_acctbal - n_nationkey*400.0)*(c_acctbal - n_nationkey*400.0)
+                + (CAST(c_nationkey AS DOUBLE) - 12.0)*(CAST(c_nationkey AS DOUBLE) - 12.0)) <= 300.0
+      GROUP BY n_nationkey ORDER BY n_nationkey""",
+
+    "spatial_knn_join" -> """
+      SELECT c_custkey, n_nationkey, CAST(rn AS INT) AS knn_rank FROM (
+        SELECT c_custkey, n_nationkey,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
+                 sqrt((c_acctbal - n_nationkey*400.0)*(c_acctbal - n_nationkey*400.0)
+                      + (CAST(c_nationkey AS DOUBLE) - 12.0)*(CAST(c_nationkey AS DOUBLE) - 12.0)) ASC,
+                 n_nationkey) AS rn
+        FROM customer CROSS JOIN nation) t
+      WHERE rn <= 3
+      ORDER BY c_custkey, rn""",
 
     "doc_token_count" -> """
       SELECT doc_id, CAST(len(string_split_regex(TRIM(text), ' +')) AS INT) AS n_tokens

@@ -82,12 +82,19 @@ object GraftFunctions {
     ("st_convexhull", 1, es => StConvexHull(es.head)),
     ("st_simplify", 2, es => StSimplify(es(0), es(1))),
     ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
+    // tiling primitives (spatial join / pushdown support)
+    ("st_bbox", 1, es => StBbox(es.head)),
+    ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),
     ("st_centroid_aggr", 1, es => StCentroidAggr(es.head)),
     ("st_collect", 1, es => StCollectAggr(es.head)),
-  ).map { case (name, n, f) => name -> arity(n, name)(f) }
+  ).map { case (name, n, f) => name -> arity(n, name)(f) } :+
+    ("st_tile_cells" -> { (es: Seq[Expression]) =>
+      require(es.length == 2 || es.length == 3, s"st_tile_cells expects 2 or 3 arguments, got ${es.length}")
+      StTileCells(es)
+    })
 
   /** Idempotent: (re)binds every catalog function on the given session. */
   def register(spark: SparkSession): Unit =

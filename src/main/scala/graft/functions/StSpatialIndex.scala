@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.geom.Geom
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.{InternalRow => CatalystRow}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+
+import StKit._
+
+/**
+ * Grid-tiling primitives for the spatial join (SURVEY.md §2.7) — the
+ * Spark-first analog of the reference's partition-aware spatial join
+ * strategies (reference: extension/.../SedonaIcebergExtensions.scala:49
+ * injects JoinQueryDetector). Instead of a custom physical operator, each
+ * side explodes to covering grid cells and Catalyst runs an ordinary
+ * equi-join on the cell id — shuffle-hash/SMJ + AQE skew handling for free.
+ *
+ * Cell ids pack floor(x/cell) and floor(y/cell) into one long:
+ * `(ix << 32) | (iy & 0xffffffff)` — reproducible from plain SQL
+ * (`shiftleft(..,32) | (.. & 4294967295)`) so the reference-point dedup
+ * can be expressed with built-in functions and stays in codegen.
+ */
+
+/** Bounding box of a WKB geometry as a struct(xmin,ymin,xmax,ymax). */
+case class StBbox(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StBbox.schema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val e = geom(v).getEnvelopeInternal
+    CatalystRow.fromSeq(Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
+  override def prettyName: String = "st_bbox"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object StBbox {
+  val schema: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+
+  def pack(ix: Long, iy: Long): Long = (ix << 32) | (iy & 0xffffffffL)
+}
+
+/**
+ * All grid cells covered by the geometry's envelope, optionally expanded by
+ * `expand` (for distance joins). children = (geom, cellSize[, expand]).
+ */
+case class StTileCells(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def eval(input: CatalystRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val env = geom(vs(0)).getEnvelopeInternal
+    val cs = dbl(vs(1))
+    val ex = if (vs.length > 2) dbl(vs(2)) else 0.0
+    val ix0 = math.floor((env.getMinX - ex) / cs).toLong
+    val ix1 = math.floor((env.getMaxX + ex) / cs).toLong
+    val iy0 = math.floor((env.getMinY - ex) / cs).toLong
+    val iy1 = math.floor((env.getMaxY + ex) / cs).toLong
+    val out = new Array[Long](((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).toInt)
+    var k = 0
+    var ix = ix0
+    while (ix <= ix1) {
+      var iy = iy0
+      while (iy <= iy1) { out(k) = StBbox.pack(ix, iy); k += 1; iy += 1 }
+      ix += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "st_tile_cells"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** Hausdorff-ish cheap centroid cell (used for KNN pre-bucketing). */
+case class StCentroidCell(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, cell: Any): Any = {
+    val c = geom(g).getEnvelopeInternal
+    val cs = dbl(cell)
+    StBbox.pack(math.floor((c.getMinX + c.getMaxX) / 2 / cs).toLong,
+                math.floor((c.getMinY + c.getMaxY) / 2 / cs).toLong)
+  }
+  override def prettyName: String = "st_centroid_cell"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

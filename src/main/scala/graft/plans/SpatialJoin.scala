@@ -1,0 +1,157 @@
+package graft.plans
+
+import graft.functions._
+
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Distributed spatial joins built from standard Spark operators
+ * (SURVEY.md §2.7) — capability match for the reference's
+ * BroadcastIndexJoin / RangeJoin strategies (reference:
+ * extension/src/test/scala/org/apache/iceberg/TestSedonaIcebergExtension.scala:201
+ * asserts those plans; here the same queries compile to Catalyst
+ * equi-joins that AQE can re-plan at runtime).
+ *
+ * Scheme (tile join):
+ *  1. explode each side to covering grid cells of `cellSize`
+ *  2. equi-join on the packed cell id (+ bbox prefilter, cheap doubles)
+ *  3. reference-point dedup: a pair is emitted only in the cell that
+ *     contains the top-left corner of the bbox intersection, so no global
+ *     DISTINCT is needed — the dedup is a codegen'd filter.
+ *  4. exact JTS refine via the ST_ predicate expression.
+ *
+ * At 100 TB the shuffle is bounded by cells-per-geometry (1 for points);
+ * hot cells are ordinary AQE skew-join work; a small side can flip the
+ * same plan into a broadcast hash join (`broadcastTileJoin`) where the big
+ * side is never shuffled at all.
+ */
+object SpatialJoin {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftShim.column(e)
+  private def ex(c: Column) = GraftShim.expression(c)
+
+  /** bbox of `g` as struct(xmin,ymin,xmax,ymax). */
+  def stBbox(g: Column): Column = col(StBbox(ex(g)))
+
+  /** covering cells of `g`'s envelope (expanded by `expand`). */
+  def stTileCells(g: Column, cellSize: Double, expand: Double = 0.0): Column =
+    col(StTileCells(Seq(ex(g), ex(lit(cellSize)), ex(lit(expand)))))
+
+  /** Exact refine expression for a named predicate. */
+  private def refine(pred: String, lg: Column, rg: Column, dist: Double): Column = pred match {
+    case "contains" => col(StContains(ex(lg), ex(rg)))
+    case "within" => col(StWithin(ex(lg), ex(rg)))
+    case "intersects" => col(StIntersects(ex(lg), ex(rg)))
+    case "covers" => col(StCovers(ex(lg), ex(rg)))
+    case "dwithin" => col(StDWithin(Seq(ex(lg), ex(rg), ex(lit(dist)))))
+    case other => throw new IllegalArgumentException(s"unknown predicate $other")
+  }
+
+  /** bbox prefilter in plain double arithmetic (stays in codegen). */
+  private def bboxFilter(pred: String, l: Column, r: Column, dist: Double): Column = pred match {
+    case "contains" | "covers" => // left bbox must enclose right bbox
+      l("xmin") <= r("xmin") && l("xmax") >= r("xmax") &&
+        l("ymin") <= r("ymin") && l("ymax") >= r("ymax")
+    case "within" => // left bbox inside right bbox
+      r("xmin") <= l("xmin") && r("xmax") >= l("xmax") &&
+        r("ymin") <= l("ymin") && r("ymax") >= l("ymax")
+    case "dwithin" =>
+      l("xmin") <= r("xmax") + dist && l("xmax") >= r("xmin") - dist &&
+        l("ymin") <= r("ymax") + dist && l("ymax") >= r("ymin") - dist
+    case _ => // intersects & friends: bbox overlap
+      l("xmin") <= r("xmax") && l("xmax") >= r("xmin") &&
+        l("ymin") <= r("ymax") && l("ymax") >= r("ymin")
+  }
+
+  /** Reference-point dedup: emit only in the cell holding the bbox
+    * intersection's lower-left corner (expanded by dist for dwithin). */
+  private def refCell(l: Column, r: Column, cellSize: Double, dist: Double): Column = {
+    // Lower-left corner of (expanded-left bbox ∩ right bbox): guaranteed to
+    // be a cell BOTH sides generated (left cells are the expanded ones).
+    val rx = greatest(l("xmin") - dist, r("xmin"))
+    val ry = greatest(l("ymin") - dist, r("ymin"))
+    shiftleft(floor(rx / cellSize), 32)
+      .bitwiseOR(floor(ry / cellSize).bitwiseAND(lit(4294967295L)))
+  }
+
+  /**
+   * Tile-partitioned spatial join. Returns left columns + right columns
+   * (caller guarantees distinct names). `predicate` ∈ contains | within |
+   * intersects | covers | dwithin.
+   */
+  def tileJoin(
+      left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      predicate: String = "intersects",
+      cellSize: Double = 1.0,
+      dist: Double = 0.0,
+      broadcastRight: Boolean = false): DataFrame = {
+
+    val lb = stBbox(leftGeom).as("__lbox")
+    val rb = stBbox(rightGeom).as("__rbox")
+    // left cells are expanded for dwithin; right cells never are, so a pair
+    // meets in at least every cell the right bbox covers.
+    val lt = left
+      .withColumn("__lbox", lb)
+      .withColumn("__lgeom", leftGeom)
+      .withColumn("__cell", explode(stTileCells(leftGeom, cellSize, if (predicate == "dwithin") dist else 0.0)))
+    val rt0 = right
+      .withColumn("__rbox", rb)
+      .withColumn("__rgeom", rightGeom)
+      .withColumn("__rcell", explode(stTileCells(rightGeom, cellSize)))
+    val rt = if (broadcastRight) broadcast(rt0) else rt0
+
+    val lbox = org.apache.spark.sql.functions.col("__lbox")
+    val rbox = org.apache.spark.sql.functions.col("__rbox")
+    val cond =
+      org.apache.spark.sql.functions.col("__cell") === org.apache.spark.sql.functions.col("__rcell") &&
+        bboxFilter(predicate, lbox, rbox, dist) &&
+        org.apache.spark.sql.functions.col("__cell") === refCell(lbox, rbox, cellSize, if (predicate == "dwithin") dist else 0.0) &&
+        refine(predicate, org.apache.spark.sql.functions.col("__lgeom"), org.apache.spark.sql.functions.col("__rgeom"), dist)
+
+    lt.join(rt, cond)
+      .drop("__lbox", "__rbox", "__lgeom", "__rgeom", "__cell", "__rcell")
+  }
+
+  /** Broadcast variant: small right side, big side never shuffles. */
+  def broadcastTileJoin(
+      left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      predicate: String = "intersects",
+      cellSize: Double = 1.0,
+      dist: Double = 0.0): DataFrame =
+    tileJoin(left, leftGeom, right, rightGeom, predicate, cellSize, dist, broadcastRight = true)
+
+  /** Distance join: pairs within `dist` (euclidean). */
+  def distanceJoin(
+      left: DataFrame, leftGeom: Column,
+      right: DataFrame, rightGeom: Column,
+      dist: Double, cellSize: Double): DataFrame =
+    tileJoin(left, leftGeom, right, rightGeom, "dwithin", cellSize, dist)
+
+  /**
+   * KNN join (brute-force baseline): for every left row, the k nearest
+   * right geometries. Cross product bounded by broadcasting the right side;
+   * ranking via window (shuffle on left key only).
+   */
+  def knnJoin(
+      left: DataFrame, leftGeom: Column, leftKey: Column,
+      right: DataFrame, rightGeom: Column,
+      k: Int,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val l = left.withColumn("__lgeom", leftGeom).withColumn("__lkey", leftKey)
+    val r = broadcast(right.withColumn("__rgeom", rightGeom))
+    val c = org.apache.spark.sql.functions.col _
+    val dist = col(StDistance(ex(c("__lgeom")), ex(c("__rgeom"))))
+    import org.apache.spark.sql.expressions.Window
+    l.join(r)
+      .withColumn("knn_dist", dist)
+      .withColumn("knn_rank", row_number().over(
+        Window.partitionBy(c("__lkey")).orderBy(c("knn_dist").asc +: tieBreak.map(_.asc): _*)))
+      .where(c("knn_rank") <= k)
+      .drop("__lgeom", "__rgeom", "__lkey")
+  }
+}
