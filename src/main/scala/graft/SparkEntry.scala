@@ -282,6 +282,106 @@ object SparkEntry {
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""")),
 
+    // ----- dedup (§2.9) -----
+    "dedup_jaccard_exact" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT doc_id, array_distinct(split(trim(text), ' +')) AS w
+                 FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(size(array_intersect(a.w, b.w)) AS DOUBLE)
+               / (size(a.w) + size(b.w) - size(array_intersect(a.w, b.w))) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(size(array_intersect(a.w, b.w)) AS DOUBLE)
+               / (size(a.w) + size(b.w) - size(array_intersect(a.w, b.w))) >= 0.2
+      ORDER BY id1, id2""")),
+
+    "dedup_minhash_pairs" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Dedup.minhashDedup(s.table("documents"), col("doc_id"), col("text"),
+          threshold = 0.4, shingleK = 5, numHashes = 128, bands = 16)
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_simhash_pairs" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Dedup.simhashCandidates(s.table("documents"), col("doc_id"), col("text"),
+          maxHamming = 8)
+        .orderBy("id1", "id2")
+    }),
+
+    "dedup_embedding_pairs" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Similarity.cosineNearDupPairs(s.table("embeddings"), col("embedding"),
+          col("vec_id"), threshold = 0.8, nbits = 8)
+        .orderBy("id1", "id2")
+    }),
+
+    // ----- similarity search (§2.10) -----
+    "ann_brute_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.bruteTopK(s.table("embeddings"), col("embedding"), col("vec_id"), q, 10)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    "ann_lsh_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.ops.Similarity.lshTopK(s.table("embeddings"), col("embedding"), col("vec_id"),
+          q, k = 10, nbits = 16, maxHamming = 6)
+        .select("vec_id")
+    }),
+
+    "ann_ivf_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val (assigned, cents) = graft.ops.Similarity.kmeansAssign(
+        s.table("embeddings"), col("embedding"), col("vec_id"), k = 8, iters = 2)
+      graft.ops.Similarity.ivfTopK(assigned, cents, q, k = 10, nprobe = 2)
+        .select("vec_id")
+    }),
+
+    // ----- text analysis (§2.11) -----
+    "text_quality_components" -> ((s, d) => prep(s, d).sql("""
+      SELECT doc_id,
+             SIZE(SPLIT(TRIM(text), ' +')) AS n_tokens,
+             SIZE(FILTER(SPLIT(TRIM(text), ' +'),
+                  x -> x IN ('the','a','an','of','and','to','in','is','for','on'))) AS n_stop
+      FROM documents ORDER BY doc_id""")),
+
+    "text_quality_score" -> ((s, d) => {
+      prep(s, d)
+      s.table("documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, d) => {
+      prep(s, d)
+      s.table("documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      prep(s, d)
+      s.table("documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "text_bpeish_tokens" -> ((s, d) => {
+      prep(s, d)
+      s.table("documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeishTokenCount(col("text")).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     "lang_distribution" -> ((s, d) => prep(s, d).sql("""
       SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""")),
@@ -483,6 +583,33 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "dedup_jaccard_exact" -> """
+      WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS w
+                 FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.2
+      ORDER BY id1, id2""",
+
+    "ann_brute_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    "text_quality_components" -> """
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                  x -> x IN ('the','a','an','of','and','to','in','is','for','on'))) AS INT) AS n_stop
+      FROM documents ORDER BY doc_id""",
 
     "lang_distribution" -> """
       SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -85,6 +85,13 @@ object GraftFunctions {
     // tiling primitives (spatial join / pushdown support)
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
+    // vector / sketch primitives (LLM-pipeline ops)
+    ("vec_dot", 2, es => VecDot(es(0), es(1))),
+    ("vec_norm", 1, es => VecNorm(es.head)),
+    ("vec_cosine", 2, es => VecCosine(es(0), es(1))),
+    ("minhash_sig", 2, es => MinHashSig(es(0), es(1))),
+    ("simhash64", 1, es => SimHash64(es.head)),
+    ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),

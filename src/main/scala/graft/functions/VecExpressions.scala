@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Vector + sketch expressions for the LLM-pipeline operators
+ * (SURVEY.md §2.9/§2.10): embedding similarity, MinHash signatures,
+ * SimHash, random-hyperplane LSH. All single-pass scalar expressions over
+ * array columns — the surrounding plumbing (shingling, banding, bucket
+ * joins) stays in codegen'd Spark builtins.
+ */
+
+private[functions] object VecKit {
+  /** Float/double array element as double (embeddings are float; centroids double). */
+  def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def dot(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += elem(a, i, af) * elem(b, i, bf); i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData, af: Boolean): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val v = elem(a, i, af); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+}
+import VecKit._
+
+/** Dot product of two numeric arrays (double accumulation). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val lf = isFloatArray(left)
+  @transient private lazy val rf = isFloatArray(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    dot(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** L2 norm. */
+case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val f = isFloatArray(child)
+  override def nullSafeEval(a: Any): Any = norm(a.asInstanceOf[ArrayData], f)
+  override def prettyName: String = "vec_norm"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Cosine similarity (0 when either norm is 0). */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val lf = isFloatArray(left)
+  @transient private lazy val rf = isFloatArray(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = norm(x, lf); val ny = norm(y, rf)
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot(x, lf, y, rf) / (nx * ny)
+  }
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/**
+ * MinHash signature: array<int> shingle hashes -> array<long> of
+ * `numHashes` minima under universal hashes h_j(x) = (a_j*x + b_j) mod p,
+ * seeds fixed by `seed` (deterministic across the cluster).
+ */
+case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val P = 4294967311L // prime > 2^32
+
+  @transient private lazy val coef: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(1024)((1 + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+  }
+
+  override def nullSafeEval(sh: Any, nh: Any): Any = {
+    val arr = sh.asInstanceOf[ArrayData]
+    val k = StKit.int(nh)
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = (arr.getInt(i).toLong & 0xffffffffL)
+      var j = 0
+      while (j < k) {
+        val (a, b) = coef(j)
+        val h = (a * x + b) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    // empty shingle set -> all MaxValue (still deterministic)
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** SimHash64 over per-token 64-bit hashes (from xxhash64 builtin). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
+ * Random-hyperplane LSH signature: embedding -> `nbits`-bit bucket id.
+ * Hyperplane components are seeded Gaussians — identical on every executor.
+ */
+case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val lf = isFloatArray(left)
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(64)(Array.fill(4096)(rnd.nextGaussian()))
+  }
+
+  override def nullSafeEval(v: Any, nb: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val nbits = StKit.int(nb)
+    var sig = 0L
+    var b = 0
+    while (b < nbits) {
+      val p = planes(b)
+      var s = 0.0
+      var i = 0
+      val n = math.min(vec.numElements(), p.length)
+      while (i < n) { s += elem(vec, i, lf) * p(i); i += 1 }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override def prettyName: String = "hyperplane_sig"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}

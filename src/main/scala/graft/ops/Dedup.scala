@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.functions.{MinHashSig, SimHash64}
+
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Document deduplication (SURVEY.md §2.9) — exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard verify. Everything is bucket-join shaped: candidate
+ * generation is linear in documents (explode to `bands` rows each, join on
+ * band key), never O(n²); only the verify stage touches candidate pairs.
+ *
+ * At 100 TB: the only shuffles are on (band, key) — uniform by
+ * construction (hash keys); the candidate pair set is tiny relative to the
+ * corpus, and the shingle arrays needed for verify are re-joined by id so
+ * signatures, not documents, cross the wire.
+ */
+object Dedup {
+
+  private def col2(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftShim.column(e)
+  private def ex(c: Column) = GraftShim.expression(c)
+
+  /** Exact duplicate groups: keep lowest id per identical text. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Distinct char-`k`-gram murmur3 hashes of a text column (codegen'd builtins). */
+  def shinglesExpr(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => hash(text.substr(i, lit(k)))))
+
+  /** MinHash signature column over char-k-gram shingles. */
+  def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    col2(MinHashSig(ex(shinglesExpr(text, shingleK)), ex(lit(numHashes))))
+
+  /**
+   * MinHash+LSH candidate pairs: explode signature into `bands` band-keys,
+   * self-join per (band, key). Returns (id1, id2) with id1 < id2, distinct.
+   */
+  def minhashCandidates(
+      df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(id.as("__id"), minhashSig(text, shingleK, numHashes).as("__sig"))
+    val banded = sig.select(
+      org.apache.spark.sql.functions.col("__id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(org.apache.spark.sql.functions.col("__sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+    val a = banded.select(org.apache.spark.sql.functions.col("__band"),
+      org.apache.spark.sql.functions.col("__key"), org.apache.spark.sql.functions.col("__id").as("id1"))
+    val b = banded.select(org.apache.spark.sql.functions.col("__band").as("__band2"),
+      org.apache.spark.sql.functions.col("__key").as("__key2"), org.apache.spark.sql.functions.col("__id").as("id2"))
+    a.join(b,
+        a("__band") === b("__band2") && a("__key") === b("__key2") &&
+          a("id1") < b("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /**
+   * Full near-dup pipeline: LSH candidates -> exact shingle-Jaccard verify.
+   * Returns (id1, id2, jaccard) for pairs >= threshold.
+   */
+  def minhashDedup(
+      df: DataFrame, id: Column, text: Column,
+      threshold: Double, shingleK: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, id, text, shingleK, numHashes, bands)
+    val sh = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
+    jaccardVerify(cands, sh, threshold)
+  }
+
+  /** Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). */
+  def jaccardVerify(pairs: DataFrame, shingleById: DataFrame, threshold: Double): DataFrame = {
+    val s1 = shingleById.select(org.apache.spark.sql.functions.col("__jid").as("id1"),
+      org.apache.spark.sql.functions.col("__sh").as("__sh1"))
+    val s2 = shingleById.select(org.apache.spark.sql.functions.col("__jid").as("id2"),
+      org.apache.spark.sql.functions.col("__sh").as("__sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("__inter", size(array_intersect(
+        org.apache.spark.sql.functions.col("__sh1"), org.apache.spark.sql.functions.col("__sh2"))).cast("double"))
+      .withColumn("jaccard",
+        org.apache.spark.sql.functions.col("__inter") /
+          (size(org.apache.spark.sql.functions.col("__sh1")) + size(org.apache.spark.sql.functions.col("__sh2"))
+            - org.apache.spark.sql.functions.col("__inter")))
+      .where(org.apache.spark.sql.functions.col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 per token, builtin). */
+  def simhash(text: Column): Column =
+    col2(SimHash64(ex(transform(split(trim(text), " +"), t => xxhash64(t)))))
+
+  /**
+   * SimHash near-dup candidates: 4 bands of 16 bits each — two docs within
+   * hamming distance 3 share at least one identical band (pigeonhole).
+   * Verified with exact hamming via bit_count(xor).
+   */
+  def simhashCandidates(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(id.as("__id"), simhash(text).as("__sig"))
+    val bandKeys = array((0 until 4).map(i =>
+      shiftrightunsigned(org.apache.spark.sql.functions.col("__sig"), i * 16)
+        .bitwiseAND(lit(0xffffL))): _*)
+    val banded = sig.select(org.apache.spark.sql.functions.col("__id"),
+      org.apache.spark.sql.functions.col("__sig"),
+      posexplode(bandKeys))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+    val a = banded.select(org.apache.spark.sql.functions.col("__band"),
+      org.apache.spark.sql.functions.col("__key"),
+      org.apache.spark.sql.functions.col("__id").as("id1"),
+      org.apache.spark.sql.functions.col("__sig").as("__sig1"))
+    val b = banded.select(org.apache.spark.sql.functions.col("__band").as("__band2"),
+      org.apache.spark.sql.functions.col("__key").as("__key2"),
+      org.apache.spark.sql.functions.col("__id").as("id2"),
+      org.apache.spark.sql.functions.col("__sig").as("__sig2"))
+    a.join(b, a("__band") === b("__band2") && a("__key") === b("__key2") && a("id1") < b("id2"))
+      .withColumn("hamming", expr("bit_count(__sig1 ^ __sig2)"))
+      .where(org.apache.spark.sql.functions.col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming").distinct()
+  }
+}
