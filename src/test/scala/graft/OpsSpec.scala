@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about distributed query engines and columnar storage"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "le chat noir dort sur le canapé dans la maison pendant la nuit")
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(groups.count() == 4)
+    assert(groups.where(col("copies") === 2).select("keep_id").as[Long].head() == 0L)
+  }
+
+  test("minhash LSH finds the near-dup pair and exact dup, not unrelated docs") {
+    val pairs = Dedup.minhashDedup(docs, col("doc_id"), col("text"), threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "exact dup must surface")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L)), "near dup must surface")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("simhash hamming distance: dup=0, near-dup small, unrelated large") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+  }
+
+  test("jaccard verify computes exact set jaccard") {
+    val sh = docs.select(col("doc_id").as("__jid"), Dedup.shinglesExpr(col("text"), 5).as("__sh"))
+    val pairs = Seq((0L, 3L)).toDF("id1", "id2")
+    val j = Dedup.jaccardVerify(pairs, sh, 0.0).select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), Array(1.0f, 0.0f, 0.0f), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L, 4L))
+  }
+
+  test("lsh top-k recalls the exact nearest on clustered data") {
+    val emb = (0 until 100).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, col("embedding"), col("vec_id"), q, 5, nbits = 8, maxHamming = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert((brute intersect lsh).size >= 4, s"poor recall: $brute vs $lsh")
+  }
+
+  test("ivf assigns clusters and finds neighbors in probed lists") {
+    val emb = (0 until 60).map { i =>
+      val base = if (i < 30) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, base.map(v => v + 0.001f * i))
+    }.toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansAssign(emb, col("embedding"), col("vec_id"), k = 2, iters = 2)
+    assert(assigned.select("cluster").distinct().count() == 2)
+    val top = Similarity.ivfTopK(assigned, cents, Array(1.0f, 0.0f), k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.forall(_ < 30), "probed wrong inverted list")
+  }
+
+  test("language id picks marker-bearing language") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(4L) == "fr")
+  }
+
+  test("quality score is in [0,1] and favors stopword-bearing text") {
+    val scores = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(scores(0L) > scores(2L) * 0.8)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.plans.SpatialJoin
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random points and boxes (multi-cell geometries!). */
+  private lazy val pts: DataFrame = spark.range(200).select(
+    col("id").as("pid"),
+    st_point(pmod(hash(col("id")), lit(1000)).cast("double") / 10.0,
+             pmod(hash(col("id"), lit(1)), lit(1000)).cast("double") / 10.0).as("pt"))
+    .cache()
+
+  private lazy val boxes: DataFrame = spark.range(30).select(
+    col("id").as("bid"),
+    st_polygonFromEnvelope(
+      pmod(hash(col("id"), lit(2)), lit(800)).cast("double") / 10.0,
+      pmod(hash(col("id"), lit(3)), lit(800)).cast("double") / 10.0,
+      pmod(hash(col("id"), lit(2)), lit(800)).cast("double") / 10.0 + 17.3,
+      pmod(hash(col("id"), lit(3)), lit(800)).cast("double") / 10.0 + 9.1).as("box"))
+    .cache()
+
+  private def naive(pred: org.apache.spark.sql.Column): Set[(Long, Long)] =
+    boxes.crossJoin(pts).where(pred)
+      .select("bid", "pid").as[(Long, Long)].collect().toSet
+
+  test("tile join == naive cross join (contains, boxes span many cells)") {
+    val expected = naive(st_contains(col("box"), col("pt")))
+    for (cell <- Seq(5.0, 20.0, 100.0)) {
+      val got = SpatialJoin.tileJoin(boxes, col("box"), pts, col("pt"), "contains", cellSize = cell)
+        .select("bid", "pid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicates at cellSize=$cell")
+      assert(got.toSet == expected, s"wrong result at cellSize=$cell")
+    }
+  }
+
+  test("broadcast tile join == naive (within)") {
+    val expected = naive(st_within(col("pt"), col("box"))).map(_.swap)
+    val got = SpatialJoin.broadcastTileJoin(pts, col("pt"), boxes, col("box"), "within", cellSize = 25.0)
+      .select("pid", "bid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expected)
+  }
+
+  test("box-box intersects join == naive (dup-heavy)") {
+    val expected = boxes.crossJoin(boxes.select(col("bid").as("bid2"), col("box").as("box2")))
+      .where(st_intersects(col("box"), col("box2")))
+      .select("bid", "bid2").as[(Long, Long)].collect().toSet
+    val got = SpatialJoin.tileJoin(boxes, col("box"),
+        boxes.select(col("bid").as("bid2"), col("box").as("box2")), col("box2"),
+        "intersects", cellSize = 10.0)
+      .select("bid", "bid2").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "reference-point dedup failed")
+    assert(got.toSet == expected)
+  }
+
+  test("distance join == naive dwithin") {
+    val expected = naive(st_dwithin(col("box"), col("pt"), lit(7.5)))
+    val got = SpatialJoin.distanceJoin(boxes, col("box"), pts, col("pt"), dist = 7.5, cellSize = 12.0)
+      .select("bid", "pid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expected)
+  }
+
+  test("knn join returns k nearest with correct ordering") {
+    val got = SpatialJoin.knnJoin(pts.limit(20), col("pt"), col("pid"),
+        boxes.select(col("bid"), st_centroid(col("box")).as("c")), col("c"),
+        k = 3, tieBreak = Seq(col("bid")))
+      .select("pid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
+    assert(got.count(_._3 == 1) == 20 && got.length == 60)
+    // spot-check one row against brute force
+    val p0 = got.filter(_._1 == got.head._1).sortBy(_._3).map(_._2).toSeq
+    val brute = pts.limit(20).where(col("pid") === got.head._1)
+      .crossJoin(boxes.select(col("bid"), st_centroid(col("box")).as("c")))
+      .select(col("bid"), st_distance(col("pt"), col("c")).as("d"))
+      .orderBy(asc("d"), asc("bid")).limit(3).select("bid").as[Long].collect().toSeq
+    assert(p0 == brute)
+  }
+}

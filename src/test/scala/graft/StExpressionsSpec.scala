@@ -1,0 +1,56 @@
+package graft
+
+class StExpressionsSpec extends SparkSpec {
+
+  test("constructors and accessors") {
+    assert(sql1("SELECT st_astext(st_point(3.5, -2.0))") == "POINT (3.5 -2)")
+    assert(sql1("SELECT st_x(st_point(3.5, -2.0))") == 3.5)
+    assert(sql1("SELECT st_y(st_point(3.5, -2.0))") == -2.0)
+    assert(sql1("SELECT st_area(st_polygonfromenvelope(0,0,3,4))") == 12.0)
+    assert(sql1("SELECT st_length(st_geomfromtext('LINESTRING (0 0, 3 4)'))") == 5.0)
+    assert(sql1("SELECT st_geometrytype(st_geomfromtext('LINESTRING (0 0, 1 1)'))") == "ST_LineString")
+    assert(sql1("SELECT st_numpoints(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'))") == 3)
+    assert(sql1("SELECT st_srid(st_setsrid(st_point(1,1), 4269))") == 4269)
+  }
+
+  test("predicates incl. prepared-literal fast path") {
+    assert(sql1("SELECT st_contains(st_polygonfromenvelope(0,0,10,10), st_point(5,5))") == true)
+    assert(sql1("SELECT st_contains(st_polygonfromenvelope(0,0,10,10), st_point(15,5))") == false)
+    // boundary: contains=false, covers/intersects=true
+    assert(sql1("SELECT st_contains(st_polygonfromenvelope(0,0,10,10), st_point(0,5))") == false)
+    assert(sql1("SELECT st_covers(st_polygonfromenvelope(0,0,10,10), st_point(0,5))") == true)
+    assert(sql1("SELECT st_intersects(st_polygonfromenvelope(0,0,10,10), st_point(0,5))") == true)
+    assert(sql1("SELECT st_dwithin(st_point(0,0), st_point(3,4), 5.0)") == true)
+    assert(sql1("SELECT st_dwithin(st_point(0,0), st_point(3,4), 4.9)") == false)
+    assert(sql1("SELECT st_touches(st_polygonfromenvelope(0,0,1,1), st_polygonfromenvelope(1,0,2,1))") == true)
+    assert(sql1("SELECT st_equals(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_geomfromtext('LINESTRING (2 2, 0 0)'))") == true)
+    assert(sql1("SELECT st_orderingequals(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_geomfromtext('LINESTRING (2 2, 0 0)'))") == false)
+  }
+
+  test("transformations") {
+    assert(sql1("SELECT st_area(st_union(st_polygonfromenvelope(0,0,2,2), st_polygonfromenvelope(1,0,3,2)))") == 6.0)
+    assert(sql1("SELECT st_area(st_intersection(st_polygonfromenvelope(0,0,2,2), st_polygonfromenvelope(1,0,3,2)))") == 2.0)
+    assert(sql1("SELECT st_area(st_difference(st_polygonfromenvelope(0,0,2,2), st_polygonfromenvelope(1,0,3,2)))") == 2.0)
+    assert(sql1("SELECT st_area(st_symdifference(st_polygonfromenvelope(0,0,2,2), st_polygonfromenvelope(1,0,3,2)))") == 4.0)
+    assert(sql1("SELECT st_numpoints(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.01, 2 0)'), 0.1))") == 2)
+    assert(sql1("SELECT st_area(st_convexhull(st_geomfromtext('MULTIPOINT ((0 0), (1 0), (0 1))')))") == 0.5)
+    val bufArea = sql1("SELECT st_area(st_buffer(st_point(0,0), 1.0))").asInstanceOf[Double]
+    assert(bufArea > 3.0 && bufArea < math.Pi) // inscribed polygon of unit circle
+  }
+
+  test("null propagation and geojson") {
+    assert(sql1("SELECT st_x(CAST(NULL AS BINARY))") == null)
+    assert(sql1("SELECT st_asgeojson(st_point(1,2))") == """{"type":"Point","coordinates":[1.0,2.0]}""")
+  }
+
+  test("aggregates: union/envelope/centroid/collect") {
+    spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
+    assert(sql1("SELECT st_numgeometries(st_union_aggr(st_point(CAST(i AS DOUBLE), 0.0))) FROM ten") == 10)
+    assert(sql1("SELECT st_xmax(st_envelope_aggr(st_point(CAST(i AS DOUBLE), 0.0))) FROM ten") == 9.0)
+    assert(sql1("SELECT st_x(st_centroid_aggr(st_point(CAST(i AS DOUBLE), 0.0))) FROM ten") == 4.5)
+    assert(sql1("SELECT st_geometrytype(st_collect(st_point(CAST(i AS DOUBLE), 0.0))) FROM ten") == "ST_MultiPoint")
+    // union of overlapping squares dissolves to one polygon of area 3
+    assert(sql1("""SELECT st_area(st_union_aggr(g)) FROM (
+      SELECT st_polygonfromenvelope(CAST(i AS DOUBLE), 0, CAST(i+2 AS DOUBLE), 1) AS g FROM ten WHERE i < 2)""") == 3.0)
+  }
+}
