@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.catalog.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(graft.plans.GeoBboxPushdown.apply)
+    ext.injectOptimizerRule(graft.plans.SpatialJoinRewrite.apply)
   }
 }

@@ -103,9 +103,15 @@ object GraftFunctions {
       StTileCells(es)
     })
 
-  /** Idempotent: (re)binds every catalog function on the given session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent: (re)binds every catalog function + optimizer rule on the
+    * given session (post-hoc path; GraftExtensions does the same at build
+    * time via spark.sql.extensions). */
+  def register(spark: SparkSession): Unit = {
     catalog.foreach { case (name, b) => GraftShim.registerFunction(spark, name, b) }
+    GraftShim.installOptimizerRules(spark, Seq(
+      graft.plans.GeoBboxPushdown(spark),
+      graft.plans.SpatialJoinRewrite(spark)))
+  }
 
   // -------------------------------------------------------------------------
   // Column DSL (works without SQL registration)

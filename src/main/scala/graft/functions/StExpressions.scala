@@ -98,6 +98,9 @@ abstract class StBinary extends BinaryExpression with CodegenFallback {
 /** N-ary expression evaluating all children, null if any input is null. */
 abstract class StNary extends Expression with CodegenFallback {
   override def nullable: Boolean = true
+  // Expression's default is `false`, which would hide literal envelopes from
+  // ConstantFolding, the PreparedGeometry fast path, and GeoBboxPushdown.
+  override def foldable: Boolean = children.forall(_.foldable)
   protected def run(values: Seq[Any]): Any
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))

@@ -52,6 +52,7 @@ object StBbox {
  */
 case class StTileCells(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def eval(input: CatalystRow): Any = {
     val vs = children.map(_.eval(input))

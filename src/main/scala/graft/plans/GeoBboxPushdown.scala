@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.functions._
+import graft.geom.Geom
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Optimizer rule (SURVEY.md §2.8): derives range conjuncts on GeoParquet
+ * sidecar bbox columns from ST_ predicates against literal geometry —
+ * the Spark-native analog of the reference's SedonaPredicatePushDown
+ * (reference: extension/.../SedonaPredicatePushDown.scala:59, which maps
+ * ST_ predicates to Iceberg stCovers/stIntersects expressions).
+ *
+ * `Filter(ST_Contains(<lit poly>, g), scan)` with sidecar columns
+ * `g_xmin..g_ymax` in scope gains `g_xmin >= lit.xmin AND ...` — plain
+ * comparisons Spark pushes into the parquet scan (PushedFilters), giving
+ * row-group min/max skipping and partition pruning on `g_cell`. The
+ * original exact predicate stays for the refine.
+ */
+case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val existing = splitConj(cond)
+      val derived = existing.flatMap(p => conjunctsFor(p, child))
+        .filterNot(d => existing.exists(_.semanticEquals(d)))
+      if (derived.isEmpty) f
+      else Filter((existing ++ derived).reduce(And), child)
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Sidecar attributes for a geometry attribute, if present. */
+  private def sidecars(g: Expression, child: LogicalPlan): Option[(Attribute, Attribute, Attribute, Attribute)] =
+    g match {
+      case a: Attribute =>
+        def find(s: String) = child.output.find(_.name == s"${a.name}_$s")
+        for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
+          yield (x0, y0, x1, y1)
+      case _ => None
+    }
+
+  private def env(lit: Expression): org.locationtech.jts.geom.Envelope =
+    Geom.deserialize(lit.eval(null).asInstanceOf[Array[Byte]]).getEnvelopeInternal
+
+  private def d(v: Double) = Literal(v)
+
+  /** bbox conjuncts implied by one ST_ predicate (empty when not applicable). */
+  private def conjunctsFor(p: Expression, child: LogicalPlan): Seq[Expression] = p match {
+    // literal CONTAINS/COVERS column  ->  column bbox inside literal bbox
+    case StContains(l, g) if l.foldable && l.deterministic => inside(g, env(l), child)
+    case StCovers(l, g) if l.foldable && l.deterministic => inside(g, env(l), child)
+    // column WITHIN/COVEREDBY literal -> same containment direction
+    case StWithin(g, l) if l.foldable && l.deterministic => inside(g, env(l), child)
+    case StCoveredBy(g, l) if l.foldable && l.deterministic => inside(g, env(l), child)
+    // intersects either way -> bbox overlap
+    case StIntersects(l, g) if l.foldable && l.deterministic => overlap(g, env(l), child, 0.0)
+    case StIntersects(g, l) if l.foldable && l.deterministic => overlap(g, env(l), child, 0.0)
+    // dwithin(col, lit, dist) / dwithin(lit, col, dist) -> expanded overlap
+    case StDWithin(Seq(g, l, dist)) if l.foldable && l.deterministic && dist.foldable =>
+      overlap(g, env(l), child, StKit.dbl(dist.eval(null)))
+    case StDWithin(Seq(l, g, dist)) if l.foldable && l.deterministic && dist.foldable =>
+      overlap(g, env(l), child, StKit.dbl(dist.eval(null)))
+    case _ => Seq.empty
+  }
+
+  private def inside(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan): Seq[Expression] =
+    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1) =>
+      Seq(
+        GreaterThanOrEqual(x0, d(e.getMinX)), LessThanOrEqual(x1, d(e.getMaxX)),
+        GreaterThanOrEqual(y0, d(e.getMinY)), LessThanOrEqual(y1, d(e.getMaxY)))
+    }
+
+  private def overlap(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan, dist: Double): Seq[Expression] =
+    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1) =>
+      Seq(
+        LessThanOrEqual(x0, d(e.getMaxX + dist)), GreaterThanOrEqual(x1, d(e.getMinX - dist)),
+        LessThanOrEqual(y0, d(e.getMaxY + dist)), GreaterThanOrEqual(y1, d(e.getMinY - dist)))
+    }
+}

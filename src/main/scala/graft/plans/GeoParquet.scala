@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.functions.{StBbox, StCentroidCell}
+
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
+
+/**
+ * Geometry-aware parquet layout (SURVEY.md §2.8) — the data-skipping analog
+ * of the reference's Iceberg integration (reference:
+ * extension/.../SedonaPredicatePushDown.scala:59 maps ST_ predicates onto
+ * Iceberg spatial expressions for file pruning).
+ *
+ * Layout: geometry WKB column + sidecar doubles `<geom>_xmin/_ymin/_xmax/
+ * _ymax` + optional `<geom>_cell` partition column. Parquet keeps row-group
+ * min/max stats for the sidecar doubles, so a range conjunct on them skips
+ * row groups (and prunes partitions via the cell column) exactly like
+ * Iceberg metadata skipping — no custom DataSource needed, and
+ * `GeoBboxPushdown` injects those conjuncts automatically from ST_
+ * predicates.
+ */
+object GeoParquet {
+
+  def bboxCol(g: Column): Column = GraftShim.column(StBbox(GraftShim.expression(g)))
+
+  /** Append sidecar bbox (+ optional grid cell) columns for `geomCol`. */
+  def withSidecars(df: DataFrame, geomCol: String, cellSize: Option[Double] = None): DataFrame = {
+    val b = bboxCol(col(geomCol))
+    val base = df
+      .withColumn(s"${geomCol}_xmin", b.getField("xmin"))
+      .withColumn(s"${geomCol}_ymin", b.getField("ymin"))
+      .withColumn(s"${geomCol}_xmax", b.getField("xmax"))
+      .withColumn(s"${geomCol}_ymax", b.getField("ymax"))
+    cellSize match {
+      case Some(cs) => base.withColumn(s"${geomCol}_cell",
+        GraftShim.column(StCentroidCell(GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cs)))))
+      case None => base
+    }
+  }
+
+  /** Write geometry data with bbox sidecars; sorts by cell id so row groups
+    * are spatially clustered (tight min/max stats = real skipping). */
+  def write(df: DataFrame, geomCol: String, path: String,
+            cellSize: Double = 1.0, partitionByCell: Boolean = false): Unit = {
+    val out = withSidecars(df, geomCol, Some(cellSize))
+    val sorted = out.sortWithinPartitions(s"${geomCol}_cell")
+    if (partitionByCell)
+      sorted.write.mode("overwrite").partitionBy(s"${geomCol}_cell").parquet(path)
+    else
+      sorted.write.mode("overwrite").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

@@ -30,6 +30,17 @@ object GraftShim {
       .registerFunction(FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
   }
 
+  /** Install optimizer rules on a live session (post-hoc analog of
+    * SparkSessionExtensions.injectOptimizerRule; idempotent). */
+  def installOptimizerRules(
+      spark: SparkSession,
+      rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    val keep = exp.extraOptimizations.filterNot(r => rules.exists(_.getClass == r.getClass))
+    exp.extraOptimizations = keep ++ rules
+  }
+
   /** Wrap a raw Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.plans.GeoParquet
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+class PlanRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  test("GeoBboxPushdown: ST_Contains(lit, g) reaches parquet as PushedFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("geoparquet").toString
+    val df = spark.range(1000).select(col("id"),
+      st_point((col("id") % 100).cast("double"), (col("id") % 53).cast("double")).as("g"))
+    GeoParquet.write(df, "g", dir, cellSize = 10.0)
+
+    val back = spark.read.parquet(dir)
+    back.createOrReplaceTempView("geo_pts")
+    val q = spark.sql(
+      "SELECT id FROM geo_pts WHERE st_contains(st_polygonfromenvelope(10.5, 10.5, 20.5, 20.5), g)")
+
+    // optimized plan must contain derived range filters on sidecars
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(">= 10.5") && optimized.contains("<= 20.5"),
+      s"no sidecar conjuncts in:\n$optimized")
+    // and they must reach the scan
+    val scanStr = executedPlan(q).toString
+    assert(scanStr.contains("PushedFilters: [IsNotNull(g_xmin)") || scanStr.contains("GreaterThanOrEqual(g_xmin"),
+      s"no pushed filters in:\n$scanStr")
+
+    // correctness unchanged
+    val ids = q.as[Long].collect().toSet
+    val expected = (0L until 1000L).filter(i => (i % 100) > 10.5 && (i % 100) < 20.5 && (i % 53) > 10.5 && (i % 53) < 20.5).toSet
+    assert(ids == expected)
+  }
+
+  test("SpatialJoinRewrite: SQL join on ST predicate becomes equi-join (no BNLJ) with same results") {
+    spark.conf.set("spark.graft.join.cellSize", "20.0")
+    spark.range(300).select(col("id").as("pid"),
+      st_point(pmod(hash(col("id")), lit(1000)).cast("double") / 10.0,
+               pmod(hash(col("id"), lit(1)), lit(1000)).cast("double") / 10.0).as("pt"))
+      .createOrReplaceTempView("rw_pts")
+    spark.range(20).select(col("id").as("bid"),
+      st_polygonFromEnvelope(
+        pmod(hash(col("id"), lit(2)), lit(800)).cast("double") / 10.0,
+        pmod(hash(col("id"), lit(3)), lit(800)).cast("double") / 10.0,
+        pmod(hash(col("id"), lit(2)), lit(800)).cast("double") / 10.0 + 25.0,
+        pmod(hash(col("id"), lit(3)), lit(800)).cast("double") / 10.0 + 12.0).as("box"))
+      .createOrReplaceTempView("rw_boxes")
+
+    val joined = spark.sql(
+      "SELECT bid, pid FROM rw_boxes JOIN rw_pts ON st_contains(box, pt)")
+    val plan = executedPlan(joined).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"spatial join not rewritten:\n$plan")
+
+    val got = joined.as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "rewrite produced duplicates")
+    assert(got.toSet == naivePairs((b, p) => b.contains(p)))
+  }
+
+  /** Driver-side JTS ground truth — no Spark plan involved at all. */
+  private def naivePairs(
+      pred: (org.locationtech.jts.geom.Geometry, org.locationtech.jts.geom.Geometry) => Boolean)
+      : Set[(Long, Long)] = {
+    val boxes = spark.table("rw_boxes").select("bid", "box")
+      .as[(Long, Array[Byte])].collect().map { case (i, b) => (i, graft.geom.Geom.deserialize(b)) }
+    val pts = spark.table("rw_pts").select("pid", "pt")
+      .as[(Long, Array[Byte])].collect().map { case (i, b) => (i, graft.geom.Geom.deserialize(b)) }
+    (for { (bi, bg) <- boxes; (pi, pg) <- pts if pred(bg, pg) } yield (bi, pi)).toSet
+  }
+
+  test("SpatialJoinRewrite: dwithin join rewrites and matches naive") {
+    spark.conf.set("spark.graft.join.cellSize", "15.0")
+    val joined = spark.sql(
+      "SELECT bid, pid FROM rw_boxes JOIN rw_pts ON st_dwithin(box, pt, 5.0)")
+    val plan = executedPlan(joined).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(joined.as[(Long, Long)].collect().toSet ==
+      naivePairs((b, p) => b.isWithinDistance(p, 5.0)))
+  }
+
+  test("joins with a real equi key are left alone") {
+    val j = spark.sql(
+      "SELECT bid, pid FROM rw_boxes JOIN rw_pts ON bid = pid AND st_contains(box, pt)")
+    // must not explode cells: plan has no st_tile_cells generator
+    assert(!j.queryExecution.optimizedPlan.toString.contains("st_tile_cells"))
+    j.collect() // and it runs
+  }
+}
