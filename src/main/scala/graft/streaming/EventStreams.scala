@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+
+/**
+ * Structured Streaming operators over the events stream (SURVEY.md §2.13).
+ * Same transforms run on a batch DataFrame (tested that way too) — the
+ * streaming/batch unification is the point of building on Spark.
+ *
+ * Scale notes: windowed aggregation is a streaming stateful agg with
+ * watermark-bounded state; sessionization keeps one small state object per
+ * active user key and emits on timeout — both shapes run identically on a
+ * 1000-executor cluster with state in the checkpointed state store.
+ */
+/** Mutable-by-update session accumulator (top-level: encoder codegen). */
+case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Sliding-window counts/sums with a watermark (late data bounded). */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  window_ : String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /**
+   * Gap-based sessionization via flatMapGroupsWithState: a session closes
+   * after `gapMinutes` of inactivity (event-time timeout in streams).
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            // batch of events for this trigger; process in time order
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              if (eventTimeAvailable(state)) {
+                // streaming: keep the open session in state, close on timeout
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              } else {
+                // batch: all data seen — the trailing session is final
+                closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              }
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Timeout can only be set when a watermark exists (streaming); in batch
+    * execution flatMapGroupsWithState sees all data at once so timeouts are
+    * irrelevant — detect by probing. */
+  private def eventTimeAvailable(state: GroupState[_]): Boolean =
+    try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
+
+  /** Streaming geofence: keep events whose (x,y) lies inside `fence` WKT. */
+  def geofence(events: DataFrame, xCol: String, yCol: String, fenceWkt: String): DataFrame = {
+    import GraftFunctions._
+    events.where(st_contains(
+      st_geomFromText(lit(fenceWkt)),
+      st_point(col(xCol), col(yCol))))
+  }
+
+  /** Batch view of the events table shaped as Dataset[Event]. */
+  def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+  }
+}

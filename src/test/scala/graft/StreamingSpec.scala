@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed aggregation with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.windowedAgg(input.toDF(), "10 minutes", "1 hour", "30 minutes")
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(40), 2, "buy", 5.0))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_agg").collect()
+    assert(rows.nonEmpty)
+    // the (0:00-1:00] window sees all three events; sliding windows overlap
+    val clicks = spark.table("win_agg").where($"event_type" === "click")
+      .selectExpr("max(n)").head.getLong(0)
+    assert(clicks == 2)
+  }
+
+  test("streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS().withWatermark("ts", "0 seconds").as[Event], gapMinutes = 30)
+    // user 1: two sessions separated by 2h; user 2: one session
+    input.addData(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 1.0),
+      Event(3, ts(130), 1, "a", 1.0),
+      Event(4, ts(5), 2, "b", 2.0))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance watermark far enough to time out all sessions
+    input.addData(Event(99, ts(10000), 9, "z", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessions").as[EventStreams.Session].collect()
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length == 2, s"expected 2 closed sessions for user 1, got ${out.mkString(", ")}")
+    assert(u1.head.n_events == 2 && u1.last.n_events == 1)
+  }
+
+  test("sessionize also runs in batch mode with identical grouping") {
+    val batch = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 1.0),
+      Event(3, ts(130), 1, "a", 1.0)).toDS()
+    val sessions = EventStreams.sessionize(batch, gapMinutes = 30).collect()
+    assert(sessions.length == 2)
+  }
+
+  test("geofence filter on a stream keeps only in-fence events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Double)]
+    val fenced = EventStreams.geofence(
+      input.toDF().toDF("id", "x", "y"), "x", "y", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    input.addData((1L, 5.0, 5.0), (2L, 15.0, 5.0), (3L, 2.0, 9.0))
+    val q = fenced.writeStream.format("memory").queryName("fenced")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("fenced").select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
