@@ -18,19 +18,26 @@ object SparkEntry {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // remembers which (session, dir) already has views — queries run back to
+  // back in Verify/Bench and re-reading 10 parquet footers per query is
+  // pure overhead.
+  private val prepped = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
   /** Register ST_ functions + one temp view per testdata table. */
   def prep(spark: SparkSession, dir: String): SparkSession = {
     GraftFunctions.register(spark)
-    // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet reader
-    // rejects; read nanos as long and restore a (micro-truncated) timestamp.
-    // Second-granularity logic downstream is unaffected.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.foreach { t =>
-      val df = spark.read.parquet(s"$dir/$t.parquet")
-      val fixed =
-        if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        else df
-      fixed.createOrReplaceTempView(t)
+    if (prepped.putIfAbsent((spark, dir), true) == null) {
+      // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+      // reader rejects; read nanos as long and restore a (micro-truncated)
+      // timestamp. Second-granularity logic downstream is unaffected.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tables.foreach { t =>
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        val fixed =
+          if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          else df
+        fixed.createOrReplaceTempView(t)
+      }
     }
     spark
   }

@@ -45,8 +45,13 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    val rows = numHashes / bands
     val sig = df.select(id.as("__id"), minhashSig(text, shingleK, numHashes).as("__sig"))
+    candidatesFromSigs(sig, numHashes, bands)
+  }
+
+  /** Candidate pairs from a precomputed (__id, __sig) frame. */
+  private def candidatesFromSigs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val banded = sig.select(
       org.apache.spark.sql.functions.col("__id"),
       posexplode(transform(
@@ -69,10 +74,18 @@ object Dedup {
    */
   def minhashDedup(
       df: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleK: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, id, text, shingleK, numHashes, bands)
-    val sh = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
-    jaccardVerify(cands, sh, threshold)
+      threshold: Double, shingleK: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      persistSigs: Boolean = true): DataFrame = {
+    // Shingle + signature computed ONCE; persisted because the frame feeds
+    // three joins (two candidate sides + verify). Signatures are ~1KB/doc —
+    // caching them instead of recomputing the text scan is the standard
+    // play at corpus scale too.
+    val c = org.apache.spark.sql.functions.col _
+    val base0 = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
+      .withColumn("__sig", col2(MinHashSig(ex(c("__sh")), ex(lit(numHashes)))))
+    val base = if (persistSigs) base0.persist() else base0
+    val cands = candidatesFromSigs(base.select(c("__jid").as("__id"), c("__sig")), numHashes, bands)
+    jaccardVerify(cands, base.select(c("__jid"), c("__sh")), threshold)
   }
 
   /** Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). */
