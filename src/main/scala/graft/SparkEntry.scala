@@ -127,6 +127,36 @@ object SparkEntry {
              COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""")),
 
+    "sessionize_fmgws" -> ((s, d) => {
+      prep(s, d)
+      // the flatMapGroupsWithState sessionizer, run in batch mode, rolled
+      // up per user — DuckDB-verified against a pure-SQL sessionization
+      graft.streaming.EventStreams.sessionize(
+          graft.streaming.EventStreams.eventsDataset(s, d), gapMinutes = 30)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "geofence_batch" -> ((s, d) => {
+      prep(s, d)
+      graft.streaming.EventStreams.geofence(
+          s.table("events").withColumn("y", (col("user_id") % 25).cast("double")),
+          "value", "y", "POLYGON ((0.005 -0.5, 120.005 -0.5, 120.005 14.5, 0.005 14.5, 0.005 -0.5))")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "multimodal_features" -> ((s, d) => {
+      prep(s, d)
+      val blobs = graft.ops.Multimodal.toBlobs(
+        s.table("documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "text/stub")
+      graft.ops.Multimodal.extractFeatures(blobs, dim = 16).toDF()
+        .select(col("media_id"), graft.ops.Similarity.cosine(col("features"), col("features")).as("self_cos"))
+        .orderBy("media_id")
+    }),
+
     // ----- geometry constructors + accessors (§2.2, §2.3) -----
     "st_point_xy" -> ((s, d) => prep(s, d).sql("""
       SELECT c_custkey, st_x(pt) AS x, st_y(pt) AS y
@@ -462,6 +492,24 @@ object SparkEntry {
       SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_sec, event_type,
              COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""",
+
+    "sessionize_fmgws" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      ), flagged AS (
+        SELECT user_id,
+               CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+                    OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e)
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id ORDER BY user_id""",
+
+    "geofence_batch" -> """
+      SELECT event_type, COUNT(*) AS n FROM events
+      WHERE value > 0.005 AND value < 120.005
+        AND (user_id % 25) >= 0 AND (user_id % 25) <= 14
+      GROUP BY event_type ORDER BY event_type""",
 
     "st_point_xy" -> """
       SELECT c_custkey, c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
