@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+class CatalogCoverageSpec extends SparkSpec {
+
+  /** Every catalog function, invoked through SQL with type-correct args. */
+  private val invocations: Map[String, String] = Map(
+    "st_point" -> "st_astext(st_point(1, 2))",
+    "st_makepoint" -> "st_astext(st_makepoint(1, 2))",
+    "st_polygonfromenvelope" -> "st_area(st_polygonfromenvelope(0,0,2,2))",
+    "st_makeenvelope" -> "st_area(st_makeenvelope(0,0,2,2))",
+    "st_geomfromtext" -> "st_astext(st_geomfromtext('POINT (1 2)'))",
+    "st_geomfromwkt" -> "st_astext(st_geomfromwkt('POINT (1 2)'))",
+    "st_geomfromwkb" -> "st_astext(st_geomfromwkb(st_asbinary(st_point(1,2))))",
+    "st_astext" -> "st_astext(st_point(1,2))",
+    "st_asgeojson" -> "st_asgeojson(st_point(1,2))",
+    "st_asbinary" -> "length(st_asbinary(st_point(1,2)))",
+    "st_x" -> "st_x(st_point(1,2))",
+    "st_y" -> "st_y(st_point(1,2))",
+    "st_xmin" -> "st_xmin(st_makeenvelope(1,2,3,4))",
+    "st_ymin" -> "st_ymin(st_makeenvelope(1,2,3,4))",
+    "st_xmax" -> "st_xmax(st_makeenvelope(1,2,3,4))",
+    "st_ymax" -> "st_ymax(st_makeenvelope(1,2,3,4))",
+    "st_area" -> "st_area(st_makeenvelope(0,0,1,1))",
+    "st_length" -> "st_length(st_geomfromtext('LINESTRING (0 0, 1 0)'))",
+    "st_perimeter" -> "st_perimeter(st_makeenvelope(0,0,1,1))",
+    "st_distance" -> "st_distance(st_point(0,0), st_point(1,0))",
+    "st_centroid" -> "st_astext(st_centroid(st_makeenvelope(0,0,2,2)))",
+    "st_envelope" -> "st_astext(st_envelope(st_geomfromtext('LINESTRING (0 0, 2 3)')))",
+    "st_boundary" -> "st_astext(st_boundary(st_makeenvelope(0,0,1,1)))",
+    "st_geometrytype" -> "st_geometrytype(st_point(1,2))",
+    "st_numpoints" -> "st_numpoints(st_geomfromtext('LINESTRING (0 0, 1 1)'))",
+    "st_numgeometries" -> "st_numgeometries(st_geomfromtext('MULTIPOINT ((1 1), (2 2))'))",
+    "st_isempty" -> "st_isempty(st_geomfromtext('POLYGON EMPTY'))",
+    "st_isvalid" -> "st_isvalid(st_makeenvelope(0,0,1,1))",
+    "st_srid" -> "st_srid(st_setsrid(st_point(1,2), 3857))",
+    "st_setsrid" -> "st_srid(st_setsrid(st_point(1,2), 3857))",
+    "st_normalize" -> "st_astext(st_normalize(st_geomfromtext('MULTIPOINT ((2 2), (1 1))')))",
+    "st_contains" -> "st_contains(st_makeenvelope(0,0,2,2), st_point(1,1))",
+    "st_within" -> "st_within(st_point(1,1), st_makeenvelope(0,0,2,2))",
+    "st_intersects" -> "st_intersects(st_point(1,1), st_makeenvelope(0,0,2,2))",
+    "st_disjoint" -> "st_disjoint(st_point(9,9), st_makeenvelope(0,0,2,2))",
+    "st_covers" -> "st_covers(st_makeenvelope(0,0,2,2), st_point(0,1))",
+    "st_coveredby" -> "st_coveredby(st_point(0,1), st_makeenvelope(0,0,2,2))",
+    "st_crosses" -> "st_crosses(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_geomfromtext('LINESTRING (0 2, 2 0)'))",
+    "st_overlaps" -> "st_overlaps(st_makeenvelope(0,0,2,2), st_makeenvelope(1,1,3,3))",
+    "st_touches" -> "st_touches(st_makeenvelope(0,0,1,1), st_makeenvelope(1,0,2,1))",
+    "st_equals" -> "st_equals(st_point(1,1), st_point(1,1))",
+    "st_orderingequals" -> "st_orderingequals(st_point(1,1), st_point(1,1))",
+    "st_dwithin" -> "st_dwithin(st_point(0,0), st_point(1,0), 1.5)",
+    "st_union" -> "st_area(st_union(st_makeenvelope(0,0,1,1), st_makeenvelope(1,0,2,1)))",
+    "st_intersection" -> "st_area(st_intersection(st_makeenvelope(0,0,2,1), st_makeenvelope(1,0,3,1)))",
+    "st_difference" -> "st_area(st_difference(st_makeenvelope(0,0,2,1), st_makeenvelope(1,0,3,1)))",
+    "st_symdifference" -> "st_area(st_symdifference(st_makeenvelope(0,0,2,1), st_makeenvelope(1,0,3,1)))",
+    "st_buffer" -> "st_area(st_buffer(st_point(0,0), 1.0)) > 3",
+    "st_convexhull" -> "st_area(st_convexhull(st_geomfromtext('MULTIPOINT ((0 0), (1 0), (0 1))')))",
+    "st_simplify" -> "st_numpoints(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
+    "st_simplifypreservetopology" -> "st_numpoints(st_simplifypreservetopology(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
+    "st_bbox" -> "st_bbox(st_makeenvelope(1,2,3,4)).xmax",
+    "st_centroid_cell" -> "st_centroid_cell(st_point(5,5), 10.0)",
+    "st_tile_cells" -> "size(st_tile_cells(st_makeenvelope(0,0,25,5), 10.0))",
+    "vec_dot" -> "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))",
+    "vec_norm" -> "vec_norm(array(3.0D, 4.0D))",
+    "vec_cosine" -> "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))",
+    "minhash_sig" -> "size(minhash_sig(array(1, 2, 3), 16))",
+    "simhash64" -> "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)))",
+    "hyperplane_sig" -> "hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8)",
+    "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
+    "st_envelope_aggr" -> "st_xmin(st_envelope_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
+    "st_centroid_aggr" -> "st_x(st_centroid_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
+    "st_collect" -> "st_geometrytype(st_collect(g)) FROM (SELECT st_point(1,1) AS g)",
+  )
+
+  test("every catalog function is invocable through SQL and returns non-null") {
+    val missing = GraftFunctions.catalog.map(_._1).filterNot(invocations.contains)
+    assert(missing.isEmpty, s"no invocation listed for: $missing")
+    for ((name, call) <- invocations) {
+      val q = if (call.contains("FROM")) s"SELECT $call" else s"SELECT $call"
+      val v = spark.sql(q).head.get(0)
+      assert(v != null, s"$name returned null via: $q")
+    }
+  }
+
+  test("expected value spot checks") {
+    assert(sql1("SELECT vec_dot(array(1.0D,2.0D), array(3.0D,4.0D))") == 11.0)
+    assert(sql1("SELECT vec_norm(array(3.0D,4.0D))") == 5.0)
+    assert(sql1("SELECT vec_cosine(array(1.0D,0.0D), array(0.0D,1.0D))") == 0.0)
+    assert(sql1("SELECT size(st_tile_cells(st_makeenvelope(0,0,25,5), 10.0))") == 3)
+    assert(sql1("SELECT st_isempty(st_geomfromtext('POLYGON EMPTY'))") == true)
+    assert(sql1("SELECT st_astext(st_normalize(st_geomfromtext('MULTIPOINT ((2 2), (1 1))')))")
+      == "MULTIPOINT ((1 1), (2 2))")
+  }
+}
