@@ -127,6 +127,27 @@ object SparkEntry {
              COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""")),
 
+    "q_anti_join" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    "q_semi_join" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_brand, COUNT(*) AS n_parts_shipped
+      FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    "q_rollup" -> ((s, d) => prep(s, d).sql("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")),
+
+    "q_distinct_agg" -> ((s, d) => prep(s, d).sql("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "sessionize_fmgws" -> ((s, d) => {
       prep(s, d)
       // the flatMapGroupsWithState sessionizer, run in batch mode, rolled
@@ -492,6 +513,27 @@ object SparkEntry {
       SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_sec, event_type,
              COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""",
+
+    "q_anti_join" -> """
+      SELECT c_nationkey, COUNT(*) AS n_customers_no_orders
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_semi_join" -> """
+      SELECT p_brand, COUNT(*) AS n_parts_shipped
+      FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_rollup" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+
+    "q_distinct_agg" -> """
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "sessionize_fmgws" -> """
       WITH e AS (
