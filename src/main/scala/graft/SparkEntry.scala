@@ -316,7 +316,7 @@ object SparkEntry {
       val pts = s.table("customer").select(col("c_custkey"),
         st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
       graft.plans.SpatialJoin.knnJoin(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
-          k = 3, tieBreak = Seq(col("n_nationkey")))
+          col("n_nationkey"), k = 3)
         .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
         .orderBy(col("c_custkey"), col("knn_rank"))
     }),

@@ -133,25 +133,39 @@ object SpatialJoin {
     tileJoin(left, leftGeom, right, rightGeom, "dwithin", cellSize, dist)
 
   /**
-   * KNN join (brute-force baseline): for every left row, the k nearest
-   * right geometries. Cross product bounded by broadcasting the right side;
-   * ranking via window (shuffle on left key only).
+   * KNN join: for every left row, the k nearest right geometries (ties
+   * broken by right key). The right side is collected driver-side (it is
+   * the broadcast side by definition) and each left row computes its own
+   * top-k in ONE projection — `array_sort` over struct(dist, key)
+   * lexicographic ordering — so there is NO shuffle and NO window: the
+   * left side streams through map-only. The full right row is re-attached
+   * with a broadcast equi-join on the key.
+   *
+   * For right sides too big to broadcast, pre-filter with `lshTopK`-style
+   * bucketing or a coarse `tileJoin` on expanded cells first.
    */
   def knnJoin(
       left: DataFrame, leftGeom: Column, leftKey: Column,
-      right: DataFrame, rightGeom: Column,
-      k: Int,
-      tieBreak: Seq[Column] = Nil): DataFrame = {
-    val l = left.withColumn("__lgeom", leftGeom).withColumn("__lkey", leftKey)
-    val r = broadcast(right.withColumn("__rgeom", rightGeom))
+      right: DataFrame, rightGeom: Column, rightKey: Column,
+      k: Int): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val dist = col(StDistance(ex(c("__lgeom")), ex(c("__rgeom"))))
-    import org.apache.spark.sql.expressions.Window
-    l.join(r)
-      .withColumn("knn_dist", dist)
-      .withColumn("knn_rank", row_number().over(
-        Window.partitionBy(c("__lkey")).orderBy(c("knn_dist").asc +: tieBreak.map(_.asc): _*)))
-      .where(c("knn_rank") <= k)
-      .drop("__lgeom", "__rgeom", "__lkey")
+    val rightRows: Seq[(Long, Array[Byte])] = right
+      .select(rightKey.cast("long").as("k"), rightGeom.cast("binary").as("g"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    require(rightRows.map(_._1).distinct.size == rightRows.size, "rightKey must be unique")
+    val candidates = typedlit(rightRows)
+
+    val l = left.withColumn("__lgeom", leftGeom)
+    val topk = l.withColumn("__knn",
+        slice(array_sort(transform(candidates, r =>
+          struct(
+            col(StDistance(ex(c("__lgeom")), ex(r.getField("_2")))).as("d"),
+            r.getField("_1").as("rk")))), 1, k))
+      .select(l.columns.map(c) :+ posexplode(c("__knn")): _*)
+      .withColumn("knn_rank", (c("pos") + 1).cast("int"))
+      .withColumn("knn_dist", c("col").getField("d"))
+      .withColumn("__rk", c("col").getField("rk"))
+      .drop("pos", "col", "__lgeom")
+    topk.join(broadcast(right.withColumn("__rk", rightKey.cast("long"))), "__rk").drop("__rk")
   }
 }

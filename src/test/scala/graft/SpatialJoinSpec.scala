@@ -70,7 +70,7 @@ class SpatialJoinSpec extends SparkSpec {
   test("knn join returns k nearest with correct ordering") {
     val got = SpatialJoin.knnJoin(pts.limit(20), col("pt"), col("pid"),
         boxes.select(col("bid"), st_centroid(col("box")).as("c")), col("c"),
-        k = 3, tieBreak = Seq(col("bid")))
+        col("bid"), k = 3)
       .select("pid", "bid", "knn_rank").as[(Long, Long, Int)].collect()
     assert(got.count(_._3 == 1) == 20 && got.length == 60)
     // spot-check one row against brute force
