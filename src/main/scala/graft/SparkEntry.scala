@@ -212,6 +212,26 @@ object SparkEntry {
              st_geometrytype(st_polygonfromenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE), 1.0D)) AS poly_type
       FROM part ORDER BY p_partkey""")),
 
+    "st_misc_accessors" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_numpoints(st_geomfromtext(CONCAT('LINESTRING (0 0, ', p_size, ' 1, ', p_size, ' 2)'))) AS np,
+             st_numgeometries(st_geomfromtext(CONCAT('MULTIPOINT ((0 0), (', p_size, ' 1))'))) AS ng,
+             st_isempty(st_geomfromtext('POLYGON EMPTY')) AS is_empty_true,
+             st_isempty(st_point(CAST(p_size AS DOUBLE), 1.0D)) AS is_empty_false,
+             st_isvalid(st_makeenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE), 1.0D)) AS is_valid,
+             st_srid(st_setsrid(st_point(1.0D, 1.0D), 1000 + p_size)) AS srid,
+             st_astext(st_geomfromwkb(st_asbinary(st_point(CAST(p_size AS DOUBLE), 2.0D)))) AS wkb_rt
+      FROM part ORDER BY p_partkey""")),
+
+    "st_wkt_transforms" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_astext(st_boundary(st_geomfromtext(CONCAT('LINESTRING (0 0, ', p_size, ' 3)')))) AS bnd_wkt,
+             st_astext(st_normalize(st_convexhull(st_geomfromtext(CONCAT('MULTIPOINT ((0 0), (', p_size, ' 3))'))))) AS hull_wkt,
+             st_astext(st_normalize(st_geomfromtext(CONCAT('MULTIPOINT ((', p_size, ' 3), (0 0))')))) AS norm_wkt,
+             st_x(st_centroid(st_makeenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE), CAST(p_size + 2 AS DOUBLE)))) AS cx,
+             st_astext(st_envelope(st_point(CAST(p_size AS DOUBLE), 2.0D))) AS env_pt
+      FROM part ORDER BY p_partkey""")),
+
     // ----- predicates (§2.4) -----
     "st_contains_range" -> ((s, d) => prep(s, d).sql("""
       SELECT c_nationkey, COUNT(*) AS n FROM customer
@@ -580,6 +600,23 @@ object SparkEntry {
 
     "st_geometrytype_mix" -> """
       SELECT p_partkey, 'ST_Point' AS pt_type, 'ST_Polygon' AS poly_type
+      FROM part ORDER BY p_partkey""",
+
+    "st_misc_accessors" -> """
+      SELECT p_partkey,
+             3 AS np, 2 AS ng,
+             TRUE AS is_empty_true, FALSE AS is_empty_false, TRUE AS is_valid,
+             1000 + p_size AS srid,
+             'POINT (' || p_size || ' 2)' AS wkb_rt
+      FROM part ORDER BY p_partkey""",
+
+    "st_wkt_transforms" -> """
+      SELECT p_partkey,
+             'MULTIPOINT ((0 0), (' || p_size || ' 3))' AS bnd_wkt,
+             'LINESTRING (0 0, ' || p_size || ' 3)' AS hull_wkt,
+             'MULTIPOINT ((0 0), (' || p_size || ' 3))' AS norm_wkt,
+             CAST(p_size AS DOUBLE) / 2 AS cx,
+             'POINT (' || p_size || ' 2)' AS env_pt
       FROM part ORDER BY p_partkey""",
 
     "st_contains_range" -> """
