@@ -27,6 +27,26 @@ import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservi
  * scans.
  */
 object StKit {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** Analysis-time type check without ExpectsInputTypes (whose
+    * AbstractDataType is private[sql] in Spark 4.1): geometry args must be
+    * BINARY (WKB), coordinate/measure args any numeric, text args STRING. */
+  def checkTypes(fn: String, args: Seq[(Expression, String)]): TypeCheckResult = {
+    args.zipWithIndex.collectFirst {
+      case ((e, kind), i) if !ok(e.dataType, kind) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} expects $kind, got ${e.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  private def ok(dt: DataType, kind: String): Boolean = kind match {
+    case "geometry" => dt == BinaryType || dt == NullType
+    case "numeric" => dt.isInstanceOf[NumericType] || dt == NullType
+    case "string" => dt == StringType || dt == NullType
+    case _ => true
+  }
+
   def bytes(a: Any): Array[Byte] = a.asInstanceOf[Array[Byte]]
   def geom(a: Any): Geometry = Geom.deserialize(bytes(a))
   def out(g: Geometry): Array[Byte] = Geom.serialize(g)
@@ -53,6 +73,7 @@ import StKit._
 /** Unary geometry expression: BINARY(wkb) -> dataType. */
 abstract class StUnary extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "geometry"))
   protected def run(g: Geometry): Any
   override def nullSafeEval(input: Any): Any = run(geom(input))
 }
@@ -61,6 +82,7 @@ abstract class StUnary extends UnaryExpression with CodegenFallback {
 abstract class StPredicate extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "geometry"))
 
   /** Plain JTS predicate. */
   protected def op(l: Geometry, r: Geometry): Boolean
@@ -91,6 +113,7 @@ abstract class StPredicate extends BinaryExpression with CodegenFallback {
 /** Geometry x Geometry -> result (non-predicate binary ops). */
 abstract class StBinary extends BinaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "geometry"))
   protected def run(l: Geometry, r: Geometry): Any
   override def nullSafeEval(l: Any, r: Any): Any = run(geom(l), geom(r))
 }
@@ -116,6 +139,7 @@ case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "numeric", right -> "numeric"))
   override def nullSafeEval(x: Any, y: Any): Any =
     out(Geom.point(dbl(x), dbl(y)))
   override def prettyName: String = "st_point"
@@ -124,6 +148,7 @@ case class StPoint(left: Expression, right: Expression)
 
 case class StPolygonFromEnvelope(children: Seq[Expression]) extends StNary {
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, children.map(_ -> "numeric"))
   protected def run(vs: Seq[Any]): Any = {
     val d = vs.map(dbl)
     out(Geom.polygonFromEnvelope(d(0), d(1), d(2), d(3)))
@@ -136,6 +161,7 @@ case class StGeomFromText(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "string"))
   override def nullSafeEval(v: Any): Any = out(Geom.fromWkt(v.toString))
   override def prettyName: String = "st_geomfromtext"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -145,6 +171,7 @@ case class StGeomFromWKB(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "geometry"))
   // Normalizes arbitrary (possibly EWKB) input bytes into our canonical form.
   override def nullSafeEval(v: Any): Any = out(geom(v))
   override def prettyName: String = "st_geomfromwkb"
@@ -302,6 +329,7 @@ case class StSetSrid(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, srid: Any): Any = {
     val geo = geom(g)
     geo.setSRID(int(srid))
@@ -408,6 +436,7 @@ case class StOrderingEquals(left: Expression, right: Expression) extends StPredi
 
 case class StDWithin(children: Seq[Expression]) extends StNary {
   override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(children(0) -> "geometry", children(1) -> "geometry", children(2) -> "numeric"))
   protected def run(vs: Seq[Any]): Any =
     geom(vs(0)).isWithinDistance(geom(vs(1)), dbl(vs(2)))
   override def prettyName: String = "st_dwithin"
@@ -457,6 +486,7 @@ case class StBuffer(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, d: Any): Any = out(geom(g).buffer(dbl(d)))
   override def prettyName: String = "st_buffer"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -473,6 +503,7 @@ case class StSimplify(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, d: Any): Any =
     out(DouglasPeuckerSimplifier.simplify(geom(g), dbl(d)))
   override def prettyName: String = "st_simplify"
@@ -483,6 +514,7 @@ case class StSimplifyPreserveTopology(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, d: Any): Any =
     out(TopologyPreservingSimplifier.simplify(geom(g), dbl(d)))
   override def prettyName: String = "st_simplifypreservetopology"

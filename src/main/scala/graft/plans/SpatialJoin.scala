@@ -88,13 +88,15 @@ object SpatialJoin {
       predicate: String = "intersects",
       cellSize: Double = 1.0,
       dist: Double = 0.0,
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcastRight: Boolean = false,
+      salt: Int = 1): DataFrame = {
 
+    val c = org.apache.spark.sql.functions.col _
     val lb = stBbox(leftGeom).as("__lbox")
     val rb = stBbox(rightGeom).as("__rbox")
     // left cells are expanded for dwithin; right cells never are, so a pair
     // meets in at least every cell the right bbox covers.
-    val lt = left
+    val lt0 = left
       .withColumn("__lbox", lb)
       .withColumn("__lgeom", leftGeom)
       .withColumn("__cell", explode(stTileCells(leftGeom, cellSize, if (predicate == "dwithin") dist else 0.0)))
@@ -102,18 +104,26 @@ object SpatialJoin {
       .withColumn("__rbox", rb)
       .withColumn("__rgeom", rightGeom)
       .withColumn("__rcell", explode(stTileCells(rightGeom, cellSize)))
-    val rt = if (broadcastRight) broadcast(rt0) else rt0
 
-    val lbox = org.apache.spark.sql.functions.col("__lbox")
-    val rbox = org.apache.spark.sql.functions.col("__rbox")
-    val cond =
-      org.apache.spark.sql.functions.col("__cell") === org.apache.spark.sql.functions.col("__rcell") &&
+    // Optional hot-cell salting (beyond AQE's skew split): the big side
+    // scatters each row into one of `salt` sub-keys; the small side
+    // replicates across all of them. Shuffle keys become (cell, salt).
+    val useSalt = salt > 1 && !broadcastRight
+    val lt = if (useSalt) lt0.withColumn("__salt", pmod(xxhash64(c("__lgeom")), lit(salt)).cast("int")) else lt0
+    val rt1 = if (useSalt) rt0.withColumn("__salt2", explode(sequence(lit(0), lit(salt - 1)))) else rt0
+    val rt = if (broadcastRight) broadcast(rt1) else rt1
+
+    val lbox = c("__lbox")
+    val rbox = c("__rbox")
+    val base =
+      c("__cell") === c("__rcell") &&
         bboxFilter(predicate, lbox, rbox, dist) &&
-        org.apache.spark.sql.functions.col("__cell") === refCell(lbox, rbox, cellSize, if (predicate == "dwithin") dist else 0.0) &&
-        refine(predicate, org.apache.spark.sql.functions.col("__lgeom"), org.apache.spark.sql.functions.col("__rgeom"), dist)
+        c("__cell") === refCell(lbox, rbox, cellSize, if (predicate == "dwithin") dist else 0.0) &&
+        refine(predicate, c("__lgeom"), c("__rgeom"), dist)
+    val cond = if (useSalt) c("__salt") === c("__salt2") && base else base
 
     lt.join(rt, cond)
-      .drop("__lbox", "__rbox", "__lgeom", "__rgeom", "__cell", "__rcell")
+      .drop("__lbox", "__rbox", "__lgeom", "__rgeom", "__cell", "__rcell", "__salt", "__salt2")
   }
 
   /** Broadcast variant: small right side, big side never shuffles. */

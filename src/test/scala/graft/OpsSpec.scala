@@ -70,6 +70,17 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect lsh).size >= 4, s"poor recall: $brute vs $lsh")
   }
 
+  test("embedding-cosine near-dup pairs surface constructed duplicates") {
+    val emb = ((0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 7) % 11 - 5).toFloat))
+    } :+ (100L, Array.tabulate(8)(j => ((3 * 13 + j * 7) % 11 - 5).toFloat * 1.001f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(emb, col("embedding"), col("vec_id"),
+        threshold = 0.999, nbits = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), s"expected (3,100) in $pairs")
+  }
+
   test("ivf assigns clusters and finds neighbors in probed lists") {
     val emb = (0 until 60).map { i =>
       val base = if (i < 30) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)

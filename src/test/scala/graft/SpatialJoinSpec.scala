@@ -39,6 +39,15 @@ class SpatialJoinSpec extends SparkSpec {
     }
   }
 
+  test("salted tile join == naive (skew lever leaves results unchanged)") {
+    val expected = naive(st_contains(col("box"), col("pt")))
+    val got = SpatialJoin.tileJoin(boxes, col("box"), pts, col("pt"), "contains",
+        cellSize = 20.0, salt = 4)
+      .select("bid", "pid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expected)
+  }
+
   test("broadcast tile join == naive (within)") {
     val expected = naive(st_within(col("pt"), col("box"))).map(_.swap)
     val got = SpatialJoin.broadcastTileJoin(pts, col("pt"), boxes, col("box"), "within", cellSize = 25.0)

@@ -38,6 +38,17 @@ class StExpressionsSpec extends SparkSpec {
     assert(bufArea > 3.0 && bufArea < math.Pi) // inscribed polygon of unit circle
   }
 
+  test("wrong argument types fail at analysis with a named error") {
+    val e1 = intercept[Exception](spark.sql("SELECT st_x('not a geometry')").collect())
+    assert(e1.getMessage.contains("st_x argument 1 expects geometry"))
+    val e2 = intercept[Exception](spark.sql("SELECT st_point('a', 'b')").collect())
+    assert(e2.getMessage.contains("st_point argument 1 expects numeric"))
+    val e3 = intercept[Exception](spark.sql("SELECT st_contains(st_point(1,1), 5)").collect())
+    assert(e3.getMessage.contains("st_contains argument 2 expects geometry"))
+    val e4 = intercept[Exception](spark.sql("SELECT st_geomfromtext(42)").collect())
+    assert(e4.getMessage.contains("st_geomfromtext argument 1 expects string"))
+  }
+
   test("null propagation and geojson") {
     assert(sql1("SELECT st_x(CAST(NULL AS BINARY))") == null)
     assert(sql1("SELECT st_asgeojson(st_point(1,2))") == """{"type":"Point","coordinates":[1.0,2.0]}""")
