@@ -76,6 +76,29 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(
         GreaterThanOrEqual(x0, d(e.getMinX)), LessThanOrEqual(x1, d(e.getMaxX)),
         GreaterThanOrEqual(y0, d(e.getMinY)), LessThanOrEqual(y1, d(e.getMaxY)))
+    } ++ cellPruning(g, e, child)
+
+  /** For containment predicates the geometry's bbox (hence its center) lies
+    * inside the literal envelope, so the GeoParquet `<geom>_cell` partition
+    * column can only take values from the envelope's covering cells — an
+    * IN-list Spark turns into partition pruning. STRICTLY OPT-IN: fires only
+    * when `spark.graft.geoparquet.cellSize` is explicitly set, and it MUST
+    * equal the cellSize the data was written with (a mismatch would prune
+    * wrongly). The bbox range conjuncts above are always safe regardless. */
+  private def cellPruning(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan): Seq[Expression] =
+    g match {
+      case a: Attribute =>
+        for {
+          cellAttr <- child.output.find(_.name == s"${a.name}_cell").toSeq
+          cs <- spark.conf.getOption("spark.graft.geoparquet.cellSize").map(_.toDouble).toSeq
+          ix0 = math.floor(e.getMinX / cs).toLong; ix1 = math.floor(e.getMaxX / cs).toLong
+          iy0 = math.floor(e.getMinY / cs).toLong; iy1 = math.floor(e.getMaxY / cs).toLong
+          n = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+          if n > 0 && n <= 4096 // don't blow up the IN-list
+        } yield In(cellAttr,
+          (for (ix <- ix0 to ix1; iy <- iy0 to iy1)
+            yield Literal(graft.functions.StBbox.pack(ix, iy))))
+      case _ => Seq.empty
     }
 
   private def overlap(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan, dist: Double): Seq[Expression] =

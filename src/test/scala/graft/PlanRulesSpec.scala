@@ -38,6 +38,51 @@ class PlanRulesSpec extends SparkSpec {
     assert(ids == expected)
   }
 
+  test("GeoBboxPushdown: cell partition column prunes partitions for containment") {
+    val dir = java.nio.file.Files.createTempDirectory("geopart").toString
+    spark.conf.set("spark.graft.geoparquet.cellSize", "10.0")
+    val df = spark.range(500).select(col("id"),
+      st_point((col("id") % 40).cast("double"), (col("id") % 30).cast("double")).as("g"))
+    GeoParquet.write(df, "g", dir, cellSize = 10.0, partitionByCell = true)
+
+    spark.read.parquet(dir).createOrReplaceTempView("geo_part")
+    try {
+      val q = spark.sql(
+        "SELECT id FROM geo_part WHERE st_within(g, st_polygonfromenvelope(10.5, 10.5, 19.5, 19.5))")
+      val scan = executedPlan(q).toString
+      assert(scan.contains("PartitionFilters: [g_cell"), s"no partition pruning in:\n$scan")
+      val ids = q.as[Long].collect().toSet
+      val expected = (0L until 500L)
+        .filter(i => (i % 40) > 10.5 && (i % 40) < 19.5 && (i % 30) > 10.5 && (i % 30) < 19.5).toSet
+      assert(ids == expected)
+    } finally spark.conf.unset("spark.graft.geoparquet.cellSize")
+  }
+
+  test("bucketed tables co-locate the orders/lineitem join (no shuffle on bucketed sides)") {
+    spark.sql("DROP TABLE IF EXISTS orders_b"); spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    val d = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$d/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.sql(
+        """SELECT o_orderkey, COUNT(*) AS n FROM orders_b JOIN lineitem_b ON l_orderkey = o_orderkey
+           GROUP BY o_orderkey""")
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located: no Exchange between the scans and the join
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SMJ:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
+    }
+  }
+
   test("SpatialJoinRewrite: SQL join on ST predicate becomes equi-join (no BNLJ) with same results") {
     spark.conf.set("spark.graft.join.cellSize", "20.0")
     spark.range(300).select(col("id").as("pid"),
