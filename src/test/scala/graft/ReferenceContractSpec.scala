@@ -1,0 +1,128 @@
+package graft
+
+import graft.geom.Geom
+
+import org.locationtech.jts.geom.GeometryFactory
+
+/**
+ * The reference's own test scenarios, replayed 1:1 against graft
+ * (reference: extension/src/test/scala/org/apache/iceberg/
+ * TestSedonaIcebergExtension.scala:52,108,145 and
+ * example/src/main/scala/org/apache/iceberg/sedona/app/App.scala:54-78) —
+ * parquet-backed tables instead of Iceberg, same queries, same expected
+ * rows.
+ */
+class ReferenceContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("testBasic analog: construct, range query, intersects, union_aggr, derived insert") {
+    spark.sql("DROP TABLE IF EXISTS test_geom")
+    spark.sql("CREATE TABLE test_geom (id INT, data STRING, geo BINARY) USING parquet")
+    spark.sql("INSERT INTO test_geom VALUES (1, 'data_1', st_geomfromtext('POINT (10 20)'))")
+    spark.sql("INSERT INTO test_geom SELECT 2, 'data_2', st_point(20.0, 30.0)")
+    try {
+      val allRows = spark.sql("SELECT st_astext(geo) FROM test_geom ORDER BY id").collect()
+      assert(allRows.length == 2)
+      assert(allRows(0).getString(0) == "POINT (10 20)")
+      assert(allRows(1).getString(0) == "POINT (20 30)")
+
+      // range query selecting all columns
+      val partial = spark.sql(
+        "SELECT * FROM test_geom WHERE st_contains(st_polygonfromenvelope(15.0, 20.0, 30.0, 40.0), geo)")
+        .collect()
+      assert(partial.length == 1)
+      assert(partial(0).getInt(0) == 2 && partial(0).getString(1) == "data_2")
+
+      // intersects with projection
+      val inter = spark.sql(
+        "SELECT st_astext(geo) FROM test_geom WHERE st_intersects(geo, st_polygonfromenvelope(15.0, 20.0, 30.0, 40.0))")
+        .collect()
+      assert(inter.length == 1 && inter(0).getString(0) == "POINT (20 30)")
+
+      // UDAF — exact string the reference asserts
+      val union = spark.sql("SELECT st_astext(st_union_aggr(geo)) FROM test_geom").collect()
+      assert(union.length == 1 && union(0).getString(0) == "MULTIPOINT ((10 20), (20 30))")
+
+      // runtime insert with nondeterministic coords
+      spark.sql("INSERT INTO test_geom SELECT 3, 'data_3', st_point(RAND(), RAND())")
+      assert(spark.sql("SELECT * FROM test_geom").count() == 3)
+
+      // derived insert via ST_X/ST_Y swap
+      val derived = spark.sql(
+        """SELECT id + 100, CONCAT('new_  ', data), st_point(y, x)
+           FROM (SELECT id, data, st_x(geo) AS x, st_y(geo) AS y FROM test_geom)""").collect()
+      assert(derived.length == 3)
+      spark.sql(
+        """INSERT INTO test_geom
+           SELECT id + 100, CONCAT('new_  ', data), st_point(y, x)
+           FROM (SELECT id, data, st_x(geo) AS x, st_y(geo) AS y FROM test_geom)""")
+      assert(spark.sql("SELECT * FROM test_geom").count() == 6)
+    } finally spark.sql("DROP TABLE test_geom")
+  }
+
+  test("testSpatialJoin analog: join on ST_Contains, with and without caching, plus CTAS") {
+    spark.sql("DROP TABLE IF EXISTS test_left"); spark.sql("DROP TABLE IF EXISTS test_right")
+    spark.sql("DROP TABLE IF EXISTS test_ctas")
+    spark.sql("CREATE TABLE test_left (id INT, data STRING, geo BINARY) USING parquet")
+    spark.sql("INSERT INTO test_left VALUES " +
+      "(1, 'data_1', st_geomfromtext('POINT (10 10)'))," +
+      "(2, 'data_2', st_geomfromtext('POINT (20 20)'))")
+    spark.sql("CREATE TABLE test_right (id INT, geo BINARY) USING parquet")
+    spark.sql("INSERT INTO test_right SELECT 10, st_polygonfromenvelope(0.0, 0.0, 15.0, 15.0)")
+    spark.sql("INSERT INTO test_right SELECT 20, st_polygonfromenvelope(15.0, 15.0, 25.0, 25.0)")
+    spark.conf.set("spark.graft.join.cellSize", "10.0")
+    try {
+      def joinQ = spark.sql(
+        """SELECT l.id id_l, r.id id_r FROM test_left l JOIN test_right r
+           ON st_contains(r.geo, l.geo) ORDER BY id_l""")
+      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"expected rewritten spatial join:\n$plan")
+        val rows = df.as[(Int, Int)].collect().toSeq
+        assert(rows == Seq((1, 10), (2, 20)))
+      }
+      check(joinQ)
+
+      // caching both sides must keep the rewrite working
+      spark.sql("CACHE TABLE test_left"); spark.sql("CACHE TABLE test_right")
+      check(joinQ)
+
+      // join + extra literal range predicate on one side (App.scala:63)
+      val combined = spark.sql(
+        """SELECT l.id id_l, r.id id_r FROM test_left l, test_right r
+           WHERE st_contains(r.geo, l.geo)
+             AND st_contains(st_polygonfromenvelope(15.0, 15.0, 30.0, 30.0), l.geo)""")
+        .as[(Int, Int)].collect().toSeq
+      assert(combined == Seq((2, 20)))
+
+      // CTAS from the spatial join (App.scala:77)
+      spark.sql(
+        """CREATE TABLE test_ctas USING parquet AS
+           SELECT l.id id, r.geo geo FROM test_left l, test_right r WHERE st_contains(r.geo, l.geo)""")
+      assert(spark.table("test_ctas").count() == 2)
+    } finally {
+      spark.sql("UNCACHE TABLE IF EXISTS test_left"); spark.sql("UNCACHE TABLE IF EXISTS test_right")
+      spark.sql("DROP TABLE test_left"); spark.sql("DROP TABLE test_right")
+      spark.sql("DROP TABLE IF EXISTS test_ctas")
+    }
+  }
+
+  test("testStCentroidAggr analog: aggregate centroid equals JTS collection centroid (mixed geometries)") {
+    val wkts = Seq(
+      "POINT (1 2)", "POINT (5 -1)",
+      "LINESTRING (0 0, 4 0, 4 4)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((20 20, 30 20, 30 25, 20 25, 20 20))",
+      "MULTIPOINT ((7 7), (8 8))")
+    val geoms = wkts.map(Geom.fromWkt)
+    val expected = new GeometryFactory().createGeometryCollection(geoms.toArray).getCentroid
+
+    wkts.toDF("geom").createOrReplaceTempView("centroid_df")
+    val row = spark.sql(
+      "SELECT st_x(st_centroid_aggr(st_geomfromtext(geom))), st_y(st_centroid_aggr(st_geomfromtext(geom))) FROM centroid_df")
+      .head
+    assert(math.abs(row.getDouble(0) - expected.getX) < 1e-9, s"x: ${row.getDouble(0)} vs ${expected.getX}")
+    assert(math.abs(row.getDouble(1) - expected.getY) < 1e-9, s"y: ${row.getDouble(1)} vs ${expected.getY}")
+  }
+}
