@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run inherits stdout directly (no "[info]" prefixes) so Bench's
+// single JSON line stays machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

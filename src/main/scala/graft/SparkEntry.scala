@@ -168,6 +168,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // End-to-end corpus-cleaning pipeline: quality filter -> lang filter ->
+    // exact dedup -> MinHash near-dup removal -> token accounting.
+    "pipeline_clean_corpus" -> ((s, d) => {
+      prep(s, d)
+      val docs = s.table("documents")
+      val scored = docs
+        .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")))
+        .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))
+        .where(col("quality") >= 0.3 && col("n_tokens") >= 10)
+        .where(col("lang").isin("en", "fr", "es", "de"))
+      // exact dedup: keep min doc_id per identical text
+      val exactKept = scored.withColumn("__grp_min",
+          min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("__grp_min")).drop("__grp_min")
+      // near-dup removal: drop the higher id of every verified pair
+      val near = graft.ops.Dedup.minhashDedup(exactKept, col("doc_id"), col("text"),
+        threshold = 0.5, shingleK = 5)
+      val survivors = exactKept.join(near.select(col("id2").as("doc_id")), Seq("doc_id"), "left_anti")
+      survivors.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     "multimodal_features" -> ((s, d) => {
       prep(s, d)
       val blobs = graft.ops.Multimodal.toBlobs(

@@ -26,7 +26,14 @@ object Geom {
   private val wktWriters = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
 
   def serialize(g: Geometry): Array[Byte] = wkbWriters.get.write(g)
-  def deserialize(bytes: Array[Byte]): Geometry = wkbReaders.get.read(bytes)
+  def deserialize(bytes: Array[Byte]): Geometry =
+    try wkbReaders.get.read(bytes)
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"invalid WKB geometry (${bytes.length} bytes): ${e.getMessage}; " +
+            "geometry columns must hold WKB, e.g. from st_geomfromtext/st_point", e)
+    }
 
   def fromWkt(wkt: String): Geometry = wktReaders.get.read(wkt)
   def toWkt(g: Geometry): String = wktWriters.get.write(g)
