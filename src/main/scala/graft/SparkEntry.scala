@@ -761,6 +761,18 @@ object SparkEntry {
         FROM embeddings) t
       WHERE rn <= 10 ORDER BY rn""",
 
+    "text_quality_score" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), ' +') AS toks,
+               replace(text, ' ', '') AS nospace
+        FROM documents)
+      SELECT doc_id,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + least(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','for','on','with','that','as','at','by','it','from','or','be','are'))) AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+             + (1.0 - CAST(length(nospace) - length(regexp_replace(nospace, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(nospace), 1)) * 0.2 AS quality
+      FROM t ORDER BY doc_id""",
+
     "text_quality_components" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,

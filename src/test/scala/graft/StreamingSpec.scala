@@ -60,6 +60,31 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.length == 2)
   }
 
+  test("file-source stream over the real events table: windowed agg matches batch") {
+    // stream the actual events parquet (copied so the source dir is ours)
+    val srcDir = java.nio.file.Files.createTempDirectory("evstream")
+    val batchDf = EventStreams.eventsDataset(spark, "/root/testdata/sf0.001").toDF()
+    batchDf.write.mode("overwrite").parquet(srcDir.toString)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.toString).schema)
+      .parquet(srcDir.toString)
+    val agg = EventStreams.windowedAgg(stream, "10 minutes", "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("ev_file_agg")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ev_file_agg")
+      .selectExpr("window.start AS ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max } // last update wins
+    val batch = EventStreams.windowedAgg(batchDf, "10 minutes", "1 hour", "1 hour")
+      .selectExpr("window.start AS ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} groups")
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
