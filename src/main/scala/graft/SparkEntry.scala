@@ -437,6 +437,14 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    "ann_knn_graph" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Similarity.knnGraph(s.table("embeddings"), col("embedding"), col("vec_id"),
+          k = 5, nbits = 10, probes = 4)
+        .select("id1", "id2", "knn_rank")
+        .orderBy("id1", "knn_rank")
+    }),
+
     "ann_ivf_top10" -> ((s, d) => {
       prep(s, d)
       val q = s.table("embeddings").where(col("vec_id") === 0)

@@ -64,7 +64,12 @@ case class StTileCells(children: Seq[Expression]) extends Expression with Codege
     val ix1 = math.floor((env.getMaxX + ex) / cs).toLong
     val iy0 = math.floor((env.getMinY - ex) / cs).toLong
     val iy1 = math.floor((env.getMaxY + ex) / cs).toLong
-    val out = new Array[Long](((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).toInt)
+    val n = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    // one geometry exploding to >1M cells means the cell size is wrong for
+    // the data — fail loudly instead of OOMing an executor
+    require(n <= (1L << 20),
+      s"st_tile_cells: geometry covers $n cells at cellSize=$cs; increase cellSize")
+    val out = new Array[Long](n.toInt)
     var k = 0
     var ix = ix0
     while (ix <= ix1) {

@@ -99,6 +99,7 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
   override def nullSafeEval(sh: Any, nh: Any): Any = {
     val arr = sh.asInstanceOf[ArrayData]
     val k = StKit.int(nh)
+    require(k >= 1 && k <= 1024, s"minhash_sig supports 1..1024 hashes, got $k")
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
@@ -164,6 +165,7 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
   override def nullSafeEval(v: Any, nb: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val nbits = StKit.int(nb)
+    require(nbits >= 1 && nbits <= 64, s"hyperplane_sig supports 1..64 bits, got $nbits")
     var sig = 0L
     var b = 0
     while (b < nbits) {

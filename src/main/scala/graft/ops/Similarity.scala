@@ -75,6 +75,34 @@ object Similarity {
   }
 
   /**
+   * KNN graph: approximate top-k neighbors for EVERY vector (the
+   * similarity-join shape a training pipeline runs corpus-wide). Candidate
+   * pairs come from multi-probe LSH — `probes` signature variants with one
+   * bit flipped widen recall — so the join is bucket-equi, never O(n²);
+   * per-vector top-k is a window over candidates only.
+   */
+  def knnGraph(df: DataFrame, vec: Column, id: Column, k: Int,
+               nbits: Int = 12, probes: Int = 4): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val sig = df.select(id.as("__id"), vec.as("__v"), hyperplaneSig(vec, nbits).as("__sig"))
+    // multi-probe: exact bucket + `probes` single-bit-flip variants
+    val probeCols = array((lit(0) +: (0 until math.min(probes, nbits)).map(b => lit(1L << b))): _*)
+    val probed = sig.select(c("__id"), c("__v"), c("__sig"),
+      explode(probeCols).as("__flip"))
+      .withColumn("__bucket", c("__sig").bitwiseXOR(c("__flip")))
+      .drop("__flip", "__sig")
+    val a = probed.select(c("__bucket"), c("__id").as("id1"), c("__v").as("__v1"))
+    val b = sig.select(c("__sig").as("__bucket2"), c("__id").as("id2"), c("__v").as("__v2"))
+    val cands = a.join(b, a("__bucket") === b("__bucket2") && a("id1") =!= b("id2"))
+      .select(c("id1"), c("id2"), cosine(c("__v1"), c("__v2")).as("cos")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    cands.withColumn("knn_rank", row_number().over(
+        Window.partitionBy(c("id1")).orderBy(c("cos").desc, c("id2").asc)))
+      .where(c("knn_rank") <= k)
+      .select("id1", "id2", "cos", "knn_rank")
+  }
+
+  /**
    * IVF: Lloyd's k-means on a sample (driver holds only k centroids),
    * assignment + centroid update are groupBy aggregations.
    * Returns (assignments DF with `cluster` column, centroids).

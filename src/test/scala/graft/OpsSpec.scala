@@ -70,6 +70,20 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect lsh).size >= 4, s"poor recall: $brute vs $lsh")
   }
 
+  test("knn graph recalls true nearest neighbors on clustered data") {
+    val emb = (0 until 80).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(v => v + 0.02f * ((i * 3) % 7)))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, col("embedding"), col("vec_id"), k = 3, nbits = 8, probes = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    // every vector gets neighbors, and neighbors share the vector's cluster
+    val byId = g.groupBy(_._1)
+    assert(byId.size >= 75, s"coverage too low: ${byId.size}/80")
+    val sameCluster = g.count(r => (r._1 % 2) == (r._2 % 2))
+    assert(sameCluster.toDouble / g.length > 0.95, s"poor neighbor quality: $sameCluster/${g.length}")
+  }
+
   test("embedding-cosine near-dup pairs surface constructed duplicates") {
     val emb = ((0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 7) % 11 - 5).toFloat))
