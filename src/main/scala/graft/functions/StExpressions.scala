@@ -70,16 +70,37 @@ import StKit._
 // Base shapes
 // ---------------------------------------------------------------------------
 
-/** Unary geometry expression: BINARY(wkb) -> dataType. */
-abstract class StUnary extends UnaryExpression with CodegenFallback {
+/** Java cast/unbox snippet for an Object-returning helper call. */
+private[functions] object StCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+  def cast(call: String, dt: DataType): String = dt match {
+    case DoubleType => s"((java.lang.Double)$call).doubleValue()"
+    case IntegerType => s"((java.lang.Integer)$call).intValue()"
+    case BooleanType => s"((java.lang.Boolean)$call).booleanValue()"
+    case _ => s"(${CodeGenerator.javaType(dt)})$call"
+  }
+}
+
+/**
+ * Unary geometry expression: BINARY(wkb) -> dataType. Real `doGenCode`
+ * (children inline in whole-stage codegen; one virtual call + result unbox
+ * per row — no CodegenFallback row materialization).
+ */
+abstract class StUnary extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "geometry"))
   protected def run(g: Geometry): Any
   override def nullSafeEval(input: Any): Any = run(geom(input))
+  /** Entry point for generated code. */
+  def evalWkb(b: Array[Byte]): Any = run(Geom.deserialize(b))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stExpr", this, classOf[StUnary].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ${StCodegen.cast(s"$ref.evalWkb($a)", dataType)};")
+  }
 }
 
 /** Geometry x Geometry -> Boolean predicate with prepared-literal fast path. */
-abstract class StPredicate extends BinaryExpression with CodegenFallback {
+abstract class StPredicate extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "geometry"))
@@ -103,19 +124,32 @@ abstract class StPredicate extends BinaryExpression with CodegenFallback {
       PreparedGeometryFactory.prepare(Geom.deserialize(b))
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    if (foldedLeft != null) prepOp(prepCache.get(), geom(r), baseIsLeft = true)
-    else if (foldedRight != null) prepOp(prepCache.get(), geom(l), baseIsLeft = false)
-    else op(geom(l), geom(r))
+  /** Entry point for both interpreted eval and generated code. */
+  def evalWkb(l: Array[Byte], r: Array[Byte]): Boolean = {
+    if (foldedLeft != null) prepOp(prepCache.get(), Geom.deserialize(r), baseIsLeft = true)
+    else if (foldedRight != null) prepOp(prepCache.get(), Geom.deserialize(l), baseIsLeft = false)
+    else op(Geom.deserialize(l), Geom.deserialize(r))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = evalWkb(bytes(l), bytes(r))
+
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stPred", this, classOf[StPredicate].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.evalWkb($l, $r);")
   }
 }
 
 /** Geometry x Geometry -> result (non-predicate binary ops). */
-abstract class StBinary extends BinaryExpression with CodegenFallback {
+abstract class StBinary extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "geometry"))
   protected def run(l: Geometry, r: Geometry): Any
   override def nullSafeEval(l: Any, r: Any): Any = run(geom(l), geom(r))
+  def evalWkb(l: Array[Byte], r: Array[Byte]): Any = run(Geom.deserialize(l), Geom.deserialize(r))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stExpr", this, classOf[StBinary].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = ${StCodegen.cast(s"$ref.evalWkb($l, $r)", dataType)};")
+  }
 }
 
 /** N-ary expression evaluating all children, null if any input is null. */
@@ -136,12 +170,17 @@ abstract class StNary extends Expression with CodegenFallback {
 // ---------------------------------------------------------------------------
 
 case class StPoint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "numeric", right -> "numeric"))
   override def nullSafeEval(x: Any, y: Any): Any =
     out(Geom.point(dbl(x), dbl(y)))
+  def evalBoxed(x: Object, y: Object): Array[Byte] = out(Geom.point(dbl(x), dbl(y)))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stPoint", this, classOf[StPoint].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.evalBoxed((Object)$x, (Object)$y);")
+  }
   override def prettyName: String = "st_point"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
@@ -158,11 +197,16 @@ case class StPolygonFromEnvelope(children: Seq[Expression]) extends StNary {
 }
 
 case class StGeomFromText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "string"))
   override def nullSafeEval(v: Any): Any = out(Geom.fromWkt(v.toString))
+  def evalStr(s: Object): Array[Byte] = out(Geom.fromWkt(s.toString))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stFromText", this, classOf[StGeomFromText].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.evalStr($v);")
+  }
   override def prettyName: String = "st_geomfromtext"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
