@@ -319,6 +319,13 @@ object SparkEntry {
             FROM customer)
       GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    "st_collect_points" -> ((s, d) => prep(s, d).sql("""
+      SELECT c_nationkey,
+             st_numgeometries(st_collect(pt)) AS n_all,
+             st_geometrytype(st_collect(pt)) AS gt
+      FROM (SELECT c_nationkey, st_point(c_acctbal, CAST(c_custkey AS DOUBLE)) AS pt FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // ----- spatial joins (§2.7) -----
     "spatial_tile_join" -> ((s, d) => {
       prep(s, d); import GraftFunctions._
@@ -703,6 +710,10 @@ object SparkEntry {
 
     "st_union_aggr_points" -> """
       SELECT c_nationkey, CAST(COUNT(DISTINCT c_custkey % 50) AS INT) AS n_distinct
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "st_collect_points" -> """
+      SELECT c_nationkey, CAST(COUNT(*) AS INT) AS n_all, 'ST_MultiPoint' AS gt
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "spatial_tile_join" -> """

@@ -153,7 +153,7 @@ abstract class StBinary extends BinaryExpression {
 }
 
 /** N-ary expression evaluating all children, null if any input is null. */
-abstract class StNary extends Expression with CodegenFallback {
+abstract class StNary extends Expression {
   override def nullable: Boolean = true
   // Expression's default is `false`, which would hide literal envelopes from
   // ConstantFolding, the PreparedGeometry fast path, and GeoBboxPushdown.
@@ -162,6 +162,28 @@ abstract class StNary extends Expression with CodegenFallback {
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) null else run(vs)
+  }
+  /** Entry point for generated code (children pre-evaluated, none null). */
+  def runBoxed(values: Array[Object]): Any = run(values.toSeq)
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("stNary", this, classOf[StNary].getName)
+    val gens = children.map(_.genCode(ctx))
+    val args = ctx.freshName("stArgs")
+    val javaT = CodeGenerator.javaType(dataType)
+    val fills = gens.zipWithIndex.map { case (g, i) =>
+      s"if (${g.isNull}) { ${ev.isNull} = true; } else { $args[$i] = (Object)(${g.value}); }"
+    }.mkString("\n")
+    ev.copy(code = code"""
+      ${gens.map(_.code.toString).mkString("\n")}
+      boolean ${ev.isNull} = false;
+      Object[] $args = new Object[${children.length}];
+      $fills
+      $javaT ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${ev.isNull}) {
+        ${ev.value} = ${StCodegen.cast(s"$ref.runBoxed($args)", dataType)};
+      }""")
   }
 }
 
