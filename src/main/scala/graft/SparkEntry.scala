@@ -501,6 +501,14 @@ object SparkEntry {
     "lang_distribution" -> ((s, d) => prep(s, d).sql("""
       SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // scale path for dedup planning: HLL++ estimate vs exact count — at
+    // 100 TB the estimate is a single map-side sketch merge, no shuffle of
+    // distinct values. Rows-only (approx value is engine-specific).
+    "dedup_scale_estimate" -> ((s, d) => prep(s, d).sql("""
+      SELECT COUNT(DISTINCT text) AS exact_distinct,
+             approx_count_distinct(text) AS approx_distinct
+      FROM documents""")),
   )
 
   /** DuckDB-dialect oracle per query (same aliases, same ordering). */

@@ -85,6 +85,7 @@ object GraftFunctions {
     // tiling primitives (spatial join / pushdown support)
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
+    ("st_morton_cell", 2, es => StMortonCell(es(0), es(1))),
     // vector / sketch primitives (LLM-pipeline ops)
     ("vec_dot", 2, es => VecDot(es(0), es(1))),
     ("vec_norm", 1, es => VecNorm(es.head)),

@@ -83,6 +83,41 @@ case class StTileCells(children: Seq[Expression]) extends Expression with Codege
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+/**
+ * Z-order (Morton) index of the geometry's center at `cellSize` —
+ * interleaved x/y bits, so sorting by it clusters 2-D neighbors into the
+ * same parquet row groups (tighter min/max stats than row-major cell
+ * order → better skipping).
+ */
+case class StMortonCell(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(g: Any, cell: Any): Any = {
+    val e = geom(g).getEnvelopeInternal
+    val cs = dbl(cell)
+    // bias by 2^31 so negative coordinates interleave monotonically
+    val ix = (math.floor((e.getMinX + e.getMaxX) / 2 / cs).toLong + (1L << 31)) & 0xffffffffL
+    val iy = (math.floor((e.getMinY + e.getMaxY) / 2 / cs).toLong + (1L << 31)) & 0xffffffffL
+    StMortonCell.interleave(ix) | (StMortonCell.interleave(iy) << 1)
+  }
+  override def prettyName: String = "st_morton_cell"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object StMortonCell {
+  /** Spread the low 32 bits of `v` into the even bit positions. */
+  def interleave(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+}
+
 /** Hausdorff-ish cheap centroid cell (used for KNN pre-bucketing). */
 case class StCentroidCell(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

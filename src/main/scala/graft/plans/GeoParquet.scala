@@ -39,12 +39,15 @@ object GeoParquet {
     }
   }
 
-  /** Write geometry data with bbox sidecars; sorts by cell id so row groups
-    * are spatially clustered (tight min/max stats = real skipping). */
+  /** Write geometry data with bbox sidecars; rows Z-order (Morton) sorted
+    * so 2-D neighbors share row groups (tight min/max stats = real
+    * skipping, same idea as Delta/Iceberg Z-ordering). */
   def write(df: DataFrame, geomCol: String, path: String,
             cellSize: Double = 1.0, partitionByCell: Boolean = false): Unit = {
     val out = withSidecars(df, geomCol, Some(cellSize))
-    val sorted = out.sortWithinPartitions(s"${geomCol}_cell")
+      .withColumn("__z", GraftShim.column(graft.functions.StMortonCell(
+        GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cellSize)))))
+    val sorted = out.sortWithinPartitions("__z").drop("__z")
     if (partitionByCell)
       sorted.write.mode("overwrite").partitionBy(s"${geomCol}_cell").parquet(path)
     else

@@ -59,6 +59,7 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_simplifypreservetopology" -> "st_numpoints(st_simplifypreservetopology(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
     "st_bbox" -> "st_bbox(st_makeenvelope(1,2,3,4)).xmax",
     "st_centroid_cell" -> "st_centroid_cell(st_point(5,5), 10.0)",
+    "st_morton_cell" -> "st_morton_cell(st_point(5,5), 10.0)",
     "st_tile_cells" -> "size(st_tile_cells(st_makeenvelope(0,0,25,5), 10.0))",
     "vec_dot" -> "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))",
     "vec_norm" -> "vec_norm(array(3.0D, 4.0D))",
