@@ -18,15 +18,18 @@ object SparkEntry {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // remembers which (session, dir) already has views — queries run back to
-  // back in Verify/Bench and re-reading 10 parquet footers per query is
-  // pure overhead.
-  private val prepped = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  // remembers the dir whose views are live per session — queries run back
+  // to back in Verify/Bench and re-reading 10 parquet footers per query is
+  // pure overhead. Keyed by session (weakly) and re-registered whenever the
+  // dir CHANGES, since temp views are session-global.
+  private val prepped =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register ST_ functions + one temp view per testdata table. */
   def prep(spark: SparkSession, dir: String): SparkSession = {
     GraftFunctions.register(spark)
-    if (prepped.putIfAbsent((spark, dir), true) == null) {
+    if (prepped.put(spark, dir) != dir) {
       // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
       // reader rejects; read nanos as long and restore a (micro-truncated)
       // timestamp. Second-granularity logic downstream is unaffected.

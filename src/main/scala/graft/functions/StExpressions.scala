@@ -264,7 +264,8 @@ case class StAsGeoJson(child: Expression) extends StUnary {
 
 case class StAsBinary(child: Expression) extends StUnary {
   override def dataType: DataType = BinaryType
-  protected def run(g: Geometry): Any = Geom.serialize(g)
+  // interop contract: plain ISO WKB, no EWKB SRID flag
+  protected def run(g: Geometry): Any = Geom.serializeIso(g)
   override def prettyName: String = "st_asbinary"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -64,11 +64,14 @@ case class StTileCells(children: Seq[Expression]) extends Expression with Codege
     val ix1 = math.floor((env.getMaxX + ex) / cs).toLong
     val iy0 = math.floor((env.getMinY - ex) / cs).toLong
     val iy1 = math.floor((env.getMaxY + ex) / cs).toLong
-    val n = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
     // one geometry exploding to >1M cells means the cell size is wrong for
-    // the data — fail loudly instead of OOMing an executor
-    require(n <= (1L << 20),
-      s"st_tile_cells: geometry covers $n cells at cellSize=$cs; increase cellSize")
+    // the data — fail loudly instead of OOMing an executor. Per-axis check
+    // first so the product can't overflow Long.
+    val nx = ix1 - ix0 + 1
+    val ny = iy1 - iy0 + 1
+    require(nx <= (1L << 20) && ny <= (1L << 20) && nx * ny <= (1L << 20),
+      s"st_tile_cells: geometry covers ${nx}x$ny cells at cellSize=$cs; increase cellSize")
+    val n = nx * ny
     val out = new Array[Long](n.toInt)
     var k = 0
     var ix = ix0

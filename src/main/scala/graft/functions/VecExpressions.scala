@@ -93,7 +93,10 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
 
   @transient private lazy val coef: Array[(Long, Long)] = {
     val rnd = new java.util.Random(seed)
-    Array.fill(1024)((1 + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+    // a < 2^31 so a*x (x < 2^32) stays below 2^63 — no signed overflow,
+    // which would bias the hash and break Pr[collision] ≈ Jaccard
+    Array.fill(1024)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      (rnd.nextLong() & Long.MaxValue) % P))
   }
 
   override def nullSafeEval(sh: Any, nh: Any): Any = {

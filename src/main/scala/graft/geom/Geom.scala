@@ -25,7 +25,11 @@ object Geom {
   private val wktReaders = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriters = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
 
+  private val isoWkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
+
   def serialize(g: Geometry): Array[Byte] = wkbWriters.get.write(g)
+  /** Standard ISO WKB (no EWKB SRID flag) — the ST_AsBinary interop format. */
+  def serializeIso(g: Geometry): Array[Byte] = isoWkbWriters.get.write(g)
   def deserialize(bytes: Array[Byte]): Geometry =
     try wkbReaders.get.read(bytes)
     catch {

@@ -110,15 +110,23 @@ object Dedup {
     col2(SimHash64(ex(transform(split(trim(text), " +"), t => xxhash64(t)))))
 
   /**
-   * SimHash near-dup candidates: 4 bands of 16 bits each — two docs within
-   * hamming distance 3 share at least one identical band (pigeonhole).
+   * SimHash near-dup candidates: the 64-bit signature splits into
+   * `maxHamming + 1` bands, so by pigeonhole any two docs within hamming
+   * distance `maxHamming` share at least one identical band.
    * Verified with exact hamming via bit_count(xor).
    */
   def simhashCandidates(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming must be in [0,31], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
     val sig = df.select(id.as("__id"), simhash(text).as("__sig"))
-    val bandKeys = array((0 until 4).map(i =>
-      shiftrightunsigned(org.apache.spark.sql.functions.col("__sig"), i * 16)
-        .bitwiseAND(lit(0xffffL))): _*)
+    val bandKeys = array((0 until nBands).map { i =>
+      // last band takes the remaining high bits
+      val w = if (i == nBands - 1) 64 - i * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(org.apache.spark.sql.functions.col("__sig"), i * width)
+        .bitwiseAND(lit(mask))
+    }: _*)
     val banded = sig.select(org.apache.spark.sql.functions.col("__id"),
       org.apache.spark.sql.functions.col("__sig"),
       posexplode(bandKeys))

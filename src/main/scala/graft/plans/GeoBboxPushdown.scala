@@ -41,7 +41,8 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
   private def sidecars(g: Expression, child: LogicalPlan): Option[(Attribute, Attribute, Attribute, Attribute)] =
     g match {
       case a: Attribute =>
-        def find(s: String) = child.output.find(_.name == s"${a.name}_$s")
+        def find(s: String) = child.output.find(c =>
+          c.name == s"${a.name}_$s" && c.dataType == org.apache.spark.sql.types.DoubleType)
         for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
           yield (x0, y0, x1, y1)
       case _ => None

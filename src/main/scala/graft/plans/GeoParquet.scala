@@ -47,7 +47,9 @@ object GeoParquet {
     val out = withSidecars(df, geomCol, Some(cellSize))
       .withColumn("__z", GraftShim.column(graft.functions.StMortonCell(
         GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cellSize)))))
-    val sorted = out.sortWithinPartitions("__z").drop("__z")
+    // range-partition on the Z value first: global clustering, so each
+    // FILE (not just each row group) covers a tight bbox range
+    val sorted = out.repartitionByRange(col("__z")).sortWithinPartitions("__z").drop("__z")
     if (partitionByCell)
       sorted.write.mode("overwrite").partitionBy(s"${geomCol}_cell").parquet(path)
     else

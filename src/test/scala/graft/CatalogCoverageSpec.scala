@@ -77,7 +77,7 @@ class CatalogCoverageSpec extends SparkSpec {
     val missing = GraftFunctions.catalog.map(_._1).filterNot(invocations.contains)
     assert(missing.isEmpty, s"no invocation listed for: $missing")
     for ((name, call) <- invocations) {
-      val q = if (call.contains("FROM")) s"SELECT $call" else s"SELECT $call"
+      val q = s"SELECT $call"
       val v = spark.sql(q).head.get(0)
       assert(v != null, s"$name returned null via: $q")
     }
