@@ -232,6 +232,12 @@ object SparkEntry {
              st_length(st_geomfromtext(CONCAT('LINESTRING (0 0, ', CAST(p_size AS STRING), ' ', CAST(p_size + 2 AS STRING), ')'))) AS len
       FROM part ORDER BY p_partkey""")),
 
+    "st_makeline_length" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_length(st_makeline(st_point(0.0D, 0.0D),
+                                   st_point(CAST(p_size AS DOUBLE), CAST(p_size + 2 AS DOUBLE)))) AS len
+      FROM part ORDER BY p_partkey""")),
+
     "st_geometrytype_mix" -> ((s, d) => prep(s, d).sql("""
       SELECT p_partkey,
              st_geometrytype(st_point(CAST(p_size AS DOUBLE), 0.0D)) AS pt_type,
@@ -642,6 +648,12 @@ object SparkEntry {
       FROM part ORDER BY p_partkey""",
 
     "st_length_line" -> """
+      SELECT p_partkey,
+             sqrt(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
+                  + CAST(p_size + 2 AS DOUBLE) * CAST(p_size + 2 AS DOUBLE)) AS len
+      FROM part ORDER BY p_partkey""",
+
+    "st_makeline_length" -> """
       SELECT p_partkey,
              sqrt(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)
                   + CAST(p_size + 2 AS DOUBLE) * CAST(p_size + 2 AS DOUBLE)) AS len

@@ -102,6 +102,10 @@ object GraftFunctions {
     ("st_tile_cells" -> { (es: Seq[Expression]) =>
       require(es.length == 2 || es.length == 3, s"st_tile_cells expects 2 or 3 arguments, got ${es.length}")
       StTileCells(es)
+    }) :+
+    ("st_makeline" -> { (es: Seq[Expression]) =>
+      require(es.length >= 2, s"st_makeline expects at least 2 points, got ${es.length}")
+      StMakeLine(es)
     })
 
   /** Idempotent: (re)binds every catalog function + optimizer rule on the

@@ -244,6 +244,19 @@ case class StGeomFromWKB(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** LINESTRING through the given points (2+ geometry args). */
+case class StMakeLine(children: Seq[Expression]) extends StNary {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, children.map(_ -> "geometry"))
+  protected def run(vs: Seq[Any]): Any = {
+    val coords = vs.map(v => geom(v).getCoordinate).toArray
+    out(Geom.factory.createLineString(coords))
+  }
+  override def prettyName: String = "st_makeline"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
 // ---------------------------------------------------------------------------
 // Output / accessors
 // ---------------------------------------------------------------------------

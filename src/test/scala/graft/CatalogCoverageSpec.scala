@@ -61,6 +61,7 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_centroid_cell" -> "st_centroid_cell(st_point(5,5), 10.0)",
     "st_morton_cell" -> "st_morton_cell(st_point(5,5), 10.0)",
     "st_tile_cells" -> "size(st_tile_cells(st_makeenvelope(0,0,25,5), 10.0))",
+    "st_makeline" -> "st_length(st_makeline(st_point(0,0), st_point(3,4)))",
     "vec_dot" -> "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))",
     "vec_norm" -> "vec_norm(array(3.0D, 4.0D))",
     "vec_cosine" -> "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))",

@@ -26,6 +26,17 @@ class GeomSpec extends SparkSpec {
     assert(Geom.toGeoJson(gc).contains("GeometryCollection"))
   }
 
+  test("ISO WKB (st_asbinary path) carries no EWKB SRID flag; internal serde does") {
+    val g = Geom.point(1, 2)
+    g.setSRID(4326)
+    val iso = Geom.serializeIso(g)
+    assert(iso.length == 21) // 1 + 4 type + 16 coords, no SRID bytes
+    // big-endian type word 00 00 00 01 — no EWKB flag in the high byte
+    assert((iso(1) & 0x20) == 0)
+    val ewkb = Geom.serialize(g)
+    assert(ewkb.length == 25 && (ewkb(1) & 0x20) != 0) // SRID flag + 4 SRID bytes
+  }
+
   test("envelope constructor is CCW closed ring") {
     val p = Geom.polygonFromEnvelope(0, 0, 2, 3)
     assert(p.getArea == 6.0 && p.isValid)
