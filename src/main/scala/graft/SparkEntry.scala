@@ -264,6 +264,21 @@ object SparkEntry {
              st_astext(st_envelope(st_point(CAST(p_size AS DOUBLE), 2.0D))) AS env_pt
       FROM part ORDER BY p_partkey""")),
 
+    "st_line_accessors" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey,
+                        st_makeline(st_point(CAST(p_size AS DOUBLE), 1.0D),
+                                    st_point(CAST(p_size + 3 AS DOUBLE), 5.0D)) AS ln
+                 FROM part)
+      SELECT p_partkey,
+             st_x(st_startpoint(ln)) AS sx,
+             st_y(st_endpoint(ln)) AS ey,
+             st_x(st_pointn(ln, 2)) AS p2x,
+             st_x(st_translate(st_startpoint(ln), 100.0D, 0.0D)) AS tx,
+             st_y(st_flipcoordinates(st_startpoint(ln))) AS fy,
+             st_dimension(ln) AS dim,
+             st_x(st_closestpoint(ln, st_point(0.0D, 0.0D))) AS cx_is_sx_when_left_of_line
+      FROM t ORDER BY p_partkey""")),
+
     // ----- predicates (§2.4) -----
     "st_contains_range" -> ((s, d) => prep(s, d).sql("""
       SELECT c_nationkey, COUNT(*) AS n FROM customer
@@ -678,6 +693,17 @@ object SparkEntry {
              'MULTIPOINT ((0 0), (' || p_size || ' 3))' AS norm_wkt,
              CAST(p_size AS DOUBLE) / 2 AS cx,
              'POINT (' || p_size || ' 2)' AS env_pt
+      FROM part ORDER BY p_partkey""",
+
+    "st_line_accessors" -> """
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS sx,
+             5.0 AS ey,
+             CAST(p_size + 3 AS DOUBLE) AS p2x,
+             CAST(p_size AS DOUBLE) + 100.0 AS tx,
+             CAST(p_size AS DOUBLE) AS fy,
+             1 AS dim,
+             CAST(p_size AS DOUBLE) AS cx_is_sx_when_left_of_line
       FROM part ORDER BY p_partkey""",
 
     "st_contains_range" -> """

@@ -80,6 +80,17 @@ object GraftFunctions {
     ("st_symdifference", 2, es => StSymDifference(es(0), es(1))),
     ("st_buffer", 2, es => StBuffer(es(0), es(1))),
     ("st_convexhull", 1, es => StConvexHull(es.head)),
+    ("st_dimension", 1, es => StDimension(es.head)),
+    ("st_geometryn", 2, es => StGeometryN(es(0), es(1))),
+    ("st_pointn", 2, es => StPointN(es(0), es(1))),
+    ("st_startpoint", 1, es => StStartPoint(es.head)),
+    ("st_endpoint", 1, es => StEndPoint(es.head)),
+    ("st_exteriorring", 1, es => StExteriorRing(es.head)),
+    ("st_numinteriorrings", 1, es => StNumInteriorRings(es.head)),
+    ("st_reverse", 1, es => StReverse(es.head)),
+    ("st_flipcoordinates", 1, es => StFlipCoordinates(es.head)),
+    ("st_translate", 3, es => StTranslate(es)),
+    ("st_closestpoint", 2, es => StClosestPoint(es(0), es(1))),
     ("st_simplify", 2, es => StSimplify(es(0), es(1))),
     ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
     // tiling primitives (spatial join / pushdown support)

@@ -590,6 +590,142 @@ case class StSimplify(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+case class StDimension(child: Expression) extends StUnary {
+  override def dataType: DataType = IntegerType
+  protected def run(g: Geometry): Any = g.getDimension
+  override def prettyName: String = "st_dimension"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** 1-based, like PostGIS/Sedona; null when out of range or wrong type. */
+case class StGeometryN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+  override def nullSafeEval(g: Any, n: Any): Any = {
+    val geo = geom(g); val i = int(n)
+    if (i < 1 || i > geo.getNumGeometries) null else out(geo.getGeometryN(i - 1))
+  }
+  override def prettyName: String = "st_geometryn"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StPointN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+  override def nullSafeEval(g: Any, n: Any): Any = geom(g) match {
+    case l: org.locationtech.jts.geom.LineString =>
+      val i = int(n)
+      if (i < 1 || i > l.getNumPoints) null else out(l.getPointN(i - 1))
+    case _ => null
+  }
+  override def prettyName: String = "st_pointn"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class StStartPoint(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = g match {
+    case l: org.locationtech.jts.geom.LineString => out(l.getStartPoint)
+    case _ => null
+  }
+  override def prettyName: String = "st_startpoint"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StEndPoint(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = g match {
+    case l: org.locationtech.jts.geom.LineString => out(l.getEndPoint)
+    case _ => null
+  }
+  override def prettyName: String = "st_endpoint"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StExteriorRing(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = g match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      out(Geom.factory.createLineString(p.getExteriorRing.getCoordinateSequence))
+    case _ => null
+  }
+  override def prettyName: String = "st_exteriorring"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StNumInteriorRings(child: Expression) extends StUnary {
+  override def dataType: DataType = IntegerType
+  protected def run(g: Geometry): Any = g match {
+    case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
+    case _ => null
+  }
+  override def prettyName: String = "st_numinteriorrings"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StReverse(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = out(g.reverse())
+  override def prettyName: String = "st_reverse"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StFlipCoordinates(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = {
+    val c = g.copy()
+    c.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val x = seq.getX(i)
+        seq.setOrdinate(i, 0, seq.getY(i))
+        seq.setOrdinate(i, 1, x)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    c.geometryChanged()
+    out(c)
+  }
+  override def prettyName: String = "st_flipcoordinates"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Translate by (dx, dy): children = (geom, dx, dy). */
+case class StTranslate(children: Seq[Expression]) extends StNary {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(children(0) -> "geometry", children(1) -> "numeric", children(2) -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = {
+    val g = geom(vs(0)).copy()
+    val dx = dbl(vs(1)); val dy = dbl(vs(2))
+    g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        seq.setOrdinate(i, 0, seq.getX(i) + dx)
+        seq.setOrdinate(i, 1, seq.getY(i) + dy)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    g.geometryChanged()
+    out(g)
+  }
+  override def prettyName: String = "st_translate"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+case class StClosestPoint(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any =
+    out(Geom.factory.createPoint(
+      org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(l, r)(0)))
+  override def prettyName: String = "st_closestpoint"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 case class StSimplifyPreserveTopology(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -55,6 +55,17 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_symdifference" -> "st_area(st_symdifference(st_makeenvelope(0,0,2,1), st_makeenvelope(1,0,3,1)))",
     "st_buffer" -> "st_area(st_buffer(st_point(0,0), 1.0)) > 3",
     "st_convexhull" -> "st_area(st_convexhull(st_geomfromtext('MULTIPOINT ((0 0), (1 0), (0 1))')))",
+    "st_dimension" -> "st_dimension(st_makeenvelope(0,0,1,1))",
+    "st_geometryn" -> "st_astext(st_geometryn(st_geomfromtext('MULTIPOINT ((1 1), (2 2))'), 2))",
+    "st_pointn" -> "st_astext(st_pointn(st_geomfromtext('LINESTRING (0 0, 5 5)'), 2))",
+    "st_startpoint" -> "st_astext(st_startpoint(st_geomfromtext('LINESTRING (1 2, 3 4)')))",
+    "st_endpoint" -> "st_astext(st_endpoint(st_geomfromtext('LINESTRING (1 2, 3 4)')))",
+    "st_exteriorring" -> "st_length(st_exteriorring(st_makeenvelope(0,0,1,1)))",
+    "st_numinteriorrings" -> "st_numinteriorrings(st_makeenvelope(0,0,1,1))",
+    "st_reverse" -> "st_astext(st_reverse(st_geomfromtext('LINESTRING (0 0, 1 1)')))",
+    "st_flipcoordinates" -> "st_astext(st_flipcoordinates(st_point(1, 2)))",
+    "st_translate" -> "st_astext(st_translate(st_point(1, 2), 10, 20))",
+    "st_closestpoint" -> "st_astext(st_closestpoint(st_point(0, 0), st_makeenvelope(1,1,2,2)))",
     "st_simplify" -> "st_numpoints(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
     "st_simplifypreservetopology" -> "st_numpoints(st_simplifypreservetopology(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
     "st_bbox" -> "st_bbox(st_makeenvelope(1,2,3,4)).xmax",
