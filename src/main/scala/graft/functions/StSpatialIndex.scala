@@ -25,11 +25,10 @@ import StKit._
  */
 
 /** Bounding box of a WKB geometry as a struct(xmin,ymin,xmax,ymax). */
-case class StBbox(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StBbox(child: Expression) extends StUnary {
   override def dataType: DataType = StBbox.schema
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val e = geom(v).getEnvelopeInternal
+  protected def run(g: org.locationtech.jts.geom.Geometry): Any = {
+    val e = g.getEnvelopeInternal
     CatalystRow.fromSeq(Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
   }
   override def prettyName: String = "st_bbox"
@@ -50,13 +49,9 @@ object StBbox {
  * All grid cells covered by the geometry's envelope, optionally expanded by
  * `expand` (for distance joins). children = (geom, cellSize[, expand]).
  */
-case class StTileCells(children: Seq[Expression]) extends Expression with CodegenFallback {
-  override def nullable: Boolean = true
-  override def foldable: Boolean = children.forall(_.foldable)
+case class StTileCells(children: Seq[Expression]) extends StNary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def eval(input: CatalystRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.exists(_ == null)) return null
+  protected def run(vs: Seq[Any]): Any = {
     val env = geom(vs(0)).getEnvelopeInternal
     val cs = dbl(vs(1))
     val ex = if (vs.length > 2) dbl(vs(2)) else 0.0

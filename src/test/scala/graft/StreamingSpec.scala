@@ -85,6 +85,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} groups")
   }
 
+  test("streaming exact dedup drops duplicate doc ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = input.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+    input.addData((1L, "a", ts(0)), (2L, "b", ts(1)), (1L, "a-dup", ts(2)), (3L, "c", ts(3)))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
