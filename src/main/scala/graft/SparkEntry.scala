@@ -185,10 +185,10 @@ object SparkEntry {
       val exactKept = scored.withColumn("__grp_min",
           min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
         .where(col("doc_id") === col("__grp_min")).drop("__grp_min")
-      // near-dup removal: drop the higher id of every verified pair
-      val near = graft.ops.Dedup.minhashDedup(exactKept, col("doc_id"), col("text"),
+      // near-dup removal: cluster verified pairs, keep min-id per cluster
+      val drops = graft.ops.Dedup.nearDupDrops(exactKept, col("doc_id"), col("text"),
         threshold = 0.5, shingleK = 5)
-      val survivors = exactKept.join(near.select(col("id2").as("doc_id")), Seq("doc_id"), "left_anti")
+      val survivors = exactKept.join(drops.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
       survivors.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("lang")
@@ -431,6 +431,14 @@ object SparkEntry {
       graft.ops.Dedup.minhashDedup(s.table("documents"), col("doc_id"), col("text"),
           threshold = 0.4, shingleK = 5, numHashes = 128, bands = 16)
         .orderBy("id1", "id2")
+    }),
+
+    "dedup_near_clusters" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Dedup.clusterPairs(
+          graft.ops.Dedup.minhashDedup(s.table("documents"), col("doc_id"), col("text"),
+            threshold = 0.4, shingleK = 5))
+        .orderBy("id")
     }),
 
     "dedup_simhash_pairs" -> ((s, d) => {

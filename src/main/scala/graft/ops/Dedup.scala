@@ -105,6 +105,49 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /**
+   * Connected components over near-dup pairs: iterative min-label
+   * propagation (each round one join + one groupBy — the standard
+   * distributed CC shape; rounds = graph diameter, tiny for dup clusters).
+   * Returns (id, cluster) where cluster = smallest id in the component.
+   */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    // undirected edge list + self-loops so singleton members keep labels
+    val edges = pairs.select(c("id1").as("a"), c("id2").as("b"))
+      .union(pairs.select(c("id2").as("a"), c("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(c("a").as("id")).distinct()
+      .withColumn("cluster", c("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // each node adopts the min cluster among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nbr_cluster"), "b")
+        .groupBy(c("a").as("id")).agg(min("nbr_cluster").as("nbr_min"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .withColumn("new_cluster", least(c("cluster"), coalesce(c("nbr_min"), c("cluster"))))
+      changed = updated.where(c("new_cluster") =!= c("cluster")).count()
+      labels = updated.select(c("id"), c("new_cluster").as("cluster")).cache()
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Full near-dup dedup: minhash pairs -> clusters -> keep the lowest id
+   * per cluster. Returns the ids to DROP (joins back as left_anti).
+   */
+  def nearDupDrops(df: DataFrame, id: Column, text: Column,
+                   threshold: Double, shingleK: Int = 5): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val pairs = minhashDedup(df, id, text, threshold, shingleK)
+    clusterPairs(pairs)
+      .where(c("id") =!= c("cluster")) // cluster representative (min id) survives
+      .select(c("id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 per token, builtin). */
   def simhash(text: Column): Column =
     col2(SimHash64(ex(transform(split(trim(text), " +"), t => xxhash64(t)))))

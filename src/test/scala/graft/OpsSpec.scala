@@ -29,6 +29,21 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
   }
 
+  test("pair clustering finds connected components and keeps min-id representative") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("id1", "id2")
+    val clusters = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L && clusters(9L) == 1L)
+    assert(clusters(5L) == 5L && clusters(7L) == 5L)
+  }
+
+  test("nearDupDrops keeps exactly one doc per near-dup cluster") {
+    val drops = Dedup.nearDupDrops(docs, col("doc_id"), col("text"), threshold = 0.7)
+      .as[Long].collect().toSet
+    // docs 0,1,3 form one cluster (exact + near dups) -> keep 0, drop 1 and 3
+    assert(drops == Set(1L, 3L), s"got $drops")
+  }
+
   test("simhash hamming distance: dup=0, near-dup small, unrelated large") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
