@@ -91,6 +91,7 @@ object GraftFunctions {
     ("st_flipcoordinates", 1, es => StFlipCoordinates(es.head)),
     ("st_translate", 3, es => StTranslate(es)),
     ("st_closestpoint", 2, es => StClosestPoint(es(0), es(1))),
+    ("st_azimuth", 2, es => StAzimuth(es(0), es(1))),
     ("st_simplify", 2, es => StSimplify(es(0), es(1))),
     ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
     // tiling primitives (spatial join / pushdown support)

@@ -717,6 +717,19 @@ case class StTranslate(children: Seq[Expression]) extends StNary {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+/** Azimuth from point A to point B in radians clockwise from north. */
+case class StAzimuth(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = DoubleType
+  protected def run(l: Geometry, r: Geometry): Any = (l, r) match {
+    case (a: org.locationtech.jts.geom.Point, b: org.locationtech.jts.geom.Point) =>
+      val az = math.atan2(b.getX - a.getX, b.getY - a.getY)
+      if (az < 0) az + 2 * math.Pi else az
+    case _ => null
+  }
+  override def prettyName: String = "st_azimuth"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 case class StClosestPoint(left: Expression, right: Expression) extends StBinary {
   override def dataType: DataType = BinaryType
   protected def run(l: Geometry, r: Geometry): Any =

@@ -66,6 +66,7 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_flipcoordinates" -> "st_astext(st_flipcoordinates(st_point(1, 2)))",
     "st_translate" -> "st_astext(st_translate(st_point(1, 2), 10, 20))",
     "st_closestpoint" -> "st_astext(st_closestpoint(st_point(0, 0), st_makeenvelope(1,1,2,2)))",
+    "st_azimuth" -> "st_azimuth(st_point(0,0), st_point(1,1))",
     "st_simplify" -> "st_numpoints(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
     "st_simplifypreservetopology" -> "st_numpoints(st_simplifypreservetopology(st_geomfromtext('LINESTRING (0 0, 1 0.001, 2 0)'), 0.1))",
     "st_bbox" -> "st_bbox(st_makeenvelope(1,2,3,4)).xmax",

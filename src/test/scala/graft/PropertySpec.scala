@@ -1,0 +1,88 @@
+package graft
+
+import graft.geom.Geom
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks over the geometry serde + predicate algebra
+  * (raw ScalaCheck generators, deterministic seed, 100 samples each). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(sys.error("gen failed")))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 100).foreach { i =>
+      val a = g1.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(sys.error("gen failed"))
+      val b = g2.apply(Gen.Parameters.default, Seed(4242L + i)).getOrElse(sys.error("gen failed"))
+      f(a, b)
+    }
+
+  private val coord = Gen.chooseNum(-1000.0, 1000.0)
+  private val pointGen = for (x <- coord; y <- coord) yield Geom.point(x, y)
+  private val envGen = for {
+    x0 <- coord; y0 <- coord
+    w <- Gen.chooseNum(0.001, 500.0); h <- Gen.chooseNum(0.001, 500.0)
+  } yield Geom.polygonFromEnvelope(x0, y0, x0 + w, y0 + h)
+
+  test("WKB roundtrip preserves any point/envelope exactly") {
+    forAll(pointGen) { p =>
+      assert(Geom.deserialize(Geom.serialize(p)).equalsExact(p))
+    }
+    forAll(envGen) { e =>
+      assert(Geom.deserialize(Geom.serialize(e)).equalsExact(e))
+    }
+  }
+
+  test("WKT roundtrip preserves coordinates") {
+    forAll(pointGen) { p =>
+      val back = Geom.fromWkt(Geom.toWkt(p))
+      assert(back.equalsExact(p))
+    }
+  }
+
+  test("predicate algebra: contains(a,b) == within(b,a), intersects == !disjoint") {
+    forAll(envGen, pointGen) { (e, p) =>
+      assert(e.contains(p) == p.within(e))
+      assert(e.intersects(p) == !e.disjoint(p))
+      // and through the SQL engine with prepared-literal path
+      val eHex = Geom.serialize(e).map("%02x".format(_)).mkString
+      val pHex = Geom.serialize(p).map("%02x".format(_)).mkString
+      val row = spark.sql(
+        s"""SELECT st_contains(unhex('$eHex'), unhex('$pHex')),
+                   st_within(unhex('$pHex'), unhex('$eHex')),
+                   st_intersects(unhex('$eHex'), unhex('$pHex')),
+                   st_disjoint(unhex('$eHex'), unhex('$pHex'))""").head
+      assert(row.getBoolean(0) == row.getBoolean(1))
+      assert(row.getBoolean(2) == !row.getBoolean(3))
+      assert(row.getBoolean(0) == e.contains(p))
+    }
+  }
+
+  test("distance is symmetric and dwithin consistent with it") {
+    forAll(pointGen, pointGen) { (a, b) =>
+      val d = a.distance(b)
+      assert(b.distance(a) == d)
+      assert(a.isWithinDistance(b, d + 1e-9))
+    }
+  }
+
+  test("tile cells always cover the geometry's own centroid cell") {
+    forAll(envGen, Gen.chooseNum(1.0, 100.0)) { (e, cs) =>
+      val c = e.getCentroid
+      val cells = {
+        import graft.functions.{StTileCells}
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        StTileCells(Seq(Literal(Geom.serialize(e)), Literal(cs)))
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSet
+      }
+      val cc = graft.functions.StBbox.pack(
+        math.floor(c.getX / cs).toLong, math.floor(c.getY / cs).toLong)
+      assert(cells.contains(cc))
+    }
+  }
+}

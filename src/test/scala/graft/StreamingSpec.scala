@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} groups")
   }
 
+  test("stream-static spatial join: streaming points vs static fences via tile join") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    val fences = spark.range(3).select(col("id").as("fence_id"),
+      st_polygonFromEnvelope(col("id").cast("double") * 10.0, lit(0.0),
+        col("id").cast("double") * 10.0 + 10.0, lit(10.0)).as("fence"))
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pt_id", "x", "y")
+      .withColumn("pt", st_point(col("x"), col("y")))
+    val joined = graft.plans.SpatialJoin.tileJoin(
+      pts, col("pt"), fences, col("fence"), "within", cellSize = 10.0)
+    input.addData((1L, 5.0, 5.0), (2L, 15.0, 5.0), (3L, 25.0, 5.0), (4L, 99.0, 5.0))
+    val q = joined.select("pt_id", "fence_id").writeStream.format("memory")
+      .queryName("stream_spatial").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_spatial").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
   test("streaming exact dedup drops duplicate doc ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
