@@ -32,6 +32,27 @@ object MicroBench {
         (SELECT st_point(l_discount, l_tax) AS p FROM lineitem)""")
     time("distance_600k", """
       SELECT SUM(st_distance(st_point(l_discount, l_tax), st_point(0.5, 0.5))) FROM lineitem""")
+
+    // scale probe: 1M synthetic points joined to 1000 boxes via tile join
+    {
+      import graft.functions.GraftFunctions._
+      import org.apache.spark.sql.functions._
+      val pts = spark.range(1000000).select(col("id").as("pid"),
+        st_point(pmod(hash(col("id")), lit(100000)).cast("double") / 10.0,
+                 pmod(hash(col("id"), lit(1)), lit(100000)).cast("double") / 10.0).as("pt"))
+      val boxes = spark.range(1000).select(col("id").as("bid"),
+        st_polygonFromEnvelope(
+          pmod(hash(col("id"), lit(2)), lit(9000)).cast("double"),
+          pmod(hash(col("id"), lit(3)), lit(9000)).cast("double"),
+          pmod(hash(col("id"), lit(2)), lit(9000)).cast("double") + 100.0,
+          pmod(hash(col("id"), lit(3)), lit(9000)).cast("double") + 60.0).as("box"))
+      val j = graft.plans.SpatialJoin.broadcastTileJoin(
+        pts, col("pt"), boxes, col("box"), "within", cellSize = 200.0)
+      j.count() // warm
+      val t0 = System.nanoTime()
+      val n = j.count()
+      println(f"tile_join_1Mx1k: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n pairs)")
+    }
     spark.stop()
   }
 }
