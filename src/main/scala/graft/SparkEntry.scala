@@ -29,7 +29,9 @@ object SparkEntry {
   /** Register ST_ functions + one temp view per testdata table. */
   def prep(spark: SparkSession, dir: String): SparkSession = {
     GraftFunctions.register(spark)
-    if (prepped.put(spark, dir) != dir) {
+    // record the dir only AFTER all views register, so a mid-registration
+    // failure doesn't leave the map claiming the new dir is live
+    if (prepped.get(spark) != dir) {
       // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
       // reader rejects; read nanos as long and restore a (micro-truncated)
       // timestamp. Second-granularity logic downstream is unaffected.
@@ -41,6 +43,7 @@ object SparkEntry {
           else df
         fixed.createOrReplaceTempView(t)
       }
+      prepped.put(spark, dir)
     }
     spark
   }

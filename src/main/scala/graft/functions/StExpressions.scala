@@ -89,13 +89,26 @@ private[functions] object StCodegen {
 abstract class StUnary extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "geometry"))
+  /** True for accessors that return SQL NULL on type-mismatched geometry
+    * (st_x of a polygon, st_startpoint of a point, ...). Drives `nullable`
+    * — without it the unsafe row writer would silently turn NULL into 0. */
+  protected def mayReturnNull: Boolean = false
+  override def nullable: Boolean = child.nullable || mayReturnNull
   protected def run(g: Geometry): Any
   override def nullSafeEval(input: Any): Any = run(geom(input))
   /** Entry point for generated code. */
   def evalWkb(b: Array[Byte]): Any = run(Geom.deserialize(b))
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("stExpr", this, classOf[StUnary].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ${StCodegen.cast(s"$ref.evalWkb($a)", dataType)};")
+    nullSafeCodeGen(ctx, ev, a => {
+      val call = s"$ref.evalWkb($a)"
+      if (mayReturnNull) {
+        val tmp = ctx.freshName("stRes")
+        s"""Object $tmp = $call;
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${StCodegen.cast(tmp, dataType)}; }""".stripMargin
+      } else s"${ev.value} = ${StCodegen.cast(call, dataType)};"
+    })
   }
 }
 
@@ -143,12 +156,22 @@ abstract class StPredicate extends BinaryExpression {
 abstract class StBinary extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "geometry"))
+  protected def mayReturnNull: Boolean = false
+  override def nullable: Boolean = left.nullable || right.nullable || mayReturnNull
   protected def run(l: Geometry, r: Geometry): Any
   override def nullSafeEval(l: Any, r: Any): Any = run(geom(l), geom(r))
   def evalWkb(l: Array[Byte], r: Array[Byte]): Any = run(Geom.deserialize(l), Geom.deserialize(r))
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("stExpr", this, classOf[StBinary].getName)
-    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = ${StCodegen.cast(s"$ref.evalWkb($l, $r)", dataType)};")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val call = s"$ref.evalWkb($l, $r)"
+      if (mayReturnNull) {
+        val tmp = ctx.freshName("stRes")
+        s"""Object $tmp = $call;
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${StCodegen.cast(tmp, dataType)}; }""".stripMargin
+      } else s"${ev.value} = ${StCodegen.cast(call, dataType)};"
+    })
   }
 }
 
@@ -175,6 +198,7 @@ abstract class StNary extends Expression {
     val fills = gens.zipWithIndex.map { case (g, i) =>
       s"if (${g.isNull}) { ${ev.isNull} = true; } else { $args[$i] = (Object)(${g.value}); }"
     }.mkString("\n")
+    val tmp = ctx.freshName("stRes")
     ev.copy(code = code"""
       ${gens.map(_.code.toString).mkString("\n")}
       boolean ${ev.isNull} = false;
@@ -182,7 +206,9 @@ abstract class StNary extends Expression {
       $fills
       $javaT ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
       if (!${ev.isNull}) {
-        ${ev.value} = ${StCodegen.cast(s"$ref.runBoxed($args)", dataType)};
+        Object $tmp = $ref.runBoxed($args);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${StCodegen.cast(tmp, dataType)}; }
       }""")
   }
 }
@@ -284,6 +310,7 @@ case class StAsBinary(child: Expression) extends StUnary {
 }
 
 case class StX(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = DoubleType
   protected def run(g: Geometry): Any = g match {
     case p: org.locationtech.jts.geom.Point => p.getX
@@ -294,6 +321,7 @@ case class StX(child: Expression) extends StUnary {
 }
 
 case class StY(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = DoubleType
   protected def run(g: Geometry): Any = g match {
     case p: org.locationtech.jts.geom.Point => p.getY
@@ -602,6 +630,7 @@ case class StGeometryN(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, n: Any): Any = {
     val geo = geom(g); val i = int(n)
@@ -615,6 +644,7 @@ case class StPointN(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, n: Any): Any = geom(g) match {
     case l: org.locationtech.jts.geom.LineString =>
@@ -627,6 +657,7 @@ case class StPointN(left: Expression, right: Expression)
 }
 
 case class StStartPoint(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = BinaryType
   protected def run(g: Geometry): Any = g match {
     case l: org.locationtech.jts.geom.LineString => out(l.getStartPoint)
@@ -637,6 +668,7 @@ case class StStartPoint(child: Expression) extends StUnary {
 }
 
 case class StEndPoint(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = BinaryType
   protected def run(g: Geometry): Any = g match {
     case l: org.locationtech.jts.geom.LineString => out(l.getEndPoint)
@@ -647,6 +679,7 @@ case class StEndPoint(child: Expression) extends StUnary {
 }
 
 case class StExteriorRing(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = BinaryType
   protected def run(g: Geometry): Any = g match {
     case p: org.locationtech.jts.geom.Polygon =>
@@ -658,6 +691,7 @@ case class StExteriorRing(child: Expression) extends StUnary {
 }
 
 case class StNumInteriorRings(child: Expression) extends StUnary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = IntegerType
   protected def run(g: Geometry): Any = g match {
     case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
@@ -719,6 +753,7 @@ case class StTranslate(children: Seq[Expression]) extends StNary {
 
 /** Azimuth from point A to point B in radians clockwise from north. */
 case class StAzimuth(left: Expression, right: Expression) extends StBinary {
+  override protected def mayReturnNull: Boolean = true
   override def dataType: DataType = DoubleType
   protected def run(l: Geometry, r: Geometry): Any = (l, r) match {
     case (a: org.locationtech.jts.geom.Point, b: org.locationtech.jts.geom.Point) =>

@@ -94,9 +94,11 @@ case class StMortonCell(left: Expression, right: Expression)
   override def nullSafeEval(g: Any, cell: Any): Any = {
     val e = geom(g).getEnvelopeInternal
     val cs = dbl(cell)
-    // bias by 2^31 so negative coordinates interleave monotonically
-    val ix = (math.floor((e.getMinX + e.getMaxX) / 2 / cs).toLong + (1L << 31)) & 0xffffffffL
-    val iy = (math.floor((e.getMinY + e.getMaxY) / 2 / cs).toLong + (1L << 31)) & 0xffffffffL
+    // bias by 2^30 into 31-bit indices: interleaved result uses 62 bits and
+    // stays NON-NEGATIVE, so the signed Long sort order IS the Z-order
+    // (a 32-bit bias would put y's top bit into the sign bit)
+    val ix = (math.floor((e.getMinX + e.getMaxX) / 2 / cs).toLong + (1L << 30)) & 0x7fffffffL
+    val iy = (math.floor((e.getMinY + e.getMaxY) / 2 / cs).toLong + (1L << 30)) & 0x7fffffffL
     StMortonCell.interleave(ix) | (StMortonCell.interleave(iy) << 1)
   }
   override def prettyName: String = "st_morton_cell"

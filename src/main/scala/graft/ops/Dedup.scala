@@ -111,14 +111,16 @@ object Dedup {
    * distributed CC shape; rounds = graph diameter, tiny for dup clusters).
    * Returns (id, cluster) where cluster = smallest id in the component.
    */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    // undirected edge list + self-loops so singleton members keep labels
+    // undirected edge list; isolated ids keep their own label through the
+    // left join + coalesce below
     val edges = pairs.select(c("id1").as("a"), c("id2").as("b"))
       .union(pairs.select(c("id2").as("a"), c("id1").as("b")))
       .distinct().cache()
     var labels = edges.select(c("a").as("id")).distinct()
       .withColumn("cluster", c("id"))
+    val cachedIntermediates = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -130,9 +132,17 @@ object Dedup {
         .withColumn("new_cluster", least(c("cluster"), coalesce(c("nbr_min"), c("cluster"))))
       changed = updated.where(c("new_cluster") =!= c("cluster")).count()
       labels = updated.select(c("id"), c("new_cluster").as("cluster")).cache()
+      cachedIntermediates += labels
       iter += 1
     }
-    labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIters rounds (component diameter too large); raise maxIters")
+    // materialize the final labels, then release every intermediate cache
+    val result = labels
+    result.count()
+    cachedIntermediates.dropRight(1).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /**

@@ -48,8 +48,11 @@ object GeoParquet {
       .withColumn("__z", GraftShim.column(graft.functions.StMortonCell(
         GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cellSize)))))
     // range-partition on the Z value first: global clustering, so each
-    // FILE (not just each row group) covers a tight bbox range
-    val sorted = out.repartitionByRange(col("__z")).sortWithinPartitions("__z").drop("__z")
+    // FILE (not just each row group) covers a tight bbox range. Partition
+    // count follows the input (not spark.sql.shuffle.partitions) to avoid
+    // a small-file explosion on modest writes.
+    val nParts = math.max(df.rdd.getNumPartitions, 1)
+    val sorted = out.repartitionByRange(nParts, col("__z")).sortWithinPartitions("__z").drop("__z")
     if (partitionByCell)
       sorted.write.mode("overwrite").partitionBy(s"${geomCol}_cell").parquet(path)
     else

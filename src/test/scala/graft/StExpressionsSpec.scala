@@ -49,6 +49,24 @@ class StExpressionsSpec extends SparkSpec {
     assert(e4.getMessage.contains("st_geomfromtext argument 1 expects string"))
   }
 
+  test("type-mismatched geometry returns SQL NULL under whole-stage codegen (not NPE)") {
+    import spark.implicits._
+    // run through a DataFrame scan so whole-stage codegen (not foldable
+    // constant folding) evaluates the expressions
+    spark.range(5).selectExpr("id", "st_makeenvelope(0, 0, CAST(id+1 AS DOUBLE), 1.0D) AS poly",
+        "st_point(CAST(id AS DOUBLE), 1.0D) AS pt")
+      .createOrReplaceTempView("cg_null")
+    val rows = spark.sql("""
+      SELECT st_x(poly), st_startpoint(pt), st_endpoint(poly), st_exteriorring(pt),
+             st_numinteriorrings(pt), st_azimuth(poly, pt), st_pointn(pt, 1)
+      FROM cg_null""").collect()
+    assert(rows.length == 5)
+    rows.foreach { r => (0 until 7).foreach(i => assert(r.isNullAt(i), s"col $i not null")) }
+    // and valid inputs still work in the same plan shape
+    val ok = spark.sql("SELECT st_x(pt) FROM cg_null ORDER BY id").as[Double].collect()
+    assert(ok.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+  }
+
   test("null propagation and geojson") {
     assert(sql1("SELECT st_x(CAST(NULL AS BINARY))") == null)
     assert(sql1("SELECT st_asgeojson(st_point(1,2))") == """{"type":"Point","coordinates":[1.0,2.0]}""")
