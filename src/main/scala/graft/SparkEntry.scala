@@ -316,6 +316,19 @@ object SparkEntry {
       WHERE st_coveredby(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
                          st_polygonfromenvelope(0.005D, -0.5D, 5000.005D, 24.5D))""")),
 
+    "st_predicate_matrix" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey, CAST(p_size % 12 AS DOUBLE) AS p FROM part)
+      SELECT p_partkey,
+             st_crosses(st_geomfromtext('LINESTRING (0 0, 10 10)'),
+                        st_makeline(st_point(p, -5.0D), st_point(p, 20.0D))) AS crosses,
+             st_touches(st_makeenvelope(0.0D, 0.0D, 5.0D, 5.0D),
+                        st_makeenvelope(p, 0.0D, p + 5.0D, 5.0D)) AS touches,
+             st_overlaps(st_makeenvelope(0.0D, 0.0D, 5.0D, 5.0D),
+                         st_makeenvelope(p, 0.0D, p + 5.0D, 5.0D)) AS overlaps,
+             st_equals(st_makeenvelope(0.0D, 0.0D, 5.0D, 5.0D),
+                       st_makeenvelope(p, 0.0D, p + 5.0D, 5.0D)) AS equals
+      FROM t ORDER BY p_partkey""")),
+
     "st_dwithin_filter" -> ((s, d) => prep(s, d).sql("""
       SELECT c_custkey FROM customer
       WHERE st_dwithin(st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
@@ -749,6 +762,15 @@ object SparkEntry {
       SELECT COUNT(*) AS n FROM customer
       WHERE c_acctbal > 0.005 AND c_acctbal < 5000.005
         AND c_nationkey >= 0 AND c_nationkey <= 24""",
+
+    "st_predicate_matrix" -> """
+      WITH t AS (SELECT p_partkey, p_size % 12 AS p FROM part)
+      SELECT p_partkey,
+             p BETWEEN 1 AND 9 AS crosses,
+             p = 5 AS touches,
+             p BETWEEN 1 AND 4 AS overlaps,
+             p = 0 AS equals
+      FROM t ORDER BY p_partkey""",
 
     "st_dwithin_filter" -> """
       SELECT c_custkey FROM customer
