@@ -120,11 +120,37 @@ object GraftFunctions {
       StMakeLine(es)
     })
 
+  /** `DESCRIBE FUNCTION` usage text (subset with non-obvious semantics;
+    * the rest get a generated one-liner). */
+  private val usageDocs: Map[String, String] = Map(
+    "st_point" -> "st_point(x, y) - Returns a WKB point from coordinates.",
+    "st_polygonfromenvelope" -> "st_polygonfromenvelope(xmin, ymin, xmax, ymax) - Axis-aligned rectangle polygon.",
+    "st_geomfromtext" -> "st_geomfromtext(wkt) - Parses WKT text into a WKB geometry.",
+    "st_geomfromwkb" -> "st_geomfromwkb(bytes) - Normalizes WKB/EWKB bytes into graft's canonical form.",
+    "st_asbinary" -> "st_asbinary(geom) - ISO WKB bytes (no EWKB SRID flag) for interop.",
+    "st_contains" -> "st_contains(a, b) - True when b lies in the interior+boundary of a and interiors touch (boundary-only points excluded).",
+    "st_dwithin" -> "st_dwithin(a, b, dist) - True when geometries are within euclidean distance dist.",
+    "st_tile_cells" -> "st_tile_cells(geom, cellSize[, expand]) - Grid cells covering the (expanded) envelope; packed (ix<<32|iy) longs.",
+    "st_bbox" -> "st_bbox(geom) - struct(xmin, ymin, xmax, ymax) of the envelope.",
+    "st_morton_cell" -> "st_morton_cell(geom, cellSize) - Z-order (Morton) index of the envelope center; sort by it to cluster spatially.",
+    "st_makeline" -> "st_makeline(pt1, pt2, ...) - LINESTRING through the given points.",
+    "vec_cosine" -> "vec_cosine(a, b) - Cosine similarity of numeric arrays (0 when either norm is 0).",
+    "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",
+    "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
+    "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
+    "st_union_aggr" -> "st_union_aggr(geom) - Aggregate: n-way cascaded union (map-side partial unions).",
+    "st_envelope_aggr" -> "st_envelope_aggr(geom) - Aggregate: bounding box of all inputs (fixed-size buffer).",
+    "st_centroid_aggr" -> "st_centroid_aggr(geom) - Aggregate: centroid of the input collection (dimension-stratified).",
+    "st_collect" -> "st_collect(geom) - Aggregate: collects inputs into a Multi*/GeometryCollection.")
+
+  private def usageFor(name: String): String =
+    usageDocs.getOrElse(name, s"$name(...) - graft spatial/vector function; see README.md.")
+
   /** Idempotent: (re)binds every catalog function + optimizer rule on the
     * given session (post-hoc path; GraftExtensions does the same at build
     * time via spark.sql.extensions). */
   def register(spark: SparkSession): Unit = {
-    catalog.foreach { case (name, b) => GraftShim.registerFunction(spark, name, b) }
+    catalog.foreach { case (name, b) => GraftShim.registerFunction(spark, name, b, usageFor(name)) }
     GraftShim.installOptimizerRules(spark, Seq(
       graft.plans.GeoBboxPushdown(spark),
       graft.plans.SpatialJoinRewrite(spark)))

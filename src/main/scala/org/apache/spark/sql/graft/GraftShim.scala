@@ -25,9 +25,13 @@ object GraftShim {
   def registerFunction(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit = {
+      builder: Seq[Expression] => Expression,
+      usage: String = ""): Unit = {
+    val info =
+      if (usage.isEmpty) new ExpressionInfo("graft", name)
+      else new ExpressionInfo("graft", null, name, usage, "")
     spark.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+      .registerFunction(FunctionIdentifier(name), info, builder)
   }
 
   /** Install optimizer rules on a live session (post-hoc analog of

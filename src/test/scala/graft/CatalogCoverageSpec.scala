@@ -96,6 +96,12 @@ class CatalogCoverageSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE FUNCTION shows usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED st_point")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("st_point(x, y)"), s"no usage in:\n$desc")
+  }
+
   test("expected value spot checks") {
     assert(sql1("SELECT vec_dot(array(1.0D,2.0D), array(3.0D,4.0D))") == 11.0)
     assert(sql1("SELECT vec_norm(array(3.0D,4.0D))") == 5.0)

@@ -122,6 +122,21 @@ class OpsSpec extends SparkSpec {
     assert(top.forall(_ < 30), "probed wrong inverted list")
   }
 
+  test("lsh/ivf recall against brute force on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, col("embedding"), col("vec_id"), q, 10, nbits = 12, maxHamming = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.contains(7L) && lsh.contains(7L), "query vector must match itself")
+    assert((brute intersect lsh).size >= 5, s"LSH recall too low: ${(brute intersect lsh).size}/10")
+    val (assigned, cents) = Similarity.kmeansAssign(emb, col("embedding"), col("vec_id"), k = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(assigned, cents, q, k = 10, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert((brute intersect ivf).size >= 4, s"IVF recall too low: ${(brute intersect ivf).size}/10")
+  }
+
   test("language id picks marker-bearing language") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .as[(Long, String)].collect().toMap
