@@ -165,6 +165,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "asof_join_events" -> ((s, d) => {
+      prep(s, d)
+      // for each purchase, the most recent prior error event of that user
+      val ev = s.table("events").withColumn("us", expr("unix_micros(ts)"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val errors = ev.where(col("event_type") === "error")
+        .groupBy("user_id", "us").agg(max("event_id").as("err_id"))
+      graft.ops.AsofJoin.asofJoin(
+          purchases, col("user_id"), col("us"),
+          errors, col("user_id"), col("us"), Seq("err_id"))
+        .select(col("event_id"), col("asof_err_id").as("err_id"))
+        .orderBy("event_id")
+    }),
+
     "geofence_batch" -> ((s, d) => {
       prep(s, d)
       graft.streaming.EventStreams.geofence(
@@ -660,6 +675,14 @@ object SparkEntry {
         FROM e)
       SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM flagged GROUP BY user_id ORDER BY user_id""",
+
+    "asof_join_events" -> """
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, epoch_us(ts) AS us, MAX(event_id) AS err_id
+                 FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      SELECT p.event_id, e.err_id
+      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.us >= e.us
+      ORDER BY p.event_id""",
 
     "geofence_batch" -> """
       SELECT event_type, COUNT(*) AS n FROM events

@@ -137,6 +137,20 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect ivf).size >= 4, s"IVF recall too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("asof join: equal timestamps match, earlier rows win, no-match is null") {
+    val trades = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L), (4L, 30L, 100L))
+      .toDF("trade_id", "acct", "t")
+    val quotes = Seq((10L, 100L, 9.5), (10L, 200L, 9.9), (20L, 60L, 1.0))
+      .toDF("acct", "t", "px")
+    val got = graft.ops.AsofJoin.asofJoin(
+        trades, col("acct"), col("t"), quotes, col("acct"), col("t"), Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(9.5), "equal timestamp must match (<= semantics)")
+    assert(got(2L).contains(9.9), "latest prior quote wins")
+    assert(got(3L).isEmpty, "quote after the trade must not match")
+    assert(got(4L).isEmpty, "key with no quotes yields null")
+  }
+
   test("language id picks marker-bearing language") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .as[(Long, String)].collect().toMap
