@@ -165,6 +165,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "range_join_bands" -> ((s, d) => {
+      prep(s, d)
+      val bands = s.table("nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 400.0 + 0.005).as("lo"),
+        (col("n_nationkey") * 400.0 + 600.005).as("hi"))
+      graft.ops.RangeJoin.bucketJoin(
+          s.table("customer"), col("c_acctbal"),
+          bands, col("lo"), col("hi"), bucketSize = 500.0, broadcastRight = true)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_nationkey")
+    }),
+
     "asof_join_events" -> ((s, d) => {
       prep(s, d)
       // for each purchase, the most recent prior error event of that user
@@ -675,6 +687,12 @@ object SparkEntry {
         FROM e)
       SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM flagged GROUP BY user_id ORDER BY user_id""",
+
+    "range_join_bands" -> """
+      SELECT n_nationkey, COUNT(*) AS n
+      FROM nation JOIN customer
+        ON c_acctbal >= n_nationkey*400.0 + 0.005 AND c_acctbal <= n_nationkey*400.0 + 600.005
+      GROUP BY n_nationkey ORDER BY n_nationkey""",
 
     "asof_join_events" -> """
       WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),

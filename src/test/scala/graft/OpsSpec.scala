@@ -137,6 +137,21 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect ivf).size >= 4, s"IVF recall too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("range join == naive between-join across bucket sizes") {
+    val vals = (0 until 300).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("vid", "v")
+    val ivs = (0 until 20).map(i => (i.toLong, (i * 53 % 800).toDouble, (i * 53 % 800).toDouble + 120.5))
+      .toDF("iid", "lo", "hi")
+    val expected = vals.crossJoin(ivs)
+      .where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("vid", "iid").as[(Long, Long)].collect().toSet
+    for (bs <- Seq(50.0, 130.0, 1000.0)) {
+      val got = graft.ops.RangeJoin.bucketJoin(vals, col("v"), ivs, col("lo"), col("hi"), bs)
+        .select("vid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dups at bucketSize=$bs")
+      assert(got.toSet == expected, s"wrong result at bucketSize=$bs")
+    }
+  }
+
   test("asof join: equal timestamps match, earlier rows win, no-match is null") {
     val trades = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L), (4L, 30L, 100L))
       .toDF("trade_id", "acct", "t")
