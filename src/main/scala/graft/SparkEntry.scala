@@ -491,10 +491,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // The raw embeddings table is near-random (max pairwise cos ~0.6), so a
+    // high-threshold near-dup query over it alone is vacuous. Seed one
+    // deterministic near-duplicate per vector IN THE FLOW (x*0.95 + 0.005,
+    // cos >= 0.999 vs its source; background pairs stay <= 0.62) — the same
+    // construction is exactly expressible in the DuckDB oracle, which
+    // computes the EXACT all-pairs answer; banded LSH must recall 100% of
+    // it to hash-match. ids only (cos floats can differ in the last ulp
+    // between engines).
     "dedup_embedding_pairs" -> ((s, d) => {
       prep(s, d)
-      graft.ops.Similarity.cosineNearDupPairs(s.table("embeddings"), col("embedding"),
-          col("vec_id"), threshold = 0.8, nbits = 8)
+      val base = s.table("embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val pert = s.table("embeddings").select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.95D + 0.005D)").as("emb"))
+      graft.ops.Similarity.cosineNearDupPairs(base.union(pert), col("emb"),
+          col("vec_id"), threshold = 0.9, bitsPerBand = 16, bands = 8)
+        .select("id1", "id2")
         .orderBy("id1", "id2")
     }),
 
@@ -522,7 +535,7 @@ object SparkEntry {
     "ann_knn_graph" -> ((s, d) => {
       prep(s, d)
       graft.ops.Similarity.knnGraph(s.table("embeddings"), col("embedding"), col("vec_id"),
-          k = 5, nbits = 10, probes = 4)
+          k = 5, bitsPerBand = 8, bands = 8)
         .select("id1", "id2", "knn_rank")
         .orderBy("id1", "knn_rank")
     }),
@@ -892,6 +905,21 @@ object SparkEntry {
       FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
                / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.2
+      ORDER BY id1, id2""",
+
+    // exact all-pairs answer; the Spark side's banded LSH must have 100%
+    // recall on the seeded near-dups to match (verified: seeded pairs have
+    // cos >= 0.999, background <= 0.62, threshold 0.9 sits in the gap)
+    "dedup_embedding_pairs" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           pert AS (SELECT vec_id + 100000 AS vec_id,
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * CAST(0.95 AS DOUBLE) + CAST(0.005 AS DOUBLE)) AS emb
+                    FROM embeddings),
+           allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
       ORDER BY id1, id2""",
 
     "ann_brute_top10" -> """

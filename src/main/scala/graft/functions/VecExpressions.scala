@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -169,6 +169,10 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
     val vec = v.asInstanceOf[ArrayData]
     val nbits = StKit.int(nb)
     require(nbits >= 1 && nbits <= 64, s"hyperplane_sig supports 1..64 bits, got $nbits")
+    // fail loudly instead of silently truncating to a 4096-dim prefix
+    // (which would quietly degrade bucket recall)
+    require(vec.numElements() <= 4096,
+      s"hyperplane_sig supports vectors up to 4096 dims, got ${vec.numElements()}")
     var sig = 0L
     var b = 0
     while (b < nbits) {
@@ -185,4 +189,66 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
   override def prettyName: String = "hyperplane_sig"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/**
+ * Banded random-hyperplane LSH: embedding -> array of `bands` independent
+ * sub-signatures of `bitsPerBand` bits each, every band drawn from its own
+ * seeded hyperplanes. Two vectors are near-dup candidates when ANY band
+ * matches exactly — the same band-OR construction as MinHash LSH — so the
+ * bucket join stays an equi-join with 2^bitsPerBand keys per band and the
+ * within-bucket pair count is controlled by `bitsPerBand`, not by corpus
+ * size (the fix for the quadratic exact-signature bucket flagged in
+ * round-2 review of ops/Similarity.scala).
+ */
+case class BandedHyperplaneSig(first: Expression, second: Expression, third: Expression,
+                               seed: Long = 7L)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val vf = isFloatArray(first)
+
+  // Planes are generated lazily from one seeded Gaussian stream, so plane i
+  // is identical on every executor and independent of how many are asked
+  // for. Sized on demand: bands*bitsPerBand rows of 4096 doubles.
+  @transient private lazy val planeBuf = new java.util.ArrayList[Array[Double]]()
+  @transient private lazy val planeRnd = new java.util.Random(seed)
+  private def ensurePlanes(n: Int): java.util.ArrayList[Array[Double]] = planeBuf.synchronized {
+    while (planeBuf.size < n) planeBuf.add(Array.fill(4096)(planeRnd.nextGaussian()))
+    planeBuf
+  }
+
+  override def nullSafeEval(v: Any, bb: Any, nb: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val bitsPerBand = StKit.int(bb)
+    val bands = StKit.int(nb)
+    require(bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"banded_hyperplane_sig supports 1..63 bits per band, got $bitsPerBand")
+    require(bands >= 1 && bands <= 256,
+      s"banded_hyperplane_sig supports 1..256 bands, got $bands")
+    require(vec.numElements() <= 4096,
+      s"banded_hyperplane_sig supports vectors up to 4096 dims, got ${vec.numElements()}")
+    val planes = ensurePlanes(bands * bitsPerBand)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val p = planes.get(b * bitsPerBand + j)
+        var s = 0.0
+        var i = 0
+        val n = math.min(vec.numElements(), p.length)
+        while (i < n) { s += elem(vec, i, vf) * p(i); i += 1 }
+        if (s >= 0) sig |= (1L << j)
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "banded_hyperplane_sig"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
 }

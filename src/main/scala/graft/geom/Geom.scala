@@ -34,8 +34,9 @@ object Geom {
     try wkbReaders.get.read(bytes)
     catch {
       case e: Exception =>
+        val n = if (bytes == null) "null" else s"${bytes.length} bytes"
         throw new IllegalArgumentException(
-          s"invalid WKB geometry (${bytes.length} bytes): ${e.getMessage}; " +
+          s"invalid WKB geometry ($n): ${e.getMessage}; " +
             "geometry columns must hold WKB, e.g. from st_geomfromtext/st_point", e)
     }
 

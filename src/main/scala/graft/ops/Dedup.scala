@@ -114,35 +114,40 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
     // undirected edge list; isolated ids keep their own label through the
-    // left join + coalesce below
+    // left join + coalesce below. localCheckpoint (eager) materializes AND
+    // truncates lineage — without it the logical plan doubles per round and
+    // at corpus scale round N replays rounds 1..N-1.
     val edges = pairs.select(c("id1").as("a"), c("id2").as("b"))
       .union(pairs.select(c("id2").as("a"), c("id1").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(c("a").as("id")).distinct()
       .withColumn("cluster", c("id"))
-    val cachedIntermediates = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // each node adopts the min cluster among itself and its neighbors
+      // each node adopts the min cluster among itself and its neighbors.
+      // The round's ONLY full job is the localCheckpoint materialization;
+      // the changed-count then scans the materialized blocks (no recompute,
+      // unlike the old count() which re-ran the join every round).
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nbr_cluster"), "b")
         .groupBy(c("a").as("id")).agg(min("nbr_cluster").as("nbr_min"))
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
         .withColumn("new_cluster", least(c("cluster"), coalesce(c("nbr_min"), c("cluster"))))
-      changed = updated.where(c("new_cluster") =!= c("cluster")).count()
-      labels = updated.select(c("id"), c("new_cluster").as("cluster")).cache()
-      cachedIntermediates += labels
+        .select(c("id"), c("new_cluster").as("cluster"),
+          (c("new_cluster") =!= c("cluster")).as("__changed"))
+        .localCheckpoint()
+      changed = updated.where(c("__changed")).count()
+      // old rounds' checkpoint blocks are freed by the ContextCleaner once
+      // the previous `labels` reference drops out of scope here
+      labels = updated.drop("__changed")
       iter += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters rounds (component diameter too large); raise maxIters")
-    // materialize the final labels, then release every intermediate cache
-    val result = labels
-    result.count()
-    cachedIntermediates.dropRight(1).foreach(_.unpersist(blocking = false))
-    result
+    labels
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{HyperplaneSig, VecCosine}
+import graft.functions.{BandedHyperplaneSig, HyperplaneSig, VecCosine}
 
 import org.apache.spark.sql.graft.GraftShim
 import org.apache.spark.sql.functions._
@@ -54,49 +54,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Array of `bands` independent `bitsPerBand`-bit hyperplane signatures. */
+  def bandedSigs(v: Column, bitsPerBand: Int, bands: Int): Column =
+    col2(BandedHyperplaneSig(ex(v), ex(lit(bitsPerBand)), ex(lit(bands))))
+
   /**
-   * Embedding-cosine near-duplicate pairs: bucket on hyperplane signature
-   * (documents whose signatures match exactly), verify cosine >= threshold.
+   * Candidate pairs from banded hyperplane LSH: explode each vector into
+   * `bands` (band, key) rows; a pair is a candidate when ANY band matches —
+   * the same band-OR equi-join shape as MinHash LSH (Dedup.minhashCandidates),
+   * so candidate volume is governed by bitsPerBand (2^bitsPerBand keys per
+   * band), never by an O(n²) within-bucket blowup. Only (band, key, id)
+   * rows shuffle; vectors are re-joined by id afterwards.
+   */
+  def cosineCandidatePairs(df: DataFrame, vec: Column, id: Column,
+                           bitsPerBand: Int, bands: Int): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val banded = df.select(id.as("__id"),
+        posexplode(bandedSigs(vec, bitsPerBand, bands)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+    val a = banded.select(c("__band"), c("__key"), c("__id").as("id1"))
+    val b = banded.select(c("__band").as("__band2"), c("__key").as("__key2"), c("__id").as("id2"))
+    a.join(b, a("__band") === b("__band2") && a("__key") === b("__key2") && a("id1") < b("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: banded-LSH candidates, then
+   * exact cosine verify >= threshold. Recall is tuned by (bitsPerBand,
+   * bands): per-pair miss probability is (1 - p^bitsPerBand)^bands with
+   * p = 1 - angle/pi; the defaults catch cos >= 0.99 pairs with miss
+   * < 1e-5 while keeping 2^16 keys per band.
    */
   def cosineNearDupPairs(df: DataFrame, vec: Column, id: Column,
-                         threshold: Double, nbits: Int = 12): DataFrame = {
-    val sigs = df.select(id.as("__id"), vec.as("__v"), hyperplaneSig(vec, nbits).as("__sig"))
-    val a = sigs.select(org.apache.spark.sql.functions.col("__sig"),
-      org.apache.spark.sql.functions.col("__id").as("id1"),
-      org.apache.spark.sql.functions.col("__v").as("__v1"))
-    val b = sigs.select(org.apache.spark.sql.functions.col("__sig").as("__sig2"),
-      org.apache.spark.sql.functions.col("__id").as("id2"),
-      org.apache.spark.sql.functions.col("__v").as("__v2"))
-    a.join(b, a("__sig") === b("__sig2") && a("id1") < b("id2"))
-      .withColumn("cos", cosine(org.apache.spark.sql.functions.col("__v1"),
-        org.apache.spark.sql.functions.col("__v2")))
-      .where(org.apache.spark.sql.functions.col("cos") >= threshold)
+                         threshold: Double, bitsPerBand: Int = 16, bands: Int = 8): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val base = df.select(id.as("__id"), vec.as("__v"))
+    val cands = cosineCandidatePairs(base, c("__v"), c("__id"), bitsPerBand, bands)
+    val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
+    val v2 = base.select(c("__id").as("id2"), c("__v").as("__v2"))
+    cands.join(v1, "id1").join(v2, "id2")
+      .withColumn("cos", cosine(c("__v1"), c("__v2")))
+      .where(c("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
 
   /**
    * KNN graph: approximate top-k neighbors for EVERY vector (the
    * similarity-join shape a training pipeline runs corpus-wide). Candidate
-   * pairs come from multi-probe LSH — `probes` signature variants with one
-   * bit flipped widen recall — so the join is bucket-equi, never O(n²);
-   * per-vector top-k is a window over candidates only.
+   * pairs come from banded hyperplane LSH (band-OR across `bands`
+   * independent sub-signatures) so the join is bucket-equi with
+   * 2^bitsPerBand keys per band — never O(n²) — and recall scales with
+   * `bands` instead of single-bucket luck; per-vector top-k is a window
+   * over candidates only.
    */
   def knnGraph(df: DataFrame, vec: Column, id: Column, k: Int,
-               nbits: Int = 12, probes: Int = 4): DataFrame = {
+               bitsPerBand: Int = 16, bands: Int = 8): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val sig = df.select(id.as("__id"), vec.as("__v"), hyperplaneSig(vec, nbits).as("__sig"))
-    // multi-probe: exact bucket + `probes` single-bit-flip variants
-    val probeCols = array((lit(0) +: (0 until math.min(probes, nbits)).map(b => lit(1L << b))): _*)
-    val probed = sig.select(c("__id"), c("__v"), c("__sig"),
-      explode(probeCols).as("__flip"))
-      .withColumn("__bucket", c("__sig").bitwiseXOR(c("__flip")))
-      .drop("__flip", "__sig")
-    val a = probed.select(c("__bucket"), c("__id").as("id1"), c("__v").as("__v1"))
-    val b = sig.select(c("__sig").as("__bucket2"), c("__id").as("id2"), c("__v").as("__v2"))
-    val cands = a.join(b, a("__bucket") === b("__bucket2") && a("id1") =!= b("id2"))
-      .select(c("id1"), c("id2"), cosine(c("__v1"), c("__v2")).as("cos")).distinct()
+    val base = df.select(id.as("__id"), vec.as("__v"))
+    val banded = base.select(c("__id"),
+        posexplode(bandedSigs(c("__v"), bitsPerBand, bands)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+    val a = banded.select(c("__band"), c("__key"), c("__id").as("id1"))
+    val b = banded.select(c("__band").as("__band2"), c("__key").as("__key2"), c("__id").as("id2"))
+    // directed candidates (both orders survive: each side needs its own knn)
+    val cands = a.join(b, a("__band") === b("__band2") && a("__key") === b("__key2") && a("id1") =!= b("id2"))
+      .select("id1", "id2").distinct()
+    val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
+    val v2 = base.select(c("__id").as("id2"), c("__v").as("__v2"))
+    val scored = cands.join(v1, "id1").join(v2, "id2")
+      .select(c("id1"), c("id2"), cosine(c("__v1"), c("__v2")).as("cos"))
     import org.apache.spark.sql.expressions.Window
-    cands.withColumn("knn_rank", row_number().over(
+    scored.withColumn("knn_rank", row_number().over(
         Window.partitionBy(c("id1")).orderBy(c("cos").desc, c("id2").asc)))
       .where(c("knn_rank") <= k)
       .select("id1", "id2", "cos", "knn_rank")
@@ -109,11 +137,13 @@ object Similarity {
    */
   def kmeansAssign(df: DataFrame, vec: Column, id: Column,
                    k: Int, iters: Int = 3, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    val base = df.select(id.as("vec_id"), vec.as("__v")).cache()
-    // deterministic init: first k vectors by id
+    // null vectors can't be assigned (fold would leave cluster = -1)
+    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).cache()
+    // deterministic init: first k vectors by id; element type read
+    // agnostically (embeddings are float[], centroids/other sources double[])
     var centroids: Array[Array[Double]] =
       base.orderBy("vec_id").limit(k).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     for (_ <- 1 to iters) {
       val assigned = assignClusters(base, centroids)
       val upd = assigned
@@ -124,10 +154,12 @@ object Similarity {
         .collect()
       for (r <- upd) {
         val cl = r.getInt(0)
-        val mm = r.getMap[Int, Double](1)
-        val arr = centroids(cl).clone()
-        mm.foreach { case (i, v) => arr(i) = v }
-        centroids(cl) = arr
+        if (cl >= 0 && cl < centroids.length) { // defensive: unassignable rows fold to -1
+          val mm = r.getMap[Int, Double](1)
+          val arr = centroids(cl).clone()
+          mm.foreach { case (i, v) => arr(i) = v }
+          centroids(cl) = arr
+        }
       }
     }
     (assignClusters(base, centroids), centroids)

@@ -48,29 +48,38 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def env(lit: Expression): org.locationtech.jts.geom.Envelope =
-    Geom.deserialize(lit.eval(null).asInstanceOf[Array[Byte]]).getEnvelopeInternal
+  /** Envelope of a foldable geometry literal; None when the literal
+    * evaluates to null (e.g. st_geomfromtext(NULL) constant-folded) or to
+    * bytes that don't parse — the rule then derives nothing rather than
+    * crashing the whole optimization pass. */
+  private def env(lit: Expression): Option[org.locationtech.jts.geom.Envelope] =
+    try Option(lit.eval(null))
+      .map(v => Geom.deserialize(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def d(v: Double) = Literal(v)
 
   /** bbox conjuncts implied by one ST_ predicate (empty when not applicable). */
   private def conjunctsFor(p: Expression, child: LogicalPlan): Seq[Expression] = p match {
     // literal CONTAINS/COVERS column  ->  column bbox inside literal bbox
-    case StContains(l, g) if l.foldable && l.deterministic => inside(g, env(l), child)
-    case StCovers(l, g) if l.foldable && l.deterministic => inside(g, env(l), child)
+    case StContains(l, g) if l.foldable && l.deterministic => env(l).toSeq.flatMap(inside(g, _, child))
+    case StCovers(l, g) if l.foldable && l.deterministic => env(l).toSeq.flatMap(inside(g, _, child))
     // column WITHIN/COVEREDBY literal -> same containment direction
-    case StWithin(g, l) if l.foldable && l.deterministic => inside(g, env(l), child)
-    case StCoveredBy(g, l) if l.foldable && l.deterministic => inside(g, env(l), child)
+    case StWithin(g, l) if l.foldable && l.deterministic => env(l).toSeq.flatMap(inside(g, _, child))
+    case StCoveredBy(g, l) if l.foldable && l.deterministic => env(l).toSeq.flatMap(inside(g, _, child))
     // intersects either way -> bbox overlap
-    case StIntersects(l, g) if l.foldable && l.deterministic => overlap(g, env(l), child, 0.0)
-    case StIntersects(g, l) if l.foldable && l.deterministic => overlap(g, env(l), child, 0.0)
+    case StIntersects(l, g) if l.foldable && l.deterministic => env(l).toSeq.flatMap(overlap(g, _, child, 0.0))
+    case StIntersects(g, l) if l.foldable && l.deterministic => env(l).toSeq.flatMap(overlap(g, _, child, 0.0))
     // dwithin(col, lit, dist) / dwithin(lit, col, dist) -> expanded overlap
     case StDWithin(Seq(g, l, dist)) if l.foldable && l.deterministic && dist.foldable =>
-      overlap(g, env(l), child, StKit.dbl(dist.eval(null)))
+      distOpt(dist).toSeq.flatMap(dd => env(l).toSeq.flatMap(overlap(g, _, child, dd)))
     case StDWithin(Seq(l, g, dist)) if l.foldable && l.deterministic && dist.foldable =>
-      overlap(g, env(l), child, StKit.dbl(dist.eval(null)))
+      distOpt(dist).toSeq.flatMap(dd => env(l).toSeq.flatMap(overlap(g, _, child, dd)))
     case _ => Seq.empty
   }
+
+  private def distOpt(dist: Expression): Option[Double] =
+    Option(dist.eval(null)).map(StKit.dbl)
 
   private def inside(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan): Seq[Expression] =
     sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1) =>

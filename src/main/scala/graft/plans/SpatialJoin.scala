@@ -144,9 +144,12 @@ object SpatialJoin {
 
   /**
    * KNN join: for every left row, the k nearest right geometries (ties
-   * broken by right key). The right side is collected driver-side (it is
-   * the broadcast side by definition) and each left row computes its own
-   * top-k in ONE projection — `array_sort` over struct(dist, key)
+   * broken by right key). The right side (the broadcast side by
+   * definition) is packed into ONE row with `collect_list` and shipped
+   * through a genuine broadcast exchange — never a driver `collect()` or
+   * a plan literal, so the serialized plan stays tiny and Spark's
+   * broadcast memory accounting/spill applies. Each left row computes its
+   * own top-k in ONE projection — `array_sort` over struct(dist, key)
    * lexicographic ordering — so there is NO shuffle and NO window: the
    * left side streams through map-only. The full right row is re-attached
    * with a broadcast equi-join on the key.
@@ -159,23 +162,33 @@ object SpatialJoin {
       right: DataFrame, rightGeom: Column, rightKey: Column,
       k: Int): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val rightRows: Seq[(Long, Array[Byte])] = right
-      .select(rightKey.cast("long").as("k"), rightGeom.cast("binary").as("g"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-    require(rightRows.map(_._1).distinct.size == rightRows.size, "rightKey must be unique")
-    val candidates = typedlit(rightRows)
+    import org.apache.spark.sql.types._
+    val keyType = right.select(rightKey).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"knnJoin rightKey must be an integral type (got $keyType); " +
+        "cast explicitly or use a surrogate key")
+    // One-row frame holding all (key, geom) candidates; uniqueness of the
+    // key is asserted distributedly (assert_true returns null on success,
+    // so the filter passes every row through).
+    val packed = right
+      .select(rightKey.cast("long").as("__k"), rightGeom.cast("binary").as("__g"))
+      .agg(collect_list(struct(c("__k"), c("__g"))).as("__cands"))
+      .where(assert_true(
+        size(array_distinct(transform(c("__cands"), r => r.getField("__k")))) === size(c("__cands")),
+        lit("knnJoin: rightKey must be unique")).isNull)
 
     val l = left.withColumn("__lgeom", leftGeom)
-    val topk = l.withColumn("__knn",
-        slice(array_sort(transform(candidates, r =>
+    val topk = l.crossJoin(broadcast(packed))
+      .withColumn("__knn",
+        slice(array_sort(transform(c("__cands"), r =>
           struct(
-            col(StDistance(ex(c("__lgeom")), ex(r.getField("_2")))).as("d"),
-            r.getField("_1").as("rk")))), 1, k))
+            col(StDistance(ex(c("__lgeom")), ex(r.getField("__g")))).as("d"),
+            r.getField("__k").as("rk")))), 1, k))
       .select(l.columns.map(c) :+ posexplode(c("__knn")): _*)
       .withColumn("knn_rank", (c("pos") + 1).cast("int"))
       .withColumn("knn_dist", c("col").getField("d"))
       .withColumn("__rk", c("col").getField("rk"))
-      .drop("pos", "col", "__lgeom")
+      .drop("pos", "col", "__lgeom", "__cands")
     topk.join(broadcast(right.withColumn("__rk", rightKey.cast("long"))), "__rk").drop("__rk")
   }
 }

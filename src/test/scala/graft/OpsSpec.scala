@@ -90,7 +90,7 @@ class OpsSpec extends SparkSpec {
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
       (i.toLong, base.map(v => v + 0.02f * ((i * 3) % 7)))
     }.toDF("vec_id", "embedding")
-    val g = Similarity.knnGraph(emb, col("embedding"), col("vec_id"), k = 3, nbits = 8, probes = 4)
+    val g = Similarity.knnGraph(emb, col("embedding"), col("vec_id"), k = 3, bitsPerBand = 6, bands = 6)
       .as[(Long, Long, Double, Int)].collect()
     // every vector gets neighbors, and neighbors share the vector's cluster
     val byId = g.groupBy(_._1)
@@ -105,9 +105,28 @@ class OpsSpec extends SparkSpec {
     } :+ (100L, Array.tabulate(8)(j => ((3 * 13 + j * 7) % 11 - 5).toFloat * 1.001f)))
       .toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(emb, col("embedding"), col("vec_id"),
-        threshold = 0.999, nbits = 6)
+        threshold = 0.999, bitsPerBand = 6, bands = 8)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 100L)), s"expected (3,100) in $pairs")
+  }
+
+  test("banded LSH candidate volume grows ~linearly with corpus size") {
+    // each vector gets exactly one seeded near-dup (scaled copy); the rest
+    // are pseudo-random. If banding works, candidates track the number of
+    // true pairs (linear), not all-pairs (quadratic).
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(11)
+      val base = (0 until n).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      val dups = base.map { case (i, v) => (i + n.toLong, v.map(_ * 1.01f)) }
+      (base ++ dups).toDF("vec_id", "embedding")
+    }
+    def nCands(n: Int): Long =
+      Similarity.cosineCandidatePairs(corpus(n), col("embedding"), col("vec_id"),
+        bitsPerBand = 16, bands = 8).count()
+    val small = nCands(200) // 400 vectors, 200 true pairs
+    val big = nCands(400)   // 800 vectors, 400 true pairs
+    assert(small >= 200, s"recall hole: only $small candidates for 200 seeded pairs")
+    assert(big <= small * 3, s"candidate blowup: $small -> $big when corpus doubled")
   }
 
   test("ivf assigns clusters and finds neighbors in probed lists") {
