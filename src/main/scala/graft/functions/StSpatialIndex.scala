@@ -118,6 +118,146 @@ object StMortonCell {
   }
 }
 
+/**
+ * Exact k-nearest-neighbors of a geometry within a packed candidate array
+ * (the broadcast side of `SpatialJoin.knnJoin`). children =
+ * (geom WKB, candidates array<struct<key long, wkb binary>>, k literal).
+ * Returns array<struct<d double, rk long>> sorted by (distance, key) —
+ * the deterministic tie-break the oracle's ORDER BY dist, key expects.
+ *
+ * The candidate array is identical for every row of a knnJoin (it comes
+ * from one broadcast row), so the expression deserializes it ONCE per
+ * expression instance: geometries, envelopes and — above
+ * [[StKnn.TreeThreshold]] candidates — a bulk-built JTS STRtree are cached
+ * behind a volatile immutable holder (rebuild on fingerprint mismatch is
+ * benign and correct). Per row the cost is then O(log R + k) via STRtree
+ * branch-and-bound (plus an exact tie-fix range query) instead of the
+ * O(R log R) sort-everything a `transform`+`array_sort` plan pays — the
+ * difference between "scans all of |R| per left row" and a plan that
+ * survives a 100k-candidate broadcast.
+ */
+case class StKnn(children: Seq[Expression]) extends StNary {
+  import StKnn._
+  override def dataType: DataType = ArrayType(resultType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    children.map(_.dataType) match {
+      case Seq(BinaryType, ArrayType(s: StructType, _), IntegerType)
+          if s.length == 2 && s(0).dataType == LongType && s(1).dataType == BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"st_knn expects (wkb binary, array<struct<long,binary>>, int), got ${other.mkString(", ")}")
+    }
+  }
+
+  @transient @volatile private var cached: Cands = _
+
+  private def candsFor(arr: org.apache.spark.sql.catalyst.util.ArrayData): Cands = {
+    val n = arr.numElements()
+    val fp = if (n == 0) (0, 0L, 0L)
+    else (n, arr.getStruct(0, 2).getLong(0), arr.getStruct(n - 1, 2).getLong(0))
+    val c = cached
+    if (c != null && c.fp == fp) return c
+    val keys = new Array[Long](n)
+    val geoms = new Array[org.locationtech.jts.geom.Geometry](n)
+    var hasEmpty = false
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      keys(i) = row.getLong(0)
+      geoms(i) = Geom.deserialize(row.getBinary(1))
+      geoms(i).getEnvelopeInternal // force envelope before publishing (thread-safety)
+      hasEmpty ||= geoms(i).isEmpty
+      i += 1
+    }
+    val tree = if (n >= TreeThreshold && !hasEmpty) {
+      val t = new org.locationtech.jts.index.strtree.STRtree()
+      var j = 0
+      while (j < n) { t.insert(geoms(j).getEnvelopeInternal, Integer.valueOf(j)); j += 1 }
+      t.build() // bulk-build now: lazy build on first query is not thread-safe
+      t
+    } else null
+    val built = new Cands(fp, keys, geoms, tree)
+    cached = built
+    built
+  }
+
+  protected def run(vs: Seq[Any]): Any = {
+    val g = geom(vs(0))
+    val arr = vs(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val k = int(vs(2))
+    val c = candsFor(arr)
+    val n = c.keys.length
+    if (n == 0 || k <= 0) return new GenericArrayData(Array.empty[Any])
+
+    // candidate index set: all of them (linear), or STRtree-pruned
+    val idx: Array[Int] =
+      if (c.tree == null) Array.range(0, n)
+      else {
+        val env = g.getEnvelopeInternal
+        // exact k-NN by branch-and-bound, then re-collect EVERYTHING at
+        // distance <= d_k so equal-distance ties resolve by key, not by
+        // tree traversal order.
+        val knn = c.tree.nearestNeighbour(env, Integer.valueOf(-1), ItemDist(g, c.geoms), math.min(k, n))
+        var dk = 0.0
+        knn.foreach { o =>
+          val d = g.distance(c.geoms(o.asInstanceOf[Integer].intValue()))
+          if (d > dk) dk = d
+        }
+        val hits = new java.util.ArrayList[Int]()
+        val q = new org.locationtech.jts.geom.Envelope(env)
+        q.expandBy(dk)
+        c.tree.query(q, (item: AnyRef) => hits.add(item.asInstanceOf[Integer].intValue()))
+        val out = new Array[Int](hits.size())
+        var i = 0
+        while (i < out.length) { out(i) = hits.get(i); i += 1 }
+        out
+      }
+
+    val scored = idx.map(i => (g.distance(c.geoms(i)), c.keys(i)))
+      .sortBy(identity) // (distance, key) ascending — deterministic ties
+      .take(k)
+    new GenericArrayData(scored.map { case (d, key) =>
+      // Seq[Any]: Seq(d, key) alone would weak-conformance-widen the Long
+      // key to Double and silently corrupt the struct.
+      CatalystRow.fromSeq(Seq[Any](d, key)): Any
+    })
+  }
+  override def prettyName: String = "st_knn"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+object StKnn {
+  /** Below this many candidates a linear scan beats tree traversal. */
+  val TreeThreshold = 128
+
+  val resultType: StructType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("rk", LongType, nullable = false)))
+
+  private final class Cands(
+      val fp: (Int, Long, Long),
+      val keys: Array[Long],
+      val geoms: Array[org.locationtech.jts.geom.Geometry],
+      val tree: org.locationtech.jts.index.strtree.STRtree)
+
+  /** Item distance over cached geometry indices (query item is -1 = g). */
+  private case class ItemDist(g: org.locationtech.jts.geom.Geometry,
+      geoms: Array[org.locationtech.jts.geom.Geometry])
+      extends org.locationtech.jts.index.strtree.ItemDistance {
+    private def geomOf(o: AnyRef): org.locationtech.jts.geom.Geometry = {
+      val i = o.asInstanceOf[Integer].intValue()
+      if (i < 0) g else geoms(i)
+    }
+    override def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
+        b: org.locationtech.jts.index.strtree.ItemBoundable): Double =
+      geomOf(a.getItem.asInstanceOf[AnyRef]).distance(geomOf(b.getItem.asInstanceOf[AnyRef]))
+  }
+}
+
 /** Hausdorff-ish cheap centroid cell (used for KNN pre-bucketing). */
 case class StCentroidCell(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -149,10 +149,17 @@ object SpatialJoin {
    * through a genuine broadcast exchange — never a driver `collect()` or
    * a plan literal, so the serialized plan stays tiny and Spark's
    * broadcast memory accounting/spill applies. Each left row computes its
-   * own top-k in ONE projection — `array_sort` over struct(dist, key)
-   * lexicographic ordering — so there is NO shuffle and NO window: the
-   * left side streams through map-only. The full right row is re-attached
-   * with a broadcast equi-join on the key.
+   * own top-k in ONE projection via [[graft.functions.StKnn]]: the
+   * candidate array is deserialized once per task (not once per row) and
+   * above ~128 candidates an STRtree answers each row in O(log R + k)
+   * branch-and-bound with an exact (distance, key) tie-break — so there
+   * is NO shuffle and NO window: the left side streams through map-only.
+   * The full right row is re-attached with a broadcast equi-join on the
+   * key.
+   *
+   * `rightKey` must be an integral type (since round 3; string/decimal
+   * keys previously worked via an implicit cast("long") — cast explicitly
+   * or add a surrogate key).
    *
    * For right sides too big to broadcast, pre-filter with `lshTopK`-style
    * bucketing or a coarse `tileJoin` on expanded cells first.
@@ -179,11 +186,7 @@ object SpatialJoin {
 
     val l = left.withColumn("__lgeom", leftGeom)
     val topk = l.crossJoin(broadcast(packed))
-      .withColumn("__knn",
-        slice(array_sort(transform(c("__cands"), r =>
-          struct(
-            col(StDistance(ex(c("__lgeom")), ex(r.getField("__g")))).as("d"),
-            r.getField("__k").as("rk")))), 1, k))
+      .withColumn("__knn", col(StKnn(Seq(ex(c("__lgeom")), ex(c("__cands")), ex(lit(k))))))
       .select(l.columns.map(c) :+ posexplode(c("__knn")): _*)
       .withColumn("knn_rank", (c("pos") + 1).cast("int"))
       .withColumn("knn_dist", c("col").getField("d"))

@@ -76,6 +76,23 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("knn join STRtree path (>=128 candidates) == brute force, ties by key") {
+    import org.apache.spark.sql.expressions.Window
+    // grid candidates: many exact distance ties (symmetric layout)
+    val cands = spark.range(400).select(col("id").as("cid"),
+      st_point((col("id") % 20).cast("double"), (col("id") / 20).cast("double")).as("cpt"))
+    val queries = spark.range(15).select(col("id").as("qid"),
+      st_point((col("id") * 1.5) + 0.25, lit(9.5)).as("qpt"))
+    val got = SpatialJoin.knnJoin(queries, col("qpt"), col("qid"), cands, col("cpt"), col("cid"), k = 5)
+      .select("qid", "cid", "knn_rank").as[(Long, Long, Int)].collect().toSet
+    val brute = queries.crossJoin(cands)
+      .withColumn("d", st_distance(col("qpt"), col("cpt")))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid").orderBy(asc("d"), asc("cid"))))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("rn").cast("int")).as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
   test("knn join returns k nearest with correct ordering") {
     val got = SpatialJoin.knnJoin(pts.limit(20), col("pt"), col("pid"),
         boxes.select(col("bid"), st_centroid(col("box")).as("c")), col("c"),
