@@ -157,8 +157,18 @@ object Dedup {
   def nearDupDrops(df: DataFrame, id: Column, text: Column,
                    threshold: Double, shingleK: Int = 5): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val pairs = minhashDedup(df, id, text, threshold, shingleK)
-    clusterPairs(pairs)
+    val base = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
+      .withColumn("__sig", col2(MinHashSig(ex(c("__sh")), ex(lit(128)))))
+      .persist()
+    val cands = candidatesFromSigs(base.select(c("__jid").as("__id"), c("__sig")), 128, 16)
+    val pairs = jaccardVerify(cands, base.select(c("__jid"), c("__sh")), threshold)
+    // clusterPairs runs its jobs eagerly (localCheckpoint rounds), and its
+    // result is lineage-independent of `base` — release the cached
+    // signatures before returning so repeated pipeline runs don't pile up
+    // storage (at corpus scale a leaked signature cache is real memory).
+    val clusters = clusterPairs(pairs)
+    base.unpersist(blocking = false)
+    clusters
       .where(c("id") =!= c("cluster")) // cluster representative (min id) survives
       .select(c("id"))
   }
