@@ -595,6 +595,39 @@ object SparkEntry {
       SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ----- spatial SQL DML over GeoTable (§2.8; reference
+    // TestSedonaIcebergExtension.scala:85-91) — a fresh copy-on-write table
+    // per run, mutated through the SQL front-half, result read back from the
+    // committed snapshot. DuckDB oracle computes the same end state
+    // relationally, so UPDATE semantics (matched rows changed, others and
+    // row count preserved) are hash-checked, not just smoke-checked.
+    "geo_dml_update" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_dml_u").toString + "/t"
+      val src = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"),
+        lit(0).as("flag"))
+      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      graft.tables.GeoTable.register(s, "geo_dml_upd_t", root)
+      graft.tables.GeoSql.exec(s,
+        "UPDATE geo_dml_upd_t SET flag = 1 WHERE st_within(geo, st_makeenvelope(0.005D, -0.5D, 5000.005D, 10.5D))")
+      graft.tables.GeoTable.read(s, root)
+        .select(col("c_custkey"), col("flag")).orderBy("c_custkey")
+    }),
+
+    "geo_dml_delete" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_dml_d").toString + "/t"
+      val src = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
+      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      graft.tables.GeoTable.register(s, "geo_dml_del_t", root)
+      graft.tables.GeoSql.exec(s,
+        "DELETE FROM geo_dml_del_t WHERE st_intersects(geo, st_makeenvelope(2000.005D, 4.5D, 9000.005D, 19.5D))")
+      graft.tables.GeoTable.read(s, root)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey")
+    }),
+
     // scale path for dedup planning: HLL++ estimate vs exact count — at
     // 100 TB the estimate is a single map-side sketch merge, no shuffle of
     // distinct values. Rows-only (approx value is engine-specific).
@@ -958,5 +991,21 @@ object SparkEntry {
     "lang_distribution" -> """
       SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+
+    // end state of UPDATE ... WHERE st_within(point, envelope): strict
+    // interior, bounds at non-representable decimals so no point sits on a
+    // boundary (same convention as st_within_range)
+    "geo_dml_update" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > 0.005 AND c_acctbal < 5000.005
+                   AND c_nationkey >= 0 AND c_nationkey <= 10
+                  THEN 1 ELSE 0 END AS flag
+      FROM customer ORDER BY c_custkey""",
+
+    "geo_dml_delete" -> """
+      SELECT c_nationkey, COUNT(*) AS n FROM customer
+      WHERE NOT (c_acctbal > 2000.005 AND c_acctbal < 9000.005
+                 AND c_nationkey >= 5 AND c_nationkey <= 19)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
   )
 }

@@ -1,0 +1,181 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.locationtech.jts.geom.Envelope
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * File-level metadata for GeoTable (SURVEY.md §2.8): the Spark-native analog
+ * of an Iceberg manifest (reference: the extension's DML tests rely on
+ * Iceberg manifests for file-level predicate pruning —
+ * extension/.../SedonaPredicatePushDown.scala:59). Each table version is one
+ * manifest listing immutable data files with per-file row counts and the
+ * geometry column's bbox; a query envelope prunes FILES on the driver
+ * before Spark ever opens a footer — at 100k-file scale that is the
+ * difference between listing metadata and reading 100k parquet footers.
+ *
+ * Format (line-oriented text, tab-separated; no external JSON dep):
+ * {{{
+ *   graftgeo  1
+ *   schema    <StructType.json — carries GEOMETRY field metadata>
+ *   geom      <geometry column name, or -- when none>
+ *   file      <path>  <rows>  <xmin>  <ymin>  <xmax>  <ymax>
+ * }}}
+ * Layout under a table root:
+ * {{{
+ *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
+ *   <root>/_current               text pointer: current N
+ *   <root>/data/c<uuid>/part-*    immutable data files, one dir per commit
+ * }}}
+ * Single-writer assumption (documented contract, like a Hive table without
+ * a lock service): concurrent readers always see a complete manifest
+ * because manifests are immutable and `_current` flips last.
+ */
+object GeoManifest {
+
+  /** One immutable data file. bbox is NaN-bounded when rows have no
+    * geometry (empty file or no geometry column). */
+  final case class FileEntry(path: String, rows: Long,
+                             xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
+    def intersects(e: Envelope): Boolean =
+      !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
+        ymin <= e.getMaxY && ymax >= e.getMinY
+    /** Normalized key matching Spark's `input_file_name()` form. */
+    def key: String = GeoManifest.norm(path)
+  }
+
+  final case class Manifest(version: Int, schema: StructType,
+                            geomCol: Option[String], files: Seq[FileEntry]) {
+    def totalRows: Long = files.map(_.rows).sum
+    /** Files that can contain rows whose geometry bbox-intersects `e`. */
+    def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
+  }
+
+  /** file:///a/b, file:/a/b, hdfs://nn/a/b and /a/b all compare equal. */
+  def norm(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+    } catch { case _: Exception => p }
+
+  def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // -------------------------------------------------------------------------
+  // IO
+  // -------------------------------------------------------------------------
+
+  private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val cur = new Path(root, "_current")
+    if (f.exists(cur)) Some(readText(f, cur).trim.toInt) else None
+  }
+
+  def write(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val f = fs(spark, root)
+    val lines = new StringBuilder()
+    lines ++= "graftgeo\t1\n"
+    lines ++= s"schema\t${m.schema.json}\n"
+    lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
+    m.files.foreach { e =>
+      lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}\n"
+    }
+    // manifest first (immutable, new name), pointer flip last
+    writeText(f, new Path(root, s"_manifests/m${m.version}.txt"), lines.toString)
+    writeText(f, new Path(root, "_current"), m.version.toString)
+  }
+
+  def read(spark: SparkSession, root: String): Manifest = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no GeoTable at $root (missing _current)"))
+    readVersion(spark, root, v)
+  }
+
+  def readVersion(spark: SparkSession, root: String, v: Int): Manifest = {
+    val f = fs(spark, root)
+    val text = readText(f, new Path(root, s"_manifests/m$v.txt"))
+    var schema: StructType = null
+    var geomCol: Option[String] = None
+    val files = Seq.newBuilder[FileEntry]
+    text.split('\n').filter(_.nonEmpty).foreach { line =>
+      val parts = line.split('\t')
+      parts(0) match {
+        case "graftgeo" =>
+          require(parts(1) == "1", s"unsupported GeoTable manifest version ${parts(1)}")
+        case "schema" =>
+          schema = org.apache.spark.sql.types.DataType.fromJson(
+            line.substring("schema\t".length)).asInstanceOf[StructType]
+        case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
+        case "file" => files += FileEntry(parts(1), parts(2).toLong,
+          parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
+        case other => throw new IllegalArgumentException(s"bad manifest line: $other")
+      }
+    }
+    require(schema != null, s"manifest m$v.txt at $root has no schema line")
+    GeoSchema.validate(schema)
+    Manifest(v, schema, geomCol, files.result())
+  }
+
+  // -------------------------------------------------------------------------
+  // Stats collection
+  // -------------------------------------------------------------------------
+
+  /** Per-file row counts + geometry bbox for freshly written files: one
+    * distributed scan grouped by `input_file_name()` (the write-side stats
+    * collection Iceberg does inline; read-back keeps us on public API). */
+  def collectStats(spark: SparkSession, schema: StructType,
+                   paths: Seq[String], geomCol: Option[String]): Seq[FileEntry] = {
+    if (paths.isEmpty) return Seq.empty
+    import graft.functions.GraftFunctions._
+    val df = spark.read.schema(schema).parquet(paths: _*)
+      .withColumn("__graft_file", input_file_name())
+    val grouped = geomCol match {
+      case Some(g) =>
+        df.groupBy("__graft_file").agg(
+          count(lit(1)).as("rows"),
+          min(st_xmin(col(g))).as("xmin"), min(st_ymin(col(g))).as("ymin"),
+          max(st_xmax(col(g))).as("xmax"), max(st_ymax(col(g))).as("ymax"))
+      case None =>
+        df.groupBy("__graft_file").agg(count(lit(1)).as("rows"))
+          .withColumn("xmin", lit(Double.NaN)).withColumn("ymin", lit(Double.NaN))
+          .withColumn("xmax", lit(Double.NaN)).withColumn("ymax", lit(Double.NaN))
+    }
+    val byKey = grouped.collect().map { r =>
+      norm(r.getString(0)) -> (r.getLong(1),
+        Option(r.get(2)).fold(Double.NaN)(v => r.getDouble(2)),
+        Option(r.get(3)).fold(Double.NaN)(_ => r.getDouble(3)),
+        Option(r.get(4)).fold(Double.NaN)(_ => r.getDouble(4)),
+        Option(r.get(5)).fold(Double.NaN)(_ => r.getDouble(5)))
+    }.toMap
+    // a written file with zero rows (possible from empty partitions) still
+    // needs an entry so the manifest's file list matches the directory
+    paths.map { p =>
+      byKey.get(norm(p)) match {
+        case Some((rows, x0, y0, x1, y1)) => FileEntry(p, rows, x0, y0, x1, y1)
+        case None => FileEntry(p, 0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      }
+    }
+  }
+
+  /** List the part files of a freshly written parquet commit dir. */
+  def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+  }
+}

@@ -1,0 +1,192 @@
+package graft.tables
+
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * SQL DML front-end for GeoTable — the user-visible match for the
+ * reference's spatial DML (reference: extension/src/test/scala/org/apache/
+ * iceberg/TestSedonaIcebergExtension.scala:85-91 runs
+ * `UPDATE demo.db.test_geom SET data = 'updated' WHERE ST_Intersects(...)`;
+ * example/.../App.scala:66 the same against a live catalog).
+ *
+ * Statements handled (only for tables in GeoTable's registry, plus
+ * `USING GEO` DDL — everything else delegates to Spark's parser):
+ *  - CREATE TABLE t (id INT, geo GEOMETRY) USING GEO [LOCATION '<root>']
+ *  - INSERT INTO t VALUES ... | SELECT ...
+ *  - UPDATE t SET c = e[, ...] [WHERE cond]
+ *  - DELETE FROM t [WHERE cond]
+ *
+ * Split front/back: `GeoSqlParser` (injected via
+ * SparkSessionExtensions.injectParser) turns matching statements into
+ * `LeafRunnableCommand`s so `spark.sql("UPDATE ...")` works end-to-end;
+ * `GeoSql.exec` runs the same front-half directly for sessions built
+ * without the extension (e.g. the correctness driver's vanilla session).
+ * The SET/WHERE fragments are re-parsed by Spark itself (`expr(...)`), so
+ * the full ST_ catalog and every Spark SQL expression work in DML.
+ */
+object GeoSql {
+
+  private val createRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*USING\s+GEO\b(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+  private val insertRe =
+    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\b.+|SELECT\b.+|FROM\b.+|WITH\b.+|TABLE\b.+)\s*;?\s*""".r
+  private val updateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val deleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** Front-half: our command when the statement targets a geo table. */
+  def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case createRe(name, colsDdl, location) =>
+      Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
+    case insertRe(name, query) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoInsertCommand(name, query))
+    case updateRe(name, setsSql, condSql) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoUpdateCommand(name, splitAssignments(setsSql), Option(condSql)))
+    case deleteRe(name, condSql) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoDeleteCommand(name, Option(condSql)))
+    case _ => None
+  }
+
+  /** Run a statement through the geo front-half, else plain spark.sql —
+    * works on any session, extension or not. */
+  def exec(spark: SparkSession, sqlText: String): DataFrame =
+    maybeCommand(sqlText) match {
+      case Some(cmd: GeoRunnable) =>
+        val rows = cmd.execute(spark)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType.fromDDL("num_affected_rows BIGINT"))
+      case _ => spark.sql(sqlText)
+    }
+
+  /** `a = e1, b = e2` -> Seq(a -> "e1", b -> "e2"); commas inside
+    * parens/quotes don't split. */
+  private[tables] def splitAssignments(s: String): Seq[(String, String)] =
+    splitTop(s, ',').map { a =>
+      val i = topLevelEq(a)
+      require(i > 0, s"bad SET assignment: '$a'")
+      (a.substring(0, i).trim, a.substring(i + 1).trim)
+    }
+
+  /** Index of the first top-level '=' (not inside parens/quotes, not part
+    * of <=, >=, !=, ==). */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' if depth == 0 =>
+          val prev = if (i > 0) s.charAt(i - 1) else ' '
+          val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+          if (prev != '<' && prev != '>' && prev != '!' && prev != '=' && next != '=') return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private[tables] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var quote: Char = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+/** Common shape: eager command returning `num_affected_rows`. */
+sealed trait GeoRunnable extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  def execute(spark: SparkSession): Seq[Row]
+  override def run(sparkSession: SparkSession): Seq[Row] = execute(sparkSession)
+}
+
+/** CREATE TABLE ... USING GEO: GEOMETRY columns become tagged BINARY
+  * (GeoSchema.fromDdl); default location under the warehouse dir. */
+case class GeoCreateTableCommand(name: String, colsDdl: String,
+                                 location: Option[String]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val schema = GeoSchema.fromDdl(colsDdl)
+    val geomCol = GeoSchema.geometryColumns(schema).headOption.map(_._1)
+    val root = location.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      s"$wh/geo/${name.replace('.', '_')}"
+    }
+    if (GeoManifest.currentVersion(spark, root).isEmpty)
+      GeoTable.createEmpty(spark, root, schema, geomCol)
+    GeoTable.register(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+case class GeoInsertCommand(name: String, query: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    val n = GeoTable.append(spark, root, spark.sql(query))
+    GeoTable.register(spark, name, root) // refresh the temp view snapshot
+    Seq(Row(n))
+  }
+}
+
+case class GeoUpdateCommand(name: String, sets: Seq[(String, String)],
+                            condSql: Option[String]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    val n = GeoTable.update(spark, root,
+      sets.map { case (c, v) => c -> expr(v) },
+      condSql.map(expr).getOrElse(lit(true)))
+    GeoTable.register(spark, name, root)
+    Seq(Row(n))
+  }
+}
+
+case class GeoDeleteCommand(name: String, condSql: Option[String]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    val n = GeoTable.delete(spark, root, condSql.map(expr).getOrElse(lit(true)))
+    GeoTable.register(spark, name, root)
+    Seq(Row(n))
+  }
+}
+
+/**
+ * Delegating parser (SparkSessionExtensions.injectParser): geo DML/DDL is
+ * recognized here; every other statement — and every non-plan parse — goes
+ * straight to Spark's parser.
+ */
+class GeoSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GeoSql.maybeCommand(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}

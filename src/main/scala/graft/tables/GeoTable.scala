@@ -1,0 +1,209 @@
+package graft.tables
+
+import graft.tables.GeoManifest.{FileEntry, Manifest}
+
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.locationtech.jts.geom.Envelope
+
+/**
+ * Versioned copy-on-write geo table over parquet — the Spark-native
+ * re-expression of the reference's spatial DML against Iceberg
+ * (reference: extension/src/test/scala/org/apache/iceberg/
+ * TestSedonaIcebergExtension.scala:85-91 runs
+ * `UPDATE ... WHERE ST_Intersects(...)` with file-pruned plans).
+ *
+ * Design for 100 TB:
+ *  - Data files are immutable; every commit writes new files and a new
+ *    manifest (GeoManifest) — snapshot isolation for readers, O(1) rollback.
+ *  - UPDATE/DELETE rewrite ONLY affected files: manifest bbox stats prune
+ *    candidates on the driver (no footer reads), one distributed scan finds
+ *    files actually containing matches, untouched files carry over by
+ *    reference. A point-update on a Z-ordered table touches a handful of
+ *    files regardless of table size — same asymptotics as Iceberg COW.
+ *  - DELETE drops fully-matched files as pure metadata (no rewrite at all).
+ *  - All row work is DataFrame operations (codegen'd predicates, pushed
+ *    filters); the driver only handles file lists and counts.
+ */
+object GeoTable {
+
+  /** name -> table root; the session-agnostic catalog for the SQL front-end. */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    registry.put(name.toLowerCase, root)
+    refreshView(spark, name)
+  }
+
+  def registeredRoot(name: String): Option[String] = Option(registry.get(name.toLowerCase))
+
+  def drop(spark: SparkSession, name: String): Unit = {
+    registry.remove(name.toLowerCase)
+    spark.catalog.dropTempView(name)
+  }
+
+  private def refreshView(spark: SparkSession, name: String): Unit =
+    read(spark, registry.get(name.toLowerCase)).createOrReplaceTempView(name)
+
+  // -------------------------------------------------------------------------
+  // Table lifecycle
+  // -------------------------------------------------------------------------
+
+  /** Create a table at `root` from `df` (write + stats + manifest v0).
+    * `geomCol` enables per-file bbox stats and spatial file pruning. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             geomCol: Option[String] = None): Unit = {
+    require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
+    val tagged = geomCol.filterNot(g => GeoSchema.isGeometry(df.schema(g)))
+      .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
+    val files = writeCommit(spark, root, tagged, tagged.schema, geomCol)
+    GeoManifest.write(spark, root, Manifest(0, tagged.schema, geomCol, files))
+  }
+
+  /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+                  geomCol: Option[String]): Unit = {
+    require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
+    GeoSchema.validate(schema)
+    GeoManifest.write(spark, root, Manifest(0, schema, geomCol, Seq.empty))
+  }
+
+  /** Current snapshot as a DataFrame (schema from the manifest, so GEOMETRY
+    * metadata survives even across mixed-version files). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val m = GeoManifest.read(spark, root)
+    readFiles(spark, m.schema, m.files)
+  }
+
+  /** Snapshot restricted to files whose bbox intersects `env` — file-level
+    * pruning straight from the manifest, before any footer is opened. */
+  def readPruned(spark: SparkSession, root: String, env: Envelope): DataFrame = {
+    val m = GeoManifest.read(spark, root)
+    readFiles(spark, m.schema, m.prune(env))
+  }
+
+  /** Scan with a pushed filter: when `cond` constrains the geometry column
+    * with an ST_ predicate against literal geometry, files are pruned via
+    * the manifest first; the full `cond` still applies as the refine. */
+  def scan(spark: SparkSession, root: String, cond: Column): DataFrame = {
+    val m = GeoManifest.read(spark, root)
+    val files = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
+      case Some(env) => m.prune(env)
+      case None => m.files
+    }
+    readFiles(spark, m.schema, files).where(cond)
+  }
+
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val m = GeoManifest.read(spark, root)
+    val aligned = conform(df, m.schema)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
+    GeoManifest.write(spark, root, m.copy(version = m.version + 1, files = m.files ++ files))
+    files.map(_.rows).sum
+  }
+
+  /** SQL-semantics UPDATE: rows matching `cond` get each `sets` column
+    * replaced (RHS evaluated against the OLD row); all other rows and all
+    * untouched files are carried over unchanged. Returns affected rows. */
+  def update(spark: SparkSession, root: String,
+             sets: Seq[(String, Column)], cond: Column): Long = {
+    val m = GeoManifest.read(spark, root)
+    sets.foreach { case (c, _) => require(m.schema.fieldNames.contains(c),
+      s"UPDATE SET column '$c' not in table schema ${m.schema.fieldNames.mkString(", ")}") }
+    rewrite(spark, root, m, cond, keepNonMatching = true) { (df, hit) =>
+      val setMap = sets.toMap
+      df.select(m.schema.fields.toSeq.map { f =>
+        val out = setMap.get(f.name) match {
+          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name))
+          case None => col(f.name)
+        }
+        out.as(f.name, f.metadata) // explicit metadata: GEOMETRY tags survive computed columns
+      }: _*)
+    }
+  }
+
+  /** SQL-semantics DELETE: rows where `cond` is true are removed. Files
+    * where EVERY row matches are dropped as metadata only (no rewrite). */
+  def delete(spark: SparkSession, root: String, cond: Column): Long =
+    rewrite(spark, root, GeoManifest.read(spark, root), cond, keepNonMatching = false) {
+      (df, hit) => df.where(!coalesce(hit, lit(false)))
+    }
+
+  /** Shared COW machinery: find affected files, transform them, commit.
+    * `keepNonMatching=false` (DELETE) additionally drops fully-matched files
+    * without rewriting them. */
+  private def rewrite(spark: SparkSession, root: String, m: Manifest, cond: Column,
+                      keepNonMatching: Boolean)
+                     (transform: (DataFrame, Column) => DataFrame): Long = {
+    if (m.files.isEmpty) return 0L
+    // 1. driver-side file pruning from manifest bbox stats
+    val candidates = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
+      case Some(env) => m.prune(env)
+      case None => m.files
+    }
+    if (candidates.isEmpty) return 0L
+    // 2. one distributed scan: which candidate files hold matching rows?
+    val hits = readFiles(spark, m.schema, candidates)
+      .withColumn("__graft_file", input_file_name())
+      .where(cond)
+      .groupBy("__graft_file").agg(count(lit(1)).as("n"))
+      .collect().map(r => GeoManifest.norm(r.getString(0)) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return 0L
+    val affected = candidates.filter(f => hits.contains(f.key))
+    // 3. DELETE fast path: fully-matched files vanish as metadata
+    val (dropOnly, toRewrite) =
+      if (keepNonMatching) (Seq.empty[FileEntry], affected)
+      else affected.partition(f => hits(f.key) == f.rows)
+    // 4. rewrite only the files that keep some rows
+    val newFiles =
+      if (toRewrite.isEmpty) Seq.empty[FileEntry]
+      else writeCommit(spark, root,
+        transform(readFiles(spark, m.schema, toRewrite), cond), m.schema, m.geomCol)
+    val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
+    GeoManifest.write(spark, root,
+      m.copy(version = m.version + 1, files = untouched ++ newFiles))
+    hits.values.sum
+  }
+
+  // -------------------------------------------------------------------------
+  // Internals
+  // -------------------------------------------------------------------------
+
+  private def readFiles(spark: SparkSession, schema: StructType, files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema).parquet(files.map(_.path): _*)
+
+  /** Write `df` as a fresh immutable commit dir and stat the new files. */
+  private def writeCommit(spark: SparkSession, root: String, df: DataFrame,
+                          schema: StructType, geomCol: Option[String]): Seq[FileEntry] = {
+    val dir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(dir)
+    GeoManifest.collectStats(spark, schema, GeoManifest.listParquet(spark, dir), geomCol)
+  }
+
+  /** Align column order/types (+ GEOMETRY metadata) to the table schema. */
+  private def conform(df: DataFrame, schema: StructType): DataFrame = {
+    require(df.columns.length == schema.fields.length,
+      s"INSERT has ${df.columns.length} columns; table expects ${schema.fields.length}")
+    // positional rename first: source column names may contain dots/parens
+    // (e.g. an unaliased `st_point(20.0, 30.0)` from INSERT ... SELECT)
+    df.toDF(schema.fieldNames.toSeq: _*).select(schema.fields.toSeq.map { f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)
+    }: _*)
+  }
+
+  /** Resolve `cond` against the table's schema, then extract the implied
+    * bbox for `geomCol` (SpatialFilters) for driver-side file pruning. */
+  private def queryEnvelope(spark: SparkSession, m: Manifest, cond: Column,
+                            geomCol: String): Option[Envelope] = {
+    val probe = spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
+    try probe.where(cond).queryExecution.analyzed match {
+      case f: LFilter => graft.plans.SpatialFilters.queryEnvelope(f.condition, geomCol)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

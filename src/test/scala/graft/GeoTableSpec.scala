@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.tables.{GeoManifest, GeoSchema, GeoSql, GeoTable}
+
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Envelope
+
+/** Copy-on-write mechanics, file-level manifest pruning, and GEOMETRY
+  * typing for GeoTable (SURVEY.md §2.8; the table-format capability match
+  * for the reference's Iceberg DML — TestSedonaIcebergExtension.scala:85). */
+class GeoTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"geotable_$tag").toString + "/t"
+
+  /** 100 points on a line, written as ~5 files clustered by x. */
+  private def pointTable(root: String, nFiles: Int = 5): Unit = {
+    val df = spark.range(100).toDF("id")
+      .withColumn("flag", lit(0))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0)))
+      .repartitionByRange(nFiles, col("id"))
+    GeoTable.create(spark, root, df, Some("geo"))
+  }
+
+  test("update rewrites only affected files; untouched files carry over by reference") {
+    val root = tmpRoot("cow")
+    pointTable(root)
+    val before = GeoManifest.read(spark, root)
+    assert(before.files.size >= 3, s"want a multi-file table, got ${before.files.size}")
+
+    // touch only x in [10.5, 19.5] -> one or two files
+    val n = GeoTable.update(spark, root,
+      Seq("flag" -> lit(1)),
+      expr("st_within(geo, st_makeenvelope(10.5D, -1.0D, 19.5D, 1.0D))"))
+    assert(n == 9, s"rows 11..19 strictly inside, got $n")
+
+    val after = GeoManifest.read(spark, root)
+    assert(after.version == before.version + 1)
+    val carried = after.files.map(_.key).toSet.intersect(before.files.map(_.key).toSet)
+    assert(carried.nonEmpty, "untouched files must be carried over, not rewritten")
+    assert(carried.size < before.files.size, "affected files must be replaced")
+
+    val flags = GeoTable.read(spark, root).select("id", "flag").as[(Long, Int)].collect().toMap
+    (0L until 100L).foreach(i => assert(flags(i) == (if (i >= 11 && i <= 19) 1 else 0), s"id $i"))
+  }
+
+  test("update evaluates SET expressions against pre-update rows") {
+    val root = tmpRoot("swap")
+    GeoTable.create(spark, root,
+      Seq((1, 10, 20)).toDF("id", "a", "b"), None)
+    GeoTable.update(spark, root, Seq("a" -> col("b"), "b" -> col("a")), lit(true))
+    val r = GeoTable.read(spark, root).select("a", "b").as[(Int, Int)].head()
+    assert(r == ((20, 10)), s"swap must read old values, got $r")
+  }
+
+  test("delete drops fully-matched files as metadata only") {
+    val root = tmpRoot("del")
+    pointTable(root)
+    val before = GeoManifest.read(spark, root)
+    val firstFile = before.files.minBy(_.xmin)
+    // delete everything in the first file's x-range (file bbox is [xmin,xmax])
+    val n = GeoTable.delete(spark, root,
+      expr(s"st_x(geo) >= ${firstFile.xmin} AND st_x(geo) <= ${firstFile.xmax}"))
+    assert(n == firstFile.rows)
+    val after = GeoManifest.read(spark, root)
+    // pure metadata drop: no new files were written
+    assert(after.files.map(_.key).toSet.subsetOf(before.files.map(_.key).toSet))
+    assert(after.totalRows == before.totalRows - firstFile.rows)
+  }
+
+  test("scan prunes files from manifest bbox before opening footers") {
+    val root = tmpRoot("prune")
+    pointTable(root)
+    val m = GeoManifest.read(spark, root)
+    // envelope covering only x in [30.5, 33.5] -> one file of ~20
+    val pruned = GeoTable.scan(spark, root,
+      expr("st_within(geo, st_makeenvelope(30.5D, -1.0D, 33.5D, 1.0D))"))
+    val readFiles = pruned.inputFiles.map(GeoManifest.norm).toSet
+    assert(readFiles.size < m.files.size,
+      s"expected file-level pruning: read ${readFiles.size} of ${m.files.size}")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(31L, 32L, 33L))
+    // readPruned agrees with the manifest's own prune
+    val env = new Envelope(30.5, 33.5, -1.0, 1.0)
+    assert(m.prune(env).size == readFiles.size)
+  }
+
+  test("GEOMETRY metadata: DDL parse, parquet roundtrip, validate rejects drift") {
+    val schema = GeoSchema.fromDdl("id INT, data STRING, geo GEOMETRY, alt GEOMETRY('EPSG:3857')")
+    assert(GeoSchema.geometryColumns(schema) == Seq("geo" -> "EPSG:4326", "alt" -> "EPSG:3857"))
+    assert(schema("geo").dataType == org.apache.spark.sql.types.BinaryType)
+
+    // roundtrip through parquet
+    val dir = tmpRoot("meta")
+    val df = GeoSchema.markGeometry(
+      spark.range(3).toDF("id").withColumn("geo", st_point(lit(1.0), lit(2.0))), "geo", "EPSG:3857")
+    df.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(GeoSchema.geometryColumns(back.schema) == Seq("geo" -> "EPSG:3857"))
+
+    // validate: geometry-tagged non-binary must be rejected
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("geo", org.apache.spark.sql.types.StringType,
+        metadata = GeoSchema.geometryMetadata())))
+    intercept[IllegalArgumentException](GeoSchema.validate(bad))
+  }
+
+  test("opaque binary rejected in ST_ functions at analysis time") {
+    val df = GeoSchema.markOpaque(
+      spark.range(3).toDF("id").withColumn("payload", lit("img".getBytes)), "payload")
+    df.createOrReplaceTempView("opaque_blobs")
+    val err = intercept[Exception](
+      spark.sql("SELECT st_astext(payload) FROM opaque_blobs").collect())
+    assert(err.getMessage.contains("opaque"), s"got: ${err.getMessage}")
+  }
+
+  test("SQL front-half via GeoSql.exec works without the injected parser") {
+    val root = tmpRoot("exec")
+    pointTable(root)
+    GeoTable.register(spark, "exec_pts", root)
+    try {
+      val n = GeoSql.exec(spark,
+        "UPDATE exec_pts SET flag = 2 WHERE st_dwithin(geo, st_point(50.0D, 0.0D), 2.5D)")
+        .head().getLong(0)
+      assert(n == 5) // x in 48..52
+      assert(spark.table("exec_pts").where(col("flag") === 2).count() == 5)
+      val d = GeoSql.exec(spark, "DELETE FROM exec_pts WHERE flag = 2").head().getLong(0)
+      assert(d == 5)
+      assert(spark.table("exec_pts").count() == 95)
+    } finally GeoTable.drop(spark, "exec_pts")
+  }
+
+  test("multi-column SET with expressions and commas inside calls") {
+    val root = tmpRoot("sets")
+    GeoTable.create(spark, root,
+      Seq((1, 0.0, "x"), (2, 0.0, "y")).toDF("id", "v", "s"), None)
+    GeoTable.register(spark, "set_t", root)
+    try {
+      GeoSql.exec(spark,
+        "UPDATE set_t SET v = round(1.234, 1), s = concat(s, '_u') WHERE id = 1")
+      val rows = spark.table("set_t").orderBy("id").as[(Int, Double, String)].collect().toSeq
+      assert(rows == Seq((1, 1.2, "x_u"), (2, 0.0, "y")))
+    } finally GeoTable.drop(spark, "set_t")
+  }
+
+  test("snapshot isolation: previous version stays readable after DML") {
+    val root = tmpRoot("snap")
+    pointTable(root)
+    val v0 = GeoManifest.read(spark, root).version
+    GeoTable.delete(spark, root, expr("id < 50"))
+    assert(GeoTable.read(spark, root).count() == 50)
+    val old = GeoManifest.readVersion(spark, root, v0)
+    assert(old.totalRows == 100, "old manifest must still describe the full snapshot")
+  }
+}

@@ -27,10 +27,13 @@ class PlanRulesSpec extends SparkSpec {
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(optimized.contains(">= 10.5") && optimized.contains("<= 20.5"),
       s"no sidecar conjuncts in:\n$optimized")
-    // and they must reach the scan
-    val scanStr = executedPlan(q).toString
-    assert(scanStr.contains("PushedFilters: [IsNotNull(g_xmin)") || scanStr.contains("GreaterThanOrEqual(g_xmin"),
-      s"no pushed filters in:\n$scanStr")
+    // and they must reach the scan (read the scan's pushed-filter list
+    // directly — the rendered plan string truncates long filter lists)
+    val pushed = executedPlan(q).collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.dataFilters.map(_.sql)
+    }.flatten
+    assert(pushed.exists(s => s.contains("g_xmin") && s.contains(">=")),
+      s"no pushed bbox filters in: $pushed")
 
     // correctness unchanged
     val ids = q.as[Long].collect().toSet
@@ -49,8 +52,11 @@ class PlanRulesSpec extends SparkSpec {
     try {
       val q = spark.sql(
         "SELECT id FROM geo_part WHERE st_within(g, st_polygonfromenvelope(10.5, 10.5, 19.5, 19.5))")
-      val scan = executedPlan(q).toString
-      assert(scan.contains("PartitionFilters: [g_cell"), s"no partition pruning in:\n$scan")
+      val partFilters = executedPlan(q).collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.partitionFilters.map(_.sql)
+      }.flatten
+      assert(partFilters.exists(s => s.contains("g_cell") && (s.contains("IN") || s.contains("="))),
+        s"no partition pruning in: $partFilters")
       val ids = q.as[Long].collect().toSet
       val expected = (0L until 500L)
         .filter(i => (i % 40) > 10.5 && (i % 40) < 19.5 && (i % 30) > 10.5 && (i % 30) < 19.5).toSet

@@ -60,6 +60,44 @@ class ReferenceContractSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE test_geom")
   }
 
+  test("spatial SQL DML leg: CREATE GEOMETRY table, INSERT, UPDATE/DELETE with ST_ predicates") {
+    // reference: TestSedonaIcebergExtension.scala:56 (geo GEOMETRY DDL),
+    // :85-91 (UPDATE ... WHERE ST_Intersects as SQL, row counts preserved)
+    val root = java.nio.file.Files.createTempDirectory("geo_dml_ref").toString + "/t"
+    spark.sql(s"CREATE TABLE ref_geom (id INT, data STRING, geo GEOMETRY) USING GEO LOCATION '$root'")
+    try {
+      spark.sql("INSERT INTO ref_geom VALUES (1, 'data_1', st_geomfromtext('POINT (10 20)'))")
+      spark.sql("INSERT INTO ref_geom SELECT 2, 'data_2', st_point(20.0D, 30.0D)")
+
+      val allRows = spark.sql("SELECT st_astext(geo) FROM ref_geom ORDER BY id").collect()
+      assert(allRows.map(_.getString(0)).toSeq == Seq("POINT (10 20)", "POINT (20 30)"))
+
+      // range query before DML
+      val partial = spark.sql(
+        "SELECT * FROM ref_geom WHERE st_contains(st_polygonfromenvelope(15.0D, 20.0D, 30.0D, 40.0D), geo)")
+        .collect()
+      assert(partial.length == 1 && partial(0).getInt(0) == 2)
+
+      // the reference's core DML scenario: UPDATE ... WHERE ST_Intersects
+      val updated = spark.sql(
+        "UPDATE ref_geom SET data = 'updated' WHERE st_intersects(geo, st_polygonfromenvelope(15.0D, 20.0D, 30.0D, 40.0D))")
+      assert(updated.collect().head.getLong(0) == 1L)
+      assert(spark.sql("SELECT * FROM ref_geom WHERE data = 'updated'").count() == 1)
+      assert(spark.table("ref_geom").count() == 2) // row count preserved (COW, not append)
+      // the non-matching row is untouched
+      assert(spark.sql("SELECT data FROM ref_geom WHERE id = 1").head.getString(0) == "data_1")
+
+      // GEOMETRY tag survives the COW rewrite
+      val geoField = graft.tables.GeoTable.read(spark, root).schema("geo")
+      assert(graft.tables.GeoSchema.isGeometry(geoField))
+
+      // DELETE with a spatial predicate
+      spark.sql("DELETE FROM ref_geom WHERE st_within(geo, st_polygonfromenvelope(5.0D, 15.0D, 15.0D, 25.0D))")
+      val left = spark.sql("SELECT id FROM ref_geom").collect()
+      assert(left.length == 1 && left(0).getInt(0) == 2)
+    } finally graft.tables.GeoTable.drop(spark, "ref_geom")
+  }
+
   test("testSpatialJoin analog: join on ST_Contains, with and without caching, plus CTAS") {
     spark.sql("DROP TABLE IF EXISTS test_left"); spark.sql("DROP TABLE IF EXISTS test_right")
     spark.sql("DROP TABLE IF EXISTS test_ctas")
