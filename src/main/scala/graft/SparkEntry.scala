@@ -443,10 +443,27 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("knn_rank"))
     }),
 
-    // ----- transformations (§2.5): rows-only (no closed-form SQL oracle) -----
+    // ----- transformations (§2.5) -----
+    // JTS point-buffer (quadrantSegments=8) is a regular 32-gon: area has
+    // the closed form 16 r^2 sin(pi/16) (CrsSpec proves it to 1e-9), so
+    // rounding to 4dp gives a robust DuckDB oracle.
     "st_buffer_area" -> ((s, d) => prep(s, d).sql("""
-      SELECT p_partkey, st_area(st_buffer(st_point(CAST(p_size AS DOUBLE), 0.0D), 2.0D)) AS a
+      SELECT p_partkey,
+             ROUND(st_area(st_buffer(st_point(CAST(p_size AS DOUBLE), 0.0D),
+                                     CAST(p_size % 5 + 1 AS DOUBLE))), 4) AS a
       FROM part ORDER BY p_partkey""")),
+
+    // closed-form web-mercator reprojection; strictly positive lon/lat so
+    // no value rounds to +/-0 differently across engines
+    "st_transform_mercator" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT c_custkey,
+                        st_point(CAST(c_nationkey * 7 + 3 AS DOUBLE),
+                                 CAST(c_custkey % 50 + 5 AS DOUBLE)) AS pt
+                 FROM customer)
+      SELECT c_custkey,
+             ROUND(st_x(st_transform(pt, 'EPSG:4326', 'EPSG:3857')), 1) AS mx,
+             ROUND(st_y(st_transform(pt, 'EPSG:4326', 'EPSG:3857')), 1) AS my
+      FROM t ORDER BY c_custkey""")),
 
     // ----- text analysis (§2.11) -----
     "doc_token_count" -> ((s, d) => prep(s, d).sql("""
@@ -980,6 +997,39 @@ object SparkEntry {
              + least(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','for','on','with','that','as','at','by','it','from','or','be','are'))) AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
              + (1.0 - CAST(length(nospace) - length(regexp_replace(nospace, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(nospace), 1)) * 0.2 AS quality
       FROM t ORDER BY doc_id""",
+
+    "st_buffer_area" -> """
+      SELECT p_partkey,
+             ROUND(16.0 * CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE)
+                   * sin(pi() / 16), 4) AS a
+      FROM part ORDER BY p_partkey""",
+
+    "st_transform_mercator" -> """
+      SELECT c_custkey,
+             ROUND(6378137.0 * radians(CAST(c_nationkey * 7 + 3 AS DOUBLE)), 1) AS mx,
+             ROUND(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 50 + 5 AS DOUBLE)) / 2)), 1) AS my
+      FROM customer ORDER BY c_custkey""",
+
+    // exact DuckDB replica of the langId heuristic: per-lang marker hit
+    // counts, argmax with ties to the lexicographically greatest lang
+    // (matches Spark's array_max over struct(hits, lang)), 'und' on zero
+    "text_langid" -> """
+      WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks FROM documents),
+      h AS (SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS h_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','de','y','es','un','una','en','para'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','in','für','mit'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('的','是','在','了','和','有','我','他','这','中'))) AS h_zh
+        FROM t)
+      SELECT doc_id,
+             CASE WHEN greatest(h_en, h_fr, h_es, h_de, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+      FROM h ORDER BY doc_id""",
 
     "text_quality_components" -> """
       SELECT doc_id,

@@ -34,6 +34,7 @@ object GraftFunctions {
     ("st_geomfromtext", 1, es => StGeomFromText(es.head)),
     ("st_geomfromwkt", 1, es => StGeomFromText(es.head)),
     ("st_geomfromwkb", 1, es => StGeomFromWKB(es.head)),
+    ("st_geomfromgeojson", 1, es => StGeomFromGeoJson(es.head)),
     // output
     ("st_astext", 1, es => StAsText(es.head)),
     ("st_asgeojson", 1, es => StAsGeoJson(es.head)),
@@ -94,6 +95,8 @@ object GraftFunctions {
     ("st_azimuth", 2, es => StAzimuth(es(0), es(1))),
     ("st_simplify", 2, es => StSimplify(es(0), es(1))),
     ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
+    ("st_makevalid", 1, es => StMakeValid(es.head)),
+    ("st_transform", 3, es => StTransform(es)),
     // tiling primitives (spatial join / pushdown support)
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
@@ -138,6 +141,9 @@ object GraftFunctions {
     "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",
     "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
     "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
+    "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",
+    "st_makevalid" -> "st_makevalid(geom) - Repairs invalid geometry (JTS GeometryFixer); valid input unchanged.",
+    "st_geomfromgeojson" -> "st_geomfromgeojson(json) - Parses GeoJSON geometry text into WKB.",
     "st_union_aggr" -> "st_union_aggr(geom) - Aggregate: n-way cascaded union (map-side partial unions).",
     "st_envelope_aggr" -> "st_envelope_aggr(geom) - Aggregate: bounding box of all inputs (fixed-size buffer).",
     "st_centroid_aggr" -> "st_centroid_aggr(geom) - Aggregate: centroid of the input collection (dimension-stratified).",
@@ -183,6 +189,9 @@ object GraftFunctions {
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(e(a), e(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column = col(StDWithin(Seq(e(a), e(b), e(d))))
   def st_buffer(g: Column, d: Column): Column = col(StBuffer(e(g), e(d)))
+  def st_transform(g: Column, src: Column, dst: Column): Column = col(StTransform(Seq(e(g), e(src), e(dst))))
+  def st_makeValid(g: Column): Column = col(StMakeValid(e(g)))
+  def st_geomFromGeoJson(j: Column): Column = col(StGeomFromGeoJson(e(j)))
   def st_union_aggr(g: Column): Column = agg(StUnionAggr(e(g)))
   def st_envelope_aggr(g: Column): Column = agg(StEnvelopeAggr(e(g)))
   def st_centroid_aggr(g: Column): Column = agg(StCentroidAggr(e(g)))

@@ -52,6 +52,42 @@ object Geom {
       new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
       new Coordinate(xmin, ymin)))
 
+  /** GeoJSON text -> geometry; reader twin of `toGeoJson`. Jackson (on the
+    * Spark classpath) does the JSON parse; geometry assembly is ours. */
+  def fromGeoJson(json: String): Geometry = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(json)
+    def coord(n: JsonNode): Coordinate = new Coordinate(n.get(0).asDouble(), n.get(1).asDouble())
+    def coords(n: JsonNode): Array[Coordinate] = {
+      val it = n.elements(); val b = Array.newBuilder[Coordinate]
+      while (it.hasNext) b += coord(it.next()); b.result()
+    }
+    def polygon(rings: JsonNode): Polygon = {
+      val shell = factory.createLinearRing(coords(rings.get(0)))
+      val holes = (1 until rings.size()).map(i => factory.createLinearRing(coords(rings.get(i))))
+      factory.createPolygon(shell, holes.toArray)
+    }
+    def build(node: JsonNode): Geometry = {
+      val c = node.get("coordinates")
+      node.get("type").asText() match {
+        case "Point" => factory.createPoint(coord(c))
+        case "LineString" => factory.createLineString(coords(c))
+        case "Polygon" => polygon(c)
+        case "MultiPoint" => factory.createMultiPointFromCoords(coords(c))
+        case "MultiLineString" =>
+          factory.createMultiLineString(
+            (0 until c.size()).map(i => factory.createLineString(coords(c.get(i)))).toArray)
+        case "MultiPolygon" =>
+          factory.createMultiPolygon((0 until c.size()).map(i => polygon(c.get(i))).toArray)
+        case "GeometryCollection" =>
+          val gs = node.get("geometries")
+          factory.createGeometryCollection((0 until gs.size()).map(i => build(gs.get(i))).toArray)
+        case other => throw new IllegalArgumentException(s"unsupported GeoJSON type: $other")
+      }
+    }
+    build(root)
+  }
+
   /** GeoJSON text for a geometry (jts-core has no GeoJSON IO; tiny writer here). */
   def toGeoJson(g: Geometry): String = {
     def coord(c: Coordinate): String = s"[${c.x},${c.y}]"

@@ -80,6 +80,9 @@ class CatalogCoverageSpec extends SparkSpec {
     "minhash_sig" -> "size(minhash_sig(array(1, 2, 3), 16))",
     "simhash64" -> "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)))",
     "hyperplane_sig" -> "hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8)",
+    "st_transform" -> "st_x(st_transform(st_point(10, 45), 'EPSG:4326', 'EPSG:3857'))",
+    "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
+    "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",
     "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
     "st_envelope_aggr" -> "st_xmin(st_envelope_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
     "st_centroid_aggr" -> "st_x(st_centroid_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
