@@ -4,7 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query once, after a warmup that
   * absorbs session/codegen/parquet-footer startup cost. Prints ONE JSON
-  * line with per-query seconds. */
+  * line with per-query seconds.
+  *
+  * Hermetic-run discipline (round-4 lesson: BENCH_r04 recorded 5-10x
+  * swings on unchanged queries from a contended sandbox + accumulated
+  * state): the Dataset cache is cleared and a GC is requested between
+  * queries so no query pays for — or benefits from — a predecessor's
+  * blocks, and a contention sentinel re-times the first query at the end:
+  * if the machine slowed >2x during the run, the whole file says so.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,31 +25,48 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val sentinelQuery = "q1_pricing"
+
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    def timeOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
+    }
+
     // warmup: session + view registration + one scan-heavy and one join query
     SparkEntry.prep(spark, sfDir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
-    SparkEntry.queries("q1_pricing")(spark, sfDir).count()
+    val sentinelBefore = { timeOnce(sentinelQuery); timeOnce(sentinelQuery) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      hygiene()
       // min of two runs: steady-state cost, not first-run codegen/compile.
       // A crashing query records -1, never a fake fast time.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-        }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+      val times = (1 to 2).map(_ => timeOnce(name))
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+
+    hygiene()
+    val sentinelAfter = timeOnce(sentinelQuery)
+    val drift = if (sentinelBefore > 0) sentinelAfter / sentinelBefore else -1.0
+    val contended = drift > 2.0 || drift < 0
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val okTotal = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,15 +211,16 @@ object SparkEntry {
         .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))
         .where(col("quality") >= 0.3 && col("n_tokens") >= 10)
         .where(col("lang").isin("en", "fr", "es", "de"))
-      // exact dedup: keep min doc_id per identical text. Persisted: the
-      // frame feeds BOTH the near-dup detector (whose clustering jobs run
-      // eagerly below) and the final left_anti — without the cache the
-      // quality scoring + md5 window shuffle would execute twice.
-      // ContextCleaner frees the blocks once the plan is released.
+      // exact dedup: keep min doc_id per identical text. The frame feeds
+      // BOTH the near-dup detector (whose clustering jobs run eagerly
+      // below) and the final left_anti — localCheckpoint (eager)
+      // materializes the quality scoring + md5 window ONCE, and unlike
+      // persist() it pins nothing in the CacheManager: the blocks free on
+      // GC via the ContextCleaner when the result frame is dropped.
       val exactKept = scored.withColumn("__grp_min",
           min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
         .where(col("doc_id") === col("__grp_min")).drop("__grp_min")
-        .persist()
+        .localCheckpoint()
       // near-dup removal: cluster verified pairs, keep min-id per cluster
       val drops = graft.ops.Dedup.nearDupDrops(exactKept, col("doc_id"), col("text"),
         threshold = 0.5, shingleK = 5)

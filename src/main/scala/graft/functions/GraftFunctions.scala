@@ -108,6 +108,7 @@ object GraftFunctions {
     ("minhash_sig", 2, es => MinHashSig(es(0), es(1))),
     ("simhash64", 1, es => SimHash64(es.head)),
     ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
+    ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),
@@ -141,6 +142,7 @@ object GraftFunctions {
     "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",
     "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
     "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
+    "banded_hyperplane_sig" -> "banded_hyperplane_sig(vec, bitsPerBand, bands) - Per-band LSH sub-signatures; candidates when ANY band matches.",
     "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",
     "st_makevalid" -> "st_makevalid(geom) - Repairs invalid geometry (JTS GeometryFixer); valid input unchanged.",
     "st_geomfromgeojson" -> "st_geomfromgeojson(json) - Parses GeoJSON geometry text into WKB.",

@@ -130,7 +130,17 @@ object StMortonCell {
  * expression instance: geometries, envelopes and — above
  * [[StKnn.TreeThreshold]] candidates — a bulk-built JTS STRtree are cached
  * behind a volatile immutable holder (rebuild on fingerprint mismatch is
- * benign and correct). Per row the cost is then O(log R + k) via STRtree
+ * benign and correct).
+ *
+ * CACHE CONTRACT: the reuse check is an O(1) fingerprint over the length
+ * and keys/WKB-lengths at five sampled positions — collision-proof for the
+ * intended shape (ONE constant array per query, as knnJoin produces), and
+ * resistant to — but not proof against — adversarial per-row arrays that
+ * agree at all sampled positions. Feeding st_knn a candidate array that
+ * VARIES row to row (e.g. from a groupBy collect_list) is outside the
+ * expression's contract: it stays correct only up to fingerprint
+ * collisions and loses the whole caching benefit (full rebuild per
+ * distinct array). Use SpatialJoin.knnJoin per candidate group instead. Per row the cost is then O(log R + k) via STRtree
  * branch-and-bound (plus an exact tie-fix range query) instead of the
  * O(R log R) sort-everything a `transform`+`array_sort` plan pays — the
  * difference between "scans all of |R| per left row" and a plan that
@@ -155,12 +165,28 @@ case class StKnn(children: Seq[Expression]) extends StNary {
 
   @transient @volatile private var cached: Cands = _
 
+  /** O(1) fingerprint: length + (key, wkb length) at five sampled
+    * positions, mixed into one long. See the cache contract above. */
+  private def fingerprint(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var h = n.toLong
+    var s = 0
+    while (s < 5) {
+      val i = if (s == 4) n - 1 else (n.toLong * s / 4).toInt.min(n - 1)
+      val row = arr.getStruct(i, 2)
+      h = h * 0x9e3779b97f4a7c15L + row.getLong(0)
+      h = h * 0x9e3779b97f4a7c15L + row.getBinary(1).length
+      s += 1
+    }
+    h | 1L // never collides with the empty-array sentinel 0
+  }
+
   private def candsFor(arr: org.apache.spark.sql.catalyst.util.ArrayData): Cands = {
     val n = arr.numElements()
-    val fp = if (n == 0) (0, 0L, 0L)
-    else (n, arr.getStruct(0, 2).getLong(0), arr.getStruct(n - 1, 2).getLong(0))
+    val fp = fingerprint(arr)
     val c = cached
-    if (c != null && c.fp == fp) return c
+    if (c != null && c.fp == fp && c.keys.length == n) return c
     val keys = new Array[Long](n)
     val geoms = new Array[org.locationtech.jts.geom.Geometry](n)
     var hasEmpty = false
@@ -239,7 +265,7 @@ object StKnn {
     StructField("rk", LongType, nullable = false)))
 
   private final class Cands(
-      val fp: (Int, Long, Long),
+      val fp: Long,
       val keys: Array[Long],
       val geoms: Array[org.locationtech.jts.geom.Geometry],
       val tree: org.locationtech.jts.index.strtree.STRtree)

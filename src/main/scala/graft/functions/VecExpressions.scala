@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -11,6 +11,10 @@ import org.apache.spark.sql.types._
  * SimHash, random-hyperplane LSH. All single-pass scalar expressions over
  * array columns — the surrounding plumbing (shingling, banding, bucket
  * joins) stays in codegen'd Spark builtins.
+ *
+ * Every expression implements real `doGenCode` (one virtual call into the
+ * pre-compiled loop per row, children inlined in whole-stage codegen) —
+ * no CodegenFallback row materialization in the dedup/ANN hot paths.
  */
 
 private[functions] object VecKit {
@@ -41,39 +45,52 @@ private[functions] object VecKit {
 import VecKit._
 
 /** Dot product of two numeric arrays (double accumulation). */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   @transient private lazy val lf = isFloatArray(left)
   @transient private lazy val rf = isFloatArray(right)
+  def compute(a: ArrayData, b: ArrayData): Double = dot(a, lf, b, rf)
   override def nullSafeEval(a: Any, b: Any): Any =
-    dot(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** L2 norm. */
-case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   @transient private lazy val f = isFloatArray(child)
-  override def nullSafeEval(a: Any): Any = norm(a.asInstanceOf[ArrayData], f)
+  def compute(a: ArrayData): Double = norm(a, f)
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("vecNorm", this, classOf[VecNorm].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override def prettyName: String = "vec_norm"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** Cosine similarity (0 when either norm is 0). */
-case class VecCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   @transient private lazy val lf = isFloatArray(left)
   @transient private lazy val rf = isFloatArray(right)
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val nx = norm(x, lf); val ny = norm(y, rf)
     if (nx == 0.0 || ny == 0.0) 0.0 else dot(x, lf, y, rf) / (nx * ny)
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("vecCos", this, classOf[VecCosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override def prettyName: String = "vec_cosine"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -85,7 +102,7 @@ case class VecCosine(left: Expression, right: Expression)
  * seeds fixed by `seed` (deterministic across the cluster).
  */
 case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -99,14 +116,13 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
       (rnd.nextLong() & Long.MaxValue) % P))
   }
 
-  override def nullSafeEval(sh: Any, nh: Any): Any = {
-    val arr = sh.asInstanceOf[ArrayData]
+  def compute(sh: ArrayData, nh: Object): ArrayData = {
     val k = StKit.int(nh)
     require(k >= 1 && k <= 1024, s"minhash_sig supports 1..1024 hashes, got $k")
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
-    while (i < arr.numElements()) {
-      val x = (arr.getInt(i).toLong & 0xffffffffL)
+    while (i < sh.numElements()) {
+      val x = (sh.getInt(i).toLong & 0xffffffffL)
       var j = 0
       while (j < k) {
         val (a, b) = coef(j)
@@ -119,17 +135,22 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
     // empty shingle set -> all MaxValue (still deterministic)
     new GenericArrayData(out)
   }
+  override def nullSafeEval(sh: Any, nh: Any): Any =
+    compute(sh.asInstanceOf[ArrayData], nh.asInstanceOf[Object])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, (Object)($b));")
+  }
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }
 
 /** SimHash64 over per-token 64-bit hashes (from xxhash64 builtin). */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any): Any = {
-    val hs = a.asInstanceOf[ArrayData]
+  def compute(hs: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < hs.numElements()) {
@@ -146,6 +167,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -155,7 +181,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
  * Hyperplane components are seeded Gaussians — identical on every executor.
  */
 case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   @transient private lazy val lf = isFloatArray(left)
@@ -165,8 +191,7 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
     Array.fill(64)(Array.fill(4096)(rnd.nextGaussian()))
   }
 
-  override def nullSafeEval(v: Any, nb: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
+  def compute(vec: ArrayData, nb: Object): Long = {
     val nbits = StKit.int(nb)
     require(nbits >= 1 && nbits <= 64, s"hyperplane_sig supports 1..64 bits, got $nbits")
     // fail loudly instead of silently truncating to a 4096-dim prefix
@@ -186,6 +211,12 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
     }
     sig
   }
+  override def nullSafeEval(v: Any, nb: Any): Any =
+    compute(v.asInstanceOf[ArrayData], nb.asInstanceOf[Object])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("hplane", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, (Object)($b));")
+  }
   override def prettyName: String = "hyperplane_sig"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
@@ -203,7 +234,7 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
  */
 case class BandedHyperplaneSig(first: Expression, second: Expression, third: Expression,
                                seed: Long = 7L)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   @transient private lazy val vf = isFloatArray(first)
@@ -218,8 +249,7 @@ case class BandedHyperplaneSig(first: Expression, second: Expression, third: Exp
     planeBuf
   }
 
-  override def nullSafeEval(v: Any, bb: Any, nb: Any): Any = {
-    val vec = v.asInstanceOf[ArrayData]
+  def compute(vec: ArrayData, bb: Object, nb: Object): ArrayData = {
     val bitsPerBand = StKit.int(bb)
     val bands = StKit.int(nb)
     require(bitsPerBand >= 1 && bitsPerBand <= 63,
@@ -247,6 +277,12 @@ case class BandedHyperplaneSig(first: Expression, second: Expression, third: Exp
       b += 1
     }
     new GenericArrayData(out)
+  }
+  override def nullSafeEval(v: Any, bb: Any, nb: Any): Any =
+    compute(v.asInstanceOf[ArrayData], bb.asInstanceOf[Object], nb.asInstanceOf[Object])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bandedHplane", this, classOf[BandedHyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, (Object)($b), (Object)($c));")
   }
   override def prettyName: String = "banded_hyperplane_sig"
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =

@@ -79,13 +79,22 @@ object Dedup {
     // Shingle + signature computed ONCE; persisted because the frame feeds
     // three joins (two candidate sides + verify). Signatures are ~1KB/doc —
     // caching them instead of recomputing the text scan is the standard
-    // play at corpus scale too.
+    // play at corpus scale too. The verified pair set (tiny vs the corpus)
+    // is localCheckpoint'd EAGERLY so the signature cache is released
+    // before returning: no CacheManager entry outlives the call, and the
+    // checkpoint blocks free on GC via the ContextCleaner.
     val c = org.apache.spark.sql.functions.col _
     val base0 = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
       .withColumn("__sig", col2(MinHashSig(ex(c("__sh")), ex(lit(numHashes)))))
-    val base = if (persistSigs) base0.persist() else base0
-    val cands = candidatesFromSigs(base.select(c("__jid").as("__id"), c("__sig")), numHashes, bands)
-    jaccardVerify(cands, base.select(c("__jid"), c("__sh")), threshold)
+    if (!persistSigs) {
+      val cands = candidatesFromSigs(base0.select(c("__jid").as("__id"), c("__sig")), numHashes, bands)
+      return jaccardVerify(cands, base0.select(c("__jid"), c("__sh")), threshold)
+    }
+    val base = base0.persist()
+    try {
+      val cands = candidatesFromSigs(base.select(c("__jid").as("__id"), c("__sig")), numHashes, bands)
+      jaccardVerify(cands, base.select(c("__jid"), c("__sh")), threshold).localCheckpoint()
+    } finally base.unpersist(blocking = false)
   }
 
   /** Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|). */
@@ -157,18 +166,10 @@ object Dedup {
   def nearDupDrops(df: DataFrame, id: Column, text: Column,
                    threshold: Double, shingleK: Int = 5): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val base = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
-      .withColumn("__sig", col2(MinHashSig(ex(c("__sh")), ex(lit(128)))))
-      .persist()
-    val cands = candidatesFromSigs(base.select(c("__jid").as("__id"), c("__sig")), 128, 16)
-    val pairs = jaccardVerify(cands, base.select(c("__jid"), c("__sh")), threshold)
-    // clusterPairs runs its jobs eagerly (localCheckpoint rounds), and its
-    // result is lineage-independent of `base` — release the cached
-    // signatures before returning so repeated pipeline runs don't pile up
-    // storage (at corpus scale a leaked signature cache is real memory).
-    val clusters = clusterPairs(pairs)
-    base.unpersist(blocking = false)
-    clusters
+    // minhashDedup owns the signature cache lifecycle (persist -> eager
+    // checkpointed pairs -> release); no duplicated pipeline body here
+    val pairs = minhashDedup(df, id, text, threshold, shingleK)
+    clusterPairs(pairs)
       .where(c("id") =!= c("cluster")) // cluster representative (min id) survives
       .select(c("id"))
   }

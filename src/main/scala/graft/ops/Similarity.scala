@@ -59,12 +59,30 @@ object Similarity {
     col2(BandedHyperplaneSig(ex(v), ex(lit(bitsPerBand)), ex(lit(bands))))
 
   /**
+   * bitsPerBand sized so a band's buckets hold ~`targetPerBucket` vectors:
+   * bitsPerBand ≈ log2(n / targetPerBucket). With FIXED bitsPerBand the
+   * expected bucket occupancy is n / 2^bitsPerBand, so background candidate
+   * pairs grow ~n² / 2^bitsPerBand once n overtakes the key space —
+   * candidate volume stays ~linear in n only when bitsPerBand tracks
+   * log2(n), which is what this helper does. (Recall trade-off: each extra
+   * bit multiplies a near-pair's per-band match probability by
+   * p = 1 - angle/pi; compensate with more bands.)
+   */
+  def bitsPerBandFor(n: Long, targetPerBucket: Int = 4): Int = {
+    require(n > 0 && targetPerBucket > 0)
+    val bits = math.ceil(math.log(n.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    math.max(1, math.min(63, bits))
+  }
+
+  /**
    * Candidate pairs from banded hyperplane LSH: explode each vector into
    * `bands` (band, key) rows; a pair is a candidate when ANY band matches —
-   * the same band-OR equi-join shape as MinHash LSH (Dedup.minhashCandidates),
-   * so candidate volume is governed by bitsPerBand (2^bitsPerBand keys per
-   * band), never by an O(n²) within-bucket blowup. Only (band, key, id)
-   * rows shuffle; vectors are re-joined by id afterwards.
+   * the same band-OR equi-join shape as MinHash LSH (Dedup.minhashCandidates).
+   * No O(n²) all-pairs join ever runs, and only (band, key, id) rows
+   * shuffle; vectors are re-joined by id afterwards. Within-bucket pair
+   * volume is controlled by bitsPerBand: size it with [[bitsPerBandFor]]
+   * (≈ log2(n/targetBucket)) — a FIXED bitsPerBand goes quadratic in the
+   * background-pair count once n outgrows the 2^bitsPerBand key space.
    */
   def cosineCandidatePairs(df: DataFrame, vec: Column, id: Column,
                            bitsPerBand: Int, bands: Int): DataFrame = {
@@ -88,14 +106,22 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, vec: Column, id: Column,
                          threshold: Double, bitsPerBand: Int = 16, bands: Int = 8): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val base = df.select(id.as("__id"), vec.as("__v"))
-    val cands = cosineCandidatePairs(base, c("__v"), c("__id"), bitsPerBand, bands)
-    val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
-    val v2 = base.select(c("__id").as("id2"), c("__v").as("__v2"))
-    cands.join(v1, "id1").join(v2, "id2")
-      .withColumn("cos", cosine(c("__v1"), c("__v2")))
-      .where(c("cos") >= threshold)
-      .select("id1", "id2", "cos")
+    // (id, vec) feeds three joins (candidate explode + both verify sides):
+    // persist so the input scans once, not 3x. The verified pair set is
+    // small; localCheckpoint it EAGERLY so the cache can be released before
+    // returning — no session-pinned CacheManager entry survives the call
+    // (checkpoint blocks are ContextCleaner-freed once the result is GC'd).
+    val base = df.select(id.as("__id"), vec.as("__v")).persist()
+    try {
+      val cands = cosineCandidatePairs(base, c("__v"), c("__id"), bitsPerBand, bands)
+      val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
+      val v2 = base.select(c("__id").as("id2"), c("__v").as("__v2"))
+      cands.join(v1, "id1").join(v2, "id2")
+        .withColumn("cos", cosine(c("__v1"), c("__v2")))
+        .where(c("cos") >= threshold)
+        .select("id1", "id2", "cos")
+        .localCheckpoint()
+    } finally base.unpersist(blocking = false)
   }
 
   /**
@@ -103,14 +129,24 @@ object Similarity {
    * similarity-join shape a training pipeline runs corpus-wide). Candidate
    * pairs come from banded hyperplane LSH (band-OR across `bands`
    * independent sub-signatures) so the join is bucket-equi with
-   * 2^bitsPerBand keys per band — never O(n²) — and recall scales with
-   * `bands` instead of single-bucket luck; per-vector top-k is a window
-   * over candidates only.
+   * 2^bitsPerBand keys per band — no all-pairs join — and recall scales
+   * with `bands` instead of single-bucket luck; per-vector top-k is a
+   * window over candidates only. Size bitsPerBand with [[bitsPerBandFor]]
+   * so candidate volume stays ~linear as the corpus grows.
    */
   def knnGraph(df: DataFrame, vec: Column, id: Column, k: Int,
                bitsPerBand: Int = 16, bands: Int = 8): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val base = df.select(id.as("__id"), vec.as("__v"))
+    // same single-scan + eager-result + release discipline as
+    // cosineNearDupPairs: the input is read by three consumers
+    val base = df.select(id.as("__id"), vec.as("__v")).persist()
+    try {
+      knnGraphOn(base, k, bitsPerBand, bands).localCheckpoint()
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def knnGraphOn(base: DataFrame, k: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
     val banded = base.select(c("__id"),
         posexplode(bandedSigs(c("__v"), bitsPerBand, bands)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
@@ -137,8 +173,12 @@ object Similarity {
    */
   def kmeansAssign(df: DataFrame, vec: Column, id: Column,
                    k: Int, iters: Int = 3, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    // null vectors can't be assigned (fold would leave cluster = -1)
-    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).cache()
+    // null vectors can't be assigned (fold would leave cluster = -1).
+    // localCheckpoint, not cache(): Lloyd's rounds + the returned
+    // assignment all read the same materialized blocks, and those blocks
+    // are ContextCleaner-freed when the frames are dropped — a cache()
+    // here would stay pinned in the CacheManager for the session lifetime.
+    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).localCheckpoint()
     // deterministic init: first k vectors by id; element type read
     // agnostically (embeddings are float[], centroids/other sources double[])
     var centroids: Array[Array[Double]] =

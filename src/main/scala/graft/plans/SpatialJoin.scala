@@ -176,9 +176,13 @@ object SpatialJoin {
         "cast explicitly or use a surrogate key")
     // One-row frame holding all (key, geom) candidates; uniqueness of the
     // key is asserted distributedly (assert_true returns null on success,
-    // so the filter passes every row through).
+    // so the filter passes every row through). Null keys/geometries are
+    // dropped up front — a null geometry has no distance to anything, and
+    // letting it into the packed array would NPE inside StKnn's
+    // deserialization with an opaque task failure.
     val packed = right
       .select(rightKey.cast("long").as("__k"), rightGeom.cast("binary").as("__g"))
+      .where(c("__k").isNotNull && c("__g").isNotNull)
       .agg(collect_list(struct(c("__k"), c("__g"))).as("__cands"))
       .where(assert_true(
         size(array_distinct(transform(c("__cands"), r => r.getField("__k")))) === size(c("__cands")),

@@ -45,6 +45,11 @@ object GraftShim {
     exp.extraOptimizations = keep ++ rules
   }
 
+  /** True when no Dataset-level cache is pinned in the CacheManager —
+    * the cache-hygiene assertion ops specs run after each operator. */
+  def pinnedCacheEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[ClassicSparkSession].sharedState.cacheManager.isEmpty
+
   /** Wrap a raw Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 

@@ -80,6 +80,7 @@ class CatalogCoverageSpec extends SparkSpec {
     "minhash_sig" -> "size(minhash_sig(array(1, 2, 3), 16))",
     "simhash64" -> "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)))",
     "hyperplane_sig" -> "hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8)",
+    "banded_hyperplane_sig" -> "size(banded_hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8, 4))",
     "st_transform" -> "st_x(st_transform(st_point(10, 45), 'EPSG:4326', 'EPSG:3857'))",
     "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
     "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",

@@ -127,6 +127,10 @@ class OpsSpec extends SparkSpec {
     val big = nCands(400)   // 800 vectors, 400 true pairs
     assert(small >= 200, s"recall hole: only $small candidates for 200 seeded pairs")
     assert(big <= small * 3, s"candidate blowup: $small -> $big when corpus doubled")
+    // sizing helper: bitsPerBand tracks log2(n/targetBucket) and clamps
+    assert(Similarity.bitsPerBandFor(1024, 4) == 8)
+    assert(Similarity.bitsPerBandFor(2048, 4) == 9, "doubling n adds one bit")
+    assert(Similarity.bitsPerBandFor(1L << 40, 4) == 38 && Similarity.bitsPerBandFor(2, 4) == 1)
   }
 
   test("ivf assigns clusters and finds neighbors in probed lists") {
@@ -196,6 +200,29 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(scores(0L) > scores(2L) * 0.8)
+  }
+
+  test("ops leave no pinned Dataset cache behind (cache hygiene)") {
+    import org.apache.spark.sql.graft.GraftShim
+    // the OpsSpec fixture itself is cached; release it for a clean slate
+    docs.count(); docs.unpersist(blocking = true)
+    spark.catalog.clearCache()
+
+    Dedup.minhashDedup(docs, col("doc_id"), col("text"), threshold = 0.7).collect()
+    Dedup.nearDupDrops(docs, col("doc_id"), col("text"), threshold = 0.7).collect()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.cosineNearDupPairs(emb,
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), col("vec_id"),
+      threshold = 0.95, bitsPerBand = 8, bands = 4).collect()
+    Similarity.knnGraph(emb, col("embedding"), col("vec_id"), k = 3,
+      bitsPerBand = 8, bands = 4).collect()
+    val (assigned, _) = Similarity.kmeansAssign(emb, col("embedding"), col("vec_id"), k = 4, iters = 1)
+    assigned.count()
+    SparkEntry.queries("pipeline_clean_corpus")(spark, "/root/testdata/sf0.001").collect()
+
+    assert(GraftShim.pinnedCacheEmpty(spark),
+      "an op left a Dataset cache pinned in the CacheManager")
+    docs.cache() // restore the fixture for any later test
   }
 
   test("fingerprint is whitespace/case insensitive") {
