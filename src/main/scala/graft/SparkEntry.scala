@@ -454,6 +454,24 @@ object SparkEntry {
                                      CAST(p_size % 5 + 1 AS DOUBLE))), 4) AS a
       FROM part ORDER BY p_partkey""")),
 
+    // linear referencing + affine + distance metrics on 3-4-5 lines: every
+    // value is exact in IEEE doubles (perfect-square sqrt, power-of-2
+    // fractions), so the DuckDB oracle is plain arithmetic
+    "st_line_ref" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey,
+                        st_geomfromtext(CONCAT('LINESTRING (0 0, ', p_size * 4, ' ', p_size * 3, ')')) AS ln,
+                        CAST(p_size AS DOUBLE) AS sz
+                 FROM part)
+      SELECT p_partkey,
+             st_x(st_lineinterpolatepoint(ln, 0.25D)) AS qx,
+             st_y(st_lineinterpolatepoint(ln, 0.25D)) AS qy,
+             st_length(st_linesubstring(ln, 0.25D, 0.75D)) AS sublen,
+             st_linelocatepoint(ln, st_point(sz * 2, sz * 1.5D)) AS locmid,
+             st_x(st_scale(st_point(sz, sz + 1), 2.0D, 4.0D)) AS sx,
+             st_hausdorffdistance(st_point(0.0D, 0.0D), st_point(sz * 3, sz * 4)) AS hd,
+             st_length(st_boundingdiagonal(st_makeenvelope(0.0D, 0.0D, sz * 3, sz * 4))) AS diag
+      FROM t ORDER BY p_partkey""")),
+
     // closed-form web-mercator reprojection; strictly positive lon/lat so
     // no value rounds to +/-0 differently across engines
     "st_transform_mercator" -> ((s, d) => prep(s, d).sql("""
@@ -1003,6 +1021,17 @@ object SparkEntry {
       SELECT p_partkey,
              ROUND(16.0 * CAST(p_size % 5 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE)
                    * sin(pi() / 16), 4) AS a
+      FROM part ORDER BY p_partkey""",
+
+    "st_line_ref" -> """
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS qx,
+             CAST(p_size AS DOUBLE) * 0.75 AS qy,
+             CAST(p_size AS DOUBLE) * 2.5 AS sublen,
+             CAST(0.5 AS DOUBLE) AS locmid,
+             CAST(p_size AS DOUBLE) * 2 AS sx,
+             CAST(p_size AS DOUBLE) * 5 AS hd,
+             CAST(p_size AS DOUBLE) * 5 AS diag
       FROM part ORDER BY p_partkey""",
 
     "st_transform_mercator" -> """

@@ -97,6 +97,35 @@ object GraftFunctions {
     ("st_simplifypreservetopology", 2, es => StSimplifyPreserveTopology(es(0), es(1))),
     ("st_makevalid", 1, es => StMakeValid(es.head)),
     ("st_transform", 3, es => StTransform(es)),
+    // catalog breadth tier 2 (StMoreExpressions)
+    ("st_geohash", 2, es => StGeoHash(es)),
+    ("st_pointfromgeohash", 1, es => StPointFromGeoHash(es.head)),
+    ("st_lineinterpolatepoint", 2, es => StLineInterpolatePoint(es(0), es(1))),
+    ("st_linesubstring", 3, es => StLineSubstring(es)),
+    ("st_linelocatepoint", 2, es => StLineLocatePoint(es(0), es(1))),
+    ("st_linemerge", 1, es => StLineMerge(es.head)),
+    ("st_rotate", 2, es => StRotate(es(0), es(1))),
+    ("st_scale", 3, es => StScale(es)),
+    ("st_affine", 7, es => StAffine(es)),
+    ("st_issimple", 1, es => StIsSimple(es.head)),
+    ("st_isring", 1, es => StIsRing(es.head)),
+    ("st_pointonsurface", 1, es => StPointOnSurface(es.head)),
+    ("st_minimumboundingcircle", 1, es => StMinimumBoundingCircle(es.head)),
+    ("st_minimumboundingradius", 1, es => StMinimumBoundingRadius(es.head)),
+    ("st_concavehull", 2, es => StConcaveHull(es(0), es(1))),
+    ("st_reduceprecision", 2, es => StReducePrecision(es(0), es(1))),
+    ("st_snap", 3, es => StSnap(es)),
+    ("st_boundingdiagonal", 1, es => StBoundingDiagonal(es.head)),
+    ("st_expand", 2, es => StExpand(es(0), es(1))),
+    ("st_hausdorffdistance", 2, es => StHausdorffDistance(es(0), es(1))),
+    ("st_frechetdistance", 2, es => StFrechetDistance(es(0), es(1))),
+    ("st_angle", 3, es => StAngle(es)),
+    ("st_dump", 1, es => StDump(es.head)),
+    ("st_dumppoints", 1, es => StDumpPoints(es.head)),
+    ("st_multi", 1, es => StMulti(es.head)),
+    ("st_force2d", 1, es => StForce2D(es.head)),
+    ("st_asewkt", 1, es => StAsEwkt(es.head)),
+    ("st_removepoint", 2, es => StRemovePoint(es(0), es(1))),
     // tiling primitives (spatial join / pushdown support)
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
@@ -122,6 +151,10 @@ object GraftFunctions {
     ("st_makeline" -> { (es: Seq[Expression]) =>
       require(es.length >= 2, s"st_makeline expects at least 2 points, got ${es.length}")
       StMakeLine(es)
+    }) :+
+    ("st_addpoint" -> { (es: Seq[Expression]) =>
+      require(es.length == 2 || es.length == 3, s"st_addpoint expects 2 or 3 arguments, got ${es.length}")
+      StAddPoint(es)
     })
 
   /** `DESCRIBE FUNCTION` usage text (subset with non-obvious semantics;

@@ -82,6 +82,35 @@ class CatalogCoverageSpec extends SparkSpec {
     "hyperplane_sig" -> "hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8)",
     "banded_hyperplane_sig" -> "size(banded_hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8, 4))",
     "st_transform" -> "st_x(st_transform(st_point(10, 45), 'EPSG:4326', 'EPSG:3857'))",
+    "st_geohash" -> "st_geohash(st_point(-5.6, 42.6), 5)",
+    "st_pointfromgeohash" -> "st_astext(st_pointfromgeohash('ezs42'))",
+    "st_lineinterpolatepoint" -> "st_astext(st_lineinterpolatepoint(st_geomfromtext('LINESTRING (0 0, 4 0)'), 0.5))",
+    "st_linesubstring" -> "st_length(st_linesubstring(st_geomfromtext('LINESTRING (0 0, 4 0)'), 0.25, 0.75))",
+    "st_linelocatepoint" -> "st_linelocatepoint(st_geomfromtext('LINESTRING (0 0, 4 0)'), st_point(1, 1))",
+    "st_linemerge" -> "st_astext(st_linemerge(st_geomfromtext('MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))')))",
+    "st_rotate" -> "st_x(st_rotate(st_point(1, 0), pi()))",
+    "st_scale" -> "st_astext(st_scale(st_point(1, 2), 2.0, 3.0))",
+    "st_affine" -> "st_astext(st_affine(st_point(1, 2), 2, 0, 0, 2, 10, 20))",
+    "st_issimple" -> "st_issimple(st_geomfromtext('LINESTRING (0 0, 1 1)'))",
+    "st_isring" -> "st_isring(st_exteriorring(st_makeenvelope(0,0,1,1)))",
+    "st_pointonsurface" -> "st_within(st_pointonsurface(st_makeenvelope(0,0,2,2)), st_makeenvelope(0,0,2,2))",
+    "st_minimumboundingcircle" -> "st_area(st_minimumboundingcircle(st_makeenvelope(0,0,2,2))) > 6",
+    "st_minimumboundingradius" -> "st_minimumboundingradius(st_makeenvelope(0,0,2,2))",
+    "st_concavehull" -> "st_area(st_concavehull(st_geomfromtext('MULTIPOINT ((0 0), (2 0), (1 2))'), 1.0))",
+    "st_reduceprecision" -> "st_astext(st_reduceprecision(st_point(1.04, 1.96), 0.5))",
+    "st_snap" -> "st_astext(st_snap(st_point(1.05, 1.0), st_point(1.0, 1.0), 0.2))",
+    "st_boundingdiagonal" -> "st_length(st_boundingdiagonal(st_makeenvelope(0,0,3,4)))",
+    "st_expand" -> "st_area(st_expand(st_point(1, 1), 2.0))",
+    "st_hausdorffdistance" -> "st_hausdorffdistance(st_point(0,0), st_point(3,4))",
+    "st_frechetdistance" -> "st_frechetdistance(st_geomfromtext('LINESTRING (0 0, 1 0)'), st_geomfromtext('LINESTRING (0 1, 1 1)'))",
+    "st_angle" -> "st_angle(st_point(1, 0), st_point(0, 0), st_point(0, 1))",
+    "st_dump" -> "size(st_dump(st_geomfromtext('MULTIPOINT ((1 1), (2 2))')))",
+    "st_dumppoints" -> "size(st_dumppoints(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)')))",
+    "st_multi" -> "st_geometrytype(st_multi(st_point(1, 2)))",
+    "st_force2d" -> "st_astext(st_force2d(st_point(1, 2)))",
+    "st_asewkt" -> "st_asewkt(st_point(1, 2))",
+    "st_addpoint" -> "st_numpoints(st_addpoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_point(3, 3)))",
+    "st_removepoint" -> "st_numpoints(st_removepoint(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'), 1))",
     "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
     "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",
     "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
