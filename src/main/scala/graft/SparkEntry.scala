@@ -205,7 +205,10 @@ object SparkEntry {
     // exact dedup -> MinHash near-dup removal -> token accounting.
     "pipeline_clean_corpus" -> ((s, d) => {
       prep(s, d)
-      val docs = s.table("documents")
+      // small-SF documents.parquet is one partition — widen so the
+      // CPU-heavy scoring/shingling uses every core (no-op at scale)
+      val docs = s.table("documents").repartition(
+        s.sparkContext.defaultParallelism)
       val scored = docs
         .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")))
         .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))

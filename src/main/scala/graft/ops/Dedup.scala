@@ -84,7 +84,10 @@ object Dedup {
     // before returning: no CacheManager entry outlives the call, and the
     // checkpoint blocks free on GC via the ContextCleaner.
     val c = org.apache.spark.sql.functions.col _
-    val base0 = df.select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
+    // widen first: shingle+sig is O(chars * numHashes) of hashing — a
+    // single-partition input would run it on one core
+    val base0 = OpsUtil.ensureParallelism(df)
+      .select(id.as("__jid"), shinglesExpr(text, shingleK).as("__sh"))
       .withColumn("__sig", col2(MinHashSig(ex(c("__sh")), ex(lit(numHashes)))))
     if (!persistSigs) {
       val cands = candidatesFromSigs(base0.select(c("__jid").as("__id"), c("__sig")), numHashes, bands)
@@ -120,7 +123,8 @@ object Dedup {
    * distributed CC shape; rounds = graph diameter, tiny for dup clusters).
    * Returns (id, cluster) where cluster = smallest id in the component.
    */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20,
+                   driverEdgeThreshold: Long = 1L << 20): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
     // undirected edge list; isolated ids keep their own label through the
     // left join + coalesce below. localCheckpoint (eager) materializes AND
@@ -129,6 +133,39 @@ object Dedup {
     val edges = pairs.select(c("id1").as("a"), c("id2").as("b"))
       .union(pairs.select(c("id2").as("a"), c("id1").as("b")))
       .distinct().localCheckpoint()
+    // Small-graph fast path: near-dup graphs are usually tiny relative to
+    // the corpus (the pairs already survived LSH + verify). Below the
+    // threshold, driver-side union-find replaces ~diameter x 3 Spark jobs
+    // with one collect — the same adaptive cut GraphFrames' CC makes. The
+    // iterative path below remains the scale story for billions of edges.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val collected = edges.collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue(), r.get(1).asInstanceOf[Number].longValue()))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        parent.putIfAbsent(x, x)
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var cur = x // path compression
+        while (parent.get(cur) != r) { val nxt = parent.get(cur); parent.put(cur, r); cur = nxt }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: the representative is always the smallest id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        parent.keySet().asScala.toSeq.sorted
+          .map(i => org.apache.spark.sql.Row(i, find(i))).asJava
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var labels = edges.select(c("a").as("id")).distinct()
       .withColumn("cluster", c("id"))
       .localCheckpoint()
@@ -188,7 +225,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming must be in [0,31], got $maxHamming")
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sig = df.select(id.as("__id"), simhash(text).as("__sig"))
+    val sig = OpsUtil.ensureParallelism(df).select(id.as("__id"), simhash(text).as("__sig"))
     val bandKeys = array((0 until nBands).map { i =>
       // last band takes the remaining high bits
       val w = if (i == nBands - 1) 64 - i * width else width

@@ -111,7 +111,7 @@ object Similarity {
     // small; localCheckpoint it EAGERLY so the cache can be released before
     // returning — no session-pinned CacheManager entry survives the call
     // (checkpoint blocks are ContextCleaner-freed once the result is GC'd).
-    val base = df.select(id.as("__id"), vec.as("__v")).persist()
+    val base = OpsUtil.ensureParallelism(df.select(id.as("__id"), vec.as("__v"))).persist()
     try {
       val cands = cosineCandidatePairs(base, c("__v"), c("__id"), bitsPerBand, bands)
       val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
@@ -139,7 +139,7 @@ object Similarity {
     val c = org.apache.spark.sql.functions.col _
     // same single-scan + eager-result + release discipline as
     // cosineNearDupPairs: the input is read by three consumers
-    val base = df.select(id.as("__id"), vec.as("__v")).persist()
+    val base = OpsUtil.ensureParallelism(df.select(id.as("__id"), vec.as("__v"))).persist()
     try {
       knnGraphOn(base, k, bitsPerBand, bands).localCheckpoint()
     } finally base.unpersist(blocking = false)
