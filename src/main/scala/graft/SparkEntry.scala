@@ -201,6 +201,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // stream-static zone enrichment in batch: same op the streaming spec
+    // runs on a MemoryStream; zones broadcast, map-only on events
+    "zone_enrich_batch" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val zones = s.table("nation").select(col("n_nationkey").as("zone_id"),
+        st_polygonFromEnvelope(col("n_nationkey") * 40.0 + 0.005, lit(-0.5),
+          col("n_nationkey") * 40.0 + 60.005, lit(24.5)).as("zone"))
+      val events = s.table("events")
+        .withColumn("y", (col("user_id") % 25).cast("double"))
+      graft.streaming.EventStreams.zoneEnrich(events, "value", "y", zones, col("zone"))
+        .groupBy("zone_id").agg(count(lit(1)).as("n"))
+        .orderBy("zone_id")
+    }),
+
     // End-to-end corpus-cleaning pipeline: quality filter -> lang filter ->
     // exact dedup -> MinHash near-dup removal -> token accounting.
     "pipeline_clean_corpus" -> ((s, d) => {
@@ -1078,6 +1092,13 @@ object SparkEntry {
     // end state of UPDATE ... WHERE st_within(point, envelope): strict
     // interior, bounds at non-representable decimals so no point sits on a
     // boundary (same convention as st_within_range)
+    "zone_enrich_batch" -> """
+      SELECT n_nationkey AS zone_id, COUNT(*) AS n
+      FROM nation JOIN events
+        ON value > n_nationkey*40.0 + 0.005 AND value < n_nationkey*40.0 + 60.005
+        AND (user_id % 25) >= 0 AND (user_id % 25) <= 24
+      GROUP BY n_nationkey ORDER BY zone_id""",
+
     "geo_dml_update" -> """
       SELECT c_custkey,
              CASE WHEN c_acctbal > 0.005 AND c_acctbal < 5000.005

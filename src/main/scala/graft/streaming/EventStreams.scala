@@ -97,6 +97,39 @@ object EventStreams {
       st_point(col(xCol), col(yCol))))
   }
 
+  /**
+   * Streaming dedup for an ingest pipeline: drop rows whose content
+   * fingerprint was already seen within the watermark horizon. State is
+   * one (fingerprint) key per distinct document inside the horizon and is
+   * evicted by the watermark — bounded state, exactly the shape Spark's
+   * `dropDuplicatesWithinWatermark` maintains on a cluster. Works
+   * identically in batch (plain dropDuplicates semantics per horizon).
+   */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
+    val withFp = docs.withColumn("__fp", fp)
+    val deduped =
+      if (withFp.isStreaming)
+        withFp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__fp")
+      else withFp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
+  /**
+   * Stream-static spatial enrichment: tag each event point with the zone
+   * that contains it. The zones table is a broadcast static side — the
+   * join runs map-only on the stream (no stream-side shuffle, no state),
+   * which is the right plan for a firehose against a small dimension.
+   */
+  def zoneEnrich(events: DataFrame, xCol: String, yCol: String,
+                 zones: DataFrame, zoneGeom: org.apache.spark.sql.Column,
+                 how: String = "inner"): DataFrame = {
+    import GraftFunctions._
+    events.join(broadcast(zones),
+      st_contains(zoneGeom, st_point(col(xCol), col(yCol))), how)
+  }
+
   /** Batch view of the events table shaped as Dataset[Event]. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -119,6 +119,48 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming content dedup: fingerprint dropDuplicatesWithinWatermark, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = EventStreams.streamingDedup(
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "text", "1 hour")
+    // docs 1 and 3 have identical content modulo case/whitespace -> same
+    // fingerprint; doc 3 must be dropped even though its id differs
+    input.addData(
+      (1L, "Hello  World", ts(0)), (2L, "other doc", ts(1)),
+      (3L, "hello world", ts(2)), (4L, "third", ts(3)))
+    val q = stream.writeStream.format("memory").queryName("fp_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("fp_dedup").select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // batch path: same op, same semantics
+    val batch = EventStreams.streamingDedup(
+      Seq((1L, "Hello  World", ts(0)), (3L, "hello world", ts(2)), (5L, "x", ts(4)))
+        .toDF("doc_id", "text", "ts"), "ts", "text")
+    assert(batch.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+  }
+
+  test("stream-static zone enrichment: broadcast contains join, no stream-side state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    val zones = spark.range(3).select(col("id").as("zone_id"),
+      st_polygonFromEnvelope(col("id").cast("double") * 10.0, lit(0.0),
+        col("id").cast("double") * 10.0 + 10.0, lit(10.0)).as("zone"))
+    val input = MemoryStream[(Long, Double, Double)]
+    val enriched = EventStreams.zoneEnrich(
+      input.toDF().toDF("ev_id", "x", "y"), "x", "y", zones, col("zone"))
+    input.addData((1L, 5.0, 5.0), (2L, 15.0, 5.0), (3L, 99.0, 5.0))
+    val q = enriched.select("ev_id", "zone_id").writeStream.format("memory")
+      .queryName("zone_enriched").outputMode("append").start()
+    q.processAllAvailable()
+    // stream-static join keeps NO state (stateless map-side join)
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    assert(spark.table("zone_enriched").as[(Long, Long)].collect().toSet ==
+      Set((1L, 0L), (2L, 1L)))
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
