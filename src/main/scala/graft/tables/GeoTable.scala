@@ -52,14 +52,90 @@ object GeoTable {
   // -------------------------------------------------------------------------
 
   /** Create a table at `root` from `df` (write + stats + manifest v0).
-    * `geomCol` enables per-file bbox stats and spatial file pruning. */
+    * `geomCol` enables per-file bbox stats and spatial file pruning.
+    * `zorder=true` range-partitions + sorts rows by the geometry's Morton
+    * index first, so each FILE covers a tight bbox — without it a
+    * scattered write gives every file the full extent and the manifest
+    * can't prune anything. `cellSize` is the Morton grid for zorder. */
   def create(spark: SparkSession, root: String, df: DataFrame,
-             geomCol: Option[String] = None): Unit = {
+             geomCol: Option[String] = None, zorder: Boolean = false,
+             cellSize: Double = 1.0): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
     val tagged = geomCol.filterNot(g => GeoSchema.isGeometry(df.schema(g)))
       .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
-    val files = writeCommit(spark, root, tagged, tagged.schema, geomCol)
+    val laidOut = if (zorder) zorderBy(tagged, geomCol.get, cellSize) else tagged
+    val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol)
     GeoManifest.write(spark, root, Manifest(0, tagged.schema, geomCol, files))
+  }
+
+  /** Morton-clustered layout (same Z-ordering as GeoParquet.write). */
+  private def zorderBy(df: DataFrame, geomCol: String, cellSize: Double): DataFrame = {
+    import org.apache.spark.sql.graft.GraftShim
+    val z = GraftShim.column(graft.functions.StMortonCell(
+      GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cellSize))))
+    val nParts = math.max(df.rdd.getNumPartitions, 1)
+    df.withColumn("__z", z)
+      .repartitionByRange(nParts, col("__z")).sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /**
+   * Compact the current snapshot into ~`targetFiles` files (Z-ordered when
+   * the table has a geometry column) and commit it as a new version — the
+   * small-file/layout maintenance every log-structured table needs. Old
+   * versions remain readable until `vacuum`.
+   */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+              cellSize: Double = 1.0): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val data = readFiles(spark, m.schema, m.files)
+    val laidOut = m.geomCol match {
+      case Some(g) =>
+        import org.apache.spark.sql.graft.GraftShim
+        val z = GraftShim.column(graft.functions.StMortonCell(
+          GraftShim.expression(col(g)), GraftShim.expression(lit(cellSize))))
+        data.withColumn("__z", z)
+          .repartitionByRange(math.max(targetFiles, 1), col("__z"))
+          .sortWithinPartitions("__z").drop("__z")
+      case None => data.repartition(math.max(targetFiles, 1))
+    }
+    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol)
+    GeoManifest.write(spark, root, m.copy(version = m.version + 1, files = files))
+  }
+
+  /**
+   * Delete data files not referenced by the manifests of the newest
+   * `keepVersions` versions (and drop the older manifests). Returns the
+   * number of files removed. Irreversible: time travel beyond the kept
+   * window stops working — same contract as Iceberg's expire-snapshots.
+   */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val fs = GeoManifest.fs(spark, root)
+    val cur = GeoManifest.read(spark, root)
+    val keepFrom = math.max(0, cur.version - keepVersions + 1)
+    val live = (keepFrom to cur.version).flatMap { v =>
+      try GeoManifest.readVersion(spark, root, v).files.map(_.key)
+      catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
+    }.toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    var removed = 0
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      val doomed = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.startsWith("part-") &&
+          !live.contains(GeoManifest.norm(f.getPath.toString)))
+          doomed += f.getPath
+      }
+      doomed.result().foreach { p => if (fs.delete(p, false)) removed += 1 }
+    }
+    // drop manifests older than the kept window
+    (0 until keepFrom).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt"), false)
+    }
+    removed
   }
 
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */

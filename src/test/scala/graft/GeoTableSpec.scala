@@ -144,6 +144,47 @@ class GeoTableSpec extends SparkSpec {
     } finally GeoTable.drop(spark, "set_t")
   }
 
+  test("zorder layout makes file pruning effective on scattered data") {
+    // scattered 2-D points: without zorder every file spans the full
+    // extent and the manifest can prune nothing
+    def scattered = spark.range(2000).toDF("id")
+      .withColumn("geo", st_point(
+        pmod(hash(col("id")), lit(1000)).cast("double") / 10.0,
+        pmod(hash(col("id"), lit(1)), lit(1000)).cast("double") / 10.0))
+      .repartition(8)
+    val plain = tmpRoot("plainlayout"); val zord = tmpRoot("zorderlayout")
+    GeoTable.create(spark, plain, scattered, Some("geo"))
+    GeoTable.create(spark, zord, scattered, Some("geo"), zorder = true, cellSize = 10.0)
+    val env = new Envelope(10.5, 20.5, 10.5, 20.5) // ~1% of the extent
+    val plainHit = GeoManifest.read(spark, plain).prune(env).size
+    val zordHit = GeoManifest.read(spark, zord).prune(env).size
+    assert(plainHit == GeoManifest.read(spark, plain).files.size,
+      "scattered layout: every file intersects (that is the point)")
+    assert(zordHit < plainHit, s"zorder must prune files: $zordHit vs $plainHit")
+    // same rows either way
+    val q = expr("st_within(geo, st_makeenvelope(10.5D, 10.5D, 20.5D, 20.5D))")
+    assert(GeoTable.scan(spark, zord, q).count() == GeoTable.scan(spark, plain, q).count())
+  }
+
+  test("compact rewrites the snapshot into fewer files; vacuum removes dead ones") {
+    val root = tmpRoot("compact")
+    pointTable(root, nFiles = 5)
+    GeoTable.update(spark, root, Seq("flag" -> lit(1)),
+      expr("st_within(geo, st_makeenvelope(10.5D, -1.0D, 19.5D, 1.0D))"))
+    val before = GeoManifest.read(spark, root)
+    GeoTable.compact(spark, root, targetFiles = 2)
+    val after = GeoManifest.read(spark, root)
+    assert(after.files.size <= 2 && after.totalRows == before.totalRows)
+    assert(GeoTable.read(spark, root).where(col("flag") === 1).count() == 9)
+
+    // all pre-compaction files are now dead in the current version
+    val removed = GeoTable.vacuum(spark, root, keepVersions = 1)
+    assert(removed > 0, "vacuum must delete unreferenced files")
+    // current snapshot unharmed, old manifests gone
+    assert(GeoTable.read(spark, root).count() == 100)
+    intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
+  }
+
   test("snapshot isolation: previous version stays readable after DML") {
     val root = tmpRoot("snap")
     pointTable(root)
