@@ -38,9 +38,9 @@ object GeoSql {
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\b.+|SELECT\b.+|FROM\b.+|WITH\b.+|TABLE\b.+)\s*;?\s*""".r
   private val updateRe =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteRe =
-    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(.*?)\s*;?\s*""".r
 
   /** Front-half: our command when the statement targets a geo table. */
   def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -48,11 +48,42 @@ object GeoSql {
       Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
     case insertRe(name, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query))
-    case updateRe(name, setsSql, condSql) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoUpdateCommand(name, splitAssignments(setsSql), Option(condSql)))
-    case deleteRe(name, condSql) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoDeleteCommand(name, Option(condSql)))
+    case updateRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
+      // split SET clause from WHERE quote/paren-aware: a WHERE inside a
+      // string literal must not split the statement
+      val (setsSql, condSql) = splitAtKeyword(rest, "WHERE")
+      Some(GeoUpdateCommand(name, splitAssignments(setsSql), condSql))
+    case deleteRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
+      val trimmed = rest.trim
+      if (trimmed.isEmpty) Some(GeoDeleteCommand(name, None))
+      else {
+        val (pre, condSql) = splitAtKeyword(rest, "WHERE")
+        if (pre.trim.nonEmpty || condSql.isEmpty) None // junk between table and WHERE
+        else Some(GeoDeleteCommand(name, condSql))
+      }
     case _ => None
+  }
+
+  /** Split `s` at the first top-level (not in quotes/parens) occurrence of
+    * the keyword (word-bounded, case-insensitive). Returns (before, after)
+    * with after = None when the keyword is absent. */
+  private[tables] def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + kw.length))) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim).filter(_.nonEmpty))
+        case _ => i += 1
+      }
+    }
+    (s.trim, None)
   }
 
   /** Run a statement through the geo front-half, else plain spark.sql —

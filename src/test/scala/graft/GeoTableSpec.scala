@@ -185,6 +185,27 @@ class GeoTableSpec extends SparkSpec {
     intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
   }
 
+  test("SQL front-half parsing edge cases") {
+    val root = tmpRoot("parse")
+    GeoTable.create(spark, root, Seq((1L, "x"), (2L, "y")).toDF("id", "s"), None)
+    GeoTable.register(spark, "parse_t", root)
+    try {
+      // WHERE inside a string literal must not split the statement
+      GeoSql.exec(spark, "UPDATE parse_t SET s = 'a WHERE b' WHERE id = 1")
+      assert(spark.table("parse_t").where(col("id") === 1)
+        .select("s").as[String].head() == "a WHERE b")
+      // UPDATE without WHERE touches every row
+      val n = GeoSql.exec(spark, "UPDATE parse_t SET s = upper(s)").head().getLong(0)
+      assert(n == 2)
+      // trailing semicolon + mixed case keywords
+      val d = GeoSql.exec(spark, "delete from parse_t where id = 2;").head().getLong(0)
+      assert(d == 1 && spark.table("parse_t").count() == 1)
+      // statements on non-geo tables fall through to Spark's parser
+      val err = intercept[Exception](spark.sql("UPDATE some_other_table SET a = 1"))
+      assert(!err.getMessage.contains("graft"), s"must delegate: ${err.getMessage}")
+    } finally GeoTable.drop(spark, "parse_t")
+  }
+
   test("snapshot isolation: previous version stays readable after DML") {
     val root = tmpRoot("snap")
     pointTable(root)
