@@ -153,6 +153,12 @@ object GeoTable {
     readFiles(spark, m.schema, m.files)
   }
 
+  /** Time travel: the snapshot as of `version` (until vacuumed). */
+  def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val m = GeoManifest.readVersion(spark, root, version)
+    readFiles(spark, m.schema, m.files)
+  }
+
   /** Snapshot restricted to files whose bbox intersects `env` — file-level
     * pruning straight from the manifest, before any footer is opened. */
   def readPruned(spark: SparkSession, root: String, env: Envelope): DataFrame = {

@@ -214,5 +214,7 @@ class GeoTableSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).count() == 50)
     val old = GeoManifest.readVersion(spark, root, v0)
     assert(old.totalRows == 100, "old manifest must still describe the full snapshot")
+    // time travel reads the pre-delete snapshot
+    assert(GeoTable.readAt(spark, root, v0).count() == 100)
   }
 }

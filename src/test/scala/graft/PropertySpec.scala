@@ -85,4 +85,38 @@ class PropertySpec extends SparkSpec {
       assert(cells.contains(cc))
     }
   }
+
+  test("CRS roundtrips: mercator and in-zone UTM invert to 1e-8 degrees") {
+    import graft.geom.Crs
+    val lonlat = for {
+      lon <- Gen.chooseNum(-179.9, 179.9); lat <- Gen.chooseNum(-84.9, 84.9)
+    } yield (lon, lat)
+    forAll(lonlat) { case (lon, lat) =>
+      val (x, y) = Crs.fromWgs(Crs.WebMercator, lon, lat)
+      val (lo, la) = Crs.toWgs(Crs.WebMercator, x, y)
+      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8, s"3857 ($lon,$lat)")
+      val u = Crs.utmZoneFor(lon, lat)
+      val (ux, uy) = Crs.fromWgs(u, lon, lat)
+      val (ulo, ula) = Crs.toWgs(u, ux, uy)
+      assert(math.abs(ulo - lon) < 1e-7 && math.abs(ula - lat) < 1e-7, s"utm${u.zone} ($lon,$lat)")
+      assert(uy >= 0 && uy <= 10000000.0 + 1e-6, s"northing range ($lon,$lat) -> $uy")
+    }
+  }
+
+  test("geohash: decode-center re-encodes to the same cell at any precision") {
+    import graft.functions.GeoHash
+    val gen = for {
+      lon <- Gen.chooseNum(-179.9, 179.9); lat <- Gen.chooseNum(-89.9, 89.9)
+      p <- Gen.chooseNum(1, 12)
+    } yield (lon, lat, p)
+    forAll(gen) { case (lon, lat, p) =>
+      val h = GeoHash.encode(lon, lat, p)
+      assert(h.length == p)
+      val (clon, clat) = GeoHash.decodeCenter(h)
+      assert(GeoHash.encode(clon, clat, p) == h, s"($lon,$lat,$p) -> $h")
+      // cell contains the original point: longitude cell width is 180/2^(floor(5p/2))-ish;
+      // just assert the re-encoded original matches (same cell membership)
+      assert(GeoHash.encode(lon, lat, p) == h)
+    }
+  }
 }
