@@ -683,11 +683,16 @@ object SparkEntry {
 
     // scale path for dedup planning: HLL++ estimate vs exact count — at
     // 100 TB the estimate is a single map-side sketch merge, no shuffle of
-    // distinct values. Rows-only (approx value is engine-specific).
+    // distinct values. The sketch value is engine-specific, so the oracle
+    // checks the exact count plus a 15% accuracy INVARIANT on the sketch
+    // (default rsd 5%; 15% leaves 3 sigma of headroom).
     "dedup_scale_estimate" -> ((s, d) => prep(s, d).sql("""
-      SELECT COUNT(DISTINCT text) AS exact_distinct,
-             approx_count_distinct(text) AS approx_distinct
-      FROM documents""")),
+      SELECT exact_distinct,
+             ABS(CAST(approx_distinct AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) < 0.15 AS approx_ok
+      FROM (SELECT COUNT(DISTINCT text) AS exact_distinct,
+                   approx_count_distinct(text) AS approx_distinct
+            FROM documents)""")),
   )
 
   /** DuckDB-dialect oracle per query (same aliases, same ordering). */
@@ -1092,6 +1097,10 @@ object SparkEntry {
     // end state of UPDATE ... WHERE st_within(point, envelope): strict
     // interior, bounds at non-representable decimals so no point sits on a
     // boundary (same convention as st_within_range)
+    "dedup_scale_estimate" -> """
+      SELECT COUNT(DISTINCT text) AS exact_distinct, TRUE AS approx_ok
+      FROM documents""",
+
     "zone_enrich_batch" -> """
       SELECT n_nationkey AS zone_id, COUNT(*) AS n
       FROM nation JOIN events

@@ -85,6 +85,21 @@ object GeoManifest {
     if (f.exists(cur)) Some(readText(f, cur).trim.toInt) else None
   }
 
+  /** Commit with an optimistic concurrency check: fails when `_current`
+    * no longer points at `expectedBase` (another writer committed since
+    * this operation read its snapshot). Best-effort on filesystems
+    * without atomic pointer swap — catches lost updates in the common
+    * case; true multi-writer safety needs a lock service, as with any
+    * file-based table format. */
+  def commit(spark: SparkSession, root: String, m: Manifest, expectedBase: Int): Unit = {
+    val cur = currentVersion(spark, root)
+    if (!cur.contains(expectedBase))
+      throw new java.util.ConcurrentModificationException(
+        s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
+          s"was based on $expectedBase; re-read and retry")
+    write(spark, root, m)
+  }
+
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     val lines = new StringBuilder()

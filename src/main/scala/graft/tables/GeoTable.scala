@@ -100,7 +100,7 @@ object GeoTable {
       case None => data.repartition(math.max(targetFiles, 1))
     }
     val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol)
-    GeoManifest.write(spark, root, m.copy(version = m.version + 1, files = files))
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1, files = files), m.version)
   }
 
   /**
@@ -182,7 +182,8 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     val aligned = conform(df, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
-    GeoManifest.write(spark, root, m.copy(version = m.version + 1, files = m.files ++ files))
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = m.files ++ files), m.version)
     files.map(_.rows).sum
   }
 
@@ -244,8 +245,8 @@ object GeoTable {
       else writeCommit(spark, root,
         transform(readFiles(spark, m.schema, toRewrite), cond), m.schema, m.geomCol)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
-    GeoManifest.write(spark, root,
-      m.copy(version = m.version + 1, files = untouched ++ newFiles))
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version)
     hits.values.sum
   }
 

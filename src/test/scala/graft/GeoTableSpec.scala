@@ -206,6 +206,19 @@ class GeoTableSpec extends SparkSpec {
     } finally GeoTable.drop(spark, "parse_t")
   }
 
+  test("optimistic concurrency: a commit based on a stale version fails") {
+    val root = tmpRoot("occ")
+    pointTable(root)
+    val stale = GeoManifest.read(spark, root) // snapshot at v0
+    GeoTable.delete(spark, root, expr("id < 10")) // moves table to v1
+    // a second writer still holding v0 must NOT be able to clobber v1
+    intercept[java.util.ConcurrentModificationException] {
+      GeoManifest.commit(spark, root,
+        stale.copy(version = stale.version + 1), stale.version)
+    }
+    assert(GeoTable.read(spark, root).count() == 90, "first writer's commit intact")
+  }
+
   test("snapshot isolation: previous version stays readable after DML") {
     val root = tmpRoot("snap")
     pointTable(root)
