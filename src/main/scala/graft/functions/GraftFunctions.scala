@@ -126,6 +126,9 @@ object GraftFunctions {
     ("st_force2d", 1, es => StForce2D(es.head)),
     ("st_asewkt", 1, es => StAsEwkt(es.head)),
     ("st_removepoint", 2, es => StRemovePoint(es(0), es(1))),
+    ("st_interiorringn", 2, es => StInteriorRingN(es(0), es(1))),
+    ("st_collectionextract", 2, es => StCollectionExtract(es(0), es(1))),
+    ("st_npoints", 1, es => StNumPoints(es.head)),
     // tiling primitives (spatial join / pushdown support)
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
@@ -155,6 +158,10 @@ object GraftFunctions {
     ("st_addpoint" -> { (es: Seq[Expression]) =>
       require(es.length == 2 || es.length == 3, s"st_addpoint expects 2 or 3 arguments, got ${es.length}")
       StAddPoint(es)
+    }) :+
+    ("st_makepolygon" -> { (es: Seq[Expression]) =>
+      require(es.length == 1 || es.length == 2, s"st_makepolygon expects 1 or 2 arguments, got ${es.length}")
+      StMakePolygon(es)
     })
 
   /** `DESCRIBE FUNCTION` usage text (subset with non-obvious semantics;

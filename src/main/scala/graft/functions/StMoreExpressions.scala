@@ -466,6 +466,83 @@ case class StAddPoint(children: Seq[Expression]) extends StNary {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+/** st_interiorringn(polygon, n): nth interior ring, 1-based (PostGIS
+  * convention, same as st_pointn); NULL when out of range / not a polygon. */
+case class StInteriorRingN(left: Expression, right: Expression) extends StNary {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+  override def nullable: Boolean = true
+  protected def run(vs: Seq[Any]): Any = geom(vs(0)) match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      val n = int(vs(1))
+      if (n >= 1 && n <= p.getNumInteriorRing) out(p.getInteriorRingN(n - 1)) else null
+    case _ => null
+  }
+  override def prettyName: String = "st_interiorringn"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1))
+}
+
+/** st_makepolygon(shellLine[, holesArray]): polygon from a closed ring. */
+case class StMakePolygon(children: Seq[Expression]) extends StNary {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(children(0) -> "geometry"))
+  protected def run(vs: Seq[Any]): Any = {
+    val shell = geom(vs(0)) match {
+      case l: LineString if l.isClosed => l.getFactory.createLinearRing(l.getCoordinateSequence)
+      case other => throw new IllegalArgumentException(
+        s"st_makepolygon expects a closed LINESTRING shell, got ${other.getGeometryType}")
+    }
+    val holes =
+      if (vs.length < 2) Array.empty[org.locationtech.jts.geom.LinearRing]
+      else {
+        val arr = vs(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map { i =>
+          Geom.deserialize(arr.getBinary(i)) match {
+            case l: LineString if l.isClosed => l.getFactory.createLinearRing(l.getCoordinateSequence)
+            case other => throw new IllegalArgumentException(
+              s"st_makepolygon hole ${i + 1} must be a closed LINESTRING, got ${other.getGeometryType}")
+          }
+        }.toArray
+      }
+    out(shell.getFactory.createPolygon(shell, holes))
+  }
+  override def prettyName: String = "st_makepolygon"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** st_collectionextract(geom, dim): members of dimension dim (1 point,
+  * 2 line, 3 polygon) as the matching Multi* geometry. */
+case class StCollectionExtract(left: Expression, right: Expression) extends StNary {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = {
+    val g = geom(vs(0))
+    val want = int(vs(1))
+    require(want >= 1 && want <= 3, s"st_collectionextract dim must be 1..3, got $want")
+    val fac = g.getFactory
+    val parts = (0 until g.getNumGeometries).map(g.getGeometryN).filter {
+      case _: Point => want == 1
+      case _: LineString => want == 2
+      case _: org.locationtech.jts.geom.Polygon => want == 3
+      case _ => false
+    }
+    out(want match {
+      case 1 => fac.createMultiPoint(parts.map(_.asInstanceOf[Point]).toArray)
+      case 2 => fac.createMultiLineString(parts.map(_.asInstanceOf[LineString]).toArray)
+      case 3 => fac.createMultiPolygon(parts.map(_.asInstanceOf[org.locationtech.jts.geom.Polygon]).toArray)
+    })
+  }
+  override def prettyName: String = "st_collectionextract"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1))
+}
+
 /** st_removepoint(line, index): delete vertex. */
 case class StRemovePoint(left: Expression, right: Expression) extends StNary {
   override def children: Seq[Expression] = Seq(left, right)

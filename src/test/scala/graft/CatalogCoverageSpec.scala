@@ -111,6 +111,10 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_asewkt" -> "st_asewkt(st_point(1, 2))",
     "st_addpoint" -> "st_numpoints(st_addpoint(st_geomfromtext('LINESTRING (0 0, 2 2)'), st_point(3, 3)))",
     "st_removepoint" -> "st_numpoints(st_removepoint(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'), 1))",
+    "st_interiorringn" -> "st_length(st_interiorringn(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'), 1))",
+    "st_makepolygon" -> "st_area(st_makepolygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)')))",
+    "st_collectionextract" -> "st_geometrytype(st_collectionextract(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))'), 2))",
+    "st_npoints" -> "st_npoints(st_geomfromtext('LINESTRING (0 0, 1 1)'))",
     "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
     "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",
     "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",

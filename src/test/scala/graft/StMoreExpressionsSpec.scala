@@ -54,6 +54,21 @@ class StMoreExpressionsSpec extends SparkSpec {
       "st_convexhull(st_geomfromtext('MULTIPOINT ((0 0), (4 0), (2 3))')))") == true)
   }
 
+  test("polygon construction and ring/collection access") {
+    assert(s1("st_area(st_makepolygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)')))") == 16.0)
+    assert(s1("""st_area(st_makepolygon(st_geomfromtext('LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)'),
+      array(st_geomfromtext('LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)'))))""") == 96.0)
+    assert(s1("st_length(st_interiorringn(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'), 1))") == 8.0)
+    assert(s1("st_interiorringn(st_makeenvelope(0,0,1,1), 1)") == null)
+    assert(s1("st_astext(st_collectionextract(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1), POINT (2 2))'), 1))") ==
+      "MULTIPOINT ((1 1), (2 2))")
+    assert(s1("st_geometrytype(st_collectionextract(st_geomfromtext('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))'), 2))") ==
+      "ST_MultiLineString")
+    assert(s1("st_npoints(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'))") == 3)
+    val err = intercept[Exception](s1("st_makepolygon(st_geomfromtext('LINESTRING (0 0, 4 0)'))"))
+    assert(err.getMessage.contains("closed") || err.getCause != null)
+  }
+
   test("distance metrics and angles") {
     assert(s1("st_hausdorffdistance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D))") == 5.0)
     assert(s1("st_frechetdistance(st_geomfromtext('LINESTRING (0 0, 1 0)'), st_geomfromtext('LINESTRING (0 1, 1 1)'))") == 1.0)
