@@ -135,6 +135,26 @@ class PlanRulesSpec extends SparkSpec {
       naivePairs((b, p) => b.isWithinDistance(p, 5.0)))
   }
 
+  test("headline query plans: broadcast star join, codegen, no cartesian") {
+    // plan-regression guard for the bench headliners: q5's five-way star
+    // must broadcast the small dims (no shuffle of nation/region/supplier
+    // by SMJ) and never fall to a cartesian/BNLJ; the scans must prune
+    // columns (lineitem is 16 cols; the query touches 4).
+    SparkEntry.prep(spark, "/root/testdata/sf0.001")
+    val q5 = SparkEntry.queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+    q5.collect()
+    val plan = q5.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q5 must broadcast dims:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("WholeStageCodegen"), "q5 must stay in codegen")
+    val lineitemCols = q5.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "l_extendedprice") => f.output.map(_.name)
+    }.flatten
+    assert(lineitemCols.nonEmpty && lineitemCols.length <= 6,
+      s"lineitem scan must prune columns, read $lineitemCols")
+  }
+
   test("joins with a real equi key are left alone") {
     val j = spark.sql(
       "SELECT bid, pid FROM rw_boxes JOIN rw_pts ON bid = pid AND st_contains(box, pt)")
