@@ -146,7 +146,8 @@ class PlanRulesSpec extends SparkSpec {
     val plan = q5.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"q5 must broadcast dims:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("WholeStageCodegen"), "q5 must stay in codegen")
+    // codegen stages render as "*(n)" in the AQE final plan string
+    assert(plan.contains("*("), s"q5 must stay in whole-stage codegen:\n$plan")
     val lineitemCols = q5.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.output.exists(_.name == "l_extendedprice") => f.output.map(_.name)
