@@ -148,12 +148,15 @@ class PlanRulesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     // codegen stages render as "*(n)" in the AQE final plan string
     assert(plan.contains("*("), s"q5 must stay in whole-stage codegen:\n$plan")
-    val lineitemCols = q5.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.output.exists(_.name == "l_extendedprice") => f.output.map(_.name)
-    }.flatten
-    assert(lineitemCols.nonEmpty && lineitemCols.length <= 6,
-      s"lineitem scan must prune columns, read $lineitemCols")
+    // scans live inside AQE query stages (leaf nodes to collect), so read
+    // the pruned schema off the rendered scan line instead
+    val readSchemas = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") || (l.contains("FileScan") && l.contains("l_extendedprice")))
+      .flatMap(l => """ReadSchema: struct<([^>]*)>""".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSeq
+    assert(readSchemas.nonEmpty, s"no lineitem scan line found in:\n$plan")
+    val nCols = readSchemas.head.split(',').length
+    assert(nCols <= 6, s"lineitem scan must prune columns, read: ${readSchemas.head}")
   }
 
   test("joins with a real equi key are left alone") {
