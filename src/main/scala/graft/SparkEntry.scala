@@ -219,32 +219,8 @@ object SparkEntry {
     // exact dedup -> MinHash near-dup removal -> token accounting.
     "pipeline_clean_corpus" -> ((s, d) => {
       prep(s, d)
-      // small-SF documents.parquet is one partition — widen so the
-      // CPU-heavy scoring/shingling uses every core (no-op at scale)
-      val docs = s.table("documents").repartition(
-        s.sparkContext.defaultParallelism)
-      val scored = docs
-        .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")))
-        .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))
-        .where(col("quality") >= 0.3 && col("n_tokens") >= 10)
-        .where(col("lang").isin("en", "fr", "es", "de"))
-      // exact dedup: keep min doc_id per identical text. The frame feeds
-      // BOTH the near-dup detector (whose clustering jobs run eagerly
-      // below) and the final left_anti — localCheckpoint (eager)
-      // materializes the quality scoring + md5 window ONCE, and unlike
-      // persist() it pins nothing in the CacheManager: the blocks free on
-      // GC via the ContextCleaner when the result frame is dropped.
-      val exactKept = scored.withColumn("__grp_min",
-          min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-        .where(col("doc_id") === col("__grp_min")).drop("__grp_min")
-        .localCheckpoint()
-      // near-dup removal: cluster verified pairs, keep min-id per cluster
-      val drops = graft.ops.Dedup.nearDupDrops(exactKept, col("doc_id"), col("text"),
-        threshold = 0.5, shingleK = 5)
-      val survivors = exactKept.join(drops.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
-      survivors.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
-        .orderBy("lang")
+      graft.ops.CorpusPipeline.cleanStats(s.table("documents"),
+        col("doc_id"), col("text"), col("lang"))
     }),
 
     "multimodal_features" -> ((s, d) => {

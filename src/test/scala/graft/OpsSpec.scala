@@ -202,6 +202,28 @@ class OpsSpec extends SparkSpec {
     assert(scores(0L) > scores(2L) * 0.8)
   }
 
+  test("corpus pipeline: drops low-quality, off-language, exact and near dups") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today and it is a fine day for all of the animals in the field", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight and it is a fine day for all of the animals in the field", "en"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today and it is a fine day for all of the animals in the field", "en"), // exact dup of 0
+      (3L, "a completely different long document that is about the architecture of distributed query engines and the storage of columnar data in files", "en"),
+      (4L, "der schnelle braune fuchs springt in dem wald und die tiere sind mit ihm in der nacht und das ist ein gutes zeichen für die zukunft", "de"),
+      (5L, "short", "en"), // fails minTokens
+      (6L, "a long enough document in an unsupported language that should be dropped by the lang filter even though it would pass the quality gate", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.ops.CorpusPipeline.clean(corpus,
+        col("doc_id"), col("text"), col("lang"),
+        graft.ops.CorpusPipeline.Config(nearDupThreshold = 0.7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L), s"got $kept")
+    val stats = graft.ops.CorpusPipeline.cleanStats(corpus,
+        col("doc_id"), col("text"), col("lang"),
+        graft.ops.CorpusPipeline.Config(nearDupThreshold = 0.7))
+      .as[(String, Long, Long)].collect().map { case (l, n, t) => l -> ((n, t)) }.toMap
+    assert(stats("en")._1 == 2 && stats("de")._1 == 1)
+  }
+
   test("ops leave no pinned Dataset cache behind (cache hygiene)") {
     import org.apache.spark.sql.graft.GraftShim
     // the OpsSpec fixture itself is cached; release it for a clean slate
