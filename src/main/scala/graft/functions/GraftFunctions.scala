@@ -143,6 +143,7 @@ object GraftFunctions {
     ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
+    ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
     ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),
     ("st_centroid_aggr", 1, es => StCentroidAggr(es.head)),
     ("st_collect", 1, es => StCollectAggr(es.head)),

@@ -238,6 +238,36 @@ case class StUnionAggr(
   override def prettyName: String = "st_union_aggr"
 }
 
+/** ST_Intersection_Aggr: n-way intersection. Partials fold map-side to a
+  * single geometry (intersection is associative/commutative), so — like
+  * union — one geometry per partition crosses the shuffle, not the input
+  * set. Empty intersection stays representable (empty polygon). */
+case class StIntersectionAggr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends GeomSetAggr {
+
+  override def serialize(buf: ArrayBuffer[Geometry]): Array[Byte] =
+    if (buf.isEmpty) super.serialize(buf)
+    else Geom.serialize(Geom.factory.createGeometryCollection(Array(intersect(buf))))
+
+  override def eval(buf: ArrayBuffer[Geometry]): Any =
+    if (buf.isEmpty) null
+    else Geom.serialize(intersect(buf))
+
+  private def intersect(buf: ArrayBuffer[Geometry]): Geometry = {
+    var acc = buf.head
+    var i = 1
+    while (i < buf.length && !acc.isEmpty) { acc = acc.intersection(buf(i)); i += 1 }
+    acc
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): StIntersectionAggr = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StIntersectionAggr = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+  override def prettyName: String = "st_intersection_aggr"
+}
+
 /** ST_Collect: gather inputs into a geometry collection (Multi* when homogeneous). */
 case class StCollectAggr(
     child: Expression,

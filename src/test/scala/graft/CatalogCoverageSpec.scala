@@ -118,6 +118,7 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
     "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",
     "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
+    "st_intersection_aggr" -> "st_area(st_intersection_aggr(g)) FROM (SELECT st_makeenvelope(0,0,2,2) AS g)",
     "st_envelope_aggr" -> "st_xmin(st_envelope_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
     "st_centroid_aggr" -> "st_x(st_centroid_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
     "st_collect" -> "st_geometrytype(st_collect(g)) FROM (SELECT st_point(1,1) AS g)",

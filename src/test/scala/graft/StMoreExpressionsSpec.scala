@@ -69,6 +69,22 @@ class StMoreExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("closed") || err.getCause != null)
   }
 
+  test("st_intersection_aggr: n-way overlap, map-side partials, empty case") {
+    val r = spark.sql("""
+      SELECT st_area(st_intersection_aggr(g)) AS a,
+             st_astext(st_normalize(st_envelope(st_intersection_aggr(g)))) AS w
+      FROM (SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0D, CAST(id + 3 AS DOUBLE), 3.0D) AS g
+            FROM range(3))""").head
+    assert(r.getDouble(0) == 3.0, s"overlap of (0..3),(1..4),(2..5) x (0..3) has area 3, got ${r.getDouble(0)}")
+    assert(r.getString(1) == "POLYGON ((2 0, 2 3, 3 3, 3 0, 2 0))")
+    // disjoint inputs -> empty geometry, not an error
+    val empty = spark.sql("""
+      SELECT st_isempty(st_intersection_aggr(g))
+      FROM (SELECT st_makeenvelope(CAST(id * 10 AS DOUBLE), 0.0D, CAST(id * 10 + 1 AS DOUBLE), 1.0D) AS g
+            FROM range(3))""").head.getBoolean(0)
+    assert(empty)
+  }
+
   test("distance metrics and angles") {
     assert(s1("st_hausdorffdistance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D))") == 5.0)
     assert(s1("st_frechetdistance(st_geomfromtext('LINESTRING (0 0, 1 0)'), st_geomfromtext('LINESTRING (0 1, 1 1)'))") == 1.0)
