@@ -36,7 +36,7 @@ object GeoSql {
   private val createRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*USING\s+GEO\b(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
   private val insertRe =
-    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\b.+|SELECT\b.+|FROM\b.+|WITH\b.+|TABLE\b.+)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?(VALUES\b.+|SELECT\b.+|FROM\b.+|WITH\b.+|TABLE\b.+)\s*;?\s*""".r
   private val updateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteRe =
@@ -46,8 +46,9 @@ object GeoSql {
   def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
     case createRe(name, colsDdl, location) =>
       Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
-    case insertRe(name, query) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoInsertCommand(name, query))
+    case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoInsertCommand(name, query,
+        Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
     case updateRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
       // split SET clause from WHERE quote/paren-aware: a WHERE inside a
       // string literal must not split the statement
@@ -174,10 +175,31 @@ case class GeoCreateTableCommand(name: String, colsDdl: String,
   }
 }
 
-case class GeoInsertCommand(name: String, query: String) extends GeoRunnable {
+case class GeoInsertCommand(name: String, query: String,
+                            columns: Seq[String] = Seq.empty) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoTable.registeredRoot(name).get
-    val n = GeoTable.append(spark, root, spark.sql(query))
+    val src = spark.sql(query)
+    // explicit column list: reorder to table order, NULL-fill the rest
+    val aligned =
+      if (columns.isEmpty) src
+      else {
+        val schema = GeoManifest.read(spark, root).schema
+        val bad = columns.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(bad.isEmpty, s"INSERT column(s) not in table: ${bad.mkString(", ")}")
+        require(columns.length == src.columns.length,
+          s"INSERT lists ${columns.length} columns but the query produces ${src.columns.length}")
+        // positional rename first: unaliased query columns may contain
+        // dots/parens that Dataset.apply would parse as nested paths
+        val renamed = src.toDF(columns: _*)
+        renamed.select(schema.fields.toSeq.map { f =>
+          columns.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(c) => renamed(c).as(f.name)
+            case None => org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+    val n = GeoTable.append(spark, root, aligned)
     GeoTable.register(spark, name, root) // refresh the temp view snapshot
     Seq(Row(n))
   }

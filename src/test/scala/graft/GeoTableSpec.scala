@@ -185,6 +185,34 @@ class GeoTableSpec extends SparkSpec {
     intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
   }
 
+  test("INSERT with explicit column list reorders and NULL-fills") {
+    val root = tmpRoot("inscols")
+    spark.sql(s"CREATE TABLE ins_t (id INT, data STRING, geo GEOMETRY) USING GEO LOCATION '$root'")
+    try {
+      GeoSql.exec(spark, "INSERT INTO ins_t (geo, id) SELECT st_point(1.0D, 2.0D), 7")
+      val r = spark.table("ins_t").selectExpr("id", "data", "st_astext(geo)").head()
+      assert(r.getInt(0) == 7 && r.isNullAt(1) && r.getString(2) == "POINT (1 2)")
+      val err = intercept[Exception](
+        GeoSql.exec(spark, "INSERT INTO ins_t (nope) VALUES (1)"))
+      assert(err.getMessage.contains("not in table"))
+    } finally GeoTable.drop(spark, "ins_t")
+  }
+
+  test("GeoJSON ndjson source roundtrips features with properties") {
+    import graft.sources.GeoJsonSource
+    val dir = java.nio.file.Files.createTempDirectory("geojson").toString + "/f"
+    val src = spark.range(5).toDF("id")
+      .withColumn("name", concat(lit("pt_"), col("id")))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(2.0)))
+    GeoJsonSource.writeFeatures(src, "geo", dir)
+    val back = GeoJsonSource.readFeatures(spark, dir, Seq("id", "name"))
+    assert(graft.tables.GeoSchema.isGeometry(back.schema("geometry")))
+    val rows = back.selectExpr("CAST(id AS LONG)", "name", "st_astext(geometry)")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(rows.length == 5)
+    assert(rows(3) == ((3L, "pt_3", "POINT (3 2)")))
+  }
+
   test("SQL front-half parsing edge cases") {
     val root = tmpRoot("parse")
     GeoTable.create(spark, root, Seq((1L, "x"), (2L, "y")).toDF("id", "s"), None)
