@@ -187,6 +187,15 @@ object GraftFunctions {
     "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",
     "st_makevalid" -> "st_makevalid(geom) - Repairs invalid geometry (JTS GeometryFixer); valid input unchanged.",
     "st_geomfromgeojson" -> "st_geomfromgeojson(json) - Parses GeoJSON geometry text into WKB.",
+    "st_geohash" -> "st_geohash(geom, precision) - Base32 geohash of the centroid (x=lon, y=lat), 1..20 chars.",
+    "st_lineinterpolatepoint" -> "st_lineinterpolatepoint(line, f) - Point at fraction f (0..1, clamped) of the line's length.",
+    "st_linesubstring" -> "st_linesubstring(line, f0, f1) - Sub-line between length fractions f0 <= f1.",
+    "st_linelocatepoint" -> "st_linelocatepoint(line, pt) - Length fraction of the line nearest to pt.",
+    "st_affine" -> "st_affine(g, a, b, d, e, xoff, yoff) - x'=ax+by+xoff, y'=dx+ey+yoff (PostGIS 2-D order).",
+    "st_interiorringn" -> "st_interiorringn(poly, n) - nth interior ring, 1-based; NULL out of range.",
+    "st_collectionextract" -> "st_collectionextract(geom, dim) - Members of dimension dim (1 pt, 2 line, 3 poly) as Multi*.",
+    "st_concavehull" -> "st_concavehull(geom, lengthRatio) - JTS concave hull; ratio 1.0 = convex hull.",
+    "st_intersection_aggr" -> "st_intersection_aggr(geom) - Aggregate: n-way intersection (map-side partial folds).",
     "st_union_aggr" -> "st_union_aggr(geom) - Aggregate: n-way cascaded union (map-side partial unions).",
     "st_envelope_aggr" -> "st_envelope_aggr(geom) - Aggregate: bounding box of all inputs (fixed-size buffer).",
     "st_centroid_aggr" -> "st_centroid_aggr(geom) - Aggregate: centroid of the input collection (dimension-stratified).",
