@@ -657,6 +657,56 @@ object SparkEntry {
         .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey")
     }),
 
+    // MERGE INTO end-state check: update + delete + insert in one statement
+    // against a fresh copy-on-write table; DuckDB oracle reconstructs the
+    // same end state relationally (left join for matched actions, anti-join
+    // for inserts), so clause ordering AND row movement are hash-verified.
+    "geo_dml_merge" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_dml_m").toString + "/t"
+      val src = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"),
+        lit(0).as("flag"))
+      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      graft.tables.GeoTable.register(s, "geo_dml_mrg_t", root)
+      graft.tables.GeoSql.exec(s,
+        """MERGE INTO geo_dml_mrg_t t USING (
+          |  SELECT c_custkey AS sid, c_nationkey AS snat, c_acctbal AS sbal
+          |  FROM customer WHERE c_custkey % 10 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+          |  FROM customer WHERE c_custkey % 100 = 0
+          |) s ON t.c_custkey = s.sid
+          |WHEN MATCHED AND s.snat < 5 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET flag = 1
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, geo, flag)
+          |  VALUES (s.sid, s.snat, st_point(s.sbal, CAST(s.snat AS DOUBLE)), 2)
+          |""".stripMargin)
+      val out = graft.tables.GeoTable.read(s, root)
+        .groupBy("flag").agg(count(lit(1)).as("n"),
+          sum("c_custkey").as("key_sum")).orderBy("flag")
+      graft.tables.GeoTable.drop(s, "geo_dml_mrg_t")
+      out
+    }),
+
+    // CTAS roundtrip: write a table from a query, read the committed
+    // snapshot back — storage must preserve every row and value exactly.
+    "geo_ctas" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_ctas").toString + "/t"
+      graft.tables.GeoSql.exec(s,
+        s"""CREATE TABLE geo_ctas_t USING GEO LOCATION '$root' AS
+           |SELECT c_custkey, c_nationkey,
+           |       st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS geo
+           |FROM customer WHERE c_acctbal > 0.005""".stripMargin)
+      val out = graft.tables.GeoTable.read(s, root)
+        .select(col("c_custkey"), col("c_nationkey"),
+          st_x(col("geo")).as("x"), st_y(col("geo")).as("y"))
+        .orderBy("c_custkey")
+      graft.tables.GeoTable.drop(s, "geo_ctas_t")
+      out
+    }),
+
     // scale path for dedup planning: HLL++ estimate vs exact count — at
     // 100 TB the estimate is a single map-side sketch merge, no shuffle of
     // distinct values. The sketch value is engine-specific, so the oracle
@@ -1096,5 +1146,32 @@ object SparkEntry {
       WHERE NOT (c_acctbal > 2000.005 AND c_acctbal < 9000.005
                  AND c_nationkey >= 5 AND c_nationkey <= 19)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "geo_dml_merge" -> """
+      WITH src AS (
+        SELECT c_custkey AS sid, c_nationkey AS snat FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_nationkey FROM customer WHERE c_custkey % 100 = 0
+      ),
+      tgt AS (SELECT c_custkey, 0 AS flag FROM customer),
+      merged AS (
+        SELECT t.c_custkey,
+               CASE WHEN s.sid IS NOT NULL THEN 1 ELSE t.flag END AS flag,
+               CASE WHEN s.sid IS NOT NULL AND s.snat < 5 THEN 1 ELSE 0 END AS del
+        FROM tgt t LEFT JOIN src s ON t.c_custkey = s.sid
+      ),
+      final AS (
+        SELECT c_custkey, flag FROM merged WHERE del = 0
+        UNION ALL
+        SELECT s.sid, 2 FROM src s LEFT JOIN tgt t ON t.c_custkey = s.sid
+        WHERE t.c_custkey IS NULL
+      )
+      SELECT flag, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM final GROUP BY flag ORDER BY flag""",
+
+    "geo_ctas" -> """
+      SELECT c_custkey, c_nationkey,
+             c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
+      FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
   )
 }

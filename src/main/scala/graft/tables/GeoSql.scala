@@ -41,11 +41,23 @@ object GeoSql {
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(.*?)\s*;?\s*""".r
+  private val ctasRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+USING\s+GEO\b(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+((?:SELECT|WITH|FROM|TABLE|VALUES)\b.+)\s*;?\s*""".r
+  private val mergeRe =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
+  private val dropRe =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
 
   /** Front-half: our command when the statement targets a geo table. */
   def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case ctasRe(name, location, query) =>
+      Some(GeoCtasCommand(name, Option(location), query))
     case createRe(name, colsDdl, location) =>
       Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
+    case mergeRe(name, alias, rest) if GeoTable.registeredRoot(name).isDefined =>
+      parseMerge(name, Option(alias), rest)
+    case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoDropTableCommand(name))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -122,6 +134,95 @@ object GeoSql {
           val prev = if (i > 0) s.charAt(i - 1) else ' '
           val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
           if (prev != '<' && prev != '>' && prev != '!' && prev != '=' && next != '=') return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  // --- MERGE clause specs (raw SQL fragments; resolved with expr() at run) ---
+  sealed trait MergeClauseSpec { def cond: Option[String] }
+  final case class MergeUpdateSpec(cond: Option[String], sets: Seq[(String, String)]) extends MergeClauseSpec
+  final case class MergeDeleteSpec(cond: Option[String]) extends MergeClauseSpec
+  /** `values = None` means INSERT * ; `cols = None` with values means positional. */
+  final case class MergeInsertSpec(cond: Option[String], cols: Option[Seq[String]],
+                                   values: Option[Seq[String]]) extends MergeClauseSpec
+
+  private val updateActRe = """(?is)\s*UPDATE\s+SET\s+(.+)\s*""".r
+  private val deleteActRe = """(?is)\s*DELETE\s*""".r
+  private val insertStarRe = """(?is)\s*INSERT\s+\*\s*""".r
+  private val insertValsRe = """(?is)\s*INSERT\s*(?:\(([\w\s,]+)\)\s*)?VALUES\s*\((.+)\)\s*""".r
+
+  /** Parse everything after `MERGE INTO name [alias] USING`:
+    * `<source> ON <cond> WHEN [NOT] MATCHED [AND c] THEN <action> ...` */
+  private[tables] def parseMerge(name: String, targetAlias: Option[String],
+                                 rest: String): Option[LogicalPlan] = {
+    val (srcPart, afterOnOpt) = splitAtKeyword(rest, "ON")
+    val afterOn = afterOnOpt.getOrElse(return None)
+    val (onSql, whenTextOpt) = splitAtKeyword(afterOn, "WHEN")
+    val whenText = whenTextOpt.getOrElse(return None)
+    if (onSql.isEmpty) return None
+
+    // source: `(subquery) [AS] alias` or `table [AS] alias`
+    val (sourceQuery, isSubquery, sourceAlias) =
+      if (srcPart.startsWith("(")) {
+        val close = matchParen(srcPart, 0)
+        if (close < 0) return None
+        val alias = srcPart.substring(close + 1).trim.replaceAll("(?i)^AS\\s+", "")
+        (srcPart.substring(1, close).trim, true, Some(alias).filter(_.nonEmpty))
+      } else {
+        val toks = srcPart.split("\\s+").toSeq.filter(_.nonEmpty)
+        toks match {
+          case Seq(t) => (t, false, None)
+          case Seq(t, a) => (t, false, Some(a))
+          case Seq(t, as, a) if as.equalsIgnoreCase("AS") => (t, false, Some(a))
+          case _ => return None
+        }
+      }
+
+    // split the WHEN chain (quote/paren-aware)
+    val clauseTexts = Seq.newBuilder[String]
+    var remaining: Option[String] = Some(whenText)
+    while (remaining.isDefined) {
+      val (c, next) = splitAtKeyword(remaining.get, "WHEN")
+      if (c.nonEmpty) clauseTexts += c
+      remaining = next
+    }
+
+    val clauses = clauseTexts.result().map { clause =>
+      val (head, actionOpt) = splitAtKeyword(clause, "THEN")
+      val action = actionOpt.getOrElse(return None)
+      val (matchedKw, condSql) = splitAtKeyword(head, "AND")
+      val isNot = matchedKw.matches("(?is)\\s*NOT\\s+MATCHED(\\s+BY\\s+TARGET)?\\s*")
+      val isMatched = matchedKw.matches("(?is)\\s*MATCHED\\s*")
+      if (!isNot && !isMatched) return None
+      action match {
+        case updateActRe(sets) if isMatched => MergeUpdateSpec(condSql, splitAssignments(sets))
+        case deleteActRe() if isMatched => MergeDeleteSpec(condSql)
+        case insertStarRe() if isNot => MergeInsertSpec(condSql, None, None)
+        case insertValsRe(cols, vals) if isNot =>
+          MergeInsertSpec(condSql,
+            Option(cols).map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty)),
+            Some(splitTop(vals, ',')))
+        case _ => return None
+      }
+    }
+    if (clauses.isEmpty) None
+    else Some(GeoMergeCommand(name, targetAlias, sourceQuery, isSubquery, sourceAlias,
+      onSql, clauses))
+  }
+
+  /** Index of the ')' matching the '(' at `open`, or -1 (quote-aware). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var quote: Char = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
         case _ =>
       }
       i += 1
@@ -223,6 +324,100 @@ case class GeoDeleteCommand(name: String, condSql: Option[String]) extends GeoRu
     val n = GeoTable.delete(spark, root, condSql.map(expr).getOrElse(lit(true)))
     GeoTable.register(spark, name, root)
     Seq(Row(n))
+  }
+}
+
+/** CREATE TABLE ... USING GEO AS SELECT ... — the reference's CTAS leg
+  * (reference: example/.../App.scala:77 `CREATE TABLE ... USING ICEBERG AS
+  * SELECT l.id id, r.geo geo FROM ...`). Geometry columns are found from
+  * propagated GEOMETRY field metadata (selecting a geo table's column keeps
+  * its tag); untagged BINARY outputs (e.g. a raw ST_Point(...) projection)
+  * are sniffed from a 32-row sample — first column whose values parse as
+  * WKB wins. */
+case class GeoCtasCommand(name: String, location: Option[String],
+                          query: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(query)
+    val geomCol = GeoSchema.geometryColumns(df.schema).headOption.map(_._1)
+      .orElse(sniffGeometry(df))
+    val root = location.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      s"$wh/geo/${name.replace('.', '_')}"
+    }
+    if (GeoManifest.currentVersion(spark, root).isEmpty)
+      GeoTable.create(spark, root, df, geomCol)
+    GeoTable.register(spark, name, root)
+    Seq(Row(GeoManifest.read(spark, root).totalRows))
+  }
+
+  private def sniffGeometry(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.BinaryType
+    val bins = df.schema.fields
+      .filter(f => f.dataType == BinaryType && !f.metadata.contains(GeoSchema.TypeKey))
+      .map(_.name).toSeq
+    if (bins.isEmpty) None
+    else {
+      val sample = df.select(bins.map(col): _*).limit(32).collect()
+      bins.find { b =>
+        sample.iterator.map(_.getAs[Array[Byte]](b)).exists { v =>
+          v != null && (try { graft.geom.Geom.deserialize(v); true }
+          catch { case scala.util.control.NonFatal(_) => false })
+        }
+      }
+    }
+  }
+}
+
+/** MERGE INTO: delegates to GeoTable.merge (broadcast-source COW upsert).
+  * Fragments are re-parsed by Spark's own expression parser, so the full
+  * ST_ catalog works in ON / AND / SET / VALUES positions. */
+case class GeoMergeCommand(name: String, targetAlias: Option[String],
+                           sourceQuery: String, isSubquery: Boolean,
+                           sourceAlias: Option[String], onSql: String,
+                           clauses: Seq[GeoSql.MergeClauseSpec]) extends GeoRunnable {
+  import GeoSql._
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    // alias-free qualified refs would misparse with dotted names; fall back
+    // to the last identifier segment as the implicit alias
+    val tAlias = targetAlias.getOrElse(name.split('.').last)
+    val sAlias = sourceAlias.getOrElse(if (isSubquery) "s" else sourceQuery.split('.').last)
+    val source = if (isSubquery) spark.sql(sourceQuery) else spark.table(sourceQuery)
+    val schema = GeoManifest.read(spark, root).schema
+    val matched = clauses.collect {
+      case MergeUpdateSpec(c, sets) =>
+        GeoTable.MergeUpdate(c.map(expr), sets.map { case (n, v) => n -> expr(v) })
+      case MergeDeleteSpec(c) => GeoTable.MergeDelete(c.map(expr))
+    }
+    val notMatched = clauses.collect {
+      case MergeInsertSpec(c, _, None) => GeoTable.MergeInsert(c.map(expr), None)
+      case MergeInsertSpec(c, cols, Some(vals)) =>
+        val names = cols.getOrElse {
+          require(vals.length == schema.fields.length,
+            s"MERGE INSERT without a column list needs ${schema.fields.length} values, got ${vals.length}")
+          schema.fieldNames.toSeq
+        }
+        require(names.length == vals.length,
+          s"MERGE INSERT lists ${names.length} columns but ${vals.length} values")
+        GeoTable.MergeInsert(c.map(expr), Some(names.zip(vals.map(expr))))
+    }
+    val n = GeoTable.merge(spark, root, source, expr(onSql), matched, notMatched, tAlias, sAlias)
+    GeoTable.register(spark, name, root)
+    Seq(Row(n))
+  }
+}
+
+/** DROP TABLE on a registered geo table: unregister + delete the root dir.
+  * Unregistered names never reach here (maybeCommand guards), so plain
+  * Spark tables still go through Spark's own DROP. */
+case class GeoDropTableCommand(name: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    GeoTable.drop(spark, name)
+    val fs = GeoManifest.fs(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Seq(Row(0L))
   }
 }
 

@@ -214,6 +214,142 @@ object GeoTable {
       (df, hit) => df.where(!coalesce(hit, lit(false)))
     }
 
+  // -------------------------------------------------------------------------
+  // MERGE INTO (the Iceberg/Delta upsert verb; reference tables are Iceberg,
+  // whose flagship DML is MERGE — same first-match-wins clause semantics)
+  // -------------------------------------------------------------------------
+
+  sealed trait MergeAction { def cond: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET c = e, ... (RHS may reference
+    * both target and source aliases). */
+  final case class MergeUpdate(cond: Option[Column], sets: Seq[(String, Column)]) extends MergeAction
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MergeDelete(cond: Option[Column]) extends MergeAction
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT ...; `values = None` means
+    * INSERT * (source columns matched to target columns by name). */
+  final case class MergeInsert(cond: Option[Column], values: Option[Seq[(String, Column)]]) extends MergeAction
+
+  /**
+   * SQL-semantics MERGE INTO, copy-on-write:
+   *
+   *  1. One probe scan (target ⋈ broadcast source on `on`) finds the FILES
+   *     containing matched rows — plus the per-row match multiplicity; a
+   *     target row matching >1 source rows is a cardinality violation
+   *     (nondeterministic update), rejected like Delta/Iceberg do.
+   *  2. Only affected files are rewritten (left-join against the broadcast
+   *     source; first clause in order whose condition holds wins — standard
+   *     MERGE clause semantics). Untouched files carry over by reference,
+   *     so a point-merge on a Z-ordered table rewrites a handful of files
+   *     regardless of table size.
+   *  3. NOT MATCHED source rows (anti-join) append as fresh files.
+   *
+   * Scale: the source is a delta and is broadcast — the target never
+   * shuffles; probe + rewrite are map-side joins over (a subset of) target
+   * files. Returns matched-and-acted rows + inserted rows.
+   */
+  def merge(spark: SparkSession, root: String, source: DataFrame, on: Column,
+            matched: Seq[MergeAction], notMatched: Seq[MergeInsert],
+            targetAlias: String = "t", sourceAlias: String = "s"): Long = {
+    require(matched.forall(a => a.isInstanceOf[MergeUpdate] || a.isInstanceOf[MergeDelete]),
+      "matched actions must be MergeUpdate or MergeDelete")
+    val m = GeoManifest.read(spark, root)
+    matched.collect { case MergeUpdate(_, sets) => sets }.flatten.foreach { case (c, _) =>
+      require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"MERGE UPDATE SET column '$c' not in table schema ${m.schema.fieldNames.mkString(", ")}")
+    }
+    val src = source.withColumn("__graft_smatch", lit(true)).alias(sourceAlias)
+
+    // --- 1. probe: affected files + cardinality check (single driver-safe agg)
+    val affected: Seq[FileEntry] =
+      if (m.files.isEmpty || matched.isEmpty) Seq.empty
+      else {
+        val probe = readFilesTagged(spark, m.schema, m.files, targetAlias)
+          .join(broadcast(src), on, "inner")
+          .groupBy(col("__graft_file"), col("__graft_row")).agg(count(lit(1)).as("__n"))
+          .groupBy(col("__graft_file")).agg(max("__n").as("__maxn"))
+          .collect()
+        if (probe.exists(_.getLong(1) > 1))
+          throw new IllegalStateException(
+            "MERGE cardinality violation: a target row matches more than one source row")
+        val hit = probe.map(r => GeoManifest.norm(r.getString(0))).toSet
+        m.files.filter(f => hit.contains(f.key))
+      }
+
+    // --- 2. rewrite affected files with first-match-wins clause application
+    var matchedActed = 0L
+    val rewritten: Seq[FileEntry] =
+      if (affected.isEmpty) Seq.empty
+      else {
+        val joined = readFilesTagged(spark, m.schema, affected, targetAlias)
+          .join(broadcast(src), on, "left_outer")
+        val isMatched = coalesce(col("__graft_smatch"), lit(false))
+        val idx = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+          case (acc, (a, i)) => acc.when(isMatched && a.cond.getOrElse(lit(true)), lit(i))
+        }
+        val withIdx = joined.withColumn("__graft_action", idx)
+        matchedActed += withIdx.where(col("__graft_action").isNotNull).count()
+        val delIdx = matched.zipWithIndex.collect { case (_: MergeDelete, i) => i }
+        val kept =
+          if (delIdx.isEmpty) withIdx
+          else withIdx.where(coalesce(!col("__graft_action").isin(delIdx: _*), lit(true)))
+        val out = kept.select(m.schema.fields.toSeq.map { f =>
+          val base: Column = col(s"$targetAlias.${f.name}")
+          val v = matched.zipWithIndex.foldLeft(base) {
+            case (acc, (MergeUpdate(_, sets), i)) =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) => when(col("__graft_action") === i, e.cast(f.dataType)).otherwise(acc)
+                case None => acc
+              }
+            case (acc, _) => acc
+          }
+          v.as(f.name, f.metadata)
+        }: _*)
+        writeCommit(spark, root, out, m.schema, m.geomCol)
+      }
+
+    // --- 3. NOT MATCHED inserts (anti-join; equi `on` keys shuffle, never BNL
+    //     unless the ON condition itself is non-equi)
+    val inserted: Seq[FileEntry] =
+      if (notMatched.isEmpty) Seq.empty
+      else {
+        val tgtForAnti = readFiles(spark, m.schema, m.files).alias(targetAlias)
+        val srcOnly = src.join(tgtForAnti, on, "left_anti")
+        val idx = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+          case (acc, (a, i)) => acc.when(a.cond.getOrElse(lit(true)), lit(i))
+        }
+        val withIdx = srcOnly.withColumn("__graft_action", idx)
+          .where(col("__graft_action").isNotNull)
+        val rows = withIdx.select(m.schema.fields.toSeq.map { f =>
+          val v = notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+            case (acc, (MergeInsert(_, values), i)) =>
+              val e = values match {
+                case None => col(s"$sourceAlias.${f.name}")
+                case Some(vs) => vs.find(_._1.equalsIgnoreCase(f.name)).map(_._2).getOrElse(lit(null))
+              }
+              when(col("__graft_action") === i, e.cast(f.dataType)).otherwise(acc)
+          }
+          v.as(f.name, f.metadata)
+        }: _*)
+        writeCommit(spark, root, rows, m.schema, m.geomCol)
+      }
+
+    if (affected.isEmpty && inserted.isEmpty) return 0L
+    val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = untouched ++ rewritten ++ inserted), m.version)
+    matchedActed + inserted.map(_.rows).sum
+  }
+
+  /** Files + stable per-row identity (`_metadata` file path / row index) for
+    * MERGE's probe and rewrite joins. */
+  private def readFilesTagged(spark: SparkSession, schema: StructType,
+                              files: Seq[FileEntry], alias: String): DataFrame =
+    readFiles(spark, schema, files)
+      .select(col("*"),
+        col("_metadata.file_path").as("__graft_file"),
+        col("_metadata.row_index").as("__graft_row"))
+      .alias(alias)
+
   /** Shared COW machinery: find affected files, transform them, commit.
     * `keepNonMatching=false` (DELETE) additionally drops fully-matched files
     * without rewriting them. */

@@ -258,4 +258,126 @@ class GeoTableSpec extends SparkSpec {
     // time travel reads the pre-delete snapshot
     assert(GeoTable.readAt(spark, root, v0).count() == 100)
   }
+
+  // -------------------------------------------------------------------------
+  // MERGE INTO
+  // -------------------------------------------------------------------------
+
+  test("merge: update + delete + insert in one statement, file-level COW") {
+    val root = tmpRoot("merge")
+    pointTable(root) // ids 0..99, flag 0
+    val before = GeoManifest.read(spark, root)
+    GeoTable.register(spark, "merge_t", root)
+    // source: ids 11..13 (update), 14..15 (delete), 200..201 (insert)
+    Seq((11, 7), (12, 7), (13, 7), (14, -1), (15, -1), (200, 7), (201, 7))
+      .toDF("sid", "sflag").createOrReplaceTempView("merge_src")
+    try {
+      val n = GeoSql.exec(spark,
+        """MERGE INTO merge_t t USING merge_src s ON t.id = s.sid
+          |WHEN MATCHED AND s.sflag < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET flag = s.sflag
+          |WHEN NOT MATCHED THEN INSERT (id, flag, geo) VALUES (s.sid, s.sflag, st_point(CAST(s.sid AS DOUBLE), 0.0D))
+          |""".stripMargin).head().getLong(0)
+      assert(n == 7, s"3 updates + 2 deletes + 2 inserts, got $n")
+
+      val rows = GeoTable.read(spark, root).select("id", "flag").as[(Long, Int)].collect().toMap
+      assert(rows.size == 100, s"100 - 2 deleted + 2 inserted = 100, got ${rows.size}")
+      Seq(11L, 12L, 13L).foreach(i => assert(rows(i) == 7, s"id $i updated"))
+      Seq(14L, 15L).foreach(i => assert(!rows.contains(i), s"id $i deleted"))
+      Seq(200L, 201L).foreach(i => assert(rows(i) == 7, s"id $i inserted"))
+      // inserted geometry is real WKB
+      val g = GeoTable.read(spark, root).where("id = 200")
+        .select(expr("st_x(geo)")).as[Double].head()
+      assert(g == 200.0)
+
+      // COW: files not containing ids 11..15 carried over by reference
+      val after = GeoManifest.read(spark, root)
+      val carried = after.files.map(_.key).toSet.intersect(before.files.map(_.key).toSet)
+      assert(carried.nonEmpty, "untouched files must carry over in MERGE")
+    } finally GeoTable.drop(spark, "merge_t")
+  }
+
+  test("merge: first matching WHEN clause wins") {
+    val root = tmpRoot("mergeorder")
+    GeoTable.create(spark, root, Seq((1, 0), (2, 0)).toDF("id", "flag"), None)
+    val src = Seq((1, 5), (2, 50)).toDF("sid", "sv")
+    GeoTable.merge(spark, root, src, expr("t.id = s.sid"),
+      matched = Seq(
+        GeoTable.MergeUpdate(Some(expr("s.sv >= 10")), Seq("flag" -> lit(999))),
+        GeoTable.MergeUpdate(None, Seq("flag" -> expr("s.sv")))),
+      notMatched = Seq.empty)
+    val rows = GeoTable.read(spark, root).as[(Int, Int)].collect().toMap
+    assert(rows(1) == 5, "second clause applies when first condition fails")
+    assert(rows(2) == 999, "first clause wins when its condition holds")
+  }
+
+  test("merge: cardinality violation (one target row, two source matches) rejected") {
+    val root = tmpRoot("mergecard")
+    GeoTable.create(spark, root, Seq((1, 0)).toDF("id", "flag"), None)
+    val src = Seq((1, 5), (1, 6)).toDF("sid", "sv")
+    val e = intercept[IllegalStateException] {
+      GeoTable.merge(spark, root, src, expr("t.id = s.sid"),
+        matched = Seq(GeoTable.MergeUpdate(None, Seq("flag" -> expr("s.sv")))),
+        notMatched = Seq.empty)
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("merge: INSERT * maps source columns by name") {
+    val root = tmpRoot("mergestar")
+    GeoTable.create(spark, root, Seq((1, 10)).toDF("id", "flag"), None)
+    GeoTable.register(spark, "merge_star_t", root)
+    Seq((2, 20), (3, 30)).toDF("id", "flag").createOrReplaceTempView("merge_star_src")
+    try {
+      GeoSql.exec(spark,
+        "MERGE INTO merge_star_t t USING merge_star_src s ON t.id = s.id " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      val rows = GeoTable.read(spark, root).as[(Int, Int)].collect().toMap
+      assert(rows == Map(1 -> 10, 2 -> 20, 3 -> 30))
+    } finally GeoTable.drop(spark, "merge_star_t")
+  }
+
+  // -------------------------------------------------------------------------
+  // CTAS + DROP TABLE (reference: example/.../App.scala:77, :42)
+  // -------------------------------------------------------------------------
+
+  test("CTAS: USING GEO AS SELECT creates a table; GEOMETRY metadata propagates") {
+    val root = tmpRoot("ctas")
+    pointTable(root)
+    GeoTable.register(spark, "ctas_base", root)
+    val ctasRoot = tmpRoot("ctas_out")
+    try {
+      val n = GeoSql.exec(spark,
+        s"CREATE TABLE ctas_t USING GEO LOCATION '$ctasRoot' AS " +
+          "SELECT id, geo FROM ctas_base WHERE id < 10").head().getLong(0)
+      assert(n == 10)
+      val m = GeoManifest.read(spark, ctasRoot)
+      assert(m.geomCol.contains("geo"), s"geometry column must be detected, got ${m.geomCol}")
+      assert(GeoSchema.isGeometry(m.schema("geo")), "GEOMETRY tag must survive CTAS")
+      assert(spark.table("ctas_t").count() == 10)
+    } finally { GeoTable.drop(spark, "ctas_t"); GeoTable.drop(spark, "ctas_base") }
+  }
+
+  test("CTAS: untagged binary from a raw ST_ expression is sniffed as geometry") {
+    val ctasRoot = tmpRoot("ctas_sniff")
+    try {
+      GeoSql.exec(spark,
+        s"CREATE TABLE ctas_sniff_t USING GEO LOCATION '$ctasRoot' AS " +
+          "SELECT id, st_point(CAST(id AS DOUBLE), 1.0D) AS geo FROM range(5)")
+      val m = GeoManifest.read(spark, ctasRoot)
+      assert(m.geomCol.contains("geo"), "WKB sniffing must find the geometry column")
+    } finally GeoTable.drop(spark, "ctas_sniff_t")
+  }
+
+  test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
+    val root = tmpRoot("droptest")
+    pointTable(root)
+    GeoTable.register(spark, "drop_t", root)
+    GeoSql.exec(spark, "DROP TABLE drop_t")
+    assert(GeoTable.registeredRoot("drop_t").isEmpty, "unregistered")
+    assert(!new java.io.File(root).exists, "files deleted")
+    // non-geo DROP goes to Spark (unknown table -> Spark's own error)
+    val err = intercept[Exception](GeoSql.exec(spark, "DROP TABLE graft_no_such_table"))
+    assert(!err.getMessage.contains("graft.tables"), s"must delegate: ${err.getMessage}")
+  }
 }
