@@ -98,6 +98,40 @@ class ReferenceContractSpec extends SparkSpec {
     } finally graft.tables.GeoTable.drop(spark, "ref_geom")
   }
 
+  test("table DML leg 2: MERGE INTO, geo CTAS, DROP TABLE as SQL") {
+    // Iceberg's flagship DML verb on the reference's table kind, plus the
+    // CTAS shape of example/.../App.scala:77 against USING GEO storage
+    val root = java.nio.file.Files.createTempDirectory("geo_merge_ref").toString + "/t"
+    spark.sql(s"CREATE TABLE ref_mrg (id INT, data STRING, geo GEOMETRY) USING GEO LOCATION '$root'")
+    try {
+      spark.sql("INSERT INTO ref_mrg VALUES (1, 'data_1', st_geomfromtext('POINT (10 20)'))")
+      spark.sql("INSERT INTO ref_mrg SELECT 2, 'data_2', st_point(20.0D, 30.0D)")
+
+      val n = spark.sql(
+        """MERGE INTO ref_mrg t USING (
+             SELECT 2 AS mid, 'm2' AS mdata UNION ALL SELECT 3, 'm3'
+           ) s ON t.id = s.mid
+           WHEN MATCHED THEN UPDATE SET data = s.mdata
+           WHEN NOT MATCHED THEN INSERT (id, data, geo) VALUES (s.mid, s.mdata, st_point(0.0D, 0.0D))""")
+        .collect().head.getLong(0)
+      assert(n == 2, s"one update + one insert, got $n")
+      val rows = spark.sql("SELECT id, data FROM ref_mrg ORDER BY id")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+      assert(rows == Seq(1 -> "data_1", 2 -> "m2", 3 -> "m3"))
+
+      // CTAS into geo storage keeps the GEOMETRY tag (App.scala:77 shape)
+      val ctasRoot = java.nio.file.Files.createTempDirectory("geo_ctas_ref").toString + "/t"
+      spark.sql(s"CREATE TABLE ref_ctas USING GEO LOCATION '$ctasRoot' AS " +
+        "SELECT id, geo FROM ref_mrg WHERE id >= 2")
+      assert(spark.table("ref_ctas").count() == 2)
+      assert(graft.tables.GeoSchema.isGeometry(
+        graft.tables.GeoTable.read(spark, ctasRoot).schema("geo")))
+
+      spark.sql("DROP TABLE ref_ctas")
+      assert(graft.tables.GeoTable.registeredRoot("ref_ctas").isEmpty)
+    } finally graft.tables.GeoTable.drop(spark, "ref_mrg")
+  }
+
   test("testSpatialJoin analog: join on ST_Contains, with and without caching, plus CTAS") {
     spark.sql("DROP TABLE IF EXISTS test_left"); spark.sql("DROP TABLE IF EXISTS test_right")
     spark.sql("DROP TABLE IF EXISTS test_ctas")
