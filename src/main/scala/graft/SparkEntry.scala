@@ -465,6 +465,26 @@ object SparkEntry {
              st_length(st_boundingdiagonal(st_makeenvelope(0.0D, 0.0D, sz * 3, sz * 4))) AS diag
       FROM t ORDER BY p_partkey""")),
 
+    // tier-3 functions with closed-form values: envelope gap (shortest
+    // line), corner distance (max distance), exact 3-4-5 segmentize counts,
+    // DE-9IM matrices by position, and Z round-trips — all IEEE-exact
+    // arithmetic so the DuckDB oracle reproduces every double bit-for-bit
+    "st_tier3_measures" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey, p_size, CAST(p_size AS DOUBLE) AS sz FROM part)
+      SELECT p_partkey,
+             st_length(st_shortestline(st_makeenvelope(0.0D, 0.0D, 1.0D, 1.0D),
+                                       st_makeenvelope(sz + 1, 0.0D, sz + 2, 1.0D))) AS short_len,
+             st_maxdistance(st_makeenvelope(0.0D, 0.0D, 1.0D, 1.0D),
+                            st_makeenvelope(sz + 1, 0.0D, sz + 2, 1.0D)) AS maxd,
+             st_npoints(st_segmentize(
+               st_geomfromtext(CONCAT('LINESTRING (0 0, ', p_size * 4, ' ', p_size * 3, ')')),
+               5.0D)) AS segn,
+             st_z(st_makepointz(1.0D, 2.0D, sz)) AS zz,
+             st_3ddistance(st_makepointz(0.0D, 0.0D, 0.0D),
+                           st_makepointz(sz * 3, sz * 4, 0.0D)) AS d3,
+             st_relate(st_point(sz, 0.5D), st_makeenvelope(0.0D, 0.0D, 25.0D, 1.0D)) AS de9im
+      FROM t ORDER BY p_partkey""")),
+
     // closed-form web-mercator reprojection; strictly positive lon/lat so
     // no value rounds to +/-0 differently across engines
     "st_transform_mercator" -> ((s, d) => prep(s, d).sql("""
@@ -1173,5 +1193,17 @@ object SparkEntry {
       SELECT c_custkey, c_nationkey,
              c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
       FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
+
+    "st_tier3_measures" -> """
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS short_len,
+             SQRT((p_size + 2.0) * (p_size + 2.0) + 1.0) AS maxd,
+             p_size + 1 AS segn,
+             CAST(p_size AS DOUBLE) AS zz,
+             CAST(5.0 * p_size AS DOUBLE) AS d3,
+             CASE WHEN p_size < 25 THEN '0FFFFF212'
+                  WHEN p_size = 25 THEN 'F0FFFF212'
+                  ELSE 'FF0FFF212' END AS de9im
+      FROM part ORDER BY p_partkey""",
   )
 }

@@ -141,6 +141,39 @@ object GraftFunctions {
     ("simhash64", 1, es => SimHash64(es.head)),
     ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
     ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
+    // catalog breadth tier 3 (StTier3Expressions)
+    ("st_relate", 2, es => StRelate(es(0), es(1))),
+    ("st_relatematch", 2, es => StRelateMatch(es(0), es(1))),
+    ("st_isvalidreason", 1, es => StIsValidReason(es.head)),
+    ("st_minimumclearance", 1, es => StMinimumClearance(es.head)),
+    ("st_minimumclearanceline", 1, es => StMinimumClearanceLine(es.head)),
+    ("st_polygonize", 1, es => StPolygonize(es.head)),
+    ("st_buildarea", 1, es => StBuildArea(es.head)),
+    ("st_node", 1, es => StNode(es.head)),
+    ("st_unaryunion", 1, es => StUnaryUnion(es.head)),
+    ("st_shortestline", 2, es => StShortestLine(es(0), es(1))),
+    ("st_longestline", 2, es => StLongestLine(es(0), es(1))),
+    ("st_maxdistance", 2, es => StMaxDistance(es(0), es(1))),
+    ("st_segmentize", 2, es => StSegmentize(es(0), es(1))),
+    ("st_offsetcurve", 2, es => StOffsetCurve(es(0), es(1))),
+    ("st_simplifyvw", 2, es => StSimplifyVW(es(0), es(1))),
+    ("st_triangulatepolygon", 1, es => StTriangulatePolygon(es.head)),
+    ("st_maximuminscribedcircle", 1, es => StMaximumInscribedCircleCenter(es.head)),
+    ("st_maximuminscribedradius", 1, es => StMaximumInscribedRadius(es.head)),
+    ("st_split", 2, es => StSplit(es(0), es(1))),
+    ("st_subdivide", 2, es => StSubdivide(es(0), es(1))),
+    ("st_generatepoints", 3, es => StGeneratePoints(es)),
+    ("st_points", 1, es => StPoints(es.head)),
+    ("st_bufferstyle", 3, es => StBufferStyle(es)),
+    ("st_z", 1, es => StZ(es.head)),
+    ("st_hasz", 1, es => StHasZ(es.head)),
+    ("st_zmin", 1, es => StZMin(es.head)),
+    ("st_zmax", 1, es => StZMax(es.head)),
+    ("st_ndims", 1, es => StNDims(es.head)),
+    ("st_zmflag", 1, es => StZmflag(es.head)),
+    ("st_makepointz", 3, es => StMakePointZ(es)),
+    ("st_force3d", 2, es => StForce3D(es(0), es(1))),
+    ("st_3ddistance", 2, es => St3DDistance(es(0), es(1))),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
@@ -155,6 +188,14 @@ object GraftFunctions {
     ("st_makeline" -> { (es: Seq[Expression]) =>
       require(es.length >= 2, s"st_makeline expects at least 2 points, got ${es.length}")
       StMakeLine(es)
+    }) :+
+    ("st_delaunaytriangles" -> { (es: Seq[Expression]) =>
+      require(es.length == 1 || es.length == 2, s"st_delaunaytriangles expects 1 or 2 arguments, got ${es.length}")
+      StDelaunayTriangles(es)
+    }) :+
+    ("st_voronoipolygons" -> { (es: Seq[Expression]) =>
+      require(es.length == 1 || es.length == 2, s"st_voronoipolygons expects 1 or 2 arguments, got ${es.length}")
+      StVoronoiPolygons(es)
     }) :+
     ("st_addpoint" -> { (es: Seq[Expression]) =>
       require(es.length == 2 || es.length == 3, s"st_addpoint expects 2 or 3 arguments, got ${es.length}")

@@ -79,6 +79,13 @@ private[functions] object StCodegen {
     case BooleanType => s"((java.lang.Boolean)$call).booleanValue()"
     case _ => s"(${CodeGenerator.javaType(dt)})$call"
   }
+  /** Box a primitive value for an Object parameter. NEVER `(Object)(v)`:
+    * Janino parses a reference cast of a negative literal
+    * (`(Object)(-5.0D)`) as binary minus and fails the whole projection
+    * into interpreted mode. */
+  def box(v: String, dt: DataType): String =
+    if (CodeGenerator.isPrimitiveType(dt)) s"${CodeGenerator.boxedType(dt)}.valueOf($v)"
+    else v
 }
 
 /**
@@ -195,8 +202,8 @@ abstract class StNary extends Expression {
     val gens = children.map(_.genCode(ctx))
     val args = ctx.freshName("stArgs")
     val javaT = CodeGenerator.javaType(dataType)
-    val fills = gens.zipWithIndex.map { case (g, i) =>
-      s"if (${g.isNull}) { ${ev.isNull} = true; } else { $args[$i] = (Object)(${g.value}); }"
+    val fills = gens.zip(children).zipWithIndex.map { case ((g, c), i) =>
+      s"if (${g.isNull}) { ${ev.isNull} = true; } else { $args[$i] = ${StCodegen.box(g.value, c.dataType)}; }"
     }.mkString("\n")
     val tmp = ctx.freshName("stRes")
     ev.copy(code = code"""
@@ -227,7 +234,8 @@ case class StPoint(left: Expression, right: Expression)
   def evalBoxed(x: Object, y: Object): Array[Byte] = out(Geom.point(dbl(x), dbl(y)))
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("stPoint", this, classOf[StPoint].getName)
-    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.evalBoxed((Object)$x, (Object)$y);")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $ref.evalBoxed(${StCodegen.box(x, left.dataType)}, ${StCodegen.box(y, right.dataType)});")
   }
   override def prettyName: String = "st_point"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)

@@ -428,7 +428,14 @@ case class StMulti(child: Expression) extends StUnary {
 /** st_force2d: graft geometry is always 2-D WKB — normalizing identity. */
 case class StForce2D(child: Expression) extends StUnary {
   override def dataType: DataType = BinaryType
-  protected def run(g: Geometry): Any = out(g)
+  protected def run(g: Geometry): Any = {
+    // rebuild with XY-only coordinates so the Z-aware serde writes 2D WKB
+    val editor = new org.locationtech.jts.geom.util.GeometryEditor(g.getFactory)
+    out(editor.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] =
+        coords.map(c => new Coordinate(c.x, c.y))
+    }))
+  }
   override def prettyName: String = "st_force2d"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -139,7 +139,7 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
     compute(sh.asInstanceOf[ArrayData], nh.asInstanceOf[Object])
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, (Object)($b));")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, ${StCodegen.box(b, right.dataType)});")
   }
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -215,7 +215,7 @@ case class HyperplaneSig(left: Expression, right: Expression, seed: Long = 7L)
     compute(v.asInstanceOf[ArrayData], nb.asInstanceOf[Object])
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("hplane", this, classOf[HyperplaneSig].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, (Object)($b));")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, ${StCodegen.box(b, right.dataType)});")
   }
   override def prettyName: String = "hyperplane_sig"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -282,7 +282,7 @@ case class BandedHyperplaneSig(first: Expression, second: Expression, third: Exp
     compute(v.asInstanceOf[ArrayData], bb.asInstanceOf[Object], nb.asInstanceOf[Object])
   override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
     val ref = ctx.addReferenceObj("bandedHplane", this, classOf[BandedHyperplaneSig].getName)
-    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, (Object)($b), (Object)($c));")
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $ref.compute($a, ${StCodegen.box(b, children(1).dataType)}, ${StCodegen.box(c, children(2).dataType)});")
   }
   override def prettyName: String = "banded_hyperplane_sig"
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =

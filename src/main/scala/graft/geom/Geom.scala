@@ -22,14 +22,27 @@ object Geom {
 
   private val wkbReaders = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   private val wkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, true))
+  private val wkbWriters3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3, true))
   private val wktReaders = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriters = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+  private val wktWriters3 = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(3))
 
   private val isoWkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
+  private val isoWkbWriters3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3, false))
 
-  def serialize(g: Geometry): Array[Byte] = wkbWriters.get.write(g)
+  /** First-coordinate Z probe (PostGIS-style): a geometry is 3D when its
+    * lead coordinate carries a real Z. Keeps every existing 2D geometry's
+    * bytes identical while letting `POINT Z` inputs round-trip. */
+  def hasZ(g: Geometry): Boolean = {
+    val c = if (g.isEmpty) null else g.getCoordinate
+    c != null && !java.lang.Double.isNaN(c.getZ)
+  }
+
+  def serialize(g: Geometry): Array[Byte] =
+    (if (hasZ(g)) wkbWriters3.get else wkbWriters.get).write(g)
   /** Standard ISO WKB (no EWKB SRID flag) — the ST_AsBinary interop format. */
-  def serializeIso(g: Geometry): Array[Byte] = isoWkbWriters.get.write(g)
+  def serializeIso(g: Geometry): Array[Byte] =
+    (if (hasZ(g)) isoWkbWriters3.get else isoWkbWriters.get).write(g)
   def deserialize(bytes: Array[Byte]): Geometry =
     try wkbReaders.get.read(bytes)
     catch {
@@ -41,7 +54,8 @@ object Geom {
     }
 
   def fromWkt(wkt: String): Geometry = wktReaders.get.read(wkt)
-  def toWkt(g: Geometry): String = wktWriters.get.write(g)
+  def toWkt(g: Geometry): String =
+    (if (hasZ(g)) wktWriters3.get else wktWriters.get).write(g)
 
   def point(x: Double, y: Double): Point =
     factory.createPoint(new Coordinate(x, y))

@@ -117,6 +117,41 @@ class CatalogCoverageSpec extends SparkSpec {
     "st_npoints" -> "st_npoints(st_geomfromtext('LINESTRING (0 0, 1 1)'))",
     "st_makevalid" -> "st_isvalid(st_makevalid(st_geomfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')))",
     "st_geomfromgeojson" -> """st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[1,2]}'))""",
+    // tier 3
+    "st_relate" -> "st_relate(st_point(1,1), st_makeenvelope(0,0,2,2))",
+    "st_relatematch" -> "st_relatematch(st_relate(st_point(1,1), st_makeenvelope(0,0,2,2)), 'T*F**F***')",
+    "st_isvalidreason" -> "st_isvalidreason(st_makeenvelope(0,0,1,1))",
+    "st_minimumclearance" -> "st_minimumclearance(st_makeenvelope(0,0,1,2))",
+    "st_minimumclearanceline" -> "st_length(st_minimumclearanceline(st_makeenvelope(0,0,1,2)))",
+    "st_polygonize" -> "st_numgeometries(st_polygonize(st_boundary(st_makeenvelope(0,0,1,1))))",
+    "st_buildarea" -> "st_area(st_buildarea(st_boundary(st_makeenvelope(0,0,2,2))))",
+    "st_node" -> "st_numgeometries(st_node(st_geomfromtext('MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))')))",
+    "st_unaryunion" -> "st_area(st_unaryunion(st_geomfromtext('MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)))')))",
+    "st_shortestline" -> "st_length(st_shortestline(st_makeenvelope(0,0,1,1), st_makeenvelope(4,0,5,1)))",
+    "st_longestline" -> "st_length(st_longestline(st_makeenvelope(0,0,1,1), st_makeenvelope(4,0,5,1)))",
+    "st_maxdistance" -> "st_maxdistance(st_point(0,0), st_makeenvelope(3,4,3,4))",
+    "st_segmentize" -> "st_npoints(st_segmentize(st_geomfromtext('LINESTRING (0 0, 10 0)'), 2.5))",
+    "st_offsetcurve" -> "st_length(st_offsetcurve(st_geomfromtext('LINESTRING (0 0, 10 0)'), 1.0))",
+    "st_simplifyvw" -> "st_npoints(st_simplifyvw(st_geomfromtext('LINESTRING (0 0, 1 0.01, 2 0, 4 4)'), 0.5))",
+    "st_triangulatepolygon" -> "st_numgeometries(st_triangulatepolygon(st_makeenvelope(0,0,2,2)))",
+    "st_maximuminscribedcircle" -> "st_astext(st_maximuminscribedcircle(st_makeenvelope(0,0,2,2)))",
+    "st_maximuminscribedradius" -> "st_maximuminscribedradius(st_makeenvelope(0,0,2,2))",
+    "st_split" -> "st_numgeometries(st_split(st_geomfromtext('LINESTRING (0 0, 2 0)'), st_point(1, 0)))",
+    "st_subdivide" -> "size(st_subdivide(st_geomfromtext('LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0, 5 0, 6 0, 7 0)'), 5))",
+    "st_generatepoints" -> "st_numgeometries(st_generatepoints(st_makeenvelope(0,0,2,2), 5, 42))",
+    "st_points" -> "st_numgeometries(st_points(st_makeenvelope(0,0,1,1)))",
+    "st_bufferstyle" -> "st_area(st_bufferstyle(st_geomfromtext('LINESTRING (0 0, 10 0)'), 1.0, 'endcap=flat quad_segs=8'))",
+    "st_z" -> "st_z(st_makepointz(1, 2, 3))",
+    "st_hasz" -> "st_hasz(st_makepointz(1, 2, 3))",
+    "st_zmin" -> "st_zmin(st_makepointz(1, 2, 3))",
+    "st_zmax" -> "st_zmax(st_force3d(st_geomfromtext('LINESTRING (0 0, 1 1)'), 7.0))",
+    "st_ndims" -> "st_ndims(st_makepointz(1, 2, 3))",
+    "st_zmflag" -> "st_zmflag(st_point(1, 2))",
+    "st_makepointz" -> "st_astext(st_makepointz(1, 2, 3))",
+    "st_force3d" -> "st_hasz(st_force3d(st_point(1, 2), 5.0))",
+    "st_3ddistance" -> "st_3ddistance(st_makepointz(0, 0, 0), st_makepointz(1, 2, 2))",
+    "st_delaunaytriangles" -> "st_numgeometries(st_delaunaytriangles(st_points(st_makeenvelope(0,0,2,2))))",
+    "st_voronoipolygons" -> "st_numgeometries(st_voronoipolygons(st_points(st_makeenvelope(0,0,2,2))))",
     "st_union_aggr" -> "st_numgeometries(st_union_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
     "st_intersection_aggr" -> "st_area(st_intersection_aggr(g)) FROM (SELECT st_makeenvelope(0,0,2,2) AS g)",
     "st_envelope_aggr" -> "st_xmin(st_envelope_aggr(g)) FROM (SELECT st_point(1,1) AS g)",
