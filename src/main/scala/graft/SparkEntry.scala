@@ -223,6 +223,22 @@ object SparkEntry {
         col("doc_id"), col("text"), col("lang"))
     }),
 
+    // stream-stream interval join, batch-parity leg: views followed by a
+    // purchase from the same user within 60s (same operator the streaming
+    // spec runs on MemoryStreams; watermark is a no-op here)
+    "interval_join_batch" -> ((s, d) => {
+      prep(s, d)
+      val views = s.table("events").where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val buys = s.table("events").where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("bts"))
+      graft.streaming.EventStreams.intervalJoin(views, buys,
+          "user_id", "vts", "bts", intervalSeconds = 60)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
+          sum(col("buy_id") - col("view_id")).as("id_delta_sum"))
+        .orderBy("user_id")
+    }),
+
     // invariant oracle: every payload must produce a dim-16 feature vector
     // with non-zero norm (self-cosine 1 within fp tolerance) — verifies the
     // mapPartitions plumbing end-to-end without depending on stub values
@@ -1224,6 +1240,17 @@ object SparkEntry {
                   + (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}]', '', 'g'))) AS INT)
                AS n_pieces
       FROM documents ORDER BY doc_id""",
+
+    "interval_join_batch" -> """
+      WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'view'),
+           b AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id, COUNT(*) AS n_pairs,
+             CAST(SUM(b.buy_id - v.view_id) AS BIGINT) AS id_delta_sum
+      FROM v JOIN b ON v.user_id = b.user_id
+        AND b.us >= v.us AND b.us <= v.us + 60000000
+      GROUP BY v.user_id ORDER BY v.user_id""",
 
     // fingerprint invariant: a collision-free dedup key over normalized text
     "text_fingerprint" -> """

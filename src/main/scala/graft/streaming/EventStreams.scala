@@ -130,6 +130,33 @@ object EventStreams {
       st_contains(zoneGeom, st_point(col(xCol), col(yCol))), how)
   }
 
+  /**
+   * Stream-stream interval join: pair each left event with right events of
+   * the same key whose time falls in `[left.ts, left.ts + intervalSeconds]`.
+   * BOTH sides carry watermarks and the join condition bounds event time in
+   * both directions, so Spark derives a state-cleanup horizon: a buffered
+   * left row is dropped once the right watermark passes `ts + interval`,
+   * and a right row once the left watermark passes its `ts` — bounded state
+   * on an unbounded firehose, the one shape at which stream-stream joins
+   * survive 100 TB/day. Works identically in batch (watermark is a no-op).
+   *
+   * The right key column is renamed internally so self-joins (same source
+   * on both sides) need no manual aliasing.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsLeft: String, tsRight: String,
+                   watermark: String = "10 minutes",
+                   intervalSeconds: Long = 60): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withColumnRenamed(key, "__graft_rkey")
+      .withWatermark(tsRight, watermark)
+    l.join(r,
+        col(key) === col("__graft_rkey") &&
+          col(tsRight) >= col(tsLeft) &&
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .drop("__graft_rkey")
+  }
+
   /** Batch view of the events table shaped as Dataset[Event]. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

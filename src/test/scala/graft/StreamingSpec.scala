@@ -161,6 +161,37 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 0L), (2L, 1L)))
   }
 
+  test("stream-stream interval join: bounded state, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.intervalJoin(
+      views.toDF().toDF("view_id", "user_id", "vts"),
+      buys.toDF().toDF("buy_id", "buy_user", "bts").withColumnRenamed("buy_user", "user_id"),
+      "user_id", "vts", "bts", watermark = "4 hours", intervalSeconds = 3600)
+    // ts() is minute-granular: user 1 buys 30min after the view (inside the
+    // 1h interval); user 2 buys 2h after (outside); user 3 buys BEFORE
+    views.addData((10L, 1L, ts(0)), (11L, 2L, ts(0)), (12L, 3L, ts(60)))
+    buys.addData((20L, 1L, ts(30)), (21L, 2L, ts(120)), (22L, 3L, ts(0)))
+    val q = joined.select("view_id", "buy_id").writeStream.format("memory")
+      .queryName("interval_joined").outputMode("append").start()
+    q.processAllAvailable()
+    // stream-stream join MUST be stateful (buffered rows on both sides)
+    assert(q.lastProgress != null && q.lastProgress.stateOperators.nonEmpty,
+      "interval join must run with join state")
+    q.stop()
+    assert(spark.table("interval_joined").as[(Long, Long)].collect().toSet == Set((10L, 20L)))
+
+    // batch path: identical semantics on plain DataFrames
+    val bv = Seq((10L, 1L, ts(0)), (11L, 2L, ts(0)), (12L, 3L, ts(60)))
+      .toDF("view_id", "user_id", "vts")
+    val bb = Seq((20L, 1L, ts(30)), (21L, 2L, ts(120)), (22L, 3L, ts(0)))
+      .toDF("buy_id", "user_id", "bts")
+    val batch = EventStreams.intervalJoin(bv, bb, "user_id", "vts", "bts",
+      intervalSeconds = 3600)
+    assert(batch.select("view_id", "buy_id").as[(Long, Long)].collect().toSet == Set((10L, 20L)))
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
