@@ -670,6 +670,69 @@ object SparkEntry {
       SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ----- training-data assembly (§2.11+: packing / mixing / scrubbing) -----
+    // GPT-style concat-then-chunk packing: per-doc chunk placement for
+    // 64-token training sequences, token stream laid out source-major
+    "pack_chunks" -> ((s, d) => {
+      prep(s, d)
+      val docs = s.table("documents")
+      graft.ops.TrainingData.chunkPack(docs, col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")), col("source"), seqLen = 64)
+        .orderBy("doc_id")
+    }),
+
+    // data-mixing rates: reshape toward a 50/25/25 token split across
+    // src0/src1/src3 without upsampling (scarcest target source kept whole)
+    "mix_weights" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.TrainingData.mixtureWeights(s.table("documents"), col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src3" -> 0.25))
+    }),
+
+    // the mixing filter itself: deterministic multiplicative-hash sample at
+    // the mix_weights rates — kept ids are engine-independent arithmetic
+    "mix_sample" -> ((s, d) => {
+      prep(s, d)
+      val docs = s.table("documents")
+      val rates = graft.ops.TrainingData.mixtureWeights(docs, col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src3" -> 0.25))
+      graft.ops.TrainingData.stratifiedSample(docs, col("doc_id"), col("source"), rates)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals over word bigrams
+    "text_repetition" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.TrainingData.repetitionMetrics(s.table("documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: emails/phones seeded deterministically IN THE FLOW (the
+    // corpus itself is synthetic word soup), then counted + redacted; the
+    // oracle replays the same seeding and the md5 of the redacted text
+    "pii_redact" -> ((s, d) => {
+      prep(s, d)
+      val seeded = s.table("documents")
+        .withColumn("text2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")))
+        .withColumn("text2",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text2"), lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text2")))
+      graft.ops.TrainingData.redactPii(seeded, col("text2"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ----- spatial SQL DML over GeoTable (§2.8; reference
     // TestSedonaIcebergExtension.scala:85-91) — a fresh copy-on-write table
     // per run, mutated through the SQL front-half, result read back from the
@@ -1165,6 +1228,125 @@ object SparkEntry {
     "lang_distribution" -> """
       SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang ORDER BY lang""",
+
+    // concat-then-chunk packing: group offsets via a window over per-source
+    // totals, then within-source running sums; // is DuckDB integer division
+    // (Spark side uses DIV on the same BIGINT offsets)
+    "pack_chunks" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS tok
+        FROM documents),
+      g AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS gt FROM t GROUP BY source),
+      go AS (SELECT source,
+                    CAST(SUM(gt) OVER (ORDER BY source) - gt AS BIGINT) AS goff
+             FROM g),
+      c AS (
+        SELECT t.doc_id, t.tok,
+               CAST(go.goff + SUM(t.tok) OVER (PARTITION BY t.source ORDER BY t.doc_id)
+                    - t.tok AS BIGINT) AS cumb
+        FROM t JOIN go USING (source))
+      SELECT doc_id,
+             cumb // 64 AS first_chunk,
+             (cumb + greatest(tok, 1) - 1) // 64 AS last_chunk,
+             ((cumb + greatest(tok, 1) - 1) // 64) - (cumb // 64) + 1 AS n_chunks
+      FROM c ORDER BY doc_id""",
+
+    // same arithmetic as TrainingData.mixtureWeights: targets 0.5/0.25/0.25
+    // are exactly-representable doubles, every derived value is the same
+    // IEEE expression tree on both engines
+    "mix_weights" -> """
+      WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)) AS BIGINT)
+                 AS actual_tokens
+        FROM documents GROUP BY source),
+      fr AS (
+        SELECT source, n_docs, actual_tokens,
+               CAST(actual_tokens AS DOUBLE) / SUM(actual_tokens) OVER () AS actual_frac,
+               CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                           WHEN 'src3' THEN 0.25 ELSE 0.0 END AS target_frac
+        FROM per),
+      sc AS (
+        SELECT *, MIN(CASE WHEN target_frac > 0 THEN actual_frac / target_frac END)
+                    OVER () AS c
+        FROM fr)
+      SELECT source, n_docs, actual_tokens, actual_frac, target_frac,
+             CASE WHEN target_frac > 0
+                  THEN least(1.0, c * target_frac / actual_frac)
+                  ELSE 0.0 END AS sample_rate
+      FROM sc ORDER BY source""",
+
+    // replay of hashUniform: Knuth multiplicative hash on the 32-bit ring,
+    // pure BIGINT arithmetic (doc_id >= 0 so % == pmod)
+    "mix_sample" -> """
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)) AS BIGINT)
+                 AS actual_tokens
+        FROM documents GROUP BY source),
+      fr AS (
+        SELECT source, actual_tokens,
+               CAST(actual_tokens AS DOUBLE) / SUM(actual_tokens) OVER () AS actual_frac,
+               CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                           WHEN 'src3' THEN 0.25 ELSE 0.0 END AS target_frac
+        FROM per),
+      sc AS (
+        SELECT *, MIN(CASE WHEN target_frac > 0 THEN actual_frac / target_frac END)
+                    OVER () AS c
+        FROM fr),
+      rates AS (
+        SELECT source,
+               CASE WHEN target_frac > 0
+                    THEN least(1.0, c * target_frac / actual_frac)
+                    ELSE 0.0 END AS sample_rate
+        FROM sc)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST((d.doc_id * 2654435761 + 104729) % 4294967296 AS DOUBLE)
+            / 4294967296.0 < r.sample_rate
+      ORDER BY d.doc_id""",
+
+    "text_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      b AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                 i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) AS bi
+        FROM t)
+      SELECT doc_id,
+             CAST(len(bi) AS INT) AS n_bigrams,
+             CASE WHEN len(bi) > 0
+                  THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                  ELSE 0.0 END AS dup_bigram_frac,
+             CASE WHEN len(bi) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(bi),
+                         d -> len(list_filter(bi, x -> x = d)))) AS DOUBLE) / len(bi)
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM b ORDER BY doc_id""",
+
+    // seeding replayed 1:1; RE2 and Java regex agree on these patterns
+    // (plain char classes, no lookaround); md5 hex is lowercase on both
+    "pii_redact" -> """
+      WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN base || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE base END AS text2
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                      ELSE text END AS base
+          FROM documents))
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text2, '\+1-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             md5(regexp_replace(regexp_replace(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      FROM seeded ORDER BY doc_id""",
 
     // end state of UPDATE ... WHERE st_within(point, envelope): strict
     // interior, bounds at non-representable decimals so no point sits on a

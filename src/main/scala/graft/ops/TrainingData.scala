@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Training-data assembly operators (SURVEY.md §2.11+): the steps between a
+ * cleaned corpus and a tokenized training run — sequence packing, data
+ * mixing (per-source sampling to hit a target token distribution),
+ * repetition-based quality metrics, and PII redaction.
+ *
+ * Everything here is builtin-expression arithmetic (whole-stage codegen, no
+ * UDFs) and deterministic, so each op has an exact DuckDB oracle.
+ */
+object TrainingData {
+
+  // ---------------------------------------------------------------- packing
+
+  /**
+   * GPT-style "concatenate then chunk" sequence packing: tokens from all
+   * documents are laid out in one deterministic order (group key asc, then
+   * id asc within group) and cut into fixed `seqLen`-token training
+   * sequences; documents may straddle chunk boundaries. Returns per-doc
+   * placement: `first_chunk` / `last_chunk` (0-based global chunk ids) and
+   * `n_chunks` spanned.
+   *
+   * Scale shape: ONE window per group (groups run in parallel) plus a
+   * window over the per-group totals — the latter touches |groups| rows
+   * (sources/shards), not documents. No global sort of the corpus ever
+   * runs: a document's global token offset = its group's offset (prefix
+   * sum over group totals) + its within-group running sum. At 100 TB with
+   * thousands of shards this is the standard pack-per-shard layout, and
+   * the per-group window is a range-partitioned sort of only that group.
+   */
+  def chunkPack(docs: DataFrame, id: Column, tokens: Column, group: Column,
+                seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val t = docs.select(id.as("doc_id"), group.as("grp"), tokens.cast("long").as("tok"))
+    val groupTotals = t.groupBy("grp").agg(sum("tok").as("gt"))
+    val groupOffsets = groupTotals.withColumn(
+      "goff", sum("gt").over(Window.orderBy("grp")) - col("gt")).drop("gt")
+    val wIn = Window.partitionBy("grp").orderBy("doc_id")
+    t.join(broadcast(groupOffsets), "grp")
+      .withColumn("cumb", col("goff") + sum("tok").over(wIn) - col("tok"))
+      // DIV: exact integer division (cumb is a token offset, never negative)
+      .withColumn("first_chunk", expr(s"cumb DIV $seqLen"))
+      .withColumn("last_chunk", expr(s"(cumb + greatest(tok, 1L) - 1L) DIV $seqLen"))
+      .select(col("doc_id"), col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"))
+  }
+
+  /**
+   * Greedy whole-document bin packing: each partition packs its documents
+   * first-fit into bins of capacity `seqLen` tokens (documents longer than
+   * the capacity get a bin of their own). Partition-local by design — the
+   * standard scalable packing compromise (pack per shard; no cross-shard
+   * coordination). Returns (doc_id, bin_id, bin_tokens) where bin ids are
+   * globally unique (partitionId * 2^40 + local bin).
+   *
+   * Bin assignment depends on the input partitioning, so this op is
+   * spec-verified by invariants (every doc packed exactly once; no
+   * multi-doc bin exceeds capacity) rather than a row-level SQL oracle.
+   */
+  def binPack(docs: DataFrame, id: Column, tokens: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = OpsUtil.ensureParallelism(
+      docs.select(id.cast("long").as("doc_id"), tokens.cast("long").as("tok")))
+    t.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // first-fit over open bins; close bins that can't fit anything useful
+      val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (binId, used)
+      var nextBin = 0L
+      it.map { case (docId, tok) =>
+        val fit = open.indexWhere { case (_, used) => used + tok <= seqLen }
+        val binId =
+          if (tok >= seqLen) { val b = nextBin; nextBin += 1; b } // own bin, never reopened
+          else if (fit >= 0) {
+            val (b, used) = open(fit); open(fit) = (b, used + tok); b
+          } else {
+            val b = nextBin; nextBin += 1
+            open += ((b, tok))
+            if (open.length > 64) open.remove(0) // bound open-bin state per task
+            b
+          }
+        (docId, pid * (1L << 40) + binId, tok)
+      }
+    }.toDF("doc_id", "bin_id", "tok")
+      .groupBy("bin_id").agg(
+        collect_list("doc_id").as("doc_ids"),
+        sum("tok").as("bin_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  // ----------------------------------------------------------------- mixing
+
+  /**
+   * Deterministic uniform [0,1) per id: Knuth multiplicative hash on the
+   * 32-bit ring. Pure integer arithmetic — bit-identical in any engine
+   * (the DuckDB oracle replays the same formula), stable across runs and
+   * partitionings, and cheap enough to inline in a filter.
+   */
+  def hashUniform(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L) + lit(104729L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+
+  /**
+   * Per-source sampling rates that reshape the corpus toward a target
+   * token distribution WITHOUT upsampling: rate_s = min(1, c·target_s /
+   * actual_s) with c = min_s(actual_s / target_s) — i.e. keep the scarcest
+   * target source intact and downsample the rest. Returns one row per
+   * source: (source, n_docs, actual_tokens, actual_frac, target_frac,
+   * sample_rate). Sources absent from `targets` get rate 0.
+   *
+   * Two tiny aggregations (|sources| rows); the expensive part of mixing
+   * is the subsequent filter, which is shuffle-free.
+   */
+  def mixtureWeights(docs: DataFrame, source: Column, tokens: Column,
+                     targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val norm = targets.values.sum
+    val targetExpr = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(w / norm)).otherwise(acc)
+      }
+    val perSource = docs
+      .select(source.as("source"), tokens.cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("actual_tokens"))
+      .withColumn("actual_frac",
+        col("actual_tokens").cast("double") /
+          sum("actual_tokens").over(Window.partitionBy()))
+      .withColumn("target_frac", targetExpr)
+    // c = min over targeted sources of actual_frac / target_frac
+    val scale = min(when(col("target_frac") > 0,
+      col("actual_frac") / col("target_frac"))).over(Window.partitionBy())
+    perSource.withColumn("sample_rate",
+      when(col("target_frac") > 0,
+        least(lit(1.0), scale * col("target_frac") / col("actual_frac")))
+        .otherwise(lit(0.0)))
+      .orderBy("source")
+  }
+
+  /**
+   * Deterministic stratified sample: keep a row iff hashUniform(id) <
+   * rate(source). Joined against [[mixtureWeights]] output (|sources| rows,
+   * broadcast) this is a single shuffle-free filter pass over the corpus —
+   * the 100 TB mixing step is exactly a full scan, nothing more.
+   */
+  def stratifiedSample(docs: DataFrame, id: Column, source: Column,
+                       rates: DataFrame): DataFrame = {
+    val srcName = docs.select(source).columns.head
+    docs.join(broadcast(rates.select(col("source").as(srcName), col("sample_rate"))), srcName)
+      .where(hashUniform(id) < col("sample_rate"))
+      .drop("sample_rate")
+  }
+
+  // ------------------------------------------------------ repetition metrics
+
+  private def wordBigrams(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /**
+   * Gopher-style repetition signals per document over word bigrams:
+   * `dup_bigram_frac` (1 − distinct/total) and `top_bigram_frac` (share of
+   * occurrences held by the most frequent bigram). Pure higher-order-
+   * function arithmetic on the token array — one projection, no shuffle,
+   * no UDF. Quadratic only in DISTINCT bigrams per document (bounded by
+   * doc length, not corpus size).
+   */
+  def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bi = wordBigrams(text)
+    docs.select(id.as("doc_id"), bi.as("__bi"))
+      .select(
+        col("doc_id"),
+        size(col("__bi")).as("n_bigrams"),
+        when(size(col("__bi")) > 0,
+          lit(1.0) - size(array_distinct(col("__bi"))).cast("double") / size(col("__bi")))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(size(col("__bi")) > 0,
+          aggregate(array_distinct(col("__bi")), lit(0),
+            (acc, d) => greatest(acc, size(filter(col("__bi"), x => x === d))))
+            .cast("double") / size(col("__bi")))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  // ----------------------------------------------------------- PII redaction
+
+  /** Conservative, RE2-compatible patterns (work identically in Java regex
+    * and DuckDB's RE2 — no backrefs, no lookaround). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII scrub for a text column: counts and redacts email addresses and
+   * phone numbers. Returns the input columns plus `n_emails`, `n_phones`,
+   * `redacted` (text with matches replaced by tags). Single codegen'd
+   * projection — regex evaluation is the entire cost, no shuffle.
+   */
+  def redactPii(docs: DataFrame, text: Column): DataFrame = {
+    docs
+      .withColumn("n_emails", regexp_count(text, lit(emailPattern)))
+      .withColumn("n_phones", regexp_count(text, lit(phonePattern)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+  }
+}

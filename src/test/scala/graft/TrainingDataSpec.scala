@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{TextAnalysis, TrainingData}
+
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "srcA", "one two three four five six seven eight"),          // 8 tokens
+    (1L, "srcA", "alpha beta gamma delta"),                           // 4
+    (2L, "srcB", "x y z"),                                            // 3
+    (3L, "srcB", "p q r s t u v w x y z a b c d e f g h i"),          // 20
+    (4L, "srcC", "lone")                                              // 1
+  ).toDF("doc_id", "source", "text").cache()
+
+  private def tok = TextAnalysis.tokenCount(col("text"))
+
+  test("chunkPack lays out tokens source-major and cuts exact boundaries") {
+    // layout (seqLen 10): srcA: doc0 [0,8) doc1 [8,12) | srcB: doc2 [12,15)
+    // doc3 [15,35) | srcC: doc4 [35,36)
+    val out = TrainingData.chunkPack(docs, col("doc_id"), tok, col("source"), seqLen = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "first_chunk", "last_chunk", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out sameElements Array(
+      (0L, 0L, 0L, 1L),   // [0,8)   within chunk 0
+      (1L, 0L, 1L, 2L),   // [8,12)  straddles 0->1
+      (2L, 1L, 1L, 1L),   // [12,15)
+      (3L, 1L, 3L, 3L),   // [15,35) spans 1..3
+      (4L, 3L, 3L, 1L)),  // [35,36)
+      s"got ${out.mkString(",")}")
+  }
+
+  test("chunkPack total chunk count is ceil(total_tokens / seqLen)") {
+    val total = docs.select(sum(tok)).as[Long].head()
+    val maxChunk = TrainingData.chunkPack(docs, col("doc_id"), tok, col("source"), 10)
+      .select(max("last_chunk")).as[Long].head()
+    assert(maxChunk == (total + 9) / 10 - 1)
+  }
+
+  test("binPack packs every doc exactly once and respects capacity for multi-doc bins") {
+    val bins = TrainingData.binPack(docs, col("doc_id"), tok, seqLen = 10).cache()
+    val packed = bins.select(explode(col("doc_ids")).as("doc_id"))
+    assert(packed.count() == 5 && packed.distinct().count() == 5)
+    // a bin holding >1 doc must fit the capacity; oversize docs sit alone
+    assert(bins.where(col("n_docs") > 1 && col("bin_tokens") > 10).count() == 0)
+    val oversize = bins.where(col("bin_tokens") > 10)
+    assert(oversize.select(size(col("doc_ids"))).as[Int].collect().forall(_ == 1))
+    bins.unpersist()
+  }
+
+  test("mixtureWeights keeps the scarcest targeted source whole and zeroes untargeted") {
+    val w = TrainingData.mixtureWeights(docs, col("source"), tok,
+      Map("srcA" -> 0.5, "srcB" -> 0.5)).cache()
+    val bySource = w.select("source", "sample_rate").as[(String, Double)].collect().toMap
+    assert(bySource("srcC") == 0.0)
+    // srcA has 12 tokens, srcB 23; targets equal -> srcA is scarcest, kept whole
+    assert(bySource("srcA") == 1.0)
+    assert(bySource("srcB") > 0 && bySource("srcB") < 1.0)
+    // post-sample expected tokens hit the target ratio: 12 : 23*rateB == 1 : 1
+    assert(math.abs(23.0 * bySource("srcB") - 12.0) < 1e-9)
+    w.unpersist()
+  }
+
+  test("stratifiedSample is deterministic and a subset of input") {
+    val rates = TrainingData.mixtureWeights(docs, col("source"), tok,
+      Map("srcA" -> 0.5, "srcB" -> 0.5))
+    val s1 = TrainingData.stratifiedSample(docs, col("doc_id"), col("source"), rates)
+      .select("doc_id").as[Long].collect().sorted
+    val s2 = TrainingData.stratifiedSample(docs, col("doc_id"), col("source"), rates)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1 sameElements s2)
+    assert(s1.toSet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    assert(!s1.contains(4L), "untargeted source must be dropped")
+  }
+
+  test("repetitionMetrics on a crafted repetitive doc") {
+    val rep = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val m = TrainingData.repetitionMetrics(rep, col("doc_id"), col("text"))
+      .select("n_bigrams", "dup_bigram_frac", "top_bigram_frac")
+      .as[(Int, Double, Double)].head()
+    // bigrams: "a b","b a","a b","b a","a b" -> 5 total, 2 distinct, top 3/5
+    assert(m._1 == 5)
+    assert(math.abs(m._2 - 0.6) < 1e-12)
+    assert(math.abs(m._3 - 0.6) < 1e-12)
+  }
+
+  test("repetitionMetrics degenerate docs: single token has no bigrams") {
+    val m = TrainingData.repetitionMetrics(Seq((0L, "word")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .select("n_bigrams", "dup_bigram_frac", "top_bigram_frac")
+      .as[(Int, Double, Double)].head()
+    assert(m == ((0, 0.0, 0.0)))
+  }
+
+  test("redactPii counts and strips emails and phones") {
+    val df = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org or +1-555-0199 thanks"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.redactPii(df, col("text")).cache()
+    val r0 = out.where(col("doc_id") === 0)
+      .select("n_emails", "n_phones", "redacted").as[(Int, Int, String)].head()
+    assert(r0._1 == 1 && r0._2 == 1)
+    assert(r0._3 == "reach me at <EMAIL> or <PHONE> thanks")
+    val r1 = out.where(col("doc_id") === 1)
+      .select("n_emails", "n_phones", "redacted").as[(Int, Int, String)].head()
+    assert(r1 == ((0, 0, "no pii here at all")))
+    out.unpersist()
+  }
+}
