@@ -222,13 +222,53 @@ object Dedup {
    * Verified with exact hamming via bit_count(xor).
    */
   def simhashCandidates(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming must be in [0,31], got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     val sig = OpsUtil.ensureParallelism(df).select(id.as("__id"), simhash(text).as("__sig"))
+    simhashPairsOn(sig, sigBits = 64, maxHamming = maxHamming)
+  }
+
+  /**
+   * Engine-portable token hash: 20-bit polynomial over codepoints (base-31
+   * fold, mod 2^20) mixed onto the 32-bit ring by the Knuth multiplier.
+   * Pure integer builtins — the DuckDB oracle replays the identical
+   * arithmetic, which is what makes [[simhash16]] pairs hash-checkable
+   * (xxhash64-based [[simhash]] is engine-specific by construction).
+   */
+  def portableTokenHash(tok: Column): Column =
+    pmod(aggregate(split(tok, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1048576L)))
+      * 2654435761L, lit(4294967296L))
+
+  /** 16-bit SimHash over whitespace tokens using [[portableTokenHash]]:
+    * bit j is the sign of the ±1 vote sum of the tokens' j-th hash bits. */
+  def simhash16(text: Column): Column = {
+    val hs = transform(split(trim(text), " +"), tok => portableTokenHash(tok))
+    (0 until 16).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (a, h) => a + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** [[simhashCandidates]] on the portable 16-bit signature — identical
+    * banded shape, exact DuckDB oracle (see SparkEntry dedup_simhash_pairs). */
+  def simhashCandidatesPortable(df: DataFrame, id: Column, text: Column,
+                                maxHamming: Int = 3): DataFrame = {
+    val sig = OpsUtil.ensureParallelism(df).select(id.as("__id"), simhash16(text).as("__sig"))
+    simhashPairsOn(sig, sigBits = 16, maxHamming = maxHamming)
+  }
+
+  /** Pigeonhole band join over a (__id, __sig) frame: `maxHamming + 1`
+    * bands of the `sigBits`-bit signature, exact hamming verify on the
+    * candidates. */
+  private def simhashPairsOn(sig: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming must be in [0,$sigBits), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = sigBits / nBands
+    require(width >= 1, s"maxHamming $maxHamming too large for $sigBits-bit signature")
     val bandKeys = array((0 until nBands).map { i =>
       // last band takes the remaining high bits
-      val w = if (i == nBands - 1) 64 - i * width else width
+      val w = if (i == nBands - 1) sigBits - i * width else width
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(org.apache.spark.sql.functions.col("__sig"), i * width)
         .bitwiseAND(lit(mask))

@@ -52,6 +52,24 @@ class OpsSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
   }
 
+  test("portable simhash banding recall equals brute-force hamming pairs") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    // 16-bit signature, exact dup identical
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (maxH <- Seq(1, 3)) {
+      val brute = (for {
+        (i, si) <- sigs.toSeq; (j, sj) <- sigs.toSeq
+        if i < j && ham(si, sj) <= maxH
+      } yield (i, j)).toSet
+      val banded = Dedup.simhashCandidatesPortable(docs, col("doc_id"), col("text"), maxH)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"maxHamming=$maxH: banding must be lossless")
+    }
+  }
+
   test("jaccard verify computes exact set jaccard") {
     val sh = docs.select(col("doc_id").as("__jid"), Dedup.shinglesExpr(col("text"), 5).as("__sh"))
     val pairs = Seq((0L, 3L)).toDF("id1", "id2")
