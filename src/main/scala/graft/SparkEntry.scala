@@ -518,6 +518,24 @@ object SparkEntry {
              ROUND(st_y(st_transform(pt, 'EPSG:4326', 'EPSG:3857')), 1) AS my
       FROM t ORDER BY c_custkey""")),
 
+    // spherical geodesy (tier 4): haversine distance/length + planar
+    // projection. Integer-degree inputs; outputs rounded (mm for meters,
+    // 1e-9 for coordinates) so engine libm 1-ulp differences vanish —
+    // same convention as st_transform_mercator. pi()/4.0 instead of a
+    // decimal azimuth literal: both engines derive the identical double.
+    "st_geodesy" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS lon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS lat
+                 FROM nation)
+      SELECT n_nationkey,
+             ROUND(st_distancesphere(st_point(lon, lat), st_point(0.0D, 0.0D)), 3) AS dist_m,
+             ROUND(st_lengthsphere(st_makeline(st_point(lon, lat),
+               st_point(lon + 1.0D, lat), st_point(lon + 1.0D, lat + 1.0D))), 3) AS len_m,
+             ROUND(st_x(st_project(st_point(lon, 0.0D), 1000.0D, pi() / 4.0D)), 9) AS proj_x,
+             ROUND(st_y(st_project(st_point(lon, 0.0D), 1000.0D, pi() / 4.0D)), 9) AS proj_y
+      FROM t ORDER BY n_nationkey""")),
+
     // ----- text analysis (§2.11) -----
     "doc_token_count" -> ((s, d) => prep(s, d).sql("""
       SELECT doc_id, SIZE(SPLIT(TRIM(text), ' +')) AS n_tokens FROM documents ORDER BY doc_id""")),
@@ -1268,6 +1286,30 @@ object SparkEntry {
              ROUND(6378137.0 * radians(CAST(c_nationkey * 7 + 3 AS DOUBLE)), 1) AS mx,
              ROUND(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 50 + 5 AS DOUBLE)) / 2)), 1) AS my
       FROM customer ORDER BY c_custkey""",
+
+    // haversine replayed in Geodesy.haversine's exact IEEE op order
+    // (deg * (pi/180), sp*sp + cos*cos*sl*sl, (2*R)*asin); CASTs keep
+    // DuckDB's decimal literals out of the arithmetic
+    "st_geodesy" -> {
+      def hv(lon1: String, lat1: String, lon2: String, lat2: String): String =
+        s"""(CAST(2.0 AS DOUBLE) * CAST(6371008.8 AS DOUBLE) * asin(least(CAST(1.0 AS DOUBLE), sqrt(
+           sin((($lat2) - ($lat1)) * (pi() / 180.0) / 2.0) * sin((($lat2) - ($lat1)) * (pi() / 180.0) / 2.0)
+           + cos(($lat1) * (pi() / 180.0)) * cos(($lat2) * (pi() / 180.0))
+             * sin((($lon2) - ($lon1)) * (pi() / 180.0) / 2.0)
+             * sin((($lon2) - ($lon1)) * (pi() / 180.0) / 2.0)))))"""
+      s"""
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS lon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS lat
+                 FROM nation)
+      SELECT n_nationkey,
+             ROUND(${hv("lon", "lat", "0.0", "0.0")}, 3) AS dist_m,
+             ROUND(${hv("lon", "lat", "lon + 1.0", "lat")}
+                   + ${hv("lon + 1.0", "lat", "lon + 1.0", "lat + 1.0")}, 3) AS len_m,
+             ROUND(lon + CAST(1000.0 AS DOUBLE) * sin(pi() / 4.0), 9) AS proj_x,
+             ROUND(CAST(0.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE) * cos(pi() / 4.0), 9) AS proj_y
+      FROM t ORDER BY n_nationkey"""
+    },
 
     // exact DuckDB replica of the langId heuristic: per-lang marker hit
     // counts, argmax with ties to the lexicographically greatest lang

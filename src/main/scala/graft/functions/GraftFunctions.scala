@@ -174,6 +174,22 @@ object GraftFunctions {
     ("st_makepointz", 3, es => StMakePointZ(es)),
     ("st_force3d", 2, es => StForce3D(es(0), es(1))),
     ("st_3ddistance", 2, es => St3DDistance(es(0), es(1))),
+    // catalog breadth tier 4 (StTier4Expressions)
+    ("st_lengthsphere", 1, es => StLengthSphere(es.head)),
+    ("st_areasphere", 1, es => StAreaSphere(es.head)),
+    ("st_project", 3, es => StProject(es)),
+    ("st_geomfromewkt", 1, es => StGeomFromEwkt(es.head)),
+    ("st_pointfromtext", 1, es => StGeomFromTextTyped(es.head, "Point", "st_pointfromtext")),
+    ("st_linefromtext", 1, es => StGeomFromTextTyped(es.head, "LineString", "st_linefromtext")),
+    ("st_polygonfromtext", 1, es => StGeomFromTextTyped(es.head, "Polygon", "st_polygonfromtext")),
+    ("st_polyfromtext", 1, es => StGeomFromTextTyped(es.head, "Polygon", "st_polyfromtext")),
+    ("st_mpointfromtext", 1, es => StGeomFromTextTyped(es.head, "MultiPoint", "st_mpointfromtext")),
+    ("st_mlinefromtext", 1, es => StGeomFromTextTyped(es.head, "MultiLineString", "st_mlinefromtext")),
+    ("st_mpolyfromtext", 1, es => StGeomFromTextTyped(es.head, "MultiPolygon", "st_mpolyfromtext")),
+    ("st_geomcollfromtext", 1, es => StGeomFromTextTyped(es.head, "GeometryCollection", "st_geomcollfromtext")),
+    ("st_geometricmedian", 1, es => StGeometricMedian(es.head)),
+    ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),
+    ("st_setpoint", 3, es => StSetPoint(es)),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
@@ -204,6 +220,10 @@ object GraftFunctions {
     ("st_makepolygon" -> { (es: Seq[Expression]) =>
       require(es.length == 1 || es.length == 2, s"st_makepolygon expects 1 or 2 arguments, got ${es.length}")
       StMakePolygon(es)
+    }) :+
+    ("st_distancesphere" -> { (es: Seq[Expression]) =>
+      require(es.length == 2 || es.length == 3, s"st_distancesphere expects 2 or 3 arguments, got ${es.length}")
+      StDistanceSphere(es)
     })
 
   /** `DESCRIBE FUNCTION` usage text (subset with non-obvious semantics;
@@ -240,7 +260,16 @@ object GraftFunctions {
     "st_union_aggr" -> "st_union_aggr(geom) - Aggregate: n-way cascaded union (map-side partial unions).",
     "st_envelope_aggr" -> "st_envelope_aggr(geom) - Aggregate: bounding box of all inputs (fixed-size buffer).",
     "st_centroid_aggr" -> "st_centroid_aggr(geom) - Aggregate: centroid of the input collection (dimension-stratified).",
-    "st_collect" -> "st_collect(geom) - Aggregate: collects inputs into a Multi*/GeometryCollection.")
+    "st_collect" -> "st_collect(geom) - Aggregate: collects inputs into a Multi*/GeometryCollection.",
+    "st_distancesphere" -> "st_distancesphere(a, b[, radius]) - Haversine meters between centroids (x=lon, y=lat; default IUGG mean radius).",
+    "st_lengthsphere" -> "st_lengthsphere(geom) - Sum of great-circle segment lengths (meters) over LineString components.",
+    "st_areasphere" -> "st_areasphere(geom) - Approximate spherical polygon area, m^2 (Chamberlain-Duquette; holes subtract).",
+    "st_project" -> "st_project(pt, dist, azimuth) - Planar projection: azimuth in radians clockwise from north (st_azimuth convention).",
+    "st_geomfromewkt" -> "st_geomfromewkt('SRID=n;WKT') - Parses EWKT (plain WKT accepted); reader twin of st_asewkt.",
+    "st_pointfromtext" -> "st_pointfromtext(wkt) - Parses WKT; NULL unless the result is a Point (PostGIS typed-constructor family).",
+    "st_geometricmedian" -> "st_geometricmedian(geom) - Weiszfeld geometric median of the geometry's vertices.",
+    "st_shiftlongitude" -> "st_shiftlongitude(geom) - Adds 360 to negative x coordinates ([-180,180) -> [0,360)).",
+    "st_setpoint" -> "st_setpoint(line, idx, pt) - Replace vertex idx (0-based, negative from end); NULL out of range.")
 
   private def usageFor(name: String): String =
     usageDocs.getOrElse(name, s"$name(...) - graft spatial/vector function; see README.md.")

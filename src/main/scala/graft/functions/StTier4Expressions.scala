@@ -1,0 +1,278 @@
+package graft.functions
+
+import graft.geom.Geom
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Coordinate, Geometry, LineString, Point, Polygon}
+
+import StKit._
+
+/**
+ * Catalog-breadth tier 4 (SURVEY.md §2.5 extension): geodesic measures on
+ * the sphere (distance / length / area over lon-lat coordinates), planar
+ * point projection, typed WKT constructors (PostGIS/Sedona
+ * ST_LineFromText family), EWKT parsing, geometric median, longitude
+ * shifting, and vertex editing. Same WKB-over-Catalyst bases as the core
+ * catalog (reference registers the equivalent Sedona surface wholesale:
+ * extension/.../SedonaIcebergExtensions.scala:38).
+ */
+private[functions] object Geodesy {
+  /** Mean Earth radius (IUGG), same constant PostGIS uses for
+    * ST_DistanceSphere. */
+  val EarthRadius = 6371008.8
+
+  /** Haversine great-circle distance between lon-lat coordinates, in the
+    * exact IEEE operation order the DuckDB oracle replays:
+    * deg * (pi/180), sin^2 as products, 2*R*asin(sqrt(a)). */
+  def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+                radius: Double): Double = {
+    val rad = math.Pi / 180.0
+    val phi1 = lat1 * rad
+    val phi2 = lat2 * rad
+    val dphi = (lat2 - lat1) * rad
+    val dlmb = (lon2 - lon1) * rad
+    val sp = math.sin(dphi / 2.0)
+    val sl = math.sin(dlmb / 2.0)
+    val a = sp * sp + math.cos(phi1) * math.cos(phi2) * sl * sl
+    2.0 * radius * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}
+
+/** st_distancesphere(a, b[, radius]): great-circle (haversine) distance in
+  * meters between geometry centroids, treating x as longitude and y as
+  * latitude. */
+case class StDistanceSphere(children: Seq[Expression]) extends StNary {
+  require(children.length == 2 || children.length == 3,
+    s"st_distancesphere expects 2 or 3 arguments, got ${children.length}")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(children(0) -> "geometry", children(1) -> "geometry") ++
+      children.drop(2).map(_ -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = {
+    val a = geom(vs(0)).getCentroid.getCoordinate
+    val b = geom(vs(1)).getCentroid.getCoordinate
+    val r = if (vs.length > 2) dbl(vs(2)) else Geodesy.EarthRadius
+    Geodesy.haversine(a.x, a.y, b.x, b.y, r)
+  }
+  override def prettyName: String = "st_distancesphere"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** st_lengthsphere(geom): sum of great-circle segment lengths (meters) over
+  * every LineString component's consecutive lon-lat vertices; 0 for
+  * geometries without linework. */
+case class StLengthSphere(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = {
+    var total = 0.0
+    (0 until g.getNumGeometries).foreach { i =>
+      g.getGeometryN(i) match {
+        case l: LineString =>
+          val cs = l.getCoordinateSequence
+          var j = 1
+          while (j < cs.size()) {
+            total += Geodesy.haversine(cs.getX(j - 1), cs.getY(j - 1),
+              cs.getX(j), cs.getY(j), Geodesy.EarthRadius)
+            j += 1
+          }
+        case _ => ()
+      }
+    }
+    total
+  }
+  override def prettyName: String = "st_lengthsphere"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_areasphere(geom): approximate spherical polygon area in m^2
+  * (Chamberlain & Duquette excess formula over lon-lat vertices; shells
+  * and holes contribute with their winding sign, absolute value of the
+  * total is returned). Good to ~0.1% for sub-continental polygons. */
+case class StAreaSphere(child: Expression) extends StUnary {
+  override def dataType: DataType = DoubleType
+  protected def run(g: Geometry): Any = {
+    val rad = math.Pi / 180.0
+    def ringArea(cs: Array[Coordinate]): Double = {
+      var s = 0.0
+      var i = 1
+      while (i < cs.length) {
+        s += (cs(i).x - cs(i - 1).x) * rad *
+          (2.0 + math.sin(cs(i - 1).y * rad) + math.sin(cs(i).y * rad))
+        i += 1
+      }
+      s * Geodesy.EarthRadius * Geodesy.EarthRadius / 2.0
+    }
+    var total = 0.0
+    (0 until g.getNumGeometries).foreach { i =>
+      g.getGeometryN(i) match {
+        case p: Polygon =>
+          total += math.abs(ringArea(p.getExteriorRing.getCoordinates))
+          (0 until p.getNumInteriorRing).foreach { r =>
+            total -= math.abs(ringArea(p.getInteriorRingN(r).getCoordinates))
+          }
+        case _ => ()
+      }
+    }
+    math.abs(total)
+  }
+  override def prettyName: String = "st_areasphere"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_project(point, distance, azimuth): planar projection of a point by
+  * `distance` along `azimuth` (radians clockwise from north, matching
+  * st_azimuth): (x + d sin az, y + d cos az). */
+case class StProject(children: Seq[Expression]) extends StNary {
+  require(children.length == 3, s"st_project expects 3 arguments, got ${children.length}")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName,
+      Seq(children(0) -> "geometry", children(1) -> "numeric", children(2) -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = {
+    val p = geom(vs(0)).getCentroid.getCoordinate
+    val d = dbl(vs(1))
+    val az = dbl(vs(2))
+    out(Geom.factory.createPoint(new Coordinate(
+      p.x + d * math.sin(az), p.y + d * math.cos(az))))
+  }
+  override def prettyName: String = "st_project"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
+/** st_geomfromewkt('SRID=4326;POINT (1 2)'): EWKT parser — the reader twin
+  * of st_asewkt; plain WKT (no SRID= prefix) is accepted too. */
+case class StGeomFromEwkt(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "string"))
+  override def nullSafeEval(input: Any): Any = evalText(input.asInstanceOf[Object])
+  def evalText(s: Object): Array[Byte] = {
+    val t = s.toString.trim
+    val g =
+      if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
+        val semi = t.indexOf(';')
+        require(semi > 0, s"malformed EWKT: $t")
+        val srid = t.substring(5, semi).trim.toInt
+        val parsed = Geom.fromWkt(t.substring(semi + 1).trim)
+        parsed.setSRID(srid)
+        parsed
+      } else Geom.fromWkt(t)
+    out(g)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("stEwkt", this, classOf[StGeomFromEwkt].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalText($a);")
+  }
+  override def prettyName: String = "st_geomfromewkt"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Typed WKT constructor (PostGIS ST_LineFromText family): parses WKT and
+  * returns NULL unless the result is the expected geometry type. */
+case class StGeomFromTextTyped(child: Expression, expected: String, fnName: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "string"))
+  override def nullSafeEval(input: Any): Any = evalText(input.asInstanceOf[Object])
+  def evalText(s: Object): Any = {
+    val g = Geom.fromWkt(s.toString)
+    if (g.getGeometryType.equalsIgnoreCase(expected)) out(g) else null
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("stTypedWkt", this, classOf[StGeomFromTextTyped].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("stRes")
+      s"""Object $tmp = $ref.evalText($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (byte[]) $tmp; }""".stripMargin
+    })
+  }
+  override def prettyName: String = fnName
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_geometricmedian(geom): Weiszfeld iteration over the geometry's
+  * vertices — the point minimizing the sum of distances to them (the
+  * robust "center" used for outlier-tolerant aggregation). */
+case class StGeometricMedian(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = {
+    val cs = g.getCoordinates
+    if (cs.isEmpty) return null
+    var cx = cs.map(_.x).sum / cs.length
+    var cy = cs.map(_.y).sum / cs.length
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < 100 && moved > 1e-12) {
+      var wx = 0.0; var wy = 0.0; var w = 0.0
+      var atVertex = false
+      cs.foreach { c =>
+        val d = math.hypot(c.x - cx, c.y - cy)
+        if (d < 1e-15) atVertex = true
+        else { wx += c.x / d; wy += c.y / d; w += 1.0 / d }
+      }
+      if (atVertex || w == 0.0) { moved = 0.0 } // landed on a vertex: done
+      else {
+        val nx = wx / w; val ny = wy / w
+        moved = math.hypot(nx - cx, ny - cy)
+        cx = nx; cy = ny
+      }
+      iter += 1
+    }
+    out(Geom.factory.createPoint(new Coordinate(cx, cy)))
+  }
+  override protected def mayReturnNull: Boolean = true
+  override def prettyName: String = "st_geometricmedian"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_shiftlongitude(geom): maps x from [-180,180) to [0,360) (adds 360 to
+  * negative longitudes) — the standard dateline-crossing normalization. */
+case class StShiftLongitude(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  protected def run(g: Geometry): Any = {
+    val shifted = g.copy()
+    shifted.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: Coordinate): Unit = if (c.x < 0) c.x += 360.0
+    })
+    shifted.geometryChanged()
+    out(shifted)
+  }
+  override def prettyName: String = "st_shiftlongitude"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_setpoint(line, idx, point): replace vertex `idx` (0-based; negative
+  * counts from the end) of a LineString; NULL for non-lines or
+  * out-of-range indexes. */
+case class StSetPoint(children: Seq[Expression]) extends StNary {
+  require(children.length == 3, s"st_setpoint expects 3 arguments, got ${children.length}")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName,
+      Seq(children(0) -> "geometry", children(1) -> "numeric", children(2) -> "geometry"))
+  protected def run(vs: Seq[Any]): Any = geom(vs(0)) match {
+    case l: LineString =>
+      val n = l.getNumPoints
+      val raw = int(vs(1))
+      val idx = if (raw < 0) n + raw else raw
+      geom(vs(2)) match {
+        case p: Point if idx >= 0 && idx < n =>
+          val cs = l.getCoordinates.clone()
+          cs(idx) = p.getCoordinate.copy()
+          out(Geom.factory.createLineString(cs))
+        case _ => null
+      }
+    case _ => null
+  }
+  override def prettyName: String = "st_setpoint"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
