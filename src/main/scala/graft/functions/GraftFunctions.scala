@@ -139,6 +139,7 @@ object GraftFunctions {
     ("vec_cosine", 2, es => VecCosine(es(0), es(1))),
     ("minhash_sig", 2, es => MinHashSig(es(0), es(1))),
     ("simhash64", 1, es => SimHash64(es.head)),
+    ("simhash16", 1, es => PortableSimHash16(es.head)),
     ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
     ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
     // catalog breadth tier 3 (StTier3Expressions)
@@ -243,6 +244,7 @@ object GraftFunctions {
     "vec_cosine" -> "vec_cosine(a, b) - Cosine similarity of numeric arrays (0 when either norm is 0).",
     "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",
     "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
+    "simhash16" -> "simhash16(text) - Portable 16-bit SimHash over whitespace tokens (engine-replicable polynomial hash).",
     "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
     "banded_hyperplane_sig" -> "banded_hyperplane_sig(vec, bitsPerBand, bands) - Per-band LSH sub-signatures; candidates when ANY band matches.",
     "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",

@@ -177,6 +177,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * Portable 16-bit SimHash over whitespace tokens, computed in ONE pass
+ * (tokenize, per-token base-31 codepoint fold mod 2^20, Knuth-multiplier
+ * mix onto the 32-bit ring, per-bit ±1 votes, bit set when the vote sum
+ * is >= 0). Arithmetic contract is EXACTLY Dedup.portableTokenHash /
+ * the dedup_simhash_pairs DuckDB oracle — change neither without the
+ * other. Exists because the HOF formulation re-evaluates the interpreted
+ * tokenize+hash lambda tree once per signature bit (16x); this is the
+ * codegen'd single-pass form.
+ */
+case class PortableSimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(child -> "string"))
+  def compute(s: Object): Long = {
+    val t = s.toString.trim
+    // split semantics of Spark's split(trim(text), ' +'): "" yields [""]
+    val toks: Array[String] = if (t.isEmpty) Array("") else t.split(" +", -1)
+    val acc = new Array[Int](16)
+    var ti = 0
+    while (ti < toks.length) {
+      val tok = toks(ti)
+      var poly = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        poly = (poly * 31 + cp) % 1048576L
+        i += Character.charCount(cp)
+      }
+      val h = (poly * 2654435761L) % 4294967296L
+      var b = 0
+      while (b < 16) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) { if (acc(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[Object])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("psimhash", this, classOf[PortableSimHash16].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override def prettyName: String = "simhash16"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
  * Random-hyperplane LSH signature: embedding -> `nbits`-bit bucket id.
  * Hyperplane components are seeded Gaussians — identical on every executor.
  */

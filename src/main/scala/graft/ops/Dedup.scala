@@ -238,16 +238,13 @@ object Dedup {
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1048576L)))
       * 2654435761L, lit(4294967296L))
 
-  /** 16-bit SimHash over whitespace tokens using [[portableTokenHash]]:
-    * bit j is the sign of the ±1 vote sum of the tokens' j-th hash bits. */
-  def simhash16(text: Column): Column = {
-    val hs = transform(split(trim(text), " +"), tok => portableTokenHash(tok))
-    (0 until 16).map { j =>
-      val bitSum = aggregate(hs, lit(0L),
-        (a, h) => a + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * 2 - 1)
-      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** 16-bit SimHash over whitespace tokens using [[portableTokenHash]]
+    * arithmetic: bit j is the sign (>= 0) of the ±1 vote sum of the
+    * tokens' j-th hash bits. Single-pass codegen'd expression
+    * (graft.functions.PortableSimHash16); [[portableTokenHash]] remains
+    * the per-token Column form of the same hash. */
+  def simhash16(text: Column): Column =
+    col2(graft.functions.PortableSimHash16(ex(text)))
 
   /** [[simhashCandidates]] on the portable 16-bit signature — identical
     * banded shape, exact DuckDB oracle (see SparkEntry dedup_simhash_pairs). */

@@ -52,6 +52,18 @@ class OpsSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
   }
 
+  test("portable simhash single-token signature equals the token hash's low 16 bits") {
+    // one token: each bit's vote is just that token's bit (+1 -> set,
+    // -1 -> clear), so sig == portableTokenHash & 0xFFFF — ties the
+    // codegen'd one-pass expression to the per-token Column arithmetic
+    // the DuckDB oracle replays
+    val rows = Seq((0L, "spark"), (1L, "graft"), (2L, "a")).toDF("id", "t")
+      .select(col("id"), Dedup.simhash16(col("t")).as("sig"),
+        Dedup.portableTokenHash(col("t")).bitwiseAND(lit(0xFFFFL)).as("low"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, sig, low) => assert(sig == low, s"row $id") }
+  }
+
   test("portable simhash banding recall equals brute-force hamming pairs") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
