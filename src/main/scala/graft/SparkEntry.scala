@@ -546,6 +546,17 @@ object SparkEntry {
              n_chars
       FROM documents ORDER BY doc_id""")),
 
+    // exact interpolated percentiles per source (corpus length profiling);
+    // Spark percentile == DuckDB quantile_cont (both p*(n-1) linear interp)
+    "doc_length_quantiles" -> ((s, d) => prep(s, d).sql("""
+      SELECT source,
+             percentile(n_chars, 0.5D) AS p50,
+             percentile(n_chars, 0.9D) AS p90,
+             percentile(n_chars, 0.99D) AS p99,
+             CAST(MIN(n_chars) AS BIGINT) AS min_len,
+             CAST(MAX(n_chars) AS BIGINT) AS max_len
+      FROM documents GROUP BY source ORDER BY source""")),
+
     "dedup_exact" -> ((s, d) => prep(s, d).sql("""
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""")),
@@ -607,6 +618,26 @@ object SparkEntry {
           col("vec_id"), threshold = 0.9, bitsPerBand = 16, bands = 8)
         .select("id1", "id2")
         .orderBy("id1", "id2")
+    }),
+
+    // KNN-graph machinery under a verifiable contract: same seeded
+    // construction as dedup_embedding_pairs (one cos>=0.999 twin per
+    // vector, background <=0.62), k=1 — every seeded vector's nearest
+    // neighbor MUST be its source, which the oracle states in closed form.
+    // The banded candidate generation must recall every seeded pair AND
+    // rank it first to hash-match. The unseeded corpus-wide variant stays
+    // rows-only (ann_knn_graph) — exact recall there is not guaranteeable.
+    "ann_knn_graph_seeded" -> ((s, d) => {
+      prep(s, d)
+      val base = s.table("embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val pert = s.table("embeddings").select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.95D + 0.005D)").as("emb"))
+      graft.ops.Similarity.knnGraph(base.union(pert), col("emb"), col("vec_id"),
+          k = 1, bitsPerBand = 16, bands = 8)
+        .where(col("id1") >= 100000)
+        .select("id1", "id2")
+        .orderBy("id1")
     }),
 
     // ----- similarity search (§2.10) -----
@@ -836,6 +867,33 @@ object SparkEntry {
         .groupBy("flag").agg(count(lit(1)).as("n"),
           sum("c_custkey").as("key_sum")).orderBy("flag")
       graft.tables.GeoTable.drop(s, "geo_dml_mrg_t")
+      out
+    }),
+
+    // schema evolution end-to-end: ADD COLUMN is a metadata-only commit,
+    // pre-evolution rows read the new column as NULL, post-evolution
+    // inserts carry values — the oracle restates the same end state
+    // relationally (Iceberg-style evolution contract)
+    "geo_ddl_evolution" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_evo").toString + "/t"
+      val src = s.table("customer").where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
+      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      graft.tables.GeoTable.register(s, "geo_evo_q_t", root)
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geo_evo_q_t ADD COLUMN tier INT")
+      graft.tables.GeoSql.exec(s,
+        """INSERT INTO geo_evo_q_t
+          |SELECT c_custkey + 1000000, c_nationkey,
+          |       st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
+          |       CAST(c_nationkey % 3 AS INT)
+          |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
+      val out = graft.tables.GeoTable.read(s, root)
+        .groupBy(coalesce(col("tier"), lit(-1)).as("tier"))
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .orderBy("tier")
+      graft.tables.GeoTable.drop(s, "geo_evo_q_t")
       out
     }),
 
@@ -1167,6 +1225,21 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",
+
+    // closed-form answer of the seeded construction: each perturbed
+    // vector's nearest neighbor is its source
+    "ann_knn_graph_seeded" -> """
+      SELECT vec_id + 100000 AS id1, vec_id AS id2
+      FROM embeddings ORDER BY id1""",
+
+    "doc_length_quantiles" -> """
+      SELECT source,
+             quantile_cont(n_chars, 0.5) AS p50,
+             quantile_cont(n_chars, 0.9) AS p90,
+             quantile_cont(n_chars, 0.99) AS p99,
+             CAST(MIN(n_chars) AS BIGINT) AS min_len,
+             CAST(MAX(n_chars) AS BIGINT) AS max_len
+      FROM documents GROUP BY source ORDER BY source""",
 
     "dedup_jaccard_exact" -> """
       WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS w
@@ -1510,6 +1583,15 @@ object SparkEntry {
       )
       SELECT flag, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
       FROM final GROUP BY flag ORDER BY flag""",
+
+    "geo_ddl_evolution" -> """
+      WITH evo AS (
+        SELECT c_custkey, CAST(NULL AS INT) AS tier FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, CAST(c_nationkey % 3 AS INT) FROM customer WHERE c_custkey % 2 = 1)
+      SELECT coalesce(tier, -1) AS tier, COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM evo GROUP BY 1 ORDER BY tier""",
 
     "geo_ctas" -> """
       SELECT c_custkey, c_nationkey,

@@ -189,6 +189,10 @@ object GraftFunctions {
     ("st_mpolyfromtext", 1, es => StGeomFromTextTyped(es.head, "MultiPolygon", "st_mpolyfromtext")),
     ("st_geomcollfromtext", 1, es => StGeomFromTextTyped(es.head, "GeometryCollection", "st_geomcollfromtext")),
     ("st_geometricmedian", 1, es => StGeometricMedian(es.head)),
+    ("st_askml", 1, es => StAsKml(es.head)),
+    ("st_asgml", 1, es => StAsGml(es.head)),
+    ("st_linefrommultipoint", 1, es => StLineFromMultiPoint(es.head)),
+    ("st_distancespheroid", 2, es => StDistanceSpheroid(es(0), es(1))),
     ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),
     ("st_setpoint", 3, es => StSetPoint(es)),
     // aggregates (analyzer wraps the returned AggregateFunction)

@@ -250,6 +250,142 @@ case class StShiftLongitude(child: Expression) extends StUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+private[functions] object XmlGeom {
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+  private def coords(cs: Array[Coordinate]): String =
+    cs.map(c => s"${fmt(c.x)},${fmt(c.y)}").mkString(" ")
+
+  /** KML geometry fragment (no document wrapper), recursive for Multi*. */
+  def kml(g: Geometry): String = g match {
+    case p: Point => s"<Point><coordinates>${coords(p.getCoordinates)}</coordinates></Point>"
+    case l: LineString =>
+      s"<LineString><coordinates>${coords(l.getCoordinates)}</coordinates></LineString>"
+    case p: Polygon =>
+      val outer = s"<outerBoundaryIs><LinearRing><coordinates>${coords(p.getExteriorRing.getCoordinates)}</coordinates></LinearRing></outerBoundaryIs>"
+      val inner = (0 until p.getNumInteriorRing).map(i =>
+        s"<innerBoundaryIs><LinearRing><coordinates>${coords(p.getInteriorRingN(i).getCoordinates)}</coordinates></LinearRing></innerBoundaryIs>").mkString
+      s"<Polygon>$outer$inner</Polygon>"
+    case m =>
+      (0 until m.getNumGeometries).map(i => kml(m.getGeometryN(i)))
+        .mkString("<MultiGeometry>", "", "</MultiGeometry>")
+  }
+
+  /** GML 2 geometry fragment, recursive for Multi*. */
+  def gml(g: Geometry): String = g match {
+    case p: Point => s"<gml:Point><gml:coordinates>${coords(p.getCoordinates)}</gml:coordinates></gml:Point>"
+    case l: LineString =>
+      s"<gml:LineString><gml:coordinates>${coords(l.getCoordinates)}</gml:coordinates></gml:LineString>"
+    case p: Polygon =>
+      val outer = s"<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>${coords(p.getExteriorRing.getCoordinates)}</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"
+      val inner = (0 until p.getNumInteriorRing).map(i =>
+        s"<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>${coords(p.getInteriorRingN(i).getCoordinates)}</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>").mkString
+      s"<gml:Polygon>$outer$inner</gml:Polygon>"
+    case m =>
+      (0 until m.getNumGeometries).map(i => gml(m.getGeometryN(i)))
+        .mkString("<gml:MultiGeometry>", "", "</gml:MultiGeometry>")
+  }
+}
+
+/** st_askml(geom): KML geometry fragment (integer-valued ordinates print
+  * without a decimal point, like PostGIS's trimmed output). */
+case class StAsKml(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = str(XmlGeom.kml(g))
+  override def prettyName: String = "st_askml"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_asgml(geom): GML 2 geometry fragment. */
+case class StAsGml(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = str(XmlGeom.gml(g))
+  override def prettyName: String = "st_asgml"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_linefrommultipoint(geom): LineString through a MultiPoint's points
+  * in order; NULL for other inputs or fewer than 2 points. */
+case class StLineFromMultiPoint(child: Expression) extends StUnary {
+  override def dataType: DataType = BinaryType
+  override protected def mayReturnNull: Boolean = true
+  protected def run(g: Geometry): Any = g match {
+    case mp: org.locationtech.jts.geom.MultiPoint if mp.getNumGeometries >= 2 =>
+      out(Geom.factory.createLineString(mp.getCoordinates))
+    case _ => null
+  }
+  override def prettyName: String = "st_linefrommultipoint"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/**
+ * st_distancespheroid(a, b): geodesic distance on the WGS84 ellipsoid via
+ * Vincenty's inverse formula (public-domain algorithm, Vincenty 1975);
+ * centroids' x=lon, y=lat in degrees, result in meters. Falls back to
+ * spherical haversine for the near-antipodal cases where the iteration
+ * does not converge.
+ */
+case class StDistanceSpheroid(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = DoubleType
+  protected def run(l: Geometry, r: Geometry): Any = {
+    val a = l.getCentroid.getCoordinate
+    val b = r.getCentroid.getCoordinate
+    StDistanceSpheroid.vincenty(a.x, a.y, b.x, b.y)
+  }
+  override def prettyName: String = "st_distancespheroid"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object StDistanceSpheroid {
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val B = A * (1.0 - F)
+
+  def vincenty(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val rad = math.Pi / 180.0
+    val u1 = math.atan((1.0 - F) * math.tan(lat1 * rad))
+    val u2 = math.atan((1.0 - F) * math.tan(lat2 * rad))
+    val dl = (lon2 - lon1) * rad
+    val su1 = math.sin(u1); val cu1 = math.cos(u1)
+    val su2 = math.sin(u2); val cu2 = math.cos(u2)
+    var lambda = dl
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    while (iter < 200 && !converged) {
+      val sl = math.sin(lambda); val cl = math.cos(lambda)
+      sinSigma = math.sqrt(math.pow(cu2 * sl, 2) +
+        math.pow(cu1 * su2 - su1 * cu2 * cl, 2))
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = su1 * su2 + cu1 * cu2 * cl
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cu1 * cu2 * sl / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0 // equatorial line
+      else cosSigma - 2.0 * su1 * su2 / cosSqAlpha
+      val c = F / 16.0 * cosSqAlpha * (4.0 + F * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = dl + (1.0 - c) * F * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) // near-antipodal: spherical fallback
+      return Geodesy.haversine(lon1, lat1, lon2, lat2, (2.0 * A + B) / 3.0)
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    B * bigA * (sigma - deltaSigma)
+  }
+}
+
 /** st_setpoint(line, idx, point): replace vertex `idx` (0-based; negative
   * counts from the end) of a LineString; NULL for non-lines or
   * out-of-range indexes. */

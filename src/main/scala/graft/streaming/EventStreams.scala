@@ -157,6 +157,31 @@ object EventStreams {
       .drop("__graft_rkey")
   }
 
+  /**
+   * Streaming ingest into a GeoTable: each micro-batch appends as one
+   * atomic versioned commit (exactly the Iceberg streaming-write contract
+   * — readers only ever see whole batches; a crashed batch leaves data
+   * files without a manifest pointer, invisible and vacuumable). The
+   * stream's columns must conform to the table schema (same rule as
+   * INSERT). Use `trigger(AvailableNow)` for catch-up ingest, a
+   * processing-time trigger for continuous ingest.
+   *
+   * At scale: appends never rewrite existing files, commit cost is one
+   * manifest write + a stats pass over ONLY the new files, and file
+   * count growth is curbed with periodic `OPTIMIZE` (compact) — the
+   * standard log-structured ingest loop.
+   */
+  def geoTableSink(stream: DataFrame, root: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.tables.GeoTable.append(batch.sparkSession, root, batch)
+        }: Unit
+      }
+
   /** Batch view of the events table shaped as Dataset[Event]. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -48,8 +48,15 @@ object GeoManifest {
     def key: String = GeoManifest.norm(path)
   }
 
+  /** `dropped` is the tombstone list for schema evolution: names of
+    * columns ever removed by ALTER TABLE DROP COLUMN. Data files written
+    * before the drop still hold that column, and name-based parquet
+    * resolution would silently resurrect it if the name were re-added —
+    * Iceberg prevents this with field ids; tombstones are the name-based
+    * equivalent. */
   final case class Manifest(version: Int, schema: StructType,
-                            geomCol: Option[String], files: Seq[FileEntry]) {
+                            geomCol: Option[String], files: Seq[FileEntry],
+                            dropped: Seq[String] = Seq.empty) {
     def totalRows: Long = files.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
@@ -106,6 +113,7 @@ object GeoManifest {
     lines ++= "graftgeo\t1\n"
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
+    m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
     m.files.foreach { e =>
       lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}\n"
     }
@@ -126,6 +134,7 @@ object GeoManifest {
     var schema: StructType = null
     var geomCol: Option[String] = None
     val files = Seq.newBuilder[FileEntry]
+    val dropped = Seq.newBuilder[String]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
@@ -135,6 +144,7 @@ object GeoManifest {
           schema = org.apache.spark.sql.types.DataType.fromJson(
             line.substring("schema\t".length)).asInstanceOf[StructType]
         case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
+        case "dropped" => dropped += parts(1)
         case "file" => files += FileEntry(parts(1), parts(2).toLong,
           parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
         case other => throw new IllegalArgumentException(s"bad manifest line: $other")
@@ -142,7 +152,7 @@ object GeoManifest {
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
-    Manifest(v, schema, geomCol, files.result())
+    Manifest(v, schema, geomCol, files.result(), dropped.result())
   }
 
   // -------------------------------------------------------------------------

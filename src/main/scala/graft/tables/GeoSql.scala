@@ -22,6 +22,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - INSERT INTO t VALUES ... | SELECT ...
  *  - UPDATE t SET c = e[, ...] [WHERE cond]
  *  - DELETE FROM t [WHERE cond]
+ *  - MERGE INTO t USING src ON cond WHEN [NOT] MATCHED ...
+ *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
+ *  - OPTIMIZE t [INTO n FILES] · VACUUM t [RETAIN n VERSIONS]
  *
  * Split front/back: `GeoSqlParser` (injected via
  * SparkSessionExtensions.injectParser) turns matching statements into
@@ -47,6 +50,16 @@ object GeoSql {
     """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val dropRe =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val alterAddRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+\s+[\w()\s,]+?)\s*\)?\s*;?\s*""".r
+  private val alterDropRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
+  private val alterRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   /** Front-half: our command when the statement targets a geo table. */
   def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -58,6 +71,16 @@ object GeoSql {
       parseMerge(name, Option(alias), rest)
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
+    case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoAlterAddCommand(name, colDdl))
+    case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoAlterDropCommand(name, colName))
+    case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoAlterRenameCommand(name, from, to))
+    case optimizeRe(name, nFiles) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt)))
+    case vacuumRe(name, keep) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoVacuumCommand(name, Option(keep).map(_.toInt)))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -405,6 +428,61 @@ case class GeoMergeCommand(name: String, targetAlias: Option[String],
     val n = GeoTable.merge(spark, root, source, expr(onSql), matched, notMatched, tAlias, sAlias)
     GeoTable.register(spark, name, root)
     Seq(Row(n))
+  }
+}
+
+/** ALTER TABLE ADD COLUMN (metadata-only; see GeoTable.addColumn). */
+case class GeoAlterAddCommand(name: String, colDdl: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    GeoTable.addColumn(spark, root, colDdl)
+    GeoTable.register(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** ALTER TABLE DROP COLUMN (metadata-only + tombstone; see GeoTable.dropColumn). */
+case class GeoAlterDropCommand(name: String, colName: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    GeoTable.dropColumn(spark, root, colName)
+    GeoTable.register(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** ALTER TABLE RENAME COLUMN (copy-on-write rewrite; see GeoTable.renameColumn). */
+case class GeoAlterRenameCommand(name: String, from: String, to: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    GeoTable.renameColumn(spark, root, from, to)
+    GeoTable.register(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** OPTIMIZE t [INTO n FILES]: compact the snapshot (Z-ordered when the
+  * table has a geometry column) into ~n files — small-file maintenance,
+  * Iceberg rewrite_data_files analog. Returns the resulting file count. */
+case class GeoOptimizeCommand(name: String, nFiles: Option[Int]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    val target = nFiles.getOrElse(
+      math.max(1, spark.sparkContext.defaultParallelism / 4))
+    GeoTable.compact(spark, root, target)
+    GeoTable.register(spark, name, root)
+    Seq(Row(GeoManifest.read(spark, root).files.length.toLong))
+  }
+}
+
+/** VACUUM t [RETAIN n VERSIONS]: delete data files referenced only by
+  * expired versions (Iceberg expire-snapshots analog). Returns the number
+  * of files removed. */
+case class GeoVacuumCommand(name: String, keep: Option[Int]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoTable.registeredRoot(name).get
+    val removed = GeoTable.vacuum(spark, root, keep.getOrElse(1))
+    Seq(Row(removed.toLong))
   }
 }
 

@@ -146,6 +146,82 @@ object GeoTable {
     GeoManifest.write(spark, root, Manifest(0, schema, geomCol, Seq.empty))
   }
 
+  // -------------------------------------------------------------------------
+  // Schema evolution (Iceberg-style: the manifest schema is authoritative,
+  // data files are never touched unless physically necessary)
+  // -------------------------------------------------------------------------
+
+  /** ALTER TABLE ADD COLUMN — metadata-only commit: pre-existing files
+    * simply lack the column and read back as NULL via Spark's name-based
+    * parquet resolution. Re-adding a previously DROPped name is rejected:
+    * old files may still hold that column's data and name-based reads
+    * would silently resurrect it (Iceberg solves this with field ids; the
+    * manifest's tombstone list is the name-based equivalent). Geometry
+    * columns can't be added this way — the table's geometry column anchors
+    * per-file bbox stats, which only a write can produce. */
+  def addColumn(spark: SparkSession, root: String, colDdl: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val parsed = GeoSchema.fromDdl(colDdl)
+    require(parsed.fields.length == 1, s"ADD COLUMN expects one column, got '$colDdl'")
+    val field = parsed.fields.head
+    require(!GeoSchema.isGeometry(field),
+      "cannot ADD a GEOMETRY column: per-file bbox stats require a rewrite; " +
+        "create-table-as-select into a new table instead")
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+      s"column '${field.name}' already exists")
+    require(!m.dropped.exists(_.equalsIgnoreCase(field.name)),
+      s"column '${field.name}' was previously dropped; old data files may still " +
+        "hold it and would resurrect — use a different name")
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1,
+        schema = StructType(m.schema.fields :+ field.copy(nullable = true))),
+      m.version)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only commit: the column leaves the
+    * schema (reads project it away); its name enters the tombstone list.
+    * The geometry column can't be dropped (it anchors file stats). */
+  def dropColumn(spark: SparkSession, root: String, name: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val actual = m.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' in ${m.schema.fieldNames.mkString(", ")}"))
+    require(!m.geomCol.exists(_.equalsIgnoreCase(name)),
+      "cannot DROP the geometry column (it anchors per-file bbox stats)")
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1,
+        schema = StructType(m.schema.fields.filterNot(_.name == actual.name)),
+        dropped = m.dropped :+ actual.name),
+      m.version)
+  }
+
+  /** ALTER TABLE RENAME COLUMN — implemented as a full copy-on-write
+    * rewrite: without per-field ids, renaming as pure metadata would read
+    * pre-rename files' data back as NULL. After the rewrite every live
+    * file carries the new name, so no tombstone is needed and the old
+    * name is immediately reusable. (Iceberg does this as metadata via
+    * field ids — the price of a text manifest is one rewrite per rename.) */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val actual = m.schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$from' in ${m.schema.fieldNames.mkString(", ")}"))
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists")
+    require(!m.dropped.exists(_.equalsIgnoreCase(to)),
+      s"'$to' was previously dropped; old data files may still hold it")
+    val newSchema = StructType(m.schema.fields.map { f =>
+      if (f.name == actual.name) f.copy(name = to) else f
+    })
+    val newGeom = m.geomCol.map(g => if (g.equalsIgnoreCase(from)) to else g)
+    val renamed = readFiles(spark, m.schema, m.files).select(m.schema.fields.toSeq.map { f =>
+      val target = if (f.name == actual.name) to else f.name
+      col(f.name).as(target, f.metadata)
+    }: _*)
+    val files = writeCommit(spark, root, renamed, newSchema, newGeom)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
+        files = files),
+      m.version)
+  }
+
   /** Current snapshot as a DataFrame (schema from the manifest, so GEOMETRY
     * metadata survives even across mixed-version files). */
   def read(spark: SparkSession, root: String): DataFrame = {

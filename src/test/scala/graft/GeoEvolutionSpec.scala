@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.tables.{GeoManifest, GeoSql, GeoTable}
+
+import org.apache.spark.sql.functions._
+
+/** Schema evolution + table maintenance SQL (Iceberg parity layer):
+  * ALTER TABLE ADD/DROP/RENAME COLUMN, OPTIMIZE, VACUUM. */
+class GeoEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"geoevo_$tag").toString + "/t"
+
+  private def pointTable(root: String, nFiles: Int = 4): Unit = {
+    val df = spark.range(40).toDF("id")
+      .withColumn("flag", lit(0))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0)))
+      .repartitionByRange(nFiles, col("id"))
+    GeoTable.create(spark, root, df, Some("geo"))
+  }
+
+  test("ADD COLUMN is metadata-only: old rows read NULL, new inserts carry values") {
+    val root = tmpRoot("add")
+    pointTable(root)
+    val filesBefore = GeoManifest.read(spark, root).files.map(_.key).toSet
+    GeoTable.addColumn(spark, root, "tier INT")
+    val m = GeoManifest.read(spark, root)
+    // metadata-only: same data files, schema grew
+    assert(m.files.map(_.key).toSet == filesBefore)
+    assert(m.schema.fieldNames.last == "tier")
+    val afterAdd = GeoTable.read(spark, root)
+    assert(afterAdd.where(col("tier").isNull).count() == 40)
+    // appended rows carry the new column
+    GeoTable.append(spark, root, spark.range(40, 50).toDF("id")
+      .withColumn("flag", lit(1))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0)))
+      .withColumn("tier", lit(7)))
+    val all = GeoTable.read(spark, root)
+    assert(all.count() == 50)
+    assert(all.where(col("tier") === 7).count() == 10)
+    assert(all.where(col("tier").isNull).count() == 40)
+  }
+
+  test("DROP COLUMN tombstones the name; re-ADD of it is rejected") {
+    val root = tmpRoot("drop")
+    pointTable(root)
+    GeoTable.dropColumn(spark, root, "flag")
+    val m = GeoManifest.read(spark, root)
+    assert(!m.schema.fieldNames.contains("flag") && m.dropped == Seq("flag"))
+    assert(!GeoTable.read(spark, root).columns.contains("flag"))
+    // resurrect guard: the old files still hold 'flag' data on disk
+    val err = intercept[IllegalArgumentException] {
+      GeoTable.addColumn(spark, root, "flag INT")
+    }
+    assert(err.getMessage.contains("previously dropped"))
+    // geometry column is protected
+    assert(intercept[IllegalArgumentException] {
+      GeoTable.dropColumn(spark, root, "geo")
+    }.getMessage.contains("geometry"))
+  }
+
+  test("RENAME COLUMN rewrites files and preserves data; old name reusable") {
+    val root = tmpRoot("ren")
+    pointTable(root)
+    GeoTable.renameColumn(spark, root, "flag", "status")
+    val m = GeoManifest.read(spark, root)
+    assert(m.schema.fieldNames.toSeq == Seq("id", "status", "geo") && m.dropped.isEmpty)
+    val df = GeoTable.read(spark, root)
+    assert(df.where(col("status") === 0).count() == 40, "data must survive the rename")
+    // no tombstone after rewrite: the old name is immediately reusable
+    GeoTable.addColumn(spark, root, "flag STRING")
+    assert(GeoTable.read(spark, root).columns.contains("flag"))
+    // renaming the geometry column keeps stats-based pruning working
+    GeoTable.renameColumn(spark, root, "geo", "shape")
+    assert(GeoManifest.read(spark, root).geomCol.contains("shape"))
+    assert(GeoTable.readPruned(spark, root,
+      new org.locationtech.jts.geom.Envelope(0, 5, -1, 1)).count() < 40)
+  }
+
+  test("ALTER / OPTIMIZE / VACUUM through the SQL front-half") {
+    val root = tmpRoot("sql")
+    pointTable(root, nFiles = 8)
+    GeoTable.register(spark, "evo_t", root)
+    try {
+      GeoSql.exec(spark, "ALTER TABLE evo_t ADD COLUMN note STRING")
+      assert(spark.table("evo_t").columns.contains("note"))
+      GeoSql.exec(spark, "ALTER TABLE evo_t RENAME COLUMN note TO comment")
+      assert(spark.table("evo_t").columns.contains("comment"))
+      GeoSql.exec(spark, "ALTER TABLE evo_t DROP COLUMN comment")
+      assert(!spark.table("evo_t").columns.contains("comment"))
+      // several commits piled up versions + files; compact then vacuum
+      val nFiles = GeoSql.exec(spark, "OPTIMIZE evo_t INTO 2 FILES").head().getLong(0)
+      assert(nFiles <= 2)
+      assert(spark.table("evo_t").count() == 40)
+      val removed = GeoSql.exec(spark, "VACUUM evo_t").head().getLong(0)
+      assert(removed > 0, "expired-version files must be deleted")
+      assert(spark.table("evo_t").count() == 40)
+    } finally GeoTable.drop(spark, "evo_t")
+  }
+
+  test("evolved table still answers spatial DML correctly") {
+    val root = tmpRoot("dml")
+    pointTable(root)
+    GeoTable.register(spark, "evo_dml_t", root)
+    try {
+      GeoSql.exec(spark, "ALTER TABLE evo_dml_t ADD COLUMN tag STRING")
+      val n = GeoSql.exec(spark,
+        "UPDATE evo_dml_t SET tag = 'near' WHERE st_dwithin(geo, st_point(10.0D, 0.0D), 2.5D)")
+        .head().getLong(0)
+      assert(n == 5)
+      assert(spark.table("evo_dml_t").where(col("tag") === "near").count() == 5)
+      assert(spark.table("evo_dml_t").where(col("tag").isNull).count() == 35)
+    } finally GeoTable.drop(spark, "evo_dml_t")
+  }
+}

@@ -86,6 +86,41 @@ class StTier4Spec extends SparkSpec {
     assert(d1("st_x(st_centroid(st_geomfromtext('MULTIPOINT ((0 0), (0 1), (1 0), (100 100))')))") > 25.0)
   }
 
+  test("st_askml / st_asgml serialize points, polygons with holes, multis") {
+    assert(s1("st_askml(st_point(1, 2))") == "<Point><coordinates>1,2</coordinates></Point>")
+    assert(s1("st_asgml(st_point(1.5, 2))")
+      == "<gml:Point><gml:coordinates>1.5,2</gml:coordinates></gml:Point>")
+    val kml = s1("""st_askml(st_geomfromtext(
+      'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))""").toString
+    assert(kml.startsWith("<Polygon><outerBoundaryIs>") && kml.contains("<innerBoundaryIs>"))
+    assert(s1("st_askml(st_geomfromtext('MULTIPOINT ((0 0), (1 1))'))").toString
+      .startsWith("<MultiGeometry><Point>"))
+  }
+
+  test("st_linefrommultipoint connects points in order; NULL otherwise") {
+    assert(s1("st_astext(st_linefrommultipoint(st_geomfromtext('MULTIPOINT ((0 0), (1 1), (2 0))')))")
+      == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(isNull("st_linefrommultipoint(st_point(0, 0))"))
+    assert(isNull("st_linefrommultipoint(st_geomfromtext('MULTIPOINT ((0 0))'))"))
+  }
+
+  test("st_distancespheroid: WGS84 Vincenty against known arcs") {
+    // 1 degree along the equator on WGS84 = a * pi/180 exactly
+    val eq = d1("st_distancespheroid(st_point(0,0), st_point(1,0))")
+    assert(math.abs(eq - 6378137.0 * math.Pi / 180.0) < 1e-3, s"equator arc: $eq")
+    // meridian quarter (equator to pole) = 10,001,965.729 m (standard value)
+    val mq = d1("st_distancespheroid(st_point(0,0), st_point(0,90))")
+    assert(math.abs(mq - 10001965.729) < 0.01, s"meridian quarter: $mq")
+    // coincident and symmetric
+    assert(d1("st_distancespheroid(st_point(10,20), st_point(10,20))") == 0.0)
+    assert(d1("st_distancespheroid(st_point(10,20), st_point(30,40))") ==
+      d1("st_distancespheroid(st_point(30,40), st_point(10,20))"))
+    // ellipsoidal vs spherical: agree within 0.5%
+    val sph = d1("st_distancesphere(st_point(10,20), st_point(30,40))")
+    val ell = d1("st_distancespheroid(st_point(10,20), st_point(30,40))")
+    assert(math.abs(sph - ell) / ell < 0.005)
+  }
+
   test("st_shiftlongitude maps negative x into [180, 360)") {
     assert(s1("st_astext(st_shiftlongitude(st_point(-170, 10)))") == "POINT (190 10)")
     assert(s1("st_astext(st_shiftlongitude(st_point(170, 10)))") == "POINT (170 10)")

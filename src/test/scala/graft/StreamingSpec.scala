@@ -192,6 +192,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.select("view_id", "buy_id").as[(Long, Long)].collect().toSet == Set((10L, 20L)))
   }
 
+  test("streaming ingest into a GeoTable: per-batch atomic commits, spatial read-back") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions._
+    import graft.tables.{GeoManifest, GeoTable}
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("geosink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("geosink_ckpt").toString
+    GeoTable.createEmpty(spark, root,
+      graft.tables.GeoSchema.fromDdl("id BIGINT, geo GEOMETRY"), Some("geo"))
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("id", "x", "y")
+      .select(col("id"), st_point(col("x"), col("y")).as("geo"))
+    val q = EventStreams.geoTableSink(pts, root, ckpt).start()
+    input.addData((1L, 1.0, 1.0), (2L, 2.0, 2.0))
+    q.processAllAvailable()
+    val vAfterBatch1 = GeoManifest.read(spark, root).version
+    assert(GeoTable.read(spark, root).count() == 2)
+    input.addData((3L, 30.0, 30.0))
+    q.processAllAvailable(); q.stop()
+    // each micro-batch is one atomic versioned commit
+    assert(GeoManifest.read(spark, root).version == vAfterBatch1 + 1)
+    assert(GeoTable.read(spark, root).count() == 3)
+    // ingested data participates in stats-based file pruning + spatial scan
+    assert(GeoTable.scan(spark, root,
+      st_dwithin(col("geo"), st_point(lit(29.0), lit(29.0)), lit(5.0)))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
