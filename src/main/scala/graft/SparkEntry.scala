@@ -775,6 +775,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // decontamination: probe set = every 17th document (a stand-in
+    // benchmark), word 5-gram overlap, self-pairs excluded — the oracle
+    // computes the identical string-gram join
+    "decontaminate_overlap" -> ((s, d) => {
+      prep(s, d)
+      val docs = s.table("documents")
+      val probes = docs.where(col("doc_id") % 17 === 0)
+      graft.ops.TrainingData.contamination(docs, col("doc_id"), col("text"),
+          probes, col("doc_id").as("pid"), col("text"), n = 5)
+        .where(col("doc_id") =!= col("probe_id"))
+        .orderBy("doc_id", "probe_id")
+    }),
+
+    // unigram LM quality proxy: corpus token frequencies -> per-doc average
+    // log-prob (ROUND 6: the per-doc sum is ~30 doubles, far from any
+    // 1e-6 boundary)
+    "text_unigram_logprob" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.TrainingData.unigramLogProb(s.table("documents"),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), round(col("avg_logprob"), 6).as("avg_logprob"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals over word bigrams
     "text_repetition" -> ((s, d) => {
       prep(s, d)
@@ -1493,6 +1518,33 @@ object SparkEntry {
       WHERE CAST((d.doc_id * 2654435761 + 104729) % 4294967296 AS DOUBLE)
             / 4294967296.0 < r.sample_rate
       ORDER BY d.doc_id""",
+
+    "decontaminate_overlap" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(CASE WHEN len(t) >= 5
+                 THEN list_transform(range(1, len(t) - 4 + 1),
+                        i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' '))
+                 ELSE [] END)) AS g
+        FROM toks)
+      SELECT d.doc_id AS doc_id, p.doc_id AS probe_id, COUNT(*) AS shared_ngrams
+      FROM grams d JOIN grams p USING (g)
+      WHERE p.doc_id % 17 = 0 AND d.doc_id <> p.doc_id
+      GROUP BY d.doc_id, p.doc_id
+      ORDER BY d.doc_id, probe_id""",
+
+    "text_unigram_logprob" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents),
+      freqs AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS total FROM freqs)
+      SELECT doc_id,
+             ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob,
+             COUNT(*) AS n_tokens
+      FROM toks JOIN freqs USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id""",
 
     "text_repetition" -> """
       WITH t AS (

@@ -158,6 +158,61 @@ object TrainingData {
       .drop("sample_rate")
   }
 
+  // -------------------------------------------------- decontamination / LM
+
+  /** Word n-grams of a text column as strings (empty array when the text
+    * has fewer than `n` tokens). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Train/test contamination check (the decontamination step every
+   * benchmark-clean training pipeline runs): a (doc, probe) pair is
+   * contaminated when the document shares at least one word `n`-gram with
+   * the probe text. Returns (doc_id, probe_id, shared_ngrams).
+   *
+   * Scale shape: both sides explode to DISTINCT n-gram strings and meet in
+   * a plain equi-join on the gram — corpus-side volume is ~tokens-per-doc
+   * rows, probe side is tiny (benchmarks), so the join broadcasts the
+   * probe grams; no similarity scan, no all-pairs. Same asymptotics as
+   * the published 13-gram decontamination recipes.
+   */
+  def contamination(docs: DataFrame, id: Column, text: Column,
+                    probes: DataFrame, probeId: Column, probeText: Column,
+                    n: Int = 5): DataFrame = {
+    val d = docs.select(id.as("doc_id"),
+      explode(array_distinct(wordNgrams(text, n))).as("__g"))
+    val p = probes.select(probeId.as("probe_id"),
+      explode(array_distinct(wordNgrams(probeText, n))).as("__g"))
+    d.join(broadcast(p), "__g")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /**
+   * Corpus-level unigram log-probability per document — the classic cheap
+   * perplexity proxy for quality filtering (low average log-prob = rare
+   * vocabulary = often noise). Two aggregations: token frequencies
+   * (shuffle by token, map-side combined) and the per-doc average after a
+   * re-join by token; the corpus total joins in as a broadcast scalar.
+   */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("tok"))
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum("cnt").as("total"))
+    toks.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(avg(log(col("cnt").cast("double") / col("total"))).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   // ------------------------------------------------------ repetition metrics
 
   private def wordBigrams(text: Column): Column = {

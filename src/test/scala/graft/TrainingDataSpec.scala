@@ -76,6 +76,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(!s1.contains(4L), "untargeted source must be dropped")
   }
 
+  test("contamination finds shared word n-grams against a probe set") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a completely unrelated sentence about query engines"),
+      (2L, "we say the quick brown fox jumps again here")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "the quick brown fox jumps")).toDF("pid", "ptext")
+    val hits = TrainingData.contamination(corpus, col("doc_id"), col("text"),
+        probes, col("pid"), col("ptext"), n = 5)
+      .select("doc_id", "probe_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 0 and 2 contain the probe's single 5-gram; doc 1 does not
+    assert(hits == Set((0L, 100L, 1L), (2L, 100L, 1L)), s"got $hits")
+  }
+
+  test("wordNgrams handles short texts") {
+    val g = Seq((0L, "a b c"), (1L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), TrainingData.wordNgrams(col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(g(0L) == Seq("a b c") && g(1L) == Seq.empty)
+  }
+
+  test("unigramLogProb: rare vocabulary scores below common vocabulary") {
+    val corpus = Seq(
+      (0L, "common common common common"),
+      (1L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.unigramLogProb(corpus, col("doc_id"), col("text"))
+      .select("doc_id", "avg_logprob", "n_tokens")
+      .as[(Long, Double, Long)].collect().map { case (i, p, n) => i -> (p, n) }.toMap
+    // 8 tokens total: common x6, rare1 x1, rare2 x1
+    val expected0 = math.log(6.0 / 8.0)
+    val expected1 = (2 * math.log(6.0 / 8.0) + 2 * math.log(1.0 / 8.0)) / 4.0
+    assert(math.abs(out(0L)._1 - expected0) < 1e-12)
+    assert(math.abs(out(1L)._1 - expected1) < 1e-12)
+    assert(out(0L)._2 == 4L && out(1L)._2 == 4L)
+    assert(out(1L)._1 < out(0L)._1, "rare vocab must score lower")
+  }
+
   test("repetitionMetrics on a crafted repetitive doc") {
     val rep = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
     val m = TrainingData.repetitionMetrics(rep, col("doc_id"), col("text"))
