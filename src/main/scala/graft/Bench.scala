@@ -66,7 +66,16 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val okTotal = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}"""
+    println(json)
+    // Durable copy: stdout has been head-truncated by log capture before
+    // (BENCH_r07's tail survived, its head did not). target/bench.json is
+    // the full artifact regardless of console buffering.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

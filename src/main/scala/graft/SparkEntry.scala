@@ -1286,6 +1286,9 @@ object SparkEntry {
         s"CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> $j) & 1) - 1)) >= 0 THEN ${1L << j} ELSE 0 END")
         .mkString("\n               + ")
       s"""
+      -- ASCII-only contract: string_split(tok,'') iterates GRAPHEMES; the
+      -- Spark twins iterate split("") elements / codepoints. Identical
+      -- hashes are guaranteed only for ASCII text (the testdata's domain).
       WITH t AS (
         SELECT doc_id,
                list_transform(string_split_regex(trim(text), ' +'),
@@ -1490,7 +1493,10 @@ object SparkEntry {
       FROM sc ORDER BY source""",
 
     // replay of hashUniform: Knuth multiplicative hash on the 32-bit ring,
-    // pure BIGINT arithmetic (doc_id >= 0 so % == pmod)
+    // pure BIGINT arithmetic (doc_id >= 0 so % == pmod), with the same
+    // split 16-bit multiply as TrainingData.hashUniform so the formula is
+    // overflow-free in DuckDB too (naive id*K raises BIGINT overflow above
+    // ~3.5e9 there)
     "mix_sample" -> """
       WITH per AS (
         SELECT source,
@@ -1515,11 +1521,17 @@ object SparkEntry {
         FROM sc)
       SELECT d.doc_id, d.source
       FROM documents d JOIN rates r USING (source)
-      WHERE CAST((d.doc_id * 2654435761 + 104729) % 4294967296 AS DOUBLE)
+      WHERE CAST((((d.doc_id % 4294967296) % 65536) * 2654435761
+                  + ((((d.doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+                  + 104729) % 4294967296 AS DOUBLE)
             / 4294967296.0 < r.sample_rate
       ORDER BY d.doc_id""",
 
     "decontaminate_overlap" -> """
+      -- Spark joins on xxhash64(gram) fingerprints; this oracle joins on
+      -- the gram strings. Counts agree because the output only counts
+      -- matches (fingerprinting changes the key width, not the matches,
+      -- barring a 2^-64 collision).
       WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
       grams AS (

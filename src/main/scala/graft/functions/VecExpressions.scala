@@ -182,7 +182,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
  * mix onto the 32-bit ring, per-bit ±1 votes, bit set when the vote sum
  * is >= 0). Arithmetic contract is EXACTLY Dedup.portableTokenHash /
  * the dedup_simhash_pairs DuckDB oracle — change neither without the
- * other. Exists because the HOF formulation re-evaluates the interpreted
+ * other. The contract is ASCII-only: the three definitions iterate text
+ * differently outside ASCII (this one per Unicode codepoint, the HOF
+ * twin per Spark split("") element, DuckDB per grapheme cluster), so
+ * surrogate pairs / combining marks may hash differently across them —
+ * identical results are guaranteed only for ASCII input, which is all
+ * three call sites' documented domain. Exists because the HOF
+ * formulation re-evaluates the interpreted
  * tokenize+hash lambda tree once per signature bit (16x); this is the
  * codegen'd single-pass form.
  */

@@ -232,6 +232,11 @@ object Dedup {
    * Pure integer builtins — the DuckDB oracle replays the identical
    * arithmetic, which is what makes [[simhash16]] pairs hash-checkable
    * (xxhash64-based [[simhash]] is engine-specific by construction).
+   *
+   * ASCII-only contract (shared with PortableSimHash16 and the DuckDB
+   * oracle): outside ASCII the three implementations iterate text
+   * differently (split("") elements here, Unicode codepoints in the
+   * codegen'd twin, grapheme clusters in DuckDB) and may diverge.
    */
   def portableTokenHash(tok: Column): Column =
     pmod(aggregate(split(tok, ""), lit(0L),

@@ -101,10 +101,26 @@ object TrainingData {
    * 32-bit ring. Pure integer arithmetic — bit-identical in any engine
    * (the DuckDB oracle replays the same formula), stable across runs and
    * partitionings, and cheap enough to inline in a filter.
+   *
+   * The multiply is split into 16-bit halves so no intermediate exceeds
+   * 2^48: a naive `id * 2654435761` overflows Long for ids above ~3.5e9,
+   * where Spark wraps silently but DuckDB raises a BIGINT overflow —
+   * breaking the cross-engine contract exactly on large-corpus ids. The
+   * split form computes the identical `(id * K) mod 2^32` value (2^32
+   * divides 2^64, so the wrapped product was value-correct; the split
+   * just never overflows in EITHER engine):
+   * `(lo·K + ((hi·K) mod 2^16)·2^16 + 104729) mod 2^32`, where
+   * `r = id mod 2^32 = hi·2^16 + lo`.
    */
-  def hashUniform(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L) + lit(104729L), lit(4294967296L))
+  def hashUniform(id: Column): Column = {
+    val K = 2654435761L
+    val r = pmod(id.cast("long"), lit(4294967296L))
+    val lo = pmod(r, lit(65536L))
+    val hi = ((r - lo) / lit(65536L)).cast("long") // exact: multiple of 2^16, < 2^32
+    pmod(lo * lit(K) + pmod(hi * lit(K), lit(65536L)) * lit(65536L) + lit(104729L),
+      lit(4294967296L))
       .cast("double") / lit(4294967296.0)
+  }
 
   /**
    * Per-source sampling rates that reshape the corpus toward a target
@@ -177,19 +193,25 @@ object TrainingData {
    * contaminated when the document shares at least one word `n`-gram with
    * the probe text. Returns (doc_id, probe_id, shared_ngrams).
    *
-   * Scale shape: both sides explode to DISTINCT n-gram strings and meet in
-   * a plain equi-join on the gram — corpus-side volume is ~tokens-per-doc
-   * rows, probe side is tiny (benchmarks), so the join broadcasts the
-   * probe grams; no similarity scan, no all-pairs. Same asymptotics as
-   * the published 13-gram decontamination recipes.
+   * Scale shape: both sides explode to DISTINCT n-gram keys and meet in
+   * a plain equi-join — corpus-side volume is ~tokens-per-doc rows, probe
+   * side is tiny (benchmarks), so the join broadcasts the probe grams; no
+   * similarity scan, no all-pairs. Same asymptotics as the published
+   * 13-gram decontamination recipes. The join key is `xxhash64(gram)`,
+   * not the gram string: an n-gram string is ~40 bytes where the hash is
+   * 8, so the broadcast map, the exploded corpus rows, and (in the
+   * huge-probe shuffle fallback) the shuffle itself shrink ~5×. The
+   * output counts matches, so fingerprinting is invisible to results
+   * barring a 2^-64 in-document hash collision — the standard trade every
+   * fingerprint-based decontamination pipeline makes.
    */
   def contamination(docs: DataFrame, id: Column, text: Column,
                     probes: DataFrame, probeId: Column, probeText: Column,
                     n: Int = 5): DataFrame = {
-    val d = docs.select(id.as("doc_id"),
-      explode(array_distinct(wordNgrams(text, n))).as("__g"))
-    val p = probes.select(probeId.as("probe_id"),
-      explode(array_distinct(wordNgrams(probeText, n))).as("__g"))
+    def hashedGrams(t: Column): Column =
+      array_distinct(transform(wordNgrams(t, n), g => xxhash64(g)))
+    val d = docs.select(id.as("doc_id"), explode(hashedGrams(text)).as("__g"))
+    val p = probes.select(probeId.as("probe_id"), explode(hashedGrams(probeText)).as("__g"))
     d.join(broadcast(p), "__g")
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("shared_ngrams"))

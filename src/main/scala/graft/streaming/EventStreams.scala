@@ -159,12 +159,17 @@ object EventStreams {
 
   /**
    * Streaming ingest into a GeoTable: each micro-batch appends as one
-   * atomic versioned commit (exactly the Iceberg streaming-write contract
-   * — readers only ever see whole batches; a crashed batch leaves data
-   * files without a manifest pointer, invisible and vacuumable). The
-   * stream's columns must conform to the table schema (same rule as
-   * INSERT). Use `trigger(AvailableNow)` for catch-up ingest, a
-   * processing-time trigger for continuous ingest.
+   * atomic versioned commit — readers only ever see whole batches; a
+   * crashed batch leaves data files without a manifest pointer, invisible
+   * and vacuumable. The micro-batch id is recorded IN the same manifest
+   * commit as the files (keyed by a sink id derived from the checkpoint
+   * location), and a replayed batch with id <= the recorded watermark is
+   * skipped — so a crash between the table commit and the streaming
+   * checkpoint write does NOT duplicate rows. This is the same
+   * idempotent-replay contract as Iceberg's streaming sink (which dedups
+   * on the committed batchId). The stream's columns must conform to the
+   * table schema (same rule as INSERT). Use `trigger(AvailableNow)` for
+   * catch-up ingest, a processing-time trigger for continuous ingest.
    *
    * At scale: appends never rewrite existing files, commit cost is one
    * manifest write + a stats pass over ONLY the new files, and file
@@ -172,15 +177,41 @@ object EventStreams {
    * standard log-structured ingest loop.
    */
   def geoTableSink(stream: DataFrame, root: String,
-                   checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                   checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val sinkId = sinkIdFor(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.tables.GeoTable.append(batch.sparkSession, root, batch)
-        }: Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitMicroBatch(root, sinkId, batchId, batch): Unit
       }
+  }
+
+  /** The sink's per-batch body, factored out for direct testing: appends
+    * `batch` with the batchId watermark, UNLESS this sink already
+    * committed an id >= `batchId` (a replayed micro-batch after a crash
+    * that lost the checkpoint write) — then it is skipped, not
+    * duplicated. Returns true when the batch was appended. */
+  private[graft] def commitMicroBatch(root: String, sinkId: String,
+                                      batchId: Long, batch: DataFrame): Boolean = {
+    val spark = batch.sparkSession
+    val committed = graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId)
+    if (committed.exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      graft.tables.GeoTable.append(spark, root, batch,
+        streamCommit = Some(sinkId -> batchId))
+      true
+    }
+  }
+
+  /** Stable sink identity for exactly-once bookkeeping: one streaming
+    * query = one checkpoint location = one watermark entry in the table
+    * manifest. Hash, not raw path, to keep manifest lines clean. */
+  private[graft] def sinkIdFor(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Batch view of the events table shaped as Dataset[Event]. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {

@@ -20,11 +20,18 @@ import java.nio.charset.StandardCharsets
  *
  * Format (line-oriented text, tab-separated; no external JSON dep):
  * {{{
- *   graftgeo  1
+ *   graftgeo  2
  *   schema    <StructType.json — carries GEOMETRY field metadata>
  *   geom      <geometry column name, or -- when none>
+ *   dropped   <tombstoned column name>                  (0..n lines)
+ *   stream    <sinkId>  <last committed batchId>        (0..n lines)
  *   file      <path>  <rows>  <xmin>  <ymin>  <xmax>  <ymax>
  * }}}
+ * Version history: v1 had only schema/geom/file lines; v2 added `dropped`
+ * (schema-evolution tombstones) and `stream` (streaming sink exactly-once
+ * watermarks) and the rule that readers SKIP unknown line tags, so future
+ * additive tags don't break old v2+ readers. A v1-only reader meeting a
+ * v2 manifest fails with a clear version error, not a tag parse error.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -54,9 +61,16 @@ object GeoManifest {
     * resolution would silently resurrect it if the name were re-added —
     * Iceberg prevents this with field ids; tombstones are the name-based
     * equivalent. */
+  /** `streamCommits` maps a streaming sink id (derived from the
+    * checkpoint location) to the last micro-batch id whose append is in
+    * this manifest. Because it rides in the SAME atomic manifest commit
+    * as the appended files, a replayed micro-batch (crash between table
+    * commit and the streaming checkpoint write) is detected and skipped —
+    * the same idempotence mechanism as Iceberg's streaming sink. */
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
-                            dropped: Seq[String] = Seq.empty) {
+                            dropped: Seq[String] = Seq.empty,
+                            streamCommits: Map[String, Long] = Map.empty) {
     def totalRows: Long = files.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
@@ -110,10 +124,13 @@ object GeoManifest {
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     val lines = new StringBuilder()
-    lines ++= "graftgeo\t1\n"
+    lines ++= "graftgeo\t2\n"
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
+    m.streamCommits.toSeq.sortBy(_._1).foreach { case (sink, batch) =>
+      lines ++= s"stream\t$sink\t$batch\n"
+    }
     m.files.foreach { e =>
       lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}\n"
     }
@@ -135,24 +152,27 @@ object GeoManifest {
     var geomCol: Option[String] = None
     val files = Seq.newBuilder[FileEntry]
     val dropped = Seq.newBuilder[String]
+    val streams = Map.newBuilder[String, Long]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
         case "graftgeo" =>
-          require(parts(1) == "1", s"unsupported GeoTable manifest version ${parts(1)}")
+          require(parts(1) == "1" || parts(1) == "2",
+            s"unsupported GeoTable manifest version ${parts(1)}")
         case "schema" =>
           schema = org.apache.spark.sql.types.DataType.fromJson(
             line.substring("schema\t".length)).asInstanceOf[StructType]
         case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
         case "dropped" => dropped += parts(1)
+        case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += FileEntry(parts(1), parts(2).toLong,
           parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
-        case other => throw new IllegalArgumentException(s"bad manifest line: $other")
+        case _ => // forward compat: future additive tags are skipped, not fatal
       }
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
-    Manifest(v, schema, geomCol, files.result(), dropped.result())
+    Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result())
   }
 
   // -------------------------------------------------------------------------

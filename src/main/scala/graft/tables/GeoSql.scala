@@ -50,8 +50,12 @@ object GeoSql {
     """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val dropRe =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  // Captures the raw remainder; an optional outer paren pair is stripped in
+  // code (stripOuterParens) because a trailing `\)?` in the regex steals the
+  // closing paren of parameterized types: `ADD COLUMN price DECIMAL(10,2)`
+  // must keep its `)`.
   private val alterAddRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+\(?\s*(\w+\s+[\w()\s,]+?)\s*\)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
   private val alterDropRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val alterRenameRe =
@@ -72,7 +76,7 @@ object GeoSql {
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoAlterAddCommand(name, colDdl))
+      Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
@@ -98,6 +102,26 @@ object GeoSql {
         else Some(GeoDeleteCommand(name, condSql))
       }
     case _ => None
+  }
+
+  /** Strips ONE outer paren pair iff it is balanced around the whole
+    * string: `(a INT, b STRING)` → `a INT, b STRING`, but
+    * `price DECIMAL(10,2)` and `(a INT), (b INT)` are untouched. */
+  private[graft] def stripOuterParens(s0: String): String = {
+    val s = s0.trim
+    if (s.length < 2 || s.charAt(0) != '(' || s.charAt(s.length - 1) != ')') return s
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0 && i != s.length - 1) return s // outer '(' closes early
+      }
+      i += 1
+    }
+    if (depth == 0) s.substring(1, s.length - 1).trim else s
   }
 
   /** Split `s` at the first top-level (not in quotes/parens) occurrence of

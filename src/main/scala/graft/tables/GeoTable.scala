@@ -162,19 +162,20 @@ object GeoTable {
   def addColumn(spark: SparkSession, root: String, colDdl: String): Unit = {
     val m = GeoManifest.read(spark, root)
     val parsed = GeoSchema.fromDdl(colDdl)
-    require(parsed.fields.length == 1, s"ADD COLUMN expects one column, got '$colDdl'")
-    val field = parsed.fields.head
-    require(!GeoSchema.isGeometry(field),
-      "cannot ADD a GEOMETRY column: per-file bbox stats require a rewrite; " +
-        "create-table-as-select into a new table instead")
-    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
-      s"column '${field.name}' already exists")
-    require(!m.dropped.exists(_.equalsIgnoreCase(field.name)),
-      s"column '${field.name}' was previously dropped; old data files may still " +
-        "hold it and would resurrect — use a different name")
+    require(parsed.fields.nonEmpty, s"ADD COLUMN got no columns in '$colDdl'")
+    parsed.fields.foreach { field =>
+      require(!GeoSchema.isGeometry(field),
+        "cannot ADD a GEOMETRY column: per-file bbox stats require a rewrite; " +
+          "create-table-as-select into a new table instead")
+      require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"column '${field.name}' already exists")
+      require(!m.dropped.exists(_.equalsIgnoreCase(field.name)),
+        s"column '${field.name}' was previously dropped; old data files may still " +
+          "hold it and would resurrect — use a different name")
+    }
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,
-        schema = StructType(m.schema.fields :+ field.copy(nullable = true))),
+        schema = StructType(m.schema.fields ++ parsed.fields.map(_.copy(nullable = true)))),
       m.version)
   }
 
@@ -254,14 +255,29 @@ object GeoTable {
     readFiles(spark, m.schema, files).where(cond)
   }
 
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    append(spark, root, df, streamCommit = None)
+
+  /** Append with an optional streaming watermark: `streamCommit = Some(
+    * (sinkId, batchId))` records the micro-batch id IN the same atomic
+    * manifest commit as the data, so a replayed batch after a crash is
+    * detectable (see [[lastStreamBatch]]) — files and watermark can never
+    * disagree. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             streamCommit: Option[(String, Long)]): Long = {
     val m = GeoManifest.read(spark, root)
     val aligned = conform(df, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = m.files ++ files), m.version)
+      m.copy(version = m.version + 1, files = m.files ++ files,
+        streamCommits = m.streamCommits ++ streamCommit), m.version)
     files.map(_.rows).sum
   }
+
+  /** Last micro-batch id committed for `sinkId`, or None if this sink has
+    * never committed. Read from the current manifest — no sidecar files. */
+  def lastStreamBatch(spark: SparkSession, root: String, sinkId: String): Option[Long] =
+    GeoManifest.read(spark, root).streamCommits.get(sinkId)
 
   /** SQL-semantics UPDATE: rows matching `cond` get each `sets` column
     * replaced (RHS evaluated against the OLD row); all other rows and all

@@ -100,6 +100,32 @@ class GeoEvolutionSpec extends SparkSpec {
     } finally GeoTable.drop(spark, "evo_t")
   }
 
+  test("ALTER ADD COLUMN keeps parameterized-type parens (DECIMAL(10,2))") {
+    val root = tmpRoot("decimal")
+    pointTable(root)
+    GeoTable.register(spark, "evo_dec_t", root)
+    try {
+      // regression: a trailing \)? in the old regex stole the closing paren,
+      // capturing `price DECIMAL(10,2` and failing DDL parse on valid SQL
+      GeoSql.exec(spark, "ALTER TABLE evo_dec_t ADD COLUMN price DECIMAL(10,2)")
+      val f = spark.table("evo_dec_t").schema("price")
+      assert(f.dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+      // parenthesized multi-column list still works
+      GeoSql.exec(spark, "ALTER TABLE evo_dec_t ADD COLUMNS (a INT, b DECIMAL(5,1))")
+      assert(spark.table("evo_dec_t").schema("b").dataType ==
+        org.apache.spark.sql.types.DecimalType(5, 1))
+    } finally GeoTable.drop(spark, "evo_dec_t")
+  }
+
+  test("stripOuterParens strips only a balanced outer pair") {
+    import graft.tables.GeoSql.stripOuterParens
+    assert(stripOuterParens("(a INT, b STRING)") == "a INT, b STRING")
+    assert(stripOuterParens("price DECIMAL(10,2)") == "price DECIMAL(10,2)")
+    assert(stripOuterParens("(a INT) ") == "a INT")
+    assert(stripOuterParens("(a MAP(K,V)), b INT") == "(a MAP(K,V)), b INT")
+    assert(stripOuterParens("plain INT") == "plain INT")
+  }
+
   test("evolved table still answers spatial DML correctly") {
     val root = tmpRoot("dml")
     pointTable(root)

@@ -220,6 +220,34 @@ class StreamingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("geoTableSink replayed micro-batch is skipped, not duplicated (exactly-once)") {
+    import graft.functions.GraftFunctions._
+    import graft.tables.{GeoSchema, GeoTable}
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("geosink_replay").toString + "/t"
+    GeoTable.createEmpty(spark, root,
+      GeoSchema.fromDdl("id BIGINT, geo GEOMETRY"), Some("geo"))
+    val sinkId = EventStreams.sinkIdFor("/ckpt/a")
+    def batchDf(ids: Long*) = ids.toDF("id")
+      .select(col("id"), st_point(col("id").cast("double"), lit(0.0)).as("geo"))
+
+    assert(EventStreams.commitMicroBatch(root, sinkId, 0L, batchDf(1L, 2L)))
+    assert(GeoTable.lastStreamBatch(spark, root, sinkId).contains(0L))
+    assert(GeoTable.read(spark, root).count() == 2)
+    // crash between table commit and checkpoint write => engine replays batch 0
+    assert(!EventStreams.commitMicroBatch(root, sinkId, 0L, batchDf(1L, 2L)))
+    assert(GeoTable.read(spark, root).count() == 2) // no duplicates
+    // next batch advances the watermark normally
+    assert(EventStreams.commitMicroBatch(root, sinkId, 1L, batchDf(3L)))
+    assert(GeoTable.lastStreamBatch(spark, root, sinkId).contains(1L))
+    assert(GeoTable.read(spark, root).count() == 3)
+    // a DIFFERENT sink (another checkpoint) has its own watermark
+    val other = EventStreams.sinkIdFor("/ckpt/b")
+    assert(GeoTable.lastStreamBatch(spark, root, other).isEmpty)
+    assert(EventStreams.commitMicroBatch(root, other, 0L, batchDf(4L)))
+    assert(GeoTable.read(spark, root).count() == 4)
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]

@@ -134,6 +134,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(m == ((0, 0.0, 0.0)))
   }
 
+  test("hashUniform matches (id*K+104729) mod 2^32 exactly, even above the Long-overflow ids") {
+    // the split 16-bit multiply must equal BigInt reference arithmetic for
+    // ids where the naive id*2654435761 overflows Long (~3.5e9 and up)
+    val ids = Seq(0L, 1L, 42L, 3500000000L, 4294967295L, 1L << 40, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(TrainingData.hashUniform(col("id")).as("u"))
+      .as[Double].collect()
+    ids.zip(got).foreach { case (id, u) =>
+      val ref = ((BigInt(id) * BigInt(2654435761L) + 104729) mod BigInt(4294967296L)).toDouble / 4294967296.0
+      assert(u == ref, s"id=$id")
+      assert(u >= 0.0 && u < 1.0)
+    }
+  }
+
   test("redactPii counts and strips emails and phones") {
     val df = Seq(
       (0L, "reach me at jane.doe+spam@mail.example.org or +1-555-0199 thanks"),
