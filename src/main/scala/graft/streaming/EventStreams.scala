@@ -178,12 +178,15 @@ object EventStreams {
    */
   def geoTableSink(stream: DataFrame, root: String,
                    checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val sinkId = sinkIdFor(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitMicroBatch(root, sinkId, batchId, batch): Unit
+        // sink id resolved lazily PER BATCH: by the first micro-batch the
+        // engine has written <checkpoint>/metadata (the query id), so a
+        // deleted-and-recreated checkpoint yields a fresh identity instead
+        // of silently skipping batch ids below the old watermark
+        commitMicroBatch(root, sinkIdFor(batch.sparkSession, checkpointDir), batchId, batch): Unit
       }
   }
 
@@ -191,18 +194,42 @@ object EventStreams {
     * `batch` with the batchId watermark, UNLESS this sink already
     * committed an id >= `batchId` (a replayed micro-batch after a crash
     * that lost the checkpoint write) — then it is skipped, not
-    * duplicated. Returns true when the batch was appended. */
+    * duplicated. Returns true when the batch was appended.
+    *
+    * Two streams appending to the SAME table race on the manifest pointer;
+    * the loser's optimistic commit throws ConcurrentModificationException.
+    * That is retried here against a fresh manifest (the watermark re-check
+    * included, so a replay that lost the race is still skipped, never
+    * doubled) — multi-sink ingest degrades to retries, not failed batches. */
   private[graft] def commitMicroBatch(root: String, sinkId: String,
-                                      batchId: Long, batch: DataFrame): Boolean = {
+                                      batchId: Long, batch: DataFrame,
+                                      maxAttempts: Int = 5): Boolean = {
     val spark = batch.sparkSession
-    val committed = graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId)
-    if (committed.exists(_ >= batchId)) false
-    else if (batch.isEmpty) false
-    else {
-      graft.tables.GeoTable.append(spark, root, batch,
-        streamCommit = Some(sinkId -> batchId))
-      true
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val committed = graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId)
+      if (committed.exists(_ >= batchId)) {
+        // a skip is correct for a crash-replayed batch but silent data loss
+        // for a user who reset the checkpoint while reusing its path — the
+        // query-id component of sinkId prevents the latter; log regardless
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"geoTableSink: skipping micro-batch $batchId for sink $sinkId " +
+            s"(table already committed batch ${committed.get}); expected only on crash replay")
+        return false
+      }
+      if (batch.isEmpty) return false
+      try {
+        graft.tables.GeoTable.append(spark, root, batch,
+          streamCommit = Some(sinkId -> batchId))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"geoTableSink: commit race on $root (attempt $attempt), retrying: ${e.getMessage}")
+      }
     }
+    false // unreachable
   }
 
   /** Stable sink identity for exactly-once bookkeeping: one streaming
@@ -212,6 +239,33 @@ object EventStreams {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
+
+  /** Sink identity bound to the STREAMING QUERY, not just the checkpoint
+    * path: the engine persists the query id in `<checkpoint>/metadata` and
+    * regenerates it when the checkpoint is deleted, so "rm -rf checkpoint
+    * and reprocess from scratch" gets a fresh watermark entry instead of
+    * silently skipping every batch id below the old one (the Iceberg
+    * streaming sink keys its dedup the same way). Falls back to the
+    * path-only hash when the metadata file isn't readable (e.g. called
+    * before the query ever started). */
+  private[graft] def sinkIdFor(spark: SparkSession, checkpointDir: String): String =
+    sinkIdFor(checkpointDir + checkpointQueryId(spark, checkpointDir).fold("")("#" + _))
+
+  private val queryIdRe = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+
+  /** The streaming query id recorded in `<checkpoint>/metadata`, if any. */
+  private[graft] def checkpointQueryId(spark: SparkSession, checkpointDir: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                   finally in.close()
+        queryIdRe.findFirstMatchIn(text).map(_.group(1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Batch view of the events table shaped as Dataset[Event]. */
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {

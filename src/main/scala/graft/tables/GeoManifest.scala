@@ -29,9 +29,11 @@ import java.nio.charset.StandardCharsets
  * }}}
  * Version history: v1 had only schema/geom/file lines; v2 added `dropped`
  * (schema-evolution tombstones) and `stream` (streaming sink exactly-once
- * watermarks) and the rule that readers SKIP unknown line tags, so future
- * additive tags don't break old v2+ readers. A v1-only reader meeting a
- * v2 manifest fails with a clear version error, not a tag parse error.
+ * watermarks). Readers SKIP unknown line tags ONLY when the manifest
+ * declares a format version newer than the reader knows (additive v3+
+ * tags won't break this reader); an unknown tag in a v1/v2 manifest is
+ * corruption and fails hard — skipping it would turn a torn line into
+ * silently missing data files.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -106,19 +108,27 @@ object GeoManifest {
     if (f.exists(cur)) Some(readText(f, cur).trim.toInt) else None
   }
 
+  /** Per-root commit locks: makes the check-then-flip below atomic for
+    * writers in ONE JVM (local mode, multiple streaming sinks in a
+    * session). Cross-JVM safety is still the optimistic check only. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Commit with an optimistic concurrency check: fails when `_current`
     * no longer points at `expectedBase` (another writer committed since
-    * this operation read its snapshot). Best-effort on filesystems
-    * without atomic pointer swap — catches lost updates in the common
-    * case; true multi-writer safety needs a lock service, as with any
-    * file-based table format. */
+    * this operation read its snapshot). Atomic for same-JVM writers (per
+    * root lock); best-effort across JVMs on filesystems without atomic
+    * pointer swap — true multi-writer safety needs a lock service, as
+    * with any file-based table format. */
   def commit(spark: SparkSession, root: String, m: Manifest, expectedBase: Int): Unit = {
-    val cur = currentVersion(spark, root)
-    if (!cur.contains(expectedBase))
-      throw new java.util.ConcurrentModificationException(
-        s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
-          s"was based on $expectedBase; re-read and retry")
-    write(spark, root, m)
+    val lock = commitLocks.computeIfAbsent(norm(root), _ => new Object)
+    lock.synchronized {
+      val cur = currentVersion(spark, root)
+      if (!cur.contains(expectedBase))
+        throw new java.util.ConcurrentModificationException(
+          s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
+            s"was based on $expectedBase; re-read and retry")
+      write(spark, root, m)
+    }
   }
 
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
@@ -150,6 +160,7 @@ object GeoManifest {
     val text = readText(f, new Path(root, s"_manifests/m$v.txt"))
     var schema: StructType = null
     var geomCol: Option[String] = None
+    var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
@@ -157,7 +168,8 @@ object GeoManifest {
       val parts = line.split('\t')
       parts(0) match {
         case "graftgeo" =>
-          require(parts(1) == "1" || parts(1) == "2",
+          declared = parts(1).toInt
+          require(declared >= 1,
             s"unsupported GeoTable manifest version ${parts(1)}")
         case "schema" =>
           schema = org.apache.spark.sql.types.DataType.fromJson(
@@ -167,7 +179,15 @@ object GeoManifest {
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += FileEntry(parts(1), parts(2).toLong,
           parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
-        case _ => // forward compat: future additive tags are skipped, not fatal
+        case other =>
+          // Unknown tags are forward compat ONLY when the manifest declares
+          // a format newer than this reader (additive v3+ tags). In a
+          // v1/v2 manifest an unrecognized tag is corruption (e.g. a torn
+          // `file` line) — skipping it would turn a torn write into
+          // silently missing data files that the next commit persists.
+          if (declared <= 2)
+            throw new IllegalArgumentException(
+              s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")

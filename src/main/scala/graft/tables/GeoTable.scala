@@ -163,6 +163,8 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     val parsed = GeoSchema.fromDdl(colDdl)
     require(parsed.fields.nonEmpty, s"ADD COLUMN got no columns in '$colDdl'")
+    require(parsed.fields.map(_.name.toLowerCase).distinct.size == parsed.fields.length,
+      s"ADD COLUMNS lists a duplicate column name in '$colDdl'")
     parsed.fields.foreach { field =>
       require(!GeoSchema.isGeometry(field),
         "cannot ADD a GEOMETRY column: per-file bbox stats require a rewrite; " +

@@ -117,6 +117,39 @@ class GeoEvolutionSpec extends SparkSpec {
     } finally GeoTable.drop(spark, "evo_dec_t")
   }
 
+  test("ADD COLUMNS with a duplicate name in the list is rejected") {
+    import graft.tables.{GeoSchema, GeoTable}
+    val root = java.nio.file.Files.createTempDirectory("geoevo_dup").toString + "/t"
+    GeoTable.createEmpty(spark, root, GeoSchema.fromDdl("id BIGINT"), None)
+    val e = intercept[IllegalArgumentException] {
+      GeoTable.addColumn(spark, root, "a INT, A STRING") // case-insensitive dup
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // table schema unchanged
+    assert(graft.tables.GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("manifest: unknown tag fails hard in v2 but is skipped in a declared-newer format") {
+    import graft.tables.{GeoManifest, GeoSchema, GeoTable}
+    val root = java.nio.file.Files.createTempDirectory("geoevo_tag").toString + "/t"
+    GeoTable.createEmpty(spark, root, GeoSchema.fromDdl("id BIGINT"), None)
+    val mPath = java.nio.file.Paths.get(root, "_manifests", "m0.txt")
+    val original = new String(java.nio.file.Files.readAllBytes(mPath))
+    // out-of-band edit: drop Hadoop's checksum sidecar or reads fail on CRC
+    def editManifest(text: String): Unit = {
+      java.nio.file.Files.write(mPath, text.getBytes)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "_manifests", ".m0.txt.crc"))
+    }
+    // a torn `file` line whose tag got mangled must NOT silently drop the file
+    editManifest(original + "fil\t/x/part-0.parquet\t5\n")
+    val e = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
+    assert(e.getMessage.contains("bad manifest line"))
+    // the same unknown tag under a declared FUTURE format version is additive
+    editManifest(original.replace("graftgeo\t2", "graftgeo\t3") + "newtag\tpayload\n")
+    assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
+  }
+
   test("stripOuterParens strips only a balanced outer pair") {
     import graft.tables.GeoSql.stripOuterParens
     assert(stripOuterParens("(a INT, b STRING)") == "a INT, b STRING")

@@ -248,6 +248,53 @@ class StreamingSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).count() == 4)
   }
 
+  test("sink identity is bound to the checkpoint's query id: a reset checkpoint gets a fresh id") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_reset").toString
+    val pathOnly = EventStreams.sinkIdFor(ckpt)
+    // before the query ever starts there is no metadata file => path-only fallback
+    assert(EventStreams.sinkIdFor(spark, ckpt) == pathOnly)
+    // the engine writes <ckpt>/metadata {"id": ...} at query start
+    val meta = java.nio.file.Paths.get(ckpt, "metadata")
+    java.nio.file.Files.write(meta, """{"id":"11111111-2222-3333-4444-555555555555"}""".getBytes)
+    val firstRun = EventStreams.sinkIdFor(spark, ckpt)
+    assert(firstRun != pathOnly)
+    assert(EventStreams.checkpointQueryId(spark, ckpt).contains("11111111-2222-3333-4444-555555555555"))
+    // user deletes the checkpoint and reprocesses from scratch at the SAME
+    // path: the engine mints a new query id => new sink identity, so old
+    // watermarks in the table manifest no longer suppress the new batches
+    java.nio.file.Files.write(meta, """{"id":"aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"}""".getBytes)
+    assert(EventStreams.sinkIdFor(spark, ckpt) != firstRun)
+  }
+
+  test("two concurrent sinks appending to one table: commit races retry, no lost or duplicate batches") {
+    import graft.functions.GraftFunctions._
+    import graft.tables.{GeoSchema, GeoTable}
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("geosink_race").toString + "/t"
+    GeoTable.createEmpty(spark, root,
+      GeoSchema.fromDdl("id BIGINT, geo GEOMETRY"), Some("geo"))
+    def batchDf(ids: Long*) = ids.toDF("id")
+      .select(col("id"), st_point(col("id").cast("double"), lit(0.0)).as("geo"))
+    val nBatches = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("sinkA", "sinkB").zipWithIndex.map { case (sink, off) =>
+      new Thread(() => {
+        try (0 until nBatches).foreach { b =>
+          assert(EventStreams.commitMicroBatch(root, sink, b.toLong,
+            batchDf(1000L * off + b), maxAttempts = 20))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent sink failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(GeoTable.read(spark, root).count() == 2L * nBatches)
+    assert(GeoTable.lastStreamBatch(spark, root, "sinkA").contains(nBatches - 1L))
+    assert(GeoTable.lastStreamBatch(spark, root, "sinkB").contains(nBatches - 1L))
+    // every id landed exactly once
+    assert(GeoTable.read(spark, root).select("id").as[Long].collect().toSet ==
+      (0 until nBatches).flatMap(b => Seq(b.toLong, 1000L + b)).toSet)
+  }
+
   test("geofence filter on a stream keeps only in-fence events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
