@@ -1,0 +1,287 @@
+package graft.tables
+
+import graft.tables.GeoManifest.Manifest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * DataSourceV2 `TableCatalog` over a warehouse of GeoTables — the catalog
+ * leg of the reference's table stack (reference: extension/src/test/scala/
+ * org/apache/iceberg/TestSedonaIcebergExtension.scala:44-53 configures
+ * `spark.sql.catalog.demo` so its spatial tables resolve as real catalog
+ * tables; example/.../App.scala:71-72 runs `CACHE TABLE` against one).
+ *
+ * Register on any session — at build time or dynamically:
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.geo", classOf[GeoCatalog].getName)
+ *   spark.conf.set("spark.sql.catalog.geo.warehouse", "/data/geo_warehouse")
+ * }}}
+ * then `SELECT * FROM geo.db.t`, `SHOW TABLES IN geo.db`, `DESCRIBE TABLE
+ * geo.db.t`, `CACHE TABLE`, `INSERT INTO`, `CREATE TABLE ... USING geo`,
+ * CTAS, and `DROP TABLE` all resolve through Spark's own analyzer — no
+ * regex front-end involved. (Spatial UPDATE/DELETE/MERGE on catalog tables
+ * still route through the GeoSql front-end, which resolves `cat.db.t`
+ * against this catalog's warehouse — see GeoSql.resolveRoot.)
+ *
+ * The catalog is STATELESS over the filesystem: a table exists iff
+ * `<warehouse>/<ns...>/<name>/_current` exists, namespaces are directories.
+ * Tables created through the SQL front-end (`CREATE TABLE geo.db.t (...)
+ * USING GEO`) are therefore immediately visible here and vice versa — one
+ * source of truth, the manifest, exactly like an Iceberg warehouse dir.
+ *
+ * Scale: `loadTable` reads one small manifest text file; scan planning
+ * feeds the manifest's file list straight into Spark's parquet scan
+ * (vectorized reader, filter pushdown, column pruning — everything the
+ * native path has). No directory listing of data dirs ever happens on the
+ * read path beyond resolving the manifest's explicit file list.
+ */
+class GeoCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GeoCatalog '$name' needs a warehouse: set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private[tables] def tableRoot(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"))
+
+  private def fs = GeoManifest.fs(spark, warehouse)
+
+  private def isTableDir(p: Path): Boolean = fs.exists(new Path(p, "_current"))
+
+  // -------------------------------------------------------------------------
+  // TableCatalog
+  // -------------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    fs.listStatus(dir).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GeoManifest.currentVersion(spark, tableRoot(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    if (GeoManifest.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    new GeoV2Table(s"$catalogName.${ident.toString}", root,
+      GeoManifest.read(spark, root))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "GeoCatalog tables are laid out by Z-order maintenance (OPTIMIZE), not partition transforms")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(tableRoot(ident))
+    // geometry column: explicit table property, else first GEOMETRY-tagged field
+    val tagged = Option(properties.get(GeoCatalog.GeomColProp)) match {
+      case Some(g) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(g)),
+          s"${GeoCatalog.GeomColProp}='$g' is not a column of the table")
+        StructType(schema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(g) && !GeoSchema.isGeometry(f)) {
+            require(f.dataType == org.apache.spark.sql.types.BinaryType,
+              s"geometry column '$g' must be BINARY (WKB), got ${f.dataType.simpleString}")
+            f.copy(metadata = GeoSchema.geometryMetadata(base = f.metadata))
+          } else f
+        })
+      case None => schema
+    }
+    val geomCol = GeoSchema.geometryColumns(tagged).headOption.map(_._1)
+    GeoTable.createEmpty(spark, root, tagged, geomCol)
+    new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
+  }
+
+  /** ALTER TABLE through the catalog: ADD/DROP/RENAME COLUMN map onto
+    * GeoTable's schema-evolution commits (same tombstone/CoW semantics as
+    * the SQL front-end); property changes are rejected — the manifest is
+    * the only metadata store. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (GeoManifest.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a => require(a.fieldNames.length == 1,
+      s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}") }
+    if (adds.nonEmpty)
+      GeoTable.addColumns(spark, root,
+        adds.map(a => StructField(a.fieldNames.head, a.dataType, nullable = true)))
+    changes.foreach {
+      case _: TableChange.AddColumn => // handled above (single commit)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested DROP COLUMN not supported")
+        GeoTable.dropColumn(spark, root, d.fieldNames.head)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested RENAME COLUMN not supported")
+        GeoTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"GeoCatalog does not support table change ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = tableRoot(ident)
+    if (GeoManifest.currentVersion(spark, root).isEmpty) false
+    else fs.delete(new Path(root), true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    // the target namespace must already exist — otherwise a target spelled
+    // with a stray catalog prefix would silently mint a new directory tree
+    if (!namespaceExists(to.namespace)) throw new NoSuchNamespaceException(catalogName +: to.namespace)
+    val dest = new Path(tableRoot(to))
+    if (!fs.rename(new Path(tableRoot(from)), dest))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // -------------------------------------------------------------------------
+  // SupportsNamespaces (namespaces are warehouse subdirectories)
+  // -------------------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir))
+      if (namespace.isEmpty) return Array.empty
+      else throw new NoSuchNamespaceException(catalogName +: namespace)
+    fs.listStatus(dir).filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      fs.exists(p) && !isTableDir(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty, "cannot create the root namespace")
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("GeoCatalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(nsPath(namespace), true)
+  }
+}
+
+object GeoCatalog {
+  /** Table property naming the geometry column at CREATE time (for plain
+    * DDL that can't spell the GEOMETRY type, e.g. native `CREATE TABLE ...
+    * (g BINARY) USING geo TBLPROPERTIES('geometry.column'='g')`). */
+  val GeomColProp = "geometry.column"
+
+  /** Root for `cat.db.t` when `cat` is a configured GeoCatalog on the
+    * active session — lets the SQL front-end resolve catalog-qualified
+    * names without the path registry. */
+  def resolveWarehouseRoot(name: String): Option[String] = {
+    val parts = name.split('.')
+    if (parts.length < 2) None
+    else SparkSession.getActiveSession.flatMap { spark =>
+      val cat = parts.head
+      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+      if (impl.contains(classOf[GeoCatalog].getName))
+        spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+          .map(wh => (wh.stripSuffix("/") +: parts.tail.toSeq).mkString("/"))
+      else None
+    }
+  }
+}
+
+/**
+ * The DSv2 `Table` for one GeoTable snapshot. Reads delegate to Spark's
+ * parquet scan over the manifest's exact file list (vectorized, pushed
+ * filters, pruned columns); writes use the V1 fallback so INSERT INTO /
+ * INSERT OVERWRITE / CTAS-append land in [[GeoTable.append]]'s
+ * stats-collecting atomic manifest commit.
+ */
+class GeoV2Table(tableName: String, root: String, manifest: Manifest)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = manifest.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val base = Map(
+      TableCatalog.PROP_LOCATION -> root,
+      TableCatalog.PROP_PROVIDER -> "geo",
+      "format-version" -> "2",
+      "snapshot-version" -> manifest.version.toString,
+      "data-files" -> manifest.files.length.toString,
+      "total-rows" -> manifest.totalRows.toString)
+    (manifest.geomCol match {
+      case Some(g) => base + (GeoCatalog.GeomColProp -> g)
+      case None => base
+    }).asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    org.apache.spark.sql.graft.GraftShim.parquetScanBuilder(
+      spark, manifest.files.map(_.path), manifest.schema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ignored: Boolean): Unit =
+              if (overwrite) GeoTable.overwrite(SparkSession.active, root, data)
+              else GeoTable.append(SparkSession.active, root, data)
+          }
+      }
+    }
+}

@@ -65,13 +65,43 @@ object GeoSql {
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
-  /** Front-half: our command when the statement targets a geo table. */
-  def maybeCommand(sqlText: String): Option[LogicalPlan] = sqlText match {
+  /**
+   * Root of a geo table named in SQL: the path registry first, then
+   * `cat.db.t` against a configured [[GeoCatalog]]'s warehouse (only when
+   * a manifest actually exists there — otherwise the statement is left to
+   * Spark, whose catalog errors are the right ones for missing tables).
+   * This is what gives catalog tables the same spatial DML surface as
+   * registered ones: `UPDATE geo.db.t SET ... WHERE ST_Intersects(...)`.
+   */
+  def resolveRoot(name: String): Option[String] =
+    GeoTable.registeredRoot(name).orElse(
+      GeoCatalog.resolveWarehouseRoot(name).filter(root =>
+        SparkSession.getActiveSession.exists(s =>
+          GeoManifest.currentVersion(s, root).isDefined)))
+
+  private[tables] def rootOf(name: String): String = resolveRoot(name).getOrElse(
+    throw new IllegalArgumentException(s"'$name' is not a geo table"))
+
+  /** Post-DML refresh: registered names keep their temp-view snapshot in
+    * sync; catalog-qualified names need nothing (the catalog re-reads the
+    * manifest on every resolution). */
+  private[tables] def refresh(spark: SparkSession, name: String, root: String): Unit =
+    if (GeoTable.registeredRoot(name).isDefined) GeoTable.register(spark, name, root)
+
+  /** Front-half: our command when the statement targets a geo table.
+    * Any parse-time failure inside our regex front-half falls through to
+    * `None` — Spark's parser then owns the statement (strict bail: a
+    * statement we can't cleanly parse is never half-claimed). */
+  def maybeCommand(sqlText: String): Option[LogicalPlan] =
+    try maybeCommandUnsafe(sqlText)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def maybeCommandUnsafe(sqlText: String): Option[LogicalPlan] = sqlText match {
     case ctasRe(name, location, query) =>
       Some(GeoCtasCommand(name, Option(location), query))
     case createRe(name, colsDdl, location) =>
       Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
-    case mergeRe(name, alias, rest) if GeoTable.registeredRoot(name).isDefined =>
+    case mergeRe(name, alias, rest) if resolveRoot(name).isDefined =>
       parseMerge(name, Option(alias), rest)
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
@@ -81,19 +111,19 @@ object GeoSql {
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterRenameCommand(name, from, to))
-    case optimizeRe(name, nFiles) if GeoTable.registeredRoot(name).isDefined =>
+    case optimizeRe(name, nFiles) if resolveRoot(name).isDefined =>
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt)))
-    case vacuumRe(name, keep) if GeoTable.registeredRoot(name).isDefined =>
+    case vacuumRe(name, keep) if resolveRoot(name).isDefined =>
       Some(GeoVacuumCommand(name, Option(keep).map(_.toInt)))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
-    case updateRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
+    case updateRe(name, rest) if resolveRoot(name).isDefined =>
       // split SET clause from WHERE quote/paren-aware: a WHERE inside a
       // string literal must not split the statement
       val (setsSql, condSql) = splitAtKeyword(rest, "WHERE")
       Some(GeoUpdateCommand(name, splitAssignments(setsSql), condSql))
-    case deleteRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
+    case deleteRe(name, rest) if resolveRoot(name).isDefined =>
       val trimmed = rest.trim
       if (trimmed.isEmpty) Some(GeoDeleteCommand(name, None))
       else {
@@ -312,13 +342,16 @@ case class GeoCreateTableCommand(name: String, colsDdl: String,
   override def execute(spark: SparkSession): Seq[Row] = {
     val schema = GeoSchema.fromDdl(colsDdl)
     val geomCol = GeoSchema.geometryColumns(schema).headOption.map(_._1)
-    val root = location.getOrElse {
+    val catalogRoot = GeoCatalog.resolveWarehouseRoot(name)
+    val root = location.orElse(catalogRoot).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       s"$wh/geo/${name.replace('.', '_')}"
     }
     if (GeoManifest.currentVersion(spark, root).isEmpty)
       GeoTable.createEmpty(spark, root, schema, geomCol)
-    GeoTable.register(spark, name, root)
+    // catalog-qualified names resolve through GeoCatalog (stateless over
+    // the warehouse dir); only plain names get the registry + temp view
+    if (catalogRoot.isEmpty) GeoTable.register(spark, name, root)
     Seq(Row(0L))
   }
 }
@@ -326,7 +359,7 @@ case class GeoCreateTableCommand(name: String, colsDdl: String,
 case class GeoInsertCommand(name: String, query: String,
                             columns: Seq[String] = Seq.empty) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     val src = spark.sql(query)
     // explicit column list: reorder to table order, NULL-fill the rest
     val aligned =
@@ -348,7 +381,7 @@ case class GeoInsertCommand(name: String, query: String,
         }: _*)
       }
     val n = GeoTable.append(spark, root, aligned)
-    GeoTable.register(spark, name, root) // refresh the temp view snapshot
+    GeoSql.refresh(spark, name, root)
     Seq(Row(n))
   }
 }
@@ -356,20 +389,20 @@ case class GeoInsertCommand(name: String, query: String,
 case class GeoUpdateCommand(name: String, sets: Seq[(String, String)],
                             condSql: Option[String]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     val n = GeoTable.update(spark, root,
       sets.map { case (c, v) => c -> expr(v) },
       condSql.map(expr).getOrElse(lit(true)))
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(n))
   }
 }
 
 case class GeoDeleteCommand(name: String, condSql: Option[String]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     val n = GeoTable.delete(spark, root, condSql.map(expr).getOrElse(lit(true)))
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(n))
   }
 }
@@ -387,13 +420,14 @@ case class GeoCtasCommand(name: String, location: Option[String],
     val df = spark.sql(query)
     val geomCol = GeoSchema.geometryColumns(df.schema).headOption.map(_._1)
       .orElse(sniffGeometry(df))
-    val root = location.getOrElse {
+    val catalogRoot = GeoCatalog.resolveWarehouseRoot(name)
+    val root = location.orElse(catalogRoot).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       s"$wh/geo/${name.replace('.', '_')}"
     }
     if (GeoManifest.currentVersion(spark, root).isEmpty)
       GeoTable.create(spark, root, df, geomCol)
-    GeoTable.register(spark, name, root)
+    if (catalogRoot.isEmpty) GeoTable.register(spark, name, root)
     Seq(Row(GeoManifest.read(spark, root).totalRows))
   }
 
@@ -425,7 +459,7 @@ case class GeoMergeCommand(name: String, targetAlias: Option[String],
                            clauses: Seq[GeoSql.MergeClauseSpec]) extends GeoRunnable {
   import GeoSql._
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     // alias-free qualified refs would misparse with dotted names; fall back
     // to the last identifier segment as the implicit alias
     val tAlias = targetAlias.getOrElse(name.split('.').last)
@@ -450,7 +484,7 @@ case class GeoMergeCommand(name: String, targetAlias: Option[String],
         GeoTable.MergeInsert(c.map(expr), Some(names.zip(vals.map(expr))))
     }
     val n = GeoTable.merge(spark, root, source, expr(onSql), matched, notMatched, tAlias, sAlias)
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(n))
   }
 }
@@ -458,9 +492,9 @@ case class GeoMergeCommand(name: String, targetAlias: Option[String],
 /** ALTER TABLE ADD COLUMN (metadata-only; see GeoTable.addColumn). */
 case class GeoAlterAddCommand(name: String, colDdl: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     GeoTable.addColumn(spark, root, colDdl)
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }
 }
@@ -468,9 +502,9 @@ case class GeoAlterAddCommand(name: String, colDdl: String) extends GeoRunnable 
 /** ALTER TABLE DROP COLUMN (metadata-only + tombstone; see GeoTable.dropColumn). */
 case class GeoAlterDropCommand(name: String, colName: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     GeoTable.dropColumn(spark, root, colName)
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }
 }
@@ -478,9 +512,9 @@ case class GeoAlterDropCommand(name: String, colName: String) extends GeoRunnabl
 /** ALTER TABLE RENAME COLUMN (copy-on-write rewrite; see GeoTable.renameColumn). */
 case class GeoAlterRenameCommand(name: String, from: String, to: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     GeoTable.renameColumn(spark, root, from, to)
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }
 }
@@ -490,11 +524,11 @@ case class GeoAlterRenameCommand(name: String, from: String, to: String) extends
   * Iceberg rewrite_data_files analog. Returns the resulting file count. */
 case class GeoOptimizeCommand(name: String, nFiles: Option[Int]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     val target = nFiles.getOrElse(
       math.max(1, spark.sparkContext.defaultParallelism / 4))
     GeoTable.compact(spark, root, target)
-    GeoTable.register(spark, name, root)
+    GeoSql.refresh(spark, name, root)
     Seq(Row(GeoManifest.read(spark, root).files.length.toLong))
   }
 }
@@ -504,7 +538,7 @@ case class GeoOptimizeCommand(name: String, nFiles: Option[Int]) extends GeoRunn
   * of files removed. */
 case class GeoVacuumCommand(name: String, keep: Option[Int]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     val removed = GeoTable.vacuum(spark, root, keep.getOrElse(1))
     Seq(Row(removed.toLong))
   }
@@ -515,7 +549,7 @@ case class GeoVacuumCommand(name: String, keep: Option[Int]) extends GeoRunnable
   * Spark tables still go through Spark's own DROP. */
 case class GeoDropTableCommand(name: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoTable.registeredRoot(name).get
+    val root = GeoSql.rootOf(name)
     GeoTable.drop(spark, name)
     val fs = GeoManifest.fs(spark, root)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)

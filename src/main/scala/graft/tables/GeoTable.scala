@@ -160,12 +160,20 @@ object GeoTable {
     * columns can't be added this way — the table's geometry column anchors
     * per-file bbox stats, which only a write can produce. */
   def addColumn(spark: SparkSession, root: String, colDdl: String): Unit = {
-    val m = GeoManifest.read(spark, root)
     val parsed = GeoSchema.fromDdl(colDdl)
     require(parsed.fields.nonEmpty, s"ADD COLUMN got no columns in '$colDdl'")
-    require(parsed.fields.map(_.name.toLowerCase).distinct.size == parsed.fields.length,
-      s"ADD COLUMNS lists a duplicate column name in '$colDdl'")
-    parsed.fields.foreach { field =>
+    addColumns(spark, root, parsed.fields.toSeq)
+  }
+
+  /** Field-based ADD COLUMNS (shared by the DDL front-end and the DSv2
+    * catalog's alterTable) — one metadata-only commit for the whole batch. */
+  def addColumns(spark: SparkSession, root: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val m = GeoManifest.read(spark, root)
+    require(fields.nonEmpty, "ADD COLUMNS got no columns")
+    require(fields.map(_.name.toLowerCase).distinct.size == fields.length,
+      s"ADD COLUMNS lists a duplicate column name in '${fields.map(_.name).mkString(", ")}'")
+    fields.foreach { field =>
       require(!GeoSchema.isGeometry(field),
         "cannot ADD a GEOMETRY column: per-file bbox stats require a rewrite; " +
           "create-table-as-select into a new table instead")
@@ -177,7 +185,7 @@ object GeoTable {
     }
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,
-        schema = StructType(m.schema.fields ++ parsed.fields.map(_.copy(nullable = true)))),
+        schema = StructType(m.schema.fields ++ fields.map(_.copy(nullable = true)))),
       m.version)
   }
 
@@ -273,6 +281,18 @@ object GeoTable {
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
         streamCommits = m.streamCommits ++ streamCommit), m.version)
+    files.map(_.rows).sum
+  }
+
+  /** INSERT OVERWRITE semantics: replace the table's contents with `df` in
+    * one atomic commit. Old files stay readable via time travel until
+    * `vacuum` — same snapshot mechanics as every other commit. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val m = GeoManifest.read(spark, root)
+    val aligned = conform(df, m.schema)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = files), m.version)
     files.map(_.rows).sum
   }
 

@@ -50,6 +50,24 @@ object GraftShim {
   def pinnedCacheEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[ClassicSparkSession].sharedState.cacheManager.isEmpty
 
+  /** A DSv2 ScanBuilder over an EXPLICIT parquet file list — Spark's own
+    * vectorized parquet scan (filter pushdown, column pruning, whole-stage
+    * codegen) fed from a GeoTable manifest's file list instead of a
+    * directory listing. Lives here because InMemoryFileIndex /
+    * ParquetScanBuilder sit in the execution package. */
+  def parquetScanBuilder(
+      spark: SparkSession,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+    val index = new InMemoryFileIndex(
+      spark, files.map(new org.apache.hadoop.fs.Path(_)), Map.empty, Some(schema))
+    ParquetScanBuilder(spark, index, schema, schema, options)
+  }
+
   /** Wrap a raw Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 

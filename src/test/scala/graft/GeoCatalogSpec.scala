@@ -1,0 +1,165 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoManifest, GeoSql, GeoTable}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * DataSourceV2 catalog resolution for GeoTables (SURVEY.md §2.8b): the
+ * catalog leg the reference gets from Iceberg — `spark.sql.catalog.demo`
+ * in TestSedonaIcebergExtension.scala:44-53 makes its spatial tables real
+ * catalog tables; App.scala:71-72 runs `CACHE TABLE` against one. Here the
+ * same surface resolves through [[GeoCatalog]]: SELECT / SHOW TABLES /
+ * DESCRIBE / CACHE TABLE / INSERT / ALTER / DROP on `geo.db.t` names, plus
+ * spatial UPDATE/DELETE through the GeoSql front-end on the same names.
+ */
+class GeoCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_warehouse").toString
+    spark.conf.set("spark.sql.catalog.geo", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geo.warehouse", dir)
+    dir
+  }
+
+  test("create + insert + select resolve natively through the catalog") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.pts (id BIGINT, name STRING, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    spark.sql("INSERT INTO geo.db.pts SELECT 1L, 'a', st_point(1.0D, 2.0D)")
+    spark.sql("INSERT INTO geo.db.pts SELECT 2L, 'b', st_point(3.0D, 4.0D)")
+
+    val rows = spark.sql("SELECT id, name, st_x(g) AS x FROM geo.db.pts ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1.0), (2L, "b", 3.0)))
+    // spark.table() resolves the same way
+    assert(spark.table("geo.db.pts").count() == 2)
+    // the manifest is the storage: two appends = two commits
+    assert(GeoManifest.read(spark, s"$warehouse/db/pts").version == 2)
+  }
+
+  test("SHOW TABLES / DESCRIBE / SHOW NAMESPACES see geo tables") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.pts2 (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    val tables = spark.sql("SHOW TABLES IN geo.db").select("tableName").as[String].collect().toSet
+    assert(tables.contains("pts2"), s"SHOW TABLES must list pts2, got $tables")
+    val ns = spark.sql("SHOW NAMESPACES IN geo").select("namespace").as[String].collect().toSet
+    assert(ns.contains("db"), s"SHOW NAMESPACES must list db, got $ns")
+    val desc = spark.sql("DESCRIBE TABLE geo.db.pts2").collect().map(_.getString(0)).toSet
+    assert(desc.contains("id") && desc.contains("g"))
+    val props = spark.sql("DESCRIBE TABLE EXTENDED geo.db.pts2").collect()
+      .map(r => r.getString(0) + "=" + r.getString(1)).mkString("\n")
+    assert(props.contains("geometry.column"), s"table properties must surface the geometry column:\n$props")
+  }
+
+  test("CACHE TABLE works on a catalog geo table (reference App.scala:71)") {
+    warehouse
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.cache_me (id BIGINT, g BINARY) USING geo")
+    spark.sql("INSERT INTO geo.db.cache_me SELECT 7L, st_point(0.5D, 0.5D)")
+    spark.sql("CACHE TABLE geo.db.cache_me")
+    try {
+      assert(spark.sql("SELECT count(*) FROM geo.db.cache_me").head.getLong(0) == 1L)
+    } finally spark.sql("UNCACHE TABLE geo.db.cache_me")
+  }
+
+  test("catalog scan pushes filters and prunes columns (vectorized parquet path)") {
+    warehouse
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.scan_t (id BIGINT, payload STRING, g BINARY) USING geo")
+    spark.sql("INSERT INTO geo.db.scan_t SELECT id, concat('p', id), st_point(CAST(id AS DOUBLE), 0.0D) " +
+      "FROM range(100)")
+    val df = spark.sql("SELECT id FROM geo.db.scan_t WHERE id > 90")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"column pruning must reach the scan (no payload/g):\n$plan")
+    assert(df.as[Long].collect().toSet == (91L to 99L).toSet)
+  }
+
+  test("GEOMETRY DDL via the SQL front-end lands in the catalog warehouse") {
+    warehouse
+    GeoSql.exec(spark, "CREATE TABLE geo.db.zones (zid INT, geo GEOMETRY) USING GEO")
+    GeoSql.exec(spark, "INSERT INTO geo.db.zones VALUES " +
+      "(1, st_polygonfromenvelope(0.0D, 0.0D, 10.0D, 10.0D))")
+    // catalog sees it natively; GEOMETRY metadata tag survives resolution
+    val schema = spark.table("geo.db.zones").schema
+    assert(graft.tables.GeoSchema.geometryColumns(schema).map(_._1) == Seq("geo"),
+      s"GEOMETRY tag must survive catalog resolution, got ${schema.json}")
+    assert(spark.sql("SELECT st_area(geo) FROM geo.db.zones").head.getDouble(0) == 100.0)
+  }
+
+  test("spatial UPDATE / DELETE / MERGE work on catalog-qualified names") {
+    warehouse
+    GeoSql.exec(spark, "CREATE TABLE geo.db.dml (id INT, flag INT, geo GEOMETRY) USING GEO")
+    GeoSql.exec(spark, "INSERT INTO geo.db.dml SELECT id, 0, st_point(CAST(id AS DOUBLE), 0.0D) " +
+      "FROM range(10)")
+    val upd = GeoSql.exec(spark,
+      "UPDATE geo.db.dml SET flag = 1 WHERE ST_Within(geo, st_makeenvelope(2.5D, -1.0D, 6.5D, 1.0D))")
+    assert(upd.head.getLong(0) == 4L) // ids 3,4,5,6
+    val del = GeoSql.exec(spark, "DELETE FROM geo.db.dml WHERE id >= 8")
+    assert(del.head.getLong(0) == 2L)
+    val left = spark.sql("SELECT id, flag FROM geo.db.dml ORDER BY id").as[(Int, Int)].collect().toSeq
+    assert(left.map(_._1) == (0 to 7))
+    assert(left.filter(_._2 == 1).map(_._1) == Seq(3, 4, 5, 6))
+  }
+
+  test("native ALTER TABLE ADD/RENAME/DROP COLUMN route through the catalog") {
+    warehouse
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.evolve (id BIGINT, g BINARY) USING geo")
+    spark.sql("INSERT INTO geo.db.evolve SELECT 1L, st_point(1.0D, 1.0D)")
+    spark.sql("ALTER TABLE geo.db.evolve ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(spark.table("geo.db.evolve").columns.toSeq == Seq("id", "g", "score", "tag"))
+    spark.sql("ALTER TABLE geo.db.evolve RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE geo.db.evolve DROP COLUMN score")
+    assert(spark.table("geo.db.evolve").columns.toSeq == Seq("id", "g", "label"))
+    // pre-evolution rows read back with NULL for the added column
+    assert(spark.sql("SELECT label FROM geo.db.evolve").head.isNullAt(0))
+  }
+
+  test("INSERT OVERWRITE replaces contents in one commit; DROP TABLE removes the table") {
+    warehouse
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.ow (id BIGINT, g BINARY) USING geo")
+    spark.sql("INSERT INTO geo.db.ow SELECT id, st_point(1.0D, 1.0D) FROM range(5)")
+    spark.sql("INSERT OVERWRITE geo.db.ow SELECT id, st_point(2.0D, 2.0D) FROM range(3)")
+    assert(spark.table("geo.db.ow").count() == 3)
+    spark.sql("DROP TABLE geo.db.ow")
+    intercept[Exception] { spark.table("geo.db.ow").count() }
+  }
+
+  test("CTAS with a catalog name lands in the warehouse and keeps geometry") {
+    warehouse
+    GeoSql.exec(spark, "CREATE TABLE geo.db.ctas_t USING GEO AS " +
+      "SELECT id, st_point(CAST(id AS DOUBLE), 0.0D) AS geo FROM range(4)")
+    assert(spark.table("geo.db.ctas_t").count() == 4)
+    assert(GeoManifest.read(spark, s"$warehouse/db/ctas_t").geomCol.contains("geo"))
+  }
+
+  test("trap: vanilla statements containing geo-shaped text stay with Spark") {
+    warehouse
+    // a string literal mentioning USING GEO / WHERE / VALUES must not mis-route
+    val s = spark.sql("SELECT 'CREATE TABLE x (id INT) USING GEO' AS stmt").head.getString(0)
+    assert(s.contains("USING GEO"))
+    // UPDATE against a non-geo name is not intercepted: Spark's own error surfaces
+    val err = intercept[Exception] {
+      spark.sql("UPDATE not_a_geo_table SET x = 1 WHERE 'USING GEO' = 'y'")
+    }
+    assert(!err.getMessage.contains("geo table"),
+      s"vanilla UPDATE must get Spark's error, not ours: ${err.getMessage}")
+    // a parse failure inside the geo front-half bails to Spark rather than half-claiming
+    assert(GeoSql.maybeCommand("MERGE INTO geo.db.dml USING").isEmpty)
+  }
+
+  test("renameTable moves the table directory") {
+    warehouse
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.oldname (id BIGINT) USING geo")
+    // v2 semantics: the RENAME TO target is resolved within the same catalog
+    spark.sql("ALTER TABLE geo.db.oldname RENAME TO db.newname")
+    val tables = spark.sql("SHOW TABLES IN geo.db").select("tableName").as[String].collect().toSet
+    assert(tables.contains("newname") && !tables.contains("oldname"), s"got $tables")
+    spark.sql("DROP TABLE geo.db.newname")
+  }
+}
