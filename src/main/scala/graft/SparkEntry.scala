@@ -518,6 +518,20 @@ object SparkEntry {
              ROUND(st_y(st_transform(pt, 'EPSG:4326', 'EPSG:3857')), 1) AS my
       FROM t ORDER BY c_custkey""")),
 
+    // Lambert-93 (EPSG:2154) reprojection over France-range lon/lat.
+    // Oracle replays the Snyder LCC-2SP forward chain (m/t constants, n, F,
+    // rho) in DuckDB SQL; mm rounding absorbs libm 1-ulp drift — same
+    // convention as st_transform_mercator.
+    "st_transform_lcc" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT c_custkey,
+                        st_point(CAST(c_custkey % 12 AS DOUBLE) - 4.0D + 0.5D,
+                                 CAST(c_nationkey % 10 AS DOUBLE) + 42.0D + 0.25D) AS pt
+                 FROM customer)
+      SELECT c_custkey,
+             ROUND(st_x(st_transform(pt, 'EPSG:4326', 'EPSG:2154')), 3) AS lx,
+             ROUND(st_y(st_transform(pt, 'EPSG:4326', 'EPSG:2154')), 3) AS ly
+      FROM t ORDER BY c_custkey""")),
+
     // spherical geodesy (tier 4): haversine distance/length + planar
     // projection. Integer-degree inputs; outputs rounded (mm for meters,
     // 1e-9 for coordinates) so engine libm 1-ulp differences vanish —
@@ -1387,6 +1401,50 @@ object SparkEntry {
              ROUND(6378137.0 * radians(CAST(c_nationkey * 7 + 3 AS DOUBLE)), 1) AS mx,
              ROUND(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 50 + 5 AS DOUBLE)) / 2)), 1) AS my
       FROM customer ORDER BY c_custkey""",
+
+    // Lambert conformal conic 2SP forward replayed from the published
+    // Snyder closed forms (GRS80, lat0 46.5, parallels 44/49, lon0 3,
+    // false origin 700000/6600000); constants derived in a CTE chain,
+    // per-point rho/theta inline. ROUND(,3) = mm grid, far above the
+    // ~1e-7 m cross-engine libm drift at these magnitudes.
+    "st_transform_lcc" -> """
+      WITH k AS (
+        SELECT CAST(6378137.0 AS DOUBLE) AS a,
+               (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2
+      ), k2 AS (
+        SELECT a, e2, sqrt(e2) AS e,
+               radians(CAST(46.5 AS DOUBLE)) AS phi0,
+               radians(CAST(44.0 AS DOUBLE)) AS phi1,
+               radians(CAST(49.0 AS DOUBLE)) AS phi2,
+               radians(CAST(3.0 AS DOUBLE)) AS lam0
+        FROM k
+      ), k3 AS (
+        SELECT *,
+               cos(phi1)/sqrt(1.0 - e2*sin(phi1)*sin(phi1)) AS m1,
+               cos(phi2)/sqrt(1.0 - e2*sin(phi2)*sin(phi2)) AS m2,
+               tan(pi()/4.0 - phi0/2.0)/power((1.0 - e*sin(phi0))/(1.0 + e*sin(phi0)), e/2.0) AS t0,
+               tan(pi()/4.0 - phi1/2.0)/power((1.0 - e*sin(phi1))/(1.0 + e*sin(phi1)), e/2.0) AS t1,
+               tan(pi()/4.0 - phi2/2.0)/power((1.0 - e*sin(phi2))/(1.0 + e*sin(phi2)), e/2.0) AS t2
+        FROM k2
+      ), k4 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS n FROM k3
+      ), k5 AS (SELECT *, m1/(n*power(t1,n)) AS bigF FROM k4
+      ), k6 AS (SELECT *, a*bigF*power(t0,n) AS rho0 FROM k5
+      ), pts AS (
+        SELECT c_custkey,
+               radians(CAST(c_custkey % 12 AS DOUBLE) - 4.0 + 0.5) AS lam,
+               radians(CAST(c_nationkey % 10 AS DOUBLE) + 42.0 + 0.25) AS phi
+        FROM customer
+      ), proj AS (
+        SELECT c_custkey,
+               a*bigF*power(tan(pi()/4.0 - phi/2.0)
+                 / power((1.0 - e*sin(phi))/(1.0 + e*sin(phi)), e/2.0), n) AS rho,
+               n*(lam - lam0) AS theta, rho0
+        FROM pts CROSS JOIN k6
+      )
+      SELECT c_custkey,
+             ROUND(700000.0 + rho*sin(theta), 3) AS lx,
+             ROUND(6600000.0 + rho0 - rho*cos(theta), 3) AS ly
+      FROM proj ORDER BY c_custkey""",
 
     // haversine replayed in Geodesy.haversine's exact IEEE op order
     // (deg * (pi/180), sp*sp + cos*cos*sl*sl, (2*R)*asin); CASTs keep
