@@ -145,12 +145,37 @@ object Similarity {
     } finally base.unpersist(blocking = false)
   }
 
-  private def knnGraphOn(base: DataFrame, k: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+  /**
+   * Batch ANN: approximate top-k neighbors from the WHOLE corpus for the
+   * subset of rows where `isQuery` holds — the "score a query batch
+   * against the index" shape, same banded-LSH candidate machinery as
+   * [[knnGraph]] but with the probe side restricted before the bucket
+   * join, so candidate volume is |queries| x bucket-occupancy, not
+   * corpus². Low `bitsPerBand` with many `bands` trades candidate volume
+   * for recall: per-pair miss probability is (θ/π)^(bands) at 1 bit.
+   */
+  def knnQueries(df: DataFrame, vec: Column, id: Column, isQuery: Column, k: Int,
+                 bitsPerBand: Int = 4, bands: Int = 48): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val base = OpsUtil.ensureParallelism(
+      df.select(id.as("__id"), vec.as("__v"), isQuery.as("__isq"))).persist()
+    try {
+      knnGraphOn(base, k, bitsPerBand, bands, queryOnly = true).localCheckpoint()
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def knnGraphOn(base: DataFrame, k: Int, bitsPerBand: Int, bands: Int,
+                         queryOnly: Boolean = false): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
     val banded = base.select(c("__id"),
         posexplode(bandedSigs(c("__v"), bitsPerBand, bands)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
-    val a = banded.select(c("__band"), c("__key"), c("__id").as("id1"))
+    val probeSide = if (queryOnly)
+      base.where(c("__isq")).select(c("__id"),
+          posexplode(bandedSigs(c("__v"), bitsPerBand, bands)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+    else banded
+    val a = probeSide.select(c("__band"), c("__key"), c("__id").as("id1"))
     val b = banded.select(c("__band").as("__band2"), c("__key").as("__key2"), c("__id").as("id2"))
     // directed candidates (both orders survive: each side needs its own knn)
     val cands = a.join(b, a("__band") === b("__band2") && a("__key") === b("__key2") && a("id1") =!= b("id2"))

@@ -129,6 +129,26 @@ class OpsSpec extends SparkSpec {
     assert(sameCluster.toDouble / g.length > 0.95, s"poor neighbor quality: $sameCluster/${g.length}")
   }
 
+  test("knnQueries: batch ANN answers only for query rows, exact under dense banding") {
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 13 + j * 7) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnQueries(emb, col("embedding"), col("vec_id"),
+        isQuery = col("vec_id") % 10 === 0, k = 3, bitsPerBand = 1, bands = 48)
+      .as[(Long, Long, Double, Int)].collect()
+    // only query rows appear on the probe side, each with a full top-k
+    assert(g.map(_._1).toSet == Set(0L, 10L, 20L, 30L, 40L, 50L))
+    assert(g.groupBy(_._1).forall(_._2.length == 3))
+    // dense banding (1 bit x 48 bands) makes recall exact: compare one
+    // query's answer against brute force
+    val q0 = emb.where(col("vec_id") === 20).head.getSeq[Float](1).toArray
+    val brute = Similarity.bruteTopK(emb.where(col("vec_id") =!= 20),
+        col("embedding"), col("vec_id"), q0, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val approx = g.filter(_._1 == 20L).sortBy(_._4).map(_._2).toSeq
+    assert(approx == brute, s"knnQueries $approx vs brute $brute")
+  }
+
   test("embedding-cosine near-dup pairs surface constructed duplicates") {
     val emb = ((0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 7) % 11 - 5).toFloat))
