@@ -268,12 +268,20 @@ case class StGeomFromText(child: Expression)
 }
 
 case class StGeomFromWKB(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "geometry"))
   // Normalizes arbitrary (possibly EWKB) input bytes into our canonical form.
   override def nullSafeEval(v: Any): Any = out(geom(v))
+  def evalBytes(v: Object): Array[Byte] = out(geom(v))
+  // codegen'd (not CodegenFallback): this constructor sits on every WKB
+  // ingest path, and a fallback here would break the surrounding
+  // whole-stage-codegen span for the entire scan projection
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stFromWkb", this, classOf[StGeomFromWKB].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.evalBytes($v);")
+  }
   override def prettyName: String = "st_geomfromwkb"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -132,15 +132,15 @@ object StMortonCell {
  * behind a volatile immutable holder (rebuild on fingerprint mismatch is
  * benign and correct).
  *
- * CACHE CONTRACT: the reuse check is an O(1) fingerprint over the length
- * and keys/WKB-lengths at five sampled positions — collision-proof for the
- * intended shape (ONE constant array per query, as knnJoin produces), and
- * resistant to — but not proof against — adversarial per-row arrays that
- * agree at all sampled positions. Feeding st_knn a candidate array that
- * VARIES row to row (e.g. from a groupBy collect_list) is outside the
- * expression's contract: it stays correct only up to fingerprint
- * collisions and loses the whole caching benefit (full rebuild per
- * distinct array). Use SpatialJoin.knnJoin per candidate group instead. Per row the cost is then O(log R + k) via STRtree
+ * CACHE CONTRACT: reuse is decided in two tiers. Tier 1 (O(1), the
+ * knnJoin hot path): the array's unsafe memory-region identity — every
+ * probe row reads the ONE broadcast candidate row, so base/offset/size
+ * are identical. Tier 2 (on region miss): a FULL XXH64 content hash over
+ * the array bytes, so two different arrays are never conflated short of a
+ * 2^-64 hash collision — per-row-varying candidate arrays (e.g. from a
+ * groupBy collect_list) are now handled CORRECTLY, they just pay a
+ * rebuild per distinct array and lose the caching benefit. Use
+ * SpatialJoin.knnJoin per candidate group for that shape instead. Per row the cost is then O(log R + k) via STRtree
  * branch-and-bound (plus an exact tie-fix range query) instead of the
  * O(R log R) sort-everything a `transform`+`array_sort` plan pays — the
  * difference between "scans all of |R| per left row" and a plan that
@@ -165,28 +165,61 @@ case class StKnn(children: Seq[Expression]) extends StNary {
 
   @transient @volatile private var cached: Cands = _
 
-  /** O(1) fingerprint: length + (key, wkb length) at five sampled
-    * positions, mixed into one long. See the cache contract above. */
+  /** FULL content hash (XXH64): for the unsafe layout, one pass over the
+    * array's raw bytes; otherwise elementwise over keys + WKB payloads.
+    * No sampled positions — two arrays hash equal only by a 2^-64 hash
+    * collision, so per-row-varying candidate arrays are now handled
+    * correctly (each distinct array rebuilds, as the contract documents).
+    * The hot path (knnJoin's ONE broadcast array per query) never reaches
+    * this: it is recognized by the O(1) memory-region identity check in
+    * [[candsFor]]. */
   private def fingerprint(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val n = arr.numElements()
-    if (n == 0) return 0L
-    var h = n.toLong
-    var s = 0
-    while (s < 5) {
-      val i = if (s == 4) n - 1 else (n.toLong * s / 4).toInt.min(n - 1)
-      val row = arr.getStruct(i, 2)
-      h = h * 0x9e3779b97f4a7c15L + row.getLong(0)
-      h = h * 0x9e3779b97f4a7c15L + row.getBinary(1).length
-      s += 1
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42L)
+      case _ =>
+        val n = arr.numElements()
+        var h = XXH64.hashLong(n.toLong, 42L)
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 2)
+          h = XXH64.hashLong(row.getLong(0), h)
+          val b = row.getBinary(1)
+          h = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, h)
+          i += 1
+        }
+        h
     }
-    h | 1L // never collides with the empty-array sentinel 0
   }
+
+  /** (baseObject, baseOffset, sizeInBytes) of the unsafe region, or null
+    * when the array is not unsafe-backed. Same region => same content,
+    * without hashing a byte — the broadcast candidate row's array reads
+    * point at one buffer for every probe row. */
+  private def regionOf(arr: org.apache.spark.sql.catalyst.util.ArrayData): (AnyRef, Long, Long) =
+    arr match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes.toLong)
+      case _ => null
+    }
 
   private def candsFor(arr: org.apache.spark.sql.catalyst.util.ArrayData): Cands = {
     val n = arr.numElements()
+    val region = regionOf(arr)
+    val c0 = cached
+    if (c0 != null && region != null && (c0.region ne null) &&
+        (c0.region._1 eq region._1) && c0.region._2 == region._2 && c0.region._3 == region._3)
+      return c0
     val fp = fingerprint(arr)
     val c = cached
-    if (c != null && c.fp == fp && c.keys.length == n) return c
+    if (c != null && c.fp == fp && c.keys.length == n) {
+      // same content reached through a different buffer: remember the new
+      // region so subsequent rows take the O(1) path again
+      cached = new Cands(fp, region, c.keys, c.geoms, c.tree)
+      return cached
+    }
     val keys = new Array[Long](n)
     val geoms = new Array[org.locationtech.jts.geom.Geometry](n)
     var hasEmpty = false
@@ -206,7 +239,7 @@ case class StKnn(children: Seq[Expression]) extends StNary {
       t.build() // bulk-build now: lazy build on first query is not thread-safe
       t
     } else null
-    val built = new Cands(fp, keys, geoms, tree)
+    val built = new Cands(fp, region, keys, geoms, tree)
     cached = built
     built
   }
@@ -266,6 +299,7 @@ object StKnn {
 
   private final class Cands(
       val fp: Long,
+      val region: (AnyRef, Long, Long), // unsafe buffer identity, or null
       val keys: Array[Long],
       val geoms: Array[org.locationtech.jts.geom.Geometry],
       val tree: org.locationtech.jts.index.strtree.STRtree)

@@ -107,4 +107,29 @@ class SpatialJoinSpec extends SparkSpec {
       .orderBy(asc("d"), asc("bid")).limit(3).select("bid").as[Long].collect().toSeq
     assert(p0 == brute)
   }
+
+  test("st_knn per-row candidate arrays: full content hash keeps each row's answer correct") {
+    import graft.geom.Geom
+    import org.apache.spark.sql.graft.GraftShim
+    import org.locationtech.jts.geom.Coordinate
+    // Two arrays with IDENTICAL keys and IDENTICAL per-element WKB lengths
+    // (points are fixed-size) that differ only at index 1 — the shape that
+    // collided under the old 5-position sampled fingerprint. Each row must
+    // get the nearest neighbor of ITS OWN array.
+    def pt(x: Double): Array[Byte] = Geom.serialize(Geom.factory.createPoint(new Coordinate(x, 0)))
+    val candsA = (0L until 9L).map(i => (i, pt(i.toDouble)))
+    val candsB = candsA.updated(1, (1L, pt(100.0)))
+    val q = pt(1.05)
+    val df = Seq((0L, q, candsA), (1L, q, candsB)).toDF("row_id", "q", "cands")
+      .coalesce(1) // one partition => one shared expression instance (the trap)
+    val knn = GraftShim.column(graft.functions.StKnn(Seq(
+      GraftShim.expression(col("q")), GraftShim.expression(col("cands")),
+      GraftShim.expression(lit(1)))))
+    val got = df.select(col("row_id"), knn.getItem(0).getField("rk").as("rk"))
+      .as[(Long, Long)].collect().toMap
+    // row A: key 1 at distance 0.05; row B: its key 1 moved to x=100, so
+    // the nearest is key 2 at distance 0.95 (key 0 is 1.05 away)
+    assert(got(0L) == 1L, s"row A got ${got(0L)}")
+    assert(got(1L) == 2L, s"row B got ${got(1L)}")
+  }
 }

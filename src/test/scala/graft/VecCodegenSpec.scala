@@ -35,6 +35,17 @@ class VecCodegenSpec extends SparkSpec {
     }
   }
 
+  test("st_geomfromwkb generates real code on the WKB ingest path") {
+    val wkbIn = BoundReference(0, BinaryType, nullable = true)
+    val src = genSource(StGeomFromWKB(wkbIn))
+    assert(src.contains(".evalBytes("), s"expected evalBytes call:\n$src")
+    assert(!src.contains(".eval("), s"CodegenFallback still present on WKB ingest:\n$src")
+    // end-to-end: ingest arbitrary (ISO) WKB bytes, normalize, read back
+    val iso = spark.sql("SELECT st_asbinary(st_point(3.0D, 4.0D)) AS b")
+    val rt = iso.select(expr("st_astext(st_geomfromwkb(b))")).head.getString(0)
+    assert(rt == "POINT (3 4)", rt)
+  }
+
   test("generated and interpreted results agree end-to-end") {
     // one DataFrame pass (whole-stage codegen) vs literal-folded (interpreted)
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f))).toDF("a", "b")
