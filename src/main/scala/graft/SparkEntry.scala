@@ -532,6 +532,21 @@ object SparkEntry {
              ROUND(st_y(st_transform(pt, 'EPSG:4326', 'EPSG:2154')), 3) AS ly
       FROM t ORDER BY c_custkey""")),
 
+    // Planar hex-grid binning (st_hexcell): per-cell point counts. The
+    // whole cell computation is IEEE +,-,*,/,sqrt,floor,abs — no libm
+    // transcendentals — so the DuckDB replay of the axial + cube-round
+    // chain is bit-exact and the INTEGER (q, r) output needs no rounding.
+    "hex_cell_counts" -> ((s, d) => prep(s, d).sql("""
+      WITH pts AS (SELECT st_point(CAST(c_custkey % 97 AS DOUBLE) * CAST(0.37 AS DOUBLE),
+                                   CAST(c_nationkey AS DOUBLE) * CAST(1.91 AS DOUBLE)
+                                     - CAST(20.0 AS DOUBLE)) AS pt
+                   FROM customer),
+           cells AS (SELECT st_hexcell(pt, CAST(3.0 AS DOUBLE)) AS cell FROM pts)
+      SELECT CAST(shiftright(cell, 32) AS INT) AS q,
+             CAST(shiftright(shiftleft(cell, 32), 32) AS INT) AS r,
+             count(*) AS n
+      FROM cells GROUP BY 1, 2 ORDER BY q, r""")),
+
     // spherical geodesy (tier 4): haversine distance/length + planar
     // projection. Integer-degree inputs; outputs rounded (mm for meters,
     // 1e-9 for coordinates) so engine libm 1-ulp differences vanish —
@@ -931,16 +946,21 @@ object SparkEntry {
           st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
       graft.tables.GeoTable.create(s, root, src, Some("geo"))
       graft.tables.GeoTable.register(s, "geo_evo_q_t", root)
-      graft.tables.GeoSql.exec(s, "ALTER TABLE geo_evo_q_t ADD COLUMN tier INT")
+      // multi-column ADD COLUMNS incl. a parameterized DECIMAL (the round-8
+      // paren fix) exercised through the oracle, not just the spec
+      graft.tables.GeoSql.exec(s,
+        "ALTER TABLE geo_evo_q_t ADD COLUMNS (tier INT, score DECIMAL(10,2))")
       graft.tables.GeoSql.exec(s,
         """INSERT INTO geo_evo_q_t
           |SELECT c_custkey + 1000000, c_nationkey,
           |       st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)),
-          |       CAST(c_nationkey % 3 AS INT)
+          |       CAST(c_nationkey % 3 AS INT),
+          |       CAST(c_nationkey AS DECIMAL(10,2)) / 4.0
           |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
       val out = graft.tables.GeoTable.read(s, root)
         .groupBy(coalesce(col("tier"), lit(-1)).as("tier"))
-        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+          sum(col("score")).cast("double").as("score_sum"))
         .orderBy("tier")
       graft.tables.GeoTable.drop(s, "geo_evo_q_t")
       out
@@ -1428,6 +1448,33 @@ object SparkEntry {
              ROUND(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 50 + 5 AS DOUBLE)) / 2)), 1) AS my
       FROM customer ORDER BY c_custkey""",
 
+    // axial + cube-round hex assignment replayed in the exact op order of
+    // Hex.cellOf (floor(x+0.5) rounding on both sides — portable, unlike
+    // round() which differs on negative halves). Only one cube axis is
+    // ever fixed, and it uses the other two ORIGINAL rounded values, so
+    // q/r are each a single CASE.
+    "hex_cell_counts" -> """
+      WITH pts AS (SELECT CAST(c_custkey % 97 AS DOUBLE) * CAST(0.37 AS DOUBLE) AS x,
+                          CAST(c_nationkey AS DOUBLE) * CAST(1.91 AS DOUBLE)
+                            - CAST(20.0 AS DOUBLE) AS y
+                   FROM customer),
+           f AS (SELECT (sqrt(CAST(3.0 AS DOUBLE))/3.0 * x - 1.0/3.0 * y) / CAST(3.0 AS DOUBLE) AS cx,
+                        (2.0/3.0 * y) / CAST(3.0 AS DOUBLE) AS cz
+                 FROM pts),
+           g AS (SELECT cx, cz, -cx - cz AS cy,
+                        floor(cx + 0.5) AS rx0, floor(-cx - cz + 0.5) AS ry0,
+                        floor(cz + 0.5) AS rz0
+                 FROM f),
+           h AS (SELECT rx0, ry0, rz0,
+                        abs(rx0 - cx) AS dx, abs(ry0 - cy) AS dy, abs(rz0 - cz) AS dz
+                 FROM g),
+           cells AS (SELECT
+                 CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS INT) AS q,
+                 CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                           THEN -rx0 - ry0 ELSE rz0 END AS INT) AS r
+                 FROM h)
+      SELECT q, r, count(*) AS n FROM cells GROUP BY q, r ORDER BY q, r""",
+
     // Lambert conformal conic 2SP forward replayed from the published
     // Snyder closed forms (GRS80, lat0 46.5, parallels 44/49, lon0 3,
     // false origin 700000/6600000); constants derived in a CTE chain,
@@ -1732,13 +1779,19 @@ object SparkEntry {
       SELECT flag, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
       FROM final GROUP BY flag ORDER BY flag""",
 
+    // score values are nationkey/4 — exact at DECIMAL(10,2) scale (.0/.25/
+    // .5/.75), so the decimal column's sum cast to DOUBLE replays exactly
     "geo_ddl_evolution" -> """
       WITH evo AS (
-        SELECT c_custkey, CAST(NULL AS INT) AS tier FROM customer WHERE c_custkey % 2 = 0
+        SELECT c_custkey, CAST(NULL AS INT) AS tier, CAST(NULL AS DOUBLE) AS score
+        FROM customer WHERE c_custkey % 2 = 0
         UNION ALL
-        SELECT c_custkey + 1000000, CAST(c_nationkey % 3 AS INT) FROM customer WHERE c_custkey % 2 = 1)
+        SELECT c_custkey + 1000000, CAST(c_nationkey % 3 AS INT),
+               c_nationkey / CAST(4.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 2 = 1)
       SELECT coalesce(tier, -1) AS tier, COUNT(*) AS n,
-             CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             CAST(SUM(score) AS DOUBLE) AS score_sum
       FROM evo GROUP BY 1 ORDER BY tier""",
 
     "geo_ctas" -> """

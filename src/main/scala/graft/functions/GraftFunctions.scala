@@ -133,6 +133,11 @@ object GraftFunctions {
     ("st_bbox", 1, es => StBbox(es.head)),
     ("st_centroid_cell", 2, es => StCentroidCell(es(0), es(1))),
     ("st_morton_cell", 2, es => StMortonCell(es(0), es(1))),
+    // planar hex grid (H3-style usage shape; see Hex decision note)
+    ("st_hexcell", 2, es => StHexCell(es(0), es(1))),
+    ("st_hexcenter", 2, es => StHexCenter(es(0), es(1))),
+    ("st_hexring", 2, es => StHexRing(es(0), es(1))),
+    ("st_hexdist", 2, es => StHexDist(es(0), es(1))),
     // vector / sketch primitives (LLM-pipeline ops)
     ("vec_dot", 2, es => VecDot(es(0), es(1))),
     ("vec_norm", 1, es => VecNorm(es.head)),
@@ -244,6 +249,10 @@ object GraftFunctions {
     "st_tile_cells" -> "st_tile_cells(geom, cellSize[, expand]) - Grid cells covering the (expanded) envelope; packed (ix<<32|iy) longs.",
     "st_bbox" -> "st_bbox(geom) - struct(xmin, ymin, xmax, ymax) of the envelope.",
     "st_morton_cell" -> "st_morton_cell(geom, cellSize) - Z-order (Morton) index of the envelope center; sort by it to cluster spatially.",
+    "st_hexcell" -> "st_hexcell(geom, size) - Planar hex-grid cell id (axial q,r packed in a long) of the centroid; size = hex circumradius.",
+    "st_hexcenter" -> "st_hexcenter(cellId, size) - Center point of a hex cell.",
+    "st_hexring" -> "st_hexring(cellId, k) - All cell ids within hex distance k (kRing disk), sorted.",
+    "st_hexdist" -> "st_hexdist(cellA, cellB) - Hex grid distance between two cells.",
     "st_makeline" -> "st_makeline(pt1, pt2, ...) - LINESTRING through the given points.",
     "vec_cosine" -> "vec_cosine(a, b) - Cosine similarity of numeric arrays (0 when either norm is 0).",
     "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",

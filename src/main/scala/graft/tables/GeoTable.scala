@@ -255,14 +255,21 @@ object GeoTable {
 
   /** Scan with a pushed filter: when `cond` constrains the geometry column
     * with an ST_ predicate against literal geometry, files are pruned via
-    * the manifest first; the full `cond` still applies as the refine. */
+    * the manifest first; the full `cond` still applies as the refine.
+    * With `graft.display.wktPreview=true` a `<geom>_wkt` sibling column is
+    * appended for human-readable show() output (see [[GeoDisplay]]). */
   def scan(spark: SparkSession, root: String, cond: Column): DataFrame = {
     val m = GeoManifest.read(spark, root)
     val files = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
       case Some(env) => m.prune(env)
       case None => m.files
     }
-    readFiles(spark, m.schema, files).where(cond)
+    val base = readFiles(spark, m.schema, files).where(cond)
+    m.geomCol match {
+      case Some(g) if spark.conf.getOption(GeoDisplay.WktPreviewConf).exists(_.toBoolean) =>
+        base.withColumn(s"${g}_wkt", graft.functions.GraftFunctions.st_asText(col(g)))
+      case _ => base
+    }
   }
 
   def append(spark: SparkSession, root: String, df: DataFrame): Long =

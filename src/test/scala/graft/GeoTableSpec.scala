@@ -46,6 +46,25 @@ class GeoTableSpec extends SparkSpec {
     (0L until 100L).foreach(i => assert(flags(i) == (if (i >= 11 && i <= 19) 1 else 0), s"id $i"))
   }
 
+  test("wkt preview: GeoDisplay.pretty and the scan conf render geometry readably") {
+    val root = tmpRoot("wkt")
+    pointTable(root)
+    // pretty(): geometry column becomes WKT text under its own name
+    val pretty = graft.tables.GeoDisplay.pretty(GeoTable.read(spark, root))
+    assert(pretty.schema("geo").dataType.typeName == "string")
+    assert(pretty.where(col("id") === 3).head.getAs[String]("geo") == "POINT (3 0)")
+    // scan conf: additive <geom>_wkt sibling, WKB column untouched
+    try {
+      spark.conf.set(graft.tables.GeoDisplay.WktPreviewConf, "true")
+      val scanned = GeoTable.scan(spark, root, col("id") === 3)
+      assert(scanned.columns.contains("geo_wkt"))
+      assert(scanned.schema("geo").dataType.typeName == "binary")
+      assert(scanned.head.getAs[String]("geo_wkt") == "POINT (3 0)")
+    } finally spark.conf.unset(graft.tables.GeoDisplay.WktPreviewConf)
+    // conf off: no preview column
+    assert(!GeoTable.scan(spark, root, col("id") === 3).columns.contains("geo_wkt"))
+  }
+
   test("update evaluates SET expressions against pre-update rows") {
     val root = tmpRoot("swap")
     GeoTable.create(spark, root,

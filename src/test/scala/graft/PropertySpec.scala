@@ -119,4 +119,35 @@ class PropertySpec extends SparkSpec {
       assert(GeoHash.encode(lon, lat, p) == h)
     }
   }
+
+  test("hex grid: center re-encodes to its own cell; nearest-center property; kRing size") {
+    import graft.functions.Hex
+    val gen = for {
+      x <- Gen.chooseNum(-500.0, 500.0); y <- Gen.chooseNum(-500.0, 500.0)
+      size <- Gen.oneOf(0.5, 2.0, 7.5)
+    } yield (x, y, size)
+    forAll(gen) { case (x, y, size) =>
+      val cell = Hex.cellOf(x, y, size)
+      val (cx, cy) = Hex.center(cell, size)
+      // the cell center is in its own cell
+      assert(Hex.cellOf(cx, cy, size) == cell, s"center ($cx,$cy) left cell")
+      // hexagon membership = nearest center: the assigned center is at
+      // least as close as any neighbor's center (up to FP noise on edges)
+      val own = math.hypot(x - cx, y - cy)
+      Hex.kRing(cell, 1).filter(_ != cell).foreach { nb =>
+        val (nx, ny) = Hex.center(nb, size)
+        assert(own <= math.hypot(x - nx, y - ny) + 1e-9,
+          s"($x,$y) closer to neighbor $nb than own cell $cell")
+      }
+      // center distance to the point never exceeds the circumradius
+      assert(own <= size + 1e-9, s"center $own away > circumradius $size")
+    }
+    // kRing disk size is the centered hexagonal number 1 + 3k(k+1)
+    for (k <- 0 to 4) {
+      val ring = Hex.kRing(Hex.pack(3, -2), k)
+      assert(ring.length == 1 + 3 * k * (k + 1))
+      assert(ring.forall(c => Hex.dist(c, Hex.pack(3, -2)) <= k))
+      assert(ring.toSet.size == ring.length)
+    }
+  }
 }
