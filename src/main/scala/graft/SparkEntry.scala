@@ -547,6 +547,57 @@ object SparkEntry {
              count(*) AS n
       FROM cells GROUP BY 1, 2 ORDER BY q, r""")),
 
+    // M-measure linear referencing (tier 5): measures assigned by
+    // st_addmeasure are pure IEEE +,-,*,/ over exact integer-valued
+    // doubles, so the DuckDB oracle replays every value bit-for-bit with
+    // the same parenthesization (mv2 shared via CTE — (100+x)-100 != x in
+    // general, the replay must reuse the stored double)
+    "st_m_linear_ref" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           l AS (SELECT p_partkey, sz,
+                        st_addmeasure(st_makeline(st_point(0.0D, 0.0D), st_point(sz, 0.0D),
+                                                  st_point(sz, sz * 2)),
+                                      100.0D, 100.0D + sz * 3) AS ln
+                 FROM t)
+      SELECT p_partkey,
+             st_m(st_endpoint(ln)) AS m_end,
+             st_m(st_pointn(ln, 2)) AS m_v2,
+             st_mmin(ln) AS m_min,
+             st_mmax(ln) AS m_max,
+             st_y(st_geometryn(st_locatealong(ln, 100.0D + sz * 1.5D), 1)) AS loc_y,
+             st_interpolatepoint(ln, st_point(sz / 2, -3.0D)) AS interp_m,
+             st_zmflag(ln) AS zmf,
+             st_ndims(ln) AS nd
+      FROM l ORDER BY p_partkey""")),
+
+    // ring orientation + misc tier-5 parity: every output is either exact
+    // integer arithmetic or a boolean with a closed-form integer rule, so
+    // the oracle needs no geometry at all
+    "st_orientation_misc" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT p_partkey, p_size, CAST(p_size AS DOUBLE) AS sz FROM part),
+           g AS (SELECT p_partkey, p_size, sz,
+                  CASE WHEN p_size % 2 = 0
+                       THEN st_geomfromtext(CONCAT('POLYGON ((0 0, 0 ', p_size, ', ', p_size, ' ',
+                                                   p_size, ', ', p_size, ' 0, 0 0))'))
+                       ELSE st_geomfromtext(CONCAT('POLYGON ((0 0, ', p_size, ' 0, ', p_size, ' ',
+                                                   p_size, ', 0 ', p_size, ', 0 0))'))
+                  END AS poly,
+                  st_makeline(st_point(0.0D, 0.0D), st_point(sz, 0.0D), st_point(sz * 2, 0.0D)) AS seg3,
+                  st_point(CAST(p_size * 7 % 360 AS DOUBLE) - 180.0D + 0.5D,
+                           CAST(p_size % 18 AS DOUBLE) * 10.0D - 85.0D + 0.5D) AS pt
+                 FROM t)
+      SELECT p_partkey,
+             st_ispolygoncw(poly) AS is_cw,
+             st_ispolygonccw(poly) AS is_ccw,
+             st_area(st_forcerhr(poly)) AS area_rhr,
+             st_nrings(poly) AS nrings,
+             st_iscollection(st_multi(poly)) AS is_coll,
+             st_npoints(st_removerepeatedpoints(seg3, 10.0D)) AS np_dedup,
+             st_crossesdateline(st_makeline(st_point(sz - 100.0D, 0.0D),
+                                            st_point(100.0D - sz, 0.0D))) AS crosses,
+             st_bestsrid(pt) AS best_srid
+      FROM g ORDER BY p_partkey""")),
+
     // spherical geodesy (tier 4): haversine distance/length + planar
     // projection. Integer-degree inputs; outputs rounded (mm for meters,
     // 1e-9 for coordinates) so engine libm 1-ulp differences vanish —
@@ -1518,6 +1569,57 @@ object SparkEntry {
              ROUND(700000.0 + rho*sin(theta), 3) AS lx,
              ROUND(6600000.0 + rho0 - rho*cos(theta), 3) AS ly
       FROM proj ORDER BY c_custkey""",
+
+    // StAddMeasure replay: vertex measures are m0 + (m1-m0) * (acc/total)
+    // over exact integer-valued doubles (axis-aligned segments make every
+    // sqrt exact). mv2 is computed ONCE and reused — the interp/locate
+    // expressions must see the stored double, not an algebraic equivalent.
+    // interp_m replays JTS LineSegment.projectionFactor's op order;
+    // loc_y replays StLocateAlong's segment interpolation.
+    "st_m_linear_ref" -> """
+      WITH t AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           c AS (SELECT p_partkey, sz,
+                        CAST(100.0 AS DOUBLE) + sz * 3 AS m3,
+                        CAST(100.0 AS DOUBLE)
+                          + (sz * 3) * (sz / (sz + sz * 2)) AS mv2
+                 FROM t)
+      SELECT p_partkey,
+             m3 AS m_end,
+             mv2 AS m_v2,
+             CAST(100.0 AS DOUBLE) AS m_min,
+             m3 AS m_max,
+             CAST(0.0 AS DOUBLE) + (sz * 2 - CAST(0.0 AS DOUBLE))
+               * (((CAST(100.0 AS DOUBLE) + sz * 1.5) - mv2) / (m3 - mv2)) AS loc_y,
+             CAST(100.0 AS DOUBLE) + (mv2 - CAST(100.0 AS DOUBLE))
+               * (((sz / 2) * sz + (CAST(-3.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)) * CAST(0.0 AS DOUBLE))
+                  / (sz * sz + CAST(0.0 AS DOUBLE) * CAST(0.0 AS DOUBLE))) AS interp_m,
+             1 AS zmf,
+             3 AS nd
+      FROM c ORDER BY p_partkey""",
+
+    // closed-form integer/boolean rules: orientation by construction
+    // parity, dedup count by the 2-segment distance cases, dateline by
+    // |200 - 2*sz| > 180, best SRID by the PostGIS UTM/UPS rule
+    "st_orientation_misc" -> """
+      WITH t AS (SELECT p_partkey, p_size, CAST(p_size AS DOUBLE) AS sz FROM part),
+           g AS (SELECT p_partkey, p_size, sz,
+                        CAST(p_size * 7 % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+                        CAST(p_size % 18 AS DOUBLE) * 10.0 - 85.0 + 0.5 AS lat
+                 FROM t)
+      SELECT p_partkey,
+             p_size % 2 = 0 AS is_cw,
+             p_size % 2 <> 0 AS is_ccw,
+             sz * sz AS area_rhr,
+             1 AS nrings,
+             TRUE AS is_coll,
+             CASE WHEN p_size > 10 THEN 3 WHEN p_size > 5 THEN 2 ELSE 3 END AS np_dedup,
+             p_size < 10 AS crosses,
+             CASE WHEN lat > 84.0 THEN 32661
+                  WHEN lat < -80.0 THEN 32761
+                  ELSE (CASE WHEN lat >= 0.0 THEN 32600 ELSE 32700 END)
+                       + LEAST(60, GREATEST(1, CAST(FLOOR((lon + 180.0) / 6.0) + 1.0 AS INT)))
+             END AS best_srid
+      FROM g ORDER BY p_partkey""",
 
     // haversine replayed in Geodesy.haversine's exact IEEE op order
     // (deg * (pi/180), sp*sp + cos*cos*sl*sl, (2*R)*asin); CASTs keep

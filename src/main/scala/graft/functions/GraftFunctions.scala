@@ -28,7 +28,6 @@ object GraftFunctions {
   val catalog: Seq[(String, Builder)] = Seq[(String, Int, Seq[Expression] => Expression)](
     // constructors
     ("st_point", 2, es => StPoint(es(0), es(1))),
-    ("st_makepoint", 2, es => StPoint(es(0), es(1))),
     ("st_polygonfromenvelope", 4, es => StPolygonFromEnvelope(es)),
     ("st_makeenvelope", 4, es => StPolygonFromEnvelope(es)),
     ("st_geomfromtext", 1, es => StGeomFromText(es.head)),
@@ -200,6 +199,38 @@ object GraftFunctions {
     ("st_distancespheroid", 2, es => StDistanceSpheroid(es(0), es(1))),
     ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),
     ("st_setpoint", 3, es => StSetPoint(es)),
+    // catalog breadth tier 5 (StTier5Expressions): M measures, linear
+    // referencing, ring orientation, PostGIS parity odds-and-ends
+    ("st_m", 1, es => StM(es.head)),
+    ("st_hasm", 1, es => StHasM(es.head)),
+    ("st_mmin", 1, es => StMMin(es.head)),
+    ("st_mmax", 1, es => StMMax(es.head)),
+    ("st_makepointm", 3, es => StMakePointM(es)),
+    ("st_pointm", 3, es => StMakePointM(es)),
+    ("st_pointz", 3, es => StMakePointZ(es)),
+    ("st_pointzm", 4, es => StPointZM(es)),
+    ("st_force3dm", 2, es => StForce3DM(es(0), es(1))),
+    ("st_force4d", 3, es => StForce4D(es)),
+    ("st_forcez", 2, es => StForce3D(es(0), es(1))),
+    ("st_addmeasure", 3, es => StAddMeasure(es)),
+    ("st_locatealong", 2, es => StLocateAlong(es(0), es(1))),
+    ("st_interpolatepoint", 2, es => StInterpolatePoint(es(0), es(1))),
+    ("st_ispolygoncw", 1, es => StIsPolygonCW(es.head)),
+    ("st_ispolygonccw", 1, es => StIsPolygonCCW(es.head)),
+    ("st_forcepolygoncw", 1, es => StForcePolygonCW(es.head)),
+    ("st_forcepolygonccw", 1, es => StForcePolygonCCW(es.head)),
+    ("st_forcerhr", 1, es => StForcePolygonCW(es.head)),
+    ("st_iscollection", 1, es => StIsCollection(es.head)),
+    ("st_nrings", 1, es => StNRings(es.head)),
+    ("st_crossesdateline", 1, es => StCrossesDateLine(es.head)),
+    ("st_bestsrid", 1, es => StBestSrid(es.head)),
+    ("st_rotatex", 2, es => StRotateX(es(0), es(1))),
+    ("st_rotatey", 2, es => StRotateY(es(0), es(1))),
+    ("st_polygon", 2, es => StPolygonFromLine(es(0), es(1))),
+    ("st_coorddim", 1, es => StNDims(es.head)),
+    ("st_numinteriorring", 1, es => StNumInteriorRings(es.head)),
+    ("st_asewkb", 1, es => StAsEwkb(es.head)),
+    ("st_geomfromewkb", 1, es => StGeomFromWKB(es.head)),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
@@ -234,6 +265,25 @@ object GraftFunctions {
     ("st_distancesphere" -> { (es: Seq[Expression]) =>
       require(es.length == 2 || es.length == 3, s"st_distancesphere expects 2 or 3 arguments, got ${es.length}")
       StDistanceSphere(es)
+    }) :+
+    ("st_makepoint" -> { (es: Seq[Expression]) =>
+      // PostGIS variadic: (x, y) | (x, y, z) | (x, y, z, m)
+      es.length match {
+        case 2 => StPoint(es(0), es(1))
+        case 3 => StMakePointZ(es)
+        case 4 => StPointZM(es)
+        case n => throw new IllegalArgumentException(s"st_makepoint expects 2-4 arguments, got $n")
+      }
+    }) :+
+    ("st_removerepeatedpoints" -> { (es: Seq[Expression]) =>
+      require(es.length == 1 || es.length == 2,
+        s"st_removerepeatedpoints expects 1 or 2 arguments, got ${es.length}")
+      StRemoveRepeatedPoints(es)
+    }) :+
+    ("st_simplifypolygonhull" -> { (es: Seq[Expression]) =>
+      require(es.length == 2 || es.length == 3,
+        s"st_simplifypolygonhull expects 2 or 3 arguments, got ${es.length}")
+      StSimplifyPolygonHull(es)
     })
 
   /** `DESCRIBE FUNCTION` usage text (subset with non-obvious semantics;
@@ -284,7 +334,20 @@ object GraftFunctions {
     "st_pointfromtext" -> "st_pointfromtext(wkt) - Parses WKT; NULL unless the result is a Point (PostGIS typed-constructor family).",
     "st_geometricmedian" -> "st_geometricmedian(geom) - Weiszfeld geometric median of the geometry's vertices.",
     "st_shiftlongitude" -> "st_shiftlongitude(geom) - Adds 360 to negative x coordinates ([-180,180) -> [0,360)).",
-    "st_setpoint" -> "st_setpoint(line, idx, pt) - Replace vertex idx (0-based, negative from end); NULL out of range.")
+    "st_setpoint" -> "st_setpoint(line, idx, pt) - Replace vertex idx (0-based, negative from end); NULL out of range.",
+    "st_makepoint" -> "st_makepoint(x, y[, z[, m]]) - Point with optional Z and M (PostGIS variadic form).",
+    "st_addmeasure" -> "st_addmeasure(line, m0, m1) - Measures interpolated linearly by accumulated length.",
+    "st_locatealong" -> "st_locatealong(geom, m) - MultiPoint of locations whose measure equals m (vertex hits + segment crossings).",
+    "st_interpolatepoint" -> "st_interpolatepoint(line, pt) - Measure at the line location closest to pt; NULL without measures.",
+    "st_ispolygoncw" -> "st_ispolygoncw(geom) - True when polygon shells are clockwise and holes counter-clockwise (vacuous without polygons).",
+    "st_forcerhr" -> "st_forcerhr(geom) - Right-hand-rule ring orientation (shells CW, holes CCW); alias of st_forcepolygoncw.",
+    "st_bestsrid" -> "st_bestsrid(geom) - Planar SRID by centroid: UTM zone (326zz/327zz), UPS 32661 above 84N / 32761 below 80S.",
+    "st_crossesdateline" -> "st_crossesdateline(geom) - True when any segment spans more than 180 degrees of longitude.",
+    "st_removerepeatedpoints" -> "st_removerepeatedpoints(geom[, tol]) - Drops consecutive vertices within tol (default exact dups); keeps ring/line validity.",
+    "st_simplifypolygonhull" -> "st_simplifypolygonhull(geom, vertexFrac[, outer]) - Topology-safe hull with ~vertexFrac of the vertices (JTS PolygonHullSimplifier).",
+    "st_rotatex" -> "st_rotatex(geom, theta) - Rotate about the X axis (radians); 2D input gets Z=0, output carries Z.",
+    "st_asewkb" -> "st_asewkb(geom) - Canonical EWKB bytes (SRID flag); st_asbinary for ISO WKB.",
+    "st_zmflag" -> "st_zmflag(geom) - PostGIS dimensionality flag: 0=2D, 1=3DM, 2=3DZ, 3=4D.")
 
   private def usageFor(name: String): String =
     usageDocs.getOrElse(name, s"$name(...) - graft spatial/vector function; see README.md.")

@@ -461,18 +461,22 @@ case class StZMax(child: Expression) extends StUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** st_ndims: 3 when the geometry carries Z, else 2. */
+/** st_ndims: coordinate dimension — 2, 3 (Z or M), or 4 (ZM). */
 case class StNDims(child: Expression) extends StUnary {
   override def dataType: DataType = IntegerType
-  protected def run(g: Geometry): Any = if (Geom.hasZ(g)) 3 else 2
+  protected def run(g: Geometry): Any =
+    2 + (if (Geom.hasZ(g)) 1 else 0) + (if (Geom.hasM(g)) 1 else 0)
   override def prettyName: String = "st_ndims"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** st_zmflag: PostGIS dimensionality flag (0 = 2D, 2 = 3DZ; M unsupported). */
+/** st_zmflag: PostGIS dimensionality flag (0 = 2D, 1 = 3DM, 2 = 3DZ, 3 = 4D). */
 case class StZmflag(child: Expression) extends StUnary {
   override def dataType: DataType = IntegerType
-  protected def run(g: Geometry): Any = if (Geom.hasZ(g)) 2 else 0
+  protected def run(g: Geometry): Any = {
+    val z = Geom.hasZ(g); val m = Geom.hasM(g)
+    if (z && m) 3 else if (z) 2 else if (m) 1 else 0
+  }
   override def prettyName: String = "st_zmflag"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -1,7 +1,7 @@
 package graft.geom
 
 import org.locationtech.jts.geom._
-import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.io.{Ordinate, WKBReader, WKBWriter, WKTReader, WKTWriter}
 
 /**
  * Geometry model + serde for graft.
@@ -30,6 +30,28 @@ object Geom {
   private val isoWkbWriters = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
   private val isoWkbWriters3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3, false))
 
+  // M-aware writers: JTS writers emit the intersection of their output
+  // ordinates with the sequence's actual ordinates, so the XYM writer is
+  // safe on XYM sequences and the XYZM writer on XYZM ones. Dispatch stays
+  // probe-based (below) so plain 2D/XYZ geometries keep byte-identical
+  // output (a blanket dim-4 writer would emit NaN Z for 2D
+  // CoordinateArraySequences, which report dimension 3).
+  private def mWriter(includeSrid: Boolean): WKBWriter = {
+    val w = new WKBWriter(3, includeSrid)
+    w.setOutputOrdinates(java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.M))
+    w
+  }
+  private val wkbWritersM = ThreadLocal.withInitial[WKBWriter](() => mWriter(true))
+  private val wkbWriters4 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(4, true))
+  private val isoWkbWritersM = ThreadLocal.withInitial[WKBWriter](() => mWriter(false))
+  private val isoWkbWriters4 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(4, false))
+  private val wktWritersM = ThreadLocal.withInitial[WKTWriter](() => {
+    val w = new WKTWriter(3)
+    w.setOutputOrdinates(java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.M))
+    w
+  })
+  private val wktWriters4 = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(4))
+
   /** First-coordinate Z probe (PostGIS-style): a geometry is 3D when its
     * lead coordinate carries a real Z. Keeps every existing 2D geometry's
     * bytes identical while letting `POINT Z` inputs round-trip. */
@@ -38,11 +60,25 @@ object Geom {
     c != null && !java.lang.Double.isNaN(c.getZ)
   }
 
+  /** First-coordinate M probe, same convention as [[hasZ]]: only
+    * CoordinateXYM / CoordinateXYZM (what the WKB/WKT readers produce for
+    * `POINT M` / `POINT ZM` input) carry a non-NaN M. */
+  def hasM(g: Geometry): Boolean = {
+    val c = if (g.isEmpty) null else g.getCoordinate
+    c != null && !java.lang.Double.isNaN(c.getM)
+  }
+
+  private def pick(g: Geometry, w2: ThreadLocal[WKBWriter], w3: ThreadLocal[WKBWriter],
+                   wm: ThreadLocal[WKBWriter], w4: ThreadLocal[WKBWriter]): WKBWriter = {
+    val z = hasZ(g); val m = hasM(g)
+    if (z && m) w4.get else if (m) wm.get else if (z) w3.get else w2.get
+  }
+
   def serialize(g: Geometry): Array[Byte] =
-    (if (hasZ(g)) wkbWriters3.get else wkbWriters.get).write(g)
+    pick(g, wkbWriters, wkbWriters3, wkbWritersM, wkbWriters4).write(g)
   /** Standard ISO WKB (no EWKB SRID flag) — the ST_AsBinary interop format. */
   def serializeIso(g: Geometry): Array[Byte] =
-    (if (hasZ(g)) isoWkbWriters3.get else isoWkbWriters.get).write(g)
+    pick(g, isoWkbWriters, isoWkbWriters3, isoWkbWritersM, isoWkbWriters4).write(g)
   def deserialize(bytes: Array[Byte]): Geometry =
     try wkbReaders.get.read(bytes)
     catch {
@@ -54,8 +90,11 @@ object Geom {
     }
 
   def fromWkt(wkt: String): Geometry = wktReaders.get.read(wkt)
-  def toWkt(g: Geometry): String =
-    (if (hasZ(g)) wktWriters3.get else wktWriters.get).write(g)
+  def toWkt(g: Geometry): String = {
+    val z = hasZ(g); val m = hasM(g)
+    (if (z && m) wktWriters4.get else if (m) wktWritersM.get
+     else if (z) wktWriters3.get else wktWriters.get).write(g)
+  }
 
   def point(x: Double, y: Double): Point =
     factory.createPoint(new Coordinate(x, y))
