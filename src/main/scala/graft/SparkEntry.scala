@@ -547,6 +547,30 @@ object SparkEntry {
              count(*) AS n
       FROM cells GROUP BY 1, 2 ORDER BY q, r""")),
 
+    // DBSCAN over synthetic integer-coordinate blobs (25-30 points each,
+    // spacing 30 >> eps 2), a sparse noise arm (custkey % 11) and a
+    // borderline "tail" position whose core-ness varies by blob
+    // population — neighbor counts, core flags and min-id cluster labels
+    // are all exact integer arithmetic, replayed by a recursive-CTE
+    // transitive closure in DuckDB
+    "spatial_dbscan" -> ((s, d) => {
+      prep(s, d)
+      val pts = s.sql("""
+        SELECT c_custkey AS id,
+               st_point(
+                 CAST(CASE WHEN c_custkey % 11 = 0 THEN 500 + (c_custkey % 89) * 7
+                           ELSE ((c_custkey % 50) % 10) * 30 +
+                                (CASE WHEN c_custkey % 17 = 0 THEN 4 ELSE c_custkey % 3 END)
+                      END AS DOUBLE),
+                 CAST(CASE WHEN c_custkey % 11 = 0 THEN 500 + (c_custkey % 97) * 7
+                           ELSE ((c_custkey % 50) DIV 10) * 30 +
+                                (CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE (c_custkey DIV 3) % 3 END)
+                      END AS DOUBLE)) AS geo
+        FROM customer""")
+      graft.ops.SpatialCluster.dbscanPoints(pts, "id", "geo", eps = 2.0, minPts = 5)
+        .orderBy("id")
+    }),
+
     // M-measure linear referencing (tier 5): measures assigned by
     // st_addmeasure are pure IEEE +,-,*,/ over exact integer-valued
     // doubles, so the DuckDB oracle replays every value bit-for-bit with
@@ -1569,6 +1593,44 @@ object SparkEntry {
              ROUND(700000.0 + rho*sin(theta), 3) AS lx,
              ROUND(6600000.0 + rho0 - rho*cos(theta), 3) AS ly
       FROM proj ORDER BY c_custkey""",
+
+    // DBSCAN replay: O(n^2) pair join is fine at oracle scale; core =
+    // neighborhood count (self included) >= minPts; cluster = min core id
+    // via recursive transitive closure over core-core edges (self-pairs
+    // seed each core with its own label); borders adopt the min cluster
+    // among core neighbors; noise = -1 — mirrors SpatialCluster.dbscanPoints
+    "spatial_dbscan" -> """
+      WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id,
+               CAST(CASE WHEN c_custkey % 11 = 0 THEN 500 + (c_custkey % 89) * 7
+                         ELSE ((c_custkey % 50) % 10) * 30 +
+                              (CASE WHEN c_custkey % 17 = 0 THEN 4 ELSE c_custkey % 3 END)
+                    END AS DOUBLE) AS x,
+               CAST(CASE WHEN c_custkey % 11 = 0 THEN 500 + (c_custkey % 97) * 7
+                         ELSE ((c_custkey % 50) // 10) * 30 +
+                              (CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE (c_custkey // 3) % 3 END)
+                    END AS DOUBLE) AS y
+        FROM customer),
+      prs AS (
+        SELECT a.id AS ida, b.id AS idb FROM pts a JOIN pts b
+        ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0),
+      core AS (SELECT ida AS id FROM prs GROUP BY ida HAVING COUNT(*) >= 5),
+      ce AS (SELECT p.ida AS u, p.idb AS v FROM prs p
+             JOIN core c1 ON c1.id = p.ida JOIN core c2 ON c2.id = p.idb),
+      reach AS (SELECT u AS id, v AS r FROM ce
+                UNION SELECT e.u, r.r FROM ce e JOIN reach r ON e.v = r.id),
+      cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+      brd AS (
+        SELECT p.ida AS id, MIN(cc.cluster) AS cluster
+        FROM prs p JOIN core c2 ON c2.id = p.idb JOIN cc ON cc.id = p.idb
+        WHERE p.ida NOT IN (SELECT id FROM core)
+        GROUP BY p.ida)
+      SELECT p.id, (c.id IS NOT NULL) AS is_core,
+             CAST(COALESCE(cc.cluster, brd.cluster, -1) AS BIGINT) AS cluster
+      FROM pts p LEFT JOIN core c ON c.id = p.id
+      LEFT JOIN cc ON cc.id = p.id
+      LEFT JOIN brd ON brd.id = p.id
+      ORDER BY p.id""",
 
     // StAddMeasure replay: vertex measures are m0 + (m1-m0) * (acc/total)
     // over exact integer-valued doubles (axis-aligned segments make every

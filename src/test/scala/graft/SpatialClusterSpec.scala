@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.SpatialCluster
+
+class SpatialClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points(rows: (Long, Double, Double)*) =
+    rows.toDF("id", "px", "py")
+      .selectExpr("id", "st_point(px, py) AS geo")
+
+  test("dbscan: cores, border, noise on a hand-checked blob") {
+    // square blob (ids 1-4, all mutual neighbors at eps 1.5), a border
+    // point (5) reaching two cores, a loner (6)
+    val df = points((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0),
+      (4L, 1.0, 1.0), (5L, 2.0, 0.0), (6L, 10.0, 10.0))
+    val got = SpatialCluster.dbscanPoints(df, "id", "geo", eps = 1.5, minPts = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, true, 1L), (2L, true, 1L), (3L, true, 1L), (4L, true, 1L),
+      (5L, false, 1L), (6L, false, -1L)))
+  }
+
+  test("dbscan: separate blobs get separate min-id labels") {
+    val blobA = (1L to 5L).map(i => (i, (i % 2).toDouble, (i % 3).toDouble))
+    val blobB = (11L to 15L).map(i => (i, 100.0 + (i % 2), 100.0 + (i % 3)))
+    val got = SpatialCluster.dbscanPoints(points(blobA ++ blobB: _*), "id", "geo",
+        eps = 3.0, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert((11L to 15L).forall(got(_) == 11L))
+  }
+
+  test("dbscan: minPts above blob size makes everything noise") {
+    val df = points((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0))
+    val got = SpatialCluster.dbscanPoints(df, "id", "geo", eps = 1.5, minPts = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(got.forall { case (_, isCore, c) => !isCore && c == -1L })
+  }
+
+  test("dbscan: points straddling cell boundaries still pair up") {
+    // eps = 1.0 puts these in different grid cells; the 3x3 probe must find
+    // the cross-cell neighbor
+    val df = points((1L, 0.95, 0.0), (2L, 1.05, 0.0), (3L, 2.0, 0.0),
+      (4L, 0.0, 0.0))
+    val got = SpatialCluster.dbscanPoints(df, "id", "geo", eps = 1.0, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    // 1: nbrs {1,2,4} core; 2: nbrs {1,2,3} core; 3: {2,3} border; 4: {1,4} border
+    assert(got.toSeq == Seq(
+      (1L, true, 1L), (2L, true, 1L), (3L, false, 1L), (4L, false, 1L)))
+  }
+}
