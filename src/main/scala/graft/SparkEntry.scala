@@ -571,6 +571,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Local Outlier Factor over a 1D integer lattice in density blocks
+    // (spacing 1/2/3 by block) with one displaced outlier per block —
+    // distances are exact integers and every double sum in the operator is
+    // a sequential fold in neighbor-rank order, so the DuckDB replay (same
+    // chain written as an explicit expression tree) is bit-exact
+    "spatial_lof" -> ((s, d) => {
+      prep(s, d)
+      val pts = s.sql("""
+        WITH t AS (SELECT c_custkey, c_custkey - 1 AS c0 FROM customer)
+        SELECT c_custkey AS id,
+               st_point(CAST((c0 DIV 100) * 10000 + (c0 % 100) * (1 + (c0 DIV 100) % 3)
+                             + CASE WHEN c0 % 100 = 99 THEN 500 ELSE 0 END AS DOUBLE),
+                        0.0D) AS geo
+        FROM t""")
+      graft.ops.SpatialCluster.localOutlierFactor(pts, "id", "geo", k = 4)
+        .orderBy("id")
+    }),
+
     // M-measure linear referencing (tier 5): measures assigned by
     // st_addmeasure are pure IEEE +,-,*,/ over exact integer-valued
     // doubles, so the DuckDB oracle replays every value bit-for-bit with
@@ -1630,6 +1648,39 @@ object SparkEntry {
       FROM pts p LEFT JOIN core c ON c.id = p.id
       LEFT JOIN cc ON cc.id = p.id
       LEFT JOIN brd ON brd.id = p.id
+      ORDER BY p.id""",
+
+    // LOF replay: exactly-k neighborhoods with (dist, id) tie-break;
+    // reachability sums are integers (order-free), the lrd-ratio sum is
+    // written as the SAME left-fold chain the operator computes
+    // (((l1+l2)+l3)+l4 — aggregate over rank-sorted array), so the scores
+    // hash bit-for-bit
+    "spatial_lof" -> """
+      WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(((c_custkey - 1) // 100) * 10000
+                    + ((c_custkey - 1) % 100) * (1 + ((c_custkey - 1) // 100) % 3)
+                    + CASE WHEN (c_custkey - 1) % 100 = 99 THEN 500 ELSE 0 END AS DOUBLE) AS x
+        FROM customer),
+      d AS (SELECT a.id AS id, b.id AS nbr, ABS(a.x - b.x) AS dist
+            FROM pts a JOIN pts b ON a.id <> b.id),
+      r AS (SELECT id, nbr, dist,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nbr) AS rk FROM d),
+      n AS (SELECT * FROM r WHERE rk <= 4),
+      kd AS (SELECT id, MAX(dist) AS k_dist FROM n GROUP BY id),
+      rc AS (SELECT n.id, n.rk, GREATEST(kd.k_dist, n.dist) AS rdist
+             FROM n JOIN kd ON kd.id = n.nbr),
+      rs AS (SELECT id,
+                    ((MAX(CASE WHEN rk = 1 THEN rdist END) + MAX(CASE WHEN rk = 2 THEN rdist END))
+                     + MAX(CASE WHEN rk = 3 THEN rdist END)) + MAX(CASE WHEN rk = 4 THEN rdist END) AS rsum
+             FROM rc GROUP BY id),
+      ld AS (SELECT id, CAST(4.0 AS DOUBLE) / rsum AS lrd FROM rs),
+      ls AS (SELECT n.id,
+                    ((MAX(CASE WHEN n.rk = 1 THEN l.lrd END) + MAX(CASE WHEN n.rk = 2 THEN l.lrd END))
+                     + MAX(CASE WHEN n.rk = 3 THEN l.lrd END)) + MAX(CASE WHEN n.rk = 4 THEN l.lrd END) AS lsum
+             FROM n JOIN ld l ON l.id = n.nbr GROUP BY n.id)
+      SELECT p.id, kd.k_dist, ld.lrd, ls.lsum / ld.lrd / CAST(4.0 AS DOUBLE) AS lof
+      FROM pts p JOIN kd ON kd.id = p.id JOIN ld ON ld.id = p.id JOIN ls ON ls.id = p.id
       ORDER BY p.id""",
 
     // StAddMeasure replay: vertex measures are m0 + (m1-m0) * (acc/total)

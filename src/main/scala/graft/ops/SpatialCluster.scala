@@ -116,4 +116,69 @@ object SpatialCluster {
       } finally pos.unpersist()
     } finally pts.unpersist()
   }
+
+  /**
+   * Local Outlier Factor (Breunig et al. 2000) over point geometries — the
+   * capability match for Sedona's ST_LocalOutlierFactor (Sedona 1.7).
+   *
+   * Exactly-k neighborhoods with deterministic (distance, id) tie-break
+   * (the sklearn convention), self excluded. Every double sum is a
+   * SEQUENTIAL FOLD IN NEIGHBOR-RANK ORDER (`aggregate(sort_array(...))`)
+   * rather than an unordered SQL SUM: float addition is order-dependent,
+   * and the fixed fold order is what lets an external engine (the DuckDB
+   * oracle, a re-run on different partitioning) reproduce LOF scores
+   * bit-for-bit.
+   *
+   * Scale note: neighborhoods come from SpatialJoin.knnJoin, which
+   * broadcasts the candidate set — right for sample/monitoring scale
+   * (millions). For LOF over billions of points, pre-bucket with
+   * dbscanPoints-style eps cells and run knnJoin per coarse region.
+   *
+   * @return (id, k_dist, lrd, lof); lof is Infinity when a point's whole
+   *         neighborhood is co-located with it (duplicate coordinates).
+   */
+  def localOutlierFactor(df: DataFrame, idCol: String, geomCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pts = df.select(col(idCol).cast("long").as("id"), col(geomCol).as("__g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rights = pts.select(col("id").as("nbr"), col("__g").as("__ng"))
+      // k+1 then drop self (unique coordinates put self at rank 1, dist 0)
+      val nbrs = graft.plans.SpatialJoin.knnJoin(
+          pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1)
+        .where(col("nbr") =!= col("id"))
+        .select(col("id"), col("nbr"), col("knn_dist").as("dist"),
+          (col("knn_rank") - 1).as("rk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kdist = nbrs.groupBy("id").agg(max("dist").as("k_dist"))
+        // reachability distance to each neighbor: max(k-dist(nbr), d(p, nbr))
+        val reach = nbrs
+          .join(kdist.select(col("id").as("nbr"), col("k_dist").as("nb_kdist")), "nbr")
+          .select(col("id"), col("rk"), greatest(col("nb_kdist"), col("dist")).as("rdist"))
+        def foldInRankOrder(valueCol: String): Column =
+          aggregate(
+            sort_array(collect_list(struct(col("rk"), col(valueCol)))),
+            lit(0.0),
+            (acc, x) => acc + x.getField(valueCol))
+        val lrd = reach.groupBy("id")
+          .agg(foldInRankOrder("rdist").as("rsum"))
+          .select(col("id"), (lit(k.toDouble) / col("rsum")).as("lrd"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val lsum = nbrs
+            .join(lrd.select(col("id").as("nbr"), col("lrd").as("nb_lrd")), "nbr")
+            .groupBy("id").agg(foldInRankOrder("nb_lrd").as("lsum"))
+          pts.select("id")
+            .join(kdist, "id")
+            .join(lrd, "id")
+            .join(lsum, "id")
+            .select(col("id"), col("k_dist"), col("lrd"),
+              (col("lsum") / col("lrd") / lit(k.toDouble)).as("lof"))
+            .localCheckpoint()
+        } finally lrd.unpersist()
+      } finally nbrs.unpersist()
+    } finally pts.unpersist()
+  }
 }

@@ -38,6 +38,29 @@ class SpatialClusterSpec extends SparkSpec {
     assert(got.forall { case (_, isCore, c) => !isCore && c == -1L })
   }
 
+  test("lof: uniform run scores 1, the far point scores high") {
+    // 1D lattice 0,1,2,3 plus a loner at 10; k = 2 (hand-computed:
+    // lrd(1..4) = 2/3, lrd(5) = 2/15, LOF(1..4) = 1, LOF(5) = 5)
+    val df = points((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 2.0, 0.0),
+      (4L, 3.0, 0.0), (5L, 10.0, 0.0))
+    val got = SpatialCluster.localOutlierFactor(df, "id", "geo", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(2.0, 1.0, 1.0, 2.0, 8.0)) // k-dists
+    got.take(4).foreach { case (_, _, lof) => assert(lof == 1.0) }
+    assert(math.abs(got(4)._3 - 5.0) < 1e-12)
+  }
+
+  test("lof: deterministic across recomputation") {
+    val df = points((1L to 200L).map(i =>
+      (i, i.toDouble, (i % 23).toDouble * 2)): _*)
+    val a = SpatialCluster.localOutlierFactor(df, "id", "geo", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val b = SpatialCluster.localOutlierFactor(df, "id", "geo", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(a == b) // bit-identical, not just close
+  }
+
   test("dbscan: points straddling cell boundaries still pair up") {
     // eps = 1.0 puts these in different grid cells; the 3x3 probe must find
     // the cross-cell neighbor
