@@ -571,6 +571,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Getis-Ord Gi* hotspots over the blob lattice with integer values
+    // (every fifth blob runs hot): neighbor counts/sums and the global
+    // mean/variance are integer-exact regardless of aggregation order, so
+    // the z-score expression tree replays bit-for-bit in DuckDB
+    "spatial_gi_star" -> ((s, d) => {
+      prep(s, d)
+      val pts = s.sql("""
+        WITH t AS (SELECT c_custkey, c_custkey - 1 AS c0 FROM customer)
+        SELECT c_custkey AS id,
+               st_point(CAST(((c0 % 50) % 10) * 30 + (c0 % 3) AS DOUBLE),
+                        CAST(((c0 % 50) DIV 10) * 30 + ((c0 DIV 3) % 3) AS DOUBLE)) AS geo,
+               CASE WHEN (c0 % 50) % 5 = 0 THEN 15 + c0 % 5 ELSE c0 % 10 END AS v
+        FROM t""")
+      graft.ops.SpatialCluster.getisOrdGiStar(pts, "id", "geo", "v", radius = 2.0)
+        .orderBy("id")
+    }),
+
     // Local Outlier Factor over a 1D integer lattice in density blocks
     // (spacing 1/2/3 by block) with one displaced outlier per block —
     // distances are exact integers and every double sum in the operator is
@@ -1649,6 +1666,27 @@ object SparkEntry {
       LEFT JOIN cc ON cc.id = p.id
       LEFT JOIN brd ON brd.id = p.id
       ORDER BY p.id""",
+
+    // Gi* replay: O(n^2) neighbor join at oracle scale; the z-score is the
+    // SAME expression tree the operator builds (xbar/sdev recomputed in
+    // place, numerator then band-corrected denominator)
+    "spatial_gi_star" -> """
+      WITH t AS (SELECT c_custkey, c_custkey - 1 AS c0 FROM customer),
+      p AS (SELECT c_custkey AS id,
+              CAST(((c0 % 50) % 10) * 30 + (c0 % 3) AS DOUBLE) AS x,
+              CAST(((c0 % 50) // 10) * 30 + ((c0 // 3) % 3) AS DOUBLE) AS y,
+              CAST(CASE WHEN (c0 % 50) % 5 = 0 THEN 15 + c0 % 5 ELSE c0 % 10 END AS DOUBLE) AS v
+            FROM t),
+      g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS sx, SUM(v * v) AS sxx FROM p),
+      nb AS (SELECT a.id, CAST(COUNT(*) AS DOUBLE) AS w_sum, SUM(b.v) AS v_sum
+             FROM p a JOIN p b
+             ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+             GROUP BY a.id)
+      SELECT nb.id, nb.w_sum, nb.v_sum,
+             (nb.v_sum - (g.sx / g.n) * nb.w_sum)
+             / (sqrt(g.sxx / g.n - (g.sx / g.n) * (g.sx / g.n))
+                * sqrt((g.n * nb.w_sum - nb.w_sum * nb.w_sum) / (g.n - 1.0))) AS gi_star
+      FROM nb CROSS JOIN g ORDER BY nb.id""",
 
     // LOF replay: exactly-k neighborhoods with (dist, id) tie-break;
     // reachability sums are integers (order-free), the lrd-ratio sum is

@@ -118,6 +118,63 @@ object SpatialCluster {
   }
 
   /**
+   * Getis-Ord Gi* hotspot statistic (Getis & Ord 1992) with binary
+   * distance-band weights — the capability match for Sedona's
+   * ST_BinaryDistanceBandColumn + g_local pipeline (Sedona 1.7 stats).
+   *
+   * w_ij = 1 when d(i,j) <= radius (self included, the Gi* convention).
+   * Neighborhood sums come from the same eps-grid 3x3 candidate equi-join
+   * as dbscanPoints — bounded, shuffle-on-key, no all-pairs work. The
+   * global mean/variance and the per-point neighbor sums are plain SUM
+   * aggregates: with an integer-valued `valueCol` (counts, bucketed
+   * measures — the usual hotspot inputs) every sum is exact regardless of
+   * aggregation order, which is what makes the z-scores reproducible
+   * across partitionings and engines.
+   *
+   * z_i = (S_i - xbar*W_i) / (s * sqrt((n*W_i - W_i^2) / (n-1))),
+   * S_i = sum of neighbor values, W_i = neighbor count.
+   *
+   * @return (id, w_sum, v_sum, gi_star)
+   */
+  def getisOrdGiStar(df: DataFrame, idCol: String, geomCol: String,
+                     valueCol: String, radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        GraftFunctions.st_x(col(geomCol)).as("x"),
+        GraftFunctions.st_y(col(geomCol)).as("y"),
+        col(valueCol).cast("double").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val globals = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum("v").as("sx"), sum(col("v") * col("v")).as("sxx"))
+      val cx = floor(col("x") / lit(radius)).cast("long")
+      val cy = floor(col("y") / lit(radius)).cast("long")
+      def pack(a: Column, b: Column): Column =
+        shiftleft(a, 32).bitwiseOR(b.bitwiseAND(lit(0xffffffffL)))
+      val keyed = pts.withColumn("cell", pack(cx, cy))
+      val probes = pts.withColumn("cell", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1) yield pack(cx + lit(dx), cy + lit(dy))): _*)))
+      val dx = col("ax") - col("bx")
+      val dy = col("ay") - col("by")
+      // pairs include self once (dist 0) — Gi* wants the focal point in its
+      // own neighborhood
+      val nbrStats = probes.select(col("id").as("ida"), col("x").as("ax"), col("y").as("ay"), col("cell"))
+        .join(keyed.select(col("v").as("vb"), col("x").as("bx"), col("y").as("by"), col("cell")), "cell")
+        .where(dx * dx + dy * dy <= lit(radius * radius))
+        .groupBy(col("ida").as("id"))
+        .agg(count(lit(1)).cast("double").as("w_sum"), sum("vb").as("v_sum"))
+      val xbar = col("sx") / col("n")
+      val sdev = sqrt(col("sxx") / col("n") - xbar * xbar)
+      nbrStats.crossJoin(broadcast(globals))
+        .select(col("id"), col("w_sum"), col("v_sum"),
+          ((col("v_sum") - xbar * col("w_sum")) /
+            (sdev * sqrt((col("n") * col("w_sum") - col("w_sum") * col("w_sum"))
+              / (col("n") - lit(1.0))))).as("gi_star"))
+        .localCheckpoint()
+    } finally pts.unpersist()
+  }
+
+  /**
    * Local Outlier Factor (Breunig et al. 2000) over point geometries — the
    * capability match for Sedona's ST_LocalOutlierFactor (Sedona 1.7).
    *

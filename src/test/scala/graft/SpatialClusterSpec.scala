@@ -61,6 +61,24 @@ class SpatialClusterSpec extends SparkSpec {
     assert(a == b) // bit-identical, not just close
   }
 
+  test("getis-ord gi*: hot run scores positive, cold loner negative") {
+    // x = 0,1,2 carry value 10; the loner at 10 carries 0. n=4, xbar=7.5,
+    // s = sqrt(18.75)
+    val df = (1L to 4L).map(i => (i, Seq(0.0, 1.0, 2.0, 10.0)(i.toInt - 1), 0.0))
+      .toDF("id", "px", "py")
+      .selectExpr("id", "st_point(px, py) AS geo",
+        "CASE WHEN id = 4 THEN 0 ELSE 10 END AS v")
+    val got = SpatialCluster.getisOrdGiStar(df, "id", "geo", "v", radius = 1.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(g => (g._2, g._3)).toSeq ==
+      Seq((2.0, 20.0), (3.0, 30.0), (2.0, 20.0), (1.0, 0.0)))
+    val s = math.sqrt(18.75)
+    assert(math.abs(got(0)._4 - 5.0 / (s * math.sqrt(4.0 / 3.0))) < 1e-12)
+    assert(math.abs(got(3)._4 - -7.5 / (s * math.sqrt(1.0))) < 1e-12)
+    assert(got(1)._4 > 0 && got(3)._4 < 0)
+  }
+
   test("dbscan: points straddling cell boundaries still pair up") {
     // eps = 1.0 puts these in different grid cells; the 3x3 probe must find
     // the cross-cell neighbor
