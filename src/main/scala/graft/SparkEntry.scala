@@ -571,6 +571,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // KML/GML reader-writer roundtrip: the parse must invert the writer
+    // exactly, so st_astext of the roundtrip equals a directly-built WKT
+    // string in the oracle (no XML on the DuckDB side at all)
+    "st_xml_roundtrip" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_astext(st_geomfromkml(st_askml(st_point(CAST(p_size AS DOUBLE),
+                                                        CAST(p_size + 1 AS DOUBLE))))) AS kml_pt,
+             st_astext(st_geomfromgml(st_asgml(
+               st_makeenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE), CAST(p_size AS DOUBLE))))) AS gml_poly
+      FROM part ORDER BY p_partkey""")),
+
     // Getis-Ord Gi* hotspots over the blob lattice with integer values
     // (every fifth blob runs hot): neighbor counts/sums and the global
     // mean/variance are integer-exact regardless of aggregation order, so
@@ -1666,6 +1677,15 @@ object SparkEntry {
       LEFT JOIN cc ON cc.id = p.id
       LEFT JOIN brd ON brd.id = p.id
       ORDER BY p.id""",
+
+    // XML roundtrip reduces to identity: build the same WKT strings directly
+    "st_xml_roundtrip" -> """
+      SELECT p_partkey,
+             'POINT (' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size + 1 AS VARCHAR) || ')' AS kml_pt,
+             'POLYGON ((0 0, ' || CAST(p_size AS VARCHAR) || ' 0, '
+               || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size AS VARCHAR) || ', 0 '
+               || CAST(p_size AS VARCHAR) || ', 0 0))' AS gml_poly
+      FROM part ORDER BY p_partkey""",
 
     // Gi* replay: O(n^2) neighbor join at oracle scale; the z-score is the
     // SAME expression tree the operator builds (xbar/sdev recomputed in

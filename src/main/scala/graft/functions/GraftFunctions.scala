@@ -195,6 +195,8 @@ object GraftFunctions {
     ("st_geometricmedian", 1, es => StGeometricMedian(es.head)),
     ("st_askml", 1, es => StAsKml(es.head)),
     ("st_asgml", 1, es => StAsGml(es.head)),
+    ("st_geomfromkml", 1, es => StGeomFromXml(es.head, "st_geomfromkml")),
+    ("st_geomfromgml", 1, es => StGeomFromXml(es.head, "st_geomfromgml")),
     ("st_linefrommultipoint", 1, es => StLineFromMultiPoint(es.head)),
     ("st_distancespheroid", 2, es => StDistanceSpheroid(es(0), es(1))),
     ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),

@@ -271,6 +271,84 @@ private[functions] object XmlGeom {
         .mkString("<MultiGeometry>", "", "</MultiGeometry>")
   }
 
+  /** Parse a KML / GML 2 geometry fragment (the `kml`/`gml` writer
+    * dialect: Point / LineString / Polygon with outer/inner boundaries or
+    * GML 3 exterior/interior, MultiGeometry) into a geometry. Namespace
+    * prefixes are ignored; DOCTYPE is rejected (no XXE). */
+  def parse(xml: String): Geometry = {
+    import org.w3c.dom.{Element, Node}
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder().parse(
+      new org.xml.sax.InputSource(new java.io.StringReader(xml.trim)))
+
+    def local(n: Node): String = {
+      val s = n.getNodeName; val i = s.indexOf(':')
+      if (i >= 0) s.substring(i + 1) else s
+    }
+    def children(e: Element): Seq[Element] = {
+      val nl = e.getChildNodes
+      (0 until nl.getLength).map(nl.item).collect { case el: Element => el }
+    }
+    def coordsOf(e: Element): Array[Coordinate] = {
+      // first descendant <coordinates> (KML/GML2) or <posList> (GML3)
+      def find(el: Element): Option[Element] = {
+        val name = local(el)
+        if (name == "coordinates" || name == "posList") Some(el)
+        else children(el).iterator.map(find).collectFirst { case Some(x) => x }
+      }
+      val holder = find(e).getOrElse(
+        throw new IllegalArgumentException(s"no <coordinates> under <${local(e)}>"))
+      val text = holder.getTextContent.trim
+      if (text.isEmpty) Array.empty
+      else if (local(holder) == "posList")
+        text.split("\\s+").map(_.toDouble).grouped(2)
+          .map(a => new Coordinate(a(0), a(1))).toArray
+      else text.split("\\s+").map { tok =>
+        val parts = tok.split(",")
+        require(parts.length >= 2, s"bad KML/GML coordinate '$tok'")
+        if (parts.length >= 3) new Coordinate(parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+        else new Coordinate(parts(0).toDouble, parts(1).toDouble)
+      }
+    }
+    def build(e: Element): Geometry = local(e) match {
+      case "Point" => Geom.factory.createPoint(coordsOf(e).headOption.orNull)
+      case "LineString" | "LinearRing" => Geom.factory.createLineString(coordsOf(e))
+      case "Polygon" =>
+        val kids = children(e)
+        def ringOf(el: Element) = Geom.factory.createLinearRing(coordsOf(el))
+        val outer = kids.find(k => local(k) == "outerBoundaryIs" || local(k) == "exterior")
+          .map(ringOf).getOrElse(
+            throw new IllegalArgumentException("Polygon without outer boundary"))
+        val inner = kids.filter(k => local(k) == "innerBoundaryIs" || local(k) == "interior")
+          .map(ringOf)
+        Geom.factory.createPolygon(outer, inner.toArray)
+      case "MultiGeometry" | "GeometryCollection" =>
+        val gs = children(e).map(build)
+        if (gs.nonEmpty && gs.forall(_.isInstanceOf[Point]))
+          Geom.factory.createMultiPoint(gs.map(_.asInstanceOf[Point]).toArray)
+        else if (gs.nonEmpty && gs.forall(_.isInstanceOf[LineString]))
+          Geom.factory.createMultiLineString(gs.map(_.asInstanceOf[LineString]).toArray)
+        else if (gs.nonEmpty && gs.forall(_.isInstanceOf[Polygon]))
+          Geom.factory.createMultiPolygon(gs.map(_.asInstanceOf[Polygon]).toArray)
+        else Geom.factory.createGeometryCollection(gs.toArray)
+      case "MultiPoint" | "MultiLineString" | "MultiPolygon" | "MultiCurve" | "MultiSurface" =>
+        // GML member wrappers: pointMember / lineStringMember / ... hold one
+        // geometry each
+        val gs = children(e).flatMap(m => children(m).map(build))
+        local(e) match {
+          case "MultiPoint" => Geom.factory.createMultiPoint(gs.map(_.asInstanceOf[Point]).toArray)
+          case "MultiLineString" | "MultiCurve" =>
+            Geom.factory.createMultiLineString(gs.map(_.asInstanceOf[LineString]).toArray)
+          case _ => Geom.factory.createMultiPolygon(gs.map(_.asInstanceOf[Polygon]).toArray)
+        }
+      case other => throw new IllegalArgumentException(s"unsupported KML/GML element <$other>")
+    }
+    build(doc.getDocumentElement)
+  }
+
   /** GML 2 geometry fragment, recursive for Multi*. */
   def gml(g: Geometry): String = g match {
     case p: Point => s"<gml:Point><gml:coordinates>${coords(p.getCoordinates)}</gml:coordinates></gml:Point>"
@@ -302,6 +380,26 @@ case class StAsGml(child: Expression) extends StUnary {
   protected def run(g: Geometry): Any = str(XmlGeom.gml(g))
   override def prettyName: String = "st_asgml"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_geomfromkml(text) / st_geomfromgml(text): parses a KML or GML 2/3
+  * geometry fragment (reader twin of st_askml / st_asgml — both tag
+  * dialects are accepted by the same parser, so the two names share it). */
+case class StGeomFromXml(child: Expression, fn: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(child -> "string"))
+  override def nullSafeEval(input: Any): Any = evalText(input.asInstanceOf[Object])
+  def evalText(s: Object): Array[Byte] = out(XmlGeom.parse(s.toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("stXml", this, classOf[StGeomFromXml].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalText($a);")
+  }
+  override def prettyName: String = fn
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, fn)
 }
 
 /** st_linefrommultipoint(geom): LineString through a MultiPoint's points

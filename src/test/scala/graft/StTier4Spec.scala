@@ -97,6 +97,27 @@ class StTier4Spec extends SparkSpec {
       .startsWith("<MultiGeometry><Point>"))
   }
 
+  test("st_geomfromkml / st_geomfromgml round-trip the writer dialects") {
+    for (wkt <- Seq("POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((0 0), (1 1))", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")) {
+      assert(s1(s"st_astext(st_geomfromkml(st_askml(st_geomfromtext('$wkt'))))") == wkt,
+        s"KML roundtrip of $wkt")
+      assert(s1(s"st_astext(st_geomfromgml(st_asgml(st_geomfromtext('$wkt'))))") == wkt,
+        s"GML roundtrip of $wkt")
+    }
+    // GML3 posList + exterior dialect
+    assert(s1("""st_astext(st_geomfromgml(
+      '<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>0 0 4 0 4 4 0 0</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>'))""")
+      == "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    // KML z ordinates come through
+    assert(s1("""st_z(st_geomfromkml('<Point><coordinates>1,2,9</coordinates></Point>'))""") == 9.0)
+    // DOCTYPE is rejected (XXE hardening)
+    intercept[Exception] {
+      s1("""st_astext(st_geomfromkml('<!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]><Point><coordinates>1,2</coordinates></Point>'))""")
+    }
+  }
+
   test("st_linefrommultipoint connects points in order; NULL otherwise") {
     assert(s1("st_astext(st_linefrommultipoint(st_geomfromtext('MULTIPOINT ((0 0), (1 1), (2 0))')))")
       == "LINESTRING (0 0, 1 1, 2 0)")
