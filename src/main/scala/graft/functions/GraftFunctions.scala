@@ -354,6 +354,9 @@ object GraftFunctions {
   private def usageFor(name: String): String =
     usageDocs.getOrElse(name, s"$name(...) - graft spatial/vector function; see README.md.")
 
+  /** (name, usage) for every catalog function — docs/tooling surface. */
+  def catalogDocs: Seq[(String, String)] = catalog.map { case (n, _) => n -> usageFor(n) }
+
   /** Idempotent: (re)binds every catalog function + optimizer rule on the
     * given session (post-hoc path; GraftExtensions does the same at build
     * time via spark.sql.extensions). */

@@ -50,7 +50,13 @@ object SpatialCluster {
     *         reachable; -1 for noise points
     */
   def dbscanPoints(df: DataFrame, idCol: String, geomCol: String,
-                   eps: Double, minPts: Int): DataFrame = {
+                   eps: Double, minPts: Int): DataFrame =
+    dbscanPoints(df, idCol, geomCol, eps, minPts, checkpoint = true)
+
+  /** `checkpoint = false` keeps the logical plan inspectable (tests assert
+    * the join shapes); production callers always materialize. */
+  private[graft] def dbscanPoints(df: DataFrame, idCol: String, geomCol: String,
+                   eps: Double, minPts: Int, checkpoint: Boolean): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.select(col(idCol).cast("long").as("id"),
@@ -106,11 +112,11 @@ object SpatialCluster {
             val posLabeled = coreLabels.withColumn("is_core", lit(true))
               .unionByName(borderLabels.withColumn("is_core", lit(false)))
             // fan the per-position verdicts back out to points by coordinate
-            pts.join(pos.select("x", "y", "pid"), Seq("x", "y"))
+            val out = pts.join(pos.select("x", "y", "pid"), Seq("x", "y"))
               .join(posLabeled, Seq("pid"), "left")
               .select(col("id"), coalesce(col("is_core"), lit(false)).as("is_core"),
                 coalesce(col("cluster"), lit(-1L)).as("cluster"))
-              .localCheckpoint()
+            if (checkpoint) out.localCheckpoint() else out
           } finally corePos.unpersist()
         } finally posPairs.unpersist()
       } finally pos.unpersist()
@@ -137,7 +143,11 @@ object SpatialCluster {
    * @return (id, w_sum, v_sum, gi_star)
    */
   def getisOrdGiStar(df: DataFrame, idCol: String, geomCol: String,
-                     valueCol: String, radius: Double): DataFrame = {
+                     valueCol: String, radius: Double): DataFrame =
+    getisOrdGiStar(df, idCol, geomCol, valueCol, radius, checkpoint = true)
+
+  private[graft] def getisOrdGiStar(df: DataFrame, idCol: String, geomCol: String,
+                     valueCol: String, radius: Double, checkpoint: Boolean): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
     val pts = df.select(col(idCol).cast("long").as("id"),
         GraftFunctions.st_x(col(geomCol)).as("x"),
@@ -165,12 +175,12 @@ object SpatialCluster {
         .agg(count(lit(1)).cast("double").as("w_sum"), sum("vb").as("v_sum"))
       val xbar = col("sx") / col("n")
       val sdev = sqrt(col("sxx") / col("n") - xbar * xbar)
-      nbrStats.crossJoin(broadcast(globals))
+      val out = nbrStats.crossJoin(broadcast(globals))
         .select(col("id"), col("w_sum"), col("v_sum"),
           ((col("v_sum") - xbar * col("w_sum")) /
             (sdev * sqrt((col("n") * col("w_sum") - col("w_sum") * col("w_sum"))
               / (col("n") - lit(1.0))))).as("gi_star"))
-        .localCheckpoint()
+      if (checkpoint) out.localCheckpoint() else out
     } finally pts.unpersist()
   }
 

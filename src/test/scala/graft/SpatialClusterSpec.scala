@@ -61,6 +61,21 @@ class SpatialClusterSpec extends SparkSpec {
     assert(a == b) // bit-identical, not just close
   }
 
+  test("dbscan and gi* plans contain no cartesian product") {
+    val df = points((1L to 50L).map(i => (i, (i % 7).toDouble, (i % 5).toDouble)): _*)
+      .withColumn("v", org.apache.spark.sql.functions.expr("id % 10"))
+    for (plan <- Seq(
+        SpatialCluster.dbscanPoints(df, "id", "geo", 1.5, 3, checkpoint = false),
+        SpatialCluster.getisOrdGiStar(df, "id", "geo", "v", 1.5, checkpoint = false))) {
+      val physical = plan.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"), s"cartesian in:\n$physical")
+      // the only nested-loop join allowed is the broadcast of the one-row
+      // globals frame (gi*); candidate generation must be equi-joins
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(physical).length
+      assert(bnlj <= 1, s"unexpected nested-loop joins in:\n$physical")
+    }
+  }
+
   test("getis-ord gi*: hot run scores positive, cold loner negative") {
     // x = 0,1,2 carry value 10; the loner at 10 carries 0. n=4, xbar=7.5,
     // s = sqrt(18.75)
