@@ -24,15 +24,20 @@ object GraftFunctions {
       f(es)
     }
 
+  /** Constructor taking one payload arg plus the Sedona/PostGIS optional
+    * trailing SRID (wrapped as st_setsrid). */
+  private def withOptSrid(name: String, build: Seq[Expression] => Expression): Builder =
+    es => {
+      require(es.length == 1 || es.length == 2, s"$name expects 1 or 2 arguments, got ${es.length}")
+      if (es.length == 2) StSetSrid(build(es.take(1)), es(1)) else build(es)
+    }
+
   /** name → builder for every scalar + aggregate ST_ function. */
   val catalog: Seq[(String, Builder)] = Seq[(String, Int, Seq[Expression] => Expression)](
     // constructors
     ("st_point", 2, es => StPoint(es(0), es(1))),
     ("st_polygonfromenvelope", 4, es => StPolygonFromEnvelope(es)),
     ("st_makeenvelope", 4, es => StPolygonFromEnvelope(es)),
-    ("st_geomfromtext", 1, es => StGeomFromText(es.head)),
-    ("st_geomfromwkt", 1, es => StGeomFromText(es.head)),
-    ("st_geomfromwkb", 1, es => StGeomFromWKB(es.head)),
     ("st_geomfromgeojson", 1, es => StGeomFromGeoJson(es.head)),
     // output
     ("st_astext", 1, es => StAsText(es.head)),
@@ -232,7 +237,11 @@ object GraftFunctions {
     ("st_coorddim", 1, es => StNDims(es.head)),
     ("st_numinteriorring", 1, es => StNumInteriorRings(es.head)),
     ("st_asewkb", 1, es => StAsEwkb(es.head)),
-    ("st_geomfromewkb", 1, es => StGeomFromWKB(es.head)),
+    ("st_isclosed", 1, es => StIsClosed(es.head)),
+    ("st_ashexewkb", 1, es => StAsHexEwkb(es.head)),
+    ("st_force_2d", 1, es => StForce2D(es.head)),
+    ("st_degrees", 1, es => org.apache.spark.sql.catalyst.expressions.ToDegrees(es.head)),
+    ("st_radians", 1, es => org.apache.spark.sql.catalyst.expressions.ToRadians(es.head)),
     // aggregates (analyzer wraps the returned AggregateFunction)
     ("st_union_aggr", 1, es => StUnionAggr(es.head)),
     ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
@@ -245,8 +254,9 @@ object GraftFunctions {
       StTileCells(es)
     }) :+
     ("st_makeline" -> { (es: Seq[Expression]) =>
-      require(es.length >= 2, s"st_makeline expects at least 2 points, got ${es.length}")
-      StMakeLine(es)
+      // 1 arg = PostGIS array form (array<geometry>); 2+ = variadic points
+      require(es.nonEmpty, "st_makeline expects at least 1 argument")
+      if (es.length == 1) StMakeLineArray(es.head) else StMakeLine(es)
     }) :+
     ("st_delaunaytriangles" -> { (es: Seq[Expression]) =>
       require(es.length == 1 || es.length == 2, s"st_delaunaytriangles expects 1 or 2 arguments, got ${es.length}")
@@ -277,6 +287,15 @@ object GraftFunctions {
         case n => throw new IllegalArgumentException(s"st_makepoint expects 2-4 arguments, got $n")
       }
     }) :+
+    // WKT/WKB constructors with the Sedona optional-srid second argument
+    ("st_geomfromtext" -> withOptSrid("st_geomfromtext", es => StGeomFromText(es.head))) :+
+    ("st_geomfromwkt" -> withOptSrid("st_geomfromwkt", es => StGeomFromText(es.head))) :+
+    ("st_geomfromwkb" -> withOptSrid("st_geomfromwkb", es => StGeomFromWKB(es.head))) :+
+    ("st_geomfromewkb" -> withOptSrid("st_geomfromewkb", es => StGeomFromWKB(es.head))) :+
+    ("st_pointfromwkb" -> withOptSrid("st_pointfromwkb",
+      es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "Point", "st_pointfromwkb"))) :+
+    ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
+      es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
     ("st_removerepeatedpoints" -> { (es: Seq[Expression]) =>
       require(es.length == 1 || es.length == 2,
         s"st_removerepeatedpoints expects 1 or 2 arguments, got ${es.length}")

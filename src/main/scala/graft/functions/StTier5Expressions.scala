@@ -548,6 +548,80 @@ case class StAsEwkb(child: Expression) extends StUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_isclosed: every LineString component closed (first == last vertex);
+  * PostGIS convention — points and polygonal geometry count as closed. */
+case class StIsClosed(child: Expression) extends StUnary {
+  override def dataType: DataType = BooleanType
+  protected def run(g: Geometry): Any = {
+    def closed(x: Geometry): Boolean = x match {
+      case l: LineString => l.isClosed
+      case gc: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until gc.getNumGeometries).forall(i => closed(gc.getGeometryN(i)))
+      case _ => true
+    }
+    closed(g)
+  }
+  override def prettyName: String = "st_isclosed"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_ashexewkb: uppercase hex of the canonical EWKB bytes (PostGIS
+  * ST_AsHEXEWKB / Sedona 1.7). */
+case class StAsHexEwkb(child: Expression) extends StUnary {
+  override def dataType: DataType = StringType
+  protected def run(g: Geometry): Any = {
+    val bytes = Geom.serialize(g)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    str(sb.toString)
+  }
+  override def prettyName: String = "st_ashexewkb"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** st_makeline(array<geometry>): LineString through the vertices of the
+  * array's elements in order (points contribute their coordinate, lines
+  * their whole vertex run — PostGIS array form of ST_MakeLine). */
+case class StMakeLineArray(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(BinaryType, _) | NullType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_makeline array form expects array<binary>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalArray(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  def evalArray(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val coords = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    (0 until arr.numElements()).foreach { i =>
+      if (!arr.isNullAt(i)) coords ++= Geom.deserialize(arr.getBinary(i)).getCoordinates
+    }
+    out(Geom.factory.createLineString(coords.toArray))
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("stMkl", this, classOf[StMakeLineArray].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalArray($a);")
+  }
+  override def prettyName: String = "st_makeline"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Typed WKB constructor (PostGIS ST_PointFromWKB / ST_LineFromWKB):
+  * parses WKB and returns NULL unless the result is the expected type. */
+case class StGeomFromWkbTyped(child: Expression, expected: String, fn: String) extends StUnary {
+  override def dataType: DataType = BinaryType
+  override protected def mayReturnNull: Boolean = true
+  protected def run(g: Geometry): Any =
+    if (g.getGeometryType == expected) out(g) else null
+  override def prettyName: String = fn
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c, expected, fn)
+}
+
 /** st_polygon(line, srid): polygon from a closed LineString shell with the
   * SRID applied (PostGIS two-argument ST_Polygon). */
 case class StPolygonFromLine(left: Expression, right: Expression) extends StNary {

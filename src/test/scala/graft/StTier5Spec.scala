@@ -166,6 +166,30 @@ class StTier5Spec extends SparkSpec {
     assert(sql1(s"SELECT st_covers($poly, st_simplifypolygonhull($poly, 0.3, false))") == true)
   }
 
+  test("isclosed / hexewkb / srid constructors / array makeline / degrees") {
+    assert(sql1("SELECT st_isclosed(st_geomfromtext('LINESTRING (0 0, 1 0, 1 1, 0 0)'))") == true)
+    assert(sql1("SELECT st_isclosed(st_geomfromtext('LINESTRING (0 0, 1 0)'))") == false)
+    assert(sql1("SELECT st_isclosed(st_point(1, 1))") == true)
+    assert(sql1("SELECT st_isclosed(st_geomfromtext('MULTILINESTRING ((0 0, 1 0, 0 0), (0 0, 2 2))'))") == false)
+    // hex EWKB round-trips through unhex + st_geomfromwkb
+    assert(sql1("SELECT st_astext(st_geomfromwkb(unhex(st_ashexewkb(st_point(1, 2)))))") == "POINT (1 2)")
+    // optional-srid constructor forms
+    assert(sql1("SELECT st_srid(st_geomfromtext('POINT (1 2)', 3857))") == 3857)
+    assert(sql1("SELECT st_srid(st_geomfromwkb(st_asbinary(st_point(1, 2)), 2154))") == 2154)
+    // typed WKB constructors: NULL on type mismatch
+    assert(sql1("SELECT st_astext(st_pointfromwkb(st_asbinary(st_point(1, 2))))") == "POINT (1 2)")
+    assert(sql1("SELECT st_pointfromwkb(st_asbinary(st_geomfromtext('LINESTRING (0 0, 1 1)')))") == null)
+    assert(sql1("SELECT st_srid(st_linefromwkb(st_asbinary(st_geomfromtext('LINESTRING (0 0, 1 1)')), 27700))") == 27700)
+    // array form of st_makeline
+    assert(sql1("SELECT st_astext(st_makeline(array(st_point(0, 0), st_point(1, 1), st_point(2, 0))))")
+      == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(sql1("SELECT st_astext(st_makeline(array(st_geomfromtext('LINESTRING (0 0, 1 0)'), st_point(2, 2))))")
+      == "LINESTRING (0 0, 1 0, 2 2)")
+    assert(sql1("SELECT st_degrees(st_azimuth(st_point(0, 0), st_point(1, 0)))") == 90.0)
+    assert(sql1("SELECT st_radians(180.0)") == math.Pi)
+    assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
+  }
+
   test("st_polygon builds from a closed line with srid") {
     assert(sql1("SELECT st_area(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 4326))") == 16.0)
     assert(sql1("SELECT st_srid(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 3857))") == 3857)
