@@ -94,6 +94,42 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
       GeoManifest.read(spark, root))
   }
 
+  /** `SELECT ... FROM t VERSION AS OF n` — manifest versions are the
+    * snapshot ids (Iceberg-style time travel; GeoTable.readAt's SQL leg).
+    * Snapshots stay resolvable until VACUUM removes their files. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableRoot(ident)
+    val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GeoCatalog snapshot versions are integers (VERSION AS OF 3), got '$version'")
+    }
+    require(v >= 0 && v <= cur, s"no snapshot version $v of ${ident.toString} (current is $cur)")
+    new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.readVersion(spark, root, v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — resolves to the newest
+    * committed manifest whose file modification time is <= ts (the DSv2
+    * contract passes microseconds since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tableRoot(ident)
+    val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
+    val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
+    val manifestRe = "m(\\d+)\\.txt".r
+    val versions = fs.listStatus(new Path(root, "_manifests")).flatMap { s =>
+      s.getPath.getName match {
+        // cap at _current: a manifest written by a failed commit (no
+        // pointer flip) is not a committed snapshot
+        case manifestRe(v) if v.toInt <= cur && s.getModificationTime <= cutoffMs => Some(v.toInt)
+        case _ => None
+      }
+    }
+    require(versions.nonEmpty,
+      s"no snapshot of ${ident.toString} as of ${java.time.Instant.ofEpochMilli(cutoffMs)}")
+    new GeoV2Table(s"$catalogName.${ident.toString}", root,
+      GeoManifest.readVersion(spark, root, versions.max))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -40,6 +40,29 @@ class GeoCatalogSpec extends SparkSpec {
     assert(GeoManifest.read(spark, s"$warehouse/db/pts").version == 2)
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through the catalog") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.tt (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    spark.sql("INSERT INTO geo.db.tt SELECT 1L, st_point(0.0D, 0.0D)")   // v1
+    Thread.sleep(1100) // manifest mtime granularity guard for TIMESTAMP AS OF
+    val betweenMs = System.currentTimeMillis()
+    spark.sql("INSERT INTO geo.db.tt SELECT 2L, st_point(1.0D, 1.0D)")   // v2
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.tt").head.getLong(0) == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.tt VERSION AS OF 1").head.getLong(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.tt VERSION AS OF 0").head.getLong(0) == 0)
+    assert(spark.sql("SELECT id FROM geo.db.tt VERSION AS OF 1").head.getLong(0) == 1L)
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.sql(s"SELECT COUNT(*) FROM geo.db.tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 1)
+    // out-of-range snapshot is a clean error
+    val e = intercept[Exception] { spark.sql("SELECT * FROM geo.db.tt VERSION AS OF 99").collect() }
+    assert(e.getMessage.contains("no snapshot version 99") || e.getMessage.contains("99"))
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW NAMESPACES see geo tables") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
