@@ -89,9 +89,25 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (GeoManifest.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
-    new GeoV2Table(s"$catalogName.${ident.toString}", root,
-      GeoManifest.read(spark, root))
+    if (GeoManifest.currentVersion(spark, root).isDefined)
+      new GeoV2Table(s"$catalogName.${ident.toString}", root,
+        GeoManifest.read(spark, root))
+    else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style metadata tables: `SELECT * FROM geo.db.t.snapshots`
+    * (one row per committed manifest) and `geo.db.t.files` (current
+    * snapshot's data files with row counts and bbox stats). Real tables
+    * shadow metadata names — this only resolves when `ident` itself is
+    * not a table but its parent is. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty ||
+        !GeoMetaTable.Kinds.contains(ident.name.toLowerCase)) return None
+    val proot = (warehouse +: ident.namespace.toSeq).mkString("/")
+    GeoManifest.currentVersion(spark, proot).map { cur =>
+      new GeoMetaTable(s"$catalogName.${ident.toString}", spark, proot, cur,
+        ident.name.toLowerCase)
+    }
   }
 
   /** `SELECT ... FROM t VERSION AS OF n` — manifest versions are the
@@ -266,6 +282,72 @@ object GeoCatalog {
       else None
     }
   }
+}
+
+/**
+ * Driver-side metadata table (`LocalScan` — metadata is manifest-scale,
+ * never a distributed job): `snapshots` walks every committed manifest,
+ * `files` lists the current snapshot's data files with stats.
+ */
+class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
+                   current: Int, kind: String)
+  extends Table with SupportsRead {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("data_files", IntegerType, nullable = false),
+      StructField("total_rows", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("xmin", DoubleType, nullable = true),
+      StructField("ymin", DoubleType, nullable = true),
+      StructField("xmax", DoubleType, nullable = true),
+      StructField("ymax", DoubleType, nullable = true)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val tableSchema = schema()
+    val data: Array[InternalRow] = kind match {
+      case "snapshots" =>
+        val f = GeoManifest.fs(sparkAtLoad, root)
+        (0 to current).flatMap { v =>
+          val p = new Path(root, s"_manifests/m$v.txt")
+          if (!f.exists(p)) None // vacuumed snapshots drop out
+          else {
+            val m = GeoManifest.readVersion(sparkAtLoad, root, v)
+            Some(InternalRow(v, f.getFileStatus(p).getModificationTime * 1000L,
+              m.files.length, m.totalRows))
+          }
+        }.toArray
+      case "files" =>
+        GeoManifest.read(sparkAtLoad, root).files.map { e =>
+          InternalRow(UTF8String.fromString(e.path), e.rows, e.xmin, e.ymin, e.xmax, e.ymax)
+        }.toArray
+    }
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = data
+        override def readSchema(): StructType = tableSchema
+      }
+    }
+  }
+}
+
+object GeoMetaTable {
+  val Kinds: Set[String] = Set("snapshots", "files")
 }
 
 /**

@@ -63,6 +63,31 @@ class GeoCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot version 99") || e.getMessage.contains("99"))
   }
 
+  test("snapshots / files metadata tables resolve like Iceberg's") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.meta_t (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    spark.sql("INSERT INTO geo.db.meta_t SELECT 1L, st_point(2.0D, 3.0D)")
+    spark.sql("INSERT INTO geo.db.meta_t SELECT 2L, st_point(7.0D, 8.0D)")
+    val snaps = spark.sql(
+        "SELECT version, data_files, total_rows FROM geo.db.meta_t.snapshots ORDER BY version")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(snaps == Seq((0, 0, 0L), (1, 1, 1L), (2, 2, 2L)))
+    val files = spark.sql("SELECT path, rows, xmin, ymax FROM geo.db.meta_t.files ORDER BY path")
+      .collect()
+    assert(files.length == 2 && files.forall(_.getLong(1) == 1L))
+    assert(files.map(_.getDouble(2)).sorted.toSeq == Seq(2.0, 7.0))
+    // timestamps are real and non-decreasing
+    val ts = spark.sql("SELECT committed_at FROM geo.db.meta_t.snapshots ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.sorted.toSeq == ts.toSeq && ts.head > 0)
+    // a real table named like a metadata kind shadows the metadata path
+    spark.sql("CREATE TABLE geo.db.snapshots (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.snapshots").head.getLong(0) == 0)
+  }
+
   test("SHOW TABLES / DESCRIBE / SHOW NAMESPACES see geo tables") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
