@@ -370,8 +370,170 @@ object GraftFunctions {
     "st_asewkb" -> "st_asewkb(geom) - Canonical EWKB bytes (SRID flag); st_asbinary for ISO WKB.",
     "st_zmflag" -> "st_zmflag(geom) - PostGIS dimensionality flag: 0=2D, 1=3DM, 2=3DZ, 3=4D.")
 
+  /** One-liners for the rest of the catalog (obvious signatures — kept
+    * separate from the curated non-obvious set above). */
+  private val usageDocsRest: Map[String, String] = Map(
+    "st_3ddistance" -> "st_3ddistance(a, b) - Euclidean distance including Z (2D when either side has no Z).",
+    "st_addpoint" -> "st_addpoint(line, pt[, idx]) - Insert a vertex at idx (default append).",
+    "st_angle" -> "st_angle(p1, p2, p3) - Angle at p2 between rays to p1 and p3, radians.",
+    "st_area" -> "st_area(geom) - Planar area.",
+    "st_asewkt" -> "st_asewkt(geom) - EWKT text 'SRID=n;WKT'.",
+    "st_asgeojson" -> "st_asgeojson(geom) - GeoJSON geometry text.",
+    "st_asgml" -> "st_asgml(geom) - GML 2 geometry fragment.",
+    "st_ashexewkb" -> "st_ashexewkb(geom) - Uppercase hex of the canonical EWKB bytes.",
+    "st_askml" -> "st_askml(geom) - KML geometry fragment.",
+    "st_astext" -> "st_astext(geom) - WKT text.",
+    "st_azimuth" -> "st_azimuth(a, b) - Bearing from a to b, radians clockwise from north.",
+    "st_boundary" -> "st_boundary(geom) - Topological boundary (polygon -> rings, line -> endpoints).",
+    "st_boundingdiagonal" -> "st_boundingdiagonal(geom) - Diagonal LineString of the envelope (min corner to max corner).",
+    "st_buffer" -> "st_buffer(geom, dist) - Geometry of all points within dist (8 quadrant segments).",
+    "st_bufferstyle" -> "st_bufferstyle(geom, dist, 'quad_segs=8 endcap=flat join=mitre side=left') - Parameterized buffer.",
+    "st_buildarea" -> "st_buildarea(geom) - Polygons formed by the input's linework.",
+    "st_centroid" -> "st_centroid(geom) - Geometric center of mass.",
+    "st_centroid_cell" -> "st_centroid_cell(geom, cellSize) - Grid cell id (packed long) of the centroid.",
+    "st_closestpoint" -> "st_closestpoint(a, b) - Point on a closest to b.",
+    "st_convexhull" -> "st_convexhull(geom) - Convex hull.",
+    "st_coorddim" -> "st_coorddim(geom) - Coordinate dimension: 2, 3 (Z or M), or 4 (ZM).",
+    "st_coveredby" -> "st_coveredby(a, b) - True when no point of a is outside b.",
+    "st_covers" -> "st_covers(a, b) - True when no point of b is outside a.",
+    "st_crosses" -> "st_crosses(a, b) - True when interiors intersect in a lower dimension (DE-9IM crosses).",
+    "st_degrees" -> "st_degrees(radians) - Radians to degrees (pairs with st_azimuth/st_angle).",
+    "st_delaunaytriangles" -> "st_delaunaytriangles(geom[, tol]) - Delaunay triangulation of the vertices.",
+    "st_difference" -> "st_difference(a, b) - Points of a not in b.",
+    "st_dimension" -> "st_dimension(geom) - Topological dimension: 0 point, 1 line, 2 area.",
+    "st_disjoint" -> "st_disjoint(a, b) - True when the geometries share no point.",
+    "st_distance" -> "st_distance(a, b) - Minimum planar distance.",
+    "st_distancespheroid" -> "st_distancespheroid(a, b) - Geodesic meters on the WGS84 ellipsoid between centroids.",
+    "st_dump" -> "st_dump(geom) - Array of the collection's component geometries.",
+    "st_dumppoints" -> "st_dumppoints(geom) - Array of every vertex as a point.",
+    "st_endpoint" -> "st_endpoint(line) - Last vertex of a LineString; NULL otherwise.",
+    "st_envelope" -> "st_envelope(geom) - Axis-aligned bounding geometry.",
+    "st_equals" -> "st_equals(a, b) - Topological equality (vertex order-insensitive).",
+    "st_expand" -> "st_expand(geom, d) - Envelope grown by d in every direction.",
+    "st_exteriorring" -> "st_exteriorring(poly) - Shell as a LineString; NULL for non-polygons.",
+    "st_flipcoordinates" -> "st_flipcoordinates(geom) - Swap x and y on every vertex.",
+    "st_force2d" -> "st_force2d(geom) - Drop Z/M from every vertex.",
+    "st_force_2d" -> "st_force_2d(geom) - Alias of st_force2d.",
+    "st_force3d" -> "st_force3d(geom, z) - Ensure Z on every vertex (existing Z kept).",
+    "st_force3dm" -> "st_force3dm(geom, m) - Ensure a measure on every vertex (Z dropped, existing M kept).",
+    "st_force4d" -> "st_force4d(geom, z, m) - Ensure both Z and M on every vertex.",
+    "st_forcez" -> "st_forcez(geom, z) - Alias of st_force3d.",
+    "st_forcepolygonccw" -> "st_forcepolygonccw(geom) - Shells counter-clockwise, holes clockwise (OGC order).",
+    "st_forcepolygoncw" -> "st_forcepolygoncw(geom) - Shells clockwise, holes counter-clockwise.",
+    "st_frechetdistance" -> "st_frechetdistance(a, b) - Discrete Frechet distance (curve similarity).",
+    "st_generatepoints" -> "st_generatepoints(poly, n, seed) - n deterministic points inside the polygon.",
+    "st_geomcollfromtext" -> "st_geomcollfromtext(wkt) - Parses WKT; NULL unless a GeometryCollection.",
+    "st_geometryn" -> "st_geometryn(geom, n) - nth component of a collection, 1-based.",
+    "st_geometrytype" -> "st_geometrytype(geom) - Type name with ST_ prefix, e.g. 'ST_Polygon'.",
+    "st_geomfromewkb" -> "st_geomfromewkb(bytes[, srid]) - Normalizes WKB/EWKB bytes; optional SRID override.",
+    "st_geomfromgml" -> "st_geomfromgml(text) - Parses a GML 2/3 geometry fragment (reader twin of st_asgml).",
+    "st_geomfromkml" -> "st_geomfromkml(text) - Parses a KML geometry fragment (reader twin of st_askml).",
+    "st_geomfromwkt" -> "st_geomfromwkt(wkt[, srid]) - Parses WKT with an optional SRID.",
+    "st_hasm" -> "st_hasm(geom) - True when vertices carry M measures.",
+    "st_hasz" -> "st_hasz(geom) - True when vertices carry Z.",
+    "st_hausdorffdistance" -> "st_hausdorffdistance(a, b) - Discrete Hausdorff distance (shape similarity).",
+    "st_intersection" -> "st_intersection(a, b) - Shared points of a and b.",
+    "st_intersects" -> "st_intersects(a, b) - True when the geometries share any point.",
+    "st_isclosed" -> "st_isclosed(geom) - Every LineString component closed; points/polygons count closed.",
+    "st_iscollection" -> "st_iscollection(geom) - True for Multi*/GeometryCollection input.",
+    "st_isempty" -> "st_isempty(geom) - True for empty geometry.",
+    "st_ispolygonccw" -> "st_ispolygonccw(geom) - Shells counter-clockwise and holes clockwise?",
+    "st_isring" -> "st_isring(line) - Closed AND simple?",
+    "st_issimple" -> "st_issimple(geom) - No self-intersection/tangency?",
+    "st_isvalid" -> "st_isvalid(geom) - OGC-valid?",
+    "st_isvalidreason" -> "st_isvalidreason(geom) - Validity verdict with the failing location.",
+    "st_length" -> "st_length(geom) - Total linework length.",
+    "st_linefrommultipoint" -> "st_linefrommultipoint(mpoint) - LineString through the points in order.",
+    "st_linefromtext" -> "st_linefromtext(wkt) - Parses WKT; NULL unless a LineString.",
+    "st_linefromwkb" -> "st_linefromwkb(bytes[, srid]) - Parses WKB; NULL unless a LineString.",
+    "st_linemerge" -> "st_linemerge(mline) - Stitches touching lines into maximal LineStrings.",
+    "st_longestline" -> "st_longestline(a, b) - LineString between the farthest vertex pair.",
+    "st_m" -> "st_m(point) - M measure of a point; NULL without measures.",
+    "st_makeenvelope" -> "st_makeenvelope(xmin, ymin, xmax, ymax) - Axis-aligned rectangle polygon.",
+    "st_makepointm" -> "st_makepointm(x, y, m) - 2D point with a measure (XYM).",
+    "st_makepointz" -> "st_makepointz(x, y, z) - 3D point.",
+    "st_makepolygon" -> "st_makepolygon(shell[, holesArray]) - Polygon from a closed LineString shell.",
+    "st_maxdistance" -> "st_maxdistance(a, b) - Farthest vertex-pair distance.",
+    "st_maximuminscribedcircle" -> "st_maximuminscribedcircle(geom) - Center of the largest inscribed circle.",
+    "st_maximuminscribedradius" -> "st_maximuminscribedradius(geom) - Radius of the largest inscribed circle.",
+    "st_minimumboundingcircle" -> "st_minimumboundingcircle(geom) - Smallest enclosing circle polygon.",
+    "st_minimumboundingradius" -> "st_minimumboundingradius(geom) - Radius of the smallest enclosing circle.",
+    "st_minimumclearance" -> "st_minimumclearance(geom) - Smallest vertex move that changes topology.",
+    "st_minimumclearanceline" -> "st_minimumclearanceline(geom) - LineString realizing the minimum clearance.",
+    "st_mlinefromtext" -> "st_mlinefromtext(wkt) - Parses WKT; NULL unless a MultiLineString.",
+    "st_mmax" -> "st_mmax(geom) - Maximum M over all vertices; NULL without measures.",
+    "st_mmin" -> "st_mmin(geom) - Minimum M over all vertices; NULL without measures.",
+    "st_mpointfromtext" -> "st_mpointfromtext(wkt) - Parses WKT; NULL unless a MultiPoint.",
+    "st_mpolyfromtext" -> "st_mpolyfromtext(wkt) - Parses WKT; NULL unless a MultiPolygon.",
+    "st_multi" -> "st_multi(geom) - Wraps single geometry as its Multi* type.",
+    "st_ndims" -> "st_ndims(geom) - Coordinate dimension: 2, 3 (Z or M), or 4 (ZM).",
+    "st_node" -> "st_node(lines) - Nodes linework at every crossing.",
+    "st_normalize" -> "st_normalize(geom) - Canonical vertex/component order.",
+    "st_npoints" -> "st_npoints(geom) - Vertex count (alias of st_numpoints).",
+    "st_nrings" -> "st_nrings(geom) - Total ring count over polygonal components.",
+    "st_numgeometries" -> "st_numgeometries(geom) - Component count (1 for simple geometry).",
+    "st_numinteriorring" -> "st_numinteriorring(poly) - Alias of st_numinteriorrings.",
+    "st_numinteriorrings" -> "st_numinteriorrings(poly) - Hole count; NULL for non-polygons.",
+    "st_numpoints" -> "st_numpoints(geom) - Vertex count.",
+    "st_offsetcurve" -> "st_offsetcurve(line, d) - Line offset d to the left (negative = right).",
+    "st_orderingequals" -> "st_orderingequals(a, b) - Exact equality including vertex order.",
+    "st_overlaps" -> "st_overlaps(a, b) - Same-dimension partial overlap (DE-9IM overlaps).",
+    "st_perimeter" -> "st_perimeter(poly) - Boundary length.",
+    "st_pointfromgeohash" -> "st_pointfromgeohash(hash) - Center point of a geohash cell.",
+    "st_pointfromwkb" -> "st_pointfromwkb(bytes[, srid]) - Parses WKB; NULL unless a Point.",
+    "st_pointm" -> "st_pointm(x, y, m) - Alias of st_makepointm.",
+    "st_pointn" -> "st_pointn(line, n) - nth vertex as a point, 1-based.",
+    "st_pointonsurface" -> "st_pointonsurface(geom) - A point guaranteed on the geometry.",
+    "st_points" -> "st_points(geom) - MultiPoint of every vertex.",
+    "st_pointz" -> "st_pointz(x, y, z) - Alias of st_makepointz.",
+    "st_pointzm" -> "st_pointzm(x, y, z, m) - Full 4D point.",
+    "st_polyfromtext" -> "st_polyfromtext(wkt) - Parses WKT; NULL unless a Polygon.",
+    "st_polygon" -> "st_polygon(line, srid) - Polygon from a closed LineString with the SRID applied.",
+    "st_polygonfromtext" -> "st_polygonfromtext(wkt) - Parses WKT; NULL unless a Polygon.",
+    "st_polygonize" -> "st_polygonize(lines) - Polygons formed by the noded linework.",
+    "st_radians" -> "st_radians(degrees) - Degrees to radians.",
+    "st_reduceprecision" -> "st_reduceprecision(geom, gridSize) - Snap coordinates to a precision grid (valid output).",
+    "st_relate" -> "st_relate(a, b) - DE-9IM intersection matrix string.",
+    "st_relatematch" -> "st_relatematch(matrix, pattern) - DE-9IM matrix vs pattern ('T*F**FFF*').",
+    "st_removepoint" -> "st_removepoint(line, idx) - Remove vertex idx (0-based); NULL out of range.",
+    "st_reverse" -> "st_reverse(geom) - Reverses vertex order.",
+    "st_rotate" -> "st_rotate(geom, theta) - Rotate about the origin, radians counter-clockwise.",
+    "st_rotatey" -> "st_rotatey(geom, theta) - Rotate about the Y axis (radians); 2D input gets Z=0.",
+    "st_scale" -> "st_scale(geom, sx, sy) - Scale about the origin.",
+    "st_segmentize" -> "st_segmentize(geom, maxLen) - Add vertices so no segment exceeds maxLen.",
+    "st_setsrid" -> "st_setsrid(geom, srid) - Set the SRID tag (no reprojection).",
+    "st_shortestline" -> "st_shortestline(a, b) - LineString realizing the minimum distance.",
+    "st_simplify" -> "st_simplify(geom, tol) - Douglas-Peucker simplification.",
+    "st_simplifypreservetopology" -> "st_simplifypreservetopology(geom, tol) - Simplification that never inverts topology.",
+    "st_simplifyvw" -> "st_simplifyvw(geom, tol) - Visvalingam-Whyatt simplification (area-based).",
+    "st_snap" -> "st_snap(geom, ref, tol) - Snap vertices to ref within tol.",
+    "st_split" -> "st_split(geom, blade) - Split lines at points/crossings, polygons along a line blade.",
+    "st_srid" -> "st_srid(geom) - SRID tag (4326 default).",
+    "st_startpoint" -> "st_startpoint(line) - First vertex of a LineString; NULL otherwise.",
+    "st_subdivide" -> "st_subdivide(geom, maxVertices) - Recursively split until every part fits maxVertices.",
+    "st_symdifference" -> "st_symdifference(a, b) - Points in exactly one of a, b.",
+    "st_touches" -> "st_touches(a, b) - Boundaries meet, interiors never do.",
+    "st_translate" -> "st_translate(geom, dx, dy) - Shift every vertex.",
+    "st_triangulatepolygon" -> "st_triangulatepolygon(poly) - Constrained triangulation of the polygon interior.",
+    "st_unaryunion" -> "st_unaryunion(geom) - Union of a geometry's own components (dissolves overlaps).",
+    "st_union" -> "st_union(a, b) - Points in either geometry.",
+    "st_voronoipolygons" -> "st_voronoipolygons(geom[, tol]) - Voronoi diagram of the vertices.",
+    "st_within" -> "st_within(a, b) - True when a lies in b's interior+boundary with interior contact.",
+    "st_x" -> "st_x(point) - X (NULL for non-points).",
+    "st_xmax" -> "st_xmax(geom) - Envelope maximum X.",
+    "st_xmin" -> "st_xmin(geom) - Envelope minimum X.",
+    "st_y" -> "st_y(point) - Y (NULL for non-points).",
+    "st_ymax" -> "st_ymax(geom) - Envelope maximum Y.",
+    "st_ymin" -> "st_ymin(geom) - Envelope minimum Y.",
+    "st_z" -> "st_z(point) - Z of a 3D point; NULL without Z.",
+    "st_zmax" -> "st_zmax(geom) - Maximum Z over all vertices; NULL for 2D.",
+    "st_zmin" -> "st_zmin(geom) - Minimum Z over all vertices; NULL for 2D.",
+    "vec_dot" -> "vec_dot(a, b) - Dot product of numeric arrays.",
+    "vec_norm" -> "vec_norm(a) - Euclidean norm of a numeric array.")
+
   private def usageFor(name: String): String =
-    usageDocs.getOrElse(name, s"$name(...) - graft spatial/vector function; see README.md.")
+    usageDocs.getOrElse(name, usageDocsRest.getOrElse(name,
+      s"$name(...) - graft spatial/vector function; see README.md."))
 
   /** (name, usage) for every catalog function — docs/tooling surface. */
   def catalogDocs: Seq[(String, String)] = catalog.map { case (n, _) => n -> usageFor(n) }
