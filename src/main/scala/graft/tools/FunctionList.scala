@@ -9,6 +9,11 @@ import graft.functions.GraftFunctions
 object FunctionList {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "FUNCTIONS.md"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), render)
+    println(s"wrote ${GraftFunctions.catalogDocs.size} functions to $out")
+  }
+
+  def render: String = {
     val docs = GraftFunctions.catalogDocs.sortBy(_._1)
     val groups = docs.groupBy { case (n, _) =>
       if (n.startsWith("st_")) "ST_ spatial functions"
@@ -28,7 +33,6 @@ object FunctionList {
         sb.append(s"| `$n` | ${u.replace("|", "\\|")} |\n")
       }
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-    println(s"wrote ${docs.size} functions to $out")
+    sb.toString
   }
 }

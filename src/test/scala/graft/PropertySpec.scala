@@ -38,6 +38,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WKB/WKT roundtrips preserve Z, M and ZM points exactly") {
+    // WKB is binary-exact; WKT is decimal text, so its legs get a 1e-12
+    // relative tolerance
+    def close(a: Double, b: Double): Boolean =
+      a == b || math.abs(a - b) <= math.max(math.abs(a), math.abs(b)) * 1e-12
+    val zGen = for (x <- coord; y <- coord; z <- coord) yield
+      Geom.factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y, z))
+    val mGen = for (x <- coord; y <- coord; m <- coord) yield
+      Geom.factory.createPoint(new org.locationtech.jts.geom.CoordinateXYM(x, y, m))
+    val zmGen = for (x <- coord; y <- coord; z <- coord; m <- coord) yield
+      Geom.factory.createPoint(new org.locationtech.jts.geom.CoordinateXYZM(x, y, z, m))
+    forAll(zGen) { p =>
+      val r = Geom.deserialize(Geom.serialize(p))
+      assert(r.equalsExact(p) && r.getCoordinate.getZ == p.getCoordinate.getZ)
+      assert(close(Geom.fromWkt(Geom.toWkt(p)).getCoordinate.getZ, p.getCoordinate.getZ))
+    }
+    forAll(mGen) { p =>
+      val r = Geom.deserialize(Geom.serialize(p))
+      assert(r.getCoordinate.getM == p.getCoordinate.getM, s"M lost for $p")
+      assert(java.lang.Double.isNaN(r.getCoordinate.getZ), s"phantom Z for $p")
+      assert(close(Geom.fromWkt(Geom.toWkt(p)).getCoordinate.getM, p.getCoordinate.getM))
+    }
+    forAll(zmGen) { p =>
+      val r = Geom.deserialize(Geom.serialize(p))
+      assert(r.getCoordinate.getZ == p.getCoordinate.getZ &&
+        r.getCoordinate.getM == p.getCoordinate.getM, s"Z/M lost for $p")
+      val w = Geom.fromWkt(Geom.toWkt(p))
+      assert(close(w.getCoordinate.getZ, p.getCoordinate.getZ) &&
+        close(w.getCoordinate.getM, p.getCoordinate.getM))
+    }
+    // measured lines keep per-vertex Ms through ISO WKB too
+    val mlineGen = for {
+      x1 <- coord; m1 <- coord; x2 <- coord; m2 <- coord
+    } yield Geom.factory.createLineString(Array[org.locationtech.jts.geom.Coordinate](
+      new org.locationtech.jts.geom.CoordinateXYM(x1, 0, m1),
+      new org.locationtech.jts.geom.CoordinateXYM(x2, 1, m2)))
+    forAll(mlineGen) { l =>
+      val r = Geom.deserialize(Geom.serializeIso(l)).asInstanceOf[org.locationtech.jts.geom.LineString]
+      assert(r.getCoordinateSequence.getM(0) == l.getCoordinateSequence.getM(0))
+      assert(r.getCoordinateSequence.getM(1) == l.getCoordinateSequence.getM(1))
+    }
+  }
+
   test("WKT roundtrip preserves coordinates") {
     forAll(pointGen) { p =>
       val back = Geom.fromWkt(Geom.toWkt(p))
