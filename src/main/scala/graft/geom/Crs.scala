@@ -9,6 +9,8 @@ import org.locationtech.jts.geom.{CoordinateFilter, Geometry}
  *  - EPSG:4326 (WGS84 lon/lat degrees)
  *  - EPSG:3857 (WGS84 web/spherical mercator, meters)
  *  - EPSG:326zz / 327zz (WGS84 UTM zone zz north / south, meters)
+ *  - EPSG:32661 / 32761 (Universal Polar Stereographic north / south —
+ *    the polar caps ST_BestSRID points at)
  *  - Lambert conformal conic 2SP: EPSG:2154 (RGF93 / Lambert-93),
  *    EPSG:3947 (CC47), EPSG:102100-style national grids via the table
  *  - Albers equal-area conic: EPSG:5070 (NAD83 / CONUS Albers)
@@ -91,6 +93,12 @@ object Crs {
   final case class Tmerc(epsg: Int, ell: Ellipsoid, datum: Option[Helmert],
                          lat0: Double, lon0: Double, k0: Double,
                          falseE: Double, falseN: Double) extends Code
+  /** Universal Polar Stereographic (EPSG Polar Stereographic variant A on
+    * WGS84: k0 = 0.994, FE = FN = 2,000,000) — the polar companion of UTM
+    * and what [[graft.functions.StBestSrid]] returns beyond the UTM band. */
+  final case class Ups(north: Boolean) extends Code {
+    def epsg: Int = if (north) 32661 else 32761
+  }
 
   /** Built-in projected-CRS parameter table (public EPSG registry values). */
   private val Registry: Map[Int, Code] = Map(
@@ -117,9 +125,11 @@ object Crs {
       case 3857 | 900913 => WebMercator
       case z if z >= 32601 && z <= 32660 => Utm(z - 32600, north = true)
       case z if z >= 32701 && z <= 32760 => Utm(z - 32700, north = false)
+      case 32661 => Ups(north = true)
+      case 32761 => Ups(north = false)
       case other => Registry.getOrElse(other, throw new IllegalArgumentException(
         s"unsupported CRS EPSG:$other (supported: 4326, 3857, 326zz/327zz UTM, " +
-          s"${Registry.keys.toSeq.sorted.mkString(", ")})"))
+          s"32661/32761 UPS, ${Registry.keys.toSeq.sorted.mkString(", ")})"))
     }
   }
 
@@ -129,6 +139,7 @@ object Crs {
     case WebMercator =>
       (x / R * Rad2Deg, (2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0) * Rad2Deg)
     case u: Utm => utmInverse(u, x, y)
+    case u: Ups => upsInverse(u, x, y)
     case p: Lcc =>
       val (lon, lat) = lccInverse(p, x, y)
       geodToWgs(p.ell, p.datum, lon, lat)
@@ -146,6 +157,7 @@ object Crs {
     case WebMercator =>
       (R * (lon * Deg2Rad), R * math.log(math.tan(math.Pi / 4.0 + (lat * Deg2Rad) / 2.0)))
     case u: Utm => utmForward(u, lon, lat)
+    case u: Ups => upsForward(u, lon, lat)
     case p: Lcc =>
       val (lo, la) = wgsToGeod(p.ell, p.datum, lon, lat)
       lccForward(p, lo, la)
@@ -171,6 +183,51 @@ object Crs {
     out.geometryChanged()
     out.setSRID(dst.epsg)
     out
+  }
+
+  // -------------------------------------------------------------------------
+  // UPS polar stereographic (EPSG Guidance Note 7-2 variant A, WGS84)
+  // -------------------------------------------------------------------------
+
+  private val UpsK0 = 0.994
+  private val UpsFalse = 2000000.0
+  private val E1 = math.sqrt(E2)
+  // sqrt((1+e)^(1+e) * (1-e)^(1-e)) — constant of the variant-A rho
+  private val UpsC = math.sqrt(math.pow(1 + E1, 1 + E1) * math.pow(1 - E1, 1 - E1))
+
+  private def upsForward(u: Ups, lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val lam = lonDeg * Deg2Rad
+    val phi = latDeg * Deg2Rad
+    val esin = E1 * math.sin(phi)
+    val t =
+      if (u.north) math.tan(math.Pi / 4.0 - phi / 2.0) * math.pow((1 + esin) / (1 - esin), E1 / 2.0)
+      else math.tan(math.Pi / 4.0 + phi / 2.0) / math.pow((1 + esin) / (1 - esin), E1 / 2.0)
+    val rho = 2.0 * R * UpsK0 * t / UpsC
+    val x = UpsFalse + rho * math.sin(lam)
+    val y = if (u.north) UpsFalse - rho * math.cos(lam) else UpsFalse + rho * math.cos(lam)
+    (x, y)
+  }
+
+  private def upsInverse(u: Ups, x: Double, y: Double): (Double, Double) = {
+    val dx = x - UpsFalse
+    val dy = y - UpsFalse
+    val rho = math.hypot(dx, dy)
+    val t = rho * UpsC / (2.0 * R * UpsK0)
+    val chi =
+      if (u.north) math.Pi / 2.0 - 2.0 * math.atan(t)
+      else 2.0 * math.atan(t) - math.Pi / 2.0
+    // conformal-latitude series (EPSG GN7-2 eq. for phi from chi)
+    val e4 = E2 * E2; val e6 = e4 * E2; val e8 = e6 * E2
+    val phi = chi +
+      (E2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0) * math.sin(2.0 * chi) +
+      (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0) * math.sin(4.0 * chi) +
+      (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0) * math.sin(6.0 * chi) +
+      (4279.0 * e8 / 161280.0) * math.sin(8.0 * chi)
+    val lam =
+      if (rho == 0.0) 0.0
+      else if (u.north) math.atan2(dx, -dy)
+      else math.atan2(dx, dy)
+    (lam * Rad2Deg, phi * Rad2Deg)
   }
 
   // -------------------------------------------------------------------------

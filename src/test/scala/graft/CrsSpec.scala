@@ -48,6 +48,38 @@ class CrsSpec extends SparkSpec {
     }
   }
 
+  test("UPS (EPSG:32661/32761): pole at grid center, hemispheric symmetry, roundtrip") {
+    val n = Crs.Ups(north = true)
+    val s = Crs.Ups(north = false)
+    // the pole itself sits at the false origin
+    val (px, py) = Crs.fromWgs(n, 0.0, 90.0)
+    assert(math.abs(px - 2000000.0) < 1e-6 && math.abs(py - 2000000.0) < 1e-6)
+    // 84N on the 0 meridian: due south of the pole (x = FE, y < FN), with
+    // rho in the published ~667.9 km band (NGA UPS grid extent)
+    val (x84, y84) = Crs.fromWgs(n, 0.0, 84.0)
+    assert(math.abs(x84 - 2000000.0) < 1e-6)
+    val rho84 = 2000000.0 - y84
+    assert(rho84 > 660000.0 && rho84 < 680000.0, s"rho(84N) = $rho84")
+    // hemispheric mirror: same rho at 84S
+    val (_, y84s) = Crs.fromWgs(s, 0.0, -84.0)
+    assert(math.abs((y84s - 2000000.0) - rho84) < 1e-6)
+    // roundtrip across both polar caps
+    for (lon <- Seq(-179.0, -45.0, 0.0, 90.0, 135.0); lat <- Seq(80.5, 84.0, 88.0, 89.9)) {
+      val (x, y) = Crs.fromWgs(n, lon, lat)
+      val (lo, la) = Crs.toWgs(n, x, y)
+      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8, s"UPS N ($lon,$lat)")
+      val (xs, ys) = Crs.fromWgs(s, lon, -lat)
+      val (los, las) = Crs.toWgs(s, xs, ys)
+      assert(math.abs(los - lon) < 1e-8 && math.abs(las + lat) < 1e-8, s"UPS S ($lon,${-lat})")
+    }
+    // SQL leg: the SRIDs st_bestsrid emits now transform end-to-end
+    assert(sql1("SELECT st_srid(st_transform(st_point(10.0, 87.0), 'EPSG:4326', 'EPSG:32661'))") == 32661)
+    val back = sql1("""SELECT st_y(st_transform(
+      st_transform(st_point(10.0, 87.0), 'EPSG:4326', 'EPSG:32661'),
+      'EPSG:32661', 'EPSG:4326'))""").asInstanceOf[Double]
+    assert(math.abs(back - 87.0) < 1e-7)
+  }
+
   test("st_transform SQL: 4326->3857->4326 roundtrip and SRID stamping") {
     val r = spark.sql("""
       SELECT st_astext(st_transform(st_transform(st_point(10.0D, 45.0D),
