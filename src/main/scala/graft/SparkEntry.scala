@@ -571,6 +571,39 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Iceberg-style SQL time travel through the DSv2 catalog: two inserts
+    // produce snapshots 1 and 2; VERSION AS OF must see exactly the rows
+    // committed at each version (counts + key sums, replayed from the
+    // same customer predicates in DuckDB)
+    "geo_time_travel" -> ((s, d) => {
+      prep(s, d)
+      val wh = java.nio.file.Files.createTempDirectory("geo_tt_wh").toString
+      s.conf.set("spark.sql.catalog.geott", classOf[graft.tables.GeoCatalog].getName)
+      s.conf.set("spark.sql.catalog.geott.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geott.db")
+      s.sql("CREATE TABLE geott.db.tt (id BIGINT, g BINARY) USING geo " +
+        "TBLPROPERTIES('geometry.column'='g')")
+      s.sql("""INSERT INTO geott.db.tt
+               SELECT c_custkey, st_point(CAST(c_custkey % 100 AS DOUBLE), 0.0D)
+               FROM customer WHERE c_custkey % 3 = 0""")
+      s.sql("""INSERT INTO geott.db.tt
+               SELECT c_custkey, st_point(CAST(c_custkey % 100 AS DOUBLE), 1.0D)
+               FROM customer WHERE c_custkey % 3 = 1""")
+      s.sql("""
+        SELECT 0 AS version,
+               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 0) AS n_rows,
+               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 0) AS key_sum
+        UNION ALL
+        SELECT 1,
+               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 1),
+               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 1)
+        UNION ALL
+        SELECT 2,
+               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 2),
+               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 2)
+        ORDER BY version""")
+    }),
+
     // KML/GML reader-writer roundtrip: the parse must invert the writer
     // exactly, so st_astext of the roundtrip equals a directly-built WKT
     // string in the oracle (no XML on the DuckDB side at all)
@@ -1677,6 +1710,20 @@ object SparkEntry {
       LEFT JOIN cc ON cc.id = p.id
       LEFT JOIN brd ON brd.id = p.id
       ORDER BY p.id""",
+
+    // time travel reduces to the insert predicates: snapshot v1 holds the
+    // %3=0 rows, v2 adds the %3=1 rows
+    "geo_time_travel" -> """
+      WITH v1 AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+           v2 AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 1)
+      SELECT 0 AS version, CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS key_sum
+      UNION ALL
+      SELECT 1, (SELECT COUNT(*) FROM v1), (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
+      UNION ALL
+      SELECT 2, (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2),
+             (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
+               + (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v2)
+      ORDER BY version""",
 
     // XML roundtrip reduces to identity: build the same WKT strings directly
     "st_xml_roundtrip" -> """
