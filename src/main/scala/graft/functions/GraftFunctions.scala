@@ -79,7 +79,6 @@ object GraftFunctions {
     ("st_orderingequals", 2, es => StOrderingEquals(es(0), es(1))),
     ("st_dwithin", 3, es => StDWithin(es)),
     // transforms
-    ("st_union", 2, es => StUnion(es(0), es(1))),
     ("st_intersection", 2, es => StIntersection(es(0), es(1))),
     ("st_difference", 2, es => StDifference(es(0), es(1))),
     ("st_symdifference", 2, es => StSymDifference(es(0), es(1))),
@@ -296,6 +295,14 @@ object GraftFunctions {
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "Point", "st_pointfromwkb"))) :+
     ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
+    ("st_union" -> { (es: Seq[Expression]) =>
+      // 1 arg = array form (n-way union); 2 = classic binary union
+      es.length match {
+        case 1 => StUnionArray(es.head)
+        case 2 => StUnion(es(0), es(1))
+        case n => throw new IllegalArgumentException(s"st_union expects 1 or 2 arguments, got $n")
+      }
+    }) :+
     ("st_removerepeatedpoints" -> { (es: Seq[Expression]) =>
       require(es.length == 1 || es.length == 2,
         s"st_removerepeatedpoints expects 1 or 2 arguments, got ${es.length}")
@@ -516,7 +523,7 @@ object GraftFunctions {
     "st_translate" -> "st_translate(geom, dx, dy) - Shift every vertex.",
     "st_triangulatepolygon" -> "st_triangulatepolygon(poly) - Constrained triangulation of the polygon interior.",
     "st_unaryunion" -> "st_unaryunion(geom) - Union of a geometry's own components (dissolves overlaps).",
-    "st_union" -> "st_union(a, b) - Points in either geometry.",
+    "st_union" -> "st_union(a, b) or st_union(array) - Binary union, or n-way union of an array.",
     "st_voronoipolygons" -> "st_voronoipolygons(geom[, tol]) - Voronoi diagram of the vertices.",
     "st_within" -> "st_within(a, b) - True when a lies in b's interior+boundary with interior contact.",
     "st_x" -> "st_x(point) - X (NULL for non-points).",

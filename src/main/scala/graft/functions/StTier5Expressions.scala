@@ -611,6 +611,36 @@ case class StMakeLineArray(child: Expression) extends org.apache.spark.sql.catal
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_union(array<geometry>): n-way union of the array's elements
+  * (PostGIS/Sedona array form; the binary form stays on StUnion). */
+case class StUnionArray(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(BinaryType, _) | NullType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_union array form expects array<binary>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    evalArray(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  def evalArray(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val gs = (0 until arr.numElements()).filterNot(arr.isNullAt)
+      .map(i => Geom.deserialize(arr.getBinary(i)))
+    out(org.locationtech.jts.operation.union.UnaryUnionOp.union(
+      java.util.Arrays.asList(gs: _*)))
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("stUni", this, classOf[StUnionArray].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalArray($a);")
+  }
+  override def prettyName: String = "st_union"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Typed WKB constructor (PostGIS ST_PointFromWKB / ST_LineFromWKB):
   * parses WKB and returns NULL unless the result is the expected type. */
 case class StGeomFromWkbTyped(child: Expression, expected: String, fn: String) extends StUnary {

@@ -185,6 +185,11 @@ class StTier5Spec extends SparkSpec {
       == "LINESTRING (0 0, 1 1, 2 0)")
     assert(sql1("SELECT st_astext(st_makeline(array(st_geomfromtext('LINESTRING (0 0, 1 0)'), st_point(2, 2))))")
       == "LINESTRING (0 0, 1 0, 2 2)")
+    // array form of st_union: three overlapping squares dissolve to area 8
+    assert(sql1("""SELECT st_area(st_union(array(
+      st_makeenvelope(0, 0, 2, 2), st_makeenvelope(1, 0, 3, 2), st_makeenvelope(2, 0, 4, 2))))""")
+      == 8.0)
+    assert(sql1("SELECT st_area(st_union(st_makeenvelope(0,0,2,2), st_makeenvelope(1,0,3,2)))") == 6.0)
     assert(sql1("SELECT st_degrees(st_azimuth(st_point(0, 0), st_point(1, 0)))") == 90.0)
     assert(sql1("SELECT st_radians(180.0)") == math.Pi)
     assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
