@@ -110,7 +110,10 @@ object Geom {
   def fromGeoJson(json: String): Geometry = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val root = new ObjectMapper().readTree(json)
-    def coord(n: JsonNode): Coordinate = new Coordinate(n.get(0).asDouble(), n.get(1).asDouble())
+    def coord(n: JsonNode): Coordinate =
+      if (n.size() >= 3)
+        new Coordinate(n.get(0).asDouble(), n.get(1).asDouble(), n.get(2).asDouble())
+      else new Coordinate(n.get(0).asDouble(), n.get(1).asDouble())
     def coords(n: JsonNode): Array[Coordinate] = {
       val it = n.elements(); val b = Array.newBuilder[Coordinate]
       while (it.hasNext) b += coord(it.next()); b.result()
@@ -141,9 +144,12 @@ object Geom {
     build(root)
   }
 
-  /** GeoJSON text for a geometry (jts-core has no GeoJSON IO; tiny writer here). */
+  /** GeoJSON text for a geometry (jts-core has no GeoJSON IO; tiny writer
+    * here). Z rides as the optional third position element (RFC 7946 §3.1.1). */
   def toGeoJson(g: Geometry): String = {
-    def coord(c: Coordinate): String = s"[${c.x},${c.y}]"
+    def coord(c: Coordinate): String =
+      if (java.lang.Double.isNaN(c.getZ)) s"[${c.x},${c.y}]"
+      else s"[${c.x},${c.y},${c.getZ}]"
     def coords(cs: Array[Coordinate]): String = cs.map(coord).mkString("[", ",", "]")
     def polyCoords(p: Polygon): String = {
       val shell = coords(p.getExteriorRing.getCoordinates)

@@ -15,26 +15,27 @@ class PlanAuditSpec extends SparkSpec {
   private val skip = Set("geo_time_travel")
 
   // queries built on a deliberate one-row broadcast (StKnn candidate pack,
-  // global-scalar joins): BroadcastNestedLoopJoin over one row is map-only
-  private val oneRowBroadcastOk = Set(
-    "spatial_knn_join", "spatial_lof", "ann_brute_top10", "ann_lsh_top10",
-    "ann_ivf_top10", "ann_knn_graph", "ann_knn_graph_seeded", "spatial_gi_star",
-    "dedup_scale_estimate", "text_unigram_logprob", "mix_weights", "mix_sample",
-    "doc_length_quantiles", "dedup_jaccard_exact", "pipeline_clean_corpus",
-    "decontaminate_overlap", "dedup_embedding_pairs", "text_fingerprint",
-    "pack_chunks")
+  // global-scalar cross joins): BroadcastNestedLoopJoin over ONE row is a
+  // map-only enrich, not a quadratic join. Exact set — a new BNLJ anywhere
+  // else fails the audit.
+  private val oneRowBroadcastExpected = Set(
+    "spatial_knn_join",      // StKnn packed-candidates single row
+    "text_unigram_logprob",  // corpus-total scalar
+    "dedup_jaccard_exact")   // shingle-threshold scalar
 
-  test("no driver-contract query plans a CartesianProduct") {
+  test("no driver-contract query plans a CartesianProduct; BNLJ only on one-row broadcasts") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+    val cartesian = Seq.newBuilder[String]
+    val bnlj = Set.newBuilder[String]
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { name =>
       val plan =
         try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-      if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
-      else if (plan.contains("BroadcastNestedLoopJoin") && !oneRowBroadcastOk(name))
-        Some(s"$name: unexpected BroadcastNestedLoopJoin")
-      else None
+      if (plan.contains("CartesianProduct")) cartesian += name
+      if (plan.contains("BroadcastNestedLoopJoin")) bnlj += name
     }
-    assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
+    assert(cartesian.result().isEmpty, s"CartesianProduct in: ${cartesian.result()}")
+    assert(bnlj.result() == oneRowBroadcastExpected,
+      s"BroadcastNestedLoopJoin set changed: ${bnlj.result().toSeq.sorted}")
   }
 }

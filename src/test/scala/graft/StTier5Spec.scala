@@ -195,6 +195,15 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
   }
 
+  test("GeoJSON round-trips Z as the third position element") {
+    assert(sql1("SELECT st_asgeojson(st_pointz(1, 2, 3))") == """{"type":"Point","coordinates":[1.0,2.0,3.0]}""")
+    assert(sql1("""SELECT st_z(st_geomfromgeojson('{"type":"Point","coordinates":[1,2,3]}'))""") == 3.0)
+    assert(sql1("""SELECT st_astext(st_geomfromgeojson(st_asgeojson(
+      st_geomfromtext('LINESTRING Z(0 0 5, 1 1 6)'))))""") == "LINESTRING Z(0 0 5, 1 1 6)")
+    // 2D output unchanged
+    assert(sql1("SELECT st_asgeojson(st_point(1, 2))") == """{"type":"Point","coordinates":[1.0,2.0]}""")
+  }
+
   test("st_polygon builds from a closed line with srid") {
     assert(sql1("SELECT st_area(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 4326))") == 16.0)
     assert(sql1("SELECT st_srid(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 3857))") == 3857)
