@@ -306,6 +306,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("committed_at", TimestampType, nullable = false),
       StructField("data_files", IntegerType, nullable = false),
       StructField("total_rows", LongType, nullable = false)))
+    case "history" => StructType(Seq(
+      StructField("made_current_at", TimestampType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
     case "files" => StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -332,6 +336,13 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
               m.files.length, m.totalRows))
           }
         }.toArray
+      case "history" =>
+        val f = GeoManifest.fs(sparkAtLoad, root)
+        (0 to current).flatMap { v =>
+          val p = new Path(root, s"_manifests/m$v.txt")
+          if (!f.exists(p)) None
+          else Some(InternalRow(f.getFileStatus(p).getModificationTime * 1000L, v, v == current))
+        }.toArray
       case "files" =>
         GeoManifest.read(sparkAtLoad, root).files.map { e =>
           InternalRow(UTF8String.fromString(e.path), e.rows, e.xmin, e.ymin, e.xmax, e.ymax)
@@ -347,7 +358,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files")
+  val Kinds: Set[String] = Set("snapshots", "files", "history")
 }
 
 /**

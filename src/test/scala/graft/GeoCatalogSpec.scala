@@ -82,6 +82,11 @@ class GeoCatalogSpec extends SparkSpec {
     val ts = spark.sql("SELECT committed_at FROM geo.db.meta_t.snapshots ORDER BY version")
       .collect().map(_.getTimestamp(0).getTime)
     assert(ts.sorted.toSeq == ts.toSeq && ts.head > 0)
+    // history mirrors Iceberg's: made_current_at per version, current flag
+    val hist = spark.sql(
+        "SELECT version, is_current FROM geo.db.meta_t.history ORDER BY version")
+      .as[(Int, Boolean)].collect().toSeq
+    assert(hist == Seq((0, false), (1, false), (2, true)))
     // a real table named like a metadata kind shadows the metadata path
     spark.sql("CREATE TABLE geo.db.snapshots (id BIGINT, g BINARY) USING geo " +
       "TBLPROPERTIES('geometry.column'='g')")
