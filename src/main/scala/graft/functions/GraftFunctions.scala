@@ -40,7 +40,6 @@ object GraftFunctions {
     ("st_makeenvelope", 4, es => StPolygonFromEnvelope(es)),
     ("st_geomfromgeojson", 1, es => StGeomFromGeoJson(es.head)),
     // output
-    ("st_astext", 1, es => StAsText(es.head)),
     ("st_asgeojson", 1, es => StAsGeoJson(es.head)),
     ("st_asbinary", 1, es => StAsBinary(es.head)),
     // accessors & measures
@@ -295,6 +294,14 @@ object GraftFunctions {
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "Point", "st_pointfromwkb"))) :+
     ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
+    ("st_astext" -> { (es: Seq[Expression]) =>
+      // 2-arg = PostGIS maxdecimaldigits formatting
+      es.length match {
+        case 1 => StAsText(es.head)
+        case 2 => StAsTextPrec(es(0), es(1))
+        case n => throw new IllegalArgumentException(s"st_astext expects 1 or 2 arguments, got $n")
+      }
+    }) :+
     ("st_union" -> { (es: Seq[Expression]) =>
       // 1 arg = array form (n-way union); 2 = classic binary union
       es.length match {
@@ -389,7 +396,7 @@ object GraftFunctions {
     "st_asgml" -> "st_asgml(geom) - GML 2 geometry fragment.",
     "st_ashexewkb" -> "st_ashexewkb(geom) - Uppercase hex of the canonical EWKB bytes.",
     "st_askml" -> "st_askml(geom) - KML geometry fragment.",
-    "st_astext" -> "st_astext(geom) - WKT text.",
+    "st_astext" -> "st_astext(geom[, maxdecimaldigits]) - WKT text, optionally with bounded decimals.",
     "st_azimuth" -> "st_azimuth(a, b) - Bearing from a to b, radians clockwise from north.",
     "st_boundary" -> "st_boundary(geom) - Topological boundary (polygon -> rings, line -> endpoints).",
     "st_boundingdiagonal" -> "st_boundingdiagonal(geom) - Diagonal LineString of the envelope (min corner to max corner).",

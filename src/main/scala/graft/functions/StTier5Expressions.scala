@@ -548,6 +548,19 @@ case class StAsEwkb(child: Expression) extends StUnary {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** st_astext(geom, maxdecimaldigits): WKT with bounded decimal places
+  * (PostGIS two-argument form; formatting only, geometry untouched). */
+case class StAsTextPrec(left: Expression, right: Expression) extends StNary {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = str(Geom.toWkt(geom(vs(0)), int(vs(1))))
+  override def prettyName: String = "st_astext"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1))
+}
+
 /** st_isclosed: every LineString component closed (first == last vertex);
   * PostGIS convention — points and polygonal geometry count as closed. */
 case class StIsClosed(child: Expression) extends StUnary {

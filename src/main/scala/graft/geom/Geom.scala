@@ -96,6 +96,34 @@ object Geom {
      else if (z) wktWriters3.get else wktWriters.get).write(g)
   }
 
+  // per-(digits, dims) WKT writers, cached per thread (writers are stateful)
+  private val wktPrecCaches =
+    ThreadLocal.withInitial(() => new java.util.HashMap[Long, WKTWriter]())
+
+  /** WKT with at most `digits` decimal places (PostGIS
+    * ST_AsText(geom, maxdecimaldigits) semantics — output formatting only,
+    * the stored geometry is untouched). */
+  def toWkt(g: Geometry, digits: Int): String = {
+    require(digits >= 0 && digits <= 15, s"maxdecimaldigits must be 0..15, got $digits")
+    val z = hasZ(g); val m = hasM(g)
+    val key = (digits.toLong << 2) | (if (z) 2L else 0L) | (if (m) 1L else 0L)
+    val cache = wktPrecCaches.get
+    var w = cache.get(key)
+    if (w == null) {
+      w = if (z && m) new WKTWriter(4)
+          else if (z || m) new WKTWriter(3)
+          else new WKTWriter(2)
+      if (m && !z) w.setOutputOrdinates(java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.M))
+      // JTS derives output decimals as 1 + ceil(log10(scale)) and uses the
+      // model only for formatting (no coordinate snapping). Exact powers of
+      // ten sit on the ceil boundary where float log noise flips the count;
+      // 0.5*10^(digits-1) lands mid-band and always yields `digits`.
+      w.setPrecisionModel(new PrecisionModel(0.5 * math.pow(10.0, digits - 1)))
+      cache.put(key, w)
+    }
+    w.write(g)
+  }
+
   def point(x: Double, y: Double): Point =
     factory.createPoint(new Coordinate(x, y))
 

@@ -195,6 +195,13 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
   }
 
+  test("st_astext with maxdecimaldigits bounds the output decimals") {
+    assert(sql1("SELECT st_astext(st_point(1.123456789, 2.987654321), 3)") == "POINT (1.123 2.988)")
+    assert(sql1("SELECT st_astext(st_point(1.5, 2.5), 0)") == "POINT (2 2)") // half-even at scale 1
+    assert(sql1("SELECT st_astext(st_point(1.25, 2.0))") == "POINT (1.25 2)") // 1-arg unchanged
+    assert(sql1("SELECT st_astext(st_pointz(1.17, 2.0, 3.456), 1)") == "POINT Z(1.2 2 3.5)")
+  }
+
   test("GeoJSON round-trips Z as the third position element") {
     assert(sql1("SELECT st_asgeojson(st_pointz(1, 2, 3))") == """{"type":"Point","coordinates":[1.0,2.0,3.0]}""")
     assert(sql1("""SELECT st_z(st_geomfromgeojson('{"type":"Point","coordinates":[1,2,3]}'))""") == 3.0)
