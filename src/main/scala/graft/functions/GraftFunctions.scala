@@ -92,7 +92,6 @@ object GraftFunctions {
     ("st_numinteriorrings", 1, es => StNumInteriorRings(es.head)),
     ("st_reverse", 1, es => StReverse(es.head)),
     ("st_flipcoordinates", 1, es => StFlipCoordinates(es.head)),
-    ("st_translate", 3, es => StTranslate(es)),
     ("st_closestpoint", 2, es => StClosestPoint(es(0), es(1))),
     ("st_azimuth", 2, es => StAzimuth(es(0), es(1))),
     ("st_simplify", 2, es => StSimplify(es(0), es(1))),
@@ -118,7 +117,6 @@ object GraftFunctions {
     ("st_reduceprecision", 2, es => StReducePrecision(es(0), es(1))),
     ("st_snap", 3, es => StSnap(es)),
     ("st_boundingdiagonal", 1, es => StBoundingDiagonal(es.head)),
-    ("st_expand", 2, es => StExpand(es(0), es(1))),
     ("st_hausdorffdistance", 2, es => StHausdorffDistance(es(0), es(1))),
     ("st_frechetdistance", 2, es => StFrechetDistance(es(0), es(1))),
     ("st_angle", 3, es => StAngle(es)),
@@ -294,6 +292,8 @@ object GraftFunctions {
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "Point", "st_pointfromwkb"))) :+
     ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
+    ("st_translate" -> { (es: Seq[Expression]) => StTranslate(es) }) :+
+    ("st_expand" -> { (es: Seq[Expression]) => StExpand(es) }) :+
     ("st_astext" -> { (es: Seq[Expression]) =>
       // 2-arg = PostGIS maxdecimaldigits formatting
       es.length match {
@@ -423,7 +423,7 @@ object GraftFunctions {
     "st_endpoint" -> "st_endpoint(line) - Last vertex of a LineString; NULL otherwise.",
     "st_envelope" -> "st_envelope(geom) - Axis-aligned bounding geometry.",
     "st_equals" -> "st_equals(a, b) - Topological equality (vertex order-insensitive).",
-    "st_expand" -> "st_expand(geom, d) - Envelope grown by d in every direction.",
+    "st_expand" -> "st_expand(geom, d) or st_expand(geom, dx, dy) - Envelope grown per axis.",
     "st_exteriorring" -> "st_exteriorring(poly) - Shell as a LineString; NULL for non-polygons.",
     "st_flipcoordinates" -> "st_flipcoordinates(geom) - Swap x and y on every vertex.",
     "st_force2d" -> "st_force2d(geom) - Drop Z/M from every vertex.",
@@ -527,7 +527,7 @@ object GraftFunctions {
     "st_subdivide" -> "st_subdivide(geom, maxVertices) - Recursively split until every part fits maxVertices.",
     "st_symdifference" -> "st_symdifference(a, b) - Points in exactly one of a, b.",
     "st_touches" -> "st_touches(a, b) - Boundaries meet, interiors never do.",
-    "st_translate" -> "st_translate(geom, dx, dy) - Shift every vertex.",
+    "st_translate" -> "st_translate(geom, dx, dy[, dz]) - Shift every vertex (dz applies to Z geometry).",
     "st_triangulatepolygon" -> "st_triangulatepolygon(poly) - Constrained triangulation of the polygon interior.",
     "st_unaryunion" -> "st_unaryunion(geom) - Union of a geometry's own components (dissolves overlaps).",
     "st_union" -> "st_union(a, b) or st_union(array) - Binary union, or n-way union of an array.",

@@ -746,16 +746,22 @@ case class StFlipCoordinates(child: Expression) extends StUnary {
 
 /** Translate by (dx, dy): children = (geom, dx, dy). */
 case class StTranslate(children: Seq[Expression]) extends StNary {
+  require(children.length == 3 || children.length == 4,
+    s"st_translate expects (geom, dx, dy[, dz]), got ${children.length} args")
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes() =
-    StKit.checkTypes(prettyName, Seq(children(0) -> "geometry", children(1) -> "numeric", children(2) -> "numeric"))
+    StKit.checkTypes(prettyName,
+      Seq(children(0) -> "geometry") ++ children.drop(1).map(_ -> "numeric"))
   protected def run(vs: Seq[Any]): Any = {
     val g = geom(vs(0)).copy()
     val dx = dbl(vs(1)); val dy = dbl(vs(2))
+    val dz = if (vs.length > 3) dbl(vs(3)) else 0.0
     g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
       override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
         seq.setOrdinate(i, 0, seq.getX(i) + dx)
         seq.setOrdinate(i, 1, seq.getY(i) + dy)
+        if (dz != 0.0 && seq.getDimension >= 3 && !java.lang.Double.isNaN(seq.getZ(i)))
+          seq.setOrdinate(i, 2, seq.getZ(i) + dz)
       }
       override def isDone: Boolean = false
       override def isGeometryChanged: Boolean = true

@@ -330,19 +330,22 @@ case class StBoundingDiagonal(child: Expression) extends StUnary {
 }
 
 /** st_expand(geom, d): envelope grown by d as a polygon. */
-case class StExpand(left: Expression, right: Expression) extends StNary {
-  override def children: Seq[Expression] = Seq(left, right)
+case class StExpand(children: Seq[Expression]) extends StNary {
+  require(children.length == 2 || children.length == 3,
+    s"st_expand expects (geom, d) or (geom, dx, dy), got ${children.length} args")
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes() =
-    StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
+    StKit.checkTypes(prettyName,
+      Seq(children(0) -> "geometry") ++ children.drop(1).map(_ -> "numeric"))
   protected def run(vs: Seq[Any]): Any = {
     val e = geom(vs(0)).getEnvelopeInternal
-    val d = dbl(vs(1))
-    out(Geom.polygonFromEnvelope(e.getMinX - d, e.getMinY - d, e.getMaxX + d, e.getMaxY + d))
+    val dx = dbl(vs(1))
+    val dy = if (vs.length > 2) dbl(vs(2)) else dx
+    out(Geom.polygonFromEnvelope(e.getMinX - dx, e.getMinY - dy, e.getMaxX + dx, e.getMaxY + dy))
   }
   override def prettyName: String = "st_expand"
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(cs(0), cs(1))
+    copy(cs)
 }
 
 // ---------------------------------------------------------------------------

@@ -195,6 +195,16 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
   }
 
+  test("st_translate dz and st_expand per-axis variants") {
+    assert(sql1("SELECT st_astext(st_translate(st_pointz(1, 2, 3), 10, 20, 30))") == "POINT Z(11 22 33)")
+    assert(sql1("SELECT st_astext(st_translate(st_point(1, 2), 10, 20))") == "POINT (11 22)")
+    // dz on 2D geometry is a no-op on Z (stays 2D)
+    assert(sql1("SELECT st_astext(st_translate(st_point(1, 2), 10, 20, 5))") == "POINT (11 22)")
+    assert(sql1("SELECT st_astext(st_expand(st_makeenvelope(0, 0, 1, 1), 2, 3))")
+      == "POLYGON ((-2 -3, 3 -3, 3 4, -2 4, -2 -3))")
+    assert(sql1("SELECT st_area(st_expand(st_point(0, 0), 1))") == 4.0)
+  }
+
   test("st_astext with maxdecimaldigits bounds the output decimals") {
     assert(sql1("SELECT st_astext(st_point(1.123456789, 2.987654321), 3)") == "POINT (1.123 2.988)")
     assert(sql1("SELECT st_astext(st_point(1.5, 2.5), 0)") == "POINT (2 2)") // half-even at scale 1
