@@ -54,9 +54,15 @@ object SpatialCluster {
     dbscanPoints(df, idCol, geomCol, eps, minPts, checkpoint = true)
 
   /** `checkpoint = false` keeps the logical plan inspectable (tests assert
-    * the join shapes); production callers always materialize. */
+    * the join shapes); production callers always materialize. Below
+    * `driverPosThreshold` distinct positions the whole clustering runs
+    * driver-side over the contracted positions (one collect + one
+    * broadcast join instead of ~15 tiny stages — the same adaptive cut
+    * Dedup.clusterPairs makes); the distributed path stays the scale
+    * story for billions of distinct coordinates. */
   private[graft] def dbscanPoints(df: DataFrame, idCol: String, geomCol: String,
-                   eps: Double, minPts: Int, checkpoint: Boolean): DataFrame = {
+                   eps: Double, minPts: Int, checkpoint: Boolean,
+                   driverPosThreshold: Long = 1L << 20): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.select(col(idCol).cast("long").as("id"),
@@ -69,6 +75,9 @@ object SpatialCluster {
         .agg(count(lit(1)).as("w"), min("id").as("pid"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        val nPos = pos.count()
+        if (checkpoint && nPos <= driverPosThreshold)
+          return dbscanDriver(pts, pos, eps, minPts)
         val cx = floor(col("x") / lit(eps)).cast("long")
         val cy = floor(col("y") / lit(eps)).cast("long")
         def pack(a: Column, b: Column): Column =
@@ -121,6 +130,99 @@ object SpatialCluster {
         } finally posPairs.unpersist()
       } finally pos.unpersist()
     } finally pts.unpersist()
+  }
+
+  /** Driver-side DBSCAN over collected positions (small-cardinality fast
+    * path): grid-bucket hashmap for 3x3 neighbor scans, min-root
+    * union-find over core-core pairs — identical semantics to the
+    * distributed path, then one broadcast join fans verdicts back out. */
+  private def dbscanDriver(pts: DataFrame, pos: DataFrame,
+                           eps: Double, minPts: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val rows = pos.select("x", "y", "w", "pid").collect()
+    val n = rows.length
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    val ws = new Array[Long](n); val pids = new Array[Long](n)
+    val buckets = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    def cellOf(x: Double, y: Double): Long =
+      (math.floor(x / eps).toLong << 32) | (math.floor(y / eps).toLong & 0xffffffffL)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      xs(i) = r.getDouble(0); ys(i) = r.getDouble(1)
+      ws(i) = r.getLong(2); pids(i) = r.getLong(3)
+      buckets.computeIfAbsent(cellOf(xs(i), ys(i)), _ => new java.util.ArrayList[Int]()).add(i)
+      i += 1
+    }
+    val eps2 = eps * eps
+    def neighbors(i: Int): Iterator[Int] = {
+      val cx = math.floor(xs(i) / eps).toLong
+      val cy = math.floor(ys(i) / eps).toLong
+      (for (dx <- -1L to 1L; dy <- -1L to 1L) yield ((cx + dx) << 32) | ((cy + dy) & 0xffffffffL))
+        .iterator.flatMap { c =>
+          val b = buckets.get(c)
+          if (b == null) Iterator.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            b.asScala.iterator.filter { j =>
+              val ddx = xs(i) - xs(j); val ddy = ys(i) - ys(j)
+              ddx * ddx + ddy * ddy <= eps2
+            }
+          }
+        }
+    }
+    val isCore = new Array[Boolean](n)
+    i = 0
+    while (i < n) {
+      var wsum = 0L
+      neighbors(i).foreach(j => wsum += ws(j))
+      isCore(i) = wsum >= minPts
+      i += 1
+    }
+    // min-root union-find over core-core neighbor pairs (root pid is the
+    // smallest core point id in the component, as in the distributed path)
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (pids(ra) <= pids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    i = 0
+    while (i < n) {
+      if (isCore(i)) neighbors(i).foreach(j => if (isCore(j) && j != i) union(i, j))
+      i += 1
+    }
+    val cluster = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      cluster(i) =
+        if (isCore(i)) pids(find(i))
+        else {
+          var best = Long.MaxValue
+          neighbors(i).foreach(j => if (isCore(j)) best = math.min(best, pids(find(j))))
+          if (best == Long.MaxValue) -1L else best
+        }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val verdicts: java.util.List[org.apache.spark.sql.Row] =
+      (0 until n).map(k => org.apache.spark.sql.Row(xs(k), ys(k), isCore(k), cluster(k))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_core", org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false)))
+    pts.join(broadcast(spark.createDataFrame(verdicts, schema)), Seq("x", "y"))
+      .select(col("id"), col("is_core"), col("cluster"))
+      .localCheckpoint()
   }
 
   /**

@@ -61,6 +61,16 @@ class SpatialClusterSpec extends SparkSpec {
     assert(a == b) // bit-identical, not just close
   }
 
+  test("dbscan: driver fast path and distributed path agree exactly") {
+    val df = points((1L to 300L).map(i =>
+      (i, (i % 23).toDouble * 2 + (i % 3).toDouble, (i % 17).toDouble * 2)): _*)
+    def run(threshold: Long) =
+      SpatialCluster.dbscanPoints(df, "id", "geo", 2.5, 4, checkpoint = true,
+        driverPosThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(1L << 20) == run(0L)) // driver cut vs pure distributed
+  }
+
   test("dbscan and gi* plans contain no cartesian product") {
     val df = points((1L to 50L).map(i => (i, (i % 7).toDouble, (i % 5).toDouble)): _*)
       .withColumn("v", org.apache.spark.sql.functions.expr("id % 10"))
