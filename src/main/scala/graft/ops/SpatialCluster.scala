@@ -132,6 +132,40 @@ object SpatialCluster {
     } finally pts.unpersist()
   }
 
+  /** Driver-side LOF arithmetic over collected (id, nbr, dist, rk) rows:
+    * identical rank-ordered sequential folds as the distributed path, so
+    * the scores are the same doubles bit-for-bit. */
+  private def lofDriver(pts: DataFrame, nbrs: DataFrame, k: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val rows = nbrs.select("id", "nbr", "dist", "rk").collect()
+    // per-id neighbor lists in rank order
+    val byId = new java.util.HashMap[Long, Array[(Long, Double)]]()
+    val grouped = rows.groupBy(_.getLong(0))
+    grouped.foreach { case (id, rs) =>
+      byId.put(id, rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))))
+    }
+    import scala.jdk.CollectionConverters._
+    val kdist = byId.asScala.map { case (id, ns) => id -> ns.map(_._2).max }
+    val lrd = byId.asScala.map { case (id, ns) =>
+      var rsum = 0.0
+      ns.foreach { case (nbr, d) => rsum += math.max(kdist(nbr), d) }
+      id -> k.toDouble / rsum
+    }
+    val verdicts: java.util.List[org.apache.spark.sql.Row] = byId.asScala.toSeq.map {
+      case (id, ns) =>
+        var lsum = 0.0
+        ns.foreach { case (nbr, _) => lsum += lrd(nbr) }
+        org.apache.spark.sql.Row(id, kdist(id), lrd(id), lsum / lrd(id) / k.toDouble)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("k_dist", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("lrd", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("lof", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    pts.select("id").join(broadcast(spark.createDataFrame(verdicts, schema)), "id")
+      .localCheckpoint()
+  }
+
   /** Driver-side DBSCAN over collected positions (small-cardinality fast
     * path): grid-bucket hashmap for 3x3 neighbor scans, min-root
     * union-find over core-core pairs — identical semantics to the
@@ -307,7 +341,17 @@ object SpatialCluster {
    *         neighborhood is co-located with it (duplicate coordinates).
    */
   def localOutlierFactor(df: DataFrame, idCol: String, geomCol: String,
-                         k: Int): DataFrame = {
+                         k: Int): DataFrame =
+    localOutlierFactor(df, idCol, geomCol, k, driverNbrThreshold = 1L << 22)
+
+  /** Below `driverNbrThreshold` (id, nbr) rows the post-KNN arithmetic
+    * (k-dist, reachability, lrd, LOF) runs driver-side over the collected
+    * neighbor lists — one collect + one broadcast join instead of eight
+    * tiny stages. The fold order is identical (rank-sorted sequential
+    * sums), so both paths and the oracle agree bit-for-bit; the KNN join
+    * itself always stays distributed (it is the codegen-heavy part). */
+  private[graft] def localOutlierFactor(df: DataFrame, idCol: String, geomCol: String,
+                         k: Int, driverNbrThreshold: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pts = df.select(col(idCol).cast("long").as("id"), col(geomCol).as("__g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -321,6 +365,8 @@ object SpatialCluster {
           (col("knn_rank") - 1).as("rk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        val nNbrs = nbrs.count()
+        if (nNbrs <= driverNbrThreshold) return lofDriver(pts, nbrs, k)
         val kdist = nbrs.groupBy("id").agg(max("dist").as("k_dist"))
         // reachability distance to each neighbor: max(k-dist(nbr), d(p, nbr))
         val reach = nbrs

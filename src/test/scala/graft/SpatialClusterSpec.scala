@@ -51,7 +51,7 @@ class SpatialClusterSpec extends SparkSpec {
     assert(math.abs(got(4)._3 - 5.0) < 1e-12)
   }
 
-  test("lof: deterministic across recomputation") {
+  test("lof: deterministic across recomputation; driver and distributed paths agree") {
     val df = points((1L to 200L).map(i =>
       (i, i.toDouble, (i % 23).toDouble * 2)): _*)
     val a = SpatialCluster.localOutlierFactor(df, "id", "geo", k = 5)
@@ -59,6 +59,11 @@ class SpatialClusterSpec extends SparkSpec {
     val b = SpatialCluster.localOutlierFactor(df, "id", "geo", k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
     assert(a == b) // bit-identical, not just close
+    val dist = SpatialCluster.localOutlierFactor(df, "id", "geo", 5, driverNbrThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val drv = SpatialCluster.localOutlierFactor(df, "id", "geo", 5, driverNbrThreshold = 1L << 22)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(dist == drv) // same doubles bit-for-bit on both paths
   }
 
   test("dbscan: driver fast path and distributed path agree exactly") {
