@@ -571,6 +571,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // C4/CCNet-style line-level boilerplate dedup: footers seeded in-flow
+    // (corpus is synthetic) recur across >= minDocs docs and are removed
+    // from every document; the 'short' line recurs but stays under the
+    // length floor. Pure string ops — the oracle replays the rule exactly.
+    "dedup_boilerplate_lines" -> ((s, d) => {
+      prep(s, d)
+      val seeded = s.sql("""
+        SELECT doc_id,
+               CONCAT(text,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN CONCAT(CHR(10), 'Follow us on example.social for updates!') ELSE '' END,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN CONCAT(CHR(10), 'Copyright 2024 Example Corp. All rights reserved.') ELSE '' END,
+                 CASE WHEN doc_id % 7 = 0 THEN CONCAT(CHR(10), 'short') ELSE '' END) AS text
+        FROM documents""")
+      graft.ops.Dedup.dropBoilerplateLines(seeded, col("doc_id"), col("text"), minDocs = 50)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Iceberg-style SQL time travel through the DSv2 catalog: two inserts
     // produce snapshots 1 and 2; VERSION AS OF must see exactly the rows
     // committed at each version (counts + key sums, replayed from the
@@ -1716,6 +1737,36 @@ object SparkEntry {
       LEFT JOIN cc ON cc.id = p.id
       LEFT JOIN brd ON brd.id = p.id
       ORDER BY p.id""",
+
+    // boilerplate replay: same seeding, same >= minDocs distinct-doc rule
+    // with the length floor, same positional rebuild (string_agg ORDER BY
+    // the zipped unnest ordinal)
+    "dedup_boilerplate_lines" -> """
+      WITH seeded AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || 'Follow us on example.social for updates!' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || 'Copyright 2024 Example Corp. All rights reserved.' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'short' ELSE '' END AS text
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM seeded),
+      lines AS (SELECT doc_id, unnest(l) AS line,
+                       unnest(generate_series(1, len(l))) AS pos FROM ls),
+      boiler AS (SELECT trim(line) AS bline FROM lines
+                 WHERE length(trim(line)) >= 10
+                 GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 50),
+      kept AS (SELECT doc_id, pos, line FROM lines
+               WHERE trim(line) NOT IN (SELECT bline FROM boiler)),
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+      SELECT c.doc_id, md5(COALESCE(a.clean_text, '')) AS clean_md5,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             c.n_lines - COALESCE(a.n_kept, 0) AS n_removed
+      FROM cnt c LEFT JOIN agg a USING (doc_id) ORDER BY c.doc_id""",
 
     // time travel reduces to the insert predicates: snapshot v1 holds the
     // %3=0 rows, v2 adds the %3=1 rows

@@ -292,4 +292,45 @@ object Dedup {
       .where(org.apache.spark.sql.functions.col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming").distinct()
   }
+
+  /**
+   * Line-level boilerplate dedup (C4/CCNet-style): a trimmed line that
+   * occurs in at least `minDocs` DISTINCT documents and is at least
+   * `minChars` long is boilerplate (navigation, footers, cookie banners)
+   * and is removed from EVERY document; short recurring lines
+   * (headings, list markers) are spared by the length floor.
+   *
+   * 100 TB shape: one count-distinct aggregation keyed by the line (the
+   * boilerplate set is tiny — lines repeated across >= minDocs docs),
+   * then a line-exploded left-anti equi-join against that set, rebuilt in
+   * original line order. No document ever compares against another
+   * document directly.
+   *
+   * @return (doc_id, clean_text, n_kept, n_removed)
+   */
+  def dropBoilerplateLines(df: DataFrame, id: Column, text: Column,
+                           minDocs: Int, minChars: Int = 10): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val lines = df.select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("tline", trim(c("line")))
+    val boiler = lines
+      .where(length(c("tline")) >= minChars)
+      .groupBy("tline").agg(countDistinct("doc_id").as("ndocs"))
+      .where(c("ndocs") >= minDocs)
+      .select(c("tline").as("bline"))
+    val kept = lines.join(broadcast(boiler), c("tline") === c("bline"), "left_anti")
+    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(c("pos"), c("line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left from counts: a document whose every line was boilerplate
+    // survives as an empty text, it does not vanish
+    counts.join(keptAgg, Seq("doc_id"), "left")
+      .select(c("doc_id"), coalesce(c("clean_text"), lit("")).as("clean_text"),
+        coalesce(c("n_kept"), lit(0L)).as("n_kept"),
+        (c("n_lines") - coalesce(c("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

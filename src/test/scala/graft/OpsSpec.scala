@@ -15,6 +15,27 @@ class OpsSpec extends SparkSpec {
     (4L, "le chat noir dort sur le canapé dans la maison pendant la nuit")
   ).toDF("doc_id", "text").cache()
 
+  test("dropBoilerplateLines removes recurring long lines, spares short ones") {
+    val boiler = "This site uses cookies to improve your experience."
+    val withFooters = Seq(
+      (1L, s"unique article one\n$boiler\nok"),
+      (2L, s"unique article two\n$boiler\nok"),
+      (3L, s"unique article three\n$boiler"),
+      (4L, s"$boiler"), // all-boilerplate doc must survive as empty
+      (5L, "no footer here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(withFooters, col("doc_id"), col("text"),
+        minDocs = 3, minChars = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == (1L, "unique article one\nok", 2L, 1L))
+    assert(out(2) == (3L, "unique article three", 1L, 1L))
+    assert(out(3) == (4L, "", 0L, 1L)) // empty, not vanished
+    assert(out(4) == (5L, "no footer here at all", 1L, 0L))
+    // 'ok' recurs in 2 docs but is short AND below minDocs — kept
+    assert(out(1)._2.endsWith("ok"))
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(docs, col("doc_id"), col("text"))
     assert(groups.count() == 4)
