@@ -145,6 +145,7 @@ object GraftFunctions {
     ("minhash_sig", 2, es => MinHashSig(es(0), es(1))),
     ("simhash64", 1, es => SimHash64(es.head)),
     ("simhash16", 1, es => PortableSimHash16(es.head)),
+    ("word_ngram_hashes", 2, es => WordNgramHashes(es(0), es(1))),
     ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
     ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
     // catalog breadth tier 3 (StTier3Expressions)
@@ -343,6 +344,7 @@ object GraftFunctions {
     "minhash_sig" -> "minhash_sig(shingleHashes, k) - k-minima MinHash signature (deterministic seeds).",
     "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
     "simhash16" -> "simhash16(text) - Portable 16-bit SimHash over whitespace tokens (engine-replicable polynomial hash).",
+    "word_ngram_hashes" -> "word_ngram_hashes(text, n) - Distinct xxhash64 fingerprints of the word n-grams (fused decontamination primitive).",
     "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
     "banded_hyperplane_sig" -> "banded_hyperplane_sig(vec, bitsPerBand, bands) - Per-band LSH sub-signatures; candidates when ANY band matches.",
     "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",
@@ -592,6 +594,8 @@ object GraftFunctions {
   def st_transform(g: Column, src: Column, dst: Column): Column = col(StTransform(Seq(e(g), e(src), e(dst))))
   def st_makeValid(g: Column): Column = col(StMakeValid(e(g)))
   def st_geomFromGeoJson(j: Column): Column = col(StGeomFromGeoJson(e(j)))
+  def wordNgramHashes(text: Column, n: Int): Column =
+    col(WordNgramHashes(e(text), e(org.apache.spark.sql.functions.lit(n))))
   def st_union_aggr(g: Column): Column = agg(StUnionAggr(e(g)))
   def st_envelope_aggr(g: Column): Column = agg(StEnvelopeAggr(e(g)))
   def st_centroid_aggr(g: Column): Column = agg(StCentroidAggr(e(g)))

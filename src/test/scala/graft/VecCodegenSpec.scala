@@ -75,6 +75,29 @@ class VecCodegenSpec extends SparkSpec {
     assert(a.numElements() == 3)
   }
 
+  test("word_ngram_hashes equals the HOF chain bit-for-bit") {
+    // tricky shapes: multi-space runs, leading/trailing spaces, embedded
+    // newline (NOT a separator), repeats (distinct), short text, empty
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  padded   with    runs of  spaces   everywhere  ",
+      "line one\nstill same token run here yes",
+      "a b c d e a b c d e a b c d e",
+      "too short", "", "     ", "exactly five tokens right here")
+    import spark.implicits._
+    val df = texts.toDF("t")
+    val got = df.selectExpr(
+      "word_ngram_hashes(t, 5) AS fused",
+      "array_distinct(transform(CASE WHEN size(split(trim(t), ' +')) >= 5 " +
+        "THEN transform(sequence(1, size(split(trim(t), ' +')) - 4), " +
+        "i -> array_join(slice(split(trim(t), ' +'), i, 5), ' ')) " +
+        "ELSE array() END, g -> xxhash64(g))) AS hof")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for row $r")
+    }
+  }
+
   test("banded_hyperplane_sig SQL registration: band-OR candidates via explode-join") {
     // two near-identical vectors and one orthogonal: the near pair shares
     // at least one band, the far pair shares none (seeded, deterministic)
