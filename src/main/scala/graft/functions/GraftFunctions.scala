@@ -146,6 +146,7 @@ object GraftFunctions {
     ("simhash64", 1, es => SimHash64(es.head)),
     ("simhash16", 1, es => PortableSimHash16(es.head)),
     ("word_ngram_hashes", 2, es => WordNgramHashes(es(0), es(1))),
+    ("char_ngram_hashes", 2, es => CharNgramHashes(es(0), es(1))),
     ("hyperplane_sig", 2, es => HyperplaneSig(es(0), es(1))),
     ("banded_hyperplane_sig", 3, es => BandedHyperplaneSig(es(0), es(1), es(2))),
     // catalog breadth tier 3 (StTier3Expressions)
@@ -345,6 +346,7 @@ object GraftFunctions {
     "simhash64" -> "simhash64(tokenHashes64) - 64-bit SimHash of xxhash64 token hashes.",
     "simhash16" -> "simhash16(text) - Portable 16-bit SimHash over whitespace tokens (engine-replicable polynomial hash).",
     "word_ngram_hashes" -> "word_ngram_hashes(text, n) - Distinct xxhash64 fingerprints of the word n-grams (fused decontamination primitive).",
+    "char_ngram_hashes" -> "char_ngram_hashes(text, k) - Distinct murmur3 hashes of char k-gram shingles (fused MinHash primitive).",
     "hyperplane_sig" -> "hyperplane_sig(vec, nbits) - Random-hyperplane LSH bucket (nbits <= 64).",
     "banded_hyperplane_sig" -> "banded_hyperplane_sig(vec, bitsPerBand, bands) - Per-band LSH sub-signatures; candidates when ANY band matches.",
     "st_transform" -> "st_transform(geom, 'EPSG:4326', 'EPSG:3857') - Closed-form reprojection (4326 / 3857 / UTM 326zz,327zz).",

@@ -419,3 +419,58 @@ case class WordNgramHashes(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "word_ngram_hashes"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/**
+ * char_ngram_hashes(text, k): murmur3 hashes of the char k-gram shingles —
+ * the one-pass fused form of Dedup.shinglesExpr's
+ * `array_distinct(transform(sequence(...), i => hash(substr(text, i, k))))`
+ * (distinct, first-occurrence order, same `hash()` seed 42; positions are
+ * code points like Spark's substr, so multibyte text shingles
+ * identically). Texts shorter than k produce one whole-text shingle,
+ * matching the `greatest(len-k+1, 1)` guard in the HOF chain.
+ */
+case class CharNgramHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() =
+    graft.functions.StKit.checkTypes(prettyName, Seq(left -> "string", right -> "numeric"))
+
+  def compute(raw: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val bytes = raw.getBytes
+    // byte offsets of each code-point start (UTF-8 continuation = 10xxxxxx)
+    val offs = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) offs += i
+      i += 1
+    }
+    offs += bytes.length
+    val nChars = offs.length - 1
+    val seen = new java.util.LinkedHashSet[java.lang.Integer]()
+    def hashRange(from: Int, until: Int): Unit =
+      seen.add(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(from),
+        offs(until) - offs(from), 42))
+    if (nChars <= k - 1) hashRange(0, nChars)
+    else {
+      var g = 0
+      while (g <= nChars - k) { hashRange(g, g + k); g += 1 }
+    }
+    val out = new Array[Int](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(t: Any, kv: Any): Any =
+    compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      kv.asInstanceOf[Number].intValue())
+  def evalBoxed(t: org.apache.spark.unsafe.types.UTF8String, kv: Int): ArrayData = compute(t, kv)
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cng", this, classOf[CharNgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.evalBoxed($a, (int)($b));")
+  }
+  override def prettyName: String = "char_ngram_hashes"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -28,11 +28,11 @@ object Dedup {
     df.groupBy(md5(text).as("text_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Distinct char-`k`-gram murmur3 hashes of a text column (codegen'd builtins). */
+  /** Distinct char-`k`-gram murmur3 hashes of a text column — fused
+    * one-pass expression (the HOF transform/substr/hash chain evaluates
+    * interpreted per element; CharNgramHashes produces identical hashes). */
   def shinglesExpr(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => hash(text.substr(i, lit(k)))))
+    col2(graft.functions.CharNgramHashes(ex(text), ex(lit(k))))
 
   /** MinHash signature column over char-k-gram shingles. */
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
