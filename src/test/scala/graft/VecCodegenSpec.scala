@@ -98,6 +98,22 @@ class VecCodegenSpec extends SparkSpec {
     }
   }
 
+  test("char_ngram_hashes equals the HOF chain incl. multibyte text") {
+    val texts = Seq(
+      "abcdefghij", "aaaaaa", "ab", "", "exact",
+      "中文文本的去重测试需要按码点分片", // code points, not bytes
+      "mixed 中文 and ascii text here")
+    import spark.implicits._
+    val got = texts.toDF("t").selectExpr(
+      "char_ngram_hashes(t, 5) AS fused",
+      "array_distinct(transform(sequence(1, greatest(length(t) - 4, 1)), " +
+        "i -> hash(substr(t, i, 5)))) AS hof")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"mismatch for row $r")
+    }
+  }
+
   test("banded_hyperplane_sig SQL registration: band-OR candidates via explode-join") {
     // two near-identical vectors and one orthogonal: the near pair shares
     // at least one band, the far pair shares none (seeded, deterministic)
