@@ -24,6 +24,16 @@ object GraftFunctions {
       f(es)
     }
 
+  /** Force-dimension function taking (geom[, value]) with value defaulting
+    * to 0.0 (the PostGIS/Sedona convention). */
+  private def withOptDefault(name: String,
+      build: (Expression, Expression) => Expression): Builder =
+    es => {
+      require(es.length == 1 || es.length == 2, s"$name expects 1 or 2 arguments, got ${es.length}")
+      build(es.head, if (es.length == 2) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.0))
+    }
+
   /** Constructor taking one payload arg plus the Sedona/PostGIS optional
     * trailing SRID (wrapped as st_setsrid). */
   private def withOptSrid(name: String, build: Seq[Expression] => Expression): Builder =
@@ -180,7 +190,6 @@ object GraftFunctions {
     ("st_ndims", 1, es => StNDims(es.head)),
     ("st_zmflag", 1, es => StZmflag(es.head)),
     ("st_makepointz", 3, es => StMakePointZ(es)),
-    ("st_force3d", 2, es => StForce3D(es(0), es(1))),
     ("st_3ddistance", 2, es => St3DDistance(es(0), es(1))),
     // catalog breadth tier 4 (StTier4Expressions)
     ("st_lengthsphere", 1, es => StLengthSphere(es.head)),
@@ -214,9 +223,7 @@ object GraftFunctions {
     ("st_pointm", 3, es => StMakePointM(es)),
     ("st_pointz", 3, es => StMakePointZ(es)),
     ("st_pointzm", 4, es => StPointZM(es)),
-    ("st_force3dm", 2, es => StForce3DM(es(0), es(1))),
     ("st_force4d", 3, es => StForce4D(es)),
-    ("st_forcez", 2, es => StForce3D(es(0), es(1))),
     ("st_addmeasure", 3, es => StAddMeasure(es)),
     ("st_locatealong", 2, es => StLocateAlong(es(0), es(1))),
     ("st_interpolatepoint", 2, es => StInterpolatePoint(es(0), es(1))),
@@ -245,7 +252,6 @@ object GraftFunctions {
     ("st_intersection_aggr", 1, es => StIntersectionAggr(es.head)),
     ("st_envelope_aggr", 1, es => StEnvelopeAggr(es.head)),
     ("st_centroid_aggr", 1, es => StCentroidAggr(es.head)),
-    ("st_collect", 1, es => StCollectAggr(es.head)),
   ).map { case (name, n, f) => name -> arity(n, name)(f) } :+
     ("st_tile_cells" -> { (es: Seq[Expression]) =>
       require(es.length == 2 || es.length == 3, s"st_tile_cells expects 2 or 3 arguments, got ${es.length}")
@@ -295,6 +301,18 @@ object GraftFunctions {
     ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
     ("st_translate" -> { (es: Seq[Expression]) => StTranslate(es) }) :+
+    ("st_force3d" -> withOptDefault("st_force3d", (g, v) => StForce3D(g, v))) :+
+    ("st_forcez" -> withOptDefault("st_forcez", (g, v) => StForce3D(g, v))) :+
+    ("st_force3dz" -> withOptDefault("st_force3dz", (g, v) => StForce3D(g, v))) :+
+    ("st_force3dm" -> withOptDefault("st_force3dm", (g, v) => StForce3DM(g, v))) :+
+    ("st_collect" -> { (es: Seq[Expression]) =>
+      // 1 arg = aggregate collect; 2 args = PostGIS scalar pair collect
+      es.length match {
+        case 1 => StCollectAggr(es.head)
+        case 2 => StCollectTwo(es(0), es(1))
+        case n => throw new IllegalArgumentException(s"st_collect expects 1 or 2 arguments, got $n")
+      }
+    }) :+
     ("st_expand" -> { (es: Seq[Expression]) => StExpand(es) }) :+
     ("st_astext" -> { (es: Seq[Expression]) =>
       // 2-arg = PostGIS maxdecimaldigits formatting
@@ -364,7 +382,7 @@ object GraftFunctions {
     "st_union_aggr" -> "st_union_aggr(geom) - Aggregate: n-way cascaded union (map-side partial unions).",
     "st_envelope_aggr" -> "st_envelope_aggr(geom) - Aggregate: bounding box of all inputs (fixed-size buffer).",
     "st_centroid_aggr" -> "st_centroid_aggr(geom) - Aggregate: centroid of the input collection (dimension-stratified).",
-    "st_collect" -> "st_collect(geom) - Aggregate: collects inputs into a Multi*/GeometryCollection.",
+    "st_collect" -> "st_collect(geom) aggregate, or st_collect(g1, g2) scalar pair collect.",
     "st_distancesphere" -> "st_distancesphere(a, b[, radius]) - Haversine meters between centroids (x=lon, y=lat; default IUGG mean radius).",
     "st_lengthsphere" -> "st_lengthsphere(geom) - Sum of great-circle segment lengths (meters) over LineString components.",
     "st_areasphere" -> "st_areasphere(geom) - Approximate spherical polygon area, m^2 (Chamberlain-Duquette; holes subtract).",
@@ -432,10 +450,11 @@ object GraftFunctions {
     "st_flipcoordinates" -> "st_flipcoordinates(geom) - Swap x and y on every vertex.",
     "st_force2d" -> "st_force2d(geom) - Drop Z/M from every vertex.",
     "st_force_2d" -> "st_force_2d(geom) - Alias of st_force2d.",
-    "st_force3d" -> "st_force3d(geom, z) - Ensure Z on every vertex (existing Z kept).",
-    "st_force3dm" -> "st_force3dm(geom, m) - Ensure a measure on every vertex (Z dropped, existing M kept).",
+    "st_force3d" -> "st_force3d(geom[, z]) - Ensure Z on every vertex (default 0, existing Z kept).",
+    "st_force3dm" -> "st_force3dm(geom[, m]) - Ensure a measure on every vertex (default 0, existing M kept).",
     "st_force4d" -> "st_force4d(geom, z, m) - Ensure both Z and M on every vertex.",
-    "st_forcez" -> "st_forcez(geom, z) - Alias of st_force3d.",
+    "st_forcez" -> "st_forcez(geom[, z]) - Alias of st_force3d.",
+    "st_force3dz" -> "st_force3dz(geom[, z]) - Alias of st_force3d (PostGIS naming).",
     "st_forcepolygonccw" -> "st_forcepolygonccw(geom) - Shells counter-clockwise, holes clockwise (OGC order).",
     "st_forcepolygoncw" -> "st_forcepolygoncw(geom) - Shells clockwise, holes counter-clockwise.",
     "st_frechetdistance" -> "st_frechetdistance(a, b) - Discrete Frechet distance (curve similarity).",

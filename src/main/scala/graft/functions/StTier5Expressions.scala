@@ -561,6 +561,24 @@ case class StAsTextPrec(left: Expression, right: Expression) extends StNary {
     copy(cs(0), cs(1))
 }
 
+/** st_collect(g1, g2): scalar two-geometry collect (PostGIS overload of
+  * the aggregate form) — homogeneous inputs become their Multi* type,
+  * mixed inputs a GeometryCollection. */
+case class StCollectTwo(left: Expression, right: Expression) extends StBinary {
+  override def dataType: DataType = BinaryType
+  protected def run(l: Geometry, r: Geometry): Any = {
+    val f = l.getFactory
+    out((l, r) match {
+      case (a: Point, b: Point) => f.createMultiPoint(Array(a, b))
+      case (a: LineString, b: LineString) => f.createMultiLineString(Array(a, b))
+      case (a: Polygon, b: Polygon) => f.createMultiPolygon(Array(a, b))
+      case (a, b) => f.createGeometryCollection(Array(a, b))
+    })
+  }
+  override def prettyName: String = "st_collect"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** st_isclosed: every LineString component closed (first == last vertex);
   * PostGIS convention — points and polygonal geometry count as closed. */
 case class StIsClosed(child: Expression) extends StUnary {

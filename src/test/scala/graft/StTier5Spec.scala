@@ -195,6 +195,20 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_astext(st_force_2d(st_pointz(1, 2, 3)))") == "POINT (1 2)")
   }
 
+  test("default-z force variants and scalar st_collect") {
+    assert(sql1("SELECT st_astext(st_force3d(st_point(1, 2)))") == "POINT Z(1 2 0)")
+    assert(sql1("SELECT st_astext(st_force3dz(st_point(1, 2)))") == "POINT Z(1 2 0)")
+    assert(sql1("SELECT st_astext(st_force3dm(st_point(1, 2)))") == "POINT M(1 2 0)")
+    assert(sql1("SELECT st_astext(st_force3d(st_point(1, 2), 7))") == "POINT Z(1 2 7)")
+    assert(sql1("SELECT st_astext(st_collect(st_point(1, 2), st_point(3, 4)))")
+      == "MULTIPOINT ((1 2), (3 4))")
+    assert(sql1("SELECT st_geometrytype(st_collect(st_point(1, 2), st_geomfromtext('LINESTRING (0 0, 1 1)')))")
+      == "ST_GeometryCollection")
+    // 1-arg form still aggregates
+    assert(sql1("SELECT st_astext(st_collect(g)) FROM (SELECT st_point(1, 1) AS g UNION ALL SELECT st_point(2, 2))")
+      == "MULTIPOINT ((1 1), (2 2))")
+  }
+
   test("st_translate dz and st_expand per-axis variants") {
     assert(sql1("SELECT st_astext(st_translate(st_pointz(1, 2, 3), 10, 20, 30))") == "POINT Z(11 22 33)")
     assert(sql1("SELECT st_astext(st_translate(st_point(1, 2), 10, 20))") == "POINT (11 22)")
