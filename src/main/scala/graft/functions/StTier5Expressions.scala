@@ -527,9 +527,16 @@ case class StSimplifyPolygonHull(children: Seq[Expression]) extends StNary {
   require(children.length == 2 || children.length == 3,
     s"st_simplifypolygonhull expects (geom, vertexFrac[, outer]), got ${children.length} args")
   override def dataType: DataType = BinaryType
-  override def checkInputDataTypes() =
-    StKit.checkTypes(prettyName,
+  override def checkInputDataTypes() = {
+    val base = StKit.checkTypes(prettyName,
       Seq(children(0) -> "geometry", children(1) -> "numeric"))
+    if (!base.isSuccess) base
+    else if (children.length > 2 && children(2).dataType != BooleanType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName third argument (outer) must be BOOLEAN, got " +
+          children(2).dataType.simpleString)
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
   protected def run(vs: Seq[Any]): Any = {
     val outer = if (vs.length > 2) vs(2).asInstanceOf[Boolean] else true
     out(org.locationtech.jts.simplify.PolygonHullSimplifier.hull(
@@ -648,7 +655,8 @@ case class StUnionArray(child: Expression) extends org.apache.spark.sql.catalyst
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
-    case ArrayType(BinaryType, _) | NullType =>
+    // array<void> is the type of the empty/all-NULL array literal
+    case ArrayType(BinaryType, _) | ArrayType(NullType, _) | NullType =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -659,14 +667,20 @@ case class StUnionArray(child: Expression) extends org.apache.spark.sql.catalyst
   def evalArray(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
     val gs = (0 until arr.numElements()).filterNot(arr.isNullAt)
       .map(i => Geom.deserialize(arr.getBinary(i)))
-    out(org.locationtech.jts.operation.union.UnaryUnionOp.union(
+    // UnaryUnionOp.union returns null for zero geometries — PostGIS returns
+    // NULL for ST_Union of an empty/all-NULL array, so do the same
+    if (gs.isEmpty) null
+    else out(org.locationtech.jts.operation.union.UnaryUnionOp.union(
       java.util.Arrays.asList(gs: _*)))
   }
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
     val ref = ctx.addReferenceObj("stUni", this, classOf[StUnionArray].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalArray($a);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.evalArray($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
   override def prettyName: String = "st_union"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -377,8 +377,14 @@ case class WordNgramHashes(left: Expression, right: Expression) extends BinaryEx
       i += 1
     }
     if (inTok) ends += bytes.length
-    // split("") yields one empty token; either way < n tokens -> no grams
     val t = starts.length
+    // split("") yields ONE empty token, so for n == 1 the HOF chain emits
+    // the single hash of zero bytes — mirror it; for n >= 2 an empty text
+    // still has < n tokens -> no grams
+    if (t == 0 && n == 1)
+      return new GenericArrayData(Array(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, 42L)))
     if (t < n) return new GenericArrayData(Array.empty[Long])
     var buf = new Array[Byte](64)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

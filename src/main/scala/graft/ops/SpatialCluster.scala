@@ -357,12 +357,20 @@ object SpatialCluster {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val rights = pts.select(col("id").as("nbr"), col("__g").as("__ng"))
-      // k+1 then drop self (unique coordinates put self at rank 1, dist 0)
+      // k+1 then drop self, then RE-RANK and keep rank <= k: with unique
+      // coordinates self sits at rank 1 (dist 0) and the re-rank is the
+      // old `knn_rank - 1`; with > k co-located smaller-id duplicates the
+      // (dist, id) tie-break can push self OUT of the top k+1, which would
+      // otherwise leave k+1 neighbors feeding sums divided by k — the
+      // re-rank restores the exactly-k sklearn contract either way.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("knn_rank")
       val nbrs = graft.plans.SpatialJoin.knnJoin(
           pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1)
         .where(col("nbr") =!= col("id"))
-        .select(col("id"), col("nbr"), col("knn_dist").as("dist"),
-          (col("knn_rank") - 1).as("rk"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("id"), col("nbr"), col("knn_dist").as("dist"), col("rk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val nNbrs = nbrs.count()
@@ -377,9 +385,13 @@ object SpatialCluster {
             sort_array(collect_list(struct(col("rk"), col(valueCol)))),
             lit(0.0),
             (acc, x) => acc + x.getField(valueCol))
+        // rsum = 0 (whole neighborhood co-located) => lrd = Infinity, the
+        // sklearn duplicate convention — spelled out because ANSI mode
+        // turns the 0-divisor into an error, not an Infinity
         val lrd = reach.groupBy("id")
           .agg(foldInRankOrder("rdist").as("rsum"))
-          .select(col("id"), (lit(k.toDouble) / col("rsum")).as("lrd"))
+          .select(col("id"), when(col("rsum") === lit(0.0), lit(Double.PositiveInfinity))
+            .otherwise(lit(k.toDouble) / col("rsum")).as("lrd"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val lsum = nbrs

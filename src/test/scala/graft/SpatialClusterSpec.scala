@@ -66,6 +66,35 @@ class SpatialClusterSpec extends SparkSpec {
     assert(dist == drv) // same doubles bit-for-bit on both paths
   }
 
+  test("lof: duplicate coordinates keep the exactly-k contract on both paths") {
+    // ids 1..4 co-located at (0,0): for id 4 the (dist, id) tie-break puts
+    // 1,2,3 ahead of self in the k+1 = 3 fetch, so self never appears and
+    // the re-rank must truncate back to k = 2 neighbors; ids 5..8 unique
+    val df = points((1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 0.0, 0.0),
+      (4L, 0.0, 0.0), (5L, 5.0, 0.0), (6L, 6.0, 0.0), (7L, 7.0, 0.0),
+      (8L, 20.0, 0.0))
+    def run(threshold: Long) =
+      SpatialCluster.localOutlierFactor(df, "id", "geo", 2, driverNbrThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val drv = run(1L << 22)
+    val dist = run(0L)
+    assert(drv.zip(dist).forall { case (a, b) =>
+      a._1 == b._1 && a._2 == b._2 &&
+        (a._3 == b._3 || (a._3.isNaN && b._3.isNaN)) &&
+        (a._4 == b._4 || (a._4.isNaN && b._4.isNaN))
+    }, s"paths disagree:\n$drv\n$dist")
+    assert(drv.map(_._1) == (1L to 8L)) // every input id gets a verdict
+    // co-located points: k-dist 0, lrd Infinity (sklearn duplicate case)
+    drv.take(4).foreach { case (_, kd, lrd, _) =>
+      assert(kd == 0.0 && lrd.isInfinity)
+    }
+    // unique mid-run points are finite and sane
+    drv.slice(4, 7).foreach { case (_, kd, lrd, lof) =>
+      assert(kd > 0 && !lrd.isInfinity && !lof.isNaN)
+    }
+  }
+
   test("dbscan: driver fast path and distributed path agree exactly") {
     val df = points((1L to 300L).map(i =>
       (i, (i % 23).toDouble * 2 + (i % 3).toDouble, (i % 17).toDouble * 2)): _*)

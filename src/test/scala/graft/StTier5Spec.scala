@@ -239,4 +239,19 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_area(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 4326))") == 16.0)
     assert(sql1("SELECT st_srid(st_polygon(st_geomfromtext('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)'), 3857))") == 3857)
   }
+
+  test("st_union(array) of empty / all-NULL arrays returns NULL (PostGIS)") {
+    assert(sql1("SELECT st_union(array())") == null)
+    assert(sql1("SELECT st_union(array(CAST(NULL AS BINARY)))") == null)
+    assert(sql1("SELECT st_union(array(CAST(NULL AS BINARY), CAST(NULL AS BINARY)))") == null)
+    // one non-null survivor still unions fine
+    assert(sql1("SELECT st_area(st_union(array(CAST(NULL AS BINARY), st_makeenvelope(0, 0, 2, 2))))") == 4.0)
+  }
+
+  test("simplifypolygonhull rejects a non-boolean third argument at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_simplifypolygonhull(st_makeenvelope(0, 0, 2, 2), 0.5, 1)").collect()
+    }
+    assert(e.getMessage.contains("BOOLEAN"), e.getMessage)
+  }
 }

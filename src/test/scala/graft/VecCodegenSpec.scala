@@ -98,6 +98,19 @@ class VecCodegenSpec extends SparkSpec {
     }
   }
 
+  test("word_ngram_hashes n=1 matches the HOF chain on empty/blank text") {
+    // split(trim('')) yields ONE empty token, so the HOF chain emits a
+    // single xxhash64('') for n = 1 — the fused loop must mirror it
+    val texts = Seq("", "   ", "one", "two tokens", " padded ")
+    val got = texts.toDF("t").selectExpr(
+      "word_ngram_hashes(t, 1) AS fused",
+      "array_distinct(transform(split(trim(t), ' +'), g -> xxhash64(g))) AS hof")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for row $r")
+    }
+  }
+
   test("char_ngram_hashes equals the HOF chain incl. multibyte text") {
     val texts = Seq(
       "abcdefghij", "aaaaaa", "ab", "", "exact",
