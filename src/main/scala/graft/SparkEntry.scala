@@ -458,6 +458,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("knn_rank"))
     }),
 
+    // the PARTITIONED (big-big) KNN join: same query, same oracle as
+    // spatial_knn_join, but the neighborhoods come from eps-cell bucketed
+    // equi-joins + bounded top-k aggregation — no side is ever broadcast
+    // whole (graft.plans.KnnGridJoin; the 100 TB path for KNN and LOF)
+    "spatial_knn_grid_join" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val ctr = s.table("nation").select(col("n_nationkey"),
+        st_point(col("n_nationkey") * 400.0, lit(12.0)).as("ctr"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
+      graft.plans.KnnGridJoin.knnJoinPoints(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
+          col("n_nationkey"), k = 3, cellSize = 500.0)
+        .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
+        .orderBy(col("c_custkey"), col("knn_rank"))
+    }),
+
     // ----- transformations (§2.5) -----
     // JTS point-buffer (quadrantSegments=8) is a regular 32-gon: area has
     // the closed form 16 r^2 sin(pi/16) (CrsSpec proves it to 1e-9), so
@@ -674,6 +690,24 @@ object SparkEntry {
                         0.0D) AS geo
         FROM t""")
       graft.ops.SpatialCluster.localOutlierFactor(pts, "id", "geo", k = 4)
+        .orderBy("id")
+    }),
+
+    // the same LOF with the PARTITIONED KNN path pinned on (the route the
+    // operator takes automatically above its broadcast threshold): scores
+    // must hash identically to the broadcast-path oracle — the driver-level
+    // proof that the scale path changes the plan, not one double
+    "spatial_lof_grid" -> ((s, d) => {
+      prep(s, d)
+      val pts = s.sql("""
+        WITH t AS (SELECT c_custkey, c_custkey - 1 AS c0 FROM customer)
+        SELECT c_custkey AS id,
+               st_point(CAST((c0 DIV 100) * 10000 + (c0 % 100) * (1 + (c0 DIV 100) % 3)
+                             + CASE WHEN c0 % 100 = 99 THEN 500 ELSE 0 END AS DOUBLE),
+                        0.0D) AS geo
+        FROM t""")
+      graft.ops.SpatialCluster.localOutlierFactor(pts, "id", "geo", k = 4,
+          driverNbrThreshold = 1L << 22, forceGrid = true)
         .orderBy("id")
     }),
 
@@ -1180,7 +1214,7 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracle per query (same aliases, same ordering). */
-  def oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2294,4 +2328,11 @@ object SparkEntry {
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       FROM final GROUP BY lang ORDER BY lang""",
   )
+
+  /** The grid (partitioned-KNN) variants replay EXACTLY the SQL of their
+    * broadcast twins: the partitioned path changes the plan shape, not a
+    * single output double — that identity is the point of the query. */
+  def oracleSql: Map[String, String] = oracleBase +
+    ("spatial_knn_grid_join" -> oracleBase("spatial_knn_join")) +
+    ("spatial_lof_grid" -> oracleBase("spatial_lof"))
 }

@@ -318,6 +318,116 @@ object StKnn {
   }
 }
 
+/**
+ * Bounded top-k aggregate over (distance, key) pairs — the aggregation
+ * primitive of the PARTITIONED KNN join ([[graft.plans.KnnGridJoin]]).
+ * Keeps the k smallest pairs in (distance, key) lexicographic order — the
+ * same deterministic tie-break as [[StKnn]] — in a size-k max-heap, so
+ * map-side PARTIAL aggregation prunes every grid cell's candidate stream
+ * down to k rows before the shuffle: the shuffle volume is k per (group,
+ * partition) regardless of how dense a cell is. Output is
+ * array<struct<d double, rk long>> ascending — bit-compatible with
+ * StKnn's result, so the two join paths produce identical frames.
+ */
+final class KnnTopKBuf(var heap: java.util.PriorityQueue[(Double, Long)])
+
+object KnnTopKAgg {
+  /** max-heap: largest (d, key) at the head, evicted first */
+  val desc: java.util.Comparator[(Double, Long)] =
+    new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    }
+}
+
+case class KnnTopKAgg(
+    dist: Expression,
+    key: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[KnnTopKBuf] {
+
+  override def children: Seq[Expression] = Seq(dist, key, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StKnn.resultType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.IntegerType
+    if (dist.dataType != DoubleType || key.dataType != LongType || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"knn_topk expects (double, long, int k), got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("knn_topk: k must be a literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+
+  override def createAggregationBuffer(): KnnTopKBuf =
+    new KnnTopKBuf(new java.util.PriorityQueue[(Double, Long)](math.max(k, 1), KnnTopKAgg.desc))
+
+  private def offer(buf: KnnTopKBuf, d: Double, rk: Long): Unit = {
+    if (buf.heap.size < k) buf.heap.offer((d, rk))
+    else {
+      val worst = buf.heap.peek()
+      if (d < worst._1 || (d == worst._1 && rk < worst._2)) {
+        buf.heap.poll(); buf.heap.offer((d, rk))
+      }
+    }
+  }
+
+  override def update(buf: KnnTopKBuf, input: CatalystRow): KnnTopKBuf = {
+    val d = dist.eval(input)
+    val rk = key.eval(input)
+    if (d != null && rk != null)
+      offer(buf, d.asInstanceOf[Double], rk.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KnnTopKBuf, b: KnnTopKBuf): KnnTopKBuf = {
+    val it = b.heap.iterator()
+    while (it.hasNext) { val p = it.next(); offer(a, p._1, p._2) }
+    a
+  }
+
+  override def eval(buf: KnnTopKBuf): Any = {
+    val arr = buf.heap.toArray(new Array[(Double, Long)](buf.heap.size))
+    val sorted = arr.sortBy(identity) // (distance, key) ascending
+    new GenericArrayData(sorted.map { case (d, rk) =>
+      CatalystRow.fromSeq(Seq[Any](d, rk)): Any
+    })
+  }
+
+  override def serialize(buf: KnnTopKBuf): Array[Byte] = {
+    val n = buf.heap.size
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    val it = buf.heap.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putDouble(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KnnTopKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { offer(buf, bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KnnTopKAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KnnTopKAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(dist = cs(0), key = cs(1), kExpr = cs(2))
+  override def prettyName: String = "knn_topk"
+}
+
 /** Hausdorff-ish cheap centroid cell (used for KNN pre-bucketing). */
 case class StCentroidCell(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

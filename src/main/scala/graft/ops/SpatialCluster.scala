@@ -332,10 +332,14 @@ object SpatialCluster {
    * oracle, a re-run on different partitioning) reproduce LOF scores
    * bit-for-bit.
    *
-   * Scale note: neighborhoods come from SpatialJoin.knnJoin, which
-   * broadcasts the candidate set — right for sample/monitoring scale
-   * (millions). For LOF over billions of points, pre-bucket with
-   * dbscanPoints-style eps cells and run knnJoin per coarse region.
+   * Scale note: neighborhoods come from SpatialJoin.knnJoin (broadcast
+   * candidate pack) up to `gridThreshold` rows — right for
+   * sample/monitoring scale (millions) — and from the PARTITIONED
+   * [[graft.plans.KnnGridJoin]] above it: eps-cell bucketed equi-joins
+   * with a bounded top-k aggregate, no full-table broadcast anywhere, so
+   * LOF over billions of points is a shuffle plan, not a broadcast wall.
+   * Both KNN paths produce bit-identical neighborhoods
+   * (KnnGridJoinSpec), so the scores do not depend on the route taken.
    *
    * @return (id, k_dist, lrd, lof); lof is Infinity when a point's whole
    *         neighborhood is co-located with it (duplicate coordinates).
@@ -349,9 +353,13 @@ object SpatialCluster {
     * neighbor lists — one collect + one broadcast join instead of eight
     * tiny stages. The fold order is identical (rank-sorted sequential
     * sums), so both paths and the oracle agree bit-for-bit; the KNN join
-    * itself always stays distributed (it is the codegen-heavy part). */
+    * itself always stays distributed (it is the codegen-heavy part).
+    * `forceGrid` pins the partitioned KNN path regardless of input size
+    * (tests, and the driver-contract query that proves the scale path). */
   private[graft] def localOutlierFactor(df: DataFrame, idCol: String, geomCol: String,
-                         k: Int, driverNbrThreshold: Long): DataFrame = {
+                         k: Int, driverNbrThreshold: Long,
+                         forceGrid: Boolean = false,
+                         gridThreshold: Long = 1L << 22): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pts = df.select(col(idCol).cast("long").as("id"), col(geomCol).as("__g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -365,8 +373,31 @@ object SpatialCluster {
       // re-rank restores the exactly-k sklearn contract either way.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("knn_rank")
-      val nbrs = graft.plans.SpatialJoin.knnJoin(
+      val useGrid = forceGrid || pts.count() > gridThreshold
+      val knn =
+        if (useGrid) {
+          // grid cell sized for ~max(4(k+1), 32) points per cell from the
+          // observed extent — dense enough that ring-1 usually proves the
+          // neighborhood, sparse enough that no cell goes quadratic
+          val e = pts
+            .select(GraftFunctions.st_x(col("__g")).as("x"),
+              GraftFunctions.st_y(col("__g")).as("y"))
+            .agg(min("x"), max("x"), min("y"), max("y"), count(lit(1))).head()
+          val n = math.max(1L, e.getLong(4))
+          val (wd, ht) =
+            if (e.getLong(4) == 0 || e.isNullAt(0)) (0.0, 0.0)
+            else (e.getDouble(1) - e.getDouble(0), e.getDouble(3) - e.getDouble(2))
+          val target = math.max(4.0 * (k + 1), 32.0)
+          val cell0 =
+            if (wd <= 0 && ht <= 0) 1.0
+            else if (wd <= 0 || ht <= 0) math.max(wd, ht) * target / n
+            else math.sqrt(wd * ht * target / n)
+          val cell = if (cell0 > 0 && !cell0.isNaN && !cell0.isInfinity) cell0 else 1.0
+          graft.plans.KnnGridJoin.knnJoinPoints(
+            pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1, cell)
+        } else graft.plans.SpatialJoin.knnJoin(
           pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1)
+      val nbrs = knn
         .where(col("nbr") =!= col("id"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= k)

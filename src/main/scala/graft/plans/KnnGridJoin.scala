@@ -1,0 +1,217 @@
+package graft.plans
+
+import graft.functions.{GraftFunctions, KnnTopKAgg}
+
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * PARTITIONED (big-big) exact KNN join over point geometries — the scale
+ * path that [[SpatialJoin.knnJoin]]'s broadcast design cannot cover
+ * (SpatialJoin.scala documents that boundary): when the right side is the
+ * whole table (LOF's self-join) or simply too big to broadcast, packing it
+ * into one broadcast row hits the driver/executor memory wall. Capability
+ * analog of Sedona 1.7's partitioned KNN join surface (the reference
+ * registers Sedona's catalog wholesale — reference:
+ * extension/src/main/scala/.../SedonaIcebergExtensions.scala:38).
+ *
+ * Shape — no broadcast of either full side, candidates always flow
+ * through bucketed equi-joins:
+ *
+ *  1. both sides project to (key, x, y) and bucket into `cellSize` grid
+ *     cells (the same packed-long cells as SpatialJoin.tileJoin /
+ *     SpatialCluster.dbscanPoints);
+ *  2. ring pass r = 1, 2, 4, 8: each unresolved left point probes the
+ *     (2r+1)^2 cell block around its own cell via an EQUI-join on the
+ *     packed cell id; per-point candidates collapse through
+ *     [[graft.functions.KnnTopKAgg]] — a bounded max-heap aggregate, so
+ *     map-side partial aggregation prunes every partition's stream to k
+ *     rows per point before the shuffle;
+ *  3. margin test: a point's top-k is PROVEN exact once its k-th distance
+ *     is smaller than the distance to its search-block boundary (any
+ *     right point outside the block is at least that far away), or once
+ *     its block covers the whole right extent. Proven points exit; the
+ *     rest re-probe with the doubled ring.
+ *  4. fallback for stragglers (isolated points in sparse regions): the
+ *     remaining unresolved rows — by now a tiny set, guarded by
+ *     `fallbackThreshold` — broadcast against the full right side and
+ *     reduce through the same bounded top-k aggregate, map-side pruned.
+ *
+ * The margin uses a conservative epsilon (coordinate-magnitude-scaled) so
+ * sub-ulp rounding at a cell boundary can only DELAY a point's
+ * resolution, never mis-resolve it. Distances are
+ * sqrt(dx*dx + dy*dy) in the same IEEE evaluation order JTS's
+ * point-to-point distance uses, and ties break by (distance, key) — so
+ * the result frame is bit-identical to broadcast knnJoin's
+ * (KnnGridJoinSpec proves equality row-for-row, double-for-double).
+ *
+ * Contract differences from knnJoin: BOTH keys must be unique integral
+ * columns (verified distributedly unless `verifyUniqueKeys = false`), and
+ * geometries must be points (non-point rows are dropped, like null
+ * geometries).
+ */
+object KnnGridJoin {
+
+  private def aggCol(a: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    GraftShim.column(a.toAggregateExpression())
+  private def ex(c: Column) = GraftShim.expression(c)
+
+  private def pack(a: Column, b: Column): Column =
+    shiftleft(a, 32).bitwiseOR(b.bitwiseAND(lit(0xffffffffL)))
+
+  /** Partitioned exact KNN join: for every left point, the k nearest right
+    * points (ties by right key). Output columns match knnJoin: left
+    * columns, knn_rank, knn_dist, right columns.
+    *
+    * @param cellSize grid cell edge; aim for O(k) right points per cell
+    * @param fallbackThreshold max unresolved rows the final
+    *        broadcast-fallback pass may carry (isolated points only)
+    */
+  def knnJoinPoints(
+      left: DataFrame, leftGeom: Column, leftKey: Column,
+      right: DataFrame, rightGeom: Column, rightKey: Column,
+      k: Int, cellSize: Double,
+      fallbackThreshold: Long = 1L << 22,
+      verifyUniqueKeys: Boolean = true,
+      checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val c = org.apache.spark.sql.functions.col _
+    import org.apache.spark.sql.types._
+    for ((df, key, side) <- Seq((left, leftKey, "leftKey"), (right, rightKey, "rightKey"))) {
+      val t = df.select(key).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"knnJoinPoints $side must be an integral type (got $t); " +
+          "cast explicitly or use a surrogate key")
+    }
+
+    val lefts = left.select(leftKey.cast("long").as("__lk"),
+        GraftFunctions.st_x(leftGeom).as("lx"), GraftFunctions.st_y(leftGeom).as("ly"))
+      .where(c("__lk").isNotNull && c("lx").isNotNull && c("ly").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rights = right.select(rightKey.cast("long").as("__nk"),
+        GraftFunctions.st_x(rightGeom).as("rx"), GraftFunctions.st_y(rightGeom).as("ry"))
+      .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one pass over the right side: extent (termination test) + key
+      // uniqueness gate; left uniqueness piggybacks on the loop's first count
+      val rg = rights.agg(count(lit(1)).as("n"), countDistinct("__nk").as("nd"),
+        min("rx").as("x0"), max("rx").as("x1"), min("ry").as("y0"), max("ry").as("y1")).head()
+      val rCount = rg.getLong(0)
+      if (verifyUniqueKeys)
+        require(rCount == rg.getLong(1),
+          s"knnJoinPoints: rightKey must be unique ($rCount rows, ${rg.getLong(1)} distinct)")
+      val (gx0, gx1, gy0, gy1) =
+        if (rCount == 0) (0.0, 0.0, 0.0, 0.0)
+        else (rg.getDouble(2), rg.getDouble(3), rg.getDouble(4), rg.getDouble(5))
+
+      val keyedR = rights.withColumn("cell",
+        pack(floor(c("rx") / cellSize).cast("long"), floor(c("ry") / cellSize).cast("long")))
+
+      def topKAgg(d: Column, key: Column): Column =
+        aggCol(KnnTopKAgg(ex(d), ex(key), ex(lit(k))))
+
+      val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var unresolved = lefts
+      var remaining = unresolved.count()
+      if (verifyUniqueKeys && remaining > 0) {
+        val ld = unresolved.agg(countDistinct("__lk")).head().getLong(0)
+        require(remaining == ld,
+          s"knnJoinPoints: leftKey must be unique ($remaining rows, $ld distinct)")
+      }
+
+      val dx = c("lx") - c("rx")
+      val dy = c("ly") - c("ry")
+      val dCol = sqrt(dx * dx + dy * dy)
+
+      var r = 1
+      while (remaining > 0 && r <= 8 && rCount > 0) {
+        val cx = floor(c("lx") / cellSize).cast("long")
+        val cy = floor(c("ly") / cellSize).cast("long")
+        // two tiny sequence-explodes instead of one (2r+1)^2 literal array:
+        // the generated code stays under janino's method limit at any r
+        val probes = unresolved
+          .withColumn("cx", cx).withColumn("cy", cy)
+          .withColumn("__ddx", explode(sequence(lit(-r), lit(r))))
+          .withColumn("__ddy", explode(sequence(lit(-r), lit(r))))
+          .withColumn("cell", pack(c("cx") + c("__ddx"), c("cy") + c("__ddy")))
+          .drop("__ddx", "__ddy")
+        val tops = probes.join(keyedR, "cell")
+          .select(c("__lk"), c("lx"), c("ly"), c("cx"), c("cy"),
+            dCol.as("d"), c("__nk"))
+          .groupBy("__lk", "lx", "ly", "cx", "cy")
+          .agg(topKAgg(c("d"), c("__nk")).as("arr"))
+        // distance from the point to its search-block boundary: anything
+        // outside the block is at least this far away (minus sub-ulp
+        // cell-boundary rounding, absorbed by the epsilon)
+        val s = cellSize
+        val margin = least(
+          c("lx") - (c("cx") - r).cast("double") * s,
+          (c("cx") + r + 1).cast("double") * s - c("lx"),
+          c("ly") - (c("cy") - r).cast("double") * s,
+          (c("cy") + r + 1).cast("double") * s - c("ly"))
+        val eps = (abs(c("lx")) + abs(c("ly")) + lit(s)) * lit(1e-12)
+        val covers =
+          (c("cx") - r).cast("double") * s <= gx0 &&
+            (c("cx") + r + 1).cast("double") * s >= gx1 &&
+            (c("cy") - r).cast("double") * s <= gy0 &&
+            (c("cy") + r + 1).cast("double") * s >= gy1
+        val proven = covers ||
+          (size(c("arr")) >= k && element_at(c("arr"), k).getField("d") < margin - eps)
+        val tagged = tops.withColumn("done", proven)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += tagged
+        resolvedParts += tagged.where(c("done")).select("__lk", "arr")
+        val next = unresolved
+          .join(tagged.where(c("done")).select("__lk"), Seq("__lk"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted += next
+        unresolved = next
+        remaining = unresolved.count()
+        r *= 2
+      }
+
+      if (remaining > 0 && rCount > 0) {
+        // stragglers: points whose k-th neighbor is > 8 cells away live in
+        // regions ~empty of right points, so this set is small by
+        // construction — broadcast THEM (never the right side) and reduce
+        // through the same map-side-pruned bounded top-k
+        require(remaining <= fallbackThreshold,
+          s"knnJoinPoints: $remaining unresolved rows exceed fallbackThreshold=" +
+            s"$fallbackThreshold — increase cellSize (cells are too empty) or raise the threshold")
+        val fb = keyedR.crossJoin(broadcast(unresolved.select("__lk", "lx", "ly")))
+          .select(c("__lk"), dCol.as("d"), c("__nk"))
+          .groupBy("__lk")
+          .agg(topKAgg(c("d"), c("__nk")).as("arr"))
+        resolvedParts += fb
+      }
+
+      val resolved = resolvedParts.toList match {
+        case Nil => // empty right side: no output rows, knnJoin-compatible
+          lefts.select(c("__lk"),
+            array().cast("array<struct<d:double,rk:bigint>>").as("arr")).limit(0)
+        case parts => parts.map(_.select("__lk", "arr")).reduce(_ unionByName _)
+      }
+      val exploded = resolved
+        .select(c("__lk"), posexplode(c("arr")))
+        .select(c("__lk"), (c("pos") + 1).cast("int").as("knn_rank"),
+          c("col").getField("d").as("knn_dist"), c("col").getField("rk").as("__rk"))
+      val out = left.withColumn("__lk", leftKey.cast("long"))
+        .join(exploded, "__lk")
+        .join(right.withColumn("__rk", rightKey.cast("long")), "__rk")
+        .drop("__rk", "__lk")
+      // checkpoint=true (production): materialize, then release every
+      // intermediate. checkpoint=false (plan-inspection tests): the loop's
+      // caches are released lazily and the returned plan recomputes them.
+      val result = if (checkpoint) out.localCheckpoint() else out
+      persisted.foreach(_.unpersist())
+      result
+    } finally {
+      lefts.unpersist(); rights.unpersist()
+    }
+  }
+}
