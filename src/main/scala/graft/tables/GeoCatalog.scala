@@ -30,10 +30,10 @@ import scala.jdk.CollectionConverters._
  * }}}
  * then `SELECT * FROM geo.db.t`, `SHOW TABLES IN geo.db`, `DESCRIBE TABLE
  * geo.db.t`, `CACHE TABLE`, `INSERT INTO`, `CREATE TABLE ... USING geo`,
- * CTAS, and `DROP TABLE` all resolve through Spark's own analyzer — no
- * regex front-end involved. (Spatial UPDATE/DELETE/MERGE on catalog tables
- * still route through the GeoSql front-end, which resolves `cat.db.t`
- * against this catalog's warehouse — see GeoSql.resolveRoot.)
+ * CTAS, `DROP TABLE` — and since round 10 also `UPDATE`, `DELETE FROM`
+ * and `MERGE INTO` (SupportsRowLevelOperations group-based copy-on-write,
+ * [[GeoRowLevelOperation]]) — all resolve through Spark's own analyzer;
+ * no regex front-end involved anywhere on the catalog path.
  *
  * The catalog is STATELESS over the filesystem: a table exists iff
  * `<warehouse>/<ns...>/<name>/_current` exists, namespaces are directories.
@@ -364,18 +364,33 @@ object GeoMetaTable {
 /**
  * The DSv2 `Table` for one GeoTable snapshot. Reads delegate to Spark's
  * parquet scan over the manifest's exact file list (vectorized, pushed
- * filters, pruned columns); writes use the V1 fallback so INSERT INTO /
- * INSERT OVERWRITE / CTAS-append land in [[GeoTable.append]]'s
- * stats-collecting atomic manifest commit.
+ * filters, pruned columns) through [[GeoCowScanBuilder]], which also
+ * serves the `_file` metadata column; writes use the V1 fallback so
+ * INSERT INTO / INSERT OVERWRITE / CTAS-append land in
+ * [[GeoTable.append]]'s stats-collecting atomic manifest commit.
+ * UPDATE/DELETE/MERGE resolve through [[GeoRowLevelOperation]]'s
+ * group-based copy-on-write (SupportsRowLevelOperations) — Spark's own
+ * row-level rewrite rules + runtime group filtering, no SQL front-end.
  */
 class GeoV2Table(tableName: String, root: String, manifest: Manifest)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = tableName
 
   override def schema(): StructType = manifest.schema
+
+  override def metadataColumns(): Array[MetadataColumn] = GeoRowLevel.metadataColumns
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GeoRowLevelOperation(root, info.command())
+    }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -396,8 +411,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    org.apache.spark.sql.graft.GraftShim.parquetScanBuilder(
-      spark, manifest.files.map(_.path), manifest.schema, options)
+    new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => ())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -1,0 +1,336 @@
+package graft.tables
+
+import graft.tables.GeoManifest.{FileEntry, Manifest}
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * Native DataSourceV2 row-level DML for GeoTable — `UPDATE geo.db.t SET
+ * ... WHERE ST_Intersects(...)`, DELETE and MERGE INTO resolve through
+ * Spark's OWN analyzer and row-level rewrite rules, no regex front-end
+ * (capability match for the reference's Iceberg DML — reference:
+ * extension/src/test/scala/org/apache/iceberg/TestSedonaIcebergExtension
+ * .scala:83-91 runs exactly these statements against a catalog table).
+ *
+ * Copy-on-write at FILE granularity, the same discipline as
+ * [[GeoTable.update]]/delete/merge:
+ *
+ *  - [[GeoRowLevelOperation]] implements `SupportsRowLevelOperations`'
+ *    group-based contract: Spark rewrites the DML into `ReplaceData`
+ *    (scan affected groups, recompute their rows, swap the groups).
+ *  - [[GeoCowScan]] is the group scan: Spark's own vectorized ParquetScan
+ *    over the manifest's file list (filter pushdown and column pruning
+ *    delegate to it untouched), plus a `_file` METADATA COLUMN so rows
+ *    carry their group identity.
+ *  - `SupportsRuntimeV2Filtering` on `_file` is the scale lever: Spark's
+ *    RowLevelOperationRuntimeGroupFiltering first runs a matching-rows
+ *    subquery (`SELECT DISTINCT _file WHERE cond`), then narrows the main
+ *    scan to exactly the files holding matches — an UPDATE of one
+ *    Z-ordered neighborhood rewrites a handful of files no matter how big
+ *    the table is, the Iceberg CoW behavior.
+ *  - [[GeoCowBatchWrite]] writes replacement parquet from the executors
+ *    (Spark's own ParquetOutputWriter) and commits ONE atomic manifest
+ *    swap: untouched files carry over by reference, scanned files are
+ *    replaced by the rewritten ones. Concurrent-commit detection rides on
+ *    [[GeoManifest.commit]]'s compare-and-swap versioning as everywhere.
+ */
+object GeoRowLevel {
+  val FileCol = "_file"
+
+  /** scratch debug switch (CowDebug tool) */
+  @volatile var debug = false
+
+  val metadataColumns: Array[MetadataColumn] = Array(new MetadataColumn {
+    override def name(): String = FileCol
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "data file holding the row (CoW group id)"
+  })
+}
+
+/** One DML statement's operation: shared between its scan (group
+  * discovery) and its write (group replacement) so the commit knows
+  * exactly which files the scan ended up reading after runtime group
+  * filtering. */
+class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  // the FIRST scan built is the main ReplaceData scan (built during early
+  // pushdown); the runtime-group-filter's matching scan is built later and
+  // must not steal the reference
+  @volatile private var mainScan: GeoCowScan = _
+  private[tables] def scannedFiles: Option[Seq[FileEntry]] = Option(mainScan).map(_.scannedFiles)
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = GeoManifest.read(spark, root)
+    new GeoCowScanBuilder(spark, m.schema, m.files, options,
+      s => if (mainScan == null) mainScan = s)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GeoCowBatchWrite(root, info.schema(), () => scannedFiles)
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GeoRowLevel.FileCol))
+
+  override def description(): String = s"GeoRowLevelOperation($cmd, $root)"
+}
+
+/**
+ * ScanBuilder handling the `_file` metadata column; everything else
+ * (filter pushdown, column pruning) delegates to Spark's
+ * ParquetScanBuilder over the manifest's explicit file list — so plans
+ * keep PushedFilters/ReadSchema exactly as the plain read path does.
+ */
+class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
+                        files: Seq[FileEntry], options: CaseInsensitiveStringMap,
+                        onBuild: GeoCowScan => Unit)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val inner = org.apache.spark.sql.graft.GraftShim
+    .parquetScanBuilder(spark, files.map(_.path), tableSchema, options)
+    .asInstanceOf[FileScanBuilder]
+  private var needFile = false
+
+  override def pruneColumns(required: StructType): Unit = {
+    needFile = required.fieldNames.contains(GeoRowLevel.FileCol)
+    inner.pruneColumns(StructType(required.fields.filterNot(_.name == GeoRowLevel.FileCol)))
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters(): Array[Predicate] = inner.pushedFilters
+
+  override def build(): Scan = {
+    val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
+      tableSchema, files, needFile)
+    if (GeoRowLevel.debug) System.err.println(
+      s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
+    onBuild(s)
+    s
+  }
+}
+
+/**
+ * The group scan: Spark's ParquetScan over (a runtime-narrowed subset of)
+ * the manifest file list, optionally appending the constant-per-file
+ * `_file` column. Runtime group filtering arrives as `_file IN (...)`
+ * V2 predicates; everything else about reading is the stock vectorized
+ * parquet path.
+ */
+class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructType,
+                 allFiles: Seq[FileEntry], needFile: Boolean)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var current: Seq[FileEntry] = allFiles
+  def scannedFiles: Seq[FileEntry] = current
+
+  override def readSchema(): StructType =
+    if (needFile) StructType(inner0.readSchema().fields :+
+      StructField(GeoRowLevel.FileCol, StringType, nullable = false))
+    else inner0.readSchema()
+
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GeoRowLevel.FileCol))
+
+  /** `_file IN (...)` / `_file = ...` narrows the group set; any
+    * unrecognized predicate is ignored (keeping more files is always
+    * correct — they are rewritten verbatim). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keeps = predicates.flatMap { p =>
+      p.name() match {
+        case "IN" | "=" =>
+          val cs = p.children()
+          cs.headOption match {
+            case Some(ref: NamedReference)
+                if ref.fieldNames().sameElements(Array(GeoRowLevel.FileCol)) =>
+              Some(cs.tail.collect {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  GeoManifest.norm(String.valueOf(l.value()))
+              }.toSet)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    if (keeps.nonEmpty) {
+      val keep = keeps.reduce(_ intersect _)
+      current = current.filter(f => keep.contains(f.key))
+    }
+    if (GeoRowLevel.debug) System.err.println(
+      s"[cow] filter on ${System.identityHashCode(this)}: preds=${predicates.map(_.name()).mkString(",")} -> files=${current.length}")
+  }
+
+  // NO caching of the partition plan: Spark probes the batch at PLANNING
+  // time (e.g. for columnar support), and the runtime group filter only
+  // arrives at EXECUTION time — planInputPartitions must therefore
+  // re-snapshot `current` on every call, or it would serve the
+  // pre-filter file list frozen at planning. The reader factory is
+  // file-list independent (schemas + conf only), so it can come from the
+  // original scan.
+  private def snapshotBatch(): Batch =
+    (if (current eq allFiles) inner0
+     else inner0.copy(fileIndex = new InMemoryFileIndex(
+       spark, current.map(f => new Path(f.path)), Map.empty, Some(tableSchema)))).toBatch
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = snapshotBatch().planInputPartitions()
+    if (!needFile) parts
+    else {
+      // one partition per file split => `_file` is a per-partition constant
+      val pfs = parts.flatMap(_.asInstanceOf[FilePartition].files)
+      pfs.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = inner0.toBatch.createReaderFactory()
+    if (!needFile) f else GeoAppendFileReaderFactory(f)
+  }
+
+  // keep the inner parquet description: PushedFilters / ReadSchema stay
+  // visible in explain output exactly as on the plain read path
+  override def description(): String =
+    s"GeoCowScan(files=${current.length}, needFile=$needFile) ${inner0.description()}"
+}
+
+/** Wraps the parquet reader factory to append the row's file path as the
+  * trailing `_file` column (row-based reads; the path is constant per
+  * partition by construction). */
+case class GeoAppendFileReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[FilePartition].files.head.filePath.toString
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val suffix = InternalRow(UTF8String.fromString(path))
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), suffix)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Commit message: one written parquet file and its row count. */
+case class GeoCowCommitMessage(path: String, rows: Long) extends WriterCommitMessage
+
+/**
+ * The ReplaceData write: executors write replacement parquet via Spark's
+ * own ParquetOutputWriter; the driver commit collects per-file stats and
+ * swaps the scanned files for the new ones in ONE optimistic manifest
+ * commit. Rows arriving with extra metadata columns (e.g. `_file`) are
+ * projected down to the table schema by name.
+ */
+class GeoCowBatchWrite(root: String, incoming: StructType,
+                       scanned: () => Option[Seq[FileEntry]])
+  extends BatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val m: Manifest = GeoManifest.read(spark, root)
+  private val commitDir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, m.schema)
+    GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
+      commitDir, m.schema, incoming, dataIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (GeoRowLevel.debug) System.err.println(
+      s"[cow] commit: scanned=${scanned().map(_.length)} written=${messages.length}")
+    val paths = messages.collect { case GeoCowCommitMessage(p, n) if n > 0 => p }.toSeq
+    val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol)
+    val fresh = GeoManifest.read(spark, root)
+    val replaced = scanned().map(_.map(_.key).toSet)
+      .getOrElse(fresh.files.map(_.key).toSet)
+    val untouched = fresh.files.filterNot(f => replaced.contains(f.key))
+    GeoManifest.commit(spark, root,
+      fresh.copy(version = fresh.version + 1, files = untouched ++ entries), fresh.version)
+    // zero-row replacement files never enter the manifest; drop them now
+    // rather than leaving unreferenced garbage for vacuum
+    val kept = entries.map(_.key).toSet
+    val fs = GeoManifest.fs(spark, root)
+    messages.collect { case GeoCowCommitMessage(p, n) if n == 0 => p }
+      .foreach(p => if (!kept.contains(GeoManifest.norm(p))) fs.delete(new Path(p), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    try GeoManifest.fs(spark, root).delete(new Path(commitDir), true)
+    catch { case scala.util.control.NonFatal(_) => () }
+}
+
+case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
+                                   conf: SerializableConfiguration,
+                                   dir: String, tableSchema: StructType,
+                                   incoming: StructType, dataIdx: Array[Int])
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val path = f"$dir/part-$partitionId%05d-$taskId.parquet"
+      private val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId % Int.MaxValue).toInt))
+      // project by name when the incoming rows carry metadata columns
+      private val proj =
+        if (dataIdx.length == incoming.length && dataIdx.zipWithIndex.forall { case (a, b) => a == b }) null
+        else UnsafeProjection.create(dataIdx.map(i =>
+          BoundReference(i, incoming(i).dataType, incoming(i).nullable)))
+      private val writer = owf.newInstance(path, tableSchema, ctx)
+      private var n = 0L
+
+      override def write(row: InternalRow): Unit = {
+        writer.write(if (proj == null) row else proj(row))
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        GeoCowCommitMessage(path, n)
+      }
+      override def abort(): Unit = {
+        try writer.close() catch { case scala.util.control.NonFatal(_) => () }
+        try new Path(path).getFileSystem(conf.value).delete(new Path(path), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -101,7 +101,10 @@ object GeoSql {
       Some(GeoCtasCommand(name, Option(location), query))
     case createRe(name, colsDdl, location) =>
       Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
-    case mergeRe(name, alias, rest) if resolveRoot(name).isDefined =>
+    // UPDATE/DELETE/MERGE: only PATH-REGISTERED tables use this front-end;
+    // catalog tables (geo.db.t) run Spark's native row-level path
+    // (SupportsRowLevelOperations on GeoV2Table) with full analyzer checks
+    case mergeRe(name, alias, rest) if GeoTable.registeredRoot(name).isDefined =>
       parseMerge(name, Option(alias), rest)
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
@@ -118,12 +121,12 @@ object GeoSql {
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
-    case updateRe(name, rest) if resolveRoot(name).isDefined =>
+    case updateRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
       // split SET clause from WHERE quote/paren-aware: a WHERE inside a
       // string literal must not split the statement
       val (setsSql, condSql) = splitAtKeyword(rest, "WHERE")
       Some(GeoUpdateCommand(name, splitAssignments(setsSql), condSql))
-    case deleteRe(name, rest) if resolveRoot(name).isDefined =>
+    case deleteRe(name, rest) if GeoTable.registeredRoot(name).isDefined =>
       val trimmed = rest.trim
       if (trimmed.isEmpty) Some(GeoDeleteCommand(name, None))
       else {

@@ -145,19 +145,65 @@ class GeoCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT st_area(geo) FROM geo.db.zones").head.getDouble(0) == 100.0)
   }
 
-  test("spatial UPDATE / DELETE / MERGE work on catalog-qualified names") {
+  test("spatial UPDATE / DELETE / MERGE run NATIVELY on catalog tables") {
     warehouse
     GeoSql.exec(spark, "CREATE TABLE geo.db.dml (id INT, flag INT, geo GEOMETRY) USING GEO")
     GeoSql.exec(spark, "INSERT INTO geo.db.dml SELECT id, 0, st_point(CAST(id AS DOUBLE), 0.0D) " +
       "FROM range(10)")
-    val upd = GeoSql.exec(spark,
+    // these parse and rewrite through Spark's OWN row-level path
+    // (SupportsRowLevelOperations), not the GeoSql regex front-end —
+    // native DML returns an empty frame, and the statement text never
+    // reaches maybeCommand's registered-table guards
+    assert(GeoSql.maybeCommand(
+      "UPDATE geo.db.dml SET flag = 1 WHERE ST_Within(geo, st_makeenvelope(2.5D, -1.0D, 6.5D, 1.0D))").isEmpty)
+    spark.sql(
       "UPDATE geo.db.dml SET flag = 1 WHERE ST_Within(geo, st_makeenvelope(2.5D, -1.0D, 6.5D, 1.0D))")
-    assert(upd.head.getLong(0) == 4L) // ids 3,4,5,6
-    val del = GeoSql.exec(spark, "DELETE FROM geo.db.dml WHERE id >= 8")
-    assert(del.head.getLong(0) == 2L)
+    spark.sql("DELETE FROM geo.db.dml WHERE id >= 8")
     val left = spark.sql("SELECT id, flag FROM geo.db.dml ORDER BY id").as[(Int, Int)].collect().toSeq
     assert(left.map(_._1) == (0 to 7))
     assert(left.filter(_._2 == 1).map(_._1) == Seq(3, 4, 5, 6))
+    // native MERGE: update + delete + insert clauses with analyzer checks
+    spark.sql(
+      """MERGE INTO geo.db.dml t USING (
+        |  SELECT CAST(id * 2 AS INT) AS sid, CAST(id AS DOUBLE) AS sx FROM range(8)
+        |) s ON t.id = s.sid
+        |WHEN MATCHED AND s.sid >= 6 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET flag = 9
+        |WHEN NOT MATCHED THEN INSERT (id, flag, geo) VALUES (s.sid, -1, st_point(s.sx, 0.0D))
+        |""".stripMargin)
+    val merged = spark.sql("SELECT id, flag FROM geo.db.dml ORDER BY id")
+      .as[(Int, Int)].collect().toSeq
+    // matched even ids 0,2,4 updated to 9; 6 deleted; odd ids keep flags;
+    // sources 8,10,12,14 inserted with flag -1
+    assert(merged == Seq(0 -> 9, 1 -> 0, 2 -> 9, 3 -> 1, 4 -> 9, 5 -> 1, 7 -> 0,
+      8 -> -1, 10 -> -1, 12 -> -1, 14 -> -1))
+  }
+
+  test("native UPDATE rewrites only the files holding matches (CoW groups)") {
+    warehouse
+    spark.sql("CREATE TABLE geo.db.cow (id BIGINT, v INT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    // four separate commits = four distinct data files
+    (0 until 4).foreach { b =>
+      spark.sql(s"INSERT INTO geo.db.cow SELECT id + ${b * 100}, 0, " +
+        s"st_point(CAST(id + ${b * 100} AS DOUBLE), 0.0D) FROM range(100)")
+    }
+    val root = s"$warehouse/db/cow"
+    val before = GeoManifest.read(spark, root)
+    assert(before.files.length >= 4)
+    // touches rows only in the b=1 block => runtime group filtering must
+    // narrow the rewrite to the file(s) holding them
+    spark.sql("UPDATE geo.db.cow SET v = 7 WHERE id >= 150 AND id < 160")
+    val after = GeoManifest.read(spark, root)
+    val beforeKeys = before.files.map(_.key).toSet
+    val carried = after.files.count(f => beforeKeys.contains(f.key))
+    assert(carried >= 3,
+      s"untouched files must carry over by reference: before=${before.files.length}, " +
+        s"after=${after.files.length}, carried=$carried")
+    assert(after.files.map(_.rows).sum == 400)
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.cow WHERE v = 7").head.getLong(0) == 10)
+    // the _file metadata column is readable directly, like Iceberg's
+    assert(spark.sql("SELECT DISTINCT _file FROM geo.db.cow").count() == after.files.length)
   }
 
   test("native ALTER TABLE ADD/RENAME/DROP COLUMN route through the catalog") {
