@@ -153,19 +153,28 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
       "GeoCatalog tables are laid out by Z-order maintenance (OPTIMIZE), not partition transforms")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(tableRoot(ident))
+    // Spark 4.1's native GEOMETRY DDL type (parser accepts it when
+    // spark.sql.geospatial.enabled=true): `CREATE TABLE geo.db.t (geo
+    // GEOMETRY) USING geo` arrives here with a GeometryType field — store
+    // it as geometry-tagged BINARY (WKB), the engine's stable
+    // representation (GeometryType's expression/parquet surface is
+    // internal in 4.1; see GeoSchema's scaladoc). GEOMETRY(srid) carries
+    // the CRS into the tag. This makes the TBLPROPERTIES
+    // ('geometry.column'=...) workaround optional.
+    val schema0 = StructType(schema.fields.map(GeoCatalog.fromSpatialDdl))
     // geometry column: explicit table property, else first GEOMETRY-tagged field
     val tagged = Option(properties.get(GeoCatalog.GeomColProp)) match {
       case Some(g) =>
-        require(schema.fieldNames.exists(_.equalsIgnoreCase(g)),
+        require(schema0.fieldNames.exists(_.equalsIgnoreCase(g)),
           s"${GeoCatalog.GeomColProp}='$g' is not a column of the table")
-        StructType(schema.fields.map { f =>
+        StructType(schema0.fields.map { f =>
           if (f.name.equalsIgnoreCase(g) && !GeoSchema.isGeometry(f)) {
             require(f.dataType == org.apache.spark.sql.types.BinaryType,
               s"geometry column '$g' must be BINARY (WKB), got ${f.dataType.simpleString}")
             f.copy(metadata = GeoSchema.geometryMetadata(base = f.metadata))
           } else f
         })
-      case None => schema
+      case None => schema0
     }
     val geomCol = GeoSchema.geometryColumns(tagged).headOption.map(_._1)
     GeoTable.createEmpty(spark, root, tagged, geomCol)
@@ -184,7 +193,8 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
       s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}") }
     if (adds.nonEmpty)
       GeoTable.addColumns(spark, root,
-        adds.map(a => StructField(a.fieldNames.head, a.dataType, nullable = true)))
+        adds.map(a => GeoCatalog.fromSpatialDdl(
+          StructField(a.fieldNames.head, a.dataType, nullable = true))))
     changes.foreach {
       case _: TableChange.AddColumn => // handled above (single commit)
       case d: TableChange.DeleteColumn =>
@@ -266,6 +276,28 @@ object GeoCatalog {
     * DDL that can't spell the GEOMETRY type, e.g. native `CREATE TABLE ...
     * (g BINARY) USING geo TBLPROPERTIES('geometry.column'='g')`). */
   val GeomColProp = "geometry.column"
+
+  /** Map Spark 4.1's native spatial DDL types onto the engine's stable
+    * storage form: GEOMETRY[(srid)] becomes geometry-tagged BINARY (WKB)
+    * with the SRID carried into the CRS tag; GEOGRAPHY is rejected with a
+    * pointer at the planar + geodesic-measure alternative. Fields of any
+    * other type pass through untouched. */
+  def fromSpatialDdl(f: StructField): StructField = f.dataType match {
+    case g: org.apache.spark.sql.types.GeometryType =>
+      val crs =
+        if (g.srid == org.apache.spark.sql.types.GeometryType.GEOMETRY_DEFAULT_SRID ||
+            g.srid == org.apache.spark.sql.types.GeometryType.MIXED_SRID)
+          GeoSchema.DefaultCrs
+        else s"EPSG:${g.srid}"
+      f.copy(dataType = org.apache.spark.sql.types.BinaryType,
+        metadata = GeoSchema.geometryMetadata(crs, f.metadata))
+    case _: org.apache.spark.sql.types.GeographyType =>
+      throw new UnsupportedOperationException(
+        s"column '${f.name}': GEOGRAPHY is not supported by GeoCatalog; " +
+          "use GEOMETRY (planar WKB) — geodesic measures are available as " +
+          "st_distancesphere/st_distancespheroid over GEOMETRY columns")
+    case _ => f
+  }
 
   /** Root for `cat.db.t` when `cat` is a configured GeoCatalog on the
     * active session — lets the SQL front-end resolve catalog-qualified

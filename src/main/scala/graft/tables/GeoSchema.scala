@@ -73,12 +73,14 @@ object GeoSchema {
     }
 
   /** DDL text -> schema, mapping the GEOMETRY keyword to tagged BINARY.
-    * `GEOMETRY(crs)` variants: `geo GEOMETRY` and `geo GEOMETRY('EPSG:3857')`. */
+    * `GEOMETRY(crs)` variants: `geo GEOMETRY`, `geo GEOMETRY('EPSG:3857')`,
+    * and the Spark-4.1-native SRID spelling `geo GEOMETRY(3857)`. */
   def fromDdl(ddl: String): StructType = {
     val crsByCol = scala.collection.mutable.Map[String, String]()
-    val geomRe = """(?i)(\w+)\s+GEOMETRY(?:\s*\(\s*'([^']*)'\s*\))?""".r
+    val geomRe = """(?i)(\w+)\s+GEOMETRY(?:\s*\(\s*(?:'([^']*)'|(\d+))\s*\))?""".r
     val replaced = geomRe.replaceAllIn(ddl, m => {
-      crsByCol(m.group(1).toLowerCase) = Option(m.group(2)).getOrElse(DefaultCrs)
+      crsByCol(m.group(1).toLowerCase) =
+        Option(m.group(2)).orElse(Option(m.group(3)).map("EPSG:" + _)).getOrElse(DefaultCrs)
       m.group(1) + " BINARY"
     })
     StructType(StructType.fromDDL(replaced).fields.map { f =>

@@ -60,6 +60,12 @@ object GeoSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val alterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  /** A GEOMETRY spelling Spark's native parser does NOT know: bare
+    * `GEOMETRY` or the quoted-CRS form `GEOMETRY('EPSG:...')`. The native
+    * 4.1 grammar only accepts `GEOMETRY(<srid>)` / `GEOMETRY(ANY)`. */
+  private val nonNativeGeomRe =
+    """(?i)\bGEOMETRY\b(?!\s*\(\s*(?:\d+|ANY)\s*\))""".r
+
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val vacuumRe =
@@ -100,7 +106,19 @@ object GeoSql {
     case ctasRe(name, location, query) =>
       Some(GeoCtasCommand(name, Option(location), query))
     case createRe(name, colsDdl, location) =>
-      Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
+      // the CREATE front-end exists to paper over Spark's parser not
+      // spelling GEOMETRY; when the statement targets a configured
+      // GeoCatalog AND the session's parser can take it natively
+      // (spark.sql.geospatial.enabled, and every GEOMETRY is in the
+      // native parenthesized spelling GEOMETRY(srid)/GEOMETRY(ANY) — the
+      // 4.1 grammar has no bare GEOMETRY or quoted-CRS form), step
+      // aside: GeoCatalog.createTable maps the native GeometryType to
+      // tagged BINARY with full analyzer checks
+      if (GeoCatalog.resolveWarehouseRoot(name).isDefined &&
+          SparkSession.getActiveSession.exists(
+            _.conf.get("spark.sql.geospatial.enabled", "false").toBoolean) &&
+          nonNativeGeomRe.findFirstIn(colsDdl).isEmpty) None
+      else Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
     // UPDATE/DELETE/MERGE: only PATH-REGISTERED tables use this front-end;
     // catalog tables (geo.db.t) run Spark's native row-level path
     // (SupportsRowLevelOperations on GeoV2Table) with full analyzer checks

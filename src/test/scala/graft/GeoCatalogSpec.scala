@@ -145,6 +145,55 @@ class GeoCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT st_area(geo) FROM geo.db.zones").head.getDouble(0) == 100.0)
   }
 
+  test("native CREATE TABLE with the GEOMETRY type — no TBLPROPERTIES workaround") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    // Spark 4.1 parses GEOMETRY(srid)/GEOMETRY(ANY) natively behind this
+    // conf; the catalog maps the GeometryType to geometry-tagged BINARY
+    // (WKB) at CREATE time — no TBLPROPERTIES('geometry.column') needed
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+    try {
+      spark.sql("CREATE TABLE geo.db.typed (id INT, geo GEOMETRY(4326)) USING geo")
+      val m = GeoManifest.read(spark, s"$warehouse/db/typed")
+      assert(m.geomCol.contains("geo"), s"GEOMETRY column must be auto-detected, got ${m.geomCol}")
+      assert(graft.tables.GeoSchema.isGeometry(m.schema("geo")))
+      assert(graft.tables.GeoSchema.crsOf(m.schema("geo")) == "EPSG:4326")
+      spark.sql("INSERT INTO geo.db.typed SELECT 1, st_point(1.0D, 2.0D)")
+      assert(spark.sql("SELECT st_astext(geo) FROM geo.db.typed").head.getString(0) == "POINT (1 2)")
+      // DESCRIBE surfaces the geometry tag through table properties
+      val props = spark.sql("DESCRIBE TABLE EXTENDED geo.db.typed").collect()
+        .map(r => r.getString(0) + "=" + r.getString(1)).mkString("\n")
+      assert(props.contains("geometry.column"), s"DESCRIBE must show the geometry tag:\n$props")
+      // non-default SRID carries the CRS into the tag; GEOMETRY(ANY) maps
+      // to the default CRS
+      spark.sql("CREATE TABLE geo.db.typed_srid (id INT, geo GEOMETRY(3857)) USING geo")
+      val m2 = GeoManifest.read(spark, s"$warehouse/db/typed_srid")
+      assert(graft.tables.GeoSchema.crsOf(m2.schema("geo")) == "EPSG:3857")
+      spark.sql("CREATE TABLE geo.db.typed_any (id INT, geo GEOMETRY(ANY)) USING geo")
+      val mAny = GeoManifest.read(spark, s"$warehouse/db/typed_any")
+      assert(graft.tables.GeoSchema.isGeometry(mAny.schema("geo")))
+      // ALTER TABLE ADD COLUMN parses the native type too, and lands on
+      // the same design rule as the front-end: adding a geometry column
+      // post-hoc is rejected (per-file bbox stats would need a rewrite)
+      val alterErr = intercept[Exception](
+        spark.sql("ALTER TABLE geo.db.typed ADD COLUMN extra GEOMETRY(4326)"))
+      assert(alterErr.getMessage.contains("cannot ADD a GEOMETRY column"),
+        s"expected the targeted geometry-ADD rejection, got: ${alterErr.getMessage}")
+      // the ST_ function surface on the typed column is the graft one
+      assert(spark.sql("SELECT st_x(geo) FROM geo.db.typed").head.getDouble(0) == 1.0)
+      // the bare `geo GEOMETRY` spelling (the reference's DDL, which the
+      // native grammar does not know) still works via the front-end even
+      // with the conf on — the step-aside is per-statement, not global
+      spark.sql("CREATE TABLE geo.db.typed_bare (id INT, geo GEOMETRY) USING geo")
+      val mb = GeoManifest.read(spark, s"$warehouse/db/typed_bare")
+      assert(graft.tables.GeoSchema.isGeometry(mb.schema("geo")))
+    } finally {
+      spark.conf.set("spark.sql.geospatial.enabled", "false")
+      Seq("typed", "typed_srid", "typed_any", "typed_bare")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS geo.db.$t"))
+    }
+  }
+
   test("spatial UPDATE / DELETE / MERGE run NATIVELY on catalog tables") {
     warehouse
     GeoSql.exec(spark, "CREATE TABLE geo.db.dml (id INT, flag INT, geo GEOMETRY) USING GEO")

@@ -132,6 +132,52 @@ class ReferenceContractSpec extends SparkSpec {
     } finally graft.tables.GeoTable.drop(spark, "ref_mrg")
   }
 
+  test("catalog DML leg: the reference scenario on a catalog table, native row-level path") {
+    // the reference's DML actually runs against CATALOG tables
+    // (`UPDATE demo.db.test_geom ...`, TestSedonaIcebergExtension
+    // .scala:83-91, catalog configured at :44-53) — replay the same
+    // statements on `geo.db.test_geom` so they resolve through Spark's
+    // analyzer + SupportsRowLevelOperations, no SQL front-end anywhere
+    val wh = java.nio.file.Files.createTempDirectory("geo_ref_cat").toString
+    spark.conf.set("spark.sql.catalog.geo", classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.test_geom (id INT, data STRING, geo BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='geo')")
+    try {
+      spark.sql("INSERT INTO geo.db.test_geom VALUES (1, 'data_1', st_geomfromtext('POINT (10 20)'))")
+      spark.sql("INSERT INTO geo.db.test_geom SELECT 2, 'data_2', st_point(20.0D, 30.0D)")
+
+      // native UPDATE ... WHERE ST_Intersects (the :85-88 statement)
+      spark.sql("UPDATE geo.db.test_geom SET data = 'updated' " +
+        "WHERE st_intersects(geo, st_polygonfromenvelope(15.0D, 20.0D, 30.0D, 40.0D))")
+      assert(spark.sql("SELECT data FROM geo.db.test_geom WHERE id = 2").head.getString(0) == "updated")
+      assert(spark.table("geo.db.test_geom").count() == 2) // CoW, not append
+      assert(spark.sql("SELECT data FROM geo.db.test_geom WHERE id = 1").head.getString(0) == "data_1")
+
+      // native DELETE with a spatial predicate (the :89-91 statement)
+      spark.sql("DELETE FROM geo.db.test_geom " +
+        "WHERE st_within(geo, st_polygonfromenvelope(5.0D, 15.0D, 15.0D, 25.0D))")
+      val left = spark.sql("SELECT id FROM geo.db.test_geom").collect()
+      assert(left.length == 1 && left(0).getInt(0) == 2)
+
+      // native MERGE on the same catalog table
+      spark.sql(
+        """MERGE INTO geo.db.test_geom t USING (
+             SELECT 2 AS mid, 'm2' AS mdata UNION ALL SELECT 3, 'm3'
+           ) s ON t.id = s.mid
+           WHEN MATCHED THEN UPDATE SET data = s.mdata
+           WHEN NOT MATCHED THEN INSERT (id, data, geo) VALUES (s.mid, s.mdata, st_point(0.0D, 0.0D))""")
+      val rows = spark.sql("SELECT id, data FROM geo.db.test_geom ORDER BY id")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+      assert(rows == Seq(2 -> "m2", 3 -> "m3"))
+
+      // GEOMETRY tag survives every CoW rewrite
+      assert(graft.tables.GeoSchema.isGeometry(
+        spark.table("geo.db.test_geom").schema("geo")))
+    } finally spark.sql("DROP TABLE IF EXISTS geo.db.test_geom")
+  }
+
   test("testSpatialJoin analog: join on ST_Contains, with and without caching, plus CTAS") {
     spark.sql("DROP TABLE IF EXISTS test_left"); spark.sql("DROP TABLE IF EXISTS test_right")
     spark.sql("DROP TABLE IF EXISTS test_ctas")
