@@ -632,7 +632,16 @@ object SparkEntry {
       s.sql("""INSERT INTO geott.db.tt
                SELECT c_custkey, st_point(CAST(c_custkey % 100 AS DOUBLE), 1.0D)
                FROM customer WHERE c_custkey % 3 = 1""")
-      s.sql("""
+      // timestamp leg: resolve v1/v2 again through TIMESTAMP AS OF using
+      // the commit timestamps the manifests carry (format v3 `ts` line,
+      // surfaced by the snapshots metadata table) — rows 101/102 must
+      // reproduce rows 1/2 exactly
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.systemDefault())
+      val Seq(ts1, ts2) = s.sql(
+          "SELECT committed_at FROM geott.db.tt.snapshots WHERE version IN (1, 2) ORDER BY version")
+        .collect().toSeq.map(r => fmt.format(r.getTimestamp(0).toInstant))
+      s.sql(s"""
         SELECT 0 AS version,
                (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 0) AS n_rows,
                (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 0) AS key_sum
@@ -644,6 +653,14 @@ object SparkEntry {
         SELECT 2,
                (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 2),
                (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 2)
+        UNION ALL
+        SELECT 101,
+               (SELECT COUNT(*) FROM geott.db.tt TIMESTAMP AS OF '$ts1'),
+               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt TIMESTAMP AS OF '$ts1')
+        UNION ALL
+        SELECT 102,
+               (SELECT COUNT(*) FROM geott.db.tt TIMESTAMP AS OF '$ts2'),
+               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt TIMESTAMP AS OF '$ts2')
         ORDER BY version""")
     }),
 
@@ -1812,6 +1829,12 @@ object SparkEntry {
       SELECT 1, (SELECT COUNT(*) FROM v1), (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
       UNION ALL
       SELECT 2, (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2),
+             (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
+               + (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v2)
+      UNION ALL
+      SELECT 101, (SELECT COUNT(*) FROM v1), (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
+      UNION ALL
+      SELECT 102, (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2),
              (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v1)
                + (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v2)
       ORDER BY version""",

@@ -125,18 +125,23 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `SELECT ... FROM t TIMESTAMP AS OF ts` — resolves to the newest
-    * committed manifest whose file modification time is <= ts (the DSv2
-    * contract passes microseconds since epoch). */
+    * committed manifest whose COMMIT timestamp (the manifest's own `ts`
+    * line; file mtime for pre-v3 manifests) is <= ts (the DSv2 contract
+    * passes microseconds since epoch). Using the in-manifest timestamp
+    * means filesystem copies/restores and clock-skewed writers that
+    * reorder mtimes cannot reorder history — same reasoning as Iceberg
+    * keeping commit timestamps in table metadata. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val root = tableRoot(ident)
     val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
     val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
     val manifestRe = "m(\\d+)\\.txt".r
+    // cap at _current: a manifest written by a failed commit (no pointer
+    // flip) is not a committed snapshot
     val versions = fs.listStatus(new Path(root, "_manifests")).flatMap { s =>
       s.getPath.getName match {
-        // cap at _current: a manifest written by a failed commit (no
-        // pointer flip) is not a committed snapshot
-        case manifestRe(v) if v.toInt <= cur && s.getModificationTime <= cutoffMs => Some(v.toInt)
+        case manifestRe(v) if v.toInt <= cur &&
+          GeoManifest.commitTsOf(spark, root, v.toInt) <= cutoffMs => Some(v.toInt)
         case _ => None
       }
     }
@@ -357,6 +362,9 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val tableSchema = schema()
     val data: Array[InternalRow] = kind match {
+      // committed_at / made_current_at come from the manifest's own `ts`
+      // line (commitTsOf; mtime only as the pre-v3 fallback) — stable
+      // under filesystem copies that rewrite mtimes
       case "snapshots" =>
         val f = GeoManifest.fs(sparkAtLoad, root)
         (0 to current).flatMap { v =>
@@ -364,8 +372,8 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           if (!f.exists(p)) None // vacuumed snapshots drop out
           else {
             val m = GeoManifest.readVersion(sparkAtLoad, root, v)
-            Some(InternalRow(v, f.getFileStatus(p).getModificationTime * 1000L,
-              m.files.length, m.totalRows))
+            val ts = m.commitTs.getOrElse(f.getFileStatus(p).getModificationTime)
+            Some(InternalRow(v, ts * 1000L, m.files.length, m.totalRows))
           }
         }.toArray
       case "history" =>
@@ -373,7 +381,8 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
         (0 to current).flatMap { v =>
           val p = new Path(root, s"_manifests/m$v.txt")
           if (!f.exists(p)) None
-          else Some(InternalRow(f.getFileStatus(p).getModificationTime * 1000L, v, v == current))
+          else Some(InternalRow(
+            GeoManifest.commitTsOf(sparkAtLoad, root, v) * 1000L, v, v == current))
         }.toArray
       case "files" =>
         GeoManifest.read(sparkAtLoad, root).files.map { e =>

@@ -20,7 +20,8 @@ import java.nio.charset.StandardCharsets
  *
  * Format (line-oriented text, tab-separated; no external JSON dep):
  * {{{
- *   graftgeo  2
+ *   graftgeo  3
+ *   ts        <commit wall-clock, epoch millis>
  *   schema    <StructType.json — carries GEOMETRY field metadata>
  *   geom      <geometry column name, or -- when none>
  *   dropped   <tombstoned column name>                  (0..n lines)
@@ -29,11 +30,15 @@ import java.nio.charset.StandardCharsets
  * }}}
  * Version history: v1 had only schema/geom/file lines; v2 added `dropped`
  * (schema-evolution tombstones) and `stream` (streaming sink exactly-once
- * watermarks). Readers SKIP unknown line tags ONLY when the manifest
- * declares a format version newer than the reader knows (additive v3+
- * tags won't break this reader); an unknown tag in a v1/v2 manifest is
- * corruption and fails hard — skipping it would turn a torn line into
- * silently missing data files.
+ * watermarks); v3 added `ts` — the commit timestamp INSIDE the manifest,
+ * so TIMESTAMP AS OF and the snapshots/history metadata tables survive
+ * filesystem copies and clock-skewed writers that reorder file mtimes
+ * (Iceberg stores commit timestamps in metadata for the same reason;
+ * v1/v2 manifests fall back to mtime). Readers SKIP unknown line tags
+ * ONLY when the manifest declares a format version newer than the reader
+ * knows (additive v4+ tags won't break this reader); an unknown tag in a
+ * v1–v3 manifest is corruption and fails hard — skipping it would turn a
+ * torn line into silently missing data files.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -69,10 +74,15 @@ object GeoManifest {
     * as the appended files, a replayed micro-batch (crash between table
     * commit and the streaming checkpoint write) is detected and skipped —
     * the same idempotence mechanism as Iceberg's streaming sink. */
+  /** `commitTs` is the commit wall-clock (epoch millis) read from the
+    * manifest's `ts` line; None for pre-v3 manifests (readers fall back
+    * to the manifest file's mtime). It is stamped at write time — a
+    * `copy()`-derived next version never carries the base's ts. */
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
                             dropped: Seq[String] = Seq.empty,
-                            streamCommits: Map[String, Long] = Map.empty) {
+                            streamCommits: Map[String, Long] = Map.empty,
+                            commitTs: Option[Long] = None) {
     def totalRows: Long = files.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
@@ -134,7 +144,10 @@ object GeoManifest {
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     val lines = new StringBuilder()
-    lines ++= "graftgeo\t2\n"
+    lines ++= "graftgeo\t3\n"
+    // always stamp NOW: manifests are derived from the base via copy(),
+    // and inheriting the base's commit ts would corrupt the history order
+    lines ++= s"ts\t${System.currentTimeMillis()}\n"
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -160,6 +173,7 @@ object GeoManifest {
     val text = readText(f, new Path(root, s"_manifests/m$v.txt"))
     var schema: StructType = null
     var geomCol: Option[String] = None
+    var commitTs: Option[Long] = None
     var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
     val dropped = Seq.newBuilder[String]
@@ -175,25 +189,32 @@ object GeoManifest {
           schema = org.apache.spark.sql.types.DataType.fromJson(
             line.substring("schema\t".length)).asInstanceOf[StructType]
         case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
+        case "ts" => commitTs = Some(parts(1).toLong)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += FileEntry(parts(1), parts(2).toLong,
           parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
-          // a format newer than this reader (additive v3+ tags). In a
-          // v1/v2 manifest an unrecognized tag is corruption (e.g. a torn
+          // a format newer than this reader (additive v4+ tags). In a
+          // v1–v3 manifest an unrecognized tag is corruption (e.g. a torn
           // `file` line) — skipping it would turn a torn write into
           // silently missing data files that the next commit persists.
-          if (declared <= 2)
+          if (declared <= 3)
             throw new IllegalArgumentException(
               s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
-    Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result())
+    Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(), commitTs)
   }
+
+  /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling
+    * back to the manifest file's mtime for pre-v3 manifests. */
+  def commitTsOf(spark: SparkSession, root: String, v: Int): Long =
+    readVersion(spark, root, v).commitTs.getOrElse(
+      fs(spark, root).getFileStatus(new Path(root, s"_manifests/m$v.txt")).getModificationTime)
 
   // -------------------------------------------------------------------------
   // Stats collection

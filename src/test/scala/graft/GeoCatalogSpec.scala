@@ -61,6 +61,21 @@ class GeoCatalogSpec extends SparkSpec {
     // out-of-range snapshot is a clean error
     val e = intercept[Exception] { spark.sql("SELECT * FROM geo.db.tt VERSION AS OF 99").collect() }
     assert(e.getMessage.contains("no snapshot version 99") || e.getMessage.contains("99"))
+    // resolution reads the COMMIT ts inside the manifest, not file mtime:
+    // scramble every manifest's mtime (as a filesystem copy/restore would)
+    // and the answers must not move
+    val fs = GeoManifest.fs(spark, s"$warehouse/db/tt")
+    (0 to 2).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$warehouse/db/tt/_manifests/m$v.txt"),
+        System.currentTimeMillis() + 864000000L, -1)
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM geo.db.tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 1)
+    val committedAt = spark.sql(
+        "SELECT version, committed_at FROM geo.db.tt.snapshots ORDER BY version")
+      .collect().map(r => r.getTimestamp(1).getTime)
+    assert(committedAt.sameElements(committedAt.sorted) && committedAt.last < betweenMs + 3600000L,
+      s"committed_at must come from the manifest ts, got ${committedAt.toSeq}")
   }
 
   test("snapshots / files metadata tables resolve like Iceberg's") {

@@ -146,8 +146,13 @@ class GeoEvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
     assert(e.getMessage.contains("bad manifest line"))
     // the same unknown tag under a declared FUTURE format version is additive
-    editManifest(original.replace("graftgeo\t2", "graftgeo\t3") + "newtag\tpayload\n")
+    editManifest(original.replace("graftgeo\t3", "graftgeo\t4") + "newtag\tpayload\n")
     assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
+    // a v2 manifest (no ts line) still reads, with commitTs empty
+    editManifest(original.replace("graftgeo\t3", "graftgeo\t2")
+      .linesIterator.filterNot(_.startsWith("ts\t")).mkString("\n") + "\n")
+    val v2m = GeoManifest.read(spark, root)
+    assert(v2m.commitTs.isEmpty && v2m.schema.fieldNames.toSeq == Seq("id"))
   }
 
   test("stripOuterParens strips only a balanced outer pair") {
