@@ -154,8 +154,32 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "GeoCatalog tables are laid out by Z-order maintenance (OPTIMIZE), not partition transforms")
+    // Partition transforms are a deliberate non-feature of GeoTable's
+    // layout (file-level manifest + Z-order maintenance); a user porting
+    // Iceberg DDL gets a targeted migration hint per transform rather
+    // than a bare rejection.
+    if (partitions.nonEmpty) {
+      val hints = partitions.map { t =>
+        val s = t.toString
+        val hint =
+          if (s.startsWith("identity")) "keep it as a plain column and run OPTIMIZE " +
+            s"(Z-order) — manifest bbox/file pruning replaces partition pruning"
+          else if (s.startsWith("bucket")) "use a cell partition column instead: " +
+            "graft.plans.GeoParquet.write(..., partitionByCell = true) buckets rows by " +
+            "spatial cell, and the manifest prunes files by bbox"
+          else if (s.startsWith("days") || s.startsWith("months") ||
+                   s.startsWith("hours") || s.startsWith("years"))
+            "materialize the truncated value as a column (e.g. date_trunc) and run " +
+              "OPTIMIZE — snapshots give time travel, the manifest gives file pruning"
+          else "drop the transform; GeoTable prunes files via the manifest's per-file " +
+            "stats after OPTIMIZE (Z-order)"
+        s"$s -> $hint"
+      }
+      throw new UnsupportedOperationException(
+        s"GeoCatalog tables do not take PARTITIONED BY — files are laid out by Z-order " +
+          s"maintenance (OPTIMIZE) and pruned via per-file manifest stats. For " +
+          s"${ident.toString}: ${hints.mkString("; ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(tableRoot(ident))
     // Spark 4.1's native GEOMETRY DDL type (parser accepts it when

@@ -301,6 +301,24 @@ class GeoCatalogSpec extends SparkSpec {
     assert(GeoManifest.read(spark, s"$warehouse/db/ctas_t").geomCol.contains("geo"))
   }
 
+  test("PARTITIONED BY on a geo table raises a migration hint, not a bare error") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE geo.db.parted (id BIGINT, ts TIMESTAMP, g BINARY) USING geo PARTITIONED BY (days(ts))"))
+    assert(e1.getMessage.contains("OPTIMIZE") && e1.getMessage.contains("date_trunc"),
+      s"days() transform must point at the date_trunc + OPTIMIZE migration:\n${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE geo.db.parted (id BIGINT, g BINARY) USING geo PARTITIONED BY (bucket(16, id))"))
+    assert(e2.getMessage.contains("partitionByCell"),
+      s"bucket() transform must point at cell partitioning:\n${e2.getMessage}")
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE geo.db.parted (id BIGINT, g BINARY) USING geo PARTITIONED BY (id)"))
+    assert(e3.getMessage.contains("plain column"),
+      s"identity transform must point at the plain-column migration:\n${e3.getMessage}")
+    assert(!spark.catalog.tableExists("geo.db.parted"))
+  }
+
   test("trap: vanilla statements containing geo-shaped text stay with Spark") {
     warehouse
     // a string literal mentioning USING GEO / WHERE / VALUES must not mis-route
