@@ -182,6 +182,32 @@ abstract class StBinary extends BinaryExpression {
   }
 }
 
+/**
+ * Codegen for (geometry, scalar) binaries that keep their interpreted
+ * `nullSafeEval`: generated code calls the boxed evaluator through a
+ * reference object. The JTS work dominates these, but staying OUT of
+ * CodegenFallback matters anyway — a fallback splits the surrounding
+ * whole-stage pipeline and row-boxes every input, which taxes the whole
+ * stage, not just this expression.
+ */
+trait StScalarCodegen extends BinaryExpression {
+  /** True when nullSafeEval can return null on non-null inputs. */
+  protected def mayReturnNull: Boolean = false
+  def evalBoxed(l: Any, r: Any): Any = nullSafeEval(l, r)
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stExpr", this, classOf[StScalarCodegen].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val call = s"$ref.evalBoxed($l, $r)"
+      if (mayReturnNull) {
+        val tmp = ctx.freshName("stRes")
+        s"""Object $tmp = $call;
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${StCodegen.cast(tmp, dataType)}; }""".stripMargin
+      } else s"${ev.value} = ${StCodegen.cast(call, dataType)};"
+    })
+  }
+}
+
 /** N-ary expression evaluating all children, null if any input is null. */
 abstract class StNary extends Expression {
   override def nullable: Boolean = true
@@ -450,7 +476,7 @@ case class StSrid(child: Expression) extends StUnary {
 }
 
 case class StSetSrid(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends StScalarCodegen {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
@@ -607,7 +633,7 @@ case class StSymDifference(left: Expression, right: Expression) extends StBinary
 }
 
 case class StBuffer(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends StScalarCodegen {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
@@ -624,7 +650,7 @@ case class StConvexHull(child: Expression) extends StUnary {
 }
 
 case class StSimplify(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends StScalarCodegen {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
@@ -643,10 +669,11 @@ case class StDimension(child: Expression) extends StUnary {
 
 /** 1-based, like PostGIS/Sedona; null when out of range or wrong type. */
 case class StGeometryN(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends StScalarCodegen {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+  override protected def mayReturnNull: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, n: Any): Any = {
     val geo = geom(g); val i = int(n)
@@ -657,10 +684,11 @@ case class StGeometryN(left: Expression, right: Expression)
 }
 
 case class StPointN(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends StScalarCodegen {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+  override protected def mayReturnNull: Boolean = true
   override def checkInputDataTypes() = StKit.checkTypes(prettyName, Seq(left -> "geometry", right -> "numeric"))
   override def nullSafeEval(g: Any, n: Any): Any = geom(g) match {
     case l: org.locationtech.jts.geom.LineString =>

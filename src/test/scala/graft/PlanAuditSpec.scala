@@ -38,4 +38,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj.result() == oneRowBroadcastExpected,
       s"BroadcastNestedLoopJoin set changed: ${bnlj.result().toSeq.sorted}")
   }
+
+  test("no graft CodegenFallback scalar expression in any driver-contract plan") {
+    // a CodegenFallback splits whole-stage codegen and row-boxes every
+    // input of its stage, so one sneaking into a per-row pipeline is a
+    // real regression. Scope: OUR scalar expressions only — Spark's own
+    // HOF machinery (lambdafunction, transform, ...) and aggregates
+    // (collect_list, percentile, and every TypedImperativeAggregate,
+    // including the st_*_aggr family) are CodegenFallback by design and
+    // never inside a codegen stage to begin with.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.SortedMap[String, Seq[String]]()
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val fb = qe.optimizedPlan.collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect {
+          case e: CodegenFallback if e.getClass.getName.startsWith("graft.") &&
+            !e.isInstanceOf[AggregateFunction] => e.prettyName
+        })
+      }.flatten.distinct.sorted
+      if (fb.nonEmpty) offenders(name) = fb
+    }
+    assert(offenders.isEmpty,
+      s"graft CodegenFallback expressions in benched queries:\n${offenders.mkString("\n")}")
+  }
 }

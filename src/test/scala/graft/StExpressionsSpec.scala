@@ -58,10 +58,11 @@ class StExpressionsSpec extends SparkSpec {
       .createOrReplaceTempView("cg_null")
     val rows = spark.sql("""
       SELECT st_x(poly), st_startpoint(pt), st_endpoint(poly), st_exteriorring(pt),
-             st_numinteriorrings(pt), st_azimuth(poly, pt), st_pointn(pt, 1)
+             st_numinteriorrings(pt), st_azimuth(poly, pt), st_pointn(pt, 1),
+             st_geometryn(pt, 2), st_pointn(st_boundary(poly), 99)
       FROM cg_null""").collect()
     assert(rows.length == 5)
-    rows.foreach { r => (0 until 7).foreach(i => assert(r.isNullAt(i), s"col $i not null")) }
+    rows.foreach { r => (0 until 9).foreach(i => assert(r.isNullAt(i), s"col $i not null")) }
     // and valid inputs still work in the same plan shape
     val ok = spark.sql("SELECT st_x(pt) FROM cg_null ORDER BY id").as[Double].collect()
     assert(ok.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
