@@ -22,7 +22,11 @@ import StKit._
  * aggregation, neighborhood joins over projected or local data — the
  * planar family is equivalent machinery; what it does NOT give is H3's
  * globe-wide equal-area cells. Reproject to a planar CRS (st_transform)
- * before hex-binning wide-area geodata.
+ * before hex-binning wide-area geodata. The same decision covers
+ * Google S2 (Sedona's ST_S2CellIDs family): S2's hierarchical
+ * quad-sphere ids are another fixed global cell scheme; the engine's
+ * square-cell analog is st_morton_cell (Z-order key on a planar grid),
+ * which serves the same bucketing/join-key role after reprojection.
  *
  * Cell id packing: axial (q, r) as two 32-bit signed ints in one long —
  * `(q << 32) | (r & 0xffffffff)`. The grid `size` is an explicit argument

@@ -283,6 +283,18 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     val fresh = GeoManifest.read(spark, root)
     val replaced = scanned().map(_.map(_.key).toSet)
       .getOrElse(fresh.files.map(_.key).toSet)
+    // Write-conflict validation (the Iceberg CoW rule): every file this
+    // operation SCANNED must still be live. A concurrent committer that
+    // rewrote one of them (its own UPDATE/DELETE/compact) already
+    // re-homed those rows — carrying its new files over AND adding our
+    // rewrite of the old ones would silently duplicate rows. Concurrent
+    // APPENDS are fine: their files are untouched-by-us and carry over.
+    val live = fresh.files.map(_.key).toSet
+    val gone = replaced.diff(live)
+    if (gone.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"row-level operation on $root scanned ${gone.size} file(s) that a concurrent " +
+          s"commit replaced (e.g. ${gone.head}); re-run the statement against the new snapshot")
     val untouched = fresh.files.filterNot(f => replaced.contains(f.key))
     GeoManifest.commit(spark, root,
       fresh.copy(version = fresh.version + 1, files = untouched ++ entries), fresh.version)

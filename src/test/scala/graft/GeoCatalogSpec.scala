@@ -301,6 +301,25 @@ class GeoCatalogSpec extends SparkSpec {
     assert(GeoManifest.read(spark, s"$warehouse/db/ctas_t").geomCol.contains("geo"))
   }
 
+  test("native DML commit rejects a concurrent rewrite of a scanned file") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.conflict (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    spark.sql("INSERT INTO geo.db.conflict SELECT 1L, st_point(0.0D, 0.0D)")
+    val root = s"$warehouse/db/conflict"
+    val m = GeoManifest.read(spark, root)
+    // a scanned-file set naming a key that is NOT in the live manifest =
+    // the state after a concurrent commit rewrote that file between this
+    // operation's scan and its commit — must fail, not duplicate rows
+    val stale = GeoManifest.FileEntry("/gone/part-00000.parquet", 1L, 0, 0, 0, 0)
+    val w = new graft.tables.GeoCowBatchWrite(root, m.schema, () => Some(Seq(stale)))
+    val e = intercept[java.util.ConcurrentModificationException](w.commit(Array.empty))
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    // and the table is untouched
+    assert(GeoManifest.read(spark, root).version == m.version)
+  }
+
   test("PARTITIONED BY on a geo table raises a migration hint, not a bare error") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
