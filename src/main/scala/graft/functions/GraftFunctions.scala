@@ -165,6 +165,8 @@ object GraftFunctions {
     ("st_isvalidreason", 1, es => StIsValidReason(es.head)),
     ("st_minimumclearance", 1, es => StMinimumClearance(es.head)),
     ("st_minimumclearanceline", 1, es => StMinimumClearanceLine(es.head)),
+    ("st_largestemptycircle", 2, es => StLargestEmptyCircle(es(0), es(1))),
+    ("st_sharedpaths", 2, es => StSharedPaths(es(0), es(1))),
     ("st_polygonize", 1, es => StPolygonize(es.head)),
     ("st_buildarea", 1, es => StBuildArea(es.head)),
     ("st_node", 1, es => StNode(es.head)),
@@ -470,6 +472,8 @@ object GraftFunctions {
     "st_hasz" -> "st_hasz(geom) - True when vertices carry Z.",
     "st_hausdorffdistance" -> "st_hausdorffdistance(a, b) - Discrete Hausdorff distance (shape similarity).",
     "st_intersection" -> "st_intersection(a, b) - Shared points of a and b.",
+    "st_largestemptycircle" -> "st_largestemptycircle(obstacles, tolerance) - Radius line (center -> nearest obstacle) of the largest circle avoiding the obstacles; center = st_startpoint, radius = st_length.",
+    "st_sharedpaths" -> "st_sharedpaths(line1, line2) - GEOMETRYCOLLECTION(same-direction multiline, opposite-direction multiline) of linework shared by two lineal inputs.",
     "st_intersects" -> "st_intersects(a, b) - True when the geometries share any point.",
     "st_isclosed" -> "st_isclosed(geom) - Every LineString component closed; points/polygons count closed.",
     "st_iscollection" -> "st_iscollection(geom) - True for Multi*/GeometryCollection input.",

@@ -546,6 +546,87 @@ case class StSimplifyPolygonHull(children: Seq[Expression]) extends StNary {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+/** st_largestemptycircle(obstacles, tolerance): JTS LargestEmptyCircle —
+  * the largest circle whose interior avoids the obstacle geometry, center
+  * constrained to its convex hull. Returns the RADIUS LINE (center →
+  * nearest obstacle point), the composable form: center = st_startpoint,
+  * radius = st_length (PostGIS returns the same pieces as a record,
+  * which Spark SQL scalar functions cannot). */
+case class StLargestEmptyCircle(left: Expression, right: Expression) extends StNary {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName,
+    Seq(left -> "geometry", right -> "numeric"))
+  protected def run(vs: Seq[Any]): Any =
+    out(org.locationtech.jts.algorithm.construct.LargestEmptyCircle
+      .getRadiusLine(geom(vs(0)), dbl(vs(1))))
+  override def prettyName: String = "st_largestemptycircle"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1))
+}
+
+/**
+ * st_sharedpaths(line1, line2): PostGIS ST_SharedPaths — the linework the
+ * two LINEAL inputs share, as GEOMETRYCOLLECTION(MULTILINESTRING same-
+ * direction, MULTILINESTRING opposite-direction). Segment direction is
+ * classified by linear referencing BOTH inputs (a shared segment travels
+ * "forward" on a line when its endpoints' length-indexes increase; a
+ * closed ring's wrap-around flips the raw sign when the index gap exceeds
+ * half the ring length). Non-lineal input → NULL.
+ */
+case class StSharedPaths(left: Expression, right: Expression) extends StNary {
+  import org.locationtech.jts.geom.{Coordinate, Geometry, LineString}
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = StKit.checkTypes(prettyName,
+    Seq(left -> "geometry", right -> "geometry"))
+
+  private def lineal(g: Geometry): Boolean = (0 until g.getNumGeometries)
+    .forall(i => g.getGeometryN(i).isInstanceOf[LineString])
+
+  /** +1 when p→q runs with g's orientation, -1 against. The wrap-around
+    * flip (index gap > half the length) applies only to CLOSED inputs —
+    * on an open line a long shared segment is just a long segment, but on
+    * a ring the start/end join makes the short way round the true gap. */
+  private def dirAlong(g: Geometry, p: Coordinate, q: Coordinate): Double = {
+    val lil = new org.locationtech.jts.linearref.LengthIndexedLine(g)
+    val d = lil.project(q) - lil.project(p)
+    val closed = (0 until g.getNumGeometries)
+      .forall(i => g.getGeometryN(i).asInstanceOf[LineString].isClosed)
+    if (closed && math.abs(d) > g.getLength / 2) -math.signum(d) else math.signum(d)
+  }
+
+  protected def run(vs: Seq[Any]): Any = {
+    val (g1, g2) = (geom(vs(0)), geom(vs(1)))
+    if (g1.isEmpty || g2.isEmpty || !lineal(g1) || !lineal(g2)) return null
+    val inter = g1.intersection(g2)
+    val same = Seq.newBuilder[LineString]
+    val opp = Seq.newBuilder[LineString]
+    val f = g1.getFactory
+    (0 until inter.getNumGeometries).map(inter.getGeometryN).foreach {
+      case l: LineString =>
+        val cs = l.getCoordinates
+        cs.indices.dropRight(1).foreach { i =>
+          val seg = f.createLineString(Array(cs(i), cs(i + 1)))
+          if (dirAlong(g1, cs(i), cs(i + 1)) * dirAlong(g2, cs(i), cs(i + 1)) >= 0)
+            same += seg
+          else opp += seg
+        }
+      case _ => () // point touches are not shared paths
+    }
+    def mergedMulti(segs: Seq[LineString]): Geometry = {
+      val merger = new org.locationtech.jts.operation.linemerge.LineMerger
+      segs.foreach(merger.add)
+      val merged = merger.getMergedLineStrings.toArray.map(_.asInstanceOf[LineString])
+      f.createMultiLineString(merged.sortBy(_.toText))
+    }
+    out(f.createGeometryCollection(Array(mergedMulti(same.result()), mergedMulti(opp.result()))))
+  }
+  override def prettyName: String = "st_sharedpaths"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1))
+}
+
 /** st_asewkb: EWKB bytes (SRID flag set) — graft's canonical storage form,
   * re-serialized so any accepted input (ISO WKB, EWKB) normalizes. */
 case class StAsEwkb(child: Expression) extends StUnary {

@@ -254,4 +254,40 @@ class StTier5Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("BOOLEAN"), e.getMessage)
   }
+
+  test("st_largestemptycircle finds the obstacle-free center as a radius line") {
+    // four corner obstacles of a unit-100 square: the largest empty circle
+    // centers at (50, 50) with radius 50*sqrt(2) (to any corner)
+    val line = "st_largestemptycircle(st_geomfromtext('MULTIPOINT ((0 0), (100 0), (100 100), (0 100))'), 0.001)"
+    val cx = sql1(s"SELECT st_x(st_startpoint($line))").asInstanceOf[Double]
+    val cy = sql1(s"SELECT st_y(st_startpoint($line))").asInstanceOf[Double]
+    val r = sql1(s"SELECT st_length($line)").asInstanceOf[Double]
+    assert(math.abs(cx - 50) < 0.1 && math.abs(cy - 50) < 0.1, s"center ($cx, $cy)")
+    assert(math.abs(r - 50 * math.sqrt(2)) < 0.1, s"radius $r")
+  }
+
+  test("st_sharedpaths splits shared linework by direction (PostGIS contract)") {
+    // g2's first segment runs WITH g1, its second runs AGAINST g1
+    val g1 = "st_geomfromtext('LINESTRING (0 0, 10 0, 10 10)')"
+    val sameDir = "st_geomfromtext('LINESTRING (2 0, 8 0)')"
+    val oppDir = "st_geomfromtext('LINESTRING (8 0, 2 0)')"
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $sameDir), 1))") ==
+      "MULTILINESTRING ((2 0, 8 0))")
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $sameDir), 2))") ==
+      "MULTILINESTRING EMPTY")
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $oppDir), 1))") ==
+      "MULTILINESTRING EMPTY")
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $oppDir), 2))") ==
+      "MULTILINESTRING ((2 0, 8 0))")
+    // mixed directions in one input split between the two halves
+    val mixed = "st_geomfromtext('MULTILINESTRING ((2 0, 8 0), (10 8, 10 2))')"
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $mixed), 1))") ==
+      "MULTILINESTRING ((2 0, 8 0))")
+    assert(sql1(s"SELECT st_astext(st_geometryn(st_sharedpaths($g1, $mixed), 2))") ==
+      "MULTILINESTRING ((10 2, 10 8))")
+    // disjoint lines share nothing; non-lineal input is NULL
+    assert(sql1(s"SELECT st_astext(st_sharedpaths($g1, st_geomfromtext('LINESTRING (50 50, 60 60)')))") ==
+      "GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, MULTILINESTRING EMPTY)")
+    assert(sql1(s"SELECT st_sharedpaths($g1, st_point(1, 1))") == null)
+  }
 }
