@@ -735,6 +735,10 @@ case class StMakeLineArray(child: Expression) extends org.apache.spark.sql.catal
 case class StUnionArray(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  // empty/all-NULL arrays yield NULL even when the child itself is
+  // non-nullable (e.g. collect_list output) — without this the codegen
+  // non-nullable branch has no isNull slot to assign
+  override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
     // array<void> is the type of the empty/all-NULL array literal
     case ArrayType(BinaryType, _) | ArrayType(NullType, _) | NullType =>

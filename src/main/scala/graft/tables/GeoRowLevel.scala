@@ -73,9 +73,11 @@ object GeoRowLevel {
 class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
-  // the FIRST scan built is the main ReplaceData scan (built during early
-  // pushdown); the runtime-group-filter's matching scan is built later and
-  // must not steal the reference
+  // the main ReplaceData scan is identified STRUCTURALLY: it is the only
+  // scan whose pruned schema still covers every table column plus `_file`
+  // (it must — ReplaceData rewrites whole rows). The runtime-group-filter's
+  // matching scan prunes to `_file` + condition columns, so it can never
+  // be mistaken for it regardless of which optimizer batch builds first.
   @volatile private var mainScan: GeoCowScan = _
   private[tables] def scannedFiles: Option[Seq[FileEntry]] = Option(mainScan).map(_.scannedFiles)
 
@@ -86,14 +88,14 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = GeoManifest.read(spark, root)
     new GeoCowScanBuilder(spark, m.schema, m.files, options,
-      s => if (mainScan == null) mainScan = s)
+      s => if (mainScan == null && s.coversFullRow) mainScan = s)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GeoCowBatchWrite(root, info.schema(), () => scannedFiles)
+          new GeoCowBatchWrite(root, info.schema(), () => scannedFiles, cmd)
       }
     }
 
@@ -114,15 +116,19 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         onBuild: GeoCowScan => Unit)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private val inner = org.apache.spark.sql.graft.GraftShim
     .parquetScanBuilder(spark, files.map(_.path), tableSchema, options)
     .asInstanceOf[FileScanBuilder]
   private var needFile = false
+  private var fullRow = false
 
   override def pruneColumns(required: StructType): Unit = {
     needFile = required.fieldNames.contains(GeoRowLevel.FileCol)
+    val names = required.fieldNames.toSet
+    fullRow = needFile && tableSchema.fieldNames.forall(names.contains)
     inner.pruneColumns(StructType(required.fields.filterNot(_.name == GeoRowLevel.FileCol)))
   }
 
@@ -132,9 +138,21 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
 
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
 
+  // MIN/MAX/COUNT pushdown into parquet footers, same as the plain
+  // ParquetScanBuilder path; a group-by on `_file` (the runtime-filter
+  // matching scan's DISTINCT) is not a parquet column so the inner
+  // builder rejects it and we read rows as usual
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+
   override def build(): Scan = {
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, files, needFile)
+      tableSchema, files, needFile, fullRow)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
     onBuild(s)
@@ -150,11 +168,17 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
  * parquet path.
  */
 class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructType,
-                 allFiles: Seq[FileEntry], needFile: Boolean)
-  extends Scan with Batch with SupportsRuntimeV2Filtering {
+                 allFiles: Seq[FileEntry], needFile: Boolean,
+                 val coversFullRow: Boolean = false)
+  extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: Seq[FileEntry] = allFiles
   def scannedFiles: Seq[FileEntry] = current
+
+  // planning-time size/row statistics from the stock FileScan estimate —
+  // without this the catalog table reports defaultSizeInBytes (Long.Max)
+  // and auto-broadcast joins on geo tables never fire
+  override def estimateStatistics(): Statistics = inner0.estimateStatistics()
 
   override def readSchema(): StructType =
     if (needFile) StructType(inner0.readSchema().fields :+
@@ -163,8 +187,11 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def toBatch: Batch = this
 
+  // only DML scans (which project `_file`) advertise runtime filtering;
+  // plain reads must not, or dynamic-pruning resolution trips on a
+  // `_file` reference absent from the relation output
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(GeoRowLevel.FileCol))
+    if (needFile) Array(Expressions.column(GeoRowLevel.FileCol)) else Array.empty
 
   /** `_file IN (...)` / `_file = ...` narrows the group set; any
     * unrecognized predicate is ignored (keeping more files is always
@@ -259,7 +286,8 @@ case class GeoCowCommitMessage(path: String, rows: Long) extends WriterCommitMes
  * projected down to the table schema by name.
  */
 class GeoCowBatchWrite(root: String, incoming: StructType,
-                       scanned: () => Option[Seq[FileEntry]])
+                       scanned: () => Option[Seq[FileEntry]],
+                       cmd: RowLevelOperation.Command = RowLevelOperation.Command.UPDATE)
   extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -295,20 +323,49 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
       throw new java.util.ConcurrentModificationException(
         s"row-level operation on $root scanned ${gone.size} file(s) that a concurrent " +
           s"commit replaced (e.g. ${gone.head}); re-run the statement against the new snapshot")
+    // CoW UPDATE rewrites every row of every replaced file — written total
+    // must equal the replaced files' row total exactly. Catches any future
+    // scan-identification bug (writing a narrowed subset while replacing
+    // the full file set would silently drop rows) before the swap.
+    if (cmd == RowLevelOperation.Command.UPDATE) {
+      val replacedRows = fresh.files.filter(f => replaced.contains(f.key)).map(_.rows).sum
+      val writtenRows = messages.collect { case GeoCowCommitMessage(_, n) => n }.sum
+      if (writtenRows != replacedRows)
+        throw new IllegalStateException(
+          s"UPDATE on $root wrote $writtenRows row(s) but is replacing files holding " +
+            s"$replacedRows — scan/replace mismatch, refusing to commit")
+    }
     val untouched = fresh.files.filterNot(f => replaced.contains(f.key))
     GeoManifest.commit(spark, root,
       fresh.copy(version = fresh.version + 1, files = untouched ++ entries), fresh.version)
     // zero-row replacement files never enter the manifest; drop them now
-    // rather than leaving unreferenced garbage for vacuum
-    val kept = entries.map(_.key).toSet
-    val fs = GeoManifest.fs(spark, root)
-    messages.collect { case GeoCowCommitMessage(p, n) if n == 0 => p }
-      .foreach(p => if (!kept.contains(GeoManifest.norm(p))) fs.delete(new Path(p), false))
+    // rather than leaving unreferenced garbage for vacuum. Best-effort:
+    // the manifest swap above already succeeded, so a transient FS error
+    // here must NOT surface as a commit failure (Spark would abort() and
+    // delete live data) — leftovers are vacuum's job.
+    try {
+      val kept = entries.map(_.key).toSet
+      val fs = GeoManifest.fs(spark, root)
+      messages.collect { case GeoCowCommitMessage(p, n) if n == 0 => p }
+        .foreach(p => if (!kept.contains(GeoManifest.norm(p))) fs.delete(new Path(p), false))
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** Abort must never destroy committed data: if the manifest swap
+    * already went through (abort fired by a post-commit failure), files
+    * under commitDir are live table rows. Re-read the manifest and only
+    * remove what it does not reference. */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    try GeoManifest.fs(spark, root).delete(new Path(commitDir), true)
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val fs = GeoManifest.fs(spark, root)
+      val live = GeoManifest.read(spark, root).files.map(_.key).toSet
+      val dirKey = GeoManifest.norm(commitDir)
+      if (live.exists(_.startsWith(dirKey + "/")))
+        messages.collect { case GeoCowCommitMessage(p, _) => p }
+          .filterNot(p => live.contains(GeoManifest.norm(p)))
+          .foreach(p => fs.delete(new Path(p), false))
+      else fs.delete(new Path(commitDir), true)
+    } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 case class GeoCowDataWriterFactory(owf: OutputWriterFactory,

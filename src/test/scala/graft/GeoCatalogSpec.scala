@@ -353,6 +353,71 @@ class GeoCatalogSpec extends SparkSpec {
     assert(GeoSql.maybeCommand("MERGE INTO geo.db.dml USING").isEmpty)
   }
 
+  test("catalog tables report real size statistics: small geo tables auto-broadcast") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.dim (id BIGINT, name STRING) USING geo")
+    spark.sql("INSERT INTO geo.db.dim SELECT id, concat('n', id) FROM range(100)")
+    val big = spark.range(10000).withColumnRenamed("id", "id")
+    val joined = big.join(spark.table("geo.db.dim"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the scan reports defaultSizeInBytes
+    // (Long.Max) and this join sort-merges
+    assert(plan.contains("BroadcastHashJoin"),
+      s"100-row geo table must broadcast, got:\n$plan")
+    assert(joined.count() == 100)
+  }
+
+  test("aggregate pushdown reaches parquet footers on plain catalog reads") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.aggpd (id BIGINT, v DOUBLE) USING geo")
+    spark.sql("INSERT INTO geo.db.aggpd SELECT id, id * 0.5 FROM range(1000)")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql("SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM geo.db.aggpd")
+      // pushdown rewrites the relation output to the pre-aggregated columns
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("count(*)#") && plan.contains("RelationV2"),
+        s"count/min/max must push into the parquet footer scan:\n$plan")
+      val desc = df.queryExecution.executedPlan.toString
+      assert(desc.contains("PushedAggregation") || plan.contains("agg_func"),
+        s"expected pushed aggregation marker:\n$desc")
+      val r = df.head
+      assert(r.getLong(0) == 1000 && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("BatchWrite.abort after a successful commit never deletes live data") {
+    warehouse
+    val root = s"$warehouse/db/abortsafe"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE IF NOT EXISTS geo.db.abortsafe (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geo.db.abortsafe SELECT id FROM range(10)")
+    val before = GeoManifest.read(spark, root)
+    // drive the CoW write surface directly: replace ALL files with a
+    // freshly written one, commit, then fire abort() as Spark would after
+    // a post-commit hiccup — committed data must survive
+    val bw = new graft.tables.GeoCowBatchWrite(root, before.schema,
+      () => Some(before.files),
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    val factory = bw.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 7L)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(Array[org.apache.spark.sql.types.DataType](org.apache.spark.sql.types.LongType))
+    (100L until 105L).foreach { i =>
+      w.write(proj(org.apache.spark.sql.catalyst.InternalRow(i)))
+    }
+    val msg = w.commit()
+    bw.commit(Array(msg))
+    assert(spark.table("geo.db.abortsafe").count() == 5)
+    bw.abort(Array(msg)) // post-commit abort: must be a no-op for live files
+    spark.sql("REFRESH TABLE geo.db.abortsafe")
+    val ids = spark.table("geo.db.abortsafe").as[Long].collect().sorted.toSeq
+    assert(ids == (100L until 105L).toSeq,
+      s"abort after commit destroyed committed rows: $ids")
+  }
+
   test("renameTable moves the table directory") {
     warehouse
     spark.sql("CREATE TABLE IF NOT EXISTS geo.db.oldname (id BIGINT) USING geo")

@@ -248,6 +248,20 @@ class StTier5Spec extends SparkSpec {
     assert(sql1("SELECT st_area(st_union(array(CAST(NULL AS BINARY), st_makeenvelope(0, 0, 2, 2))))") == 4.0)
   }
 
+  test("st_union(collect_list) over a group of only NULL geometries is NULL") {
+    // collect_list's output is non-nullable — exercises the codegen branch
+    // where st_union(array) must surface its own NULL (not foldable, so
+    // ConstantFolding cannot rescue it)
+    import spark.implicits._
+    Seq((1, Some("POINT (0 0)")), (1, Some("POINT (2 2)")), (2, None), (2, None))
+      .toDF("k", "wkt").createOrReplaceTempView("union_groups")
+    val rows = spark.sql(
+      """SELECT k, st_astext(st_union(collect_list(st_geomfromtext(wkt)))) AS u
+        |FROM union_groups GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(rows(0).getString(1) == "MULTIPOINT ((0 0), (2 2))")
+    assert(rows(1).isNullAt(1), "all-NULL group must union to NULL")
+  }
+
   test("simplifypolygonhull rejects a non-boolean third argument at analysis time") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT st_simplifypolygonhull(st_makeenvelope(0, 0, 2, 2), 0.5, 1)").collect()
