@@ -664,6 +664,40 @@ object SparkEntry {
         ORDER BY version""")
     }),
 
+    // Incremental read of a geo table (Iceberg incremental-scan analog):
+    // two appends then a native CoW DELETE; the insert leg reads the SQL
+    // `changes` metadata table (file-granular changelog == net for pure
+    // appends), the delete leg reads netChanges so the rewrite's
+    // surviving rows cancel and exactly the deleted rows remain. DuckDB
+    // replays both legs from the insert/delete predicates.
+    "geo_changelog" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geocl").isEmpty) {
+        s.conf.set("spark.sql.catalog.geocl", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geocl.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_cl_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocl.db")
+      s.sql("DROP TABLE IF EXISTS geocl.db.cl")
+      s.sql("CREATE TABLE geocl.db.cl (id BIGINT, nat BIGINT, g BINARY) USING geo " +
+        "TBLPROPERTIES('geometry.column'='g')")
+      s.sql("""INSERT INTO geocl.db.cl
+               SELECT c_custkey, c_nationkey, st_point(CAST(c_custkey % 100 AS DOUBLE), 0.0D)
+               FROM customer WHERE c_custkey % 3 = 0""")                     // v1
+      s.sql("""INSERT INTO geocl.db.cl
+               SELECT c_custkey, c_nationkey, st_point(CAST(c_custkey % 100 AS DOUBLE), 1.0D)
+               FROM customer WHERE c_custkey % 3 = 1""")                     // v2
+      s.sql("DELETE FROM geocl.db.cl WHERE id % 7 = 0")                      // v3 (CoW rewrite)
+      val root = s.conf.get("spark.sql.catalog.geocl.warehouse") + "/db/cl"
+      val inserts = s.read.option("to-version", 2).table("geocl.db.cl.changes")
+        .select(lit(2).as("phase"), col("_change_type").as("change_type"),
+          col("id"), col("nat"))
+      val deletes = graft.tables.GeoTable.netChanges(s, root, 2, 3)
+        .select(lit(3).as("phase"), col("_change_type").as("change_type"),
+          col("id"), col("nat"))
+      inserts.unionByName(deletes).orderBy("phase", "id")
+    }),
+
     // KML/GML reader-writer roundtrip: the parse must invert the writer
     // exactly, so st_astext of the roundtrip equals a directly-built WKT
     // string in the oracle (no XML on the DuckDB side at all)
@@ -1132,6 +1166,29 @@ object SparkEntry {
         "DELETE FROM geo_dml_del_t WHERE st_intersects(geo, st_makeenvelope(2000.005D, 4.5D, 9000.005D, 19.5D))")
       graft.tables.GeoTable.read(s, root)
         .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey")
+    }),
+
+    // Merge-on-read DELETE (Iceberg v2 position deletes): a sparse
+    // predicate forced through the MoR path writes a (file, row-ordinal)
+    // sidecar — no data file is rewritten (asserted) — and the read-side
+    // anti-join must serve the same end state the CoW rewrite would.
+    // DuckDB replays the end state relationally, so the sidecar merge is
+    // hash-checked, not smoke-checked.
+    "geo_dml_delete_mor" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val root = java.nio.file.Files.createTempDirectory("geo_dml_dm").toString + "/t"
+      val src = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
+      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      val before = graft.tables.GeoManifest.read(s, root).files.map(_.key).toSet
+      graft.tables.GeoTable.delete(s, root, expr("c_custkey % 97 = 0"), mode = "mor")
+      val after = graft.tables.GeoManifest.read(s, root)
+      require(after.files.map(_.key).toSet == before && after.deletes.nonEmpty,
+        "merge-on-read delete must leave data files untouched and add a sidecar")
+      graft.tables.GeoTable.read(s, root)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+        .orderBy("c_nationkey")
     }),
 
     // MERGE INTO end-state check: update + delete + insert in one statement
@@ -1839,6 +1896,17 @@ object SparkEntry {
                + (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM v2)
       ORDER BY version""",
 
+    // changelog reduces to the DML predicates: inserts = the two append
+    // predicates (tagged at commit 2, the upper bound of the queried
+    // range), deletes = the delete predicate over what was inserted
+    "geo_changelog" -> """
+      SELECT 2 AS phase, 'insert' AS change_type, c_custkey AS id, c_nationkey AS nat
+      FROM customer WHERE c_custkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT 3, 'delete', c_custkey, c_nationkey
+      FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
+      ORDER BY phase, id""",
+
     // XML roundtrip reduces to identity: build the same WKT strings directly
     "st_xml_roundtrip" -> """
       SELECT p_partkey,
@@ -2189,6 +2257,13 @@ object SparkEntry {
       SELECT c_nationkey, COUNT(*) AS n FROM customer
       WHERE NOT (c_acctbal > 2000.005 AND c_acctbal < 9000.005
                  AND c_nationkey >= 5 AND c_nationkey <= 19)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // merge-on-read delete reduces to the same relational shape: survivors
+    // of the sparse predicate, aggregated
+    "geo_dml_delete_mor" -> """
+      SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM customer WHERE c_custkey % 97 <> 0
       GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "geo_dml_merge" -> """

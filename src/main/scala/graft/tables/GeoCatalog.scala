@@ -101,12 +101,15 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
     * shadow metadata names — this only resolves when `ident` itself is
     * not a table but its parent is. */
   private def metaTable(ident: Identifier): Option[Table] = {
+    val kind = ident.name.toLowerCase
     if (ident.namespace.isEmpty ||
-        !GeoMetaTable.Kinds.contains(ident.name.toLowerCase)) return None
+        !(GeoMetaTable.Kinds.contains(kind) || kind == "changes")) return None
     val proot = (warehouse +: ident.namespace.toSeq).mkString("/")
     GeoManifest.currentVersion(spark, proot).map { cur =>
-      new GeoMetaTable(s"$catalogName.${ident.toString}", spark, proot, cur,
-        ident.name.toLowerCase)
+      if (kind == "changes")
+        new GeoChangesTable(s"$catalogName.${ident.toString}", spark, proot, cur)
+      else
+        new GeoMetaTable(s"$catalogName.${ident.toString}", spark, proot, cur, kind)
     }
   }
 
@@ -458,7 +461,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
@@ -475,8 +479,16 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     }).asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => ())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // The DSv2 scan serves raw data files; merge-on-read sidecars (path
+    // DML surface) need the anti-join merge that lives on the DataFrame
+    // surface. Refuse rather than silently resurrect deleted rows.
+    require(manifest.deletes.isEmpty,
+      s"$tableName has merge-on-read delete files; catalog reads need a compacted " +
+        "snapshot — run GeoTable.compact (SQL: OPTIMIZE), or read via GeoTable.read")
+    new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
+      streamRoot = Some(root))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

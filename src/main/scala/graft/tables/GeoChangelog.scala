@@ -1,0 +1,429 @@
+package graft.tables
+
+import graft.tables.GeoManifest.{FileEntry, Manifest}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Incremental reads of GeoTables: version-range changelogs and a
+ * micro-batch streaming source — the consumption side of the snapshot
+ * history the manifest already keeps (capability match for Iceberg's
+ * incremental scan / changelog over the reference's `USING ICEBERG`
+ * tables — reference: extension/src/test/scala/org/apache/iceberg/
+ * TestSedonaIcebergExtension.scala:53).
+ *
+ * Everything is FILE-granular manifest diffing: a version step's change
+ * set is (files added, files removed) between consecutive manifests —
+ * no data is scanned to discover changes, and reading a changelog
+ * touches ONLY the changed files, never the table. At 100 TB a
+ * changelog between adjacent versions costs exactly the new data.
+ *
+ *  - [[GeoChangelog.changes]]: every row of every added file tagged
+ *    `insert`, every row of every removed file tagged `delete`, with the
+ *    commit version that did it (Iceberg changelog-scan semantics; a CoW
+ *    rewrite shows its surviving rows as delete+insert pairs).
+ *  - [[GeoChangelog.netChanges]]: the row-level diff between two
+ *    snapshots, computed from changed files only — common files cancel
+ *    at file level (free), rewrite survivors cancel via `exceptAll` (a
+ *    shuffle over changed rows only). This is the CDC shape users feed
+ *    downstream (Iceberg's create_changelog_view with computed updates).
+ *  - [[GeoChangesTable]]: the same file-granular changelog as a SQL
+ *    surface — `SELECT * FROM geo.db.t.changes` (bounds via
+ *    `spark.read.option("from-version", ...)`).
+ *  - [[GeoMicroBatchStream]]: `spark.readStream.table("geo.db.t")` —
+ *    offsets ARE manifest versions, each micro-batch reads the files
+ *    appended in `(start, end]`. Replay is deterministic (manifests are
+ *    immutable), which is what makes checkpoint recovery exactly-once.
+ */
+object GeoChangelog {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** File-level diff of one commit: version v's manifest vs v-1's.
+    * `addedDeletes` are position-delete sidecars the commit introduced
+    * (merge-on-read DML) — a non-append commit, like `removed`. */
+  final case class VersionStep(version: Int, commitTs: Long,
+                               added: Seq[FileEntry], removed: Seq[FileEntry],
+                               addedDeletes: Seq[GeoManifest.DeleteEntry] = Seq.empty) {
+    def isOverwrite: Boolean = removed.nonEmpty || addedDeletes.nonEmpty
+  }
+
+  /** Per-commit file diffs for `(vFrom, vTo]`, oldest first. Requires the
+    * manifests to still exist (VACUUM removes expired snapshots). */
+  def versionSteps(spark: SparkSession, root: String, vFrom: Int, vTo: Int): Seq[VersionStep] = {
+    require(vFrom <= vTo, s"changelog range is reversed: ($vFrom, $vTo]")
+    if (vFrom == vTo) return Seq.empty
+    var prev = GeoManifest.readVersion(spark, root, vFrom)
+    (vFrom + 1 to vTo).map { v =>
+      val cur = GeoManifest.readVersion(spark, root, v)
+      val prevKeys = prev.files.map(_.key).toSet
+      val curKeys = cur.files.map(_.key).toSet
+      val prevDel = prev.deletes.map(_.key).toSet
+      val step = VersionStep(v,
+        cur.commitTs.getOrElse(GeoManifest.commitTsOf(spark, root, v)),
+        added = cur.files.filterNot(f => prevKeys.contains(f.key)),
+        removed = prev.files.filterNot(f => curKeys.contains(f.key)),
+        addedDeletes = cur.deletes.filterNot(d => prevDel.contains(d.key)))
+      prev = cur
+      step
+    }
+  }
+
+  private def readFiles(spark: SparkSession, schema: StructType,
+                        files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+
+  /** File-granular changelog for `(vFrom, vTo]`: table columns +
+    * `_change_type` ('insert'|'delete') + `_commit_version`. Rows come
+    * straight off the changed files; old files missing later-added
+    * columns read as NULL (the same name-based resolution as time
+    * travel). */
+  def changes(spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame = {
+    val endSchema = GeoManifest.readVersion(spark, root, vTo).schema
+    val steps = versionSteps(spark, root, vFrom, vTo)
+    val legs = steps.flatMap { s =>
+      val fileLegs = Seq(
+        (s.added, "insert"),
+        (s.removed, "delete")).collect { case (fs, tag) if fs.nonEmpty =>
+        readFiles(spark, endSchema, fs)
+          .withColumn(ChangeTypeCol, lit(tag))
+          .withColumn(CommitVersionCol, lit(s.version))
+      }
+      // merge-on-read commit: the sidecar names exactly the deleted rows —
+      // read them back from their (still-live) data files by position
+      val morLeg =
+        if (s.addedDeletes.isEmpty) Seq.empty
+        else Seq(rowsAt(spark, root, s.version, s.addedDeletes)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .withColumn(CommitVersionCol, lit(s.version)))
+      fileLegs ++ morLeg
+    }
+    if (legs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(endSchema.fields ++ changeFields))
+    else legs.reduce(_ unionByName _)
+  }
+
+  /** Rows named by position-delete sidecars, resolved against version v's
+    * data files: a semi-join of the referenced files on (file, ordinal).
+    * Only the referenced files are read (their paths collect driver-side
+    * from the sidecars — sidecar row counts are commit-bounded). */
+  private def rowsAt(spark: SparkSession, root: String, v: Int,
+                     sidecars: Seq[GeoManifest.DeleteEntry]): DataFrame = {
+    val m = GeoManifest.readVersion(spark, root, v)
+    val pairs = spark.read.parquet(sidecars.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+    val refKeys = pairs.select("file_path").distinct().collect()
+      .map(r => GeoManifest.norm(r.getString(0))).toSet
+    val refFiles = m.files.filter(f => refKeys.contains(f.key))
+    val base = readFiles(spark, m.schema, refFiles).select(col("*"),
+      col("_metadata.file_path").as("__cf"), col("_metadata.row_index").as("__cp"))
+    base.join(pairs, base("__cf") === pairs("file_path") && base("__cp") === pairs("pos"),
+      "left_semi").drop("__cf", "__cp")
+  }
+
+  /** Net row-level diff between snapshot vFrom and snapshot vTo: rows in
+    * vTo but not vFrom tagged 'insert', rows in vFrom but not vTo tagged
+    * 'delete' (bag semantics — duplicates diff by count). Reads ONLY the
+    * files in the manifests' symmetric difference; `exceptAll` shuffles
+    * just those rows, so a one-commit diff on a 100 TB table costs the
+    * changed data, not the table. */
+  def netChanges(spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame = {
+    val from = GeoManifest.readVersion(spark, root, vFrom)
+    val to = GeoManifest.readVersion(spark, root, vTo)
+    require(vFrom <= vTo, s"changelog range is reversed: ($vFrom, $vTo]")
+    val fromKeys = from.files.map(_.key).toSet
+    val toKeys = to.files.map(_.key).toSet
+    val addedFiles = to.files.filterNot(f => fromKeys.contains(f.key))
+    val removedFiles = from.files.filterNot(f => toKeys.contains(f.key))
+    // rows visible at vTo that are new: added files, minus vTo's MoR
+    // deletes (a row inserted and MoR-deleted inside the range never
+    // becomes visible)
+    val addedRows =
+      if (addedFiles.isEmpty) readFiles(spark, to.schema, Seq.empty)
+      else applyDeletes(spark, readFiles(spark, to.schema, addedFiles), to.deletes)
+    // rows visible at vFrom that are gone: removed files as seen at vFrom
+    // (vFrom's own MoR deletes already hid some of their rows)...
+    val removedRows =
+      if (removedFiles.isEmpty) readFiles(spark, to.schema, Seq.empty)
+      else applyDeletes(spark, readFiles(spark, to.schema, removedFiles), from.deletes)
+    // ...plus rows of files PRESENT IN BOTH that sidecars added in the
+    // range deleted in place (the merge-on-read delete leg)
+    val fromDel = from.deletes.map(_.key).toSet
+    val newSidecars = to.deletes.filterNot(d => fromDel.contains(d.key))
+    val commonFiles = to.files.filter(f => fromKeys.contains(f.key))
+    val morDeleted =
+      if (newSidecars.isEmpty || commonFiles.isEmpty) None
+      else {
+        val pairs = spark.read.parquet(newSidecars.map(_.path): _*)
+          .select(col("file_path"), col("pos"))
+        val refKeys = pairs.select("file_path").distinct().collect()
+          .map(r => GeoManifest.norm(r.getString(0))).toSet
+        val refFiles = commonFiles.filter(f => refKeys.contains(f.key))
+        if (refFiles.isEmpty) None
+        else {
+          val base = readFiles(spark, to.schema, refFiles).select(col("*"),
+            col("_metadata.file_path").as("__cf"), col("_metadata.row_index").as("__cp"))
+          Some(base.join(pairs, base("__cf") === pairs("file_path") &&
+            base("__cp") === pairs("pos"), "left_semi").drop("__cf", "__cp"))
+        }
+      }
+    val inserts = addedRows.exceptAll(removedRows).withColumn(ChangeTypeCol, lit("insert"))
+    val deletes = removedRows.exceptAll(addedRows).withColumn(ChangeTypeCol, lit("delete"))
+    morDeleted match {
+      case None => inserts.unionByName(deletes)
+      case Some(mor) =>
+        inserts.unionByName(deletes)
+          .unionByName(mor.withColumn(ChangeTypeCol, lit("delete")))
+    }
+  }
+
+  /** Anti-join `df` (which must come straight off the data files, so
+    * `_metadata` is still addressable) against delete sidecars. */
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+                           sidecars: Seq[GeoManifest.DeleteEntry]): DataFrame =
+    if (sidecars.isEmpty) df
+    else {
+      val pairs = spark.read.parquet(sidecars.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+      val base = df.select(col("*"),
+        col("_metadata.file_path").as("__cf"), col("_metadata.row_index").as("__cp"))
+      base.join(pairs, base("__cf") === pairs("file_path") && base("__cp") === pairs("pos"),
+        "left_anti").drop("__cf", "__cp")
+    }
+
+  private[tables] def changeFields: Seq[StructField] = Seq(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(CommitVersionCol, IntegerType, nullable = false))
+}
+
+/**
+ * `geo.db.t.changes` — the file-granular changelog as a DSv2 metadata
+ * table. Reads ride the stock vectorized parquet scan over the changed
+ * files; `_change_type` / `_commit_version` are appended as per-file
+ * constants by the reader wrapper (one split per file, same mechanism as
+ * the DML `_file` column). Version bounds come from read options:
+ * `spark.read.option("from-version", 3).option("to-version", 7)
+ * .table("geo.db.t.changes")`; defaults are table-start to current.
+ */
+class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
+                      root: String, current: Int)
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  private lazy val endSchemaOf: Int => StructType =
+    v => GeoManifest.readVersion(sparkAtLoad, root, v).schema
+
+  override def schema(): StructType =
+    StructType(endSchemaOf(current).fields ++ GeoChangelog.changeFields)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val vTo = Option(options.get("to-version")).map(_.toInt).getOrElse(current)
+    val vFrom = Option(options.get("from-version")).map(_.toInt).getOrElse(0)
+    val steps = GeoChangelog.versionSteps(sparkAtLoad, root, vFrom, vTo)
+    // merge-on-read commits delete row SUBSETS of files; this scan serves
+    // whole files with a constant change tag, so it cannot express them —
+    // the DataFrame surface (GeoTable.changes / netChanges) can
+    require(steps.forall(_.addedDeletes.isEmpty),
+      s"changelog range ($vFrom, $vTo] of $tableName includes merge-on-read delete " +
+        "commits; use GeoTable.changes/netChanges, or OPTIMIZE and restart the range")
+    // normalized file path -> (change type, commit version); a file both
+    // added and later removed inside the range appears once per role
+    val fileTags: Seq[(FileEntry, String, Int)] = steps.flatMap { s =>
+      s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
+    }
+    new GeoChangesScanBuilder(sparkAtLoad, endSchemaOf(vTo), fileTags, options)
+  }
+}
+
+/** ScanBuilder for the changes table: delegates pruning to the inner
+  * parquet builder, tracks whether the two change-metadata columns are
+  * required. Files carrying both roles (rewritten within the range) are
+  * listed twice under distinct scan paths via per-role planning. */
+class GeoChangesScanBuilder(spark: SparkSession, tableSchema: StructType,
+                            fileTags: Seq[(FileEntry, String, Int)],
+                            options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private val inner = org.apache.spark.sql.graft.GraftShim
+    .parquetScanBuilder(spark, fileTags.map(_._1.path).distinct, tableSchema, options)
+    .asInstanceOf[FileScanBuilder]
+  private var needMeta = true
+
+  override def pruneColumns(required: StructType): Unit = {
+    val metaNames = GeoChangelog.changeFields.map(_.name).toSet
+    needMeta = required.fieldNames.exists(metaNames.contains)
+    inner.pruneColumns(StructType(required.fields.filterNot(f => metaNames.contains(f.name))))
+  }
+
+  override def build(): Scan =
+    new GeoChangesScan(spark, inner.build().asInstanceOf[ParquetScan],
+      tableSchema, fileTags, needMeta)
+}
+
+/**
+ * The changes scan: plans one parquet split-set per (file, role) so the
+ * reader can append that role's `(_change_type, _commit_version)` as a
+ * constant suffix. A file that is both inserted and later removed within
+ * the range is read twice — once per role — exactly the changelog
+ * semantics.
+ */
+class GeoChangesScan(spark: SparkSession, inner0: ParquetScan,
+                     tableSchema: StructType,
+                     fileTags: Seq[(FileEntry, String, Int)], needMeta: Boolean)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType =
+    if (needMeta) StructType(inner0.readSchema().fields ++ GeoChangelog.changeFields)
+    else inner0.readSchema()
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = inner0.estimateStatistics()
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    var i = -1
+    fileTags.flatMap { case (f, tag, v) =>
+      val plan = inner0.copy(fileIndex = new InMemoryFileIndex(
+        spark, Seq(new Path(f.path)), Map.empty, Some(tableSchema))).toBatch.planInputPartitions()
+      plan.flatMap(_.asInstanceOf[FilePartition].files).map { pf =>
+        i += 1
+        GeoTaggedPartition(FilePartition(i, Array(pf)), tag, v): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = inner0.toBatch.createReaderFactory()
+    if (!needMeta) GeoUnwrapReaderFactory(f) else GeoAppendChangeReaderFactory(f)
+  }
+
+  override def description(): String =
+    s"GeoChangesScan(files=${fileTags.length}) ${inner0.description()}"
+}
+
+/** A file split plus the change-role constants its rows carry. */
+case class GeoTaggedPartition(part: FilePartition, changeType: String, version: Int)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = part.preferredLocations()
+}
+
+/** Reader wrapper appending `(_change_type, _commit_version)` as a
+  * constant suffix per partition. */
+case class GeoAppendChangeReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val tp = p.asInstanceOf[GeoTaggedPartition]
+    val r = inner.createReader(tp.part)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val suffix = InternalRow(UTF8String.fromString(tp.changeType), tp.version)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), suffix)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Reader wrapper that only unwraps [[GeoTaggedPartition]] (metadata
+  * columns pruned away — rows pass through untouched, columnar batches
+  * included). */
+case class GeoUnwrapReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(p.asInstanceOf[GeoTaggedPartition].part)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(p.asInstanceOf[GeoTaggedPartition].part)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p.asInstanceOf[GeoTaggedPartition].part)
+}
+
+/** Manifest-version offset for the streaming source. */
+case class GeoStreamOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+/**
+ * Micro-batch streaming source over a GeoTable: `spark.readStream
+ * .table("geo.db.t")`. Offsets are manifest versions; each batch reads
+ * the files APPENDED in `(start, end]` through the same vectorized
+ * parquet machinery as batch reads (pruned columns and pushed filters
+ * carry over from the scan). Non-append commits (CoW rewrites from
+ * UPDATE/DELETE/OPTIMIZE) fail the stream by default — replaying a
+ * rewrite's files would duplicate rows downstream; opt into skipping
+ * them with `.option("skip-overwrite-commits", true)` (the Iceberg
+ * streaming-skip-overwrite-snapshots contract).
+ *
+ * Options: `stream-from-version` = n | "current" (default 0: replay the
+ * whole table, then tail).
+ */
+class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan,
+                          tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val skipOverwrites =
+    Option(options.get("skip-overwrite-commits")).exists(_.toBoolean)
+  private val startVersion: Int =
+    Option(options.get("stream-from-version")) match {
+      case Some("current") => GeoManifest.currentVersion(spark, root).getOrElse(0)
+      case Some(v) => v.toInt
+      case None => 0
+    }
+
+  override def initialOffset(): Offset = GeoStreamOffset(startVersion)
+
+  override def latestOffset(): Offset =
+    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (v0, v1) = (start.asInstanceOf[GeoStreamOffset].version,
+      end.asInstanceOf[GeoStreamOffset].version)
+    if (v0 >= v1) return Array.empty
+    val steps = GeoChangelog.versionSteps(spark, root, v0, v1)
+    val bad = steps.filter(_.isOverwrite)
+    if (bad.nonEmpty && !skipOverwrites)
+      throw new IllegalStateException(
+        s"streaming read of $root hit non-append commit(s) at version(s) " +
+          s"${bad.map(_.version).mkString(", ")} (UPDATE/DELETE/OPTIMIZE rewrite); " +
+          "streams replay appends only — set option skip-overwrite-commits=true to " +
+          "skip rewrites, or use GeoChangelog.netChanges for CDC")
+    val files = steps.filterNot(s => s.isOverwrite && skipOverwrites).flatMap(_.added)
+    if (files.isEmpty) return Array.empty
+    inner0.copy(fileIndex = new InMemoryFileIndex(
+      spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema)))
+      .toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner0.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

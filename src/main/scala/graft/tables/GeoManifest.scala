@@ -78,12 +78,22 @@ object GeoManifest {
     * manifest's `ts` line; None for pre-v3 manifests (readers fall back
     * to the manifest file's mtime). It is stamped at write time — a
     * `copy()`-derived next version never carries the base's ts. */
+  /** One immutable position-delete sidecar (merge-on-read): a parquet
+    * file of (file_path, pos) pairs naming rows that are deleted from
+    * data files still in the manifest. Entries bind to the exact data
+    * file PATH — CoW rewrites mint new paths, so stale entries for
+    * replaced files match nothing by construction. */
+  final case class DeleteEntry(path: String, rows: Long) {
+    def key: String = GeoManifest.norm(path)
+  }
+
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
                             dropped: Seq[String] = Seq.empty,
                             streamCommits: Map[String, Long] = Map.empty,
-                            commitTs: Option[Long] = None) {
-    def totalRows: Long = files.map(_.rows).sum
+                            commitTs: Option[Long] = None,
+                            deletes: Seq[DeleteEntry] = Seq.empty) {
+    def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
   }
@@ -115,7 +125,23 @@ object GeoManifest {
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
     val cur = new Path(root, "_current")
-    if (f.exists(cur)) Some(readText(f, cur).trim.toInt) else None
+    if (!f.exists(cur)) return None
+    // The pointer flip is a truncate+write of a few bytes; a reader
+    // racing a committer can see an empty file or a checksum tear.
+    // Streaming sources poll this in a tight loop, so treat those as
+    // transient and retry briefly rather than failing the query.
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < 6) {
+      try {
+        val txt = readText(f, cur).trim
+        if (txt.nonEmpty) return Some(txt.toInt)
+      } catch { case scala.util.control.NonFatal(e) => lastErr = e }
+      attempt += 1
+      Thread.sleep(15L * attempt)
+    }
+    throw new IllegalStateException(
+      s"_current at $root unreadable after $attempt attempts", lastErr)
   }
 
   /** Per-root commit locks: makes the check-then-flip below atomic for
@@ -144,7 +170,9 @@ object GeoManifest {
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     val lines = new StringBuilder()
-    lines ++= "graftgeo\t3\n"
+    // format 4 adds `delete` sidecar lines; tables without them keep
+    // writing 3 so older snapshots stay bit-stable for existing readers
+    lines ++= (if (m.deletes.nonEmpty) "graftgeo\t4\n" else "graftgeo\t3\n")
     // always stamp NOW: manifests are derived from the base via copy(),
     // and inheriting the base's commit ts would corrupt the history order
     lines ++= s"ts\t${System.currentTimeMillis()}\n"
@@ -157,7 +185,12 @@ object GeoManifest {
     m.files.foreach { e =>
       lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}\n"
     }
-    // manifest first (immutable, new name), pointer flip last
+    m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
+    // manifest first (immutable, new name), pointer flip last. The flip
+    // is an in-place truncate+write of a few bytes; readers that race it
+    // (a streaming source polling latestOffset) can catch the truncated
+    // window or a checksum tear — currentVersion retries those as
+    // transient instead of failing the stream.
     writeText(f, new Path(root, s"_manifests/m${m.version}.txt"), lines.toString)
     writeText(f, new Path(root, "_current"), m.version.toString)
   }
@@ -176,6 +209,7 @@ object GeoManifest {
     var commitTs: Option[Long] = None
     var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
+    val deletes = Seq.newBuilder[DeleteEntry]
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
@@ -194,20 +228,22 @@ object GeoManifest {
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += FileEntry(parts(1), parts(2).toLong,
           parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
+        case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
-          // a format newer than this reader (additive v4+ tags). In a
-          // v1–v3 manifest an unrecognized tag is corruption (e.g. a torn
+          // a format newer than this reader (additive v5+ tags). In a
+          // v1–v4 manifest an unrecognized tag is corruption (e.g. a torn
           // `file` line) — skipping it would turn a torn write into
           // silently missing data files that the next commit persists.
-          if (declared <= 3)
+          if (declared <= 4)
             throw new IllegalArgumentException(
               s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
-    Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(), commitTs)
+    Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
+      commitTs, deletes.result())
   }
 
   /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling

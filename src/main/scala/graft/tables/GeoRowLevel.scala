@@ -87,6 +87,9 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = GeoManifest.read(spark, root)
+    require(m.deletes.isEmpty,
+      s"$root has merge-on-read delete files; native DML needs a compacted " +
+        "snapshot — run GeoTable.compact (SQL: OPTIMIZE) first")
     new GeoCowScanBuilder(spark, m.schema, m.files, options,
       s => if (mainScan == null && s.coversFullRow) mainScan = s)
   }
@@ -113,7 +116,8 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
  */
 class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         files: Seq[FileEntry], options: CaseInsensitiveStringMap,
-                        onBuild: GeoCowScan => Unit)
+                        onBuild: GeoCowScan => Unit,
+                        streamRoot: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -152,7 +156,7 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
 
   override def build(): Scan = {
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, files, needFile, fullRow)
+      tableSchema, files, needFile, fullRow, streamRoot, options)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
     onBuild(s)
@@ -169,11 +173,23 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
  */
 class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructType,
                  allFiles: Seq[FileEntry], needFile: Boolean,
-                 val coversFullRow: Boolean = false)
+                 val coversFullRow: Boolean = false,
+                 streamRoot: Option[String] = None,
+                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: Seq[FileEntry] = allFiles
   def scannedFiles: Seq[FileEntry] = current
+
+  /** `spark.readStream.table("geo.db.t")`: micro-batches replay appended
+    * files version-by-version; pruned columns and pushed filters carry
+    * over through inner0 (see [[GeoMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamRoot match {
+      case Some(root) => new GeoMicroBatchStream(spark, root, inner0, tableSchema, options)
+      case None => super.toMicroBatchStream(checkpointLocation)
+    }
 
   // planning-time size/row statistics from the stock FileScan estimate —
   // without this the catalog table reports defaultSizeInBytes (Long.Max)
@@ -255,24 +271,49 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 }
 
 /** Wraps the parquet reader factory to append the row's file path as the
-  * trailing `_file` column (row-based reads; the path is constant per
-  * partition by construction). */
+  * trailing `_file` column — the path is constant per partition by
+  * construction (one split per file). Columnar reads stay on the
+  * vectorized parquet reader: each batch gets a `ConstantColumnVector`
+  * appended (the same mechanism Spark uses for its own constant metadata
+  * columns), so DML rewrite scans never fall back to row-based IO. */
 case class GeoAppendFileReaderFactory(inner: PartitionReaderFactory)
   extends PartitionReaderFactory {
 
+  private def pathOf(p: InputPartition): String =
+    p.asInstanceOf[FilePartition].files.head.filePath.toString
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[FilePartition].files.head.filePath.toString
     val r = inner.createReader(p)
     new PartitionReader[InternalRow] {
       private val joined = new JoinedRow
-      private val suffix = InternalRow(UTF8String.fromString(path))
+      private val suffix = InternalRow(UTF8String.fromString(pathOf(p)))
       override def next(): Boolean = r.next()
       override def get(): InternalRow = joined(r.get(), suffix)
       override def close(): Unit = r.close()
     }
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    val pathUtf8 = UTF8String.fromString(pathOf(p))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val const = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+          b.numRows(), StringType)
+        const.setUtf8String(pathUtf8)
+        val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+          b.numCols() + 1)(i => if (i < b.numCols()) b.column(i) else const)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
 }
 
 /** Commit message: one written parquet file and its row count. */

@@ -88,7 +88,7 @@ object GeoTable {
   def compact(spark: SparkSession, root: String, targetFiles: Int,
               cellSize: Double = 1.0): Unit = {
     val m = GeoManifest.read(spark, root)
-    val data = readFiles(spark, m.schema, m.files)
+    val data = readMerged(spark, m, m.files) // MoR deletes fold in and clear
     val laidOut = m.geomCol match {
       case Some(g) =>
         import org.apache.spark.sql.graft.GraftShim
@@ -100,7 +100,8 @@ object GeoTable {
       case None => data.repartition(math.max(targetFiles, 1))
     }
     val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol)
-    GeoManifest.commit(spark, root, m.copy(version = m.version + 1, files = files), m.version)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
   }
 
   /**
@@ -115,8 +116,10 @@ object GeoTable {
     val cur = GeoManifest.read(spark, root)
     val keepFrom = math.max(0, cur.version - keepVersions + 1)
     val live = (keepFrom to cur.version).flatMap { v =>
-      try GeoManifest.readVersion(spark, root, v).files.map(_.key)
-      catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
+      try {
+        val mv = GeoManifest.readVersion(spark, root, v)
+        mv.files.map(_.key) ++ mv.deletes.map(_.key) // sidecars are live too
+      } catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
     }.toSet
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     var removed = 0
@@ -237,20 +240,32 @@ object GeoTable {
     * metadata survives even across mixed-version files). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = GeoManifest.read(spark, root)
-    readFiles(spark, m.schema, m.files)
+    readMerged(spark, m, m.files)
   }
 
   /** Time travel: the snapshot as of `version` (until vacuumed). */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
     val m = GeoManifest.readVersion(spark, root, version)
-    readFiles(spark, m.schema, m.files)
+    readMerged(spark, m, m.files)
   }
+
+  /** File-granular changelog for `(vFrom, vTo]` — every row added or
+    * removed, tagged `_change_type` + `_commit_version`; reads only the
+    * changed files (see [[GeoChangelog.changes]]). */
+  def changes(spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame =
+    GeoChangelog.changes(spark, root, vFrom, vTo)
+
+  /** Net row-level diff between two snapshots — rewrite survivors cancel,
+    * so a CoW DELETE shows exactly the deleted rows (see
+    * [[GeoChangelog.netChanges]]). */
+  def netChanges(spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame =
+    GeoChangelog.netChanges(spark, root, vFrom, vTo)
 
   /** Snapshot restricted to files whose bbox intersects `env` — file-level
     * pruning straight from the manifest, before any footer is opened. */
   def readPruned(spark: SparkSession, root: String, env: Envelope): DataFrame = {
     val m = GeoManifest.read(spark, root)
-    readFiles(spark, m.schema, m.prune(env))
+    readMerged(spark, m, m.prune(env))
   }
 
   /** Scan with a pushed filter: when `cond` constrains the geometry column
@@ -264,7 +279,7 @@ object GeoTable {
       case Some(env) => m.prune(env)
       case None => m.files
     }
-    val base = readFiles(spark, m.schema, files).where(cond)
+    val base = readMerged(spark, m, files).where(cond)
     m.geomCol match {
       case Some(g) if spark.conf.getOption(GeoDisplay.WktPreviewConf).exists(_.toBoolean) =>
         base.withColumn(s"${g}_wkt", graft.functions.GraftFunctions.st_asText(col(g)))
@@ -299,7 +314,7 @@ object GeoTable {
     val aligned = conform(df, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = files), m.version)
+      m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
     files.map(_.rows).sum
   }
 
@@ -308,16 +323,31 @@ object GeoTable {
   def lastStreamBatch(spark: SparkSession, root: String, sinkId: String): Option[Long] =
     GeoManifest.read(spark, root).streamCommits.get(sinkId)
 
+  /** Fraction of the affected files' rows below which DML goes
+    * merge-on-read instead of copy-on-write (auto mode). Conservative:
+    * MoR trades read-side anti-join work for write amplification, which
+    * only pays off when the rewrite would be mostly untouched rows. */
+  val MorMaxRatio = 0.1
+
   /** SQL-semantics UPDATE: rows matching `cond` get each `sets` column
     * replaced (RHS evaluated against the OLD row); all other rows and all
-    * untouched files are carried over unchanged. Returns affected rows. */
+    * untouched files are carried over unchanged. Returns affected rows.
+    *
+    * `mode`: "cow" always rewrites affected files; "mor" writes a
+    * position-delete sidecar for the old rows plus fresh files holding
+    * the updated rows (Iceberg v2 merge-on-read UPDATE); "auto" (default)
+    * picks MoR when matches are a small fraction ([[MorMaxRatio]]) of
+    * the affected files' rows — the regime where CoW write amplification
+    * hurts most at scale. */
   def update(spark: SparkSession, root: String,
-             sets: Seq[(String, Column)], cond: Column): Long = {
+             sets: Seq[(String, Column)], cond: Column,
+             mode: String = "auto"): Long = {
+    require(Set("auto", "cow", "mor").contains(mode), s"unknown DML mode '$mode'")
     val m = GeoManifest.read(spark, root)
     sets.foreach { case (c, _) => require(m.schema.fieldNames.contains(c),
       s"UPDATE SET column '$c' not in table schema ${m.schema.fieldNames.mkString(", ")}") }
-    rewrite(spark, root, m, cond, keepNonMatching = true) { (df, hit) =>
-      val setMap = sets.toMap
+    val setMap = sets.toMap
+    def cow(): Long = rewrite(spark, root, m, cond, keepNonMatching = true) { (df, hit) =>
       df.select(m.schema.fields.toSeq.map { f =>
         val out = setMap.get(f.name) match {
           case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name))
@@ -326,14 +356,80 @@ object GeoTable {
         out.as(f.name, f.metadata) // explicit metadata: GEOMETRY tags survive computed columns
       }: _*)
     }
+    if (mode == "cow") return cow()
+    morProbe(spark, root, m, cond, mode) match {
+      case None => cow()
+      case Some((matched, sidecar)) =>
+        // updated rows append as fresh files; old positions die via sidecar
+        val newRows = matched.select(m.schema.fields.toSeq.map { f =>
+          setMap.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+            .as(f.name, f.metadata)
+        }: _*)
+        val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol)
+        GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+          files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version)
+        sidecar.map(_.rows).sum
+    }
   }
 
   /** SQL-semantics DELETE: rows where `cond` is true are removed. Files
-    * where EVERY row matches are dropped as metadata only (no rewrite). */
-  def delete(spark: SparkSession, root: String, cond: Column): Long =
-    rewrite(spark, root, GeoManifest.read(spark, root), cond, keepNonMatching = false) {
+    * where EVERY row matches are dropped as metadata only (no rewrite).
+    * `mode` as in [[update]]: "mor"/small-ratio "auto" writes a
+    * position-delete sidecar instead of rewriting files. */
+  def delete(spark: SparkSession, root: String, cond: Column,
+             mode: String = "auto"): Long = {
+    require(Set("auto", "cow", "mor").contains(mode), s"unknown DML mode '$mode'")
+    val m = GeoManifest.read(spark, root)
+    def cow(): Long = rewrite(spark, root, m, cond, keepNonMatching = false) {
       (df, hit) => df.where(!coalesce(hit, lit(false)))
     }
+    if (mode == "cow") return cow()
+    morProbe(spark, root, m, cond, mode) match {
+      case None => cow()
+      case Some((_, sidecar)) =>
+        GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+          deletes = m.deletes ++ sidecar), m.version)
+        sidecar.map(_.rows).sum
+    }
+  }
+
+  /**
+   * MoR admission probe: one merged scan of the bbox-pruned candidate
+   * files finds matching rows; their (file, row-ordinal) identities are
+   * written as a position-delete sidecar under `data/`. Returns the
+   * checkpointed matched rows and the sidecar entries when MoR is chosen
+   * (forced, or matches/affected-rows <= [[MorMaxRatio]] in auto mode);
+   * None = caller should take the CoW path (the candidate sidecar is
+   * removed again). No matches commits nothing and returns a zero-row
+   * sidecar for the caller to report 0.
+   */
+  private def morProbe(spark: SparkSession, root: String, m: Manifest,
+                       cond: Column, mode: String)
+      : Option[(DataFrame, Seq[GeoManifest.DeleteEntry])] = {
+    if (m.files.isEmpty) return Some((readMerged(spark, m, Seq.empty), Seq.empty))
+    val candidates = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
+      case Some(env) => m.prune(env)
+      case None => m.files
+    }
+    if (candidates.isEmpty) return Some((readMerged(spark, m, Seq.empty), Seq.empty))
+    // one scan: matched rows with their file/ordinal identity, pinned so
+    // the sidecar and (for UPDATE) the appended rows see the same set
+    // even under a nondeterministic-ish condition
+    val matched = readFilesTagged(spark, m, candidates, "t").where(cond).localCheckpoint()
+    val perFile = matched.groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => GeoManifest.norm(r.getString(0)) -> r.getLong(1)).toMap
+    val matchedRows = perFile.values.sum
+    if (matchedRows == 0) return Some((matched.drop("__graft_file", "__graft_row"), Seq.empty))
+    val affectedRows = candidates.filter(f => perFile.contains(f.key)).map(_.rows).sum
+    if (mode == "auto" && matchedRows > affectedRows * MorMaxRatio) return None
+    val dir = s"$root/data/d${java.util.UUID.randomUUID().toString.take(12)}"
+    matched.select(col("__graft_file").as("file_path"), col("__graft_row").as("pos"))
+      .coalesce(1).write.parquet(dir)
+    val entries = GeoManifest.listParquet(spark, dir).map { p =>
+      GeoManifest.DeleteEntry(p, spark.read.parquet(p).count())
+    }
+    Some((matched.drop("__graft_file", "__graft_row"), entries))
+  }
 
   // -------------------------------------------------------------------------
   // MERGE INTO (the Iceberg/Delta upsert verb; reference tables are Iceberg,
@@ -384,7 +480,7 @@ object GeoTable {
     val affected: Seq[FileEntry] =
       if (m.files.isEmpty || matched.isEmpty) Seq.empty
       else {
-        val probe = readFilesTagged(spark, m.schema, m.files, targetAlias)
+        val probe = readFilesTagged(spark, m, m.files, targetAlias)
           .join(broadcast(src), on, "inner")
           .groupBy(col("__graft_file"), col("__graft_row")).agg(count(lit(1)).as("__n"))
           .groupBy(col("__graft_file")).agg(max("__n").as("__maxn"))
@@ -401,7 +497,7 @@ object GeoTable {
     val rewritten: Seq[FileEntry] =
       if (affected.isEmpty) Seq.empty
       else {
-        val joined = readFilesTagged(spark, m.schema, affected, targetAlias)
+        val joined = readFilesTagged(spark, m, affected, targetAlias)
           .join(broadcast(src), on, "left_outer")
         val isMatched = coalesce(col("__graft_smatch"), lit(false))
         val idx = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
@@ -433,7 +529,7 @@ object GeoTable {
     val inserted: Seq[FileEntry] =
       if (notMatched.isEmpty) Seq.empty
       else {
-        val tgtForAnti = readFiles(spark, m.schema, m.files).alias(targetAlias)
+        val tgtForAnti = readMerged(spark, m, m.files).alias(targetAlias)
         val srcOnly = src.join(tgtForAnti, on, "left_anti")
         val idx = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
           case (acc, (a, i)) => acc.when(a.cond.getOrElse(lit(true)), lit(i))
@@ -463,13 +559,19 @@ object GeoTable {
 
   /** Files + stable per-row identity (`_metadata` file path / row index) for
     * MERGE's probe and rewrite joins. */
-  private def readFilesTagged(spark: SparkSession, schema: StructType,
-                              files: Seq[FileEntry], alias: String): DataFrame =
-    readFiles(spark, schema, files)
+  private def readFilesTagged(spark: SparkSession, m: Manifest,
+                              files: Seq[FileEntry], alias: String): DataFrame = {
+    val base = readFiles(spark, m.schema, files)
       .select(col("*"),
         col("_metadata.file_path").as("__graft_file"),
         col("_metadata.row_index").as("__graft_row"))
-      .alias(alias)
+    val merged = deletePairs(spark, m) match {
+      case None => base
+      case Some(d) => base.join(d, base("__graft_file") === d("file_path") &&
+          base("__graft_row") === d("pos"), "left_anti")
+    }
+    merged.alias(alias)
+  }
 
   /** Shared COW machinery: find affected files, transform them, commit.
     * `keepNonMatching=false` (DELETE) additionally drops fully-matched files
@@ -485,22 +587,26 @@ object GeoTable {
     }
     if (candidates.isEmpty) return 0L
     // 2. one distributed scan: which candidate files hold matching rows?
-    val hits = readFiles(spark, m.schema, candidates)
-      .withColumn("__graft_file", input_file_name())
+    //    (the MERGED view — MoR-deleted rows must neither count nor match;
+    //    the file tag comes from `_metadata` BELOW the merge anti-join,
+    //    where input_file_name() would see two sources)
+    val hits = readFilesTagged(spark, m, candidates, "h")
       .where(cond)
       .groupBy("__graft_file").agg(count(lit(1)).as("n"))
       .collect().map(r => GeoManifest.norm(r.getString(0)) -> r.getLong(1)).toMap
     if (hits.isEmpty) return 0L
     val affected = candidates.filter(f => hits.contains(f.key))
-    // 3. DELETE fast path: fully-matched files vanish as metadata
+    // 3. DELETE fast path: fully-matched files vanish as metadata (only
+    //    safe when no sidecar can reduce the file's live count below raw)
     val (dropOnly, toRewrite) =
       if (keepNonMatching) (Seq.empty[FileEntry], affected)
+      else if (m.deletes.nonEmpty) (Seq.empty[FileEntry], affected)
       else affected.partition(f => hits(f.key) == f.rows)
     // 4. rewrite only the files that keep some rows
     val newFiles =
       if (toRewrite.isEmpty) Seq.empty[FileEntry]
       else writeCommit(spark, root,
-        transform(readFiles(spark, m.schema, toRewrite), cond), m.schema, m.geomCol)
+        transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version)
@@ -516,6 +622,30 @@ object GeoTable {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     else
       spark.read.schema(schema).parquet(files.map(_.path): _*)
+
+  /** The manifest's position-delete sidecars as (file_path, pos) rows, or
+    * None when the snapshot has no merge-on-read deletes. */
+  private[tables] def deletePairs(spark: SparkSession, m: Manifest): Option[DataFrame] =
+    if (m.deletes.isEmpty) None
+    else Some(spark.read.parquet(m.deletes.map(_.path): _*)
+      .select(col("file_path"), col("pos")))
+
+  /** Snapshot rows with merge-on-read deletes applied: an anti-join of
+    * the data files against the delete sidecars on (file, row-ordinal).
+    * The delete side is commit-bounded and small by the MoR admission
+    * rule, so Spark broadcasts it — the scan side never shuffles. */
+  private[tables] def readMerged(spark: SparkSession, m: Manifest,
+                                 files: Seq[FileEntry]): DataFrame =
+    deletePairs(spark, m) match {
+      case None => readFiles(spark, m.schema, files)
+      case Some(d) =>
+        val base = readFiles(spark, m.schema, files).select(col("*"),
+          col("_metadata.file_path").as("__graft_mf"),
+          col("_metadata.row_index").as("__graft_mp"))
+        base.join(d, base("__graft_mf") === d("file_path") &&
+            base("__graft_mp") === d("pos"), "left_anti")
+          .drop("__graft_mf", "__graft_mp")
+    }
 
   /** Write `df` as a fresh immutable commit dir and stat the new files. */
   private def writeCommit(spark: SparkSession, root: String, df: DataFrame,

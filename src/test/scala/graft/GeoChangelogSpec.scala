@@ -1,0 +1,168 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoChangelog, GeoManifest, GeoTable}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental reads of GeoTables (SURVEY.md §2.8b): version-range
+ * changelogs (file-granular + net CDC) and the micro-batch streaming
+ * source — the consumption leg Iceberg gives the reference's
+ * `USING ICEBERG` tables via incremental scans.
+ */
+class GeoChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_cl_wh").toString
+    spark.conf.set("spark.sql.catalog.geocls", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geocls.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geocls.db")
+    dir
+  }
+
+  test("changes() walks per-version file diffs; appends tag insert at their commit") {
+    warehouse
+    val root = s"$warehouse/db/app"
+    spark.sql("CREATE TABLE geocls.db.app (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.app SELECT id, 'a' FROM range(0, 5)")   // v1
+    spark.sql("INSERT INTO geocls.db.app SELECT id, 'b' FROM range(5, 8)")   // v2
+
+    val all = GeoTable.changes(spark, root, 0, 2)
+      .select($"id", $"v", col(GeoChangelog.ChangeTypeCol).as("ct"),
+        col(GeoChangelog.CommitVersionCol).as("cv"))
+      .as[(Long, String, String, Int)].collect().sortBy(_._1)
+    assert(all.length == 8)
+    assert(all.forall(_._3 == "insert"))
+    assert(all.filter(_._4 == 1).map(_._1).toSeq == (0L until 5L))
+    assert(all.filter(_._4 == 2).map(_._1).toSeq == (5L until 8L))
+    // a sub-range sees only its commits
+    assert(GeoTable.changes(spark, root, 1, 2).count() == 3)
+    assert(GeoTable.changes(spark, root, 2, 2).count() == 0)
+  }
+
+  test("netChanges(): CoW DELETE nets to exactly the deleted rows, survivors cancel") {
+    warehouse
+    val root = s"$warehouse/db/cdc"
+    spark.sql("CREATE TABLE geocls.db.cdc (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.cdc SELECT id, concat('x', id) FROM range(0, 100)") // v1
+    spark.sql("DELETE FROM geocls.db.cdc WHERE id % 10 = 0")                             // v2 CoW
+
+    // file-granular changelog shows the whole rewritten file (survivors as
+    // delete+insert pairs)...
+    val raw = GeoTable.changes(spark, root, 1, 2)
+    assert(raw.where(col(GeoChangelog.ChangeTypeCol) === "delete").count() == 100)
+    assert(raw.where(col(GeoChangelog.ChangeTypeCol) === "insert").count() == 90)
+    // ...while the net diff is exactly the 10 deleted rows
+    val net = GeoTable.netChanges(spark, root, 1, 2)
+      .select($"id", col(GeoChangelog.ChangeTypeCol).as("ct"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(net.length == 10, s"got ${net.toSeq}")
+    assert(net.forall(_._2 == "delete"))
+    assert(net.map(_._1).toSeq == (0L until 100L by 10L))
+
+    // an UPDATE nets to pre-image delete + post-image insert per touched row
+    spark.sql("UPDATE geocls.db.cdc SET v = 'upd' WHERE id = 7")                         // v3
+    val upd = GeoTable.netChanges(spark, root, 2, 3)
+      .select($"id", $"v", col(GeoChangelog.ChangeTypeCol).as("ct"))
+      .as[(Long, String, String)].collect().sortBy(r => (r._3, r._1))
+    assert(upd.toSeq == Seq((7L, "x7", "delete"), (7L, "upd", "insert")), s"got ${upd.toSeq}")
+  }
+
+  test("the changes metadata table serves SQL with version bounds via options") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.mt (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES('geometry.column'='g')")
+    spark.sql("INSERT INTO geocls.db.mt SELECT id, st_point(CAST(id AS DOUBLE), 0.0D) FROM range(0, 4)")
+    spark.sql("INSERT INTO geocls.db.mt SELECT id, st_point(CAST(id AS DOUBLE), 1.0D) FROM range(4, 6)")
+
+    // full history through plain SQL
+    val full = spark.sql(
+      s"SELECT id, ${GeoChangelog.ChangeTypeCol} AS ct, ${GeoChangelog.CommitVersionCol} AS cv " +
+        "FROM geocls.db.mt.changes ORDER BY id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(full.map(_._1) == (0L until 6L) && full.forall(_._2 == "insert"))
+    assert(full.map(_._3) == Seq(1, 1, 1, 1, 2, 2))
+    // bounded via read options
+    val tail = spark.read.option("from-version", 1).table("geocls.db.mt.changes")
+    assert(tail.select("id").as[Long].collect().sorted.toSeq == (4L until 6L))
+    // column pruning without the meta columns still reads (unwrap path)
+    assert(spark.sql("SELECT sum(id) FROM geocls.db.mt.changes").head.getLong(0) == 15L)
+  }
+
+  test("readStream.table replays appends then tails new commits, batch-equal") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.st (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.st SELECT id, 'a' FROM range(0, 6)")
+    spark.sql("INSERT INTO geocls.db.st SELECT id, 'b' FROM range(6, 10)")
+
+    val q = spark.readStream.table("geocls.db.st")
+      .writeStream.format("memory").queryName("geo_stream_replay").start()
+    q.processAllAvailable()
+    val replay = spark.table("geo_stream_replay").select($"id").as[Long].collect().sorted.toSeq
+    assert(replay == (0L until 10L),
+      s"stream replay must equal the batch snapshot, got $replay")
+
+    // a commit AFTER the stream started is picked up by the next batch
+    spark.sql("INSERT INTO geocls.db.st SELECT id, 'c' FROM range(10, 13)")
+    q.processAllAvailable(); q.stop()
+    val tailed = spark.table("geo_stream_replay").select($"id").as[Long].collect().sorted.toSeq
+    assert(tailed == (0L until 13L), s"tail append missing: $tailed")
+  }
+
+  test("streaming fails on CoW rewrites unless skip-overwrite-commits is set") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.ow (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.ow SELECT id, 'a' FROM range(0, 5)")  // v1 append
+    spark.sql("DELETE FROM geocls.db.ow WHERE id = 2")                      // v2 rewrite
+
+    val q = spark.readStream.table("geocls.db.ow")
+      .writeStream.format("memory").queryName("geo_stream_ow").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(err.getMessage.contains("non-append") || Option(err.getCause).exists(
+      _.getMessage.contains("non-append")), s"got: ${err.getMessage}")
+
+    // with the option set, appends stream and the rewrite commit is skipped
+    val q2 = spark.readStream.option("skip-overwrite-commits", "true")
+      .table("geocls.db.ow")
+      .writeStream.format("memory").queryName("geo_stream_ow_skip").start()
+    q2.processAllAvailable()
+    val ids = spark.table("geo_stream_ow_skip").select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 5L), s"v1's append must replay even under skip: $ids")
+    // v3: a fresh append after the rewrite still arrives
+    spark.sql("INSERT INTO geocls.db.ow SELECT id, 'z' FROM range(100, 102)")
+    q2.processAllAvailable(); q2.stop()
+    val ids2 = spark.table("geo_stream_ow_skip").select($"id").as[Long].collect().sorted.toSeq
+    assert(ids2 == ((0L until 5L) ++ (100L until 102L)), s"got $ids2")
+  }
+
+  test("stream-from-version=current skips history and only tails") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.tl (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geocls.db.tl SELECT id FROM range(0, 50)")
+    val q = spark.readStream.option("stream-from-version", "current")
+      .table("geocls.db.tl")
+      .writeStream.format("memory").queryName("geo_stream_tail").start()
+    q.processAllAvailable()
+    assert(spark.table("geo_stream_tail").count() == 0, "history must be skipped")
+    spark.sql("INSERT INTO geocls.db.tl SELECT id FROM range(50, 53)")
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("geo_stream_tail").select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (50L until 53L), s"got $ids")
+  }
+
+  test("streamed rows respect pushed filters and pruned columns") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.pf (id BIGINT, v STRING, w STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.pf SELECT id, concat('v', id), 'pad' FROM range(0, 20)")
+    val q = spark.readStream.table("geocls.db.pf")
+      .where($"id" >= 15).select($"id", $"v")
+      .writeStream.format("memory").queryName("geo_stream_pf").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("geo_stream_pf").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == (15L until 20L).map(i => (i, s"v$i")), s"got $got")
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.tables.{GeoManifest, GeoTable}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Merge-on-read DML (SURVEY.md §2.8b; Iceberg v2 position deletes):
+ * DELETE/UPDATE write (file, row-ordinal) sidecars instead of rewriting
+ * files when the touched fraction is small; every read path anti-joins
+ * them back out; OPTIMIZE folds them away.
+ */
+class GeoMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(n: Int = 100, nFiles: Int = 4): String = {
+    val root = java.nio.file.Files.createTempDirectory("geo_mor").toString + "/t"
+    val df = spark.range(n).select($"id",
+      concat(lit("v"), $"id").as("v")).repartition(nFiles)
+    GeoTable.create(spark, root, df, None)
+    root
+  }
+
+  test("MoR DELETE hides exactly the matched rows and leaves data files untouched") {
+    val root = freshTable()
+    val before = GeoManifest.read(spark, root)
+    val n = GeoTable.delete(spark, root, $"id" % 10 === 0, mode = "mor")
+    assert(n == 10)
+    val after = GeoManifest.read(spark, root)
+    assert(after.files.map(_.key).toSet == before.files.map(_.key).toSet,
+      "MoR delete must not rewrite data files")
+    assert(after.deletes.nonEmpty && after.deletes.map(_.rows).sum == 10)
+    assert(after.totalRows == 90)
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(_ % 10 == 0))
+    // time travel: the pre-delete snapshot still shows all rows
+    assert(GeoTable.readAt(spark, root, before.version).count() == 100)
+  }
+
+  test("MoR and CoW DELETE produce identical visible rows on identical input") {
+    val rootA = freshTable(200, 5)
+    val rootB = freshTable(200, 5)
+    val cond = ($"id" % 17 === 3) || ($"id" === 111L)
+    val nA = GeoTable.delete(spark, rootA, cond, mode = "cow")
+    val nB = GeoTable.delete(spark, rootB, cond, mode = "mor")
+    assert(nA == nB)
+    val a = GeoTable.read(spark, rootA).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = GeoTable.read(spark, rootB).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b, "CoW and MoR reads must be indistinguishable")
+    assert(GeoManifest.read(spark, rootA).deletes.isEmpty)
+    assert(GeoManifest.read(spark, rootB).deletes.nonEmpty)
+  }
+
+  test("auto mode picks MoR for sparse matches and CoW for bulk matches") {
+    val root = freshTable(1000, 4)
+    GeoTable.delete(spark, root, $"id" === 7L) // 1/1000 — MoR regime
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.deletes.nonEmpty, "0.1% match must go merge-on-read")
+    GeoTable.delete(spark, root, $"id" < 500L) // ~half — CoW regime
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.version == m1.version + 1)
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (500L until 1000L))
+  }
+
+  test("MoR UPDATE: sidecar hides old rows, updated rows append as new files") {
+    val root = freshTable()
+    val before = GeoManifest.read(spark, root)
+    val n = GeoTable.update(spark, root, Seq("v" -> lit("UPD")), $"id" === 42L, mode = "mor")
+    assert(n == 1)
+    val after = GeoManifest.read(spark, root)
+    assert(before.files.map(_.key).toSet.subsetOf(after.files.map(_.key).toSet),
+      "original files carry over untouched")
+    assert(after.deletes.map(_.rows).sum == 1)
+    val rows = GeoTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.length == 100)
+    assert(rows(42) == (42L, "UPD"))
+    assert(rows(41) == (41L, "v41"))
+  }
+
+  test("successive MoR deletes accumulate; matches of already-deleted rows do not duplicate") {
+    val root = freshTable()
+    GeoTable.delete(spark, root, $"id" < 5L, mode = "mor")
+    // overlapping predicate: rows 0-4 are already gone, only 5-9 match now
+    val n = GeoTable.delete(spark, root, $"id" < 10L, mode = "mor")
+    assert(n == 5, s"already-deleted rows must not re-match, got $n")
+    val m = GeoManifest.read(spark, root)
+    assert(m.deletes.map(_.rows).sum == 10)
+    assert(GeoTable.read(spark, root).count() == 90)
+  }
+
+  test("OPTIMIZE (compact) folds delete sidecars away; vacuum keeps live sidecars") {
+    val root = freshTable()
+    GeoTable.delete(spark, root, $"id" % 10 === 0, mode = "mor")
+    // vacuum of older versions must NOT remove the live sidecar
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    assert(GeoTable.read(spark, root).count() == 90)
+    GeoTable.compact(spark, root, targetFiles = 2)
+    val m = GeoManifest.read(spark, root)
+    assert(m.deletes.isEmpty, "compact must clear merge-on-read deletes")
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(_ % 10 == 0))
+  }
+
+  test("CoW DML on a table with sidecars does not resurrect MoR-deleted rows") {
+    val root = freshTable()
+    GeoTable.delete(spark, root, $"id" === 3L, mode = "mor")
+    // bulk CoW delete rewrites files that also hold MoR-hidden rows
+    GeoTable.delete(spark, root, $"id" >= 50L, mode = "cow")
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 50L).filterNot(_ == 3L), s"got $ids")
+    // and update through the merged view only touches visible rows
+    val n = GeoTable.update(spark, root, Seq("v" -> lit("X")), $"id" === 3L, mode = "cow")
+    assert(n == 0, "a MoR-deleted row must not be updatable")
+  }
+
+  test("changelog over MoR commits: netChanges = the deleted rows; stream treats it non-append") {
+    val root = freshTable()
+    val v0 = GeoManifest.read(spark, root).version
+    GeoTable.delete(spark, root, $"id" % 25 === 1, mode = "mor") // v0+1
+    val net = GeoTable.netChanges(spark, root, v0, v0 + 1)
+      .select($"id", col(graft.tables.GeoChangelog.ChangeTypeCol).as("ct"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(net == Seq((1L, "delete"), (26L, "delete"), (51L, "delete"), (76L, "delete")),
+      s"got $net")
+    // the file-granular surface tags the same rows at the commit
+    val raw = GeoTable.changes(spark, root, v0, v0 + 1)
+    assert(raw.where(col(graft.tables.GeoChangelog.ChangeTypeCol) === "delete").count() == 4)
+    // version steps report it as a non-append commit (streams reject/skip)
+    val steps = graft.tables.GeoChangelog.versionSteps(spark, root, v0, v0 + 1)
+    assert(steps.head.isOverwrite && steps.head.addedDeletes.nonEmpty)
+  }
+
+  test("a MoR delete then an insert nets correctly across the range") {
+    val root = freshTable(50, 2)
+    val v0 = GeoManifest.read(spark, root).version
+    GeoTable.delete(spark, root, $"id" === 10L, mode = "mor")
+    GeoTable.append(spark, root, spark.range(100, 103).select($"id",
+      concat(lit("n"), $"id").as("v")))
+    val net = GeoTable.netChanges(spark, root, v0, v0 + 2)
+      .select($"id", col(graft.tables.GeoChangelog.ChangeTypeCol).as("ct"))
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(net == Seq((10L, "delete"), (100L, "insert"), (101L, "insert"), (102L, "insert")),
+      s"got $net")
+  }
+}

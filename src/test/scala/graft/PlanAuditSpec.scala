@@ -12,7 +12,7 @@ class PlanAuditSpec extends SparkSpec {
   // ops whose result is localCheckpoint-ed (plan collapses to an RDD scan
   // — their shapes are asserted in SpatialClusterSpec with checkpoint off)
   // or whose invocation mutates session state not worth running twice here
-  private val skip = Set("geo_time_travel")
+  private val skip = Set("geo_time_travel", "geo_changelog")
 
   // queries built on a deliberate one-row broadcast (StKnn candidate pack,
   // global-scalar cross joins): BroadcastNestedLoopJoin over ONE row is a
