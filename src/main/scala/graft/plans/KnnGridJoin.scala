@@ -117,19 +117,52 @@ object KnnGridJoin {
       val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var unresolved = lefts
-      var remaining = unresolved.count()
-      if (verifyUniqueKeys && remaining > 0) {
-        val ld = unresolved.agg(countDistinct("__lk")).head().getLong(0)
-        require(remaining == ld,
-          s"knnJoinPoints: leftKey must be unique ($remaining rows, $ld distinct)")
-      }
+      // ONE job: row count, key uniqueness, and the left extent (the
+      // extent feeds the ring ladder below)
+      val lg = unresolved.agg(count(lit(1)).as("n"), countDistinct("__lk").as("nd"),
+        min("lx").as("x0"), max("lx").as("x1"), min("ly").as("y0"), max("ly").as("y1")).head()
+      var remaining = lg.getLong(0)
+      if (verifyUniqueKeys && remaining > 0)
+        require(remaining == lg.getLong(1),
+          s"knnJoinPoints: leftKey must be unique ($remaining rows, ${lg.getLong(1)} distinct)")
 
       val dx = c("lx") - c("rx")
       val dy = c("ly") - c("ry")
       val dCol = sqrt(dx * dx + dy * dy)
 
-      var r = 1
-      while (remaining > 0 && r <= 8 && rCount > 0) {
+      // Ring ladder shaped by observed geometry instead of a fixed 1,2,4,8:
+      //  - rCover: the ring at which EVERY left block covers the right
+      //    extent (then `covers` proves every point — later rounds would
+      //    be dead weight). +1 absorbs the double-arithmetic boundary
+      //    slack in the per-row `covers` test, which stays authoritative.
+      //  - r0: the smallest ring whose block is EXPECTED to hold ~2k right
+      //    points at observed density — starting below it just burns a
+      //    round that cannot prove anything in typical data.
+      def cellOf(v: Double): Long = math.floor(v / cellSize).toLong
+      val rCover: Int =
+        if (rCount == 0 || remaining == 0) 1
+        else {
+          val spans = Seq(
+            cellOf(lg.getDouble(3)) - cellOf(gx0), cellOf(gx1) - cellOf(lg.getDouble(2)),
+            cellOf(lg.getDouble(5)) - cellOf(gy0), cellOf(gy1) - cellOf(lg.getDouble(4)))
+          math.max(1, math.min(spans.max + 1, Int.MaxValue.toLong).toInt)
+        }
+      val r0: Int =
+        if (rCount == 0 || remaining == 0) 1
+        else {
+          val cells = (cellOf(gx1) - cellOf(gx0) + 1).toDouble *
+            (cellOf(gy1) - cellOf(gy0) + 1).toDouble
+          val perCell = rCount.toDouble / math.max(cells, 1.0)
+          val need = math.sqrt(2.0 * k / math.max(perCell, 1e-9))
+          math.max(1, math.min(math.ceil((need - 1) / 2).toLong, 8L).toInt)
+        }
+
+      var r = math.min(r0, rCover)
+      var ringsLeft = true
+      while (remaining > 0 && ringsLeft && rCount > 0) {
+        // after a ladder-capping round (covers-all or the classic max of
+        // 8) the loop exits and any stragglers take the fallback
+        ringsLeft = r < math.min(8, rCover)
         val cx = floor(c("lx") / cellSize).cast("long")
         val cy = floor(c("ly") / cellSize).cast("long")
         // two tiny sequence-explodes instead of one (2r+1)^2 literal array:
@@ -172,7 +205,12 @@ object KnnGridJoin {
         persisted += next
         unresolved = next
         remaining = unresolved.count()
-        r *= 2
+        // early exit to the fallback: once the tail is small enough that
+        // tail × rightCount is a trivially bounded pass, one fallback job
+        // beats more ladder rounds (each round is a full join + shuffle)
+        if (remaining > 0 && remaining <= fallbackThreshold &&
+            remaining * math.max(rCount, 1L) <= (1L << 26)) ringsLeft = false
+        r = math.min(r * 2, rCover)
       }
 
       if (remaining > 0 && rCount > 0) {
