@@ -1273,6 +1273,33 @@ object SparkEntry {
       out
     }),
 
+    // Partitioned geo table (Iceberg hidden-partitioning analog): DDL
+    // carries days(d) + bucket(8, k), writes cluster rows by transform
+    // value, the manifest records per-file transform min/max, and both
+    // legs run against files pruned from the pushed filters (date window
+    // prunes days(), point lookup prunes bucket()). Values pass through
+    // untouched, so DuckDB replays the filters over the raw source.
+    "geo_partitioned" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geopq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geopq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geopq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_pq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geopq.db")
+      s.sql("DROP TABLE IF EXISTS geopq.db.pt")
+      s.sql("CREATE TABLE geopq.db.pt (k BIGINT, dd DATE, price DOUBLE) USING geo " +
+        "PARTITIONED BY (days(dd), bucket(8, k))")
+      s.sql("""INSERT INTO geopq.db.pt
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice FROM orders""")
+      s.sql("""
+        SELECT 1 AS phase, k, dd, price FROM geopq.db.pt
+        WHERE dd >= DATE'1995-01-01' AND dd < DATE'1995-02-01'
+        UNION ALL
+        SELECT 2, k, dd, price FROM geopq.db.pt WHERE k = 7
+        ORDER BY phase, k""")
+    }),
+
     // scale path for dedup planning: HLL++ estimate vs exact count — at
     // 100 TB the estimate is a single map-side sketch merge, no shuffle of
     // distinct values. The sketch value is engine-specific, so the oracle
@@ -2307,6 +2334,19 @@ object SparkEntry {
       SELECT c_custkey, c_nationkey,
              c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
       FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
+
+    // partitioned-table legs reduce to the same filters over the source:
+    // storage clusters/prunes by transform but never changes row values
+    "geo_partitioned" -> """
+      SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,
+             o_totalprice AS price
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+      UNION ALL
+      SELECT 2, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      FROM orders WHERE o_orderkey = 7
+      ORDER BY phase, k""",
 
     "st_tier3_measures" -> """
       SELECT p_partkey,

@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop narrowing (same contract as tools/selfcheck.py); the
+    // driver sets neither, so its runs always cover every query
+    val only = sys.env.getOrElse("GRAFT_ONLY", "").split(',').filter(_.nonEmpty).toSet
+    val skip = sys.env.getOrElse("GRAFT_SKIP", "").split(',').filter(_.nonEmpty).toSet
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) && !skip(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -157,32 +157,32 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    // Partition transforms are a deliberate non-feature of GeoTable's
-    // layout (file-level manifest + Z-order maintenance); a user porting
-    // Iceberg DDL gets a targeted migration hint per transform rather
-    // than a bare rejection.
-    if (partitions.nonEmpty) {
-      val hints = partitions.map { t =>
+    // Partition transforms: identity / bucket(n, col) / days|hours|
+    // months|years(ts) are NATIVE — writes cluster rows by transform
+    // value, the manifest records per-file transform min/max, scans
+    // prune files from pushed filters (manifest-first "hidden
+    // partitioning", no hive directories). Anything else still gets a
+    // targeted migration hint.
+    val schemaForPt = StructType(schema.fields.map(GeoCatalog.fromSpatialDdl))
+    val (supported, unsupported) = partitions.partition(t =>
+      GeoPartition.parseDdl(t, schemaForPt).isRight)
+    if (unsupported.nonEmpty) {
+      val hints = unsupported.map { t =>
+        val reason = GeoPartition.parseDdl(t, schemaForPt).left.getOrElse("")
         val s = t.toString
         val hint =
-          if (s.startsWith("identity")) "keep it as a plain column and run OPTIMIZE " +
-            s"(Z-order) — manifest bbox/file pruning replaces partition pruning"
-          else if (s.startsWith("bucket")) "use a cell partition column instead: " +
-            "graft.plans.GeoParquet.write(..., partitionByCell = true) buckets rows by " +
-            "spatial cell, and the manifest prunes files by bbox"
-          else if (s.startsWith("days") || s.startsWith("months") ||
-                   s.startsWith("hours") || s.startsWith("years"))
-            "materialize the truncated value as a column (e.g. date_trunc) and run " +
-              "OPTIMIZE — snapshots give time travel, the manifest gives file pruning"
+          if (s.startsWith("truncate")) "materialize the truncated value as a column " +
+            "and partition by identity on it"
           else "drop the transform; GeoTable prunes files via the manifest's per-file " +
             "stats after OPTIMIZE (Z-order)"
-        s"$s -> $hint"
+        s"$s ($reason) -> $hint"
       }
       throw new UnsupportedOperationException(
-        s"GeoCatalog tables do not take PARTITIONED BY — files are laid out by Z-order " +
-          s"maintenance (OPTIMIZE) and pruned via per-file manifest stats. For " +
-          s"${ident.toString}: ${hints.mkString("; ")}")
+        s"PARTITIONED BY transform(s) not supported for ${ident.toString}: " +
+          hints.mkString("; "))
     }
+    val ptransforms = supported.map(t => GeoPartition.parseDdl(t, schemaForPt)
+      .getOrElse(throw new IllegalStateException(s"unreachable: $t")))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(tableRoot(ident))
     // Spark 4.1's native GEOMETRY DDL type (parser accepts it when
@@ -209,7 +209,7 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
       case None => schema0
     }
     val geomCol = GeoSchema.geometryColumns(tagged).headOption.map(_._1)
-    GeoTable.createEmpty(spark, root, tagged, geomCol)
+    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms)
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
 
@@ -450,6 +450,21 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
 
   override def schema(): StructType = manifest.schema
 
+  /** DESCRIBE/SHOW surface the stored transforms (Iceberg-style). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    manifest.partitions.map { p =>
+      p.kind match {
+        case "identity" => Expressions.identity(p.col)
+        case "bucket" => Expressions.bucket(p.n, p.col)
+        case "days" => Expressions.days(p.col)
+        case "hours" => Expressions.hours(p.col)
+        case "months" => Expressions.months(p.col)
+        case "years" => Expressions.years(p.col)
+      }
+    }.toArray
+  }
+
   override def metadataColumns(): Array[MetadataColumn] = GeoRowLevel.metadataColumns
 
   override def newRowLevelOperationBuilder(
@@ -487,7 +502,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       s"$tableName has merge-on-read delete files; catalog reads need a compacted " +
         "snapshot — run GeoTable.compact (SQL: OPTIMIZE), or read via GeoTable.read")
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
-      streamRoot = Some(root))
+      streamRoot = Some(root), partitions = manifest.partitions)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -54,7 +54,8 @@ object GeoManifest {
   /** One immutable data file. bbox is NaN-bounded when rows have no
     * geometry (empty file or no geometry column). */
   final case class FileEntry(path: String, rows: Long,
-                             xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
+                             xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                             pstats: Seq[(Long, Long)] = Seq.empty) {
     def intersects(e: Envelope): Boolean =
       !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
         ymin <= e.getMaxY && ymax >= e.getMinY
@@ -92,7 +93,8 @@ object GeoManifest {
                             dropped: Seq[String] = Seq.empty,
                             streamCommits: Map[String, Long] = Map.empty,
                             commitTs: Option[Long] = None,
-                            deletes: Seq[DeleteEntry] = Seq.empty) {
+                            deletes: Seq[DeleteEntry] = Seq.empty,
+                            partitions: Seq[GeoPartition.PTransform] = Seq.empty) {
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
@@ -170,9 +172,11 @@ object GeoManifest {
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
     val lines = new StringBuilder()
-    // format 4 adds `delete` sidecar lines; tables without them keep
+    // format 4 adds `delete` sidecar lines, `partition` transform lines
+    // and per-file partition stats; tables using none of them keep
     // writing 3 so older snapshots stay bit-stable for existing readers
-    lines ++= (if (m.deletes.nonEmpty) "graftgeo\t4\n" else "graftgeo\t3\n")
+    lines ++= (if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
+               else "graftgeo\t3\n")
     // always stamp NOW: manifests are derived from the base via copy(),
     // and inheriting the base's commit ts would corrupt the history order
     lines ++= s"ts\t${System.currentTimeMillis()}\n"
@@ -182,8 +186,11 @@ object GeoManifest {
     m.streamCommits.toSeq.sortBy(_._1).foreach { case (sink, batch) =>
       lines ++= s"stream\t$sink\t$batch\n"
     }
+    m.partitions.foreach { p => lines ++= s"partition\t${p.encode}\n" }
     m.files.foreach { e =>
-      lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}\n"
+      val ps = if (e.pstats.isEmpty) ""
+               else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
+      lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$ps\n"
     }
     m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
     // manifest first (immutable, new name), pointer flip last. The flip
@@ -210,6 +217,7 @@ object GeoManifest {
     var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
     val deletes = Seq.newBuilder[DeleteEntry]
+    val partitions = Seq.newBuilder[GeoPartition.PTransform]
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
@@ -226,9 +234,15 @@ object GeoManifest {
         case "ts" => commitTs = Some(parts(1).toLong)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
-        case "file" => files += FileEntry(parts(1), parts(2).toLong,
-          parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble)
+        case "file" =>
+          // trailing pairs (if any) are per-partition-transform min/max
+          val ps = parts.drop(7).grouped(2).collect {
+            case Array(a, b) => (a.toLong, b.toLong)
+          }.toSeq
+          files += FileEntry(parts(1), parts(2).toLong,
+            parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps)
         case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
+        case "partition" => partitions += GeoPartition.decode(parts(1))
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
           // a format newer than this reader (additive v5+ tags). In a
@@ -243,7 +257,7 @@ object GeoManifest {
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
-      commitTs, deletes.result())
+      commitTs, deletes.result(), partitions.result())
   }
 
   /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling
@@ -260,34 +274,47 @@ object GeoManifest {
     * distributed scan grouped by `input_file_name()` (the write-side stats
     * collection Iceberg does inline; read-back keeps us on public API). */
   def collectStats(spark: SparkSession, schema: StructType,
-                   paths: Seq[String], geomCol: Option[String]): Seq[FileEntry] = {
+                   paths: Seq[String], geomCol: Option[String],
+                   partitions: Seq[GeoPartition.PTransform] = Seq.empty): Seq[FileEntry] = {
     if (paths.isEmpty) return Seq.empty
     import graft.functions.GraftFunctions._
     val df = spark.read.schema(schema).parquet(paths: _*)
       .withColumn("__graft_file", input_file_name())
-    val grouped = geomCol match {
-      case Some(g) =>
-        df.groupBy("__graft_file").agg(
-          count(lit(1)).as("rows"),
-          min(st_xmin(col(g))).as("xmin"), min(st_ymin(col(g))).as("ymin"),
-          max(st_xmax(col(g))).as("xmax"), max(st_ymax(col(g))).as("ymax"))
-      case None =>
-        df.groupBy("__graft_file").agg(count(lit(1)).as("rows"))
-          .withColumn("xmin", lit(Double.NaN)).withColumn("ymin", lit(Double.NaN))
-          .withColumn("xmax", lit(Double.NaN)).withColumn("ymax", lit(Double.NaN))
+    // ONE stats pass: row count + bbox + partition-transform min/max
+    val bboxAggs = geomCol match {
+      case Some(g) => Seq(
+        min(st_xmin(col(g))).as("xmin"), min(st_ymin(col(g))).as("ymin"),
+        max(st_xmax(col(g))).as("xmax"), max(st_ymax(col(g))).as("ymax"))
+      case None => Seq(
+        min(lit(Double.NaN)).as("xmin"), min(lit(Double.NaN)).as("ymin"),
+        max(lit(Double.NaN)).as("xmax"), max(lit(Double.NaN)).as("ymax"))
     }
+    val pAggs = partitions.zipWithIndex.flatMap { case (t, i) =>
+      val tc = GeoPartition.transformCol(t, schema)
+      Seq(min(tc).as(s"__p${i}min"), max(tc).as(s"__p${i}max"))
+    }
+    val aggs = Seq(count(lit(1)).as("rows")) ++ bboxAggs ++ pAggs
+    val grouped = df.groupBy("__graft_file").agg(aggs.head, aggs.tail: _*)
     val byKey = grouped.collect().map { r =>
-      norm(r.getString(0)) -> (r.getLong(1),
-        Option(r.get(2)).fold(Double.NaN)(v => r.getDouble(2)),
-        Option(r.get(3)).fold(Double.NaN)(_ => r.getDouble(3)),
-        Option(r.get(4)).fold(Double.NaN)(_ => r.getDouble(4)),
-        Option(r.get(5)).fold(Double.NaN)(_ => r.getDouble(5)))
+      def d(n: String): Double =
+        Option(r.get(r.fieldIndex(n))).fold(Double.NaN)(_ => r.getDouble(r.fieldIndex(n)))
+      val ps = partitions.indices.map { i =>
+        val lo = r.get(r.fieldIndex(s"__p${i}min"))
+        val hi = r.get(r.fieldIndex(s"__p${i}max"))
+        if (lo == null || hi == null) null
+        else (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+      }
+      // an all-null partition value in any transform → no pstats for the
+      // file (it is always kept by pruning, the conservative direction)
+      val pstats = if (ps.exists(_ == null)) Seq.empty[(Long, Long)] else ps.toSeq
+      norm(r.getString(0)) -> (r.getLong(r.fieldIndex("rows")),
+        d("xmin"), d("ymin"), d("xmax"), d("ymax"), pstats)
     }.toMap
     // a written file with zero rows (possible from empty partitions) still
     // needs an entry so the manifest's file list matches the directory
     paths.map { p =>
       byKey.get(norm(p)) match {
-        case Some((rows, x0, y0, x1, y1)) => FileEntry(p, rows, x0, y0, x1, y1)
+        case Some((rows, x0, y0, x1, y1, ps)) => FileEntry(p, rows, x0, y0, x1, y1, ps)
         case None => FileEntry(p, 0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
       }
     }

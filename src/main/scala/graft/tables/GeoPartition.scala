@@ -1,0 +1,248 @@
+package graft.tables
+
+import graft.tables.GeoManifest.FileEntry
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3Hash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Partition transforms for GeoCatalog tables — `PARTITIONED BY (col)`,
+ * `bucket(n, col)`, `days(ts)` (+ hours/months/years), the Iceberg
+ * hidden-partitioning surface (the reference's tables are Iceberg,
+ * whose DDL carries exactly these transforms).
+ *
+ * The layout stays manifest-first, not directory-first: writes CLUSTER
+ * rows by transform value (range-repartition + sort), and the manifest
+ * records each file's per-transform min/max. Scans derive transform
+ * bounds from pushed filters and drop files whose recorded range cannot
+ * match — the same per-file stats pruning the bbox machinery does for
+ * geometry, so partition pruning needs no hive-style directories and
+ * composes with Z-order and bbox pruning. Clustering quality only
+ * affects pruning PRECISION; correctness comes from the per-file
+ * min/max, so appends that straddle values (or legacy files with no
+ * stats) are simply kept.
+ *
+ * Transform values are LONGs:
+ *  - identity: integral value; DATE → epoch days; TIMESTAMP → micros
+ *  - days/hours/months/years: floored epoch units (timestamps at UTC,
+ *    matching Spark's own extract semantics at session UTC)
+ *  - bucket(n): pmod(murmur3(col), n) — Spark's `hash` function, so the
+ *    written clustering and driver-side literal derivation agree
+ */
+object GeoPartition {
+
+  /** One transform: kind ∈ identity|bucket|days|hours|months|years. */
+  final case class PTransform(kind: String, n: Int, col: String) {
+    def encode: String = kind match {
+      case "bucket" => s"bucket($n,$col)"
+      case "identity" => col
+      case k => s"$k($col)"
+    }
+    override def toString: String = encode
+  }
+
+  private val unitRe = "(days|hours|months|years)\\(([^)]+)\\)".r
+  private val bucketRe = "bucket\\((\\d+),([^)]+)\\)".r
+
+  def decode(s: String): PTransform = s.trim match {
+    case bucketRe(n, c) => PTransform("bucket", n.toInt, c.trim)
+    case unitRe(k, c) => PTransform(k, 0, c.trim)
+    case c => PTransform("identity", 0, c)
+  }
+
+  /** Column types a transform accepts (identity needs an ordered long
+    * embedding; bucket anything murmur3 hashes). */
+  private def supports(kind: String, dt: DataType): Boolean = kind match {
+    case "identity" => dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+      case _ => false
+    }
+    case "bucket" => dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | StringType => true
+      case _ => false
+    }
+    case _ => dt == DateType || dt == TimestampType
+  }
+
+  /** DDL Transform → PTransform, or Left(reason) when unsupported. */
+  def parseDdl(t: org.apache.spark.sql.connector.expressions.Transform,
+               schema: StructType): Either[String, PTransform] = {
+    def field(name: String): Either[String, StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+        .toRight(s"column '$name' not in the table schema")
+    val refs = t.references()
+    if (refs.length != 1) return Left(s"$t: multi-column transforms are not supported")
+    val colName = refs.head.fieldNames().mkString(".")
+    t.name().toLowerCase match {
+      case "identity" => field(colName).flatMap { f =>
+        if (supports("identity", f.dataType)) Right(PTransform("identity", 0, f.name))
+        else Left(s"identity partitioning needs an integral/date/timestamp column, " +
+          s"'${f.name}' is ${f.dataType.simpleString}")
+      }
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(0)
+        if (n <= 0) Left(s"$t: bucket count must be a positive literal")
+        else field(colName).flatMap { f =>
+          if (supports("bucket", f.dataType)) Right(PTransform("bucket", n, f.name))
+          else Left(s"bucket partitioning cannot hash ${f.dataType.simpleString}")
+        }
+      case k @ ("days" | "hours" | "months" | "years") => field(colName).flatMap { f =>
+        if (supports(k, f.dataType)) Right(PTransform(k, 0, f.name))
+        else Left(s"$k() needs a date/timestamp column, '${f.name}' is ${f.dataType.simpleString}")
+      }
+      case other => Left(s"transform $other is not supported")
+    }
+  }
+
+  /** The transform as a LongType column over the table's rows. */
+  def transformCol(t: PTransform, schema: StructType): Column = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
+      throw new IllegalArgumentException(s"partition column '${t.col}' missing from schema"))
+    val c = col(f.name)
+    t.kind match {
+      case "identity" => f.dataType match {
+        case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+        case TimestampType => unix_micros(c)
+        case _ => c.cast(LongType)
+      }
+      case "bucket" => pmod(hash(c), lit(t.n)).cast(LongType)
+      case "days" => f.dataType match {
+        case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
+        case _ => floor(unix_micros(c).cast(DoubleType) / 86400000000.0).cast(LongType)
+      }
+      case "hours" => floor(unix_micros(c.cast(TimestampType)).cast(DoubleType) / 3600000000.0).cast(LongType)
+      case "months" => ((year(c) - 1970) * 12 + month(c) - 1).cast(LongType)
+      case "years" => (year(c) - 1970).cast(LongType)
+    }
+  }
+
+  /** Cluster rows so files hold tight transform ranges. The partition
+    * count is pinned (AQE would coalesce an unsized range shuffle into
+    * one file and destroy the grouping); empty ranges produce zero-row
+    * files that the commit drops. */
+  def layout(df: DataFrame, transforms: Seq[PTransform], schema: StructType): DataFrame = {
+    if (transforms.isEmpty) return df
+    val tcols = transforms.zipWithIndex.map { case (t, i) =>
+      transformCol(t, schema).as(s"__graft_p$i")
+    }
+    val withT = df.select((df.columns.map(col) ++ tcols): _*)
+    val pnames = transforms.indices.map(i => col(s"__graft_p$i"))
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    withT.repartitionByRange(math.max(n, 1), pnames: _*).sortWithinPartitions(pnames: _*)
+      .drop(transforms.indices.map(i => s"__graft_p$i"): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Driver-side literal transform (must agree with transformCol)
+  // -------------------------------------------------------------------
+
+  /** Transform a pushed-filter literal to its partition value. None =
+    * underivable (prune conservatively). `dt` is the COLUMN's type. */
+  def valueOf(t: PTransform, v: Any, dt: DataType): Option[Long] = {
+    if (v == null) return None
+    def micros: Option[Long] = dt match {
+      case TimestampType => Some(v.asInstanceOf[Long])
+      case DateType => Some(v.asInstanceOf[Int].toLong * 86400000000L)
+      case _ => None
+    }
+    t.kind match {
+      case "identity" => dt match {
+        case DateType => Some(v.asInstanceOf[Int].toLong)
+        case TimestampType => Some(v.asInstanceOf[Long])
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(v.asInstanceOf[Number].longValue())
+        case _ => None
+      }
+      case "bucket" =>
+        val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42).eval(null).asInstanceOf[Int]
+        val m = h % t.n
+        Some(if (m < 0) m + t.n else m)
+      case "days" => micros.map(u => Math.floorDiv(u, 86400000000L))
+      case "hours" => micros.map(u => Math.floorDiv(u, 3600000000L))
+      case "months" => micros.map { u =>
+        val d = java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L))
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
+      }
+      case "years" => micros.map { u =>
+        java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L))
+          .atZone(java.time.ZoneOffset.UTC).getYear.toLong - 1970
+      }
+      case _ => None
+    }
+  }
+
+  /** Monotonic transforms admit range derivation; bucket only equality. */
+  private def monotonic(kind: String): Boolean = kind != "bucket"
+
+  /** Derive per-transform [lo, hi] bounds from pushed catalyst filters
+    * (conjuncts only — an underivable conjunct just derives nothing). */
+  private def bounds(transforms: Seq[PTransform], schema: StructType,
+                     filters: Seq[Expression]): Map[Int, (Long, Long)] = {
+    val conjuncts = filters.flatMap(splitAnd)
+    val out = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    def tighten(i: Int, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = out.getOrElse(i, (Long.MinValue, Long.MaxValue))
+      out(i) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    for ((t, i) <- transforms.zipWithIndex) {
+      val f = schema.fields.find(_.name.equalsIgnoreCase(t.col))
+      val dt = f.map(_.dataType).getOrElse(NullType)
+      def attrMatches(e: Expression): Boolean = e match {
+        case a: Attribute => a.name.equalsIgnoreCase(t.col)
+        case _ => false
+      }
+      conjuncts.foreach {
+        case EqualTo(a, Literal(v, _)) if attrMatches(a) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, tv, tv))
+        case EqualTo(Literal(v, _), a) if attrMatches(a) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, tv, tv))
+        case In(a, vs) if attrMatches(a) && vs.forall(_.isInstanceOf[Literal]) =>
+          val tvs = vs.collect { case Literal(v, _) => valueOf(t, v, dt) }
+          if (tvs.nonEmpty && tvs.forall(_.isDefined)) {
+            val xs = tvs.flatten
+            tighten(i, xs.min, xs.max)
+          }
+        case GreaterThan(a, Literal(v, _)) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, tv, Long.MaxValue))
+        case GreaterThanOrEqual(a, Literal(v, _)) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, tv, Long.MaxValue))
+        case LessThan(a, Literal(v, _)) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, Long.MinValue, tv))
+        case LessThanOrEqual(a, Literal(v, _)) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, Long.MinValue, tv))
+        case LessThan(Literal(v, _), a) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, tv, Long.MaxValue))
+        case GreaterThan(Literal(v, _), a) if attrMatches(a) && monotonic(t.kind) =>
+          valueOf(t, v, dt).foreach(tv => tighten(i, Long.MinValue, tv))
+        case _ => ()
+      }
+    }
+    out.toMap
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Keep the files whose recorded per-transform ranges can satisfy the
+    * filters; files without stats (legacy, all-null values) always stay. */
+  def prune(files: Seq[FileEntry], transforms: Seq[PTransform],
+            schema: StructType, filters: Seq[Expression]): Seq[FileEntry] = {
+    if (transforms.isEmpty || filters.isEmpty) return files
+    val bs = bounds(transforms, schema, filters)
+    if (bs.isEmpty) return files
+    files.filter { f =>
+      f.pstats.isEmpty || bs.forall { case (i, (lo, hi)) =>
+        f.pstats.lift(i).forall { case (pmin, pmax) => pmin <= hi && pmax >= lo }
+      }
+    }
+  }
+}

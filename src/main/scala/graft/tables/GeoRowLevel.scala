@@ -117,7 +117,8 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
 class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         files: Seq[FileEntry], options: CaseInsensitiveStringMap,
                         onBuild: GeoCowScan => Unit,
-                        streamRoot: Option[String] = None)
+                        streamRoot: Option[String] = None,
+                        partitions: Seq[GeoPartition.PTransform] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -136,9 +137,15 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     inner.pruneColumns(StructType(required.fields.filterNot(_.name == GeoRowLevel.FileCol)))
   }
 
+  // filters feed BOTH the parquet pushdown (inner) and manifest-level
+  // partition pruning (per-file transform min/max, applied at build)
+  private var allFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    allFilters = filters
     inner.pushFilters(filters)
+  }
 
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
 
@@ -157,6 +164,12 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
   override def build(): Scan = {
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options)
+    // manifest-level partition pruning: per-file transform ranges vs the
+    // filter-derived bounds (conservative — underivable filters keep all)
+    if (partitions.nonEmpty && allFilters.nonEmpty) {
+      val pruned = GeoPartition.prune(files, partitions, tableSchema, allFilters)
+      if (pruned.length < files.length) s.filterTo(pruned)
+    }
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
     onBuild(s)
@@ -180,6 +193,9 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   @volatile private var current: Seq[FileEntry] = allFiles
   def scannedFiles: Seq[FileEntry] = current
+
+  /** Build-time narrowing (partition pruning from pushed filters). */
+  private[tables] def filterTo(fs: Seq[FileEntry]): Unit = { current = fs }
 
   /** `spark.readStream.table("geo.db.t")`: micro-batches replay appended
     * files version-by-version; pruned columns and pushed filters carry
@@ -348,7 +364,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] commit: scanned=${scanned().map(_.length)} written=${messages.length}")
     val paths = messages.collect { case GeoCowCommitMessage(p, n) if n > 0 => p }.toSeq
-    val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol)
+    val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
     val fresh = GeoManifest.read(spark, root)
     val replaced = scanned().map(_.map(_.key).toSet)
       .getOrElse(fresh.files.map(_.key).toSet)

@@ -99,7 +99,7 @@ object GeoTable {
           .sortWithinPartitions("__z").drop("__z")
       case None => data.repartition(math.max(targetFiles, 1))
     }
-    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol)
+    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
   }
@@ -143,10 +143,12 @@ object GeoTable {
 
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
-                  geomCol: Option[String]): Unit = {
+                  geomCol: Option[String],
+                  partitions: Seq[GeoPartition.PTransform] = Seq.empty): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
     GeoSchema.validate(schema)
-    GeoManifest.write(spark, root, Manifest(0, schema, geomCol, Seq.empty))
+    GeoManifest.write(spark, root,
+      Manifest(0, schema, geomCol, Seq.empty, partitions = partitions))
   }
 
   // -------------------------------------------------------------------------
@@ -298,8 +300,8 @@ object GeoTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              streamCommit: Option[(String, Long)]): Long = {
     val m = GeoManifest.read(spark, root)
-    val aligned = conform(df, m.schema)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
         streamCommits = m.streamCommits ++ streamCommit), m.version)
@@ -311,8 +313,8 @@ object GeoTable {
     * `vacuum` — same snapshot mechanics as every other commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val m = GeoManifest.read(spark, root)
-    val aligned = conform(df, m.schema)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
     files.map(_.rows).sum
@@ -365,7 +367,7 @@ object GeoTable {
           setMap.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
             .as(f.name, f.metadata)
         }: _*)
-        val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol)
+        val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions)
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version)
         sidecar.map(_.rows).sum
@@ -521,7 +523,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, out, m.schema, m.geomCol)
+        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions)
       }
 
     // --- 3. NOT MATCHED inserts (anti-join; equi `on` keys shuffle, never BNL
@@ -547,7 +549,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, rows, m.schema, m.geomCol)
+        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions)
       }
 
     if (affected.isEmpty && inserted.isEmpty) return 0L
@@ -606,7 +608,7 @@ object GeoTable {
     val newFiles =
       if (toRewrite.isEmpty) Seq.empty[FileEntry]
       else writeCommit(spark, root,
-        transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol)
+        transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol, m.partitions)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version)
@@ -649,10 +651,21 @@ object GeoTable {
 
   /** Write `df` as a fresh immutable commit dir and stat the new files. */
   private def writeCommit(spark: SparkSession, root: String, df: DataFrame,
-                          schema: StructType, geomCol: Option[String]): Seq[FileEntry] = {
+                          schema: StructType, geomCol: Option[String],
+                          partitions: Seq[GeoPartition.PTransform] = Seq.empty): Seq[FileEntry] = {
     val dir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(dir)
-    GeoManifest.collectStats(spark, schema, GeoManifest.listParquet(spark, dir), geomCol)
+    val entries = GeoManifest.collectStats(spark, schema,
+      GeoManifest.listParquet(spark, dir), geomCol, partitions)
+    // empty shuffle partitions (common under pinned-count partition
+    // layout) write zero-row files: drop them from disk AND the manifest
+    val (kept, empty) = entries.partition(_.rows > 0)
+    if (empty.nonEmpty) {
+      val fs = GeoManifest.fs(spark, root)
+      empty.foreach(e => try fs.delete(new org.apache.hadoop.fs.Path(e.path), false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    kept
   }
 
   /** Align column order/types (+ GEOMETRY metadata) to the table schema. */

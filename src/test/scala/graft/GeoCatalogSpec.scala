@@ -320,21 +320,27 @@ class GeoCatalogSpec extends SparkSpec {
     assert(GeoManifest.read(spark, root).version == m.version)
   }
 
-  test("PARTITIONED BY on a geo table raises a migration hint, not a bare error") {
+  test("PARTITIONED BY: supported transforms create; unsupported ones hint, not bare-error") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
-    val e1 = intercept[Exception](spark.sql(
-      "CREATE TABLE geo.db.parted (id BIGINT, ts TIMESTAMP, g BINARY) USING geo PARTITIONED BY (days(ts))"))
-    assert(e1.getMessage.contains("OPTIMIZE") && e1.getMessage.contains("date_trunc"),
-      s"days() transform must point at the date_trunc + OPTIMIZE migration:\n${e1.getMessage}")
+    // identity / bucket / days are native now (r11): DDL round-trips and
+    // DESCRIBE shows the transforms
+    spark.sql("CREATE TABLE geo.db.parted (id BIGINT, ts TIMESTAMP, g BINARY) USING geo " +
+      "PARTITIONED BY (days(ts), bucket(16, id))")
+    val desc = spark.sql("DESCRIBE TABLE geo.db.parted").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("days(ts)") && desc.contains("bucket(16, id)"), s"got:\n$desc")
+    spark.sql("DROP TABLE geo.db.parted")
+    // an unsupported transform still gets a targeted hint
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE geo.db.parted (id BIGINT, s STRING, g BINARY) USING geo " +
+        "PARTITIONED BY (truncate(4, s))"))
+    assert(e.getMessage.contains("identity"),
+      s"truncate must point at the identity-on-materialized-column migration:\n${e.getMessage}")
+    // and a transform on an incompatible column names the reason
     val e2 = intercept[Exception](spark.sql(
-      "CREATE TABLE geo.db.parted (id BIGINT, g BINARY) USING geo PARTITIONED BY (bucket(16, id))"))
-    assert(e2.getMessage.contains("partitionByCell"),
-      s"bucket() transform must point at cell partitioning:\n${e2.getMessage}")
-    val e3 = intercept[Exception](spark.sql(
-      "CREATE TABLE geo.db.parted (id BIGINT, g BINARY) USING geo PARTITIONED BY (id)"))
-    assert(e3.getMessage.contains("plain column"),
-      s"identity transform must point at the plain-column migration:\n${e3.getMessage}")
+      "CREATE TABLE geo.db.parted (id BIGINT, s STRING, g BINARY) USING geo " +
+        "PARTITIONED BY (days(s))"))
+    assert(e2.getMessage.contains("date/timestamp"), e2.getMessage)
     assert(!spark.catalog.tableExists("geo.db.parted"))
   }
 

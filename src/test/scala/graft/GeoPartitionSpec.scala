@@ -1,0 +1,119 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoManifest, GeoPartition}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Partition transforms on GeoCatalog tables (SURVEY.md §2.8b; Iceberg
+ * hidden-partitioning analog): identity / bucket(n, col) / days|hours|
+ * months|years(ts) stored in the manifest, writes clustered by transform
+ * value, scans pruned from per-file transform min/max — manifest-first,
+ * no hive directories.
+ */
+class GeoPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_pt_wh").toString
+    spark.conf.set("spark.sql.catalog.geopt", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geopt.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geopt.db")
+    dir
+  }
+
+  /** files=N as reported by the build-time-pruned scan in the plan. */
+  private def scannedFiles(sql: String): Int = {
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    val re = "GeoCowScan\\(files=(\\d+)".r
+    re.findFirstMatchIn(plan).map(_.group(1).toInt)
+      .getOrElse(fail(s"no GeoCowScan in plan:\n$plan"))
+  }
+
+  test("identity partitioning: clustered writes + filter-pruned scans") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.ident (k BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (k)")
+    // k takes 4 distinct values; range clustering puts each in its own file(s)
+    spark.sql("INSERT INTO geopt.db.ident SELECT id % 4, concat('v', id) FROM range(0, 4000)")
+    val m = GeoManifest.read(spark, warehouse + "/db/ident")
+    assert(m.partitions == Seq(GeoPartition.PTransform("identity", 0, "k")))
+    assert(m.files.count(_.rows > 0) >= 2, "range clustering must split by k")
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.nonEmpty), "per-file transform stats")
+    val all = scannedFiles("SELECT * FROM geopt.db.ident")
+    val one = scannedFiles("SELECT * FROM geopt.db.ident WHERE k = 2")
+    assert(one < all, s"k = 2 must prune files: $one vs $all")
+    // correctness: pruned scan returns exactly the partition
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.ident WHERE k = 2").head.getLong(0) == 1000)
+    // range predicates prune monotonic transforms too
+    assert(scannedFiles("SELECT * FROM geopt.db.ident WHERE k >= 3") < all)
+  }
+
+  test("bucket partitioning: equality prunes to the bucket's files") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.bkt (k BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO geopt.db.bkt SELECT id, concat('v', id) FROM range(0, 8000)")
+    val all = scannedFiles("SELECT * FROM geopt.db.bkt")
+    val one = scannedFiles("SELECT * FROM geopt.db.bkt WHERE k = 1234")
+    assert(one < all, s"bucket equality must prune: $one vs $all")
+    val r = spark.sql("SELECT v FROM geopt.db.bkt WHERE k = 1234").head.getString(0)
+    assert(r == "v1234")
+    // range predicates must NOT mis-prune a non-monotonic transform
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.bkt WHERE k >= 7000").head.getLong(0) == 1000)
+  }
+
+  test("days partitioning on dates: range scans prune to the date window") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.byday (id BIGINT, d DATE, amt DOUBLE) USING geo " +
+      "PARTITIONED BY (days(d))")
+    spark.sql("""INSERT INTO geopt.db.byday
+      SELECT id, date_add(DATE'2024-01-01', CAST(id % 120 AS INT)), id * 1.5
+      FROM range(0, 12000)""")
+    val all = scannedFiles("SELECT * FROM geopt.db.byday")
+    val windowed = scannedFiles(
+      "SELECT * FROM geopt.db.byday WHERE d >= DATE'2024-02-01' AND d < DATE'2024-02-08'")
+    assert(windowed < all, s"date window must prune files: $windowed vs $all")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM geopt.db.byday WHERE d >= DATE'2024-02-01' AND d < DATE'2024-02-08'")
+      .head.getLong(0)
+    assert(n == 700, s"7 days x 100 rows/day, got $n")
+  }
+
+  test("DML on a partitioned table keeps partition stats and pruning") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.dml (k BIGINT, v STRING) USING geo PARTITIONED BY (k)")
+    spark.sql("INSERT INTO geopt.db.dml SELECT id % 4, concat('v', id) FROM range(0, 400)")
+    spark.sql("UPDATE geopt.db.dml SET v = 'upd' WHERE k = 1 AND v = 'v1'")
+    val m = GeoManifest.read(spark, warehouse + "/db/dml")
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.nonEmpty),
+      "CoW-rewritten files keep per-file transform stats")
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.dml WHERE v = 'upd'").head.getLong(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.dml").head.getLong(0) == 400)
+  }
+
+  test("literal transform derivation agrees with the column expression") {
+    // bucket: driver murmur3 vs the hash() column for every supported type
+    val vals = spark.range(1, 50).select($"id",
+      concat(lit("s"), $"id").as("s"),
+      to_date(lit("2024-03-05")).as("d"))
+    val fromCols = vals.select(
+      pmod(hash($"id"), lit(8)).cast("long").as("hb"),
+      pmod(hash($"s"), lit(8)).cast("long").as("sb"),
+      pmod(hash($"d"), lit(8)).cast("long").as("db")).head
+    val t8 = (c: String) => GeoPartition.PTransform("bucket", 8, c)
+    assert(GeoPartition.valueOf(t8("id"), 1L, org.apache.spark.sql.types.LongType).get
+      == fromCols.getLong(0))
+    assert(GeoPartition.valueOf(t8("s"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("s1"),
+      org.apache.spark.sql.types.StringType).get == fromCols.getLong(1))
+    val epochDay = java.time.LocalDate.of(2024, 3, 5).toEpochDay.toInt
+    assert(GeoPartition.valueOf(t8("d"), epochDay,
+      org.apache.spark.sql.types.DateType).get == fromCols.getLong(2))
+    // days on a timestamp literal (micros) matches floor-div semantics
+    val td = GeoPartition.PTransform("days", 0, "ts")
+    val micros = 1700000000L * 1000000L
+    assert(GeoPartition.valueOf(td, micros, org.apache.spark.sql.types.TimestampType).get
+      == Math.floorDiv(micros, 86400000000L))
+  }
+}
