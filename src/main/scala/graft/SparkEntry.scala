@@ -1176,19 +1176,30 @@ object SparkEntry {
     // hash-checked, not smoke-checked.
     "geo_dml_delete_mor" -> ((s, d) => {
       prep(s, d); import GraftFunctions._
-      val root = java.nio.file.Files.createTempDirectory("geo_dml_dm").toString + "/t"
-      val src = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
-        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
-      graft.tables.GeoTable.create(s, root, src, Some("geo"))
+      if (s.conf.getOption("spark.sql.catalog.geomr").isEmpty) {
+        s.conf.set("spark.sql.catalog.geomr", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geomr.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_mr_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geomr.db")
+      s.sql("DROP TABLE IF EXISTS geomr.db.dm")
+      s.sql("CREATE TABLE geomr.db.dm (c_custkey BIGINT, c_nationkey BIGINT, geo BINARY) " +
+        "USING geo TBLPROPERTIES('geometry.column'='geo')")
+      s.sql("""INSERT INTO geomr.db.dm
+               SELECT c_custkey, c_nationkey,
+                      st_point(c_acctbal, CAST(c_nationkey AS DOUBLE)) FROM customer""")
+      val root = s.conf.get("spark.sql.catalog.geomr.warehouse") + "/db/dm"
       val before = graft.tables.GeoManifest.read(s, root).files.map(_.key).toSet
       graft.tables.GeoTable.delete(s, root, expr("c_custkey % 97 = 0"), mode = "mor")
       val after = graft.tables.GeoManifest.read(s, root)
       require(after.files.map(_.key).toSet == before && after.deletes.nonEmpty,
         "merge-on-read delete must leave data files untouched and add a sidecar")
-      graft.tables.GeoTable.read(s, root)
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
-        .orderBy("c_nationkey")
+      // read back through the CATALOG scan: the sidecar anti-join runs
+      // inside the DSv2 readers (row-index merge), not on the DataFrame
+      // surface — deleted rows must not resurface and COUNT must not be
+      // answered from parquet footers
+      s.sql("""SELECT c_nationkey, COUNT(*) AS n, SUM(c_custkey) AS key_sum
+               FROM geomr.db.dm GROUP BY c_nationkey ORDER BY c_nationkey""")
     }),
 
     // MERGE INTO end-state check: update + delete + insert in one statement

@@ -495,14 +495,14 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // The DSv2 scan serves raw data files; merge-on-read sidecars (path
-    // DML surface) need the anti-join merge that lives on the DataFrame
-    // surface. Refuse rather than silently resurrect deleted rows.
-    require(manifest.deletes.isEmpty,
-      s"$tableName has merge-on-read delete files; catalog reads need a compacted " +
-        "snapshot — run GeoTable.compact (SQL: OPTIMIZE), or read via GeoTable.read")
+    // Merge-on-read sidecars merge INSIDE the scan: readers drop rows
+    // whose (file, row-ordinal) appear in a delete sidecar via the
+    // generated parquet row-index column (see GeoMorReaderFactory), so
+    // catalog reads never resurrect deleted rows and never need a
+    // compaction first.
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
-      streamRoot = Some(root), partitions = manifest.partitions)
+      streamRoot = Some(root), partitions = manifest.partitions,
+      deletes = manifest.deletes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -118,7 +118,8 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         files: Seq[FileEntry], options: CaseInsensitiveStringMap,
                         onBuild: GeoCowScan => Unit,
                         streamRoot: Option[String] = None,
-                        partitions: Seq[GeoPartition.PTransform] = Seq.empty)
+                        partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                        deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -130,11 +131,24 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
   private var needFile = false
   private var fullRow = false
 
+  // merge-on-read: the scan also reads Spark's parquet row-index column
+  // (generated, not stored — the same machinery behind
+  // _metadata.row_index, correct under predicate pushdown) so the reader
+  // can anti-join (file, row-ordinal) delete sidecars inline. nullable =
+  // true is load-bearing: the column is absent from the files, and an
+  // optional-missing column is null-filled then overwritten by the
+  // generator, while a required one fails the reader's schema check.
+  private def rowIdxField = StructField(
+    ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+    org.apache.spark.sql.types.LongType, nullable = true)
+
   override def pruneColumns(required: StructType): Unit = {
     needFile = required.fieldNames.contains(GeoRowLevel.FileCol)
     val names = required.fieldNames.toSet
     fullRow = needFile && tableSchema.fieldNames.forall(names.contains)
-    inner.pruneColumns(StructType(required.fields.filterNot(_.name == GeoRowLevel.FileCol)))
+    val base = required.fields.filterNot(_.name == GeoRowLevel.FileCol)
+    inner.pruneColumns(StructType(
+      if (deletes.isEmpty) base else base :+ rowIdxField))
   }
 
   // filters feed BOTH the parquet pushdown (inner) and manifest-level
@@ -152,18 +166,31 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
   // MIN/MAX/COUNT pushdown into parquet footers, same as the plain
   // ParquetScanBuilder path; a group-by on `_file` (the runtime-filter
   // matching scan's DISTINCT) is not a parquet column so the inner
-  // builder rejects it and we read rows as usual
+  // builder rejects it and we read rows as usual. With MoR sidecars the
+  // footers still count deleted rows, so pushdown must not answer.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
+    deletes.isEmpty &&
+      inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+    deletes.isEmpty &&
+      inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
 
   override def build(): Scan = {
+    require(deletes.isEmpty || !needFile,
+      "row-level DML over merge-on-read sidecars must compact first (OPTIMIZE)")
+    // delete sidecars are commit-bounded small (MorMaxRatio admission);
+    // one driver-side load here feeds every partition's inline anti-join
+    val deletedPos: Map[String, Array[Long]] =
+      if (deletes.isEmpty) Map.empty
+      else spark.read.parquet(deletes.map(_.path): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(r => GeoManifest.norm(r.getString(0)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, files, needFile, fullRow, streamRoot, options)
+      tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos)
     // manifest-level partition pruning: per-file transform ranges vs the
     // filter-derived bounds (conservative — underivable filters keep all)
     if (partitions.nonEmpty && allFilters.nonEmpty) {
@@ -188,7 +215,8 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  allFiles: Seq[FileEntry], needFile: Boolean,
                  val coversFullRow: Boolean = false,
                  streamRoot: Option[String] = None,
-                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                 deletedPos: Map[String, Array[Long]] = Map.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var current: Seq[FileEntry] = allFiles
@@ -209,13 +237,20 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   // planning-time size/row statistics from the stock FileScan estimate —
   // without this the catalog table reports defaultSizeInBytes (Long.Max)
-  // and auto-broadcast joins on geo tables never fire
+  // and auto-broadcast joins on geo tables never fire. With MoR sidecars
+  // the estimate includes soon-to-be-filtered rows — fine for an
+  // estimate, the admission rule bounds them to a small fraction.
   override def estimateStatistics(): Statistics = inner0.estimateStatistics()
 
+  // the parquet row-index column is reader-internal: it feeds the MoR
+  // anti-join in the wrapper and never reaches the scan's output schema
+  private def innerOutSchema: StructType = StructType(inner0.readSchema().fields
+    .filterNot(_.name == ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME))
+
   override def readSchema(): StructType =
-    if (needFile) StructType(inner0.readSchema().fields :+
+    if (needFile) StructType(innerOutSchema.fields :+
       StructField(GeoRowLevel.FileCol, StringType, nullable = false))
-    else inner0.readSchema()
+    else innerOutSchema
 
   override def toBatch: Batch = this
 
@@ -267,9 +302,10 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = snapshotBatch().planInputPartitions()
-    if (!needFile) parts
+    if (!needFile && deletedPos.isEmpty) parts
     else {
-      // one partition per file split => `_file` is a per-partition constant
+      // one partition per file split => the file path is a per-partition
+      // constant (the `_file` column for DML; the sidecar lookup for MoR)
       val pfs = parts.flatMap(_.asInstanceOf[FilePartition].files)
       pfs.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }
     }
@@ -277,7 +313,14 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val f = inner0.toBatch.createReaderFactory()
-    if (!needFile) f else GeoAppendFileReaderFactory(f)
+    if (deletedPos.nonEmpty) {
+      // row-based only while a scanned file actually has deleted rows
+      // (a ColumnarBatch admits no row selection); if pruning dropped
+      // every sidecar'd file, batches stay vectorized minus the index col
+      val morActive = current.exists(f => deletedPos.contains(f.key))
+      GeoMorReaderFactory(f, deletedPos, inner0.readSchema(), morActive)
+    }
+    else if (!needFile) f else GeoAppendFileReaderFactory(f)
   }
 
   // keep the inner parquet description: PushedFilters / ReadSchema stay
@@ -330,6 +373,71 @@ case class GeoAppendFileReaderFactory(inner: PartitionReaderFactory)
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     inner.supportColumnarReads(p)
+}
+
+/**
+ * Merge-on-read scan wrapper: the inner parquet reader emits the table
+ * columns plus the generated row-index column; rows whose (file,
+ * row-ordinal) appear in a delete sidecar are dropped, and the index
+ * column is projected away. Partitions are one file split each, so the
+ * sidecar lookup is resolved once per partition; files without deleted
+ * rows pay only the projection. When NO scanned file has deletions
+ * (`morActive` false — pruning dropped every sidecar'd file) reads stay
+ * columnar and the wrapper just rebuilds batches without the index
+ * vector.
+ */
+case class GeoMorReaderFactory(inner: PartitionReaderFactory,
+                               deleted: Map[String, Array[Long]],
+                               innerSchema: StructType,
+                               morActive: Boolean)
+  extends PartitionReaderFactory {
+
+  private val idxOrd = innerSchema.fieldIndex(
+    ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
+
+  private def pathOf(p: InputPartition): String =
+    p.asInstanceOf[FilePartition].files.head.filePath.toString
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dels = deleted.getOrElse(GeoManifest.norm(pathOf(p)), Array.empty[Long])
+    val r = inner.createReader(p)
+    val keep = innerSchema.fields.indices.filterNot(_ == idxOrd)
+    val proj = UnsafeProjection.create(keep.map(i =>
+      BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)).toArray)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (dels.isEmpty ||
+              java.util.Arrays.binarySearch(dels, row.getLong(idxOrd)) < 0) {
+            cur = row; return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val cols = innerSchema.fields.indices.filterNot(_ == idxOrd)
+          .map(b.column).toArray
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !morActive && inner.supportColumnarReads(p)
 }
 
 /** Commit message: one written parquet file and its row count. */

@@ -52,7 +52,7 @@ object ManifestScale {
       GeoManifest.commit(spark, root,
         back.copy(version = 1, files = back.files ++ entries(1)), 0)
       val tCommit = (System.nanoTime() - t2) / 1e6
-      val bytes = new java.io.File(s"$root/manifest/m0.txt").length()
+      val bytes = new java.io.File(s"$root/_manifests/m0.txt").length()
       println(f"[mscale] files=$n%7d size=${bytes / 1024.0 / 1024.0}%8.1f MB " +
         f"write=$tWrite%8.1f ms read=$tRead%8.1f ms commit(+1 file)=$tCommit%8.1f ms")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))

@@ -143,4 +143,37 @@ class GeoMorSpec extends SparkSpec {
     assert(net == Seq((10L, "delete"), (100L, "insert"), (101L, "insert"), (102L, "insert")),
       s"got $net")
   }
+
+  test("catalog scans merge MoR sidecars inline — no compaction required") {
+    val dir = java.nio.file.Files.createTempDirectory("geo_mor_cat").toString
+    spark.conf.set("spark.sql.catalog.geomor",
+      classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geomor.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geomor.db")
+    spark.sql("CREATE TABLE geomor.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geomor.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    GeoTable.delete(spark, s"$dir/db/t", $"id" % 10 === 0, mode = "mor")
+    assert(GeoManifest.read(spark, s"$dir/db/t").deletes.nonEmpty, "need a MoR snapshot")
+    // full scan, aggregation (footer COUNT pushdown must NOT answer), and
+    // a pushed filter that lands on a file with deleted rows
+    assert(spark.sql("SELECT COUNT(*) FROM geomor.db.t").head.getLong(0) == 90)
+    val ids = spark.sql("SELECT id FROM geomor.db.t").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(_ % 10 == 0))
+    val some = spark.sql("SELECT v FROM geomor.db.t WHERE id >= 18 AND id <= 22")
+      .as[String].collect().sorted.toSeq
+    assert(some == Seq("v18", "v19", "v21", "v22"), s"got $some")
+    // a second sidecar accumulates; the scan merges the union
+    GeoTable.delete(spark, s"$dir/db/t", $"id" === 7L, mode = "mor")
+    assert(spark.sql("SELECT COUNT(*) FROM geomor.db.t").head.getLong(0) == 89)
+    // MoR UPDATE: sidecar'd old rows invisible, appended new rows visible
+    GeoTable.update(spark, s"$dir/db/t", Seq("v" -> lit("upd")), $"id" === 33L, mode = "mor")
+    val upd = spark.sql("SELECT v FROM geomor.db.t WHERE id = 33").as[String].collect().toSeq
+    assert(upd == Seq("upd"), s"got $upd")
+    // catalog read == the DataFrame-surface merged read, row for row
+    val cat = spark.sql("SELECT id, v FROM geomor.db.t")
+    val path = GeoTable.read(spark, s"$dir/db/t").select($"id", $"v")
+    assert(cat.exceptAll(path).count() == 0 && path.exceptAll(cat).count() == 0)
+    // OPTIMIZE folds the sidecars; reads go back to the plain path
+    spark.sql("DROP TABLE geomor.db.t")
+  }
 }
