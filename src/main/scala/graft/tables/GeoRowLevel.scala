@@ -87,11 +87,13 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = GeoManifest.read(spark, root)
-    require(m.deletes.isEmpty,
-      s"$root has merge-on-read delete files; native DML needs a compacted " +
-        "snapshot — run GeoTable.compact (SQL: OPTIMIZE) first")
+    // MoR sidecars merge inside the scan readers (GeoMorReaderFactory):
+    // the rewrite sees only visible rows, so hidden rows never resurrect
+    // through a CoW rewrite; commit prunes sidecar entries that pointed
+    // into the replaced files (their rows are gone for good).
     new GeoCowScanBuilder(spark, m.schema, m.files, options,
-      s => if (mainScan == null && s.coversFullRow) mainScan = s)
+      s => if (mainScan == null && s.coversFullRow) mainScan = s,
+      deletes = m.deletes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -179,8 +181,6 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
       inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
 
   override def build(): Scan = {
-    require(deletes.isEmpty || !needFile,
-      "row-level DML over merge-on-read sidecars must compact first (OPTIMIZE)")
     // delete sidecars are commit-bounded small (MorMaxRatio admission);
     // one driver-side load here feeds every partition's inline anti-join
     val deletedPos: Map[String, Array[Long]] =
@@ -318,7 +318,10 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
       // (a ColumnarBatch admits no row selection); if pruning dropped
       // every sidecar'd file, batches stay vectorized minus the index col
       val morActive = current.exists(f => deletedPos.contains(f.key))
-      GeoMorReaderFactory(f, deletedPos, inner0.readSchema(), morActive)
+      val mor = GeoMorReaderFactory(f, deletedPos, inner0.readSchema(), morActive)
+      // DML scans compose the `_file` append on TOP of the MoR merge:
+      // [cols..., rowIdx] --mor--> [cols...] --append--> [cols..., _file]
+      if (needFile) GeoAppendFileReaderFactory(mor) else mor
     }
     else if (!needFile) f else GeoAppendFileReaderFactory(f)
   }
@@ -488,21 +491,48 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
       throw new java.util.ConcurrentModificationException(
         s"row-level operation on $root scanned ${gone.size} file(s) that a concurrent " +
           s"commit replaced (e.g. ${gone.head}); re-run the statement against the new snapshot")
-    // CoW UPDATE rewrites every row of every replaced file — written total
-    // must equal the replaced files' row total exactly. Catches any future
-    // scan-identification bug (writing a narrowed subset while replacing
-    // the full file set would silently drop rows) before the swap.
+    // MoR sidecar upkeep: positions pointing into replaced files are
+    // spent (the rewrite read the MERGED view, so those hidden rows are
+    // gone for good); entries on untouched files must survive. A sidecar
+    // parquet can mix both, so survivors are compacted into one fresh
+    // sidecar rather than trusting per-file bookkeeping.
+    val (keptDeletes, hiddenInReplaced) =
+      if (fresh.deletes.isEmpty) (fresh.deletes, 0L)
+      else {
+        val pairs = spark.read.parquet(fresh.deletes.map(_.path): _*)
+          .select("file_path", "pos").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val (spent, live) = pairs.partition(p => replaced.contains(GeoManifest.norm(p._1)))
+        if (spent.isEmpty) (fresh.deletes, 0L)
+        else if (live.isEmpty) (Seq.empty[GeoManifest.DeleteEntry], spent.length.toLong)
+        else {
+          val dir = s"$root/data/d${java.util.UUID.randomUUID().toString.take(12)}"
+          val sp = spark
+          import sp.implicits._
+          live.toSeq.toDF("file_path", "pos").coalesce(1).write.parquet(dir)
+          val es = GeoManifest.listParquet(spark, dir).map(p =>
+            GeoManifest.DeleteEntry(p, live.length.toLong))
+          (es, spent.length.toLong)
+        }
+      }
+    // CoW UPDATE rewrites every VISIBLE row of every replaced file —
+    // written total must equal the replaced files' rows minus their
+    // MoR-hidden rows exactly. Catches any future scan-identification bug
+    // (writing a narrowed subset while replacing the full file set would
+    // silently drop rows) before the swap.
     if (cmd == RowLevelOperation.Command.UPDATE) {
       val replacedRows = fresh.files.filter(f => replaced.contains(f.key)).map(_.rows).sum
       val writtenRows = messages.collect { case GeoCowCommitMessage(_, n) => n }.sum
-      if (writtenRows != replacedRows)
+      if (writtenRows != replacedRows - hiddenInReplaced)
         throw new IllegalStateException(
           s"UPDATE on $root wrote $writtenRows row(s) but is replacing files holding " +
-            s"$replacedRows — scan/replace mismatch, refusing to commit")
+            s"${replacedRows - hiddenInReplaced} visible row(s) — scan/replace mismatch, " +
+            "refusing to commit")
     }
     val untouched = fresh.files.filterNot(f => replaced.contains(f.key))
     GeoManifest.commit(spark, root,
-      fresh.copy(version = fresh.version + 1, files = untouched ++ entries), fresh.version)
+      fresh.copy(version = fresh.version + 1, files = untouched ++ entries,
+        deletes = keptDeletes), fresh.version)
     // zero-row replacement files never enter the manifest; drop them now
     // rather than leaving unreferenced garbage for vacuum. Best-effort:
     // the manifest swap above already succeeded, so a transient FS error

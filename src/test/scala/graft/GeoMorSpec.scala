@@ -176,4 +176,46 @@ class GeoMorSpec extends SparkSpec {
     // OPTIMIZE folds the sidecars; reads go back to the plain path
     spark.sql("DROP TABLE geomor.db.t")
   }
+
+  test("native DML runs on MoR snapshots: rewrite sees the merged view, spent sidecars prune") {
+    val dir = java.nio.file.Files.createTempDirectory("geo_mor_dml").toString
+    spark.conf.set("spark.sql.catalog.geomd",
+      classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geomd.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geomd.db")
+    spark.sql("CREATE TABLE geomd.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geomd.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val root = s"$dir/db/t"
+    GeoTable.delete(spark, root, $"id" === 42L, mode = "mor")
+    assert(GeoManifest.read(spark, root).deletes.nonEmpty)
+    // native UPDATE over the sidecar'd snapshot: the CoW rewrite reads the
+    // MERGED view (42 invisible), and the row-conservation check accounts
+    // for the hidden row instead of refusing the commit
+    spark.sql("UPDATE geomd.db.t SET v = 'upd' WHERE id >= 40 AND id < 45")
+    val vs = spark.sql("SELECT id, v FROM geomd.db.t WHERE id >= 40 AND id < 45")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(vs == Seq((40L, "upd"), (41L, "upd"), (43L, "upd"), (44L, "upd")), s"got $vs")
+    // the sidecar entry pointed into a replaced file — it must be pruned
+    // (42 is gone for good, not resurrect-able by any read path)
+    val m = GeoManifest.read(spark, root)
+    assert(spark.sql("SELECT COUNT(*) FROM geomd.db.t").head.getLong(0) == 99)
+    assert(spark.sql("SELECT COUNT(*) FROM geomd.db.t WHERE id = 42").head.getLong(0) == 0)
+    assert(m.totalRows == 99, s"manifest accounting off: ${m.totalRows}")
+    // sidecars on untouched files survive a rewrite elsewhere: hide one
+    // row per half, rewrite only the other half's files
+    GeoTable.delete(spark, root, $"id" === 7L, mode = "mor")
+    spark.sql("DELETE FROM geomd.db.t WHERE id = 90")
+    assert(spark.sql("SELECT COUNT(*) FROM geomd.db.t").head.getLong(0) == 97)
+    assert(spark.sql("SELECT COUNT(*) FROM geomd.db.t WHERE id = 7").head.getLong(0) == 0)
+    // native MERGE over a sidecar'd snapshot nets correctly too
+    spark.sql("""MERGE INTO geomd.db.t t USING (SELECT 7L AS sid UNION ALL SELECT 50L) s
+                 ON t.id = s.sid
+                 WHEN MATCHED THEN UPDATE SET v = 'merged'
+                 WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.sid, 'inserted')""")
+    val after = spark.sql("SELECT v FROM geomd.db.t WHERE id IN (7, 50)")
+      .as[String].collect().sorted.toSeq
+    // 7 is MoR-hidden => NOT MATCHED => re-inserted; 50 updates in place
+    assert(after == Seq("inserted", "merged"), s"got $after")
+    spark.sql("DROP TABLE geomd.db.t")
+  }
 }
