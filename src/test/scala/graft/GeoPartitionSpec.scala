@@ -92,6 +92,44 @@ class GeoPartitionSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM geopt.db.dml").head.getLong(0) == 400)
   }
 
+  test("partition pruning composes with MoR sidecars: pruned scans stay columnar") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.pm (k BIGINT, v STRING) USING geo PARTITIONED BY (k)")
+    spark.sql("INSERT INTO geopt.db.pm SELECT id % 16, concat('v', id) FROM range(0, 4000)")
+    val root = warehouse + "/db/pm"
+    // range clustering gives each file a CONTIGUOUS k range, so with >= 2
+    // files the file holding k=0 cannot also hold k=15: deleting at one
+    // extreme and querying the other exercises pruned-scan columnar reads
+    assert(GeoManifest.read(spark, root).files.count(_.rows > 0) >= 2)
+    // hide two rows in partition k=15 via a position-delete sidecar
+    graft.tables.GeoTable.delete(spark, root,
+      col("k") === 15L && col("v").isin("v15", "v31"), mode = "mor")
+    assert(GeoManifest.read(spark, root).deletes.nonEmpty)
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf to collect*),
+    // so pin it off while inspecting the scan's columnar support
+    def scan(sql: String) = {
+      val qe = spark.sql(sql).queryExecution
+      val columnar = qe.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.supportsColumnar
+      }
+      (qe, columnar.getOrElse(fail(s"no BatchScanExec in:\n${qe.executedPlan}")))
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // k=0 prunes away every sidecar'd file -> vectorized reads retained
+      val (q1, col1) = scan("SELECT COUNT(*) FROM geopt.db.pm WHERE k = 0")
+      assert(col1, s"pruned scan must stay columnar:\n${q1.executedPlan}")
+      assert(spark.sql("SELECT COUNT(*) FROM geopt.db.pm WHERE k = 0").head.getLong(0) == 250)
+      // k=15 hits the sidecar'd files -> row-based merge, rows hidden
+      val (_, col2) = scan("SELECT COUNT(*) FROM geopt.db.pm WHERE k = 15")
+      assert(!col2, "sidecar'd partition must merge row-based")
+      assert(spark.sql("SELECT COUNT(*) FROM geopt.db.pm WHERE k = 15").head.getLong(0) == 248)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.pm").head.getLong(0) == 3998)
+  }
+
   test("literal transform derivation agrees with the column expression") {
     // bucket: driver murmur3 vs the hash() column for every supported type
     val vals = spark.range(1, 50).select($"id",
