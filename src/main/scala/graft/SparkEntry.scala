@@ -1285,11 +1285,12 @@ object SparkEntry {
     }),
 
     // Partitioned geo table (Iceberg hidden-partitioning analog): DDL
-    // carries days(d) + bucket(8, k), writes cluster rows by transform
-    // value, the manifest records per-file transform min/max, and both
-    // legs run against files pruned from the pushed filters (date window
-    // prunes days(), point lookup prunes bucket()). Values pass through
-    // untouched, so DuckDB replays the filters over the raw source.
+    // carries days(d) + bucket(8, k) on one table and truncate(1000, k)
+    // on a second; writes cluster rows by transform value, the manifest
+    // records per-file transform min/max, and all legs run against files
+    // pruned from the pushed filters (date window prunes days(), point
+    // lookup prunes bucket(), key range prunes truncate()). Values pass
+    // through untouched, so DuckDB replays the filters over the raw source.
     "geo_partitioned" -> ((s, d) => {
       prep(s, d)
       if (s.conf.getOption("spark.sql.catalog.geopq").isEmpty) {
@@ -1303,11 +1304,18 @@ object SparkEntry {
         "PARTITIONED BY (days(dd), bucket(8, k))")
       s.sql("""INSERT INTO geopq.db.pt
                SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice FROM orders""")
+      s.sql("DROP TABLE IF EXISTS geopq.db.ptt")
+      s.sql("CREATE TABLE geopq.db.ptt (k BIGINT, dd DATE, price DOUBLE) USING geo " +
+        "PARTITIONED BY (truncate(1000, k))")
+      s.sql("""INSERT INTO geopq.db.ptt
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice FROM orders""")
       s.sql("""
         SELECT 1 AS phase, k, dd, price FROM geopq.db.pt
         WHERE dd >= DATE'1995-01-01' AND dd < DATE'1995-02-01'
         UNION ALL
         SELECT 2, k, dd, price FROM geopq.db.pt WHERE k = 7
+        UNION ALL
+        SELECT 3, k, dd, price FROM geopq.db.ptt WHERE k >= 2000 AND k < 3000
         ORDER BY phase, k""")
     }),
 
@@ -2357,6 +2365,9 @@ object SparkEntry {
       UNION ALL
       SELECT 2, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey = 7
+      UNION ALL
+      SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
       ORDER BY phase, k""",
 
     "st_tier3_measures" -> """

@@ -457,6 +457,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       p.kind match {
         case "identity" => Expressions.identity(p.col)
         case "bucket" => Expressions.bucket(p.n, p.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(p.n), Expressions.column(p.col))
         case "days" => Expressions.days(p.col)
         case "hours" => Expressions.hours(p.col)
         case "months" => Expressions.months(p.col)

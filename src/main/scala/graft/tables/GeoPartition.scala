@@ -3,9 +3,11 @@ package graft.tables
 import graft.tables.GeoManifest.FileEntry
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3Hash}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3Hash, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Partition transforms for GeoCatalog tables — `PARTITIONED BY (col)`,
@@ -30,13 +32,19 @@ import org.apache.spark.sql.types._
  *    matching Spark's own extract semantics at session UTC)
  *  - bucket(n): pmod(murmur3(col), n) — Spark's `hash` function, so the
  *    written clustering and driver-side literal derivation agree
+ *  - truncate(w): integral → floored to a multiple of w (monotonic, so
+ *    ranges derive); string → first 8 UTF-8 bytes of the w-code-point
+ *    prefix packed big-endian with the sign bit flipped, an ORDER
+ *    EMBEDDING of the truncated string (signed long compare == unsigned
+ *    lexicographic byte compare), so string ranges derive too
  */
 object GeoPartition {
 
-  /** One transform: kind ∈ identity|bucket|days|hours|months|years. */
+  /** One transform: kind ∈ identity|bucket|truncate|days|hours|months|years. */
   final case class PTransform(kind: String, n: Int, col: String) {
     def encode: String = kind match {
       case "bucket" => s"bucket($n,$col)"
+      case "truncate" => s"truncate($n,$col)"
       case "identity" => col
       case k => s"$k($col)"
     }
@@ -45,9 +53,11 @@ object GeoPartition {
 
   private val unitRe = "(days|hours|months|years)\\(([^)]+)\\)".r
   private val bucketRe = "bucket\\((\\d+),([^)]+)\\)".r
+  private val truncateRe = "truncate\\((\\d+),([^)]+)\\)".r
 
   def decode(s: String): PTransform = s.trim match {
     case bucketRe(n, c) => PTransform("bucket", n.toInt, c.trim)
+    case truncateRe(n, c) => PTransform("truncate", n.toInt, c.trim)
     case unitRe(k, c) => PTransform(k, 0, c.trim)
     case c => PTransform("identity", 0, c)
   }
@@ -62,6 +72,10 @@ object GeoPartition {
     case "bucket" => dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | StringType => true
+      case _ => false
+    }
+    case "truncate" => dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _ => false
     }
     case _ => dt == DateType || dt == TimestampType
@@ -92,6 +106,17 @@ object GeoPartition {
           if (supports("bucket", f.dataType)) Right(PTransform("bucket", n, f.name))
           else Left(s"bucket partitioning cannot hash ${f.dataType.simpleString}")
         }
+      case "truncate" =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(0)
+        if (w <= 0) Left(s"$t: truncate width must be a positive literal")
+        else field(colName).flatMap { f =>
+          if (supports("truncate", f.dataType)) Right(PTransform("truncate", w, f.name))
+          else Left(s"truncate partitioning needs an integral/string column, " +
+            s"'${f.name}' is ${f.dataType.simpleString}")
+        }
       case k @ ("days" | "hours" | "months" | "years") => field(colName).flatMap { f =>
         if (supports(k, f.dataType)) Right(PTransform(k, 0, f.name))
         else Left(s"$k() needs a date/timestamp column, '${f.name}' is ${f.dataType.simpleString}")
@@ -112,6 +137,15 @@ object GeoPartition {
         case _ => c.cast(LongType)
       }
       case "bucket" => pmod(hash(c), lit(t.n)).cast(LongType)
+      case "truncate" => f.dataType match {
+        // Iceberg truncate: floor to a multiple of the width (pmod is
+        // non-negative, so negatives floor downward, not toward zero)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c.cast(LongType) - pmod(c.cast(LongType), lit(t.n.toLong))).cast(LongType)
+        case _ =>
+          org.apache.spark.sql.graft.GraftShim.column(
+            StrTruncPack(org.apache.spark.sql.graft.GraftShim.expression(c), t.n))
+      }
       case "days" => f.dataType match {
         case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
         case _ => floor(unix_micros(c).cast(DoubleType) / 86400000000.0).cast(LongType)
@@ -163,6 +197,19 @@ object GeoPartition {
         val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42).eval(null).asInstanceOf[Int]
         val m = h % t.n
         Some(if (m < 0) m + t.n else m)
+      case "truncate" => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val l = v.asInstanceOf[Number].longValue()
+          Some(l - Math.floorMod(l, t.n.toLong))
+        case StringType =>
+          val u = v match {
+            case s: UTF8String => s
+            case s: String => UTF8String.fromString(s)
+            case _ => return None
+          }
+          Some(packPrefix(u, t.n))
+        case _ => None
+      }
       case "days" => micros.map(u => Math.floorDiv(u, 86400000000L))
       case "hours" => micros.map(u => Math.floorDiv(u, 3600000000L))
       case "months" => micros.map { u =>
@@ -232,6 +279,23 @@ object GeoPartition {
     case other => Seq(other)
   }
 
+  /** First 8 UTF-8 bytes of the w-code-point prefix, packed big-endian
+    * with the sign bit flipped: SIGNED long order equals the truncated
+    * string's lexicographic (unsigned byte) order, non-strictly —
+    * strings sharing the packed 8 bytes collapse to one value, which is
+    * the conservative direction for min/max pruning. Called from
+    * generated code (static forwarder). */
+  def packPrefix(s: UTF8String, w: Int): Long = {
+    val b = s.substringSQL(1, w).getBytes
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
   /** Keep the files whose recorded per-transform ranges can satisfy the
     * filters; files without stats (legacy, all-null values) always stay. */
   def prune(files: Seq[FileEntry], transforms: Seq[PTransform],
@@ -245,4 +309,18 @@ object GeoPartition {
       }
     }
   }
+}
+
+/** `truncate(w, stringCol)` partition value: [[GeoPartition.packPrefix]]
+  * of the column, as a codegen'd LONG expression so the write-side
+  * clustering shuffle stays inside whole-stage codegen. */
+case class StrTruncPack(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    GeoPartition.packPrefix(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.tables.GeoPartition.packPrefix($a, $w)")
+  override protected def withNewChildInternal(newChild: Expression): StrTruncPack =
+    copy(child = newChild)
+  override def prettyName: String = "graft_trunc_pack"
 }

@@ -130,6 +130,71 @@ class GeoPartitionSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM geopt.db.pm").head.getLong(0) == 3998)
   }
 
+  test("truncate partitioning on integers: equality and ranges prune") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.tri (k BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (truncate(1000, k))")
+    spark.sql("INSERT INTO geopt.db.tri SELECT id, concat('v', id) FROM range(0, 8000)")
+    val m = GeoManifest.read(spark, warehouse + "/db/tri")
+    assert(m.partitions == Seq(GeoPartition.PTransform("truncate", 1000, "k")))
+    val all = scannedFiles("SELECT * FROM geopt.db.tri")
+    assert(scannedFiles("SELECT * FROM geopt.db.tri WHERE k = 4321") < all)
+    assert(scannedFiles("SELECT * FROM geopt.db.tri WHERE k >= 7000") < all)
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.tri WHERE k >= 7000").head.getLong(0) == 1000)
+    assert(spark.sql("SELECT v FROM geopt.db.tri WHERE k = 4321").head.getString(0) == "v4321")
+  }
+
+  test("truncate partitioning on strings: prefix ranges prune via the packed order") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.trs (name STRING, k BIGINT) USING geo " +
+      "PARTITIONED BY (truncate(2, name))")
+    // prefixes aa..pp -> 16 distinct truncated values across the files
+    spark.sql("""INSERT INTO geopt.db.trs
+      SELECT concat(char(97 + id % 16), char(97 + id % 16), '_', id), id
+      FROM range(0, 4000)""")
+    val all = scannedFiles("SELECT * FROM geopt.db.trs")
+    val eq = scannedFiles("SELECT * FROM geopt.db.trs WHERE name = 'cc_2'")
+    val rng = scannedFiles(
+      "SELECT * FROM geopt.db.trs WHERE name >= 'mm' AND name < 'nn'")
+    assert(eq < all, s"string equality must prune: $eq vs $all")
+    assert(rng < all, s"string range must prune: $rng vs $all")
+    assert(spark.sql("SELECT k FROM geopt.db.trs WHERE name = 'cc_2'").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.trs WHERE name >= 'mm' AND name < 'nn'")
+      .head.getLong(0) == 250)
+  }
+
+  test("truncate literal derivation agrees with the column expression") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // integers, including negatives (floor, not toward-zero)
+    val ti = GeoPartition.PTransform("truncate", 10, "k")
+    val longs = Seq(-27L, -10L, -1L, 0L, 7L, 10L, 123L)
+    val fromCol = spark.createDataset(longs).toDF("k")
+      .select(GeoPartition.transformCol(ti,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", LongType)))).as("t"))
+      .collect().map(_.getLong(0))
+    val fromLit = longs.map(v => GeoPartition.valueOf(ti, v, LongType).get)
+    assert(fromCol.toSeq == fromLit, s"$fromCol vs $fromLit")
+    assert(fromLit == Seq(-30L, -10L, -10L, 0L, 0L, 10L, 120L))
+    // strings, multibyte included: column expression == driver literal
+    val ts = GeoPartition.PTransform("truncate", 3, "s")
+    val strs = Seq("", "a", "abc", "abcdef", "日本語のテキスト", "éclair", "zz")
+    val sCol = spark.createDataset(strs).toDF("s")
+      .select(GeoPartition.transformCol(ts,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s", StringType)))).as("t"))
+      .collect().map(_.getLong(0))
+    val sLit = strs.map(v => GeoPartition.valueOf(ts, UTF8String.fromString(v), StringType).get)
+    assert(sCol.toSeq == sLit, s"$sCol vs $sLit")
+    // the packing is an order embedding of the truncated strings
+    val sorted = strs.map(UTF8String.fromString).sortWith(_.compareTo(_) < 0).map(_.toString)
+    val packedInSortedOrder = sorted.map(v =>
+      GeoPartition.packPrefix(UTF8String.fromString(v), 3))
+    assert(packedInSortedOrder == packedInSortedOrder.sorted,
+      s"packed longs must be monotone over string order: $sorted -> $packedInSortedOrder")
+  }
+
   test("literal transform derivation agrees with the column expression") {
     // bucket: driver murmur3 vs the hash() column for every supported type
     val vals = spark.range(1, 50).select($"id",
