@@ -34,11 +34,17 @@ import java.nio.charset.StandardCharsets
  * so TIMESTAMP AS OF and the snapshots/history metadata tables survive
  * filesystem copies and clock-skewed writers that reorder file mtimes
  * (Iceberg stores commit timestamps in metadata for the same reason;
- * v1/v2 manifests fall back to mtime). Readers SKIP unknown line tags
- * ONLY when the manifest declares a format version newer than the reader
- * knows (additive v4+ tags won't break this reader); an unknown tag in a
- * v1–v3 manifest is corruption and fails hard — skipping it would turn a
- * torn line into silently missing data files.
+ * v1/v2 manifests fall back to mtime); v5 shards the file list — above
+ * `spark.graft.manifest.shardSize` entries the manifest becomes a LIST
+ * whose `shard <name> <count>` lines reference immutable shard files
+ * (`_manifests/s-*.txt`, `file` lines only), the Iceberg
+ * manifest-list/manifest split: an append commit rewrites one small
+ * shard plus the list instead of the full file inventory, so commit
+ * metadata cost is O(changed files), not O(table). Readers SKIP unknown
+ * line tags ONLY when the manifest declares a format version newer than
+ * the reader knows (additive v6+ tags won't break this reader); an
+ * unknown tag in a v1–v5 manifest is corruption and fails hard —
+ * skipping it would turn a torn line into silently missing data files.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -59,8 +65,10 @@ object GeoManifest {
     def intersects(e: Envelope): Boolean =
       !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
         ymin <= e.getMaxY && ymax >= e.getMinY
-    /** Normalized key matching Spark's `input_file_name()` form. */
-    def key: String = GeoManifest.norm(path)
+    /** Normalized key matching Spark's `input_file_name()` form. Cached:
+      * sharded-manifest commits key every entry of a large table, and a
+      * URI parse per call would dominate the commit. */
+    lazy val key: String = GeoManifest.norm(path)
   }
 
   /** `dropped` is the tombstone list for schema evolution: names of
@@ -88,24 +96,38 @@ object GeoManifest {
     def key: String = GeoManifest.norm(path)
   }
 
+  /** One immutable manifest shard (v5): `name` under `<root>/_manifests/`,
+    * holding a slice of the version's `file` lines. `baseShards` on a
+    * read manifest records the layout so the NEXT commit can reference
+    * unchanged shards instead of rewriting the full file list; derived
+    * manifests keep it through `copy()`. */
+  final case class ShardRef(name: String, entries: Seq[FileEntry])
+
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
                             dropped: Seq[String] = Seq.empty,
                             streamCommits: Map[String, Long] = Map.empty,
                             commitTs: Option[Long] = None,
                             deletes: Seq[DeleteEntry] = Seq.empty,
-                            partitions: Seq[GeoPartition.PTransform] = Seq.empty) {
+                            partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                            baseShards: Seq[ShardRef] = Seq.empty) {
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
   }
 
   /** file:///a/b, file:/a/b, hdfs://nn/a/b and /a/b all compare equal. */
-  def norm(p: String): String =
+  def norm(p: String): String = {
+    // fast path: no scheme separator before the first slash means the
+    // string is already a bare path — skip the URI allocation+parse
+    val colon = p.indexOf(':')
+    val slash = p.indexOf('/')
+    if (colon < 0 || (slash >= 0 && slash < colon)) return p
     try {
       val u = new java.net.URI(p)
       if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
     } catch { case _: Exception => p }
+  }
 
   def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -169,13 +191,68 @@ object GeoManifest {
     }
   }
 
+  private def fileLine(e: FileEntry): String = {
+    val ps = if (e.pstats.isEmpty) ""
+             else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
+    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$ps\n"
+  }
+
+  /** Files-per-shard for v5 manifest lists. Below this many entries the
+    * file list stays inline (v3/v4) — the measured envelope
+    * (ManifestScale) holds one text read to ~1M files, but every commit
+    * rewrites it all; sharding makes commits O(changed files). */
+  def shardSize(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.shardSize", "25000").toInt
+
+  /** Write shard files for `m.files` and return (name, count) list lines.
+    * Base shards whose entries all survive verbatim are referenced
+    * unchanged; shards at or below ss/4 entries are folded back into the
+    * fresh pool so repeated single-file appends cannot grow the shard
+    * list without bound (amortized O(ss) rewrite per commit). */
+  private def writeShards(f: FileSystem, root: String, m: Manifest, ss: Int): Seq[ShardRef] = {
+    // Identity-based coverage: derived manifests share FileEntry
+    // INSTANCES with the base they were read from (every mutation is a
+    // copy() around the read file list), so membership checks need no
+    // string hashing over a million paths. A shard is reusable iff every
+    // one of its entry instances appears in m.files — an entry that was
+    // rebuilt structurally rather than carried over just misses, and its
+    // shard is rewritten: always correct, only less incremental.
+    val shardOf = new java.util.IdentityHashMap[FileEntry, ShardRef](m.files.length * 2)
+    m.baseShards.foreach(s => s.entries.foreach(e => shardOf.put(e, s)))
+    val present = new java.util.IdentityHashMap[ShardRef, Array[Int]]()
+    m.files.foreach { e =>
+      val s = shardOf.get(e)
+      if (s != null) present.computeIfAbsent(s, _ => Array(0))(0) += 1
+    }
+    def reusable(s: ShardRef): Boolean =
+      s.entries.length > ss / 4 && {
+        val c = present.get(s); c != null && c(0) == s.entries.length
+      }
+    val reused = m.baseShards.filter(reusable)
+    val fresh = m.files.filter { e =>
+      val s = shardOf.get(e); s == null || !reusable(s)
+    }
+    val freshRefs = fresh.grouped(ss).map { es =>
+      val name = s"s-${java.util.UUID.randomUUID().toString.take(13)}.txt"
+      val sb = new StringBuilder("graftshard\t1\n")
+      es.foreach(e => sb ++= fileLine(e))
+      writeText(f, new Path(root, s"_manifests/$name"), sb.toString)
+      ShardRef(name, es)
+    }.toSeq
+    reused ++ freshRefs
+  }
+
   def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val f = fs(spark, root)
+    val ss = shardSize(spark)
+    val sharded = m.files.length >= ss
     val lines = new StringBuilder()
     // format 4 adds `delete` sidecar lines, `partition` transform lines
-    // and per-file partition stats; tables using none of them keep
-    // writing 3 so older snapshots stay bit-stable for existing readers
-    lines ++= (if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
+    // and per-file partition stats; format 5 shards the file list above
+    // the size threshold. Tables needing none of this keep writing 3 so
+    // older snapshots stay bit-stable for existing readers.
+    lines ++= (if (sharded) "graftgeo\t5\n"
+               else if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
                else "graftgeo\t3\n")
     // always stamp NOW: manifests are derived from the base via copy(),
     // and inheriting the base's commit ts would corrupt the history order
@@ -187,11 +264,11 @@ object GeoManifest {
       lines ++= s"stream\t$sink\t$batch\n"
     }
     m.partitions.foreach { p => lines ++= s"partition\t${p.encode}\n" }
-    m.files.foreach { e =>
-      val ps = if (e.pstats.isEmpty) ""
-               else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
-      lines ++= s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$ps\n"
-    }
+    if (sharded)
+      writeShards(f, root, m, ss).foreach { s =>
+        lines ++= s"shard\t${s.name}\t${s.entries.length}\n"
+      }
+    else m.files.foreach { e => lines ++= fileLine(e) }
     m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
     // manifest first (immutable, new name), pointer flip last. The flip
     // is an in-place truncate+write of a few bytes; readers that race it
@@ -208,6 +285,43 @@ object GeoManifest {
     readVersion(spark, root, v)
   }
 
+  private def parseFileEntry(parts: Array[String]): FileEntry = {
+    // trailing pairs (if any) are per-partition-transform min/max
+    val ps = parts.drop(7).grouped(2).collect {
+      case Array(a, b) => (a.toLong, b.toLong)
+    }.toSeq
+    FileEntry(parts(1), parts(2).toLong,
+      parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps)
+  }
+
+  /** Read v5 shard files, in parallel — a 1M-file table is ~40 shard
+    * reads, and on remote filesystems the per-file round-trip dominates. */
+  private def readShards(f: FileSystem, root: String, v: Int,
+                         names: Seq[String]): Seq[ShardRef] = {
+    if (names.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, names.length))
+    try {
+      val futs = names.map { n =>
+        pool.submit(new java.util.concurrent.Callable[ShardRef] {
+          override def call(): ShardRef = {
+            val entries = readText(f, new Path(root, s"_manifests/$n"))
+              .split('\n').filter(_.nonEmpty).toSeq.flatMap { line =>
+                val parts = line.split('\t')
+                parts(0) match {
+                  case "graftshard" => None
+                  case "file" => Some(parseFileEntry(parts))
+                  case _ => throw new IllegalArgumentException(
+                    s"bad shard line in $n (manifest m$v.txt) at $root: '$line'")
+                }
+              }
+            ShardRef(n, entries)
+          }
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   def readVersion(spark: SparkSession, root: String, v: Int): Manifest = {
     val f = fs(spark, root)
     val text = readText(f, new Path(root, s"_manifests/m$v.txt"))
@@ -216,6 +330,7 @@ object GeoManifest {
     var commitTs: Option[Long] = None
     var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
+    val shardNames = Seq.newBuilder[String]
     val deletes = Seq.newBuilder[DeleteEntry]
     val partitions = Seq.newBuilder[GeoPartition.PTransform]
     val dropped = Seq.newBuilder[String]
@@ -234,37 +349,40 @@ object GeoManifest {
         case "ts" => commitTs = Some(parts(1).toLong)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
-        case "file" =>
-          // trailing pairs (if any) are per-partition-transform min/max
-          val ps = parts.drop(7).grouped(2).collect {
-            case Array(a, b) => (a.toLong, b.toLong)
-          }.toSeq
-          files += FileEntry(parts(1), parts(2).toLong,
-            parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps)
+        case "file" => files += parseFileEntry(parts)
+        case "shard" => shardNames += parts(1)
         case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
         case "partition" => partitions += GeoPartition.decode(parts(1))
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
-          // a format newer than this reader (additive v5+ tags). In a
-          // v1–v4 manifest an unrecognized tag is corruption (e.g. a torn
+          // a format newer than this reader (additive v6+ tags). In a
+          // v1–v5 manifest an unrecognized tag is corruption (e.g. a torn
           // `file` line) — skipping it would turn a torn write into
           // silently missing data files that the next commit persists.
-          if (declared <= 4)
+          if (declared <= 5)
             throw new IllegalArgumentException(
               s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
     }
     require(schema != null, s"manifest m$v.txt at $root has no schema line")
     GeoSchema.validate(schema)
+    val shards = readShards(f, root, v, shardNames.result())
+    shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
-      commitTs, deletes.result(), partitions.result())
+      commitTs, deletes.result(), partitions.result(), shards)
   }
 
   /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling
-    * back to the manifest file's mtime for pre-v3 manifests. */
-  def commitTsOf(spark: SparkSession, root: String, v: Int): Long =
-    readVersion(spark, root, v).commitTs.getOrElse(
-      fs(spark, root).getFileStatus(new Path(root, s"_manifests/m$v.txt")).getModificationTime)
+    * back to the manifest file's mtime for pre-v3 manifests. Header-only
+    * scan — timestamp resolution loops over every version (TIMESTAMP AS
+    * OF, history), so this must not resolve v5 shard files. */
+  def commitTsOf(spark: SparkSession, root: String, v: Int): Long = {
+    val f = fs(spark, root)
+    val p = new Path(root, s"_manifests/m$v.txt")
+    readText(f, p).split('\n').collectFirst {
+      case l if l.startsWith("ts\t") => l.substring(3).trim.toLong
+    }.getOrElse(f.getFileStatus(p).getModificationTime)
+  }
 
   // -------------------------------------------------------------------------
   // Stats collection

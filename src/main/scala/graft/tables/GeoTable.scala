@@ -115,9 +115,11 @@ object GeoTable {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
     val keepFrom = math.max(0, cur.version - keepVersions + 1)
+    val liveShards = scala.collection.mutable.Set.empty[String]
     val live = (keepFrom to cur.version).flatMap { v =>
       try {
         val mv = GeoManifest.readVersion(spark, root, v)
+        liveShards ++= mv.baseShards.map(_.name)
         mv.files.map(_.key) ++ mv.deletes.map(_.key) // sidecars are live too
       } catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
     }.toSet
@@ -134,9 +136,17 @@ object GeoTable {
       }
       doomed.result().foreach { p => if (fs.delete(p, false)) removed += 1 }
     }
-    // drop manifests older than the kept window
+    // drop manifests older than the kept window, then GC v5 shard files
+    // no kept manifest references (dissolved by later commits, or only
+    // referenced by the just-dropped manifests)
     (0 until keepFrom).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt"), false)
+    }
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n.startsWith("s-") && !liveShards.contains(n))
+        fs.delete(s.getPath, false)
     }
     removed
   }

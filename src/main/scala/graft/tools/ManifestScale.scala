@@ -37,7 +37,13 @@ object ManifestScale {
         pstats = Seq((19000L + i % 365, 19001L + i % 365)))
     }
 
-    for (n <- Seq(10000, 100000, 300000, 1000000) if n <= max) {
+    // inline: the whole file list in one manifest text (format <=4,
+    // shardSize forced out of reach); sharded: format 5 manifest lists
+    // (the default threshold) where commits rewrite O(changed) metadata
+    for (mode <- Seq("inline", "sharded"); n <- Seq(10000, 100000, 300000, 1000000)
+         if n <= max) {
+      spark.conf.set("spark.graft.manifest.shardSize",
+        if (mode == "inline") Int.MaxValue.toString else "25000")
       val root = java.nio.file.Files.createTempDirectory(s"mscale_$n").toString
       val m = Manifest(0, schema, Some("g"), entries(n), partitions = pts)
       val t0 = System.nanoTime()
@@ -47,16 +53,27 @@ object ManifestScale {
       val back = GeoManifest.read(spark, root)
       val tRead = (System.nanoTime() - t1) / 1e6
       require(back.files.length == n && back.files.head.pstats.nonEmpty)
-      // incremental commit cost on a big table: one more append over n files
+      // incremental commit cost on a big table: one more append over n
+      // files — wall time AND metadata bytes written (the cost that
+      // dominates on a remote object store)
+      val mdir = new java.io.File(s"$root/_manifests")
+      val preexisting = mdir.listFiles().map(_.getName).toSet
       val t2 = System.nanoTime()
       GeoManifest.commit(spark, root,
         back.copy(version = 1, files = back.files ++ entries(1)), 0)
       val tCommit = (System.nanoTime() - t2) / 1e6
-      val bytes = new java.io.File(s"$root/_manifests/m0.txt").length()
-      println(f"[mscale] files=$n%7d size=${bytes / 1024.0 / 1024.0}%8.1f MB " +
-        f"write=$tWrite%8.1f ms read=$tRead%8.1f ms commit(+1 file)=$tCommit%8.1f ms")
+      val commitBytes = mdir.listFiles()
+        .filterNot(f => preexisting.contains(f.getName)).map(_.length()).sum
+      val bytes = mdir.listFiles().filter(f => f.getName == "m0.txt" ||
+        f.getName.startsWith("s-")).map(_.length()).sum
+      val shards = back.baseShards.length
+      println(f"[mscale] mode=$mode%-7s files=$n%7d shards=$shards%3d " +
+        f"size=${bytes / 1024.0 / 1024.0}%8.1f MB write=$tWrite%8.1f ms " +
+        f"read=$tRead%8.1f ms commit(+1 file)=$tCommit%8.1f ms " +
+        f"commitWrites=${commitBytes / 1024.0}%9.1f KB")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
+    spark.conf.unset("spark.graft.manifest.shardSize")
     spark.stop()
   }
 }

@@ -330,12 +330,19 @@ class GeoCatalogSpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE TABLE geo.db.parted").collect().map(_.mkString("|")).mkString("\n")
     assert(desc.contains("days(ts)") && desc.contains("bucket(16, id)"), s"got:\n$desc")
     spark.sql("DROP TABLE geo.db.parted")
-    // an unsupported transform still gets a targeted hint
+    // truncate is native too (r11): DDL round-trips on string columns
+    spark.sql("CREATE TABLE geo.db.parted (id BIGINT, s STRING, g BINARY) USING geo " +
+      "PARTITIONED BY (truncate(4, s))")
+    val desc2 = spark.sql("DESCRIBE TABLE geo.db.parted").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc2.contains("truncate"), s"got:\n$desc2")
+    spark.sql("DROP TABLE geo.db.parted")
+    // an unsupported transform (truncate of a non-integral/string column)
+    // still gets a targeted hint
     val e = intercept[Exception](spark.sql(
-      "CREATE TABLE geo.db.parted (id BIGINT, s STRING, g BINARY) USING geo " +
-        "PARTITIONED BY (truncate(4, s))"))
-    assert(e.getMessage.contains("identity"),
-      s"truncate must point at the identity-on-materialized-column migration:\n${e.getMessage}")
+      "CREATE TABLE geo.db.parted (id BIGINT, f DOUBLE, g BINARY) USING geo " +
+        "PARTITIONED BY (truncate(4, f))"))
+    assert(e.getMessage.contains("integral/string"),
+      s"truncate on a double must name the accepted column types:\n${e.getMessage}")
     // and a transform on an incompatible column names the reason
     val e2 = intercept[Exception](spark.sql(
       "CREATE TABLE geo.db.parted (id BIGINT, s STRING, g BINARY) USING geo " +

@@ -146,8 +146,8 @@ class GeoEvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
     assert(e.getMessage.contains("bad manifest line"))
     // the same unknown tag under a declared FUTURE format version is additive
-    // (v4 = position deletes is a known format now, so the future is 5)
-    editManifest(original.replace("graftgeo\t3", "graftgeo\t5") + "newtag\tpayload\n")
+    // (v5 = sharded manifest lists is a known format now, so the future is 6)
+    editManifest(original.replace("graftgeo\t3", "graftgeo\t6") + "newtag\tpayload\n")
     assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
     // a v2 manifest (no ts line) still reads, with commitTs empty
     editManifest(original.replace("graftgeo\t3", "graftgeo\t2")
