@@ -211,6 +211,25 @@ object GeoChangelog {
   private[tables] def changeFields: Seq[StructField] = Seq(
     StructField(ChangeTypeCol, StringType, nullable = false),
     StructField(CommitVersionCol, IntegerType, nullable = false))
+
+  /** One single-file [[GeoTaggedPartition]] per (file, role): the parquet
+    * template re-plans each file alone so the reader can append that
+    * role's change constants. Shared by the batch changes scan and the
+    * CDC stream. */
+  private[tables] def taggedPartitions(spark: SparkSession, inner0: ParquetScan,
+                                       tableSchema: StructType,
+                                       fileTags: Seq[(FileEntry, String, Int)])
+      : Array[InputPartition] = {
+    var i = -1
+    fileTags.flatMap { case (f, tag, v) =>
+      val plan = inner0.copy(fileIndex = new InMemoryFileIndex(
+        spark, Seq(new Path(f.path)), Map.empty, Some(tableSchema))).toBatch.planInputPartitions()
+      plan.flatMap(_.asInstanceOf[FilePartition].files).map { pf =>
+        i += 1
+        GeoTaggedPartition(FilePartition(i, Array(pf)), tag, v): InputPartition
+      }
+    }.toArray
+  }
 }
 
 /**
@@ -235,24 +254,31 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
     StructType(endSchemaOf(current).fields ++ GeoChangelog.changeFields)
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val vTo = Option(options.get("to-version")).map(_.toInt).getOrElse(current)
     val vFrom = Option(options.get("from-version")).map(_.toInt).getOrElse(0)
-    val steps = GeoChangelog.versionSteps(sparkAtLoad, root, vFrom, vTo)
-    // merge-on-read commits delete row SUBSETS of files; this scan serves
-    // whole files with a constant change tag, so it cannot express them —
-    // the DataFrame surface (GeoTable.changes / netChanges) can
-    require(steps.forall(_.addedDeletes.isEmpty),
-      s"changelog range ($vFrom, $vTo] of $tableName includes merge-on-read delete " +
-        "commits; use GeoTable.changes/netChanges, or OPTIMIZE and restart the range")
-    // normalized file path -> (change type, commit version); a file both
-    // added and later removed inside the range appears once per role
-    val fileTags: Seq[(FileEntry, String, Int)] = steps.flatMap { s =>
-      s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
-    }
-    new GeoChangesScanBuilder(sparkAtLoad, endSchemaOf(vTo), fileTags, options)
+    // Batch fileTags are computed eagerly (the parquet template scans the
+    // changed files, which also feeds planning statistics). A STREAMING
+    // read plans its own per-batch ranges from checkpoint offsets, so a
+    // batch-range failure here (e.g. vacuumed history before a stream's
+    // resume point) is deferred and only thrown on actual batch use.
+    val (fileTags, morVersions, batchErr) =
+      try {
+        val steps = GeoChangelog.versionSteps(sparkAtLoad, root, vFrom, vTo)
+        // merge-on-read commits delete row SUBSETS of files; this scan
+        // serves whole files with a constant change tag, so it cannot
+        // express them — the DataFrame surface (changes / netChanges) can
+        (steps.flatMap { s =>
+          s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
+        }, steps.filter(_.addedDeletes.nonEmpty).map(_.version), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          (Seq.empty[(FileEntry, String, Int)], Seq.empty[Int], Some(e))
+      }
+    new GeoChangesScanBuilder(sparkAtLoad, root, tableName, endSchemaOf(vTo),
+      fileTags, morVersions, batchErr, options)
   }
 }
 
@@ -260,8 +286,10 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
   * parquet builder, tracks whether the two change-metadata columns are
   * required. Files carrying both roles (rewritten within the range) are
   * listed twice under distinct scan paths via per-role planning. */
-class GeoChangesScanBuilder(spark: SparkSession, tableSchema: StructType,
+class GeoChangesScanBuilder(spark: SparkSession, root: String, tableName: String,
+                            tableSchema: StructType,
                             fileTags: Seq[(FileEntry, String, Int)],
+                            morVersions: Seq[Int], batchErr: Option[Throwable],
                             options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -277,8 +305,8 @@ class GeoChangesScanBuilder(spark: SparkSession, tableSchema: StructType,
   }
 
   override def build(): Scan =
-    new GeoChangesScan(spark, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, fileTags, needMeta)
+    new GeoChangesScan(spark, root, tableName, inner.build().asInstanceOf[ParquetScan],
+      tableSchema, fileTags, morVersions, batchErr, needMeta, options)
 }
 
 /**
@@ -288,9 +316,11 @@ class GeoChangesScanBuilder(spark: SparkSession, tableSchema: StructType,
  * the range is read twice — once per role — exactly the changelog
  * semantics.
  */
-class GeoChangesScan(spark: SparkSession, inner0: ParquetScan,
-                     tableSchema: StructType,
-                     fileTags: Seq[(FileEntry, String, Int)], needMeta: Boolean)
+class GeoChangesScan(spark: SparkSession, root: String, tableName: String,
+                     inner0: ParquetScan, tableSchema: StructType,
+                     fileTags: Seq[(FileEntry, String, Int)],
+                     morVersions: Seq[Int], batchErr: Option[Throwable],
+                     needMeta: Boolean, options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -302,21 +332,22 @@ class GeoChangesScan(spark: SparkSession, inner0: ParquetScan,
   override def estimateStatistics(): Statistics = inner0.estimateStatistics()
 
   override def planInputPartitions(): Array[InputPartition] = {
-    var i = -1
-    fileTags.flatMap { case (f, tag, v) =>
-      val plan = inner0.copy(fileIndex = new InMemoryFileIndex(
-        spark, Seq(new Path(f.path)), Map.empty, Some(tableSchema))).toBatch.planInputPartitions()
-      plan.flatMap(_.asInstanceOf[FilePartition].files).map { pf =>
-        i += 1
-        GeoTaggedPartition(FilePartition(i, Array(pf)), tag, v): InputPartition
-      }
-    }.toArray
+    batchErr.foreach(e => throw e)
+    require(morVersions.isEmpty,
+      s"changelog range of $tableName includes merge-on-read delete commit(s) at " +
+        s"version(s) ${morVersions.mkString(", ")}; use GeoTable.changes/netChanges, " +
+        "or OPTIMIZE and restart the range")
+    GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val f = inner0.toBatch.createReaderFactory()
     if (!needMeta) GeoUnwrapReaderFactory(f) else GeoAppendChangeReaderFactory(f)
   }
+
+  /** Streaming CDC: `spark.readStream.table("geo.db.t.changes")`. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GeoChangesCdcStream(spark, root, inner0, tableSchema, needMeta, options)
 
   override def description(): String =
     s"GeoChangesScan(files=${fileTags.length}) ${inner0.description()}"
@@ -422,6 +453,68 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def createReaderFactory(): PartitionReaderFactory =
     inner0.toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/**
+ * Streaming CDC feed over a GeoTable: `spark.readStream
+ * .table("geo.db.t.changes")` (the Delta readChangeFeed / Iceberg
+ * changelog-stream analog). Offsets are manifest versions; each
+ * micro-batch emits the file-granular changelog of `(start, end]` —
+ * appended files' rows tagged `insert`, removed files' rows tagged
+ * `delete` (a CoW rewrite emits delete+insert pairs), each with its
+ * commit version. Replay is deterministic from immutable manifests, so
+ * checkpoint recovery is exactly-once. Merge-on-read delete commits name
+ * row SUBSETS of live files and cannot be replayed as whole-file
+ * constants — they fail the stream with guidance (OPTIMIZE folds the
+ * sidecars away; or consume GeoTable.netChanges in batch).
+ *
+ * Options: `stream-from-version` = n | "current" (default 0: emit the
+ * whole current state as inserts, then tail).
+ */
+class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan,
+                          tableSchema: StructType, needMeta: Boolean,
+                          options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val startVersion: Int =
+    Option(options.get("stream-from-version")) match {
+      case Some("current") => GeoManifest.currentVersion(spark, root).getOrElse(0)
+      case Some(v) => v.toInt
+      case None => 0
+    }
+
+  override def initialOffset(): Offset = GeoStreamOffset(startVersion)
+
+  override def latestOffset(): Offset =
+    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (v0, v1) = (start.asInstanceOf[GeoStreamOffset].version,
+      end.asInstanceOf[GeoStreamOffset].version)
+    if (v0 >= v1) return Array.empty
+    val steps = GeoChangelog.versionSteps(spark, root, v0, v1)
+    val mor = steps.filter(_.addedDeletes.nonEmpty)
+    if (mor.nonEmpty) throw new IllegalStateException(
+      s"CDC stream of $root hit merge-on-read delete commit(s) at version(s) " +
+        s"${mor.map(_.version).mkString(", ")}: row-subset deletes cannot be " +
+        "replayed file-granularly — OPTIMIZE the table and restart the stream " +
+        "past them, or consume GeoTable.netChanges in batch")
+    val fileTags = steps.flatMap { s =>
+      s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
+    }
+    GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = inner0.toBatch.createReaderFactory()
+    if (needMeta) GeoAppendChangeReaderFactory(f) else GeoUnwrapReaderFactory(f)
+  }
 
   override def commit(end: Offset): Unit = ()
 

@@ -154,6 +154,64 @@ class GeoChangelogSpec extends SparkSpec {
     assert(ids == (50L until 53L), s"got $ids")
   }
 
+  test("CDC stream over t.changes equals the batch changelog across CoW commits") {
+    warehouse
+    val root = s"$warehouse/db/cf"
+    spark.sql("CREATE TABLE geocls.db.cf (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.cf SELECT id, 'a' FROM range(0, 6)")  // v1 append
+    spark.sql("UPDATE geocls.db.cf SET v = 'u' WHERE id = 3")              // v2 CoW rewrite
+
+    val q = spark.readStream.table("geocls.db.cf.changes")
+      .writeStream.format("memory").queryName("geo_cdc").start()
+    q.processAllAvailable()
+    // v3 lands AFTER the stream started — the next micro-batch tails it
+    spark.sql("INSERT INTO geocls.db.cf SELECT id, 'b' FROM range(6, 8)")
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Int)] =
+      df.select($"id", $"v", col(GeoChangelog.ChangeTypeCol).as("ct"),
+        col(GeoChangelog.CommitVersionCol).as("cv"))
+        .as[(Long, String, String, Int)].collect().sortBy(r => (r._4, r._3, r._1, r._2)).toSeq
+    val streamed = canon(spark.table("geo_cdc"))
+    val batch = canon(GeoTable.changes(spark, root, 0, 3))
+    assert(streamed == batch, s"stream must equal batch changelog:\n$streamed\nvs\n$batch")
+    // the CoW rewrite shows the touched file as delete+insert pairs:
+    // same row count both ways, pre-image 'a' out, post-image 'u' in
+    val v2del = streamed.filter(r => r._4 == 2 && r._3 == "delete")
+    val v2ins = streamed.filter(r => r._4 == 2 && r._3 == "insert")
+    assert(v2del.nonEmpty && v2del.length == v2ins.length, s"$v2del vs $v2ins")
+    assert(v2del.exists(r => r._1 == 3 && r._2 == "a"))
+    assert(v2ins.exists(r => r._1 == 3 && r._2 == "u"))
+  }
+
+  test("CDC stream from current tails only new commits; MoR commits fail with guidance") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.cm (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.cm SELECT id, 'a' FROM range(0, 50)")
+    val q = spark.readStream.option("stream-from-version", "current")
+      .table("geocls.db.cm.changes")
+      .writeStream.format("memory").queryName("geo_cdc_tail").start()
+    q.processAllAvailable()
+    assert(spark.table("geo_cdc_tail").count() == 0, "history must be skipped")
+    spark.sql("INSERT INTO geocls.db.cm SELECT id, 'b' FROM range(50, 53)")
+    q.processAllAvailable()
+    val ids = spark.table("geo_cdc_tail").select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (50L until 53L), s"got $ids")
+
+    // a merge-on-read delete names row subsets — the CDC stream must fail,
+    // naming the commit and the way out
+    GeoTable.delete(spark, s"$warehouse/db/cm", $"id" === 1L, mode = "mor")
+    assert(GeoManifest.read(spark, s"$warehouse/db/cm").deletes.nonEmpty,
+      "test setup: the DELETE must have produced a MoR sidecar")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("merge-on-read"), s"got: $msg")
+    assert(msg.contains("OPTIMIZE"), s"got: $msg")
+  }
+
   test("streamed rows respect pushed filters and pruned columns") {
     warehouse
     spark.sql("CREATE TABLE geocls.db.pf (id BIGINT, v STRING, w STRING) USING geo")
