@@ -1319,6 +1319,37 @@ object SparkEntry {
         ORDER BY phase, k""")
     }),
 
+    // Sharded manifest lists (format v5, the Iceberg manifest-list split):
+    // with the shard threshold forced low, three multi-file appends and a
+    // CoW delete run the full shard lifecycle — fresh shards, reuse across
+    // commits, dissolve on rewrite — and the catalog scan serves the result
+    // (asserted sharded). DuckDB replays the end state from the raw source,
+    // so shard resolution is hash-checked, not smoke-checked.
+    "geo_sharded" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geosh").isEmpty) {
+        s.conf.set("spark.sql.catalog.geosh", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geosh.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_sh_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geosh.db")
+      s.sql("DROP TABLE IF EXISTS geosh.db.sh")
+      s.conf.set("spark.graft.manifest.shardSize", "2")
+      try {
+        s.sql("CREATE TABLE geosh.db.sh (k BIGINT, nat BIGINT) USING geo")
+        (0 to 2).foreach { r =>
+          s.sql(s"""INSERT INTO geosh.db.sh
+                    SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = $r""")
+        }
+        s.sql("DELETE FROM geosh.db.sh WHERE k % 10 = 0")
+        val root = s.conf.get("spark.sql.catalog.geosh.warehouse") + "/db/sh"
+        val m = graft.tables.GeoManifest.read(s, root)
+        require(m.baseShards.nonEmpty, "the manifest must be sharded (v5)")
+      } finally s.conf.unset("spark.graft.manifest.shardSize")
+      s.sql("""SELECT nat, COUNT(*) AS n, SUM(k) AS key_sum
+               FROM geosh.db.sh GROUP BY nat ORDER BY nat""")
+    }),
+
     // scale path for dedup planning: HLL++ estimate vs exact count — at
     // 100 TB the estimate is a single map-side sketch merge, no shuffle of
     // distinct values. The sketch value is engine-specific, so the oracle
@@ -2369,6 +2400,11 @@ object SparkEntry {
       SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
       ORDER BY phase, k""",
+
+    "geo_sharded" -> """
+      SELECT c_nationkey AS nat, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM customer WHERE c_custkey % 10 <> 0
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "st_tier3_measures" -> """
       SELECT p_partkey,
