@@ -173,15 +173,25 @@ object GeoManifest {
     * session). Cross-JVM safety is still the optimistic check only. */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Run `body` under the root's commit lock. VACUUM takes this too: its
+    * GC deletes files no kept manifest references, and an in-flight
+    * commit's freshly written data/shard files are referenced by NOTHING
+    * until the pointer flips — unsynchronized GC could delete them out
+    * from under the commit. (Cross-JVM, that window is the same
+    * single-writer caveat as the optimistic commit itself.) */
+  private[tables] def withCommitLock[A](root: String)(body: => A): A = {
+    val lock = commitLocks.computeIfAbsent(norm(root), _ => new Object)
+    lock.synchronized(body)
+  }
+
   /** Commit with an optimistic concurrency check: fails when `_current`
     * no longer points at `expectedBase` (another writer committed since
     * this operation read its snapshot). Atomic for same-JVM writers (per
     * root lock); best-effort across JVMs on filesystems without atomic
     * pointer swap — true multi-writer safety needs a lock service, as
     * with any file-based table format. */
-  def commit(spark: SparkSession, root: String, m: Manifest, expectedBase: Int): Unit = {
-    val lock = commitLocks.computeIfAbsent(norm(root), _ => new Object)
-    lock.synchronized {
+  def commit(spark: SparkSession, root: String, m: Manifest, expectedBase: Int): Unit =
+    withCommitLock(root) {
       val cur = currentVersion(spark, root)
       if (!cur.contains(expectedBase))
         throw new java.util.ConcurrentModificationException(
@@ -189,7 +199,6 @@ object GeoManifest {
             s"was based on $expectedBase; re-read and retry")
       write(spark, root, m)
     }
-  }
 
   private def fileLine(e: FileEntry): String = {
     val ps = if (e.pstats.isEmpty) ""

@@ -110,7 +110,14 @@ object GeoTable {
    * number of files removed. Irreversible: time travel beyond the kept
    * window stops working — same contract as Iceberg's expire-snapshots.
    */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int =
+    GeoManifest.withCommitLock(root) {
+      vacuum0(spark, root, keepVersions)
+    }
+
+  // under the commit lock: GC must not race an in-flight commit whose new
+  // data/shard files are referenced by nothing until the pointer flips
+  private def vacuum0(spark: SparkSession, root: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)

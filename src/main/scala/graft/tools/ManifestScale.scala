@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
 
 /**
  * Manifest-scale measurement (dev harness): how expensive are manifest
- * write / pointer-flip / read at large file counts? The manifest is one
- * driver-side text file (GeoManifest.scala) — Iceberg splits manifest
- * lists at this point; this harness produces the numbers that decide
- * shard-vs-document (ROUND11_NOTES records the outcome).
+ * write / read / commit at large file counts, inline (format <=4, one
+ * driver-side text file) vs sharded (format 5 manifest lists, the
+ * Iceberg split)? The decisive column is commitWrites: an inline commit
+ * rewrites the whole inventory; a sharded append commit writes the
+ * small list plus one shard (ROUND11_NOTES records the outcome).
  *
  * Usage: runMain graft.tools.ManifestScale [maxFiles]
  */
