@@ -136,22 +136,10 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
     * keeping commit timestamps in table metadata. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val root = tableRoot(ident)
-    val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
-    val cutoffMs = Math.floorDiv(timestampMicros, 1000L)
-    val manifestRe = "m(\\d+)\\.txt".r
-    // cap at _current: a manifest written by a failed commit (no pointer
-    // flip) is not a committed snapshot
-    val versions = fs.listStatus(new Path(root, "_manifests")).flatMap { s =>
-      s.getPath.getName match {
-        case manifestRe(v) if v.toInt <= cur &&
-          GeoManifest.commitTsOf(spark, root, v.toInt) <= cutoffMs => Some(v.toInt)
-        case _ => None
-      }
-    }
-    require(versions.nonEmpty,
-      s"no snapshot of ${ident.toString} as of ${java.time.Instant.ofEpochMilli(cutoffMs)}")
+    GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
+    val v = GeoManifest.versionAsOf(spark, root, Math.floorDiv(timestampMicros, 1000L))
     new GeoV2Table(s"$catalogName.${ident.toString}", root,
-      GeoManifest.readVersion(spark, root, versions.max))
+      GeoManifest.readVersion(spark, root, v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -479,7 +467,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
@@ -519,6 +507,12 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
               if (overwrite) GeoTable.overwrite(SparkSession.active, root, data)
               else GeoTable.append(SparkSession.active, root, data)
           }
+        // `writeStream.toTable("geo.db.t")` — OutputMode.Complete arrives
+        // as truncate() (replace contents each epoch), Append appends.
+        // The sink id is the streaming query id, which Spark persists in
+        // the checkpoint: stable across restarts, fresh per checkpoint.
+        override def toStreaming: GeoStreamingWrite =
+          new GeoStreamingWrite(root, info.schema(), s"q-${info.queryId()}", overwrite)
       }
     }
 }

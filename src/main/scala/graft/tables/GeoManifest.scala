@@ -393,6 +393,27 @@ object GeoManifest {
     }.getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
+  /** Newest committed snapshot whose commit timestamp is <= `cutoffMs` —
+    * the `TIMESTAMP AS OF` resolution rule. Only manifests at or below
+    * the `_current` pointer count: one written by a failed commit (no
+    * pointer flip) is not a committed snapshot. */
+  def versionAsOf(spark: SparkSession, root: String, cutoffMs: Long): Int = {
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no GeoTable at $root"))
+    val manifestRe = "m(\\d+)\\.txt".r
+    val versions = f.listStatus(new Path(root, "_manifests")).flatMap { s =>
+      s.getPath.getName match {
+        case manifestRe(v) if v.toInt <= cur && commitTsOf(spark, root, v.toInt) <= cutoffMs =>
+          Some(v.toInt)
+        case _ => None
+      }
+    }
+    require(versions.nonEmpty,
+      s"no snapshot of $root as of ${java.time.Instant.ofEpochMilli(cutoffMs)}")
+    versions.max
+  }
+
   // -------------------------------------------------------------------------
   // Stats collection
   // -------------------------------------------------------------------------

@@ -566,12 +566,15 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
 case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    conf: SerializableConfiguration,
                                    dir: String, tableSchema: StructType,
-                                   incoming: StructType, dataIdx: Array[Int])
+                                   incoming: StructType, dataIdx: Array[Int],
+                                   tag: String = "")
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val path = f"$dir/part-$partitionId%05d-$taskId.parquet"
+      // `tag` disambiguates reuse of (partitionId, taskId) across epochs
+      // when the factory serves a streaming write (one file per epoch)
+      private val path = f"$dir/part-$partitionId%05d-$taskId$tag.parquet"
       private val ctx = new TaskAttemptContextImpl(conf.value,
         new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId % Int.MaxValue).toInt))
       // project by name when the incoming rows carry metadata columns
