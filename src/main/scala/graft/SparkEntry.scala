@@ -698,6 +698,73 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // RESTORE (Delta RESTORE / Iceberg rollback analog): two appends, a
+    // DELETE, a rollback of that delete, then a different DELETE on the
+    // restored state. Each phase reads via time travel, so the hash pins
+    // (a) restore undoing the delete, (b) history surviving the restore,
+    // (c) post-restore DML operating on the restored state. The DuckDB
+    // oracle replays the set algebra from the DML predicates alone.
+    "geo_restore" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geors").isEmpty) {
+        s.conf.set("spark.sql.catalog.geors", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geors.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_rs_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geors.db")
+      s.sql("DROP TABLE IF EXISTS geors.db.rs")
+      s.sql("CREATE TABLE geors.db.rs (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geors.db.rs SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 0") // v1
+      s.sql("INSERT INTO geors.db.rs SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 1") // v2
+      s.sql("DELETE FROM geors.db.rs WHERE id % 5 = 0")                    // v3
+      // GeoSql.exec: the RESTORE statement needs the injected parser; the
+      // correctness driver's vanilla session goes through the front-half
+      graft.tables.GeoSql.exec(s, "RESTORE TABLE geors.db.rs TO VERSION AS OF 2") // v4 == v2
+      s.sql("DELETE FROM geors.db.rs WHERE id % 7 = 0")                    // v5 on restored state
+      s.sql("""
+        SELECT 3 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM geors.db.rs VERSION AS OF 3
+        UNION ALL
+        SELECT 4, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geors.db.rs VERSION AS OF 4
+        UNION ALL
+        SELECT 5, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geors.db.rs
+        ORDER BY phase""")
+    }),
+
+    // Native DSv2 streaming sink (Iceberg streaming-append analog):
+    // customers stream through writeStream.toTable into a geo catalog
+    // table — per-epoch atomic manifest commits with the exactly-once
+    // watermark — then the TABLE is aggregated. The oracle aggregates the
+    // source directly: any dropped/duplicated epoch changes the hash.
+    "geo_stream_sink" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geosk").isEmpty) {
+        s.conf.set("spark.sql.catalog.geosk", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geosk.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_sk_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geosk.db")
+      s.sql("DROP TABLE IF EXISTS geosk.db.sk")
+      s.sql("CREATE TABLE geosk.db.sk (id BIGINT, nat BIGINT) USING geo")
+      val schema = s.read.parquet(s"$d/customer.parquet").schema
+      val ck = java.nio.file.Files.createTempDirectory("geo_sk_ck").toString
+      // several micro-batches, not one gulp: maxFilesPerTrigger is file-
+      // granular, so split the source into per-bucket files first
+      val srcDir = java.nio.file.Files.createTempDirectory("geo_sk_src").toString + "/files"
+      s.read.parquet(s"$d/customer.parquet")
+        .withColumn("b", col("c_custkey") % 4)
+        .repartition(4, col("b")).drop("b")
+        .write.parquet(srcDir)
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .selectExpr("CAST(c_custkey AS BIGINT) AS id", "CAST(c_nationkey AS BIGINT) AS nat")
+        .writeStream.option("checkpointLocation", ck).toTable("geosk.db.sk")
+      q.processAllAvailable(); q.stop()
+      s.table("geosk.db.sk").groupBy("nat")
+        .agg(count("*").as("n_rows"), sum("id").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // KML/GML reader-writer roundtrip: the parse must invert the writer
     // exactly, so st_astext of the roundtrip equals a directly-built WKT
     // string in the oracle (no XML on the DuckDB side at all)
@@ -1983,6 +2050,26 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // restore reduces to set algebra over the DML predicates: phase 3 =
+    // inserts minus the first delete, phase 4 = inserts (delete undone),
+    // phase 5 = inserts minus the second delete
+    "geo_restore" -> """
+      WITH ins AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 3 IN (0, 1))
+      SELECT 3 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM ins WHERE id % 5 <> 0
+      UNION ALL
+      SELECT 4, COUNT(*), CAST(SUM(id) AS BIGINT) FROM ins
+      UNION ALL
+      SELECT 5, COUNT(*), CAST(SUM(id) AS BIGINT) FROM ins WHERE id % 7 <> 0
+      ORDER BY phase""",
+
+    // streaming sink reduces to the source aggregate: exactly-once means
+    // the streamed table holds each customer exactly once
+    "geo_stream_sink" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer GROUP BY 1 ORDER BY nat""",
 
     // XML roundtrip reduces to identity: build the same WKT strings directly
     "st_xml_roundtrip" -> """

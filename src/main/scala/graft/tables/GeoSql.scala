@@ -25,6 +25,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - MERGE INTO t USING src ON cond WHEN [NOT] MATCHED ...
  *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
  *  - OPTIMIZE t [INTO n FILES] · VACUUM t [RETAIN n VERSIONS]
+ *  - RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
  *
  * Split front/back: `GeoSqlParser` (injected via
  * SparkSessionExtensions.injectParser) turns matching statements into
@@ -70,6 +71,10 @@ object GeoSql {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val restoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /**
    * Root of a geo table named in SQL: the path registry first, then
@@ -136,6 +141,10 @@ object GeoSql {
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt)))
     case vacuumRe(name, keep) if resolveRoot(name).isDefined =>
       Some(GeoVacuumCommand(name, Option(keep).map(_.toInt)))
+    case restoreRe(name, v) if resolveRoot(name).isDefined =>
+      Some(GeoRestoreCommand(name, Left(v.toInt)))
+    case restoreTsRe(name, ts) if resolveRoot(name).isDefined =>
+      Some(GeoRestoreCommand(name, Right(ts)))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -562,6 +571,27 @@ case class GeoVacuumCommand(name: String, keep: Option[Int]) extends GeoRunnable
     val root = GeoSql.rootOf(name)
     val removed = GeoTable.vacuum(spark, root, keep.getOrElse(1))
     Seq(Row(removed.toLong))
+  }
+}
+
+/** RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts' (Delta
+  * RESTORE / Iceberg rollback analog): commit a new version carrying the
+  * target snapshot's data state — history preserved, O(1) data I/O.
+  * Returns the restored snapshot's row count. */
+case class GeoRestoreCommand(name: String, to: Either[Int, String]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val rows = to match {
+      case Left(v) => GeoTable.restore(spark, root, v)
+      case Right(ts) =>
+        // Spark evaluates the literal so every SQL timestamp form and the
+        // session timezone behave exactly as in TIMESTAMP AS OF reads
+        val cutoff = spark.sql(s"SELECT CAST('$ts' AS TIMESTAMP)").head.getTimestamp(0)
+        require(cutoff != null, s"cannot parse timestamp '$ts'")
+        GeoTable.restoreAsOf(spark, root, cutoff.getTime)
+    }
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(rows))
   }
 }
 

@@ -158,6 +158,56 @@ object GeoTable {
     removed
   }
 
+  /**
+   * RESTORE to an earlier snapshot (Delta `RESTORE TABLE` / Iceberg
+   * rollback_to_snapshot analog): commits a NEW version whose data state
+   * — schema, file list, delete sidecars, partition spec, geometry
+   * column, drop tombstones — is the target snapshot's. History is
+   * preserved: time travel still reaches the undone versions until
+   * vacuum expires them, and the restore itself shows up in `history`.
+   * O(1) data I/O — files are re-referenced, never copied; v5 shard
+   * reuse keeps even the metadata write O(changed shards).
+   *
+   * Streaming watermarks are deliberately NOT restored: epoch dedup must
+   * stay monotone or a restarted streaming sink would re-append epochs
+   * the table already absorbed. Returns the restored snapshot's row count.
+   */
+  def restore(spark: SparkSession, root: String, version: Int): Long = {
+    val cur = GeoManifest.read(spark, root)
+    require(version >= 0 && version <= cur.version,
+      s"no snapshot version $version of $root (current is ${cur.version})")
+    if (version == cur.version) return cur.totalRows
+    // vacuum drops expired manifests, so a missing one means the snapshot
+    // is gone for good — say so instead of leaking a raw FS error
+    val tgt = try GeoManifest.readVersion(spark, root, version) catch {
+      case e: Exception if !GeoManifest.fs(spark, root).exists(
+          new org.apache.hadoop.fs.Path(root, s"_manifests/m$version.txt")) =>
+        throw new IllegalArgumentException(
+          s"cannot restore $root to version $version: the snapshot was vacuumed", e)
+    }
+    // a vacuumed target references deleted data: check the files the
+    // current snapshot does NOT carry (those are known-live) before the
+    // pointer moves, so a failed restore cannot corrupt the table
+    val fs = GeoManifest.fs(spark, root)
+    val live = cur.files.map(_.key).toSet
+    (tgt.files.filterNot(f => live.contains(f.key)).map(_.path) ++
+      tgt.deletes.filterNot(d => cur.deletes.exists(_.key == d.key)).map(_.path))
+      .foreach { p =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(p)),
+          s"cannot restore $root to version $version: file $p was vacuumed")
+      }
+    GeoManifest.commit(spark, root,
+      tgt.copy(version = cur.version + 1, streamCommits = cur.streamCommits),
+      cur.version)
+    tgt.totalRows
+  }
+
+  /** [[restore]] resolved by commit timestamp: the newest snapshot whose
+    * in-manifest commit ts is <= `cutoffMs` (same resolution rule as
+    * `TIMESTAMP AS OF` reads). */
+  def restoreAsOf(spark: SparkSession, root: String, cutoffMs: Long): Long =
+    restore(spark, root, GeoManifest.versionAsOf(spark, root, cutoffMs))
+
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
                   geomCol: Option[String],

@@ -440,4 +440,63 @@ class GeoCatalogSpec extends SparkSpec {
     assert(tables.contains("newname") && !tables.contains("oldname"), s"got $tables")
     spark.sql("DROP TABLE geo.db.newname")
   }
+
+  test("RESTORE TABLE rolls back data as a new history-preserving commit") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.rst (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geo.db.rst SELECT id, 'a' FROM range(0, 10)")   // v1
+    spark.sql("INSERT INTO geo.db.rst SELECT id, 'b' FROM range(10, 15)")  // v2
+    spark.sql("DELETE FROM geo.db.rst WHERE id < 3")                       // v3
+    assert(spark.table("geo.db.rst").count() == 12)
+
+    val restored = spark.sql("RESTORE TABLE geo.db.rst TO VERSION AS OF 1").head.getLong(0)
+    assert(restored == 10, s"restore returns the snapshot's row count, got $restored")
+    val root = s"$warehouse/db/rst"
+    val m = GeoManifest.read(spark, root)
+    assert(m.version == 4, "restore is a NEW commit, not a pointer rewind")
+    assert(spark.table("geo.db.rst").select(sum("id")).head.getLong(0) == 45L)
+    assert(spark.table("geo.db.rst").where("v = 'b'").count() == 0)
+    // the undone versions stay time-travelable until vacuum
+    assert(spark.sql("SELECT COUNT(*) FROM geo.db.rst VERSION AS OF 3").head.getLong(0) == 12)
+    // restore forward again: the rolled-back state is itself a snapshot
+    spark.sql("RESTORE TABLE geo.db.rst TO VERSION AS OF 3")
+    assert(spark.table("geo.db.rst").count() == 12)
+    // timestamp form resolves through the same rule as TIMESTAMP AS OF
+    val ts1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(GeoManifest.commitTsOf(spark, root, 1)))
+    spark.sql(s"RESTORE TABLE geo.db.rst TO TIMESTAMP AS OF '$ts1'")
+    assert(spark.table("geo.db.rst").count() == 10)
+  }
+
+  test("RESTORE refuses a vacuumed snapshot instead of committing dangling files") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.rsv (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geo.db.rsv SELECT id FROM range(0, 5)")     // v1
+    spark.sql("INSERT OVERWRITE geo.db.rsv SELECT id FROM range(5, 8)") // v2 (replaces files)
+    val root = s"$warehouse/db/rsv"
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    val e = intercept[Exception] {
+      spark.sql("RESTORE TABLE geo.db.rsv TO VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("vacuum"), s"got: ${e.getMessage}")
+    // table unharmed
+    assert(spark.table("geo.db.rsv").count() == 3)
+  }
+
+  test("RESTORE keeps streaming watermarks monotone (epoch dedup survives rollback)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.rsw (id BIGINT) USING geo")
+    val root = s"$warehouse/db/rsw"
+    GeoTable.append(spark, root, Seq(1L).toDF("id"), streamCommit = Some("sinkA" -> 7L)) // v1
+    GeoTable.append(spark, root, Seq(2L).toDF("id"), streamCommit = Some("sinkA" -> 8L)) // v2
+    GeoTable.restore(spark, root, 1)
+    val m = GeoManifest.read(spark, root)
+    assert(m.streamCommits == Map("sinkA" -> 8L),
+      s"watermarks must NOT roll back with the data, got ${m.streamCommits}")
+    assert(spark.table("geo.db.rsw").count() == 1)
+  }
 }
