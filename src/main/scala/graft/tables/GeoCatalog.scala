@@ -4,12 +4,11 @@ import graft.tables.GeoManifest.Manifest
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -47,7 +46,7 @@ import scala.jdk.CollectionConverters._
  * native path has). No directory listing of data dirs ever happens on the
  * read path beyond resolving the manifest's explicit file list.
  */
-class GeoCatalog extends TableCatalog with SupportsNamespaces {
+class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -72,6 +71,27 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces {
   private def fs = GeoManifest.fs(spark, warehouse)
 
   private def isTableDir(p: Path): Boolean = fs.exists(new Path(p, "_current"))
+
+  // -------------------------------------------------------------------------
+  // FunctionCatalog — the partition transforms as resolvable V2 functions
+  // (`geo.system.bucket(8, id)` in SQL; write distribution resolution)
+  // -------------------------------------------------------------------------
+
+  private def isSystemNs(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (isSystemNs(namespace))
+      GeoFunctions.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else throw new NoSuchNamespaceException(catalogName +: namespace)
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (isSystemNs(ident.namespace))
+      GeoFunctions.load(ident.name).getOrElse(throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    isSystemNs(ident.namespace) && GeoFunctions.load(ident.name).isDefined
 
   // -------------------------------------------------------------------------
   // TableCatalog
@@ -467,7 +487,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
@@ -499,14 +519,41 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
-                                ignored: Boolean): Unit =
-              if (overwrite) GeoTable.overwrite(SparkSession.active, root, data)
-              else GeoTable.append(SparkSession.active, root, data)
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // Partitioned tables ask Spark to cluster rows in TRANSFORM space
+        // (ordered distribution = range partition + local sort): the
+        // transform expressions resolve through this catalog's
+        // FunctionCatalog (GeoFunctions), V2Writes.prepareQuery injects
+        // the shuffle for batch INSERT and streaming epochs alike, and
+        // the insert path skips its own re-layout. The partition count is
+        // pinned (AQE would coalesce an unsized range shuffle and destroy
+        // the file-per-range grouping manifest pruning feeds on).
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        private val sorts: Array[SortOrder] = manifest.partitions.map { p =>
+          val e = p.kind match {
+            case "identity" => Expressions.column(p.col)
+            case "bucket" => Expressions.bucket(p.n, p.col)
+            case "truncate" => Expressions.apply("truncate",
+              Expressions.literal(p.n), Expressions.column(p.col))
+            case k => Expressions.apply(k, Expressions.column(p.col))
           }
+          Expressions.sort(e, SortDirection.ASCENDING)
+        }.toArray
+        override def requiredDistribution(): Distribution =
+          if (sorts.isEmpty) Distributions.unspecified()
+          else Distributions.ordered(sorts)
+        override def requiredOrdering(): Array[SortOrder] = sorts
+        override def requiredNumPartitions(): Int =
+          if (sorts.isEmpty) 0
+          else SparkSession.active.sessionState.conf.numShufflePartitions
+        // native V2 batch write: INSERT INTO appends, INSERT OVERWRITE
+        // (truncate) replaces — Spark executes the distribution-prepared
+        // query, so partitioned clustering actually reaches the writers
+        // (the V1 fallback ran the pre-prepareQuery plan and lost it)
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new GeoBatchWrite(root, info.schema(), overwrite)
         // `writeStream.toTable("geo.db.t")` — OutputMode.Complete arrives
         // as truncate() (replace contents each epoch), Append appends.
         // The sink id is the streaming query id, which Spark persists in

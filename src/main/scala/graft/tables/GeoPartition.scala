@@ -64,7 +64,7 @@ object GeoPartition {
 
   /** Column types a transform accepts (identity needs an ordered long
     * embedding; bucket anything murmur3 hashes). */
-  private def supports(kind: String, dt: DataType): Boolean = kind match {
+  private[tables] def supports(kind: String, dt: DataType): Boolean = kind match {
     case "identity" => dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
       case _ => false

@@ -56,6 +56,10 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
   private def spark: SparkSession = SparkSession.active
   // schema pinned at plan time: writers and stats must agree even if the
   // table evolves mid-stream (the next run re-plans against the new schema)
+  // NOTE: epoch clustering for partitioned tables comes from the catalog
+  // Write's RequiresDistributionAndOrdering (V2Writes.prepareQuery applies
+  // it to each micro-batch) — the distribution contract lives on the
+  // Write, not here on the StreamingWrite.
   private val m: Manifest = GeoManifest.read(spark, root)
   private val commitDir = s"$root/data/s${java.util.UUID.randomUUID().toString.take(12)}"
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -219,4 +219,49 @@ class GeoPartitionSpec extends SparkSpec {
     assert(GeoPartition.valueOf(td, micros, org.apache.spark.sql.types.TimestampType).get
       == Math.floorDiv(micros, 86400000000L))
   }
+
+  test("system transform functions resolve in SQL and agree with the layout columns") {
+    warehouse
+    // the same functions Spark resolves for write distribution are user-
+    // callable (Iceberg SparkFunctions parity): geopt.system.<fn>
+    val rows = spark.sql("""
+      SELECT id,
+             geopt.system.bucket(8, id)                AS fb,
+             geopt.system.truncate(10, id - 500)       AS ft,
+             geopt.system.truncate(3, concat('ab', id)) AS fs,
+             geopt.system.days(ts)                     AS fd,
+             geopt.system.hours(ts)                    AS fh,
+             geopt.system.months(ts)                   AS fm,
+             geopt.system.years(ts)                    AS fy
+      FROM (SELECT id, timestamp_micros(1700000000000000 + id * 987654321000) AS ts
+            FROM range(0, 500))""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("km", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    def t(kind: String, n: Int, c: String) = GeoPartition.PTransform(kind, n, c)
+    val oracle = spark.sql("""
+      SELECT id, id - 500 AS km, concat('ab', id) AS s,
+             timestamp_micros(1700000000000000 + id * 987654321000) AS ts
+      FROM range(0, 500)""")
+      .select(col("id"),
+        GeoPartition.transformCol(t("bucket", 8, "id"), schema).as("cb"),
+        GeoPartition.transformCol(t("truncate", 10, "km"), schema).as("ct"),
+        GeoPartition.transformCol(t("truncate", 3, "s"), schema).as("cs"),
+        GeoPartition.transformCol(t("days", 0, "ts"), schema).as("cd"),
+        GeoPartition.transformCol(t("hours", 0, "ts"), schema).as("ch"),
+        GeoPartition.transformCol(t("months", 0, "ts"), schema).as("cm"),
+        GeoPartition.transformCol(t("years", 0, "ts"), schema).as("cy"))
+    val joined = rows.join(oracle, "id")
+    assert(joined.count() == 500)
+    val bad = joined.where(
+      col("fb") =!= col("cb") || col("ft") =!= col("ct") || col("fs") =!= col("cs") ||
+      col("fd") =!= col("cd") || col("fh") =!= col("ch") ||
+      col("fm") =!= col("cm") || col("fy") =!= col("cy"))
+    assert(bad.isEmpty, s"function/layout disagreement:\n${bad.limit(5).collect().mkString("\n")}")
+    // unknown function is a clean error
+    val e = intercept[Exception] { spark.sql("SELECT geopt.system.nope(1)").collect() }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
 }

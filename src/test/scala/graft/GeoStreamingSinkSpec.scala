@@ -141,6 +141,44 @@ class GeoStreamingSinkSpec extends SparkSpec {
       s"complete mode must hold ONLY the latest aggregate, got ${got.toSeq}")
   }
 
+  test("streamed epochs cluster by partition transforms; scans prune them") {
+    warehouse
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE geosink.db.s6 (id BIGINT, k BIGINT) USING geo " +
+      "PARTITIONED BY (k)")
+    val root = s"$warehouse/db/s6"
+
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("id", "k").writeStream
+      .option("checkpointLocation", ckptDir())
+      .toTable("geosink.db.s6")
+    // k takes 4 distinct values per epoch: the ordered distribution must
+    // keep each value inside one file of that epoch
+    input.addData((0L until 400L).map(i => (i, i % 4)): _*)
+    q.processAllAvailable()
+    input.addData((400L until 800L).map(i => (i, i % 4)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val m = GeoManifest.read(spark, root)
+    assert(m.files.forall(_.pstats.nonEmpty), "per-file transform stats recorded")
+    // same key never straddles files within an epoch (range partitioning)
+    val perKey = spark.sql("SELECT k, COUNT(DISTINCT _file) AS nf FROM geosink.db.s6 GROUP BY k")
+      .as[(Long, Long)].collect()
+    assert(perKey.forall(_._2 <= 2), // one file per epoch at most
+      s"a key straddles files within an epoch: ${perKey.toSeq}")
+    // manifest pruning fires on the streamed files
+    def scanned(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      "GeoCowScan\\(files=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no GeoCowScan in plan:\n$plan"))
+    }
+    val all = scanned("SELECT * FROM geosink.db.s6")
+    val one = scanned("SELECT * FROM geosink.db.s6 WHERE k = 2")
+    assert(one < all, s"partition pruning must fire on streamed files: $one vs $all")
+    assert(spark.sql("SELECT COUNT(*) FROM geosink.db.s6 WHERE k = 2").head.getLong(0) == 200)
+  }
+
   test("sink composes with the CDC source: appends stream out as inserts") {
     warehouse
     implicit val sqlCtx = spark.sqlContext
