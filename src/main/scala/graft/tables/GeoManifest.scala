@@ -393,6 +393,32 @@ object GeoManifest {
     }.getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
+  /** Named snapshot refs (Iceberg tag analog): `tag -> version` from the
+    * `_refs` file. Tags PIN their snapshot: vacuum keeps a tagged
+    * version's manifest and files alive regardless of the retention
+    * window. Small file, torn-write-safe via one re-read. */
+  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_refs")
+    if (!f.exists(p)) return Map.empty
+    def parse(): Map[String, Int] =
+      readText(f, p).split('\n').filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        require(parts.length == 3 && parts(0) == "tag", s"bad _refs line: '$line'")
+        parts(1) -> parts(2).toInt
+      }.toMap
+    try parse() catch { case scala.util.control.NonFatal(_) => parse() }
+  }
+
+  private[tables] def writeTags(spark: SparkSession, root: String,
+                                t: Map[String, Int]): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_refs")
+    if (t.isEmpty) { f.delete(p, false); () }
+    else writeText(f, p,
+      t.toSeq.sortBy(_._1).map { case (n, v) => s"tag\t$n\t$v\n" }.mkString)
+  }
+
   /** Newest committed snapshot whose commit timestamp is <= `cutoffMs` —
     * the `TIMESTAMP AS OF` resolution rule. Only manifests at or below
     * the `_current` pointer count: one written by a failed commit (no

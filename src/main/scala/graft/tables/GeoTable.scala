@@ -208,6 +208,41 @@ object GeoTable {
   def restoreAsOf(spark: SparkSession, root: String, cutoffMs: Long): Long =
     restore(spark, root, GeoManifest.versionAsOf(spark, root, cutoffMs))
 
+  // -------------------------------------------------------------------------
+  // Tags — named snapshots (Iceberg tag refs): `VERSION AS OF 'name'`
+  // resolves through them, and vacuum keeps tagged snapshots alive.
+  // -------------------------------------------------------------------------
+
+  private val TagNameRe = "[A-Za-z_][A-Za-z0-9_.-]*".r
+
+  /** Create tag `name` at `version` (default: the current snapshot).
+    * Under the commit lock: tag writes must not interleave with each
+    * other or with vacuum's liveness scan. Returns the tagged version. */
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Option[Int] = None): Int =
+    GeoManifest.withCommitLock(root) {
+      require(TagNameRe.matches(name), s"bad tag name '$name'")
+      val cur = GeoManifest.read(spark, root).version
+      val v = version.getOrElse(cur)
+      require(v >= 0 && v <= cur, s"no snapshot version $v of $root (current is $cur)")
+      require(GeoManifest.fs(spark, root).exists(
+        new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt")),
+        s"cannot tag version $v of $root: the snapshot was vacuumed")
+      val t = GeoManifest.tags(spark, root)
+      t.get(name).foreach(old => require(old == v,
+        s"tag '$name' already points at version $old"))
+      GeoManifest.writeTags(spark, root, t + (name -> v))
+      v
+    }
+
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    GeoManifest.withCommitLock(root) {
+      val t = GeoManifest.tags(spark, root)
+      require(t.contains(name),
+        s"no tag '$name' on $root (tags: ${t.keys.toSeq.sorted.mkString(", ")})")
+      GeoManifest.writeTags(spark, root, t - name)
+    }
+
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
                   geomCol: Option[String],
