@@ -43,9 +43,16 @@ object Bench {
       }
     }
 
-    // warmup: session + view registration + one scan-heavy and one join query
-    SparkEntry.prep(spark, sfDir)
-    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    // warmup: session + view registration + one scan-heavy and one join query.
+    // Guarded: a single table's schema drift must degrade queries one by one
+    // inside timeOnce, never abort the whole bench before it starts.
+    try {
+      SparkEntry.prep(spark, sfDir)
+      spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
     val sentinelBefore = { timeOnce(sentinelQuery); timeOnce(sentinelQuery) }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>

@@ -26,21 +26,33 @@ object SparkEntry {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** Normalize the events `ts` column to a session-TZ TIMESTAMP regardless
+    * of how the parquet file encodes it. The testdata generator has shipped
+    * it as TIMESTAMP(NANOS) (read as Long under nanosAsLong) and as
+    * timestamp[us] (read as TIMESTAMP_NTZ); sniff the read schema rather
+    * than assuming either. Session TZ is UTC, so the NTZ cast is exact.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => df
+    }
+  }
+
   /** Register ST_ functions + one temp view per testdata table. */
   def prep(spark: SparkSession, dir: String): SparkSession = {
     GraftFunctions.register(spark)
     // record the dir only AFTER all views register, so a mid-registration
     // failure doesn't leave the map claiming the new dir is live
     if (prepped.get(spark) != dir) {
-      // events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-      // reader rejects; read nanos as long and restore a (micro-truncated)
-      // timestamp. Second-granularity logic downstream is unaffected.
+      // lets TIMESTAMP(NANOS)-encoded files load as Long (older testdata);
+      // normalizeEventsTs handles whichever shape actually arrives
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
-        val fixed =
-          if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-          else df
+        val fixed = if (t == "events") normalizeEventsTs(df) else df
         fixed.createOrReplaceTempView(t)
       }
       prepped.put(spark, dir)

@@ -271,8 +271,7 @@ object EventStreams {
   def eventsDataset(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.SparkEntry.normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
   }
