@@ -710,6 +710,36 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Streaming CDC over a merge-on-read commit (Delta readChangeFeed
+    // analog): insert all customers (v1), MoR-delete a residue class (v2 —
+    // position-delete sidecar, no rewrite), then STREAM t.changes from
+    // table start. The stream must emit every customer as insert at v1
+    // plus exactly the sidecar-named rows as deletes at v2 — the oracle
+    // recomputes both legs from the residue predicate; any duplicated or
+    // missed row-granular delete changes the hash.
+    "geo_cdc_mor" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geocd").isEmpty) {
+        s.conf.set("spark.sql.catalog.geocd", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geocd.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_cd_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocd.db")
+      s.sql("DROP TABLE IF EXISTS geocd.db.cd")
+      s.sql("CREATE TABLE geocd.db.cd (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey FROM customer") // v1
+      val root = s.conf.get("spark.sql.catalog.geocd.warehouse") + "/db/cd"
+      graft.tables.GeoTable.delete(s, root, col("id") % 9 === 4L, mode = "mor")    // v2 MoR
+      s.catalog.dropTempView("geo_cdc_mor_sink") // repeat-safe: bench runs twice
+      val q = s.readStream.table("geocd.db.cd.changes")
+        .writeStream.format("memory").queryName("geo_cdc_mor_sink").start()
+      q.processAllAvailable(); q.stop()
+      s.table("geo_cdc_mor_sink")
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("change_type")
+    }),
+
     // RESTORE (Delta RESTORE / Iceberg rollback analog): two appends, a
     // DELETE, a rollback of that delete, then a different DELETE on the
     // restored state. Each phase reads via time travel, so the hash pins
@@ -2062,6 +2092,16 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // the CDC stream's two legs from the residue predicate: every customer
+    // inserted at v1, the MoR-deleted residue class deleted at v2
+    "geo_cdc_mor" -> """
+      SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer WHERE c_custkey % 9 = 4
+      UNION ALL
+      SELECT 'insert', COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM customer
+      ORDER BY change_type""",
 
     // restore reduces to set algebra over the DML predicates: phase 3 =
     // inserts minus the first delete, phase 4 = inserts (delete undone),

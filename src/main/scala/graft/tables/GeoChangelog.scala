@@ -212,6 +212,58 @@ object GeoChangelog {
     StructField(ChangeTypeCol, StringType, nullable = false),
     StructField(CommitVersionCol, IntegerType, nullable = false))
 
+  private[tables] val RowIdxCol =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Parquet scan template for merge-on-read delete legs: the pruned table
+    * columns plus Spark's GENERATED parquet row-index column (the same
+    * machinery as `_metadata.row_index` — correct across file splits and
+    * row-group skipping). File-list independent: the reader factory comes
+    * off this template, per-file splits come off single-file copies. */
+  private[tables] def morScanTemplate(spark: SparkSession, tableSchema: StructType,
+                                      pruned: StructType,
+                                      options: CaseInsensitiveStringMap): ParquetScan = {
+    val b = org.apache.spark.sql.graft.GraftShim
+      .parquetScanBuilder(spark, Seq.empty, tableSchema, options)
+      .asInstanceOf[FileScanBuilder]
+    b.pruneColumns(StructType(pruned.fields :+
+      StructField(RowIdxCol, LongType, nullable = true)))
+    b.build().asInstanceOf[ParquetScan]
+  }
+
+  /** Row-level changelog legs for merge-on-read delete commits: one
+    * partition per referenced data-file split, carrying the commit's
+    * deleted ordinals for that file. The reader re-reads the (still-live)
+    * data files and keeps ONLY the sidecar-named row indexes — the
+    * row-granular CDC Delta's change feed emits for deletes, where
+    * whole-file constant tagging can't express a row subset. Sidecar
+    * content collects driver-side (bounded per commit by the MoR
+    * admission ratio, the same bound every MoR read path relies on). */
+  private[tables] def morDeletePartitions(spark: SparkSession, root: String,
+      template: ParquetScan, tableSchema: StructType,
+      steps: Seq[VersionStep], startIndex: Int): Array[InputPartition] = {
+    var i = startIndex - 1
+    steps.filter(_.addedDeletes.nonEmpty).flatMap { s =>
+      val byFile = spark.read.parquet(s.addedDeletes.map(_.path): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(r => GeoManifest.norm(r.getString(0)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+      val m = GeoManifest.readVersion(spark, root, s.version)
+      m.files.filter(f => byFile.contains(f.key)).flatMap { f =>
+        val plan = template.copy(fileIndex = new InMemoryFileIndex(
+          spark, Seq(new Path(f.path)), Map.empty, Some(tableSchema)))
+          .toBatch.planInputPartitions()
+        val positions = byFile(f.key)
+        plan.flatMap(_.asInstanceOf[FilePartition].files).map { pf =>
+          i += 1
+          GeoMorDeletePartition(FilePartition(i, Array(pf)), s.version, positions)
+            : InputPartition
+        }
+      }
+    }.toArray
+  }
+
   /** One single-file [[GeoTaggedPartition]] per (file, role): the parquet
     * template re-plans each file alone so the reader can append that
     * role's change constants. Shared by the batch changes scan and the
@@ -264,21 +316,21 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
     // read plans its own per-batch ranges from checkpoint offsets, so a
     // batch-range failure here (e.g. vacuumed history before a stream's
     // resume point) is deferred and only thrown on actual batch use.
-    val (fileTags, morVersions, batchErr) =
+    val (fileTags, morSteps, batchErr) =
       try {
         val steps = GeoChangelog.versionSteps(sparkAtLoad, root, vFrom, vTo)
-        // merge-on-read commits delete row SUBSETS of files; this scan
-        // serves whole files with a constant change tag, so it cannot
-        // express them — the DataFrame surface (changes / netChanges) can
+        // merge-on-read commits delete row SUBSETS of files — those rows
+        // get their own row-granular legs (GeoMorDeletePartition) next to
+        // the whole-file constant-tagged ones
         (steps.flatMap { s =>
           s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
-        }, steps.filter(_.addedDeletes.nonEmpty).map(_.version), None)
+        }, steps.filter(_.addedDeletes.nonEmpty), None)
       } catch {
         case scala.util.control.NonFatal(e) =>
-          (Seq.empty[(FileEntry, String, Int)], Seq.empty[Int], Some(e))
+          (Seq.empty[(FileEntry, String, Int)], Seq.empty[GeoChangelog.VersionStep], Some(e))
       }
     new GeoChangesScanBuilder(sparkAtLoad, root, tableName, endSchemaOf(vTo),
-      fileTags, morVersions, batchErr, options)
+      fileTags, morSteps, batchErr, options)
   }
 }
 
@@ -289,7 +341,8 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
 class GeoChangesScanBuilder(spark: SparkSession, root: String, tableName: String,
                             tableSchema: StructType,
                             fileTags: Seq[(FileEntry, String, Int)],
-                            morVersions: Seq[Int], batchErr: Option[Throwable],
+                            morSteps: Seq[GeoChangelog.VersionStep],
+                            batchErr: Option[Throwable],
                             options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -306,7 +359,7 @@ class GeoChangesScanBuilder(spark: SparkSession, root: String, tableName: String
 
   override def build(): Scan =
     new GeoChangesScan(spark, root, tableName, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, fileTags, morVersions, batchErr, needMeta, options)
+      tableSchema, fileTags, morSteps, batchErr, needMeta, options)
 }
 
 /**
@@ -319,9 +372,15 @@ class GeoChangesScanBuilder(spark: SparkSession, root: String, tableName: String
 class GeoChangesScan(spark: SparkSession, root: String, tableName: String,
                      inner0: ParquetScan, tableSchema: StructType,
                      fileTags: Seq[(FileEntry, String, Int)],
-                     morVersions: Seq[Int], batchErr: Option[Throwable],
+                     morSteps: Seq[GeoChangelog.VersionStep],
+                     batchErr: Option[Throwable],
                      needMeta: Boolean, options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics {
+
+  // merge-on-read delete legs re-read the live data files with the same
+  // pruned columns plus the generated row-index column
+  private lazy val morTemplate: ParquetScan =
+    GeoChangelog.morScanTemplate(spark, tableSchema, inner0.readSchema(), options)
 
   override def readSchema(): StructType =
     if (needMeta) StructType(inner0.readSchema().fields ++ GeoChangelog.changeFields)
@@ -333,16 +392,18 @@ class GeoChangesScan(spark: SparkSession, root: String, tableName: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     batchErr.foreach(e => throw e)
-    require(morVersions.isEmpty,
-      s"changelog range of $tableName includes merge-on-read delete commit(s) at " +
-        s"version(s) ${morVersions.mkString(", ")}; use GeoTable.changes/netChanges, " +
-        "or OPTIMIZE and restart the range")
-    GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
+    val tagged = GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
+    if (morSteps.isEmpty) tagged
+    else tagged ++ GeoChangelog.morDeletePartitions(
+      spark, root, morTemplate, tableSchema, morSteps, tagged.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val f = inner0.toBatch.createReaderFactory()
-    if (!needMeta) GeoUnwrapReaderFactory(f) else GeoAppendChangeReaderFactory(f)
+    val taggedF = if (!needMeta) GeoUnwrapReaderFactory(f) else GeoAppendChangeReaderFactory(f)
+    if (morSteps.isEmpty) taggedF
+    else GeoChangesDispatchFactory(taggedF, GeoMorDeleteReaderFactory(
+      morTemplate.toBatch.createReaderFactory(), morTemplate.readSchema(), needMeta))
   }
 
   /** Streaming CDC: `spark.readStream.table("geo.db.t.changes")`. */
@@ -357,6 +418,70 @@ class GeoChangesScan(spark: SparkSession, root: String, tableName: String,
 case class GeoTaggedPartition(part: FilePartition, changeType: String, version: Int)
   extends InputPartition {
   override def preferredLocations(): Array[String] = part.preferredLocations()
+}
+
+/** A single-file split of a merge-on-read delete commit: the reader emits
+  * ONLY rows whose generated row index appears in `positions`, as
+  * ('delete', version) changelog rows. */
+case class GeoMorDeletePartition(part: FilePartition, version: Int, positions: Array[Long])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = part.preferredLocations()
+}
+
+/** Reader for [[GeoMorDeletePartition]]: inner rows carry the pruned table
+  * columns plus the generated parquet row-index column; keep exactly the
+  * sidecar-named ordinals, project the index column away, and (when the
+  * query kept them) append the change-metadata constants. */
+case class GeoMorDeleteReaderFactory(inner: PartitionReaderFactory,
+                                     innerSchema: StructType, needMeta: Boolean)
+  extends PartitionReaderFactory {
+
+  private val idxOrd = innerSchema.fieldIndex(GeoChangelog.RowIdxCol)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[GeoMorDeletePartition]
+    val r = inner.createReader(mp.part)
+    val keep = innerSchema.fields.indices.filterNot(_ == idxOrd)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      keep.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, innerSchema(i).dataType, innerSchema(i).nullable)).toArray)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      private val suffix = InternalRow(UTF8String.fromString("delete"), mp.version)
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (java.util.Arrays.binarySearch(mp.positions, row.getLong(idxOrd)) >= 0) {
+            cur = proj(row); return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = if (needMeta) joined(cur, suffix) else cur
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Routes changes-scan partitions to their reader: whole-file tagged legs
+  * (columnar-capable) vs merge-on-read deleted-row legs (row-based). */
+case class GeoChangesDispatchFactory(tagged: PartitionReaderFactory,
+                                     mor: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case _: GeoMorDeletePartition => mor.createReader(p)
+    case _ => tagged.createReader(p)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    tagged.createColumnarReader(p)
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GeoMorDeletePartition => false
+    case _ => tagged.supportColumnarReads(p)
+  }
 }
 
 /** Reader wrapper appending `(_change_type, _commit_version)` as a
@@ -468,9 +593,10 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
  * `delete` (a CoW rewrite emits delete+insert pairs), each with its
  * commit version. Replay is deterministic from immutable manifests, so
  * checkpoint recovery is exactly-once. Merge-on-read delete commits name
- * row SUBSETS of live files and cannot be replayed as whole-file
- * constants — they fail the stream with guidance (OPTIMIZE folds the
- * sidecars away; or consume GeoTable.netChanges in batch).
+ * row SUBSETS of live files — those get row-granular legs: the reader
+ * re-reads the referenced data files by generated row index and emits
+ * exactly the sidecar-named rows as deletes (the Delta change-feed
+ * behavior for row-level deletes).
  *
  * Options: `stream-from-version` = n | "current" (default 0: emit the
  * whole current state as inserts, then tail).
@@ -494,26 +620,31 @@ class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
 
+  private lazy val morTemplate: ParquetScan =
+    GeoChangelog.morScanTemplate(spark, tableSchema, inner0.readSchema(), options)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (v0, v1) = (start.asInstanceOf[GeoStreamOffset].version,
       end.asInstanceOf[GeoStreamOffset].version)
     if (v0 >= v1) return Array.empty
     val steps = GeoChangelog.versionSteps(spark, root, v0, v1)
-    val mor = steps.filter(_.addedDeletes.nonEmpty)
-    if (mor.nonEmpty) throw new IllegalStateException(
-      s"CDC stream of $root hit merge-on-read delete commit(s) at version(s) " +
-        s"${mor.map(_.version).mkString(", ")}: row-subset deletes cannot be " +
-        "replayed file-granularly — OPTIMIZE the table and restart the stream " +
-        "past them, or consume GeoTable.netChanges in batch")
     val fileTags = steps.flatMap { s =>
       s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
     }
-    GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
+    val tagged = GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
+    val mor = steps.filter(_.addedDeletes.nonEmpty)
+    if (mor.isEmpty) tagged
+    else tagged ++ GeoChangelog.morDeletePartitions(
+      spark, root, morTemplate, tableSchema, mor, tagged.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val f = inner0.toBatch.createReaderFactory()
-    if (needMeta) GeoAppendChangeReaderFactory(f) else GeoUnwrapReaderFactory(f)
+    val taggedF = if (needMeta) GeoAppendChangeReaderFactory(f) else GeoUnwrapReaderFactory(f)
+    // the MoR leg's factory is file-list independent — always safe to
+    // install, it only activates when a batch plans GeoMorDeletePartitions
+    GeoChangesDispatchFactory(taggedF, GeoMorDeleteReaderFactory(
+      morTemplate.toBatch.createReaderFactory(), morTemplate.readSchema(), needMeta))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -184,7 +184,7 @@ class GeoChangelogSpec extends SparkSpec {
     assert(v2ins.exists(r => r._1 == 3 && r._2 == "u"))
   }
 
-  test("CDC stream from current tails only new commits; MoR commits fail with guidance") {
+  test("CDC stream from current tails new commits; MoR deletes stream row-granularly") {
     warehouse
     spark.sql("CREATE TABLE geocls.db.cm (id BIGINT, v STRING) USING geo")
     spark.sql("INSERT INTO geocls.db.cm SELECT id, 'a' FROM range(0, 50)")
@@ -198,18 +198,60 @@ class GeoChangelogSpec extends SparkSpec {
     val ids = spark.table("geo_cdc_tail").select($"id").as[Long].collect().sorted.toSeq
     assert(ids == (50L until 53L), s"got $ids")
 
-    // a merge-on-read delete names row subsets — the CDC stream must fail,
-    // naming the commit and the way out
-    GeoTable.delete(spark, s"$warehouse/db/cm", $"id" === 1L, mode = "mor")
+    // a merge-on-read delete names row subsets — the CDC stream emits
+    // exactly those rows as deletes at the MoR commit's version
+    GeoTable.delete(spark, s"$warehouse/db/cm", $"id" % 7 === 1L, mode = "mor")
     assert(GeoManifest.read(spark, s"$warehouse/db/cm").deletes.nonEmpty,
       "test setup: the DELETE must have produced a MoR sidecar")
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable()
-    }
-    q.stop()
-    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("merge-on-read"), s"got: $msg")
-    assert(msg.contains("OPTIMIZE"), s"got: $msg")
+    q.processAllAvailable(); q.stop()
+    val morV = GeoManifest.read(spark, s"$warehouse/db/cm").version
+    val dels = spark.table("geo_cdc_tail")
+      .where(col(GeoChangelog.ChangeTypeCol) === "delete")
+      .select($"id", $"v", col(GeoChangelog.CommitVersionCol).as("cv"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val expected = (0L until 53L).filter(_ % 7 == 1)
+      .map(i => (i, if (i < 50) "a" else "b", morV))
+    assert(dels == expected, s"got $dels, want $expected")
+
+    // batch SQL over t.changes serves the same MoR commit
+    val batchDels = spark.read
+      .option("from-version", morV - 1).option("to-version", morV)
+      .table("geocls.db.cm.changes")
+      .select($"id", col(GeoChangelog.ChangeTypeCol).as("ct"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(batchDels == expected.map(e => (e._1, "delete")), s"got $batchDels")
+  }
+
+  test("CDC stream==batch across mixed CoW and MoR commits; pruned MoR legs") {
+    warehouse
+    val root = s"$warehouse/db/cx"
+    spark.sql("CREATE TABLE geocls.db.cx (id BIGINT, v STRING, w STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.cx SELECT id, concat('x', id), 'pad' FROM range(0, 40)") // v1
+    GeoTable.delete(spark, root, $"id" < 5L, mode = "mor")                                    // v2 MoR
+    spark.sql("UPDATE geocls.db.cx SET v = 'u' WHERE id = 20")                                // v3 CoW
+    spark.sql("INSERT INTO geocls.db.cx SELECT id, 'y', 'pad' FROM range(40, 44)")            // v4
+
+    val q = spark.readStream.table("geocls.db.cx.changes")
+      .writeStream.format("memory").queryName("geo_cdc_mix").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Int)] =
+      df.select($"id", $"v", col(GeoChangelog.ChangeTypeCol).as("ct"),
+        col(GeoChangelog.CommitVersionCol).as("cv"))
+        .as[(Long, String, String, Int)].collect().sortBy(r => (r._4, r._3, r._1, r._2)).toSeq
+    val streamed = canon(spark.table("geo_cdc_mix"))
+    val batch = canon(GeoTable.changes(spark, root, 0, 4))
+    assert(streamed == batch, s"stream must equal batch changelog:\n$streamed\nvs\n$batch")
+    // the MoR commit contributed exactly its deleted rows
+    assert(streamed.filter(_._4 == 2) ==
+      (0L until 5L).map(i => (i, s"x$i", "delete", 2)))
+
+    // pruned columns + pushed filter over a MoR leg: only the deleted rows
+    // matching the filter, no metadata columns requested
+    val pruned = spark.read.option("from-version", 1).option("to-version", 2)
+      .table("geocls.db.cx.changes")
+      .where($"id" >= 2L).select($"v")
+      .as[String].collect().sorted.toSeq
+    assert(pruned == Seq("x2", "x3", "x4"), s"got $pruned")
   }
 
   test("streamed rows respect pushed filters and pruned columns") {
