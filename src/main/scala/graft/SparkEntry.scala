@@ -710,6 +710,34 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Equality deletes (Iceberg v2 eqdelete analog): a keyed DELETE and a
+    // keyed UPSERT commit key sidecars in O(keys) with no data-file scan
+    // or rewrite; the catalog read merges them in-reader scoped by data
+    // sequence numbers (the upsert's own rows survive its delete leg).
+    // The oracle replays the key predicates as set algebra.
+    "geo_dml_delete_eq" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoeqd").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoeqd", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoeqd.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_eqd_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqd.db")
+      s.sql("DROP TABLE IF EXISTS geoeqd.db.eq")
+      s.sql("CREATE TABLE geoeqd.db.eq (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoeqd.db.eq SELECT c_custkey, c_nationkey FROM customer") // v1
+      val root = s.conf.get("spark.sql.catalog.geoeqd.warehouse") + "/db/eq"
+      graft.tables.GeoTable.deleteByKey(s, root, Seq("id"),
+        s.table("customer").where(col("c_custkey") % 11 === 5)
+          .select(col("c_custkey").as("id")))                                       // v2
+      graft.tables.GeoTable.upsertByKey(s, root, Seq("id"),
+        s.table("customer").where(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey").as("id"), lit(-1L).as("nat")))                   // v3
+      s.sql("""
+        SELECT nat, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM geoeqd.db.eq GROUP BY nat ORDER BY nat""")
+    }),
+
     // Streaming CDC over a merge-on-read commit (Delta readChangeFeed
     // analog): insert all customers (v1), MoR-delete a residue class (v2 —
     // position-delete sidecar, no rewrite), then STREAM t.changes from
@@ -2092,6 +2120,19 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // equality delete + upsert reduce to set algebra on the residue
+    // predicates: %13 rows upserted with nat=-1 (surviving their own
+    // delete leg), remaining %11=5 rows equality-deleted
+    "geo_dml_delete_eq" -> """
+      WITH fin AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 13 = 0 THEN -1
+                    ELSE CAST(c_nationkey AS BIGINT) END AS nat
+        FROM customer
+        WHERE c_custkey % 13 = 0 OR c_custkey % 11 <> 5)
+      SELECT nat, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM fin GROUP BY nat ORDER BY nat""",
 
     // the CDC stream's two legs from the residue predicate: every customer
     // inserted at v1, the MoR-deleted residue class deleted at v2

@@ -512,7 +512,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     // compaction first.
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
       streamRoot = Some(root), partitions = manifest.partitions,
-      deletes = manifest.deletes)
+      deletes = manifest.deletes, eqDeletes = manifest.eqDeletes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

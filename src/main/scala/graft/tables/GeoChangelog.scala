@@ -55,11 +55,17 @@ object GeoChangelog {
 
   /** File-level diff of one commit: version v's manifest vs v-1's.
     * `addedDeletes` are position-delete sidecars the commit introduced
-    * (merge-on-read DML) — a non-append commit, like `removed`. */
+    * (merge-on-read DML) — a non-append commit, like `removed`;
+    * `addedEqDeletes` are equality-delete sidecars (keyed deletes), also
+    * non-append. `prevManifest` is the base snapshot — the state the
+    * commit's deletes subtract from. */
   final case class VersionStep(version: Int, commitTs: Long,
                                added: Seq[FileEntry], removed: Seq[FileEntry],
-                               addedDeletes: Seq[GeoManifest.DeleteEntry] = Seq.empty) {
-    def isOverwrite: Boolean = removed.nonEmpty || addedDeletes.nonEmpty
+                               addedDeletes: Seq[GeoManifest.DeleteEntry] = Seq.empty,
+                               addedEqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
+                               prevManifest: Option[Manifest] = None) {
+    def isOverwrite: Boolean =
+      removed.nonEmpty || addedDeletes.nonEmpty || addedEqDeletes.nonEmpty
   }
 
   /** Per-commit file diffs for `(vFrom, vTo]`, oldest first. Requires the
@@ -73,11 +79,14 @@ object GeoChangelog {
       val prevKeys = prev.files.map(_.key).toSet
       val curKeys = cur.files.map(_.key).toSet
       val prevDel = prev.deletes.map(_.key).toSet
+      val prevEq = prev.eqDeletes.map(_.key).toSet
       val step = VersionStep(v,
         cur.commitTs.getOrElse(GeoManifest.commitTsOf(spark, root, v)),
         added = cur.files.filterNot(f => prevKeys.contains(f.key)),
         removed = prev.files.filterNot(f => curKeys.contains(f.key)),
-        addedDeletes = cur.deletes.filterNot(d => prevDel.contains(d.key)))
+        addedDeletes = cur.deletes.filterNot(d => prevDel.contains(d.key)),
+        addedEqDeletes = cur.eqDeletes.filterNot(e => prevEq.contains(e.key)),
+        prevManifest = Some(prev))
       prev = cur
       step
     }
@@ -112,12 +121,58 @@ object GeoChangelog {
         else Seq(rowsAt(spark, root, s.version, s.addedDeletes)
           .withColumn(ChangeTypeCol, lit("delete"))
           .withColumn(CommitVersionCol, lit(s.version)))
-      fileLegs ++ morLeg
+      // equality-delete commit: the deleted rows are the base snapshot's
+      // visible rows (in files the delete applies to) matching the keys
+      val eqLeg =
+        if (s.addedEqDeletes.isEmpty) Seq.empty
+        else Seq(eqDeletedRows(spark, s.prevManifest.get, endSchema, s.addedEqDeletes,
+            keepMeta = false)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .withColumn(CommitVersionCol, lit(s.version)))
+      fileLegs ++ morLeg ++ eqLeg
     }
     if (legs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(endSchema.fields ++ changeFields))
     else legs.reduce(_ unionByName _)
+  }
+
+  /** Rows an equality-delete commit removed: the base snapshot's visible
+    * rows, restricted to the files the deletes apply to, semi-joined per
+    * key sidecar (chained anti-joins dedup rows matching several
+    * sidecars). All entries come from ONE commit, so they share a version
+    * and therefore an applicable-file set. `keepMeta` retains the
+    * (file, row-ordinal) identity columns `__vf`/`__vp` for callers that
+    * need positions (the CDC stream legs). */
+  private[tables] def eqDeletedRows(spark: SparkSession, base: Manifest,
+                                    schema: StructType,
+                                    entries: Seq[GeoManifest.EqDeleteEntry],
+                                    keepMeta: Boolean,
+                                    extraPos: Option[DataFrame] = None): DataFrame = {
+    val affected = base.files.filter(f => entries.exists(_.appliesTo(f)))
+    def visible(fs: Seq[FileEntry]): DataFrame = {
+      var b = readFiles(spark, schema, fs).select(col("*"),
+        col("_metadata.file_path").as("__vf"), col("_metadata.row_index").as("__vp"))
+      (GeoTable.deletePairs(spark, base).toSeq ++ extraPos.toSeq).foreach { d =>
+        b = b.join(d, b("__vf") === d("file_path") && b("__vp") === d("pos"), "left_anti")
+      }
+      b
+    }
+    if (affected.isEmpty) {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return if (!keepMeta) empty
+             else empty.withColumn("__vf", lit(null).cast(StringType))
+               .withColumn("__vp", lit(null).cast(LongType))
+    }
+    val baseRows = GeoTable.applyEqDeletes(spark, base.copy(schema = schema), affected)(visible)
+    var remaining = baseRows
+    val legs = entries.sortBy(_.key).map { e =>
+      val leg = GeoTable.joinEq(spark, remaining, e, "left_semi")
+      remaining = GeoTable.joinEq(spark, remaining, e, "left_anti")
+      leg
+    }
+    val out = legs.reduce(_ unionByName _)
+    if (keepMeta) out else out.drop("__vf", "__vp")
   }
 
   /** Rows named by position-delete sidecars, resolved against version v's
@@ -152,27 +207,29 @@ object GeoChangelog {
     val toKeys = to.files.map(_.key).toSet
     val addedFiles = to.files.filterNot(f => fromKeys.contains(f.key))
     val removedFiles = from.files.filterNot(f => toKeys.contains(f.key))
-    // rows visible at vTo that are new: added files, minus vTo's MoR
-    // deletes (a row inserted and MoR-deleted inside the range never
-    // becomes visible)
+    // rows visible at vTo that are new: added files through the full vTo
+    // merge (position AND equality deletes — a row inserted and deleted
+    // inside the range never becomes visible)
     val addedRows =
       if (addedFiles.isEmpty) readFiles(spark, to.schema, Seq.empty)
-      else applyDeletes(spark, readFiles(spark, to.schema, addedFiles), to.deletes)
+      else GeoTable.readMerged(spark, to, addedFiles)
     // rows visible at vFrom that are gone: removed files as seen at vFrom
-    // (vFrom's own MoR deletes already hid some of their rows)...
+    // (vFrom's own deletes already hid some of their rows)...
     val removedRows =
       if (removedFiles.isEmpty) readFiles(spark, to.schema, Seq.empty)
-      else applyDeletes(spark, readFiles(spark, to.schema, removedFiles), from.deletes)
+      else GeoTable.readMerged(spark, from.copy(schema = to.schema), removedFiles)
     // ...plus rows of files PRESENT IN BOTH that sidecars added in the
     // range deleted in place (the merge-on-read delete leg)
     val fromDel = from.deletes.map(_.key).toSet
     val newSidecars = to.deletes.filterNot(d => fromDel.contains(d.key))
     val commonFiles = to.files.filter(f => fromKeys.contains(f.key))
-    val morDeleted =
-      if (newSidecars.isEmpty || commonFiles.isEmpty) None
+    val newPairs =
+      if (newSidecars.isEmpty) None
+      else Some(spark.read.parquet(newSidecars.map(_.path): _*)
+        .select(col("file_path"), col("pos")))
+    val morDeleted = newPairs.flatMap { pairs =>
+      if (commonFiles.isEmpty) None
       else {
-        val pairs = spark.read.parquet(newSidecars.map(_.path): _*)
-          .select(col("file_path"), col("pos"))
         val refKeys = pairs.select("file_path").distinct().collect()
           .map(r => GeoManifest.norm(r.getString(0))).toSet
         val refFiles = commonFiles.filter(f => refKeys.contains(f.key))
@@ -184,14 +241,30 @@ object GeoChangelog {
             base("__cp") === pairs("pos"), "left_semi").drop("__cf", "__cp"))
         }
       }
+    }
+    // ...plus rows of common files that EQUALITY deletes added in the
+    // range removed: per delete version, the vFrom-visible rows of the
+    // files it applies to, matching the keys — excluding rows the new
+    // position sidecars already counted (pos-deleted then eq-matched)
+    val fromEq = from.eqDeletes.map(_.key).toSet
+    val newEq = to.eqDeletes.filterNot(e => fromEq.contains(e.key))
+    // per delete version, oldest first; earlier new deletes fold into the
+    // base manifest so a row matching keys of TWO range deletes nets to
+    // one delete, not two
+    var absorbed = from.eqDeletes
+    val eqDeleted = newEq.groupBy(_.version).toSeq.sortBy(_._1).map {
+      case (_, entries) =>
+        val base = from.copy(files = commonFiles, eqDeletes = absorbed)
+        absorbed = absorbed ++ entries
+        eqDeletedRows(spark, base, to.schema, entries,
+          keepMeta = false, extraPos = newPairs)
+    }
     val inserts = addedRows.exceptAll(removedRows).withColumn(ChangeTypeCol, lit("insert"))
     val deletes = removedRows.exceptAll(addedRows).withColumn(ChangeTypeCol, lit("delete"))
-    morDeleted match {
-      case None => inserts.unionByName(deletes)
-      case Some(mor) =>
-        inserts.unionByName(deletes)
-          .unionByName(mor.withColumn(ChangeTypeCol, lit("delete")))
-    }
+    (Seq(inserts.unionByName(deletes)) ++
+      morDeleted.map(_.withColumn(ChangeTypeCol, lit("delete"))) ++
+      eqDeleted.map(_.withColumn(ChangeTypeCol, lit("delete"))))
+      .reduce(_ unionByName _)
   }
 
   /** Anti-join `df` (which must come straight off the data files, so
@@ -232,29 +305,51 @@ object GeoChangelog {
     b.build().asInstanceOf[ParquetScan]
   }
 
-  /** Row-level changelog legs for merge-on-read delete commits: one
-    * partition per referenced data-file split, carrying the commit's
-    * deleted ordinals for that file. The reader re-reads the (still-live)
-    * data files and keeps ONLY the sidecar-named row indexes — the
-    * row-granular CDC Delta's change feed emits for deletes, where
-    * whole-file constant tagging can't express a row subset. Sidecar
-    * content collects driver-side (bounded per commit by the MoR
-    * admission ratio, the same bound every MoR read path relies on). */
-  private[tables] def morDeletePartitions(spark: SparkSession, root: String,
+  /** (file, sorted row ordinals) of the rows an equality-delete step
+    * removed — one planning-time job over the applicable files (the same
+    * scan any consumer of the delete would have to pay); lets the CDC
+    * surfaces replay a keyed delete through position-based row legs. */
+  private[tables] def eqStepPositions(spark: SparkSession, s: VersionStep)
+      : Seq[(FileEntry, Array[Long])] = {
+    val base = s.prevManifest.get
+    val byFile = eqDeletedRows(spark, base, base.schema, s.addedEqDeletes, keepMeta = true)
+      .select(col("__vf"), col("__vp")).collect()
+      .groupBy(r => GeoManifest.norm(r.getString(0)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+    base.files.filter(f => byFile.contains(f.key)).map(f => f -> byFile(f.key))
+  }
+
+  /** Row-level changelog legs for delete commits that name row SUBSETS of
+    * live files: one partition per referenced data-file split, carrying
+    * the deleted ordinals for that file. Merge-on-read commits take the
+    * ordinals straight off their position sidecars; equality-delete
+    * commits resolve keys to ordinals with one planning-time job
+    * ([[eqStepPositions]]). The reader re-reads the (still-live) data
+    * files and keeps ONLY those row indexes — the row-granular CDC
+    * Delta's change feed emits for deletes, where whole-file constant
+    * tagging can't express a row subset. Sidecar content collects
+    * driver-side (bounded per commit by the MoR admission ratio / the
+    * keyed-delete size). */
+  private[tables] def rowDeletePartitions(spark: SparkSession, root: String,
       template: ParquetScan, tableSchema: StructType,
       steps: Seq[VersionStep], startIndex: Int): Array[InputPartition] = {
     var i = startIndex - 1
-    steps.filter(_.addedDeletes.nonEmpty).flatMap { s =>
-      val byFile = spark.read.parquet(s.addedDeletes.map(_.path): _*)
-        .select("file_path", "pos").collect()
-        .groupBy(r => GeoManifest.norm(r.getString(0)))
-        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
-      val m = GeoManifest.readVersion(spark, root, s.version)
-      m.files.filter(f => byFile.contains(f.key)).flatMap { f =>
+    steps.filter(s => s.addedDeletes.nonEmpty || s.addedEqDeletes.nonEmpty).flatMap { s =>
+      val morLegs: Seq[(FileEntry, Array[Long])] =
+        if (s.addedDeletes.isEmpty) Seq.empty
+        else {
+          val byFile = spark.read.parquet(s.addedDeletes.map(_.path): _*)
+            .select("file_path", "pos").collect()
+            .groupBy(r => GeoManifest.norm(r.getString(0)))
+            .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+          val m = GeoManifest.readVersion(spark, root, s.version)
+          m.files.filter(f => byFile.contains(f.key)).map(f => f -> byFile(f.key))
+        }
+      val eqLegs = if (s.addedEqDeletes.isEmpty) Seq.empty else eqStepPositions(spark, s)
+      (morLegs ++ eqLegs).flatMap { case (f, positions) =>
         val plan = template.copy(fileIndex = new InMemoryFileIndex(
           spark, Seq(new Path(f.path)), Map.empty, Some(tableSchema)))
           .toBatch.planInputPartitions()
-        val positions = byFile(f.key)
         plan.flatMap(_.asInstanceOf[FilePartition].files).map { pf =>
           i += 1
           GeoMorDeletePartition(FilePartition(i, Array(pf)), s.version, positions)
@@ -324,7 +419,7 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
         // the whole-file constant-tagged ones
         (steps.flatMap { s =>
           s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
-        }, steps.filter(_.addedDeletes.nonEmpty), None)
+        }, steps.filter(st => st.addedDeletes.nonEmpty || st.addedEqDeletes.nonEmpty), None)
       } catch {
         case scala.util.control.NonFatal(e) =>
           (Seq.empty[(FileEntry, String, Int)], Seq.empty[GeoChangelog.VersionStep], Some(e))
@@ -394,7 +489,7 @@ class GeoChangesScan(spark: SparkSession, root: String, tableName: String,
     batchErr.foreach(e => throw e)
     val tagged = GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
     if (morSteps.isEmpty) tagged
-    else tagged ++ GeoChangelog.morDeletePartitions(
+    else tagged ++ GeoChangelog.rowDeletePartitions(
       spark, root, morTemplate, tableSchema, morSteps, tagged.length)
   }
 
@@ -632,9 +727,9 @@ class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan
       s.added.map((_, "insert", s.version)) ++ s.removed.map((_, "delete", s.version))
     }
     val tagged = GeoChangelog.taggedPartitions(spark, inner0, tableSchema, fileTags)
-    val mor = steps.filter(_.addedDeletes.nonEmpty)
+    val mor = steps.filter(st => st.addedDeletes.nonEmpty || st.addedEqDeletes.nonEmpty)
     if (mor.isEmpty) tagged
-    else tagged ++ GeoChangelog.morDeletePartitions(
+    else tagged ++ GeoChangelog.rowDeletePartitions(
       spark, root, morTemplate, tableSchema, mor, tagged.length)
   }
 

@@ -40,11 +40,15 @@ import java.nio.charset.StandardCharsets
  * (`_manifests/s-*.txt`, `file` lines only), the Iceberg
  * manifest-list/manifest split: an append commit rewrites one small
  * shard plus the list instead of the full file inventory, so commit
- * metadata cost is O(changed files), not O(table). Readers SKIP unknown
- * line tags ONLY when the manifest declares a format version newer than
- * the reader knows (additive v6+ tags won't break this reader); an
- * unknown tag in a v1–v5 manifest is corruption and fails hard —
- * skipping it would turn a torn line into silently missing data files.
+ * metadata cost is O(changed files), not O(table); v6 adds equality
+ * deletes — `eqdelete <path> <rows> <version> <col,col>` sidecar lines
+ * plus a per-file data sequence number (`addedAt`, written after the
+ * bbox on `file` lines; shard files carrying it bump their own header
+ * to `graftshard 2`). Readers SKIP unknown line tags ONLY when the
+ * manifest declares a format version newer than the reader knows
+ * (additive v7+ tags won't break this reader); an unknown tag in a
+ * v1–v6 manifest is corruption and fails hard — skipping it would turn
+ * a torn line into silently missing data files.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -58,10 +62,18 @@ import java.nio.charset.StandardCharsets
 object GeoManifest {
 
   /** One immutable data file. bbox is NaN-bounded when rows have no
-    * geometry (empty file or no geometry column). */
+    * geometry (empty file or no geometry column). `addedAt` is the data
+    * sequence number (Iceberg analog): the commit version that introduced
+    * the file. -1 = freshly built this commit (stamped to the committing
+    * version inside [[write]]); 0 for files parsed from pre-v6 manifests
+    * (they predate every possible equality delete, so "oldest" is exact).
+    * An equality delete applies to a file iff `addedAt < delete.version` —
+    * which is what lets a keyed upsert (delete + append in one commit)
+    * leave its own fresh rows alive. */
   final case class FileEntry(path: String, rows: Long,
                              xmin: Double, ymin: Double, xmax: Double, ymax: Double,
-                             pstats: Seq[(Long, Long)] = Seq.empty) {
+                             pstats: Seq[(Long, Long)] = Seq.empty,
+                             addedAt: Int = -1) {
     def intersects(e: Envelope): Boolean =
       !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
         ymin <= e.getMaxY && ymax >= e.getMinY
@@ -96,6 +108,19 @@ object GeoManifest {
     def key: String = GeoManifest.norm(path)
   }
 
+  /** One immutable equality-delete sidecar (Iceberg v2 eqdelete analog):
+    * a parquet file of key tuples over `cols`; every row of a data file
+    * with `addedAt < version` whose key tuple appears here is deleted.
+    * Written WITHOUT scanning data files — the commit costs O(keys),
+    * which is what a streaming upsert writer needs. Null keys never
+    * match (rows with a null key column are never equality-deleted). */
+  final case class EqDeleteEntry(path: String, rows: Long,
+                                 cols: Seq[String], version: Int) {
+    def key: String = GeoManifest.norm(path)
+    /** True when this delete can affect rows of `f`. */
+    def appliesTo(f: FileEntry): Boolean = f.addedAt < version
+  }
+
   /** One immutable manifest shard (v5): `name` under `<root>/_manifests/`,
     * holding a slice of the version's `file` lines. `baseShards` on a
     * read manifest records the layout so the NEXT commit can reference
@@ -110,7 +135,10 @@ object GeoManifest {
                             commitTs: Option[Long] = None,
                             deletes: Seq[DeleteEntry] = Seq.empty,
                             partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-                            baseShards: Seq[ShardRef] = Seq.empty) {
+                            baseShards: Seq[ShardRef] = Seq.empty,
+                            eqDeletes: Seq[EqDeleteEntry] = Seq.empty) {
+    /** Exact for position deletes; an UPPER bound while equality deletes
+      * are live (their matched-row count is unknown until a scan). */
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
     /** Files that can contain rows whose geometry bbox-intersects `e`. */
     def prune(e: Envelope): Seq[FileEntry] = files.filter(_.intersects(e))
@@ -200,10 +228,13 @@ object GeoManifest {
       write(spark, root, m)
     }
 
-  private def fileLine(e: FileEntry): String = {
+  /** v6 file lines add `addedAt` at a fixed position between the bbox and
+    * the partition-stat pairs; pre-v6 lines omit it (parsed as 0). */
+  private def fileLine(e: FileEntry, v6: Boolean): String = {
     val ps = if (e.pstats.isEmpty) ""
              else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
-    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$ps\n"
+    val seq = if (v6) s"\t${e.addedAt}" else ""
+    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$seq$ps\n"
   }
 
   /** Files-per-shard for v5 manifest lists. Below this many entries the
@@ -218,7 +249,8 @@ object GeoManifest {
     * unchanged; shards at or below ss/4 entries are folded back into the
     * fresh pool so repeated single-file appends cannot grow the shard
     * list without bound (amortized O(ss) rewrite per commit). */
-  private def writeShards(f: FileSystem, root: String, m: Manifest, ss: Int): Seq[ShardRef] = {
+  private def writeShards(f: FileSystem, root: String, m: Manifest, ss: Int,
+                          v6: Boolean): Seq[ShardRef] = {
     // Identity-based coverage: derived manifests share FileEntry
     // INSTANCES with the base they were read from (every mutation is a
     // copy() around the read file list), so membership checks need no
@@ -243,24 +275,39 @@ object GeoManifest {
     }
     val freshRefs = fresh.grouped(ss).map { es =>
       val name = s"s-${java.util.UUID.randomUUID().toString.take(13)}.txt"
-      val sb = new StringBuilder("graftshard\t1\n")
-      es.foreach(e => sb ++= fileLine(e))
+      // shard layout rides its OWN header (readers gate on it, not on the
+      // referencing manifest's version): 2 = v6 file lines with addedAt
+      val sb = new StringBuilder(if (v6) "graftshard\t2\n" else "graftshard\t1\n")
+      es.foreach(e => sb ++= fileLine(e, v6))
       writeText(f, new Path(root, s"_manifests/$name"), sb.toString)
       ShardRef(name, es)
     }.toSeq
     reused ++ freshRefs
   }
 
-  def write(spark: SparkSession, root: String, m: Manifest): Unit = {
+  def write(spark: SparkSession, root: String, m0: Manifest): Unit = {
     val f = fs(spark, root)
     val ss = shardSize(spark)
+    // stamp data sequence numbers: entries built this commit carry the
+    // sentinel -1 and become this version; carried-over entries keep
+    // theirs. Copies touch ONLY fresh entries, so the identity-based
+    // shard-reuse check still recognizes every carried-over instance.
+    val stamped = m0.files.map(e => if (e.addedAt < 0) e.copy(addedAt = m0.version) else e)
+    // an equality delete that no remaining file predates can never match
+    // again (future files always get higher sequence numbers): GC it here
+    val liveEq = m0.eqDeletes.filter(e => stamped.exists(e.appliesTo))
+    val m = m0.copy(files = stamped, eqDeletes = liveEq)
     val sharded = m.files.length >= ss
+    val v6 = m.eqDeletes.nonEmpty
     val lines = new StringBuilder()
     // format 4 adds `delete` sidecar lines, `partition` transform lines
     // and per-file partition stats; format 5 shards the file list above
-    // the size threshold. Tables needing none of this keep writing 3 so
-    // older snapshots stay bit-stable for existing readers.
-    lines ++= (if (sharded) "graftgeo\t5\n"
+    // the size threshold; format 6 adds `eqdelete` lines and per-file
+    // data sequence numbers (needed only while equality deletes are
+    // live). Tables needing none of this keep writing 3 so older
+    // snapshots stay bit-stable for existing readers.
+    lines ++= (if (v6) "graftgeo\t6\n"
+               else if (sharded) "graftgeo\t5\n"
                else if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
                else "graftgeo\t3\n")
     // always stamp NOW: manifests are derived from the base via copy(),
@@ -274,11 +321,14 @@ object GeoManifest {
     }
     m.partitions.foreach { p => lines ++= s"partition\t${p.encode}\n" }
     if (sharded)
-      writeShards(f, root, m, ss).foreach { s =>
+      writeShards(f, root, m, ss, v6).foreach { s =>
         lines ++= s"shard\t${s.name}\t${s.entries.length}\n"
       }
-    else m.files.foreach { e => lines ++= fileLine(e) }
+    else m.files.foreach { e => lines ++= fileLine(e, v6) }
     m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
+    m.eqDeletes.foreach { e =>
+      lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}\n"
+    }
     // manifest first (immutable, new name), pointer flip last. The flip
     // is an in-place truncate+write of a few bytes; readers that race it
     // (a streaming source polling latestOffset) can catch the truncated
@@ -294,13 +344,21 @@ object GeoManifest {
     readVersion(spark, root, v)
   }
 
-  private def parseFileEntry(parts: Array[String]): FileEntry = {
-    // trailing pairs (if any) are per-partition-transform min/max
-    val ps = parts.drop(7).grouped(2).collect {
+  private def parseFileEntry(parts: Array[String], v6: Boolean): FileEntry = {
+    // v6 carries addedAt after the bbox; trailing pairs (if any) are
+    // per-partition-transform min/max. Pre-v6 files predate every
+    // possible equality delete, so addedAt = 0 is exact. Field-count
+    // parity disambiguates: a v6 line has an ODD tail (addedAt + pairs),
+    // a legacy-layout line under a newer declared format (hand-migrated
+    // manifest, or an additive future format keeping old file lines) has
+    // an EVEN tail and parses as addedAt 0.
+    val hasSeq = v6 && (parts.length - 7) % 2 == 1
+    val addedAt = if (hasSeq) parts(7).toInt else 0
+    val ps = parts.drop(if (hasSeq) 8 else 7).grouped(2).collect {
       case Array(a, b) => (a.toLong, b.toLong)
     }.toSeq
     FileEntry(parts(1), parts(2).toLong,
-      parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps)
+      parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps, addedAt)
   }
 
   /** Read v5 shard files, in parallel — a 1M-file table is ~40 shard
@@ -313,12 +371,16 @@ object GeoManifest {
       val futs = names.map { n =>
         pool.submit(new java.util.concurrent.Callable[ShardRef] {
           override def call(): ShardRef = {
+            // layout rides the shard's own header: 2 = v6 file lines. A
+            // v6 manifest can reuse layout-1 shards (their files predate
+            // equality deletes; addedAt 0 is exact) and vice versa.
+            var shardV6 = false
             val entries = readText(f, new Path(root, s"_manifests/$n"))
               .split('\n').filter(_.nonEmpty).toSeq.flatMap { line =>
                 val parts = line.split('\t')
                 parts(0) match {
-                  case "graftshard" => None
-                  case "file" => Some(parseFileEntry(parts))
+                  case "graftshard" => shardV6 = parts(1).toInt >= 2; None
+                  case "file" => Some(parseFileEntry(parts, shardV6))
                   case _ => throw new IllegalArgumentException(
                     s"bad shard line in $n (manifest m$v.txt) at $root: '$line'")
                 }
@@ -341,6 +403,7 @@ object GeoManifest {
     val files = Seq.newBuilder[FileEntry]
     val shardNames = Seq.newBuilder[String]
     val deletes = Seq.newBuilder[DeleteEntry]
+    val eqDeletes = Seq.newBuilder[EqDeleteEntry]
     val partitions = Seq.newBuilder[GeoPartition.PTransform]
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
@@ -358,17 +421,20 @@ object GeoManifest {
         case "ts" => commitTs = Some(parts(1).toLong)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
-        case "file" => files += parseFileEntry(parts)
+        case "file" => files += parseFileEntry(parts, declared >= 6)
         case "shard" => shardNames += parts(1)
         case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
+        case "eqdelete" =>
+          eqDeletes += EqDeleteEntry(parts(1), parts(2).toLong,
+            parts(4).split(',').toSeq, parts(3).toInt)
         case "partition" => partitions += GeoPartition.decode(parts(1))
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
-          // a format newer than this reader (additive v6+ tags). In a
-          // v1–v5 manifest an unrecognized tag is corruption (e.g. a torn
+          // a format newer than this reader (additive v7+ tags). In a
+          // v1–v6 manifest an unrecognized tag is corruption (e.g. a torn
           // `file` line) — skipping it would turn a torn write into
           // silently missing data files that the next commit persists.
-          if (declared <= 5)
+          if (declared <= 6)
             throw new IllegalArgumentException(
               s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
@@ -378,7 +444,7 @@ object GeoManifest {
     val shards = readShards(f, root, v, shardNames.result())
     shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
-      commitTs, deletes.result(), partitions.result(), shards)
+      commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result())
   }
 
   /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling

@@ -93,7 +93,7 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
     // into the replaced files (their rows are gone for good).
     new GeoCowScanBuilder(spark, m.schema, m.files, options,
       s => if (mainScan == null && s.coversFullRow) mainScan = s,
-      deletes = m.deletes)
+      deletes = m.deletes, eqDeletes = m.eqDeletes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -121,7 +121,8 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         onBuild: GeoCowScan => Unit,
                         streamRoot: Option[String] = None,
                         partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-                        deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty)
+                        deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty,
+                        eqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -144,13 +145,20 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
     org.apache.spark.sql.types.LongType, nullable = true)
 
+  // equality deletes filter on key COLUMNS: any key column the query
+  // pruned away is read anyway (then projected off by the reader)
+  private val eqKeyCols: Seq[String] = eqDeletes.flatMap(_.cols).distinct
+  private var extraEqCols: Seq[String] = Seq.empty
+
   override def pruneColumns(required: StructType): Unit = {
     needFile = required.fieldNames.contains(GeoRowLevel.FileCol)
     val names = required.fieldNames.toSet
     fullRow = needFile && tableSchema.fieldNames.forall(names.contains)
     val base = required.fields.filterNot(_.name == GeoRowLevel.FileCol)
+    extraEqCols = eqKeyCols.filterNot(names.contains)
+    val withEq = base ++ extraEqCols.map(c => tableSchema(c))
     inner.pruneColumns(StructType(
-      if (deletes.isEmpty) base else base :+ rowIdxField))
+      if (deletes.isEmpty) withEq else withEq :+ rowIdxField))
   }
 
   // filters feed BOTH the parquet pushdown (inner) and manifest-level
@@ -172,12 +180,12 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
   // footers still count deleted rows, so pushdown must not answer.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    deletes.isEmpty &&
+    deletes.isEmpty && eqDeletes.isEmpty &&
       inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    deletes.isEmpty &&
+    deletes.isEmpty && eqDeletes.isEmpty &&
       inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
 
   override def build(): Scan = {
@@ -189,8 +197,19 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
         .select("file_path", "pos").collect()
         .groupBy(r => GeoManifest.norm(r.getString(0)))
         .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+    // equality-delete keys load once driver-side as UnsafeRows cast to the
+    // table column types — byte-layout-identical to what the reader's key
+    // projection emits, so membership is a hash-set probe on raw bytes
+    val eqGroups: Seq[GeoEqGroup] = eqDeletes.sortBy(_.version).map { e =>
+      val keys = spark.read.parquet(e.path)
+        .select(e.cols.map(c => org.apache.spark.sql.functions.col(c)
+          .cast(tableSchema(c).dataType)): _*)
+        .queryExecution.toRdd.map(_.copy()).collect()
+      GeoEqGroup(e.version, e.cols, keys)
+    }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
-      tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos)
+      tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,
+      eqGroups, extraEqCols)
     // manifest-level partition pruning: per-file transform ranges vs the
     // filter-derived bounds (conservative — underivable filters keep all)
     if (partitions.nonEmpty && allFilters.nonEmpty) {
@@ -216,8 +235,15 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  val coversFullRow: Boolean = false,
                  streamRoot: Option[String] = None,
                  options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-                 deletedPos: Map[String, Array[Long]] = Map.empty)
+                 deletedPos: Map[String, Array[Long]] = Map.empty,
+                 eqGroups: Seq[GeoEqGroup] = Seq.empty,
+                 extraEqCols: Seq[String] = Seq.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  // file key -> data sequence number, for deciding which equality deletes
+  // apply to a partition's file (delete.version > file.addedAt)
+  private val addedAtByKey: Map[String, Int] =
+    if (eqGroups.isEmpty) Map.empty else allFiles.map(f => f.key -> f.addedAt).toMap
 
   @volatile private var current: Seq[FileEntry] = allFiles
   def scannedFiles: Seq[FileEntry] = current
@@ -242,10 +268,12 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
   // estimate, the admission rule bounds them to a small fraction.
   override def estimateStatistics(): Statistics = inner0.estimateStatistics()
 
-  // the parquet row-index column is reader-internal: it feeds the MoR
-  // anti-join in the wrapper and never reaches the scan's output schema
+  // the parquet row-index column and the force-read equality-delete key
+  // columns are reader-internal: they feed the MoR/eq merges in the
+  // wrappers and never reach the scan's output schema
   private def innerOutSchema: StructType = StructType(inner0.readSchema().fields
-    .filterNot(_.name == ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME))
+    .filterNot(f => f.name == ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME ||
+      extraEqCols.contains(f.name)))
 
   override def readSchema(): StructType =
     if (needFile) StructType(innerOutSchema.fields :+
@@ -302,10 +330,11 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = snapshotBatch().planInputPartitions()
-    if (!needFile && deletedPos.isEmpty) parts
+    if (!needFile && deletedPos.isEmpty && eqGroups.isEmpty) parts
     else {
       // one partition per file split => the file path is a per-partition
-      // constant (the `_file` column for DML; the sidecar lookup for MoR)
+      // constant (the `_file` column for DML; the sidecar lookup for MoR
+      // and equality deletes)
       val pfs = parts.flatMap(_.asInstanceOf[FilePartition].files)
       pfs.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }
     }
@@ -313,17 +342,27 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val f = inner0.toBatch.createReaderFactory()
-    if (deletedPos.nonEmpty) {
-      // row-based only while a scanned file actually has deleted rows
-      // (a ColumnarBatch admits no row selection); if pruning dropped
-      // every sidecar'd file, batches stay vectorized minus the index col
-      val morActive = current.exists(f => deletedPos.contains(f.key))
-      val mor = GeoMorReaderFactory(f, deletedPos, inner0.readSchema(), morActive)
-      // DML scans compose the `_file` append on TOP of the MoR merge:
-      // [cols..., rowIdx] --mor--> [cols...] --append--> [cols..., _file]
-      if (needFile) GeoAppendFileReaderFactory(mor) else mor
-    }
-    else if (!needFile) f else GeoAppendFileReaderFactory(f)
+    // factory chain: parquet -> MoR position merge (drops rowIdx) ->
+    // equality-delete filter (drops the extra key cols) -> `_file` append
+    val afterMor: PartitionReaderFactory =
+      if (deletedPos.isEmpty) f
+      else {
+        // row-based only while a scanned file actually has deleted rows
+        // (a ColumnarBatch admits no row selection); if pruning dropped
+        // every sidecar'd file, batches stay vectorized minus the index col
+        val morActive = current.exists(f => deletedPos.contains(f.key))
+        GeoMorReaderFactory(f, deletedPos, inner0.readSchema(), morActive)
+      }
+    val postMorSchema = StructType(inner0.readSchema().fields
+      .filterNot(_.name == ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME))
+    val afterEq: PartitionReaderFactory =
+      if (eqGroups.isEmpty) afterMor
+      else {
+        val eqActive = current.exists(f => eqGroups.exists(_.version > f.addedAt))
+        GeoEqReaderFactory(afterMor, postMorSchema, eqGroups, extraEqCols,
+          addedAtByKey, eqActive)
+      }
+    if (needFile) GeoAppendFileReaderFactory(afterEq) else afterEq
   }
 
   // keep the inner parquet description: PushedFilters / ReadSchema stay
@@ -441,6 +480,86 @@ case class GeoMorReaderFactory(inner: PartitionReaderFactory,
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     !morActive && inner.supportColumnarReads(p)
+}
+
+/** One equality-delete sidecar loaded for the scan: its commit version,
+  * key column names, and the key tuples as UnsafeRows cast to the table
+  * column types (byte-layout-identical to the reader's key projection
+  * output, so membership is a raw-bytes hash probe). */
+case class GeoEqGroup(version: Int, cols: Seq[String], keys: Array[InternalRow])
+
+/**
+ * Equality-delete scan wrapper: drops rows whose key tuple appears in a
+ * sidecar that APPLIES to the partition's file (sidecar version > file's
+ * data sequence number), then projects away any key columns the query
+ * didn't ask for. Partitions are one file split each, so applicability
+ * resolves once per partition; files no live sidecar applies to (fresh
+ * appends) pass through — columnar reads included when no key columns
+ * had to be force-read.
+ */
+case class GeoEqReaderFactory(inner: PartitionReaderFactory,
+                              innerSchema: StructType,
+                              groups: Seq[GeoEqGroup],
+                              extraCols: Seq[String],
+                              addedAtByKey: Map[String, Int],
+                              eqActive: Boolean)
+  extends PartitionReaderFactory {
+
+  private def pathOf(p: InputPartition): String =
+    p.asInstanceOf[FilePartition].files.head.filePath.toString
+
+  private def applicable(p: InputPartition): Seq[GeoEqGroup] = {
+    val addedAt = addedAtByKey.getOrElse(GeoManifest.norm(pathOf(p)), 0)
+    groups.filter(_.version > addedAt)
+  }
+
+  private val keepOrds: Seq[Int] =
+    innerSchema.fields.indices.filterNot(i => extraCols.contains(innerSchema(i).name))
+  private def outProj: UnsafeProjection = UnsafeProjection.create(keepOrds.map(i =>
+    BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)).toArray)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val app = applicable(p)
+    if (app.isEmpty && extraCols.isEmpty) return r
+    // per-group: a projection of the row's key tuple + a byte-hash set of
+    // deleted tuples. A row with a null key column projects to a tuple no
+    // set contains (sidecars are null-free) — equality never matches null.
+    val probes = app.map { g =>
+      val proj = UnsafeProjection.create(g.cols.map { c =>
+        val i = innerSchema.fieldIndex(c)
+        BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression
+      }.toArray)
+      val set = new java.util.HashSet[InternalRow](g.keys.length * 2)
+      g.keys.foreach(set.add)
+      (proj, set)
+    }
+    val proj = outProj
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (!probes.exists { case (kp, set) => set.contains(kp(row)) }) {
+            cur = proj(row); return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(p)
+
+  // uniform across the scan (Spark rejects mixed row/columnar partition
+  // sets): columnar only when NO scanned file has an applicable delete
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !eqActive && extraCols.isEmpty && inner.supportColumnarReads(p)
 }
 
 /** Commit message: one written parquet file and its row count. */

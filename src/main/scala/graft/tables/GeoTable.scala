@@ -101,7 +101,8 @@ object GeoTable {
     }
     val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
+      m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
+        eqDeletes = Seq.empty), m.version)
   }
 
   /**
@@ -127,7 +128,8 @@ object GeoTable {
       try {
         val mv = GeoManifest.readVersion(spark, root, v)
         liveShards ++= mv.baseShards.map(_.name)
-        mv.files.map(_.key) ++ mv.deletes.map(_.key) // sidecars are live too
+        // sidecars (position + equality) are live too
+        mv.files.map(_.key) ++ mv.deletes.map(_.key) ++ mv.eqDeletes.map(_.key)
       } catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
     }.toSet
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
@@ -191,7 +193,8 @@ object GeoTable {
     val fs = GeoManifest.fs(spark, root)
     val live = cur.files.map(_.key).toSet
     (tgt.files.filterNot(f => live.contains(f.key)).map(_.path) ++
-      tgt.deletes.filterNot(d => cur.deletes.exists(_.key == d.key)).map(_.path))
+      tgt.deletes.filterNot(d => cur.deletes.exists(_.key == d.key)).map(_.path) ++
+      tgt.eqDeletes.filterNot(e => cur.eqDeletes.exists(_.key == e.key)).map(_.path))
       .foreach { p =>
         require(fs.exists(new org.apache.hadoop.fs.Path(p)),
           s"cannot restore $root to version $version: file $p was vacuumed")
@@ -418,7 +421,8 @@ object GeoTable {
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = files, deletes = Seq.empty), m.version)
+      m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
+        eqDeletes = Seq.empty), m.version)
     files.map(_.rows).sum
   }
 
@@ -432,6 +436,71 @@ object GeoTable {
     * MoR trades read-side anti-join work for write amplification, which
     * only pays off when the rewrite would be mostly untouched rows. */
   val MorMaxRatio = 0.1
+
+  /** Ceiling on TOTAL live delete-sidecar rows (position + equality) a
+    * table may carry. Each commit is bounded by [[MorMaxRatio]], but
+    * sidecars ACCUMULATE across commits and every read pays for them
+    * (driver-side position load, per-row merge work) — steady small DML
+    * would otherwise grow them without bound. A DML commit that pushes
+    * the total past this ceiling triggers an inline [[foldSidecars]]:
+    * only sidecar-referenced files rewrite, so the maintenance cost is
+    * proportional to the delete volume, not the table.
+    * `spark.graft.mor.maxLiveDeleteRows` overrides (default ~4M rows). */
+  def maxLiveDeleteRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mor.maxLiveDeleteRows")
+      .map(_.toLong).getOrElse(1L << 22)
+
+  private def liveDeleteRows(m: Manifest): Long =
+    m.deletes.map(_.rows).sum + m.eqDeletes.map(_.rows).sum
+
+  /** Inline sidecar compaction: rewrite ONLY the files live delete
+    * sidecars actually touch — position-sidecar targets, plus files where
+    * an equality delete has key hits (one key-column scan of applicable
+    * files finds them) — applying every live delete, then clear all
+    * sidecars in the same commit. Untouched files carry over by
+    * reference, so cost scales with the deleted volume, not table size
+    * (a full OPTIMIZE does strictly more work). Returns rewritten rows. */
+  def foldSidecars(spark: SparkSession, root: String): Long = {
+    val m = GeoManifest.read(spark, root)
+    if (m.deletes.isEmpty && m.eqDeletes.isEmpty) return 0L
+    val posKeys: Set[String] =
+      if (m.deletes.isEmpty) Set.empty
+      else spark.read.parquet(m.deletes.map(_.path): _*)
+        .select("file_path").distinct()
+        .collect().map(r => GeoManifest.norm(r.getString(0))).toSet
+    val eqKeys: Set[String] = m.eqDeletes.flatMap { e =>
+      val app = m.files.filter(e.appliesTo)
+      if (app.isEmpty) Seq.empty
+      else {
+        val b = readFiles(spark, m.schema, app)
+          .select(col("_metadata.file_path").as("__ff"), col("*"))
+        joinEq(spark, b, e, "left_semi").select("__ff").distinct()
+          .collect().map(r => GeoManifest.norm(r.getString(0)))
+      }
+    }.toSet
+    val touched = m.files.filter(f => posKeys.contains(f.key) || eqKeys.contains(f.key))
+    if (touched.isEmpty) {
+      // sidecars reference nothing visible (already rewritten / no hits):
+      // clearing them is a pure metadata commit
+      GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+        deletes = Seq.empty, eqDeletes = Seq.empty), m.version)
+      return 0L
+    }
+    val rewritten = writeCommit(spark, root, readMerged(spark, m, touched),
+      m.schema, m.geomCol, m.partitions)
+    val untouched = m.files.filterNot(f => touched.exists(_.key == f.key))
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
+      m.version)
+    touched.map(_.rows).sum
+  }
+
+  /** Post-DML bound check: fold sidecars once the live total crosses the
+    * ceiling. Commits a maintenance version of its own when it fires. */
+  private def maybeFoldSidecars(spark: SparkSession, root: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    if (liveDeleteRows(m) > maxLiveDeleteRows(spark)) foldSidecars(spark, root)
+  }
 
   /** SQL-semantics UPDATE: rows matching `cond` get each `sets` column
     * replaced (RHS evaluated against the OLD row); all other rows and all
@@ -472,6 +541,7 @@ object GeoTable {
         val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions)
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version)
+        maybeFoldSidecars(spark, root)
         sidecar.map(_.rows).sum
     }
   }
@@ -493,8 +563,78 @@ object GeoTable {
       case Some((_, sidecar)) =>
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           deletes = m.deletes ++ sidecar), m.version)
+        maybeFoldSidecars(spark, root)
         sidecar.map(_.rows).sum
     }
+  }
+
+  /**
+   * Equality DELETE (Iceberg v2 equality-delete analog): remove every row
+   * whose `keyCols` tuple appears in `keys`, WITHOUT scanning or
+   * rewriting any data file — the commit writes one key sidecar and costs
+   * O(keys), which is what a keyed streaming deleter needs at 100 TB
+   * (a position delete would first have to scan for ordinals). The
+   * delete binds to the files present BEFORE this commit via data
+   * sequence numbers: files appended later (including in the same commit
+   * by [[upsertByKey]]) are exempt. Key tuples containing null are
+   * dropped — equality never matches null. Returns the number of
+   * distinct key tuples filed.
+   */
+  def deleteByKey(spark: SparkSession, root: String,
+                  keyCols: Seq[String], keys: DataFrame): Long = {
+    val m = GeoManifest.read(spark, root)
+    val (entry, n) = writeEqSidecar(spark, root, m, keyCols, keys)
+    if (n == 0) return 0L
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      eqDeletes = m.eqDeletes :+ entry), m.version)
+    maybeFoldSidecars(spark, root)
+    n
+  }
+
+  /**
+   * Keyed UPSERT in one atomic commit: an equality delete on the rows'
+   * key tuples plus an append of the rows — the shape a streaming upsert
+   * writer produces. The fresh files carry this commit's data sequence
+   * number, so the delete leg cannot touch them; pre-existing rows with
+   * the same keys stop being visible. Costs O(rows): no target scan.
+   * Returns the number of rows appended.
+   */
+  def upsertByKey(spark: SparkSession, root: String,
+                  keyCols: Seq[String], rows: DataFrame): Long = {
+    val m = GeoManifest.read(spark, root)
+    val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
+      .localCheckpoint() // pin: the delete keys and the appended rows must agree
+    val (entry, nKeys) = writeEqSidecar(spark, root, m, keyCols,
+      aligned.select(keyCols.map(col): _*))
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      files = m.files ++ files,
+      eqDeletes = if (nKeys == 0) m.eqDeletes else m.eqDeletes :+ entry), m.version)
+    maybeFoldSidecars(spark, root)
+    files.map(_.rows).sum
+  }
+
+  /** Write a distinct, non-null key sidecar for an equality delete and
+    * return its manifest entry (versioned at the NEXT commit). */
+  private def writeEqSidecar(spark: SparkSession, root: String, m: Manifest,
+                             keyCols: Seq[String], keys: DataFrame)
+      : (GeoManifest.EqDeleteEntry, Long) = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    keyCols.foreach { c =>
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(f.isDefined, s"equality-delete key '$c' is not a table column")
+      require(!GeoSchema.isGeometry(f.get),
+        s"equality-delete key '$c' is a GEOMETRY column; key on scalar columns")
+    }
+    val resolved = keyCols.map(c => m.schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+    val tuples = keys.toDF(resolved: _*)
+      .select(resolved.map(c => col(c).cast(m.schema(c).dataType).as(c)): _*)
+      .na.drop("any").distinct().localCheckpoint()
+    val n = tuples.count()
+    val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
+    tuples.coalesce(1).write.parquet(dir)
+    val path = GeoManifest.listParquet(spark, dir).head
+    (GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1), n)
   }
 
   /**
@@ -665,16 +805,18 @@ object GeoTable {
     * MERGE's probe and rewrite joins. */
   private def readFilesTagged(spark: SparkSession, m: Manifest,
                               files: Seq[FileEntry], alias: String): DataFrame = {
-    val base = readFiles(spark, m.schema, files)
-      .select(col("*"),
-        col("_metadata.file_path").as("__graft_file"),
-        col("_metadata.row_index").as("__graft_row"))
-    val merged = deletePairs(spark, m) match {
-      case None => base
-      case Some(d) => base.join(d, base("__graft_file") === d("file_path") &&
-          base("__graft_row") === d("pos"), "left_anti")
+    def posMerged(fs: Seq[FileEntry]): DataFrame = {
+      val base = readFiles(spark, m.schema, fs)
+        .select(col("*"),
+          col("_metadata.file_path").as("__graft_file"),
+          col("_metadata.row_index").as("__graft_row"))
+      deletePairs(spark, m) match {
+        case None => base
+        case Some(d) => base.join(d, base("__graft_file") === d("file_path") &&
+            base("__graft_row") === d("pos"), "left_anti")
+      }
     }
-    merged.alias(alias)
+    applyEqDeletes(spark, m, files)(posMerged).alias(alias)
   }
 
   /** Shared COW machinery: find affected files, transform them, commit.
@@ -704,7 +846,7 @@ object GeoTable {
     //    safe when no sidecar can reduce the file's live count below raw)
     val (dropOnly, toRewrite) =
       if (keepNonMatching) (Seq.empty[FileEntry], affected)
-      else if (m.deletes.nonEmpty) (Seq.empty[FileEntry], affected)
+      else if (m.deletes.nonEmpty || m.eqDeletes.nonEmpty) (Seq.empty[FileEntry], affected)
       else affected.partition(f => hits(f.key) == f.rows)
     // 4. rewrite only the files that keep some rows
     val newFiles =
@@ -734,22 +876,57 @@ object GeoTable {
     else Some(spark.read.parquet(m.deletes.map(_.path): _*)
       .select(col("file_path"), col("pos")))
 
+  /** Anti-join `df` against one equality-delete sidecar on its key
+    * columns. Null keys never match equality (rows with a null key column
+    * are never equality-deleted), so plain `===` is the exact semantic. */
+  private[tables] def joinEq(spark: SparkSession, df: DataFrame,
+                             e: GeoManifest.EqDeleteEntry, joinType: String): DataFrame = {
+    val keys = broadcast(spark.read.parquet(e.path)
+      .toDF(e.cols.map("__gk_" + _): _*))
+    df.join(keys, e.cols.map(c => df(c) === keys("__gk_" + c)).reduce(_ && _), joinType)
+  }
+
+  private def antiJoinEq(spark: SparkSession, df: DataFrame,
+                         e: GeoManifest.EqDeleteEntry): DataFrame =
+    joinEq(spark, df, e, "left_anti")
+
+  /** Apply the manifest's equality deletes to rows read from `files`.
+    * An equality delete hits only files with a SMALLER data sequence
+    * number, so files group into cohorts by their applicable delete set
+    * (monotone in `addedAt` — at most #distinct-delete-versions + 1
+    * cohorts); each cohort anti-joins its deletes, unions recombine.
+    * `readCohort` supplies the position-merged base rows per cohort. */
+  private[tables] def applyEqDeletes(spark: SparkSession, m: Manifest, files: Seq[FileEntry])
+                                    (readCohort: Seq[FileEntry] => DataFrame): DataFrame = {
+    if (m.eqDeletes.isEmpty || files.isEmpty) return readCohort(files)
+    files.groupBy(f => m.eqDeletes.filter(_.appliesTo(f)).map(_.key).toSet)
+      .map { case (_, fs) =>
+        val applicable = m.eqDeletes.filter(_.appliesTo(fs.head))
+        applicable.foldLeft(readCohort(fs))((df, e) => antiJoinEq(spark, df, e))
+      }.reduce(_ unionByName _)
+  }
+
   /** Snapshot rows with merge-on-read deletes applied: an anti-join of
-    * the data files against the delete sidecars on (file, row-ordinal).
-    * The delete side is commit-bounded and small by the MoR admission
-    * rule, so Spark broadcasts it — the scan side never shuffles. */
+    * the data files against the position-delete sidecars on (file,
+    * row-ordinal), then against any equality-delete sidecars on their key
+    * columns. Delete sides are commit-bounded and small by the MoR
+    * admission rule, so Spark broadcasts them — the scan never shuffles. */
   private[tables] def readMerged(spark: SparkSession, m: Manifest,
-                                 files: Seq[FileEntry]): DataFrame =
-    deletePairs(spark, m) match {
-      case None => readFiles(spark, m.schema, files)
+                                 files: Seq[FileEntry]): DataFrame = {
+    def posMerged(fs: Seq[FileEntry]): DataFrame = deletePairs(spark, m) match {
+      case None => readFiles(spark, m.schema, fs)
       case Some(d) =>
-        val base = readFiles(spark, m.schema, files).select(col("*"),
+        val base = readFiles(spark, m.schema, fs).select(col("*"),
           col("_metadata.file_path").as("__graft_mf"),
           col("_metadata.row_index").as("__graft_mp"))
         base.join(d, base("__graft_mf") === d("file_path") &&
             base("__graft_mp") === d("pos"), "left_anti")
           .drop("__graft_mf", "__graft_mp")
     }
+    if (m.eqDeletes.isEmpty) posMerged(files)
+    else if (files.isEmpty) readFiles(spark, m.schema, files)
+    else applyEqDeletes(spark, m, files)(posMerged)
+  }
 
   /** Write `df` as a fresh immutable commit dir and stat the new files. */
   private def writeCommit(spark: SparkSession, root: String, df: DataFrame,

@@ -1,0 +1,232 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoManifest, GeoTable}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Equality deletes (manifest v6; Iceberg v2 equality-delete analog):
+ * keyed DELETE/UPSERT commit a key sidecar in O(keys) — no data-file
+ * scan or rewrite — and every read path anti-joins the keys back out,
+ * scoped by per-file data sequence numbers so later appends (including
+ * the upsert's own rows) are exempt. OPTIMIZE folds them away.
+ */
+class GeoEqDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(n: Int = 100, nFiles: Int = 4): String = {
+    val root = java.nio.file.Files.createTempDirectory("geo_eq").toString + "/t"
+    val df = spark.range(n).select($"id",
+      concat(lit("v"), $"id").as("v")).repartition(nFiles)
+    GeoTable.create(spark, root, df, None)
+    root
+  }
+
+  test("deleteByKey hides exactly the keyed rows without touching data files") {
+    val root = freshTable()
+    val before = GeoManifest.read(spark, root)
+    val n = GeoTable.deleteByKey(spark, root, Seq("id"),
+      Seq(3L, 17L, 42L, 999L).toDF("id")) // 999 matches nothing — still a key
+    assert(n == 4, s"4 distinct key tuples filed, got $n")
+    val after = GeoManifest.read(spark, root)
+    assert(after.files.map(_.key).toSet == before.files.map(_.key).toSet,
+      "equality delete must not rewrite data files")
+    assert(after.eqDeletes.nonEmpty && after.deletes.isEmpty)
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(Set(3L, 17L, 42L)))
+    // time travel: the pre-delete snapshot still shows all rows
+    assert(GeoTable.readAt(spark, root, before.version).count() == 100)
+  }
+
+  test("equality and CoW DELETE produce identical visible rows") {
+    val rootA = freshTable(200, 5)
+    val rootB = freshTable(200, 5)
+    val keys = (0L until 200L).filter(i => i % 17 == 3 || i == 111L)
+    val nA = GeoTable.delete(spark, rootA, $"id".isin(keys: _*), mode = "cow")
+    val nB = GeoTable.deleteByKey(spark, rootB, Seq("id"), keys.toDF("id"))
+    assert(nA == keys.length && nB == keys.length)
+    val a = GeoTable.read(spark, rootA).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = GeoTable.read(spark, rootB).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b, "CoW and equality-delete reads must be indistinguishable")
+    assert(GeoManifest.read(spark, rootB).eqDeletes.nonEmpty)
+  }
+
+  test("upsertByKey replaces keyed rows atomically; its own rows survive") {
+    val root = freshTable(50, 3)
+    val upserts = Seq((10L, "NEW10"), (20L, "NEW20"), (77L, "NEW77")).toDF("id", "v")
+    val n = GeoTable.upsertByKey(spark, root, Seq("id"), upserts)
+    assert(n == 3)
+    val got = GeoTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 50L).filterNot(Set(10L, 20L)).map(i => (i, s"v$i")) ++
+      Seq((10L, "NEW10"), (20L, "NEW20"), (77L, "NEW77"))).sortBy(_._1)
+    assert(got == want, s"got $got")
+    // one atomic commit: delete + append share a version
+    val m = GeoManifest.read(spark, root)
+    assert(m.version == 1 && m.eqDeletes.nonEmpty)
+    // a second upsert on the same key wins again (versions stack)
+    GeoTable.upsertByKey(spark, root, Seq("id"), Seq((10L, "NEWER10")).toDF("id", "v"))
+    val v10 = GeoTable.read(spark, root).where($"id" === 10L)
+      .select($"v").as[String].collect().toSeq
+    assert(v10 == Seq("NEWER10"))
+  }
+
+  test("multi-column keys and null keys: null never matches") {
+    val root = java.nio.file.Files.createTempDirectory("geo_eq").toString + "/t"
+    val df = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0),
+      (3L, null.asInstanceOf[String], 4.0)).toDF("k1", "k2", "x")
+    GeoTable.create(spark, root, df, None)
+    GeoTable.deleteByKey(spark, root, Seq("k1", "k2"),
+      Seq((1L, "a"), (3L, null.asInstanceOf[String])).toDF("k1", "k2"))
+    val got = GeoTable.read(spark, root).select($"x").as[Double].collect().sorted.toSeq
+    // (1,a) deleted; the (3,null) key tuple is dropped, so row x=4.0 stays
+    assert(got == Seq(2.0, 3.0, 4.0), s"got $got")
+  }
+
+  test("catalog SQL reads merge equality deletes, pruned columns included") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eq_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeq", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeq.db")
+    spark.sql("CREATE TABLE geoeq.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeq.db.t SELECT id, concat('v', id) FROM range(0, 60)")
+    GeoTable.deleteByKey(spark, s"$wh/db/t", Seq("id"), Seq(5L, 6L, 7L).toDF("id"))
+    // full row read
+    val ids = spark.sql("SELECT id FROM geoeq.db.t ORDER BY id").as[Long].collect().toSeq
+    assert(ids == (0L until 60L).filterNot(Set(5L, 6L, 7L)))
+    // pruned read NOT containing the key column: v for the deleted ids gone
+    val vs = spark.sql("SELECT v FROM geoeq.db.t").as[String].collect().toSet
+    assert(!vs("v5") && !vs("v6") && vs("v8"))
+    assert(spark.sql("SELECT COUNT(*) FROM geoeq.db.t").as[Long].head() == 57)
+    // appends after the delete are exempt, even with recycled keys
+    spark.sql("INSERT INTO geoeq.db.t SELECT id, 'resurrected' FROM range(5, 7)")
+    val got = spark.sql("SELECT v FROM geoeq.db.t WHERE id IN (5, 6) ORDER BY v")
+      .as[String].collect().toSeq
+    assert(got == Seq("resurrected", "resurrected"), s"got $got")
+  }
+
+  test("equality deletes compose with MoR position deletes and CoW rewrites") {
+    val root = freshTable(100, 4)
+    GeoTable.delete(spark, root, $"id" === 1L, mode = "mor")           // v1 pos sidecar
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(2L, 3L).toDF("id")) // v2 eq
+    GeoTable.delete(spark, root, $"id" === 4L, mode = "cow")           // v3 rewrite
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(Set(1L, 2L, 3L, 4L)), s"got $ids")
+    // the CoW rewrite must not resurrect eq-deleted rows (rewritten files
+    // carry a new sequence number, but their rows were merged pre-rewrite)
+    val m = GeoManifest.read(spark, root)
+    assert(m.eqDeletes.nonEmpty && m.deletes.nonEmpty)
+    assert(GeoTable.read(spark, root).count() == 96)
+  }
+
+  test("OPTIMIZE folds equality deletes; manifest drops back below v6") {
+    val root = freshTable(80, 4)
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(8L, 9L).toDF("id"))
+    GeoTable.compact(spark, root, targetFiles = 2)
+    val m = GeoManifest.read(spark, root)
+    assert(m.eqDeletes.isEmpty && m.deletes.isEmpty, "compaction folds sidecars")
+    assert(GeoTable.read(spark, root).count() == 78)
+    assert(GeoTable.read(spark, root).where($"id".isin(8L, 9L)).count() == 0)
+  }
+
+  test("v6 manifest round-trips addedAt; fully-inapplicable deletes are GC'd") {
+    // pre-delete-era files all read as addedAt 0 (lazy v6: exact, they
+    // predate every possible delete); once a delete is live the manifest
+    // stays v6 and appended files PERSIST their sequence number
+    val root = freshTable(40, 2)                                           // v0
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(0L, 105L).toDF("id")) // v1
+    GeoTable.append(spark, root, spark.range(100, 110)
+      .select($"id", concat(lit("v"), $"id").as("v")))                     // v2
+    val m = GeoManifest.read(spark, root)
+    assert(m.files.exists(_.addedAt == 0) && m.files.exists(_.addedAt == 2),
+      s"addedAt must persist across v6 manifests, got ${m.files.map(_.addedAt).distinct}")
+    assert(m.eqDeletes.head.version == 1)
+    // the v2 append is EXEMPT from the v1 delete: id 105 lives, id 0 does not
+    val got = GeoTable.read(spark, root).where($"id".isin(0L, 105L))
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(105L), s"got $got")
+    // CoW-rewrite every file: the delete applies to nothing afterwards -> GC'd
+    GeoTable.delete(spark, root, $"id" >= 0L, mode = "cow")
+    assert(GeoManifest.read(spark, root).eqDeletes.isEmpty,
+      "an equality delete no remaining file predates must be GC'd at commit")
+  }
+
+  test("changes() and netChanges() emit equality-deleted rows as deletes") {
+    val root = freshTable(50, 3)                                        // v0
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(4L, 9L).toDF("id")) // v1
+    val ch = GeoTable.changes(spark, root, 0, 1)
+      .select($"id", col("_change_type").as("ct")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(ch == Seq((4L, "delete"), (9L, "delete")), s"got $ch")
+    val net = GeoTable.netChanges(spark, root, 0, 1)
+      .select($"id", col("_change_type").as("ct")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(net == Seq((4L, "delete"), (9L, "delete")), s"got $net")
+    // an upsert commit nets to delete(old) + insert(new)
+    GeoTable.upsertByKey(spark, root, Seq("id"), Seq((5L, "NEW5")).toDF("id", "v")) // v2
+    val up = GeoTable.netChanges(spark, root, 1, 2)
+      .select($"id", $"v", col("_change_type").as("ct")).as[(Long, String, String)]
+      .collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(up == Seq((5L, "v5", "delete"), (5L, "NEW5", "insert")), s"got $up")
+  }
+
+  test("CDC stream replays equality deletes row-granularly, stream==batch") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqcd_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqc", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqc.db")
+    spark.sql("CREATE TABLE geoeqc.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeqc.db.t SELECT id, concat('v', id) FROM range(0, 30)") // v1
+    GeoTable.deleteByKey(spark, s"$wh/db/t", Seq("id"), Seq(3L, 11L).toDF("id"))      // v2
+    GeoTable.upsertByKey(spark, s"$wh/db/t", Seq("id"),
+      Seq((11L, "BACK11")).toDF("id", "v"))                                           // v3
+    val q = spark.readStream.table("geoeqc.db.t.changes")
+      .writeStream.format("memory").queryName("geo_eq_cdc").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Int)] =
+      df.select($"id", $"v", col("_change_type").as("ct"), col("_commit_version").as("cv"))
+        .as[(Long, String, String, Int)].collect().sortBy(r => (r._4, r._3, r._1)).toSeq
+    val streamed = canon(spark.table("geo_eq_cdc"))
+    val batch = canon(GeoTable.changes(spark, s"$wh/db/t", 0, 3))
+    assert(streamed == batch, s"stream must equal batch:\n$streamed\nvs\n$batch")
+    assert(streamed.filter(_._4 == 2) ==
+      Seq((3L, "v3", "delete", 2), (11L, "v11", "delete", 2)))
+    // the upsert streams as delete(pre-image) at its version + insert(new)
+    assert(streamed.filter(_._4 == 3).toSet ==
+      Set((11L, "BACK11", "insert", 3)), s"v3 legs: ${streamed.filter(_._4 == 3)}")
+  }
+
+  test("live sidecar volume is bounded: crossing the ceiling folds inline") {
+    val root = freshTable(400, 8)
+    spark.conf.set("spark.graft.mor.maxLiveDeleteRows", "25")
+    try {
+      // two keyed deletes of 10 rows each stay under the 25-row ceiling
+      GeoTable.deleteByKey(spark, root, Seq("id"), (0L until 10L).toDF("id"))
+      GeoTable.delete(spark, root, $"id" >= 10L && $"id" < 20L, mode = "mor")
+      val m1 = GeoManifest.read(spark, root)
+      assert(m1.eqDeletes.nonEmpty && m1.deletes.nonEmpty, "under the bound: sidecars live")
+      // the third crosses 25 total live delete rows -> inline fold commit:
+      // only sidecar-touched files rewrite, all sidecars clear
+      GeoTable.deleteByKey(spark, root, Seq("id"), (20L until 30L).toDF("id"))
+      val m2 = GeoManifest.read(spark, root)
+      assert(m2.eqDeletes.isEmpty && m2.deletes.isEmpty,
+        s"crossing the ceiling must fold sidecars (eq=${m2.eqDeletes.length}, pos=${m2.deletes.length})")
+      assert(m2.version == m1.version + 2, "DML commit + one maintenance commit")
+      val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (30L until 400L), s"fold must preserve visible rows")
+    } finally spark.conf.unset("spark.graft.mor.maxLiveDeleteRows")
+  }
+
+  test("restore and vacuum keep equality-delete sidecars consistent") {
+    val root = freshTable(60, 3)                                  // v0
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L).toDF("id")) // v1
+    GeoTable.append(spark, root, spark.range(200, 205)
+      .select($"id", lit("x").as("v")))                           // v2
+    GeoTable.restore(spark, root, 1)                              // v3 == v1 state
+    assert(GeoTable.read(spark, root).count() == 59)
+    assert(GeoTable.read(spark, root).where($"id" === 7L).count() == 0)
+    // vacuum to the current version only: eq sidecar must survive as live
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    assert(GeoTable.read(spark, root).count() == 59)
+    assert(GeoTable.read(spark, root).where($"id" === 7L).count() == 0)
+  }
+}
