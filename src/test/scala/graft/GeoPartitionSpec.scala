@@ -130,6 +130,43 @@ class GeoPartitionSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM geopt.db.pm").head.getLong(0) == 3998)
   }
 
+  test("multi-transform PARTITIONED BY (bucket(4,id), days(ts)): conjunction prunes") {
+    warehouse
+    spark.sql("""CREATE TABLE geopt.db.multi (id BIGINT, ts TIMESTAMP, v STRING)
+                 USING geo PARTITIONED BY (bucket(4, id), days(ts))""")
+    // 8000 rows over ~1000 days, 4 buckets: range clustering over the
+    // transform TUPLE (lexicographic) gives several files PER BUCKET,
+    // each holding a slice of that bucket's day range — so the secondary
+    // transform prunes too, not only the leading one
+    spark.conf.set("spark.sql.shuffle.partitions", "16") // >files-per-bucket
+    try spark.sql("""INSERT INTO geopt.db.multi
+      SELECT id, timestamp_micros(1700000000000000 + (id % 2000) * 43200000000),
+             concat('v', id)
+      FROM range(0, 8000)""")
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val m = GeoManifest.read(spark, warehouse + "/db/multi")
+    assert(m.partitions == Seq(
+      GeoPartition.PTransform("bucket", 4, "id"),
+      GeoPartition.PTransform("days", 0, "ts")))
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.length == 2),
+      "per-file stats carry a RANGE PER TRANSFORM")
+    val all = scannedFiles("SELECT * FROM geopt.db.multi")
+    val byId = scannedFiles("SELECT * FROM geopt.db.multi WHERE id = 77")
+    val byTs = scannedFiles(
+      "SELECT * FROM geopt.db.multi WHERE ts >= TIMESTAMP '2025-06-01 00:00:00'")
+    val byBoth = scannedFiles("SELECT * FROM geopt.db.multi WHERE id = 77 " +
+      "AND ts >= TIMESTAMP '2023-11-01 00:00:00' AND ts < TIMESTAMP '2023-12-31 00:00:00'")
+    assert(byId < all, s"bucket equality must prune: $byId vs $all")
+    assert(byTs < all, s"days range must prune: $byTs vs $all")
+    assert(byBoth <= math.min(byId, byTs),
+      s"the conjunction must prune at least as hard as each term: $byBoth vs $byId/$byTs")
+    // correctness under pruning
+    assert(spark.sql("SELECT v FROM geopt.db.multi WHERE id = 77").head.getString(0) == "v77")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM geopt.db.multi WHERE ts < TIMESTAMP '2023-11-16 00:00:00'")
+      .head.getLong(0) == 12) // ids ≡ 0,1,2 (mod 2000) fall before 2023-11-16
+  }
+
   test("truncate partitioning on integers: equality and ranges prune") {
     warehouse
     spark.sql("CREATE TABLE geopt.db.tri (k BIGINT, v STRING) USING geo " +
