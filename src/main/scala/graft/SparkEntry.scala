@@ -710,6 +710,35 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Named snapshot refs (Iceberg tag analog): tag v1, mutate twice,
+    // read through VERSION AS OF 'tag', then RESTORE from the tag. The
+    // oracle replays the phases as set algebra over the DML predicates —
+    // a ref resolving to the wrong snapshot changes the hash.
+    "geo_refs" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.georf").isEmpty) {
+        s.conf.set("spark.sql.catalog.georf", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.georf.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_rf_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS georf.db")
+      s.sql("DROP TABLE IF EXISTS georf.db.rf")
+      s.sql("CREATE TABLE georf.db.rf (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO georf.db.rf SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0") // v1
+      graft.tables.GeoSql.exec(s, "ALTER TABLE georf.db.rf CREATE TAG base")
+      s.sql("INSERT INTO georf.db.rf SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 1") // v2
+      s.sql("DELETE FROM georf.db.rf WHERE id % 5 = 0")                                                    // v3
+      val phase12 = s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM georf.db.rf VERSION AS OF 'base'
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM georf.db.rf""")
+      graft.tables.GeoSql.exec(s, "RESTORE TABLE georf.db.rf TO VERSION AS OF 'base'") // v4 == v1
+      phase12.unionAll(s.sql(
+        "SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM georf.db.rf"))
+        .orderBy("phase")
+    }),
+
     // Equality deletes (Iceberg v2 eqdelete analog): a keyed DELETE and a
     // keyed UPSERT commit key sidecars in O(keys) with no data-file scan
     // or rewrite; the catalog read merges them in-reader scoped by data
@@ -2120,6 +2149,18 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // refs reduce to set algebra: the tag pins the even-key snapshot,
+    // phase 2 is the post-DML state, phase 3 the restore back to the tag
+    "geo_refs" -> """
+      WITH ev AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 2 = 0),
+           al AS (SELECT c_custkey AS id FROM customer)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM ev
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al WHERE id % 5 <> 0
+      UNION ALL
+      SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM ev
+      ORDER BY phase""",
 
     // equality delete + upsert reduce to set algebra on the residue
     // predicates: %13 rows upserted with nat=-1 (surviving their own

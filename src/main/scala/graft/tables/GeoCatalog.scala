@@ -135,13 +135,18 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   /** `SELECT ... FROM t VERSION AS OF n` — manifest versions are the
     * snapshot ids (Iceberg-style time travel; GeoTable.readAt's SQL leg).
-    * Snapshots stay resolvable until VACUUM removes their files. */
+    * A NON-integer version is a named ref: `VERSION AS OF 'ref'` resolves
+    * through the table's tags (Iceberg tag refs; vacuum pins tagged
+    * snapshots, so a ref outlives the retention window). Snapshots stay
+    * resolvable until VACUUM removes their files. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
-    val v = try version.trim.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"GeoCatalog snapshot versions are integers (VERSION AS OF 3), got '$version'")
+    val v = version.trim.toIntOption.getOrElse {
+      val t = GeoManifest.tags(spark, root)
+      t.getOrElse(version.trim, throw new IllegalArgumentException(
+        s"'${version.trim}' is neither a snapshot version nor a tag of ${ident.toString}" +
+          (if (t.isEmpty) "" else s" (tags: ${t.keys.toSeq.sorted.mkString(", ")})")))
     }
     require(v >= 0 && v <= cur, s"no snapshot version $v of ${ident.toString} (current is $cur)")
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.readVersion(spark, root, v))
@@ -389,6 +394,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("ymin", DoubleType, nullable = true),
       StructField("xmax", DoubleType, nullable = true),
       StructField("ymax", DoubleType, nullable = true)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -423,6 +432,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
         GeoManifest.read(sparkAtLoad, root).files.map { e =>
           InternalRow(UTF8String.fromString(e.path), e.rows, e.xmin, e.ymin, e.xmax, e.ymax)
         }.toArray
+      case "refs" =>
+        GeoManifest.tags(sparkAtLoad, root).toSeq.sortBy(_._1).map { case (n, v) =>
+          InternalRow(UTF8String.fromString(n), UTF8String.fromString("TAG"), v)
+        }.toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -434,7 +447,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs")
 }
 
 /**

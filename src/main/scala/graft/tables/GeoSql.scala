@@ -73,8 +73,14 @@ object GeoSql {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val restoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val restoreRefRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val restoreTsRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val createTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val dropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
 
   /**
    * Root of a geo table named in SQL: the path registry first, then
@@ -143,8 +149,14 @@ object GeoSql {
       Some(GeoVacuumCommand(name, Option(keep).map(_.toInt)))
     case restoreRe(name, v) if resolveRoot(name).isDefined =>
       Some(GeoRestoreCommand(name, Left(v.toInt)))
+    case restoreRefRe(name, ref) if resolveRoot(name).isDefined =>
+      Some(GeoRestoreRefCommand(name, ref))
     case restoreTsRe(name, ts) if resolveRoot(name).isDefined =>
       Some(GeoRestoreCommand(name, Right(ts)))
+    case createTagRe(name, tag, v) if resolveRoot(name).isDefined =>
+      Some(GeoCreateTagCommand(name, tag, Option(v).map(_.toInt)))
+    case dropTagRe(name, tag) if resolveRoot(name).isDefined =>
+      Some(GeoDropTagCommand(name, tag))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -592,6 +604,39 @@ case class GeoRestoreCommand(name: String, to: Either[Int, String]) extends GeoR
     }
     GeoSql.refresh(spark, name, root)
     Seq(Row(rows))
+  }
+}
+
+/** RESTORE TABLE t TO VERSION AS OF 'ref': [[GeoRestoreCommand]] with the
+  * target resolved through the table's tags. */
+case class GeoRestoreRefCommand(name: String, ref: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val t = GeoManifest.tags(spark, root)
+    val v = t.getOrElse(ref, throw new IllegalArgumentException(
+      s"no tag '$ref' on $name (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    val rows = GeoTable.restore(spark, root, v)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(rows))
+  }
+}
+
+/** ALTER TABLE t CREATE TAG name [AS OF VERSION n] — named snapshot ref
+  * (Iceberg tag): `VERSION AS OF 'name'` resolves through it, vacuum
+  * pins it. Returns the tagged version. */
+case class GeoCreateTagCommand(name: String, tag: String, version: Option[Int])
+  extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val v = GeoTable.createTag(spark, GeoSql.rootOf(name), tag, version)
+    Seq(Row(v.toLong))
+  }
+}
+
+/** ALTER TABLE t DROP TAG name. */
+case class GeoDropTagCommand(name: String, tag: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    GeoTable.dropTag(spark, GeoSql.rootOf(name), tag)
+    Seq.empty
   }
 }
 

@@ -123,8 +123,12 @@ object GeoTable {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
     val keepFrom = math.max(0, cur.version - keepVersions + 1)
+    // tags PIN their snapshot: a tagged version's manifest and files stay
+    // alive regardless of the retention window (Iceberg ref retention)
+    val tagged = GeoManifest.tags(spark, root).values.toSet
+    val keep = (keepFrom to cur.version).toSet ++ tagged
     val liveShards = scala.collection.mutable.Set.empty[String]
-    val live = (keepFrom to cur.version).flatMap { v =>
+    val live = keep.toSeq.sorted.flatMap { v =>
       try {
         val mv = GeoManifest.readVersion(spark, root, v)
         liveShards ++= mv.baseShards.map(_.name)
@@ -145,10 +149,10 @@ object GeoTable {
       }
       doomed.result().foreach { p => if (fs.delete(p, false)) removed += 1 }
     }
-    // drop manifests older than the kept window, then GC v5 shard files
-    // no kept manifest references (dissolved by later commits, or only
-    // referenced by the just-dropped manifests)
-    (0 until keepFrom).foreach { v =>
+    // drop manifests older than the kept window (tagged ones stay), then
+    // GC v5 shard files no kept manifest references (dissolved by later
+    // commits, or only referenced by the just-dropped manifests)
+    (0 until keepFrom).filterNot(tagged).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt"), false)
     }
     val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")

@@ -388,6 +388,61 @@ class GeoTableSpec extends SparkSpec {
     } finally GeoTable.drop(spark, "ctas_sniff_t")
   }
 
+  test("tag refs: lifecycle, VERSION AS OF 'ref', RESTORE from ref, vacuum pinning") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_refs_wh").toString
+    spark.conf.set("spark.sql.catalog.georef", classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.georef.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS georef.db")
+    spark.sql("CREATE TABLE georef.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO georef.db.t SELECT id, 'a' FROM range(0, 10)")   // v1
+    val root = s"$wh/db/t"
+    // SQL tag DDL pins v1; a second tag via the Scala API pins explicitly
+    GeoSql.exec(spark, "ALTER TABLE georef.db.t CREATE TAG release-1")
+    spark.sql("INSERT INTO georef.db.t SELECT id, 'b' FROM range(10, 25)")  // v2
+    assert(GeoTable.createTag(spark, root, "v1.explicit", Some(1)) == 1)
+    assert(GeoManifest.tags(spark, root) ==
+      Map("release-1" -> 1, "v1.explicit" -> 1))
+    // re-tagging the same version is idempotent; a different one is an error
+    GeoSql.exec(spark, "ALTER TABLE georef.db.t CREATE TAG release-1 AS OF VERSION 1")
+    assert(intercept[IllegalArgumentException] {
+      GeoTable.createTag(spark, root, "release-1", Some(2))
+    }.getMessage.contains("already points"))
+
+    // VERSION AS OF 'ref' resolves through the tag; unknown refs say so
+    assert(spark.sql("SELECT COUNT(*) FROM georef.db.t VERSION AS OF 'release-1'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT COUNT(*) FROM georef.db.t").head.getLong(0) == 25)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM georef.db.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("neither a snapshot version nor a tag"), e.getMessage)
+    // the refs metadata table lists them
+    val refs = spark.sql("SELECT name, type, version FROM georef.db.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(refs == Seq(("release-1", "TAG", 1), ("v1.explicit", "TAG", 1)))
+
+    // vacuum keeps the TAGGED snapshot alive past the retention window
+    spark.sql("INSERT INTO georef.db.t SELECT id, 'c' FROM range(25, 30)")  // v3
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    assert(spark.sql("SELECT COUNT(*) FROM georef.db.t VERSION AS OF 'release-1'")
+      .head.getLong(0) == 10, "tagged snapshot must survive vacuum")
+    // ...while the untagged v2 is gone
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM georef.db.t VERSION AS OF 2").collect()
+    } != null)
+
+    // RESTORE from the ref rolls the table back to the tagged state
+    GeoSql.exec(spark, "RESTORE TABLE georef.db.t TO VERSION AS OF 'release-1'")
+    assert(spark.sql("SELECT COUNT(*) FROM georef.db.t").head.getLong(0) == 10)
+
+    // dropping the tag releases the pin; tagging a vacuumed version fails
+    GeoSql.exec(spark, "ALTER TABLE georef.db.t DROP TAG release-1")
+    assert(GeoManifest.tags(spark, root).keySet == Set("v1.explicit"))
+    assert(intercept[IllegalArgumentException] {
+      GeoTable.createTag(spark, root, "ghost", Some(2))
+    }.getMessage.contains("vacuumed"))
+  }
+
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
     val root = tmpRoot("droptest")
     pointTable(root)
