@@ -710,6 +710,38 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Write-audit-publish through branch refs (Iceberg branch +
+    // fast_forward analog): stage odd customers on a branch — main reads
+    // stay pinned to the evens — audit via VERSION AS OF 'branch', then
+    // publish fast-forwards main. Each phase hash-checks a snapshot the
+    // pointer discipline must have produced exactly.
+    "geo_wap" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geowp").isEmpty) {
+        s.conf.set("spark.sql.catalog.geowp", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geowp.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_wp_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geowp.db")
+      s.sql("DROP TABLE IF EXISTS geowp.db.wp")
+      s.sql("CREATE TABLE geowp.db.wp (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geowp.db.wp SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0") // v1
+      val root = s.conf.get("spark.sql.catalog.geowp.warehouse") + "/db/wp"
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geowp.db.wp CREATE BRANCH stage")
+      graft.tables.GeoTable.appendToBranch(s, root, "stage",
+        s.table("customer").where(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nat")))
+      val phase12 = s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM geowp.db.wp
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geowp.db.wp VERSION AS OF 'stage'""")
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geowp.db.wp PUBLISH BRANCH stage")
+      phase12.unionAll(s.sql(
+        "SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geowp.db.wp"))
+        .orderBy("phase")
+    }),
+
     // Named snapshot refs (Iceberg tag analog): tag v1, mutate twice,
     // read through VERSION AS OF 'tag', then RESTORE from the tag. The
     // oracle replays the phases as set algebra over the DML predicates —
@@ -2149,6 +2181,19 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // write-audit-publish reduces to set algebra: phase 1 = main before
+    // publish (evens), phase 2 = the staged branch (all), phase 3 = main
+    // after the fast-forward (all)
+    "geo_wap" -> """
+      WITH ev AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 2 = 0),
+           al AS (SELECT c_custkey AS id FROM customer)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM ev
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
+      UNION ALL
+      SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
+      ORDER BY phase""",
 
     // refs reduce to set algebra: the tag pins the even-key snapshot,
     // phase 2 is the post-DML state, phase 3 the restore back to the tag

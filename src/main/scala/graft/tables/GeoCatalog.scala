@@ -142,13 +142,19 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     val cur = GeoManifest.currentVersion(spark, root).getOrElse(throw new NoSuchTableException(ident))
-    val v = version.trim.toIntOption.getOrElse {
-      val t = GeoManifest.tags(spark, root)
-      t.getOrElse(version.trim, throw new IllegalArgumentException(
-        s"'${version.trim}' is neither a snapshot version nor a tag of ${ident.toString}" +
-          (if (t.isEmpty) "" else s" (tags: ${t.keys.toSeq.sorted.mkString(", ")})")))
+    val v = version.trim.toIntOption match {
+      case Some(n) =>
+        require(n >= 0 && n <= cur,
+          s"no snapshot version $n of ${ident.toString} (current is $cur)")
+        n
+      case None =>
+        // a ref may point ABOVE main (a staged branch head) — the
+        // manifest exists, only `_current` hasn't caught up
+        val r = GeoManifest.refs(spark, root)
+        r.versionOf(version.trim).getOrElse(throw new IllegalArgumentException(
+          s"'${version.trim}' is neither a snapshot version nor a ref of ${ident.toString}" +
+            (if (r.isEmpty) "" else s" (refs: ${r.names.mkString(", ")})")))
     }
-    require(v >= 0 && v <= cur, s"no snapshot version $v of ${ident.toString} (current is $cur)")
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.readVersion(spark, root, v))
   }
 
@@ -433,9 +439,12 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           InternalRow(UTF8String.fromString(e.path), e.rows, e.xmin, e.ymin, e.xmax, e.ymax)
         }.toArray
       case "refs" =>
-        GeoManifest.tags(sparkAtLoad, root).toSeq.sortBy(_._1).map { case (n, v) =>
-          InternalRow(UTF8String.fromString(n), UTF8String.fromString("TAG"), v)
-        }.toArray
+        val r = GeoManifest.refs(sparkAtLoad, root)
+        (r.tags.toSeq.map { case (n, v) => (n, "TAG", v) } ++
+          r.branches.toSeq.map { case (n, b) => (n, "BRANCH", b.head) })
+          .sortBy(_._1).map { case (n, t, v) =>
+            InternalRow(UTF8String.fromString(n), UTF8String.fromString(t), v)
+          }.toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {

@@ -225,7 +225,63 @@ object GeoManifest {
         throw new java.util.ConcurrentModificationException(
           s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
             s"was based on $expectedBase; re-read and retry")
-      write(spark, root, m)
+      write(spark, root, remapVersion(spark, root, m))
+    }
+
+  /** Branch and main commits share ONE linear manifest number space:
+    * when a branch has claimed the caller's intended number, slide this
+    * commit to the next free one (remapping the eqdelete entries minted
+    * for it — they must carry the commit's actual sequence number).
+    * No-op on tables without branches. Call under the commit lock. */
+  private def remapVersion(spark: SparkSession, root: String, m: Manifest): Manifest = {
+    val actual = nextFreeVersion(spark, root)
+    if (actual <= m.version) m
+    else m.copy(version = actual,
+      eqDeletes = m.eqDeletes.map(e =>
+        if (e.version == m.version) e.copy(version = actual) else e))
+  }
+
+  /** Point `_current` at an already-written manifest (publish /
+    * fast-forward). Call under the commit lock. */
+  private[tables] def publishVersion(spark: SparkSession, root: String, v: Int): Unit = {
+    val f = fs(spark, root)
+    require(f.exists(new Path(root, s"_manifests/m$v.txt")),
+      s"cannot publish version $v of $root: no such manifest")
+    writeText(f, new Path(root, "_current"), v.toString)
+  }
+
+  /** max existing manifest number + 1 (branch heads included). */
+  private[tables] def nextFreeVersion(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val dir = new Path(root, "_manifests")
+    val re = "m(\\d+)\\.txt".r
+    val nums = if (!f.exists(dir)) Seq.empty else
+      f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+        case re(v) => Some(v.toInt)
+        case _ => None
+      })
+    if (nums.isEmpty) 0 else nums.max + 1
+  }
+
+  /** Commit onto a BRANCH: writes the manifest into the shared linear
+    * number space and moves the branch head — `_current` (main) does not
+    * move, so main readers never see staged commits (the write side of
+    * write-audit-publish). Optimistic check against the branch head. */
+  def commitBranch(spark: SparkSession, root: String, m: Manifest,
+                   branch: String, expectedHead: Int): Int =
+    withCommitLock(root) {
+      val r = refs(spark, root)
+      val b = r.branches.getOrElse(branch, throw new IllegalArgumentException(
+        s"no branch '$branch' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
+      if (b.head != expectedHead)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$branch' of $root moved to ${b.head} while this operation " +
+            s"was based on $expectedHead; re-read and retry")
+      val fixed = remapVersion(spark, root, m)
+      writeManifestFile(spark, root, fixed)
+      writeRefs(spark, root, r.copy(branches =
+        r.branches + (branch -> b.copy(head = fixed.version))))
+      fixed.version
     }
 
   /** v6 file lines add `addedAt` at a fixed position between the bbox and
@@ -286,6 +342,13 @@ object GeoManifest {
   }
 
   def write(spark: SparkSession, root: String, m0: Manifest): Unit = {
+    writeManifestFile(spark, root, m0)
+    writeText(fs(spark, root), new Path(root, "_current"), m0.version.toString)
+  }
+
+  /** The manifest (and its shards) WITHOUT the `_current` flip — branch
+    * commits publish through their ref instead of the main pointer. */
+  private def writeManifestFile(spark: SparkSession, root: String, m0: Manifest): Unit = {
     val f = fs(spark, root)
     val ss = shardSize(spark)
     // stamp data sequence numbers: entries built this commit carry the
@@ -329,13 +392,13 @@ object GeoManifest {
     m.eqDeletes.foreach { e =>
       lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}\n"
     }
-    // manifest first (immutable, new name), pointer flip last. The flip
-    // is an in-place truncate+write of a few bytes; readers that race it
-    // (a streaming source polling latestOffset) can catch the truncated
-    // window or a checksum tear — currentVersion retries those as
-    // transient instead of failing the stream.
+    // manifest first (immutable, new name); the caller flips the pointer
+    // (`_current` for main commits, the branch ref for branch commits)
+    // last. The main flip is an in-place truncate+write of a few bytes;
+    // readers that race it (a streaming source polling latestOffset) can
+    // catch the truncated window or a checksum tear — currentVersion
+    // retries those as transient instead of failing the stream.
     writeText(f, new Path(root, s"_manifests/m${m.version}.txt"), lines.toString)
-    writeText(f, new Path(root, "_current"), m.version.toString)
   }
 
   def read(spark: SparkSession, root: String): Manifest = {
@@ -459,31 +522,65 @@ object GeoManifest {
     }.getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
-  /** Named snapshot refs (Iceberg tag analog): `tag -> version` from the
-    * `_refs` file. Tags PIN their snapshot: vacuum keeps a tagged
-    * version's manifest and files alive regardless of the retention
-    * window. Small file, torn-write-safe via one re-read. */
-  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+  /** One writable branch ref: `head` is the branch's latest committed
+    * snapshot, `base` the MAIN version it forked from — publish
+    * (fast-forward) requires main to still sit at `base`. */
+  final case class BranchRef(head: Int, base: Int)
+
+  /** The `_refs` file: immutable tags + movable branches. Both PIN their
+    * snapshot: vacuum keeps a ref'd version's manifest and files alive
+    * regardless of the retention window. */
+  final case class Refs(tags: Map[String, Int] = Map.empty,
+                        branches: Map[String, BranchRef] = Map.empty) {
+    /** `VERSION AS OF 'name'` resolution: tags win on a name clash. */
+    def versionOf(name: String): Option[Int] =
+      tags.get(name).orElse(branches.get(name).map(_.head))
+    def names: Seq[String] = (tags.keys ++ branches.keys).toSeq.sorted
+    /** Versions vacuum must keep alive. */
+    def pinned: Set[Int] = tags.values.toSet ++ branches.values.map(_.head)
+    def isEmpty: Boolean = tags.isEmpty && branches.isEmpty
+  }
+
+  /** Named snapshot refs from the `_refs` file. Small file,
+    * torn-write-safe via one re-read. */
+  def refs(spark: SparkSession, root: String): Refs = {
     val f = fs(spark, root)
     val p = new Path(root, "_refs")
-    if (!f.exists(p)) return Map.empty
-    def parse(): Map[String, Int] =
-      readText(f, p).split('\n').filter(_.nonEmpty).map { line =>
+    if (!f.exists(p)) return Refs()
+    def parse(): Refs = {
+      val tags = Map.newBuilder[String, Int]
+      val branches = Map.newBuilder[String, BranchRef]
+      readText(f, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val parts = line.split('\t')
-        require(parts.length == 3 && parts(0) == "tag", s"bad _refs line: '$line'")
-        parts(1) -> parts(2).toInt
-      }.toMap
+        parts(0) match {
+          case "tag" if parts.length == 3 => tags += parts(1) -> parts(2).toInt
+          case "branch" if parts.length == 4 =>
+            branches += parts(1) -> BranchRef(parts(2).toInt, parts(3).toInt)
+          case _ => throw new IllegalArgumentException(s"bad _refs line: '$line'")
+        }
+      }
+      Refs(tags.result(), branches.result())
+    }
     try parse() catch { case scala.util.control.NonFatal(_) => parse() }
   }
 
-  private[tables] def writeTags(spark: SparkSession, root: String,
-                                t: Map[String, Int]): Unit = {
+  /** Tag refs only (see [[refs]] for the full set). */
+  def tags(spark: SparkSession, root: String): Map[String, Int] =
+    refs(spark, root).tags
+
+  private[tables] def writeRefs(spark: SparkSession, root: String, r: Refs): Unit = {
     val f = fs(spark, root)
     val p = new Path(root, "_refs")
-    if (t.isEmpty) { f.delete(p, false); () }
+    if (r.isEmpty) { f.delete(p, false); () }
     else writeText(f, p,
-      t.toSeq.sortBy(_._1).map { case (n, v) => s"tag\t$n\t$v\n" }.mkString)
+      r.tags.toSeq.sortBy(_._1).map { case (n, v) => s"tag\t$n\t$v\n" }.mkString +
+        r.branches.toSeq.sortBy(_._1).map { case (n, b) =>
+          s"branch\t$n\t${b.head}\t${b.base}\n" }.mkString)
   }
+
+  private[tables] def writeTags(spark: SparkSession, root: String,
+                                t: Map[String, Int]): Unit =
+    writeRefs(spark, root, refs(spark, root).copy(tags = t))
 
   /** Newest committed snapshot whose commit timestamp is <= `cutoffMs` —
     * the `TIMESTAMP AS OF` resolution rule. Only manifests at or below

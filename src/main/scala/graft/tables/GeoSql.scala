@@ -81,6 +81,12 @@ object GeoSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val dropTagRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  private val createBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val dropBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val publishBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+PUBLISH\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
 
   /**
    * Root of a geo table named in SQL: the path registry first, then
@@ -157,6 +163,12 @@ object GeoSql {
       Some(GeoCreateTagCommand(name, tag, Option(v).map(_.toInt)))
     case dropTagRe(name, tag) if resolveRoot(name).isDefined =>
       Some(GeoDropTagCommand(name, tag))
+    case createBranchRe(name, b) if resolveRoot(name).isDefined =>
+      Some(GeoBranchCommand(name, b, "create"))
+    case dropBranchRe(name, b) if resolveRoot(name).isDefined =>
+      Some(GeoBranchCommand(name, b, "drop"))
+    case publishBranchRe(name, b) if resolveRoot(name).isDefined =>
+      Some(GeoBranchCommand(name, b, "publish"))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -637,6 +649,25 @@ case class GeoDropTagCommand(name: String, tag: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     GeoTable.dropTag(spark, GeoSql.rootOf(name), tag)
     Seq.empty
+  }
+}
+
+/** ALTER TABLE t CREATE|DROP|PUBLISH BRANCH name — write-audit-publish
+  * refs: staged commits move only the branch head; PUBLISH fast-forwards
+  * main to it (refused after divergence). Returns the head version for
+  * create/publish. */
+case class GeoBranchCommand(name: String, branch: String, op: String)
+  extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    op match {
+      case "create" => Seq(Row(GeoTable.createBranch(spark, root, branch).toLong))
+      case "drop" => GeoTable.dropBranch(spark, root, branch); Seq.empty
+      case "publish" =>
+        val v = GeoTable.publishBranch(spark, root, branch)
+        GeoSql.refresh(spark, name, root)
+        Seq(Row(v.toLong))
+    }
   }
 }
 

@@ -123,9 +123,10 @@ object GeoTable {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
     val keepFrom = math.max(0, cur.version - keepVersions + 1)
-    // tags PIN their snapshot: a tagged version's manifest and files stay
-    // alive regardless of the retention window (Iceberg ref retention)
-    val tagged = GeoManifest.tags(spark, root).values.toSet
+    // refs (tags AND branch heads) PIN their snapshot: a ref'd version's
+    // manifest and files stay alive regardless of the retention window
+    // (Iceberg ref retention)
+    val tagged = GeoManifest.refs(spark, root).pinned
     val keep = (keepFrom to cur.version).toSet ++ tagged
     val liveShards = scala.collection.mutable.Set.empty[String]
     val live = keep.toSeq.sorted.flatMap { v =>
@@ -235,10 +236,11 @@ object GeoTable {
       require(GeoManifest.fs(spark, root).exists(
         new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt")),
         s"cannot tag version $v of $root: the snapshot was vacuumed")
-      val t = GeoManifest.tags(spark, root)
-      t.get(name).foreach(old => require(old == v,
+      val r = GeoManifest.refs(spark, root)
+      require(!r.branches.contains(name), s"'$name' is already a branch of $root")
+      r.tags.get(name).foreach(old => require(old == v,
         s"tag '$name' already points at version $old"))
-      GeoManifest.writeTags(spark, root, t + (name -> v))
+      GeoManifest.writeTags(spark, root, r.tags + (name -> v))
       v
     }
 
@@ -248,6 +250,69 @@ object GeoTable {
       require(t.contains(name),
         s"no tag '$name' on $root (tags: ${t.keys.toSeq.sorted.mkString(", ")})")
       GeoManifest.writeTags(spark, root, t - name)
+    }
+
+  // -------------------------------------------------------------------------
+  // Branches — writable refs for write-audit-publish (Iceberg branch +
+  // fast_forward analog): staged commits land in the SAME linear manifest
+  // sequence but move only the branch head, never `_current`; main
+  // readers see nothing until publish fast-forwards the pointer.
+  // -------------------------------------------------------------------------
+
+  /** Create branch `name` at the current MAIN version. The fork point is
+    * recorded: [[publishBranch]] refuses if main moves past it. */
+  def createBranch(spark: SparkSession, root: String, name: String): Int =
+    GeoManifest.withCommitLock(root) {
+      require(TagNameRe.matches(name), s"bad branch name '$name'")
+      val cur = GeoManifest.read(spark, root).version
+      val r = GeoManifest.refs(spark, root)
+      require(!r.branches.contains(name) && !r.tags.contains(name),
+        s"ref '$name' already exists on $root")
+      GeoManifest.writeRefs(spark, root, r.copy(branches =
+        r.branches + (name -> GeoManifest.BranchRef(cur, cur))))
+      cur
+    }
+
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit =
+    GeoManifest.withCommitLock(root) {
+      val r = GeoManifest.refs(spark, root)
+      require(r.branches.contains(name),
+        s"no branch '$name' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})")
+      GeoManifest.writeRefs(spark, root, r.copy(branches = r.branches - name))
+    }
+
+  /** Append `df` to branch `name`: a full manifest commit (stats, eq/pos
+    * sidecars carried, partition layout) that moves only the branch
+    * head — main is untouched until [[publishBranch]]. Returns rows. */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+                     df: DataFrame): Long = {
+    val r = GeoManifest.refs(spark, root)
+    val b = r.branches.getOrElse(name, throw new IllegalArgumentException(
+      s"no branch '$name' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
+    val m = GeoManifest.readVersion(spark, root, b.head)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    GeoManifest.commitBranch(spark, root,
+      m.copy(version = b.head + 1, files = m.files ++ files), name, b.head)
+    files.map(_.rows).sum
+  }
+
+  /** Publish (fast-forward): point main at the branch head. Refused when
+    * main has moved past the branch's fork point — the staged lineage
+    * would silently drop those commits; rebase by hand (re-stage on a
+    * fresh branch) instead. The branch ref survives publish (it still
+    * names a valid snapshot); drop it when done. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Int =
+    GeoManifest.withCommitLock(root) {
+      val r = GeoManifest.refs(spark, root)
+      val b = r.branches.getOrElse(name, throw new IllegalArgumentException(
+        s"no branch '$name' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
+      val cur = GeoManifest.read(spark, root).version
+      require(cur == b.base,
+        s"cannot publish branch '$name' of $root: main moved $cur != fork point " +
+          s"${b.base} — staged commits would drop main's; re-stage on a fresh branch")
+      GeoManifest.publishVersion(spark, root, b.head)
+      b.head
     }
 
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */

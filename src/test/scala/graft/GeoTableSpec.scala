@@ -415,7 +415,7 @@ class GeoTableSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM georef.db.t VERSION AS OF 'nope'").collect()
     }
-    assert(e.getMessage.contains("neither a snapshot version nor a tag"), e.getMessage)
+    assert(e.getMessage.contains("neither a snapshot version nor a ref"), e.getMessage)
     // the refs metadata table lists them
     val refs = spark.sql("SELECT name, type, version FROM georef.db.t.refs ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
@@ -441,6 +441,59 @@ class GeoTableSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       GeoTable.createTag(spark, root, "ghost", Some(2))
     }.getMessage.contains("vacuumed"))
+  }
+
+  test("branch refs: write-audit-publish — stage, read by ref, publish, diverge") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_wap_wh").toString
+    spark.conf.set("spark.sql.catalog.geowap", classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geowap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geowap.db")
+    spark.sql("CREATE TABLE geowap.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geowap.db.t SELECT id, 'main' FROM range(0, 20)")  // v1
+    val root = s"$wh/db/t"
+
+    // stage two commits on a branch: main is untouched, the ref sees them
+    GeoSql.exec(spark, "ALTER TABLE geowap.db.t CREATE BRANCH stage")
+    GeoTable.appendToBranch(spark, root, "stage",
+      spark.range(100, 110).select($"id", lit("staged").as("v")))
+    GeoTable.appendToBranch(spark, root, "stage",
+      spark.range(110, 115).select($"id", lit("staged").as("v")))
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t").head.getLong(0) == 20,
+      "main must not see staged commits")
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t VERSION AS OF 'stage'")
+      .head.getLong(0) == 35, "the branch ref reads the staged state")
+    val refs = spark.sql("SELECT name, type, version FROM geowap.db.t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("stage", "BRANCH")), s"got $refs")
+
+    // audit failed? nothing to undo — main never moved. Audit passed:
+    // publish fast-forwards the pointer, one metadata write
+    val head = GeoSql.exec(spark, "ALTER TABLE geowap.db.t PUBLISH BRANCH stage")
+      .head().getLong(0)
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t").head.getLong(0) == 35)
+    assert(GeoManifest.read(spark, root).version == head)
+    GeoSql.exec(spark, "ALTER TABLE geowap.db.t DROP BRANCH stage")
+    assert(GeoManifest.refs(spark, root).isEmpty)
+
+    // divergence: main commits after the fork -> publish refused
+    GeoTable.createBranch(spark, root, "late")
+    GeoTable.appendToBranch(spark, root, "late",
+      spark.range(200, 205).select($"id", lit("late").as("v")))
+    spark.sql("INSERT INTO geowap.db.t SELECT id, 'raced' FROM range(300, 303)")
+    val e = intercept[IllegalArgumentException] {
+      GeoTable.publishBranch(spark, root, "late")
+    }
+    assert(e.getMessage.contains("main moved"), e.getMessage)
+    // the raced main commit slid PAST the branch's staged manifest number
+    // (shared linear sequence) — both lineages stay readable
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t").head.getLong(0) == 38)
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t VERSION AS OF 'late'")
+      .head.getLong(0) == 40)
+
+    // vacuum keeps the staged branch head alive (ref pinning)
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t VERSION AS OF 'late'")
+      .head.getLong(0) == 40, "branch head must survive vacuum")
   }
 
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
