@@ -896,6 +896,67 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // Binary overlay set operations on integer-coordinate rectangles:
+    // union/intersection/difference/symdifference areas are closed-form
+    // rectangle arithmetic, so the JTS overlay output is hash-checked
+    // value-by-value (empty intersections at sz=1 included)
+    "st_set_ops" -> ((s, d) => prep(s, d).sql("""
+      WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           g AS (SELECT p_partkey, sz,
+                        st_makeenvelope(0.0D, 0.0D, sz, sz) AS a,
+                        st_makeenvelope(sz / 2, 1.0D, sz + 3.0D, sz + 1.0D) AS b
+                 FROM r)
+      SELECT p_partkey,
+             st_area(st_union(a, b)) AS u_area,
+             st_area(st_intersection(a, b)) AS i_area,
+             st_area(st_difference(a, b)) AS d_area,
+             st_area(st_symdifference(a, b)) AS s_area
+      FROM g ORDER BY p_partkey""")),
+
+    // n-way envelope intersection aggregate: the common envelope of a
+    // group is [max(mins), min(maxs)] per axis — closed-form in SQL
+    "st_intersection_aggr_env" -> ((s, d) => prep(s, d).sql("""
+      WITH e AS (SELECT c_nationkey AS nat,
+                        st_makeenvelope(0.0D, 0.0D,
+                          CAST(10 + c_custkey % 5 AS DOUBLE),
+                          CAST(10 + c_custkey % 7 AS DOUBLE)) AS env
+                 FROM customer)
+      SELECT CAST(nat AS BIGINT) AS nat,
+             st_area(st_intersection_aggr(env)) AS common_area
+      FROM e GROUP BY nat ORDER BY nat""")),
+
+    // GeoJSON writer/reader roundtrip: the parse must invert the writer
+    // exactly, so st_astext of the roundtrip equals a directly-built WKT
+    // string in the oracle (no JSON on the DuckDB side at all)
+    "st_geojson_roundtrip" -> ((s, d) => prep(s, d).sql("""
+      SELECT p_partkey,
+             st_astext(st_geomfromgeojson(st_asgeojson(
+               st_point(CAST(p_size AS DOUBLE), CAST(p_size + 1 AS DOUBLE))))) AS gj_pt,
+             st_astext(st_geomfromgeojson(st_asgeojson(
+               st_makeenvelope(0.0D, 0.0D, CAST(p_size AS DOUBLE),
+                               CAST(p_size AS DOUBLE))))) AS gj_poly
+      FROM part ORDER BY p_partkey""")),
+
+    // GeoParquet write -> read roundtrip: Z-ordered bbox-sidecar files
+    // written to a scratch dir, read back through a pushdown-eligible
+    // ST_Contains filter; the oracle replays the predicate arithmetic on
+    // the raw table (any row lost or duplicated by the layout changes
+    // the hash)
+    "geoparquet_roundtrip" -> ((s, d) => {
+      prep(s, d)
+      import graft.functions.GraftFunctions._
+      val dir = java.nio.file.Files.createTempDirectory("geopq_rt").toString + "/pts"
+      val pts = s.table("customer").select(col("c_custkey"), col("c_nationkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
+      graft.plans.GeoParquet.write(pts, "geo", dir, cellSize = 500.0)
+      graft.plans.GeoParquet.read(s, dir)
+        .where(st_contains(st_polygonFromEnvelope(lit(0.0), lit(-0.5), lit(4000.0), lit(12.5)),
+          col("geo")))
+        .groupBy(col("c_nationkey").cast("bigint").as("nat"))
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // KML/GML reader-writer roundtrip: the parse must invert the writer
     // exactly, so st_astext of the roundtrip equals a directly-built WKT
     // string in the oracle (no XML on the DuckDB side at all)
@@ -2258,6 +2319,50 @@ object SparkEntry {
                || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size AS VARCHAR) || ', 0 '
                || CAST(p_size AS VARCHAR) || ', 0 0))' AS gml_poly
       FROM part ORDER BY p_partkey""",
+
+    // rectangle overlay algebra: inter = [sz/2, sz] x [1, sz] (empty at
+    // sz = 1), union/difference/symdifference derive by inclusion-exclusion
+    "st_set_ops" -> """
+      WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           c AS (SELECT p_partkey,
+                        sz * sz AS a_area,
+                        (sz / 2 + 3) * sz AS b_area,
+                        (sz / 2) * GREATEST(sz - 1, 0) AS i_area
+                 FROM r)
+      SELECT p_partkey,
+             a_area + b_area - i_area AS u_area,
+             i_area,
+             a_area - i_area AS d_area,
+             a_area + b_area - 2 * i_area AS s_area
+      FROM c ORDER BY p_partkey""",
+
+    // origin-anchored envelopes: the group intersection is
+    // [0, min(x)] x [0, min(y)], its area the product of the mins
+    "st_intersection_aggr_env" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             CAST(MIN(10 + c_custkey % 5) AS DOUBLE)
+               * CAST(MIN(10 + c_custkey % 7) AS DOUBLE) AS common_area
+      FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // the GeoJSON roundtrip must reproduce the constructors exactly —
+    // same string oracle as the KML/GML leg
+    "st_geojson_roundtrip" -> """
+      SELECT p_partkey,
+             'POINT (' || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size + 1 AS VARCHAR) || ')' AS gj_pt,
+             'POLYGON ((0 0, ' || CAST(p_size AS VARCHAR) || ' 0, '
+               || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size AS VARCHAR) || ', 0 '
+               || CAST(p_size AS VARCHAR) || ', 0 0))' AS gj_poly
+      FROM part ORDER BY p_partkey""",
+
+    // the roundtrip preserves rows exactly; ST_Contains is strict, so
+    // boundary values fall out on both sides identically
+    "geoparquet_roundtrip" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer
+      WHERE c_acctbal > 0 AND c_acctbal < 4000
+        AND c_nationkey > -0.5 AND c_nationkey < 12.5
+      GROUP BY 1 ORDER BY nat""",
 
     // Gi* replay: O(n^2) neighbor join at oracle scale; the z-score is the
     // SAME expression tree the operator builds (xbar/sdev recomputed in
