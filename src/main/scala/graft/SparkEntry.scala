@@ -896,6 +896,58 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // ST_MakeValid on a self-intersecting bowtie: the fixer splits it at
+    // the crossing into two triangles of total area sz^2/2 — closed-form,
+    // with the pre-fix invalidity asserted alongside
+    "st_makevalid_area" -> ((s, d) => prep(s, d).sql("""
+      WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           g AS (SELECT p_partkey, sz,
+                        st_geomfromtext(concat('POLYGON ((0 0, ', sz, ' 0, 0 ',
+                                               sz, ', ', sz, ' ', sz, ', 0 0))')) AS bowtie
+                 FROM r)
+      SELECT p_partkey,
+             st_area(st_makevalid(bowtie)) AS fixed_area,
+             st_isvalid(bowtie) AS was_valid,
+             st_isvalid(st_makevalid(bowtie)) AS is_valid
+      FROM g ORDER BY p_partkey""")),
+
+    // ST_OrderingEquals vs ST_Equals: identical sequences are
+    // ordering-equal, reversed ones are only geometrically equal
+    "st_orderingequals_matrix" -> ((s, d) => prep(s, d).sql("""
+      WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz FROM part),
+           g AS (SELECT p_partkey,
+                        st_makeline(st_point(0.0D, 0.0D), st_point(sz, sz)) AS fwd,
+                        st_makeline(st_point(sz, sz), st_point(0.0D, 0.0D)) AS rev
+                 FROM r)
+      SELECT p_partkey,
+             st_orderingequals(fwd, fwd) AS same_order,
+             st_orderingequals(fwd, rev) AS rev_order,
+             st_equals(fwd, rev) AS geo_equal
+      FROM g ORDER BY p_partkey""")),
+
+    // Streaming content dedup end-to-end: documents arrive as a
+    // multi-batch file stream, dropDuplicatesWithinWatermark keys on the
+    // content fingerprint; the surviving row count equals the corpus's
+    // distinct normalized texts (fingerprint injectivity on this corpus
+    // is separately certified by text_fingerprint)
+    "dedup_stream" -> ((s, d) => {
+      prep(s, d)
+      val srcDir = java.nio.file.Files.createTempDirectory("dedup_stream_src")
+        .toString + "/files"
+      s.table("documents").withColumn("b", col("doc_id") % 4)
+        .repartition(4, col("b")).drop("b").write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      s.catalog.dropTempView("dedup_stream_sink") // repeat-safe: bench runs twice
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val q = graft.streaming.EventStreams.streamingDedup(stream, "ts", "text")
+        .writeStream.format("memory").outputMode("append")
+        .queryName("dedup_stream_sink").start()
+      q.processAllAvailable(); q.stop()
+      s.table("dedup_stream_sink").agg(count(lit(1)).as("n_rows"))
+    }),
+
     // Binary overlay set operations on integer-coordinate rectangles:
     // union/intersection/difference/symdifference areas are closed-form
     // rectangle arithmetic, so the JTS overlay output is hash-checked
@@ -2319,6 +2371,23 @@ object SparkEntry {
                || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size AS VARCHAR) || ', 0 '
                || CAST(p_size AS VARCHAR) || ', 0 0))' AS gml_poly
       FROM part ORDER BY p_partkey""",
+
+    // bowtie fix: two triangles, sz^2/2 exactly; invalid before, valid after
+    "st_makevalid_area" -> """
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) / 2 AS fixed_area,
+             FALSE AS was_valid, TRUE AS is_valid
+      FROM part ORDER BY p_partkey""",
+
+    // sequence identity vs geometric identity
+    "st_orderingequals_matrix" -> """
+      SELECT p_partkey, TRUE AS same_order, FALSE AS rev_order, TRUE AS geo_equal
+      FROM part ORDER BY p_partkey""",
+
+    // streaming dedup keeps one row per distinct normalized text
+    "dedup_stream" -> """
+      SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_rows
+      FROM documents""",
 
     // rectangle overlay algebra: inter = [sz/2, sz] x [1, sz] (empty at
     // sz = 1), union/difference/symdifference derive by inclusion-exclusion
