@@ -948,6 +948,31 @@ object SparkEntry {
       s.table("dedup_stream_sink").agg(count(lit(1)).as("n_rows"))
     }),
 
+    // Watermarked sliding-window aggregation END-TO-END as a stream:
+    // events arrive as a multi-batch file stream, the 1h/30m windowed
+    // count runs in complete mode, and the oracle replays window
+    // membership arithmetic (each event in exactly two aligned windows).
+    // Counts only — float sums are order-dependent across triggers.
+    "stream_window_agg" -> ((s, d) => {
+      prep(s, d)
+      val srcDir = java.nio.file.Files.createTempDirectory("swin_src").toString + "/files"
+      // the prepped view has ts normalized; multi-file => multi-batch
+      s.table("events").withColumn("b", col("event_id") % 4)
+        .repartition(4, col("b")).drop("b").write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      s.catalog.dropTempView("swin_sink") // repeat-safe: bench runs twice
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
+        .parquet(srcDir)
+      val q = graft.streaming.EventStreams.windowedAgg(stream)
+        .writeStream.format("memory").outputMode("complete")
+        .queryName("swin_sink").start()
+      q.processAllAvailable(); q.stop()
+      s.table("swin_sink")
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // Binary overlay set operations on integer-coordinate rectangles:
     // union/intersection/difference/symdifference areas are closed-form
     // rectangle arithmetic, so the JTS overlay output is hash-checked
@@ -2371,6 +2396,16 @@ object SparkEntry {
                || CAST(p_size AS VARCHAR) || ' ' || CAST(p_size AS VARCHAR) || ', 0 '
                || CAST(p_size AS VARCHAR) || ', 0 0))' AS gml_poly
       FROM part ORDER BY p_partkey""",
+
+    // every event lands in exactly two 1h windows aligned to 30m: the one
+    // starting at floor_1800(t) and the one 1800s earlier
+    "stream_window_agg" -> """
+      WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type FROM events),
+           w AS (SELECT es - es % 1800 AS w_start, event_type FROM e
+                 UNION ALL
+                 SELECT es - es % 1800 - 1800, event_type FROM e)
+      SELECT w_start, event_type, COUNT(*) AS n
+      FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
     // bowtie fix: two triangles, sz^2/2 exactly; invalid before, valid after
     "st_makevalid_area" -> """
