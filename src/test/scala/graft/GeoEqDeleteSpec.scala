@@ -216,6 +216,54 @@ class GeoEqDeleteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mor.maxLiveDeleteRows")
   }
 
+  test("equality deletes on a partitioned table: pruning + upsert clustering hold") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqpt_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqp", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqp.db")
+    spark.sql("CREATE TABLE geoeqp.db.t (id BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO geoeqp.db.t SELECT id, concat('v', id) FROM range(0, 400)")
+    GeoTable.deleteByKey(spark, s"$wh/db/t", Seq("id"), Seq(7L, 8L).toDF("id"))
+    GeoTable.upsertByKey(spark, s"$wh/db/t", Seq("id"),
+      Seq((9L, "NEW9"), (500L, "NEW500")).toDF("id", "v"))
+    // the upsert's fresh files carry partition stats (layout applied)
+    val m = GeoManifest.read(spark, s"$wh/db/t")
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.nonEmpty),
+      "upsert commits must keep per-file transform stats")
+    // merged read through a bucket-pruned scan
+    val got = spark.sql("SELECT v FROM geoeqp.db.t WHERE id IN (7, 8, 9, 500) ORDER BY v")
+      .as[String].collect().toSeq
+    assert(got == Seq("NEW500", "NEW9"), s"got $got")
+    assert(spark.sql("SELECT COUNT(*) FROM geoeqp.db.t").head.getLong(0) == 399)
+  }
+
+  test("the plain streaming source treats an equality-delete commit as non-append") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqst_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqs", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqs.db")
+    spark.sql("CREATE TABLE geoeqs.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeqs.db.t SELECT id, 'a' FROM range(0, 10)")
+    GeoTable.deleteByKey(spark, s"$wh/db/t", Seq("id"), Seq(3L).toDF("id"))
+    // appends-only stream must fail with guidance on the eqdelete commit
+    val q = spark.readStream.table("geoeqs.db.t")
+      .writeStream.format("memory").queryName("geo_eq_stream").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("non-append"), s"got: $msg")
+    // skip-overwrite-commits skips it (appends-only view)
+    val q2 = spark.readStream.option("skip-overwrite-commits", "true")
+      .table("geoeqs.db.t")
+      .writeStream.format("memory").queryName("geo_eq_stream_skip").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("geo_eq_stream_skip").count() == 10,
+      "skip mode replays the append only (pre-delete rows)")
+  }
+
   test("restore and vacuum keep equality-delete sidecars consistent") {
     val root = freshTable(60, 3)                                  // v0
     GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L).toDF("id")) // v1
