@@ -710,6 +710,35 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Column-stats data skipping (Iceberg column-stats analog): an
+    // UNPARTITIONED table records per-file min/max for eligible columns
+    // automatically; three disjoint-range appends then range/equality
+    // filters that the scan answers from a file subset. The oracle
+    // replays the predicates — a skipped file that held matches, or a
+    // mis-kept stats range, changes the hash.
+    "geo_colstats" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geocs").isEmpty) {
+        s.conf.set("spark.sql.catalog.geocs", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geocs.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_cs_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocs.db")
+      s.sql("DROP TABLE IF EXISTS geocs.db.cs")
+      s.sql("CREATE TABLE geocs.db.cs (id BIGINT, nat BIGINT) USING geo")
+      // three commits over disjoint key thirds: tight per-file ranges
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO geocs.db.cs SELECT c_custkey, c_nationkey FROM customer " +
+          s"WHERE c_custkey % 3 = $i")
+      }
+      s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM geocs.db.cs WHERE id >= 100 AND id < 2000
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geocs.db.cs WHERE nat = 7
+        ORDER BY phase""")
+    }),
+
     // Write-audit-publish through branch refs (Iceberg branch +
     // fast_forward analog): stage odd customers on a branch — main reads
     // stay pinned to the evens — audit via VERSION AS OF 'branch', then
@@ -2323,6 +2352,14 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // column-stats skipping must return exactly the predicate's rows
+    "geo_colstats" -> """
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer WHERE c_custkey >= 100 AND c_custkey < 2000
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM customer WHERE c_nationkey = 7
+      ORDER BY phase""",
 
     // write-audit-publish reduces to set algebra: phase 1 = main before
     // publish (evens), phase 2 = the staged branch (all), phase 3 = main

@@ -228,7 +228,22 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case None => schema0
     }
     val geomCol = GeoSchema.geometryColumns(tagged).headOption.map(_._1)
-    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms)
+    // stats-only transforms: per-file min/max on eligible non-partition
+    // columns (data skipping without layout cost). Default: automatic;
+    // TBLPROPERTIES('stats.columns'='a,b') pins the set ('' disables).
+    val statsT = Option(properties.get("stats.columns")) match {
+      case Some(cols) => cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+        val f = tagged.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"stats.columns: '$c' is not a table column"))
+        require(GeoPartition.supports("stats", f.dataType),
+          s"stats.columns: '$c' (${f.dataType.simpleString}) has no ordered long embedding")
+        GeoPartition.PTransform("stats", 0, f.name)
+      }
+      case None if spark.conf.get("spark.graft.stats.auto", "true").toBoolean =>
+        GeoPartition.statsFor(tagged, ptransforms.toSeq)
+      case None => Seq.empty
+    }
+    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms.toSeq ++ statsT)
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
 
@@ -483,7 +498,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
   /** DESCRIBE/SHOW surface the stored transforms (Iceberg-style). */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    manifest.partitions.map { p =>
+    manifest.partitions.filter(_.layout).map { p =>
       p.kind match {
         case "identity" => Expressions.identity(p.col)
         case "bucket" => Expressions.bucket(p.n, p.col)
@@ -553,7 +568,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
         // the file-per-range grouping manifest pruning feeds on).
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-        private val sorts: Array[SortOrder] = manifest.partitions.map { p =>
+        private val sorts: Array[SortOrder] = manifest.partitions.filter(_.layout).map { p =>
           val e = p.kind match {
             case "identity" => Expressions.column(p.col)
             case "bucket" => Expressions.bucket(p.n, p.col)

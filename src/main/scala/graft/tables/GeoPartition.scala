@@ -40,7 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GeoPartition {
 
-  /** One transform: kind ∈ identity|bucket|truncate|days|hours|months|years. */
+  /** One transform: kind ∈ identity|bucket|truncate|days|hours|months|
+    * years — or `stats`, a STATS-ONLY identity: per-file min/max recorded
+    * and pruned on exactly like identity, but exempt from write
+    * clustering (the Iceberg column-stats analog: data skipping on
+    * filters over columns the layout does not order by). */
   final case class PTransform(kind: String, n: Int, col: String) {
     def encode: String = kind match {
       case "bucket" => s"bucket($n,$col)"
@@ -48,10 +52,12 @@ object GeoPartition {
       case "identity" => col
       case k => s"$k($col)"
     }
+    /** True for transforms that drive the write layout (all but stats). */
+    def layout: Boolean = kind != "stats"
     override def toString: String = encode
   }
 
-  private val unitRe = "(days|hours|months|years)\\(([^)]+)\\)".r
+  private val unitRe = "(days|hours|months|years|stats)\\(([^)]+)\\)".r
   private val bucketRe = "bucket\\((\\d+),([^)]+)\\)".r
   private val truncateRe = "truncate\\((\\d+),([^)]+)\\)".r
 
@@ -65,7 +71,7 @@ object GeoPartition {
   /** Column types a transform accepts (identity needs an ordered long
     * embedding; bucket anything murmur3 hashes). */
   private[tables] def supports(kind: String, dt: DataType): Boolean = kind match {
-    case "identity" => dt match {
+    case "identity" | "stats" => dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
       case _ => false
     }
@@ -131,7 +137,7 @@ object GeoPartition {
       throw new IllegalArgumentException(s"partition column '${t.col}' missing from schema"))
     val c = col(f.name)
     t.kind match {
-      case "identity" => f.dataType match {
+      case "identity" | "stats" => f.dataType match {
         case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
         case TimestampType => unix_micros(c)
         case _ => c.cast(LongType)
@@ -161,15 +167,32 @@ object GeoPartition {
     * one file and destroy the grouping); empty ranges produce zero-row
     * files that the commit drops. */
   def layout(df: DataFrame, transforms: Seq[PTransform], schema: StructType): DataFrame = {
-    if (transforms.isEmpty) return df
-    val tcols = transforms.zipWithIndex.map { case (t, i) =>
+    val active = transforms.filter(_.layout) // stats transforms don't cluster
+    if (active.isEmpty) return df
+    val tcols = active.zipWithIndex.map { case (t, i) =>
       transformCol(t, schema).as(s"__graft_p$i")
     }
     val withT = df.select((df.columns.map(col) ++ tcols): _*)
-    val pnames = transforms.indices.map(i => col(s"__graft_p$i"))
+    val pnames = active.indices.map(i => col(s"__graft_p$i"))
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     withT.repartitionByRange(math.max(n, 1), pnames: _*).sortWithinPartitions(pnames: _*)
-      .drop(transforms.indices.map(i => s"__graft_p$i"): _*)
+      .drop(active.indices.map(i => s"__graft_p$i"): _*)
+  }
+
+  /** Auto stats transforms (Iceberg column-stats analog): one `stats`
+    * entry per eligible column not already covered by a layout
+    * transform — per-file min/max lands in the same single stats pass
+    * every commit already runs, and scans prune on it for free. Capped
+    * so a very wide table cannot bloat its manifest lines. */
+  def statsFor(schema: StructType, existing: Seq[PTransform],
+               cap: Int = 8): Seq[PTransform] = {
+    val covered = existing.map(_.col.toLowerCase).toSet
+    schema.fields.iterator
+      .filter(f => supports("stats", f.dataType))
+      .filterNot(f => covered.contains(f.name.toLowerCase))
+      .take(cap)
+      .map(f => PTransform("stats", 0, f.name))
+      .toSeq
   }
 
   // -------------------------------------------------------------------
@@ -186,7 +209,7 @@ object GeoPartition {
       case _ => None
     }
     t.kind match {
-      case "identity" => dt match {
+      case "identity" | "stats" => dt match {
         case DateType => Some(v.asInstanceOf[Int].toLong)
         case TimestampType => Some(v.asInstanceOf[Long])
         case ByteType | ShortType | IntegerType | LongType =>

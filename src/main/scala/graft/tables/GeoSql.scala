@@ -401,8 +401,15 @@ case class GeoCreateTableCommand(name: String, colsDdl: String,
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       s"$wh/geo/${name.replace('.', '_')}"
     }
-    if (GeoManifest.currentVersion(spark, root).isEmpty)
-      GeoTable.createEmpty(spark, root, schema, geomCol)
+    if (GeoManifest.currentVersion(spark, root).isEmpty) {
+      // automatic stats-only transforms, same default as the catalog's
+      // createTable (spark.graft.stats.auto, on by default)
+      val statsT =
+        if (spark.conf.get("spark.graft.stats.auto", "true").toBoolean)
+          GeoPartition.statsFor(schema, Seq.empty)
+        else Seq.empty
+      GeoTable.createEmpty(spark, root, schema, geomCol, statsT)
+    }
     // catalog-qualified names resolve through GeoCatalog (stateless over
     // the warehouse dir); only plain names get the registry + temp view
     if (catalogRoot.isEmpty) GeoTable.register(spark, name, root)

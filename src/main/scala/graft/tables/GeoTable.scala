@@ -377,10 +377,29 @@ object GeoTable {
       throw new IllegalArgumentException(s"no column '$name' in ${m.schema.fieldNames.mkString(", ")}"))
     require(!m.geomCol.exists(_.equalsIgnoreCase(name)),
       "cannot DROP the geometry column (it anchors per-file bbox stats)")
+    // a LAYOUT transform's column anchors the write clustering — reject;
+    // a stats-only transform just stops being collected: drop it and
+    // strip its per-file range from every entry (vector indexes shift)
+    val (statsOnIt, layoutOnIt) = m.partitions.zipWithIndex
+      .filter(_._1.col.equalsIgnoreCase(name)).partition(_._1.kind == "stats")
+    require(layoutOnIt.isEmpty,
+      s"cannot DROP '$name': it anchors partition transform(s) " +
+        s"${layoutOnIt.map(_._1.encode).mkString(", ")}")
+    val dropIdx = statsOnIt.map(_._2).toSet
+    val newParts = m.partitions.zipWithIndex.collect {
+      case (p, i) if !dropIdx.contains(i) => p }
+    val newFiles =
+      if (dropIdx.isEmpty) m.files
+      else m.files.map { f =>
+        if (f.pstats.isEmpty) f
+        else f.copy(pstats = f.pstats.zipWithIndex.collect {
+          case (ps, i) if !dropIdx.contains(i) => ps })
+      }
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,
         schema = StructType(m.schema.fields.filterNot(_.name == actual.name)),
-        dropped = m.dropped :+ actual.name),
+        dropped = m.dropped :+ actual.name,
+        partitions = newParts, files = newFiles),
       m.version)
   }
 
@@ -401,14 +420,21 @@ object GeoTable {
       if (f.name == actual.name) f.copy(name = to) else f
     })
     val newGeom = m.geomCol.map(g => if (g.equalsIgnoreCase(from)) to else g)
-    val renamed = readFiles(spark, m.schema, m.files).select(m.schema.fields.toSeq.map { f =>
+    // partition/stats transforms follow the rename (the rewrite below
+    // recollects their per-file ranges under the new name)
+    val newParts = m.partitions.map(p =>
+      if (p.col.equalsIgnoreCase(from)) p.copy(col = to) else p)
+    // the MERGED view: a rename rewrite must not resurrect rows hidden by
+    // position or equality delete sidecars — they fold in here and clear
+    val renamed = readMerged(spark, m, m.files).select(m.schema.fields.toSeq.map { f =>
       val target = if (f.name == actual.name) to else f.name
       col(f.name).as(target, f.metadata)
     }: _*)
-    val files = writeCommit(spark, root, renamed, newSchema, newGeom)
+    val files = writeCommit(spark, root, renamed, newSchema, newGeom, newParts)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
-        files = files),
+        files = files, partitions = newParts,
+        deletes = Seq.empty, eqDeletes = Seq.empty),
       m.version)
   }
 

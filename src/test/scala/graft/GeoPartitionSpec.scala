@@ -167,6 +167,53 @@ class GeoPartitionSpec extends SparkSpec {
       .head.getLong(0) == 12) // ids ≡ 0,1,2 (mod 2000) fall before 2023-11-16
   }
 
+  test("stats-only transforms: data skipping without layout clustering") {
+    warehouse
+    // NO PARTITIONED BY: eligible columns get automatic stats transforms
+    spark.sql("CREATE TABLE geopt.db.cs (k BIGINT, ts TIMESTAMP, v STRING) USING geo")
+    val m0 = GeoManifest.read(spark, warehouse + "/db/cs")
+    assert(m0.partitions == Seq(
+      GeoPartition.PTransform("stats", 0, "k"),
+      GeoPartition.PTransform("stats", 0, "ts")), s"got ${m0.partitions}")
+    // three appends with disjoint k ranges: per-file min/max is tight per
+    // commit even though NOTHING clustered the rows
+    Seq((0, 1000), (1000, 2000), (2000, 3000)).foreach { case (a, b) =>
+      spark.sql(s"INSERT INTO geopt.db.cs SELECT id, " +
+        s"timestamp_micros(1700000000000000 + id * 1000000), concat('v', id) " +
+        s"FROM range($a, $b)")
+    }
+    val m = GeoManifest.read(spark, warehouse + "/db/cs")
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.length == 2),
+      "stats ranges recorded per file")
+    val all = scannedFiles("SELECT * FROM geopt.db.cs")
+    val byK = scannedFiles("SELECT * FROM geopt.db.cs WHERE k = 1500")
+    val byTs = scannedFiles(
+      "SELECT * FROM geopt.db.cs WHERE ts < TIMESTAMP '2023-11-14 22:30:00'")
+    assert(byK < all, s"k equality must skip files: $byK vs $all")
+    assert(byTs < all, s"ts range must skip files: $byTs vs $all")
+    assert(spark.sql("SELECT v FROM geopt.db.cs WHERE k = 1500").head.getString(0) == "v1500")
+    // the stats transforms are INVISIBLE as table partitioning
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED geopt.db.cs").collect().map(_.toString)
+    assert(!ddl.exists(_.contains("stats(")), "stats transforms must not surface as partitioning")
+    // DROP COLUMN on a stats column strips its transform and realigns ranges
+    spark.sql("ALTER TABLE geopt.db.cs DROP COLUMN ts")
+    val m2 = GeoManifest.read(spark, warehouse + "/db/cs")
+    assert(m2.partitions == Seq(GeoPartition.PTransform("stats", 0, "k")))
+    assert(m2.files.filter(_.rows > 0).forall(_.pstats.length == 1))
+    assert(scannedFiles("SELECT * FROM geopt.db.cs WHERE k = 1500") < all,
+      "k skipping survives the realigned stats vector")
+
+    // explicit stats.columns pins the set; layout-partition columns can't drop
+    spark.sql("CREATE TABLE geopt.db.cs2 (a BIGINT, b BIGINT) USING geo " +
+      "TBLPROPERTIES('stats.columns'='b')")
+    assert(GeoManifest.read(spark, warehouse + "/db/cs2").partitions ==
+      Seq(GeoPartition.PTransform("stats", 0, "b")))
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE geopt.db.ident DROP COLUMN k")
+    }
+    assert(err.getMessage.contains("anchors partition transform"), err.getMessage)
+  }
+
   test("truncate partitioning on integers: equality and ranges prune") {
     warehouse
     spark.sql("CREATE TABLE geopt.db.tri (k BIGINT, v STRING) USING geo " +
