@@ -79,6 +79,24 @@ class GeoEvolutionSpec extends SparkSpec {
       new org.locationtech.jts.geom.Envelope(0, 5, -1, 1)).count() < 40)
   }
 
+  test("RENAME on a table with live delete sidecars does not resurrect rows") {
+    import spark.implicits._
+    val root = tmpRoot("renmor")
+    GeoTable.create(spark, root,
+      spark.range(100).select($"id", concat(lit("v"), $"id").as("v")).repartition(4), None)
+    GeoTable.delete(spark, root, $"id" % 10 === 0, mode = "mor")       // pos sidecar
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L, 8L).toDF("id")) // eq sidecar
+    assert(GeoTable.read(spark, root).count() == 88)
+    GeoTable.renameColumn(spark, root, "v", "w")
+    val m = GeoManifest.read(spark, root)
+    assert(m.deletes.isEmpty && m.eqDeletes.isEmpty,
+      "the rename rewrite folds sidecars away")
+    val ids = GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 100L).filterNot(i => i % 10 == 0 || i == 7 || i == 8),
+      "hidden rows must stay hidden through the rename rewrite")
+    assert(GeoTable.read(spark, root).columns.toSeq == Seq("id", "w"))
+  }
+
   test("ALTER / OPTIMIZE / VACUUM through the SQL front-half") {
     val root = tmpRoot("sql")
     pointTable(root, nFiles = 8)
