@@ -70,7 +70,7 @@ object GeoSql {
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val vacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""".r
   private val restoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val restoreRefRe =
@@ -151,8 +151,9 @@ object GeoSql {
       Some(GeoAlterRenameCommand(name, from, to))
     case optimizeRe(name, nFiles) if resolveRoot(name).isDefined =>
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt)))
-    case vacuumRe(name, keep) if resolveRoot(name).isDefined =>
-      Some(GeoVacuumCommand(name, Option(keep).map(_.toInt)))
+    case vacuumRe(name, keep, unit) if resolveRoot(name).isDefined =>
+      Some(GeoVacuumCommand(name, Option(keep).map(_.toInt),
+        Option(unit).map(_.toUpperCase).getOrElse("VERSIONS")))
     case restoreRe(name, v) if resolveRoot(name).isDefined =>
       Some(GeoRestoreCommand(name, Left(v.toInt)))
     case restoreRefRe(name, ref) if resolveRoot(name).isDefined =>
@@ -597,10 +598,17 @@ case class GeoOptimizeCommand(name: String, nFiles: Option[Int]) extends GeoRunn
 /** VACUUM t [RETAIN n VERSIONS]: delete data files referenced only by
   * expired versions (Iceberg expire-snapshots analog). Returns the number
   * of files removed. */
-case class GeoVacuumCommand(name: String, keep: Option[Int]) extends GeoRunnable {
+case class GeoVacuumCommand(name: String, keep: Option[Int],
+                            unit: String = "VERSIONS") extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
-    val removed = GeoTable.vacuum(spark, root, keep.getOrElse(1))
+    val removed = unit match {
+      case "VERSIONS" => GeoTable.vacuum(spark, root, keep.getOrElse(1))
+      case "DAYS" => GeoTable.vacuumOlderThan(spark, root,
+        System.currentTimeMillis() - keep.getOrElse(7).toLong * 86400000L)
+      case "HOURS" => GeoTable.vacuumOlderThan(spark, root,
+        System.currentTimeMillis() - keep.getOrElse(24).toLong * 3600000L)
+    }
     Seq(Row(removed.toLong))
   }
 }

@@ -113,21 +113,37 @@ object GeoTable {
    */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int =
     GeoManifest.withCommitLock(root) {
-      vacuum0(spark, root, keepVersions)
+      require(keepVersions >= 1, "vacuum must keep at least the current version")
+      val cur = GeoManifest.read(spark, root).version
+      vacuum0(spark, root, (math.max(0, cur - keepVersions + 1) to cur).toSet)
+    }
+
+  /** Age-based retention (Iceberg expire_snapshots older_than analog):
+    * expire snapshots whose COMMIT timestamp is older than `cutoffMs`;
+    * the current snapshot and ref'd snapshots always stay. */
+  def vacuumOlderThan(spark: SparkSession, root: String, cutoffMs: Long): Int =
+    GeoManifest.withCommitLock(root) {
+      val cur = GeoManifest.read(spark, root).version
+      val f = GeoManifest.fs(spark, root)
+      val fresh = (0 to cur).filter { v =>
+        v == cur || (f.exists(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt")) &&
+          GeoManifest.commitTsOf(spark, root, v) >= cutoffMs)
+      }
+      vacuum0(spark, root, fresh.toSet)
     }
 
   // under the commit lock: GC must not race an in-flight commit whose new
-  // data/shard files are referenced by nothing until the pointer flips
-  private def vacuum0(spark: SparkSession, root: String, keepVersions: Int): Int = {
-    require(keepVersions >= 1, "vacuum must keep at least the current version")
+  // data/shard files are referenced by nothing until the pointer flips.
+  // `keepSet` = versions the caller wants retained; the current snapshot
+  // must be in it, ref'd snapshots (tags AND branch heads) are added —
+  // they PIN their manifest and files regardless of the retention window
+  // (Iceberg ref retention).
+  private def vacuum0(spark: SparkSession, root: String, keepSet: Set[Int]): Int = {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
-    val keepFrom = math.max(0, cur.version - keepVersions + 1)
-    // refs (tags AND branch heads) PIN their snapshot: a ref'd version's
-    // manifest and files stay alive regardless of the retention window
-    // (Iceberg ref retention)
+    require(keepSet.contains(cur.version), "vacuum must keep the current version")
     val tagged = GeoManifest.refs(spark, root).pinned
-    val keep = (keepFrom to cur.version).toSet ++ tagged
+    val keep = keepSet ++ tagged
     val liveShards = scala.collection.mutable.Set.empty[String]
     val live = keep.toSeq.sorted.flatMap { v =>
       try {
@@ -150,10 +166,10 @@ object GeoTable {
       }
       doomed.result().foreach { p => if (fs.delete(p, false)) removed += 1 }
     }
-    // drop manifests older than the kept window (tagged ones stay), then
-    // GC v5 shard files no kept manifest references (dissolved by later
-    // commits, or only referenced by the just-dropped manifests)
-    (0 until keepFrom).filterNot(tagged).foreach { v =>
+    // drop expired manifests (kept/ref'd ones stay), then GC v5 shard
+    // files no kept manifest references (dissolved by later commits, or
+    // only referenced by the just-dropped manifests)
+    (0 until cur.version).filterNot(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt"), false)
     }
     val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")

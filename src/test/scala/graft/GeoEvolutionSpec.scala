@@ -97,6 +97,30 @@ class GeoEvolutionSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).columns.toSeq == Seq("id", "w"))
   }
 
+  test("age-based vacuum expires by commit timestamp; current and refs stay") {
+    import spark.implicits._
+    val root = tmpRoot("vage")
+    GeoTable.create(spark, root, spark.range(10).toDF("id"), None)        // v0
+    GeoTable.append(spark, root, spark.range(10, 20).toDF("id"))          // v1
+    GeoTable.createTag(spark, root, "pin", Some(0))
+    GeoTable.append(spark, root, spark.range(20, 30).toDF("id"))          // v2
+    // cutoff in the future: everything but current + the pinned tag expires
+    GeoTable.vacuumOlderThan(spark, root, System.currentTimeMillis() + 60000)
+    assert(GeoTable.readAt(spark, root, 0).count() == 10, "tagged snapshot survives")
+    assert(GeoTable.read(spark, root).count() == 30, "current survives")
+    assert(intercept[Exception](GeoTable.readAt(spark, root, 1).count()) != null,
+      "untagged old snapshot expired")
+    // cutoff in the past: nothing expires
+    val root2 = tmpRoot("vage2")
+    GeoTable.create(spark, root2, spark.range(5).toDF("id"), None)
+    GeoTable.append(spark, root2, spark.range(5, 9).toDF("id"))
+    GeoTable.register(spark, "vage_t", root2)
+    try {
+      GeoSql.exec(spark, "VACUUM vage_t RETAIN 7 DAYS")
+      assert(GeoTable.readAt(spark, root2, 0).count() == 5, "fresh snapshots retained")
+    } finally GeoTable.drop(spark, "vage_t")
+  }
+
   test("ALTER / OPTIMIZE / VACUUM through the SQL front-half") {
     val root = tmpRoot("sql")
     pointTable(root, nFiles = 8)
