@@ -24,8 +24,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - DELETE FROM t [WHERE cond]
  *  - MERGE INTO t USING src ON cond WHEN [NOT] MATCHED ...
  *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
- *  - OPTIMIZE t [INTO n FILES] · VACUUM t [RETAIN n VERSIONS]
- *  - RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+ *  - ALTER TABLE t CREATE TAG name [AS OF VERSION n] | DROP TAG name
+ *  - ALTER TABLE t CREATE | DROP | PUBLISH BRANCH name (write-audit-publish)
+ *  - OPTIMIZE t [INTO n FILES] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
+ *  - RESTORE TABLE t TO VERSION AS OF n | 'ref' | TO TIMESTAMP AS OF 'ts'
  *
  * Split front/back: `GeoSqlParser` (injected via
  * SparkSessionExtensions.injectParser) turns matching statements into
