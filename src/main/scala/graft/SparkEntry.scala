@@ -710,6 +710,35 @@ object SparkEntry {
       inserts.unionByName(deletes).orderBy("phase", "id")
     }),
 
+    // Path-table streaming ingest (foreachBatch sink, the pre-DSv2 leg):
+    // customers stream in several micro-batches through geoTableSink's
+    // per-epoch atomic commits with the in-manifest batch watermark; the
+    // oracle aggregates the source directly — a dropped or duplicated
+    // epoch changes the hash (same exactly-once contract as the native
+    // DSv2 sink, exercised on the PATH-table commit path).
+    "geo_stream_sink_path" -> ((s, d) => {
+      prep(s, d)
+      val base = java.nio.file.Files.createTempDirectory("geo_skp").toString
+      val root = base + "/t"
+      val srcDir = base + "/files"
+      s.table("customer")
+        .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nat"))
+        .withColumn("b", col("id") % 4).repartition(4, col("b")).drop("b")
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      graft.tables.GeoTable.create(s, root,
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = graft.streaming.EventStreams.geoTableSink(stream, root,
+        base + "/ck").start()
+      q.processAllAvailable(); q.stop()
+      graft.tables.GeoTable.read(s, root)
+        .groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // Column-stats data skipping (Iceberg column-stats analog): an
     // UNPARTITIONED table records per-file min/max for eligible columns
     // automatically; three disjoint-range appends then range/equality
@@ -2352,6 +2381,13 @@ object SparkEntry {
       SELECT 3, 'delete', c_custkey, c_nationkey
       FROM customer WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 7 = 0
       ORDER BY phase, id""",
+
+    // path-table streaming ingest reduces to the source aggregate:
+    // exactly-once means every customer lands exactly once
+    "geo_stream_sink_path" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer GROUP BY 1 ORDER BY nat""",
 
     // column-stats skipping must return exactly the predicate's rows
     "geo_colstats" -> """
