@@ -429,10 +429,13 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
     val data: Array[InternalRow] = kind match {
       // committed_at / made_current_at come from the manifest's own `ts`
       // line (commitTsOf; mtime only as the pre-v3 fallback) — stable
-      // under filesystem copies that rewrite mtimes
+      // under filesystem copies that rewrite mtimes. Listed versions are
+      // `_current`'s ANCESTRY plus ref'd (tag/branch) snapshots — never a
+      // consecutive-number scan, which would surface staged branch
+      // manifests and torn orphans as committed history.
       case "snapshots" =>
         val f = GeoManifest.fs(sparkAtLoad, root)
-        (0 to current).flatMap { v =>
+        GeoMetaTable.visibleVersions(sparkAtLoad, root, current).flatMap { v =>
           val p = new Path(root, s"_manifests/m$v.txt")
           if (!f.exists(p)) None // vacuumed snapshots drop out
           else {
@@ -442,12 +445,9 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           }
         }.toArray
       case "history" =>
-        val f = GeoManifest.fs(sparkAtLoad, root)
-        (0 to current).flatMap { v =>
-          val p = new Path(root, s"_manifests/m$v.txt")
-          if (!f.exists(p)) None
-          else Some(InternalRow(
-            GeoManifest.commitTsOf(sparkAtLoad, root, v) * 1000L, v, v == current))
+        GeoManifest.ancestry(sparkAtLoad, root, current).sorted.map { v =>
+          InternalRow(
+            GeoManifest.commitTsOf(sparkAtLoad, root, v) * 1000L, v, v == current)
         }.toArray
       case "files" =>
         GeoManifest.read(sparkAtLoad, root).files.map { e =>
@@ -472,6 +472,15 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 
 object GeoMetaTable {
   val Kinds: Set[String] = Set("snapshots", "files", "history", "refs")
+
+  /** Snapshot versions the metadata tables list: main ancestry plus
+    * ref-pinned snapshots (a tagged version survives vacuum and stays
+    * visible even when the untagged versions around it expired; a branch
+    * head is a real snapshot, just not main's). Ascending. */
+  private[tables] def visibleVersions(spark: SparkSession, root: String,
+                                      current: Int): Seq[Int] =
+    (GeoManifest.ancestry(spark, root, current) ++
+      GeoManifest.refs(spark, root).pinned).distinct.sorted
 }
 
 /**

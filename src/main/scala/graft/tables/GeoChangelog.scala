@@ -69,12 +69,28 @@ object GeoChangelog {
   }
 
   /** Per-commit file diffs for `(vFrom, vTo]`, oldest first. Requires the
-    * manifests to still exist (VACUUM removes expired snapshots). */
+    * manifests to still exist (VACUUM removes expired snapshots). The
+    * commits replayed are vTo's ANCESTORS down to vFrom (the in-manifest
+    * parent lineage), never a consecutive-number scan: branch-staged
+    * manifests main slid past and torn orphans from crashed commits live
+    * in the same number space but are no snapshot's ancestor — replaying
+    * them would emit phantom insert/delete rows of unaudited data. */
   def versionSteps(spark: SparkSession, root: String, vFrom: Int, vTo: Int): Seq[VersionStep] = {
     require(vFrom <= vTo, s"changelog range is reversed: ($vFrom, $vTo]")
     if (vFrom == vTo) return Seq.empty
+    val chain = Seq.newBuilder[Int]
+    var w = vTo
+    while (w > vFrom) {
+      chain += w
+      val p = GeoManifest.parentOf(spark, root, w).getOrElse(w - 1)
+      require(p < w, s"corrupt lineage at $root: m$w.txt claims parent $p")
+      w = p
+    }
+    require(w == vFrom,
+      s"changelog range ($vFrom, $vTo] of $root does not follow one lineage: " +
+        s"$vFrom is not an ancestor of $vTo (it may be a staged branch snapshot)")
     var prev = GeoManifest.readVersion(spark, root, vFrom)
-    (vFrom + 1 to vTo).map { v =>
+    chain.result().reverse.map { v =>
       val cur = GeoManifest.readVersion(spark, root, v)
       val prevKeys = prev.files.map(_.key).toSet
       val curKeys = cur.files.map(_.key).toSet
@@ -308,12 +324,31 @@ object GeoChangelog {
   /** (file, sorted row ordinals) of the rows an equality-delete step
     * removed — one planning-time job over the applicable files (the same
     * scan any consumer of the delete would have to pay); lets the CDC
-    * surfaces replay a keyed delete through position-based row legs. */
+    * surfaces replay a keyed delete through position-based row legs.
+    *
+    * The ordinals collect DRIVER-side, and unlike a position sidecar an
+    * equality delete's matched-row count is not bounded by its commit
+    * (O(keys) admission; duplicate key values multiply matches) — so the
+    * collect is capped at [[GeoTable.maxLiveDeleteRows]]. Past the cap
+    * the step refuses with a pointer at the DataFrame changes surface,
+    * which streams the same rows without a driver materialization. */
   private[tables] def eqStepPositions(spark: SparkSession, s: VersionStep)
       : Seq[(FileEntry, Array[Long])] = {
     val base = s.prevManifest.get
-    val byFile = eqDeletedRows(spark, base, base.schema, s.addedEqDeletes, keepMeta = true)
-      .select(col("__vf"), col("__vp")).collect()
+    val bound = GeoTable.maxLiveDeleteRows(spark)
+    require(bound < Int.MaxValue, s"spark.graft.mor.maxLiveDeleteRows=$bound too large " +
+      "for a driver-side position collect")
+    // limit(bound+1) returns ALL rows when under the cap and exactly
+    // bound+1 when over — one job, no separate count scan
+    val rows = eqDeletedRows(spark, base, base.schema, s.addedEqDeletes, keepMeta = true)
+      .select(col("__vf"), col("__vp")).limit(bound.toInt + 1).collect()
+    if (rows.length > bound)
+      throw new IllegalStateException(
+        s"equality-delete commit ${s.version} matched more than $bound rows; replaying " +
+          "it row-granularly would materialize every ordinal on the driver — read the " +
+          "range through GeoChangelog.changes/netChanges (DataFrame surface) instead, " +
+          "or raise spark.graft.mor.maxLiveDeleteRows")
+    val byFile = rows
       .groupBy(r => GeoManifest.norm(r.getString(0)))
       .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
     base.files.filter(f => byFile.contains(f.key)).map(f => f -> byFile(f.key))

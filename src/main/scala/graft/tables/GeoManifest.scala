@@ -22,6 +22,7 @@ import java.nio.charset.StandardCharsets
  * {{{
  *   graftgeo  3
  *   ts        <commit wall-clock, epoch millis>
+ *   parent    <lineage parent version; -1 for the root commit>
  *   schema    <StructType.json — carries GEOMETRY field metadata>
  *   geom      <geometry column name, or -- when none>
  *   dropped   <tombstoned column name>                  (0..n lines)
@@ -128,6 +129,13 @@ object GeoManifest {
     * manifests keep it through `copy()`. */
   final case class ShardRef(name: String, entries: Seq[FileEntry])
 
+  /** `parent` is the snapshot this commit derived from (-1 for the root
+    * commit) — the lineage line that keeps branch-staged and torn-orphan
+    * manifests OUT of main history: changelog/versionAsOf/metadata walks
+    * follow the parent chain from `_current`, never consecutive numbers
+    * (Iceberg records parent-snapshot-id for the same reason). `None` on
+    * a READ manifest means a pre-lineage file (walks fall back to the
+    * consecutive predecessor, the status-quo assumption of that era). */
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
                             dropped: Seq[String] = Seq.empty,
@@ -136,7 +144,8 @@ object GeoManifest {
                             deletes: Seq[DeleteEntry] = Seq.empty,
                             partitions: Seq[GeoPartition.PTransform] = Seq.empty,
                             baseShards: Seq[ShardRef] = Seq.empty,
-                            eqDeletes: Seq[EqDeleteEntry] = Seq.empty) {
+                            eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
+                            parent: Option[Int] = None) {
     /** Exact for position deletes; an UPPER bound while equality deletes
       * are live (their matched-row count is unknown until a scan). */
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
@@ -225,7 +234,8 @@ object GeoManifest {
         throw new java.util.ConcurrentModificationException(
           s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
             s"was based on $expectedBase; re-read and retry")
-      write(spark, root, remapVersion(spark, root, m))
+      // the optimistic base IS the commit's lineage parent
+      write(spark, root, remapVersion(spark, root, m).copy(parent = Some(expectedBase)))
     }
 
   /** Branch and main commits share ONE linear manifest number space:
@@ -277,7 +287,7 @@ object GeoManifest {
         throw new java.util.ConcurrentModificationException(
           s"branch '$branch' of $root moved to ${b.head} while this operation " +
             s"was based on $expectedHead; re-read and retry")
-      val fixed = remapVersion(spark, root, m)
+      val fixed = remapVersion(spark, root, m).copy(parent = Some(expectedHead))
       writeManifestFile(spark, root, fixed)
       writeRefs(spark, root, r.copy(branches =
         r.branches + (branch -> b.copy(head = fixed.version))))
@@ -376,6 +386,9 @@ object GeoManifest {
     // always stamp NOW: manifests are derived from the base via copy(),
     // and inheriting the base's commit ts would corrupt the history order
     lines ++= s"ts\t${System.currentTimeMillis()}\n"
+    // lineage: direct write() callers (root commits, tools) default to the
+    // consecutive predecessor — exactly what their callers mean
+    lines ++= s"parent\t${m.parent.getOrElse(m.version - 1)}\n"
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -462,6 +475,7 @@ object GeoManifest {
     var schema: StructType = null
     var geomCol: Option[String] = None
     var commitTs: Option[Long] = None
+    var parent: Option[Int] = None
     var declared = -1 // format version from the graftgeo header line
     val files = Seq.newBuilder[FileEntry]
     val shardNames = Seq.newBuilder[String]
@@ -482,6 +496,7 @@ object GeoManifest {
             line.substring("schema\t".length)).asInstanceOf[StructType]
         case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
         case "ts" => commitTs = Some(parts(1).toLong)
+        case "parent" => parent = Some(parts(1).toInt)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += parseFileEntry(parts, declared >= 6)
@@ -507,19 +522,53 @@ object GeoManifest {
     val shards = readShards(f, root, v, shardNames.result())
     shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
-      commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result())
+      commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
+      parent)
   }
 
-  /** Commit wall-clock of snapshot `v`: the manifest's `ts` line, falling
-    * back to the manifest file's mtime for pre-v3 manifests. Header-only
-    * scan — timestamp resolution loops over every version (TIMESTAMP AS
-    * OF, history), so this must not resolve v5 shard files. */
-  def commitTsOf(spark: SparkSession, root: String, v: Int): Long = {
+  /** (commit ts, lineage parent) of snapshot `v` from a header-only scan
+    * of its manifest — lineage/timestamp resolution loops over versions
+    * (TIMESTAMP AS OF, history, ancestry walks), so this must not resolve
+    * v5 shard files. ts falls back to the manifest file's mtime (pre-v3);
+    * parent None = pre-lineage manifest (callers assume v-1). */
+  private def headerOf(spark: SparkSession, root: String, v: Int): (Long, Option[Int]) = {
     val f = fs(spark, root)
     val p = new Path(root, s"_manifests/m$v.txt")
-    readText(f, p).split('\n').collectFirst {
-      case l if l.startsWith("ts\t") => l.substring(3).trim.toLong
-    }.getOrElse(f.getFileStatus(p).getModificationTime)
+    var ts: Option[Long] = None
+    var parent: Option[Int] = None
+    readText(f, p).split('\n').foreach { l =>
+      if (l.startsWith("ts\t")) ts = Some(l.substring(3).trim.toLong)
+      else if (l.startsWith("parent\t")) parent = Some(l.substring(7).trim.toInt)
+    }
+    (ts.getOrElse(f.getFileStatus(p).getModificationTime), parent)
+  }
+
+  /** Commit wall-clock of snapshot `v` (see [[headerOf]]). */
+  def commitTsOf(spark: SparkSession, root: String, v: Int): Long =
+    headerOf(spark, root, v)._1
+
+  /** Lineage parent of snapshot `v`; None for pre-lineage manifests. */
+  def parentOf(spark: SparkSession, root: String, v: Int): Option[Int] =
+    headerOf(spark, root, v)._2
+
+  /** Ancestor versions of `top` (inclusive), NEWEST FIRST, following the
+    * in-manifest parent lineage; stops at the root commit or at the first
+    * vacuumed (missing) manifest. This — never a consecutive-number
+    * scan — defines committed history: branch-staged manifests that main
+    * slid past and torn orphans from crashed commits live in the same
+    * `_manifests` dir but are no snapshot's ancestor, so changelogs,
+    * TIMESTAMP AS OF and the metadata tables never see them. */
+  def ancestry(spark: SparkSession, root: String, top: Int): Seq[Int] = {
+    val f = fs(spark, root)
+    val out = Seq.newBuilder[Int]
+    var v = top
+    while (v >= 0 && f.exists(new Path(root, s"_manifests/m$v.txt"))) {
+      out += v
+      val p = parentOf(spark, root, v).getOrElse(v - 1)
+      require(p < v, s"corrupt lineage at $root: m$v.txt claims parent $p")
+      v = p
+    }
+    out.result()
   }
 
   /** One writable branch ref: `head` is the branch's latest committed
@@ -583,21 +632,15 @@ object GeoManifest {
     writeRefs(spark, root, refs(spark, root).copy(tags = t))
 
   /** Newest committed snapshot whose commit timestamp is <= `cutoffMs` —
-    * the `TIMESTAMP AS OF` resolution rule. Only manifests at or below
-    * the `_current` pointer count: one written by a failed commit (no
-    * pointer flip) is not a committed snapshot. */
+    * the `TIMESTAMP AS OF` resolution rule. Only `_current`'s ANCESTRY
+    * counts: a manifest written by a failed commit (no pointer flip) or
+    * staged on a branch is not a committed main snapshot, even when its
+    * number sits below `_current` (main slid past it). */
   def versionAsOf(spark: SparkSession, root: String, cutoffMs: Long): Int = {
-    val f = fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no GeoTable at $root"))
-    val manifestRe = "m(\\d+)\\.txt".r
-    val versions = f.listStatus(new Path(root, "_manifests")).flatMap { s =>
-      s.getPath.getName match {
-        case manifestRe(v) if v.toInt <= cur && commitTsOf(spark, root, v.toInt) <= cutoffMs =>
-          Some(v.toInt)
-        case _ => None
-      }
-    }
+    val versions = ancestry(spark, root, cur)
+      .filter(v => commitTsOf(spark, root, v) <= cutoffMs)
     require(versions.nonEmpty,
       s"no snapshot of $root as of ${java.time.Instant.ofEpochMilli(cutoffMs)}")
     versions.max

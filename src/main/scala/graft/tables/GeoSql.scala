@@ -637,13 +637,23 @@ case class GeoRestoreCommand(name: String, to: Either[Int, String]) extends GeoR
 }
 
 /** RESTORE TABLE t TO VERSION AS OF 'ref': [[GeoRestoreCommand]] with the
-  * target resolved through the table's tags. */
+  * target resolved through the table's refs — tags AND branch heads, the
+  * same resolution as the catalog's `VERSION AS OF 'ref'` (a ref string
+  * that works in a SELECT works here too). A branch head staged ABOVE
+  * main can't restore (restore reaches only committed main snapshots);
+  * the error points at PUBLISH BRANCH, the verb that means that. */
 case class GeoRestoreRefCommand(name: String, ref: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
-    val t = GeoManifest.tags(spark, root)
-    val v = t.getOrElse(ref, throw new IllegalArgumentException(
-      s"no tag '$ref' on $name (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    val r = GeoManifest.refs(spark, root)
+    val v = r.versionOf(ref).getOrElse(throw new IllegalArgumentException(
+      s"no ref '$ref' on $name" +
+        (if (r.isEmpty) "" else s" (refs: ${r.names.mkString(", ")})")))
+    val cur = GeoManifest.read(spark, root).version
+    if (r.branches.get(ref).exists(_.head > cur))
+      throw new IllegalArgumentException(
+        s"branch '$ref' of $name is staged ahead of main (head $v > current $cur); " +
+          s"use ALTER TABLE $name PUBLISH BRANCH $ref to fast-forward main to it")
     val rows = GeoTable.restore(spark, root, v)
     GeoSql.refresh(spark, name, root)
     Seq(Row(rows))

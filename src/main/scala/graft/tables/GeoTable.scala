@@ -115,7 +115,10 @@ object GeoTable {
     GeoManifest.withCommitLock(root) {
       require(keepVersions >= 1, "vacuum must keep at least the current version")
       val cur = GeoManifest.read(spark, root).version
-      vacuum0(spark, root, (math.max(0, cur - keepVersions + 1) to cur).toSet)
+      // the newest N of main's LINEAGE (ancestry walk, newest first) —
+      // a numeric window would miscount when branch commits interleave
+      // in the shared manifest number space
+      vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).take(keepVersions).toSet)
     }
 
   /** Age-based retention (Iceberg expire_snapshots older_than analog):
@@ -124,10 +127,8 @@ object GeoTable {
   def vacuumOlderThan(spark: SparkSession, root: String, cutoffMs: Long): Int =
     GeoManifest.withCommitLock(root) {
       val cur = GeoManifest.read(spark, root).version
-      val f = GeoManifest.fs(spark, root)
-      val fresh = (0 to cur).filter { v =>
-        v == cur || (f.exists(new org.apache.hadoop.fs.Path(root, s"_manifests/m$v.txt")) &&
-          GeoManifest.commitTsOf(spark, root, v) >= cutoffMs)
+      val fresh = GeoManifest.ancestry(spark, root, cur).filter { v =>
+        v == cur || GeoManifest.commitTsOf(spark, root, v) >= cutoffMs
       }
       vacuum0(spark, root, fresh.toSet)
     }
@@ -142,8 +143,16 @@ object GeoTable {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
     require(keepSet.contains(cur.version), "vacuum must keep the current version")
-    val tagged = GeoManifest.refs(spark, root).pinned
-    val keep = keepSet ++ tagged
+    val r = GeoManifest.refs(spark, root)
+    // a branch pins its WHOLE staged lineage (head back to the fork
+    // point), not just its head: a shard or data file referenced only by
+    // an intermediate staged manifest must survive until publish/drop —
+    // after PUBLISH those intermediates sit inside the main changelog
+    // range and readVersion/versionSteps over them must still resolve
+    val branchChains = r.branches.values.flatMap { b =>
+      GeoManifest.ancestry(spark, root, b.head).takeWhile(_ >= b.base)
+    }
+    val keep = keepSet ++ r.pinned ++ branchChains
     val liveShards = scala.collection.mutable.Set.empty[String]
     val live = keep.toSeq.sorted.flatMap { v =>
       try {
@@ -694,12 +703,14 @@ object GeoTable {
   def deleteByKey(spark: SparkSession, root: String,
                   keyCols: Seq[String], keys: DataFrame): Long = {
     val m = GeoManifest.read(spark, root)
-    val (entry, n) = writeEqSidecar(spark, root, m, keyCols, keys)
-    if (n == 0) return 0L
-    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-      eqDeletes = m.eqDeletes :+ entry), m.version)
-    maybeFoldSidecars(spark, root)
-    n
+    writeEqSidecar(spark, root, m, keyCols, keys) match {
+      case None => 0L
+      case Some((entry, n)) =>
+        GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+          eqDeletes = m.eqDeletes :+ entry), m.version)
+        maybeFoldSidecars(spark, root)
+        n
+    }
   }
 
   /**
@@ -715,21 +726,27 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
-    val (entry, nKeys) = writeEqSidecar(spark, root, m, keyCols,
+    val eq = writeEqSidecar(spark, root, m, keyCols,
       aligned.select(keyCols.map(col): _*))
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
-      eqDeletes = if (nKeys == 0) m.eqDeletes else m.eqDeletes :+ entry), m.version)
+      eqDeletes = m.eqDeletes ++ eq.map(_._1)), m.version)
     maybeFoldSidecars(spark, root)
     files.map(_.rows).sum
   }
 
   /** Write a distinct, non-null key sidecar for an equality delete and
-    * return its manifest entry (versioned at the NEXT commit). */
+    * return its manifest entry (versioned at the NEXT commit); None when
+    * no usable key tuples remain (nothing is written — no orphan sidecar
+    * dir for vacuum to chase). A key tuple nulled ONLY by the cast to the
+    * table's column type (e.g. a non-numeric string against a BIGINT key)
+    * is a malformed key, not a null key: silently dropping it would
+    * quietly no-op the delete for those rows, so it fails loudly instead.
+    * Genuinely-null input keys still drop — equality never matches null. */
   private def writeEqSidecar(spark: SparkSession, root: String, m: Manifest,
                              keyCols: Seq[String], keys: DataFrame)
-      : (GeoManifest.EqDeleteEntry, Long) = {
+      : Option[(GeoManifest.EqDeleteEntry, Long)] = {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
     keyCols.foreach { c =>
       val f = m.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -738,14 +755,25 @@ object GeoTable {
         s"equality-delete key '$c' is a GEOMETRY column; key on scalar columns")
     }
     val resolved = keyCols.map(c => m.schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
-    val tuples = keys.toDF(resolved: _*)
-      .select(resolved.map(c => col(c).cast(m.schema(c).dataType).as(c)): _*)
+    val withCast = keys.toDF(resolved: _*).select(resolved.map(c =>
+      col(c).cast(m.schema(c).dataType).as(c)) ++
+      resolved.map(c => col(c).as("__raw_" + c)): _*).localCheckpoint()
+    val badCast = resolved.map(c => col("__raw_" + c).isNotNull && col(c).isNull)
+      .reduce(_ || _)
+    val nBad = withCast.where(badCast).count()
+    require(nBad == 0,
+      s"equality delete on ${resolved.mkString(", ")}: $nBad key tuple(s) became null " +
+        s"only through the cast to the table column type(s) " +
+        s"(${resolved.map(c => m.schema(c).dataType.simpleString).mkString(", ")}) — " +
+        "malformed keys, refusing to silently skip them")
+    val tuples = withCast.select(resolved.map(col): _*)
       .na.drop("any").distinct().localCheckpoint()
     val n = tuples.count()
+    if (n == 0) return None
     val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
     tuples.coalesce(1).write.parquet(dir)
     val path = GeoManifest.listParquet(spark, dir).head
-    (GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1), n)
+    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1), n))
   }
 
   /**
