@@ -784,11 +784,11 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS geowp.db.wp")
       s.sql("CREATE TABLE geowp.db.wp (id BIGINT, nat BIGINT) USING geo")
       s.sql("INSERT INTO geowp.db.wp SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0") // v1
-      val root = s.conf.get("spark.sql.catalog.geowp.warehouse") + "/db/wp"
       graft.tables.GeoSql.exec(s, "ALTER TABLE geowp.db.wp CREATE BRANCH stage")
-      graft.tables.GeoTable.appendToBranch(s, root, "stage",
-        s.table("customer").where(col("c_custkey") % 2 === 1)
-          .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nat")))
+      // staging is pure SQL too: INSERT INTO the branch table (the
+      // Iceberg t.branch_<name> spelling) — only the branch ref moves
+      s.sql("INSERT INTO geowp.db.wp.branch_stage " +
+        "SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 1")
       val phase12 = s.sql("""
         SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
         FROM geowp.db.wp
@@ -834,6 +834,49 @@ object SparkEntry {
     // or rewrite; the catalog read merges them in-reader scoped by data
     // sequence numbers (the upsert's own rows survive its delete leg).
     // The oracle replays the key predicates as set algebra.
+    // The SQL verbs for equality deletes: a catalog DELETE with a keyed
+    // IN-list/equality predicate takes Spark's metadata-only delete path
+    // (SupportsDeleteV2 -> key sidecar, no scan or rewrite); a path-table
+    // DELETE with a keyed subquery and a keyed full-row MERGE route to
+    // deleteByKey/upsertByKey through the front-end. The oracle replays
+    // all four statements as set algebra over customer.
+    "geo_dml_delete_eq_sql" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoeqs").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoeqs", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoeqs.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_eqs_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqs.db")
+      s.sql("DROP TABLE IF EXISTS geoeqs.db.sq")
+      s.sql("CREATE TABLE geoeqs.db.sq (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoeqs.db.sq SELECT c_custkey, c_nationkey FROM customer") // v1
+      s.sql("DELETE FROM geoeqs.db.sq WHERE id IN (5, 11, 23, 41, 77)")             // v2 eq
+      s.sql("DELETE FROM geoeqs.db.sq WHERE id = 100")                              // v3 eq
+      val root = java.nio.file.Files.createTempDirectory("geo_eqs_p").toString + "/t"
+      graft.tables.GeoTable.create(s, root, s.sql(
+        "SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer"), None)
+      graft.tables.GeoTable.register(s, "eqsql_path_t", root)
+      graft.tables.GeoSql.exec(s, "DELETE FROM eqsql_path_t WHERE id IN " +
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 31 = 9)")
+      s.sql("SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM customer " +
+        "WHERE c_custkey % 7 = 0 UNION ALL SELECT c_custkey + 10000000, " +
+        "CAST(-2 AS BIGINT) FROM customer WHERE c_custkey % 13 = 0")
+        .createOrReplaceTempView("eqsql_path_src")
+      graft.tables.GeoSql.exec(s,
+        """MERGE INTO eqsql_path_t t USING eqsql_path_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET id = s.id, nat = s.nat
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(nat) AS BIGINT) AS sum_nat
+        FROM geoeqs.db.sq
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(nat) AS BIGINT)
+        FROM eqsql_path_t
+        ORDER BY phase""")
+    }),
+
     "geo_dml_delete_eq" -> ((s, d) => {
       prep(s, d)
       if (s.conf.getOption("spark.sql.catalog.geoeqd").isEmpty) {
@@ -2420,6 +2463,30 @@ object SparkEntry {
       SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al WHERE id % 5 <> 0
       UNION ALL
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM ev
+      ORDER BY phase""",
+
+    // the four keyed SQL verbs as set algebra: phase 1 = customers minus
+    // the two literal-keyed deletes; phase 2 = the subquery delete then
+    // the keyed MERGE (matched %7 rows -> nat -1 everywhere, unmatched
+    // %31=9 non-%7 rows stay deleted, offset %13 rows inserted as -2)
+    "geo_dml_delete_eq_sql" -> """
+      WITH p1 AS (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer
+        WHERE c_custkey NOT IN (5, 11, 23, 41, 77) AND c_custkey <> 100),
+      p2 AS (
+        SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM customer
+        WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer
+        WHERE c_custkey % 7 <> 0 AND c_custkey % 31 <> 9
+        UNION ALL
+        SELECT c_custkey + 10000000, CAST(-2 AS BIGINT) FROM customer
+        WHERE c_custkey % 13 = 0)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+             CAST(SUM(nat) AS BIGINT) AS sum_nat
+      FROM p1
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(nat) AS BIGINT) FROM p2
       ORDER BY phase""",
 
     // equality delete + upsert reduce to set algebra on the residue

@@ -89,3 +89,144 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
       else fs.delete(new Path(commitDir), true)
     } catch { case scala.util.control.NonFatal(_) => () }
 }
+
+/**
+ * The SQL surface for branch writes (Iceberg's `INSERT INTO t.branch_x`
+ * spelling): `geo.db.t.branch_<name>` resolves to this table — reads see
+ * the branch HEAD snapshot (same state as `VERSION AS OF '<name>'`),
+ * `INSERT INTO` appends a staged commit that moves only the branch ref,
+ * never `_current`. With the audit (`SELECT ... VERSION AS OF`) and
+ * `ALTER TABLE ... PUBLISH BRANCH` verbs this closes the
+ * write-audit-publish loop in pure SQL. Writes carry the same
+ * transform-space clustering contract as main-table inserts.
+ */
+class GeoBranchTable(tableName: String, root: String, branch: String,
+                     head: Manifest)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = head.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoCowScanBuilder(spark, head.schema, head.files, options, _ => (),
+      partitions = head.partitions, deletes = head.deletes,
+      eqDeletes = head.eqDeletes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // same transform-space clustering as main-table inserts (see
+        // GeoV2Table.newWriteBuilder) — staged files get the layout and
+        // per-file transform ranges main files do
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+        private val sorts: Array[SortOrder] = head.partitions.filter(_.layout).map { p =>
+          val e = p.kind match {
+            case "identity" => Expressions.column(p.col)
+            case "bucket" => Expressions.bucket(p.n, p.col)
+            case "truncate" => Expressions.apply("truncate",
+              Expressions.literal(p.n), Expressions.column(p.col))
+            case k => Expressions.apply(k, Expressions.column(p.col))
+          }
+          Expressions.sort(e, SortDirection.ASCENDING)
+        }.toArray
+        override def requiredDistribution(): Distribution =
+          if (sorts.isEmpty) Distributions.unspecified()
+          else Distributions.ordered(sorts)
+        override def requiredOrdering(): Array[SortOrder] = sorts
+        override def requiredNumPartitions(): Int =
+          if (sorts.isEmpty) 0
+          else SparkSession.active.sessionState.conf.numShufflePartitions
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new GeoBranchBatchWrite(root, branch, info.schema())
+      }
+    }
+}
+
+/** Branch-append commit: like [[GeoBatchWrite]] but the manifest goes to
+  * the shared linear sequence via commitBranch — only the branch ref
+  * moves. Races against concurrent branch writers retry off the fresh
+  * branch head. */
+class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
+  extends BatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val m: Manifest = {
+    val r = GeoManifest.refs(spark, root)
+    val b = r.branches.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch '$branch' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
+    GeoManifest.readVersion(spark, root, b.head)
+  }
+  private val commitDir = s"$root/data/b${java.util.UUID.randomUUID().toString.take(12)}"
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, m.schema)
+    GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
+      commitDir, m.schema, incoming, dataIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.collect { case GeoCowCommitMessage(p, n) => (p, n) }.toSeq
+    val entries = GeoManifest.collectStats(spark, m.schema,
+      written.collect { case (p, n) if n > 0 => p }, m.geomCol, m.partitions)
+    val maxAttempts = 5
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val r = GeoManifest.refs(spark, root)
+      val b = r.branches.getOrElse(branch, throw new IllegalStateException(
+        s"branch '$branch' of $root was dropped while this INSERT ran"))
+      val fresh = GeoManifest.readVersion(spark, root, b.head)
+      try {
+        GeoManifest.commitBranch(spark, root,
+          fresh.copy(version = b.head + 1, files = fresh.files ++ entries),
+          branch, b.head)
+        committed = true
+      } catch {
+        case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
+          log.info(s"geo branch write: commit race on $root@$branch " +
+            s"(attempt $attempt): ${e.getMessage}")
+      }
+    }
+    try {
+      val fs = GeoManifest.fs(spark, root)
+      written.collect { case (p, n) if n == 0 => p }
+        .foreach(p => fs.delete(new Path(p), false))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    try {
+      val fs = GeoManifest.fs(spark, root)
+      val r = GeoManifest.refs(spark, root)
+      val live = r.branches.get(branch)
+        .map(b => GeoManifest.readVersion(spark, root, b.head).files.map(_.key).toSet)
+        .getOrElse(Set.empty)
+      val dirKey = GeoManifest.norm(commitDir)
+      if (live.exists(_.startsWith(dirKey + "/")))
+        messages.collect { case GeoCowCommitMessage(p, _) => p }
+          .filterNot(p => live.contains(GeoManifest.norm(p)))
+          .foreach(p => fs.delete(new Path(p), false))
+      else fs.delete(new Path(commitDir), true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+}

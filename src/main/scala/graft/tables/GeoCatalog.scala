@@ -123,13 +123,23 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   private def metaTable(ident: Identifier): Option[Table] = {
     val kind = ident.name.toLowerCase
     if (ident.namespace.isEmpty ||
-        !(GeoMetaTable.Kinds.contains(kind) || kind == "changes")) return None
+        !(GeoMetaTable.Kinds.contains(kind) || kind == "changes" ||
+          kind.startsWith("branch_"))) return None
     val proot = (warehouse +: ident.namespace.toSeq).mkString("/")
-    GeoManifest.currentVersion(spark, proot).map { cur =>
-      if (kind == "changes")
-        new GeoChangesTable(s"$catalogName.${ident.toString}", spark, proot, cur)
+    GeoManifest.currentVersion(spark, proot).flatMap { cur =>
+      if (kind.startsWith("branch_")) {
+        // `geo.db.t.branch_<name>` — the branch as a writable table:
+        // SELECT reads the staged head, INSERT INTO appends a staged
+        // commit (Iceberg's branch-write spelling); pure-SQL WAP staging
+        val bname = ident.name.substring("branch_".length)
+        GeoManifest.refs(spark, proot).branches.get(bname).map { b =>
+          new GeoBranchTable(s"$catalogName.${ident.toString}", proot, bname,
+            GeoManifest.readVersion(spark, proot, b.head)): Table
+        }
+      } else if (kind == "changes")
+        Some(new GeoChangesTable(s"$catalogName.${ident.toString}", spark, proot, cur))
       else
-        new GeoMetaTable(s"$catalogName.${ident.toString}", spark, proot, cur, kind)
+        Some(new GeoMetaTable(s"$catalogName.${ident.toString}", spark, proot, cur, kind))
     }
   }
 
@@ -496,11 +506,77 @@ object GeoMetaTable {
  */
 class GeoV2Table(tableName: String, root: String, manifest: Manifest)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsMetadataColumns {
+  with SupportsRowLevelOperations with SupportsMetadataColumns
+  with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = tableName
+
+  // -------------------------------------------------------------------------
+  // SupportsDeleteV2 — the SQL verb for equality deletes: Spark's
+  // OptimizeMetadataOnlyDeleteFromTable asks canDeleteWhere BEFORE
+  // running the row-level CoW/MoR rewrite, so `DELETE FROM t WHERE
+  // k IN (...)` / `k = ...` on one scalar column commits a key sidecar
+  // in O(keys) — no scan, no data-file rewrite (the mode Iceberg picks
+  // for keyed predicates). Any other predicate answers false and takes
+  // the existing rewrite path. TRUNCATE TABLE arrives as the always-true
+  // predicate and commits an empty file list (pure metadata).
+  // -------------------------------------------------------------------------
+
+  private def isTruncate(ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    ps.isEmpty || (ps.length == 1 && ps.head.name() == "ALWAYS_TRUE")
+
+  /** `(key column, literal values)` when the predicates are exactly one
+    * keyed IN/equality on a scalar table column; None otherwise. */
+  private def keyedPredicate(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[(StructField, Seq[org.apache.spark.sql.connector.expressions.Literal[_]])] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    if (ps.length != 1) return None
+    val p = ps.head
+    if (p.name() != "IN" && p.name() != "=") return None
+    val cs = p.children()
+    if (cs.length < 2) return None
+    val colName = cs.head match {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return None
+    }
+    val lits = cs.tail.toSeq.map {
+      case l: Literal[_] => l
+      case _ => return None
+    }
+    manifest.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .filterNot(GeoSchema.isGeometry)
+      .map(f => (f, lits))
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    isTruncate(predicates) || keyedPredicate(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    if (isTruncate(predicates)) {
+      // metadata truncate: snapshot with no files (old ones stay readable
+      // via time travel until vacuum, like every commit)
+      val m = GeoManifest.read(spark, root)
+      GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+        files = Seq.empty, deletes = Seq.empty, eqDeletes = Seq.empty), m.version)
+    } else {
+      val (field, lits) = keyedPredicate(predicates).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot delete by ${predicates.mkString(", ")} on $tableName"))
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(lits.head.dataType())
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        lits.map(l => org.apache.spark.sql.Row(conv(l.value)): org.apache.spark.sql.Row)
+          .asJava
+      val keys = spark.createDataFrame(rows,
+        StructType(Seq(StructField(field.name, lits.head.dataType()))))
+      GeoTable.deleteByKey(spark, root, Seq(field.name), keys)
+    }
 
   override def schema(): StructType = manifest.schema
 

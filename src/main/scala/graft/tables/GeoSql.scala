@@ -275,6 +275,100 @@ object GeoSql {
     -1
   }
 
+  // --- keyed-DML detection (the equality-delete SQL surface) ---
+
+  private val keyedInRe = """(?is)\s*(\w+)\s+IN\s*\((.+)\)\s*""".r
+
+  /** True when `e` parses as an expression referencing no column. */
+  private def literalOnly(e: String): Boolean =
+    try org.apache.spark.sql.graft.GraftShim.expression(expr(e)).collectFirst {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ()
+    }.isEmpty
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** `(key column, keys producer)` when a DELETE condition is a pure
+    * keyed IN predicate — `k IN (literal, ...)` or `k IN (SELECT ...)`
+    * on one column with column-free values. These take the equality-
+    * delete path: an O(keys) sidecar commit instead of a scan-and-
+    * rewrite (Iceberg's write mode for keyed deletes). A bare
+    * `col = literal` deliberately keeps the classic path — its
+    * num_affected_rows contract (matched ROWS) is too established to
+    * quietly change to filed keys. */
+  private[tables] def keyedDeleteSpec(spark: SparkSession, condSql: String)
+      : Option[(String, SparkSession => DataFrame)] = condSql match {
+    case keyedInRe(c, inner)
+        if inner.trim.matches("(?is)(SELECT|WITH|FROM|TABLE|VALUES)\\b.*") =>
+      Some((c, s => s.sql(inner)))
+    case keyedInRe(c, inner) =>
+      val vals = splitTop(inner, ',')
+      if (vals.nonEmpty && vals.forall(literalOnly))
+        Some((c, s => s.sql(s"SELECT explode(array(${vals.mkString(", ")})) AS k")))
+      else None
+    case _ => None
+  }
+
+  private def splitAllAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var remaining: Option[String] = Some(s)
+    while (remaining.isDefined) {
+      val (part, next) = splitAtKeyword(remaining.get, "AND")
+      if (part.nonEmpty) out += part
+      remaining = next
+    }
+    out.result()
+  }
+
+  private val aliasedEqRe = """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  /** Key columns when a MERGE is exactly the keyed-upsert shape —
+    * ON a conjunction of `t.k = s.k`, one unconditional full-row UPDATE
+    * (every non-key column set to the source's same-named column) and
+    * one unconditional INSERT * — the statement [[GeoTable.upsertByKey]]
+    * implements in O(rows) with no target scan. Anything else: None
+    * (the broadcast-source CoW merge handles it). */
+  private[tables] def keyedUpsertSpec(schema: StructType, tAlias: String, sAlias: String,
+                                      onSql: String, clauses: Seq[MergeClauseSpec])
+      : Option[Seq[String]] = {
+    val keyCols = splitAllAnd(onSql).map {
+      case aliasedEqRe(a1, c1, a2, c2) if c1.equalsIgnoreCase(c2) &&
+          ((a1.equalsIgnoreCase(tAlias) && a2.equalsIgnoreCase(sAlias)) ||
+            (a1.equalsIgnoreCase(sAlias) && a2.equalsIgnoreCase(tAlias))) =>
+        schema.fields.find(_.name.equalsIgnoreCase(c1)).map(_.name)
+      case _ => None
+    }
+    if (keyCols.isEmpty || keyCols.exists(_.isEmpty)) return None
+    val keys = keyCols.flatten
+    if (keys.exists(k => GeoSchema.isGeometry(schema(k)))) return None
+    val (updates, inserts, others) = {
+      val u = clauses.collect { case c: MergeUpdateSpec => c }
+      val i = clauses.collect { case c: MergeInsertSpec => c }
+      val o = clauses.filterNot(c => c.isInstanceOf[MergeUpdateSpec] ||
+        c.isInstanceOf[MergeInsertSpec])
+      (u, i, o)
+    }
+    if (others.nonEmpty || updates.length != 1 || inserts.length != 1) return None
+    if (updates.head.cond.isDefined || inserts.head.cond.isDefined) return None
+    if (inserts.head != MergeInsertSpec(None, None, None)) return None // INSERT * only
+    val sets = updates.head.sets
+    def isSourceRef(v: String, c: String): Boolean = {
+      val t = v.trim
+      t.equalsIgnoreCase(c) || t.equalsIgnoreCase(s"$sAlias.$c")
+    }
+    // every SET must assign a table column its source value; every
+    // non-key column must be covered (keys are equal by the ON clause)
+    val keySet = keys.map(_.toLowerCase).toSet
+    val covered = sets.map { case (n, v) =>
+      schema.fields.find(_.name.equalsIgnoreCase(n)) match {
+        case Some(f) if isSourceRef(v, f.name) => Some(f.name.toLowerCase)
+        case _ => None
+      }
+    }
+    if (covered.exists(_.isEmpty)) return None
+    val coveredSet = covered.flatten.toSet
+    val needed = schema.fieldNames.map(_.toLowerCase).filterNot(keySet).toSet
+    if (needed.subsetOf(coveredSet)) Some(keys) else None
+  }
+
   // --- MERGE clause specs (raw SQL fragments; resolved with expr() at run) ---
   sealed trait MergeClauseSpec { def cond: Option[String] }
   final case class MergeUpdateSpec(cond: Option[String], sets: Seq[(String, String)]) extends MergeClauseSpec
@@ -462,10 +556,25 @@ case class GeoUpdateCommand(name: String, sets: Seq[(String, String)],
   }
 }
 
+/** DELETE FROM t [WHERE cond]. A condition shaped `k IN (<literals>)`,
+  * `k IN (<subquery>)` or `k = <literal>` on one scalar column takes the
+  * EQUALITY-DELETE path: an O(keys) key-sidecar commit, no scan, no
+  * data-file rewrite (the mode Iceberg picks for keyed predicates —
+  * num_affected_rows then reports filed KEY TUPLES, since nothing
+  * counted the matching rows). Every other condition runs the existing
+  * CoW/MoR rewrite. */
 case class GeoDeleteCommand(name: String, condSql: Option[String]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
-    val n = GeoTable.delete(spark, root, condSql.map(expr).getOrElse(lit(true)))
+    val n = condSql.flatMap(GeoSql.keyedDeleteSpec(spark, _)) match {
+      case Some((keyCol, keys)) =>
+        val m = GeoManifest.read(spark, root)
+        if (m.schema.fields.exists(f => f.name.equalsIgnoreCase(keyCol) &&
+            !GeoSchema.isGeometry(f)))
+          GeoTable.deleteByKey(spark, root, Seq(keyCol), keys(spark).toDF(keyCol))
+        else GeoTable.delete(spark, root, expr(condSql.get))
+      case None => GeoTable.delete(spark, root, condSql.map(expr).getOrElse(lit(true)))
+    }
     GeoSql.refresh(spark, name, root)
     Seq(Row(n))
   }
@@ -530,6 +639,27 @@ case class GeoMergeCommand(name: String, targetAlias: Option[String],
     val sAlias = sourceAlias.getOrElse(if (isSubquery) "s" else sourceQuery.split('.').last)
     val source = if (isSubquery) spark.sql(sourceQuery) else spark.table(sourceQuery)
     val schema = GeoManifest.read(spark, root).schema
+    // keyed-upsert fast path: ON t.k = s.k + unconditional full-row
+    // UPDATE + INSERT * is exactly upsertByKey — an O(rows) equality-
+    // delete + append commit, no target scan or file rewrite. Duplicate
+    // source keys fall back to the probing merge (which raises the
+    // cardinality violation when a target row matches twice).
+    GeoSql.keyedUpsertSpec(schema, tAlias, sAlias, onSql, clauses) match {
+      case Some(keys)
+          if schema.fieldNames.forall(c => source.columns.exists(_.equalsIgnoreCase(c))) =>
+        val dup = source.groupBy(keys.map(k =>
+            source(source.columns.find(_.equalsIgnoreCase(k)).get)): _*)
+          .count().where(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).count() > 0
+        if (!dup) {
+          val aligned = source.select(schema.fieldNames.toSeq.map(c =>
+            source(source.columns.find(_.equalsIgnoreCase(c)).get).as(c)): _*)
+          val n = GeoTable.upsertByKey(spark, root, keys, aligned)
+          GeoSql.refresh(spark, name, root)
+          return Seq(Row(n))
+        }
+      case _ =>
+    }
     val matched = clauses.collect {
       case MergeUpdateSpec(c, sets) =>
         GeoTable.MergeUpdate(c.map(expr), sets.map { case (n, v) => n -> expr(v) })

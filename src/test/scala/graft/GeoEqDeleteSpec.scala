@@ -1,6 +1,6 @@
 package graft
 
-import graft.tables.{GeoCatalog, GeoManifest, GeoTable}
+import graft.tables.{GeoCatalog, GeoManifest, GeoSql, GeoTable}
 
 import org.apache.spark.sql.functions._
 
@@ -262,6 +262,84 @@ class GeoEqDeleteSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.table("geo_eq_stream_skip").count() == 10,
       "skip mode replays the append only (pre-delete rows)")
+  }
+
+  test("SQL DELETE WHERE k IN (...) on a catalog table auto-selects the eq-delete mode") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqsql_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqsql", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqsql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqsql.db")
+    spark.sql("CREATE TABLE geoeqsql.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeqsql.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val root = s"$wh/db/t"
+    val before = GeoManifest.read(spark, root)
+
+    // keyed IN-list: eq sidecar, NO data file rewritten, no scan-based probe
+    spark.sql("DELETE FROM geoeqsql.db.t WHERE id IN (3, 17, 42)")
+    val afterIn = GeoManifest.read(spark, root)
+    assert(afterIn.files.map(_.key).toSet == before.files.map(_.key).toSet,
+      "keyed DELETE must not rewrite or drop data files")
+    assert(afterIn.eqDeletes.length == 1 && afterIn.deletes.isEmpty,
+      s"want one eq sidecar, got eq=${afterIn.eqDeletes.length} pos=${afterIn.deletes.length}")
+    assert(afterIn.eqDeletes.head.rows == 3)
+    assert(sql1("SELECT COUNT(*) FROM geoeqsql.db.t") == 97L)
+
+    // keyed equality: same path
+    spark.sql("DELETE FROM geoeqsql.db.t WHERE id = 50")
+    val afterEq = GeoManifest.read(spark, root)
+    assert(afterEq.eqDeletes.length == 2 && afterEq.deletes.isEmpty)
+    assert(sql1("SELECT COUNT(*) FROM geoeqsql.db.t") == 96L)
+
+    // NON-keyed predicate: falls back to the row-level rewrite paths
+    spark.sql("DELETE FROM geoeqsql.db.t WHERE id < 10")
+    val afterRange = GeoManifest.read(spark, root)
+    assert(afterRange.eqDeletes.length <= 2, "a range DELETE must not mint eq sidecars")
+    assert(sql1("SELECT COUNT(*) FROM geoeqsql.db.t") == 87L) // 10 minus the already-gone id 3
+
+    // TRUNCATE TABLE: pure-metadata empty snapshot
+    spark.sql("TRUNCATE TABLE geoeqsql.db.t")
+    assert(sql1("SELECT COUNT(*) FROM geoeqsql.db.t") == 0L)
+    assert(GeoManifest.read(spark, root).files.isEmpty)
+  }
+
+  test("path-table SQL: keyed DELETE (subquery) and keyed MERGE take the eq path") {
+    val root = freshTable(80, 4)
+    GeoTable.register(spark, "eqsql_t", root)
+    spark.range(0, 80).filter($"id" % 9 === 2).select($"id".as("k"))
+      .createOrReplaceTempView("eqsql_keys")
+    val before = GeoManifest.read(spark, root)
+
+    // IN (subquery): eq sidecar, no rewrite
+    GeoSql.exec(spark, "DELETE FROM eqsql_t WHERE id IN (SELECT k FROM eqsql_keys)")
+    val after1 = GeoManifest.read(spark, root)
+    assert(after1.files.map(_.key).toSet == before.files.map(_.key).toSet)
+    assert(after1.eqDeletes.length == 1, s"got ${after1.eqDeletes.length}")
+    val gone = (0L until 80L).filter(_ % 9 == 2).toSet
+    assert(GeoTable.read(spark, root).select($"id").as[Long].collect().toSet ==
+      (0L until 80L).toSet.diff(gone))
+
+    // keyed MERGE (ON t.id = s.id, full-row UPDATE + INSERT *): upsertByKey
+    spark.range(0, 5).select(($"id" * 10).as("id"), lit("UP").as("v"))
+      .createOrReplaceTempView("eqsql_src")
+    GeoSql.exec(spark,
+      """MERGE INTO eqsql_t t USING eqsql_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after2 = GeoManifest.read(spark, root)
+    assert(after2.files.map(_.key).toSet.intersect(before.files.map(_.key).toSet) ==
+      before.files.map(_.key).toSet, "keyed MERGE must append, never rewrite target files")
+    assert(after2.eqDeletes.length == 2, s"got ${after2.eqDeletes.length}")
+    val got = GeoTable.read(spark, root).as[(Long, String)].collect().toMap
+    Seq(0L, 10L, 20L, 30L, 40L).foreach(k => assert(got(k) == "UP", s"key $k: ${got.get(k)}"))
+    assert(got(1L) == "v1", "unmatched target rows untouched")
+
+    // a PARTIAL update (not full-row) must use the classic CoW merge
+    GeoSql.exec(spark,
+      """MERGE INTO eqsql_t t USING eqsql_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'partial'""".stripMargin)
+    val after3 = GeoManifest.read(spark, root)
+    assert(after3.eqDeletes.length <= 2, "partial MERGE must not mint eq sidecars")
+    assert(GeoTable.read(spark, root).where($"v" === "partial").count() == 5)
   }
 
   test("restore and vacuum keep equality-delete sidecars consistent") {

@@ -452,16 +452,24 @@ class GeoTableSpec extends SparkSpec {
     spark.sql("INSERT INTO geowap.db.t SELECT id, 'main' FROM range(0, 20)")  // v1
     val root = s"$wh/db/t"
 
-    // stage two commits on a branch: main is untouched, the ref sees them
+    // stage two commits on a branch — one via the Scala API, one via the
+    // SQL branch-table spelling: main is untouched, the ref sees both
     GeoSql.exec(spark, "ALTER TABLE geowap.db.t CREATE BRANCH stage")
     GeoTable.appendToBranch(spark, root, "stage",
       spark.range(100, 110).select($"id", lit("staged").as("v")))
-    GeoTable.appendToBranch(spark, root, "stage",
-      spark.range(110, 115).select($"id", lit("staged").as("v")))
+    spark.sql("INSERT INTO geowap.db.t.branch_stage " +
+      "SELECT id, 'staged' FROM range(110, 115)")
     assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t").head.getLong(0) == 20,
       "main must not see staged commits")
     assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t VERSION AS OF 'stage'")
       .head.getLong(0) == 35, "the branch ref reads the staged state")
+    // the branch TABLE reads the same staged head
+    assert(spark.sql("SELECT COUNT(*) FROM geowap.db.t.branch_stage")
+      .head.getLong(0) == 35, "branch-table read sees the staged state")
+    // an insert into a nonexistent branch is a clean resolution error
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO geowap.db.t.branch_ghost SELECT id, 'x' FROM range(0, 1)")
+    } != null)
     val refs = spark.sql("SELECT name, type, version FROM geowap.db.t.refs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(refs == Seq(("stage", "BRANCH")), s"got $refs")
