@@ -842,17 +842,17 @@ object SparkEntry {
     // all four statements as set algebra over customer.
     "geo_dml_delete_eq_sql" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoeqs").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoeqs", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoeqs.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_eqs_wh").toString)
+      if (s.conf.getOption("spark.sql.catalog.geoeqv").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoeqv", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoeqv.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_eqv_wh").toString)
       }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqs.db")
-      s.sql("DROP TABLE IF EXISTS geoeqs.db.sq")
-      s.sql("CREATE TABLE geoeqs.db.sq (id BIGINT, nat BIGINT) USING geo")
-      s.sql("INSERT INTO geoeqs.db.sq SELECT c_custkey, c_nationkey FROM customer") // v1
-      s.sql("DELETE FROM geoeqs.db.sq WHERE id IN (5, 11, 23, 41, 77)")             // v2 eq
-      s.sql("DELETE FROM geoeqs.db.sq WHERE id = 100")                              // v3 eq
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqv.db")
+      s.sql("DROP TABLE IF EXISTS geoeqv.db.sq")
+      s.sql("CREATE TABLE geoeqv.db.sq (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoeqv.db.sq SELECT c_custkey, c_nationkey FROM customer") // v1
+      s.sql("DELETE FROM geoeqv.db.sq WHERE id IN (5, 11, 23, 41, 77)")             // v2 eq
+      s.sql("DELETE FROM geoeqv.db.sq WHERE id = 100")                              // v3 eq
       val root = java.nio.file.Files.createTempDirectory("geo_eqs_p").toString + "/t"
       graft.tables.GeoTable.create(s, root, s.sql(
         "SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer"), None)
@@ -870,7 +870,7 @@ object SparkEntry {
       s.sql("""
         SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
                CAST(SUM(nat) AS BIGINT) AS sum_nat
-        FROM geoeqs.db.sq
+        FROM geoeqv.db.sq
         UNION ALL
         SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(nat) AS BIGINT)
         FROM eqsql_path_t

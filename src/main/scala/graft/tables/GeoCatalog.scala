@@ -429,6 +429,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("file_count", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -470,6 +474,27 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           .sortBy(_._1).map { case (n, t, v) =>
             InternalRow(UTF8String.fromString(n), UTF8String.fromString(t), v)
           }.toArray
+      // per-partition rollup (Iceberg `partitions` table analog): files
+      // group by their layout-transform value tuple from the manifest's
+      // per-file transform ranges — the ops-visibility surface for
+      // partition skew (file counts, row counts per partition), zero
+      // data I/O. A range-clustered file spanning several transform
+      // values renders as `lo..hi`; unpartitioned tables roll into `--`.
+      case "partitions" =>
+        val m = GeoManifest.read(sparkAtLoad, root)
+        val lts = m.partitions.zipWithIndex.filter(_._1.layout)
+        def render(f: GeoManifest.FileEntry): String =
+          if (lts.isEmpty || f.pstats.isEmpty) "--"
+          else lts.map { case (t, i) =>
+            f.pstats.lift(i) match {
+              case Some((lo, hi)) if lo == hi => s"${t.encode}=$lo"
+              case Some((lo, hi)) => s"${t.encode}=$lo..$hi"
+              case None => s"${t.encode}=?"
+            }
+          }.mkString(" / ")
+        m.files.groupBy(render).toSeq.sortBy(_._1).map { case (p, fs) =>
+          InternalRow(UTF8String.fromString(p), fs.length, fs.map(_.rows).sum)
+        }.toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -481,7 +506,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

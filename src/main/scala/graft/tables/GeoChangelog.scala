@@ -373,10 +373,7 @@ object GeoChangelog {
       val morLegs: Seq[(FileEntry, Array[Long])] =
         if (s.addedDeletes.isEmpty) Seq.empty
         else {
-          val byFile = spark.read.parquet(s.addedDeletes.map(_.path): _*)
-            .select("file_path", "pos").collect()
-            .groupBy(r => GeoManifest.norm(r.getString(0)))
-            .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+          val byFile = GeoSidecarCache.positions(spark, s.addedDeletes)
           val m = GeoManifest.readVersion(spark, root, s.version)
           m.files.filter(f => byFile.contains(f.key)).map(f => f -> byFile(f.key))
         }

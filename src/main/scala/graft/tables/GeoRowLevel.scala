@@ -190,22 +190,15 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
 
   override def build(): Scan = {
     // delete sidecars are commit-bounded small (MorMaxRatio admission);
-    // one driver-side load here feeds every partition's inline anti-join
+    // the driver-side materialization is memoized by (immutable) sidecar
+    // path set, so repeated scans of an unchanged table load them once
     val deletedPos: Map[String, Array[Long]] =
-      if (deletes.isEmpty) Map.empty
-      else spark.read.parquet(deletes.map(_.path): _*)
-        .select("file_path", "pos").collect()
-        .groupBy(r => GeoManifest.norm(r.getString(0)))
-        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+      GeoSidecarCache.positions(spark, deletes)
     // equality-delete keys load once driver-side as UnsafeRows cast to the
     // table column types — byte-layout-identical to what the reader's key
     // projection emits, so membership is a hash-set probe on raw bytes
     val eqGroups: Seq[GeoEqGroup] = eqDeletes.sortBy(_.version).map { e =>
-      val keys = spark.read.parquet(e.path)
-        .select(e.cols.map(c => org.apache.spark.sql.functions.col(c)
-          .cast(tableSchema(c).dataType)): _*)
-        .queryExecution.toRdd.map(_.copy()).collect()
-      GeoEqGroup(e.version, e.cols, keys)
+      GeoEqGroup(e.version, e.cols, GeoSidecarCache.eqKeys(spark, e, tableSchema))
     }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,

@@ -342,6 +342,27 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).where($"v" === "partial").count() == 5)
   }
 
+  test("sidecar materializations are memoized: repeated scans load once") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqc_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqmc", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqmc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqmc.db")
+    spark.sql("CREATE TABLE geoeqmc.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeqmc.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val root = s"$wh/db/t"
+    GeoTable.delete(spark, root, $"id" === 1L, mode = "mor")             // pos sidecar
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(2L, 3L).toDF("id")) // eq sidecar
+    def readAll(): Long = spark.sql("SELECT COUNT(*) FROM geoeqmc.db.t").head.getLong(0)
+    def loads(): Long = graft.tables.GeoSidecarCache.loadsFor(root)
+    (1 to 4).foreach(_ => assert(readAll() == 97))
+    assert(loads() == 2, // one position set + one eq sidecar, loaded ONCE each
+      s"repeated scans of an unchanged table must load each sidecar once, got ${loads()}")
+    // a new delete commit mints a new sidecar path -> exactly one new load
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(4L).toDF("id"))
+    (1 to 3).foreach(_ => assert(readAll() == 96))
+    assert(loads() == 3, s"got ${loads()} loads after a new delete commit")
+  }
+
   test("restore and vacuum keep equality-delete sidecars consistent") {
     val root = freshTable(60, 3)                                  // v0
     GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L).toDF("id")) // v1

@@ -348,4 +348,29 @@ class GeoPartitionSpec extends SparkSpec {
     val e = intercept[Exception] { spark.sql("SELECT geopt.system.nope(1)").collect() }
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("t.partitions metadata table rolls up files by transform value") {
+    warehouse
+    spark.sql("""CREATE TABLE geopt.db.pmeta (k BIGINT, ts TIMESTAMP, v STRING)
+      USING geo PARTITIONED BY (bucket(4, k), days(ts))""")
+    spark.sql("""INSERT INTO geopt.db.pmeta
+      SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0),
+             concat('v', id)
+      FROM range(0, 400)""")
+    val rows = spark.sql(
+      "SELECT partition, file_count, row_count FROM geopt.db.pmeta.partitions")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 400, s"row counts must sum to the table: $rows")
+    assert(rows.map(_._2).sum == GeoManifest.read(spark, warehouse + "/db/pmeta").files.length)
+    assert(rows.length > 1, s"a bucketed+days table must span partitions: $rows")
+    assert(rows.forall(_._1.contains("bucket(4,k)")), s"got $rows")
+    assert(rows.forall(_._1.contains("days(ts)")), s"got $rows")
+    // unpartitioned table: one `--` bucket covering everything
+    spark.sql("CREATE TABLE geopt.db.pnone (id BIGINT) USING geo " +
+      "TBLPROPERTIES('stats.columns'='')")
+    spark.sql("INSERT INTO geopt.db.pnone SELECT id FROM range(0, 10)")
+    val none = spark.sql("SELECT * FROM geopt.db.pnone.partitions").collect()
+    assert(none.map(_.getString(0)).toSeq.distinct == Seq("--"), s"got ${none.toSeq}")
+    assert(none.map(_.getLong(2)).sum == 10)
+  }
 }
