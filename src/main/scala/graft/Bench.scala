@@ -55,11 +55,22 @@ object Bench {
     }
     val sentinelBefore = { timeOnce(sentinelQuery); timeOnce(sentinelQuery) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // Focused mode for perf work: SPARK_GRAFT_BENCH_ONLY=a,b,c limits the
+    // set; SPARK_GRAFT_BENCH_REPS=N times each query N times and prints
+    // every rep to stderr (variance is the signal, min is the record).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = selected.map { case (name, _) =>
       hygiene()
-      // min of two runs: steady-state cost, not first-run codegen/compile.
-      // A crashing query records -1, never a fake fast time.
-      val times = (1 to 2).map(_ => timeOnce(name))
+      // min of N runs (default 2): steady-state cost, not first-run
+      // codegen/compile. A crashing query records -1, never a fake fast time.
+      val times = (1 to reps).map(_ => timeOnce(name))
+      if (reps > 2) System.err.println(
+        s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
