@@ -60,6 +60,20 @@ object SparkEntry {
     spark
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions pinned to `n`, restoring
+    * the prior value afterwards. Streaming stateful operators create one
+    * state-store instance per shuffle partition per trigger, so a tiny
+    * test stream pays 32 state commits a micro-batch for row counts in
+    * the hundreds — size the state width to the data, exactly as the same
+    * job would be tuned on a cluster. Results are unaffected: the state
+    * partitioning changes where keys live, not what they aggregate to. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Flagship: spatial range query + aggregate via the Column DSL (no SQL
     * registration needed — works on a vanilla driver session). */
   def entry(spark: SparkSession): DataFrame = {
@@ -711,7 +725,7 @@ object SparkEntry {
     }),
 
     // Path-table streaming ingest (foreachBatch sink, the pre-DSv2 leg):
-    // customers stream in several micro-batches through geoTableSink's
+    // customers stream in two micro-batches through geoTableSink's
     // per-epoch atomic commits with the in-manifest batch watermark; the
     // oracle aggregates the source directly — a dropped or duplicated
     // epoch changes the hash (same exactly-once contract as the native
@@ -721,9 +735,11 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("geo_skp").toString
       val root = base + "/t"
       val srcDir = base + "/files"
+      // two micro-batches: the minimum that still proves the per-epoch
+      // watermark discipline (a dropped or doubled epoch changes the hash)
       s.table("customer")
         .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("nat"))
-        .withColumn("b", col("id") % 4).repartition(4, col("b")).drop("b")
+        .withColumn("b", col("id") % 2).repartition(2, col("b")).drop("b")
         .write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       graft.tables.GeoTable.create(s, root,
@@ -980,12 +996,13 @@ object SparkEntry {
       s.sql("CREATE TABLE geosk.db.sk (id BIGINT, nat BIGINT) USING geo")
       val schema = s.read.parquet(s"$d/customer.parquet").schema
       val ck = java.nio.file.Files.createTempDirectory("geo_sk_ck").toString
-      // several micro-batches, not one gulp: maxFilesPerTrigger is file-
-      // granular, so split the source into per-bucket files first
+      // two micro-batches, not one gulp: maxFilesPerTrigger is file-
+      // granular, so split the source into per-bucket files first — two
+      // epochs is the minimum that still proves the per-epoch watermark
       val srcDir = java.nio.file.Files.createTempDirectory("geo_sk_src").toString + "/files"
       s.read.parquet(s"$d/customer.parquet")
-        .withColumn("b", col("c_custkey") % 4)
-        .repartition(4, col("b")).drop("b")
+        .withColumn("b", col("c_custkey") % 2)
+        .repartition(2, col("b")).drop("b")
         .write.parquet(srcDir)
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
@@ -1045,10 +1062,12 @@ object SparkEntry {
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
         .parquet(srcDir)
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-      val q = graft.streaming.EventStreams.streamingDedup(stream, "ts", "text")
-        .writeStream.format("memory").outputMode("append")
-        .queryName("dedup_stream_sink").start()
-      q.processAllAvailable(); q.stop()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.streamingDedup(stream, "ts", "text")
+          .writeStream.format("memory").outputMode("append")
+          .queryName("dedup_stream_sink").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("dedup_stream_sink").agg(count(lit(1)).as("n_rows"))
     }),
 
@@ -1068,10 +1087,12 @@ object SparkEntry {
       s.catalog.dropTempView("swin_sink") // repeat-safe: bench runs twice
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
         .parquet(srcDir)
-      val q = graft.streaming.EventStreams.windowedAgg(stream)
-        .writeStream.format("memory").outputMode("complete")
-        .queryName("swin_sink").start()
-      q.processAllAvailable(); q.stop()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.windowedAgg(stream)
+          .writeStream.format("memory").outputMode("complete")
+          .queryName("swin_sink").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("swin_sink")
         .select(col("window.start").cast("long").as("w_start"),
           col("event_type"), col("n"))

@@ -329,17 +329,64 @@ object StKnn {
  * array<struct<d double, rk long>> ascending — bit-compatible with
  * StKnn's result, so the two join paths produce identical frames.
  */
-final class KnnTopKBuf(var heap: java.util.PriorityQueue[(Double, Long)])
+/** Bounded top-k buffer as a PRIMITIVE binary max-heap over parallel
+  * (distance, key) arrays — the worst candidate (largest distance, then
+  * largest key) sits at the root and is evicted first. The aggregate's
+  * update path offers every candidate row exactly once; with boxed
+  * tuples in a java.util.PriorityQueue that was one allocation per
+  * candidate (millions per partition), enough churn to turn GC into the
+  * dominant run-to-run variance of the whole grid-KNN plan. Primitive
+  * arrays allocate once per group. */
+final class KnnTopKBuf(k: Int) {
+  val ds = new Array[Double](math.max(k, 1))
+  val ks = new Array[Long](math.max(k, 1))
+  var size = 0
 
-object KnnTopKAgg {
-  /** max-heap: largest (d, key) at the head, evicted first */
-  val desc: java.util.Comparator[(Double, Long)] =
-    new java.util.Comparator[(Double, Long)] {
-      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-      }
+  /** is (d1,k1) "worse" (greater) than (d2,k2)? */
+  @inline private def gt(d1: Double, k1: Long, d2: Double, k2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c > 0 || (c == 0 && k1 > k2)
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    val d = ds(i); val key = ks(i)
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (gt(d, key, ds(p), ks(p))) {
+        ds(i) = ds(p); ks(i) = ks(p); i = p
+      } else { ds(i) = d; ks(i) = key; return }
     }
+    ds(0) = d; ks(0) = key
+  }
+
+  private def siftDown(): Unit = {
+    val d = ds(0); val key = ks(0)
+    var i = 0
+    while (true) {
+      var c = 2 * i + 1
+      if (c >= size) { ds(i) = d; ks(i) = key; return }
+      if (c + 1 < size && gt(ds(c + 1), ks(c + 1), ds(c), ks(c))) c += 1
+      if (gt(ds(c), ks(c), d, key)) {
+        ds(i) = ds(c); ks(i) = ks(c); i = c
+      } else { ds(i) = d; ks(i) = key; return }
+    }
+  }
+
+  def offer(d: Double, key: Long): Unit = {
+    if (size < ds.length) {
+      ds(size) = d; ks(size) = key; size += 1
+      siftUp(size - 1)
+    } else if (gt(ds(0), ks(0), d, key)) {
+      ds(0) = d; ks(0) = key
+      siftDown()
+    }
+  }
+
+  /** contents sorted ascending by (distance, key) — k is tiny, so the
+    * boxed sort here is off the hot path */
+  def sortedPairs: Array[(Double, Long)] =
+    (0 until size).map(i => (ds(i), ks(i))).sortBy(identity).toArray
 }
 
 case class KnnTopKAgg(
@@ -368,47 +415,34 @@ case class KnnTopKAgg(
 
   @transient private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
 
-  override def createAggregationBuffer(): KnnTopKBuf =
-    new KnnTopKBuf(new java.util.PriorityQueue[(Double, Long)](math.max(k, 1), KnnTopKAgg.desc))
-
-  private def offer(buf: KnnTopKBuf, d: Double, rk: Long): Unit = {
-    if (buf.heap.size < k) buf.heap.offer((d, rk))
-    else {
-      val worst = buf.heap.peek()
-      if (d < worst._1 || (d == worst._1 && rk < worst._2)) {
-        buf.heap.poll(); buf.heap.offer((d, rk))
-      }
-    }
-  }
+  override def createAggregationBuffer(): KnnTopKBuf = new KnnTopKBuf(k)
 
   override def update(buf: KnnTopKBuf, input: CatalystRow): KnnTopKBuf = {
     val d = dist.eval(input)
     val rk = key.eval(input)
     if (d != null && rk != null)
-      offer(buf, d.asInstanceOf[Double], rk.asInstanceOf[Long])
+      buf.offer(d.asInstanceOf[Double], rk.asInstanceOf[Long])
     buf
   }
 
   override def merge(a: KnnTopKBuf, b: KnnTopKBuf): KnnTopKBuf = {
-    val it = b.heap.iterator()
-    while (it.hasNext) { val p = it.next(); offer(a, p._1, p._2) }
+    var i = 0
+    while (i < b.size) { a.offer(b.ds(i), b.ks(i)); i += 1 }
     a
   }
 
   override def eval(buf: KnnTopKBuf): Any = {
-    val arr = buf.heap.toArray(new Array[(Double, Long)](buf.heap.size))
-    val sorted = arr.sortBy(identity) // (distance, key) ascending
-    new GenericArrayData(sorted.map { case (d, rk) =>
+    new GenericArrayData(buf.sortedPairs.map { case (d, rk) =>
       CatalystRow.fromSeq(Seq[Any](d, rk)): Any
     })
   }
 
   override def serialize(buf: KnnTopKBuf): Array[Byte] = {
-    val n = buf.heap.size
+    val n = buf.size
     val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
     bb.putInt(n)
-    val it = buf.heap.iterator()
-    while (it.hasNext) { val p = it.next(); bb.putDouble(p._1); bb.putLong(p._2) }
+    var i = 0
+    while (i < n) { bb.putDouble(buf.ds(i)); bb.putLong(buf.ks(i)); i += 1 }
     bb.array()
   }
 
@@ -417,7 +451,7 @@ case class KnnTopKAgg(
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { offer(buf, bb.getDouble, bb.getLong); i += 1 }
+    while (i < n) { buf.offer(bb.getDouble, bb.getLong); i += 1 }
     buf
   }
 

@@ -132,17 +132,24 @@ object SpatialCluster {
     } finally pts.unpersist()
   }
 
-  /** Driver-side LOF arithmetic over collected (id, nbr, dist, rk) rows:
-    * identical rank-ordered sequential folds as the distributed path, so
-    * the scores are the same doubles bit-for-bit. */
-  private def lofDriver(pts: DataFrame, nbrs: DataFrame, k: Int): DataFrame = {
-    val spark = pts.sparkSession
-    val rows = nbrs.select("id", "nbr", "dist", "rk").collect()
-    // per-id neighbor lists in rank order
+  /** Driver-side LOF arithmetic over the collected RAW KNN pairs
+    * (id, knn_rank, knn_dist, nbr) — k+1 per id, self included: the
+    * self-drop and exactly-k re-rank happen in memory here (the
+    * distributed path does the same with a window), then identical
+    * rank-ordered sequential folds, so the scores are the same doubles
+    * bit-for-bit. */
+  private def lofDriver(spark: org.apache.spark.sql.SparkSession,
+                        pairs: DataFrame, k: Int): DataFrame = {
+    val rows = pairs.select("id", "knn_rank", "knn_dist", "nbr").collect()
+    // per-id neighbor lists: rank order, self dropped, first k kept —
+    // exactly the window re-rank of the distributed path
     val byId = new java.util.HashMap[Long, Array[(Long, Double)]]()
     val grouped = rows.groupBy(_.getLong(0))
     grouped.foreach { case (id, rs) =>
-      byId.put(id, rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))))
+      val ns = rs.sortBy(_.getInt(1)).iterator
+        .filter(_.getLong(3) != id).take(k)
+        .map(r => (r.getLong(3), r.getDouble(2))).toArray
+      if (ns.nonEmpty) byId.put(id, ns)
     }
     import scala.jdk.CollectionConverters._
     val kdist = byId.asScala.map { case (id, ns) => id -> ns.map(_._2).max }
@@ -162,8 +169,10 @@ object SpatialCluster {
       org.apache.spark.sql.types.StructField("k_dist", org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("lrd", org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("lof", org.apache.spark.sql.types.DoubleType, nullable = false)))
-    pts.select("id").join(broadcast(spark.createDataFrame(verdicts, schema)), "id")
-      .localCheckpoint()
+    // the verdict set's keys are exactly the ids with a neighborhood (a
+    // subset of pts ids by construction), so the result IS the local
+    // relation — no join back, no checkpoint, zero further jobs
+    spark.createDataFrame(verdicts, schema)
   }
 
   /** Driver-side DBSCAN over collected positions (small-cardinality fast
@@ -373,39 +382,44 @@ object SpatialCluster {
       // re-rank restores the exactly-k sklearn contract either way.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("knn_rank")
-      val useGrid = forceGrid || pts.count() > gridThreshold
-      val knn =
+      val npts = pts.count()
+      val useGrid = forceGrid || npts > gridThreshold
+      // the grid path consumes the bare neighborhood pairs (KnnGridJoin.
+      // knnPairs) instead of the public join: LOF drops both sides' payload
+      // columns immediately, so the two re-attachment joins and the
+      // checkpoint of knnJoinPoints would be pure overhead; release() drops
+      // the ladder's caches once the pairs are consumed
+      val (knnPairs, release) =
         if (useGrid) {
-          // grid cell sized for ~max(4(k+1), 32) points per cell from the
-          // observed extent — dense enough that ring-1 usually proves the
-          // neighborhood, sparse enough that no cell goes quadratic
-          val e = pts
-            .select(GraftFunctions.st_x(col("__g")).as("x"),
-              GraftFunctions.st_y(col("__g")).as("y"))
-            .agg(min("x"), max("x"), min("y"), max("y"), count(lit(1))).head()
-          val n = math.max(1L, e.getLong(4))
-          val (wd, ht) =
-            if (e.getLong(4) == 0 || e.isNullAt(0)) (0.0, 0.0)
-            else (e.getDouble(1) - e.getDouble(0), e.getDouble(3) - e.getDouble(2))
-          val target = math.max(4.0 * (k + 1), 32.0)
-          val cell0 =
-            if (wd <= 0 && ht <= 0) 1.0
-            else if (wd <= 0 || ht <= 0) math.max(wd, ht) * target / n
-            else math.sqrt(wd * ht * target / n)
-          val cell = if (cell0 > 0 && !cell0.isNaN && !cell0.isInfinity) cell0 else 1.0
-          graft.plans.KnnGridJoin.knnJoinPoints(
-            pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1, cell)
-        } else graft.plans.SpatialJoin.knnJoin(
-          pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1)
-      val nbrs = knn
+          // cellSize = 0: the grid auto-sizes for ~max(4(k+1), 32) points
+          // per cell from the right side's observed extent (for this
+          // self-join, the point set itself) — dense enough that ring-1
+          // usually proves the neighborhood, sparse enough that no cell
+          // goes quadratic; no separate extent pre-pass here
+          val (p, rel) = graft.plans.KnnGridJoin.knnPairs(
+            pts, col("__g"), col("id"), pts, col("__g"), col("id"), k + 1,
+            cellSize = 0.0, selfJoin = true)
+          (p.select(col("__lk").as("id"), col("knn_rank"),
+            col("knn_dist"), col("__rk").as("nbr")), rel)
+        } else (graft.plans.SpatialJoin.knnJoin(
+            pts, col("__g"), col("id"), rights, col("__ng"), col("nbr"), k + 1)
+          .select(col("id"), col("knn_rank"), col("knn_dist"), col("nbr")),
+          () => ())
+      // exactly-(k+1) neighborhoods bound the pair count by (k+1)*npts, so
+      // the driver-vs-distributed routing needs no extra counting job; the
+      // driver path collects the RAW pairs once (self-drop + re-rank are
+      // in-memory there) — no window shuffle, no persist
+      if ((k + 1).toLong * npts <= driverNbrThreshold)
+        return try lofDriver(pts.sparkSession, knnPairs, k) finally release()
+      val nbrsRaw = knnPairs
         .where(col("nbr") =!= col("id"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= k)
         .select(col("id"), col("nbr"), col("knn_dist").as("dist"), col("rk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nbrs = nbrsRaw.persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val nNbrs = nbrs.count()
-        if (nNbrs <= driverNbrThreshold) return lofDriver(pts, nbrs, k)
+        nbrs.count() // materialize before dropping the ladder's caches
+        release()
         val kdist = nbrs.groupBy("id").agg(max("dist").as("k_dist"))
         // reachability distance to each neighbor: max(k-dist(nbr), d(p, nbr))
         val reach = nbrs

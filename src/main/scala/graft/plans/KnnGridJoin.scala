@@ -76,40 +76,110 @@ object KnnGridJoin {
       fallbackThreshold: Long = 1L << 22,
       verifyUniqueKeys: Boolean = true,
       checkpoint: Boolean = true): DataFrame = {
+    val (exploded, release) = knnPairs(left, leftGeom, leftKey,
+      right, rightGeom, rightKey, k, cellSize, fallbackThreshold, verifyUniqueKeys)
+    try {
+      val c = org.apache.spark.sql.functions.col _
+      val out = left.withColumn("__lk", leftKey.cast("long"))
+        .join(exploded, "__lk")
+        .join(right.withColumn("__rk", rightKey.cast("long")), "__rk")
+        .drop("__rk", "__lk")
+      // checkpoint=true (production): materialize, then release every
+      // intermediate. checkpoint=false (plan-inspection tests): the loop's
+      // caches are released lazily and the returned plan recomputes them.
+      if (checkpoint) out.localCheckpoint() else out
+    } finally release()
+  }
+
+  /** The ladder core, exposed as the bare neighborhood PAIRS frame
+    * `(__lk, knn_rank, knn_dist, __rk)` with the intermediate caches still
+    * held: callers that only need the pairs (LOF's neighborhoods — it
+    * drops both sides' payload columns immediately) skip the two
+    * re-attachment joins and the checkpoint of [[knnJoinPoints]], consume
+    * the frame, then call the returned release() to drop the caches.
+    *
+    * `cellSize <= 0` auto-sizes the grid from the RIGHT side's observed
+    * extent and count (targeting ~max(4k, 32) right points per cell) —
+    * one fewer pre-pass for callers like LOF that would otherwise compute
+    * the same extent themselves just to pick a cell. */
+  private[graft] def knnPairs(
+      left: DataFrame, leftGeom: Column, leftKey: Column,
+      right: DataFrame, rightGeom: Column, rightKey: Column,
+      k: Int, cellSize: Double,
+      fallbackThreshold: Long = 1L << 22,
+      verifyUniqueKeys: Boolean = true,
+      selfJoin: Boolean = false): (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    // cellSize <= 0 selects auto-sizing (resolved below from the right
+    // side's extent); NaN is still a caller bug
+    require(!cellSize.isNaN, "cellSize must be a number (or <= 0 for auto)")
     val c = org.apache.spark.sql.functions.col _
     import org.apache.spark.sql.types._
-    for ((df, key, side) <- Seq((left, leftKey, "leftKey"), (right, rightKey, "rightKey"))) {
+    val keyChecks =
+      if (selfJoin) Seq((left, leftKey, "leftKey"))
+      else Seq((left, leftKey, "leftKey"), (right, rightKey, "rightKey"))
+    for ((df, key, side) <- keyChecks) {
       val t = df.select(key).schema.head.dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
         s"knnJoinPoints $side must be an integral type (got $t); " +
           "cast explicitly or use a surrogate key")
     }
 
-    val lefts = left.select(leftKey.cast("long").as("__lk"),
+    // a narrow source (a single parquet file at test scale, a small cached
+    // frame) would serialize each round's explode-join-aggregate map work
+    // on one thread; widen it to the cluster's parallelism before caching.
+    // At real scale inputs arrive wider than defaultParallelism already
+    // and this is a no-op.
+    val defPar = left.sparkSession.sparkContext.defaultParallelism
+    def widen(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < defPar) df.repartition(defPar) else df
+    val lefts = widen(left.select(leftKey.cast("long").as("__lk"),
         GraftFunctions.st_x(leftGeom).as("lx"), GraftFunctions.st_y(leftGeom).as("ly"))
-      .where(c("__lk").isNotNull && c("lx").isNotNull && c("ly").isNotNull)
+      .where(c("__lk").isNotNull && c("lx").isNotNull && c("ly").isNotNull))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val rights = right.select(rightKey.cast("long").as("__nk"),
-        GraftFunctions.st_x(rightGeom).as("rx"), GraftFunctions.st_y(rightGeom).as("ry"))
-      .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // selfJoin (LOF's shape): the right side IS the left side — one cached
+    // projection, one extent/uniqueness pass, half the cache footprint
+    val rights =
+      if (selfJoin)
+        lefts.select(c("__lk").as("__nk"), c("lx").as("rx"), c("ly").as("ry"))
+      else widen(right.select(rightKey.cast("long").as("__nk"),
+          GraftFunctions.st_x(rightGeom).as("rx"), GraftFunctions.st_y(rightGeom).as("ry"))
+        .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // one pass over the right side: extent (termination test) + key
-      // uniqueness gate; left uniqueness piggybacks on the loop's first count
-      val rg = rights.agg(count(lit(1)).as("n"), countDistinct("__nk").as("nd"),
-        min("rx").as("x0"), max("rx").as("x1"), min("ry").as("y0"), max("ry").as("y1")).head()
+      // ONE pass per distinct side: count + key uniqueness + extent (the
+      // extent feeds both the cell auto-sizing and the ring ladder)
+      val lg = lefts.agg(count(lit(1)).as("n"), countDistinct("__lk").as("nd"),
+        min("lx").as("x0"), max("lx").as("x1"), min("ly").as("y0"), max("ly").as("y1")).head()
+      if (verifyUniqueKeys && lg.getLong(0) > 0)
+        require(lg.getLong(0) == lg.getLong(1),
+          s"knnJoinPoints: leftKey must be unique (${lg.getLong(0)} rows, ${lg.getLong(1)} distinct)")
+      val rg =
+        if (selfJoin) lg
+        else rights.agg(count(lit(1)).as("n"), countDistinct("__nk").as("nd"),
+          min("rx").as("x0"), max("rx").as("x1"), min("ry").as("y0"), max("ry").as("y1")).head()
       val rCount = rg.getLong(0)
-      if (verifyUniqueKeys)
+      if (verifyUniqueKeys && !selfJoin)
         require(rCount == rg.getLong(1),
           s"knnJoinPoints: rightKey must be unique ($rCount rows, ${rg.getLong(1)} distinct)")
       val (gx0, gx1, gy0, gy1) =
         if (rCount == 0) (0.0, 0.0, 0.0, 0.0)
         else (rg.getDouble(2), rg.getDouble(3), rg.getDouble(4), rg.getDouble(5))
+      val cs: Double =
+        if (cellSize > 0) cellSize
+        else {
+          val (wd, ht) = (gx1 - gx0, gy1 - gy0)
+          val target = math.max(4.0 * k, 32.0)
+          val n = math.max(rCount, 1L)
+          val cell0 =
+            if (wd <= 0 && ht <= 0) 1.0
+            else if (wd <= 0 || ht <= 0) math.max(wd, ht) * target / n
+            else math.sqrt(wd * ht * target / n)
+          if (cell0 > 0 && !cell0.isNaN && !cell0.isInfinity) cell0 else 1.0
+        }
 
       val keyedR = rights.withColumn("cell",
-        pack(floor(c("rx") / cellSize).cast("long"), floor(c("ry") / cellSize).cast("long")))
+        pack(floor(c("rx") / cs).cast("long"), floor(c("ry") / cs).cast("long")))
 
       def topKAgg(d: Column, key: Column): Column =
         aggCol(KnnTopKAgg(ex(d), ex(key), ex(lit(k))))
@@ -117,14 +187,7 @@ object KnnGridJoin {
       val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var unresolved = lefts
-      // ONE job: row count, key uniqueness, and the left extent (the
-      // extent feeds the ring ladder below)
-      val lg = unresolved.agg(count(lit(1)).as("n"), countDistinct("__lk").as("nd"),
-        min("lx").as("x0"), max("lx").as("x1"), min("ly").as("y0"), max("ly").as("y1")).head()
       var remaining = lg.getLong(0)
-      if (verifyUniqueKeys && remaining > 0)
-        require(remaining == lg.getLong(1),
-          s"knnJoinPoints: leftKey must be unique ($remaining rows, ${lg.getLong(1)} distinct)")
 
       val dx = c("lx") - c("rx")
       val dy = c("ly") - c("ry")
@@ -138,7 +201,7 @@ object KnnGridJoin {
       //  - r0: the smallest ring whose block is EXPECTED to hold ~2k right
       //    points at observed density — starting below it just burns a
       //    round that cannot prove anything in typical data.
-      def cellOf(v: Double): Long = math.floor(v / cellSize).toLong
+      def cellOf(v: Double): Long = math.floor(v / cs).toLong
       val rCover: Int =
         if (rCount == 0 || remaining == 0) 1
         else {
@@ -163,8 +226,8 @@ object KnnGridJoin {
         // after a ladder-capping round (covers-all or the classic max of
         // 8) the loop exits and any stragglers take the fallback
         ringsLeft = r < math.min(8, rCover)
-        val cx = floor(c("lx") / cellSize).cast("long")
-        val cy = floor(c("ly") / cellSize).cast("long")
+        val cx = floor(c("lx") / cs).cast("long")
+        val cy = floor(c("ly") / cs).cast("long")
         // two tiny sequence-explodes instead of one (2r+1)^2 literal array:
         // the generated code stays under janino's method limit at any r
         val probes = unresolved
@@ -173,7 +236,12 @@ object KnnGridJoin {
           .withColumn("__ddy", explode(sequence(lit(-r), lit(r))))
           .withColumn("cell", pack(c("cx") + c("__ddx"), c("cy") + c("__ddy")))
           .drop("__ddx", "__ddy")
-        val tops = probes.join(keyedR, "cell")
+        // LEFT join: every unresolved point appears in the round's output
+        // even when its whole probe block is empty of right cells (the
+        // aggregate skips the null candidate rows), so the next round's
+        // unresolved set falls straight out of `done` — no per-round
+        // anti-join shuffle of the unresolved side against the results
+        val tops = probes.join(keyedR, Seq("cell"), "left")
           .select(c("__lk"), c("lx"), c("ly"), c("cx"), c("cy"),
             dCol.as("d"), c("__nk"))
           .groupBy("__lk", "lx", "ly", "cx", "cy")
@@ -181,29 +249,29 @@ object KnnGridJoin {
         // distance from the point to its search-block boundary: anything
         // outside the block is at least this far away (minus sub-ulp
         // cell-boundary rounding, absorbed by the epsilon)
-        val s = cellSize
+        val s = cs
         val margin = least(
           c("lx") - (c("cx") - r).cast("double") * s,
           (c("cx") + r + 1).cast("double") * s - c("lx"),
           c("ly") - (c("cy") - r).cast("double") * s,
           (c("cy") + r + 1).cast("double") * s - c("ly"))
         val eps = (abs(c("lx")) + abs(c("ly")) + lit(s)) * lit(1e-12)
+        // coverage is decided on CELL INDICES, exactly: the block holds
+        // every right cell iff [cx-r, cx+r] spans the right extent's cell
+        // range (integer compare). The older coordinate-space `>=` test
+        // could claim coverage while a right point sitting exactly on the
+        // block's upper edge (extent max an exact multiple of cellSize)
+        // hashed to the first cell OUTSIDE the probe block and was missed.
         val covers =
-          (c("cx") - r).cast("double") * s <= gx0 &&
-            (c("cx") + r + 1).cast("double") * s >= gx1 &&
-            (c("cy") - r).cast("double") * s <= gy0 &&
-            (c("cy") + r + 1).cast("double") * s >= gy1
+          c("cx") - r <= lit(cellOf(gx0)) && c("cx") + r >= lit(cellOf(gx1)) &&
+            c("cy") - r <= lit(cellOf(gy0)) && c("cy") + r >= lit(cellOf(gy1))
         val proven = covers ||
           (size(c("arr")) >= k && element_at(c("arr"), k).getField("d") < margin - eps)
         val tagged = tops.withColumn("done", proven)
           .persist(StorageLevel.MEMORY_AND_DISK)
         persisted += tagged
         resolvedParts += tagged.where(c("done")).select("__lk", "arr")
-        val next = unresolved
-          .join(tagged.where(c("done")).select("__lk"), Seq("__lk"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        persisted += next
-        unresolved = next
+        unresolved = tagged.where(!c("done")).select("__lk", "lx", "ly")
         remaining = unresolved.count()
         // early exit to the fallback: once the tail is small enough that
         // tail × rightCount is a trivially bounded pass, one fallback job
@@ -238,18 +306,17 @@ object KnnGridJoin {
         .select(c("__lk"), posexplode(c("arr")))
         .select(c("__lk"), (c("pos") + 1).cast("int").as("knn_rank"),
           c("col").getField("d").as("knn_dist"), c("col").getField("rk").as("__rk"))
-      val out = left.withColumn("__lk", leftKey.cast("long"))
-        .join(exploded, "__lk")
-        .join(right.withColumn("__rk", rightKey.cast("long")), "__rk")
-        .drop("__rk", "__lk")
-      // checkpoint=true (production): materialize, then release every
-      // intermediate. checkpoint=false (plan-inspection tests): the loop's
-      // caches are released lazily and the returned plan recomputes them.
-      val result = if (checkpoint) out.localCheckpoint() else out
-      persisted.foreach(_.unpersist())
-      result
-    } finally {
-      lefts.unpersist(); rights.unpersist()
+      val release = () => {
+        persisted.foreach(_.unpersist())
+        lefts.unpersist()
+        if (!selfJoin) rights.unpersist(): Unit
+      }
+      (exploded, release)
+    } catch {
+      case t: Throwable =>
+        lefts.unpersist()
+        if (!selfJoin) rights.unpersist()
+        throw t
     }
   }
 }

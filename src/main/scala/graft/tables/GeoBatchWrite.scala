@@ -41,14 +41,16 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
     val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case GeoCowCommitMessage(p, n) => (p, n) }.toSeq
-    val entries = GeoManifest.collectStats(spark, m.schema,
-      written.collect { case (p, n) if n > 0 => p }, m.geomCol, m.partitions)
+    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    // writer-collected inline stats: no read-back scan of the new files
+    val entries = GeoManifest.entriesFromMessages(spark, m.schema,
+      written, m.geomCol, m.partitions)
     val maxAttempts = 5
     var attempt = 0
     var committed = false
@@ -69,7 +71,7 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
     // zero-row task files never enter the manifest; best-effort cleanup
     try {
       val fs = GeoManifest.fs(spark, root)
-      written.collect { case (p, n) if n == 0 => p }
+      written.collect { case m if m.rows == 0 => m.path }
         .foreach(p => fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -83,7 +85,7 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _) => p }
+        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)
@@ -180,14 +182,15 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
     val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case GeoCowCommitMessage(p, n) => (p, n) }.toSeq
-    val entries = GeoManifest.collectStats(spark, m.schema,
-      written.collect { case (p, n) if n > 0 => p }, m.geomCol, m.partitions)
+    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    val entries = GeoManifest.entriesFromMessages(spark, m.schema,
+      written, m.geomCol, m.partitions)
     val maxAttempts = 5
     var attempt = 0
     var committed = false
@@ -210,7 +213,7 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
     }
     try {
       val fs = GeoManifest.fs(spark, root)
-      written.collect { case (p, n) if n == 0 => p }
+      written.collect { case m if m.rows == 0 => m.path }
         .foreach(p => fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -224,7 +227,7 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
         .getOrElse(Set.empty)
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _) => p }
+        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)

@@ -650,9 +650,65 @@ object GeoManifest {
   // Stats collection
   // -------------------------------------------------------------------------
 
+  /** Bound expressions computing per-row write-side stats — optionally a
+    * bbox struct over the geometry column first, then each partition/stats
+    * transform as LongType — bound against the TABLE schema so
+    * [[GeoCowDataWriterFactory]] can evaluate them on the projected row
+    * executor-side with no session. Returns (exprs, hasBbox). */
+  def boundStatsExprs(spark: SparkSession, schema: StructType,
+                      geomCol: Option[String],
+                      partitions: Seq[GeoPartition.PTransform])
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Expression], Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.GraftShim
+    val bboxCol = geomCol.map(g =>
+      GraftShim.column(graft.functions.StBbox(GraftShim.expression(col(g)))))
+    val cols = bboxCol.toSeq ++ partitions.map(t => GeoPartition.transformCol(t, schema))
+    if (cols.isEmpty) return (Seq.empty, false)
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema).select(cols: _*)
+    val pr = df.queryExecution.analyzed.asInstanceOf[Project]
+    val exprs = pr.projectList.map {
+      case a: Alias => a.child
+      case e => e
+    }.map(_.transformDown {
+      // the analyzer leaves RuntimeReplaceable nodes (to_date, ...) for
+      // the optimizer to rewrite; these exprs bypass the optimizer, so
+      // apply the replacement here — eval on the original node asserts
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }).map(e => BindReferences.bindReference(e, pr.child.output))
+    (exprs, bboxCol.isDefined)
+  }
+
+  /** FileEntries straight from the writers' inline stats when every
+    * non-empty commit message carries them (the write-side stats path —
+    * no read-back scan); falls back to [[collectStats]] otherwise. The
+    * semantics match collectStats exactly: NaN bbox when no geometry was
+    * seen, and NO pstats when any transform saw only nulls (the
+    * conservative always-keep direction for pruning). */
+  def entriesFromMessages(spark: SparkSession, schema: StructType,
+                          messages: Seq[GeoCowCommitMessage],
+                          geomCol: Option[String],
+                          partitions: Seq[GeoPartition.PTransform]): Seq[FileEntry] = {
+    val nonEmpty = messages.filter(_.rows > 0)
+    if (nonEmpty.forall(_.stats.isDefined))
+      nonEmpty.map { m =>
+        val st = m.stats.get
+        val ps =
+          if (st.pSeen.length == partitions.length && st.pSeen.forall(identity))
+            st.pmins.zip(st.pmaxs).toSeq
+          else Seq.empty[(Long, Long)]
+        FileEntry(m.path, m.rows, st.xmin, st.ymin, st.xmax, st.ymax, ps)
+      }
+    else collectStats(spark, schema, nonEmpty.map(_.path), geomCol, partitions)
+  }
+
   /** Per-file row counts + geometry bbox for freshly written files: one
     * distributed scan grouped by `input_file_name()` (the write-side stats
-    * collection Iceberg does inline; read-back keeps us on public API). */
+    * collection Iceberg does inline; kept as the fallback/read-back path —
+    * [[entriesFromMessages]] uses writer-collected stats when present). */
   def collectStats(spark: SparkSession, schema: StructType,
                    paths: Seq[String], geomCol: Option[String],
                    partitions: Seq[GeoPartition.PTransform] = Seq.empty): Seq[FileEntry] = {

@@ -555,8 +555,19 @@ case class GeoEqReaderFactory(inner: PartitionReaderFactory,
     !eqActive && extraCols.isEmpty && inner.supportColumnarReads(p)
 }
 
-/** Commit message: one written parquet file and its row count. */
-case class GeoCowCommitMessage(path: String, rows: Long) extends WriterCommitMessage
+/** Per-file stats accumulated INLINE by the data writer as rows stream
+  * through (the Iceberg write-side stats model): geometry bbox and
+  * per-partition-transform min/max. Eliminates the post-write stats
+  * read-back scan — at ingest scale that read-back doubles write I/O. */
+case class GeoFileStats(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                        pmins: Array[Long], pmaxs: Array[Long],
+                        pSeen: Array[Boolean])
+
+/** Commit message: one written parquet file, its row count, and (when the
+  * writer factory carried stats expressions) the inline file stats. */
+case class GeoCowCommitMessage(path: String, rows: Long,
+                               stats: Option[GeoFileStats] = None)
+  extends WriterCommitMessage
 
 /**
  * The ReplaceData write: executors write replacement parquet via Spark's
@@ -579,15 +590,17 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] commit: scanned=${scanned().map(_.length)} written=${messages.length}")
-    val paths = messages.collect { case GeoCowCommitMessage(p, n) if n > 0 => p }.toSeq
-    val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
+    val entries = GeoManifest.entriesFromMessages(spark, m.schema,
+      messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq,
+      m.geomCol, m.partitions)
     val fresh = GeoManifest.read(spark, root)
     val replaced = scanned().map(_.map(_.key).toSet)
       .getOrElse(fresh.files.map(_.key).toSet)
@@ -634,7 +647,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     // silently drop rows) before the swap.
     if (cmd == RowLevelOperation.Command.UPDATE) {
       val replacedRows = fresh.files.filter(f => replaced.contains(f.key)).map(_.rows).sum
-      val writtenRows = messages.collect { case GeoCowCommitMessage(_, n) => n }.sum
+      val writtenRows = messages.collect { case GeoCowCommitMessage(_, n, _) => n }.sum
       if (writtenRows != replacedRows - hiddenInReplaced)
         throw new IllegalStateException(
           s"UPDATE on $root wrote $writtenRows row(s) but is replacing files holding " +
@@ -653,7 +666,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     try {
       val kept = entries.map(_.key).toSet
       val fs = GeoManifest.fs(spark, root)
-      messages.collect { case GeoCowCommitMessage(p, n) if n == 0 => p }
+      messages.collect { case GeoCowCommitMessage(p, n, _) if n == 0 => p }
         .foreach(p => if (!kept.contains(GeoManifest.norm(p))) fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -668,18 +681,24 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _) => p }
+        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)
     } catch { case scala.util.control.NonFatal(_) => () }
 }
 
+/** `statsExprs` (bound against the TABLE schema; see
+  * [[GeoManifest.boundStatsExprs]]) turn the writer into the stats
+  * collector: bbox + transform ranges accumulate inline as rows stream
+  * through, so the commit needs no read-back scan of the new files. */
 case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    conf: SerializableConfiguration,
                                    dir: String, tableSchema: StructType,
                                    incoming: StructType, dataIdx: Array[Int],
-                                   tag: String = "")
+                                   tag: String = "",
+                                   statsExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
+                                   statsHasBbox: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -697,13 +716,55 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
       private val writer = owf.newInstance(path, tableSchema, ctx)
       private var n = 0L
 
+      // inline stats state (only when statsExprs were supplied)
+      private val statsProj =
+        if (statsExprs.isEmpty) null else UnsafeProjection.create(statsExprs)
+      private val nT = statsExprs.length - (if (statsHasBbox) 1 else 0)
+      private var bx0 = Double.PositiveInfinity
+      private var by0 = Double.PositiveInfinity
+      private var bx1 = Double.NegativeInfinity
+      private var by1 = Double.NegativeInfinity
+      private var seenGeom = false
+      private val pmins = Array.fill(math.max(nT, 0))(Long.MaxValue)
+      private val pmaxs = Array.fill(math.max(nT, 0))(Long.MinValue)
+      private val pSeen = new Array[Boolean](math.max(nT, 0))
+
       override def write(row: InternalRow): Unit = {
-        writer.write(if (proj == null) row else proj(row))
+        val out = if (proj == null) row else proj(row)
+        writer.write(out)
         n += 1
+        if (statsProj != null) {
+          val st = statsProj(out)
+          val base = if (statsHasBbox) 1 else 0
+          if (statsHasBbox && !st.isNullAt(0)) {
+            val b = st.getStruct(0, 4)
+            if (b.getDouble(0) < bx0) bx0 = b.getDouble(0)
+            if (b.getDouble(1) < by0) by0 = b.getDouble(1)
+            if (b.getDouble(2) > bx1) bx1 = b.getDouble(2)
+            if (b.getDouble(3) > by1) by1 = b.getDouble(3)
+            seenGeom = true
+          }
+          var j = 0
+          while (j < nT) {
+            if (!st.isNullAt(base + j)) {
+              val v = st.getLong(base + j)
+              if (v < pmins(j)) pmins(j) = v
+              if (v > pmaxs(j)) pmaxs(j) = v
+              pSeen(j) = true
+            }
+            j += 1
+          }
+        }
       }
       override def commit(): WriterCommitMessage = {
         writer.close()
-        GeoCowCommitMessage(path, n)
+        val stats =
+          if (statsProj == null) None
+          else Some(GeoFileStats(
+            if (seenGeom) bx0 else Double.NaN, if (seenGeom) by0 else Double.NaN,
+            if (seenGeom) bx1 else Double.NaN, if (seenGeom) by1 else Double.NaN,
+            pmins, pmaxs, pSeen))
+        GeoCowCommitMessage(path, n, stats)
       }
       override def abort(): Unit = {
         try writer.close() catch { case scala.util.control.NonFatal(_) => () }

@@ -70,14 +70,17 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
+    val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     GeoStreamingWriterFactory(GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx))
+      commitDir, m.schema, incoming, dataIdx,
+      statsExprs = se, statsHasBbox = hasBbox))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case GeoCowCommitMessage(p, n) => (p, n) }.toSeq
-    // one stats pass over the non-empty files, reused across commit retries
+    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    // entries from the writers' inline stats (stats schema pinned at plan
+    // time like the write schema); computed once, reused across retries
     var entries: Seq[GeoManifest.FileEntry] = null
     val maxAttempts = 5
     var attempt = 0
@@ -89,19 +92,19 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
         // and drop this attempt's files so nothing waits for vacuum
         log.warn(s"geo streaming sink: skipping replayed epoch $epochId for sink $sinkId " +
           s"on $root (watermark ${fresh.streamCommits(sinkId)}); expected only on crash replay")
-        dropFiles(written.map(_._1))
+        dropFiles(written.map(_.path))
         return
       }
       if (entries == null)
-        entries = GeoManifest.collectStats(spark, m.schema,
-          written.collect { case (p, n) if n > 0 => p }, fresh.geomCol, fresh.partitions)
+        entries = GeoManifest.entriesFromMessages(spark, m.schema,
+          written, m.geomCol, m.partitions)
       try {
         GeoManifest.commit(spark, root, fresh.copy(
           version = fresh.version + 1,
           files = if (truncate) entries else fresh.files ++ entries,
           deletes = if (truncate) Seq.empty else fresh.deletes,
           streamCommits = fresh.streamCommits + (sinkId -> epochId)), fresh.version)
-        dropFiles(written.collect { case (p, n) if n == 0 => p }) // empty task files
+        dropFiles(written.collect { case m if m.rows == 0 => m.path }) // empty task files
         return
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
@@ -118,7 +121,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     try {
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val fs = GeoManifest.fs(spark, root)
-      messages.collect { case GeoCowCommitMessage(p, _) => p }
+      messages.collect { case GeoCowCommitMessage(p, _, _) => p }
         .filterNot(p => live.contains(GeoManifest.norm(p)))
         .foreach(p => fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }

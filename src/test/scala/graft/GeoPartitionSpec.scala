@@ -373,4 +373,38 @@ class GeoPartitionSpec extends SparkSpec {
     assert(none.map(_.getString(0)).toSeq.distinct == Seq("--"), s"got ${none.toSeq}")
     assert(none.map(_.getLong(2)).sum == 10)
   }
+
+  test("writer-side inline stats agree field-for-field with the read-back scan") {
+    // DSv2 INSERT commits manifest entries from the writers' inline stats
+    // (no read-back job); this pins their contract: re-running the old
+    // collectStats read-back over the same files must reproduce every
+    // field — rows, geometry bbox, every transform range — exactly.
+    warehouse
+    spark.sql("""CREATE TABLE geopt.db.wstats
+      (k BIGINT, ts TIMESTAMP, s STRING, g BINARY)
+      USING geo PARTITIONED BY (bucket(4, k), days(ts), truncate(3, s))
+      TBLPROPERTIES('geometry.column'='g')""")
+    spark.sql("""INSERT INTO geopt.db.wstats
+      SELECT id,
+             timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 5 AS INT),0,0,0),
+             concat('pfx', id % 7),
+             CASE WHEN id % 11 = 0 THEN NULL
+                  ELSE st_point(CAST(id % 13 AS DOUBLE), CAST(id % 17 AS DOUBLE)) END
+      FROM range(0, 500)""")
+    val m = GeoManifest.read(spark, warehouse + "/db/wstats")
+    assert(m.files.nonEmpty && m.files.map(_.rows).sum == 500)
+    val readBack = GeoManifest.collectStats(spark, m.schema,
+      m.files.map(_.path), m.geomCol, m.partitions)
+    val byKey = readBack.map(e => e.key -> e).toMap
+    m.files.foreach { f =>
+      val rb = byKey(f.key)
+      assert(f.rows == rb.rows, s"${f.path}: rows ${f.rows} vs ${rb.rows}")
+      def same(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+      assert(same(f.xmin, rb.xmin) && same(f.ymin, rb.ymin) &&
+        same(f.xmax, rb.xmax) && same(f.ymax, rb.ymax),
+        s"${f.path}: bbox (${f.xmin},${f.ymin},${f.xmax},${f.ymax}) vs " +
+          s"(${rb.xmin},${rb.ymin},${rb.xmax},${rb.ymax})")
+      assert(f.pstats == rb.pstats, s"${f.path}: pstats ${f.pstats} vs ${rb.pstats}")
+    }
+  }
 }

@@ -121,6 +121,26 @@ class KnnGridJoinSpec extends SparkSpec {
     }
   }
 
+  test("grid: covers test is exact at cell-boundary extents (regression)") {
+    // right extent max sits EXACTLY on a probe block's upper edge: x = 50
+    // with cellSize 10 hashes to cell 5, the first cell OUTSIDE a block
+    // ending at coordinate 50. The old coordinate-space covers test
+    // ((cx+r+1)*s >= gx1) claimed coverage at r = 4 and silently dropped
+    // that point from the neighborhood; the cell-index test keeps probing.
+    // fallbackThreshold = 0 disables the early fallback so the ladder
+    // itself must resolve the point.
+    val left = Seq((1L, 1.0, 0.0)).toDF("lid", "px", "py")
+      .selectExpr("lid", "st_point(px, py) AS lgeo")
+    val right = Seq((10L, 5.0, 0.0), (20L, 50.0, 0.0)).toDF("rid", "px", "py")
+      .selectExpr("rid", "st_point(px, py) AS rgeo")
+    val out = KnnGridJoin.knnJoinPoints(left, col("lgeo"), col("lid"),
+        right, col("rgeo"), col("rid"), k = 2, cellSize = 10.0,
+        fallbackThreshold = 0L)
+      .select("lid", "knn_rank", "rid", "knn_dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((1L, 1, 10L, 4.0), (1L, 2, 20L, 49.0)))
+  }
+
   test("lof: grid path and broadcast path score bit-for-bit equal") {
     val df = scatter(250, 240)
     def lof(force: Boolean) =
