@@ -1014,6 +1014,91 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // Native DSv2 streaming SOURCE (offsets = manifest versions): two
+    // committed snapshots stream out as two micro-batches into a memory
+    // sink; the oracle aggregates the insert predicates directly — a
+    // replayed, dropped or partially-read snapshot changes the hash.
+    "geo_stream_source" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoss.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
+      s.sql("DROP TABLE IF EXISTS geoss.db.src")
+      s.sql("CREATE TABLE geoss.db.src (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoss.db.src SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0") // v1
+      s.sql("INSERT INTO geoss.db.src SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 1") // v2
+      s.catalog.dropTempView("geo_stream_source_sink") // repeat-safe: bench runs twice
+      val q = s.readStream.table("geoss.db.src")
+        .writeStream.format("memory").queryName("geo_stream_source_sink").start()
+      q.processAllAvailable(); q.stop()
+      s.table("geo_stream_source_sink").groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
+    // OPTIMIZE + VACUUM preserve content exactly: phases read the same
+    // aggregate before compaction, after OPTIMIZE INTO 2 FILES, and after
+    // VACUUM RETAIN 1 VERSIONS — identical by set algebra (the oracle
+    // replays the DML predicates); the file-count contract is asserted
+    // in-query (a compaction that didn't compact fails the query).
+    "geo_optimize" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoop").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoop", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoop.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_op_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoop.db")
+      s.sql("DROP TABLE IF EXISTS geoop.db.op")
+      s.sql("CREATE TABLE geoop.db.op (id BIGINT, nat BIGINT) USING geo")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO geoop.db.op SELECT c_custkey, c_nationkey FROM customer " +
+          s"WHERE c_custkey % 3 = $i")
+      }
+      s.sql("DELETE FROM geoop.db.op WHERE id % 5 = 0") // v4 CoW
+      // each phase MATERIALIZES before the next DDL runs — the later
+      // VACUUM deletes the files a lazy phase-1 plan would still reference
+      val phase1 = s.sql(
+        "SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM geoop.db.op")
+        .localCheckpoint()
+      graft.tables.GeoSql.exec(s, "OPTIMIZE geoop.db.op INTO 2 FILES")
+      val filesAfter = s.sql("SELECT COUNT(*) FROM geoop.db.op.files").head().getLong(0)
+      require(filesAfter <= 2, s"OPTIMIZE INTO 2 FILES left $filesAfter files")
+      val phase2 = s.sql(
+        "SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geoop.db.op")
+        .localCheckpoint()
+      graft.tables.GeoSql.exec(s, "VACUUM geoop.db.op RETAIN 1 VERSIONS")
+      phase1.unionAll(phase2).unionAll(s.sql(
+        "SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geoop.db.op"))
+        .orderBy("phase")
+    }),
+
+    // ndjson GeoJSON interop: customers round-trip through
+    // writeFeatures/readFeatures (Feature-per-line, properties + WKB
+    // geometry); integer-valued coordinates keep the JSON decimal
+    // round-trip exact, so the oracle replays the aggregate from the
+    // parquet source directly.
+    "geo_json_source" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      val dir = java.nio.file.Files.createTempDirectory("geo_nd").toString + "/nd"
+      val src = s.table("customer").select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("nat"),
+        st_point((col("c_custkey") % 100).cast("double"),
+          col("c_nationkey").cast("double")).as("geo"))
+      graft.sources.GeoJsonSource.writeFeatures(src, "geo", dir)
+      graft.sources.GeoJsonSource.readFeatures(s, dir, Seq("id", "nat"))
+        .select(col("id").cast("long").as("id"), col("nat").cast("long").as("nat"),
+          st_x(col("geometry")).as("x"))
+        .groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"),
+          sum("x").as("sum_x"))
+        .orderBy("nat")
+    }),
+
     // ST_MakeValid on a self-intersecting bowtie: the fixer splits it at
     // the crossing into two triangles of total area sz^2/2 — closed-form,
     // with the pre-fix invalidity asserted alongside
@@ -2551,6 +2636,32 @@ object SparkEntry {
     "geo_stream_sink" -> """
       SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
              CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // streaming source reduces the same way: both snapshots stream out
+    // whole, each customer exactly once
+    "geo_stream_source" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // compaction + vacuum preserve content: all three phases equal the
+    // post-DELETE set by algebra on the predicates
+    "geo_optimize" -> """
+      WITH live AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 5 <> 0)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM live
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM live
+      UNION ALL
+      SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM live
+      ORDER BY phase""",
+
+    // ndjson Feature round-trip reduces to the source aggregate; x is the
+    // integer-valued point coordinate (exact through JSON decimals)
+    "geo_json_source" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id,
+             CAST(SUM(c_custkey % 100) AS DOUBLE) AS sum_x
       FROM customer GROUP BY 1 ORDER BY nat""",
 
     // XML roundtrip reduces to identity: build the same WKT strings directly

@@ -38,42 +38,42 @@ object EqCdcScale {
       f"${"cdcDel(s)"}%10s ${"cdcUps(s)"}%10s ${"net(s)"}%7s ${"read(s)"}%8s ${"fold(s)"}%8s")
     steps.foreach { n =>
       val root = java.nio.file.Files.createTempDirectory("eqcdc").toString + "/t"
-      // v1: n rows over 16 files
+      // v0: n rows over 16 files
       GeoTable.create(spark, root,
         spark.range(n).select(col("id"),
           concat(lit("v"), col("id")).as("v")).repartition(16), None)
       val keys = spark.range(1000).select((col("id") * (n / 1000)).as("id"))
         .localCheckpoint()
 
-      // v2: keyed delete — O(keys) commit
+      // v1: keyed delete — O(keys) commit
       val (_, tEqDel) = time(GeoTable.deleteByKey(spark, root, Seq("id"), keys))
-      // v3: keyed upsert of 1000 fresh rows — O(rows) commit
+      // v2: keyed upsert of 1000 fresh rows — O(rows) commit
       val ups = keys.select(col("id"), concat(lit("u"), col("id")).as("v"))
       val (_, tUpsert) = time(GeoTable.upsertByKey(spark, root, Seq("id"), ups))
 
       // CDC ranges crossing the eq commits: the delete leg must emit the
       // 1000 matched rows (driver planning bounded by maxLiveDeleteRows)
       val ((delRows, insRows), tCdcDel) = time {
-        val ch = GeoTable.changes(spark, root, 1, 2)
+        val ch = GeoTable.changes(spark, root, 0, 1)
         val d = ch.where(col("_change_type") === "delete").count()
         val i = ch.where(col("_change_type") === "insert").count()
         (d, i)
       }
       val (upsCounts, tCdcUps) = time {
-        val ch = GeoTable.changes(spark, root, 2, 3)
+        val ch = GeoTable.changes(spark, root, 1, 2)
         (ch.where(col("_change_type") === "delete").count(),
           ch.where(col("_change_type") === "insert").count())
       }
-      val (netRows, tNet) = time(GeoTable.netChanges(spark, root, 1, 3).count())
+      val (netRows, tNet) = time(GeoTable.netChanges(spark, root, 0, 2).count())
       val (readRows, tRead) = time(GeoTable.read(spark, root).count())
       val (_, tFold) = time(GeoTable.foldSidecars(spark, root))
 
       val files = GeoManifest.read(spark, root).files.length
       println(f"$n%10d $files%6d $tEqDel%9.2f $tUpsert%10.2f " +
         f"$tCdcDel%10.2f $tCdcUps%10.2f $tNet%7.2f $tRead%8.2f $tFold%8.2f")
-      println(s"           cdc(1,2)=del:$delRows/ins:$insRows " +
-        s"cdc(2,3)=del:${upsCounts._1}/ins:${upsCounts._2} " +
-        s"net(1,3)=$netRows read=$readRows (expect del:1000, ins:1000, read=$n)")
+      println(s"           cdc(0,1)=del:$delRows/ins:$insRows " +
+        s"cdc(1,2)=del:${upsCounts._1}/ins:${upsCounts._2} " +
+        s"net(0,2)=$netRows read=$readRows (expect del:1000, ins:1000, read=$n)")
     }
     spark.stop()
   }
