@@ -451,6 +451,33 @@ object SparkEntry {
         .groupBy("n_nationkey").agg(count(lit(1)).as("n")).orderBy("n_nationkey")
     }),
 
+    // The JoinQueryDetector-analog optimizer rule END-TO-END: a pure
+    // spatial inner join written as plain SQL (which Spark alone would
+    // execute as a BroadcastNestedLoopJoin) must be rewritten by
+    // SpatialJoinRewrite into the tile join — injected here through
+    // experimental.extraOptimizations so the driver's vanilla session
+    // exercises the same rule GraftExtensions installs; the in-query
+    // require proves it fired (no BNLJ/cartesian in the executed plan),
+    // and the oracle pins the rewritten join's results.
+    "spatial_rewrite_join" -> ((s, d) => {
+      prep(s, d)
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite(s)
+      s.conf.set("spark.graft.join.cellSize", "500.0")
+      val out = s.sql("""
+        SELECT n_nationkey, COUNT(*) AS n
+        FROM nation JOIN customer
+          ON st_contains(st_polygonfromenvelope(n_nationkey * 400.0D + 0.005D, -0.5D,
+                                                n_nationkey * 400.0D + 800.005D, 24.5D),
+                         st_point(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)))
+        GROUP BY n_nationkey ORDER BY n_nationkey""")
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"SpatialJoinRewrite did not fire:\n$plan")
+      out
+    }),
+
     "spatial_bcast_join" -> ((s, d) => {
       prep(s, d); import GraftFunctions._
       val env = s.table("nation").select(col("n_nationkey"),
@@ -2165,6 +2192,14 @@ object SparkEntry {
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "spatial_tile_join" -> """
+      SELECT n_nationkey, COUNT(*) AS n
+      FROM nation JOIN customer
+        ON c_acctbal > n_nationkey*400.0 + 0.005 AND c_acctbal < n_nationkey*400.0 + 800.005
+      GROUP BY n_nationkey ORDER BY n_nationkey""",
+
+    // the rewritten spatial join replays as the same x-band arithmetic
+    // (y is always strictly inside the envelope)
+    "spatial_rewrite_join" -> """
       SELECT n_nationkey, COUNT(*) AS n
       FROM nation JOIN customer
         ON c_acctbal > n_nationkey*400.0 + 0.005 AND c_acctbal < n_nationkey*400.0 + 800.005

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
  *  - ALTER TABLE t CREATE TAG name [AS OF VERSION n] | DROP TAG name
  *  - ALTER TABLE t CREATE | DROP | PUBLISH BRANCH name (write-audit-publish)
- *  - OPTIMIZE t [INTO n FILES] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
+ *  - OPTIMIZE t [INTO n FILES] [WHERE pred] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
  *  - RESTORE TABLE t TO VERSION AS OF n | 'ref' | TO TIMESTAMP AS OF 'ts'
  *
  * Split front/back: `GeoSqlParser` (injected via
@@ -70,7 +70,7 @@ object GeoSql {
     """(?i)\bGEOMETRY\b(?!\s*\(\s*(?:\d+|ANY)\s*\))""".r
 
   private val optimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""".r
   private val restoreRe =
@@ -151,8 +151,8 @@ object GeoSql {
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterRenameCommand(name, from, to))
-    case optimizeRe(name, nFiles) if resolveRoot(name).isDefined =>
-      Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt)))
+    case optimizeRe(name, nFiles, where) if resolveRoot(name).isDefined =>
+      Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt), Option(where)))
     case vacuumRe(name, keep, unit) if resolveRoot(name).isDefined =>
       Some(GeoVacuumCommand(name, Option(keep).map(_.toInt),
         Option(unit).map(_.toUpperCase).getOrElse("VERSIONS")))
@@ -713,15 +713,24 @@ case class GeoAlterRenameCommand(name: String, from: String, to: String) extends
   }
 }
 
-/** OPTIMIZE t [INTO n FILES]: compact the snapshot (Z-ordered when the
-  * table has a geometry column) into ~n files — small-file maintenance,
-  * Iceberg rewrite_data_files analog. Returns the resulting file count. */
-case class GeoOptimizeCommand(name: String, nFiles: Option[Int]) extends GeoRunnable {
+/** OPTIMIZE t [INTO n FILES] [WHERE pred]: compact the snapshot
+  * (Z-ordered when the table has a geometry column) into ~n files —
+  * small-file maintenance, Iceberg rewrite_data_files analog. WHERE
+  * scopes the rewrite to the files whose manifest stats can satisfy the
+  * predicate (file-granular, content-preserving) — the partition-
+  * maintenance shape: compacting one hot partition never reads the
+  * table. Returns the resulting file count. */
+case class GeoOptimizeCommand(name: String, nFiles: Option[Int],
+                              where: Option[String] = None) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
     val target = nFiles.getOrElse(
       math.max(1, spark.sparkContext.defaultParallelism / 4))
-    GeoTable.compact(spark, root, target)
+    where match {
+      case Some(w) => GeoTable.compactWhere(spark, root,
+        org.apache.spark.sql.functions.expr(w), target)
+      case None => GeoTable.compact(spark, root, target)
+    }
     GeoSql.refresh(spark, name, root)
     Seq(Row(GeoManifest.read(spark, root).files.length.toLong))
   }

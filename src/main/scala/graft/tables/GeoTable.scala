@@ -89,20 +89,80 @@ object GeoTable {
               cellSize: Double = 1.0): Unit = {
     val m = GeoManifest.read(spark, root)
     val data = readMerged(spark, m, m.files) // MoR deletes fold in and clear
-    val laidOut = m.geomCol match {
-      case Some(g) =>
-        import org.apache.spark.sql.graft.GraftShim
-        val z = GraftShim.column(graft.functions.StMortonCell(
-          GraftShim.expression(col(g)), GraftShim.expression(lit(cellSize))))
-        data.withColumn("__z", z)
-          .repartitionByRange(math.max(targetFiles, 1), col("__z"))
-          .sortWithinPartitions("__z").drop("__z")
-      case None => data.repartition(math.max(targetFiles, 1))
-    }
+    val laidOut = compactLayout(data, m, targetFiles, cellSize)
     val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
         eqDeletes = Seq.empty), m.version)
+  }
+
+  /**
+   * Partition-scoped compaction (Iceberg `rewrite_data_files` with a
+   * filter): rewrite ONLY the files whose manifest stats — transform
+   * ranges and, for spatial predicates, the bbox — can satisfy
+   * `predicate`; every other file carries over by reference. Selection is
+   * FILE-granular: a selected file is rewritten whole (its non-matching
+   * rows included), so content never changes, only layout. This is the
+   * routine maintenance shape at scale — compacting one hot partition of
+   * a 100 TB table reads and writes that partition, never the table.
+   * A predicate no recorded stat can bound selects everything (falls
+   * back to [[compact]] semantics for those files).
+   *
+   * MoR upkeep mirrors the CoW rewrite path: position/equality sidecars
+   * fold into the rewritten data ([[readMerged]]); stale sidecar entries
+   * reference the replaced paths (match nothing) and new files take
+   * `addedAt` = the new version, past every eq delete's scope. When
+   * nothing survives untouched both sidecar lists clear, as in a full
+   * compact.
+   *
+   * @return number of files rewritten
+   */
+  def compactWhere(spark: SparkSession, root: String, predicate: Column,
+                   targetFiles: Int, cellSize: Double = 1.0): Int = {
+    val m = GeoManifest.read(spark, root)
+    if (m.files.isEmpty) return 0
+    // resolve the predicate against the table schema so transform-range
+    // pruning sees bound attributes
+    val cond = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), m.schema)
+      .where(predicate).queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
+    var selected = GeoPartition.prune(m.files, m.partitions, m.schema, Seq(cond))
+    for (env <- m.geomCol.flatMap(g => queryEnvelope(spark, m, predicate, g))) {
+      val keys = m.prune(env).map(_.key).toSet
+      selected = selected.filter(f => keys.contains(f.key))
+    }
+    if (selected.isEmpty) return 0
+    val selKeys = selected.map(_.key).toSet
+    val untouched = m.files.filterNot(f => selKeys.contains(f.key))
+    val data = readMerged(spark, m, selected)
+    val laidOut = compactLayout(data, m, targetFiles, cellSize)
+    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = untouched ++ files,
+        deletes = if (untouched.isEmpty) Seq.empty else m.deletes,
+        eqDeletes = if (untouched.isEmpty) Seq.empty else m.eqDeletes),
+      m.version)
+    selected.length
+  }
+
+  /** Compaction layout: Z-order when the table has a geometry column,
+    * the table's own transform clustering when it is partitioned (a
+    * compaction that un-clustered a partitioned table would destroy the
+    * tight per-file transform ranges pruning depends on), plain
+    * round-robin coalescing otherwise. */
+  private def compactLayout(data: DataFrame, m: Manifest, targetFiles: Int,
+                            cellSize: Double): DataFrame = m.geomCol match {
+    case Some(g) =>
+      import org.apache.spark.sql.graft.GraftShim
+      val z = GraftShim.column(graft.functions.StMortonCell(
+        GraftShim.expression(col(g)), GraftShim.expression(lit(cellSize))))
+      data.withColumn("__z", z)
+        .repartitionByRange(math.max(targetFiles, 1), col("__z"))
+        .sortWithinPartitions("__z").drop("__z")
+    case None if m.partitions.exists(_.layout) =>
+      GeoPartition.layout(data, m.partitions, m.schema)
+    case None => data.repartition(math.max(targetFiles, 1))
   }
 
   /**

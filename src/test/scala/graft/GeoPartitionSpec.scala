@@ -374,6 +374,51 @@ class GeoPartitionSpec extends SparkSpec {
     assert(none.map(_.getLong(2)).sum == 10)
   }
 
+  test("OPTIMIZE WHERE compacts only the selected partition's files") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.optw (id BIGINT, nat BIGINT) USING geo " +
+      "PARTITIONED BY (nat) TBLPROPERTIES('stats.columns'='')")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO geopt.db.optw SELECT id + ${i * 300}, id % 3 FROM range(0, 300)")
+    }
+    val root = warehouse + "/db/optw"
+    def filesOfNat(m: GeoManifest.Manifest, nat: Long): Set[String] = {
+      val i = m.partitions.indexWhere(t => t.kind == "identity" && t.col == "nat")
+      m.files.filter(f => f.pstats.lift(i).exists { case (lo, hi) => lo <= nat && hi >= nat })
+        .map(_.key).toSet
+    }
+    val before = GeoManifest.read(spark, root)
+    assert(filesOfNat(before, 1L).size >= 3, "three inserts -> three+ files per partition")
+    val othersBefore = before.files.map(_.key).toSet -- filesOfNat(before, 1L)
+    val n = graft.tables.GeoTable.compactWhere(spark, root, col("nat") === 1L, targetFiles = 1)
+    assert(n == filesOfNat(before, 1L).size, s"rewrote $n files")
+    val after = GeoManifest.read(spark, root)
+    // untouched partitions carry over BY REFERENCE (same paths)
+    assert((after.files.map(_.key).toSet -- filesOfNat(after, 1L)) == othersBefore)
+    assert(filesOfNat(after, 1L).size == 1, "selected partition compacted to one file")
+    def counts(): Map[Long, Long] = spark.table("geopt.db.optw").groupBy("nat").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts() == Map(0L -> 300L, 1L -> 300L, 2L -> 300L))
+    // pruning still works post-compaction (clustering preserved)
+    assert(scannedFiles("SELECT * FROM geopt.db.optw WHERE nat = 1") == 1)
+    // a predicate matching nothing is a no-op (no commit)
+    assert(graft.tables.GeoTable.compactWhere(spark, root, col("nat") === 99L, 1) == 0)
+    assert(GeoManifest.read(spark, root).version == after.version)
+
+    // MoR leg: the selected partition's position-sidecar rows fold into
+    // the rewrite; untouched partitions stay hidden through the sidecar
+    graft.tables.GeoTable.delete(spark, root, col("id") % 10 === 0L, mode = "mor")
+    spark.sql("REFRESH TABLE geopt.db.optw")
+    val preCounts = counts()
+    graft.tables.GeoTable.compactWhere(spark, root, col("nat") === 0L, targetFiles = 1)
+    spark.sql("REFRESH TABLE geopt.db.optw")
+    assert(counts() == preCounts)
+
+    // SQL spelling through the catalog name
+    graft.tables.GeoSql.exec(spark, "OPTIMIZE geopt.db.optw INTO 1 FILES WHERE nat = 2")
+    assert(counts() == preCounts)
+  }
+
   test("writer-side inline stats agree field-for-field with the read-back scan") {
     // DSv2 INSERT commits manifest entries from the writers' inline stats
     // (no read-back job); this pins their contract: re-running the old
