@@ -943,6 +943,33 @@ object SparkEntry {
         FROM geoeqd.db.eq GROUP BY nat ORDER BY nat""")
     }),
 
+    // Spark 4.1 native GEOMETRY(srid) DDL end-to-end: CREATE with the
+    // typed column (no TBLPROPERTIES workaround), INSERT through the
+    // catalog, read back coordinates + the schema-carried CRS tag. The
+    // oracle replays coordinates and pins the CRS literal — a dropped
+    // SRID or a broken GeometryType->WKB mapping changes the hash.
+    "geo_typed_ddl" -> ((s, d) => {
+      prep(s, d); import GraftFunctions._
+      if (s.conf.getOption("spark.sql.catalog.geotd").isEmpty) {
+        s.conf.set("spark.sql.catalog.geotd", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geotd.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_td_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geotd.db")
+      s.sql("DROP TABLE IF EXISTS geotd.db.td")
+      s.conf.set("spark.sql.geospatial.enabled", "true")
+      s.sql("CREATE TABLE geotd.db.td (id BIGINT, geo GEOMETRY(3857)) USING geo")
+      s.sql("""INSERT INTO geotd.db.td
+        SELECT c_custkey, st_point(CAST(c_custkey % 100 AS DOUBLE),
+                                   CAST(c_nationkey AS DOUBLE))
+        FROM customer""")
+      val crs = graft.tables.GeoSchema.crsOf(s.table("geotd.db.td").schema("geo"))
+      s.table("geotd.db.td")
+        .select(col("id"), st_x(col("geo")).as("x"), st_y(col("geo")).as("y"),
+          lit(crs).as("crs"))
+        .orderBy("id")
+    }),
+
     // Streaming CDC over a merge-on-read commit (Delta readChangeFeed
     // analog): insert all customers (v1), MoR-delete a residue class (v2 —
     // position-delete sidecar, no rewrite), then STREAM t.changes from
@@ -1630,6 +1657,27 @@ object SparkEntry {
       graft.ops.TrainingData.chunkPack(docs, col("doc_id"),
           graft.ops.TextAnalysis.tokenCount(col("text")), col("source"), seqLen = 64)
         .orderBy("doc_id")
+    }),
+
+    // binPack's bin ASSIGNMENT is partition-dependent by design (first-fit
+    // per task), so the oracle pins its INVARIANTS, which are not: every
+    // doc packed exactly once (count == distinct == input count), token
+    // mass conserved, and no multi-doc bin over capacity (single oversize
+    // docs get their own bin — the one legal overflow)
+    "pack_bins_invariants" -> ((s, d) => {
+      prep(s, d)
+      val bins = graft.ops.TrainingData.binPack(
+          s.table("documents"), col("doc_id"), col("n_chars"), seqLen = 4096)
+        .localCheckpoint() // two aggregates below; pack once
+      val totals = bins.agg(
+        sum("n_docs").cast("bigint").as("total_docs"),
+        sum("bin_tokens").cast("bigint").as("total_tokens"),
+        sum(when(col("n_docs") > 1 && col("bin_tokens") > 4096, 1L)
+          .otherwise(0L)).cast("bigint").as("overflow_bins"))
+      val distinct = bins.select(explode(col("doc_ids")).as("d"))
+        .agg(count_distinct(col("d")).as("distinct_docs"))
+      totals.crossJoin(distinct)
+        .select("total_docs", "distinct_docs", "total_tokens", "overflow_bins")
     }),
 
     // data-mixing rates: reshape toward a 50/25/25 token split across
@@ -2730,6 +2778,24 @@ object SparkEntry {
     "st_orderingequals_matrix" -> """
       SELECT p_partkey, TRUE AS same_order, FALSE AS rev_order, TRUE AS geo_equal
       FROM part ORDER BY p_partkey""",
+
+    // typed-DDL round trip reduces to the source coordinates + the CRS
+    // the DDL declared
+    "geo_typed_ddl" -> """
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 100 AS DOUBLE) AS x,
+             CAST(c_nationkey AS DOUBLE) AS y,
+             'EPSG:3857' AS crs
+      FROM customer ORDER BY id""",
+
+    // binPack invariants replay from the input alone: every doc exactly
+    // once, token mass conserved, zero multi-doc over-capacity bins
+    "pack_bins_invariants" -> """
+      SELECT COUNT(*) AS total_docs,
+             COUNT(DISTINCT doc_id) AS distinct_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_tokens,
+             CAST(0 AS BIGINT) AS overflow_bins
+      FROM documents""",
 
     // streaming dedup keeps one row per distinct normalized text
     "dedup_stream" -> """
