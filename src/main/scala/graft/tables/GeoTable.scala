@@ -1131,19 +1131,41 @@ object GeoTable {
   private def writeCommit(spark: SparkSession, root: String, df: DataFrame,
                           schema: StructType, geomCol: Option[String],
                           partitions: Seq[GeoPartition.PTransform] = Seq.empty): Seq[FileEntry] = {
+    // write through the same stats-collecting writer as the DSv2 paths
+    // (GeoCowDataWriterFactory): per-file rows/bbox/transform ranges
+    // accumulate INLINE as rows stream out, so the commit needs no
+    // read-back scan of the fresh files. Task failures abort their own
+    // file; a lost speculative attempt's file is never referenced by the
+    // collected messages and falls to vacuum — the DSv2 contract.
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.util.SerializableConfiguration
     val dir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(dir)
-    val entries = GeoManifest.collectStats(spark, schema,
-      GeoManifest.listParquet(spark, dir), geomCol, partitions)
+    val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, schema, geomCol, partitions)
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    GeoManifest.fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val incoming = df.schema
+    val dataIdx = schema.fields.map(f => incoming.fieldIndex(f.name))
+    val factory = GeoCowDataWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration),
+      dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
+    val msgs = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      try {
+        while (it.hasNext) w.write(it.next())
+        Iterator.single(w.commit().asInstanceOf[GeoCowCommitMessage])
+      } catch { case t: Throwable => w.abort(); throw t }
+    }.collect().toSeq
     // empty shuffle partitions (common under pinned-count partition
     // layout) write zero-row files: drop them from disk AND the manifest
-    val (kept, empty) = entries.partition(_.rows > 0)
+    val empty = msgs.filter(_.rows == 0)
     if (empty.nonEmpty) {
       val fs = GeoManifest.fs(spark, root)
       empty.foreach(e => try fs.delete(new org.apache.hadoop.fs.Path(e.path), false)
         catch { case scala.util.control.NonFatal(_) => () })
     }
-    kept
+    GeoManifest.entriesFromMessages(spark, schema, msgs, geomCol, partitions)
   }
 
   /** Align column order/types (+ GEOMETRY metadata) to the table schema. */
