@@ -893,18 +893,23 @@ object SparkEntry {
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqv.db")
       s.sql("DROP TABLE IF EXISTS geoeqv.db.sq")
       s.sql("CREATE TABLE geoeqv.db.sq (id BIGINT, nat BIGINT) USING geo")
-      s.sql("INSERT INTO geoeqv.db.sq SELECT c_custkey, c_nationkey FROM customer") // v1
-      s.sql("DELETE FROM geoeqv.db.sq WHERE id IN (5, 11, 23, 41, 77)")             // v2 eq
+      // the even half: the four verbs' semantics don't need the full
+      // table twice, and the oracle filters identically
+      s.sql("INSERT INTO geoeqv.db.sq SELECT c_custkey, c_nationkey FROM customer " +
+        "WHERE c_custkey % 2 = 0")                                                  // v1
+      s.sql("DELETE FROM geoeqv.db.sq WHERE id IN (4, 10, 22, 40, 78)")             // v2 eq
       s.sql("DELETE FROM geoeqv.db.sq WHERE id = 100")                              // v3 eq
       val root = java.nio.file.Files.createTempDirectory("geo_eqs_p").toString + "/t"
       graft.tables.GeoTable.create(s, root, s.sql(
-        "SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer"), None)
+        "SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
+          "WHERE c_custkey % 2 = 0"), None)
       graft.tables.GeoTable.register(s, "eqsql_path_t", root)
       graft.tables.GeoSql.exec(s, "DELETE FROM eqsql_path_t WHERE id IN " +
         "(SELECT c_custkey FROM customer WHERE c_custkey % 31 = 9)")
       s.sql("SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM customer " +
-        "WHERE c_custkey % 7 = 0 UNION ALL SELECT c_custkey + 10000000, " +
-        "CAST(-2 AS BIGINT) FROM customer WHERE c_custkey % 13 = 0")
+        "WHERE c_custkey % 7 = 0 AND c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey + 10000000, " +
+        "CAST(-2 AS BIGINT) FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 2 = 0")
         .createOrReplaceTempView("eqsql_path_src")
       graft.tables.GeoSql.exec(s,
         """MERGE INTO eqsql_path_t t USING eqsql_path_src s ON t.id = s.id
@@ -2659,17 +2664,18 @@ object SparkEntry {
     // the keyed MERGE (matched %7 rows -> nat -1 everywhere, unmatched
     // %31=9 non-%7 rows stay deleted, offset %13 rows inserted as -2)
     "geo_dml_delete_eq_sql" -> """
-      WITH p1 AS (
-        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer
-        WHERE c_custkey NOT IN (5, 11, 23, 41, 77) AND c_custkey <> 100),
+      WITH evens AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+      p1 AS (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM evens
+        WHERE c_custkey NOT IN (4, 10, 22, 40, 78) AND c_custkey <> 100),
       p2 AS (
-        SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM customer
+        SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM evens
         WHERE c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM evens
         WHERE c_custkey % 7 <> 0 AND c_custkey % 31 <> 9
         UNION ALL
-        SELECT c_custkey + 10000000, CAST(-2 AS BIGINT) FROM customer
+        SELECT c_custkey + 10000000, CAST(-2 AS BIGINT) FROM evens
         WHERE c_custkey % 13 = 0)
       SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
              CAST(SUM(nat) AS BIGINT) AS sum_nat
