@@ -108,25 +108,40 @@ case class MinHashSig(left: Expression, right: Expression, seed: Long = 42L)
 
   private val P = 4294967311L // prime > 2^32
 
-  @transient private lazy val coef: Array[(Long, Long)] = {
+  // parallel PRIMITIVE coefficient arrays (same values, same draw order
+  // as the original (a, b) tuple array): the inner loop below runs
+  // shingles * k times per row — at corpus scale hundreds of millions of
+  // iterations — and a boxed-tuple deref per iteration was measurably
+  // the hottest allocation-free overhead in the near-dup pipeline
+  @transient private lazy val coefA: Array[Long] = {
     val rnd = new java.util.Random(seed)
-    // a < 2^31 so a*x (x < 2^32) stays below 2^63 — no signed overflow,
-    // which would bias the hash and break Pr[collision] ≈ Jaccard
-    Array.fill(1024)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-      (rnd.nextLong() & Long.MaxValue) % P))
+    val a = new Array[Long](1024)
+    val b = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) {
+      // a < 2^31 so a*x (x < 2^32) stays below 2^63 — no signed overflow,
+      // which would bias the hash and break Pr[collision] ≈ Jaccard
+      a(i) = 1L + rnd.nextInt(Int.MaxValue - 1).toLong
+      b(i) = (rnd.nextLong() & Long.MaxValue) % P
+      i += 1
+    }
+    coefBRef = b
+    a
   }
+  @transient private var coefBRef: Array[Long] = _
+  @transient private lazy val coefB: Array[Long] = { coefA; coefBRef }
 
   def compute(sh: ArrayData, nh: Object): ArrayData = {
     val k = StKit.int(nh)
     require(k >= 1 && k <= 1024, s"minhash_sig supports 1..1024 hashes, got $k")
+    val ca = coefA; val cb = coefB
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < sh.numElements()) {
       val x = (sh.getInt(i).toLong & 0xffffffffL)
       var j = 0
       while (j < k) {
-        val (a, b) = coef(j)
-        val h = (a * x + b) % P
+        val h = (ca(j) * x + cb(j)) % P
         if (h < out(j)) out(j) = h
         j += 1
       }
@@ -443,29 +458,53 @@ case class CharNgramHashes(left: Expression, right: Expression) extends BinaryEx
 
   def compute(raw: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
     val bytes = raw.getBytes
-    // byte offsets of each code-point start (UTF-8 continuation = 10xxxxxx)
-    val offs = new scala.collection.mutable.ArrayBuffer[Int]()
+    // byte offsets of each code-point start (UTF-8 continuation = 10xxxxxx);
+    // two passes over the bytes fill a primitive array — no boxing
+    var nChars = 0
     var i = 0
     while (i < bytes.length) {
-      if ((bytes(i) & 0xc0) != 0x80) offs += i
+      if ((bytes(i) & 0xc0) != 0x80) nChars += 1
       i += 1
     }
-    offs += bytes.length
-    val nChars = offs.length - 1
-    val seen = new java.util.LinkedHashSet[java.lang.Integer]()
-    def hashRange(from: Int, until: Int): Unit =
-      seen.add(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(from),
-        offs(until) - offs(from), 42))
-    if (nChars <= k - 1) hashRange(0, nChars)
-    else {
-      var g = 0
-      while (g <= nChars - k) { hashRange(g, g + k); g += 1 }
+    val offs = new Array[Int](nChars + 1)
+    var oi = 0; i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(oi) = i; oi += 1 }
+      i += 1
     }
-    val out = new Array[Int](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    offs(nChars) = bytes.length
+    @inline def hashOf(from: Int, until: Int): Int =
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(from),
+        offs(until) - offs(from), 42)
+    if (nChars <= k - 1)
+      return new GenericArrayData(Array(hashOf(0, nChars)))
+    // first-occurrence-order dedup via a primitive open-addressing set:
+    // the gram loop runs len(text) times per row — a boxed LinkedHashSet
+    // here was one allocation per gram across the whole corpus
+    val nGrams = nChars - k + 1
+    var cap = 8
+    while (cap < nGrams * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    val order = new Array[Int](nGrams)
+    var n = 0
+    var g = 0
+    while (g <= nChars - k) {
+      val v = hashOf(g, g + k)
+      var idx = (v * -1640531527) & mask // Fibonacci spread, linear probe
+      var done = false
+      while (!done) {
+        if (!used(idx)) {
+          used(idx) = true; table(idx) = v; order(n) = v; n += 1; done = true
+        } else if (table(idx) == v) done = true
+        else idx = (idx + 1) & mask
+      }
+      g += 1
+    }
+    val out = new Array[Int](n)
+    System.arraycopy(order, 0, out, 0, n)
     new GenericArrayData(out)
   }
 
