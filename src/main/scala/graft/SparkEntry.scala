@@ -521,10 +521,15 @@ object SparkEntry {
         st_point(col("n_nationkey") * 400.0, lit(12.0)).as("ctr"))
       val pts = s.table("customer").select(col("c_custkey"),
         st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
-      graft.plans.KnnGridJoin.knnJoinPoints(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
-          col("n_nationkey"), k = 3, cellSize = 500.0)
-        .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
-        .orderBy(col("c_custkey"), col("knn_rank"))
+      // shuffle width sized to the data (the ladder's stages are many and
+      // small at this SF; per-task init would dominate at 32) — the plan
+      // SHAPE is identical at any width, which is what the query proves
+      withShufflePartitions(s, 8) {
+        graft.plans.KnnGridJoin.knnJoinPoints(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
+            col("n_nationkey"), k = 3, cellSize = 500.0)
+          .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
+          .orderBy(col("c_custkey"), col("knn_rank"))
+      }
     }),
 
     // ----- transformations (§2.5) -----
@@ -1363,9 +1368,13 @@ object SparkEntry {
                              + CASE WHEN c0 % 100 = 99 THEN 500 ELSE 0 END AS DOUBLE),
                         0.0D) AS geo
         FROM t""")
-      graft.ops.SpatialCluster.localOutlierFactor(pts, "id", "geo", k = 4,
-          driverNbrThreshold = 1L << 22, forceGrid = true)
-        .orderBy("id")
+      // same width-to-data sizing as spatial_knn_grid_join; scores are
+      // partitioning-independent by the rank-ordered fold contract
+      withShufflePartitions(s, 8) {
+        graft.ops.SpatialCluster.localOutlierFactor(pts, "id", "geo", k = 4,
+            driverNbrThreshold = 1L << 22, forceGrid = true)
+          .orderBy("id")
+      }
     }),
 
     // M-measure linear referencing (tier 5): measures assigned by

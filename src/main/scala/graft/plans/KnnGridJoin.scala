@@ -125,11 +125,13 @@ object KnnGridJoin {
           "cast explicitly or use a surrogate key")
     }
 
-    // a narrow source (a single parquet file at test scale, a small cached
-    // frame) would serialize each round's explode-join-aggregate map work
-    // on one thread; widen it to the cluster's parallelism before caching.
-    // At real scale inputs arrive wider than defaultParallelism already
-    // and this is a no-op.
+    // a narrow LEFT source (a single parquet file at test scale, a small
+    // cached frame) would serialize each round's explode-join-aggregate
+    // map work — the plan's hot side — on one thread; widen it to the
+    // cluster's parallelism before caching. At real scale inputs arrive
+    // wider than defaultParallelism already and this is a no-op. The
+    // right side is only projected and cell-keyed (the join itself
+    // re-shuffles it), so it keeps its native partitioning.
     val defPar = left.sparkSession.sparkContext.defaultParallelism
     def widen(df: DataFrame): DataFrame =
       if (df.rdd.getNumPartitions < defPar) df.repartition(defPar) else df
@@ -142,9 +144,9 @@ object KnnGridJoin {
     val rights =
       if (selfJoin)
         lefts.select(c("__lk").as("__nk"), c("lx").as("rx"), c("ly").as("ry"))
-      else widen(right.select(rightKey.cast("long").as("__nk"),
+      else right.select(rightKey.cast("long").as("__nk"),
           GraftFunctions.st_x(rightGeom).as("rx"), GraftFunctions.st_y(rightGeom).as("ry"))
-        .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull))
+        .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull)
         .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE pass per distinct side: count + key uniqueness + extent (the
