@@ -27,6 +27,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - ALTER TABLE t CREATE TAG name [AS OF VERSION n] | DROP TAG name
  *  - ALTER TABLE t CREATE | DROP | PUBLISH BRANCH name (write-audit-publish)
  *  - OPTIMIZE t [INTO n FILES] [WHERE pred] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
+ *  - CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]
  *  - RESTORE TABLE t TO VERSION AS OF n | 'ref' | TO TIMESTAMP AS OF 'ts'
  *
  * Split front/back: `GeoSqlParser` (injected via
@@ -69,6 +70,8 @@ object GeoSql {
   private val nonNativeGeomRe =
     """(?i)\bGEOMETRY\b(?!\s*\(\s*(?:\d+|ANY)\s*\))""".r
 
+  private val cloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val vacuumRe =
@@ -151,6 +154,8 @@ object GeoSql {
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterRenameCommand(name, from, to))
+    case cloneRe(target, source, v) if resolveRoot(source).isDefined =>
+      Some(GeoCloneCommand(target, source, Option(v).map(_.toInt)))
     case optimizeRe(name, nFiles, where) if resolveRoot(name).isDefined =>
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt), Option(where)))
     case vacuumRe(name, keep, unit) if resolveRoot(name).isDefined =>
@@ -710,6 +715,24 @@ case class GeoAlterRenameCommand(name: String, from: String, to: String) extends
     GeoTable.renameColumn(spark, root, from, to)
     GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
+  }
+}
+
+/** CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]: zero-copy clone
+  * (Delta analog) — the new table's manifest references the source's
+  * files by path; see [[GeoTable.shallowClone]] for semantics and the
+  * source-vacuum caveat. The target must be a geo-catalog-qualified
+  * name (its root derives from the catalog warehouse); arbitrary roots
+  * go through the Scala API. Returns the cloned version. */
+case class GeoCloneCommand(target: String, source: String,
+                           versionAsOf: Option[Int]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val srcRoot = GeoSql.rootOf(source)
+    val tgtRoot = GeoCatalog.resolveWarehouseRoot(target).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHALLOW CLONE target '$target' must be a geo-catalog-qualified name " +
+          "(for an explicit path use GeoTable.shallowClone)"))
+    Seq(Row(GeoTable.shallowClone(spark, srcRoot, tgtRoot, versionAsOf).toLong))
   }
 }
 

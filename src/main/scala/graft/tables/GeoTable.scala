@@ -146,6 +146,40 @@ object GeoTable {
     selected.length
   }
 
+  /**
+   * Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`
+   * analog): a new table whose first manifest references the SOURCE's
+   * data and sidecar files by path — no data moves. The clone then
+   * evolves independently: appends/CoW rewrites/MoR sidecars land under
+   * the clone's own root, and the clone's VACUUM only ever deletes under
+   * its own `data/` dir, so it can never touch source files. Version
+   * numbering starts AT the source's cloned version (not 0) so the
+   * copied per-file data sequence numbers (`addedAt`) stay below every
+   * future clone commit — equality-delete scoping keeps working. The
+   * clone's parent lineage starts at the clone (parent = -1): source
+   * history is not replayed into the clone's changelog.
+   *
+   * Caveat (same as Delta's): VACUUM or file-rewriting maintenance on
+   * the SOURCE removes files the clone may still reference — clone from
+   * tables whose history you retain, or fold the clone onto its own
+   * files with `OPTIMIZE` when the source's lifecycle is not yours.
+   *
+   * @return the cloned version
+   */
+  def shallowClone(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                   versionAsOf: Option[Int] = None): Int = {
+    require(GeoManifest.currentVersion(spark, targetRoot).isEmpty,
+      s"GeoTable already exists at $targetRoot")
+    val v = versionAsOf.getOrElse(GeoManifest.read(spark, sourceRoot).version)
+    val src = GeoManifest.readVersion(spark, sourceRoot, v)
+    GeoManifest.write(spark, targetRoot, src.copy(
+      baseShards = Seq.empty,    // inline the list; shards re-form under the clone
+      streamCommits = Map.empty, // fresh sink-identity space
+      commitTs = Some(System.currentTimeMillis()),
+      parent = Some(-1)))
+    v
+  }
+
   /** Compaction layout: Z-order when the table has a geometry column,
     * the table's own transform clustering when it is partitioned (a
     * compaction that un-clustered a partitioned table would destroy the

@@ -204,6 +204,71 @@ class GeoTableSpec extends SparkSpec {
     intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
   }
 
+  test("SHALLOW CLONE references source files; evolves and vacuums independently") {
+    val src = tmpRoot("clone_src")
+    GeoTable.create(spark, src,
+      spark.range(200).select(col("id"), (col("id") % 5).as("nat")), None) // v0
+    GeoTable.append(spark, src,
+      spark.range(200, 300).select(col("id"), (col("id") % 5).as("nat")))  // v1
+    GeoTable.delete(spark, src, col("id") % 9 === 0L, mode = "mor")        // v2: sidecar
+    val srcFiles = GeoManifest.read(spark, src).files.map(_.key).toSet
+
+    // clone at current: same content, zero data copied, shared paths
+    val tgt = tmpRoot("clone_tgt")
+    val v = GeoTable.shallowClone(spark, src, tgt)
+    assert(v == 2)
+    val cm = GeoManifest.read(spark, tgt)
+    assert(cm.version == 2 && cm.files.map(_.key).toSet == srcFiles)
+    assert(cm.deletes.nonEmpty, "the MoR sidecar is shared too")
+    def rows(root: String): Set[Long] =
+      GeoTable.read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+    assert(rows(tgt) == rows(src))
+    assert(!new java.io.File(tgt + "/data").exists() ||
+      new java.io.File(tgt + "/data").list().isEmpty, "zero-copy: no data under the clone")
+
+    // clone at an older version
+    val tgt1 = tmpRoot("clone_tgt1")
+    GeoTable.shallowClone(spark, src, tgt1, versionAsOf = Some(1))
+    assert(rows(tgt1) == (0L until 300L).toSet)
+
+    // independent evolution: writes land under the clone, source untouched
+    GeoTable.append(spark, tgt, spark.range(1000, 1010)
+      .select(col("id"), (col("id") % 5).as("nat")))                       // clone v3
+    GeoTable.delete(spark, tgt, col("id") === 7L, mode = "cow")            // clone v4
+    assert(rows(src) == (0L until 300L).filterNot(_ % 9 == 0).toSet, "source unchanged")
+    // the v2 position sidecar scopes to the files it names: rows appended
+    // AFTER the clone (1000-1009, including 1008 = 9*112) are untouched
+    assert(rows(tgt) == ((0L until 300L).filterNot(_ % 9 == 0)
+      ++ (1000L until 1010L)).filterNot(_ == 7L).toSet)
+    // eq-delete sequencing survives the version carry-over: an upsert's
+    // own rows outlive its delete leg
+    GeoTable.upsertByKey(spark, tgt, Seq("id"),
+      spark.range(1000, 1005).select(col("id"), lit(-1L).as("nat")))       // clone v5
+    assert(GeoTable.read(spark, tgt).where(col("nat") === -1L).count() == 5)
+
+    // the clone's vacuum only sweeps its OWN data dir: shared source
+    // files survive even when the clone no longer references them
+    GeoTable.compact(spark, tgt, targetFiles = 2)                          // re-homes all rows
+    val removed = GeoTable.vacuum(spark, tgt, keepVersions = 1)
+    assert(rows(src) == (0L until 300L).filterNot(_ % 9 == 0).toSet,
+      s"source must survive the clone's vacuum (removed $removed clone files)")
+    assert(GeoManifest.read(spark, src).files.map(_.key).toSet == srcFiles)
+
+    // SQL verb through catalog names (target derives from the warehouse)
+    spark.conf.set("spark.sql.catalog.geocl2", classOf[graft.tables.GeoCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("geo_cl2_wh").toString
+    spark.conf.set("spark.sql.catalog.geocl2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geocl2.db")
+    spark.sql("CREATE TABLE geocl2.db.src (id BIGINT, nat BIGINT) USING geo")
+    spark.sql("INSERT INTO geocl2.db.src SELECT id, id % 3 FROM range(0, 50)")
+    GeoSql.exec(spark, "CREATE TABLE geocl2.db.dup SHALLOW CLONE geocl2.db.src")
+    assert(spark.table("geocl2.db.dup").count() == 50)
+    // cloning onto an existing table is refused
+    val err = intercept[Exception](
+      GeoSql.exec(spark, "CREATE TABLE geocl2.db.dup SHALLOW CLONE geocl2.db.src"))
+    assert(err.getMessage.contains("already exists"))
+  }
+
   test("INSERT with explicit column list reorders and NULL-fills") {
     val root = tmpRoot("inscols")
     spark.sql(s"CREATE TABLE ins_t (id INT, data STRING, geo GEOMETRY) USING GEO LOCATION '$root'")
