@@ -953,6 +953,40 @@ object SparkEntry {
         FROM geoeqd.db.eq GROUP BY nat ORDER BY nat""")
     }),
 
+    // Zero-copy SHALLOW CLONE end-to-end (Delta analog): clone a table
+    // whose snapshot holds a CoW DELETE, then DIVERGE both sides — a
+    // further DELETE on the source and an INSERT into the clone. Phase 1
+    // pins the source's post-divergence content, phase 2 the clone's:
+    // the clone must keep reading the source's pre-divergence files by
+    // reference (no data was copied) while neither side sees the other's
+    // new commits. The oracle replays both phases as set algebra.
+    "geo_clone" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geocn").isEmpty) {
+        s.conf.set("spark.sql.catalog.geocn", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geocn.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_cn_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocn.db")
+      s.sql("DROP TABLE IF EXISTS geocn.db.dup")
+      s.sql("DROP TABLE IF EXISTS geocn.db.src")
+      s.sql("CREATE TABLE geocn.db.src (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geocn.db.src SELECT c_custkey, c_nationkey FROM customer " +
+        "WHERE c_custkey % 2 = 0")                                  // v1
+      s.sql("DELETE FROM geocn.db.src WHERE id % 5 = 0")            // v2 CoW
+      graft.tables.GeoSql.exec(s,
+        "CREATE TABLE geocn.db.dup SHALLOW CLONE geocn.db.src")
+      s.sql("DELETE FROM geocn.db.src WHERE id % 7 = 0")            // src diverges
+      s.sql("INSERT INTO geocn.db.dup SELECT c_custkey, c_nationkey FROM customer " +
+        "WHERE c_custkey % 2 = 1")                                  // dup diverges
+      s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM geocn.db.src
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geocn.db.dup
+        ORDER BY phase""")
+    }),
+
     // Spark 4.1 native GEOMETRY(srid) DDL end-to-end: CREATE with the
     // typed column (no TBLPROPERTIES workaround), INSERT through the
     // catalog, read back coordinates + the schema-carried CRS tag. The
@@ -2793,6 +2827,21 @@ object SparkEntry {
     "st_orderingequals_matrix" -> """
       SELECT p_partkey, TRUE AS same_order, FALSE AS rev_order, TRUE AS geo_equal
       FROM part ORDER BY p_partkey""",
+
+    // clone phases by set algebra: src = evens minus %5 minus %7; dup =
+    // (evens minus %5) plus odds — the clone kept the pre-divergence
+    // snapshot and neither side saw the other's commits
+    "geo_clone" -> """
+      WITH base AS (SELECT c_custkey AS id FROM customer
+                    WHERE c_custkey % 2 = 0 AND c_custkey % 5 <> 0)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM base WHERE id % 7 <> 0
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM (
+        SELECT id FROM base
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_custkey % 2 = 1)
+      ORDER BY phase""",
 
     // typed-DDL round trip reduces to the source coordinates + the CRS
     // the DDL declared
