@@ -521,15 +521,17 @@ object SparkEntry {
         st_point(col("n_nationkey") * 400.0, lit(12.0)).as("ctr"))
       val pts = s.table("customer").select(col("c_custkey"),
         st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("pt"))
-      // shuffle width sized to the data (the ladder's stages are many and
-      // small at this SF; per-task init would dominate at 32) — the plan
-      // SHAPE is identical at any width, which is what the query proves
-      withShufflePartitions(s, 8) {
-        graft.plans.KnnGridJoin.knnJoinPoints(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
-            col("n_nationkey"), k = 3, cellSize = 500.0)
-          .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
-          .orderBy(col("c_custkey"), col("knn_rank"))
-      }
+      // left x right is ~375k here, so the operator's pre-ladder bound
+      // routes this to the single bounded-product pass (the same decision
+      // its in-loop early exit makes, taken before paying for round 1);
+      // the full ring ladder stays driver-exercised by spatial_lof_grid's
+      // 15000^2 self-join. Session shuffle width + AQE coalescing handle
+      // task sizing — no hand-pinned width (r13 lesson: 8 long tasks were
+      // maximally exposed to ambient core contention in the driver bench).
+      graft.plans.KnnGridJoin.knnJoinPoints(pts, col("pt"), col("c_custkey"), ctr, col("ctr"),
+          col("n_nationkey"), k = 3, cellSize = 500.0)
+        .select(col("c_custkey"), col("n_nationkey"), col("knn_rank"))
+        .orderBy(col("c_custkey"), col("knn_rank"))
     }),
 
     // ----- transformations (§2.5) -----

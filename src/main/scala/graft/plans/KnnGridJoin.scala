@@ -38,6 +38,10 @@ import org.apache.spark.storage.StorageLevel
  *     remaining unresolved rows — by now a tiny set, guarded by
  *     `fallbackThreshold` — broadcast against the full right side and
  *     reduce through the same bounded top-k aggregate, map-side pruned.
+ *     When left x right is ALREADY within the bounded-product budget the
+ *     in-loop early exit uses, the fallback is entered directly, before
+ *     paying for round 1 — a ladder round (probe join + shuffle + count)
+ *     can only lose to the one bounded pass it would exit to anyway.
  *
  * The margin uses a conservative epsilon (coordinate-magnitude-scaled) so
  * sub-ulp rounding at a cell boundary can only DELAY a point's
@@ -68,16 +72,23 @@ object KnnGridJoin {
     * @param cellSize grid cell edge; aim for O(k) right points per cell
     * @param fallbackThreshold max unresolved rows the final
     *        broadcast-fallback pass may carry (isolated points only)
+    * @param boundedPassBudget max left-rows x right-rows product for which
+    *        ONE bounded fallback pass is taken instead of (more) ladder
+    *        rounds — both up front (skip the ladder entirely) and as the
+    *        in-loop early exit; 0 disables both, leaving only the
+    *        stragglers fallback after the ladder caps
     */
   def knnJoinPoints(
       left: DataFrame, leftGeom: Column, leftKey: Column,
       right: DataFrame, rightGeom: Column, rightKey: Column,
       k: Int, cellSize: Double,
       fallbackThreshold: Long = 1L << 22,
+      boundedPassBudget: Long = 1L << 26,
       verifyUniqueKeys: Boolean = true,
       checkpoint: Boolean = true): DataFrame = {
     val (exploded, release) = knnPairs(left, leftGeom, leftKey,
-      right, rightGeom, rightKey, k, cellSize, fallbackThreshold, verifyUniqueKeys)
+      right, rightGeom, rightKey, k, cellSize, fallbackThreshold,
+      boundedPassBudget, verifyUniqueKeys)
     try {
       val c = org.apache.spark.sql.functions.col _
       val out = left.withColumn("__lk", leftKey.cast("long"))
@@ -107,6 +118,7 @@ object KnnGridJoin {
       right: DataFrame, rightGeom: Column, rightKey: Column,
       k: Int, cellSize: Double,
       fallbackThreshold: Long = 1L << 22,
+      boundedPassBudget: Long = 1L << 26,
       verifyUniqueKeys: Boolean = true,
       selfJoin: Boolean = false): (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -125,19 +137,9 @@ object KnnGridJoin {
           "cast explicitly or use a surrogate key")
     }
 
-    // a narrow LEFT source (a single parquet file at test scale, a small
-    // cached frame) would serialize each round's explode-join-aggregate
-    // map work — the plan's hot side — on one thread; widen it to the
-    // cluster's parallelism before caching. At real scale inputs arrive
-    // wider than defaultParallelism already and this is a no-op. The
-    // right side is only projected and cell-keyed (the join itself
-    // re-shuffles it), so it keeps its native partitioning.
-    val defPar = left.sparkSession.sparkContext.defaultParallelism
-    def widen(df: DataFrame): DataFrame =
-      if (df.rdd.getNumPartitions < defPar) df.repartition(defPar) else df
-    val lefts = widen(left.select(leftKey.cast("long").as("__lk"),
+    val lefts = left.select(leftKey.cast("long").as("__lk"),
         GraftFunctions.st_x(leftGeom).as("lx"), GraftFunctions.st_y(leftGeom).as("ly"))
-      .where(c("__lk").isNotNull && c("lx").isNotNull && c("ly").isNotNull))
+      .where(c("__lk").isNotNull && c("lx").isNotNull && c("ly").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // selfJoin (LOF's shape): the right side IS the left side — one cached
     // projection, one extent/uniqueness pass, half the cache footprint
@@ -148,6 +150,9 @@ object KnnGridJoin {
           GraftFunctions.st_x(rightGeom).as("rx"), GraftFunctions.st_y(rightGeom).as("ry"))
         .where(c("__nk").isNotNull && c("rx").isNotNull && c("ry").isNotNull)
         .persist(StorageLevel.MEMORY_AND_DISK)
+    // hoisted above the try so the error path can release per-round caches
+    // too, not just the two side projections
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       // ONE pass per distinct side: count + key uniqueness + extent (the
       // extent feeds both the cell auto-sizing and the ring ladder)
@@ -187,9 +192,18 @@ object KnnGridJoin {
         aggCol(KnnTopKAgg(ex(d), ex(key), ex(lit(k))))
 
       val resolvedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var unresolved = lefts
       var remaining = lg.getLong(0)
+
+      // If one bounded product pass over (left x right) is already a
+      // trivial job, take the fallback DIRECTLY: every ladder round is a
+      // full probe-join + shuffle + count, so when left*right fits the
+      // same budget the in-loop early exit uses, round 1 can only lose.
+      // This is the in-loop early-exit decision, made before paying for
+      // round 1 — results are identical (the fallback computes the exact
+      // top-k over ALL right points with the same aggregate + tie-break).
+      val directFallback = remaining > 0 && rCount > 0 &&
+        remaining <= fallbackThreshold && remaining * rCount <= boundedPassBudget
 
       val dx = c("lx") - c("rx")
       val dy = c("ly") - c("ry")
@@ -223,7 +237,21 @@ object KnnGridJoin {
         }
 
       var r = math.min(r0, rCover)
-      var ringsLeft = true
+      var ringsLeft = !directFallback
+      if (ringsLeft && remaining > 0 && rCount > 0) {
+        // a narrow LEFT source (a single parquet file at test scale, a
+        // small cached frame) would serialize each round's
+        // explode-join-aggregate map work — the plan's hot side — on one
+        // thread; widen it to the cluster's parallelism before the ladder.
+        // At real scale inputs arrive wider than defaultParallelism
+        // already and this is a no-op. The right side is only projected
+        // and cell-keyed (the join itself re-shuffles it), so it keeps
+        // its native partitioning. Fallback-only runs skip the shuffle:
+        // their map side is the right side, not this frame.
+        val defPar = left.sparkSession.sparkContext.defaultParallelism
+        if (unresolved.rdd.getNumPartitions < defPar)
+          unresolved = unresolved.repartition(defPar)
+      }
       while (remaining > 0 && ringsLeft && rCount > 0) {
         // after a ladder-capping round (covers-all or the classic max of
         // 8) the loop exits and any stragglers take the fallback
@@ -279,7 +307,7 @@ object KnnGridJoin {
         // tail × rightCount is a trivially bounded pass, one fallback job
         // beats more ladder rounds (each round is a full join + shuffle)
         if (remaining > 0 && remaining <= fallbackThreshold &&
-            remaining * math.max(rCount, 1L) <= (1L << 26)) ringsLeft = false
+            remaining * math.max(rCount, 1L) <= boundedPassBudget) ringsLeft = false
         r = math.min(r * 2, rCover)
       }
 
@@ -316,6 +344,7 @@ object KnnGridJoin {
       (exploded, release)
     } catch {
       case t: Throwable =>
+        persisted.foreach(_.unpersist())
         lefts.unpersist()
         if (!selfJoin) rights.unpersist()
         throw t

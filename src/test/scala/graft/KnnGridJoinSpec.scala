@@ -38,8 +38,14 @@ class KnnGridJoinSpec extends SparkSpec {
     df.select(col("lid"), col("knn_rank"), col("knn_dist"), col("rid"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
 
+  // every fixture here is small enough that the pre-ladder bounded-product
+  // route would take the one-pass fallback; boundedPassBudget = 0 pins the
+  // LADDER on (without disabling the post-cap stragglers fallback) so each
+  // test exercises the internal path its name claims. The direct route has
+  // its own equality test below with the default budget.
   private def bothPaths(leftN: Int, rightN: Int, k: Int, cellSize: Double,
-                        fallbackThreshold: Long = 1L << 22): (Set[(Long, Int, Double, Long)], Set[(Long, Int, Double, Long)]) = {
+                        fallbackThreshold: Long = 1L << 22,
+                        boundedPassBudget: Long = 0L): (Set[(Long, Int, Double, Long)], Set[(Long, Int, Double, Long)]) = {
     val left = scatter(leftN, dupFrom = leftN - 10).withColumnRenamed("id", "lid")
       .withColumnRenamed("geo", "lgeo")
     val right = scatter(rightN, dupFrom = rightN + 1).withColumnRenamed("id", "rid")
@@ -47,7 +53,8 @@ class KnnGridJoinSpec extends SparkSpec {
     val bcast = SpatialJoin.knnJoin(left, col("lgeo"), col("lid"),
       right, col("rgeo"), col("rid"), k)
     val grid = KnnGridJoin.knnJoinPoints(left, col("lgeo"), col("lid"),
-      right, col("rgeo"), col("rid"), k, cellSize, fallbackThreshold)
+      right, col("rgeo"), col("rid"), k, cellSize, fallbackThreshold,
+      boundedPassBudget)
     (collectKnn(bcast), collectKnn(grid))
   }
 
@@ -74,6 +81,16 @@ class KnnGridJoinSpec extends SparkSpec {
     val (b, g) = bothPaths(50, 7, k = 20, cellSize = 10.0)
     assert(b == g)
     assert(g.size == 50 * 7)
+  }
+
+  test("grid == broadcast: pre-ladder bounded-product route (direct fallback)") {
+    // default budget: 300 x 80 is far under 2^26, so the operator skips the
+    // ladder and takes the single bounded pass — results must STILL be
+    // bit-identical to the broadcast path (same aggregate, same tie-break)
+    val (b, g) = bothPaths(300, 80, k = 5, cellSize = 30.0,
+      boundedPassBudget = 1L << 26)
+    assert(b == g)
+    assert(b.size == 300 * 5)
   }
 
   test("grid: empty right side yields zero rows with the knnJoin schema") {
@@ -108,12 +125,17 @@ class KnnGridJoinSpec extends SparkSpec {
     // kill auto-broadcast so a small-scale plan can't hide a broadcast the
     // 100 TB plan would not get; a ring-resolved run must then contain NO
     // BroadcastExchange at all (the fallback's bounded straggler broadcast
-    // is the only one ever allowed, and this cell size resolves ring-1)
+    // is the only one ever allowed, and this cell size resolves ring-1).
+    // fallbackThreshold = 0 pins the ladder on: at this fixture's scale
+    // the pre-ladder bounded-product route would otherwise take the
+    // fallback pass, which is exactly the broadcast this test forbids the
+    // LADDER from containing.
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val left = scatter(200, 195).withColumnRenamed("id", "lid").withColumnRenamed("geo", "lgeo")
       val right = scatter(80, 100).withColumnRenamed("id", "rid").withColumnRenamed("geo", "rgeo")
       val out = KnnGridJoin.knnJoinPoints(left, col("lgeo"), col("lid"),
-        right, col("rgeo"), col("rid"), 3, 40.0, checkpoint = false)
+        right, col("rgeo"), col("rid"), 3, 40.0, fallbackThreshold = 0L,
+        checkpoint = false)
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
