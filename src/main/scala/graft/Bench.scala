@@ -60,7 +60,11 @@ object Bench {
     // every rep to stderr (variance is the signal, min is the record).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { s =>
+      require(scala.util.Try(s.trim.toInt).toOption.exists(_ >= 1),
+        s"SPARK_GRAFT_BENCH_REPS must be a positive integer, got '$s'")
+      s.trim.toInt
+    }.getOrElse(2)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -86,14 +90,24 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}"""
     println(json)
-    // Durable copy: stdout has been head-truncated by log capture before
-    // (BENCH_r07's tail survived, its head did not). target/bench.json is
-    // the full artifact regardless of console buffering.
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+    // Durable copies: stdout has been head-truncated by log capture before
+    // (BENCH_r07's head was lost; BENCH_r13 kept only a 55-query tail
+    // fragment), so the console line is NOT the artifact of record. Only a
+    // FULL run (no ONLY filter) overwrites the durable files — a focused
+    // perf session must never replace the complete record with a subset.
+    // BENCH_full_latest.json lands at the repo root so the complete
+    // per-query record is auditable even when the console JSON is cut.
+    if (only.isEmpty) {
+      def write(p: java.nio.file.Path): Unit =
+        try {
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8")): Unit
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $p write failed: ${e.getMessage}") }
+      write(java.nio.file.Paths.get("target", "bench.json"))
+      write(java.nio.file.Paths.get("BENCH_full_latest.json"))
+    } else System.err.println(
+      "[bench] ONLY filter active: durable bench artifacts left untouched")
     spark.stop()
   }
 }

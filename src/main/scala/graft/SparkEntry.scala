@@ -461,21 +461,41 @@ object SparkEntry {
     // and the oracle pins the rewritten join's results.
     "spatial_rewrite_join" -> ((s, d) => {
       prep(s, d)
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
+      // Inject the rule + cellSize ONLY for this query's plan, restoring
+      // both afterwards: the require below forces executedPlan (memoized
+      // on the returned frame's QueryExecution), so later consumption of
+      // `out` keeps the rewritten plan while every OTHER query in the
+      // session plans under pristine state — no order-dependent plans.
+      val prevRules = s.experimental.extraOptimizations
+      val cellKey = "spark.graft.join.cellSize"
+      val prevCell = s.conf.getOption(cellKey)
+      if (!prevRules.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
         s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite(s)
-      s.conf.set("spark.graft.join.cellSize", "500.0")
-      val out = s.sql("""
-        SELECT n_nationkey, COUNT(*) AS n
-        FROM nation JOIN customer
-          ON st_contains(st_polygonfromenvelope(n_nationkey * 400.0D + 0.005D, -0.5D,
-                                                n_nationkey * 400.0D + 800.005D, 24.5D),
-                         st_point(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)))
-        GROUP BY n_nationkey ORDER BY n_nationkey""")
-      val plan = out.queryExecution.executedPlan.toString
-      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-        s"SpatialJoinRewrite did not fire:\n$plan")
-      out
+          prevRules :+ graft.plans.SpatialJoinRewrite(s)
+      s.conf.set(cellKey, "500.0")
+      try {
+        val out = s.sql("""
+          SELECT n_nationkey, COUNT(*) AS n
+          FROM nation JOIN customer
+            ON st_contains(st_polygonfromenvelope(n_nationkey * 400.0D + 0.005D, -0.5D,
+                                                  n_nationkey * 400.0D + 800.005D, 24.5D),
+                           st_point(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)))
+          GROUP BY n_nationkey ORDER BY n_nationkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"SpatialJoinRewrite did not fire:\n$plan")
+        // materialize the REWRITTEN plan before the finally restores the
+        // session: a later .count()/.write on the returned frame builds a
+        // fresh QueryExecution from the logical plan, which would re-plan
+        // without the rule — checkpointing pins what actually executed
+        out.localCheckpoint()
+      } finally {
+        s.experimental.extraOptimizations = prevRules
+        prevCell match {
+          case Some(v) => s.conf.set(cellKey, v)
+          case None => s.conf.unset(cellKey)
+        }
+      }
     }),
 
     "spatial_bcast_join" -> ((s, d) => {

@@ -17,8 +17,18 @@ import org.apache.spark.sql.catalyst.InternalRow
  */
 object GeoSidecarCache {
 
+  private val MaxEntries = 256
+
+  // access-ordered LRU: at capacity only the least-recently-USED entry is
+  // evicted — a driver serving many busy tables keeps its hot sidecars
+  // memoized instead of dumping all of them at once and re-loading
+  // everything (the old clear()-at-capacity behavior)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
+    new java.util.LinkedHashMap[String, java.lang.ref.SoftReference[AnyRef]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.ref.SoftReference[AnyRef]]): Boolean =
+        size() > MaxEntries
+    }
 
   /** Loads that could not be served from cache, per key — observable by
     * specs pinning the one-read-per-sidecar-set contract (keyed so
@@ -34,17 +44,20 @@ object GeoSidecarCache {
     n
   }
 
-  private val MaxEntries = 256
-
-  private def getOrLoad[A <: AnyRef](key: String)(load: => A): A = {
-    val ref = cache.get(key)
-    val hit = if (ref == null) null else ref.get()
+  // private[graft]: the LRU-survival spec drives the cache with synthetic
+  // keys (256+ real sidecar parquet files would make the spec IO-bound)
+  private[graft] def getOrLoad[A <: AnyRef](key: String)(load: => A): A = {
+    val hit = cache.synchronized {
+      val ref = cache.get(key) // get() refreshes LRU recency
+      if (ref == null) null else ref.get()
+    }
     if (hit != null) return hit.asInstanceOf[A]
     misses.incrementAndGet()
     loadCounts.merge(key, 1L, (a, b) => a + b)
     val v = load
-    if (cache.size() >= MaxEntries) cache.clear() // crude bound; entries reload on demand
-    cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+    cache.synchronized {
+      cache.put(key, new java.lang.ref.SoftReference[AnyRef](v)): Unit
+    }
     v
   }
 

@@ -82,6 +82,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     // entries from the writers' inline stats (stats schema pinned at plan
     // time like the write schema); computed once, reused across retries
     var entries: Seq[GeoManifest.FileEntry] = null
+    var entriesSpec: (Seq[GeoPartition.PTransform], Option[String]) = null
     val maxAttempts = 5
     var attempt = 0
     while (true) {
@@ -95,9 +96,23 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
         dropFiles(written.map(_.path))
         return
       }
-      if (entries == null)
-        entries = GeoManifest.entriesFromMessages(spark, m.schema,
-          written, m.geomCol, m.partitions)
+      // writer-inline stats were accumulated against the PLAN-TIME
+      // manifest's geomCol/partition transforms; pruning consumes the
+      // transform-range stats positionally, so if either drifted between
+      // stream planning and this commit attempt (partition specs are
+      // immutable today — this guards the invariant, not a live path),
+      // re-read the written files under the FRESH spec instead of
+      // committing misaligned stats. Recomputed only when the spec under
+      // the commit changes; otherwise reused across retries as before.
+      if (entries == null || entriesSpec != ((fresh.partitions, fresh.geomCol))) {
+        entriesSpec = (fresh.partitions, fresh.geomCol)
+        entries =
+          if (fresh.partitions == m.partitions && fresh.geomCol == m.geomCol)
+            GeoManifest.entriesFromMessages(spark, m.schema,
+              written, m.geomCol, m.partitions)
+          else GeoManifest.collectStats(spark, m.schema,
+            written.filter(_.rows > 0).map(_.path), fresh.geomCol, fresh.partitions)
+      }
       try {
         GeoManifest.commit(spark, root, fresh.copy(
           version = fresh.version + 1,

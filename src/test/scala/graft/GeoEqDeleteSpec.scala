@@ -363,6 +363,23 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(loads() == 3, s"got ${loads()} loads after a new delete commit")
   }
 
+  test("sidecar cache eviction is LRU: a hot key survives 256+ other inserts") {
+    // the old bound cleared the WHOLE cache at capacity, dumping every
+    // memoized sidecar at once; access-ordered LRU must keep a key that is
+    // touched between inserts alive through 300 cold insertions (if it
+    // were evicted, the load thunk below would run and fail the test)
+    val hot = s"lru-spec-hot-${System.nanoTime()}"
+    val v = graft.tables.GeoSidecarCache.getOrLoad(hot)(java.lang.Long.valueOf(42L))
+    assert(v.longValue() == 42L)
+    (1 to 300).foreach { i =>
+      graft.tables.GeoSidecarCache.getOrLoad(s"lru-spec-cold-$hot-$i")(
+        java.lang.Long.valueOf(i.toLong)): Unit
+      val again = graft.tables.GeoSidecarCache.getOrLoad(hot)(
+        sys.error(s"hot key evicted after $i cold inserts"): java.lang.Long)
+      assert(again.longValue() == 42L)
+    }
+  }
+
   test("restore and vacuum keep equality-delete sidecars consistent") {
     val root = freshTable(60, 3)                                  // v0
     GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L).toDF("id")) // v1
