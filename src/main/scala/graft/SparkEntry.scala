@@ -2011,6 +2011,61 @@ object SparkEntry {
         ORDER BY phase, k""")
     }),
 
+    // Storage-partitioned join END-TO-END (Iceberg SPJ analog): two geo
+    // tables co-bucketed on the join key; transform-clustered writes roll
+    // files at tuple boundaries (single-valued files), the scans report
+    // KeyGroupedPartitioning, and the equi-join plans with NO shuffle on
+    // either side — require'd in-plan (<=1 Exchange total: only the final
+    // group-by re-partitions). The oracle replays the join + aggregate
+    // from the raw source tables.
+    "geo_spj" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geospjq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geospjq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geospjq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_spjq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geospjq.db")
+      s.sql("DROP TABLE IF EXISTS geospjq.db.cust")
+      s.sql("DROP TABLE IF EXISTS geospjq.db.ord")
+      s.sql("CREATE TABLE geospjq.db.cust (c_custkey BIGINT, c_nationkey BIGINT) " +
+        "USING geo PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql("INSERT INTO geospjq.db.cust SELECT c_custkey, c_nationkey FROM customer")
+      s.sql("CREATE TABLE geospjq.db.ord (o_custkey BIGINT, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE) USING geo PARTITIONED BY (bucket(8, o_custkey))")
+      s.sql("INSERT INTO geospjq.db.ord " +
+        "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val j = s.sql("""
+          SELECT c.c_nationkey, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok,
+                 MAX(o.o_totalprice) AS max_price
+          FROM geospjq.db.cust c JOIN geospjq.db.ord o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")
+        val out = j.localCheckpoint() // finalizes the adaptive plan
+        val finalPlan = j.queryExecution.executedPlan
+        val inner = finalPlan.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+        }
+        val exchanges = (if (inner.isEmpty) Seq(finalPlan) else inner).flatMap(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        })
+        require(exchanges.length <= 1,
+          s"storage-partitioned join must not shuffle the join inputs " +
+            s"(${exchanges.length} exchanges):\n$finalPlan")
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Sharded manifest lists (format v5, the Iceberg manifest-list split):
     // with the shard threshold forced low, three multi-file appends and a
     // CoW delete run the full shard lifecycle — fresh shards, reuse across
@@ -3326,6 +3381,13 @@ object SparkEntry {
 
     // partitioned-table legs reduce to the same filters over the source:
     // storage clusters/prunes by transform but never changes row values
+    "geo_spj" -> """
+      SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+             COUNT(*) AS n, CAST(SUM(CAST(o.o_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
+             MAX(CAST(o.o_totalprice AS DOUBLE)) AS max_price
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY 1""",
+
     "geo_partitioned" -> """
       SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,
              o_totalprice AS price

@@ -42,12 +42,16 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
       .prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
+    // the write's requiredDistribution/Ordering sorts rows by the layout
+    // transforms, so the writer rolls files at tuple boundaries —
+    // single-valued files, the storage-partitioned-join precondition
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
+      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    val written = GeoCowCommitMessage.flatten(messages)
     // writer-collected inline stats: no read-back scan of the new files
     val entries = GeoManifest.entriesFromMessages(spark, m.schema,
       written, m.geomCol, m.partitions)
@@ -85,7 +89,7 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
+        GeoCowCommitMessage.flatten(messages).map(_.path)
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)
@@ -183,12 +187,15 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
       .prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
+    // branch writes carry the same clustering contract as main inserts,
+    // so they roll to single-valued files the same way
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
+      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    val written = GeoCowCommitMessage.flatten(messages)
     val entries = GeoManifest.entriesFromMessages(spark, m.schema,
       written, m.geomCol, m.partitions)
     val maxAttempts = 5
@@ -227,7 +234,7 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
         .getOrElse(Set.empty)
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
+        GeoCowCommitMessage.flatten(messages).map(_.path)
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)

@@ -165,7 +165,10 @@ object GeoChangelog {
                                     entries: Seq[GeoManifest.EqDeleteEntry],
                                     keepMeta: Boolean,
                                     extraPos: Option[DataFrame] = None): DataFrame = {
-    val affected = base.files.filter(f => entries.exists(_.appliesTo(f)))
+    // range-aware: a sidecar's recorded key range exempts files whose
+    // column range cannot intersect, so the CDC scan reads only files the
+    // delete could actually have touched
+    val affected = base.files.filter(f => entries.exists(base.eqApplies(_, f)))
     def visible(fs: Seq[FileEntry]): DataFrame = {
       var b = readFiles(spark, schema, fs).select(col("*"),
         col("_metadata.file_path").as("__vf"), col("_metadata.row_index").as("__vp"))

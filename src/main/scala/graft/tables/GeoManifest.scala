@@ -114,13 +114,39 @@ object GeoManifest {
     * with `addedAt < version` whose key tuple appears here is deleted.
     * Written WITHOUT scanning data files — the commit costs O(keys),
     * which is what a streaming upsert writer needs. Null keys never
-    * match (rows with a null key column are never equality-deleted). */
+    * match (rows with a null key column are never equality-deleted).
+    *
+    * `kmin`/`kmax` (single-column keys with a long embedding — the same
+    * embedding per-file transform stats use) bound the sidecar's key
+    * range: a file whose recorded range for that column cannot intersect
+    * it is exempt from this delete — reads skip the probe AND the sidecar
+    * load, folds skip the rewrite (see [[Manifest.eqApplies]]). None =
+    * unknown, the conservative applies-everywhere direction. */
   final case class EqDeleteEntry(path: String, rows: Long,
-                                 cols: Seq[String], version: Int) {
+                                 cols: Seq[String], version: Int,
+                                 kmin: Option[Long] = None,
+                                 kmax: Option[Long] = None) {
     def key: String = GeoManifest.norm(path)
-    /** True when this delete can affect rows of `f`. */
+    /** True when this delete can affect rows of `f` by SEQUENCE NUMBER
+      * alone; range-aware callers use [[Manifest.eqApplies]]. */
     def appliesTo(f: FileEntry): Boolean = f.addedAt < version
   }
+
+  /** Sequence-number + key-range applicability of an equality delete to a
+    * file: on top of `addedAt < version`, when the sidecar recorded a key
+    * range and some identity/stats transform recorded the file's range
+    * for that column, disjoint ranges prove the delete cannot match any
+    * row of the file. Every missing piece keeps the conservative answer. */
+  def eqApplies(partitions: Seq[GeoPartition.PTransform],
+                e: EqDeleteEntry, f: FileEntry): Boolean =
+    e.appliesTo(f) && (e.kmin.isEmpty || e.cols.length != 1 || {
+      val i = partitions.indexWhere(t =>
+        (t.kind == "identity" || t.kind == "stats") &&
+          t.col.equalsIgnoreCase(e.cols.head))
+      i < 0 || f.pstats.lift(i).forall { case (lo, hi) =>
+        hi >= e.kmin.get && lo <= e.kmax.get
+      }
+    })
 
   /** One immutable manifest shard (v5): `name` under `<root>/_manifests/`,
     * holding a slice of the version's `file` lines. `baseShards` on a
@@ -146,6 +172,10 @@ object GeoManifest {
                             baseShards: Seq[ShardRef] = Seq.empty,
                             eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
                             parent: Option[Int] = None) {
+    /** Range-aware equality-delete applicability under THIS manifest's
+      * transform list — see [[GeoManifest.eqApplies]]. */
+    def eqApplies(e: EqDeleteEntry, f: FileEntry): Boolean =
+      GeoManifest.eqApplies(partitions, e, f)
     /** Exact for position deletes; an UPPER bound while equality deletes
       * are live (their matched-row count is unknown until a scan). */
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
@@ -367,8 +397,11 @@ object GeoManifest {
     // shard-reuse check still recognizes every carried-over instance.
     val stamped = m0.files.map(e => if (e.addedAt < 0) e.copy(addedAt = m0.version) else e)
     // an equality delete that no remaining file predates can never match
-    // again (future files always get higher sequence numbers): GC it here
-    val liveEq = m0.eqDeletes.filter(e => stamped.exists(e.appliesTo))
+    // again (future files always get higher sequence numbers) — and one
+    // whose key range misses every remaining file's range is equally
+    // dead: GC both here
+    val liveEq = m0.eqDeletes.filter(e =>
+      stamped.exists(f => eqApplies(m0.partitions, e, f)))
     val m = m0.copy(files = stamped, eqDeletes = liveEq)
     val sharded = m.files.length >= ss
     val v6 = m.eqDeletes.nonEmpty
@@ -403,7 +436,13 @@ object GeoManifest {
     else m.files.foreach { e => lines ++= fileLine(e, v6) }
     m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
     m.eqDeletes.foreach { e =>
-      lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}\n"
+      // optional trailing kmin/kmax: readers take parts 1-4 and ignore a
+      // missing tail, so old manifests and range-less sidecars parse alike
+      val range = (e.kmin, e.kmax) match {
+        case (Some(a), Some(b)) => s"\t$a\t$b"
+        case _ => ""
+      }
+      lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}$range\n"
     }
     // manifest first (immutable, new name); the caller flips the pointer
     // (`_current` for main commits, the branch ref for branch commits)
@@ -504,7 +543,9 @@ object GeoManifest {
         case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
         case "eqdelete" =>
           eqDeletes += EqDeleteEntry(parts(1), parts(2).toLong,
-            parts(4).split(',').toSeq, parts(3).toInt)
+            parts(4).split(',').toSeq, parts(3).toInt,
+            kmin = if (parts.length >= 7) Some(parts(5).toLong) else None,
+            kmax = if (parts.length >= 7) Some(parts(6).toLong) else None)
         case "partition" => partitions += GeoPartition.decode(parts(1))
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares

@@ -186,7 +186,11 @@ object GeoPartition {
     * so a very wide table cannot bloat its manifest lines. */
   def statsFor(schema: StructType, existing: Seq[PTransform],
                cap: Int = 8): Seq[PTransform] = {
-    val covered = existing.map(_.col.toLowerCase).toSet
+    // a bucket transform does NOT cover its column for stats purposes:
+    // bucket min/max prunes only equality probes, while a stats entry on
+    // the raw column gives monotone range pruning AND the per-file key
+    // ranges equality-delete exemption needs (Manifest.eqApplies)
+    val covered = existing.filter(_.kind != "bucket").map(_.col.toLowerCase).toSet
     schema.fields.iterator
       .filter(f => supports("stats", f.dataType))
       .filterNot(f => covered.contains(f.name.toLowerCase))

@@ -194,21 +194,28 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     // path set, so repeated scans of an unchanged table load them once
     val deletedPos: Map[String, Array[Long]] =
       GeoSidecarCache.positions(spark, deletes)
+    // manifest-level partition pruning FIRST: per-file transform ranges
+    // vs the filter-derived bounds (conservative — underivable filters
+    // keep all) — so the sidecar selection below sees the narrowed set
+    val pruned =
+      if (partitions.nonEmpty && allFilters.nonEmpty)
+        GeoPartition.prune(files, partitions, tableSchema, allFilters)
+      else files
     // equality-delete keys load once driver-side as UnsafeRows cast to the
     // table column types — byte-layout-identical to what the reader's key
-    // projection emits, so membership is a hash-set probe on raw bytes
-    val eqGroups: Seq[GeoEqGroup] = eqDeletes.sortBy(_.version).map { e =>
+    // projection emits, so membership is a hash-set probe on raw bytes.
+    // Sidecars whose key range intersects NO surviving file are skipped
+    // entirely: a partition-scoped scan loads only the deletes that can
+    // touch it (O(intersecting sidecars), not O(live sidecars)).
+    val liveEq = eqDeletes.sortBy(_.version).filter(e =>
+      pruned.exists(f => GeoManifest.eqApplies(partitions, e, f)))
+    val eqGroups: Seq[GeoEqGroup] = liveEq.map { e =>
       GeoEqGroup(e.version, e.cols, GeoSidecarCache.eqKeys(spark, e, tableSchema))
     }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,
-      eqGroups, extraEqCols)
-    // manifest-level partition pruning: per-file transform ranges vs the
-    // filter-derived bounds (conservative — underivable filters keep all)
-    if (partitions.nonEmpty && allFilters.nonEmpty) {
-      val pruned = GeoPartition.prune(files, partitions, tableSchema, allFilters)
-      if (pruned.length < files.length) s.filterTo(pruned)
-    }
+      eqGroups, extraEqCols, partitions, liveEq)
+    if (pruned.length < files.length) s.filterTo(pruned)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
     onBuild(s)
@@ -230,13 +237,20 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
                  deletedPos: Map[String, Array[Long]] = Map.empty,
                  eqGroups: Seq[GeoEqGroup] = Seq.empty,
-                 extraEqCols: Seq[String] = Seq.empty)
-  extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+                 extraEqCols: Seq[String] = Seq.empty,
+                 partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                 eqEntries: Seq[GeoManifest.EqDeleteEntry] = Seq.empty)
+  extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
-  // file key -> data sequence number, for deciding which equality deletes
-  // apply to a partition's file (delete.version > file.addedAt)
-  private val addedAtByKey: Map[String, Int] =
-    if (eqGroups.isEmpty) Map.empty else allFiles.map(f => f.key -> f.addedAt).toMap
+  // file key -> ordinals (into eqGroups) of the equality deletes that can
+  // touch the file — sequence number AND key-range applicability, so a
+  // file outside a sidecar's key range never pays the probe
+  private val eqApplicableByKey: Map[String, Array[Int]] =
+    if (eqGroups.isEmpty) Map.empty
+    else allFiles.map(f => f.key -> eqEntries.zipWithIndex.collect {
+      case (e, i) if GeoManifest.eqApplies(partitions, e, f) => i
+    }.toArray).toMap
 
   @volatile private var current: Seq[FileEntry] = allFiles
   def scannedFiles: Seq[FileEntry] = current
@@ -309,6 +323,81 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
       s"[cow] filter on ${System.identityHashCode(this)}: preds=${predicates.map(_.name()).mkString(",")} -> files=${current.length}")
   }
 
+  // -------------------------------------------------------------------
+  // Storage-partitioned joins (Iceberg SPJ analog). When every scanned
+  // file is SINGLE-VALUED in every layout transform — which clustered
+  // writes produce and OPTIMIZE preserves — the scan reports
+  // KeyGroupedPartitioning over the transform expressions and tags each
+  // input split with its file's partition tuple. Two geo tables
+  // co-partitioned on the same transforms then equi-join on those keys
+  // with ZERO Exchange (under spark.sql.sources.v2.bucketing.enabled):
+  // at fact-fact scale that shuffle is the single biggest avoidable
+  // cost. Files without pstats (legacy, or a transform that saw nulls)
+  // or straddling several partition values simply disable the report —
+  // pruning and reading are unaffected, the join just shuffles as
+  // before. DML scans (needFile) keep their runtime-group-filter
+  // contract and never report.
+  // -------------------------------------------------------------------
+  private def layoutIdx: Seq[(GeoPartition.PTransform, Int)] =
+    partitions.zipWithIndex.filter(_._1.layout)
+
+  /** The file's partition tuple as catalyst-typed values, or None when
+    * the file is not single-valued on some layout transform. Values must
+    * carry the TYPE the resolved transform expression evaluates to:
+    * LongType for function transforms (every V2 transform function here
+    * returns LONG), the column's own type for identity (the long
+    * embedding maps back: DATE = epoch days int, TIMESTAMP = micros). */
+  private def keyValuesOf(f: FileEntry): Option[Seq[Any]] = {
+    if (f.pstats.length != partitions.length) return None
+    val vals = layoutIdx.map { case (t, i) =>
+      val (lo, hi) = f.pstats(i)
+      if (lo != hi) return None
+      if (t.kind == "identity") tableSchema(t.col).dataType match {
+        case org.apache.spark.sql.types.ByteType => lo.toByte
+        case org.apache.spark.sql.types.ShortType => lo.toShort
+        case org.apache.spark.sql.types.IntegerType => lo.toInt
+        case org.apache.spark.sql.types.DateType => lo.toInt
+        case _ => lo // LongType, TimestampType
+      } else lo
+    }
+    Some(vals)
+  }
+
+  /** (norm(path) -> partition key row, distinct tuple count), when EVERY
+    * current file qualifies. */
+  private def spjKeys: Option[(Map[String, InternalRow], Int)] = {
+    if (needFile || layoutIdx.isEmpty || current.isEmpty) return None
+    val snap = current
+    val kvs = snap.map(keyValuesOf)
+    if (kvs.exists(_.isEmpty)) None
+    else {
+      val vals = kvs.map(_.get)
+      Some((snap.zip(vals).map { case (f, vs) =>
+        f.key -> (InternalRow.fromSeq(vs): InternalRow)
+      }.toMap, vals.distinct.size))
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some((_, distinct)) =>
+        val exprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+          layoutIdx.map { case (t, _) =>
+            t.kind match {
+              case "identity" => Expressions.identity(t.col)
+              case "bucket" => Expressions.bucket(t.n, t.col)
+              case "truncate" => Expressions.apply("truncate",
+                Expressions.literal(Integer.valueOf(t.n)), Expressions.column(t.col))
+              case k => Expressions.apply(k, Expressions.column(t.col))
+            }
+          }
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          exprs.toArray, distinct)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   // NO caching of the partition plan: Spark probes the batch at PLANNING
   // time (e.g. for columnar support), and the runtime group filter only
   // arrives at EXECUTION time — planInputPartitions must therefore
@@ -323,6 +412,22 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = snapshotBatch().planInputPartitions()
+    val keyed = spjKeys
+    if (keyed.isDefined) {
+      // one partition per SPLIT, each tagged with its file's partition
+      // tuple; splits sharing a tuple are key-grouped by Spark's
+      // BatchScanExec. Also one-file-per-partition, so the MoR/eq/_file
+      // reader wrappers keep their per-partition-constant path contract.
+      val (keyMap, _) = keyed.get
+      val pfs = parts.flatMap(_.asInstanceOf[FilePartition].files)
+      val keys = pfs.map(pf => keyMap.get(GeoManifest.norm(pf.filePath.toString)))
+      if (keys.forall(_.isDefined))
+        return pfs.zipWithIndex.map { case (pf, i) =>
+          new GeoKeyedFilePartition(i, Array(pf), keys(i).get): InputPartition
+        }
+      // a split path missing from the manifest map should be impossible;
+      // degrade to the unkeyed plan rather than mis-group
+    }
     if (!needFile && deletedPos.isEmpty && eqGroups.isEmpty) parts
     else {
       // one partition per file split => the file path is a per-partition
@@ -351,9 +456,10 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
     val afterEq: PartitionReaderFactory =
       if (eqGroups.isEmpty) afterMor
       else {
-        val eqActive = current.exists(f => eqGroups.exists(_.version > f.addedAt))
+        val eqActive = current.exists(f =>
+          eqApplicableByKey.get(f.key).exists(_.nonEmpty))
         GeoEqReaderFactory(afterMor, postMorSchema, eqGroups, extraEqCols,
-          addedAtByKey, eqActive)
+          eqApplicableByKey, eqActive)
       }
     if (needFile) GeoAppendFileReaderFactory(afterEq) else afterEq
   }
@@ -362,6 +468,19 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
   // visible in explain output exactly as on the plain read path
   override def description(): String =
     s"GeoCowScan(files=${current.length}, needFile=$needFile) ${inner0.description()}"
+}
+
+/** A parquet file split carrying its file's partition-transform tuple —
+  * what lets Spark key-group the scan's output for storage-partitioned
+  * joins. IS-A [[FilePartition]] so every downstream reader factory
+  * (vectorized parquet, the MoR/eq/_file wrappers) treats it exactly as
+  * the stock split. */
+class GeoKeyedFilePartition(
+    index0: Int,
+    files0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+  extends FilePartition(index0, files0) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Wraps the parquet reader factory to append the row's file path as the
@@ -494,17 +613,21 @@ case class GeoEqReaderFactory(inner: PartitionReaderFactory,
                               innerSchema: StructType,
                               groups: Seq[GeoEqGroup],
                               extraCols: Seq[String],
-                              addedAtByKey: Map[String, Int],
+                              applicableByKey: Map[String, Array[Int]],
                               eqActive: Boolean)
   extends PartitionReaderFactory {
 
   private def pathOf(p: InputPartition): String =
     p.asInstanceOf[FilePartition].files.head.filePath.toString
 
-  private def applicable(p: InputPartition): Seq[GeoEqGroup] = {
-    val addedAt = addedAtByKey.getOrElse(GeoManifest.norm(pathOf(p)), 0)
-    groups.filter(_.version > addedAt)
-  }
+  // per-file applicable set precomputed driver-side (sequence number +
+  // key-range pruning); a file absent from the map conservatively probes
+  // every group
+  private def applicable(p: InputPartition): Seq[GeoEqGroup] =
+    applicableByKey.get(GeoManifest.norm(pathOf(p))) match {
+      case Some(idx) => idx.toSeq.map(groups)
+      case None => groups
+    }
 
   private val keepOrds: Seq[Int] =
     innerSchema.fields.indices.filterNot(i => extraCols.contains(innerSchema(i).name))
@@ -569,6 +692,22 @@ case class GeoCowCommitMessage(path: String, rows: Long,
                                stats: Option[GeoFileStats] = None)
   extends WriterCommitMessage
 
+/** A rolling writer's task message: several files from one task (one per
+  * partition-transform tuple the sorted input streamed through). */
+case class GeoCowTaskCommitMessage(files: Seq[GeoCowCommitMessage])
+  extends WriterCommitMessage
+
+object GeoCowCommitMessage {
+  /** Per-file messages regardless of task packing — every commit/abort
+    * path consumes writer output through this. */
+  def flatten(messages: Iterable[WriterCommitMessage]): Seq[GeoCowCommitMessage] =
+    messages.iterator.flatMap {
+      case m: GeoCowCommitMessage => Iterator.single(m)
+      case GeoCowTaskCommitMessage(fs) => fs.iterator
+      case _ => Iterator.empty
+    }.toSeq
+}
+
 /**
  * The ReplaceData write: executors write replacement parquet via Spark's
  * own ParquetOutputWriter; the driver commit collects per-file stats and
@@ -599,7 +738,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] commit: scanned=${scanned().map(_.length)} written=${messages.length}")
     val entries = GeoManifest.entriesFromMessages(spark, m.schema,
-      messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq,
+      GeoCowCommitMessage.flatten(messages),
       m.geomCol, m.partitions)
     val fresh = GeoManifest.read(spark, root)
     val replaced = scanned().map(_.map(_.key).toSet)
@@ -647,7 +786,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     // silently drop rows) before the swap.
     if (cmd == RowLevelOperation.Command.UPDATE) {
       val replacedRows = fresh.files.filter(f => replaced.contains(f.key)).map(_.rows).sum
-      val writtenRows = messages.collect { case GeoCowCommitMessage(_, n, _) => n }.sum
+      val writtenRows = GeoCowCommitMessage.flatten(messages).map(_.rows).sum
       if (writtenRows != replacedRows - hiddenInReplaced)
         throw new IllegalStateException(
           s"UPDATE on $root wrote $writtenRows row(s) but is replacing files holding " +
@@ -666,7 +805,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     try {
       val kept = entries.map(_.key).toSet
       val fs = GeoManifest.fs(spark, root)
-      messages.collect { case GeoCowCommitMessage(p, n, _) if n == 0 => p }
+      GeoCowCommitMessage.flatten(messages).collect { case m if m.rows == 0 => m.path }
         .foreach(p => if (!kept.contains(GeoManifest.norm(p))) fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -681,7 +820,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val dirKey = GeoManifest.norm(commitDir)
       if (live.exists(_.startsWith(dirKey + "/")))
-        messages.collect { case GeoCowCommitMessage(p, _, _) => p }
+        GeoCowCommitMessage.flatten(messages).map(_.path)
           .filterNot(p => live.contains(GeoManifest.norm(p)))
           .foreach(p => fs.delete(new Path(p), false))
       else fs.delete(new Path(commitDir), true)
@@ -691,21 +830,31 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
 /** `statsExprs` (bound against the TABLE schema; see
   * [[GeoManifest.boundStatsExprs]]) turn the writer into the stats
   * collector: bbox + transform ranges accumulate inline as rows stream
-  * through, so the commit needs no read-back scan of the new files. */
+  * through, so the commit needs no read-back scan of the new files.
+  *
+  * `rollIdx` (indices into the transform section of `statsExprs`) turns
+  * the writer into a PARTITIONED writer: because transform-clustered
+  * writes deliver rows sorted by the layout transforms, closing the
+  * current file and opening the next whenever the tuple changes yields
+  * files SINGLE-VALUED in every layout transform — the property that
+  * lets the scan report KeyGroupedPartitioning for storage-partitioned
+  * joins (the Iceberg fanout-writer analog, without the fanout: sorted
+  * input needs only one open file). `rollCap` bounds files-per-task so a
+  * degenerate layout (identity on a near-unique column) degrades to the
+  * old multi-valued files instead of exploding the file count. */
 case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    conf: SerializableConfiguration,
                                    dir: String, tableSchema: StructType,
                                    incoming: StructType, dataIdx: Array[Int],
                                    tag: String = "",
                                    statsExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
-                                   statsHasBbox: Boolean = false)
+                                   statsHasBbox: Boolean = false,
+                                   rollIdx: Array[Int] = Array.empty,
+                                   rollCap: Int = 64)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // `tag` disambiguates reuse of (partitionId, taskId) across epochs
-      // when the factory serves a streaming write (one file per epoch)
-      private val path = f"$dir/part-$partitionId%05d-$taskId$tag.parquet"
       private val ctx = new TaskAttemptContextImpl(conf.value,
         new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId % Int.MaxValue).toInt))
       // project by name when the incoming rows carry metadata columns
@@ -713,29 +862,83 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
         if (dataIdx.length == incoming.length && dataIdx.zipWithIndex.forall { case (a, b) => a == b }) null
         else UnsafeProjection.create(dataIdx.map(i =>
           BoundReference(i, incoming(i).dataType, incoming(i).nullable)))
-      private val writer = owf.newInstance(path, tableSchema, ctx)
-      private var n = 0L
 
-      // inline stats state (only when statsExprs were supplied)
+      // inline stats machinery (only when statsExprs were supplied)
       private val statsProj =
         if (statsExprs.isEmpty) null else UnsafeProjection.create(statsExprs)
       private val nT = statsExprs.length - (if (statsHasBbox) 1 else 0)
-      private var bx0 = Double.PositiveInfinity
-      private var by0 = Double.PositiveInfinity
-      private var bx1 = Double.NegativeInfinity
-      private var by1 = Double.NegativeInfinity
+      private val base = if (statsHasBbox) 1 else 0
+
+      // per-FILE state — reset on every roll
+      private var fileNo = 0
+      private var path: String = null
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = null
+      private var n = 0L
+      private var bx0 = 0.0; private var by0 = 0.0
+      private var bx1 = 0.0; private var by1 = 0.0
       private var seenGeom = false
       private val pmins = Array.fill(math.max(nT, 0))(Long.MaxValue)
       private val pmaxs = Array.fill(math.max(nT, 0))(Long.MinValue)
       private val pSeen = new Array[Boolean](math.max(nT, 0))
 
+      private val done = scala.collection.mutable.ListBuffer.empty[GeoCowCommitMessage]
+
+      // rolling state: the previous row's layout-transform tuple
+      private val rollOn = rollIdx.nonEmpty && statsProj != null
+      private val prevVals = new Array[Long](rollIdx.length)
+      private val prevNull = new Array[Boolean](rollIdx.length)
+      private var havePrev = false
+
+      private def openFile(): Unit = {
+        // `tag` disambiguates reuse of (partitionId, taskId) across epochs
+        // when the factory serves a streaming write; file 0 keeps the
+        // historical name, rolled files append -r<n>
+        path = f"$dir/part-$partitionId%05d-$taskId$tag" +
+          (if (fileNo == 0) "" else s"-r$fileNo") + ".parquet"
+        writer = owf.newInstance(path, tableSchema, ctx)
+        n = 0L
+        bx0 = Double.PositiveInfinity; by0 = Double.PositiveInfinity
+        bx1 = Double.NegativeInfinity; by1 = Double.NegativeInfinity
+        seenGeom = false
+        java.util.Arrays.fill(pmins, Long.MaxValue)
+        java.util.Arrays.fill(pmaxs, Long.MinValue)
+        java.util.Arrays.fill(pSeen, false)
+      }
+      openFile()
+
+      private def closeFile(): Unit = {
+        writer.close()
+        val stats =
+          if (statsProj == null) None
+          else Some(GeoFileStats(
+            if (seenGeom) bx0 else Double.NaN, if (seenGeom) by0 else Double.NaN,
+            if (seenGeom) bx1 else Double.NaN, if (seenGeom) by1 else Double.NaN,
+            pmins.clone(), pmaxs.clone(), pSeen.clone()))
+        done += GeoCowCommitMessage(path, n, stats)
+        fileNo += 1
+      }
+
       override def write(row: InternalRow): Unit = {
         val out = if (proj == null) row else proj(row)
+        val st = if (statsProj == null) null else statsProj(out)
+        if (rollOn) {
+          var changed = false
+          var j = 0
+          while (j < rollIdx.length) {
+            val idx = base + rollIdx(j)
+            val isNull = st.isNullAt(idx)
+            val v = if (isNull) 0L else st.getLong(idx)
+            if (havePrev && (isNull != prevNull(j) || (!isNull && v != prevVals(j))))
+              changed = true
+            prevNull(j) = isNull; prevVals(j) = v
+            j += 1
+          }
+          havePrev = true
+          if (changed && n > 0 && fileNo < rollCap - 1) { closeFile(); openFile() }
+        }
         writer.write(out)
         n += 1
-        if (statsProj != null) {
-          val st = statsProj(out)
-          val base = if (statsHasBbox) 1 else 0
+        if (st != null) {
           if (statsHasBbox && !st.isNullAt(0)) {
             val b = st.getStruct(0, 4)
             if (b.getDouble(0) < bx0) bx0 = b.getDouble(0)
@@ -757,19 +960,16 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
         }
       }
       override def commit(): WriterCommitMessage = {
-        writer.close()
-        val stats =
-          if (statsProj == null) None
-          else Some(GeoFileStats(
-            if (seenGeom) bx0 else Double.NaN, if (seenGeom) by0 else Double.NaN,
-            if (seenGeom) bx1 else Double.NaN, if (seenGeom) by1 else Double.NaN,
-            pmins, pmaxs, pSeen))
-        GeoCowCommitMessage(path, n, stats)
+        closeFile()
+        if (done.size == 1) done.head else GeoCowTaskCommitMessage(done.toSeq)
       }
       override def abort(): Unit = {
         try writer.close() catch { case scala.util.control.NonFatal(_) => () }
-        try new Path(path).getFileSystem(conf.value).delete(new Path(path), false)
-        catch { case scala.util.control.NonFatal(_) => () }
+        val fs = new Path(path).getFileSystem(conf.value)
+        (done.map(_.path) :+ path).distinct.foreach { p =>
+          try fs.delete(new Path(p), false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
       override def close(): Unit = ()
     }

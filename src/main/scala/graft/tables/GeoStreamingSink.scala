@@ -78,7 +78,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect { case msg: GeoCowCommitMessage => msg }.toSeq
+    val written = GeoCowCommitMessage.flatten(messages)
     // entries from the writers' inline stats (stats schema pinned at plan
     // time like the write schema); computed once, reused across retries
     var entries: Seq[GeoManifest.FileEntry] = null
@@ -136,7 +136,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     try {
       val live = GeoManifest.read(spark, root).files.map(_.key).toSet
       val fs = GeoManifest.fs(spark, root)
-      messages.collect { case GeoCowCommitMessage(p, _, _) => p }
+      GeoCowCommitMessage.flatten(messages).map(_.path)
         .filterNot(p => live.contains(GeoManifest.norm(p)))
         .foreach(p => fs.delete(new Path(p), false))
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -59,13 +59,17 @@ object GeoTable {
     * can't prune anything. `cellSize` is the Morton grid for zorder. */
   def create(spark: SparkSession, root: String, df: DataFrame,
              geomCol: Option[String] = None, zorder: Boolean = false,
-             cellSize: Double = 1.0): Unit = {
+             cellSize: Double = 1.0,
+             partitions: Seq[GeoPartition.PTransform] = Seq.empty): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
     val tagged = geomCol.filterNot(g => GeoSchema.isGeometry(df.schema(g)))
       .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
-    val laidOut = if (zorder) zorderBy(tagged, geomCol.get, cellSize) else tagged
-    val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol)
-    GeoManifest.write(spark, root, Manifest(0, tagged.schema, geomCol, files))
+    val laidOut =
+      if (zorder) zorderBy(tagged, geomCol.get, cellSize)
+      else GeoPartition.layout(tagged, partitions, tagged.schema)
+    val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol, partitions)
+    GeoManifest.write(spark, root,
+      Manifest(0, tagged.schema, geomCol, files, partitions = partitions))
   }
 
   /** Morton-clustered layout (same Z-ordering as GeoParquet.write). */
@@ -683,7 +687,10 @@ object GeoTable {
         .select("file_path").distinct()
         .collect().map(r => GeoManifest.norm(r.getString(0))).toSet
     val eqKeys: Set[String] = m.eqDeletes.flatMap { e =>
-      val app = m.files.filter(e.appliesTo)
+      // range-aware: the key-hit scan reads only files whose recorded
+      // column range can intersect this sidecar's key range — the fold
+      // cost follows the delete's locality, not the table
+      val app = m.files.filter(f => m.eqApplies(e, f))
       if (app.isEmpty) Seq.empty
       else {
         val b = readFiles(spark, m.schema, app)
@@ -862,12 +869,29 @@ object GeoTable {
         "malformed keys, refusing to silently skip them")
     val tuples = withCast.select(resolved.map(col): _*)
       .na.drop("any").distinct().localCheckpoint()
-    val n = tuples.count()
+    // count + key range in ONE pass: a single-column key with a long
+    // embedding records the sidecar's min/max in the manifest entry, and
+    // reads/folds then skip every file whose recorded range for that
+    // column cannot intersect (Manifest.eqApplies)
+    val rangeCol: Option[Column] =
+      if (resolved.length == 1 &&
+          GeoPartition.supports("stats", m.schema(resolved.head).dataType))
+        Some(GeoPartition.transformCol(
+          GeoPartition.PTransform("stats", 0, resolved.head), m.schema))
+      else None
+    val st = rangeCol match {
+      case Some(tc) => tuples.agg(count(lit(1)), min(tc), max(tc)).head()
+      case None => tuples.agg(count(lit(1))).head()
+    }
+    val n = st.getLong(0)
     if (n == 0) return None
+    val (kmin, kmax) =
+      if (rangeCol.isDefined && !st.isNullAt(1)) (Some(st.getLong(1)), Some(st.getLong(2)))
+      else (None, None)
     val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
     tuples.coalesce(1).write.parquet(dir)
     val path = GeoManifest.listParquet(spark, dir).head
-    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1), n))
+    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1, kmin, kmax), n))
   }
 
   /**
@@ -1132,9 +1156,12 @@ object GeoTable {
   private[tables] def applyEqDeletes(spark: SparkSession, m: Manifest, files: Seq[FileEntry])
                                     (readCohort: Seq[FileEntry] => DataFrame): DataFrame = {
     if (m.eqDeletes.isEmpty || files.isEmpty) return readCohort(files)
-    files.groupBy(f => m.eqDeletes.filter(_.appliesTo(f)).map(_.key).toSet)
-      .map { case (_, fs) =>
-        val applicable = m.eqDeletes.filter(_.appliesTo(fs.head))
+    // cohorts by range-aware applicable set: key-range pruning exempts
+    // whole files from a delete's anti-join (and often leaves the empty
+    // cohort, which reads with no eq work at all)
+    files.groupBy(f => m.eqDeletes.filter(m.eqApplies(_, f)).map(_.key).toSet)
+      .map { case (keys, fs) =>
+        val applicable = m.eqDeletes.filter(e => keys.contains(e.key))
         applicable.foldLeft(readCohort(fs))((df, e) => antiJoinEq(spark, df, e))
       }.reduce(_ unionByName _)
   }
@@ -1181,16 +1208,21 @@ object GeoTable {
     GeoManifest.fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(dir))
     val incoming = df.schema
     val dataIdx = schema.fields.map(f => incoming.fieldIndex(f.name))
+    // layout()-clustered input arrives sorted by the layout transforms:
+    // the writer rolls files at tuple boundaries (single-valued files,
+    // the storage-partitioned-join precondition)
     val factory = GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
-      dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
-    val msgs = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
-      try {
-        while (it.hasNext) w.write(it.next())
-        Iterator.single(w.commit().asInstanceOf[GeoCowCommitMessage])
-      } catch { case t: Throwable => w.abort(); throw t }
-    }.collect().toSeq
+      dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
+      rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
+    val msgs = GeoCowCommitMessage.flatten(
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+        try {
+          while (it.hasNext) w.write(it.next())
+          Iterator.single(w.commit())
+        } catch { case t: Throwable => w.abort(); throw t }
+      }.collect().toSeq)
     // empty shuffle partitions (common under pinned-count partition
     // layout) write zero-row files: drop them from disk AND the manifest
     val empty = msgs.filter(_.rows == 0)

@@ -74,6 +74,27 @@ object EqCdcScale {
       println(s"           cdc(0,1)=del:$delRows/ins:$insRows " +
         s"cdc(1,2)=del:${upsCounts._1}/ins:${upsCounts._2} " +
         s"net(0,2)=$netRows read=$readRows (expect del:1000, ins:1000, read=$n)")
+
+      // RANGE-LOCAL scenario (manifest key ranges, r14): same table size,
+      // stats transform on id + keys clustered in the last 0.1% of the id
+      // space. The sidecar's recorded kmin/kmax must exempt every file
+      // whose id range misses it, so read and fold costs follow the
+      // DELETE's locality, not the table — the column to watch is
+      // loc-fold(s) staying flat as n grows.
+      val rootL = java.nio.file.Files.createTempDirectory("eqcdcL").toString + "/t"
+      GeoTable.create(spark, rootL,
+        spark.range(n).select(col("id"),
+          concat(lit("v"), col("id")).as("v")).repartitionByRange(16, col("id")), None,
+        partitions = Seq(graft.tables.GeoPartition.PTransform("stats", 0, "id")))
+      val localKeys = spark.range(1000).select((lit(n - 1000) + col("id")).as("id"))
+        .localCheckpoint()
+      val (_, tEqDelL) = time(GeoTable.deleteByKey(spark, rootL, Seq("id"), localKeys))
+      val (readL, tReadL) = time(GeoTable.read(spark, rootL).count())
+      val (_, tFoldL) = time(GeoTable.foldSidecars(spark, rootL))
+      val mL = GeoManifest.read(spark, rootL)
+      println(f"           range-local: eqDel=$tEqDelL%.2f read=$tReadL%.2f " +
+        f"loc-fold=$tFoldL%.2f read-rows=$readL (expect ${n - 1000}) " +
+        f"files=${mL.files.length}")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.tables.{GeoCatalog, GeoManifest, GeoSql, GeoTable}
+import graft.tables.{GeoCatalog, GeoManifest, GeoPartition, GeoSql, GeoTable}
 
 import org.apache.spark.sql.functions._
 
@@ -361,6 +361,51 @@ class GeoEqDeleteSpec extends SparkSpec {
     GeoTable.deleteByKey(spark, root, Seq("id"), Seq(4L).toDF("id"))
     (1 to 3).foreach(_ => assert(readAll() == 96))
     assert(loads() == 3, s"got ${loads()} loads after a new delete commit")
+  }
+
+  test("equality-delete key ranges exempt non-intersecting files") {
+    // 4 range-clustered files over id 0..999 with a stats transform on id:
+    // a delete keyed in the LAST file's range must record kmin/kmax in the
+    // manifest, exempt the other files (eqApplies), and fold by rewriting
+    // ONLY the intersecting file — the untouched files carry over by path
+    val root = java.nio.file.Files.createTempDirectory("geo_eqr").toString + "/t"
+    GeoTable.create(spark, root,
+      spark.range(1000).select($"id", concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(4, $"id"), None,
+      partitions = Seq(GeoPartition.PTransform("stats", 0, "id")))
+    GeoTable.deleteByKey(spark, root, Seq("id"), (900L to 909L).toDF("id"))
+    val m = GeoManifest.read(spark, root)
+    assert(m.eqDeletes.length == 1)
+    val e = m.eqDeletes.head
+    assert(e.kmin.contains(900L) && e.kmax.contains(909L),
+      s"sidecar must record its key range, got ${e.kmin}..${e.kmax}")
+    val exempt = m.files.filter(f => !m.eqApplies(e, f)).map(_.key).toSet
+    val touched = m.files.filterNot(f => exempt.contains(f.key)).map(_.key).toSet
+    assert(exempt.size == 3 && touched.size == 1,
+      s"3 of 4 range files must be exempt: exempt=${exempt.size} touched=${touched.size}")
+    assert(GeoTable.read(spark, root).count() == 990)
+    GeoTable.foldSidecars(spark, root)
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.eqDeletes.isEmpty)
+    assert(exempt.subsetOf(m2.files.map(_.key).toSet),
+      "fold must carry every exempt file over by reference")
+    assert(touched.intersect(m2.files.map(_.key).toSet).isEmpty,
+      "fold must rewrite the intersecting file")
+    assert(GeoTable.read(spark, root).count() == 990)
+    assert(GeoTable.read(spark, root).where($"id" === 905L).count() == 0)
+    assert(GeoTable.read(spark, root).where($"id" === 899L).count() == 1)
+  }
+
+  test("a delete whose key range misses every file GCs at its own commit") {
+    val root = java.nio.file.Files.createTempDirectory("geo_eqg").toString + "/t"
+    GeoTable.create(spark, root,
+      spark.range(100).select($"id", concat(lit("v"), $"id").as("v")),
+      None, partitions = Seq(GeoPartition.PTransform("stats", 0, "id")))
+    GeoTable.deleteByKey(spark, root, Seq("id"), (5000L to 5009L).toDF("id"))
+    val m = GeoManifest.read(spark, root)
+    assert(m.eqDeletes.isEmpty,
+      "a range-disjoint delete can never match and must GC at commit")
+    assert(GeoTable.read(spark, root).count() == 100)
   }
 
   test("sidecar cache eviction is LRU: a hot key survives 256+ other inserts") {

@@ -145,10 +145,14 @@ class GeoPartitionSpec extends SparkSpec {
       FROM range(0, 8000)""")
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
     val m = GeoManifest.read(spark, warehouse + "/db/multi")
+    // bucket does not cover its column for stats purposes: an auto
+    // stats(id) entry rides along, giving monotone id-range pruning and
+    // equality-delete key-range exemption on top of the bucket layout
     assert(m.partitions == Seq(
       GeoPartition.PTransform("bucket", 4, "id"),
-      GeoPartition.PTransform("days", 0, "ts")))
-    assert(m.files.filter(_.rows > 0).forall(_.pstats.length == 2),
+      GeoPartition.PTransform("days", 0, "ts"),
+      GeoPartition.PTransform("stats", 0, "id")))
+    assert(m.files.filter(_.rows > 0).forall(_.pstats.length == 3),
       "per-file stats carry a RANGE PER TRANSFORM")
     val all = scannedFiles("SELECT * FROM geopt.db.multi")
     val byId = scannedFiles("SELECT * FROM geopt.db.multi WHERE id = 77")

@@ -1,0 +1,158 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoManifest}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/**
+ * Storage-partitioned joins (SURVEY.md §2.8b; Iceberg SPJ analog): two geo
+ * tables co-partitioned on the same transforms equi-join with ZERO shuffle
+ * Exchange. The write side makes it possible — transform-clustered writes
+ * roll files at tuple boundaries, so every file is single-valued in every
+ * layout transform and the scan can report KeyGroupedPartitioning with a
+ * per-split partition key.
+ */
+class GeoSpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_spj_wh").toString
+    spark.conf.set("spark.sql.catalog.geospj", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geospj.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geospj.db")
+    dir
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** All shuffle exchanges anywhere in the (possibly adaptive) plan. */
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] = {
+    df.count() // finalize any adaptive plan first
+    val plan = df.queryExecution.executedPlan
+    val roots = plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (if (roots.isEmpty) Seq(plan) else roots).flatMap(_.collect {
+      case s: ShuffleExchangeExec => s
+    })
+  }
+
+  private val spjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  test("bucket-co-partitioned tables join with zero shuffle") {
+    warehouse
+    spark.sql("CREATE TABLE geospj.db.fact (id BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE geospj.db.dim (id BIGINT, w STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO geospj.db.fact SELECT id, concat('f', id) FROM range(0, 4000)")
+    spark.sql("INSERT INTO geospj.db.dim SELECT id, concat('d', id) FROM range(0, 1000)")
+
+    // precondition the writer guarantees: every file single-valued in the
+    // bucket transform (roll-at-tuple-boundary), so the scan can report
+    // KeyGroupedPartitioning
+    for (t <- Seq("fact", "dim")) {
+      val m = GeoManifest.read(spark, s"$warehouse/db/$t")
+      val live = m.files.filter(_.rows > 0)
+      assert(live.nonEmpty)
+      assert(live.forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2),
+        s"$t: files must be single-valued in bucket(4, id): " +
+          live.map(_.pstats).mkString(", "))
+    }
+
+    withSQLConf(spjConfs: _*) {
+      val j = spark.sql(
+        """SELECT f.id, f.v, d.w FROM geospj.db.fact f
+          |JOIN geospj.db.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(j).isEmpty,
+        s"storage-partitioned join must plan no Exchange:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 1000)
+      // correctness: identical to the join computed with SPJ disabled
+      val expected = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(
+          """SELECT f.id, f.v, d.w FROM geospj.db.fact f
+            |JOIN geospj.db.dim d ON f.id = d.id""".stripMargin)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(j.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
+  test("identity-co-partitioned tables join with zero shuffle") {
+    warehouse
+    spark.sql("CREATE TABLE geospj.db.li (k BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE geospj.db.ri (k BIGINT, w STRING) USING geo " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO geospj.db.li SELECT id % 5, concat('l', id) FROM range(0, 2000)")
+    spark.sql("INSERT INTO geospj.db.ri SELECT id % 5, concat('r', id) FROM range(0, 500)")
+    withSQLConf(spjConfs: _*) {
+      val j = spark.sql(
+        "SELECT l.k, count(*) AS n FROM geospj.db.li l JOIN geospj.db.ri r ON l.k = r.k " +
+          "GROUP BY l.k")
+      // the JOIN itself must not shuffle; the groupBy on k rides the same
+      // key-grouped partitioning, so the whole query is exchange-free
+      assert(shuffles(j).isEmpty,
+        s"identity SPJ must plan no Exchange:\n${j.queryExecution.executedPlan}")
+      assert(j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        (0L to 4L).map(k => k -> 40000L).toMap)
+    }
+  }
+
+  test("non-co-partitioned and unpartitioned joins still shuffle correctly") {
+    warehouse
+    spark.sql("CREATE TABLE geospj.db.plain (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geospj.db.plain SELECT id, concat('p', id) FROM range(0, 1000)")
+    withSQLConf(spjConfs: _*) {
+      // unpartitioned side: no KeyGroupedPartitioning -> normal shuffled join
+      val j = spark.sql(
+        """SELECT f.id, p.v FROM geospj.db.fact f
+          |JOIN geospj.db.plain p ON f.id = p.id""".stripMargin)
+      assert(shuffles(j).nonEmpty, "a plain-side join must still shuffle")
+      assert(j.count() == 1000)
+    }
+  }
+
+  test("DML-rewritten files fall back to shuffled joins until OPTIMIZE restores SPJ") {
+    warehouse
+    spark.sql("CREATE TABLE geospj.db.mut (id BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO geospj.db.mut SELECT id, concat('m', id) FROM range(0, 2000)")
+    // CoW UPDATE rewrites whole files WITHOUT transform clustering: the
+    // rewritten files may straddle bucket values, and the scan must then
+    // report UnknownPartitioning (correctness first) ...
+    spark.sql("UPDATE geospj.db.mut SET v = 'upd' WHERE id < 1500")
+    val m1 = GeoManifest.read(spark, s"$warehouse/db/mut")
+    val singleValued = m1.files.filter(_.rows > 0)
+      .forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2)
+    withSQLConf(spjConfs: _*) {
+      val j1 = spark.sql(
+        """SELECT a.id FROM geospj.db.mut a JOIN geospj.db.dim d ON a.id = d.id""")
+      if (!singleValued) assert(shuffles(j1).nonEmpty)
+      assert(j1.count() == 1000)
+      // ... and OPTIMIZE re-clusters through the rolling writer, making
+      // every file single-valued again: SPJ comes back
+      graft.tables.GeoSql.exec(spark, "OPTIMIZE geospj.db.mut")
+      val m2 = GeoManifest.read(spark, s"$warehouse/db/mut")
+      assert(m2.files.filter(_.rows > 0)
+        .forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2),
+        "OPTIMIZE must restore single-valued files")
+      val j2 = spark.sql(
+        """SELECT a.id FROM geospj.db.mut a JOIN geospj.db.dim d ON a.id = d.id""")
+      assert(shuffles(j2).isEmpty,
+        s"post-OPTIMIZE join must be exchange-free:\n${j2.queryExecution.executedPlan}")
+      assert(j2.count() == 1000)
+    }
+  }
+}
