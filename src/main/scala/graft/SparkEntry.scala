@@ -2066,6 +2066,50 @@ object SparkEntry {
       }
     }),
 
+    // ANALYZE TABLE column statistics END-TO-END: NDV/min-max collected
+    // into the manifest, reported through the scan's V2 column stats, and
+    // CBO then picks a broadcast join for the selective filter — the
+    // require pins the plan (static, pre-AQE: >=1 broadcast hash join,
+    // zero sort-merge), the oracle pins the results.
+    "geo_analyze" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoanaq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoanaq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoanaq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_anaq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoanaq.db")
+      s.sql("DROP TABLE IF EXISTS geoanaq.db.ord")
+      s.sql("DROP TABLE IF EXISTS geoanaq.db.cust")
+      s.sql("CREATE TABLE geoanaq.db.ord (o_orderkey BIGINT, o_custkey BIGINT) USING geo")
+      s.sql("INSERT INTO geoanaq.db.ord SELECT o_orderkey, o_custkey FROM orders")
+      s.sql("CREATE TABLE geoanaq.db.cust (c_custkey BIGINT, c_nationkey BIGINT) USING geo")
+      s.sql("INSERT INTO geoanaq.db.cust SELECT c_custkey, c_nationkey FROM customer")
+      graft.tables.GeoSql.exec(s,
+        "ANALYZE TABLE geoanaq.db.ord COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+      val confs = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "16384")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val j = s.sql("""
+          SELECT c.c_custkey, c.c_nationkey FROM geoanaq.db.ord o
+          JOIN geoanaq.db.cust c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderkey = 1 ORDER BY c.c_custkey""")
+        val p = j.queryExecution.sparkPlan
+        val bhj = p.collect {
+          case x: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => x }.size
+        val smj = p.collect {
+          case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x }.size
+        require(bhj >= 1 && smj == 0,
+          s"NDV stats must drive a static broadcast plan (bhj=$bhj smj=$smj):\n$p")
+        j.localCheckpoint()
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Sharded manifest lists (format v5, the Iceberg manifest-list split):
     // with the shard threshold forced low, three multi-file appends and a
     // CoW delete run the full shard lifecycle — fresh shards, reuse across
@@ -3381,6 +3425,12 @@ object SparkEntry {
 
     // partitioned-table legs reduce to the same filters over the source:
     // storage clusters/prunes by transform but never changes row values
+    "geo_analyze" -> """
+      SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+             CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey = 1 ORDER BY c.c_custkey""",
+
     "geo_spj" -> """
       SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
              COUNT(*) AS n, CAST(SUM(CAST(o.o_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,

@@ -659,7 +659,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     // compaction first.
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
       streamRoot = Some(root), partitions = manifest.partitions,
-      deletes = manifest.deletes, eqDeletes = manifest.eqDeletes)
+      deletes = manifest.deletes, eqDeletes = manifest.eqDeletes,
+      colStats = manifest.colStats)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

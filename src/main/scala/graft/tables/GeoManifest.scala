@@ -148,6 +148,17 @@ object GeoManifest {
       }
     })
 
+  /** Table-level column statistics from `ANALYZE TABLE ... FOR COLUMNS`
+    * (Iceberg table-stats analog): approximate NDV + null count, plus
+    * min/max in the long embedding for columns that have one (the same
+    * embedding per-file transform stats use). Surfaced through the scan's
+    * `SupportsReportStatistics.columnStats()` so Catalyst's CBO can pick
+    * broadcast joins and order joins BEFORE runtime. Estimates, not
+    * invariants: DML after an ANALYZE leaves them stale until the next
+    * ANALYZE, exactly as every table format treats column stats. */
+  final case class ColStat(ndv: Long, nulls: Long,
+                           min: Option[Long], max: Option[Long])
+
   /** One immutable manifest shard (v5): `name` under `<root>/_manifests/`,
     * holding a slice of the version's `file` lines. `baseShards` on a
     * read manifest records the layout so the NEXT commit can reference
@@ -171,7 +182,8 @@ object GeoManifest {
                             partitions: Seq[GeoPartition.PTransform] = Seq.empty,
                             baseShards: Seq[ShardRef] = Seq.empty,
                             eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
-                            parent: Option[Int] = None) {
+                            parent: Option[Int] = None,
+                            colStats: Map[String, ColStat] = Map.empty) {
     /** Range-aware equality-delete applicability under THIS manifest's
       * transform list — see [[GeoManifest.eqApplies]]. */
     def eqApplies(e: EqDeleteEntry, f: FileEntry): Boolean =
@@ -410,9 +422,12 @@ object GeoManifest {
     // and per-file partition stats; format 5 shards the file list above
     // the size threshold; format 6 adds `eqdelete` lines and per-file
     // data sequence numbers (needed only while equality deletes are
-    // live). Tables needing none of this keep writing 3 so older
-    // snapshots stay bit-stable for existing readers.
-    lines ++= (if (v6) "graftgeo\t6\n"
+    // live); format 7 adds `colstat` lines (ANALYZE column statistics —
+    // v6-era readers skip unknown tags in declared-v7+ manifests by
+    // design, so 7 is additive). Tables needing none of this keep
+    // writing 3 so older snapshots stay bit-stable for existing readers.
+    lines ++= (if (m.colStats.nonEmpty) "graftgeo\t7\n"
+               else if (v6) "graftgeo\t6\n"
                else if (sharded) "graftgeo\t5\n"
                else if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
                else "graftgeo\t3\n")
@@ -443,6 +458,13 @@ object GeoManifest {
         case _ => ""
       }
       lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}$range\n"
+    }
+    m.colStats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      val mm = (s.min, s.max) match {
+        case (Some(a), Some(b)) => s"\t$a\t$b"
+        case _ => ""
+      }
+      lines ++= s"colstat\t$c\t${s.ndv}\t${s.nulls}$mm\n"
     }
     // manifest first (immutable, new name); the caller flips the pointer
     // (`_current` for main commits, the branch ref for branch commits)
@@ -523,6 +545,7 @@ object GeoManifest {
     val partitions = Seq.newBuilder[GeoPartition.PTransform]
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
+    val colStats = Map.newBuilder[String, ColStat]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
@@ -547,13 +570,17 @@ object GeoManifest {
             kmin = if (parts.length >= 7) Some(parts(5).toLong) else None,
             kmax = if (parts.length >= 7) Some(parts(6).toLong) else None)
         case "partition" => partitions += GeoPartition.decode(parts(1))
+        case "colstat" =>
+          colStats += parts(1) -> ColStat(parts(2).toLong, parts(3).toLong,
+            if (parts.length >= 6) Some(parts(4).toLong) else None,
+            if (parts.length >= 6) Some(parts(5).toLong) else None)
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
-          // a format newer than this reader (additive v7+ tags). In a
-          // v1–v6 manifest an unrecognized tag is corruption (e.g. a torn
+          // a format newer than this reader (additive v8+ tags). In a
+          // v1–v7 manifest an unrecognized tag is corruption (e.g. a torn
           // `file` line) — skipping it would turn a torn write into
           // silently missing data files that the next commit persists.
-          if (declared <= 6)
+          if (declared <= 7)
             throw new IllegalArgumentException(
               s"bad manifest line in m$v.txt at $root (format $declared): '$line'")
       }
@@ -564,7 +591,7 @@ object GeoManifest {
     shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
-      parent)
+      parent, colStats.result())
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

@@ -122,7 +122,8 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         streamRoot: Option[String] = None,
                         partitions: Seq[GeoPartition.PTransform] = Seq.empty,
                         deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty,
-                        eqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty)
+                        eqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
+                        colStats: Map[String, GeoManifest.ColStat] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -214,7 +215,7 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,
-      eqGroups, extraEqCols, partitions, liveEq)
+      eqGroups, extraEqCols, partitions, liveEq, colStats)
     if (pruned.length < files.length) s.filterTo(pruned)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
@@ -239,7 +240,8 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  eqGroups: Seq[GeoEqGroup] = Seq.empty,
                  extraEqCols: Seq[String] = Seq.empty,
                  partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-                 eqEntries: Seq[GeoManifest.EqDeleteEntry] = Seq.empty)
+                 eqEntries: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
+                 colStats: Map[String, GeoManifest.ColStat] = Map.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
@@ -268,12 +270,54 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
       case None => super.toMicroBatchStream(checkpointLocation)
     }
 
-  // planning-time size/row statistics from the stock FileScan estimate —
-  // without this the catalog table reports defaultSizeInBytes (Long.Max)
-  // and auto-broadcast joins on geo tables never fire. With MoR sidecars
-  // the estimate includes soon-to-be-filtered rows — fine for an
-  // estimate, the admission rule bounds them to a small fraction.
-  override def estimateStatistics(): Statistics = inner0.estimateStatistics()
+  // planning-time statistics: byte size from the stock FileScan estimate
+  // (without it the catalog table reports defaultSizeInBytes = Long.Max
+  // and auto-broadcast never fires), EXACT row counts from the manifest
+  // (file rows minus position-delete rows; eq-deletes make it an upper
+  // bound — fine for an estimate, the admission rule bounds them), and
+  // ANALYZE-collected per-column NDV/null/min-max so CBO can estimate
+  // filter selectivity and pick broadcast joins before runtime.
+  override def estimateStatistics(): Statistics = {
+    val base = inner0.estimateStatistics()
+    val snap = current
+    val rows = snap.map(_.rows).sum -
+      snap.map(f => deletedPos.get(f.key).map(_.length.toLong).getOrElse(0L)).sum
+    val colMap = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colStats.foreach { case (c, st) =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+        // min/max carry the CATALYST-internal value of the column's type
+        // (embedding mapped back: DATE = epoch-day int, TIMESTAMP =
+        // micros long) so estimation ranges compare correctly
+        def internal(v: Long): Object = f.dataType match {
+          case org.apache.spark.sql.types.ByteType => java.lang.Byte.valueOf(v.toByte)
+          case org.apache.spark.sql.types.ShortType => java.lang.Short.valueOf(v.toShort)
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType => java.lang.Integer.valueOf(v.toInt)
+          case _ => java.lang.Long.valueOf(v)
+        }
+        colMap.put(Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(st.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(st.nulls)
+            override def min(): java.util.Optional[Object] =
+              st.min.map(v => java.util.Optional.of(internal(v)))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              st.max.map(v => java.util.Optional.of(internal(v)))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colMap
+    }
+  }
 
   // the parquet row-index column and the force-read equality-delete key
   // columns are reader-internal: they feed the MoR/eq merges in the

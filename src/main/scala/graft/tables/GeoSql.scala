@@ -74,6 +74,8 @@ object GeoSql {
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val analyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?))\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|DAYS|HOURS))?\s*;?\s*""".r
   private val restoreRe =
@@ -158,6 +160,10 @@ object GeoSql {
       Some(GeoCloneCommand(target, source, Option(v).map(_.toInt)))
     case optimizeRe(name, nFiles, where) if resolveRoot(name).isDefined =>
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt), Option(where)))
+    case analyzeRe(name, all, colsCsv) if resolveRoot(name).isDefined =>
+      Some(GeoAnalyzeCommand(name,
+        if (all != null) Seq.empty
+        else colsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
     case vacuumRe(name, keep, unit) if resolveRoot(name).isDefined =>
       Some(GeoVacuumCommand(name, Option(keep).map(_.toInt),
         Option(unit).map(_.toUpperCase).getOrElse("VERSIONS")))
@@ -244,8 +250,11 @@ object GeoSql {
     maybeCommand(sqlText) match {
       case Some(cmd: GeoRunnable) =>
         val rows = cmd.execute(spark)
+        // schema from the command's own declared output (ANALYZE returns
+        // (column, ndv) rows; everything else num_affected_rows)
         spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-          StructType.fromDDL("num_affected_rows BIGINT"))
+          StructType(cmd.output.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
       case _ => spark.sql(sqlText)
     }
 
@@ -756,6 +765,23 @@ case class GeoOptimizeCommand(name: String, nFiles: Option[Int],
     }
     GeoSql.refresh(spark, name, root)
     Seq(Row(GeoManifest.read(spark, root).files.length.toLong))
+  }
+}
+
+/** ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS [a, b]: one-pass
+  * NDV/null/min-max collection into the manifest (GeoTable.analyzeColumns)
+  * — the scan then reports them as V2 column statistics for CBO. Returns
+  * one row per analyzed column with its recorded NDV. */
+case class GeoAnalyzeCommand(name: String, cols: Seq[String]) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("ndv", LongType, nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val analyzed = GeoTable.analyzeColumns(spark, root, cols)
+    val m = GeoManifest.read(spark, root)
+    analyzed.map(c => Row(c, m.colStats(c).ndv))
   }
 }
 

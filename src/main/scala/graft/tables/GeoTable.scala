@@ -522,7 +522,8 @@ object GeoTable {
       m.copy(version = m.version + 1,
         schema = StructType(m.schema.fields.filterNot(_.name == actual.name)),
         dropped = m.dropped :+ actual.name,
-        partitions = newParts, files = newFiles),
+        partitions = newParts, files = newFiles,
+        colStats = m.colStats - actual.name),
       m.version)
   }
 
@@ -557,7 +558,9 @@ object GeoTable {
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
         files = files, partitions = newParts,
-        deletes = Seq.empty, eqDeletes = Seq.empty),
+        deletes = Seq.empty, eqDeletes = Seq.empty,
+        colStats = m.colStats.map { case (c, st) =>
+          (if (c.equalsIgnoreCase(from)) to else c) -> st }),
       m.version)
   }
 
@@ -714,6 +717,53 @@ object GeoTable {
       files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
       m.version)
     touched.map(_.rows).sum
+  }
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`: ONE pass over
+    * the visible rows computes approximate NDV (HyperLogLog++), null
+    * count, and — for columns with a long embedding — min/max, stored in
+    * the manifest and served through the catalog scan's
+    * `SupportsReportStatistics.columnStats()`. With CBO enabled Catalyst
+    * then estimates filter selectivity from NDV and picks broadcast
+    * joins / join orders BEFORE runtime instead of riding AQE alone.
+    * Returns the analyzed column names. */
+  def analyzeColumns(spark: SparkSession, root: String,
+                     cols: Seq[String] = Seq.empty): Seq[String] = {
+    val m = GeoManifest.read(spark, root)
+    val resolved =
+      if (cols.nonEmpty) cols.map { c =>
+        m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE column '$c' is not a table column")).name
+      }
+      else m.schema.fields.filterNot(GeoSchema.isGeometry).map(_.name).toSeq
+    require(resolved.nonEmpty, "no analyzable columns")
+    resolved.foreach { c => require(!GeoSchema.isGeometry(m.schema(c)),
+      s"ANALYZE column '$c' is a GEOMETRY column; analyze scalar columns") }
+    val rows = readMerged(spark, m, m.files)
+    val aggs = resolved.flatMap { c =>
+      val base = Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nul_$c"))
+      if (GeoPartition.supports("stats", m.schema(c).dataType)) {
+        val tc = GeoPartition.transformCol(
+          GeoPartition.PTransform("stats", 0, c), m.schema)
+        base ++ Seq(min(tc).as(s"__min_$c"), max(tc).as(s"__max_$c"))
+      } else base
+    }
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    val stats = resolved.map { c =>
+      val mm =
+        if (GeoPartition.supports("stats", m.schema(c).dataType) &&
+            !r.isNullAt(r.fieldIndex(s"__min_$c")))
+          (Some(r.getLong(r.fieldIndex(s"__min_$c"))),
+            Some(r.getLong(r.fieldIndex(s"__max_$c"))))
+        else (None, None)
+      c -> GeoManifest.ColStat(r.getLong(r.fieldIndex(s"__ndv_$c")),
+        r.getLong(r.fieldIndex(s"__nul_$c")), mm._1, mm._2)
+    }
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      colStats = m.colStats ++ stats), m.version)
+    resolved
   }
 
   /** Post-DML bound check: fold sidecars once the live total crosses the

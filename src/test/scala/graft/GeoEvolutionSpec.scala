@@ -188,8 +188,8 @@ class GeoEvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
     assert(e.getMessage.contains("bad manifest line"))
     // the same unknown tag under a declared FUTURE format version is additive
-    // (v6 = equality deletes is a known format now, so the future is 7)
-    editManifest(original.replace("graftgeo\t3", "graftgeo\t7") + "newtag\tpayload\n")
+    // (v7 = ANALYZE column stats is a known format now, so the future is 8)
+    editManifest(original.replace("graftgeo\t3", "graftgeo\t8") + "newtag\tpayload\n")
     assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
     // a v2 manifest (no ts line) still reads, with commitTs empty
     editManifest(original.replace("graftgeo\t3", "graftgeo\t2")
