@@ -2028,20 +2028,23 @@ object SparkEntry {
       s.sql("CREATE NAMESPACE IF NOT EXISTS geospjq.db")
       s.sql("DROP TABLE IF EXISTS geospjq.db.cust")
       s.sql("DROP TABLE IF EXISTS geospjq.db.ord")
-      s.sql("CREATE TABLE geospjq.db.cust (c_custkey BIGINT, c_nationkey BIGINT) " +
-        "USING geo PARTITIONED BY (bucket(8, c_custkey))")
-      s.sql("INSERT INTO geospjq.db.cust SELECT c_custkey, c_nationkey FROM customer")
-      s.sql("CREATE TABLE geospjq.db.ord (o_custkey BIGINT, o_orderkey BIGINT, " +
-        "o_totalprice DOUBLE) USING geo PARTITIONED BY (bucket(8, o_custkey))")
-      s.sql("INSERT INTO geospjq.db.ord " +
-        "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders")
       val confs = Seq(
+        // bench-scale buckets hold fewer rows than the production
+        // rollMinRows default — pin rolling on so files are single-valued
+        "spark.graft.write.rollMinRows" -> "1",
         "spark.sql.sources.v2.bucketing.enabled" -> "true",
         "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       try {
+        s.sql("CREATE TABLE geospjq.db.cust (c_custkey BIGINT, c_nationkey BIGINT) " +
+          "USING geo PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO geospjq.db.cust SELECT c_custkey, c_nationkey FROM customer")
+        s.sql("CREATE TABLE geospjq.db.ord (o_custkey BIGINT, o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE) USING geo PARTITIONED BY (bucket(8, o_custkey))")
+        s.sql("INSERT INTO geospjq.db.ord " +
+          "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders")
         val j = s.sql("""
           SELECT c.c_nationkey, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok,
                  MAX(o.o_totalprice) AS max_price

@@ -47,7 +47,8 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
     // single-valued files, the storage-partitioned-join precondition
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
-      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
+      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
+      rollMinRows = GeoRowLevel.rollMinRows(spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -191,7 +192,8 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
     // so they roll to single-valued files the same way
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
-      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
+      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
+      rollMinRows = GeoRowLevel.rollMinRows(spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

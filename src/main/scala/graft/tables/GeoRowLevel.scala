@@ -58,6 +58,19 @@ object GeoRowLevel {
   /** scratch debug switch (CowDebug tool) */
   @volatile var debug = false
 
+  /** Min rows an open file must hold before a transform-tuple boundary
+    * rolls it (`spark.graft.write.rollMinRows`, the row-count analog of
+    * Iceberg's target file size): production-sized partitions dwarf the
+    * default and always roll single-valued for storage-partitioned
+    * joins, while small-partition tables (day-partitioned at test scale)
+    * keep task-sized files instead of exploding into per-tuple
+    * micro-files — they just don't report SPJ until their partitions
+    * carry real volume. Demos/tests pin it low to exercise SPJ at toy
+    * scale. */
+  def rollMinRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.write.rollMinRows")
+      .map(_.toLong).getOrElse(4096L)
+
   val metadataColumns: Array[MetadataColumn] = Array(new MetadataColumn {
     override def name(): String = FileCol
     override def dataType(): org.apache.spark.sql.types.DataType = StringType
@@ -883,9 +896,13 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
   * files SINGLE-VALUED in every layout transform — the property that
   * lets the scan report KeyGroupedPartitioning for storage-partitioned
   * joins (the Iceberg fanout-writer analog, without the fanout: sorted
-  * input needs only one open file). `rollCap` bounds files-per-task so a
-  * degenerate layout (identity on a near-unique column) degrades to the
-  * old multi-valued files instead of exploding the file count. */
+  * input needs only one open file). Two guards keep file counts sane
+  * when partitions are small relative to the data: `rollCap` bounds
+  * files-per-task outright, and `rollMinRows` skips a tuple boundary
+  * while the open file is still tiny (a days-partitioned table with a
+  * handful of rows per day keeps writing task-sized files — it simply
+  * does not report SPJ until its partitions carry real volume, which at
+  * production scale they do). */
 case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    conf: SerializableConfiguration,
                                    dir: String, tableSchema: StructType,
@@ -894,7 +911,8 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    statsExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty,
                                    statsHasBbox: Boolean = false,
                                    rollIdx: Array[Int] = Array.empty,
-                                   rollCap: Int = 64)
+                                   rollCap: Int = 64,
+                                   rollMinRows: Long = 4096L)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -978,7 +996,9 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
             j += 1
           }
           havePrev = true
-          if (changed && n > 0 && fileNo < rollCap - 1) { closeFile(); openFile() }
+          if (changed && n >= rollMinRows && fileNo < rollCap - 1) {
+            closeFile(); openFile()
+          }
         }
         writer.write(out)
         n += 1

@@ -1264,7 +1264,8 @@ object GeoTable {
     val factory = GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
-      rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray)
+      rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
+      rollMinRows = GeoRowLevel.rollMinRows(spark))
     val msgs = GeoCowCommitMessage.flatten(
       df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())

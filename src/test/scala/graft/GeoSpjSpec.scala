@@ -21,6 +21,9 @@ class GeoSpjSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("geo_spj_wh").toString
     spark.conf.set("spark.sql.catalog.geospj", classOf[GeoCatalog].getName)
     spark.conf.set("spark.sql.catalog.geospj.warehouse", dir)
+    // toy-scale partitions: force tuple-boundary rolling below the
+    // production rollMinRows default so every file is single-valued
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geospj.db")
     dir
   }
