@@ -2069,6 +2069,57 @@ object SparkEntry {
       }
     }),
 
+    // Runtime file pruning END-TO-END (DPP / Iceberg runtime-filtering
+    // analog): a fact geo table partitioned by nation key joins a
+    // selectively-filtered dim; Spark's dynamic partition pruning hands
+    // the scan the matching keys at execution and the scan keeps only
+    // files whose transform ranges can hold them — require'd in-plan
+    // (dynamicpruning subquery present AND scanned files < total).
+    "geo_runtime_prune" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geodppq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geodppq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geodppq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_dppq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geodppq.db")
+      s.sql("DROP TABLE IF EXISTS geodppq.db.fact")
+      s.sql("CREATE TABLE geodppq.db.fact (nk BIGINT, bal DOUBLE) USING geo " +
+        "PARTITIONED BY (nk)")
+      s.sql("INSERT INTO geodppq.db.fact SELECT CAST(c_nationkey AS BIGINT), " +
+        "CAST(c_acctbal AS DOUBLE) FROM customer")
+      val j = s.sql("""
+        SELECT f.nk, COUNT(*) AS n,
+               CAST(MAX(f.bal) AS DOUBLE) AS max_bal
+        FROM geodppq.db.fact f
+        JOIN nation d ON f.nk = d.n_nationkey
+        WHERE d.n_name IN ('NATION_3', 'NATION_17')
+        GROUP BY f.nk ORDER BY f.nk""")
+      val out = j.localCheckpoint() // executes: runtime filters fire
+      val planStr = j.queryExecution.executedPlan.toString
+      require(planStr.contains("dynamicpruning"),
+        s"no dynamic-pruning subquery in:\n$planStr")
+      // walk AQE stages for the GeoCowScan and check it narrowed
+      val scans = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
+      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match { case sc: graft.tables.GeoCowScan => scans += sc; case _ => () }
+        case other => other.children.foreach(walk)
+      }
+      walk(j.queryExecution.executedPlan)
+      require(scans.nonEmpty, s"no GeoCowScan in:\n$planStr")
+      val root = s.conf.get("spark.sql.catalog.geodppq.warehouse") + "/db/fact"
+      val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
+      val scanned = scans.map(_.scannedFiles.count(_.rows > 0)).min
+      require(scanned < total,
+        s"runtime filter did not prune fact files: $scanned of $total")
+      out
+    }),
+
     // ANALYZE TABLE column statistics END-TO-END: NDV/min-max collected
     // into the manifest, reported through the scan's V2 column stats, and
     // CBO then picks a broadcast join for the selective filter — the
@@ -3428,6 +3479,13 @@ object SparkEntry {
 
     // partitioned-table legs reduce to the same filters over the source:
     // storage clusters/prunes by transform but never changes row values
+    "geo_runtime_prune" -> """
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+             CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_bal
+      FROM customer c JOIN nation d ON c.c_nationkey = d.n_nationkey
+      WHERE d.n_name IN ('NATION_3', 'NATION_17')
+      GROUP BY 1 ORDER BY 1""",
+
     "geo_analyze" -> """
       SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey

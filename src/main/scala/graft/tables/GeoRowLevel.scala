@@ -346,15 +346,31 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
 
   override def toBatch: Batch = this
 
-  // only DML scans (which project `_file`) advertise runtime filtering;
-  // plain reads must not, or dynamic-pruning resolution trips on a
-  // `_file` reference absent from the relation output
+  // DML scans (which project `_file`) advertise runtime group filtering
+  // on `_file`; plain reads of a partitioned table advertise the
+  // transform SOURCE columns instead — Spark's dynamic partition pruning
+  // then runs the dimension side's filter first and hands this scan the
+  // matching join-key values, which prune to exactly the files whose
+  // per-transform ranges can hold them (Iceberg runtime-filtering
+  // analog: a selective dim filter prunes fact FILES at runtime). A
+  // `_file` reference must never leak into plain reads (dynamic-pruning
+  // resolution would trip on a column absent from the relation output).
   override def filterAttributes(): Array[NamedReference] =
-    if (needFile) Array(Expressions.column(GeoRowLevel.FileCol)) else Array.empty
+    if (needFile) Array(Expressions.column(GeoRowLevel.FileCol))
+    else {
+      // only columns that SURVIVED pruning: Spark resolves these against
+      // the scan relation's output and throws on a missing one
+      val out = readSchema().fieldNames.map(_.toLowerCase).toSet
+      partitions.map(_.col).distinct
+        .filter(c => out.contains(c.toLowerCase))
+        .map(c => Expressions.column(c): NamedReference).toArray
+    }
 
-  /** `_file IN (...)` / `_file = ...` narrows the group set; any
-    * unrecognized predicate is ignored (keeping more files is always
-    * correct — they are rewritten verbatim). */
+  /** Runtime narrowing: `_file IN (...)`/`= ...` narrows the DML group
+    * set; `col IN (...)`/`= ...` on a transform source column keeps only
+    * files whose recorded range for SOME transform on that column can
+    * hold at least one of the values. Any unrecognized predicate is
+    * ignored (keeping more files is always correct). */
   override def filter(predicates: Array[Predicate]): Unit = {
     val keeps = predicates.flatMap { p =>
       p.name() match {
@@ -375,6 +391,47 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
     if (keeps.nonEmpty) {
       val keep = keeps.reduce(_ intersect _)
       current = current.filter(f => keep.contains(f.key))
+    }
+    // data-column runtime filters (dynamic partition pruning): for each
+    // transform on the filtered column, a file survives if ANY value's
+    // derived transform value lands inside the file's recorded range
+    predicates.foreach { p =>
+      p.name() match {
+        case "IN" | "=" =>
+          val cs = p.children()
+          cs.headOption match {
+            case Some(ref: NamedReference) if ref.fieldNames().length == 1 &&
+                !ref.fieldNames()(0).equalsIgnoreCase(GeoRowLevel.FileCol) =>
+              val colName = ref.fieldNames()(0)
+              val ts = partitions.zipWithIndex
+                .filter(_._1.col.equalsIgnoreCase(colName))
+              val dt = tableSchema.fields
+                .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+              if (ts.nonEmpty && dt.isDefined) {
+                val lits = cs.tail.collect {
+                  case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                    l.value().asInstanceOf[Any]
+                }
+                // every literal must derive for every transform we use,
+                // or that transform contributes no pruning
+                val perT = ts.map { case (t, i) =>
+                  val vs = lits.map(v =>
+                    scala.util.Try(GeoPartition.valueOf(t, v, dt.get)).toOption.flatten)
+                  (i, if (vs.exists(_.isEmpty)) None else Some(vs.flatten))
+                }
+                current = current.filter { f =>
+                  f.pstats.isEmpty || perT.forall {
+                    case (i, Some(vals)) => f.pstats.lift(i).forall {
+                      case (lo, hi) => vals.exists(v => v >= lo && v <= hi)
+                    }
+                    case (_, None) => true
+                  }
+                }
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
     }
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] filter on ${System.identityHashCode(this)}: preds=${predicates.map(_.name()).mkString(",")} -> files=${current.length}")
