@@ -433,6 +433,12 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("partition", StringType, nullable = false),
       StructField("file_count", IntegerType, nullable = false),
       StructField("row_count", LongType, nullable = false)))
+    case "colstats" => StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("null_count", LongType, nullable = false),
+      StructField("min", LongType, nullable = true),
+      StructField("max", LongType, nullable = true)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -495,6 +501,15 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
         m.files.groupBy(render).toSeq.sortBy(_._1).map { case (p, fs) =>
           InternalRow(UTF8String.fromString(p), fs.length, fs.map(_.rows).sum)
         }.toArray
+      // ANALYZE-collected column statistics (long-embedding min/max;
+      // null for columns without one) — the SQL surface over the
+      // manifest's colstat lines, zero data I/O
+      case "colstats" =>
+        val m = GeoManifest.read(sparkAtLoad, root)
+        m.colStats.toSeq.sortBy(_._1).map { case (c, st) =>
+          InternalRow(UTF8String.fromString(c), st.ndv, st.nulls,
+            st.min.map(Long.box).orNull, st.max.map(Long.box).orNull)
+        }.toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -506,7 +521,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

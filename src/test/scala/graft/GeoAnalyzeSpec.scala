@@ -99,6 +99,20 @@ class GeoAnalyzeSpec extends SparkSpec {
     assert(GeoManifest.read(spark, root).colStats("k").ndv == k.ndv)
   }
 
+  test("t.colstats metadata table surfaces the recorded statistics") {
+    warehouse
+    spark.sql("CREATE TABLE geoana.db.mt (k BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoana.db.mt SELECT id % 10, concat('v', id) FROM range(0, 500)")
+    assert(spark.sql("SELECT * FROM geoana.db.mt.colstats").count() == 0)
+    GeoSql.exec(spark, "ANALYZE TABLE geoana.db.mt COMPUTE STATISTICS FOR COLUMNS k")
+    val rows = spark.sql(
+      "SELECT column, ndv, null_count, min, max FROM geoana.db.mt.colstats").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "k" && r.getLong(1) >= 9 && r.getLong(1) <= 11 &&
+      r.getLong(2) == 0 && r.getLong(3) == 0L && r.getLong(4) == 9L, r.toString)
+  }
+
   test("ANALYZE FOR ALL COLUMNS analyzes every scalar column") {
     warehouse
     spark.sql("CREATE TABLE geoana.db.alls (a BIGINT, b STRING, g GEOMETRY) USING geo")

@@ -113,6 +113,31 @@ class GeoSpjSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-one-side: a plain table shuffles INTO the geo table's grouping") {
+    warehouse
+    // fact/dim from the first test: fact is bucket(4, id)-partitioned.
+    // With v2.bucketing.shuffle enabled, joining a NON-geo table shuffles
+    // only that side into the reported key grouping — the geo side reads
+    // in place (one Exchange total, on the plain side).
+    val plainDir = java.nio.file.Files.createTempDirectory("geo_spj_plain").toString
+    spark.range(0, 500).selectExpr("id", "concat('p', id) AS p")
+      .write.mode("overwrite").parquet(plainDir)
+    spark.read.parquet(plainDir).createOrReplaceTempView("spj_plain")
+    withSQLConf(spjConfs :+
+      ("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"): _*) {
+      val j = spark.sql(
+        """SELECT f.id, f.v, p.p FROM geospj.db.fact f
+          |JOIN spj_plain p ON f.id = p.id""".stripMargin)
+      val ex = shuffles(j)
+      assert(ex.length == 1,
+        s"expected exactly one Exchange (the plain side):\n${j.queryExecution.executedPlan}")
+      // the shuffled side must be the plain parquet side, not the geo scan
+      assert(!ex.head.child.toString.contains("GeoCowScan"),
+        s"the GEO side was shuffled:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 500)
+    }
+  }
+
   test("non-co-partitioned and unpartitioned joins still shuffle correctly") {
     warehouse
     spark.sql("CREATE TABLE geospj.db.plain (id BIGINT, v STRING) USING geo")
