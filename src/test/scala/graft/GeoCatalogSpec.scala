@@ -243,6 +243,28 @@ class GeoCatalogSpec extends SparkSpec {
       8 -> -1, 10 -> -1, 12 -> -1, 14 -> -1))
   }
 
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE runs natively (Spark 3.4+ clause)") {
+    warehouse
+    GeoSql.exec(spark, "CREATE TABLE geo.db.mbs (id INT, v STRING) USING GEO")
+    GeoSql.exec(spark,
+      "INSERT INTO geo.db.mbs SELECT id, concat('v', id) FROM range(10)")
+    // target rows absent from the source are reachable as their own
+    // clause — the full Delta/Iceberg MERGE surface, riding Spark's own
+    // row-level rewrite (no front-end involvement)
+    spark.sql(
+      """MERGE INTO geo.db.mbs t USING (
+        |  SELECT CAST(id AS INT) AS sid FROM range(3)
+        |) s ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET v = 'kept'
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'
+        |""".stripMargin)
+    val out = spark.sql("SELECT id, v FROM geo.db.mbs ORDER BY id")
+      .as[(Int, String)].collect().toSeq
+    assert(out == Seq(0 -> "kept", 1 -> "kept", 2 -> "kept",
+      3 -> "stale", 4 -> "stale", 5 -> "stale", 6 -> "stale", 7 -> "stale"))
+  }
+
   test("native UPDATE rewrites only the files holding matches (CoW groups)") {
     warehouse
     spark.sql("CREATE TABLE geo.db.cow (id BIGINT, v INT, g BINARY) USING geo " +
