@@ -87,6 +87,12 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Dev observability (PlanDump): queries that must materialize
+    * internally (checkpoint before restoring session confs) record the
+    * executed plan they proved here, since the returned frame's plan
+    * collapses to a checkpoint scan. */
+  @volatile var lastMaterializedPlan: Option[String] = None
+
   /** Spark-side query per operator. Most run through spark.sql over the
     * registered catalog (exercising SQL registration); entries marked DSL
     * use the Column API. */
@@ -2050,18 +2056,24 @@ object SparkEntry {
                  MAX(o.o_totalprice) AS max_price
           FROM geospjq.db.cust c JOIN geospjq.db.ord o ON c.c_custkey = o.o_custkey
           GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")
-        val out = j.localCheckpoint() // finalizes the adaptive plan
-        val finalPlan = j.queryExecution.executedPlan
-        val inner = finalPlan.collect {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
+        // the SPJ claim, checked precisely on the STATIC plan (pre-AQE —
+        // no query-stage wrappers to hide nodes from collect): the join
+        // executes with ZERO Exchange beneath it on either side; the
+        // group-by/order-by above keep their own legitimate shuffles
+        val p0 = j.queryExecution.sparkPlan
+        val joins = p0.collect {
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
         }
-        val exchanges = (if (inner.isEmpty) Seq(finalPlan) else inner).flatMap(_.collect {
+        require(joins.nonEmpty, s"no join in plan:\n$p0")
+        val underJoin = joins.flatMap(_.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         })
-        require(exchanges.length <= 1,
+        require(underJoin.isEmpty,
           s"storage-partitioned join must not shuffle the join inputs " +
-            s"(${exchanges.length} exchanges):\n$finalPlan")
+            s"(${underJoin.length} exchanges under the join):\n$p0")
+        val out = j.localCheckpoint()
+        lastMaterializedPlan = Some(j.queryExecution.executedPlan.toString)
         out
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
@@ -2117,6 +2129,7 @@ object SparkEntry {
       val scanned = scans.map(_.scannedFiles.count(_.rows > 0)).min
       require(scanned < total,
         s"runtime filter did not prune fact files: $scanned of $total")
+      lastMaterializedPlan = Some(planStr)
       out
     }),
 
@@ -2157,6 +2170,7 @@ object SparkEntry {
           case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x }.size
         require(bhj >= 1 && smj == 0,
           s"NDV stats must drive a static broadcast plan (bhj=$bhj smj=$smj):\n$p")
+        lastMaterializedPlan = Some(p.toString)
         j.localCheckpoint()
       } finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)

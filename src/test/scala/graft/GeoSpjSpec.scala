@@ -38,14 +38,22 @@ class GeoSpjSpec extends SparkSpec {
     }
   }
 
-  /** All shuffle exchanges anywhere in the (possibly adaptive) plan. */
+  /** All shuffle exchanges anywhere in the (possibly adaptive) plan —
+    * walks INTO query stages, which plain collect() treats as leaves (an
+    * exchange hidden inside a finalized ShuffleQueryStage must still
+    * count, or a zero-shuffle assertion is vacuous). */
   private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] = {
     df.count() // finalize any adaptive plan first
-    val plan = df.queryExecution.executedPlan
-    val roots = plan.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
-    (if (roots.isEmpty) Seq(plan) else roots).flatMap(_.collect {
-      case s: ShuffleExchangeExec => s
-    })
+    val buf = scala.collection.mutable.ListBuffer.empty[ShuffleExchangeExec]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+      case s: ShuffleExchangeExec => buf += s; s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toList
   }
 
   private val spjConfs = Seq(
