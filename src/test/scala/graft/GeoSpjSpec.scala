@@ -121,6 +121,29 @@ class GeoSpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ with mismatched partition value sets (pushPartValues padding)") {
+    warehouse
+    // one side populates only HALF the buckets: Spark pads the missing
+    // partition values (pushPartValues) and the join still plans with
+    // zero Exchange and returns exactly the matching rows
+    spark.sql("CREATE TABLE geospj.db.dimsub (id BIGINT, w STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO geospj.db.dimsub " +
+      "SELECT id, concat('s', id) FROM range(0, 1000) WHERE pmod(hash(id), 4) IN (0, 1)")
+    val expected = spark.sql(
+      "SELECT count(*) FROM range(0, 1000) WHERE pmod(hash(id), 4) IN (0, 1)")
+      .head().getLong(0)
+    assert(expected > 0 && expected < 1000)
+    withSQLConf(spjConfs: _*) {
+      val j = spark.sql(
+        """SELECT f.id FROM geospj.db.fact f
+          |JOIN geospj.db.dimsub d ON f.id = d.id""".stripMargin)
+      assert(shuffles(j).isEmpty,
+        s"mismatched-value-set SPJ must still be exchange-free:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == expected)
+    }
+  }
+
   test("shuffle-one-side: a plain table shuffles INTO the geo table's grouping") {
     warehouse
     // fact/dim from the first test: fact is bucket(4, id)-partitioned.
