@@ -116,12 +116,15 @@ object GeoManifest {
     * which is what a streaming upsert writer needs. Null keys never
     * match (rows with a null key column are never equality-deleted).
     *
-    * `kmin`/`kmax` (single-column keys with a long embedding — the same
-    * embedding per-file transform stats use) bound the sidecar's key
-    * range: a file whose recorded range for that column cannot intersect
-    * it is exempt from this delete — reads skip the probe AND the sidecar
-    * load, folds skip the rewrite (see [[Manifest.eqApplies]]). None =
-    * unknown, the conservative applies-everywhere direction. */
+    * `kmin`/`kmax` (the LEADING key column, when it has a long
+    * embedding — the same embedding per-file transform stats use) bound
+    * the sidecar's key range: a file whose recorded range for that
+    * column cannot intersect it is exempt from this delete — reads skip
+    * the probe AND the sidecar load, folds skip the rewrite (see
+    * [[Manifest.eqApplies]]). For a multi-column key the leading
+    * column's range is a valid superset bound (no tuple can match a row
+    * whose leading value cannot). None = unknown, the conservative
+    * applies-everywhere direction. */
   final case class EqDeleteEntry(path: String, rows: Long,
                                  cols: Seq[String], version: Int,
                                  kmin: Option[Long] = None,
@@ -139,7 +142,7 @@ object GeoManifest {
     * row of the file. Every missing piece keeps the conservative answer. */
   def eqApplies(partitions: Seq[GeoPartition.PTransform],
                 e: EqDeleteEntry, f: FileEntry): Boolean =
-    e.appliesTo(f) && (e.kmin.isEmpty || e.cols.length != 1 || {
+    e.appliesTo(f) && (e.kmin.isEmpty || {
       val i = partitions.indexWhere(t =>
         (t.kind == "identity" || t.kind == "stats") &&
           t.col.equalsIgnoreCase(e.cols.head))

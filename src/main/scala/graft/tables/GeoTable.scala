@@ -919,13 +919,13 @@ object GeoTable {
         "malformed keys, refusing to silently skip them")
     val tuples = withCast.select(resolved.map(col): _*)
       .na.drop("any").distinct().localCheckpoint()
-    // count + key range in ONE pass: a single-column key with a long
-    // embedding records the sidecar's min/max in the manifest entry, and
+    // count + key range in ONE pass: the LEADING key column's min/max
+    // (when it has a long embedding) lands in the manifest entry, and
     // reads/folds then skip every file whose recorded range for that
-    // column cannot intersect (Manifest.eqApplies)
+    // column cannot intersect (Manifest.eqApplies) — a valid superset
+    // bound for multi-column keys too
     val rangeCol: Option[Column] =
-      if (resolved.length == 1 &&
-          GeoPartition.supports("stats", m.schema(resolved.head).dataType))
+      if (GeoPartition.supports("stats", m.schema(resolved.head).dataType))
         Some(GeoPartition.transformCol(
           GeoPartition.PTransform("stats", 0, resolved.head), m.schema))
       else None

@@ -396,6 +396,26 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).where($"id" === 899L).count() == 1)
   }
 
+  test("multi-column keys prune by the LEADING column's range") {
+    // a (id, v) key sidecar records min/max over id: files whose id range
+    // cannot intersect are exempt — a valid superset bound (no tuple can
+    // match a row whose leading value cannot)
+    val root = java.nio.file.Files.createTempDirectory("geo_eqm").toString + "/t"
+    GeoTable.create(spark, root,
+      spark.range(400).select($"id", concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(4, $"id"), None,
+      partitions = Seq(GeoPartition.PTransform("stats", 0, "id")))
+    GeoTable.deleteByKey(spark, root, Seq("id", "v"),
+      Seq((350L, "v350"), (360L, "nomatch")).toDF("id", "v"))
+    val m = GeoManifest.read(spark, root)
+    val e = m.eqDeletes.head
+    assert(e.kmin.contains(350L) && e.kmax.contains(360L))
+    assert(m.files.count(f => !m.eqApplies(e, f)) == 3,
+      "3 of 4 range files must be exempt via the leading column")
+    assert(GeoTable.read(spark, root).count() == 399) // only (350,v350) matches
+    assert(GeoTable.read(spark, root).where($"id" === 360L).count() == 1)
+  }
+
   test("a delete whose key range misses every file GCs at its own commit") {
     val root = java.nio.file.Files.createTempDirectory("geo_eqg").toString + "/t"
     GeoTable.create(spark, root,
