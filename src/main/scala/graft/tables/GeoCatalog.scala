@@ -439,6 +439,14 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("null_count", LongType, nullable = false),
       StructField("min", LongType, nullable = true),
       StructField("max", LongType, nullable = true)))
+    case "deletes" => StructType(Seq(
+      StructField("type", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("key_columns", StringType, nullable = true),
+      StructField("sequence", IntegerType, nullable = true),
+      StructField("key_min", LongType, nullable = true),
+      StructField("key_max", LongType, nullable = true)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -510,6 +518,18 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           InternalRow(UTF8String.fromString(c), st.ndv, st.nulls,
             st.min.map(Long.box).orNull, st.max.map(Long.box).orNull)
         }.toArray
+      // live delete sidecars (ops visibility for merge-on-read state):
+      // position sidecars and equality-delete sidecars with their
+      // sequence numbers and the key ranges that drive range pruning
+      case "deletes" =>
+        val m = GeoManifest.read(sparkAtLoad, root)
+        (m.deletes.map(d => InternalRow(UTF8String.fromString("position"),
+            UTF8String.fromString(d.path), d.rows, null, null, null, null)) ++
+          m.eqDeletes.map(e => InternalRow(UTF8String.fromString("equality"),
+            UTF8String.fromString(e.path), e.rows,
+            UTF8String.fromString(e.cols.mkString(",")),
+            Int.box(e.version),
+            e.kmin.map(Long.box).orNull, e.kmax.map(Long.box).orNull))).toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -521,7 +541,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

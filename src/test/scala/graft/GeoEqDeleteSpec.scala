@@ -428,6 +428,27 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).count() == 100)
   }
 
+  test("t.deletes metadata table lists live sidecars with key ranges") {
+    val wh = java.nio.file.Files.createTempDirectory("geo_eqmt_wh").toString
+    spark.conf.set("spark.sql.catalog.geoeqmt", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoeqmt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoeqmt.db")
+    spark.sql("CREATE TABLE geoeqmt.db.t (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoeqmt.db.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val root = s"$wh/db/t"
+    GeoTable.delete(spark, root, $"id" === 1L, mode = "mor")              // position
+    GeoTable.deleteByKey(spark, root, Seq("id"), Seq(7L, 9L).toDF("id"))  // equality
+    val rows = spark.sql(
+      "SELECT type, rows, key_columns, key_min, key_max FROM geoeqmt.db.t.deletes " +
+        "ORDER BY type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(rows == Seq(
+      ("equality", 2L, "id", 7L, 9L),
+      ("position", 1L, null, -1L, -1L)), rows.toString)
+  }
+
   test("sidecar cache eviction is LRU: a hot key survives 256+ other inserts") {
     // the old bound cleared the WHOLE cache at capacity, dumping every
     // memoized sidecar at once; access-ordered LRU must keep a key that is
