@@ -91,6 +91,71 @@ class GeoRuntimePruneSpec extends SparkSpec {
     assert(j.head().getLong(0) == 143L)
   }
 
+  test("runtime pruning composes with storage-partitioned joins") {
+    warehouse
+    // both sides co-partitioned on the join key AND the dim carries a
+    // selective filter: the join plans with ZERO shuffle Exchange (SPJ)
+    // while the runtime filter still narrows the fact scan's file list —
+    // the two 100 TB levers stack
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try {
+      // the fact side must be LARGE relative to the dim or the optimizer
+      // marks the pruning subquery broadcast-only (benefit heuristic:
+      // dimSize < factSize * fallbackFilterRatio)
+      spark.sql("CREATE TABLE geodpp.db.fs (k BIGINT, v STRING) USING geo " +
+        "PARTITIONED BY (k)")
+      spark.sql("INSERT INTO geodpp.db.fs SELECT id % 5, repeat('v', 64) FROM range(0, 50000)")
+      spark.sql("CREATE TABLE geodpp.db.ds (k BIGINT, name STRING) USING geo " +
+        "PARTITIONED BY (k)")
+      spark.sql("INSERT INTO geodpp.db.ds SELECT id, concat('n', id) FROM range(0, 5)")
+    } finally spark.conf.unset("spark.graft.write.rollMinRows")
+    val totalFact = GeoManifest.read(spark, s"$warehouse/db/fs").files.count(_.rows > 0)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // the SPJ join is a sort-merge join (broadcast disabled), so
+      // broadcast-reuse-only DPP would never fire — allow the pruning
+      // subquery to run on its own...
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      // the benefit heuristic compares the dim subquery's size against
+      // factScanBytes * ratio — after column pruning the k-only fact
+      // scan estimate is tiny at test scale, so pin the ratio up (at
+      // real scale the fact side dwarfs any dim and the default holds)
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000",
+      // ...and plan non-adaptively: AQE's PlanAdaptiveDynamicPruningFilters
+      // degrades a non-reusable pruning subquery to `true` (observed on
+      // 4.1.2), while the non-adaptive planner executes it. A Spark
+      // planning limitation, not a scan one — under AQE the join still
+      // runs exchange-free, it just reads all fact files.
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (c, _) => c -> scala.util.Try(spark.conf.get(c)).toOption }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val j = spark.sql("""
+        SELECT f.k, count(*) AS n FROM geodpp.db.fs f
+        JOIN geodpp.db.ds d ON f.k = d.k WHERE d.name = 'n3' GROUP BY f.k""")
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 10000L)))
+      // SPJ: zero Exchange under the join in the static plan
+      val p0 = j.queryExecution.sparkPlan
+      val smjs = p0.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, s"expected SMJ:\n$p0")
+      assert(smjs.forall(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty), s"SPJ side must be exchange-free:\n$p0")
+      // DPP: the fact scan narrowed below the full file list at runtime
+      val factScan = geoScans(j).filter(_.scannedFiles.exists(_.rows >= 500))
+      assert(factScan.nonEmpty)
+      assert(factScan.map(_.scannedFiles.count(_.rows > 0)).min < totalFact,
+        s"runtime filter did not narrow the fact side of the SPJ join:\n" +
+          j.queryExecution.executedPlan)
+    } finally old.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   test("bucket transforms prune by derived hash values") {
     warehouse
     spark.sql("CREATE TABLE geodpp.db.fb (id BIGINT, v STRING) USING geo " +
