@@ -911,33 +911,37 @@ object GeoTable {
       resolved.map(c => col(c).as("__raw_" + c)): _*).localCheckpoint()
     val badCast = resolved.map(c => col("__raw_" + c).isNotNull && col(c).isNull)
       .reduce(_ || _)
-    val nBad = withCast.where(badCast).count()
-    require(nBad == 0,
-      s"equality delete on ${resolved.mkString(", ")}: $nBad key tuple(s) became null " +
-        s"only through the cast to the table column type(s) " +
-        s"(${resolved.map(c => m.schema(c).dataType.simpleString).mkString(", ")}) — " +
-        "malformed keys, refusing to silently skip them")
-    val tuples = withCast.select(resolved.map(col): _*)
-      .na.drop("any").distinct().localCheckpoint()
-    // count + key range in ONE pass: the LEADING key column's min/max
-    // (when it has a long embedding) lands in the manifest entry, and
-    // reads/folds then skip every file whose recorded range for that
-    // column cannot intersect (Manifest.eqApplies) — a valid superset
-    // bound for multi-column keys too
+    // ONE aggregate pass over the pinned keys computes everything the
+    // commit needs: the malformed-cast count, the distinct usable tuple
+    // count (multi-arg count(DISTINCT ...) skips any-null tuples, the
+    // same rule as the na.drop below), and the LEADING key column's
+    // min/max when it has a long embedding — the range that lets
+    // reads/folds skip every file whose recorded column range cannot
+    // intersect (Manifest.eqApplies); a valid superset bound for
+    // multi-column keys too. The sidecar write below recomputes the
+    // distinct from the CHECKPOINTED frame, so the counted and written
+    // tuple sets agree by construction.
     val rangeCol: Option[Column] =
       if (GeoPartition.supports("stats", m.schema(resolved.head).dataType))
         Some(GeoPartition.transformCol(
           GeoPartition.PTransform("stats", 0, resolved.head), m.schema))
       else None
-    val st = rangeCol match {
-      case Some(tc) => tuples.agg(count(lit(1)), min(tc), max(tc)).head()
-      case None => tuples.agg(count(lit(1))).head()
-    }
-    val n = st.getLong(0)
+    val aggs = Seq(count(when(badCast, 1)).as("bad"),
+      countDistinct(resolved.head, resolved.tail: _*).as("n")) ++
+      rangeCol.toSeq.flatMap(tc => Seq(min(tc).as("kmin"), max(tc).as("kmax")))
+    val st = withCast.agg(aggs.head, aggs.tail: _*).head()
+    val nBad = st.getLong(0)
+    require(nBad == 0,
+      s"equality delete on ${resolved.mkString(", ")}: $nBad key tuple(s) became null " +
+        s"only through the cast to the table column type(s) " +
+        s"(${resolved.map(c => m.schema(c).dataType.simpleString).mkString(", ")}) — " +
+        "malformed keys, refusing to silently skip them")
+    val n = st.getLong(1)
     if (n == 0) return None
     val (kmin, kmax) =
-      if (rangeCol.isDefined && !st.isNullAt(1)) (Some(st.getLong(1)), Some(st.getLong(2)))
+      if (rangeCol.isDefined && !st.isNullAt(2)) (Some(st.getLong(2)), Some(st.getLong(3)))
       else (None, None)
+    val tuples = withCast.select(resolved.map(col): _*).na.drop("any").distinct()
     val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
     tuples.coalesce(1).write.parquet(dir)
     val path = GeoManifest.listParquet(spark, dir).head
