@@ -70,11 +70,22 @@ object GeoManifest {
     * (they predate every possible equality delete, so "oldest" is exact).
     * An equality delete applies to a file iff `addedAt < delete.version` —
     * which is what lets a keyed upsert (delete + append in one commit)
-    * leave its own fresh rows alive. */
+    * leave its own fresh rows alive.
+    *
+    * `pnulls(i)` = transform i's SOURCE column held at least one NULL in
+    * this file. min/max stats ignore nulls, so `pstats` alone cannot
+    * distinguish "single-valued X" from "X plus nulls" — and NULL is a
+    * legal partition value, so SPJ key reconstruction must NOT claim such
+    * a file is single-valued (null rows would be mis-clustered under
+    * KeyGroupedPartitioning: duplicate NULL groups in exchange-eliminated
+    * GROUP BY, missed matches in null-safe joins). Empty = unknown
+    * (pre-flag manifest lines): pruning is unaffected, SPJ is disabled
+    * for the file — the conservative direction. */
   final case class FileEntry(path: String, rows: Long,
                              xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                              pstats: Seq[(Long, Long)] = Seq.empty,
-                             addedAt: Int = -1) {
+                             addedAt: Int = -1,
+                             pnulls: Seq[Boolean] = Seq.empty) {
     def intersects(e: Envelope): Boolean =
       !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
         ymin <= e.getMaxY && ymax >= e.getMinY
@@ -340,12 +351,26 @@ object GeoManifest {
     }
 
   /** v6 file lines add `addedAt` at a fixed position between the bbox and
-    * the partition-stat pairs; pre-v6 lines omit it (parsed as 0). */
+    * the partition-stat pairs; pre-v6 lines omit it (parsed as 0). A
+    * trailing `N<bits>` token (bit i = transform i's source column saw a
+    * NULL in this file) rides after the pairs when the writer recorded
+    * the flags — self-describing (no digit-only field can start with
+    * 'N'), so it is stripped before the parity-based addedAt
+    * disambiguation and old readers of the era that skipped unknown
+    * LINES never see it mid-line. Absent token = unknown. */
   private def fileLine(e: FileEntry, v6: Boolean): String = {
     val ps = if (e.pstats.isEmpty) ""
              else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
     val seq = if (v6) s"\t${e.addedAt}" else ""
-    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$seq$ps\n"
+    val nulls =
+      if (e.pstats.nonEmpty && e.pnulls.length == e.pstats.length) {
+        val bits = e.pnulls.zipWithIndex.foldLeft(0L) {
+          case (acc, (true, i)) => acc | (1L << i)
+          case (acc, _) => acc
+        }
+        s"\tN$bits"
+      } else ""
+    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$seq$ps$nulls\n"
   }
 
   /** Files-per-shard for v5 manifest lists. Below this many entries the
@@ -492,13 +517,25 @@ object GeoManifest {
     // a legacy-layout line under a newer declared format (hand-migrated
     // manifest, or an additive future format keeping old file lines) has
     // an EVEN tail and parses as addedAt 0.
-    val hasSeq = v6 && (parts.length - 7) % 2 == 1
-    val addedAt = if (hasSeq) parts(7).toInt else 0
-    val ps = parts.drop(if (hasSeq) 8 else 7).grouped(2).collect {
+    // the saw-null token (if present) is last and self-describing; strip
+    // it BEFORE the parity check so it never perturbs addedAt detection
+    val (body, nullBits) =
+      if (parts.length > 7 && parts.last.length > 1 && parts.last.head == 'N' &&
+          parts.last.drop(1).forall(_.isDigit))
+        (parts.dropRight(1), Some(parts.last.drop(1).toLong))
+      else (parts, None)
+    val hasSeq = v6 && (body.length - 7) % 2 == 1
+    val addedAt = if (hasSeq) body(7).toInt else 0
+    val ps = body.drop(if (hasSeq) 8 else 7).grouped(2).collect {
       case Array(a, b) => (a.toLong, b.toLong)
     }.toSeq
+    val pn = nullBits match {
+      case Some(bits) => ps.indices.map(i => (bits & (1L << i)) != 0L)
+      case None => Seq.empty[Boolean]
+    }
     FileEntry(parts(1), parts(2).toLong,
-      parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble, ps, addedAt)
+      parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble,
+      ps, addedAt, pn)
   }
 
   /** Read v5 shard files, in parallel — a 1M-file table is ~40 shard
@@ -771,7 +808,9 @@ object GeoManifest {
           if (st.pSeen.length == partitions.length && st.pSeen.forall(identity))
             st.pmins.zip(st.pmaxs).toSeq
           else Seq.empty[(Long, Long)]
-        FileEntry(m.path, m.rows, st.xmin, st.ymin, st.xmax, st.ymax, ps)
+        val pn = if (ps.nonEmpty && st.pNull.length == ps.length) st.pNull.toSeq
+                 else Seq.empty[Boolean]
+        FileEntry(m.path, m.rows, st.xmin, st.ymin, st.xmax, st.ymax, ps, pnulls = pn)
       }
     else collectStats(spark, schema, nonEmpty.map(_.path), geomCol, partitions)
   }
@@ -798,7 +837,9 @@ object GeoManifest {
     }
     val pAggs = partitions.zipWithIndex.flatMap { case (t, i) =>
       val tc = GeoPartition.transformCol(t, schema)
-      Seq(min(tc).as(s"__p${i}min"), max(tc).as(s"__p${i}max"))
+      // count(tc) skips nulls: rows > count ⇒ the transform saw a null
+      Seq(min(tc).as(s"__p${i}min"), max(tc).as(s"__p${i}max"),
+        count(tc).as(s"__p${i}cnt"))
     }
     val aggs = Seq(count(lit(1)).as("rows")) ++ bboxAggs ++ pAggs
     val grouped = df.groupBy("__graft_file").agg(aggs.head, aggs.tail: _*)
@@ -811,17 +852,23 @@ object GeoManifest {
         if (lo == null || hi == null) null
         else (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
       }
+      val rowsN = r.getLong(r.fieldIndex("rows"))
       // an all-null partition value in any transform → no pstats for the
       // file (it is always kept by pruning, the conservative direction)
       val pstats = if (ps.exists(_ == null)) Seq.empty[(Long, Long)] else ps.toSeq
-      norm(r.getString(0)) -> (r.getLong(r.fieldIndex("rows")),
-        d("xmin"), d("ymin"), d("xmax"), d("ymax"), pstats)
+      val pnulls =
+        if (pstats.isEmpty) Seq.empty[Boolean]
+        else partitions.indices.map(i =>
+          r.getLong(r.fieldIndex(s"__p${i}cnt")) < rowsN)
+      norm(r.getString(0)) -> (rowsN,
+        d("xmin"), d("ymin"), d("xmax"), d("ymax"), pstats, pnulls)
     }.toMap
     // a written file with zero rows (possible from empty partitions) still
     // needs an entry so the manifest's file list matches the directory
     paths.map { p =>
       byKey.get(norm(p)) match {
-        case Some((rows, x0, y0, x1, y1, ps)) => FileEntry(p, rows, x0, y0, x1, y1, ps)
+        case Some((rows, x0, y0, x1, y1, ps, pn)) =>
+          FileEntry(p, rows, x0, y0, x1, y1, ps, pnulls = pn)
         case None => FileEntry(p, 0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
       }
     }

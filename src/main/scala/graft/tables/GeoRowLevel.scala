@@ -379,10 +379,16 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
           cs.headOption match {
             case Some(ref: NamedReference)
                 if ref.fieldNames().sameElements(Array(GeoRowLevel.FileCol)) =>
-              Some(cs.tail.collect {
+              // every value must be a Literal, or the predicate is
+              // ignored wholesale: pruning against a PARTIAL value list
+              // would drop files matching the non-literal remainder —
+              // silent row loss, the one direction this contract forbids
+              val vs = cs.tail.map {
                 case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-                  GeoManifest.norm(String.valueOf(l.value()))
-              }.toSet)
+                  Some(GeoManifest.norm(String.valueOf(l.value())))
+                case _ => None
+              }
+              if (vs.exists(_.isEmpty)) None else Some(vs.flatten.toSet)
             case _ => None
           }
         case _ => None
@@ -407,7 +413,13 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                 .filter(_._1.col.equalsIgnoreCase(colName))
               val dt = tableSchema.fields
                 .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
-              if (ts.nonEmpty && dt.isDefined) {
+              val allLits = cs.tail.forall(
+                _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]])
+              // a non-literal child means the value list is not fully
+              // known here — skip the whole predicate (no pruning) rather
+              // than prune against the partial literal subset, which
+              // would silently drop files matching the unknown values
+              if (ts.nonEmpty && dt.isDefined && allLits) {
                 val lits = cs.tail.collect {
                   case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
                     l.value().asInstanceOf[Any]
@@ -463,7 +475,14 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
     * embedding maps back: DATE = epoch days int, TIMESTAMP = micros). */
   private def keyValuesOf(f: FileEntry): Option[Seq[Any]] = {
     if (f.pstats.length != partitions.length) return None
+    // min/max ignore nulls: a file holding nulls plus one value X reads
+    // lo==hi==X, but NULL is itself a legal partition value the stats
+    // cannot express — require the writer-recorded saw-null flags and
+    // refuse any file whose layout-transform source column saw a null
+    // (or predates the flag). Pruning is unaffected; the join shuffles.
+    if (f.pnulls.length != partitions.length) return None
     val vals = layoutIdx.map { case (t, i) =>
+      if (f.pnulls(i)) return None
       val (lo, hi) = f.pstats(i)
       if (lo != hi) return None
       if (t.kind == "identity") tableSchema(t.col).dataType match {
@@ -495,6 +514,17 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjKeys match {
+      // This scan also advertises runtime V2 filtering (filterAttributes
+      // on the transform source columns), which can shrink the group set
+      // AFTER planning; Spark only re-plans that mismatch when
+      // pushPartValues is enabled — with bucketing on but pushPartValues
+      // off, an SPJ+DPP query fails at execution ("Data source must have
+      // preserved the original partitioning during runtime filtering")
+      // instead of degrading to a shuffle. Gate the report on the conf
+      // pair so the combination degrades gracefully.
+      case Some(_) if !org.apache.spark.sql.internal.SQLConf.get
+          .v2BucketingPushPartValuesEnabled =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
       case Some((_, distinct)) =>
         val exprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
           layoutIdx.map { case (t, _) =>
@@ -798,7 +828,8 @@ case class GeoEqReaderFactory(inner: PartitionReaderFactory,
   * read-back scan — at ingest scale that read-back doubles write I/O. */
 case class GeoFileStats(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                         pmins: Array[Long], pmaxs: Array[Long],
-                        pSeen: Array[Boolean])
+                        pSeen: Array[Boolean],
+                        pNull: Array[Boolean] = Array.empty)
 
 /** Commit message: one written parquet file, its row count, and (when the
   * writer factory carried stats expressions) the inline file stats. */
@@ -999,6 +1030,7 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
       private val pmins = Array.fill(math.max(nT, 0))(Long.MaxValue)
       private val pmaxs = Array.fill(math.max(nT, 0))(Long.MinValue)
       private val pSeen = new Array[Boolean](math.max(nT, 0))
+      private val pNull = new Array[Boolean](math.max(nT, 0))
 
       private val done = scala.collection.mutable.ListBuffer.empty[GeoCowCommitMessage]
 
@@ -1022,6 +1054,7 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
         java.util.Arrays.fill(pmins, Long.MaxValue)
         java.util.Arrays.fill(pmaxs, Long.MinValue)
         java.util.Arrays.fill(pSeen, false)
+        java.util.Arrays.fill(pNull, false)
       }
       openFile()
 
@@ -1032,7 +1065,7 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
           else Some(GeoFileStats(
             if (seenGeom) bx0 else Double.NaN, if (seenGeom) by0 else Double.NaN,
             if (seenGeom) bx1 else Double.NaN, if (seenGeom) by1 else Double.NaN,
-            pmins.clone(), pmaxs.clone(), pSeen.clone()))
+            pmins.clone(), pmaxs.clone(), pSeen.clone(), pNull.clone()))
         done += GeoCowCommitMessage(path, n, stats)
         fileNo += 1
       }
@@ -1075,7 +1108,7 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
               if (v < pmins(j)) pmins(j) = v
               if (v > pmaxs(j)) pmaxs(j) = v
               pSeen(j) = true
-            }
+            } else pNull(j) = true
             j += 1
           }
         }

@@ -515,8 +515,11 @@ object GeoTable {
       if (dropIdx.isEmpty) m.files
       else m.files.map { f =>
         if (f.pstats.isEmpty) f
-        else f.copy(pstats = f.pstats.zipWithIndex.collect {
-          case (ps, i) if !dropIdx.contains(i) => ps })
+        else f.copy(
+          pstats = f.pstats.zipWithIndex.collect {
+            case (ps, i) if !dropIdx.contains(i) => ps },
+          pnulls = f.pnulls.zipWithIndex.collect {
+            case (pn, i) if !dropIdx.contains(i) => pn })
       }
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,

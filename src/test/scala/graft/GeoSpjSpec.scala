@@ -183,6 +183,67 @@ class GeoSpjSpec extends SparkSpec {
     }
   }
 
+  test("bucketing on but pushPartValues off: SPJ is withheld, join degrades to shuffle") {
+    warehouse
+    // This scan also advertises runtime V2 filtering; with pushPartValues
+    // disabled Spark cannot tolerate a runtime-shrunk group set and fails
+    // at execution rather than re-planning. The scan therefore withholds
+    // KeyGroupedPartitioning unless the conf pair is complete — the query
+    // must plan a normal shuffled join and stay correct.
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+                "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "false",
+                "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT f.id, f.v, d.w FROM geospj.db.fact f
+          |JOIN geospj.db.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(j).nonEmpty,
+        s"without pushPartValues the scan must not report key grouping:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 1000)
+    }
+  }
+
+  test("null partition values disable SPJ (min/max stats cannot express a NULL key)") {
+    warehouse
+    // The hazard shape: min/max ignore nulls, so a file holding NULL
+    // partition values plus one non-null value reads lo==hi and WOULD be
+    // claimed single-valued from stats alone. NULL is a legal partition
+    // value — under KeyGroupedPartitioning each append's null-carrying
+    // file could claim a DIFFERENT value, mis-clustering null rows
+    // (duplicate NULL groups in an exchange-eliminated GROUP BY). The
+    // writer records a per-transform saw-null flag; the scan must refuse
+    // to report SPJ for such files, and the query shuffles as usual.
+    withSQLConf("spark.graft.write.rollMinRows" -> "100000", // merge the null run into the value file
+                "spark.sql.shuffle.partitions" -> "1") {     // one task = one file per append
+      spark.sql("CREATE TABLE geospj.db.nullp (k BIGINT, v STRING) USING geo " +
+        "PARTITIONED BY (k)")
+      spark.sql("INSERT INTO geospj.db.nullp " +
+        "SELECT IF(id < 50, CAST(NULL AS BIGINT), 7L), concat('a', id) FROM range(0, 100)")
+      spark.sql("INSERT INTO geospj.db.nullp " +
+        "SELECT IF(id < 50, CAST(NULL AS BIGINT), 9L), concat('b', id) FROM range(0, 100)")
+    }
+    val m = GeoManifest.read(spark, s"$warehouse/db/nullp")
+    val live = m.files.filter(_.rows > 0)
+    // every live file must carry the recorded flag, and the dangerous
+    // shape must actually be present: saw-null AND single-valued min/max
+    assert(live.forall(_.pnulls.nonEmpty), s"writers must record pnulls: $live")
+    assert(live.exists(f => f.pnulls.head && f.pstats.nonEmpty &&
+        f.pstats.head._1 == f.pstats.head._2),
+      s"test should produce a null-plus-single-value file: " +
+        live.map(f => (f.pstats, f.pnulls)).mkString(", "))
+    withSQLConf(spjConfs: _*) {
+      val g = spark.sql("SELECT k, count(*) AS n FROM geospj.db.nullp GROUP BY k")
+      assert(shuffles(g).nonEmpty,
+        s"a null-carrying table must not be key-grouped:\n${g.queryExecution.executedPlan}")
+      val got = g.collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+      assert(got == Map(-1L -> 100L, 7L -> 50L, 9L -> 50L))
+      // null-safe self-join: every NULL row matches every NULL row
+      val j = spark.sql(
+        "SELECT count(*) AS n FROM geospj.db.nullp a JOIN geospj.db.nullp b ON a.k <=> b.k")
+      assert(j.head().getLong(0) == 100L * 100 + 50L * 50 + 50L * 50)
+    }
+  }
+
   test("DML-rewritten files fall back to shuffled joins until OPTIMIZE restores SPJ") {
     warehouse
     spark.sql("CREATE TABLE geospj.db.mut (id BIGINT, v STRING) USING geo " +
