@@ -29,6 +29,13 @@ import org.locationtech.jts.geom.Envelope
  */
 object GeoTable {
 
+  /** Default age below which vacuum's orphan sweep will NOT delete an
+    * unreferenced data/sidecar file (`spark.graft.vacuum.orphanGraceMs`):
+    * 3 days, matching Iceberg remove_orphan_files' `older_than` default —
+    * long enough that any legitimate writer's data-write phase has either
+    * committed a manifest referencing the files or abandoned them. */
+  val DefaultOrphanGraceMs: Long = 3L * 24 * 3600 * 1000
+
   /** name -> table root; the session-agnostic catalog for the SQL front-end. */
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -260,6 +267,33 @@ object GeoTable {
         mv.files.map(_.key) ++ mv.deletes.map(_.key) ++ mv.eqDeletes.map(_.key)
       } catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
     }.toSet
+    // Files referenced by an EXPIRED manifest are committed garbage —
+    // deletable regardless of age (Iceberg expire-snapshots semantics).
+    // Files referenced by NO manifest at all may belong to an IN-FLIGHT
+    // writer: data files and sidecars are written BEFORE the commit takes
+    // the lock this sweep holds, so an ageless orphan sweep could delete
+    // a concurrent writer's uncommitted files and break the snapshot its
+    // commit then publishes. Such true orphans only fall once older than
+    // the grace window (Iceberg remove_orphan_files `older_than` analog;
+    // 0 is allowed for tests / known-quiesced tables).
+    val everRef = scala.collection.mutable.Set.empty[String] ++ live
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")))
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests")).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.startsWith("m") && n.endsWith(".txt"))
+          scala.util.Try(n.stripPrefix("m").stripSuffix(".txt").toInt).toOption
+            .filterNot(keep).foreach { v =>
+              try {
+                val mv = GeoManifest.readVersion(spark, root, v)
+                everRef ++= mv.files.map(_.key)
+                everRef ++= mv.deletes.map(_.key)
+                everRef ++= mv.eqDeletes.map(_.key)
+              } catch { case _: Exception => () } // torn manifest: its files stay orphans
+            }
+      }
+    val graceMs = spark.conf.getOption("spark.graft.vacuum.orphanGraceMs")
+      .map(_.toLong).getOrElse(GeoTable.DefaultOrphanGraceMs)
+    val orphanCutoff = System.currentTimeMillis() - graceMs
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     var removed = 0
     if (fs.exists(dataDir)) {
@@ -267,8 +301,10 @@ object GeoTable {
       val doomed = Seq.newBuilder[org.apache.hadoop.fs.Path]
       while (it.hasNext) {
         val f = it.next()
+        val key = GeoManifest.norm(f.getPath.toString)
         if (f.isFile && f.getPath.getName.startsWith("part-") &&
-          !live.contains(GeoManifest.norm(f.getPath.toString)))
+          !live.contains(key) &&
+          (everRef.contains(key) || f.getModificationTime <= orphanCutoff))
           doomed += f.getPath
       }
       doomed.result().foreach { p => if (fs.delete(p, false)) removed += 1 }

@@ -204,6 +204,61 @@ class GeoTableSpec extends SparkSpec {
     intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
   }
 
+  test("vacuum's orphan sweep has an age grace: in-flight writer files survive") {
+    val root = tmpRoot("vacgrace")
+    pointTable(root, nFiles = 3)
+    GeoTable.compact(spark, root, targetFiles = 1) // v1: v0's files become committed garbage
+    val fs = GeoManifest.fs(spark, root)
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val sub = fs.listStatus(dataDir).filter(_.isDirectory).head.getPath
+
+    // simulate an IN-FLIGHT writer: data files land BEFORE the manifest
+    // commit takes the lock, so at vacuum time they are referenced by
+    // nothing. A fresh-mtime orphan must survive the sweep; an orphan
+    // older than the grace window is dead weight and falls.
+    val freshOrphan = new org.apache.hadoop.fs.Path(sub, "part-inflight-fresh.parquet")
+    val staleOrphan = new org.apache.hadoop.fs.Path(sub, "part-inflight-stale.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("vacgrace_w").toString + "/p"
+    spark.range(5).toDF("id").withColumn("flag", lit(9))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0)))
+      .coalesce(1).write.parquet(tmp)
+    val written = GeoManifest.listParquet(spark, tmp).head
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(written), freshOrphan)
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(written), staleOrphan)
+    fs.setTimes(staleOrphan, System.currentTimeMillis() - 4L * 24 * 3600 * 1000, -1)
+
+    val removed = GeoTable.vacuum(spark, root, keepVersions = 1)
+    // committed garbage (v0's files) AND the stale orphan fall; the fresh
+    // orphan — a concurrent writer's uncommitted data — survives
+    assert(removed >= 3, s"expected v0 files + stale orphan removed, got $removed")
+    assert(fs.exists(freshOrphan), "fresh unreferenced file must survive the grace window")
+    assert(!fs.exists(staleOrphan), "orphan older than the grace window must be deleted")
+
+    // the concurrent-commit shape end-to-end: the surviving file's commit
+    // (taken AFTER the vacuum) must publish a snapshot that reads intact
+    val m = GeoManifest.read(spark, root)
+    val entries = GeoManifest.collectStats(spark, m.schema,
+      Seq(freshOrphan.toString), m.geomCol, m.partitions)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = m.files ++ entries), m.version)
+    assert(GeoTable.read(spark, root).count() == 105)
+    assert(GeoTable.read(spark, root).where(col("flag") === 9).count() == 5)
+
+    // grace 0 (a known-quiesced table): the remaining orphan falls too
+    try {
+      spark.conf.set("spark.graft.vacuum.orphanGraceMs", "0")
+      // drop the commit so the file is unreferenced again
+      val m2 = GeoManifest.read(spark, root)
+      GeoManifest.commit(spark, root,
+        m2.copy(version = m2.version + 1,
+          files = m2.files.filterNot(_.key == GeoManifest.norm(freshOrphan.toString))),
+        m2.version)
+      val removed2 = GeoTable.vacuum(spark, root, keepVersions = 1)
+      assert(removed2 >= 1 && !fs.exists(freshOrphan),
+        "grace 0 must sweep fresh orphans immediately")
+    } finally spark.conf.unset("spark.graft.vacuum.orphanGraceMs")
+  }
+
   test("SHALLOW CLONE references source files; evolves and vacuums independently") {
     val src = tmpRoot("clone_src")
     GeoTable.create(spark, src,
