@@ -140,17 +140,8 @@ class GeoBranchTable(tableName: String, root: String, branch: String,
         // GeoV2Table.newWriteBuilder) — staged files get the layout and
         // per-file transform ranges main files do
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-        private val sorts: Array[SortOrder] = head.partitions.filter(_.layout).map { p =>
-          val e = p.kind match {
-            case "identity" => Expressions.column(p.col)
-            case "bucket" => Expressions.bucket(p.n, p.col)
-            case "truncate" => Expressions.apply("truncate",
-              Expressions.literal(p.n), Expressions.column(p.col))
-            case k => Expressions.apply(k, Expressions.column(p.col))
-          }
-          Expressions.sort(e, SortDirection.ASCENDING)
-        }.toArray
+        import org.apache.spark.sql.connector.expressions.SortOrder
+        private val sorts: Array[SortOrder] = GeoPartition.v2SortOrders(head.partitions)
         override def requiredDistribution(): Distribution =
           if (sorts.isEmpty) Distributions.unspecified()
           else Distributions.ordered(sorts)

@@ -713,17 +713,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
         // pinned (AQE would coalesce an unsized range shuffle and destroy
         // the file-per-range grouping manifest pruning feeds on).
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-        private val sorts: Array[SortOrder] = manifest.partitions.filter(_.layout).map { p =>
-          val e = p.kind match {
-            case "identity" => Expressions.column(p.col)
-            case "bucket" => Expressions.bucket(p.n, p.col)
-            case "truncate" => Expressions.apply("truncate",
-              Expressions.literal(p.n), Expressions.column(p.col))
-            case k => Expressions.apply(k, Expressions.column(p.col))
-          }
-          Expressions.sort(e, SortDirection.ASCENDING)
-        }.toArray
+        import org.apache.spark.sql.connector.expressions.SortOrder
+        private val sorts: Array[SortOrder] = GeoPartition.v2SortOrders(manifest.partitions)
         override def requiredDistribution(): Distribution =
           if (sorts.isEmpty) Distributions.unspecified()
           else Distributions.ordered(sorts)

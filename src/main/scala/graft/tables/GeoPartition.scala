@@ -162,6 +162,26 @@ object GeoPartition {
     }
   }
 
+  /** The layout transforms as V2 SortOrders — the `ordered` distribution
+    * every write path (batch INSERT, streaming epoch, CoW DML rewrite)
+    * requests so rows reach the rolling writer clustered in transform
+    * space and files come out single-valued (the SPJ precondition).
+    * Function transforms resolve through the catalog's FunctionCatalog. */
+  def v2SortOrders(transforms: Seq[PTransform])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    transforms.filter(_.layout).map { p =>
+      val e = p.kind match {
+        case "identity" => Expressions.column(p.col)
+        case "bucket" => Expressions.bucket(p.n, p.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(p.n), Expressions.column(p.col))
+        case k => Expressions.apply(k, Expressions.column(p.col))
+      }
+      Expressions.sort(e, SortDirection.ASCENDING)
+    }.toArray
+  }
+
   /** Cluster rows so files hold tight transform ranges. The partition
     * count is pinned (AQE would coalesce an unsized range shuffle into
     * one file and destroy the grouping); empty ranges produce zero-row

@@ -111,7 +111,26 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // CoW rewrites request the same transform-space clustering as
+        // batch inserts: without it a single UPDATE writes files that
+        // straddle partition values and silently degrades every
+        // subsequent join on a co-partitioned table to full shuffles
+        // until OPTIMIZE. With it, DML PRESERVES the storage-partitioned
+        // join precondition (files stay single-valued; the rolling
+        // writer below closes files at tuple boundaries).
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.SortOrder
+        private val sorts: Array[SortOrder] =
+          GeoPartition.v2SortOrders(GeoManifest.read(spark, root).partitions)
+        override def requiredDistribution(): Distribution =
+          if (sorts.isEmpty) Distributions.unspecified()
+          else Distributions.ordered(sorts)
+        override def requiredOrdering(): Array[SortOrder] = sorts
+        override def requiredNumPartitions(): Int =
+          if (sorts.isEmpty) 0
+          else SparkSession.active.sessionState.conf.numShufflePartitions
         override def toBatch: BatchWrite =
           new GeoCowBatchWrite(root, info.schema(), () => scannedFiles, cmd)
       }
@@ -875,8 +894,13 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, m.schema)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
+    // the write's requiredDistribution/Ordering (see GeoRowLevelOperation)
+    // delivers rows sorted by the layout transforms: rolling at tuple
+    // boundaries keeps DML output single-valued, preserving SPJ
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
-      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox)
+      commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
+      rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
+      rollMinRows = GeoRowLevel.rollMinRows(spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

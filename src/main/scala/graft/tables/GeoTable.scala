@@ -593,7 +593,8 @@ object GeoTable {
       val target = if (f.name == actual.name) to else f.name
       col(f.name).as(target, f.metadata)
     }: _*)
-    val files = writeCommit(spark, root, renamed, newSchema, newGeom, newParts)
+    val files = writeCommit(spark, root, renamed, newSchema, newGeom, newParts,
+      cluster = true)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
         files = files, partitions = newParts,
@@ -750,7 +751,7 @@ object GeoTable {
       return 0L
     }
     val rewritten = writeCommit(spark, root, readMerged(spark, m, touched),
-      m.schema, m.geomCol, m.partitions)
+      m.schema, m.geomCol, m.partitions, cluster = true)
     val untouched = m.files.filterNot(f => touched.exists(_.key == f.key))
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
@@ -848,7 +849,8 @@ object GeoTable {
           setMap.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
             .as(f.name, f.metadata)
         }: _*)
-        val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions)
+        val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions,
+          cluster = true)
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version)
         maybeFoldSidecars(spark, root)
@@ -1115,7 +1117,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions)
+        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions, cluster = true)
       }
 
     // --- 3. NOT MATCHED inserts (anti-join; equi `on` keys shuffle, never BNL
@@ -1141,7 +1143,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions)
+        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions, cluster = true)
       }
 
     if (affected.isEmpty && inserted.isEmpty) return 0L
@@ -1202,7 +1204,8 @@ object GeoTable {
     val newFiles =
       if (toRewrite.isEmpty) Seq.empty[FileEntry]
       else writeCommit(spark, root,
-        transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol, m.partitions)
+        transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol, m.partitions,
+        cluster = true)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version)
@@ -1281,10 +1284,18 @@ object GeoTable {
     else applyEqDeletes(spark, m, files)(posMerged)
   }
 
-  /** Write `df` as a fresh immutable commit dir and stat the new files. */
-  private def writeCommit(spark: SparkSession, root: String, df: DataFrame,
+  /** Write `df` as a fresh immutable commit dir and stat the new files.
+    * `cluster` = run the transform-space layout here (DML rewrite paths,
+    * whose input arrives in scan order): clustered rows reach the rolling
+    * writer sorted, so rewritten files stay single-valued per layout
+    * tuple and DML preserves the storage-partitioned-join precondition.
+    * Batch ingest paths pre-layout and leave it false. */
+  private def writeCommit(spark: SparkSession, root: String, df0: DataFrame,
                           schema: StructType, geomCol: Option[String],
-                          partitions: Seq[GeoPartition.PTransform] = Seq.empty): Seq[FileEntry] = {
+                          partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                          cluster: Boolean = false): Seq[FileEntry] = {
+    val df = if (cluster && partitions.exists(_.layout))
+      GeoPartition.layout(df0, partitions, schema) else df0
     // write through the same stats-collecting writer as the DSv2 paths
     // (GeoCowDataWriterFactory): per-file rows/bbox/transform ranges
     // accumulate INLINE as rows stream out, so the commit needs no

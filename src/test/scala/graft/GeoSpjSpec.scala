@@ -244,35 +244,40 @@ class GeoSpjSpec extends SparkSpec {
     }
   }
 
-  test("DML-rewritten files fall back to shuffled joins until OPTIMIZE restores SPJ") {
+  test("CoW DML preserves SPJ: joins stay exchange-free with NO intervening OPTIMIZE") {
     warehouse
     spark.sql("CREATE TABLE geospj.db.mut (id BIGINT, v STRING) USING geo " +
       "PARTITIONED BY (bucket(4, id))")
     spark.sql("INSERT INTO geospj.db.mut SELECT id, concat('m', id) FROM range(0, 2000)")
-    // CoW UPDATE rewrites whole files WITHOUT transform clustering: the
-    // rewritten files may straddle bucket values, and the scan must then
-    // report UnknownPartitioning (correctness first) ...
+    // The CoW rewrite requests the same transform-space clustering as
+    // batch inserts and rolls files at tuple boundaries, so a DML
+    // statement leaves every file single-valued — SPJ survives DML
+    // without an OPTIMIZE roundtrip (the Iceberg fanout-writer property).
     spark.sql("UPDATE geospj.db.mut SET v = 'upd' WHERE id < 1500")
     val m1 = GeoManifest.read(spark, s"$warehouse/db/mut")
-    val singleValued = m1.files.filter(_.rows > 0)
-      .forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2)
+    assert(m1.files.filter(_.rows > 0)
+      .forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2),
+      s"DML must keep files single-valued in bucket(4, id): " +
+        m1.files.filter(_.rows > 0).map(_.pstats).mkString(", "))
     withSQLConf(spjConfs: _*) {
       val j1 = spark.sql(
         """SELECT a.id FROM geospj.db.mut a JOIN geospj.db.dim d ON a.id = d.id""")
-      if (!singleValued) assert(shuffles(j1).nonEmpty)
+      assert(shuffles(j1).isEmpty,
+        s"post-UPDATE join must be exchange-free WITHOUT OPTIMIZE:\n${j1.queryExecution.executedPlan}")
       assert(j1.count() == 1000)
-      // ... and OPTIMIZE re-clusters through the rolling writer, making
-      // every file single-valued again: SPJ comes back
-      graft.tables.GeoSql.exec(spark, "OPTIMIZE geospj.db.mut")
+      assert(spark.sql("SELECT count(*) FROM geospj.db.mut WHERE v = 'upd'")
+        .head().getLong(0) == 1500)
+      // a DELETE that rewrites files (not metadata-drop) also preserves it
+      spark.sql("DELETE FROM geospj.db.mut WHERE id < 100 AND id % 2 = 0")
       val m2 = GeoManifest.read(spark, s"$warehouse/db/mut")
       assert(m2.files.filter(_.rows > 0)
         .forall(f => f.pstats.nonEmpty && f.pstats.head._1 == f.pstats.head._2),
-        "OPTIMIZE must restore single-valued files")
+        "DELETE must keep files single-valued")
       val j2 = spark.sql(
         """SELECT a.id FROM geospj.db.mut a JOIN geospj.db.dim d ON a.id = d.id""")
       assert(shuffles(j2).isEmpty,
-        s"post-OPTIMIZE join must be exchange-free:\n${j2.queryExecution.executedPlan}")
-      assert(j2.count() == 1000)
+        s"post-DELETE join must be exchange-free:\n${j2.queryExecution.executedPlan}")
+      assert(j2.count() == 950)
     }
   }
 }
