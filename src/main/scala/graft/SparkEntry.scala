@@ -1679,6 +1679,27 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Persisted IVF index: k-means runs ONCE at build; the returned
+    // result is the SECOND probe of the stored index (centroids +
+    // cluster-partitioned vectors as geo tables), so the oracle verifies
+    // the store→prune→probe machinery, not a fresh clustering. Same
+    // corpus-tuned exactness contract as ann_ivf_top10 (nprobe=5 covers
+    // every true top-10 neighbor's cluster at the verify SF).
+    "ann_ivf_persisted_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/i"
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"), k = 8, iters = 2)
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 5).count() // first probe
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 5)       // second probe
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // ----- text analysis (§2.11) -----
     "text_quality_components" -> ((s, d) => prep(s, d).sql("""
       SELECT doc_id,
@@ -2627,6 +2648,17 @@ object SparkEntry {
     // exact top-10: the LSH prefilter is parameterized for full recall at
     // the verify SF (see the query's comment), so approximate == exact here
     "ann_lsh_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // exact top-10 (same contract as ann_ivf_top10): the probe of the
+    // persisted index covers every true neighbor's cluster at verify SF
+    "ann_ivf_persisted_top10" -> """
       SELECT vec_id, CAST(rn AS INT) AS rank FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
           list_cosine_similarity(CAST(embedding AS DOUBLE[]),

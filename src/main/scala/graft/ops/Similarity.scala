@@ -245,6 +245,66 @@ object Similarity {
         acc => acc("best")))
   }
 
+  // -------------------------------------------------------------------
+  // Persisted IVF index (the 100 TB path): k-means runs ONCE at build
+  // time; every later probe — in this session or any other — is manifest
+  // metadata plus a cluster-pruned scan. Layout:
+  //   <indexRoot>/centroids  (cluster INT, centroid ARRAY<DOUBLE>) — k rows
+  //   <indexRoot>/vectors    (vec_id, cluster, vec) — a geo table
+  //     identity-partitioned by `cluster`, so transform-clustered writes
+  //     roll one-file-per-cluster-run and the probe's `cluster IN (...)`
+  //     prunes to just the probed clusters' files from per-file stats.
+  // -------------------------------------------------------------------
+
+  /** Build the index tables under `indexRoot`. A 100 TB corpus pays
+    * Lloyd's once here; [[ivfSearch]] never re-clusters. */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                    df: DataFrame, vec: Column, id: Column,
+                    k: Int, iters: Int = 3): Unit = {
+    import graft.tables.{GeoPartition, GeoTable}
+    val (assigned, cents) = kmeansAssign(df, vec, id, k, iters)
+    GeoTable.create(spark, s"$indexRoot/vectors",
+      assigned.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cluster"),
+        org.apache.spark.sql.functions.col("__v").as("vec")),
+      geomCol = None,
+      partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")))
+    val sp = spark
+    import sp.implicits._
+    GeoTable.create(spark, s"$indexRoot/centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cluster", "centroid"),
+      geomCol = None)
+  }
+
+  /** Probe a prebuilt index: read the k centroid rows (bounded by k, the
+    * one intentionally driver-side piece), pick the `nprobe` nearest
+    * clusters, and top-k ONLY the probed clusters' rows — the scan's
+    * IN-value pruning opens only files whose recorded cluster range can
+    * hold a probed id. No k-means jobs run here. */
+  def ivfSearch(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.tables.GeoTable
+    val c = org.apache.spark.sql.functions.col _
+    val centroids = GeoTable.read(spark, s"$indexRoot/centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val qd = q.map(_.toDouble)
+    def cosD(v: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nq = 0.0; var i = 0
+      while (i < math.min(v.length, qd.length)) {
+        d += v(i) * qd(i); nv += v(i) * v(i); nq += qd(i) * qd(i); i += 1
+      }
+      if (nv == 0 || nq == 0) 0.0 else d / math.sqrt(nv * nq)
+    }
+    val probes = centroids.sortBy { case (_, v) => -cosD(v) }.take(nprobe).map(_._1)
+    GeoTable.scan(spark, s"$indexRoot/vectors",
+        c("cluster").isin(probes.toSeq: _*))
+      .select(c("vec_id"), cosine(c("vec"), typedlit(q.toSeq)).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {

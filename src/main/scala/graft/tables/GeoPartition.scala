@@ -349,12 +349,47 @@ object GeoPartition {
             schema: StructType, filters: Seq[Expression]): Seq[FileEntry] = {
     if (transforms.isEmpty || filters.isEmpty) return files
     val bs = bounds(transforms, schema, filters)
-    if (bs.isEmpty) return files
+    val vs = valueSets(transforms, schema, filters)
+    if (bs.isEmpty && vs.isEmpty) return files
     files.filter { f =>
-      f.pstats.isEmpty || bs.forall { case (i, (lo, hi)) =>
-        f.pstats.lift(i).forall { case (pmin, pmax) => pmin <= hi && pmax >= lo }
+      f.pstats.isEmpty || (
+        bs.forall { case (i, (lo, hi)) =>
+          f.pstats.lift(i).forall { case (pmin, pmax) => pmin <= hi && pmax >= lo }
+        } &&
+        vs.forall { case (i, values) =>
+          f.pstats.lift(i).forall { case (pmin, pmax) =>
+            values.exists(v => v >= pmin && v <= pmax)
+          }
+        })
+    }
+  }
+
+  /** EXACT derived-value sets for IN/= conjuncts, per transform: a file
+    * survives only if SOME listed value lands inside its recorded range.
+    * Strictly stronger than the [min,max] envelope `bounds` gives IN — a
+    * sparse probe list (e.g. IVF nprobe clusters {3, 870}) spans nearly
+    * the whole envelope but hits very few files. */
+  private def valueSets(transforms: Seq[PTransform], schema: StructType,
+                        filters: Seq[Expression]): Map[Int, Seq[Long]] = {
+    val conjuncts = filters.flatMap(splitAnd)
+    val out = scala.collection.mutable.Map.empty[Int, Seq[Long]]
+    for ((t, i) <- transforms.zipWithIndex) {
+      val f = schema.fields.find(_.name.equalsIgnoreCase(t.col))
+      val dt = f.map(_.dataType).getOrElse(NullType)
+      def attrMatches(e: Expression): Boolean = e match {
+        case a: Attribute => a.name.equalsIgnoreCase(t.col)
+        case _ => false
+      }
+      conjuncts.foreach {
+        case In(a, vals) if attrMatches(a) && vals.forall(_.isInstanceOf[Literal]) =>
+          val tvs = vals.collect { case Literal(v, _) => valueOf(t, v, dt) }
+          // every value must derive, or the conjunct proves nothing
+          if (tvs.nonEmpty && tvs.forall(_.isDefined))
+            out(i) = out.get(i).fold(tvs.flatten)(_ intersect tvs.flatten)
+        case _ => ()
       }
     }
+    out.toMap
   }
 }
 

@@ -643,9 +643,19 @@ object GeoTable {
     * appended for human-readable show() output (see [[GeoDisplay]]). */
   def scan(spark: SparkSession, root: String, cond: Column): DataFrame = {
     val m = GeoManifest.read(spark, root)
-    val files = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
+    var files = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
       case Some(env) => m.prune(env)
       case None => m.files
+    }
+    // transform-range + IN-value pruning on the same condition: resolve
+    // it against the table schema so derivation sees bound attributes
+    // (the compactWhere recipe); an unresolvable condition prunes nothing
+    if (m.partitions.nonEmpty) scala.util.Try {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
+        .where(cond).queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
+    }.foreach { c =>
+      files = GeoPartition.prune(files, m.partitions, m.schema, Seq(c))
     }
     val base = readMerged(spark, m, files).where(cond)
     m.geomCol match {

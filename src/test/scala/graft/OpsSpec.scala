@@ -231,6 +231,55 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect ivf).size >= 4, s"IVF recall too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("persisted IVF index: build once, probes re-run no k-means and prune files") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/i"
+    val sc = spark.sparkContext
+    def jobsInGroup(g: String): Int = sc.statusTracker.getJobIdsForGroup(g).length
+
+    sc.setJobGroup("ivf_build", "index build")
+    Similarity.buildIvfIndex(spark, idx, emb, col("embedding"), col("vec_id"), k = 8, iters = 2)
+    sc.clearJobGroup()
+
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+
+    // two probes of the PREBUILT index: deterministic, and with nprobe
+    // covering all clusters the result is the exact brute-force top-10
+    val r1 = Similarity.ivfSearch(spark, idx, q, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    sc.setJobGroup("ivf_probe2", "second probe")
+    val r2 = Similarity.ivfSearch(spark, idx, q, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    sc.clearJobGroup()
+    assert(r1 == r2, "probes of a persisted index must be deterministic")
+    assert(r1 == brute, s"all-cluster probe must equal brute top-10: $r1 vs $brute")
+
+    // the second probe re-ran NO k-means: its job count is a handful
+    // (centroid read + the pruned top-k), nowhere near Lloyd's rounds.
+    // statusTracker is fed asynchronously — allow it a moment to settle.
+    var tries = 0
+    while (jobsInGroup("ivf_probe2") == 0 && tries < 50) { Thread.sleep(100); tries += 1 }
+    val buildJobs = jobsInGroup("ivf_build")
+    val probeJobs = jobsInGroup("ivf_probe2")
+    assert(probeJobs > 0 && probeJobs <= 4,
+      s"a probe must be metadata + one pruned scan, ran $probeJobs jobs")
+    assert(buildJobs > probeJobs,
+      s"k-means must run at BUILD only (build $buildJobs vs probe $probeJobs)")
+
+    // cluster-pruning: a sparse 2-cluster probe list opens only the
+    // probed clusters' files (identity-partitioned vectors table)
+    val m = graft.tables.GeoManifest.read(spark, s"$idx/vectors")
+    val total = m.files.count(_.rows > 0)
+    val opened = graft.tables.GeoTable.scan(spark, s"$idx/vectors",
+        col("cluster").isin(0, 7))
+      .select(input_file_name()).distinct().count()
+    assert(total >= 4, s"want a multi-file vectors table, got $total")
+    assert(opened < total,
+      s"IN-value pruning must open fewer files ($opened of $total)")
+  }
+
   test("range join == naive between-join across bucket sizes") {
     val vals = (0 until 300).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("vid", "v")
     val ivs = (0 until 20).map(i => (i.toLong, (i * 53 % 800).toDouble, (i * 53 % 800).toDouble + 120.5))
