@@ -132,14 +132,21 @@ object GeoManifest {
     * the sidecar's key range: a file whose recorded range for that
     * column cannot intersect it is exempt from this delete — reads skip
     * the probe AND the sidecar load, folds skip the rewrite (see
-    * [[Manifest.eqApplies]]). For a multi-column key the leading
-    * column's range is a valid superset bound (no tuple can match a row
-    * whose leading value cannot). None = unknown, the conservative
-    * applies-everywhere direction. */
+    * [[Manifest.eqApplies]]). None = unknown, the conservative
+    * applies-everywhere direction.
+    *
+    * `kranges` extends the bound to the FULL key tuple: per-column
+    * min/max for the TAIL key columns (index i = cols(i + 1)), None for
+    * a column with no long embedding. Applicability is the INTERSECTION
+    * on every column — one disjoint column proves no tuple can match any
+    * row of the file, which is what gives a composite-key CDC stream
+    * (realistic upserts key on e.g. (tenant, id)) real range exemption
+    * instead of riding the leading column alone. */
   final case class EqDeleteEntry(path: String, rows: Long,
                                  cols: Seq[String], version: Int,
                                  kmin: Option[Long] = None,
-                                 kmax: Option[Long] = None) {
+                                 kmax: Option[Long] = None,
+                                 kranges: Seq[Option[(Long, Long)]] = Seq.empty) {
     def key: String = GeoManifest.norm(path)
     /** True when this delete can affect rows of `f` by SEQUENCE NUMBER
       * alone; range-aware callers use [[Manifest.eqApplies]]. */
@@ -150,17 +157,30 @@ object GeoManifest {
     * file: on top of `addedAt < version`, when the sidecar recorded a key
     * range and some identity/stats transform recorded the file's range
     * for that column, disjoint ranges prove the delete cannot match any
-    * row of the file. Every missing piece keeps the conservative answer. */
+    * row of the file. The check runs per KEY COLUMN (full-tuple ranges):
+    * a tuple matches a row only when every column matches, so a single
+    * disjoint column exempts the file even when the others overlap.
+    * Every missing piece keeps the conservative answer. */
   def eqApplies(partitions: Seq[GeoPartition.PTransform],
                 e: EqDeleteEntry, f: FileEntry): Boolean =
-    e.appliesTo(f) && (e.kmin.isEmpty || {
-      val i = partitions.indexWhere(t =>
-        (t.kind == "identity" || t.kind == "stats") &&
-          t.col.equalsIgnoreCase(e.cols.head))
-      i < 0 || f.pstats.lift(i).forall { case (lo, hi) =>
-        hi >= e.kmin.get && lo <= e.kmax.get
+    e.appliesTo(f) && {
+      val leading: (String, Option[(Long, Long)]) =
+        e.cols.head -> (for (a <- e.kmin; b <- e.kmax) yield (a, b))
+      val colRanges: Seq[(String, Option[(Long, Long)])] =
+        leading +: e.cols.tail.zipWithIndex.map { case (c, i) =>
+          c -> e.kranges.lift(i).flatten
+        }
+      colRanges.forall { case (cName, r) =>
+        r.forall { case (kmin, kmax) =>
+          val i = partitions.indexWhere(t =>
+            (t.kind == "identity" || t.kind == "stats") &&
+              t.col.equalsIgnoreCase(cName))
+          i < 0 || f.pstats.lift(i).forall { case (lo, hi) =>
+            hi >= kmin && lo <= kmax
+          }
+        }
       }
-    })
+    }
 
   /** Table-level column statistics from `ANALYZE TABLE ... FOR COLUMNS`
     * (Iceberg table-stats analog): approximate NDV + null count, plus
@@ -480,9 +500,17 @@ object GeoManifest {
     m.deletes.foreach { d => lines ++= s"delete\t${d.path}\t${d.rows}\n" }
     m.eqDeletes.foreach { e =>
       // optional trailing kmin/kmax: readers take parts 1-4 and ignore a
-      // missing tail, so old manifests and range-less sidecars parse alike
+      // missing tail, so old manifests and range-less sidecars parse
+      // alike. Tail-column ranges (full-tuple bound) follow as further
+      // pairs, '-' marking a column with no embedding — additive: old
+      // short lines parse as leading-only.
       val range = (e.kmin, e.kmax) match {
-        case (Some(a), Some(b)) => s"\t$a\t$b"
+        case (Some(a), Some(b)) =>
+          val tail = e.kranges.map {
+            case Some((lo, hi)) => s"\t$lo\t$hi"
+            case None => "\t-\t-"
+          }.mkString
+          s"\t$a\t$b$tail"
         case _ => ""
       }
       lines ++= s"eqdelete\t${e.path}\t${e.rows}\t${e.version}\t${e.cols.mkString(",")}$range\n"
@@ -605,10 +633,17 @@ object GeoManifest {
         case "shard" => shardNames += parts(1)
         case "delete" => deletes += DeleteEntry(parts(1), parts(2).toLong)
         case "eqdelete" =>
+          val kranges =
+            if (parts.length >= 9) parts.drop(7).grouped(2).collect {
+              case Array("-", "-") => None
+              case Array(a, b) => Some((a.toLong, b.toLong))
+            }.toSeq
+            else Seq.empty[Option[(Long, Long)]]
           eqDeletes += EqDeleteEntry(parts(1), parts(2).toLong,
             parts(4).split(',').toSeq, parts(3).toInt,
             kmin = if (parts.length >= 7) Some(parts(5).toLong) else None,
-            kmax = if (parts.length >= 7) Some(parts(6).toLong) else None)
+            kmax = if (parts.length >= 7) Some(parts(6).toLong) else None,
+            kranges = kranges)
         case "partition" => partitions += GeoPartition.decode(parts(1))
         case "colstat" =>
           colStats += parts(1) -> ColStat(parts(2).toLong, parts(3).toLong,

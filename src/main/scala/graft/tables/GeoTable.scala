@@ -965,21 +965,24 @@ object GeoTable {
     // ONE aggregate pass over the pinned keys computes everything the
     // commit needs: the malformed-cast count, the distinct usable tuple
     // count (multi-arg count(DISTINCT ...) skips any-null tuples, the
-    // same rule as the na.drop below), and the LEADING key column's
-    // min/max when it has a long embedding — the range that lets
-    // reads/folds skip every file whose recorded column range cannot
-    // intersect (Manifest.eqApplies); a valid superset bound for
-    // multi-column keys too. The sidecar write below recomputes the
-    // distinct from the CHECKPOINTED frame, so the counted and written
-    // tuple sets agree by construction.
-    val rangeCol: Option[Column] =
-      if (GeoPartition.supports("stats", m.schema(resolved.head).dataType))
+    // same rule as the na.drop below), and EVERY key column's min/max in
+    // its long embedding (when it has one) — the full-tuple range that
+    // lets reads/folds skip every file where ANY column's recorded range
+    // cannot intersect (Manifest.eqApplies); one disjoint column is
+    // enough, which is what composite-key CDC needs. The sidecar write
+    // below recomputes the distinct from the CHECKPOINTED frame, so the
+    // counted and written tuple sets agree by construction.
+    val rangeCols: Seq[Option[Column]] = resolved.map { rc =>
+      if (GeoPartition.supports("stats", m.schema(rc).dataType))
         Some(GeoPartition.transformCol(
-          GeoPartition.PTransform("stats", 0, resolved.head), m.schema))
+          GeoPartition.PTransform("stats", 0, rc), m.schema))
       else None
+    }
     val aggs = Seq(count(when(badCast, 1)).as("bad"),
       countDistinct(resolved.head, resolved.tail: _*).as("n")) ++
-      rangeCol.toSeq.flatMap(tc => Seq(min(tc).as("kmin"), max(tc).as("kmax")))
+      rangeCols.zipWithIndex.flatMap { case (tc, i) =>
+        tc.toSeq.flatMap(c => Seq(min(c).as(s"kmin$i"), max(c).as(s"kmax$i")))
+      }
     val st = withCast.agg(aggs.head, aggs.tail: _*).head()
     val nBad = st.getLong(0)
     require(nBad == 0,
@@ -989,14 +992,24 @@ object GeoTable {
         "malformed keys, refusing to silently skip them")
     val n = st.getLong(1)
     if (n == 0) return None
-    val (kmin, kmax) =
-      if (rangeCol.isDefined && !st.isNullAt(2)) (Some(st.getLong(2)), Some(st.getLong(3)))
-      else (None, None)
+    val ranges: Seq[Option[(Long, Long)]] = rangeCols.zipWithIndex.map { case (tc, i) =>
+      if (tc.isDefined && !st.isNullAt(st.fieldIndex(s"kmin$i")))
+        Some((st.getLong(st.fieldIndex(s"kmin$i")), st.getLong(st.fieldIndex(s"kmax$i"))))
+      else None
+    }
+    // the serialized form keys on the LEADING range being present; tail
+    // ranges ride behind it (see the manifest eqdelete line format)
+    val (kmin, kmax) = ranges.head match {
+      case Some((a, b)) => (Some(a), Some(b))
+      case None => (None, None)
+    }
+    val kranges = if (kmin.isDefined) ranges.tail else Seq.empty[Option[(Long, Long)]]
     val tuples = withCast.select(resolved.map(col): _*).na.drop("any").distinct()
     val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
     tuples.coalesce(1).write.parquet(dir)
     val path = GeoManifest.listParquet(spark, dir).head
-    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1, kmin, kmax), n))
+    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1, kmin, kmax,
+      kranges), n))
   }
 
   /**

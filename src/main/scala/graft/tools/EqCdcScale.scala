@@ -95,6 +95,32 @@ object EqCdcScale {
       println(f"           range-local: eqDel=$tEqDelL%.2f read=$tReadL%.2f " +
         f"loc-fold=$tFoldL%.2f read-rows=$readL (expect ${n - 1000}) " +
         f"files=${mL.files.length}")
+
+      // COMPOSITE-KEY scenario (full-tuple key ranges, r15): the
+      // realistic CDC shape keys on (tenant, id) where the table is
+      // clustered by TENANT and ids interleave across every file — the
+      // leading (id) bound exempts nothing, all exemption must come from
+      // the SECOND column's range. Watch comp-fold(s) stay flat with n:
+      // only the one tenant-run of files rewrites.
+      val rootC = java.nio.file.Files.createTempDirectory("eqcdcC").toString + "/t"
+      GeoTable.create(spark, rootC,
+        spark.range(n).select(col("id"), (col("id") % 16).as("tenant"),
+          concat(lit("v"), col("id")).as("v")).repartitionByRange(16, col("tenant")), None,
+        partitions = Seq(graft.tables.GeoPartition.PTransform("stats", 0, "id"),
+          graft.tables.GeoPartition.PTransform("stats", 0, "tenant")))
+      // 1000 keys spread over the FULL id space, all in tenant 7
+      val compKeys = spark.range(1000)
+        .select((col("id") * (n / 1000) - (col("id") * (n / 1000)) % 16 + 7).as("id"))
+        .select(col("id"), lit(7L).as("tenant")).localCheckpoint()
+      val (_, tEqDelC) = time(GeoTable.deleteByKey(spark, rootC, Seq("id", "tenant"), compKeys))
+      val mC0 = GeoManifest.read(spark, rootC)
+      val exemptC = mC0.eqDeletes.headOption
+        .map(e => mC0.files.count(f => !mC0.eqApplies(e, f))).getOrElse(-1)
+      val (readC, tReadC) = time(GeoTable.read(spark, rootC).count())
+      val (_, tFoldC) = time(GeoTable.foldSidecars(spark, rootC))
+      println(f"           composite-key: eqDel=$tEqDelC%.2f read=$tReadC%.2f " +
+        f"comp-fold=$tFoldC%.2f read-rows=$readC exempt-files=$exemptC/" +
+        f"${mC0.files.length} (exemption via tenant range only)")
     }
     spark.stop()
   }

@@ -416,6 +416,50 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).where($"id" === 360L).count() == 1)
   }
 
+  test("full-tuple key ranges: a second-column-disjoint delete exempts files") {
+    // Files clustered by grp, so every file's ID range spans the whole
+    // space (leading-column bound exempts NOTHING) while grp ranges are
+    // tight per file. A delete keyed (id, grp) with a grp range touching
+    // only the last file must exempt the other 3 via the SECOND column —
+    // the realistic composite-key CDC shape (tenant, id).
+    val root = java.nio.file.Files.createTempDirectory("geo_eqft").toString + "/t"
+    GeoTable.create(spark, root,
+      spark.range(1000).select($"id", ($"id" % 4).as("grp"),
+          concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(4, $"grp"), None,
+      partitions = Seq(GeoPartition.PTransform("stats", 0, "id"),
+        GeoPartition.PTransform("stats", 0, "grp")))
+    // tuples (10..19, grp=2): ids 10,14,18 really carry grp 2 → 3 rows die
+    GeoTable.deleteByKey(spark, root, Seq("id", "grp"),
+      (10L to 19L).map(i => (i, 2L)).toDF("id", "grp"))
+    val m = GeoManifest.read(spark, root)
+    assert(m.eqDeletes.length == 1, s"delete must survive commit: ${m.eqDeletes}")
+    val e = m.eqDeletes.head
+    // manifest round-trip of the full tuple ranges (m is parsed from disk)
+    assert(e.kmin.contains(10L) && e.kmax.contains(19L),
+      s"leading range, got ${e.kmin}..${e.kmax}")
+    assert(e.kranges == Seq(Some((2L, 2L))),
+      s"second-column range must round-trip, got ${e.kranges}")
+    // leading bound alone exempts nothing (every grp file holds some id
+    // in 10..19); the grp range exempts all but the grp=2 file
+    val leadingOnly = e.copy(kranges = Seq.empty)
+    assert(m.files.count(f => !m.eqApplies(leadingOnly, f)) == 0,
+      "precondition: the leading-column bound must NOT exempt these files")
+    assert(m.files.count(f => !m.eqApplies(e, f)) == 3,
+      "3 of 4 grp-clustered files must be exempt via the second column")
+    assert(GeoTable.read(spark, root).count() == 997)
+    // fold rewrites ONLY the intersecting file
+    val exempt = m.files.filter(f => !m.eqApplies(e, f)).map(_.key).toSet
+    GeoTable.foldSidecars(spark, root)
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.eqDeletes.isEmpty)
+    assert(exempt.subsetOf(m2.files.map(_.key).toSet),
+      "fold must carry second-column-exempt files over by reference")
+    assert(GeoTable.read(spark, root).count() == 997)
+    assert(GeoTable.read(spark, root).where($"id".isin(10L, 14L, 18L)).count() == 0)
+    assert(GeoTable.read(spark, root).where($"id" === 11L).count() == 1)
+  }
+
   test("a delete whose key range misses every file GCs at its own commit") {
     val root = java.nio.file.Files.createTempDirectory("geo_eqg").toString + "/t"
     GeoTable.create(spark, root,
