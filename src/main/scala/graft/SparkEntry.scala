@@ -927,22 +927,25 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS geoeqv.db.sq")
       s.sql("CREATE TABLE geoeqv.db.sq (id BIGINT, nat BIGINT) USING geo")
       // the even half: the four verbs' semantics don't need the full
-      // table twice, and the oracle filters identically
-      s.sql("INSERT INTO geoeqv.db.sq SELECT c_custkey, c_nationkey FROM customer " +
-        "WHERE c_custkey % 2 = 0")                                                  // v1
+      // table twice, and the oracle filters identically. ONE customer
+      // scan (checkpointed) feeds every statement — the catalog INSERT,
+      // the path-table create, the subquery DELETE's key source, and the
+      // MERGE source; the workflow is 7 commits of fixed overhead, so
+      // not re-paying the scan per statement is the cheap half of it.
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
+        "WHERE c_custkey % 2 = 0").localCheckpoint()
+        .createOrReplaceTempView("eqsql_evens")
+      s.sql("INSERT INTO geoeqv.db.sq SELECT id, nat FROM eqsql_evens")             // v1
       s.sql("DELETE FROM geoeqv.db.sq WHERE id IN (4, 10, 22, 40, 78)")             // v2 eq
       s.sql("DELETE FROM geoeqv.db.sq WHERE id = 100")                              // v3 eq
       val root = java.nio.file.Files.createTempDirectory("geo_eqs_p").toString + "/t"
-      graft.tables.GeoTable.create(s, root, s.sql(
-        "SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
-          "WHERE c_custkey % 2 = 0"), None)
+      graft.tables.GeoTable.create(s, root, s.table("eqsql_evens"), None)
       graft.tables.GeoTable.register(s, "eqsql_path_t", root)
       graft.tables.GeoSql.exec(s, "DELETE FROM eqsql_path_t WHERE id IN " +
-        "(SELECT c_custkey FROM customer WHERE c_custkey % 31 = 9)")
-      s.sql("SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat FROM customer " +
-        "WHERE c_custkey % 7 = 0 AND c_custkey % 2 = 0 " +
-        "UNION ALL SELECT c_custkey + 10000000, " +
-        "CAST(-2 AS BIGINT) FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 2 = 0")
+        "(SELECT id FROM eqsql_evens WHERE id % 31 = 9)")
+      s.sql("SELECT id, CAST(-1 AS BIGINT) AS nat FROM eqsql_evens WHERE id % 7 = 0 " +
+        "UNION ALL SELECT id + 10000000, CAST(-2 AS BIGINT) FROM eqsql_evens " +
+        "WHERE id % 13 = 0")
         .createOrReplaceTempView("eqsql_path_src")
       graft.tables.GeoSql.exec(s,
         """MERGE INTO eqsql_path_t t USING eqsql_path_src s ON t.id = s.id

@@ -929,7 +929,7 @@ object GeoTable {
     val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
     val eq = writeEqSidecar(spark, root, m, keyCols,
-      aligned.select(keyCols.map(col): _*))
+      aligned.select(keyCols.map(col): _*), pinned = true)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
@@ -947,7 +947,8 @@ object GeoTable {
     * quietly no-op the delete for those rows, so it fails loudly instead.
     * Genuinely-null input keys still drop — equality never matches null. */
   private def writeEqSidecar(spark: SparkSession, root: String, m: Manifest,
-                             keyCols: Seq[String], keys: DataFrame)
+                             keyCols: Seq[String], keys: DataFrame,
+                             pinned: Boolean = false)
       : Option[(GeoManifest.EqDeleteEntry, Long)] = {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
     keyCols.foreach { c =>
@@ -957,9 +958,29 @@ object GeoTable {
         s"equality-delete key '$c' is a GEOMETRY column; key on scalar columns")
     }
     val resolved = keyCols.map(c => m.schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
-    val withCast = keys.toDF(resolved: _*).select(resolved.map(c =>
+    // Driver fast path for LITERAL key sets (the `DELETE WHERE k IN
+    // (...)` shape builds a LocalRelation): validate, dedup, range and
+    // WRITE the sidecar entirely on the driver — zero Spark jobs, where
+    // the distributed path pays three (checkpoint, aggregate, write)
+    // plus their scheduler gaps. Semantics are identical: the same Cast,
+    // the same any-null-tuple drop, the same per-column stats embedding.
+    // Iceberg writes its delete files the same way — directly, not as a
+    // Spark job. Capped so a huge keys frame still goes distributed.
+    keys.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length <= spark.conf
+            .getOption("spark.graft.eqdelete.driverMaxKeys").map(_.toInt).getOrElse(10000) =>
+        return writeEqSidecarLocal(spark, root, m, resolved, lr)
+      case _ => ()
+    }
+    // `pinned` = the caller already checkpointed the source (upsert's
+    // aligned rows): a second checkpoint would re-materialize the same
+    // blocks for nothing — the projection over pinned blocks is
+    // deterministic, which is all the pin is for
+    val castSel = keys.toDF(resolved: _*).select(resolved.map(c =>
       col(c).cast(m.schema(c).dataType).as(c)) ++
-      resolved.map(c => col(c).as("__raw_" + c)): _*).localCheckpoint()
+      resolved.map(c => col(c).as("__raw_" + c)): _*)
+    val withCast = if (pinned) castSel else castSel.localCheckpoint()
     val badCast = resolved.map(c => col("__raw_" + c).isNotNull && col(c).isNull)
       .reduce(_ || _)
     // ONE aggregate pass over the pinned keys computes everything the
@@ -1008,6 +1029,71 @@ object GeoTable {
     val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
     tuples.coalesce(1).write.parquet(dir)
     val path = GeoManifest.listParquet(spark, dir).head
+    Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1, kmin, kmax,
+      kranges), n))
+  }
+
+  /** [[writeEqSidecar]]'s driver-only variant for literal key sets: the
+    * same validate → distinct → per-column range → parquet sidecar, with
+    * no Spark job anywhere. Columns of `lr` bind POSITIONALLY to
+    * `resolved` (the distributed path's `toDF(resolved)` contract). */
+  private def writeEqSidecarLocal(spark: SparkSession, root: String, m: Manifest,
+                                  resolved: Seq[String],
+                                  lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation)
+      : Option[(GeoManifest.EqDeleteEntry, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val casts = resolved.zipWithIndex.map { case (c, i) =>
+      val src = lr.output(i).dataType
+      val dst = m.schema(c).dataType
+      (row: org.apache.spark.sql.catalyst.InternalRow) => {
+        val raw = row.get(i, src)
+        val casted = if (src == dst) raw
+                     else Cast(BoundReference(i, src, nullable = true), dst, tz).eval(row)
+        require(raw == null || casted != null,
+          s"equality delete on ${resolved.mkString(", ")}: key tuple(s) became null " +
+            s"only through the cast to the table column type(s) " +
+            s"(${resolved.map(x => m.schema(x).dataType.simpleString).mkString(", ")}) — " +
+            "malformed keys, refusing to silently skip them")
+        casted
+      }
+    }
+    // distinct usable tuples: any-null tuples drop (equality never
+    // matches null), same as the distributed path's count-distinct/na.drop
+    val tuples = lr.data.map(r => casts.map(_(r))).filter(_.forall(_ != null)).distinct
+    val n = tuples.length.toLong
+    if (n == 0) return None
+    val ranges: Seq[Option[(Long, Long)]] = resolved.zipWithIndex.map { case (c, i) =>
+      val dt = m.schema(c).dataType
+      if (!GeoPartition.supports("stats", dt)) None
+      else {
+        val t = GeoPartition.PTransform("stats", 0, c)
+        val vs = tuples.flatMap(tp => GeoPartition.valueOf(t, tp(i), dt))
+        if (vs.length == tuples.length) Some((vs.min, vs.max)) else None
+      }
+    }
+    val (kmin, kmax) = ranges.head match {
+      case Some((a, b)) => (Some(a), Some(b))
+      case None => (None, None)
+    }
+    val kranges = if (kmin.isDefined) ranges.tail else Seq.empty[Option[(Long, Long)]]
+    // driver-direct parquet write (same writer Spark's tasks use)
+    val dir = s"$root/data/e${java.util.UUID.randomUUID().toString.take(12)}"
+    GeoManifest.fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val keySchema = StructType(resolved.map(c => m.schema(c).copy(name = c)))
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sparkContext.hadoopConfiguration)
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, keySchema)
+    val path = s"$dir/part-00000-driver.parquet"
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      job.getConfiguration,
+      new org.apache.hadoop.mapreduce.TaskAttemptID("graft-eq", 0,
+        org.apache.hadoop.mapreduce.TaskType.MAP, 0, 0))
+    val w = owf.newInstance(path, keySchema, ctx)
+    try tuples.foreach { tp =>
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(tp.toArray))
+    } finally w.close()
     Some((GeoManifest.EqDeleteEntry(path, n, resolved, m.version + 1, kmin, kmax,
       kranges), n))
   }
@@ -1262,9 +1348,17 @@ object GeoTable {
     df.join(keys, e.cols.map(c => df(c) === keys("__gk_" + c)).reduce(_ && _), joinType)
   }
 
-  private def antiJoinEq(spark: SparkSession, df: DataFrame,
-                         e: GeoManifest.EqDeleteEntry): DataFrame =
-    joinEq(spark, df, e, "left_anti")
+  /** One anti-join for SEVERAL sidecars sharing a key-column list: within
+    * a cohort every applicable delete hits every file, so subtracting the
+    * UNION of their key sets is exact — and one broadcast replaces N
+    * (each broadcast is its own driver job; a CDC table accumulates many
+    * small same-key sidecars between folds). */
+  private def antiJoinEqMany(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                             es: Seq[GeoManifest.EqDeleteEntry]): DataFrame = {
+    val keys = broadcast(spark.read.parquet(es.map(_.path): _*)
+      .toDF(cols.map("__gk_" + _): _*))
+    df.join(keys, cols.map(c => df(c) === keys("__gk_" + c)).reduce(_ && _), "left_anti")
+  }
 
   /** Apply the manifest's equality deletes to rows read from `files`.
     * An equality delete hits only files with a SMALLER data sequence
@@ -1281,7 +1375,10 @@ object GeoTable {
     files.groupBy(f => m.eqDeletes.filter(m.eqApplies(_, f)).map(_.key).toSet)
       .map { case (keys, fs) =>
         val applicable = m.eqDeletes.filter(e => keys.contains(e.key))
-        applicable.foldLeft(readCohort(fs))((df, e) => antiJoinEq(spark, df, e))
+        applicable.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+          .foldLeft(readCohort(fs)) { case (df, (cols, es)) =>
+            antiJoinEqMany(spark, df, cols, es)
+          }
       }.reduce(_ unionByName _)
   }
 
