@@ -86,6 +86,46 @@ object SpjSweep {
       require(exOn <= 1 && exOn < exOff,
         s"SPJ must remove the join exchanges: spj=$exOn shuffled=$exOff")
     }
+
+    // ------------------------------------------------------------------
+    // SKEW scenario: KeyGroupedPartitioning pins one Spark partition per
+    // partition value, so AQE's skew-join splitting (which operates on
+    // shuffle blocks) cannot rebalance an SPJ join. Build one bucket
+    // ~10x the others (hot key 0 absorbs ~28% of rows) and measure:
+    //  (a) shuffled join, AQE skew splitting available;
+    //  (b) plain SPJ — the hot bucket is one straggler task;
+    //  (c) SPJ + partiallyClusteredDistribution — Spark 4.1's mitigation:
+    //      the non-skewed side replicates across the skewed side's
+    //      SPLITS, so the hot bucket fans out without a shuffle.
+    // ------------------------------------------------------------------
+    println("--- skew: one bucket ~10x (hot key 0) ---")
+    spark.sql(s"CREATE TABLE spjs.db.fact_sk (id BIGINT, v BIGINT) USING geo " +
+      s"PARTITIONED BY (bucket($buckets, id))")
+    spark.sql(s"CREATE TABLE spjs.db.dim_sk (id BIGINT, w BIGINT) USING geo " +
+      s"PARTITIONED BY (bucket($buckets, id))")
+    val hot = nL * 28 / 100
+    time(s"insert fact_sk ($nL rows, $hot on key 0)") {
+      spark.sql(s"INSERT INTO spjs.db.fact_sk " +
+        s"SELECT CASE WHEN id < $hot THEN 0 ELSE id END, id * 7 FROM range(0, $nL)") }
+    time(s"insert dim_sk ($nR rows)") {
+      spark.sql(s"INSERT INTO spjs.db.dim_sk SELECT id * 4, id FROM range(0, $nR)") }
+    val qSk = """SELECT SUM(f.v + d.w) AS s FROM spjs.db.fact_sk f
+                 JOIN spjs.db.dim_sk d ON f.id = d.id"""
+    def runSk(): Long = { val r = spark.sql(qSk).head.getLong(0); r }
+    val expected = runSk() // warm + reference under current confs
+    for (rep <- 1 to 3) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+      time(s"[skew $rep] shuffled + AQE skew-split") {
+        require(runSk() == expected) }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      time(s"[skew $rep] SPJ (hot bucket = one task)") {
+        require(runSk() == expected) }
+      spark.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      time(s"[skew $rep] SPJ + partiallyClustered") {
+        require(runSk() == expected) }
+      spark.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+    }
     spark.stop()
   }
 }
