@@ -82,6 +82,44 @@ class GeoEqDeleteSpec extends SparkSpec {
     assert(got == Seq(2.0, 3.0, 4.0), s"got $got")
   }
 
+  test("driver sidecar fast path == distributed path (ranges, casts, nulls)") {
+    // literal key sets route to the driver-side sidecar writer (zero
+    // Spark jobs); forcing driverMaxKeys=0 sends the SAME keys down the
+    // distributed path — resulting state and manifest entries must agree
+    def build(tag: String, force: Boolean): (String, GeoManifest.EqDeleteEntry, Seq[Long]) = {
+      val root = java.nio.file.Files.createTempDirectory(s"geo_eqdrv$tag").toString + "/t"
+      GeoTable.create(spark, root,
+        spark.range(200).select($"id", concat(lit("v"), $"id").as("v"))
+          .repartitionByRange(4, $"id"), None,
+        partitions = Seq(GeoPartition.PTransform("stats", 0, "id")))
+      try {
+        if (force) spark.conf.set("spark.graft.eqdelete.driverMaxKeys", "0")
+        // INT literals against the BIGINT key: the cast must widen, dups
+        // and a null must drop, ranges must record over casted values
+        GeoTable.deleteByKey(spark, root, Seq("id"),
+          Seq[Integer](150, 155, 155, null).toDF("id"))
+      } finally spark.conf.unset("spark.graft.eqdelete.driverMaxKeys")
+      val m = GeoManifest.read(spark, root)
+      (root, m.eqDeletes.head,
+        GeoTable.read(spark, root).select($"id").as[Long].collect().sorted.toSeq)
+    }
+    val (_, eDrv, rowsDrv) = build("a", force = false)
+    val (_, eDst, rowsDst) = build("b", force = true)
+    assert(rowsDrv == rowsDst && rowsDrv.length == 198)
+    assert(eDrv.rows == 2 && eDst.rows == 2, s"${eDrv.rows} vs ${eDst.rows}")
+    assert(eDrv.kmin == eDst.kmin && eDrv.kmax == eDst.kmax &&
+      eDrv.kmin.contains(150L) && eDrv.kmax.contains(155L))
+    // the driver-written sidecar parquet reads back with the table types
+    assert(spark.read.parquet(eDrv.path).as[Long].collect().sorted.toSeq == Seq(150L, 155L))
+    // malformed casts fail loudly on BOTH paths
+    val r3 = java.nio.file.Files.createTempDirectory("geo_eqdrvc").toString + "/t"
+    GeoTable.create(spark, r3, spark.range(10).toDF("id"), None)
+    val bad = intercept[IllegalArgumentException] {
+      GeoTable.deleteByKey(spark, r3, Seq("id"), Seq("5", "oops").toDF("id"))
+    }
+    assert(bad.getMessage.contains("malformed"), bad.getMessage)
+  }
+
   test("catalog SQL reads merge equality deletes, pruned columns included") {
     val wh = java.nio.file.Files.createTempDirectory("geo_eq_wh").toString
     spark.conf.set("spark.sql.catalog.geoeq", classOf[GeoCatalog].getName)
