@@ -815,6 +815,42 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // Streaming CDC ingest (keyed upsert sink): micro-batches of mixed
+    // upserts and flagged deletes apply as ONE atomic commit each
+    // (equality-delete keys + appended rows + batchId watermark in the
+    // same manifest commit — cdcByKey). The two batches carry DISJOINT
+    // key sets, so the final state is batch-order independent and the
+    // oracle is pure set algebra; a dropped/doubled epoch, a delete that
+    // resurrected, or an upsert that duplicated all change the hash.
+    "geo_stream_upsert_sink" -> ((s, d) => {
+      prep(s, d)
+      val base = java.nio.file.Files.createTempDirectory("geo_cdc_sk").toString
+      val root = base + "/t"
+      val srcDir = base + "/files"
+      // batch 1: the rows that stay untouched; batch 2: updates (%9) +
+      // flagged deletes (%15) — all within the %3 subset
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, false AS del " +
+        "FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0 AND c_custkey % 15 <> 0")
+        .coalesce(1).write.parquet(srcDir)
+      s.sql("SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat, false AS del " +
+        "FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 15 <> 0 " +
+        "UNION ALL SELECT c_custkey, CAST(0 AS BIGINT), true " +
+        "FROM customer WHERE c_custkey % 15 = 0 AND c_custkey % 3 = 0")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      graft.tables.GeoTable.createEmpty(s, root,
+        graft.tables.GeoSchema.fromDdl("id BIGINT, nat BIGINT"), None)
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = graft.streaming.EventStreams.geoTableUpsertSink(
+        stream, root, Seq("id"), base + "/ck", deleteFlagCol = Some("del")).start()
+      q.processAllAvailable(); q.stop()
+      graft.tables.GeoTable.read(s, root)
+        .groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // Column-stats data skipping (Iceberg column-stats analog): an
     // UNPARTITIONED table records per-file min/max for eligible columns
     // automatically; three disjoint-range appends then range/equality
@@ -2892,6 +2928,18 @@ object SparkEntry {
       SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
              CAST(SUM(c_custkey) AS BIGINT) AS sum_id
       FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // the CDC upsert sink reduces to set algebra: %15 deleted, %9
+    // updated to -1, the rest of the %3 subset untouched
+    "geo_stream_upsert_sink" -> """
+      WITH fin AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 9 = 0 THEN -1
+                    ELSE CAST(c_nationkey AS BIGINT) END AS nat
+        FROM customer
+        WHERE c_custkey % 3 = 0 AND c_custkey % 15 <> 0)
+      SELECT nat, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM fin GROUP BY nat ORDER BY nat""",
 
     // column-stats skipping must return exactly the predicate's rows
     "geo_colstats" -> """

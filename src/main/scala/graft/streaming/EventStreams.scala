@@ -190,6 +190,65 @@ object EventStreams {
       }
   }
 
+  /**
+   * Streaming CDC ingest into a GeoTable (keyed upsert sink): each
+   * micro-batch applies as ONE atomic commit — rows where
+   * `deleteFlagCol` (when given) is true file only their key tuple as an
+   * equality delete, every other row replaces-by-key and appends
+   * ([[graft.tables.GeoTable.cdcByKey]]; without a flag column the whole
+   * batch upserts). Commit cost is O(batch) — no target scan, the
+   * streaming-upsert property equality deletes exist for. The batchId
+   * watermark rides the same commit, so crash-replayed batches are
+   * skipped, not re-applied (same exactly-once contract as
+   * [[geoTableSink]]). Sidecar growth is bounded by the table's inline
+   * fold ceiling; periodic OPTIMIZE folds and re-clusters.
+   */
+  def geoTableUpsertSink(stream: DataFrame, root: String, keyCols: Seq[String],
+                         checkpointDir: String, deleteFlagCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertMicroBatch(root, keyCols, deleteFlagCol,
+          sinkIdFor(batch.sparkSession, checkpointDir), batchId, batch): Unit
+      }
+  }
+
+  /** [[geoTableUpsertSink]]'s per-batch body (factored for direct
+    * testing): same watermark-skip + commit-race retry discipline as
+    * [[commitMicroBatch]], with cdcByKey as the apply. */
+  private[graft] def upsertMicroBatch(root: String, keyCols: Seq[String],
+                                      deleteFlagCol: Option[String],
+                                      sinkId: String, batchId: Long, batch: DataFrame,
+                                      maxAttempts: Int = 5): Boolean = {
+    val spark = batch.sparkSession
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val committed = graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId)
+      if (committed.exists(_ >= batchId)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"geoTableUpsertSink: skipping micro-batch $batchId for sink $sinkId " +
+            s"(table already committed batch ${committed.get}); expected only on crash replay")
+        return false
+      }
+      if (batch.isEmpty) return false
+      val flag = deleteFlagCol.map(org.apache.spark.sql.functions.col)
+        .getOrElse(org.apache.spark.sql.functions.lit(false))
+      try {
+        graft.tables.GeoTable.cdcByKey(spark, root, keyCols, batch, flag,
+          streamCommit = Some(sinkId -> batchId))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"geoTableUpsertSink: commit race on $root (attempt $attempt), retrying: ${e.getMessage}")
+      }
+    }
+    false // unreachable
+  }
+
   /** The sink's per-batch body, factored out for direct testing: appends
     * `batch` with the batchId watermark, UNLESS this sink already
     * committed an id >= `batchId` (a replayed micro-batch after a crash

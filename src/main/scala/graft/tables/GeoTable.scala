@@ -924,7 +924,16 @@ object GeoTable {
    * Returns the number of rows appended.
    */
   def upsertByKey(spark: SparkSession, root: String,
-                  keyCols: Seq[String], rows: DataFrame): Long = {
+                  keyCols: Seq[String], rows: DataFrame): Long =
+    upsertByKey(spark, root, keyCols, rows, streamCommit = None)
+
+  /** Upsert with a streaming watermark: `streamCommit = Some((sinkId,
+    * batchId))` rides the SAME atomic manifest commit as the delete leg
+    * and the appended files — the exactly-once mechanism streaming CDC
+    * ingest needs (see [[append]]'s streamCommit for the contract). */
+  def upsertByKey(spark: SparkSession, root: String,
+                  keyCols: Seq[String], rows: DataFrame,
+                  streamCommit: Option[(String, Long)]): Long = {
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
@@ -933,9 +942,53 @@ object GeoTable {
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
-      eqDeletes = m.eqDeletes ++ eq.map(_._1)), m.version)
+      eqDeletes = m.eqDeletes ++ eq.map(_._1),
+      streamCommits = m.streamCommits ++ streamCommit), m.version)
     maybeFoldSidecars(spark, root)
     files.map(_.rows).sum
+  }
+
+  /**
+   * CDC micro-batch by key, ONE atomic commit (the change-data-capture
+   * ingest shape): rows where `deleteFlag` is true contribute only their
+   * key tuple (equality delete); the rest replace-by-key — delete leg
+   * and append ride the same commit, so readers see each batch applied
+   * whole or not at all. `rows` carries the table's columns BY NAME plus
+   * whatever the flag expression needs. Costs O(batch): no target scan.
+   * Returns (rows upserted, distinct key tuples filed).
+   */
+  def cdcByKey(spark: SparkSession, root: String,
+               keyCols: Seq[String], rows: DataFrame, deleteFlag: Column,
+               streamCommit: Option[(String, Long)] = None): (Long, Long) = {
+    val m = GeoManifest.read(spark, root)
+    // pin once: the flag split, the key union and the appended rows must
+    // all see the same batch
+    val flagged = rows.localCheckpoint()
+    val isDel = coalesce(deleteFlag, lit(false))
+    val byName = m.schema.fields.toSeq.map(f =>
+      flagged(flagged.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"cdcByKey rows are missing table column '${f.name}'"))).as(f.name, f.metadata))
+    val ups = GeoPartition.layout(
+      conform(flagged.where(!isDel).select(byName: _*), m.schema),
+      m.partitions, m.schema).localCheckpoint()
+    // the delete leg covers EVERY key in the batch: upserted keys must
+    // hide their old rows too (the upsertByKey contract); fresh files
+    // carry this commit's sequence number, so their own rows survive
+    def tableType(c: String) =
+      m.schema(m.schema.fieldNames.find(_.equalsIgnoreCase(c)).get).dataType
+    val allKeys = ups.select(keyCols.map(col): _*)
+      .unionByName(flagged.where(isDel).select(keyCols.map(c =>
+        flagged(flagged.columns.find(_.equalsIgnoreCase(c)).get)
+          .cast(tableType(c)).as(c)): _*))
+    val eq = writeEqSidecar(spark, root, m, keyCols, allKeys, pinned = true)
+    val files = writeCommit(spark, root, ups, m.schema, m.geomCol, m.partitions)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      files = m.files ++ files,
+      eqDeletes = m.eqDeletes ++ eq.map(_._1),
+      streamCommits = m.streamCommits ++ streamCommit), m.version)
+    maybeFoldSidecars(spark, root)
+    (files.map(_.rows).sum, eq.map(_._2).getOrElse(0L))
   }
 
   /** Write a distinct, non-null key sidecar for an equality delete and
@@ -966,9 +1019,14 @@ object GeoTable {
     // the same any-null-tuple drop, the same per-column stats embedding.
     // Iceberg writes its delete files the same way — directly, not as a
     // Spark job. Capped so a huge keys frame still goes distributed.
+    // (binary keys stay distributed: Array[Byte] dedups by reference in
+    // plain Scala collections, and the distributed count-distinct is the
+    // semantics the entry's row count promises)
+    val binaryKey = resolved.exists(c =>
+      m.schema(c).dataType == org.apache.spark.sql.types.BinaryType)
     keys.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-          if lr.data.length <= spark.conf
+          if !binaryKey && lr.data.length <= spark.conf
             .getOption("spark.graft.eqdelete.driverMaxKeys").map(_.toInt).getOrElse(10000) =>
         return writeEqSidecarLocal(spark, root, m, resolved, lr)
       case _ => ()

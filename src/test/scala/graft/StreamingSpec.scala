@@ -248,6 +248,50 @@ class StreamingSpec extends SparkSpec {
     assert(GeoTable.read(spark, root).count() == 4)
   }
 
+  test("geoTableUpsertSink: CDC micro-batches apply atomically with exactly-once replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.tables.{GeoManifest, GeoTable}
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("geosink_cdc").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("geosink_cdc_ck").toString
+    GeoTable.createEmpty(spark, root,
+      graft.tables.GeoSchema.fromDdl("id BIGINT, v STRING"), None)
+    // CDC stream: (id, v, op) with op = 'd' for deletes
+    val input = MemoryStream[(Long, String, String)]
+    val cdc = input.toDF().toDF("id", "v", "op")
+    // the flag column rides the stream; build it before the sink
+    val q2 = EventStreams.geoTableUpsertSink(
+      cdc.withColumn("__del", col("op") === "d").drop("op"),
+      root, Seq("id"), ckpt, deleteFlagCol = Some("__del")).start()
+    input.addData((1L, "a", "u"), (2L, "b", "u"), (3L, "c", "u"))
+    q2.processAllAvailable()
+    assert(GeoTable.read(spark, root).count() == 3)
+    val vAfter1 = GeoManifest.read(spark, root).version
+    // batch 2: update id 2, delete id 3, insert id 4 — ONE commit
+    input.addData((2L, "B", "u"), (3L, "", "d"), (4L, "d4", "u"))
+    q2.processAllAvailable(); q2.stop()
+    val m = GeoManifest.read(spark, root)
+    assert(m.version == vAfter1 + 1, "a CDC batch is one atomic commit")
+    val got = GeoTable.read(spark, root).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (4L, "d4")), s"got $got")
+
+    // replay discipline (crash between table commit and checkpoint):
+    // re-applying the SAME batch id must be skipped, not re-applied
+    val sinkId = EventStreams.sinkIdFor(spark, ckpt)
+    val last = GeoTable.lastStreamBatch(spark, root, sinkId).get
+    val replay = Seq((2L, "WRONG", true)).toDF("id", "v", "__del")
+    assert(!EventStreams.upsertMicroBatch(root, Seq("id"), Some("__del"),
+      sinkId, last, replay))
+    assert(GeoTable.read(spark, root).where(col("id") === 2L)
+      .select("v").as[String].head() == "B")
+    // a fresh batch id applies (delete-only batch: files empty, keys filed)
+    assert(EventStreams.upsertMicroBatch(root, Seq("id"), Some("__del"),
+      sinkId, last + 1, replay.withColumn("v", col("v"))))
+    assert(GeoTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L))
+  }
+
   test("sink identity is bound to the checkpoint's query id: a reset checkpoint gets a fresh id") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt_reset").toString
     val pathOnly = EventStreams.sinkIdFor(ckpt)
