@@ -202,16 +202,23 @@ object EventStreams {
    * skipped, not re-applied (same exactly-once contract as
    * [[geoTableSink]]). Sidecar growth is bounded by the table's inline
    * fold ceiling; periodic OPTIMIZE folds and re-clusters.
+   *
+   * A batch carrying SEVERAL changes for one key (the normal Debezium
+   * shape) needs `sequenceCol`: only the highest-sequence change per key
+   * applies — an insert+update+delete burst nets to the delete. Without
+   * it, keys must be unique per batch.
    */
   def geoTableUpsertSink(stream: DataFrame, root: String, keyCols: Seq[String],
-                         checkpointDir: String, deleteFlagCol: Option[String] = None)
+                         checkpointDir: String, deleteFlagCol: Option[String] = None,
+                         sequenceCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertMicroBatch(root, keyCols, deleteFlagCol,
-          sinkIdFor(batch.sparkSession, checkpointDir), batchId, batch): Unit
+          sinkIdFor(batch.sparkSession, checkpointDir), batchId, batch,
+          sequenceCol = sequenceCol): Unit
       }
   }
 
@@ -221,7 +228,8 @@ object EventStreams {
   private[graft] def upsertMicroBatch(root: String, keyCols: Seq[String],
                                       deleteFlagCol: Option[String],
                                       sinkId: String, batchId: Long, batch: DataFrame,
-                                      maxAttempts: Int = 5): Boolean = {
+                                      maxAttempts: Int = 5,
+                                      sequenceCol: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
     var attempt = 0
     while (true) {
@@ -238,7 +246,8 @@ object EventStreams {
         .getOrElse(org.apache.spark.sql.functions.lit(false))
       try {
         graft.tables.GeoTable.cdcByKey(spark, root, keyCols, batch, flag,
-          streamCommit = Some(sinkId -> batchId))
+          streamCommit = Some(sinkId -> batchId),
+          sequenceCol = sequenceCol.map(org.apache.spark.sql.functions.col))
         return true
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>

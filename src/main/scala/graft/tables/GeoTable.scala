@@ -955,15 +955,36 @@ object GeoTable {
    * and append ride the same commit, so readers see each batch applied
    * whole or not at all. `rows` carries the table's columns BY NAME plus
    * whatever the flag expression needs. Costs O(batch): no target scan.
-   * Returns (rows upserted, distinct key tuples filed).
+   *
+   * A key appearing MORE THAN ONCE in a batch needs `sequenceCol`: only
+   * the highest-sequence change per key applies (the Debezium/CDF
+   * apply-changes contract — an insert+update+delete burst nets to the
+   * delete). Without it the batch must carry at most one change per key,
+   * or the duplicate upserts all land. Returns (rows upserted, distinct
+   * key tuples filed).
    */
   def cdcByKey(spark: SparkSession, root: String,
                keyCols: Seq[String], rows: DataFrame, deleteFlag: Column,
-               streamCommit: Option[(String, Long)] = None): (Long, Long) = {
+               streamCommit: Option[(String, Long)] = None,
+               sequenceCol: Option[Column] = None): (Long, Long) = {
     val m = GeoManifest.read(spark, root)
     // pin once: the flag split, the key union and the appended rows must
     // all see the same batch
-    val flagged = rows.localCheckpoint()
+    val flagged0 = rows.localCheckpoint()
+    val flagged = sequenceCol match {
+      case None => flagged0
+      case Some(seq) =>
+        // last-change-wins per key: one window over the batch (O(batch)
+        // shuffle on the keys — the same clustering the write wants)
+        import org.apache.spark.sql.expressions.Window
+        val keyRefs = keyCols.map(c =>
+          flagged0(flagged0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(s"cdcByKey rows are missing key column '$c'"))))
+        flagged0.withColumn("__graft_cdc_rn", row_number().over(
+            Window.partitionBy(keyRefs: _*).orderBy(seq.desc)))
+          .where(col("__graft_cdc_rn") === 1).drop("__graft_cdc_rn")
+          .localCheckpoint()
+    }
     val isDel = coalesce(deleteFlag, lit(false))
     val byName = m.schema.fields.toSeq.map(f =>
       flagged(flagged.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(

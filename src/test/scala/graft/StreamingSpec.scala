@@ -290,6 +290,19 @@ class StreamingSpec extends SparkSpec {
       sinkId, last + 1, replay.withColumn("v", col("v"))))
     assert(GeoTable.read(spark, root).select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 4L))
+
+    // sequence column: a multi-change burst per key nets to the LAST
+    // change (insert seq1 -> update seq2 -> delete seq3 == delete; a
+    // key whose last change is an update lands that update alone)
+    val burst = Seq(
+      (10L, "i", false, 1L), (10L, "u", false, 2L), (10L, "", true, 3L),
+      (4L, "D4a", false, 5L), (4L, "D4b", false, 7L)
+    ).toDF("id", "v", "__del", "seq")
+    EventStreams.upsertMicroBatch(root, Seq("id"), Some("__del"),
+      sinkId, last + 2, burst, sequenceCol = Some("seq"))
+    val after = GeoTable.read(spark, root).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, "a"), (4L, "D4b")), s"got $after")
   }
 
   test("sink identity is bound to the checkpoint's query id: a reset checkpoint gets a fresh id") {
