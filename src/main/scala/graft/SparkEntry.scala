@@ -851,6 +851,34 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // Onboarding WITHOUT rewrite (Iceberg migrate/add_files analog):
+    // existing parquet registers by reference — importParquet creates
+    // the table over one dir, addFiles appends a second, both via one
+    // stats pass each and zero data movement. Phase 2's range predicate
+    // must still answer from the imported layout's natural clustering
+    // (auto stats transforms), so a mis-registered, double-counted, or
+    // mis-pruned file changes the hash.
+    "geo_import_parquet" -> ((s, d) => {
+      prep(s, d)
+      val base = java.nio.file.Files.createTempDirectory("geo_imp").toString
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
+        "WHERE c_custkey % 2 = 0")
+        .repartitionByRange(4, col("id")).write.parquet(s"$base/a")
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
+        "WHERE c_custkey % 2 = 1")
+        .repartitionByRange(2, col("id")).write.parquet(s"$base/b")
+      graft.tables.GeoTable.importParquet(s, s"$base/t", s"$base/a")
+      graft.tables.GeoTable.addFiles(s, s"$base/t",
+        s.read.parquet(s"$base/b").inputFiles.toSeq)
+      graft.tables.GeoTable.read(s, s"$base/t")
+        .groupBy(lit(1).as("phase"))
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .unionAll(graft.tables.GeoTable.scan(s, s"$base/t", col("id") < 500)
+          .groupBy(lit(2).as("phase"))
+          .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id")))
+        .orderBy("phase")
+    }),
+
     // Column-stats data skipping (Iceberg column-stats analog): an
     // UNPARTITIONED table records per-file min/max for eligible columns
     // automatically; three disjoint-range appends then range/equality
@@ -2928,6 +2956,16 @@ object SparkEntry {
       SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
              CAST(SUM(c_custkey) AS BIGINT) AS sum_id
       FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // import-by-reference: the union of both registered dirs must be the
+    // whole customer table; the pruned phase is a plain range predicate
+    "geo_import_parquet" -> """
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+      FROM customer WHERE c_custkey < 500
+      ORDER BY phase""",
 
     // the CDC upsert sink reduces to set algebra: %15 deleted, %9
     // updated to -1, the rest of the %3 subset untouched

@@ -79,6 +79,51 @@ object GeoTable {
       Manifest(0, tagged.schema, geomCol, files, partitions = partitions))
   }
 
+  /**
+   * Create a table by REGISTERING existing parquet files — no rewrite,
+   * no data movement (Iceberg `migrate`/`snapshot` + `add_files`
+   * analog): onboarding a 100 TB parquet lake costs ONE distributed
+   * stats pass (rows/bbox/column ranges per file), not a copy. Files
+   * are referenced by absolute path where they are; since they live
+   * outside `<root>/data`, vacuum never touches them (the caller keeps
+   * ownership — `add_files` semantics). Auto stats transforms are
+   * recorded for eligible columns, so pruning works on the imported
+   * layout's natural clustering immediately. Returns rows registered.
+   */
+  def importParquet(spark: SparkSession, root: String, dir: String,
+                    geomCol: Option[String] = None): Long = {
+    require(GeoManifest.currentVersion(spark, root).isEmpty,
+      s"GeoTable already exists at $root — use addFiles to register more files")
+    val df0 = spark.read.parquet(dir)
+    val df = geomCol.filterNot(g => GeoSchema.isGeometry(df0.schema(g)))
+      .foldLeft(df0)((d, g) => GeoSchema.markGeometry(d, g))
+    val schema = df.schema
+    val paths = df0.inputFiles.toSeq.sorted
+    require(paths.nonEmpty, s"no parquet files under $dir")
+    val partitions = GeoPartition.statsFor(schema, Seq.empty)
+    val files = GeoManifest.collectStats(spark, schema, paths, geomCol, partitions)
+    GeoManifest.write(spark, root,
+      Manifest(0, schema, geomCol, files, partitions = partitions))
+    files.map(_.rows).sum
+  }
+
+  /** Register additional existing parquet files into a table by
+    * reference (Iceberg `add_files` analog): one stats pass over ONLY
+    * the new files, one manifest commit, no rewrite. The files must
+    * carry the table's columns; already-referenced paths are rejected
+    * (re-adding would duplicate rows). Returns rows registered. */
+  def addFiles(spark: SparkSession, root: String, paths: Seq[String]): Long = {
+    require(paths.nonEmpty, "addFiles needs at least one path")
+    val m = GeoManifest.read(spark, root)
+    val have = m.files.map(_.key).toSet
+    val dup = paths.find(p => have.contains(GeoManifest.norm(p)))
+    require(dup.isEmpty, s"file already referenced by $root: ${dup.get}")
+    val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, files = m.files ++ entries), m.version)
+    entries.map(_.rows).sum
+  }
+
   /** Morton-clustered layout (same Z-ordering as GeoParquet.write). */
   private def zorderBy(df: DataFrame, geomCol: String, cellSize: Double): DataFrame = {
     import org.apache.spark.sql.graft.GraftShim

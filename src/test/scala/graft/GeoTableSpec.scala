@@ -204,6 +204,46 @@ class GeoTableSpec extends SparkSpec {
     intercept[Exception](GeoManifest.readVersion(spark, root, before.version - 1))
   }
 
+  test("importParquet/addFiles register existing parquet by reference — no rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("geo_import").toString
+    val (dirA, dirB, root) = (s"$base/a", s"$base/b", s"$base/t")
+    spark.range(100).select($"id", ($"id" % 7).as("w"))
+      .repartitionByRange(3, $"id").write.parquet(dirA)
+    spark.range(100, 150).select($"id", ($"id" % 7).as("w"))
+      .coalesce(1).write.parquet(dirB)
+    val extA = spark.read.parquet(dirA).inputFiles.toSet
+
+    assert(GeoTable.importParquet(spark, root, dirA) == 100L)
+    val m0 = GeoManifest.read(spark, root)
+    // referenced IN PLACE: the manifest points at the external files
+    assert(m0.files.map(f => GeoManifest.norm(f.path)).toSet ==
+      extA.map(GeoManifest.norm))
+    assert(GeoTable.read(spark, root).count() == 100)
+    // auto stats transforms make the imported layout prunable at once
+    val opened = GeoTable.scan(spark, root, $"id" < 10)
+      .select(input_file_name()).distinct().count()
+    assert(opened < m0.files.size, s"range scan must prune imported files ($opened)")
+
+    assert(GeoTable.addFiles(spark, root,
+      spark.read.parquet(dirB).inputFiles.toSeq) == 50L)
+    assert(GeoTable.read(spark, root).count() == 150)
+    // re-adding a referenced path would duplicate rows — rejected
+    intercept[IllegalArgumentException] {
+      GeoTable.addFiles(spark, root, spark.read.parquet(dirB).inputFiles.toSeq)
+    }
+    // DML composes: a CoW delete rewrites INTO the table's own data dir,
+    // dropping external files from the manifest without deleting them
+    // (they live outside <root>/data — the caller keeps ownership),
+    // and vacuum never sweeps them either
+    GeoTable.delete(spark, root, $"id" === 120L, mode = "cow")
+    assert(GeoTable.read(spark, root).count() == 149)
+    GeoTable.vacuum(spark, root, keepVersions = 1)
+    val fs = GeoManifest.fs(spark, root)
+    assert(extA.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))),
+      "vacuum must never delete externally-owned imported files")
+    assert(GeoTable.read(spark, root).count() == 149)
+  }
+
   test("vacuum's orphan sweep has an age grace: in-flight writer files survive") {
     val root = tmpRoot("vacgrace")
     pointTable(root, nFiles = 3)
