@@ -277,49 +277,54 @@ object Similarity {
       geomCol = None)
   }
 
-  /** Probe a prebuilt index: read the k centroid rows (bounded by k, the
-    * one intentionally driver-side piece), pick the `nprobe` nearest
-    * clusters, and top-k ONLY the probed clusters' rows — the scan's
-    * IN-value pruning opens only files whose recorded cluster range can
-    * hold a probed id. No k-means jobs run here. */
+  /** Driver-side cosine of a centroid against the query — k evaluations
+    * total, the one intentionally driver-side piece of IVF. */
+  private def centroidCos(v: Array[Double], qd: Array[Double]): Double = {
+    var d = 0.0; var nv = 0.0; var nq = 0.0; var i = 0
+    while (i < math.min(v.length, qd.length)) {
+      d += v(i) * qd(i); nv += v(i) * v(i); nq += qd(i) * qd(i); i += 1
+    }
+    if (nv == 0 || nq == 0) 0.0 else d / math.sqrt(nv * nq)
+  }
+
+  /** The `nprobe` cluster ids nearest the query, by centroid cosine. */
+  private def nearestClusters(centroids: Seq[(Int, Array[Double])],
+                              q: Array[Float], nprobe: Int): Seq[Int] = {
+    val qd = q.map(_.toDouble)
+    centroids.sortBy { case (_, v) => -centroidCos(v, qd) }.take(nprobe).map(_._1)
+  }
+
+  /** The shared probe tail: exact cosine top-k over the probed clusters'
+    * rows (`vecCol` names the embedding column of `rows`). */
+  private def probeTopK(rows: DataFrame, vecCol: String, probes: Seq[Int],
+                        q: Array[Float], k: Int): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    rows.where(c("cluster").isin(probes: _*))
+      .select(c("vec_id"), cosine(c(vecCol), typedlit(q.toSeq)).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Probe a prebuilt index: read the k centroid rows, pick the `nprobe`
+    * nearest clusters, and top-k ONLY the probed clusters' rows — the
+    * scan's IN-value pruning opens only files whose recorded cluster
+    * range can hold a probed id. No k-means jobs run here. */
   def ivfSearch(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                 q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
     import graft.tables.GeoTable
-    val c = org.apache.spark.sql.functions.col _
     val centroids = GeoTable.read(spark, s"$indexRoot/centroids")
       .orderBy("cluster").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val qd = q.map(_.toDouble)
-    def cosD(v: Array[Double]): Double = {
-      var d = 0.0; var nv = 0.0; var nq = 0.0; var i = 0
-      while (i < math.min(v.length, qd.length)) {
-        d += v(i) * qd(i); nv += v(i) * v(i); nq += qd(i) * qd(i); i += 1
-      }
-      if (nv == 0 || nq == 0) 0.0 else d / math.sqrt(nv * nq)
-    }
-    val probes = centroids.sortBy { case (_, v) => -cosD(v) }.take(nprobe).map(_._1)
-    GeoTable.scan(spark, s"$indexRoot/vectors",
-        c("cluster").isin(probes.toSeq: _*))
-      .select(c("vec_id"), cosine(c("vec"), typedlit(q.toSeq)).as("score"))
-      .orderBy(desc("score"), asc("vec_id"))
-      .limit(k)
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    val probes = nearestClusters(centroids, q, nprobe)
+    probeTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
+      org.apache.spark.sql.functions.col("cluster").isin(probes: _*)),
+      "vec", probes, q, k)
   }
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
-    val qd = q.map(_.toDouble)
-    def cos(c: Array[Double]): Double = {
-      var d = 0.0; var nc = 0.0; var nq = 0.0
-      var i = 0
-      while (i < math.min(c.length, qd.length)) { d += c(i) * qd(i); nc += c(i) * c(i); nq += qd(i) * qd(i); i += 1 }
-      if (nc == 0 || nq == 0) 0.0 else d / math.sqrt(nc * nq)
-    }
-    val probes = centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
-    assigned.where(org.apache.spark.sql.functions.col("cluster").isin(probes.toSeq: _*))
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        cosine(org.apache.spark.sql.functions.col("__v"), typedlit(q.toSeq)).as("score"))
-      .orderBy(desc("score"), asc("vec_id"))
-      .limit(k)
+    val probes = nearestClusters(centroids.zipWithIndex.map(_.swap).toSeq, q, nprobe)
+    probeTopK(assigned, "__v", probes, q, k)
   }
 }

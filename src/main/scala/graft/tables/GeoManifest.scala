@@ -432,8 +432,13 @@ object GeoManifest {
     val freshRefs = fresh.grouped(ss).map { es =>
       val name = s"s-${java.util.UUID.randomUUID().toString.take(13)}.txt"
       // shard layout rides its OWN header (readers gate on it, not on the
-      // referencing manifest's version): 2 = v6 file lines with addedAt
-      val sb = new StringBuilder(if (v6) "graftshard\t2\n" else "graftshard\t1\n")
+      // referencing manifest's version): 2 = v6 file lines with addedAt;
+      // 3 = lines may carry the saw-null token (layout-2 parsing plus
+      // the self-describing trailing token)
+      val v8 = es.exists(_.pnulls.nonEmpty)
+      val sb = new StringBuilder(
+        if (v8) "graftshard\t3\n"
+        else if (v6) "graftshard\t2\n" else "graftshard\t1\n")
       es.foreach(e => sb ++= fileLine(e, v6))
       writeText(f, new Path(root, s"_manifests/$name"), sb.toString)
       ShardRef(name, es)
@@ -472,9 +477,15 @@ object GeoManifest {
     // data sequence numbers (needed only while equality deletes are
     // live); format 7 adds `colstat` lines (ANALYZE column statistics —
     // v6-era readers skip unknown tags in declared-v7+ manifests by
-    // design, so 7 is additive). Tables needing none of this keep
+    // design, so 7 is additive). Format 8 appends the saw-null token to
+    // file lines — declared explicitly because it changes a KNOWN tag's
+    // layout, so a pre-8 reader facing it sees the honest version gap
+    // (its pair-parse would otherwise die on the token mid-line).
+    // Tables needing none of this keep
     // writing 3 so older snapshots stay bit-stable for existing readers.
-    lines ++= (if (m.colStats.nonEmpty) "graftgeo\t7\n"
+    val v8 = m.files.exists(_.pnulls.nonEmpty)
+    lines ++= (if (v8) "graftgeo\t8\n"
+               else if (m.colStats.nonEmpty) "graftgeo\t7\n"
                else if (v6) "graftgeo\t6\n"
                else if (sharded) "graftgeo\t5\n"
                else if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"

@@ -326,6 +326,18 @@ object GeoPartition {
     case other => Seq(other)
   }
 
+  /** Fold foldable subtrees to literals before derivation. The ANALYZED
+    * (not optimized) condition is what pruning callers can get their
+    * hands on, and the analyzer wraps type-coerced literals in Cast —
+    * `id < 500` on a BIGINT column arrives as `id < cast(500 as bigint)`
+    * and a bare-Literal pattern match silently derives NOTHING. Folding
+    * here is what makes the patterns actually fire. */
+  private def foldConstants(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[Literal] =>
+      try Literal.create(f.eval(null), f.dataType)
+      catch { case scala.util.control.NonFatal(_) => f }
+  }
+
   /** First 8 UTF-8 bytes of the w-code-point prefix, packed big-endian
     * with the sign bit flipped: SIGNED long order equals the truncated
     * string's lexicographic (unsigned byte) order, non-strictly —
@@ -348,8 +360,9 @@ object GeoPartition {
   def prune(files: Seq[FileEntry], transforms: Seq[PTransform],
             schema: StructType, filters: Seq[Expression]): Seq[FileEntry] = {
     if (transforms.isEmpty || filters.isEmpty) return files
-    val bs = bounds(transforms, schema, filters)
-    val vs = valueSets(transforms, schema, filters)
+    val folded = filters.map(foldConstants)
+    val bs = bounds(transforms, schema, folded)
+    val vs = valueSets(transforms, schema, folded)
     if (bs.isEmpty && vs.isEmpty) return files
     files.filter { f =>
       f.pstats.isEmpty || (

@@ -96,10 +96,17 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
 
   private def spark: SparkSession = SparkSession.active
 
+  // ONE manifest read per DML statement: the scan, the write's required
+  // distribution, and the write's base snapshot all see the same
+  // snapshot (on a 1M-file table each read is ~40 shard fetches — three
+  // independent reads were pure fixed overhead). Commit-time conflict
+  // validation still re-reads FRESH inside GeoCowBatchWrite.commit.
+  private lazy val m0: Manifest = GeoManifest.read(spark, root)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val m = GeoManifest.read(spark, root)
+    val m = m0
     // MoR sidecars merge inside the scan readers (GeoMorReaderFactory):
     // the rewrite sees only visible rows, so hidden rows never resurrect
     // through a CoW rewrite; commit prunes sidecar entries that pointed
@@ -122,8 +129,7 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
         // writer below closes files at tuple boundaries).
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.SortOrder
-        private val sorts: Array[SortOrder] =
-          GeoPartition.v2SortOrders(GeoManifest.read(spark, root).partitions)
+        private val sorts: Array[SortOrder] = GeoPartition.v2SortOrders(m0.partitions)
         override def requiredDistribution(): Distribution =
           if (sorts.isEmpty) Distributions.unspecified()
           else Distributions.ordered(sorts)
@@ -132,7 +138,7 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
           if (sorts.isEmpty) 0
           else SparkSession.active.sessionState.conf.numShufflePartitions
         override def toBatch: BatchWrite =
-          new GeoCowBatchWrite(root, info.schema(), () => scannedFiles, cmd)
+          new GeoCowBatchWrite(root, info.schema(), () => scannedFiles, cmd, m0)
       }
     }
 
@@ -881,11 +887,15 @@ object GeoCowCommitMessage {
  */
 class GeoCowBatchWrite(root: String, incoming: StructType,
                        scanned: () => Option[Seq[FileEntry]],
-                       cmd: RowLevelOperation.Command = RowLevelOperation.Command.UPDATE)
+                       cmd: RowLevelOperation.Command = RowLevelOperation.Command.UPDATE,
+                       base: Manifest = null)
   extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
-  private val m: Manifest = GeoManifest.read(spark, root)
+  // the operation's shared snapshot when it provides one; commit-time
+  // conflict validation always re-reads fresh regardless
+  private val m: Manifest =
+    if (base != null) base else GeoManifest.read(spark, root)
   private val commitDir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {

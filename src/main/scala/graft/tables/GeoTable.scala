@@ -100,6 +100,7 @@ object GeoTable {
     val schema = df.schema
     val paths = df0.inputFiles.toSeq.sorted
     require(paths.nonEmpty, s"no parquet files under $dir")
+    validateFooters(spark, schema, paths)
     val partitions = GeoPartition.statsFor(schema, Seq.empty)
     val files = GeoManifest.collectStats(spark, schema, paths, geomCol, partitions)
     GeoManifest.write(spark, root,
@@ -109,19 +110,51 @@ object GeoTable {
 
   /** Register additional existing parquet files into a table by
     * reference (Iceberg `add_files` analog): one stats pass over ONLY
-    * the new files, one manifest commit, no rewrite. The files must
-    * carry the table's columns; already-referenced paths are rejected
-    * (re-adding would duplicate rows). Returns rows registered. */
+    * the new files, one manifest commit, no rewrite. Every file's footer
+    * is checked for the table's columns (distributed — Iceberg reads all
+    * footers for metrics the same way); already-referenced paths are
+    * rejected (re-adding would duplicate rows). Returns rows registered. */
   def addFiles(spark: SparkSession, root: String, paths: Seq[String]): Long = {
     require(paths.nonEmpty, "addFiles needs at least one path")
     val m = GeoManifest.read(spark, root)
     val have = m.files.map(_.key).toSet
     val dup = paths.find(p => have.contains(GeoManifest.norm(p)))
     require(dup.isEmpty, s"file already referenced by $root: ${dup.get}")
+    validateFooters(spark, m.schema, paths)
     val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ entries), m.version)
     entries.map(_.rows).sum
+  }
+
+  /** EVERY registered file must physically carry the table's top-level
+    * columns: Spark's name-based parquet resolution silently null-fills
+    * a missing optional column forever, which is corruption, not an
+    * error, by the time anyone reads it. One distributed footer pass
+    * (the same footers Iceberg's add_files reads for metrics). */
+  private def validateFooters(spark: SparkSession, schema: StructType,
+                              paths: Seq[String]): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val required = schema.fieldNames.map(_.toLowerCase).toSeq
+    val bad = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+      .flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val have = r.getFooter.getFileMetaData.getSchema.getFields
+            .asScala.map(_.getName.toLowerCase).toSet
+          val miss = required.filterNot(have)
+          if (miss.isEmpty) None
+          else Some(s"$p lacks column(s) ${miss.mkString(", ")}")
+        } finally r.close()
+      }.take(5)
+    require(bad.isEmpty,
+      s"cannot register parquet missing table columns (first ${bad.length}):\n  " +
+        bad.mkString("\n  "))
   }
 
   /** Morton-clustered layout (same Z-ordering as GeoParquet.write). */
@@ -1020,13 +1053,17 @@ object GeoTable {
       case None => flagged0
       case Some(seq) =>
         // last-change-wins per key: one window over the batch (O(batch)
-        // shuffle on the keys — the same clustering the write wants)
+        // shuffle on the keys — the same clustering the write wants).
+        // Ties on the sequence (same-millisecond source timestamps)
+        // break on the full row's hash: deterministic across runs of the
+        // same input, and a tie between IDENTICAL rows is harmless.
         import org.apache.spark.sql.expressions.Window
         val keyRefs = keyCols.map(c =>
           flagged0(flagged0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
             throw new IllegalArgumentException(s"cdcByKey rows are missing key column '$c'"))))
+        val tieBreak = xxhash64(flagged0.columns.map(flagged0(_)): _*)
         flagged0.withColumn("__graft_cdc_rn", row_number().over(
-            Window.partitionBy(keyRefs: _*).orderBy(seq.desc)))
+            Window.partitionBy(keyRefs: _*).orderBy(seq.desc, tieBreak.asc)))
           .where(col("__graft_cdc_rn") === 1).drop("__graft_cdc_rn")
           .localCheckpoint()
     }
@@ -1090,9 +1127,13 @@ object GeoTable {
     // semantics the entry's row count promises)
     val binaryKey = resolved.exists(c =>
       m.schema(c).dataType == org.apache.spark.sql.types.BinaryType)
+    // the distributed path's toDF(resolved) fails loudly on an arity
+    // mismatch; the positional binding below must enforce the same
+    // contract, never bind the wrong columns as keys
     keys.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-          if !binaryKey && lr.data.length <= spark.conf
+          if !binaryKey && lr.output.length == resolved.length &&
+            lr.data.length <= spark.conf
             .getOption("spark.graft.eqdelete.driverMaxKeys").map(_.toInt).getOrElse(10000) =>
         return writeEqSidecarLocal(spark, root, m, resolved, lr)
       case _ => ()

@@ -219,10 +219,16 @@ class GeoTableSpec extends SparkSpec {
     assert(m0.files.map(f => GeoManifest.norm(f.path)).toSet ==
       extA.map(GeoManifest.norm))
     assert(GeoTable.read(spark, root).count() == 100)
-    // auto stats transforms make the imported layout prunable at once
-    val opened = GeoTable.scan(spark, root, $"id" < 10)
-      .select(input_file_name()).distinct().count()
-    assert(opened < m0.files.size, s"range scan must prune imported files ($opened)")
+    // auto stats transforms make the imported layout prunable at once —
+    // assert on the PLAN's file index (a result-side input_file_name
+    // count is vacuous: it only sees files that held matching rows)
+    val planned = GeoTable.scan(spark, root, $"id" < 10)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    assert(planned > 0 && planned < m0.files.size,
+      s"range scan must plan over a pruned file list ($planned of ${m0.files.size})")
 
     assert(GeoTable.addFiles(spark, root,
       spark.read.parquet(dirB).inputFiles.toSeq) == 50L)
@@ -231,6 +237,15 @@ class GeoTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GeoTable.addFiles(spark, root, spark.read.parquet(dirB).inputFiles.toSeq)
     }
+    // a file physically missing a table column is corruption-by-null
+    // under name-based resolution — the footer check rejects it loudly
+    val dirC = s"$base/c"
+    spark.range(150, 160).select($"id").coalesce(1).write.parquet(dirC)
+    val noW = intercept[IllegalArgumentException] {
+      GeoTable.addFiles(spark, root, spark.read.parquet(dirC).inputFiles.toSeq)
+    }
+    assert(noW.getMessage.contains("lacks column"), noW.getMessage)
+    assert(GeoTable.read(spark, root).count() == 150)
     // DML composes: a CoW delete rewrites INTO the table's own data dir,
     // dropping external files from the manifest without deleting them
     // (they live outside <root>/data — the caller keeps ownership),
