@@ -36,6 +36,72 @@ class GeoManifestShardSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.graft.manifest.shardSize")
   }
 
+  test("fuzz: manifests round-trip arbitrary stats, saw-null flags, eq ranges") {
+    // deterministic fuzz over the full file-line + eqdelete-line grammar:
+    // every combination of bbox/NaN, 0..3 transform pairs, absent/present
+    // saw-null flags, addedAt, leading + tail key ranges — inline AND
+    // sharded layouts — must read back exactly (eq deletes modulo the
+    // writer's liveness GC, which the test recomputes with the public
+    // rule). This is the guard for the v8 token + parity disambiguation.
+    val rnd = new scala.util.Random(421L)
+    for (it <- 0 until 40) {
+      val nT = rnd.nextInt(4) // transforms
+      val parts = (0 until nT).map(i =>
+        graft.tables.GeoPartition.PTransform("stats", 0, s"c$i"))
+      val sch = StructType(StructField("id", LongType) +:
+        (0 until nT).map(i => StructField(s"c$i", LongType)))
+      val nF = 1 + rnd.nextInt(30)
+      val files = (0 until nF).map { i =>
+        val hasP = nT > 0 && rnd.nextBoolean()
+        val ps = if (hasP) (0 until nT).map { _ =>
+          val lo = rnd.nextLong() % 100000
+          (lo, lo + rnd.nextInt(1000)) } else Seq.empty
+        val pn = if (hasP && rnd.nextBoolean()) (0 until nT).map(_ => rnd.nextBoolean())
+                 else Seq.empty[Boolean]
+        val bbox = if (rnd.nextBoolean()) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+                   else Seq(rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble() + 1, rnd.nextDouble() + 1)
+        FileEntry(s"/data/part-$it-$i.parquet", 1 + rnd.nextInt(100),
+          bbox(0), bbox(1), bbox(2), bbox(3), ps, addedAt = rnd.nextInt(3), pnulls = pn)
+      }
+      val nE = rnd.nextInt(3)
+      val eqs = (0 until nE).map { j =>
+        val nc = 1 + rnd.nextInt(math.max(nT, 1))
+        val cols = (0 until nc).map(i => s"c${i % math.max(nT, 1)}")
+        val withRange = rnd.nextBoolean()
+        GeoManifest.EqDeleteEntry(s"/data/e$it-$j.parquet", 1 + rnd.nextInt(10),
+          cols, version = 5,
+          kmin = if (withRange) Some(rnd.nextLong() % 1000) else None,
+          kmax = if (withRange) Some(rnd.nextLong() % 1000 + 2000) else None,
+          kranges = if (withRange && nc > 1)
+            (0 until nc - 1).map(_ =>
+              if (rnd.nextBoolean()) Some((rnd.nextLong() % 1000, rnd.nextLong() % 1000 + 2000))
+              else None)
+          else Seq.empty)
+      }
+      val root = tmpRoot(s"fuzz$it")
+      val written = Manifest(0, sch, None, files, eqDeletes = eqs, partitions = parts)
+      withShardSize(if (rnd.nextBoolean()) 8 else 100000) {
+        GeoManifest.write(spark, root, written)
+      }
+      val back = GeoManifest.read(spark, root)
+      // the writer GC's eq deletes that can apply to no file — recompute
+      // the survivor set with the same public rule; addedAt persists
+      // ONLY while eq deletes are live (designed lossiness: without
+      // them, "oldest" is exact), so the oracle zeroes it in that case
+      val expectEq0 = eqs.filter(e => files.exists(f => GeoManifest.eqApplies(parts, e, f)))
+      val keepSeq = expectEq0.nonEmpty
+      // NaN != NaN under case-class equality — compare via string bboxes
+      def norm(f: FileEntry) = (f.path, f.rows,
+        Seq(f.xmin, f.ymin, f.xmax, f.ymax).map(_.toString),
+        f.pstats.toList, if (keepSeq) f.addedAt else 0, f.pnulls.toList)
+      assert(back.files.sortBy(_.path).map(norm) == files.sortBy(_.path).map(norm),
+        s"it=$it files mismatch:\n${back.files.sortBy(_.path)}\nvs\n${files.sortBy(_.path)}")
+      assert(back.eqDeletes == expectEq0,
+        s"it=$it eq mismatch:\n${back.eqDeletes}\nvs\n$expectEq0")
+      assert(back.partitions == parts && back.schema == sch)
+    }
+  }
+
   test("sharded manifests round-trip; appends reuse unchanged shards") {
     withShardSize(16) {
       val root = tmpRoot("rt")
