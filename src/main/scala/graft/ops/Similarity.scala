@@ -294,13 +294,13 @@ object Similarity {
     centroids.sortBy { case (_, v) => -centroidCos(v, qd) }.take(nprobe).map(_._1)
   }
 
-  /** The shared probe tail: exact cosine top-k over the probed clusters'
-    * rows (`vecCol` names the embedding column of `rows`). */
-  private def probeTopK(rows: DataFrame, vecCol: String, probes: Seq[Int],
+  /** The shared probe tail: exact cosine top-k over rows the caller has
+    * already restricted to the probed clusters (`vecCol` names the
+    * embedding column of `rows`). */
+  private def probeTopK(rows: DataFrame, vecCol: String,
                         q: Array[Float], k: Int): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    rows.where(c("cluster").isin(probes: _*))
-      .select(c("vec_id"), cosine(c(vecCol), typedlit(q.toSeq)).as("score"))
+    rows.select(c("vec_id"), cosine(c(vecCol), typedlit(q.toSeq)).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
@@ -316,15 +316,16 @@ object Similarity {
       .orderBy("cluster").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
     val probes = nearestClusters(centroids, q, nprobe)
+    // scan() both file-prunes on the predicate and applies it to rows
     probeTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
-      org.apache.spark.sql.functions.col("cluster").isin(probes: _*)),
-      "vec", probes, q, k)
+      org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "vec", q, k)
   }
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
     val probes = nearestClusters(centroids.zipWithIndex.map(_.swap).toSeq, q, nprobe)
-    probeTopK(assigned, "__v", probes, q, k)
+    probeTopK(assigned.where(
+      org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "__v", q, k)
   }
 }

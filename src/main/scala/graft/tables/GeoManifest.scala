@@ -435,7 +435,8 @@ object GeoManifest {
       // referencing manifest's version): 2 = v6 file lines with addedAt;
       // 3 = lines may carry the saw-null token (layout-2 parsing plus
       // the self-describing trailing token)
-      val v8 = es.exists(_.pnulls.nonEmpty)
+      val v8 = es.exists(e =>
+        e.pstats.nonEmpty && e.pnulls.length == e.pstats.length)
       val sb = new StringBuilder(
         if (v8) "graftshard\t3\n"
         else if (v6) "graftshard\t2\n" else "graftshard\t1\n")
@@ -478,12 +479,17 @@ object GeoManifest {
     // live); format 7 adds `colstat` lines (ANALYZE column statistics —
     // v6-era readers skip unknown tags in declared-v7+ manifests by
     // design, so 7 is additive). Format 8 appends the saw-null token to
-    // file lines — declared explicitly because it changes a KNOWN tag's
-    // layout, so a pre-8 reader facing it sees the honest version gap
-    // (its pair-parse would otherwise die on the token mid-line).
-    // Tables needing none of this keep
+    // file lines. Because it changes a KNOWN tag's layout it is declared
+    // explicitly, and from format 8 on readers enforce a version CEILING
+    // (see readVersion): future layout changes declare 9+ and an
+    // 8-capable reader refuses them loudly instead of misparsing —
+    // additive new-TAG changes keep declaring <= 8 and ride the
+    // skip-unknown-tags rule instead. Tables needing none of this keep
     // writing 3 so older snapshots stay bit-stable for existing readers.
-    val v8 = m.files.exists(_.pnulls.nonEmpty)
+    // The trigger matches fileLine's token-emit condition EXACTLY: an
+    // entry whose pnulls cannot serialize must not bump the format.
+    val v8 = m.files.exists(e =>
+      e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty)
     lines ++= (if (v8) "graftgeo\t8\n"
                else if (m.colStats.nonEmpty) "graftgeo\t7\n"
                else if (v6) "graftgeo\t6\n"
@@ -595,7 +601,13 @@ object GeoManifest {
               .split('\n').filter(_.nonEmpty).toSeq.flatMap { line =>
                 val parts = line.split('\t')
                 parts(0) match {
-                  case "graftshard" => shardV6 = parts(1).toInt >= 2; None
+                  case "graftshard" =>
+                    // same ceiling rule as the manifest header: a newer
+                    // shard layout must refuse loudly, not misparse
+                    require(parts(1).toInt <= 3,
+                      s"unsupported shard layout ${parts(1)} in $n at $root " +
+                        "(newer than this reader)")
+                    shardV6 = parts(1).toInt >= 2; None
                   case "file" => Some(parseFileEntry(parts, shardV6))
                   case _ => throw new IllegalArgumentException(
                     s"bad shard line in $n (manifest m$v.txt) at $root: '$line'")
@@ -630,8 +642,14 @@ object GeoManifest {
       parts(0) match {
         case "graftgeo" =>
           declared = parts(1).toInt
-          require(declared >= 1,
-            s"unsupported GeoTable manifest version ${parts(1)}")
+          // the CEILING is load-bearing from format 8 on: a declared
+          // version above what this reader knows means a KNOWN tag's
+          // line layout may have changed — refusing loudly beats
+          // misparsing stats into wrong query results. Additive
+          // new-tag-only changes must keep declaring <= 8.
+          require(declared >= 1 && declared <= 8,
+            s"unsupported GeoTable manifest version ${parts(1)} " +
+              "(newer than this reader; upgrade the library to read this table)")
         case "schema" =>
           schema = org.apache.spark.sql.types.DataType.fromJson(
             line.substring("schema\t".length)).asInstanceOf[StructType]

@@ -95,6 +95,20 @@ object GeoTable {
     require(GeoManifest.currentVersion(spark, root).isEmpty,
       s"GeoTable already exists at $root — use addFiles to register more files")
     val df0 = spark.read.parquet(dir)
+    // Hive-partitioned layouts keep the partition VALUES in directory
+    // names, not in the files — a by-reference registration would read
+    // those columns back as null forever. Refuse loudly with the way out
+    // instead of importing corruption.
+    val partCols = df0.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Seq.empty)
+    require(partCols.isEmpty,
+      s"cannot import a Hive-partitioned layout by reference: column(s) " +
+        s"${partCols.mkString(", ")} live in directory names, not in the files — " +
+        "materialize them (read + GeoTable.create) or import the leaf dirs of one " +
+        "partition value and add the column via ALTER/rewrite")
     val df = geomCol.filterNot(g => GeoSchema.isGeometry(df0.schema(g)))
       .foldLeft(df0)((d, g) => GeoSchema.markGeometry(d, g))
     val schema = df.schema
@@ -151,10 +165,11 @@ object GeoTable {
           if (miss.isEmpty) None
           else Some(s"$p lacks column(s) ${miss.mkString(", ")}")
         } finally r.close()
-      }.take(5)
+      }.collect() // one fully-parallel job; take(5)'s escalating waves
+                  // would serialize the all-valid path into 4 sequential jobs
     require(bad.isEmpty,
-      s"cannot register parquet missing table columns (first ${bad.length}):\n  " +
-        bad.mkString("\n  "))
+      s"cannot register parquet missing table columns (first 5 of ${bad.length}):\n  " +
+        bad.take(5).mkString("\n  "))
   }
 
   /** Morton-clustered layout (same Z-ordering as GeoParquet.write). */
@@ -1057,11 +1072,14 @@ object GeoTable {
         // Ties on the sequence (same-millisecond source timestamps)
         // break on the full row's hash: deterministic across runs of the
         // same input, and a tie between IDENTICAL rows is harmless.
+        // Hash the JSON rendering, not the columns directly — xxhash64
+        // rejects MapType columns outright, and a CDC payload with a
+        // map column is perfectly ordinary.
         import org.apache.spark.sql.expressions.Window
         val keyRefs = keyCols.map(c =>
           flagged0(flagged0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
             throw new IllegalArgumentException(s"cdcByKey rows are missing key column '$c'"))))
-        val tieBreak = xxhash64(flagged0.columns.map(flagged0(_)): _*)
+        val tieBreak = xxhash64(to_json(struct(flagged0.columns.map(flagged0(_)): _*)))
         flagged0.withColumn("__graft_cdc_rn", row_number().over(
             Window.partitionBy(keyRefs: _*).orderBy(seq.desc, tieBreak.asc)))
           .where(col("__graft_cdc_rn") === 1).drop("__graft_cdc_rn")
@@ -1103,7 +1121,7 @@ object GeoTable {
     * quietly no-op the delete for those rows, so it fails loudly instead.
     * Genuinely-null input keys still drop — equality never matches null. */
   private def writeEqSidecar(spark: SparkSession, root: String, m: Manifest,
-                             keyCols: Seq[String], keys: DataFrame,
+                             keyCols: Seq[String], keys0: DataFrame,
                              pinned: Boolean = false)
       : Option[(GeoManifest.EqDeleteEntry, Long)] = {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
@@ -1114,6 +1132,16 @@ object GeoTable {
         s"equality-delete key '$c' is a GEOMETRY column; key on scalar columns")
     }
     val resolved = keyCols.map(c => m.schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+    // Bind BY NAME whenever the keys frame's columns are exactly the key
+    // columns under any order (a reordered same-typed frame would
+    // otherwise mis-bind positionally and delete the wrong rows, on the
+    // driver AND distributed paths alike); frames with anonymous/derived
+    // column names keep the documented positional contract.
+    val keys = if (keys0.columns.map(_.toLowerCase).sorted.toSeq ==
+        resolved.map(_.toLowerCase).sorted)
+      keys0.select(resolved.map(c =>
+        keys0(keys0.columns.find(_.equalsIgnoreCase(c)).get)): _*)
+    else keys0
     // Driver fast path for LITERAL key sets (the `DELETE WHERE k IN
     // (...)` shape builds a LocalRelation): validate, dedup, range and
     // WRITE the sidecar entirely on the driver — zero Spark jobs, where

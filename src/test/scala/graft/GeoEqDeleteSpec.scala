@@ -111,6 +111,17 @@ class GeoEqDeleteSpec extends SparkSpec {
       eDrv.kmin.contains(150L) && eDrv.kmax.contains(155L))
     // the driver-written sidecar parquet reads back with the table types
     assert(spark.read.parquet(eDrv.path).as[Long].collect().sorted.toSeq == Seq(150L, 155L))
+    // a keys frame with the key COLUMNS' NAMES in a different order
+    // binds by name, not position (positional binding only applies to
+    // anonymous/derived frames)
+    val r4 = java.nio.file.Files.createTempDirectory("geo_eqdrvo").toString + "/t"
+    GeoTable.create(spark, r4,
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "s"), None)
+    GeoTable.deleteByKey(spark, r4, Seq("k", "s"),
+      Seq(("x", 1L), ("y", 2L)).toDF("s", "k")) // reversed column order
+    assert(GeoTable.read(spark, r4).select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(3L), "reordered same-named key columns must bind by name")
+
     // malformed casts fail loudly on BOTH paths
     val r3 = java.nio.file.Files.createTempDirectory("geo_eqdrvc").toString + "/t"
     GeoTable.create(spark, r3, spark.range(10).toDF("id"), None)
