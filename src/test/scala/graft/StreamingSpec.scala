@@ -303,6 +303,18 @@ class StreamingSpec extends SparkSpec {
     val after = GeoTable.read(spark, root).select("id", "v").as[(Long, String)]
       .collect().sortBy(_._1).toSeq
     assert(after == Seq((1L, "a"), (4L, "D4b")), s"got $after")
+
+    // map-typed payload columns survive the sequence tie-break (it
+    // hashes the JSON rendering; raw xxhash64 rejects MapType)
+    val rootM = java.nio.file.Files.createTempDirectory("geosink_cdcm").toString + "/t"
+    GeoTable.createEmpty(spark, rootM,
+      graft.tables.GeoSchema.fromDdl("id BIGINT, props MAP<STRING, STRING>"), None)
+    val mBatch = Seq(
+      (7L, Map("a" -> "1"), false, 1L), (7L, Map("a" -> "2"), false, 2L)
+    ).toDF("id", "props", "__del", "seq")
+    GeoTable.cdcByKey(spark, rootM, Seq("id"), mBatch, col("__del"),
+      sequenceCol = Some(col("seq")))
+    assert(GeoTable.read(spark, rootM).selectExpr("props['a']").as[String].head() == "2")
   }
 
   test("sink identity is bound to the checkpoint's query id: a reset checkpoint gets a fresh id") {
