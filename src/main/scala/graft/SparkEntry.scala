@@ -827,14 +827,22 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("geo_cdc_sk").toString
       val root = base + "/t"
       val srcDir = base + "/files"
-      // batch 1: the rows that stay untouched; batch 2: updates (%9) +
-      // flagged deletes (%15) — all within the %3 subset
-      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, false AS del " +
-        "FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0 AND c_custkey % 15 <> 0")
+      // batch 1: the rows that stay untouched; batch 2: a CDC burst —
+      // every %9 id carries TWO changes (seq 1: nat=-5, then seq 2:
+      // nat=-1) and every %15 id an update-then-delete (seq 1: upsert,
+      // seq 2: delete) — all within the %3 subset. Sequence netting must
+      // keep only each key's LAST change or the hash moves.
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, false AS del, " +
+        "0L AS seq FROM customer " +
+        "WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0 AND c_custkey % 15 <> 0")
         .coalesce(1).write.parquet(srcDir)
-      s.sql("SELECT c_custkey AS id, CAST(-1 AS BIGINT) AS nat, false AS del " +
+      s.sql("SELECT c_custkey AS id, CAST(-5 AS BIGINT) AS nat, false AS del, 1L AS seq " +
         "FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 15 <> 0 " +
-        "UNION ALL SELECT c_custkey, CAST(0 AS BIGINT), true " +
+        "UNION ALL SELECT c_custkey, CAST(-1 AS BIGINT), false, 2L " +
+        "FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 15 <> 0 " +
+        "UNION ALL SELECT c_custkey, CAST(99 AS BIGINT), false, 1L " +
+        "FROM customer WHERE c_custkey % 15 = 0 AND c_custkey % 3 = 0 " +
+        "UNION ALL SELECT c_custkey, CAST(0 AS BIGINT), true, 2L " +
         "FROM customer WHERE c_custkey % 15 = 0 AND c_custkey % 3 = 0")
         .coalesce(1).write.mode("append").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
@@ -843,7 +851,8 @@ object SparkEntry {
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
       val q = graft.streaming.EventStreams.geoTableUpsertSink(
-        stream, root, Seq("id"), base + "/ck", deleteFlagCol = Some("del")).start()
+        stream, root, Seq("id"), base + "/ck", deleteFlagCol = Some("del"),
+        sequenceCol = Some("seq")).start()
       q.processAllAvailable(); q.stop()
       graft.tables.GeoTable.read(s, root)
         .groupBy("nat")
