@@ -832,18 +832,21 @@ object SparkEntry {
       // nat=-1) and every %15 id an update-then-delete (seq 1: upsert,
       // seq 2: delete) — all within the %3 subset. Sequence netting must
       // keep only each key's LAST change or the hash moves.
-      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat, false AS del, " +
-        "0L AS seq FROM customer " +
-        "WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0 AND c_custkey % 15 <> 0")
+      // one customer scan feeds both batch files (5 projections of it)
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat FROM customer " +
+        "WHERE c_custkey % 3 = 0").localCheckpoint()
+        .createOrReplaceTempView("cdc_src3")
+      s.sql("SELECT id, nat, false AS del, 0L AS seq FROM cdc_src3 " +
+        "WHERE id % 9 <> 0 AND id % 15 <> 0")
         .coalesce(1).write.parquet(srcDir)
-      s.sql("SELECT c_custkey AS id, CAST(-5 AS BIGINT) AS nat, false AS del, 1L AS seq " +
-        "FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 15 <> 0 " +
-        "UNION ALL SELECT c_custkey, CAST(-1 AS BIGINT), false, 2L " +
-        "FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 15 <> 0 " +
-        "UNION ALL SELECT c_custkey, CAST(99 AS BIGINT), false, 1L " +
-        "FROM customer WHERE c_custkey % 15 = 0 AND c_custkey % 3 = 0 " +
-        "UNION ALL SELECT c_custkey, CAST(0 AS BIGINT), true, 2L " +
-        "FROM customer WHERE c_custkey % 15 = 0 AND c_custkey % 3 = 0")
+      s.sql("SELECT id, CAST(-5 AS BIGINT) AS nat, false AS del, 1L AS seq " +
+        "FROM cdc_src3 WHERE id % 9 = 0 AND id % 15 <> 0 " +
+        "UNION ALL SELECT id, CAST(-1 AS BIGINT), false, 2L " +
+        "FROM cdc_src3 WHERE id % 9 = 0 AND id % 15 <> 0 " +
+        "UNION ALL SELECT id, CAST(99 AS BIGINT), false, 1L " +
+        "FROM cdc_src3 WHERE id % 15 = 0 " +
+        "UNION ALL SELECT id, CAST(0 AS BIGINT), true, 2L " +
+        "FROM cdc_src3 WHERE id % 15 = 0")
         .coalesce(1).write.mode("append").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       graft.tables.GeoTable.createEmpty(s, root,
