@@ -129,7 +129,7 @@ class GeoBranchTable(tableName: String, root: String, branch: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoCowScanBuilder(spark, head.schema, head.files, options, _ => (),
-      partitions = head.partitions, deletes = head.deletes,
+      specs = head.specSet, deletes = head.deletes,
       eqDeletes = head.eqDeletes, colStats = head.colStats)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -496,16 +496,23 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       // values renders as `lo..hi`; unpartitioned tables roll into `--`.
       case "partitions" =>
         val m = GeoManifest.read(sparkAtLoad, root)
-        val lts = m.partitions.zipWithIndex.filter(_._1.layout)
-        def render(f: GeoManifest.FileEntry): String =
-          if (lts.isEmpty || f.pstats.isEmpty) "--"
-          else lts.map { case (t, i) =>
-            f.pstats.lift(i) match {
-              case Some((lo, hi)) if lo == hi => s"${t.encode}=$lo"
-              case Some((lo, hi)) => s"${t.encode}=$lo..$hi"
-              case None => s"${t.encode}=?"
-            }
-          }.mkString(" / ")
+        val specs = m.specSet
+        def render(f: GeoManifest.FileEntry): String = {
+          // each file renders under ITS OWN spec's layout transforms
+          // (spec evolution); files on a retired spec are tagged with
+          // their spec id so mixed-spec tables stay legible
+          val lts = specs.of(f).zipWithIndex.filter(_._1.layout)
+          val base =
+            if (lts.isEmpty || f.pstats.isEmpty) "--"
+            else lts.map { case (t, i) =>
+              f.pstats.lift(i) match {
+                case Some((lo, hi)) if lo == hi => s"${t.encode}=$lo"
+                case Some((lo, hi)) => s"${t.encode}=$lo..$hi"
+                case None => s"${t.encode}=?"
+              }
+            }.mkString(" / ")
+          if (specs.isCurrent(f)) base else s"[spec ${f.spec}] $base"
+        }
         m.files.groupBy(render).toSeq.sortBy(_._1).map { case (p, fs) =>
           InternalRow(UTF8String.fromString(p), fs.length, fs.map(_.rows).sum)
         }.toArray
@@ -693,7 +700,7 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     // catalog reads never resurrect deleted rows and never need a
     // compaction first.
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
-      streamRoot = Some(root), partitions = manifest.partitions,
+      streamRoot = Some(root), specs = manifest.specSet,
       deletes = manifest.deletes, eqDeletes = manifest.eqDeletes,
       colStats = manifest.colStats)
   }

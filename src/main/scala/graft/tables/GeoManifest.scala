@@ -49,7 +49,13 @@ import java.nio.charset.StandardCharsets
  * manifest declares a format version newer than the reader knows
  * (additive v7+ tags won't break this reader); an unknown tag in a
  * v1–v6 manifest is corruption and fails hard — skipping it would turn
- * a torn line into silently missing data files.
+ * a torn line into silently missing data files. v9 adds partition-spec
+ * evolution (`ALTER TABLE ... SET PARTITIONED BY`): `curspec` names the
+ * current spec id, `spec <id> <transform...>` lines carry each retired
+ * spec's transform list, and file lines gain a trailing `S<spec>` token
+ * (absent = spec 0) — a file's pstats are positional against ITS OWN
+ * spec, so pre-9 readers must refuse these manifests rather than prune
+ * old files against the wrong transforms.
  * Layout under a table root:
  * {{{
  *   <root>/_manifests/m<N>.txt   manifest per version (immutable)
@@ -80,12 +86,23 @@ object GeoManifest {
     * KeyGroupedPartitioning: duplicate NULL groups in exchange-eliminated
     * GROUP BY, missed matches in null-safe joins). Empty = unknown
     * (pre-flag manifest lines): pruning is unaffected, SPJ is disabled
-    * for the file — the conservative direction. */
+    * for the file — the conservative direction.
+    *
+    * `spec` is the PARTITION SPEC the file's pstats were recorded under
+    * (Iceberg spec-id analog): after `ALTER TABLE ... SET PARTITIONED
+    * BY`, old files keep their old spec — evolution is metadata-only,
+    * nothing rewrites the data — and every stats consumer must resolve
+    * the file's own transform list before indexing into pstats. -1 =
+    * freshly built this commit (stamped to the committing manifest's
+    * current spec inside [[write]]); 0 for files parsed from manifests
+    * without a spec token (pre-evolution tables have exactly one spec,
+    * id 0). */
   final case class FileEntry(path: String, rows: Long,
                              xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                              pstats: Seq[(Long, Long)] = Seq.empty,
                              addedAt: Int = -1,
-                             pnulls: Seq[Boolean] = Seq.empty) {
+                             pnulls: Seq[Boolean] = Seq.empty,
+                             spec: Int = -1) {
     def intersects(e: Envelope): Boolean =
       !xmin.isNaN && xmin <= e.getMaxX && xmax >= e.getMinX &&
         ymin <= e.getMaxY && ymax >= e.getMinY
@@ -207,6 +224,14 @@ object GeoManifest {
     * (Iceberg records parent-snapshot-id for the same reason). `None` on
     * a READ manifest means a pre-lineage file (walks fall back to the
     * consecutive predecessor, the status-quo assumption of that era). */
+  /** `partitions` is the CURRENT spec's transform list — every write
+    * path (layout clustering, stats collection, SPJ sort orders) uses it
+    * unchanged. `specId` names it; `pastSpecs` holds every RETIRED
+    * spec's full transform list by id (partition-spec evolution:
+    * non-empty only after `ALTER TABLE ... SET PARTITIONED BY`). A
+    * file's pstats are positional against ITS OWN spec — resolve
+    * through [[specSet]], never index with `partitions` directly unless
+    * the file is known current-spec. */
   final case class Manifest(version: Int, schema: StructType,
                             geomCol: Option[String], files: Seq[FileEntry],
                             dropped: Seq[String] = Seq.empty,
@@ -217,11 +242,17 @@ object GeoManifest {
                             baseShards: Seq[ShardRef] = Seq.empty,
                             eqDeletes: Seq[EqDeleteEntry] = Seq.empty,
                             parent: Option[Int] = None,
-                            colStats: Map[String, ColStat] = Map.empty) {
-    /** Range-aware equality-delete applicability under THIS manifest's
+                            colStats: Map[String, ColStat] = Map.empty,
+                            pastSpecs: Map[Int, Seq[GeoPartition.PTransform]] = Map.empty,
+                            specId: Int = 0) {
+    /** Per-file spec resolution for every pstats consumer. Lazy: the
+      * eq-applicability loops call this per (file × delete) pair. */
+    lazy val specSet: GeoPartition.SpecSet =
+      GeoPartition.SpecSet(specId, pastSpecs + (specId -> partitions))
+    /** Range-aware equality-delete applicability under the FILE's own
       * transform list — see [[GeoManifest.eqApplies]]. */
     def eqApplies(e: EqDeleteEntry, f: FileEntry): Boolean =
-      GeoManifest.eqApplies(partitions, e, f)
+      GeoManifest.eqApplies(specSet.of(f), e, f)
     /** Exact for position deletes; an UPPER bound while equality deletes
       * are live (their matched-row count is unknown until a scan). */
     def totalRows: Long = files.map(_.rows).sum - deletes.map(_.rows).sum
@@ -377,7 +408,12 @@ object GeoManifest {
     * the flags — self-describing (no digit-only field can start with
     * 'N'), so it is stripped before the parity-based addedAt
     * disambiguation and old readers of the era that skipped unknown
-    * LINES never see it mid-line. Absent token = unknown. */
+    * LINES never see it mid-line. Absent token = unknown.
+    *
+    * A trailing `S<specId>` token (after the N token, likewise
+    * self-describing) records the partition spec the file's pstats were
+    * recorded under; it is only emitted for spec > 0 — absent parses as
+    * spec 0, which is exact for every pre-evolution file. */
   private def fileLine(e: FileEntry, v6: Boolean): String = {
     val ps = if (e.pstats.isEmpty) ""
              else e.pstats.map { case (a, b) => s"\t$a\t$b" }.mkString
@@ -390,7 +426,8 @@ object GeoManifest {
         }
         s"\tN$bits"
       } else ""
-    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$seq$ps$nulls\n"
+    val spec = if (e.spec > 0) s"\tS${e.spec}" else ""
+    s"file\t${e.path}\t${e.rows}\t${e.xmin}\t${e.ymin}\t${e.xmax}\t${e.ymax}$seq$ps$nulls$spec\n"
   }
 
   /** Files-per-shard for v5 manifest lists. Below this many entries the
@@ -434,11 +471,14 @@ object GeoManifest {
       // shard layout rides its OWN header (readers gate on it, not on the
       // referencing manifest's version): 2 = v6 file lines with addedAt;
       // 3 = lines may carry the saw-null token (layout-2 parsing plus
-      // the self-describing trailing token)
+      // the self-describing trailing token); 4 = lines may additionally
+      // carry the S<spec> token (partition-spec evolution)
       val v8 = es.exists(e =>
         e.pstats.nonEmpty && e.pnulls.length == e.pstats.length)
+      val v9 = es.exists(_.spec > 0)
       val sb = new StringBuilder(
-        if (v8) "graftshard\t3\n"
+        if (v9) "graftshard\t4\n"
+        else if (v8) "graftshard\t3\n"
         else if (v6) "graftshard\t2\n" else "graftshard\t1\n")
       es.foreach(e => sb ++= fileLine(e, v6))
       writeText(f, new Path(root, s"_manifests/$name"), sb.toString)
@@ -457,17 +497,24 @@ object GeoManifest {
   private def writeManifestFile(spark: SparkSession, root: String, m0: Manifest): Unit = {
     val f = fs(spark, root)
     val ss = shardSize(spark)
-    // stamp data sequence numbers: entries built this commit carry the
-    // sentinel -1 and become this version; carried-over entries keep
-    // theirs. Copies touch ONLY fresh entries, so the identity-based
-    // shard-reuse check still recognizes every carried-over instance.
-    val stamped = m0.files.map(e => if (e.addedAt < 0) e.copy(addedAt = m0.version) else e)
+    // stamp data sequence numbers AND partition-spec ids: entries built
+    // this commit carry the sentinels -1 and become this version / the
+    // current spec; carried-over entries keep theirs. Copies touch ONLY
+    // fresh entries, so the identity-based shard-reuse check still
+    // recognizes every carried-over instance.
+    val stamped = m0.files.map(e =>
+      if (e.addedAt < 0 || e.spec < 0)
+        e.copy(addedAt = if (e.addedAt < 0) m0.version else e.addedAt,
+               spec = if (e.spec < 0) m0.specId else e.spec)
+      else e)
     // an equality delete that no remaining file predates can never match
     // again (future files always get higher sequence numbers) — and one
     // whose key range misses every remaining file's range is equally
-    // dead: GC both here
+    // dead: GC both here. Range applicability resolves each file's OWN
+    // spec's transforms (the stamped list shares specs with m0).
+    val specsOfM0 = GeoPartition.SpecSet(m0.specId, m0.pastSpecs + (m0.specId -> m0.partitions))
     val liveEq = m0.eqDeletes.filter(e =>
-      stamped.exists(f => eqApplies(m0.partitions, e, f)))
+      stamped.exists(f => eqApplies(specsOfM0.of(f), e, f)))
     val m = m0.copy(files = stamped, eqDeletes = liveEq)
     val sharded = m.files.length >= ss
     val v6 = m.eqDeletes.nonEmpty
@@ -488,9 +535,16 @@ object GeoManifest {
     // writing 3 so older snapshots stay bit-stable for existing readers.
     // The trigger matches fileLine's token-emit condition EXACTLY: an
     // entry whose pnulls cannot serialize must not bump the format.
+    // Format 9 = partition-spec evolution: `curspec`/`spec` lines plus
+    // per-file S tokens change how pstats are INTERPRETED, so a pre-9
+    // reader must refuse loudly (it would prune old-spec files against
+    // the wrong transform list — silent row loss), hence the explicit
+    // declaration whenever the table has ever evolved its spec.
     val v8 = m.files.exists(e =>
       e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty)
-    lines ++= (if (v8) "graftgeo\t8\n"
+    val v9 = m.pastSpecs.nonEmpty || m.specId != 0
+    lines ++= (if (v9) "graftgeo\t9\n"
+               else if (v8) "graftgeo\t8\n"
                else if (m.colStats.nonEmpty) "graftgeo\t7\n"
                else if (v6) "graftgeo\t6\n"
                else if (sharded) "graftgeo\t5\n"
@@ -509,6 +563,15 @@ object GeoManifest {
       lines ++= s"stream\t$sink\t$batch\n"
     }
     m.partitions.foreach { p => lines ++= s"partition\t${p.encode}\n" }
+    // spec evolution bookkeeping: `curspec` names the id of the CURRENT
+    // spec (the `partition` lines above); each `spec` line is a retired
+    // spec's full transform list, tab-separated. Only written at v9.
+    if (v9) {
+      lines ++= s"curspec\t${m.specId}\n"
+      m.pastSpecs.toSeq.sortBy(_._1).foreach { case (id, ts) =>
+        lines ++= (s"spec\t$id" + ts.map(t => s"\t${t.encode}").mkString + "\n")
+      }
+    }
     if (sharded)
       writeShards(f, root, m, ss, v6).foreach { s =>
         lines ++= s"shard\t${s.name}\t${s.entries.length}\n"
@@ -562,13 +625,19 @@ object GeoManifest {
     // a legacy-layout line under a newer declared format (hand-migrated
     // manifest, or an additive future format keeping old file lines) has
     // an EVEN tail and parses as addedAt 0.
-    // the saw-null token (if present) is last and self-describing; strip
-    // it BEFORE the parity check so it never perturbs addedAt detection
-    val (body, nullBits) =
-      if (parts.length > 7 && parts.last.length > 1 && parts.last.head == 'N' &&
+    // trailing self-describing tokens strip in reverse write order —
+    // S<spec> (last), then N<bits> — BEFORE the parity check so neither
+    // perturbs addedAt detection
+    val (afterSpec, spec) =
+      if (parts.length > 7 && parts.last.length > 1 && parts.last.head == 'S' &&
           parts.last.drop(1).forall(_.isDigit))
-        (parts.dropRight(1), Some(parts.last.drop(1).toLong))
-      else (parts, None)
+        (parts.dropRight(1), parts.last.drop(1).toInt)
+      else (parts, 0)
+    val (body, nullBits) =
+      if (afterSpec.length > 7 && afterSpec.last.length > 1 && afterSpec.last.head == 'N' &&
+          afterSpec.last.drop(1).forall(_.isDigit))
+        (afterSpec.dropRight(1), Some(afterSpec.last.drop(1).toLong))
+      else (afterSpec, None)
     val hasSeq = v6 && (body.length - 7) % 2 == 1
     val addedAt = if (hasSeq) body(7).toInt else 0
     val ps = body.drop(if (hasSeq) 8 else 7).grouped(2).collect {
@@ -580,7 +649,7 @@ object GeoManifest {
     }
     FileEntry(parts(1), parts(2).toLong,
       parts(3).toDouble, parts(4).toDouble, parts(5).toDouble, parts(6).toDouble,
-      ps, addedAt, pn)
+      ps, addedAt, pn, spec)
   }
 
   /** Read v5 shard files, in parallel — a 1M-file table is ~40 shard
@@ -604,7 +673,7 @@ object GeoManifest {
                   case "graftshard" =>
                     // same ceiling rule as the manifest header: a newer
                     // shard layout must refuse loudly, not misparse
-                    require(parts(1).toInt <= 3,
+                    require(parts(1).toInt <= 4,
                       s"unsupported shard layout ${parts(1)} in $n at $root " +
                         "(newer than this reader)")
                     shardV6 = parts(1).toInt >= 2; None
@@ -637,6 +706,8 @@ object GeoManifest {
     val dropped = Seq.newBuilder[String]
     val streams = Map.newBuilder[String, Long]
     val colStats = Map.newBuilder[String, ColStat]
+    var specId = 0
+    val pastSpecs = Map.newBuilder[Int, Seq[GeoPartition.PTransform]]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
@@ -647,7 +718,7 @@ object GeoManifest {
           // line layout may have changed — refusing loudly beats
           // misparsing stats into wrong query results. Additive
           // new-tag-only changes must keep declaring <= 8.
-          require(declared >= 1 && declared <= 8,
+          require(declared >= 1 && declared <= 9,
             s"unsupported GeoTable manifest version ${parts(1)} " +
               "(newer than this reader; upgrade the library to read this table)")
         case "schema" =>
@@ -674,6 +745,9 @@ object GeoManifest {
             kmax = if (parts.length >= 7) Some(parts(6).toLong) else None,
             kranges = kranges)
         case "partition" => partitions += GeoPartition.decode(parts(1))
+        case "curspec" => specId = parts(1).toInt
+        case "spec" =>
+          pastSpecs += parts(1).toInt -> parts.drop(2).map(GeoPartition.decode).toSeq
         case "colstat" =>
           colStats += parts(1) -> ColStat(parts(2).toLong, parts(3).toLong,
             if (parts.length >= 6) Some(parts(4).toLong) else None,
@@ -695,7 +769,7 @@ object GeoManifest {
     shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
-      parent, colStats.result())
+      parent, colStats.result(), pastSpecs.result(), specId)
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

@@ -377,6 +377,45 @@ object GeoPartition {
     }
   }
 
+  /** A table's partition specs (Iceberg partition-spec-evolution analog):
+    * `byId` maps every spec id the table has ever written under to its
+    * transform list, `cur` names the spec NEW writes use. A file's pstats
+    * vector is positional against ITS OWN spec's transforms — after an
+    * `ALTER TABLE ... SET PARTITION SPEC`, old files keep their old spec
+    * (evolution is metadata-only; nothing rewrites 100 TB), and every
+    * stats consumer (pruning, equality-delete ranges, SPJ) resolves the
+    * file's spec first. An unknown spec id resolves to no transforms —
+    * the conservative keep-everything direction. */
+  final case class SpecSet(cur: Int, byId: Map[Int, Seq[PTransform]]) {
+    def current: Seq[PTransform] = byId.getOrElse(cur, Seq.empty)
+    /** The transforms `f`'s pstats were recorded under. Fresh entries
+      * (spec sentinel -1, not yet stamped by a manifest write) are
+      * current-spec by construction. */
+    def of(f: FileEntry): Seq[PTransform] =
+      if (f.spec < 0) current else byId.getOrElse(f.spec, Seq.empty)
+    def isCurrent(f: FileEntry): Boolean = f.spec < 0 || f.spec == cur
+  }
+  object SpecSet {
+    val empty: SpecSet = SpecSet(0, Map.empty)
+    /** A single-spec table (the pre-evolution shape). */
+    def single(transforms: Seq[PTransform]): SpecSet =
+      SpecSet(0, Map(0 -> transforms))
+  }
+
+  /** [[prune]] across mixed partition specs: each file's recorded ranges
+    * are interpreted under its OWN spec's transform list. Order-preserving;
+    * single-spec inputs take the plain path. */
+  def pruneBySpec(files: Seq[FileEntry], specs: SpecSet,
+                  schema: StructType, filters: Seq[Expression]): Seq[FileEntry] = {
+    if (files.isEmpty || filters.isEmpty) return files
+    if (files.forall(specs.isCurrent)) return prune(files, specs.current, schema, filters)
+    val keep = files.groupBy(f => if (f.spec < 0) specs.cur else f.spec)
+      .iterator.flatMap { case (id, fs) =>
+        prune(fs, specs.byId.getOrElse(id, Seq.empty), schema, filters).map(_.key)
+      }.toSet
+    files.filter(f => keep.contains(f.key))
+  }
+
   /** EXACT derived-value sets for IN/= conjuncts, per transform: a file
     * survives only if SOME listed value lands inside its recorded range.
     * Strictly stronger than the [min,max] envelope `bounds` gives IN — a

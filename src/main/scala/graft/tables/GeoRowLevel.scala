@@ -158,7 +158,7 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         files: Seq[FileEntry], options: CaseInsensitiveStringMap,
                         onBuild: GeoCowScan => Unit,
                         streamRoot: Option[String] = None,
-                        partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                        specs: GeoPartition.SpecSet = GeoPartition.SpecSet.empty,
                         deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty,
                         eqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
                         colStats: Map[String, GeoManifest.ColStat] = Map.empty)
@@ -235,10 +235,11 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
       GeoSidecarCache.positions(spark, deletes)
     // manifest-level partition pruning FIRST: per-file transform ranges
     // vs the filter-derived bounds (conservative — underivable filters
-    // keep all) — so the sidecar selection below sees the narrowed set
+    // keep all), each file under ITS OWN partition spec — so the sidecar
+    // selection below sees the narrowed set
     val pruned =
-      if (partitions.nonEmpty && allFilters.nonEmpty)
-        GeoPartition.prune(files, partitions, tableSchema, allFilters)
+      if (allFilters.nonEmpty)
+        GeoPartition.pruneBySpec(files, specs, tableSchema, allFilters)
       else files
     // equality-delete keys load once driver-side as UnsafeRows cast to the
     // table column types — byte-layout-identical to what the reader's key
@@ -247,13 +248,13 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     // entirely: a partition-scoped scan loads only the deletes that can
     // touch it (O(intersecting sidecars), not O(live sidecars)).
     val liveEq = eqDeletes.sortBy(_.version).filter(e =>
-      pruned.exists(f => GeoManifest.eqApplies(partitions, e, f)))
+      pruned.exists(f => GeoManifest.eqApplies(specs.of(f), e, f)))
     val eqGroups: Seq[GeoEqGroup] = liveEq.map { e =>
       GeoEqGroup(e.version, e.cols, GeoSidecarCache.eqKeys(spark, e, tableSchema))
     }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,
-      eqGroups, extraEqCols, partitions, liveEq, colStats)
+      eqGroups, extraEqCols, specs, liveEq, colStats)
     if (pruned.length < files.length) s.filterTo(pruned)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
@@ -277,19 +278,25 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  deletedPos: Map[String, Array[Long]] = Map.empty,
                  eqGroups: Seq[GeoEqGroup] = Seq.empty,
                  extraEqCols: Seq[String] = Seq.empty,
-                 partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                 specs: GeoPartition.SpecSet = GeoPartition.SpecSet.empty,
                  eqEntries: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
                  colStats: Map[String, GeoManifest.ColStat] = Map.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
+  // the CURRENT spec's transforms: what new writes cluster by, what SPJ
+  // and runtime filterAttributes advertise; per-FILE stats consumers
+  // resolve specs.of(f) instead (spec evolution)
+  private def partitions: Seq[GeoPartition.PTransform] = specs.current
+
   // file key -> ordinals (into eqGroups) of the equality deletes that can
-  // touch the file — sequence number AND key-range applicability, so a
-  // file outside a sidecar's key range never pays the probe
+  // touch the file — sequence number AND key-range applicability (under
+  // the file's own spec), so a file outside a sidecar's key range never
+  // pays the probe
   private val eqApplicableByKey: Map[String, Array[Int]] =
     if (eqGroups.isEmpty) Map.empty
     else allFiles.map(f => f.key -> eqEntries.zipWithIndex.collect {
-      case (e, i) if GeoManifest.eqApplies(partitions, e, f) => i
+      case (e, i) if GeoManifest.eqApplies(specs.of(f), e, f) => i
     }.toArray).toMap
 
   @volatile private var current: Seq[FileEntry] = allFiles
@@ -434,8 +441,6 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
             case Some(ref: NamedReference) if ref.fieldNames().length == 1 &&
                 !ref.fieldNames()(0).equalsIgnoreCase(GeoRowLevel.FileCol) =>
               val colName = ref.fieldNames()(0)
-              val ts = partitions.zipWithIndex
-                .filter(_._1.col.equalsIgnoreCase(colName))
               val dt = tableSchema.fields
                 .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
               val allLits = cs.tail.forall(
@@ -444,19 +449,30 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
               // known here — skip the whole predicate (no pruning) rather
               // than prune against the partial literal subset, which
               // would silently drop files matching the unknown values
-              if (ts.nonEmpty && dt.isDefined && allLits) {
+              if (dt.isDefined && allLits) {
                 val lits = cs.tail.collect {
                   case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
                     l.value().asInstanceOf[Any]
                 }
                 // every literal must derive for every transform we use,
-                // or that transform contributes no pruning
-                val perT = ts.map { case (t, i) =>
-                  val vs = lits.map(v =>
-                    scala.util.Try(GeoPartition.valueOf(t, v, dt.get)).toOption.flatten)
-                  (i, if (vs.exists(_.isEmpty)) None else Some(vs.flatten))
-                }
+                // or that transform contributes no pruning. Derived value
+                // sets are PER SPEC (memoized): a file's recorded ranges
+                // are positional against its own spec's transforms, and a
+                // spec without a transform on the column prunes nothing
+                // for its files (conservative).
+                val perSpec = scala.collection.mutable.Map
+                  .empty[Int, Seq[(Int, Option[Seq[Long]])]]
+                def perTFor(sid: Int): Seq[(Int, Option[Seq[Long]])] =
+                  perSpec.getOrElseUpdate(sid,
+                    specs.byId.getOrElse(sid, Seq.empty).zipWithIndex
+                      .filter(_._1.col.equalsIgnoreCase(colName))
+                      .map { case (t, i) =>
+                        val vs = lits.map(v =>
+                          scala.util.Try(GeoPartition.valueOf(t, v, dt.get)).toOption.flatten)
+                        (i, if (vs.exists(_.isEmpty)) None else Some(vs.flatten.toSeq))
+                      })
                 current = current.filter { f =>
+                  val perT = perTFor(if (f.spec < 0) specs.cur else f.spec)
                   f.pstats.isEmpty || perT.forall {
                     case (i, Some(vals)) => f.pstats.lift(i).forall {
                       case (lo, hi) => vals.exists(v => v >= lo && v <= hi)
@@ -499,6 +515,11 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
     * returns LONG), the column's own type for identity (the long
     * embedding maps back: DATE = epoch days int, TIMESTAMP = micros). */
   private def keyValuesOf(f: FileEntry): Option[Seq[Any]] = {
+    // a file written under a RETIRED partition spec has pstats over
+    // different transforms entirely — it cannot claim a key tuple in the
+    // current spec's key space. Pruning/reading are unaffected; the join
+    // shuffles until OPTIMIZE rewrites the stragglers to the new spec.
+    if (!specs.isCurrent(f)) return None
     if (f.pstats.length != partitions.length) return None
     // min/max ignore nulls: a file holding nulls plus one value X reads
     // lo==hi==X, but NULL is itself a legal partition value the stats

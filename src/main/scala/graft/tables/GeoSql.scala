@@ -24,6 +24,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - DELETE FROM t [WHERE cond]
  *  - MERGE INTO t USING src ON cond WHEN [NOT] MATCHED ...
  *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
+ *  - ALTER TABLE t SET PARTITIONED BY (bucket(4, k), days(ts), ...) — spec evolution
  *  - ALTER TABLE t CREATE TAG name [AS OF VERSION n] | DROP TAG name
  *  - ALTER TABLE t CREATE | DROP | PUBLISH BRANCH name (write-audit-publish)
  *  - OPTIMIZE t [INTO n FILES] [WHERE pred] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
@@ -64,6 +65,10 @@ object GeoSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val alterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // partition-spec evolution (Iceberg REPLACE PARTITION FIELD analog,
+  // whole-spec form): metadata-only — see GeoTable.setPartitionSpec
+  private val alterSetPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITIONED\s+BY\s*\((.*?)\)\s*;?\s*""".r
   /** A GEOMETRY spelling Spark's native parser does NOT know: bare
     * `GEOMETRY` or the quoted-CRS form `GEOMETRY('EPSG:...')`. The native
     * 4.1 grammar only accepts `GEOMETRY(<srid>)` / `GEOMETRY(ANY)`. */
@@ -156,6 +161,8 @@ object GeoSql {
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterRenameCommand(name, from, to))
+    case alterSetPartRe(name, transforms) if resolveRoot(name).isDefined =>
+      Some(GeoSetPartitionSpecCommand(name, transforms))
     case cloneRe(target, source, v) if resolveRoot(source).isDefined =>
       Some(GeoCloneCommand(target, source, Option(v).map(_.toInt)))
     case optimizeRe(name, nFiles, where) if resolveRoot(name).isDefined =>
@@ -712,6 +719,22 @@ case class GeoAlterDropCommand(name: String, colName: String) extends GeoRunnabl
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
     GeoTable.dropColumn(spark, root, colName)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** ALTER TABLE t SET PARTITIONED BY (transform, ...) — partition-spec
+  * evolution: a metadata-only commit that retires the current spec and
+  * clusters future writes by the new transforms; existing files keep
+  * their own spec and prune under it. Empty list = unpartitioned going
+  * forward. See [[GeoTable.setPartitionSpec]]. */
+case class GeoSetPartitionSpecCommand(name: String, transformsSql: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val ts = GeoSql.splitTop(transformsSql, ',').map(_.trim).filter(_.nonEmpty)
+      .map(GeoPartition.decode)
+    GeoTable.setPartitionSpec(spark, root, ts)
     GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }

@@ -197,6 +197,11 @@ object GeoTable {
     val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
+        // every file is rewritten under the current layout — retired
+        // partition specs have no surviving files (this is the spec
+        // MIGRATION path: OPTIMIZE after SET PARTITIONED BY restores a
+        // single-spec table and with it storage-partitioned joins)
+        pastSpecs = Map.empty,
         eqDeletes = Seq.empty), m.version)
   }
 
@@ -231,7 +236,7 @@ object GeoTable {
         java.util.Collections.emptyList[Row](), m.schema)
       .where(predicate).queryExecution.analyzed
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
-    var selected = GeoPartition.prune(m.files, m.partitions, m.schema, Seq(cond))
+    var selected = GeoPartition.pruneBySpec(m.files, m.specSet, m.schema, Seq(cond))
     for (env <- m.geomCol.flatMap(g => queryEnvelope(spark, m, predicate, g))) {
       val keys = m.prune(env).map(_.key).toSet
       selected = selected.filter(f => keys.contains(f.key))
@@ -245,7 +250,10 @@ object GeoTable {
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ files,
         deletes = if (untouched.isEmpty) Seq.empty else m.deletes,
-        eqDeletes = if (untouched.isEmpty) Seq.empty else m.eqDeletes),
+        eqDeletes = if (untouched.isEmpty) Seq.empty else m.eqDeletes,
+        pastSpecs = if (untouched.isEmpty) Map.empty
+                    else m.pastSpecs.view.filterKeys(id =>
+                      untouched.exists(f => f.spec == id)).toMap),
       m.version)
     selected.length
   }
@@ -629,33 +637,91 @@ object GeoTable {
       throw new IllegalArgumentException(s"no column '$name' in ${m.schema.fieldNames.mkString(", ")}"))
     require(!m.geomCol.exists(_.equalsIgnoreCase(name)),
       "cannot DROP the geometry column (it anchors per-file bbox stats)")
-    // a LAYOUT transform's column anchors the write clustering — reject;
-    // a stats-only transform just stops being collected: drop it and
-    // strip its per-file range from every entry (vector indexes shift)
-    val (statsOnIt, layoutOnIt) = m.partitions.zipWithIndex
-      .filter(_._1.col.equalsIgnoreCase(name)).partition(_._1.kind == "stats")
+    // a CURRENT-spec LAYOUT transform's column anchors the write
+    // clustering — reject; a stats-only transform just stops being
+    // collected. RETIRED specs are frozen history: any transform of
+    // theirs on the column (layout included — it drives nothing
+    // anymore) is stripped, and each file's pstats/pnulls vectors remap
+    // under ITS OWN spec (indexes are positional per spec).
+    val layoutOnIt = m.partitions.zipWithIndex
+      .filter(t => t._1.col.equalsIgnoreCase(name) && t._1.layout)
     require(layoutOnIt.isEmpty,
       s"cannot DROP '$name': it anchors partition transform(s) " +
         s"${layoutOnIt.map(_._1.encode).mkString(", ")}")
-    val dropIdx = statsOnIt.map(_._2).toSet
-    val newParts = m.partitions.zipWithIndex.collect {
-      case (p, i) if !dropIdx.contains(i) => p }
+    val specs = m.specSet
+    val perSpecDrop: Map[Int, Set[Int]] = specs.byId.map { case (id, ts) =>
+      id -> ts.zipWithIndex.filter(_._1.col.equalsIgnoreCase(name)).map(_._2).toSet
+    }
+    def strip(ts: Seq[GeoPartition.PTransform], drop: Set[Int]) =
+      ts.zipWithIndex.collect { case (p, i) if !drop.contains(i) => p }
+    val newParts = strip(m.partitions, perSpecDrop(m.specId))
+    val newPast = m.pastSpecs.map { case (id, ts) =>
+      id -> strip(ts, perSpecDrop.getOrElse(id, Set.empty)) }
     val newFiles =
-      if (dropIdx.isEmpty) m.files
+      if (perSpecDrop.values.forall(_.isEmpty)) m.files
       else m.files.map { f =>
-        if (f.pstats.isEmpty) f
+        val drop = perSpecDrop.getOrElse(if (f.spec < 0) m.specId else f.spec, Set.empty[Int])
+        if (drop.isEmpty || f.pstats.isEmpty) f
         else f.copy(
           pstats = f.pstats.zipWithIndex.collect {
-            case (ps, i) if !dropIdx.contains(i) => ps },
+            case (ps, i) if !drop.contains(i) => ps },
           pnulls = f.pnulls.zipWithIndex.collect {
-            case (pn, i) if !dropIdx.contains(i) => pn })
+            case (pn, i) if !drop.contains(i) => pn })
       }
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,
         schema = StructType(m.schema.fields.filterNot(_.name == actual.name)),
         dropped = m.dropped :+ actual.name,
-        partitions = newParts, files = newFiles,
+        partitions = newParts, files = newFiles, pastSpecs = newPast,
         colStats = m.colStats - actual.name),
+      m.version)
+  }
+
+  /** ALTER TABLE ... SET PARTITIONED BY (...) — partition-spec evolution
+    * (Iceberg's flagship metadata-only operation): changing how a table
+    * is partitioned NEVER rewrites data. The current spec retires into
+    * `pastSpecs` under its id, new writes cluster by (and record stats
+    * for) the new spec, and every stats consumer — file pruning,
+    * equality-delete key ranges, runtime file filtering, the partitions
+    * metadata table — resolves each file's OWN spec before touching its
+    * pstats vector. At 100 TB this is the only affordable shape: the
+    * alternative (rewrite on repartition) costs a full table pass.
+    *
+    * Consequences a caller should know: storage-partitioned joins are
+    * withheld while files from a retired spec remain (their key tuples
+    * live in a different key space) and return after `OPTIMIZE` rewrites
+    * the stragglers under the new layout; pruning on old files uses
+    * whatever their old spec recorded (often still exact via its auto
+    * stats transforms). An empty `layout` makes the table unpartitioned
+    * going forward. No-op when the layout is unchanged.
+    *
+    * `layout` lists LAYOUT transforms only (identity/bucket/truncate/
+    * days/hours/months/years); stats transforms stay auto-managed. */
+  def setPartitionSpec(spark: SparkSession, root: String,
+                       layout: Seq[GeoPartition.PTransform]): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val canon = layout.map { t =>
+      require(t.kind != "stats",
+        "stats transforms are auto-managed; declare layout transforms only")
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${t.col}' not in ${m.schema.fieldNames.mkString(", ")}"))
+      require(GeoPartition.supports(t.kind, f.dataType),
+        s"${t.encode}: ${t.kind} cannot partition a ${f.dataType.simpleString} column")
+      t.copy(col = f.name)
+    }
+    require(canon.map(_.col.toLowerCase).distinct.length == canon.length,
+      "duplicate partition column in SET PARTITIONED BY")
+    val newParts = canon ++ GeoPartition.statsFor(m.schema, canon)
+    if (newParts == m.partitions) return // layout unchanged — no commit
+    // retire the current spec; drop retired specs no file references any
+    // more (files are spec-stamped on every committed manifest)
+    val retired = m.pastSpecs + (m.specId -> m.partitions)
+    val live = retired.view.filterKeys(id => m.files.exists(_.spec == id)).toMap
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, partitions = newParts,
+        pastSpecs = live,
+        specId = (m.pastSpecs.keySet + m.specId).max + 1),
       m.version)
   }
 
@@ -691,6 +757,8 @@ object GeoTable {
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
         files = files, partitions = newParts,
+        // the rewrite replaced every file — no retired-spec files remain
+        pastSpecs = Map.empty,
         deletes = Seq.empty, eqDeletes = Seq.empty,
         colStats = m.colStats.map { case (c, st) =>
           (if (c.equalsIgnoreCase(from)) to else c) -> st }),
@@ -743,12 +811,12 @@ object GeoTable {
     // transform-range + IN-value pruning on the same condition: resolve
     // it against the table schema so derivation sees bound attributes
     // (the compactWhere recipe); an unresolvable condition prunes nothing
-    if (m.partitions.nonEmpty) scala.util.Try {
+    if (m.partitions.nonEmpty || m.pastSpecs.nonEmpty) scala.util.Try {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
         .where(cond).queryExecution.analyzed
         .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
     }.foreach { c =>
-      files = GeoPartition.prune(files, m.partitions, m.schema, Seq(c))
+      files = GeoPartition.pruneBySpec(files, m.specSet, m.schema, Seq(c))
     }
     val base = readMerged(spark, m, files).where(cond)
     m.geomCol match {
@@ -786,7 +854,7 @@ object GeoTable {
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
-        eqDeletes = Seq.empty), m.version)
+        eqDeletes = Seq.empty, pastSpecs = Map.empty), m.version)
     files.map(_.rows).sum
   }
 
