@@ -2117,6 +2117,60 @@ object SparkEntry {
         ORDER BY phase, k""")
     }),
 
+    // Partition-spec evolution END-TO-END (Iceberg's flagship
+    // metadata-only operation): a table bucketed on the key ingests half
+    // its rows, evolves to days(dd) partitioning WITHOUT rewriting a
+    // byte (require'd: identical file set across the ALTER), ingests the
+    // rest under the new spec, and then both a date-window and a key
+    // query prune FILES with each file interpreted under its OWN spec —
+    // require'd scanned < total on the date phase. The oracle replays
+    // the filters over raw orders: evolution must never change results.
+    "geo_spec_evolution" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoevq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoevq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoevq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_evq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoevq.db")
+      s.sql("DROP TABLE IF EXISTS geoevq.db.evo")
+      s.sql("CREATE TABLE geoevq.db.evo (k BIGINT, dd DATE, price DOUBLE) USING geo " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("""INSERT INTO geoevq.db.evo
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+               FROM orders WHERE o_orderkey % 2 = 0""")
+      val root = s.conf.get("spark.sql.catalog.geoevq.warehouse") + "/db/evo"
+      val before = graft.tables.GeoManifest.read(s, root)
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geoevq.db.evo SET PARTITIONED BY (days(dd))")
+      val mid = graft.tables.GeoManifest.read(s, root)
+      require(mid.files.map(_.key).toSet == before.files.map(_.key).toSet &&
+        mid.specId == 1 && mid.pastSpecs.nonEmpty,
+        "SET PARTITIONED BY must be metadata-only (same files, spec retired)")
+      s.sql("""INSERT INTO geoevq.db.evo
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+               FROM orders WHERE o_orderkey % 2 = 1""")
+      val m = graft.tables.GeoManifest.read(s, root)
+      require(m.files.filter(_.rows > 0).map(_.spec).toSet == Set(0, 1),
+        "files from both specs must coexist after evolution")
+      val q = s.sql("""
+        SELECT 1 AS phase, k, dd, price FROM geoevq.db.evo
+        WHERE dd >= DATE'1995-03-01' AND dd < DATE'1995-04-01'
+        UNION ALL
+        SELECT 2, k, dd, price FROM geoevq.db.evo WHERE k = 7
+        ORDER BY phase, k""")
+      // mixed-spec pruning: the date window narrows OLD files through
+      // spec 0's stats transform on dd and NEW files through the days
+      // layout — the scan's build-time file counts prove both pruned
+      val planStr = q.queryExecution.executedPlan.toString
+      val counts = "GeoCowScan\\(files=(\\d+)".r
+        .findAllMatchIn(planStr).map(_.group(1).toInt).toSeq
+      val total = m.files.count(_.rows > 0)
+      require(counts.nonEmpty && counts.min < total,
+        s"date window must prune files under both specs: $counts of $total\n$planStr")
+      lastMaterializedPlan = Some(planStr)
+      q
+    }),
+
     // Storage-partitioned join END-TO-END (Iceberg SPJ analog): two geo
     // tables co-bucketed on the join key; transform-clustered writes roll
     // files at tuple boundaries (single-valued files), the scans report
@@ -3658,6 +3712,17 @@ object SparkEntry {
       UNION ALL
       SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+      ORDER BY phase, k""",
+
+    "geo_spec_evolution" -> """
+      SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,
+             o_totalprice AS price
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+      UNION ALL
+      SELECT 2, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      FROM orders WHERE o_orderkey = 7
       ORDER BY phase, k""",
 
     "geo_sharded" -> """

@@ -63,10 +63,19 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
       attempt += 1
       val fresh = GeoManifest.read(spark, root)
       try {
+        // a concurrent SET PARTITIONED BY between load and commit must
+        // not mis-attribute these entries' stats to the new spec
+        val aligned = GeoManifest.alignSpec(entries, m, fresh)
         GeoManifest.commit(spark, root, fresh.copy(
           version = fresh.version + 1,
-          files = if (truncate) entries else fresh.files ++ entries,
-          deletes = if (truncate) Seq.empty else fresh.deletes), fresh.version)
+          files = if (truncate) aligned else fresh.files ++ aligned,
+          deletes = if (truncate) Seq.empty else fresh.deletes,
+          // truncate replaced every old file — retired specs survive
+          // only if the aligned entries themselves still carry one
+          pastSpecs =
+            if (truncate) fresh.pastSpecs.view.filterKeys(id =>
+              aligned.exists(_.spec == id)).toMap
+            else fresh.pastSpecs), fresh.version)
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
@@ -201,8 +210,9 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
         s"branch '$branch' of $root was dropped while this INSERT ran"))
       val fresh = GeoManifest.readVersion(spark, root, b.head)
       try {
+        val aligned = GeoManifest.alignSpec(entries, m, fresh)
         GeoManifest.commitBranch(spark, root,
-          fresh.copy(version = b.head + 1, files = fresh.files ++ entries),
+          fresh.copy(version = b.head + 1, files = fresh.files ++ aligned),
           branch, b.head)
         committed = true
       } catch {

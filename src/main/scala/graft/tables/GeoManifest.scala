@@ -928,6 +928,21 @@ object GeoManifest {
     (exprs, bboxCol.isDefined)
   }
 
+  /** Fresh entries whose stats were recorded under `base`'s partition
+    * spec, about to be committed onto `fresh` (writers that tolerate
+    * concurrent commits re-read the manifest at commit time): when a
+    * concurrent `SET PARTITIONED BY` changed the current spec in
+    * between, the default stamp-to-current would attribute the entries'
+    * positional stats to the WRONG transform list — silent mispruning.
+    * Stamp them with the base spec's id when `fresh` still knows it
+    * verbatim; otherwise drop their stats entirely (stat-less entries
+    * are always kept by pruning and never claim SPJ — conservative). */
+  def alignSpec(entries: Seq[FileEntry], base: Manifest, fresh: Manifest): Seq[FileEntry] =
+    if (fresh.specId == base.specId && fresh.partitions == base.partitions) entries
+    else if (fresh.pastSpecs.get(base.specId).contains(base.partitions))
+      entries.map(_.copy(spec = base.specId))
+    else entries.map(_.copy(pstats = Seq.empty, pnulls = Seq.empty))
+
   /** FileEntries straight from the writers' inline stats when every
     * non-empty commit message carries them (the write-side stats path —
     * no read-back scan); falls back to [[collectStats]] otherwise. The

@@ -937,10 +937,14 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] commit: scanned=${scanned().map(_.length)} written=${messages.length}")
-    val entries = GeoManifest.entriesFromMessages(spark, m.schema,
+    val entries0 = GeoManifest.entriesFromMessages(spark, m.schema,
       GeoCowCommitMessage.flatten(messages),
       m.geomCol, m.partitions)
     val fresh = GeoManifest.read(spark, root)
+    // a concurrent SET PARTITIONED BY between scan and commit must not
+    // mis-attribute these entries' stats to the new spec (this commit
+    // tolerates concurrent non-conflicting committers by design)
+    val entries = GeoManifest.alignSpec(entries0, m, fresh)
     val replaced = scanned().map(_.map(_.key).toSet)
       .getOrElse(fresh.files.map(_.key).toSet)
     // Write-conflict validation (the Iceberg CoW rule): every file this

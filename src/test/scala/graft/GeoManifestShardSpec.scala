@@ -18,9 +18,11 @@ class GeoManifestShardSpec extends SparkSpec {
 
   private def entries(n: Int, from: Int = 0): Seq[FileEntry] =
     (from until from + n).map(i =>
-      // addedAt pinned: write() stamps the sentinel -1 to the committing
-      // version, so round-trip comparisons need the post-commit value
-      FileEntry(s"/data/part-$i.parquet", 10L, i, 0.0, i + 1.0, 1.0, addedAt = 0))
+      // addedAt/spec pinned: write() stamps the sentinels -1 to the
+      // committing version / current spec id, so round-trip comparisons
+      // need the post-commit values
+      FileEntry(s"/data/part-$i.parquet", 10L, i, 0.0, i + 1.0, 1.0,
+        addedAt = 0, spec = 0))
 
   private def tmpRoot(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"geoshard_$tag").toString + "/t"
