@@ -2171,6 +2171,47 @@ object SparkEntry {
       q
     }),
 
+    // Multi-column Z-ordering END-TO-END (Delta ZORDER analog): a
+    // hash-scrambled ingest leaves every file straddling both the key
+    // and the date range (nothing prunes); OPTIMIZE ... ZORDER BY (k,
+    // dd) interleaves the two dimensions, after which BOTH a key-range
+    // and a date-range scan prune files — require'd scanned < total on
+    // each. The oracle replays the filters on raw orders: layout
+    // maintenance must never change results.
+    "geo_zorder" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geozoq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geozoq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geozoq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_zoq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geozoq.db")
+      s.sql("DROP TABLE IF EXISTS geozoq.db.zt")
+      s.sql("CREATE TABLE geozoq.db.zt (k BIGINT, dd DATE, price DOUBLE) USING geo")
+      s.sql("""INSERT INTO geozoq.db.zt
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+               FROM orders DISTRIBUTE BY hash(o_orderkey) SORT BY hash(o_orderkey)""")
+      graft.tables.GeoSql.exec(s, "OPTIMIZE geozoq.db.zt INTO 12 FILES ZORDER BY (k, dd)")
+      val root = s.conf.get("spark.sql.catalog.geozoq.warehouse") + "/db/zt"
+      val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
+      def scanned(sql: String): Int = {
+        val plan = s.sql(sql).queryExecution.executedPlan.toString
+        "GeoCowScan\\(files=(\\d+)".r.findAllMatchIn(plan).map(_.group(1).toInt).min
+      }
+      val byK = scanned("SELECT * FROM geozoq.db.zt WHERE k >= 1000 AND k < 3000")
+      val byD = scanned("SELECT * FROM geozoq.db.zt " +
+        "WHERE dd >= DATE'1994-06-01' AND dd < DATE'1994-09-01'")
+      require(total >= 8 && byK < total && byD < total,
+        s"ZORDER must let BOTH dimensions prune: k->$byK, dd->$byD of $total files")
+      s.sql("""
+        SELECT 1 AS phase, k, dd, price FROM geozoq.db.zt
+        WHERE k >= 1000 AND k < 3000
+        UNION ALL
+        SELECT 2, k, dd, price FROM geozoq.db.zt
+        WHERE dd >= DATE'1994-06-01' AND dd < DATE'1994-09-01'
+        ORDER BY phase, k, dd""")
+    }),
+
     // Storage-partitioned join END-TO-END (Iceberg SPJ analog): two geo
     // tables co-bucketed on the join key; transform-clustered writes roll
     // files at tuple boundaries (single-valued files), the scans report
@@ -3713,6 +3754,17 @@ object SparkEntry {
       SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
       ORDER BY phase, k""",
+
+    "geo_zorder" -> """
+      SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+      UNION ALL
+      SELECT 2, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1994-06-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1994-09-01'
+      ORDER BY phase, k, dd""",
 
     "geo_spec_evolution" -> """
       SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,
