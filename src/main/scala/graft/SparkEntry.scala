@@ -1587,6 +1587,79 @@ object SparkEntry {
              ROUND(st_y(st_project(st_point(lon, 0.0D), 1000.0D, pi() / 4.0D)), 9) AS proj_y
       FROM t ORDER BY n_nationkey""")),
 
+    // WGS84-spheroid geodesy (tier 6): meridian arcs make Vincenty's
+    // inverse non-iterative (lambda converges to 0 on the first pass), so
+    // the oracle replays the closed form in the solver's exact IEEE op
+    // order; rectangle areas reduce the ellipsoidal band quadrature to
+    // two constant-latitude edges. Integer-degree inputs, mm/1e-3-km^2
+    // rounding as st_geodesy.
+    "st_spheroid_geodesy" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS lon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS lat
+                 FROM nation)
+      SELECT n_nationkey,
+             ROUND(st_distancespheroid(st_point(lon, lat), st_point(lon, lat + 2.0D)), 3) AS dist_m,
+             ROUND(st_lengthspheroid(st_makeline(st_point(lon, lat),
+               st_point(lon, lat + 2.0D), st_point(lon, lat + 3.0D))), 3) AS len_m,
+             ROUND(st_areaspheroid(st_polygonfromenvelope(lon, lat, lon + 2.0D, lat + 1.0D))
+                   / 1000000.0D, 3) AS area_km2
+      FROM t ORDER BY n_nationkey""")),
+
+    // discrete global grids (tier 6): geohash cell-bounds polygons
+    // (dyadic intervals -> exact floor-arithmetic oracle) and S2 cell ids
+    // at levels 1 and 2 (face-cube projection + Hilbert digits, replayed
+    // bit-for-bit in SQL; lon spread hits faces 0/1/3/4 and the signed
+    // 64-bit wrap of faces >= 4)
+    // geohash inputs: integer degrees (cell edges are dyadic, halving ==
+    // floor arithmetic bit-for-bit); S2 inputs: 15-degree lon strides
+    // offset by -187 and lat offset by -19, which stay >= 2 degrees from
+    // every face seam and level-1/2 Hilbert boundary, so 1-ulp libm
+    // differences cannot flip a branch
+    "st_cell_systems" -> ((s, d) => prep(s, d).sql("""
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS glon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS glat,
+                        CAST(n_nationkey * 15 - 187 AS DOUBLE) AS slon,
+                        CAST(n_regionkey * 10 - 19 AS DOUBLE) AS slat
+                 FROM nation),
+           g AS (SELECT n_nationkey, slon, slat,
+                        st_geomfromgeohash(st_geohash(st_point(glon, glat), 2)) AS cell
+                 FROM t)
+      SELECT n_nationkey,
+             ROUND(st_xmin(cell), 9) AS gh_x0, ROUND(st_xmax(cell), 9) AS gh_x1,
+             ROUND(st_ymin(cell), 9) AS gh_y0, ROUND(st_ymax(cell), 9) AS gh_y1,
+             element_at(st_s2cellids(st_point(slon, slat), 1), 1) AS s2_l1,
+             element_at(st_s2cellids(st_point(slon, slat), 2), 1) AS s2_l2
+      FROM g ORDER BY n_nationkey""")),
+
+    // line tooling + validity detail (tier 6): segment decomposition,
+    // 3-D interpolation at a power-of-two fraction (exact lerp), and
+    // st_isvaliddetail over a parity-selected valid envelope / bowtie
+    // (crossing at sz/2 closed-form)
+    "st_line_detail" -> ((s, d) => prep(s, d).sql("""
+      WITH r AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS sz,
+                        p_partkey % 2 = 0 AS ok FROM part),
+           g AS (SELECT p_partkey, sz, ok,
+                        CASE WHEN ok
+                             THEN st_makeline(st_point(0.0D, 0.0D), st_point(sz, 0.0D),
+                                              st_point(sz, sz))
+                             ELSE st_makeline(st_point(0.0D, 0.0D), st_point(sz, 0.0D)) END AS line,
+                        st_geomfromtext(concat('LINESTRING Z (0 0 0, ', sz, ' 0 ', sz, ')')) AS l3,
+                        CASE WHEN ok THEN st_polygonfromenvelope(0.0D, 0.0D, sz, sz)
+                             ELSE st_geomfromtext(concat('POLYGON ((0 0, ', sz, ' 0, 0 ',
+                                                         sz, ', ', sz, ' ', sz, ', 0 0))')) END AS poly
+                 FROM r),
+           v AS (SELECT p_partkey, sz, ok, line, l3, st_isvaliddetail(poly) AS d FROM g)
+      SELECT p_partkey,
+             size(st_linesegments(line)) AS n_segs,
+             ROUND(st_length(element_at(st_linesegments(line), -1)), 9) AS last_len,
+             ROUND(st_x(st_3dlineinterpolatepoint(l3, 0.25D)), 9) AS x25,
+             ROUND(st_z(st_3dlineinterpolatepoint(l3, 0.25D)), 9) AS z25,
+             d.valid AS is_valid, d.reason AS reason,
+             ROUND(st_x(d.location), 9) AS loc_x, ROUND(st_y(d.location), 9) AS loc_y
+      FROM v ORDER BY p_partkey""")),
+
     // ----- text analysis (§2.11) -----
     "doc_token_count" -> ((s, d) => prep(s, d).sql("""
       SELECT doc_id, SIZE(SPLIT(TRIM(text), ' +')) AS n_tokens FROM documents ORDER BY doc_id""")),
@@ -3455,6 +3528,156 @@ object SparkEntry {
              ROUND(CAST(0.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE) * cos(pi() / 4.0), 9) AS proj_y
       FROM t ORDER BY n_nationkey"""
     },
+
+    // meridian Vincenty is non-iterative (lambda: 0 -> 0 on the first
+    // pass, sinAlpha = 0, cosSqAlpha = 1), so the closed form below IS the
+    // solver's arithmetic in its exact IEEE op order (exact-zero terms
+    // like cu2*sin(0) and *1.0 / /1.0 factors dropped — bit-exact no-ops);
+    // rectangle areas reduce the Simpson band quadrature to the two
+    // constant-latitude edges (meridian edges multiply by an exact 0)
+    "st_spheroid_geodesy" -> """
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS lon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS lat
+                 FROM nation),
+      k0 AS (SELECT CAST(1.0 AS DOUBLE) / CAST(298.257223563 AS DOUBLE) AS ff,
+                    CAST(6378137.0 AS DOUBLE) AS ax),
+      k1 AS (SELECT ff, ax, ax * (1.0 - ff) AS bx, ff * (2.0 - ff) AS e2x,
+                    sqrt(ff * (2.0 - ff)) AS ex FROM k0),
+      k2 AS (SELECT *, (ax * ax - bx * bx) / (bx * bx) AS usq FROM k1),
+      k3 AS (SELECT *,
+               1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq * (320.0 - 175.0 * usq))) AS biga,
+               usq / 1024.0 * (256.0 + usq * (-128.0 + usq * (74.0 - 47.0 * usq))) AS bigb
+             FROM k2),
+      s0 AS (SELECT t.*, ff, ax, bx, e2x, ex, biga, bigb FROM t CROSS JOIN k3),
+      s1 AS (SELECT *,
+               atan((1.0 - ff) * tan(lat * (pi() / 180.0))) AS au1,
+               atan((1.0 - ff) * tan((lat + 2.0) * (pi() / 180.0))) AS au2,
+               atan((1.0 - ff) * tan((lat + 3.0) * (pi() / 180.0))) AS bu2
+             FROM s0),
+      s2 AS (SELECT *, sin(au1) AS asu1, cos(au1) AS acu1,
+                       sin(au2) AS asu2, cos(au2) AS acu2,
+                       sin(bu2) AS bsu2, cos(bu2) AS bcu2 FROM s1),
+      s3 AS (SELECT *,
+               sqrt(pow(acu1 * asu2 - asu1 * acu2, 2)) AS a_ss,
+               asu1 * asu2 + acu1 * acu2 AS a_cs,
+               sqrt(pow(acu2 * bsu2 - asu2 * bcu2, 2)) AS b_ss,
+               asu2 * bsu2 + acu2 * bcu2 AS b_cs
+             FROM s2),
+      s4 AS (SELECT *,
+               atan2(a_ss, a_cs) AS a_sig, a_cs - 2.0 * asu1 * asu2 AS a_c2m,
+               atan2(b_ss, b_cs) AS b_sig, b_cs - 2.0 * asu2 * bsu2 AS b_c2m
+             FROM s3),
+      s5 AS (SELECT *,
+               bigb * a_ss * (a_c2m + bigb / 4.0 * (a_cs * (-1.0 + 2.0 * a_c2m * a_c2m)
+                 - bigb / 6.0 * a_c2m * (-3.0 + 4.0 * a_ss * a_ss)
+                   * (-3.0 + 4.0 * a_c2m * a_c2m))) AS a_dsig,
+               bigb * b_ss * (b_c2m + bigb / 4.0 * (b_cs * (-1.0 + 2.0 * b_c2m * b_c2m)
+                 - bigb / 6.0 * b_c2m * (-3.0 + 4.0 * b_ss * b_ss)
+                   * (-3.0 + 4.0 * b_c2m * b_c2m))) AS b_dsig
+             FROM s4),
+      s6 AS (SELECT *, bx * biga * (a_sig - a_dsig) AS a_dist,
+                       bx * biga * (b_sig - b_dsig) AS b_dist FROM s5),
+      q0 AS (SELECT *, sin(lat * (pi() / 180.0)) AS qsl,
+                       sin((lat + 1.0) * (pi() / 180.0)) AS qsh FROM s6),
+      q1 AS (SELECT *,
+               (bx * bx / 2.0) * (qsl / (1.0 - e2x * qsl * qsl)
+                 + (1.0 / (2.0 * ex)) * ln((1.0 + ex * qsl) / (1.0 - ex * qsl))) AS qlo,
+               (bx * bx / 2.0) * (qsh / (1.0 - e2x * qsh * qsh)
+                 + (1.0 / (2.0 * ex)) * ln((1.0 + ex * qsh) / (1.0 - ex * qsh))) AS qhi
+             FROM q0),
+      q2 AS (SELECT *,
+               ((lon + 2.0) - lon) * (pi() / 180.0) * ((qlo + 4.0 * qlo + qlo) / 6.0)
+                 + (lon - (lon + 2.0)) * (pi() / 180.0) * ((qhi + 4.0 * qhi + qhi) / 6.0) AS ring
+             FROM q1)
+      SELECT n_nationkey,
+             ROUND(a_dist, 3) AS dist_m,
+             ROUND(a_dist + b_dist, 3) AS len_m,
+             ROUND(ABS(ring) / 1000000.0, 3) AS area_km2
+      FROM q2 ORDER BY n_nationkey""",
+
+    // geohash bounds by floor arithmetic (bit-exact vs the encoder's
+    // interval halving on dyadic integer-degree inputs); S2 level-1/2 ids
+    // replay the face-cube projection, quadratic st transform, and the
+    // first two Hilbert digits (kPosToIJ inverses), with faces >= 4
+    // wrapped to the signed-64 id the JVM produces
+    "st_cell_systems" -> """
+      WITH t AS (SELECT n_nationkey,
+                        CAST(n_nationkey AS DOUBLE) AS glon,
+                        CAST(n_regionkey * 10 - 20 AS DOUBLE) AS glat,
+                        CAST(n_nationkey * 15 - 187 AS DOUBLE) AS slon,
+                        CAST(n_regionkey * 10 - 19 AS DOUBLE) AS slat
+                 FROM nation),
+      gh AS (SELECT *,
+               -180.0 + FLOOR((glon + 180.0) / 11.25) * 11.25 AS gx0,
+               -90.0 + FLOOR((glat + 90.0) / 5.625) * 5.625 AS gy0
+             FROM t),
+      u0 AS (SELECT *, slon * (pi() / 180.0) AS lonr, slat * (pi() / 180.0) AS latr FROM gh),
+      u1 AS (SELECT *, cos(latr) * cos(lonr) AS px, cos(latr) * sin(lonr) AS py,
+                       sin(latr) AS pz FROM u0),
+      u2 AS (SELECT *, CASE WHEN abs(px) > abs(py)
+                            THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+                            ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS f0
+             FROM u1),
+      u3 AS (SELECT *, CASE WHEN (CASE f0 WHEN 0 THEN px WHEN 1 THEN py ELSE pz END) < 0.0
+                            THEN f0 + 3 ELSE f0 END AS face FROM u2),
+      u4 AS (SELECT *,
+               CASE face WHEN 0 THEN py / px WHEN 1 THEN -px / py WHEN 2 THEN -px / pz
+                         WHEN 3 THEN pz / px WHEN 4 THEN pz / py ELSE -py / pz END AS uu,
+               CASE face WHEN 0 THEN pz / px WHEN 1 THEN pz / py WHEN 2 THEN -py / pz
+                         WHEN 3 THEN py / px WHEN 4 THEN -px / py ELSE -px / pz END AS vv
+             FROM u3),
+      u5 AS (SELECT *,
+               CASE WHEN uu >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * uu)
+                    ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * uu) END AS ss,
+               CASE WHEN vv >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * vv)
+                    ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * vv) END AS tt
+             FROM u4),
+      u6 AS (SELECT *,
+               CAST(LEAST(GREATEST(FLOOR(ss * 1073741824.0), 0.0), 1073741823.0) AS BIGINT) AS ii,
+               CAST(LEAST(GREATEST(FLOOR(tt * 1073741824.0), 0.0), 1073741823.0) AS BIGINT) AS jj
+             FROM u5),
+      u7 AS (SELECT *, face % 2 AS o0,
+               ((ii // 536870912) % 2) * 2 + (jj // 536870912) % 2 AS ij1,
+               ((ii // 268435456) % 2) * 2 + (jj // 268435456) % 2 AS ij2
+             FROM u6),
+      u8 AS (SELECT *,
+               CASE WHEN o0 = 0 THEN (CASE ij1 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)
+                    ELSE (CASE ij1 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END) END AS pos1
+             FROM u7),
+      u9 AS (SELECT *, xor(o0, CASE pos1 WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS o1 FROM u8),
+      ua AS (SELECT *,
+               CASE WHEN o1 = 0 THEN (CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)
+                    WHEN o1 = 1 THEN (CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END)
+                    WHEN o1 = 2 THEN (CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END)
+                    ELSE (CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END) END AS pos2
+             FROM u9),
+      ub AS (SELECT *, CAST(CASE WHEN face >= 4 THEN face - 8 ELSE face END AS BIGINT) AS facew
+             FROM ua)
+      SELECT n_nationkey,
+             ROUND(gx0, 9) AS gh_x0, ROUND(gx0 + 11.25, 9) AS gh_x1,
+             ROUND(gy0, 9) AS gh_y0, ROUND(gy0 + 5.625, 9) AS gh_y1,
+             facew * 2305843009213693952 + pos1 * 576460752303423488
+               + 288230376151711744 AS s2_l1,
+             facew * 2305843009213693952 + pos1 * 576460752303423488
+               + pos2 * 144115188075855872 + 72057594037927936 AS s2_l2
+      FROM ub ORDER BY n_nationkey""",
+
+    // closed forms: last segment length sz (vertical/horizontal), exact
+    // quarter-point lerp, bowtie crossing at (sz/2, sz/2)
+    "st_line_detail" -> """
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN 2 ELSE 1 END AS n_segs,
+             ROUND(CAST(p_size AS DOUBLE), 9) AS last_len,
+             ROUND(CAST(p_size AS DOUBLE) * 0.25, 9) AS x25,
+             ROUND(CAST(p_size AS DOUBLE) * 0.25, 9) AS z25,
+             p_partkey % 2 = 0 AS is_valid,
+             CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE 'Self-intersection' END AS reason,
+             CASE WHEN p_partkey % 2 = 0 THEN NULL
+                  ELSE ROUND(CAST(p_size AS DOUBLE) / 2.0, 9) END AS loc_x,
+             CASE WHEN p_partkey % 2 = 0 THEN NULL
+                  ELSE ROUND(CAST(p_size AS DOUBLE) / 2.0, 9) END AS loc_y
+      FROM part ORDER BY p_partkey""",
 
     // exact DuckDB replica of the langId heuristic: per-lang marker hit
     // counts, argmax with ties to the lexicographically greatest lang

@@ -213,6 +213,14 @@ object GraftFunctions {
     ("st_geomfromgml", 1, es => StGeomFromXml(es.head, "st_geomfromgml")),
     ("st_linefrommultipoint", 1, es => StLineFromMultiPoint(es.head)),
     ("st_distancespheroid", 2, es => StDistanceSpheroid(es(0), es(1))),
+    // catalog breadth tier 6 (StTier6Expressions)
+    ("st_lengthspheroid", 1, es => StLengthSpheroid(es.head)),
+    ("st_areaspheroid", 1, es => StAreaSpheroid(es.head)),
+    ("st_isvaliddetail", 1, es => StIsValidDetail(es.head)),
+    ("st_3dlineinterpolatepoint", 2, es => St3DLineInterpolatePoint(es(0), es(1))),
+    ("st_linesegments", 1, es => StLineSegments(es.head)),
+    ("st_s2cellids", 2, es => StS2CellIds(es(0), es(1))),
+    ("st_s2togeom", 1, es => StS2ToGeom(es.head)),
     ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),
     ("st_setpoint", 3, es => StSetPoint(es)),
     // catalog breadth tier 5 (StTier5Expressions): M measures, linear
@@ -302,6 +310,9 @@ object GraftFunctions {
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "Point", "st_pointfromwkb"))) :+
     ("st_linefromwkb" -> withOptSrid("st_linefromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linefromwkb"))) :+
+    ("st_linestringfromwkb" -> withOptSrid("st_linestringfromwkb",
+      es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linestringfromwkb"))) :+
+    ("st_geomfromgeohash" -> { (es: Seq[Expression]) => StGeomFromGeoHash(es) }) :+
     ("st_translate" -> { (es: Seq[Expression]) => StTranslate(es) }) :+
     ("st_force3d" -> withOptDefault("st_force3d", (g, v) => StForce3D(g, v))) :+
     ("st_forcez" -> withOptDefault("st_forcez", (g, v) => StForce3D(g, v))) :+
@@ -442,6 +453,15 @@ object GraftFunctions {
     "st_disjoint" -> "st_disjoint(a, b) - True when the geometries share no point.",
     "st_distance" -> "st_distance(a, b) - Minimum planar distance.",
     "st_distancespheroid" -> "st_distancespheroid(a, b) - Geodesic meters on the WGS84 ellipsoid between centroids.",
+    "st_lengthspheroid" -> "st_lengthspheroid(geom) - Sum of geodesic segment lengths (meters, WGS84 ellipsoid) over LineString components.",
+    "st_areaspheroid" -> "st_areaspheroid(geom) - Polygon area on the WGS84 ellipsoid, m^2 (lon-lat-linear edges; holes subtract).",
+    "st_isvaliddetail" -> "st_isvaliddetail(geom) - Struct(valid, reason, location): JTS validity with the offending point.",
+    "st_3dlineinterpolatepoint" -> "st_3dlineinterpolatepoint(line, f) - Point at fraction f of the 3-D length, Z interpolated.",
+    "st_linesegments" -> "st_linesegments(geom) - Array of 2-point segments of a (multi)line; NULL for other inputs.",
+    "st_geomfromgeohash" -> "st_geomfromgeohash(hash[, precision]) - Geohash cell bounds polygon (optionally truncated first).",
+    "st_linestringfromwkb" -> "st_linestringfromwkb(bytes[, srid]) - Parses WKB; NULL unless a LineString.",
+    "st_s2cellids" -> "st_s2cellids(geom, level) - S2 cell ids (0..30) covering the geometry; points map to exactly one cell.",
+    "st_s2togeom" -> "st_s2togeom(cells) - Corner-quad polygon per S2 cell id.",
     "st_dump" -> "st_dump(geom) - Array of the collection's component geometries.",
     "st_dumppoints" -> "st_dumppoints(geom) - Array of every vertex as a point.",
     "st_endpoint" -> "st_endpoint(line) - Last vertex of a LineString; NULL otherwise.",

@@ -53,8 +53,11 @@ object GeoHash {
     sb.toString
   }
 
-  /** Center (lon, lat) of the geohash cell. */
-  def decodeCenter(hash: String): (Double, Double) = {
+  /** Cell bounds (lonLo, lonHi, latLo, latHi). The interval halving
+    * keeps every bound an exact dyadic multiple of 45 * 2^-k, so
+    * equality with floor-arithmetic replicas (the DuckDB oracle) is
+    * bit-exact. */
+  def decodeBounds(hash: String): (Double, Double, Double, Double) = {
     var lonLo = -180.0; var lonHi = 180.0; var latLo = -90.0; var latHi = 90.0
     var evenBit = true
     hash.foreach { c =>
@@ -74,6 +77,12 @@ object GeoHash {
         b -= 1
       }
     }
+    (lonLo, lonHi, latLo, latHi)
+  }
+
+  /** Center (lon, lat) of the geohash cell. */
+  def decodeCenter(hash: String): (Double, Double) = {
+    val (lonLo, lonHi, latLo, latHi) = decodeBounds(hash)
     ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
   }
 }
