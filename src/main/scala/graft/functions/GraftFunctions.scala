@@ -223,6 +223,11 @@ object GraftFunctions {
     ("st_s2togeom", 1, es => StS2ToGeom(es.head)),
     ("st_shiftlongitude", 1, es => StShiftLongitude(es.head)),
     ("st_setpoint", 3, es => StSetPoint(es)),
+    // Sedona-name aliases of core measures / ops (2-D is already the
+    // planar default; st_precisionreduce is the pre-rename name)
+    ("st_length2d", 1, es => StLength(es.head)),
+    ("st_perimeter2d", 1, es => StLength(es.head)),
+    ("st_precisionreduce", 2, es => StReducePrecision(es(0), es(1))),
     // catalog breadth tier 5 (StTier5Expressions): M measures, linear
     // referencing, ring orientation, PostGIS parity odds-and-ends
     ("st_m", 1, es => StM(es.head)),
@@ -313,6 +318,7 @@ object GraftFunctions {
     ("st_linestringfromwkb" -> withOptSrid("st_linestringfromwkb",
       es => StGeomFromWkbTyped(StGeomFromWKB(es.head), "LineString", "st_linestringfromwkb"))) :+
     ("st_geomfromgeohash" -> { (es: Seq[Expression]) => StGeomFromGeoHash(es) }) :+
+    ("st_labelpoint" -> { (es: Seq[Expression]) => StLabelPoint(es) }) :+
     ("st_translate" -> { (es: Seq[Expression]) => StTranslate(es) }) :+
     ("st_force3d" -> withOptDefault("st_force3d", (g, v) => StForce3D(g, v))) :+
     ("st_forcez" -> withOptDefault("st_forcez", (g, v) => StForce3D(g, v))) :+
@@ -459,6 +465,10 @@ object GraftFunctions {
     "st_3dlineinterpolatepoint" -> "st_3dlineinterpolatepoint(line, f) - Point at fraction f of the 3-D length, Z interpolated.",
     "st_linesegments" -> "st_linesegments(geom) - Array of 2-point segments of a (multi)line; NULL for other inputs.",
     "st_geomfromgeohash" -> "st_geomfromgeohash(hash[, precision]) - Geohash cell bounds polygon (optionally truncated first).",
+    "st_labelpoint" -> "st_labelpoint(poly[, gridResolution, goodnessThreshold]) - Label anchor inside the largest polygon: centroid when its clearance passes the threshold, else pole of inaccessibility.",
+    "st_length2d" -> "st_length2d(geom) - Planar linework length (alias of st_length).",
+    "st_perimeter2d" -> "st_perimeter2d(poly) - Boundary length (alias of st_perimeter).",
+    "st_precisionreduce" -> "st_precisionreduce(geom, gridSize) - Snap coordinates to a precision grid (pre-rename alias of st_reduceprecision).",
     "st_linestringfromwkb" -> "st_linestringfromwkb(bytes[, srid]) - Parses WKB; NULL unless a LineString.",
     "st_s2cellids" -> "st_s2cellids(geom, level) - S2 cell ids (0..30) covering the geometry; points map to exactly one cell.",
     "st_s2togeom" -> "st_s2togeom(cells) - Corner-quad polygon per S2 cell id.",

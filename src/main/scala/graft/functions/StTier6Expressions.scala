@@ -242,6 +242,54 @@ case class StGeomFromGeoHash(children: Seq[Expression]) extends StNary {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
 }
 
+/** st_labelpoint(poly[, gridResolution[, goodnessThreshold]]): a
+  * representative anchor point for map labelling, always strictly inside
+  * the polygon. Picks the largest-area component of a MultiPolygon, then:
+  * the centroid if it lies inside and its boundary clearance is at least
+  * `goodnessThreshold` (default 0.2) of the equivalent-area-circle radius
+  * sqrt(area/pi); otherwise the pole of inaccessibility (largest-
+  * inscribed-circle center) at tolerance envelopeDiag / (128 *
+  * gridResolution) (default resolution 2). Non-areal input is an error. */
+case class StLabelPoint(children: Seq[Expression]) extends StNary {
+  require(children.length >= 1 && children.length <= 3,
+    s"st_labelpoint expects 1..3 arguments, got ${children.length}")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() =
+    StKit.checkTypes(prettyName, (children(0) -> "geometry") +:
+      children.drop(1).map(_ -> "numeric"))
+  protected def run(vs: Seq[Any]): Any = {
+    val g = geom(vs(0))
+    val res = if (vs.length >= 2) int(vs(1)) else 2
+    require(res >= 1, s"st_labelpoint gridResolution must be >= 1, got $res")
+    val thresh = if (vs.length >= 3) dbl(vs(2)) else 0.2
+    // largest-area polygonal component
+    var best: Geometry = null
+    var bestArea = -1.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      val p = g.getGeometryN(i)
+      if (p.isInstanceOf[Polygon] && p.getArea > bestArea) { best = p; bestArea = p.getArea }
+      i += 1
+    }
+    require(best != null && bestArea > 0.0,
+      s"st_labelpoint requires polygonal input, got ${g.getGeometryType}")
+    val centroid = best.getCentroid
+    val goodEnough = best.covers(centroid) && {
+      val clearance = centroid.distance(best.getBoundary)
+      clearance >= thresh * math.sqrt(bestArea / math.Pi)
+    }
+    if (goodEnough) out(centroid)
+    else {
+      val e = best.getEnvelopeInternal
+      val diag = math.hypot(e.getWidth, e.getHeight)
+      val tol = math.max(diag / (128.0 * res), 1e-12)
+      out(new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(best, tol).getCenter)
+    }
+  }
+  override def prettyName: String = "st_labelpoint"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
+
 // ---------------------------------------------------------------------------
 // S2 cells (public construction: quadratic face-cube projection + Hilbert
 // curve position, 64-bit ids, levels 0..30 — the layout documented by the

@@ -198,6 +198,31 @@ class StTier6Spec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("st_labelpoint: inside guarantee, largest component, centroid shortcut") {
+    // centroid of a convex polygon passes the goodness test -> centroid
+    assert(s1("st_astext(st_labelpoint(st_makeenvelope(0, 0, 4, 2)))") == "POINT (2 1)")
+    // C-shaped polygon: centroid falls in the notch, so the pole of
+    // inaccessibility is used — always strictly inside
+    val c = "POLYGON ((0 0, 5 0, 5 1, 1 1, 1 4, 5 4, 5 5, 0 5, 0 0))"
+    assert(s1(s"st_within(st_labelpoint(st_geomfromtext('$c')), st_geomfromtext('$c'))") == true)
+    assert(s1(s"st_contains(st_geomfromtext('$c'), st_centroid(st_geomfromtext('$c')))") == false)
+    // MultiPolygon labels its largest-area component
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 10, 30 10, 30 30, 10 30, 10 10)))"
+    assert(s1(s"st_x(st_labelpoint(st_geomfromtext('$mp')))") == 20.0)
+    // threshold 0 always accepts an interior centroid; resolution tightens the pole
+    assert(s1(s"st_within(st_labelpoint(st_geomfromtext('$c'), 8, 0.9), st_geomfromtext('$c'))") == true)
+    // non-areal input is a loud error
+    val err = intercept[Exception] { spark.sql("SELECT st_labelpoint(st_point(1, 2))").head }
+    assert(err.getMessage.contains("polygonal"))
+  }
+
+  test("sedona-name aliases: st_length2d / st_perimeter2d / st_precisionreduce") {
+    assert(d1("st_length2d(st_geomfromtext('LINESTRING (0 0, 3 4)'))") == 5.0)
+    assert(d1("st_perimeter2d(st_makeenvelope(0, 0, 2, 1))") == 6.0)
+    assert(s1("st_astext(st_precisionreduce(st_point(1.26, 5.61), 0.5))") ==
+      s1("st_astext(st_reduceprecision(st_point(1.26, 5.61), 0.5))"))
+  }
+
   test("st_s2togeom: one quad per id, parallel order, centers round-trip") {
     val df = spark.sql(
       """SELECT c, st_s2togeom(c) AS g FROM (SELECT st_s2cellids(st_makeenvelope(10, 20, 11, 21), 6) AS c)""")
