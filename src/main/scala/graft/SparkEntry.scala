@@ -2401,6 +2401,53 @@ object SparkEntry {
       out
     }),
 
+    // Per-file BLOOM FILTER file skipping END-TO-END (Iceberg parquet
+    // bloom / puffin analog): the table clusters by bucket(nationkey), so
+    // custkey interleaves across every file and min/max range pruning
+    // keeps ALL files for a point lookup — the per-file bloom built at
+    // commit time is the only thing that can skip. The require pins
+    // scanned < total on the executed scan; the oracle pins the rows.
+    "geo_bloom_prune" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoblq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoblq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoblq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_blq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoblq.db")
+      s.sql("DROP TABLE IF EXISTS geoblq.db.cust")
+      s.sql("CREATE TABLE geoblq.db.cust (nk BIGINT, ck BIGINT, c_name STRING, " +
+        "bal DOUBLE) USING geo PARTITIONED BY (bucket(8, nk)) " +
+        "TBLPROPERTIES('bloom.columns'='ck', 'bloom.items'='16384')")
+      s.sql("INSERT INTO geoblq.db.cust SELECT CAST(c_nationkey AS BIGINT), " +
+        "CAST(c_custkey AS BIGINT), c_name, CAST(c_acctbal AS DOUBLE) FROM customer")
+      val q = s.sql("""
+        SELECT ck, c_name, bal FROM geoblq.db.cust
+        WHERE ck IN (17, 42, 133) ORDER BY ck""")
+      val out = q.localCheckpoint()
+      val scans = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
+      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match { case sc: graft.tables.GeoCowScan => scans += sc; case _ => () }
+        case other => other.children.foreach(walk)
+      }
+      walk(q.queryExecution.executedPlan)
+      require(scans.nonEmpty, s"no GeoCowScan in:\n${q.queryExecution.executedPlan}")
+      val root = s.conf.get("spark.sql.catalog.geoblq.warehouse") + "/db/cust"
+      val m = graft.tables.GeoManifest.read(s, root)
+      val total = m.files.count(_.rows > 0)
+      require(m.blooms.nonEmpty, "commit did not build a bloom sidecar")
+      val scanned = scans.map(_.scannedFiles.count(_.rows > 0)).min
+      require(total >= 4 && scanned < total,
+        s"bloom did not skip files: scanned $scanned of $total")
+      lastMaterializedPlan = Some(q.queryExecution.executedPlan.toString)
+      out
+    }),
+
     // ANALYZE TABLE column statistics END-TO-END: NDV/min-max collected
     // into the manifest, reported through the scan's V2 column stats, and
     // CBO then picks a broadcast join for the selective filter — the
@@ -3956,6 +4003,11 @@ object SparkEntry {
              CAST(c.c_nationkey AS BIGINT) AS c_nationkey
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderkey = 1 ORDER BY c.c_custkey""",
+
+    "geo_bloom_prune" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS ck, c_name,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey IN (17, 42, 133) ORDER BY 1""",
 
     "geo_spj" -> """
       SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,

@@ -253,7 +253,14 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         GeoPartition.statsFor(tagged, ptransforms.toSeq)
       case None => Seq.empty
     }
-    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms.toSeq ++ statsT)
+    // per-file bloom filters (point-lookup file skipping):
+    // TBLPROPERTIES('bloom.columns'='a,b'[, 'bloom.fpp'=.., 'bloom.items'=..])
+    val bloomT = Option(properties.get("bloom.columns"))
+      .map(cols => GeoBloom.parseSpecs(spark, tagged, cols,
+        Option(properties.get("bloom.fpp")), Option(properties.get("bloom.items"))))
+      .getOrElse(Seq.empty)
+    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms.toSeq ++ statsT,
+      bloomCols = bloomT)
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
 
@@ -271,6 +278,17 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       GeoTable.addColumns(spark, root,
         adds.map(a => GeoCatalog.fromSpatialDdl(
           StructField(a.fieldNames.head, a.dataType, nullable = true))))
+    // SET TBLPROPERTIES('bloom.columns'=...): one commit for the whole
+    // bloom property group — fpp/items ride along with the column list
+    val setProps = changes.collect { case p: TableChange.SetProperty => p }
+      .map(p => p.property -> p.value).toMap
+    if (setProps.keySet.exists(Set("bloom.columns", "bloom.fpp", "bloom.items"))) {
+      // tuning fpp/items without re-listing columns keeps the current set
+      val cols = setProps.getOrElse("bloom.columns",
+        GeoManifest.read(spark, root).bloomCols.map(_.col).mkString(","))
+      GeoTable.setBloomColumns(spark, root, cols,
+        setProps.get("bloom.fpp"), setProps.get("bloom.items"))
+    }
     changes.foreach {
       case _: TableChange.AddColumn => // handled above (single commit)
       case d: TableChange.DeleteColumn =>
@@ -279,6 +297,11 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested RENAME COLUMN not supported")
         GeoTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      case p: TableChange.SetProperty
+        if p.property == "bloom.columns" || p.property == "bloom.fpp" ||
+           p.property == "bloom.items" => // handled above (single commit)
+      case p: TableChange.RemoveProperty if p.property == "bloom.columns" =>
+        GeoTable.setBloomColumns(spark, root, "")
       case other =>
         throw new UnsupportedOperationException(
           s"GeoCatalog does not support table change ${other.getClass.getSimpleName}")
@@ -702,7 +725,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
     new GeoCowScanBuilder(spark, manifest.schema, manifest.files, options, _ => (),
       streamRoot = Some(root), specs = manifest.specSet,
       deletes = manifest.deletes, eqDeletes = manifest.eqDeletes,
-      colStats = manifest.colStats)
+      colStats = manifest.colStats,
+      bloomCols = manifest.bloomCols, blooms = manifest.blooms)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

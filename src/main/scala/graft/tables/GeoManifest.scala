@@ -244,7 +244,9 @@ object GeoManifest {
                             parent: Option[Int] = None,
                             colStats: Map[String, ColStat] = Map.empty,
                             pastSpecs: Map[Int, Seq[GeoPartition.PTransform]] = Map.empty,
-                            specId: Int = 0) {
+                            specId: Int = 0,
+                            bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
+                            blooms: Seq[GeoBloom.BloomEntry] = Seq.empty) {
     /** Per-file spec resolution for every pstats consumer. Lazy: the
       * eq-applicability loops call this per (file × delete) pair. */
     lazy val specSet: GeoPartition.SpecSet =
@@ -334,7 +336,11 @@ object GeoManifest {
     * root lock); best-effort across JVMs on filesystems without atomic
     * pointer swap — true multi-writer safety needs a lock service, as
     * with any file-based table format. */
-  def commit(spark: SparkSession, root: String, m: Manifest, expectedBase: Int): Unit =
+  def commit(spark: SparkSession, root: String, m0: Manifest, expectedBase: Int): Unit = {
+    // bloom sidecar build runs BEFORE the lock (it is a Spark job over the
+    // fresh files); a lost optimistic race leaves an unreferenced sidecar
+    // for the vacuum orphan sweep, same as a lost data-write race
+    val m = GeoBloom.withBlooms(spark, root, m0)
     withCommitLock(root) {
       val cur = currentVersion(spark, root)
       if (!cur.contains(expectedBase))
@@ -342,8 +348,9 @@ object GeoManifest {
           s"GeoTable at $root moved to version ${cur.orNull} while this operation " +
             s"was based on $expectedBase; re-read and retry")
       // the optimistic base IS the commit's lineage parent
-      write(spark, root, remapVersion(spark, root, m).copy(parent = Some(expectedBase)))
+      write0(spark, root, remapVersion(spark, root, m).copy(parent = Some(expectedBase)))
     }
+  }
 
   /** Branch and main commits share ONE linear manifest number space:
     * when a branch has claimed the caller's intended number, slide this
@@ -384,8 +391,9 @@ object GeoManifest {
     * number space and moves the branch head — `_current` (main) does not
     * move, so main readers never see staged commits (the write side of
     * write-audit-publish). Optimistic check against the branch head. */
-  def commitBranch(spark: SparkSession, root: String, m: Manifest,
-                   branch: String, expectedHead: Int): Int =
+  def commitBranch(spark: SparkSession, root: String, m0: Manifest,
+                   branch: String, expectedHead: Int): Int = {
+    val m = GeoBloom.withBlooms(spark, root, m0) // Spark job: before the lock
     withCommitLock(root) {
       val r = refs(spark, root)
       val b = r.branches.getOrElse(branch, throw new IllegalArgumentException(
@@ -400,6 +408,7 @@ object GeoManifest {
         r.branches + (branch -> b.copy(head = fixed.version))))
       fixed.version
     }
+  }
 
   /** v6 file lines add `addedAt` at a fixed position between the bbox and
     * the partition-stat pairs; pre-v6 lines omit it (parsed as 0). A
@@ -487,7 +496,11 @@ object GeoManifest {
     reused ++ freshRefs
   }
 
-  def write(spark: SparkSession, root: String, m0: Manifest): Unit = {
+  def write(spark: SparkSession, root: String, m0: Manifest): Unit =
+    write0(spark, root, GeoBloom.withBlooms(spark, root, m0))
+
+  /** [[write]] minus the bloom hook — [[commit]] hooks before its lock. */
+  private def write0(spark: SparkSession, root: String, m0: Manifest): Unit = {
     writeManifestFile(spark, root, m0)
     writeText(fs(spark, root), new Path(root, "_current"), m0.version.toString)
   }
@@ -540,8 +553,13 @@ object GeoManifest {
     // reader must refuse loudly (it would prune old-spec files against
     // the wrong transform list — silent row loss), hence the explicit
     // declaration whenever the table has ever evolved its spec.
+    // bloom tags are ADDITIVE (unknown tags skip under a declared-8+
+    // manifest, and skipping a bloom line only loses an optimization) but
+    // still need the declared format raised to >= 8 so pre-8 readers use
+    // the skip-unknown-tags rule instead of failing on them
     val v8 = m.files.exists(e =>
-      e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty)
+      e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty) ||
+      m.bloomCols.nonEmpty || m.blooms.nonEmpty
     val v9 = m.pastSpecs.nonEmpty || m.specId != 0
     lines ++= (if (v9) "graftgeo\t9\n"
                else if (v8) "graftgeo\t8\n"
@@ -601,6 +619,12 @@ object GeoManifest {
         case _ => ""
       }
       lines ++= s"colstat\t$c\t${s.ndv}\t${s.nulls}$mm\n"
+    }
+    m.bloomCols.foreach { s =>
+      lines ++= s"bloomspec\t${s.col}\t${s.fpp}\t${s.items}\n"
+    }
+    m.blooms.foreach { e =>
+      lines ++= s"bloom\t${e.path}\t${e.cols.mkString(",")}\n"
     }
     // manifest first (immutable, new name); the caller flips the pointer
     // (`_current` for main commits, the branch ref for branch commits)
@@ -708,6 +732,8 @@ object GeoManifest {
     val colStats = Map.newBuilder[String, ColStat]
     var specId = 0
     val pastSpecs = Map.newBuilder[Int, Seq[GeoPartition.PTransform]]
+    val bloomCols = Seq.newBuilder[GeoBloom.BloomSpec]
+    val blooms = Seq.newBuilder[GeoBloom.BloomEntry]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
@@ -752,6 +778,10 @@ object GeoManifest {
           colStats += parts(1) -> ColStat(parts(2).toLong, parts(3).toLong,
             if (parts.length >= 6) Some(parts(4).toLong) else None,
             if (parts.length >= 6) Some(parts(5).toLong) else None)
+        case "bloomspec" =>
+          bloomCols += GeoBloom.BloomSpec(parts(1), parts(2).toDouble, parts(3).toLong)
+        case "bloom" =>
+          blooms += GeoBloom.BloomEntry(parts(1), parts(2).split(',').toSeq)
         case other =>
           // Unknown tags are forward compat ONLY when the manifest declares
           // a format newer than this reader (additive v8+ tags). In a
@@ -769,7 +799,8 @@ object GeoManifest {
     shards.foreach(s => files ++= s.entries)
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
-      parent, colStats.result(), pastSpecs.result(), specId)
+      parent, colStats.result(), pastSpecs.result(), specId,
+      bloomCols.result(), blooms.result())
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

@@ -321,7 +321,7 @@ object GeoPartition {
     out.toMap
   }
 
-  private def splitAnd(e: Expression): Seq[Expression] = e match {
+  private[tables] def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
   }
@@ -332,7 +332,7 @@ object GeoPartition {
     * `id < 500` on a BIGINT column arrives as `id < cast(500 as bigint)`
     * and a bare-Literal pattern match silently derives NOTHING. Folding
     * here is what makes the patterns actually fire. */
-  private def foldConstants(e: Expression): Expression = e.transformUp {
+  private[tables] def foldConstants(e: Expression): Expression = e.transformUp {
     case f if f.foldable && !f.isInstanceOf[Literal] =>
       try Literal.create(f.eval(null), f.dataType)
       catch { case scala.util.control.NonFatal(_) => f }

@@ -113,7 +113,8 @@ class GeoRowLevelOperation(root: String, cmd: RowLevelOperation.Command)
     // into the replaced files (their rows are gone for good).
     new GeoCowScanBuilder(spark, m.schema, m.files, options,
       s => if (mainScan == null && s.coversFullRow) mainScan = s,
-      deletes = m.deletes, eqDeletes = m.eqDeletes)
+      deletes = m.deletes, eqDeletes = m.eqDeletes,
+      bloomCols = m.bloomCols, blooms = m.blooms)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -161,7 +162,9 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
                         specs: GeoPartition.SpecSet = GeoPartition.SpecSet.empty,
                         deletes: Seq[GeoManifest.DeleteEntry] = Seq.empty,
                         eqDeletes: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
-                        colStats: Map[String, GeoManifest.ColStat] = Map.empty)
+                        colStats: Map[String, GeoManifest.ColStat] = Map.empty,
+                        bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
+                        blooms: Seq[GeoBloom.BloomEntry] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -237,10 +240,15 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     // vs the filter-derived bounds (conservative — underivable filters
     // keep all), each file under ITS OWN partition spec — so the sidecar
     // selection below sees the narrowed set
-    val pruned =
-      if (allFilters.nonEmpty)
-        GeoPartition.pruneBySpec(files, specs, tableSchema, allFilters)
-      else files
+    val pruned = {
+      val ranged =
+        if (allFilters.nonEmpty)
+          GeoPartition.pruneBySpec(files, specs, tableSchema, allFilters)
+        else files
+      // per-file bloom probe for =/IN conjuncts on bloom columns: the
+      // point-lookup skipping min/max cannot give on unclustered columns
+      GeoBloom.prune(spark, blooms, bloomCols, tableSchema, allFilters, ranged)
+    }
     // equality-delete keys load once driver-side as UnsafeRows cast to the
     // table column types — byte-layout-identical to what the reader's key
     // projection emits, so membership is a hash-set probe on raw bytes.
@@ -254,7 +262,7 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
     }
     val s = new GeoCowScan(spark, inner.build().asInstanceOf[ParquetScan],
       tableSchema, files, needFile, fullRow, streamRoot, options, deletedPos,
-      eqGroups, extraEqCols, specs, liveEq, colStats)
+      eqGroups, extraEqCols, specs, liveEq, colStats, bloomCols, blooms)
     if (pruned.length < files.length) s.filterTo(pruned)
     if (GeoRowLevel.debug) System.err.println(
       s"[cow] build scan ${System.identityHashCode(s)} needFile=$needFile files=${files.length}")
@@ -280,7 +288,9 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                  extraEqCols: Seq[String] = Seq.empty,
                  specs: GeoPartition.SpecSet = GeoPartition.SpecSet.empty,
                  eqEntries: Seq[GeoManifest.EqDeleteEntry] = Seq.empty,
-                 colStats: Map[String, GeoManifest.ColStat] = Map.empty)
+                 colStats: Map[String, GeoManifest.ColStat] = Map.empty,
+                 bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
+                 blooms: Seq[GeoBloom.BloomEntry] = Seq.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
@@ -391,9 +401,11 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
     if (needFile) Array(Expressions.column(GeoRowLevel.FileCol))
     else {
       // only columns that SURVIVED pruning: Spark resolves these against
-      // the scan relation's output and throws on a missing one
+      // the scan relation's output and throws on a missing one. Bloom
+      // columns advertise too — a runtime IN list (DPP's join-key values)
+      // probes their per-file blooms just like a pushed literal list.
       val out = readSchema().fieldNames.map(_.toLowerCase).toSet
-      partitions.map(_.col).distinct
+      (partitions.map(_.col) ++ bloomCols.map(_.col)).distinct
         .filter(c => out.contains(c.toLowerCase))
         .map(c => Expressions.column(c): NamedReference).toArray
     }
@@ -480,6 +492,11 @@ class GeoCowScan(spark: SparkSession, inner0: ParquetScan, tableSchema: StructTy
                     case (_, None) => true
                   }
                 }
+                // per-file bloom probe on the same runtime values: exact
+                // point-lookup skipping where transform ranges are loose
+                // (or absent — bloom columns need no transform at all)
+                current = GeoBloom.pruneValues(spark, blooms, bloomCols,
+                  colName, dt.get, lits, current)
               }
             case _ => ()
           }

@@ -444,8 +444,9 @@ object GeoTable {
       try {
         val mv = GeoManifest.readVersion(spark, root, v)
         liveShards ++= mv.baseShards.map(_.name)
-        // sidecars (position + equality) are live too
-        mv.files.map(_.key) ++ mv.deletes.map(_.key) ++ mv.eqDeletes.map(_.key)
+        // sidecars (position + equality + bloom) are live too
+        mv.files.map(_.key) ++ mv.deletes.map(_.key) ++
+          mv.eqDeletes.map(_.key) ++ mv.blooms.map(_.key)
       } catch { case _: Exception => Seq.empty } // version gap (already vacuumed)
     }.toSet
     // Files referenced by an EXPIRED manifest are committed garbage —
@@ -469,6 +470,7 @@ object GeoTable {
                 everRef ++= mv.files.map(_.key)
                 everRef ++= mv.deletes.map(_.key)
                 everRef ++= mv.eqDeletes.map(_.key)
+                everRef ++= mv.blooms.map(_.key)
               } catch { case _: Exception => () } // torn manifest: its files stay orphans
             }
       }
@@ -539,7 +541,8 @@ object GeoTable {
     val live = cur.files.map(_.key).toSet
     (tgt.files.filterNot(f => live.contains(f.key)).map(_.path) ++
       tgt.deletes.filterNot(d => cur.deletes.exists(_.key == d.key)).map(_.path) ++
-      tgt.eqDeletes.filterNot(e => cur.eqDeletes.exists(_.key == e.key)).map(_.path))
+      tgt.eqDeletes.filterNot(e => cur.eqDeletes.exists(_.key == e.key)).map(_.path) ++
+      tgt.blooms.filterNot(b => cur.blooms.exists(_.key == b.key)).map(_.path))
       .foreach { p =>
         require(fs.exists(new org.apache.hadoop.fs.Path(p)),
           s"cannot restore $root to version $version: file $p was vacuumed")
@@ -658,11 +661,34 @@ object GeoTable {
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
                   geomCol: Option[String],
-                  partitions: Seq[GeoPartition.PTransform] = Seq.empty): Unit = {
+                  partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+                  bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
     GeoSchema.validate(schema)
     GeoManifest.write(spark, root,
-      Manifest(0, schema, geomCol, Seq.empty, partitions = partitions))
+      Manifest(0, schema, geomCol, Seq.empty, partitions = partitions,
+        bloomCols = bloomCols))
+  }
+
+  /** Enable (or retune) per-file bloom filters on `colsProp` columns
+    * (`ALTER TABLE ... SET TBLPROPERTIES('bloom.columns'='a,b')` target).
+    * Unlike Iceberg's write-time-only parquet blooms, enabling here also
+    * BACKFILLS existing files in one distributed pass (same cost shape as
+    * ANALYZE) so point lookups prune immediately. Empty string disables —
+    * future commits stop building; old sidecars expire with their
+    * snapshots. */
+  def setBloomColumns(spark: SparkSession, root: String, colsProp: String,
+                      fpp: Option[String] = None, items: Option[String] = None): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val specs = GeoBloom.parseSpecs(spark, m.schema, colsProp, fpp, items)
+    val backfill =
+      if (specs.isEmpty) Seq.empty
+      else GeoBloom.build(spark, root, m.schema,
+        m.files.filter(f => f.addedAt >= 0 && f.rows > 0), specs).toSeq
+    GeoManifest.commit(spark, root,
+      m.copy(version = m.version + 1, bloomCols = specs,
+        blooms = if (specs.isEmpty) Seq.empty else m.blooms ++ backfill),
+      m.version)
   }
 
   // -------------------------------------------------------------------------
@@ -753,7 +779,10 @@ object GeoTable {
         schema = StructType(m.schema.fields.filterNot(_.name == actual.name)),
         dropped = m.dropped :+ actual.name,
         partitions = newParts, files = newFiles, pastSpecs = newPast,
-        colStats = m.colStats - actual.name),
+        colStats = m.colStats - actual.name,
+        // stop building blooms for the dropped column; existing sidecar
+        // rows for it are simply never consulted again
+        bloomCols = m.bloomCols.filterNot(_.col.equalsIgnoreCase(name))),
       m.version)
   }
 
@@ -841,7 +870,13 @@ object GeoTable {
         pastSpecs = Map.empty,
         deletes = Seq.empty, eqDeletes = Seq.empty,
         colStats = m.colStats.map { case (c, st) =>
-          (if (c.equalsIgnoreCase(from)) to else c) -> st }),
+          (if (c.equalsIgnoreCase(from)) to else c) -> st },
+        // the rewrite replaced every file, so pre-rename sidecars cover
+        // nothing: drop them and let the commit hook rebuild under the
+        // renamed column
+        bloomCols = m.bloomCols.map(s =>
+          if (s.col.equalsIgnoreCase(from)) s.copy(col = to) else s),
+        blooms = Seq.empty),
       m.version)
   }
 
@@ -891,12 +926,13 @@ object GeoTable {
     // transform-range + IN-value pruning on the same condition: resolve
     // it against the table schema so derivation sees bound attributes
     // (the compactWhere recipe); an unresolvable condition prunes nothing
-    if (m.partitions.nonEmpty || m.pastSpecs.nonEmpty) scala.util.Try {
+    if (m.partitions.nonEmpty || m.pastSpecs.nonEmpty || m.blooms.nonEmpty) scala.util.Try {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
         .where(cond).queryExecution.analyzed
         .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter].condition
     }.foreach { c =>
       files = GeoPartition.pruneBySpec(files, m.specSet, m.schema, Seq(c))
+      files = GeoBloom.prune(spark, m.blooms, m.bloomCols, m.schema, Seq(c), files)
     }
     val base = readMerged(spark, m, files).where(cond)
     m.geomCol match {
@@ -934,7 +970,7 @@ object GeoTable {
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
-        eqDeletes = Seq.empty, pastSpecs = Map.empty), m.version)
+        eqDeletes = Seq.empty, pastSpecs = Map.empty, blooms = Seq.empty), m.version)
     files.map(_.rows).sum
   }
 
