@@ -250,6 +250,13 @@ object GeoBloom {
           // every value must canonicalize, or the conjunct proves nothing
           if (ps.nonEmpty && ps.forall(_.isDefined))
             out(key) = out.getOrElse(key, Seq.empty) ++ ps.flatten
+        // the optimizer rewrites IN lists past inSetConversionThreshold
+        // (default 10) to InSet — exactly the shape of a real multi-key
+        // point lookup, so it must probe too
+        case org.apache.spark.sql.catalyst.expressions.InSet(a, hset) if matches(a) =>
+          val ps = hset.toSeq.map(v => canonical(v, dt))
+          if (ps.nonEmpty && ps.forall(_.isDefined))
+            out(key) = out.getOrElse(key, Seq.empty) ++ ps.flatten
         case _ => ()
       }
     }

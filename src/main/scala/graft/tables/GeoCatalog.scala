@@ -470,6 +470,12 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("sequence", IntegerType, nullable = true),
       StructField("key_min", LongType, nullable = true),
       StructField("key_max", LongType, nullable = true)))
+    case "blooms" => StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("column", StringType, nullable = true),
+      StructField("fpp", DoubleType, nullable = true),
+      StructField("items", LongType, nullable = true),
+      StructField("path", StringType, nullable = true)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -560,6 +566,15 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
             UTF8String.fromString(e.cols.mkString(",")),
             Int.box(e.version),
             e.kmin.map(Long.box).orNull, e.kmax.map(Long.box).orNull))).toArray
+      // bloom configuration (`spec` rows) + live sidecars (`sidecar`
+      // rows) — ops visibility for the point-lookup skipping surface
+      case "blooms" =>
+        val m = GeoManifest.read(sparkAtLoad, root)
+        (m.bloomCols.map(s => InternalRow(UTF8String.fromString("spec"),
+            UTF8String.fromString(s.col), s.fpp, s.items, null)) ++
+          m.blooms.map(e => InternalRow(UTF8String.fromString("sidecar"),
+            UTF8String.fromString(e.cols.mkString(",")), null, null,
+            UTF8String.fromString(e.path)))).toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -571,7 +586,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

@@ -438,6 +438,12 @@ object GeoPartition {
           // every value must derive, or the conjunct proves nothing
           if (tvs.nonEmpty && tvs.forall(_.isDefined))
             out(i) = out.get(i).fold(tvs.flatten)(_ intersect tvs.flatten)
+        // IN lists past inSetConversionThreshold (default 10) arrive as
+        // InSet — a wide nprobe list must not silently lose pruning
+        case org.apache.spark.sql.catalyst.expressions.InSet(a, hset) if attrMatches(a) =>
+          val tvs = hset.toSeq.map(v => valueOf(t, v, dt))
+          if (tvs.nonEmpty && tvs.forall(_.isDefined))
+            out(i) = out.get(i).fold(tvs.flatten.toSeq)(_ intersect tvs.flatten.toSeq)
         case _ => ()
       }
     }

@@ -110,6 +110,13 @@ class GeoBloomSpec extends SparkSpec {
     assert(s3 < t3, s"string probe did not prune: $s3 of $t3")
     // absent key: empty result (a few fp files may scan; wrong rows never)
     assert(spark.sql("SELECT * FROM geobl.db.t2 WHERE id = 999999").count() == 0L)
+    // >10 values: the optimizer rewrites IN to InSet — the probe must
+    // still fire (a wide multi-key lookup is the realistic shape)
+    val wide = (0 until 12).map(i => 6900 + i * 16).mkString(", ") // one grp class
+    val q4 = spark.sql(s"SELECT id FROM geobl.db.t2 WHERE id IN ($wide)")
+    assert(q4.count() == 12L)
+    val (s4, t4) = scannedVsTotal(q4, root)
+    assert(s4 < t4, s"InSet probe did not prune: $s4 of $t4")
   }
 
   test("runtime (DPP) join values probe blooms on a non-partition column") {
@@ -197,6 +204,11 @@ class GeoBloomSpec extends SparkSpec {
     }
     val q = spark.sql("SELECT name FROM geobl.db.t6 WHERE id = 60001")
     assert(q.head.getString(0) == "y")
+    // t.blooms metadata table: spec rows + live sidecar rows
+    val meta = spark.sql("SELECT kind, column FROM geobl.db.t6.blooms").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(meta.count(_._1 == "spec") == 2 && meta.exists(_ == ("spec", "id")))
+    assert(meta.count(_._1 == "sidecar") == m.blooms.length)
     val (scanned, total) = scannedVsTotal(q, root)
     assert(scanned < total, s"post-vacuum bloom did not prune: $scanned of $total")
     // an unsupported column type is rejected at spec parse
