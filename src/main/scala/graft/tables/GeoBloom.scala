@@ -46,16 +46,22 @@ import org.apache.spark.util.sketch.BloomFilter
  * NULL never enters a bloom: `c = NULL` is never a pushable filter, and
  * IS NULL prunes via the transform null flags, not here.
  *
- * Scale envelope: a bloom sized for `bloom.items` distinct values at
- * `bloom.fpp` costs ~0.6 KB per 1k items at 3% — ~80 KB for the default
- * 131072 items, ~0.02% of a 512 MB data file. Driver-side probing loads
- * sidecars once (memoized); when a scan still has more than
+ * Scale envelope: blooms AUTO-SIZE from each file's row count (items=0,
+ * the default — a fixed size silently saturates on bigger files and a
+ * saturated bloom prunes nothing), ~0.9 MB per million rows at the
+ * default 3% fpp — ~0.2% of a 512 MB data file. Driver-side probing
+ * loads sidecars once (memoized); when a scan still has more than
  * `bloom.maxProbeFiles` candidate files after range pruning the bloom
  * probe is skipped — a query that unselective gains nothing from it.
  */
 object GeoBloom {
 
-  /** Bloom configuration for one column (manifest `bloomspec` line). */
+  /** Bloom configuration for one column (manifest `bloomspec` line).
+    * `items` = expected distinct values per FILE; 0 = auto-size from each
+    * file's actual row count — the default, because a fixed size silently
+    * SATURATES on files with more rows (a saturated bloom answers "maybe"
+    * for everything: zero pruning, no error) while auto keeps the fpp
+    * contract at any file size (~0.9 MB per million rows at 3%). */
   final case class BloomSpec(col: String, fpp: Double, items: Long)
 
   /** One immutable bloom sidecar: parquet rows (file, col, bloom bytes)
@@ -67,7 +73,7 @@ object GeoBloom {
   def fppDefault(spark: SparkSession): Double =
     spark.conf.get("spark.graft.bloom.fpp", "0.03").toDouble
   def itemsDefault(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.bloom.items", "131072").toLong
+    spark.conf.get("spark.graft.bloom.items", "0").toLong // 0 = per-file auto
   def maxSidecars(spark: SparkSession): Int =
     spark.conf.get("spark.graft.bloom.maxSidecars", "64").toInt
   def maxProbeFiles(spark: SparkSession): Int =
@@ -85,7 +91,7 @@ object GeoBloom {
     val fpp = fppProp.map(_.toDouble).getOrElse(fppDefault(spark))
     require(fpp > 0.0 && fpp < 1.0, s"bloom.fpp must be in (0, 1), got $fpp")
     val items = itemsProp.map(_.toLong).getOrElse(itemsDefault(spark))
-    require(items > 0, s"bloom.items must be positive, got $items")
+    require(items >= 0, s"bloom.items must be >= 0 (0 = auto per-file), got $items")
     colsProp.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"bloom.columns: '$c' is not a table column"))
@@ -138,6 +144,10 @@ object GeoBloom {
     val fpps: Array[Double] = cols.map(_.fpp).toArray
     val items: Array[Long] = cols.map(_.items).toArray
     val colNames: Array[String] = cols.map(_.col).toArray
+    // items = 0 (auto): size each file's bloom from ITS row count, known
+    // from the manifest entries — a fixed size saturates on bigger files
+    // (answers "maybe" for everything), auto keeps the fpp contract
+    val fileRows: Map[String, Long] = files.map(f => f.key -> math.max(f.rows, 64L)).toMap
     val pairs = df.queryExecution.toRdd.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap.empty[(String, Int), BloomFilter]
       it.foreach { r =>
@@ -145,7 +155,12 @@ object GeoBloom {
         var i = 0
         while (i < n) {
           if (!r.isNullAt(i + 1)) {
-            val bf = acc.getOrElseUpdate((fkey, i), BloomFilter.create(items(i), fpps(i)))
+            val bf = acc.getOrElseUpdate((fkey, i), {
+              val expected =
+                if (items(i) > 0) items(i)
+                else fileRows.getOrElse(GeoManifest.norm(fkey), 1L << 20)
+              BloomFilter.create(expected, fpps(i))
+            })
             if (isStr(i)) bf.putString(r.getUTF8String(i + 1).toString)
             else bf.putLong(r.getLong(i + 1))
           }
