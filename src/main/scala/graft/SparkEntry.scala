@@ -2380,17 +2380,7 @@ object SparkEntry {
       require(planStr.contains("dynamicpruning"),
         s"no dynamic-pruning subquery in:\n$planStr")
       // walk AQE stages for the GeoCowScan and check it narrowed
-      val scans = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
-      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match { case sc: graft.tables.GeoCowScan => scans += sc; case _ => () }
-        case other => other.children.foreach(walk)
-      }
-      walk(j.queryExecution.executedPlan)
+      val scans = graft.tables.GeoCowScan.collectIn(j.queryExecution.executedPlan)
       require(scans.nonEmpty, s"no GeoCowScan in:\n$planStr")
       val root = s.conf.get("spark.sql.catalog.geodppq.warehouse") + "/db/fact"
       val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
@@ -2425,17 +2415,7 @@ object SparkEntry {
         SELECT ck, c_name, bal FROM geoblq.db.cust
         WHERE ck IN (17, 42, 133) ORDER BY ck""")
       val out = q.localCheckpoint()
-      val scans = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
-      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(qs.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match { case sc: graft.tables.GeoCowScan => scans += sc; case _ => () }
-        case other => other.children.foreach(walk)
-      }
-      walk(q.queryExecution.executedPlan)
+      val scans = graft.tables.GeoCowScan.collectIn(q.queryExecution.executedPlan)
       require(scans.nonEmpty, s"no GeoCowScan in:\n${q.queryExecution.executedPlan}")
       val root = s.conf.get("spark.sql.catalog.geoblq.warehouse") + "/db/cust"
       val m = graft.tables.GeoManifest.read(s, root)

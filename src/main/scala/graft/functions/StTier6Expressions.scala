@@ -69,23 +69,31 @@ private[functions] object Spheroid {
 
 /** st_lengthspheroid(geom): sum of per-segment geodesic lengths on the
   * WGS84 ellipsoid (Vincenty inverse, the same solver as
-  * st_distancespheroid) over LineString components; x=lon, y=lat in
-  * degrees, meters out. Non-line components contribute 0 (PostGIS
-  * convention for points; polygon users take ST_Boundary first). */
+  * st_distancespheroid) over the geometry's linework; x=lon, y=lat in
+  * degrees, meters out. Polygon components measure their boundary rings
+  * (exterior + interior — the Sedona/PostGIS spheroid-length contract);
+  * points contribute 0. */
 case class StLengthSpheroid(child: Expression) extends StUnary {
   override def dataType: DataType = DoubleType
   protected def run(g: Geometry): Any = {
+    def lineLen(l: LineString): Double = {
+      val cs = l.getCoordinateSequence
+      var total = 0.0
+      var j = 1
+      while (j < cs.size()) {
+        total += StDistanceSpheroid.vincenty(cs.getX(j - 1), cs.getY(j - 1),
+          cs.getX(j), cs.getY(j))
+        j += 1
+      }
+      total
+    }
     var total = 0.0
     (0 until g.getNumGeometries).foreach { i =>
       g.getGeometryN(i) match {
-        case l: LineString =>
-          val cs = l.getCoordinateSequence
-          var j = 1
-          while (j < cs.size()) {
-            total += StDistanceSpheroid.vincenty(cs.getX(j - 1), cs.getY(j - 1),
-              cs.getX(j), cs.getY(j))
-            j += 1
-          }
+        case l: LineString => total += lineLen(l)
+        case p: Polygon =>
+          total += lineLen(p.getExteriorRing)
+          (0 until p.getNumInteriorRing).foreach(r => total += lineLen(p.getInteriorRingN(r)))
         case _ => ()
       }
     }

@@ -139,7 +139,8 @@ class GeoBranchTable(tableName: String, root: String, branch: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoCowScanBuilder(spark, head.schema, head.files, options, _ => (),
       specs = head.specSet, deletes = head.deletes,
-      eqDeletes = head.eqDeletes, colStats = head.colStats)
+      eqDeletes = head.eqDeletes, colStats = head.colStats,
+      bloomCols = head.bloomCols, blooms = head.blooms)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -280,13 +280,17 @@ object GeoBloom {
 
   /** Keep the files some probed value might be in. Each `=`/`IN` conjunct
     * filters independently (all must pass — they are conjuncts); a file
-    * with no bloom for the column always stays. */
+    * with no bloom for the column always stays. Tables at or under
+    * `bloom.maxProbeFiles` candidates probe on the DRIVER over memoized
+    * sidecars; larger tables probe DISTRIBUTED (see [[pruneBig]]) — the
+    * very case blooms exist for must not silently lose them. */
   def prune(spark: SparkSession, blooms: Seq[BloomEntry], bloomCols: Seq[BloomSpec],
             schema: StructType, filters: Seq[Expression],
             files: Seq[FileEntry]): Seq[FileEntry] = {
     if (blooms.isEmpty || files.isEmpty) return files
     val probes = probesOf(bloomCols, schema, filters)
-    if (probes.isEmpty || files.length > maxProbeFiles(spark)) return files
+    if (probes.isEmpty) return files
+    if (files.length > maxProbeFiles(spark)) return pruneBig(spark, blooms, probes, files)
     val bfs = GeoSidecarCache.blooms(spark, blooms)
     if (bfs.isEmpty) return files
     files.filter { f =>
@@ -303,15 +307,52 @@ object GeoBloom {
                   files: Seq[FileEntry]): Seq[FileEntry] = {
     if (blooms.isEmpty || files.isEmpty || values.isEmpty) return files
     if (!bloomCols.exists(_.col.equalsIgnoreCase(colName))) return files
-    if (files.length > maxProbeFiles(spark)) return files
     val ps = values.map(v => canonical(v, dt))
     if (ps.exists(_.isEmpty)) return files // unknown value: prove nothing
-    val probes = ps.flatten
+    val probes = Map(colName.toLowerCase -> ps.flatten)
+    if (files.length > maxProbeFiles(spark)) return pruneBig(spark, blooms, probes, files)
     val bfs = GeoSidecarCache.blooms(spark, blooms)
     if (bfs.isEmpty) return files
     val key = colName.toLowerCase
     files.filter { f =>
-      bfs.get((f.key, key)).forall(bf => probes.exists(p => mightContain(bf, p)))
+      bfs.get((f.key, key)).forall(bf => probes(key).exists(p => mightContain(bf, p)))
     }
+  }
+
+  /** Distributed probe for scans past `bloom.maxProbeFiles`: the blooms
+    * of a 100k-file table (~0.2% of the table's bytes) cannot live on
+    * the driver, so the sidecars are read as a dataset, each bloom is
+    * probed EXECUTOR-side, and only the keys of EXCLUDED files come back
+    * (a file is excluded when any probed column's bloom rejects every
+    * value — the same conjunct semantics as the driver path). One
+    * planning-time job over the sidecar bytes replaces a scan of the
+    * table — ~500x less IO for a point lookup that would otherwise read
+    * everything. */
+  private def pruneBig(spark: SparkSession, blooms: Seq[BloomEntry],
+                       probes: Map[String, Seq[Probe]],
+                       files: Seq[FileEntry]): Seq[FileEntry] = {
+    val strProbes: Map[String, Array[String]] =
+      probes.map { case (c, ps) => c -> ps.collect { case Left(s) => s }.toArray }
+    val longProbes: Map[String, Array[Long]] =
+      probes.map { case (c, ps) => c -> ps.collect { case Right(l) => l }.toArray }
+    val bc = spark.sparkContext.broadcast((strProbes, longProbes))
+    import spark.implicits._
+    val excluded = spark.read.parquet(blooms.map(_.path): _*)
+      .select("file", "col", "bloom")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        val (ss, ls) = bc.value
+        it.flatMap { case (f, c, bytes) =>
+          val key = c.toLowerCase
+          if (!ss.contains(key)) None
+          else {
+            val bf = deserialize(bytes)
+            val hit = ss(key).exists(bf.mightContainString) ||
+              ls(key).exists(bf.mightContainLong)
+            if (hit) None else Some(GeoManifest.norm(f))
+          }
+        }
+      }.collect().toSet
+    if (excluded.isEmpty) files else files.filterNot(f => excluded.contains(f.key))
   }
 }

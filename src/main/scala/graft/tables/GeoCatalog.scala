@@ -302,6 +302,17 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
            p.property == "bloom.items" => // handled above (single commit)
       case p: TableChange.RemoveProperty if p.property == "bloom.columns" =>
         GeoTable.setBloomColumns(spark, root, "")
+      // UNSET of a tuning knob returns THAT knob to the session default,
+      // keeping the column list and the sibling knob
+      case p: TableChange.RemoveProperty
+        if p.property == "bloom.fpp" || p.property == "bloom.items" =>
+        val cur = GeoManifest.read(spark, root).bloomCols
+        if (cur.nonEmpty) GeoTable.setBloomColumns(spark, root,
+          cur.map(_.col).mkString(","),
+          fpp = if (p.property == "bloom.fpp")
+            Some(GeoBloom.fppDefault(spark).toString) else None,
+          items = if (p.property == "bloom.items")
+            Some(GeoBloom.itemsDefault(spark).toString) else None)
       case other =>
         throw new UnsupportedOperationException(
           s"GeoCatalog does not support table change ${other.getClass.getSimpleName}")

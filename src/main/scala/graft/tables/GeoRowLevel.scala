@@ -271,6 +271,27 @@ class GeoCowScanBuilder(spark: SparkSession, tableSchema: StructType,
   }
 }
 
+object GeoCowScan {
+  /** Every [[GeoCowScan]] in an EXECUTED plan — walks into AQE query
+    * stages and reused exchanges, which plain collect() treats as
+    * leaves. The one helper behind every scanned-files assertion
+    * (benches, specs, in-query requires). */
+  def collectIn(plan: org.apache.spark.sql.execution.SparkPlan): Seq[GeoCowScan] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[GeoCowScan]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match { case s: GeoCowScan => buf += s; case _ => () }
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    buf.toList
+  }
+}
+
 /**
  * The group scan: Spark's ParquetScan over (a runtime-narrowed subset of)
  * the manifest file list, optionally appending the constant-per-file

@@ -680,14 +680,26 @@ object GeoTable {
   def setBloomColumns(spark: SparkSession, root: String, colsProp: String,
                       fpp: Option[String] = None, items: Option[String] = None): Unit = {
     val m = GeoManifest.read(spark, root)
-    val specs = GeoBloom.parseSpecs(spark, m.schema, colsProp, fpp, items)
+    // knobs not named in THIS statement inherit the column's current
+    // config — SET of one bloom property must not reset its siblings to
+    // session defaults
+    val specs = GeoBloom.parseSpecs(spark, m.schema, colsProp, fpp, items).map { s =>
+      m.bloomCols.find(_.col.equalsIgnoreCase(s.col)) match {
+        case Some(cur) => s.copy(
+          fpp = if (fpp.isDefined) s.fpp else cur.fpp,
+          items = if (items.isDefined) s.items else cur.items)
+        case None => s
+      }
+    }
+    if (specs == m.bloomCols) return // idempotent SET: no job, no commit
+    // the backfill covers EVERY current file, so it REPLACES the sidecar
+    // list — re-tuning must not accumulate duplicate (file, col) rows
     val backfill =
       if (specs.isEmpty) Seq.empty
       else GeoBloom.build(spark, root, m.schema,
         m.files.filter(f => f.addedAt >= 0 && f.rows > 0), specs).toSeq
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, bloomCols = specs,
-        blooms = if (specs.isEmpty) Seq.empty else m.blooms ++ backfill),
+      m.copy(version = m.version + 1, bloomCols = specs, blooms = backfill),
       m.version)
   }
 

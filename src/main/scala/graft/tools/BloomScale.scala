@@ -77,17 +77,9 @@ object BloomScale {
       def scanned(t: String): Int = {
         val df = spark.sql(s"SELECT COUNT(*) FROM gbs.db.$t WHERE id IN ($probe)")
         df.collect()
-        val buf = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
-        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            walk(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan match { case s: graft.tables.GeoCowScan => buf += s; case _ => () }
-          case o => o.children.foreach(walk)
-        }
-        walk(df.queryExecution.executedPlan)
-        buf.map(_.scannedFiles.count(_.rows > 0)).min
+        val scans = graft.tables.GeoCowScan.collectIn(df.queryExecution.executedPlan)
+        require(scans.nonEmpty, s"no GeoCowScan in:\n${df.queryExecution.executedPlan}")
+        scans.map(_.scannedFiles.count(_.rows > 0)).min
       }
       val m = GeoManifest.read(spark, s"$wh/db/$tb")
       val fs = GeoManifest.fs(spark, s"$wh/db/$tb")

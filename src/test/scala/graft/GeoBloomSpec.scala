@@ -3,8 +3,6 @@ package graft
 import graft.tables.{GeoBloom, GeoCatalog, GeoManifest, GeoTable}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 /**
  * Per-file bloom-filter file skipping (GeoBloom): the Iceberg parquet
@@ -26,19 +24,8 @@ class GeoBloomSpec extends SparkSpec {
     dir
   }
 
-  private def geoScans(df: DataFrame): Seq[graft.tables.GeoCowScan] = {
-    val buf = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
-    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-      case b: BatchScanExec =>
-        b.scan match { case s: graft.tables.GeoCowScan => buf += s; case _ => () }
-      case other => other.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    buf.toList
-  }
+  private def geoScans(df: DataFrame): Seq[graft.tables.GeoCowScan] =
+    graft.tables.GeoCowScan.collectIn(df.queryExecution.executedPlan)
 
   /** files scanned (rows>0) by the query vs the table's total. */
   private def scannedVsTotal(df: DataFrame, root: String): (Int, Int) = {
@@ -188,6 +175,68 @@ class GeoBloomSpec extends SparkSpec {
       val (s2, t2) = scannedVsTotal(q2, root)
       assert(s2 < t2, s"folded bloom did not prune: $s2 of $t2")
     } finally spark.conf.unset("spark.graft.bloom.maxSidecars")
+  }
+
+  test("past maxProbeFiles the probe goes distributed, not silent") {
+    warehouse
+    val root = mkInterleaved("t7")
+    // cap far below the file count: the driver-memoized path is barred,
+    // so any pruning observed comes from the executor-side probe — the
+    // 100k-file case must not silently lose the skipping it exists for
+    spark.conf.set("spark.graft.bloom.maxProbeFiles", "2")
+    try {
+      val q = spark.sql("SELECT id FROM geobl.db.t7 WHERE id = 4242")
+      val (scanned, total) = scannedVsTotal(q, root)
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(4242L))
+      assert(total > 2 && scanned < total,
+        s"distributed probe did not prune: $scanned of $total")
+    } finally spark.conf.unset("spark.graft.bloom.maxProbeFiles")
+  }
+
+  test("SET inherits sibling knobs, is idempotent, and replaces sidecars on retune") {
+    warehouse
+    val root = mkInterleaved("t8") // bloom.items=4096 explicit at CREATE
+    val m0 = GeoManifest.read(spark, root)
+    // idempotent SET: same columns, no knobs -> no new commit, no rebuild
+    spark.sql("ALTER TABLE geobl.db.t8 SET TBLPROPERTIES('bloom.columns'='id,name')")
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.version == m0.version && m1.blooms == m0.blooms)
+    // fpp-only SET keeps the configured items (4096), does not reset them
+    spark.sql("ALTER TABLE geobl.db.t8 SET TBLPROPERTIES('bloom.fpp'='0.01')")
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.bloomCols.forall(s => s.fpp == 0.01 && s.items == 4096L),
+      s"sibling knob reset: ${m2.bloomCols}")
+    // the retune backfill REPLACED the sidecar list (no duplicate rows)
+    assert(m2.blooms.length == 1, s"retune accumulated sidecars: ${m2.blooms}")
+    val rows = spark.read.parquet(m2.blooms.map(_.path): _*)
+      .groupBy("file", "col").count().where("count > 1").count()
+    assert(rows == 0L, "duplicate (file, col) bloom rows after retune")
+    // UNSET of one knob returns it to the session default, keeps the rest
+    spark.sql("ALTER TABLE geobl.db.t8 UNSET TBLPROPERTIES('bloom.items')")
+    val m3 = GeoManifest.read(spark, root)
+    assert(m3.bloomCols.forall(s => s.fpp == 0.01 && s.items == 0L),
+      s"UNSET items wrong: ${m3.bloomCols}")
+    // probing still works after the retunes
+    val q = spark.sql("SELECT id FROM geobl.db.t8 WHERE id = 99")
+    val (scanned, total) = scannedVsTotal(q, root)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(99L) && scanned < total)
+  }
+
+  test("branch reads probe the blooms their branch commits built") {
+    warehouse
+    val root = mkInterleaved("t9")
+    spark.sql("SELECT 1").collect()
+    GeoTable.createBranch(spark, root, "audit")
+    GeoTable.appendToBranch(spark, root, "audit",
+      spark.sql("SELECT CAST(99 AS BIGINT) grp, CAST(50001 AS BIGINT) id, 'staged' name"))
+    val q = spark.sql("SELECT name FROM geobl.db.t9.branch_audit WHERE id = 4242")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("nm4242"))
+    val scans = geoScans(q)
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.scannedFiles.count(_.rows > 0)).min
+    val head = GeoManifest.refs(spark, root).branches("audit").head
+    val total = GeoManifest.readVersion(spark, root, head).files.count(_.rows > 0)
+    assert(scanned < total, s"branch read did not bloom-prune: $scanned of $total")
   }
 
   test("vacuum keeps live bloom sidecars; path API + types validated") {

@@ -3,8 +3,6 @@ package graft
 import graft.tables.{GeoCatalog, GeoManifest, GeoRowLevel}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,21 +26,9 @@ class GeoRuntimePruneSpec extends SparkSpec {
     dir
   }
 
-  /** The GeoCowScans in the final (adaptive) executed plan — walks into
-    * AQE query stages, which plain collect() treats as leaves. */
-  private def geoScans(df: DataFrame): Seq[graft.tables.GeoCowScan] = {
-    val buf = scala.collection.mutable.ListBuffer.empty[graft.tables.GeoCowScan]
-    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
-      case b: BatchScanExec =>
-        b.scan match { case s: graft.tables.GeoCowScan => buf += s; case _ => () }
-      case other => other.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    buf.toList
-  }
+  /** The GeoCowScans in the final (adaptive) executed plan. */
+  private def geoScans(df: DataFrame): Seq[graft.tables.GeoCowScan] =
+    graft.tables.GeoCowScan.collectIn(df.queryExecution.executedPlan)
 
   test("a selective dim filter prunes fact files at runtime") {
     warehouse

@@ -28,6 +28,14 @@ class StTier6Spec extends SparkSpec {
     assert(two == parts)
     // points contribute zero; sphere and spheroid agree to ~0.5%
     assert(d1("st_lengthspheroid(st_point(1, 2))") == 0.0)
+    // polygons measure their boundary rings (Sedona/PostGIS contract):
+    // a closed 1-degree meridian sliver = 2 meridian arcs + 2 tiny
+    // parallels; must equal the same ring measured as a LineString
+    val polyLen = d1("st_lengthspheroid(st_geomfromtext(" +
+      "'POLYGON ((0 0, 0.01 0, 0.01 1, 0 1, 0 0))'))")
+    val ringLen = d1("st_lengthspheroid(st_geomfromtext(" +
+      "'LINESTRING (0 0, 0.01 0, 0.01 1, 0 1, 0 0)'))")
+    assert(polyLen == ringLen && polyLen > 2 * 110574.0, s"polygon ring length $polyLen")
     val sph = d1("st_lengthsphere(st_geomfromtext('LINESTRING (10 40, 11 41)'))")
     val ell = d1("st_lengthspheroid(st_geomfromtext('LINESTRING (10 40, 11 41)'))")
     assert(math.abs(ell / sph - 1.0) < 0.005, s"sphere $sph vs spheroid $ell")
