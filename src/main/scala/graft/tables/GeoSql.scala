@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - MERGE INTO t USING src ON cond WHEN [NOT] MATCHED ...
  *  - ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c | RENAME COLUMN a TO b
  *  - ALTER TABLE t SET PARTITIONED BY (bucket(4, k), days(ts), ...) — spec evolution
- *  - OPTIMIZE t [INTO n FILES] [ZORDER BY (c1, c2, ...)] [WHERE ...]
+ *  - OPTIMIZE t [INTO n FILES] [SMALL BELOW n ROWS] [ZORDER BY (c1, c2, ...)] [WHERE ...]
  *  - ALTER TABLE t CREATE TAG name [AS OF VERSION n] | DROP TAG name
  *  - ALTER TABLE t CREATE | DROP | PUBLISH BRANCH name (write-audit-publish)
  *  - OPTIMIZE t [INTO n FILES] [WHERE pred] · VACUUM t [RETAIN n VERSIONS|DAYS|HOURS]
@@ -79,7 +79,7 @@ object GeoSql {
   private val cloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val optimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+SMALL\s+BELOW\s+(\d+)\s+ROWS)?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val analyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?))\s*;?\s*""".r
   private val vacuumRe =
@@ -166,9 +166,10 @@ object GeoSql {
       Some(GeoSetPartitionSpecCommand(name, transforms))
     case cloneRe(target, source, v) if resolveRoot(source).isDefined =>
       Some(GeoCloneCommand(target, source, Option(v).map(_.toInt)))
-    case optimizeRe(name, nFiles, zorder, where) if resolveRoot(name).isDefined =>
+    case optimizeRe(name, nFiles, smallRows, zorder, where) if resolveRoot(name).isDefined =>
       Some(GeoOptimizeCommand(name, Option(nFiles).map(_.toInt), Option(where),
-        Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+        Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        Option(smallRows).map(_.toLong)))
     case analyzeRe(name, all, colsCsv) if resolveRoot(name).isDefined =>
       Some(GeoAnalyzeCommand(name,
         if (all != null) Seq.empty
@@ -779,15 +780,20 @@ case class GeoCloneCommand(target: String, source: String,
   * table. Returns the resulting file count. */
 case class GeoOptimizeCommand(name: String, nFiles: Option[Int],
                               where: Option[String] = None,
-                              zorderBy: Seq[String] = Seq.empty) extends GeoRunnable {
+                              zorderBy: Seq[String] = Seq.empty,
+                              smallBelowRows: Option[Long] = None) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
+    require(smallBelowRows.isEmpty || where.isEmpty,
+      "OPTIMIZE: SMALL BELOW and WHERE are alternative selections — use one")
     val target = nFiles.getOrElse(
       math.max(1, spark.sparkContext.defaultParallelism / 4))
-    where match {
-      case Some(w) => GeoTable.compactWhere(spark, root,
+    (smallBelowRows, where) match {
+      case (Some(rows), _) => GeoTable.compactSmall(spark, root, rows,
+        nFiles.getOrElse(0), zorderBy = zorderBy)
+      case (_, Some(w)) => GeoTable.compactWhere(spark, root,
         org.apache.spark.sql.functions.expr(w), target, zorderBy = zorderBy)
-      case None => GeoTable.compact(spark, root, target, zorderBy = zorderBy)
+      case _ => GeoTable.compact(spark, root, target, zorderBy = zorderBy)
     }
     GeoSql.refresh(spark, name, root)
     Seq(Row(GeoManifest.read(spark, root).files.length.toLong))

@@ -243,6 +243,41 @@ object GeoTable {
       selected = selected.filter(f => keys.contains(f.key))
     }
     if (selected.isEmpty) return 0
+    rewriteSelected(spark, root, m, selected, targetFiles, cellSize, zorderBy)
+  }
+
+  /**
+   * Small-file compaction (Iceberg rewrite_data_files bin-pack with
+   * min-input-files semantics): rewrite ONLY the files holding fewer than
+   * `maxRows` rows — the shape streaming ingest and trickle appends
+   * leave behind — consolidating them under the table's layout; every
+   * right-sized file carries over by reference. This is the maintenance
+   * loop at scale: after a day of micro-batch commits the rewrite cost
+   * tracks the small-file volume, never the table. Needs at least two
+   * selected files (one small file has nothing to consolidate with —
+   * unless sidecar rows point into it, which [[foldSidecars]] owns).
+   *
+   * @return number of files rewritten
+   */
+  def compactSmall(spark: SparkSession, root: String, maxRows: Long,
+                   targetFiles: Int = 0, cellSize: Double = 1.0,
+                   zorderBy: Seq[String] = Seq.empty): Int = {
+    require(maxRows > 0, s"compactSmall needs a positive row threshold, got $maxRows")
+    val m = GeoManifest.read(spark, root)
+    val selected = m.files.filter(f => f.rows < maxRows)
+    if (selected.length < 2) return 0
+    // default file target: consolidate to ~maxRows-sized outputs
+    val target = if (targetFiles > 0) targetFiles
+      else math.max(1, (selected.map(_.rows).sum / math.max(maxRows, 1L)).toInt)
+    rewriteSelected(spark, root, m, selected, target, cellSize, zorderBy)
+  }
+
+  /** Shared tail of the scoped compactions: rewrite `selected` whole
+    * (content-preserving), carry every other file by reference, and keep
+    * sidecars/spec bookkeeping consistent with what survives. */
+  private def rewriteSelected(spark: SparkSession, root: String, m: Manifest,
+                              selected: Seq[FileEntry], targetFiles: Int,
+                              cellSize: Double, zorderBy: Seq[String]): Int = {
     val selKeys = selected.map(_.key).toSet
     val untouched = m.files.filterNot(f => selKeys.contains(f.key))
     val data = readMerged(spark, m, selected)

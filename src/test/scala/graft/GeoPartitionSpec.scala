@@ -423,6 +423,50 @@ class GeoPartitionSpec extends SparkSpec {
     assert(counts() == preCounts)
   }
 
+  test("OPTIMIZE SMALL BELOW consolidates only the small files") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.optsm (id BIGINT, nat BIGINT) USING geo " +
+      "PARTITIONED BY (nat) TBLPROPERTIES('stats.columns'='')")
+    // one right-sized commit + a trickle of small appends (the streaming
+    // leftover shape)
+    spark.sql("INSERT INTO geopt.db.optsm SELECT id, id % 2 FROM range(0, 2000)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO geopt.db.optsm SELECT ${10000 + i}, ${i % 2}")
+    }
+    val root = warehouse + "/db/optsm"
+    val before = GeoManifest.read(spark, root)
+    val big = before.files.filter(_.rows >= 100).map(_.key).toSet
+    val small = before.files.filter(f => f.rows > 0 && f.rows < 100)
+    assert(big.nonEmpty && small.length == 4, s"shape: ${before.files.map(_.rows)}")
+    val n = graft.tables.GeoTable.compactSmall(spark, root, maxRows = 100)
+    assert(n >= 4, s"rewrote $n files")
+    val after = GeoManifest.read(spark, root)
+    // right-sized files carry over BY REFERENCE; small ones consolidated
+    assert(big.subsetOf(after.files.map(_.key).toSet))
+    assert(after.files.count(f => f.rows > 0 && f.rows < 100) <
+      small.length, "small files not consolidated")
+    assert(spark.table("geopt.db.optsm").count() == 2004L)
+    // partitioned layout preserved: consolidated output is still
+    // single-valued per file (clustered rewrite)
+    val i = after.partitions.indexWhere(t => t.kind == "identity" && t.col == "nat")
+    after.files.filter(f => f.pstats.nonEmpty).foreach { f =>
+      val (lo, hi) = f.pstats(i)
+      assert(lo == hi, s"straddling file after compactSmall: $f")
+    }
+    // fewer than 2 small files -> no-op, no commit
+    assert(graft.tables.GeoTable.compactSmall(spark, root, maxRows = 2) == 0)
+    assert(GeoManifest.read(spark, root).version == after.version)
+    // SQL spelling
+    spark.sql("INSERT INTO geopt.db.optsm SELECT 20001, 0")
+    spark.sql("INSERT INTO geopt.db.optsm SELECT 20002, 1")
+    graft.tables.GeoSql.exec(spark, "OPTIMIZE geopt.db.optsm SMALL BELOW 100 ROWS")
+    spark.sql("REFRESH TABLE geopt.db.optsm")
+    assert(spark.table("geopt.db.optsm").count() == 2006L)
+    val e = intercept[Exception] { graft.tables.GeoSql.exec(spark,
+      "OPTIMIZE geopt.db.optsm SMALL BELOW 100 ROWS WHERE nat = 0") }
+    assert(e.getMessage.contains("alternative selections"))
+  }
+
   test("writer-side inline stats agree field-for-field with the read-back scan") {
     // DSv2 INSERT commits manifest entries from the writers' inline stats
     // (no read-back job); this pins their contract: re-running the old
