@@ -75,7 +75,8 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
           pastSpecs =
             if (truncate) fresh.pastSpecs.view.filterKeys(id =>
               aligned.exists(_.spec == id)).toMap
-            else fresh.pastSpecs), fresh.version)
+            else fresh.pastSpecs), fresh.version,
+          op = if (truncate) "overwrite" else "append")
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
@@ -214,7 +215,7 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
         val aligned = GeoManifest.alignSpec(entries, m, fresh)
         GeoManifest.commitBranch(spark, root,
           fresh.copy(version = b.head + 1, files = fresh.files ++ aligned),
-          branch, b.head)
+          branch, b.head, op = "append")
         committed = true
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>

@@ -446,6 +446,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
     case "snapshots" => StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
       StructField("data_files", IntegerType, nullable = false),
       StructField("total_rows", LongType, nullable = false)))
     case "history" => StructType(Seq(
@@ -509,7 +510,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           else {
             val m = GeoManifest.readVersion(sparkAtLoad, root, v)
             val ts = m.commitTs.getOrElse(f.getFileStatus(p).getModificationTime)
-            Some(InternalRow(v, ts * 1000L, m.files.length, m.totalRows))
+            // operation provenance (Iceberg snapshot-summary analog);
+            // "--" = pre-op manifest or a tool's direct write
+            Some(InternalRow(v, ts * 1000L,
+              UTF8String.fromString(m.op.getOrElse("--")), m.files.length, m.totalRows))
           }
         }.toArray
       case "history" =>
@@ -679,7 +683,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       // via time travel until vacuum, like every commit)
       val m = GeoManifest.read(spark, root)
       GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-        files = Seq.empty, deletes = Seq.empty, eqDeletes = Seq.empty), m.version)
+        files = Seq.empty, deletes = Seq.empty, eqDeletes = Seq.empty), m.version,
+        op = "truncate")
     } else {
       val (field, lits) = keyedPredicate(predicates).getOrElse(
         throw new UnsupportedOperationException(

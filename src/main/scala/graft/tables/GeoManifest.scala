@@ -246,7 +246,8 @@ object GeoManifest {
                             pastSpecs: Map[Int, Seq[GeoPartition.PTransform]] = Map.empty,
                             specId: Int = 0,
                             bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
-                            blooms: Seq[GeoBloom.BloomEntry] = Seq.empty) {
+                            blooms: Seq[GeoBloom.BloomEntry] = Seq.empty,
+                            op: Option[String] = None) {
     /** Per-file spec resolution for every pstats consumer. Lazy: the
       * eq-applicability loops call this per (file × delete) pair. */
     lazy val specSet: GeoPartition.SpecSet =
@@ -336,11 +337,16 @@ object GeoManifest {
     * root lock); best-effort across JVMs on filesystems without atomic
     * pointer swap — true multi-writer safety needs a lock service, as
     * with any file-based table format. */
-  def commit(spark: SparkSession, root: String, m0: Manifest, expectedBase: Int): Unit = {
+  def commit(spark: SparkSession, root: String, m0: Manifest, expectedBase: Int,
+             op: String = ""): Unit = {
     // bloom sidecar build runs BEFORE the lock (it is a Spark job over the
     // fresh files); a lost optimistic race leaves an unreferenced sidecar
-    // for the vacuum orphan sweep, same as a lost data-write race
-    val m = GeoBloom.withBlooms(spark, root, m0)
+    // for the vacuum orphan sweep, same as a lost data-write race.
+    // The operation label is stamped HERE from the caller's argument —
+    // copy()-derived manifests carry the BASE's op, and inheriting it
+    // would mislabel history the way an inherited ts would corrupt it.
+    val m = GeoBloom.withBlooms(spark, root,
+      m0.copy(op = Option(op).filter(_.nonEmpty)))
     withCommitLock(root) {
       val cur = currentVersion(spark, root)
       if (!cur.contains(expectedBase))
@@ -392,8 +398,9 @@ object GeoManifest {
     * move, so main readers never see staged commits (the write side of
     * write-audit-publish). Optimistic check against the branch head. */
   def commitBranch(spark: SparkSession, root: String, m0: Manifest,
-                   branch: String, expectedHead: Int): Int = {
-    val m = GeoBloom.withBlooms(spark, root, m0) // Spark job: before the lock
+                   branch: String, expectedHead: Int, op: String = ""): Int = {
+    val m = GeoBloom.withBlooms(spark, root, // Spark job: before the lock
+      m0.copy(op = Option(op).filter(_.nonEmpty)))
     withCommitLock(root) {
       val r = refs(spark, root)
       val b = r.branches.getOrElse(branch, throw new IllegalArgumentException(
@@ -496,8 +503,9 @@ object GeoManifest {
     reused ++ freshRefs
   }
 
-  def write(spark: SparkSession, root: String, m0: Manifest): Unit =
-    write0(spark, root, GeoBloom.withBlooms(spark, root, m0))
+  def write(spark: SparkSession, root: String, m0: Manifest, op: String = ""): Unit =
+    write0(spark, root, GeoBloom.withBlooms(spark, root,
+      m0.copy(op = Option(op).filter(_.nonEmpty))))
 
   /** [[write]] minus the bloom hook — [[commit]] hooks before its lock. */
   private def write0(spark: SparkSession, root: String, m0: Manifest): Unit = {
@@ -574,6 +582,11 @@ object GeoManifest {
     // lineage: direct write() callers (root commits, tools) default to the
     // consecutive predecessor — exactly what their callers mean
     lines ++= s"parent\t${m.parent.getOrElse(m.version - 1)}\n"
+    // operation provenance (Iceberg snapshot-summary `operation` analog):
+    // a KNOWN tag at every format version — pure metadata, a reader that
+    // dropped it would lose nothing — so recording it does not force a
+    // format bump on otherwise-v3 tables. Absent = unknown ("--").
+    m.op.foreach { o => lines ++= s"op\t$o\n" }
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -734,6 +747,7 @@ object GeoManifest {
     val pastSpecs = Map.newBuilder[Int, Seq[GeoPartition.PTransform]]
     val bloomCols = Seq.newBuilder[GeoBloom.BloomSpec]
     val blooms = Seq.newBuilder[GeoBloom.BloomEntry]
+    var opv: Option[String] = None
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
@@ -753,6 +767,7 @@ object GeoManifest {
         case "geom" => geomCol = Some(parts(1)).filter(_ != "--")
         case "ts" => commitTs = Some(parts(1).toLong)
         case "parent" => parent = Some(parts(1).toInt)
+        case "op" => opv = Some(parts(1))
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += parseFileEntry(parts, declared >= 6)
@@ -800,7 +815,7 @@ object GeoManifest {
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
       parent, colStats.result(), pastSpecs.result(), specId,
-      bloomCols.result(), blooms.result())
+      bloomCols.result(), blooms.result(), opv)
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

@@ -1038,7 +1038,8 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     val untouched = fresh.files.filterNot(f => replaced.contains(f.key))
     GeoManifest.commit(spark, root,
       fresh.copy(version = fresh.version + 1, files = untouched ++ entries,
-        deletes = keptDeletes), fresh.version)
+        deletes = keptDeletes), fresh.version,
+      op = cmd.toString.toLowerCase)
     // zero-row replacement files never enter the manifest; drop them now
     // rather than leaving unreferenced garbage for vacuum. Best-effort:
     // the manifest swap above already succeeded, so a transient FS error

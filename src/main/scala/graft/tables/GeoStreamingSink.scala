@@ -118,7 +118,8 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
           version = fresh.version + 1,
           files = if (truncate) entries else fresh.files ++ entries,
           deletes = if (truncate) Seq.empty else fresh.deletes,
-          streamCommits = fresh.streamCommits + (sinkId -> epochId)), fresh.version)
+          streamCommits = fresh.streamCommits + (sinkId -> epochId)), fresh.version,
+          op = if (truncate) "stream-overwrite" else "stream-append")
         dropFiles(written.collect { case m if m.rows == 0 => m.path }) // empty task files
         return
       } catch {

@@ -76,7 +76,8 @@ object GeoTable {
       else GeoPartition.layout(tagged, partitions, tagged.schema)
     val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol, partitions)
     GeoManifest.write(spark, root,
-      Manifest(0, tagged.schema, geomCol, files, partitions = partitions))
+      Manifest(0, tagged.schema, geomCol, files, partitions = partitions),
+      op = "create")
   }
 
   /**
@@ -118,7 +119,8 @@ object GeoTable {
     val partitions = GeoPartition.statsFor(schema, Seq.empty)
     val files = GeoManifest.collectStats(spark, schema, paths, geomCol, partitions)
     GeoManifest.write(spark, root,
-      Manifest(0, schema, geomCol, files, partitions = partitions))
+      Manifest(0, schema, geomCol, files, partitions = partitions),
+      op = "import")
     files.map(_.rows).sum
   }
 
@@ -137,7 +139,7 @@ object GeoTable {
     validateFooters(spark, m.schema, paths)
     val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = m.files ++ entries), m.version)
+      m.copy(version = m.version + 1, files = m.files ++ entries), m.version, op = "import")
     entries.map(_.rows).sum
   }
 
@@ -202,7 +204,7 @@ object GeoTable {
         // MIGRATION path: OPTIMIZE after SET PARTITIONED BY restores a
         // single-spec table and with it storage-partitioned joins)
         pastSpecs = Map.empty,
-        eqDeletes = Seq.empty), m.version)
+        eqDeletes = Seq.empty), m.version, op = "optimize")
   }
 
   /**
@@ -290,7 +292,7 @@ object GeoTable {
         pastSpecs = if (untouched.isEmpty) Map.empty
                     else m.pastSpecs.view.filterKeys(id =>
                       untouched.exists(f => f.spec == id)).toMap),
-      m.version)
+      m.version, op = "optimize")
     selected.length
   }
 
@@ -324,7 +326,7 @@ object GeoTable {
       baseShards = Seq.empty,    // inline the list; shards re-form under the clone
       streamCommits = Map.empty, // fresh sink-identity space
       commitTs = Some(System.currentTimeMillis()),
-      parent = Some(-1)))
+      parent = Some(-1)), op = "clone")
     v
   }
 
@@ -584,7 +586,7 @@ object GeoTable {
       }
     GeoManifest.commit(spark, root,
       tgt.copy(version = cur.version + 1, streamCommits = cur.streamCommits),
-      cur.version)
+      cur.version, op = "restore")
     tgt.totalRows
   }
 
@@ -671,7 +673,8 @@ object GeoTable {
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commitBranch(spark, root,
-      m.copy(version = b.head + 1, files = m.files ++ files), name, b.head)
+      m.copy(version = b.head + 1, files = m.files ++ files), name, b.head,
+      op = "append")
     files.map(_.rows).sum
   }
 
@@ -702,7 +705,7 @@ object GeoTable {
     GeoSchema.validate(schema)
     GeoManifest.write(spark, root,
       Manifest(0, schema, geomCol, Seq.empty, partitions = partitions,
-        bloomCols = bloomCols))
+        bloomCols = bloomCols), op = "create")
   }
 
   /** Enable (or retune) per-file bloom filters on `colsProp` columns
@@ -735,7 +738,7 @@ object GeoTable {
         m.files.filter(f => f.addedAt >= 0 && f.rows > 0), specs).toSeq
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, bloomCols = specs, blooms = backfill),
-      m.version)
+      m.version, op = "bloom")
   }
 
   // -------------------------------------------------------------------------
@@ -778,7 +781,7 @@ object GeoTable {
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1,
         schema = StructType(m.schema.fields ++ fields.map(_.copy(nullable = true)))),
-      m.version)
+      m.version, op = "ddl")
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only commit: the column leaves the
@@ -830,7 +833,7 @@ object GeoTable {
         // stop building blooms for the dropped column; existing sidecar
         // rows for it are simply never consulted again
         bloomCols = m.bloomCols.filterNot(_.col.equalsIgnoreCase(name))),
-      m.version)
+      m.version, op = "ddl")
   }
 
   /** ALTER TABLE ... SET PARTITIONED BY (...) — partition-spec evolution
@@ -878,7 +881,7 @@ object GeoTable {
       m.copy(version = m.version + 1, partitions = newParts,
         pastSpecs = live,
         specId = (m.pastSpecs.keySet + m.specId).max + 1),
-      m.version)
+      m.version, op = "ddl")
   }
 
   /** ALTER TABLE RENAME COLUMN — implemented as a full copy-on-write
@@ -924,7 +927,7 @@ object GeoTable {
         bloomCols = m.bloomCols.map(s =>
           if (s.col.equalsIgnoreCase(from)) s.copy(col = to) else s),
         blooms = Seq.empty),
-      m.version)
+      m.version, op = "ddl")
   }
 
   /** Current snapshot as a DataFrame (schema from the manifest, so GEOMETRY
@@ -1004,7 +1007,8 @@ object GeoTable {
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
-        streamCommits = m.streamCommits ++ streamCommit), m.version)
+        streamCommits = m.streamCommits ++ streamCommit), m.version,
+      op = if (streamCommit.isDefined) "stream-append" else "append")
     files.map(_.rows).sum
   }
 
@@ -1017,7 +1021,7 @@ object GeoTable {
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
-        eqDeletes = Seq.empty, pastSpecs = Map.empty, blooms = Seq.empty), m.version)
+        eqDeletes = Seq.empty, pastSpecs = Map.empty, blooms = Seq.empty), m.version, op = "overwrite")
     files.map(_.rows).sum
   }
 
@@ -1081,7 +1085,7 @@ object GeoTable {
       // sidecars reference nothing visible (already rewritten / no hits):
       // clearing them is a pure metadata commit
       GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-        deletes = Seq.empty, eqDeletes = Seq.empty), m.version)
+        deletes = Seq.empty, eqDeletes = Seq.empty), m.version, op = "fold")
       return 0L
     }
     val rewritten = writeCommit(spark, root, readMerged(spark, m, touched),
@@ -1089,7 +1093,7 @@ object GeoTable {
     val untouched = m.files.filterNot(f => touched.exists(_.key == f.key))
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
-      m.version)
+      m.version, op = "fold")
     touched.map(_.rows).sum
   }
 
@@ -1136,7 +1140,7 @@ object GeoTable {
         r.getLong(r.fieldIndex(s"__nul_$c")), mm._1, mm._2)
     }
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-      colStats = m.colStats ++ stats), m.version)
+      colStats = m.colStats ++ stats), m.version, op = "analyze")
     resolved
   }
 
@@ -1186,7 +1190,7 @@ object GeoTable {
         val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions,
           cluster = true)
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-          files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version)
+          files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version, op = "update")
         maybeFoldSidecars(spark, root)
         sidecar.map(_.rows).sum
     }
@@ -1208,7 +1212,7 @@ object GeoTable {
       case None => cow()
       case Some((_, sidecar)) =>
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-          deletes = m.deletes ++ sidecar), m.version)
+          deletes = m.deletes ++ sidecar), m.version, op = "delete")
         maybeFoldSidecars(spark, root)
         sidecar.map(_.rows).sum
     }
@@ -1233,7 +1237,7 @@ object GeoTable {
       case None => 0L
       case Some((entry, n)) =>
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-          eqDeletes = m.eqDeletes :+ entry), m.version)
+          eqDeletes = m.eqDeletes :+ entry), m.version, op = "delete")
         maybeFoldSidecars(spark, root)
         n
     }
@@ -1267,7 +1271,7 @@ object GeoTable {
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
-      streamCommits = m.streamCommits ++ streamCommit), m.version)
+      streamCommits = m.streamCommits ++ streamCommit), m.version, op = "upsert")
     maybeFoldSidecars(spark, root)
     files.map(_.rows).sum
   }
@@ -1338,7 +1342,7 @@ object GeoTable {
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
-      streamCommits = m.streamCommits ++ streamCommit), m.version)
+      streamCommits = m.streamCommits ++ streamCommit), m.version, op = "upsert")
     maybeFoldSidecars(spark, root)
     (files.map(_.rows).sum, eq.map(_._2).getOrElse(0L))
   }
@@ -1682,7 +1686,7 @@ object GeoTable {
     if (affected.isEmpty && inserted.isEmpty) return 0L
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = untouched ++ rewritten ++ inserted), m.version)
+      m.copy(version = m.version + 1, files = untouched ++ rewritten ++ inserted), m.version, op = "merge")
     matchedActed + inserted.map(_.rows).sum
   }
 
@@ -1741,7 +1745,8 @@ object GeoTable {
         cluster = true)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
-      m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version)
+      m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version,
+      op = if (keepNonMatching) "update" else "delete")
     hits.values.sum
   }
 

@@ -97,11 +97,22 @@ class GeoCatalogSpec extends SparkSpec {
     val ts = spark.sql("SELECT committed_at FROM geo.db.meta_t.snapshots ORDER BY version")
       .collect().map(_.getTimestamp(0).getTime)
     assert(ts.sorted.toSeq == ts.toSeq && ts.head > 0)
+    // operation provenance (Iceberg snapshot-summary `operation` analog):
+    // create -> append -> append, and DML labels its own verb
+    val ops = spark.sql("SELECT operation FROM geo.db.meta_t.snapshots ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append"), s"ops: $ops")
     // history mirrors Iceberg's: made_current_at per version, current flag
     val hist = spark.sql(
         "SELECT version, is_current FROM geo.db.meta_t.history ORDER BY version")
       .as[(Int, Boolean)].collect().toSeq
     assert(hist == Seq((0, false), (1, false), (2, true)))
+    // DML labels its own verb in the snapshot provenance
+    spark.sql("DELETE FROM geo.db.meta_t WHERE id = 2")
+    val lastOp = spark.sql(
+      "SELECT operation FROM geo.db.meta_t.snapshots ORDER BY version DESC LIMIT 1")
+      .head.getString(0)
+    assert(lastOp == "delete", s"DML op: $lastOp")
     // a real table named like a metadata kind shadows the metadata path
     spark.sql("CREATE TABLE geo.db.snapshots (id BIGINT, g BINARY) USING geo " +
       "TBLPROPERTIES('geometry.column'='g')")
