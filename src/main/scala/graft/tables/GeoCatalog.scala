@@ -741,10 +741,16 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       "snapshot-version" -> manifest.version.toString,
       "data-files" -> manifest.files.length.toString,
       "total-rows" -> manifest.totalRows.toString)
-    (manifest.geomCol match {
+    val withGeom = manifest.geomCol match {
       case Some(g) => base + (GeoCatalog.GeomColProp -> g)
       case None => base
-    }).asJava
+    }
+    // SHOW TBLPROPERTIES surfaces the bloom config it was set with
+    (if (manifest.bloomCols.isEmpty) withGeom
+     else withGeom +
+       ("bloom.columns" -> manifest.bloomCols.map(_.col).mkString(",")) +
+       ("bloom.fpp" -> manifest.bloomCols.head.fpp.toString) +
+       ("bloom.items" -> manifest.bloomCols.head.items.toString)).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -38,7 +38,8 @@ object BloomScale {
     }
 
     println(f"${"rows"}%10s ${"files"}%6s ${"ins+bloom"}%10s ${"insPlain"}%9s " +
-      f"${"appendF1"}%9s ${"lookupB(s)"}%11s ${"lookupP(s)"}%11s ${"scanB"}%6s ${"scanP"}%6s ${"sidecarKB"}%10s")
+      f"${"appendF1"}%9s ${"lookupB(s)"}%11s ${"lookupP(s)"}%11s ${"scanB"}%6s ${"scanP"}%6s " +
+      f"${"scanD"}%6s ${"lookD(s)"}%9s ${"sidecarKB"}%10s")
     steps.zipWithIndex.foreach { case (n, step) =>
       // grp interleaves ids across every bucket file: min/max never
       // prunes the id probes, only the bloom can
@@ -81,12 +82,18 @@ object BloomScale {
         require(scans.nonEmpty, s"no GeoCowScan in:\n${df.queryExecution.executedPlan}")
         scans.map(_.scannedFiles.count(_.rows > 0)).min
       }
+      // distributed probe (the >maxProbeFiles path): same skipping, the
+      // blooms just never materialize on the driver
+      spark.conf.set("spark.graft.bloom.maxProbeFiles", "2")
+      val (sDist, lDist) = try (scanned(tb), lookup(tb))
+        finally spark.conf.unset("spark.graft.bloom.maxProbeFiles")
       val m = GeoManifest.read(spark, s"$wh/db/$tb")
       val fs = GeoManifest.fs(spark, s"$wh/db/$tb")
       val kb = m.blooms.map(b =>
         fs.getFileStatus(new org.apache.hadoop.fs.Path(b.path)).getLen).sum / 1024
       println(f"$n%10d ${m.files.count(_.rows > 0)}%6d $tInsB%10.2f $tInsP%9.2f " +
-        f"$tApp%9.2f $lb%11.3f $lp%11.3f ${scanned(tb)}%6d ${scanned(tp)}%6d $kb%10d")
+        f"$tApp%9.2f $lb%11.3f $lp%11.3f ${scanned(tb)}%6d ${scanned(tp)}%6d " +
+        f"$sDist%6d $lDist%9.3f $kb%10d")
     }
     spark.stop()
   }

@@ -239,6 +239,32 @@ class GeoBloomSpec extends SparkSpec {
     assert(scanned < total, s"branch read did not bloom-prune: $scanned of $total")
   }
 
+  test("typed columns: build and probe agree on every embedding (no false negatives)") {
+    warehouse
+    // a build/probe embedding mismatch on DATE or TIMESTAMP would not
+    // crash — it would silently prune files that DO hold the row. Pin
+    // exactness for every supported type.
+    spark.sql("CREATE TABLE geobl.db.tt (grp BIGINT, d DATE, t TIMESTAMP, " +
+      "i INT, s STRING) USING geo PARTITIONED BY (bucket(8, grp)) " +
+      "TBLPROPERTIES('bloom.columns'='d,t,i,s', 'bloom.items'='4096')")
+    spark.sql("INSERT INTO geobl.db.tt SELECT id % 16, " +
+      "date_add(DATE'2020-01-01', CAST(id % 900 AS INT)), " +
+      "timestamp_seconds(1577836800 + id * 60), CAST(id AS INT), " +
+      "concat('s', id) FROM range(0, 8000)")
+    val root = s"$warehouse/db/tt"
+    def one(pred: String, expect: Long): Unit = {
+      val q = spark.sql(s"SELECT i FROM geobl.db.tt WHERE $pred")
+      val got = q.collect().map(_.getInt(0)).toSeq
+      assert(got == Seq(expect.toInt), s"$pred -> $got")
+      val (scanned, total) = scannedVsTotal(q, root)
+      assert(scanned < total, s"$pred did not prune: $scanned of $total")
+    }
+    one("d = DATE'2020-01-11' AND i = 10", 10L) // date embeds as epoch days
+    one(s"t = timestamp_seconds(${1577836800L + 4242 * 60})", 4242L) // micros
+    one("i = 777", 777L)
+    one("s = 's3131'", 3131L)
+  }
+
   test("vacuum keeps live bloom sidecars; path API + types validated") {
     warehouse
     val root = mkInterleaved("t6")
