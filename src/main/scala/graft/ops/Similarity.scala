@@ -328,4 +328,146 @@ object Similarity {
     probeTopK(assigned.where(
       org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "__v", q, k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the memory side of 100 TB ANN. A
+  // 384-dim float corpus is 1.5 KB/vector; PQ codes at m=8, k=16 are 8
+  // small ints (~8 bytes packed) — a ~190x working-set reduction for the
+  // candidate sweep. The pipeline is the standard IVF-PQ shape minus the
+  // coarse quantizer (compose with ivfSearch for both): train tiny
+  // per-subspace codebooks ONCE on a driver sample, encode distributed,
+  // answer queries by asymmetric distance (one m x k lookup table per
+  // query, scores summed from codes — the vectors themselves never load)
+  // and exact-rerank only the top candidates, so the final top-k is
+  // EXACT whenever the candidate pool covers it (tunable; the specs and
+  // the driver oracle pin exactness at the corpus' tuning).
+  // -------------------------------------------------------------------
+
+  /** Train PQ codebooks: `m` subspaces x `k` centroids each, Lloyd's on
+    * a deterministic driver-side sample (first `sampleN` rows by id —
+    * codebook training reads kilobytes, never the corpus). Vectors are
+    * L2-normalized first so summed sub-dot-products approximate COSINE.
+    * Returns codebooks(m)(k)(dim/m). */
+  def pqTrain(df: DataFrame, vec: Column, id: Column, m: Int = 8, k: Int = 16,
+              iters: Int = 8, sampleN: Int = 4096): Array[Array[Array[Double]]] = {
+    val sample = df.select(id.as("__id"), vec.as("__v")).where(vec.isNotNull)
+      .orderBy("__id").limit(sampleN).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "pqTrain: empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val normed = sample.map(normalize)
+    Array.tabulate(m) { j =>
+      val sub = normed.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, k, iters)
+    }
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n == 0.0) v else { val s = 1.0 / math.sqrt(n); v.map(_ * s) }
+  }
+
+  /** Plain driver-side Lloyd's over a (tiny) sample: deterministic init
+    * by stride so the k seeds spread over the sample. */
+  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = xs.length
+    val kk = math.min(k, n)
+    var cents = Array.tabulate(kk)(i => xs(i * n / kk).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](xs.head.length))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        val c = nearestSub(cents, x)
+        counts(c) += 1
+        var i = 0
+        while (i < x.length) { sums(c)(i) += x(i); i += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+    }
+    // pad degenerate codebooks (sample smaller than k) by repeating: the
+    // extra entries are never the argmin winner, codes stay in range
+    if (cents.length < k) cents ++ Array.fill(k - cents.length)(cents.head.clone())
+    else cents
+  }
+
+  private def nearestSub(cents: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode each vector as `m` codebook indices (argmin L2 per subspace
+    * over the L2-NORMALIZED vector — matching [[pqTrain]]). Distributed,
+    * expression-only: the codebooks ride as a literal, the argmin is the
+    * same aggregate fold as cluster assignment. Output column `pq_code`
+    * = array<int> of length m. */
+  def pqEncode(df: DataFrame, vec: Column, id: Column,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val k = codebooks.head.length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq) // [m][k][dsub]
+    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull)
+      // normalize once; slice() below is 1-based
+      .withColumn("__n", {
+        val nrm = sqrt(aggregate(c("__v"), lit(0.0d), (a, x) => a + x * x))
+        transform(c("__v"), x => when(nrm > 0.0, x / nrm).otherwise(x))
+      })
+    base.withColumn("pq_code",
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sub = slice(c("__n"), j * dsub + 1, lit(dsub))
+        aggregate(
+          sequence(lit(0), lit(k - 1)),
+          struct(lit(0).cast("int").as("best"), lit(Double.MaxValue).as("dist")),
+          (acc, ci) => {
+            val cent = cb.getItem(j).getItem(ci)
+            val d = aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d),
+              (a, i) => a + (sub.getItem(i) - cent.getItem(i)) * (sub.getItem(i) - cent.getItem(i)))
+            when(d < acc("dist"), struct(ci.cast("int").as("best"), d.as("dist"))).otherwise(acc)
+          },
+          acc => acc("best"))
+      }))
+      .select(c("vec_id"), c("__v"), c("pq_code"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes + exact rerank: ONE m x k
+    * lookup table per query (driver, from the codebooks), approximate
+    * score per row = sum over subspaces of lut(j)(code_j) — codes only,
+    * the vectors never load for the sweep — then the top `candidates`
+    * rows rerank by EXACT cosine. The result equals [[bruteTopK]]
+    * whenever the candidate pool covers the true top-k (the PQ recall
+    * contract; widen `candidates` to trade wall for certainty). */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             q: Array[Float], k: Int, candidates: Int = 128): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qn = normalize(q.map(_.toDouble))
+    // lut(j)(ci) = dot(q_sub_j, centroid) — approximate cosine summand
+    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).toSeq.map { cent =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += qn(j * dsub + i) * cent(i); i += 1 }
+        d
+      }
+    }
+    val lutLit = typedlit(lut)
+    val approx = encoded.withColumn("__approx",
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+        (a, j) => a + lutLit.getItem(j).getItem(c("pq_code").getItem(j))))
+    val cand = approx.orderBy(desc("__approx"), asc("vec_id")).limit(candidates)
+    cand.select(c("vec_id"), cosine(c("__v"), typedlit(q.toSeq)).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -231,6 +231,38 @@ class OpsSpec extends SparkSpec {
     assert((brute intersect ivf).size >= 4, s"IVF recall too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("PQ: codes compress, ADC candidates cover, rerank equals brute exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, col("embedding"), col("vec_id"), m = 16, k = 16)
+    assert(cb.length == 16 && cb.forall(_.length == 16) && cb.head.head.length == 4)
+    // determinism: same input, same codebooks (sample + Lloyd are seeded
+    // by construction — first-N sample, stride init)
+    val cb2 = Similarity.pqTrain(emb, col("embedding"), col("vec_id"), m = 16, k = 16)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+    val enc = Similarity.pqEncode(emb, col("embedding"), col("vec_id"), cb)
+      .localCheckpoint()
+    // every code is m small indices — the 100 TB sweep reads these, not
+    // the float vectors
+    val codes = enc.select("pq_code").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 16 && cs.forall(c => c >= 0 && c < 16)))
+    // exactness through rerank: PQ candidates + exact cosine == brute
+    // top-10 bit-for-bit at this corpus' tuning
+    for (qid <- Seq(7L, 123L, 400L)) {
+      val q = emb.where(col("vec_id") === qid).select("embedding").head.getSeq[Float](0).toArray
+      val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pq = Similarity.pqTopK(enc, cb, q, k = 10, candidates = 128)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pq == brute, s"q=$qid:\npq   =$pq\nbrute=$brute")
+    }
+    // the ADC sweep ALONE (no rerank pool slack) already ranks the query
+    // vector itself first — sanity that the lut math is the right shape
+    val q7 = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val adcTop = Similarity.pqTopK(enc, cb, q7, k = 1, candidates = 1)
+      .select("vec_id").as[Long].head()
+    assert(adcTop == 7L, s"ADC self-match failed: $adcTop")
+  }
+
   test("persisted IVF index: build once, probes re-run no k-means and prune files") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/i"
