@@ -519,3 +519,110 @@ case class CharNgramHashes(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "char_ngram_hashes"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/**
+ * Product-quantization encoder: vector -> `m` codebook indices (argmin
+ * L2 per subspace over the L2-NORMALIZED input, first index wins ties).
+ * The codebooks ride INSIDE the expression (flattened to primitive
+ * arrays at first use); one virtual call into this pre-compiled loop per
+ * row — the interpreted higher-order-function formulation of the same
+ * argmin cost ~60 s at sf0.1 where this runs in milliseconds.
+ */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val cf = isFloatArray(child)
+  private val m = codebooks.length
+  private val k = codebooks.head.length
+  private val dsub = codebooks.head.head.length
+  // flat per-subspace [k * dsub] layout: the inner loop is pure primitive
+  // array math, no nested-array derefs
+  @transient private lazy val flat: Array[Array[Double]] =
+    codebooks.map { cs =>
+      val a = new Array[Double](k * dsub)
+      var c = 0
+      while (c < k) {
+        var i = 0
+        while (i < dsub) { a(c * dsub + i) = cs(c)(i); i += 1 }
+        c += 1
+      }
+      a
+    }
+
+  def compute(v: ArrayData): ArrayData = {
+    val dim = m * dsub
+    val x = new Array[Double](dim) // zero-padded when the input is shorter
+    val n = math.min(v.numElements(), dim)
+    var i = 0
+    var s = 0.0
+    while (i < n) { val e = elem(v, i, cf); x(i) = e; s += e * e; i += 1 }
+    if (s > 0.0) {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < dim) { x(i) *= inv; i += 1 }
+    }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = flat(j)
+      val off = j * dsub
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var t = 0
+        while (t < dsub) { val dd = x(off + t) - cb(c * dsub + t); d += dd * dd; t += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Asymmetric-distance score: sum over subspaces of `lut(j)(code_j)` —
+ * the per-query lookup table rides inside the expression, the row cost
+ * is `m` primitive lookups. Out-of-range codes (corrupt input) score
+ * -Inf rather than throwing: the rerank discards them.
+ */
+case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private val m = lut.length
+  private val k = lut.head.length
+
+  def compute(codes: ArrayData): Double = {
+    val n = math.min(codes.numElements(), m)
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return Double.NegativeInfinity
+      s += lut(j)(c)
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override def prettyName: String = "pq_adc_score"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
