@@ -87,17 +87,19 @@ case class StLengthSpheroid(child: Expression) extends StUnary {
       }
       total
     }
-    var total = 0.0
-    (0 until g.getNumGeometries).foreach { i =>
-      g.getGeometryN(i) match {
-        case l: LineString => total += lineLen(l)
-        case p: Polygon =>
-          total += lineLen(p.getExteriorRing)
-          (0 until p.getNumInteriorRing).foreach(r => total += lineLen(p.getInteriorRingN(r)))
-        case _ => ()
-      }
+    // recursive walk: a GeometryCollection's components can themselves be
+    // Multi* — a flat getGeometryN loop would measure nested linework as 0
+    def walk(geom: Geometry): Double = geom match {
+      case l: LineString => lineLen(l)
+      case p: Polygon =>
+        lineLen(p.getExteriorRing) +
+          (0 until p.getNumInteriorRing).map(r => lineLen(p.getInteriorRingN(r))).sum
+      case other if other.getNumGeometries > 1 || other.getGeometryType.startsWith("Multi") ||
+          other.getGeometryType == "GeometryCollection" =>
+        (0 until other.getNumGeometries).map(i => walk(other.getGeometryN(i))).sum
+      case _ => 0.0
     }
-    total
+    walk(g)
   }
   override def prettyName: String = "st_lengthspheroid"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -112,18 +114,18 @@ case class StLengthSpheroid(child: Expression) extends StUnary {
 case class StAreaSpheroid(child: Expression) extends StUnary {
   override def dataType: DataType = DoubleType
   protected def run(g: Geometry): Any = {
-    var total = 0.0
-    (0 until g.getNumGeometries).foreach { i =>
-      g.getGeometryN(i) match {
-        case p: Polygon =>
-          total += math.abs(Spheroid.ringArea(p.getExteriorRing.getCoordinates))
-          (0 until p.getNumInteriorRing).foreach { r =>
-            total -= math.abs(Spheroid.ringArea(p.getInteriorRingN(r).getCoordinates))
-          }
-        case _ => ()
-      }
+    // recursive: polygons may nest inside GeometryCollections as Multi*
+    def walk(geom: Geometry): Double = geom match {
+      case p: Polygon =>
+        math.abs(Spheroid.ringArea(p.getExteriorRing.getCoordinates)) -
+          (0 until p.getNumInteriorRing).map(r =>
+            math.abs(Spheroid.ringArea(p.getInteriorRingN(r).getCoordinates))).sum
+      case other if other.getNumGeometries > 1 || other.getGeometryType.startsWith("Multi") ||
+          other.getGeometryType == "GeometryCollection" =>
+        (0 until other.getNumGeometries).map(i => walk(other.getGeometryN(i))).sum
+      case _ => 0.0
     }
-    math.abs(total)
+    math.abs(walk(g))
   }
   override def prettyName: String = "st_areaspheroid"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -606,10 +606,13 @@ case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
   private val k = lut.head.length
 
   def compute(codes: ArrayData): Double = {
-    val n = math.min(codes.numElements(), m)
+    // a code array of the wrong arity is as corrupt as an out-of-range
+    // code: a truncated sum could rank ABOVE complete rows when the
+    // missing subspaces' lut entries are negative
+    if (codes.numElements() != m) return Double.NegativeInfinity
     var s = 0.0
     var j = 0
-    while (j < n) {
+    while (j < m) {
       val c = codes.getInt(j)
       if (c < 0 || c >= k) return Double.NegativeInfinity
       s += lut(j)(c)

@@ -49,10 +49,12 @@ import org.apache.spark.util.sketch.BloomFilter
  * Scale envelope: blooms AUTO-SIZE from each file's row count (items=0,
  * the default — a fixed size silently saturates on bigger files and a
  * saturated bloom prunes nothing), ~0.9 MB per million rows at the
- * default 3% fpp — ~0.2% of a 512 MB data file. Driver-side probing
- * loads sidecars once (memoized); when a scan still has more than
- * `bloom.maxProbeFiles` candidate files after range pruning the bloom
- * probe is skipped — a query that unselective gains nothing from it.
+ * default 3% fpp — ~0.2% of a 512 MB data file. At or under
+ * `bloom.maxProbeFiles` candidates the probe runs on the DRIVER over
+ * memoized sidecars; past it the probe goes DISTRIBUTED ([[pruneBig]]:
+ * one planning-time job over the sidecar bytes, candidate-filtered,
+ * only excluded file keys return) — the 100k-file point lookup is the
+ * very case blooms exist for and must not silently lose them.
  */
 object GeoBloom {
 
@@ -335,21 +337,26 @@ object GeoBloom {
       probes.map { case (c, ps) => c -> ps.collect { case Left(s) => s }.toArray }
     val longProbes: Map[String, Array[Long]] =
       probes.map { case (c, ps) => c -> ps.collect { case Right(l) => l }.toArray }
-    val bc = spark.sparkContext.broadcast((strProbes, longProbes))
+    // candidate keys ride in the same broadcast: sidecars can carry rows
+    // for files outside this scan (dead, time-travel, other-spec) — they
+    // must neither cost a deserialization nor leak into the verdict
+    val bc = spark.sparkContext.broadcast(
+      (strProbes, longProbes, files.map(_.key).toSet))
     import spark.implicits._
     val excluded = spark.read.parquet(blooms.map(_.path): _*)
       .select("file", "col", "bloom")
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        val (ss, ls) = bc.value
+        val (ss, ls, cand) = bc.value
         it.flatMap { case (f, c, bytes) =>
           val key = c.toLowerCase
-          if (!ss.contains(key)) None
+          val fkey = GeoManifest.norm(f)
+          if (!ss.contains(key) || !cand.contains(fkey)) None
           else {
             val bf = deserialize(bytes)
             val hit = ss(key).exists(bf.mightContainString) ||
               ls(key).exists(bf.mightContainLong)
-            if (hit) None else Some(GeoManifest.norm(f))
+            if (hit) None else Some(fkey)
           }
         }
       }.collect().toSet

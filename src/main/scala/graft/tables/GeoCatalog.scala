@@ -745,12 +745,20 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       case Some(g) => base + (GeoCatalog.GeomColProp -> g)
       case None => base
     }
-    // SHOW TBLPROPERTIES surfaces the bloom config it was set with
+    // SHOW TBLPROPERTIES surfaces the bloom config it was set with.
+    // Knobs can DIVERGE per column (sibling-knob inheritance across
+    // ALTERs): a uniform value prints once, divergent values print as a
+    // comma list aligned with bloom.columns — never misreport one
+    // column's tuning as the table's.
+    def knob[A](get: GeoBloom.BloomSpec => A): String = {
+      val vs = manifest.bloomCols.map(get)
+      if (vs.distinct.length == 1) vs.head.toString else vs.mkString(",")
+    }
     (if (manifest.bloomCols.isEmpty) withGeom
      else withGeom +
        ("bloom.columns" -> manifest.bloomCols.map(_.col).mkString(",")) +
-       ("bloom.fpp" -> manifest.bloomCols.head.fpp.toString) +
-       ("bloom.items" -> manifest.bloomCols.head.items.toString)).asJava
+       ("bloom.fpp" -> knob(_.fpp)) +
+       ("bloom.items" -> knob(_.items))).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

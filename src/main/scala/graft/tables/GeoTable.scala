@@ -729,7 +729,10 @@ object GeoTable {
         case None => s
       }
     }
-    if (specs == m.bloomCols) return // idempotent SET: no job, no commit
+    // idempotent SET: no job, no commit — but ONLY when sidecars exist to
+    // stand on (RENAME COLUMN keeps the config and drops the sidecars; a
+    // re-SET afterwards must rebuild, not no-op into a never-pruning table)
+    if (specs == m.bloomCols && (specs.isEmpty || m.blooms.nonEmpty)) return
     // the backfill covers EVERY current file, so it REPLACES the sidecar
     // list — re-tuning must not accumulate duplicate (file, col) rows
     val backfill =

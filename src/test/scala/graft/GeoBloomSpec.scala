@@ -220,6 +220,26 @@ class GeoBloomSpec extends SparkSpec {
     val q = spark.sql("SELECT id FROM geobl.db.t8 WHERE id = 99")
     val (scanned, total) = scannedVsTotal(q, root)
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(99L) && scanned < total)
+    // divergent knobs (a new column inherits defaults, existing keep
+    // theirs) must not misreport: SHOW TBLPROPERTIES prints a per-column
+    // comma list when values diverge
+    spark.sql("ALTER TABLE geobl.db.t8 SET TBLPROPERTIES('bloom.columns'='id,name,grp')")
+    val m4 = GeoManifest.read(spark, root)
+    assert(m4.bloomCols.map(_.fpp).distinct.length == 2, s"expected divergence: ${m4.bloomCols}")
+    val props = spark.sql("SHOW TBLPROPERTIES geobl.db.t8").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("bloom.columns") == "id,name,grp")
+    assert(props("bloom.fpp").split(',').length == 3, s"fpp not per-column: ${props("bloom.fpp")}")
+    // RENAME keeps the config; the rewrite commit re-covers the new
+    // files, and a re-SET of the same config must never no-op into a
+    // sidecar-less table
+    spark.sql("ALTER TABLE geobl.db.t8 RENAME COLUMN id TO ident")
+    val m5 = GeoManifest.read(spark, root)
+    assert(m5.bloomCols.exists(_.col == "ident") && m5.blooms.nonEmpty)
+    val q2 = spark.sql("SELECT ident FROM geobl.db.t8 WHERE ident = 4242")
+    val (s2, t2) = scannedVsTotal(q2, root)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(4242L) && s2 < t2,
+      s"post-rename probe did not prune: $s2 of $t2")
   }
 
   test("branch reads probe the blooms their branch commits built") {

@@ -261,6 +261,16 @@ class OpsSpec extends SparkSpec {
     val adcTop = Similarity.pqTopK(enc, cb, q7, k = 1, candidates = 1)
       .select("vec_id").as[Long].head()
     assert(adcTop == 7L, s"ADC self-match failed: $adcTop")
+    // wrong-arity / out-of-range codes score -Inf (never a plausible
+    // partial sum that could displace true neighbors from the pool)
+    import org.apache.spark.sql.graft.GraftShim
+    val lut = Array.fill(16)(Array.fill(16)(-1.0)) // negative entries: the trap case
+    def score(codes: Seq[Int]): Double = spark.range(1).select(
+      GraftShim.column(graft.functions.PqAdcScore(
+        GraftShim.expression(typedlit(codes)), lut))).head.getDouble(0)
+    assert(score(Seq.fill(16)(0)) == -16.0)
+    assert(score(Seq.fill(4)(0)).isNegInfinity, "short code array must score -Inf")
+    assert(score(Seq.fill(16)(99)).isNegInfinity, "out-of-range code must score -Inf")
   }
 
   test("persisted IVF index: build once, probes re-run no k-means and prune files") {

@@ -36,6 +36,14 @@ class StTier6Spec extends SparkSpec {
     val ringLen = d1("st_lengthspheroid(st_geomfromtext(" +
       "'LINESTRING (0 0, 0.01 0, 0.01 1, 0 1, 0 0)'))")
     assert(polyLen == ringLen && polyLen > 2 * 110574.0, s"polygon ring length $polyLen")
+    // nested collections measure their linework (recursive walk): a
+    // MultiLineString INSIDE a GeometryCollection must not read as 0
+    val nested = d1("st_lengthspheroid(st_geomfromtext(" +
+      "'GEOMETRYCOLLECTION (MULTILINESTRING ((0 0, 0 1)), POINT (5 5))'))")
+    assert(math.abs(nested - m0) < 1e-9, s"nested collection length $nested vs $m0")
+    assert(d1("st_areaspheroid(st_geomfromtext(" +
+      "'GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0))))'))") ==
+      d1("st_areaspheroid(st_makeenvelope(0, 0, 1, 1))"))
     val sph = d1("st_lengthsphere(st_geomfromtext('LINESTRING (10 40, 11 41)'))")
     val ell = d1("st_lengthspheroid(st_geomfromtext('LINESTRING (10 40, 11 41)'))")
     assert(math.abs(ell / sph - 1.0) < 0.005, s"sphere $sph vs spheroid $ell")
