@@ -488,6 +488,11 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("fpp", DoubleType, nullable = true),
       StructField("items", LongType, nullable = true),
       StructField("path", StringType, nullable = true)))
+    case "manifests" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("file_count", IntegerType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -590,6 +595,20 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           m.blooms.map(e => InternalRow(UTF8String.fromString("sidecar"),
             UTF8String.fromString(e.cols.mkString(",")), null, null,
             UTF8String.fromString(e.path)))).toArray
+      // the current snapshot's metadata inventory (Iceberg all_manifests
+      // analog): the list manifest + its v5 shards, with entry counts and
+      // on-disk sizes — the ops surface for shard-fold health
+      case "manifests" =>
+        val m = GeoManifest.read(sparkAtLoad, root)
+        val f = GeoManifest.fs(sparkAtLoad, root)
+        def size(name: String): Long =
+          try f.getFileStatus(new Path(root, s"_manifests/$name")).getLen
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        val inline = m.files.length - m.baseShards.map(_.entries.length).sum
+        (InternalRow(UTF8String.fromString(s"m${m.version}.txt"),
+            UTF8String.fromString("list"), inline, size(s"m${m.version}.txt")) +:
+          m.baseShards.map(s => InternalRow(UTF8String.fromString(s.name),
+            UTF8String.fromString("shard"), s.entries.length, size(s.name)))).toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -601,7 +620,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

@@ -113,6 +113,22 @@ class GeoCatalogSpec extends SparkSpec {
       "SELECT operation FROM geo.db.meta_t.snapshots ORDER BY version DESC LIMIT 1")
       .head.getString(0)
     assert(lastOp == "delete", s"DML op: $lastOp")
+    // t.manifests: metadata inventory — inline table = one `list` row
+    // carrying every file entry; under a forced shard size the list row
+    // slims down and `shard` rows carry the entries
+    val inline = spark.sql("SELECT kind, file_count FROM geo.db.meta_t.manifests").collect()
+    assert(inline.length == 1 && inline.head.getString(0) == "list")
+    spark.conf.set("spark.graft.manifest.shardSize", "1")
+    try {
+      spark.sql("INSERT INTO geo.db.meta_t SELECT 3L, st_point(1.0D, 1.0D)")
+      val sharded = spark.sql(
+        "SELECT kind, file_count, size_bytes FROM geo.db.meta_t.manifests").collect()
+      assert(sharded.count(_.getString(0) == "shard") >= 1, sharded.mkString(", "))
+      assert(sharded.forall(_.getLong(2) > 0), "sizes must be real")
+      val total = sharded.map(_.getInt(1)).sum
+      val files = spark.sql("SELECT COUNT(*) FROM geo.db.meta_t.files").head.getLong(0)
+      assert(total == files, s"inventory covers $total of $files entries")
+    } finally spark.conf.unset("spark.graft.manifest.shardSize")
     // a real table named like a metadata kind shadows the metadata path
     spark.sql("CREATE TABLE geo.db.snapshots (id BIGINT, g BINARY) USING geo " +
       "TBLPROPERTIES('geometry.column'='g')")
