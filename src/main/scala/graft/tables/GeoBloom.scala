@@ -87,20 +87,39 @@ object GeoBloom {
     GeoPartition.supports("stats", dt) || dt == StringType
 
   /** TBLPROPERTIES('bloom.columns'='a,b'[, 'bloom.fpp'=.., 'bloom.items'=..])
-    * → validated specs. Empty string disables. */
+    * → validated specs. Empty string disables. fpp/items accept either
+    * ONE value (applies to every column) or a comma list aligned with
+    * bloom.columns — the exact form SHOW TBLPROPERTIES prints when
+    * per-column knobs diverge, so displayed properties always re-apply
+    * via ALTER ... SET TBLPROPERTIES. */
   def parseSpecs(spark: SparkSession, schema: StructType, colsProp: String,
                  fppProp: Option[String], itemsProp: Option[String]): Seq[BloomSpec] = {
-    val fpp = fppProp.map(_.toDouble).getOrElse(fppDefault(spark))
-    require(fpp > 0.0 && fpp < 1.0, s"bloom.fpp must be in (0, 1), got $fpp")
-    val items = itemsProp.map(_.toLong).getOrElse(itemsDefault(spark))
-    require(items >= 0, s"bloom.items must be >= 0 (0 = auto per-file), got $items")
-    colsProp.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+    val cols = colsProp.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def aligned[A](prop: Option[String], name: String, default: => A,
+                   parse: String => A): Seq[A] = prop match {
+      case None => Seq.fill(cols.length)(default)
+      case Some(raw) =>
+        val vs = raw.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map(parse)
+        if (vs.length == 1) Seq.fill(cols.length)(vs.head)
+        else {
+          require(vs.length == cols.length,
+            s"$name: ${vs.length} values for ${cols.length} bloom.columns — " +
+              "give one value or a comma list aligned with bloom.columns")
+          vs
+        }
+    }
+    val fpps = aligned(fppProp, "bloom.fpp", fppDefault(spark), _.toDouble)
+    fpps.foreach(f => require(f > 0.0 && f < 1.0, s"bloom.fpp must be in (0, 1), got $f"))
+    val itemss = aligned(itemsProp, "bloom.items", itemsDefault(spark), _.toLong)
+    itemss.foreach(i =>
+      require(i >= 0, s"bloom.items must be >= 0 (0 = auto per-file), got $i"))
+    cols.zipWithIndex.map { case (c, i) =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"bloom.columns: '$c' is not a table column"))
       require(supports(f.dataType),
         s"bloom.columns: '$c' (${f.dataType.simpleString}) — blooms need an " +
           "integral/date/timestamp/string column")
-      BloomSpec(f.name, fpp, items)
+      BloomSpec(f.name, fpps(i), itemss(i))
     }
   }
 

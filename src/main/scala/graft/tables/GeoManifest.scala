@@ -288,6 +288,30 @@ object GeoManifest {
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Create-EXCLUSIVE text write for manifest list files. Same-JVM
+    * writers are serialized by the commit lock and never collide on a
+    * version number; a collision therefore means a SECOND JVM committed
+    * the same version (the optimistic check is only atomic per JVM) or a
+    * crashed commit left its manifest behind. Overwriting would silently
+    * discard the other writer's commit — fail loudly instead (the
+    * Iceberg HadoopTableOperations rename-if-absent contract). */
+  private def writeTextExclusive(fs: FileSystem, p: Path, text: String): Unit = {
+    def collision(e: Throwable) = new IllegalStateException(
+      s"manifest $p already exists — a concurrent writer in another JVM " +
+        "committed this version (lost-commit race), or an earlier commit " +
+        "crashed between its manifest write and the pointer flip. Re-read " +
+        "the table and retry; if the file is a torn leftover, inspect and " +
+        "remove it manually.", e)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw collision(e)
+        // some FS impls signal the no-overwrite case as a plain IOException
+        case e: java.io.IOException if fs.exists(p) => throw collision(e)
+      }
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
@@ -567,15 +591,16 @@ object GeoManifest {
     // the skip-unknown-tags rule instead of failing on them
     val v8 = m.files.exists(e =>
       e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty) ||
-      m.bloomCols.nonEmpty || m.blooms.nonEmpty
+      m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty
     val v9 = m.pastSpecs.nonEmpty || m.specId != 0
-    lines ++= (if (v9) "graftgeo\t9\n"
-               else if (v8) "graftgeo\t8\n"
-               else if (m.colStats.nonEmpty) "graftgeo\t7\n"
-               else if (v6) "graftgeo\t6\n"
-               else if (sharded) "graftgeo\t5\n"
-               else if (m.deletes.nonEmpty || m.partitions.nonEmpty) "graftgeo\t4\n"
-               else "graftgeo\t3\n")
+    val declared = if (v9) 9
+                   else if (v8) 8
+                   else if (m.colStats.nonEmpty) 7
+                   else if (v6) 6
+                   else if (sharded) 5
+                   else if (m.deletes.nonEmpty || m.partitions.nonEmpty) 4
+                   else 3
+    lines ++= s"graftgeo\t$declared\n"
     // always stamp NOW: manifests are derived from the base via copy(),
     // and inheriting the base's commit ts would corrupt the history order
     lines ++= s"ts\t${System.currentTimeMillis()}\n"
@@ -583,9 +608,11 @@ object GeoManifest {
     // consecutive predecessor — exactly what their callers mean
     lines ++= s"parent\t${m.parent.getOrElse(m.version - 1)}\n"
     // operation provenance (Iceberg snapshot-summary `operation` analog):
-    // a KNOWN tag at every format version — pure metadata, a reader that
-    // dropped it would lose nothing — so recording it does not force a
-    // format bump on otherwise-v3 tables. Absent = unknown ("--").
+    // pure metadata — a reader that dropped it would lose nothing — but
+    // an ADDITIVE tag, so like bloom lines it rides the skip-unknown-tags
+    // rule: recording it raises the declared format to >= 8 (the v8
+    // trigger above) so pre-8 readers skip it instead of treating it as
+    // a torn line. Absent = unknown ("--").
     m.op.foreach { o => lines ++= s"op\t$o\n" }
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
@@ -639,13 +666,26 @@ object GeoManifest {
     m.blooms.foreach { e =>
       lines ++= s"bloom\t${e.path}\t${e.cols.mkString(",")}\n"
     }
+    // Integrity trailer: declared-8+ manifests SKIP unknown tags (the
+    // additive-format rule), which forfeits the <=7 torn-line protection
+    // (a mangled tag would silently drop a data file). The `end` CRC32 of
+    // every preceding byte restores it, strictly stronger: any in-file
+    // mangling — tag OR field bytes — fails the read loudly. Additive for
+    // existing 8/9 readers (unknown tag, skipped); never written at <=7,
+    // where the throw-on-unknown-tag rule still holds and bit-stability
+    // matters.
+    if (declared >= 8) {
+      val crc = new java.util.zip.CRC32()
+      crc.update(lines.toString.getBytes(StandardCharsets.UTF_8))
+      lines ++= f"end\t${crc.getValue}%08x\n"
+    }
     // manifest first (immutable, new name); the caller flips the pointer
     // (`_current` for main commits, the branch ref for branch commits)
     // last. The main flip is an in-place truncate+write of a few bytes;
     // readers that race it (a streaming source polling latestOffset) can
     // catch the truncated window or a checksum tear — currentVersion
     // retries those as transient instead of failing the stream.
-    writeText(f, new Path(root, s"_manifests/m${m.version}.txt"), lines.toString)
+    writeTextExclusive(f, new Path(root, s"_manifests/m${m.version}.txt"), lines.toString)
   }
 
   def read(spark: SparkSession, root: String): Manifest = {
@@ -730,6 +770,24 @@ object GeoManifest {
   def readVersion(spark: SparkSession, root: String, v: Int): Manifest = {
     val f = fs(spark, root)
     val text = readText(f, new Path(root, s"_manifests/m$v.txt"))
+    // `end` integrity trailer (written by declared-8+ writers): CRC32 of
+    // every byte before the trailer line. Verified BEFORE tag parsing —
+    // 8+ readers skip unknown tags by design, so a mangled line would
+    // otherwise vanish silently; the checksum fails it loudly instead.
+    // Absent trailer = legacy manifest, parses as before.
+    val endAt = text.lastIndexOf("\nend\t")
+    if (endAt >= 0) {
+      val nl = text.indexOf('\n', endAt + 1)
+      val stop = if (nl < 0) text.length else nl
+      val claimed = text.substring(endAt + "\nend\t".length, stop).trim
+      require(text.substring(stop).forall(_ == '\n'),
+        s"manifest m$v.txt at $root has content after its end trailer " +
+          "(torn or tampered write)")
+      val crc = new java.util.zip.CRC32()
+      crc.update(text.substring(0, endAt + 1).getBytes(StandardCharsets.UTF_8))
+      require(f"${crc.getValue}%08x" == claimed,
+        s"manifest m$v.txt at $root fails its end checksum (corrupted or torn write)")
+    }
     var schema: StructType = null
     var geomCol: Option[String] = None
     var commitTs: Option[Long] = None

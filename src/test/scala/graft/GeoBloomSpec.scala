@@ -230,6 +230,22 @@ class GeoBloomSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("bloom.columns") == "id,name,grp")
     assert(props("bloom.fpp").split(',').length == 3, s"fpp not per-column: ${props("bloom.fpp")}")
+    // displayed properties ROUND-TRIP: re-applying exactly what SHOW
+    // printed (comma lists aligned with bloom.columns) must parse and
+    // reproduce the same per-column config, not throw on .toDouble
+    spark.sql(s"ALTER TABLE geobl.db.t8 SET TBLPROPERTIES(" +
+      s"'bloom.columns'='${props("bloom.columns")}', " +
+      s"'bloom.fpp'='${props("bloom.fpp")}', " +
+      s"'bloom.items'='${props("bloom.items")}')")
+    val m4b = GeoManifest.read(spark, root)
+    assert(m4b.bloomCols == m4.bloomCols,
+      s"displayed properties did not round-trip: ${m4b.bloomCols} vs ${m4.bloomCols}")
+    // a misaligned list (2 values for 3 columns) is rejected loudly
+    val mis = intercept[Exception] {
+      spark.sql("ALTER TABLE geobl.db.t8 SET TBLPROPERTIES(" +
+        "'bloom.columns'='id,name,grp', 'bloom.fpp'='0.01,0.02')")
+    }
+    assert(mis.getMessage.contains("aligned"), mis.getMessage)
     // RENAME keeps the config; the rewrite commit re-covers the new
     // files, and a re-SET of the same config must never no-op into a
     // sidecar-less table

@@ -171,29 +171,46 @@ class GeoEvolutionSpec extends SparkSpec {
     assert(graft.tables.GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
   }
 
-  test("manifest: unknown tag fails hard in v2 but is skipped in a declared-newer format") {
+  test("manifest: end CRC guards v8+; unknown tag fails hard in legacy formats") {
     import graft.tables.{GeoManifest, GeoSchema, GeoTable}
     val root = java.nio.file.Files.createTempDirectory("geoevo_tag").toString + "/t"
     GeoTable.createEmpty(spark, root, GeoSchema.fromDdl("id BIGINT"), None)
     val mPath = java.nio.file.Paths.get(root, "_manifests", "m0.txt")
     val original = new String(java.nio.file.Files.readAllBytes(mPath))
+    // op provenance is an additive tag, so even a fresh empty table
+    // declares 8 and carries the end CRC trailer
+    assert(original.startsWith("graftgeo\t8\n"), original.take(40))
+    assert(original.linesIterator.exists(_.startsWith("end\t")), "no end trailer")
     // out-of-band edit: drop Hadoop's checksum sidecar or reads fail on CRC
     def editManifest(text: String): Unit = {
       java.nio.file.Files.write(mPath, text.getBytes)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, "_manifests", ".m0.txt.crc"))
     }
-    // a torn `file` line whose tag got mangled must NOT silently drop the file
+    // a line whose tag got mangled in place: declared-8 readers skip
+    // unknown tags, so the end checksum is what fails the read loudly
+    // instead of silently dropping the line
+    editManifest(original.replace("op\tcreate", "o p\tcreate"))
+    val eCrc = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
+    assert(eCrc.getMessage.contains("checksum"), eCrc.getMessage)
+    // content appended after the trailer (a torn `file` line) fails too
     editManifest(original + "fil\t/x/part-0.parquet\t5\n")
+    val eTail = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
+    assert(eTail.getMessage.contains("end trailer"), eTail.getMessage)
+    // trailer-less manifests are legacy: an unknown tag under a declared
+    // FUTURE format (8+) is additive and skips
+    val legacy = original.linesIterator.filterNot(_.startsWith("end\t"))
+      .mkString("\n") + "\n"
+    editManifest(legacy + "newtag\tpayload\n")
+    assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
+    // ... but in a declared <=7 manifest the same unknown tag is corruption
+    editManifest(legacy.replace("graftgeo\t8", "graftgeo\t3") + "newtag\tpayload\n")
     val e = intercept[IllegalArgumentException] { GeoManifest.read(spark, root) }
     assert(e.getMessage.contains("bad manifest line"))
-    // the same unknown tag under a declared FUTURE format version is additive
-    // (v7 = ANALYZE column stats is a known format now, so the future is 8)
-    editManifest(original.replace("graftgeo\t3", "graftgeo\t8") + "newtag\tpayload\n")
-    assert(GeoManifest.read(spark, root).schema.fieldNames.toSeq == Seq("id"))
     // a v2 manifest (no ts line) still reads, with commitTs empty
-    editManifest(original.replace("graftgeo\t3", "graftgeo\t2")
-      .linesIterator.filterNot(_.startsWith("ts\t")).mkString("\n") + "\n")
+    editManifest(legacy.replace("graftgeo\t8", "graftgeo\t2")
+      .linesIterator.filterNot(l => l.startsWith("ts\t") || l.startsWith("op\t"))
+      .mkString("\n") + "\n")
     val v2m = GeoManifest.read(spark, root)
     assert(v2m.commitTs.isEmpty && v2m.schema.fieldNames.toSeq == Seq("id"))
   }

@@ -38,6 +38,21 @@ class GeoManifestShardSpec extends SparkSpec {
     try body finally spark.conf.unset("spark.graft.manifest.shardSize")
   }
 
+  test("a second write of an existing manifest version fails loudly, first commit intact") {
+    // cross-JVM lost-commit detection: same-JVM writers serialize on the
+    // commit lock and remapVersion past existing files, so a version-file
+    // collision can only be a second JVM's racing commit (the optimistic
+    // _current check is atomic per JVM only) — overwriting would silently
+    // discard one commit's files
+    val root = tmpRoot("excl")
+    GeoManifest.write(spark, root, Manifest(0, schema, None, entries(3)))
+    val e = intercept[IllegalStateException] {
+      GeoManifest.write(spark, root, Manifest(0, schema, None, entries(5)))
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(GeoManifest.read(spark, root).files.length == 3)
+  }
+
   test("fuzz: manifests round-trip arbitrary stats, saw-null flags, eq ranges") {
     // deterministic fuzz over the full file-line + eqdelete-line grammar:
     // every combination of bbox/NaN, 0..3 transform pairs, absent/present
