@@ -1852,6 +1852,32 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Persisted IVF-PQ: the composed 100 TB ANN shape. Build pays both
+    // Lloyd's levels once and stores vectors (+ PQ codes) cluster-
+    // partitioned with the centroid and codebook tables; the returned
+    // result is the SECOND probe — coarse prune opens only the probed
+    // clusters' FILES, the ADC sweep reads codes (never the floats), and
+    // exact cosine reranks the 192-candidate pool. Exact under the two
+    // composed recall contracts (nprobe cluster coverage x candidate
+    // pool coverage), which the brute oracle pins at the verify SFs.
+    "ann_ivfpq_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString + "/i"
+      graft.ops.Similarity.buildIvfPqIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"),
+        k = 8, iters = 2, m = 16, pqK = 16)
+      graft.ops.Similarity.ivfPqSearch(s, idx, q, k = 10, nprobe = 5,
+        candidates = 192).count() // first probe
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfPqSearch(s, idx, q, k = 10, nprobe = 5,
+          candidates = 192) // second probe
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Product quantization: codebooks train on a driver sample, vectors
     // encode to m=16 4-bit codes, the candidate sweep reads ONLY codes
     // (asymmetric distance: one 16x16 lut per query), exact cosine
@@ -2955,6 +2981,18 @@ object SparkEntry {
     // exact top-10: the LSH prefilter is parameterized for full recall at
     // the verify SF (see the query's comment), so approximate == exact here
     "ann_lsh_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // exact top-10 through BOTH recall contracts composed: nprobe covers
+    // every true neighbor's cluster AND the ADC candidate pool covers the
+    // true top-10 within the probed clusters at the verify SF
+    "ann_ivfpq_top10" -> """
       SELECT vec_id, CAST(rn AS INT) AS rank FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
           list_cosine_similarity(CAST(embedding AS DOUBLE[]),

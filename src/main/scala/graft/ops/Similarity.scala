@@ -261,19 +261,55 @@ object Similarity {
   def buildIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                     df: DataFrame, vec: Column, id: Column,
                     k: Int, iters: Int = 3): Unit = {
-    import graft.tables.{GeoPartition, GeoTable}
     val (assigned, cents) = kmeansAssign(df, vec, id, k, iters)
-    GeoTable.create(spark, s"$indexRoot/vectors",
+    writeIvfTables(spark, indexRoot,
       assigned.select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("cluster"),
-        org.apache.spark.sql.functions.col("__v").as("vec")),
-      geomCol = None,
+        org.apache.spark.sql.functions.col("__v").as("vec")), cents)
+  }
+
+  /** The shared store step: `vectors` identity-partitioned by `cluster`
+    * (clustered writes roll one file per cluster run; probes open only
+    * their clusters' files via exact IN-value pruning) + the k-row
+    * `centroids` table. */
+  private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
+                             indexRoot: String, vectors: DataFrame,
+                             cents: Array[Array[Double]]): Unit = {
+    import graft.tables.{GeoPartition, GeoTable}
+    GeoTable.create(spark, s"$indexRoot/vectors", vectors, geomCol = None,
       partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")))
     val sp = spark
     import sp.implicits._
     GeoTable.create(spark, s"$indexRoot/centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("cluster", "centroid"),
+      geomCol = None)
+  }
+
+  /** Persisted IVF-PQ: [[buildIvfIndex]]'s layout with a `pq_code` column
+    * on the vectors table and a third table holding the trained
+    * codebooks. The 100 TB composition: the coarse quantizer prunes the
+    * probe to `nprobe` clusters' FILES, the ADC sweep inside them reads
+    * CODES only (the float vectors never load for scoring), and exact
+    * cosine reranks just the candidate pool. Lloyd's (both levels) runs
+    * once here; [[ivfPqSearch]] is metadata + a pruned code sweep. */
+  def buildIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                      df: DataFrame, vec: Column, id: Column,
+                      k: Int, iters: Int = 3, m: Int = 8, pqK: Int = 16,
+                      pqIters: Int = 8, sampleN: Int = 4096): Unit = {
+    val c = org.apache.spark.sql.functions.col _
+    val (assigned, cents) = kmeansAssign(df, vec, id, k, iters)
+    val cb = pqTrain(df, vec, id, m, pqK, pqIters, sampleN)
+    writeIvfTables(spark, indexRoot,
+      assigned
+        .withColumn("pq_code", col2(graft.functions.PqEncode(ex(c("__v")), cb)))
+        .select(c("vec_id"), c("cluster"), c("__v").as("vec"), c("pq_code")),
+      cents)
+    val sp = spark
+    import sp.implicits._
+    graft.tables.GeoTable.create(spark, s"$indexRoot/codebooks",
+      (for { j <- cb.indices; ci <- cb(j).indices }
+        yield (j, ci, cb(j)(ci).toSeq)).toDF("subspace", "code", "centroid"),
       geomCol = None)
   }
 
@@ -319,6 +355,34 @@ object Similarity {
     // scan() both file-prunes on the predicate and applies it to rows
     probeTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
       org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "vec", q, k)
+  }
+
+  /** Probe a prebuilt IVF-PQ index: coarse prune to the `nprobe` nearest
+    * clusters (file-level — only their files open), ADC-sweep the PQ
+    * codes of just those rows, exact-rerank the candidate pool. No
+    * k-means or codebook training runs here; the codebooks load as m*k
+    * tiny rows. Exact whenever `candidates` covers the true top-k within
+    * the probed clusters (the same two recall contracts as [[ivfSearch]]
+    * and [[pqTopK]], composed). */
+  def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                  q: Array[Float], k: Int, nprobe: Int = 2,
+                  candidates: Int = 128): DataFrame = {
+    import graft.tables.GeoTable
+    val c = org.apache.spark.sql.functions.col _
+    val centroids = GeoTable.read(spark, s"$indexRoot/centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    val probes = nearestClusters(centroids, q, nprobe)
+    val cbRows = GeoTable.read(spark, s"$indexRoot/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val cb = Array.tabulate(m) { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    pqTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
+        c("cluster").isin(probes: _*)).withColumnRenamed("vec", "__v"),
+      cb, q, k, candidates)
   }
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.JoinedRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex}
@@ -66,6 +66,102 @@ object GeoChangelog {
                                prevManifest: Option[Manifest] = None) {
     def isOverwrite: Boolean =
       removed.nonEmpty || addedDeletes.nonEmpty || addedEqDeletes.nonEmpty
+  }
+
+  /** Default [[ReadLimit]] from the stream's read options —
+    * `max-files-per-micro-batch` / `max-rows-per-micro-batch` (the
+    * Iceberg option-name contract). Absent = all available. */
+  private[tables] def optionReadLimit(options: CaseInsensitiveStringMap): ReadLimit = {
+    val f = Option(options.get("max-files-per-micro-batch")).map(_.toInt)
+    val r = Option(options.get("max-rows-per-micro-batch")).map(_.toLong)
+    f.foreach(v => require(v > 0, s"max-files-per-micro-batch must be > 0, got $v"))
+    r.foreach(v => require(v > 0, s"max-rows-per-micro-batch must be > 0, got $v"))
+    (f, r) match {
+      case (Some(a), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(a), ReadLimit.maxRows(b)))
+      case (Some(a), None) => ReadLimit.maxFiles(a)
+      case (None, Some(b)) => ReadLimit.maxRows(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  /** File/row caps from a Spark [[ReadLimit]]; (None, None) = unbounded.
+    * minRows/maxBytes don't map to whole-version admission and are
+    * treated as unbounded (Spark composes them with the bounded kinds). */
+  private def readCaps(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case f: ReadMaxFiles => (Some(f.maxFiles), None)
+    case r: ReadMaxRows => (None, Some(r.maxRows))
+    case c: CompositeReadLimit =>
+      val parts = c.getReadLimits.toSeq.map(readCaps)
+      (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+    case _ => (None, None)
+  }
+
+  /** Admission control for the streaming sources: advance `from` toward
+    * `target` admitting WHOLE versions (offsets are manifest versions)
+    * until the read limit is reached — the Iceberg
+    * max-files/rows-per-micro-batch contract. A 100 TB table's first
+    * micro-batch must not replay the entire backlog in one go: caps turn
+    * catch-up into bounded, checkpointed steps.
+    *
+    * Always admits at least one version when anything is available (the
+    * progress guarantee Spark's file source gives when a single file
+    * exceeds maxBytes). Manifests are read INCREMENTALLY oldest-first and
+    * the walk stops at the cap, so a trigger costs O(admitted versions),
+    * not O(backlog). `countRemoved` — the CDC stream replays removed
+    * files as delete rows, so they count against the caps; the
+    * append-only stream never reads them. */
+  private[graft] def admit(spark: SparkSession, root: String, from: Int,
+                           target: Int, limit: ReadLimit,
+                           countRemoved: Boolean): Int = {
+    if (target <= from) return target
+    val (maxF, maxR) = readCaps(limit)
+    if (maxF.isEmpty && maxR.isEmpty) return target
+    // ancestor chain of target down to from — header-only reads, cheap
+    val chain = Seq.newBuilder[Int]
+    var w = target
+    while (w > from) {
+      chain += w
+      val p = GeoManifest.parentOf(spark, root, w).getOrElse(w - 1)
+      require(p < w, s"corrupt lineage at $root: m$w.txt claims parent $p")
+      w = p
+    }
+    var prev = GeoManifest.readVersion(spark, root, from)
+    var files = 0L
+    var rows = 0L
+    var end = from
+    var stop = false
+    chain.result().reverse.foreach { v =>
+      if (!stop) {
+        val cur = GeoManifest.readVersion(spark, root, v)
+        val prevKeys = prev.files.map(_.key).toSet
+        val added = cur.files.filterNot(f => prevKeys.contains(f.key))
+        // the CDC stream also replays removed files as delete rows and
+        // fresh delete sidecars as row-granular delete legs — both count;
+        // the append stream reads neither
+        val (removed, sidecars, sidecarRows) =
+          if (!countRemoved) (Seq.empty[FileEntry], 0, 0L)
+          else {
+            val curKeys = cur.files.map(_.key).toSet
+            val prevDel = prev.deletes.map(_.key).toSet
+            val prevEq = prev.eqDeletes.map(_.key).toSet
+            val newDel = cur.deletes.filterNot(d => prevDel.contains(d.key))
+            val newEq = cur.eqDeletes.filterNot(e => prevEq.contains(e.key))
+            (prev.files.filterNot(f => curKeys.contains(f.key)),
+              newDel.length + newEq.length,
+              newDel.map(_.rows).sum + newEq.map(_.rows).sum)
+          }
+        val f = added.length + removed.length + sidecars
+        val r = added.map(_.rows).sum + removed.map(_.rows).sum + sidecarRows
+        // admit unless this version would breach a cap AND progress is
+        // already guaranteed; versions past the first rejection must NOT
+        // be admitted — offsets cover contiguous lineage ranges
+        if (end == from || (maxF.forall(files + f <= _) && maxR.forall(rows + r <= _))) {
+          files += f; rows += r; end = v; prev = cur
+        } else stop = true
+      }
+    }
+    end
   }
 
   /** Per-commit file diffs for `(vFrom, vTo]`, oldest first. Requires the
@@ -665,11 +761,16 @@ case class GeoStreamOffset(version: Int) extends Offset {
  * streaming-skip-overwrite-snapshots contract).
  *
  * Options: `stream-from-version` = n | "current" (default 0: replay the
- * whole table, then tail).
+ * whole table, then tail); `max-files-per-micro-batch` /
+ * `max-rows-per-micro-batch` = admission caps — catch-up over a large
+ * backlog proceeds in bounded, checkpointed micro-batches instead of
+ * replaying 100 TB in one (the Iceberg streaming read-limit contract);
+ * `Trigger.AvailableNow` composes: consume to a pinned end under the
+ * caps, then stop.
  */
 class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan,
                           tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val skipOverwrites =
     Option(options.get("skip-overwrite-commits")).exists(_.toBoolean)
@@ -684,6 +785,27 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def latestOffset(): Offset =
     GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  // ---- admission control (SupportsAdmissionControl via
+  // SupportsTriggerAvailableNow): whole-version steps under file/row caps
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def getDefaultReadLimit: ReadLimit =
+    GeoChangelog.optionReadLimit(options)
+
+  override def reportLatestOffset(): Offset =
+    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(
+      GeoManifest.currentVersion(spark, root).getOrElse(0))
+    GeoStreamOffset(GeoChangelog.admit(spark, root,
+      start.asInstanceOf[GeoStreamOffset].version, target, limit,
+      countRemoved = false))
+  }
 
   override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
 
@@ -729,12 +851,15 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
  * behavior for row-level deletes).
  *
  * Options: `stream-from-version` = n | "current" (default 0: emit the
- * whole current state as inserts, then tail).
+ * whole current state as inserts, then tail);
+ * `max-files-per-micro-batch` / `max-rows-per-micro-batch` = admission
+ * caps over whole versions (removed files count too — the CDC stream
+ * replays them as delete rows); `Trigger.AvailableNow` composes.
  */
 class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan,
                           tableSchema: StructType, needMeta: Boolean,
                           options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val startVersion: Int =
     Option(options.get("stream-from-version")) match {
@@ -747,6 +872,25 @@ class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def latestOffset(): Offset =
     GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def getDefaultReadLimit: ReadLimit =
+    GeoChangelog.optionReadLimit(options)
+
+  override def reportLatestOffset(): Offset =
+    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(
+      GeoManifest.currentVersion(spark, root).getOrElse(0))
+    GeoStreamOffset(GeoChangelog.admit(spark, root,
+      start.asInstanceOf[GeoStreamOffset].version, target, limit,
+      countRemoved = true))
+  }
 
   override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
 

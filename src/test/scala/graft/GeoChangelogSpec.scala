@@ -110,6 +110,62 @@ class GeoChangelogSpec extends SparkSpec {
     assert(tailed == (0L until 13L), s"tail append missing: $tailed")
   }
 
+  test("admission caps bound micro-batches; capped catch-up is multi-batch and lossless") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.adm (id BIGINT, v STRING) USING geo")
+    for (i <- 0 until 3) // one file per commit (range numPartitions=1)
+      spark.sql(s"INSERT INTO geocls.db.adm SELECT id, 'x' FROM range(${i * 5}, ${i * 5 + 5}, 1, 1)")
+    val root = s"$warehouse/db/adm"
+    // whole-version admission under file/row caps (offsets are versions)
+    assert(GeoChangelog.admit(spark, root, 0, 3, ReadLimit.maxFiles(1), false) == 1)
+    assert(GeoChangelog.admit(spark, root, 0, 3, ReadLimit.maxFiles(2), false) == 2)
+    assert(GeoChangelog.admit(spark, root, 0, 3, ReadLimit.allAvailable(), false) == 3)
+    assert(GeoChangelog.admit(spark, root, 0, 3, ReadLimit.maxRows(5), false) == 1)
+    assert(GeoChangelog.admit(spark, root, 1, 3, ReadLimit.maxRows(100), false) == 3)
+    // progress guarantee: a cap below even one version still admits one
+    assert(GeoChangelog.admit(spark, root, 0, 3, ReadLimit.maxRows(1), false) == 1)
+    // CDC counting: a fresh delete sidecar (this table has no layout
+    // stats, so a 1-of-15-rows DELETE goes merge-on-read) counts against
+    // the caps — the CDC stream replays it as row-granular delete legs;
+    // the append stream reads neither sidecars nor removed files, so its
+    // admission ignores them
+    spark.sql("DELETE FROM geocls.db.adm WHERE id = 0") // v4: MoR sidecar
+    val m4 = GeoManifest.readVersion(spark, root, 4)
+    assert(m4.deletes.nonEmpty || m4.eqDeletes.nonEmpty,
+      "expected a merge-on-read (position or equality) delete commit")
+    assert(GeoChangelog.admit(spark, root, 0, 4, ReadLimit.maxFiles(3), true) == 3)
+    assert(GeoChangelog.admit(spark, root, 0, 4, ReadLimit.maxFiles(3), false) == 4)
+
+    // end-to-end: capped catch-up takes one micro-batch per commit and
+    // still delivers every row exactly once
+    val q = spark.readStream
+      .option("max-files-per-micro-batch", "1")
+      .option("skip-overwrite-commits", "true")
+      .table("geocls.db.adm")
+      .writeStream.format("memory").queryName("geo_adm").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"caps did not split the backlog: $batches batches")
+    val got = spark.table("geo_adm").select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 15L), s"capped catch-up lost rows: $got")
+    q.stop()
+  }
+
+  test("Trigger.AvailableNow consumes to the pinned end under caps, then stops") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.avn (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.avn SELECT id, 'a' FROM range(0, 4, 1, 1)")
+    spark.sql("INSERT INTO geocls.db.avn SELECT id, 'b' FROM range(4, 8, 1, 1)")
+    val q = spark.readStream.option("max-files-per-micro-batch", "1")
+      .table("geocls.db.avn")
+      .writeStream.format("memory").queryName("geo_avn")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    val got = spark.table("geo_avn").select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 8L), s"AvailableNow missed rows: $got")
+  }
+
   test("streaming fails on CoW rewrites unless skip-overwrite-commits is set") {
     warehouse
     spark.sql("CREATE TABLE geocls.db.ow (id BIGINT, v STRING) USING geo")

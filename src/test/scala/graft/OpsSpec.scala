@@ -322,6 +322,46 @@ class OpsSpec extends SparkSpec {
       s"IN-value pruning must open fewer files ($opened of $total)")
   }
 
+  test("persisted IVF-PQ index: probes retrain nothing, sweep codes, match brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/i"
+    val sc = spark.sparkContext
+    def jobsInGroup(g: String): Int = sc.statusTracker.getJobIdsForGroup(g).length
+
+    sc.setJobGroup("ivfpq_build", "index build")
+    Similarity.buildIvfPqIndex(spark, idx, emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+    sc.clearJobGroup()
+    // the stored vectors table carries the PQ codes next to the floats
+    val vschema = graft.tables.GeoManifest.read(spark, s"$idx/vectors").schema
+    assert(vschema.fieldNames.toSeq == Seq("vec_id", "cluster", "vec", "pq_code"), vschema)
+
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+
+    val r1 = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    sc.setJobGroup("ivfpq_probe2", "second probe")
+    val r2 = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    sc.clearJobGroup()
+    assert(r1 == r2, "probes of a persisted IVF-PQ index must be deterministic")
+    assert(r1 == brute,
+      s"all-cluster probe with a covering pool must equal brute top-10: $r1 vs $brute")
+
+    // the probe retrained NOTHING: centroid read + codebook read + the
+    // code sweep + the rerank — a handful of jobs vs both Lloyd's levels
+    var tries = 0
+    while (jobsInGroup("ivfpq_probe2") == 0 && tries < 50) { Thread.sleep(100); tries += 1 }
+    val buildJobs = jobsInGroup("ivfpq_build")
+    val probeJobs = jobsInGroup("ivfpq_probe2")
+    assert(probeJobs > 0 && probeJobs <= 8,
+      s"a probe must be metadata + a pruned code sweep, ran $probeJobs jobs")
+    assert(buildJobs > probeJobs,
+      s"training must run at BUILD only (build $buildJobs vs probe $probeJobs)")
+  }
+
   test("range join == naive between-join across bucket sizes") {
     val vals = (0 until 300).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("vid", "v")
     val ivs = (0 until 20).map(i => (i.toLong, (i * 53 % 800).toDouble, (i * 53 % 800).toDouble + 120.5))
