@@ -2237,6 +2237,50 @@ object SparkEntry {
         ORDER BY phase, k""")
     }),
 
+    // Metadata-only DELETE (Iceberg metadata-delete analog — the 100 TB
+    // retention shape): a months(dd)-partitioned table drops everything
+    // before a month boundary as a pure manifest commit. require'd
+    // IN-QUERY: the DELETE runs ZERO Spark jobs (stats-only, no scan of
+    // the expiring data), mints no files (no rewrite), files no sidecars,
+    // and stamps op=delete. The oracle replays the retention filter over
+    // raw orders — the drop must remove exactly the aligned partitions.
+    "geo_metadata_delete" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geomdq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geomdq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geomdq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_mdq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geomdq.db")
+      s.sql("DROP TABLE IF EXISTS geomdq.db.ret")
+      s.sql("CREATE TABLE geomdq.db.ret (k BIGINT, dd DATE, price DOUBLE) USING geo " +
+        "PARTITIONED BY (months(dd))")
+      // roll at month-tuple boundaries so every file is single-month —
+      // the aligned layout a production table has at real partition sizes
+      s.conf.set("spark.graft.write.rollMinRows", "1")
+      try s.sql("""INSERT INTO geomdq.db.ret
+               SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice FROM orders""")
+      finally s.conf.unset("spark.graft.write.rollMinRows")
+      val root = s.conf.get("spark.sql.catalog.geomdq.warehouse") + "/db/ret"
+      val before = graft.tables.GeoManifest.read(s, root)
+      val beforeKeys = before.files.map(_.key).toSet
+      val sc = s.sparkContext
+      sc.setJobGroup("gmd_drop", "metadata retention delete")
+      s.sql("DELETE FROM geomdq.db.ret WHERE dd < DATE'1997-01-01'")
+      sc.clearJobGroup()
+      require(sc.statusTracker.getJobIdsForGroup("gmd_drop").isEmpty,
+        "metadata DELETE must run zero Spark jobs (stats-only whole-file drop)")
+      val m = graft.tables.GeoManifest.read(s, root)
+      require(m.files.map(_.key).toSet.subsetOf(beforeKeys),
+        "metadata DELETE must not rewrite files")
+      require(m.files.size < before.files.size, "metadata DELETE dropped nothing")
+      require(m.deletes.isEmpty && m.eqDeletes.isEmpty,
+        "metadata DELETE must not file sidecars")
+      require(m.op.contains("delete"), s"op: ${m.op}")
+      s.sql("""SELECT dd, COUNT(*) AS n, MIN(k) AS kmin, MAX(k) AS kmax
+               FROM geomdq.db.ret GROUP BY dd ORDER BY dd""")
+    }),
+
     // Partition-spec evolution END-TO-END (Iceberg's flagship
     // metadata-only operation): a table bucketed on the key ingests half
     // its rows, evolves to days(dd) partitioning WITHOUT rewriting a
@@ -4080,6 +4124,15 @@ object SparkEntry {
       SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
       ORDER BY phase, k""",
+
+    // survivors of the retention cutoff, aggregated per date (bit-stable:
+    // counts and key extrema, no float sums)
+    "geo_metadata_delete" -> """
+      SELECT CAST(o_orderdate AS DATE) AS dd, COUNT(*) AS n,
+             MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      GROUP BY 1 ORDER BY 1""",
 
     "geo_zorder" -> """
       SELECT 1 AS phase, o_orderkey AS k, CAST(o_orderdate AS DATE) AS dd,

@@ -357,6 +357,25 @@ object Similarity {
       org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "vec", q, k)
   }
 
+  /** The stored centroids, ordered by cluster id. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexRoot: String): Seq[(Int, Array[Double])] =
+    graft.tables.GeoTable.read(spark, s"$indexRoot/centroids")
+      .orderBy("cluster").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+
+  /** The stored PQ codebooks, or None for a plain IVF index. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            indexRoot: String): Option[Array[Array[Array[Double]]]] = {
+    if (graft.tables.GeoManifest
+        .currentVersion(spark, s"$indexRoot/codebooks").isEmpty) return None
+    val rows = graft.tables.GeoTable.read(spark, s"$indexRoot/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Some(Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3)))
+  }
+
   /** Probe a prebuilt IVF-PQ index: coarse prune to the `nprobe` nearest
     * clusters (file-level — only their files open), ADC-sweep the PQ
     * codes of just those rows, exact-rerank the candidate pool. No
@@ -369,20 +388,37 @@ object Similarity {
                   candidates: Int = 128): DataFrame = {
     import graft.tables.GeoTable
     val c = org.apache.spark.sql.functions.col _
-    val centroids = GeoTable.read(spark, s"$indexRoot/centroids")
-      .orderBy("cluster").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
-    val probes = nearestClusters(centroids, q, nprobe)
-    val cbRows = GeoTable.read(spark, s"$indexRoot/codebooks")
-      .orderBy("subspace", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = cbRows.map(_._1).max + 1
-    val cb = Array.tabulate(m) { j =>
-      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
-    }
+    val probes = nearestClusters(readCentroids(spark, indexRoot), q, nprobe)
+    val cb = readCodebooks(spark, indexRoot).getOrElse(throw new IllegalArgumentException(
+      s"$indexRoot has no codebooks table — a plain IVF index probes via ivfSearch"))
     pqTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
         c("cluster").isin(probes: _*)).withColumnRenamed("vec", "__v"),
       cb, q, k, candidates)
+  }
+
+  /** Incrementally ADD vectors to a persisted IVF or IVF-PQ index: new
+    * rows assign to the EXISTING centroids (nearest-centroid — the same
+    * rule probes use, so correctness is unconditional) and re-encode with
+    * the STORED codebooks when present; the append lands cluster-
+    * clustered, so probes keep opening only their clusters' files. A
+    * 100 TB index cannot re-run Lloyd's per ingest batch — training
+    * happens at build (and at an explicit rebuild when centroid drift
+    * degrades pruning selectivity; results stay exact either way, drift
+    * only widens the candidate pool a given nprobe covers). Returns rows
+    * appended. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                       df: DataFrame, vec: Column, id: Column): Long = {
+    val c = org.apache.spark.sql.functions.col _
+    val centroids = readCentroids(spark, indexRoot).map(_._2).toArray
+    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull)
+    val assigned = assignClusters(base, centroids)
+    val rows = readCodebooks(spark, indexRoot) match {
+      case Some(cb) => assigned
+        .withColumn("pq_code", col2(graft.functions.PqEncode(ex(c("__v")), cb)))
+        .select(c("vec_id"), c("cluster"), c("__v").as("vec"), c("pq_code"))
+      case None => assigned.select(c("vec_id"), c("cluster"), c("__v").as("vec"))
+    }
+    graft.tables.GeoTable.append(spark, s"$indexRoot/vectors", rows)
   }
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */

@@ -448,7 +448,12 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("committed_at", TimestampType, nullable = false),
       StructField("operation", StringType, nullable = false),
       StructField("data_files", IntegerType, nullable = false),
-      StructField("total_rows", LongType, nullable = false)))
+      StructField("total_rows", LongType, nullable = false),
+      // per-commit diff vs the lineage parent (Iceberg snapshot-summary
+      // added/removed counts); null when the parent was vacuumed
+      StructField("added_files", IntegerType, nullable = true),
+      StructField("added_rows", LongType, nullable = true),
+      StructField("removed_files", IntegerType, nullable = true)))
     case "history" => StructType(Seq(
       StructField("made_current_at", TimestampType, nullable = false),
       StructField("version", IntegerType, nullable = false),
@@ -509,16 +514,36 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       // manifests and torn orphans as committed history.
       case "snapshots" =>
         val f = GeoManifest.fs(sparkAtLoad, root)
+        // memoized: each version's manifest doubles as its child's parent
+        // in the diff below, so the walk stays one read per version
+        val cache = scala.collection.mutable.Map.empty[Int, GeoManifest.Manifest]
+        def mf(v: Int): Option[GeoManifest.Manifest] =
+          if (v < 0 || !f.exists(new Path(root, s"_manifests/m$v.txt"))) None
+          else Some(cache.getOrElseUpdate(v, GeoManifest.readVersion(sparkAtLoad, root, v)))
         GeoMetaTable.visibleVersions(sparkAtLoad, root, current).flatMap { v =>
-          val p = new Path(root, s"_manifests/m$v.txt")
-          if (!f.exists(p)) None // vacuumed snapshots drop out
-          else {
-            val m = GeoManifest.readVersion(sparkAtLoad, root, v)
-            val ts = m.commitTs.getOrElse(f.getFileStatus(p).getModificationTime)
+          mf(v).map { m =>
+            val ts = m.commitTs.getOrElse(
+              f.getFileStatus(new Path(root, s"_manifests/m$v.txt")).getModificationTime)
+            // per-commit added/removed vs the lineage parent (Iceberg
+            // snapshot-summary counts); root commits count everything
+            // added, a vacuumed parent yields nulls
+            val parent = m.parent.getOrElse(v - 1)
+            val diff: Option[(Int, Long, Int)] =
+              if (parent < 0) Some((m.files.length, m.files.map(_.rows).sum, 0))
+              else mf(parent).map { pm =>
+                val pk = pm.files.map(_.key).toSet
+                val ck = m.files.map(_.key).toSet
+                val added = m.files.filterNot(x => pk.contains(x.key))
+                (added.length, added.map(_.rows).sum,
+                  pm.files.count(x => !ck.contains(x.key)))
+              }
             // operation provenance (Iceberg snapshot-summary analog);
             // "--" = pre-op manifest or a tool's direct write
-            Some(InternalRow(v, ts * 1000L,
-              UTF8String.fromString(m.op.getOrElse("--")), m.files.length, m.totalRows))
+            InternalRow(v, ts * 1000L,
+              UTF8String.fromString(m.op.getOrElse("--")), m.files.length, m.totalRows,
+              diff.map(d => Int.box(d._1)).orNull,
+              diff.map(d => Long.box(d._2)).orNull,
+              diff.map(d => Int.box(d._3)).orNull)
           }
         }.toArray
       case "history" =>
@@ -691,9 +716,78 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       .map(f => (f, lits))
   }
 
+  /** V2 filter predicate → catalyst expression, for the stats-only
+    * whole-file evaluator. None = a shape it does not reason about. */
+  private def v2Expr(
+      p: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPred}
+    def attr(e: org.apache.spark.sql.connector.expressions.Expression): Option[AttributeReference] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          manifest.schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+            .map(f => AttributeReference(f.name, f.dataType)())
+        case _ => None
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Literal] =
+      e match {
+        // connector literals carry catalyst-internal values: the two-arg
+        // Literal constructor takes them as-is (create() would re-convert)
+        case l: VLit[_] => Some(Literal(l.value, l.dataType()))
+        case _ => None
+      }
+    p match {
+      case pr: VPred => pr.name() match {
+        case "AND" =>
+          val cs = pr.children()
+          for (l <- v2Expr(cs(0)); r <- v2Expr(cs(1))) yield And(l, r)
+        case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+          val cs = pr.children()
+          if (cs.length != 2) None
+          else {
+            def mk(a: Expression, b: Expression) = op match {
+              case "=" => EqualTo(a, b)
+              case "<" => LessThan(a, b)
+              case "<=" => LessThanOrEqual(a, b)
+              case ">" => GreaterThan(a, b)
+              case ">=" => GreaterThanOrEqual(a, b)
+            }
+            attr(cs(0)).flatMap(a => lit(cs(1)).map(l => mk(a, l)))
+              .orElse(lit(cs(0)).flatMap(l => attr(cs(1)).map(a => mk(l, a))))
+          }
+        case "IN" =>
+          val cs = pr.children()
+          for {
+            a <- attr(cs.head)
+            ls <- Some(cs.tail.toSeq.map(lit))
+            if ls.forall(_.isDefined)
+          } yield In(a, ls.flatten)
+        case "IS_NULL" => attr(pr.children().head).map(IsNull)
+        case "IS_NOT_NULL" => attr(pr.children().head).map(IsNotNull)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Whole files to drop when EVERY file is wholly inside/outside the
+    * predicates by manifest stats — the zero-I/O retention DELETE. */
+  private def metadataDropSet(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[GeoManifest.FileEntry]] = {
+    if (ps.isEmpty) return None
+    val exprs = ps.toSeq.map(v2Expr)
+    if (!exprs.forall(_.isDefined)) return None
+    GeoPartition.metadataDeleteSet(
+      manifest.files, manifest.specSet, manifest.schema, exprs.flatten)
+  }
+
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    isTruncate(predicates) || keyedPredicate(predicates).isDefined
+    isTruncate(predicates) || metadataDropSet(predicates).isDefined ||
+      keyedPredicate(predicates).isDefined
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
@@ -704,6 +798,21 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
         files = Seq.empty, deletes = Seq.empty, eqDeletes = Seq.empty), m.version,
         op = "truncate")
+    } else if (metadataDropSet(predicates).isDefined) {
+      // stats-only whole-file drop: zero data I/O, no sidecar — re-read
+      // the manifest under the current snapshot and re-derive (the
+      // canDeleteWhere answer may be a scan-build old)
+      val m = GeoManifest.read(spark, root)
+      val exprs = predicates.toSeq.flatMap(v2Expr)
+      GeoPartition.metadataDeleteSet(m.files, m.specSet, m.schema, exprs) match {
+        case Some(drop) => GeoTable.dropFiles(spark, root, m, drop): Unit
+        case None =>
+          // the snapshot moved between canDeleteWhere and here and the new
+          // files straddle — refuse rather than delete the wrong rows
+          throw new IllegalStateException(
+            s"$tableName changed concurrently; metadata DELETE no longer " +
+              "applies — retry the statement")
+      }
     } else {
       val (field, lits) = keyedPredicate(predicates).getOrElse(
         throw new UnsupportedOperationException(

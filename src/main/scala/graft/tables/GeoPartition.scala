@@ -3,7 +3,7 @@ package graft.tables
 import graft.tables.GeoManifest.FileEntry
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Murmur3Hash, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Murmur3Hash, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -448,6 +448,188 @@ object GeoPartition {
       }
     }
     out.toMap
+  }
+
+  // -------------------------------------------------------------------
+  // Metadata-only DELETE (Iceberg metadata-delete analog): decide, from
+  // manifest stats alone, whether every file is WHOLLY inside or WHOLLY
+  // outside a predicate — a retention delete on a partition-aligned
+  // boundary then drops whole files with ZERO data I/O instead of
+  // scanning/rewriting 100 TB of expiring data.
+  // -------------------------------------------------------------------
+
+  /** One parsed predicate conjunct: `col <op> literals`. */
+  private final case class Atom(col: String, op: String, lits: Seq[Any])
+
+  /** Parse EVERY conjunct into an [[Atom]], or None (caller falls back
+    * to the scan path). Literals must already carry the column's type
+    * (foldConstants collapses the analyzer's casts first). */
+  private def parseAtoms(schema: StructType, filters: Seq[Expression]): Option[Seq[Atom]] = {
+    val conjuncts = filters.map(foldConstants).flatMap(splitAnd)
+    def field(e: Expression): Option[StructField] = e match {
+      case a: Attribute => schema.fields.find(_.name.equalsIgnoreCase(a.name))
+      case _ => None
+    }
+    def atom(a: Expression, op: String, v: Any, vdt: DataType): Option[Atom] =
+      field(a).filter(f => f.dataType == vdt && v != null).map(f => Atom(f.name, op, Seq(v)))
+    val parsed = conjuncts.map {
+      case LessThan(a, Literal(v, dt)) => atom(a, "lt", v, dt)
+      case LessThanOrEqual(a, Literal(v, dt)) => atom(a, "le", v, dt)
+      case GreaterThan(a, Literal(v, dt)) => atom(a, "gt", v, dt)
+      case GreaterThanOrEqual(a, Literal(v, dt)) => atom(a, "ge", v, dt)
+      case LessThan(Literal(v, dt), a) => atom(a, "gt", v, dt)
+      case LessThanOrEqual(Literal(v, dt), a) => atom(a, "ge", v, dt)
+      case GreaterThan(Literal(v, dt), a) => atom(a, "lt", v, dt)
+      case GreaterThanOrEqual(Literal(v, dt), a) => atom(a, "le", v, dt)
+      case EqualTo(a, Literal(v, dt)) => atom(a, "eq", v, dt)
+      case EqualTo(Literal(v, dt), a) => atom(a, "eq", v, dt)
+      case In(a, vals) if vals.forall(_.isInstanceOf[Literal]) =>
+        val vs = vals.collect { case Literal(v, _) => v }
+        val dts = vals.collect { case Literal(_, dt) => dt }.distinct
+        field(a).filter(f => dts == Seq(f.dataType) && vs.forall(_ != null))
+          .map(f => Atom(f.name, "in", vs))
+      case org.apache.spark.sql.catalyst.expressions.InSet(a, hset) =>
+        field(a).filter(_ => hset.nonEmpty && !hset.contains(null))
+          .map(f => Atom(f.name, "in", hset.toSeq))
+      case IsNull(a) => field(a).map(f => Atom(f.name, "isnull", Seq.empty))
+      case IsNotNull(a) => field(a).map(f => Atom(f.name, "notnull", Seq.empty))
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+  }
+
+  /** Embedding strength of a transform for whole-file reasoning:
+    *  - "exact": identity/stats on integral/date/timestamp — transform
+    *    space IS value space, both directions decide;
+    *  - "floor": truncate on ints and the time transforms — monotone
+    *    value→floor(value/unit); wholly-inside needs STRICT embedding
+    *    inequality (pmax < emb(v) proves col < start(emb(v)) <= v);
+    *  - "mono": truncate on strings (packPrefix) — monotone non-strict,
+    *    sound for wholly-OUTSIDE range disjointness only;
+    *  - "eq": bucket — equality/IN disjointness only;
+    *  - "none": no reasoning. */
+  private def embClass(t: PTransform, dt: DataType): String = t.kind match {
+    case "identity" | "stats" => dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "exact"
+      case _ => "none"
+    }
+    case "truncate" => dt match {
+      case ByteType | ShortType | IntegerType | LongType => "floor"
+      case StringType => "mono"
+      case _ => "none"
+    }
+    case "days" | "hours" | "months" | "years" => "floor"
+    case "bucket" => "eq"
+    case _ => "none"
+  }
+
+  /** True when the literal sits exactly on an embedding boundary — every
+    * integer is a boundary for exact embeddings; a floor embedding's
+    * boundary is the start of its unit (midnight for days, a multiple of
+    * w for truncate). At a boundary, `col < v` is EQUIVALENT to
+    * `emb(col) < emb(v)` (no partial unit below v), which upgrades the
+    * lt/ge rules — exactly the retention-cutoff shape. */
+  private def alignedBoundary(t: PTransform, v: Any, dt: DataType): Boolean = {
+    def micros: Option[Long] = dt match {
+      case TimestampType => Some(v.asInstanceOf[Long])
+      case DateType => Some(v.asInstanceOf[Int].toLong * 86400000000L)
+      case _ => None
+    }
+    t.kind match {
+      case "identity" | "stats" => true
+      case "truncate" => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Math.floorMod(v.asInstanceOf[Number].longValue(), t.n.toLong) == 0
+        case _ => false
+      }
+      case "days" => micros.exists(us => Math.floorMod(us, 86400000000L) == 0)
+      case "hours" => micros.exists(us => Math.floorMod(us, 3600000000L) == 0)
+      case "months" | "years" => micros.exists { us =>
+        val z = java.time.Instant
+          .ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+          .atZone(java.time.ZoneOffset.UTC)
+        z.getDayOfMonth == 1 && z.toLocalTime == java.time.LocalTime.MIDNIGHT &&
+          (t.kind == "months" || z.getMonthValue == 1)
+      }
+      case _ => false
+    }
+  }
+
+  /** Tri-state: Some(true) = every row of the file satisfies the atom,
+    * Some(false) = no row does, None = undecidable. Null rows never
+    * satisfy a comparison, so wholly-outside never needs null knowledge,
+    * while wholly-inside requires the file's saw-null flag recorded
+    * FALSE for the column. */
+  private def atomState(atom: Atom, transforms: Seq[PTransform],
+                        schema: StructType, f: FileEntry): Option[Boolean] = {
+    val dt = schema.fields.find(_.name.equalsIgnoreCase(atom.col))
+      .map(_.dataType).getOrElse(NullType)
+    var anyTrue = false
+    var anyFalse = false
+    for ((t, i) <- transforms.zipWithIndex
+         if t.col.equalsIgnoreCase(atom.col) && f.pstats.lift(i).isDefined) {
+      val (lo, hi) = f.pstats(i)
+      val cls = embClass(t, dt)
+      // saw-null flag: known-and-false is the only state that permits
+      // wholly-inside (flags align positionally with pstats when present)
+      val noNull = f.pnulls.length == f.pstats.length && f.pnulls.length > i && !f.pnulls(i)
+      def emb(v: Any): Option[Long] = valueOf(t, v, dt)
+      atom.op match {
+        case "lt" | "le" | "gt" | "ge" if cls != "eq" && cls != "none" =>
+          emb(atom.lits.head).foreach { e =>
+            val al = alignedBoundary(t, atom.lits.head, dt)
+            val outside = atom.op match {
+              // rows satisfying col<v have emb <= e (monotone); at an
+              // aligned boundary col<v <=> emb<e, so lo >= e excludes
+              case "lt" => if (al) lo >= e else lo > e
+              case "le" => lo > e
+              // col>v: exact emb means emb >= e+1; floor units keep rows
+              // above v inside unit e, so only hi < e excludes
+              case "gt" => if (cls == "exact") hi <= e else hi < e
+              case _ => hi < e // ge
+            }
+            val inside = noNull && cls != "mono" && (atom.op match {
+              case "lt" => hi < e // col <= start(hi+1)-1 < start(e) <= v
+              case "le" => if (cls == "exact") hi <= e else hi < e
+              case "gt" => lo > e
+              case "ge" => if (al) lo >= e else lo > e
+            })
+            if (outside) anyFalse = true else if (inside) anyTrue = true
+          }
+        case "eq" | "in" if cls != "none" =>
+          val es = atom.lits.map(emb)
+          if (es.forall(_.isDefined)) {
+            val vs = es.flatten
+            if (!vs.exists(v => v >= lo && v <= hi)) anyFalse = true
+            // single-valued file on a listed value, exact space, no nulls
+            else if (cls == "exact" && noNull && lo == hi && vs.contains(lo)) anyTrue = true
+          }
+        case "isnull" => if (noNull) anyFalse = true
+        case "notnull" => if (noNull) anyTrue = true
+        case _ => ()
+      }
+    }
+    if (anyFalse) Some(false) else if (anyTrue) Some(true) else None
+  }
+
+  /** Whole-file DELETE set: Some(drop) when EVERY file decides wholly
+    * inside (drop) or wholly outside (keep) the conjunction; None when
+    * any file straddles or any conjunct is beyond stats reasoning —
+    * callers fall back to the scan/rewrite path. Files are judged under
+    * their OWN spec's transforms (partition-spec evolution safe). */
+  def metadataDeleteSet(files: Seq[FileEntry], specs: SpecSet, schema: StructType,
+                        filters: Seq[Expression]): Option[Seq[FileEntry]] = {
+    if (files.isEmpty) return Some(Seq.empty)
+    parseAtoms(schema, filters).filter(_.nonEmpty).flatMap { atoms =>
+      val drop = Seq.newBuilder[FileEntry]
+      for (f <- files) {
+        val states = atoms.map(a => atomState(a, specs.of(f), schema, f))
+        if (states.contains(Some(false))) () // wholly outside: keep
+        else if (states.forall(_.contains(true))) drop += f
+        else return None // straddles / undecidable: the whole DELETE falls back
+      }
+      Some(drop.result())
+    }
   }
 }
 

@@ -1199,14 +1199,27 @@ object GeoTable {
     }
   }
 
-  /** SQL-semantics DELETE: rows where `cond` is true are removed. Files
-    * where EVERY row matches are dropped as metadata only (no rewrite).
+  /** SQL-semantics DELETE: rows where `cond` is true are removed. A
+    * predicate every file is wholly inside/outside of (by manifest
+    * transform ranges — the partition-aligned retention shape) commits a
+    * pure file-list drop with ZERO data I/O; otherwise files where EVERY
+    * row matches are dropped as metadata after one scan (no rewrite).
     * `mode` as in [[update]]: "mor"/small-ratio "auto" writes a
     * position-delete sidecar instead of rewriting files. */
   def delete(spark: SparkSession, root: String, cond: Column,
              mode: String = "auto"): Long = {
     require(Set("auto", "cow", "mor").contains(mode), s"unknown DML mode '$mode'")
     val m = GeoManifest.read(spark, root)
+    // stats-only fast path (any mode — strictly less work than all of
+    // them): decidable only when no file straddles the predicate. The
+    // Column must ANALYZE against the table schema first (Spark 4 column
+    // nodes are lazy unresolved trees, same dance as queryEnvelope).
+    resolvedCondition(spark, m.schema, cond)
+      .flatMap(e => GeoPartition.metadataDeleteSet(m.files, m.specSet, m.schema, Seq(e)))
+      match {
+        case Some(drop) => return dropFiles(spark, root, m, drop)
+        case None => ()
+      }
     def cow(): Long = rewrite(spark, root, m, cond, keepNonMatching = false) {
       (df, hit) => df.where(!coalesce(hit, lit(false)))
     }
@@ -1219,6 +1232,21 @@ object GeoTable {
         maybeFoldSidecars(spark, root)
         sidecar.map(_.rows).sum
     }
+  }
+
+  /** Metadata-only DELETE commit: drop whole files from the manifest —
+    * no scan, no rewrite, no sidecar (the Iceberg metadata-delete
+    * shape). An empty drop set means the predicate provably matches
+    * nothing: no commit at all. Returns rows removed (file row counts;
+    * an upper bound while position sidecars reference a dropped file). */
+  private[tables] def dropFiles(spark: SparkSession, root: String,
+                                m: Manifest, drop: Seq[FileEntry]): Long = {
+    if (drop.isEmpty) return 0L
+    val dropKeys = drop.map(_.key).toSet
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      files = m.files.filterNot(f => dropKeys.contains(f.key))), m.version,
+      op = "delete")
+    drop.map(_.rows).sum
   }
 
   /**
@@ -1909,6 +1937,18 @@ object GeoTable {
     val probe = spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
     try probe.where(cond).queryExecution.analyzed match {
       case f: LFilter => graft.plans.SpatialFilters.queryEnvelope(f.condition, geomCol)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** A DML `Column` condition resolved against the table schema as a
+    * catalyst expression (driver-only analysis, no jobs) — what the
+    * stats-only evaluators parse. */
+  private def resolvedCondition(spark: SparkSession, schema: StructType, cond: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probe = spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    try probe.where(cond).queryExecution.analyzed match {
+      case f: LFilter => Some(f.condition)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
   }

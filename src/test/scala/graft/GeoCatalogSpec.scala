@@ -102,6 +102,12 @@ class GeoCatalogSpec extends SparkSpec {
     val ops = spark.sql("SELECT operation FROM geo.db.meta_t.snapshots ORDER BY version")
       .collect().map(_.getString(0)).toSeq
     assert(ops == Seq("create", "append", "append"), s"ops: $ops")
+    // snapshot summary counts (Iceberg added/removed analog): each
+    // append added one 1-row file, nothing removed
+    val summ = spark.sql("SELECT added_files, added_rows, removed_files " +
+        "FROM geo.db.meta_t.snapshots ORDER BY version")
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(summ == Seq((0, 0L, 0), (1, 1L, 0), (1, 1L, 0)), s"summary: $summ")
     // history mirrors Iceberg's: made_current_at per version, current flag
     val hist = spark.sql(
         "SELECT version, is_current FROM geo.db.meta_t.history ORDER BY version")

@@ -467,6 +467,109 @@ class GeoPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("alternative selections"))
   }
 
+  test("metadata DELETE: partition-aligned predicates drop whole files with zero jobs") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.mdel (k BIGINT, v STRING) USING geo PARTITIONED BY (k)")
+    // roll files at every partition-tuple boundary so each file is
+    // single-valued — the aligned shape a production partitioned table
+    // has (the default rollMinRows merges these toy 1000-row partitions)
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try spark.sql("INSERT INTO geopt.db.mdel SELECT id % 4, concat('v', id) FROM range(0, 4000)")
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
+    val root = warehouse + "/db/mdel"
+    val m0 = GeoManifest.read(spark, root)
+    val filesBefore = m0.files.map(_.key).toSet
+    val sc = spark.sparkContext
+    sc.setJobGroup("mdel_drop", "metadata delete")
+    spark.sql("DELETE FROM geopt.db.mdel WHERE k < 2")
+    sc.clearJobGroup()
+    // zero Spark jobs: the drop is manifest-only (no scan, no rewrite)
+    assert(sc.statusTracker.getJobIdsForGroup("mdel_drop").isEmpty,
+      "partition-aligned DELETE must run no jobs")
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.op.contains("delete"))
+    // no NEW files (no rewrite), no sidecars — a pure subset drop
+    assert(m1.files.map(_.key).toSet.subsetOf(filesBefore), "rewrite minted files")
+    assert(m1.deletes.isEmpty && m1.eqDeletes.isEmpty, "sidecars filed")
+    assert(m1.files.map(_.rows).sum == 2000)
+    assert(spark.sql("SELECT COUNT(*), MIN(k) FROM geopt.db.mdel").head.toSeq == Seq(2000L, 2L))
+    // equality form drops the single-valued partition the same way
+    spark.sql("DELETE FROM geopt.db.mdel WHERE k = 3")
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.files.map(_.key).toSet.subsetOf(filesBefore) && m2.eqDeletes.isEmpty)
+    assert(spark.sql("SELECT COUNT(*), MAX(k) FROM geopt.db.mdel").head.toSeq == Seq(1000L, 2L))
+    // a predicate stats cannot decide (string column, no transform)
+    // falls back to the row-level path and stays exact
+    spark.sql("DELETE FROM geopt.db.mdel WHERE v = 'v2'")
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.mdel").head.getLong(0) == 999)
+  }
+
+  test("metadata DELETE: day-boundary retention on a days(ts) table, straddle falls back") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.mret (ts TIMESTAMP, v BIGINT) USING geo " +
+      "PARTITIONED BY (days(ts))")
+    // 4 days of data, hourly rows
+    spark.sql("""INSERT INTO geopt.db.mret
+      SELECT timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2025-03-01 00:00:00Z'), id
+      FROM range(0, 96)""")
+    val root = warehouse + "/db/mret"
+    val before = GeoManifest.read(spark, root).files.map(_.key).toSet
+    val sc = spark.sparkContext
+    sc.setJobGroup("mret_drop", "retention delete")
+    // midnight cutoff: the boundary day's file is wholly-outside via the
+    // aligned-boundary rule, earlier days wholly-inside — pure drop
+    spark.sql("DELETE FROM geopt.db.mret WHERE ts < TIMESTAMP'2025-03-03 00:00:00Z'")
+    sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("mret_drop").isEmpty,
+      "day-boundary retention must run no jobs")
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.files.map(_.key).toSet.subsetOf(before) && m1.deletes.isEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.mret").head.getLong(0) == 48)
+    // a mid-day cutoff straddles the boundary file: falls back to the
+    // row-level path (new files or sidecars appear) and stays exact
+    spark.sql("DELETE FROM geopt.db.mret WHERE ts < TIMESTAMP'2025-03-03 12:00:00Z'")
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.files.exists(f => !before.contains(f.key)) || m2.deletes.nonEmpty ||
+      m2.eqDeletes.nonEmpty, "straddling predicate must take the row-level path")
+    assert(spark.sql("SELECT COUNT(*), MIN(v) FROM geopt.db.mret").head.toSeq == Seq(36L, 60L))
+  }
+
+  test("metadata DELETE: files that saw nulls never wholly drop; nulls survive") {
+    warehouse
+    spark.sql("CREATE TABLE geopt.db.mnul (k BIGINT, v STRING) USING geo PARTITIONED BY (k)")
+    spark.sql("INSERT INTO geopt.db.mnul " +
+      "SELECT CASE WHEN id % 10 = 9 THEN NULL ELSE id % 2 END, concat('v', id) " +
+      "FROM range(0, 100)")
+    // k < 5 covers every non-null value, but null rows must survive a
+    // comparison predicate — the saw-null flags block the whole-file drop
+    spark.sql("DELETE FROM geopt.db.mnul WHERE k < 5")
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.mnul").head.getLong(0) == 10,
+      "null rows deleted by a comparison predicate")
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.mnul WHERE k IS NULL").head.getLong(0) == 10)
+  }
+
+  test("metadata DELETE: path-table API takes the stats-only route") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("geo_mdel_path").toString + "/t"
+    val df = spark.range(0, 1000).selectExpr("id % 4 AS cluster", "id AS x")
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try graft.tables.GeoTable.create(spark, root, df, geomCol = None,
+      partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")))
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
+    val sc = spark.sparkContext
+    sc.setJobGroup("mdel_path", "path metadata delete")
+    val n = graft.tables.GeoTable.delete(spark, root, col("cluster") >= 2L)
+    sc.clearJobGroup()
+    assert(n == 500, s"deleted $n")
+    assert(sc.statusTracker.getJobIdsForGroup("mdel_path").isEmpty,
+      "path-table aligned DELETE must run no jobs")
+    assert(graft.tables.GeoTable.read(spark, root).count() == 500)
+    // a provably-empty predicate commits nothing at all
+    val v = GeoManifest.read(spark, root).version
+    assert(graft.tables.GeoTable.delete(spark, root, col("cluster") > 100L) == 0L)
+    assert(GeoManifest.read(spark, root).version == v, "no-op DELETE must not commit")
+  }
+
   test("writer-side inline stats agree field-for-field with the read-back scan") {
     // DSv2 INSERT commits manifest entries from the writers' inline stats
     // (no read-back job); this pins their contract: re-running the old

@@ -362,6 +362,41 @@ class OpsSpec extends SparkSpec {
       s"training must run at BUILD only (build $buildJobs vs probe $probeJobs)")
   }
 
+  test("appendToIvfIndex: new vectors assign to stored centroids, probes stay exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val total = emb.count()
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    // IVF-PQ index built on HALF the corpus, the other half appended —
+    // the 100 TB ingest shape (no re-clustering per batch)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_app").toString + "/i"
+    Similarity.buildIvfPqIndex(spark, idx, even, col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+    val appended = Similarity.appendToIvfIndex(spark, idx, odd, col("embedding"), col("vec_id"))
+    assert(appended == total - even.count(), s"appended $appended")
+    val m = graft.tables.GeoManifest.read(spark, s"$idx/vectors")
+    assert(m.files.map(_.rows).sum == total, "index must now hold the full corpus")
+    // appended rows carry PQ codes (the stored codebooks re-encoded them)
+    assert(m.schema.fieldNames.contains("pq_code"))
+    // a query vector from the APPENDED half: all-cluster probe with a
+    // covering pool equals brute force over the full corpus
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val r = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == brute, s"post-append probe diverged: $r vs $brute")
+    // plain IVF index: same append path, no codebooks column
+    val idx2 = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/i"
+    Similarity.buildIvfIndex(spark, idx2, even, col("embedding"), col("vec_id"), k = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, idx2, odd, col("embedding"), col("vec_id"))
+    val m2 = graft.tables.GeoManifest.read(spark, s"$idx2/vectors")
+    assert(m2.files.map(_.rows).sum == total && !m2.schema.fieldNames.contains("pq_code"))
+    val r2 = Similarity.ivfSearch(spark, idx2, q, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r2 == brute, s"post-append IVF probe diverged: $r2 vs $brute")
+  }
+
   test("range join == naive between-join across bucket sizes") {
     val vals = (0 until 300).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("vid", "v")
     val ivs = (0 until 20).map(i => (i.toLong, (i * 53 % 800).toDouble, (i * 53 % 800).toDouble + 120.5))
