@@ -348,10 +348,7 @@ object Similarity {
   def ivfSearch(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                 q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
     import graft.tables.GeoTable
-    val centroids = GeoTable.read(spark, s"$indexRoot/centroids")
-      .orderBy("cluster").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
-    val probes = nearestClusters(centroids, q, nprobe)
+    val probes = nearestClusters(readCentroids(spark, indexRoot), q, nprobe)
     // scan() both file-prunes on the predicate and applies it to rows
     probeTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
       org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "vec", q, k)

@@ -798,33 +798,34 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
         files = Seq.empty, deletes = Seq.empty, eqDeletes = Seq.empty), m.version,
         op = "truncate")
-    } else if (metadataDropSet(predicates).isDefined) {
-      // stats-only whole-file drop: zero data I/O, no sidecar — re-read
-      // the manifest under the current snapshot and re-derive (the
-      // canDeleteWhere answer may be a scan-build old)
-      val m = GeoManifest.read(spark, root)
-      val exprs = predicates.toSeq.flatMap(v2Expr)
-      GeoPartition.metadataDeleteSet(m.files, m.specSet, m.schema, exprs) match {
-        case Some(drop) => GeoTable.dropFiles(spark, root, m, drop): Unit
-        case None =>
-          // the snapshot moved between canDeleteWhere and here and the new
-          // files straddle — refuse rather than delete the wrong rows
-          throw new IllegalStateException(
-            s"$tableName changed concurrently; metadata DELETE no longer " +
-              "applies — retry the statement")
-      }
     } else {
-      val (field, lits) = keyedPredicate(predicates).getOrElse(
-        throw new UnsupportedOperationException(
-          s"cannot delete by ${predicates.mkString(", ")} on $tableName"))
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(lits.head.dataType())
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        lits.map(l => org.apache.spark.sql.Row(conv(l.value)): org.apache.spark.sql.Row)
-          .asJava
-      val keys = spark.createDataFrame(rows,
-        StructType(Seq(StructField(field.name, lits.head.dataType()))))
-      GeoTable.deleteByKey(spark, root, Seq(field.name), keys)
+      // ONE fresh-manifest evaluation (canDeleteWhere's answer may be a
+      // scan-build old): whole-file drop when it still applies, else the
+      // keyed-sidecar route — which stays correct under concurrent
+      // commits, so a snapshot that moved between canDeleteWhere and
+      // here degrades to the sidecar instead of failing the statement
+      val m = GeoManifest.read(spark, root)
+      val exprs = predicates.toSeq.map(v2Expr)
+      val drop =
+        if (exprs.forall(_.isDefined))
+          GeoPartition.metadataDeleteSet(m.files, m.specSet, m.schema, exprs.flatten)
+        else None
+      drop match {
+        case Some(d) => GeoTable.dropFiles(spark, root, m, d): Unit
+        case None =>
+          val (field, lits) = keyedPredicate(predicates).getOrElse(
+            throw new IllegalStateException(
+              s"$tableName changed concurrently; metadata DELETE no longer " +
+                "applies and the predicate is not keyed — retry the statement"))
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(lits.head.dataType())
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            lits.map(l => org.apache.spark.sql.Row(conv(l.value)): org.apache.spark.sql.Row)
+              .asJava
+          val keys = spark.createDataFrame(rows,
+            StructType(Seq(StructField(field.name, lits.head.dataType()))))
+          GeoTable.deleteByKey(spark, root, Seq(field.name), keys)
+      }
     }
 
   override def schema(): StructType = manifest.schema

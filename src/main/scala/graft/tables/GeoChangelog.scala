@@ -97,6 +97,47 @@ object GeoChangelog {
     case _ => (None, None)
   }
 
+  /** Ancestor chain of `vTo` down to (exclusive) `vFrom`, NEWEST first,
+    * following the in-manifest parent lineage. `parentMemo` caches parent
+    * pointers across calls — committed lineage is immutable, so a
+    * tailing stream's admission walk pays one header read per NEW
+    * version EVER, not per trigger (single-caller maps; not
+    * thread-safe). */
+  private def ancestorChain(spark: SparkSession, root: String, vFrom: Int, vTo: Int,
+      parentMemo: scala.collection.mutable.Map[Int, Int] = null): Seq[Int] = {
+    val chain = Seq.newBuilder[Int]
+    var w = vTo
+    while (w > vFrom) {
+      chain += w
+      val p =
+        if (parentMemo == null) GeoManifest.parentOf(spark, root, w).getOrElse(w - 1)
+        else parentMemo.getOrElseUpdate(w,
+          GeoManifest.parentOf(spark, root, w).getOrElse(w - 1))
+      require(p < w, s"corrupt lineage at $root: m$w.txt claims parent $p")
+      w = p
+    }
+    require(w == vFrom,
+      s"changelog range ($vFrom, $vTo] of $root does not follow one lineage: " +
+        s"$vFrom is not an ancestor of $vTo (it may be a staged branch snapshot)")
+    chain.result()
+  }
+
+  /** One commit's diff vs its parent snapshot: (added files, removed
+    * files, fresh position sidecars, fresh equality sidecars) — the ONE
+    * definition both the changelog replay and streaming admission count
+    * against, so they can never disagree. */
+  private def stepDiff(prev: Manifest, cur: Manifest): (Seq[FileEntry], Seq[FileEntry],
+      Seq[GeoManifest.DeleteEntry], Seq[GeoManifest.EqDeleteEntry]) = {
+    val prevKeys = prev.files.map(_.key).toSet
+    val curKeys = cur.files.map(_.key).toSet
+    val prevDel = prev.deletes.map(_.key).toSet
+    val prevEq = prev.eqDeletes.map(_.key).toSet
+    (cur.files.filterNot(f => prevKeys.contains(f.key)),
+      prev.files.filterNot(f => curKeys.contains(f.key)),
+      cur.deletes.filterNot(d => prevDel.contains(d.key)),
+      cur.eqDeletes.filterNot(e => prevEq.contains(e.key)))
+  }
+
   /** Admission control for the streaming sources: advance `from` toward
     * `target` admitting WHOLE versions (offsets are manifest versions)
     * until the read limit is reached — the Iceberg
@@ -107,50 +148,35 @@ object GeoChangelog {
     * Always admits at least one version when anything is available (the
     * progress guarantee Spark's file source gives when a single file
     * exceeds maxBytes). Manifests are read INCREMENTALLY oldest-first and
-    * the walk stops at the cap, so a trigger costs O(admitted versions),
-    * not O(backlog). `countRemoved` — the CDC stream replays removed
-    * files as delete rows, so they count against the caps; the
-    * append-only stream never reads them. */
+    * the walk stops at the cap, so a trigger costs O(admitted versions)
+    * manifest reads — the lineage pointer walk itself memoizes through
+    * `parentMemo`, so deep backlogs pay each version's header read once
+    * across the whole catch-up, not once per trigger. `countRemoved` —
+    * the CDC stream replays removed files as delete rows, so they count
+    * against the caps; the append-only stream never reads them. */
   private[graft] def admit(spark: SparkSession, root: String, from: Int,
-                           target: Int, limit: ReadLimit,
-                           countRemoved: Boolean): Int = {
+                           target: Int, limit: ReadLimit, countRemoved: Boolean,
+                           parentMemo: scala.collection.mutable.Map[Int, Int] = null): Int = {
     if (target <= from) return target
     val (maxF, maxR) = readCaps(limit)
     if (maxF.isEmpty && maxR.isEmpty) return target
-    // ancestor chain of target down to from — header-only reads, cheap
-    val chain = Seq.newBuilder[Int]
-    var w = target
-    while (w > from) {
-      chain += w
-      val p = GeoManifest.parentOf(spark, root, w).getOrElse(w - 1)
-      require(p < w, s"corrupt lineage at $root: m$w.txt claims parent $p")
-      w = p
-    }
+    val chain = ancestorChain(spark, root, from, target, parentMemo)
     var prev = GeoManifest.readVersion(spark, root, from)
     var files = 0L
     var rows = 0L
     var end = from
     var stop = false
-    chain.result().reverse.foreach { v =>
+    chain.reverse.foreach { v =>
       if (!stop) {
         val cur = GeoManifest.readVersion(spark, root, v)
-        val prevKeys = prev.files.map(_.key).toSet
-        val added = cur.files.filterNot(f => prevKeys.contains(f.key))
+        val (added, removed0, newDel, newEq) = stepDiff(prev, cur)
         // the CDC stream also replays removed files as delete rows and
         // fresh delete sidecars as row-granular delete legs — both count;
         // the append stream reads neither
-        val (removed, sidecars, sidecarRows) =
-          if (!countRemoved) (Seq.empty[FileEntry], 0, 0L)
-          else {
-            val curKeys = cur.files.map(_.key).toSet
-            val prevDel = prev.deletes.map(_.key).toSet
-            val prevEq = prev.eqDeletes.map(_.key).toSet
-            val newDel = cur.deletes.filterNot(d => prevDel.contains(d.key))
-            val newEq = cur.eqDeletes.filterNot(e => prevEq.contains(e.key))
-            (prev.files.filterNot(f => curKeys.contains(f.key)),
-              newDel.length + newEq.length,
-              newDel.map(_.rows).sum + newEq.map(_.rows).sum)
-          }
+        val removed = if (countRemoved) removed0 else Seq.empty[FileEntry]
+        val sidecars = if (countRemoved) newDel.length + newEq.length else 0
+        val sidecarRows =
+          if (countRemoved) newDel.map(_.rows).sum + newEq.map(_.rows).sum else 0L
         val f = added.length + removed.length + sidecars
         val r = added.map(_.rows).sum + removed.map(_.rows).sum + sidecarRows
         // admit unless this version would breach a cap AND progress is
@@ -174,30 +200,15 @@ object GeoChangelog {
   def versionSteps(spark: SparkSession, root: String, vFrom: Int, vTo: Int): Seq[VersionStep] = {
     require(vFrom <= vTo, s"changelog range is reversed: ($vFrom, $vTo]")
     if (vFrom == vTo) return Seq.empty
-    val chain = Seq.newBuilder[Int]
-    var w = vTo
-    while (w > vFrom) {
-      chain += w
-      val p = GeoManifest.parentOf(spark, root, w).getOrElse(w - 1)
-      require(p < w, s"corrupt lineage at $root: m$w.txt claims parent $p")
-      w = p
-    }
-    require(w == vFrom,
-      s"changelog range ($vFrom, $vTo] of $root does not follow one lineage: " +
-        s"$vFrom is not an ancestor of $vTo (it may be a staged branch snapshot)")
+    val chain = ancestorChain(spark, root, vFrom, vTo)
     var prev = GeoManifest.readVersion(spark, root, vFrom)
-    chain.result().reverse.map { v =>
+    chain.reverse.map { v =>
       val cur = GeoManifest.readVersion(spark, root, v)
-      val prevKeys = prev.files.map(_.key).toSet
-      val curKeys = cur.files.map(_.key).toSet
-      val prevDel = prev.deletes.map(_.key).toSet
-      val prevEq = prev.eqDeletes.map(_.key).toSet
+      val (added, removed, newDel, newEq) = stepDiff(prev, cur)
       val step = VersionStep(v,
         cur.commitTs.getOrElse(GeoManifest.commitTsOf(spark, root, v)),
-        added = cur.files.filterNot(f => prevKeys.contains(f.key)),
-        removed = prev.files.filterNot(f => curKeys.contains(f.key)),
-        addedDeletes = cur.deletes.filterNot(d => prevDel.contains(d.key)),
-        addedEqDeletes = cur.eqDeletes.filterNot(e => prevEq.contains(e.key)),
+        added = added, removed = removed,
+        addedDeletes = newDel, addedEqDeletes = newEq,
         prevManifest = Some(prev))
       prev = cur
       step
@@ -749,6 +760,47 @@ case class GeoStreamOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
+/** Shared admission control for the two geo streams
+  * (SupportsAdmissionControl via SupportsTriggerAvailableNow):
+  * whole-version steps under `max-files-per-micro-batch` /
+  * `max-rows-per-micro-batch`, AvailableNow pinning, and the memoized
+  * lineage walk — ONE implementation, so the sources can never diverge
+  * in admission behavior. */
+private[tables] trait GeoAdmissionControl extends SupportsTriggerAvailableNow {
+  protected def admitSpark: SparkSession
+  protected def admitRoot: String
+  protected def admitOptions: CaseInsensitiveStringMap
+  /** The CDC stream replays removed files and fresh delete sidecars as
+    * delete rows, so they count against the caps; the append-only
+    * stream never reads them. */
+  protected def countRemoved: Boolean
+
+  @volatile private var availableNowCap: Option[Int] = None
+  // parent pointers of committed versions are immutable — memoizing them
+  // across triggers makes deep-backlog catch-up pay each version's
+  // header read once ever, not once per trigger. Single stream-exec
+  // thread per source: no synchronization needed.
+  private val parentMemo = scala.collection.mutable.Map.empty[Int, Int]
+
+  private def currentVersion: Int =
+    GeoManifest.currentVersion(admitSpark, admitRoot).getOrElse(0)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    GeoChangelog.optionReadLimit(admitOptions)
+
+  override def reportLatestOffset(): Offset = GeoStreamOffset(currentVersion)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowCap.getOrElse(currentVersion)
+    GeoStreamOffset(GeoChangelog.admit(admitSpark, admitRoot,
+      start.asInstanceOf[GeoStreamOffset].version, target, limit,
+      countRemoved, parentMemo))
+  }
+}
+
 /**
  * Micro-batch streaming source over a GeoTable: `spark.readStream
  * .table("geo.db.t")`. Offsets are manifest versions; each batch reads
@@ -770,7 +822,12 @@ case class GeoStreamOffset(version: Int) extends Offset {
  */
 class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan,
                           tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  extends MicroBatchStream with GeoAdmissionControl {
+
+  override protected def admitSpark: SparkSession = spark
+  override protected def admitRoot: String = root
+  override protected def admitOptions: CaseInsensitiveStringMap = options
+  override protected def countRemoved: Boolean = false
 
   private val skipOverwrites =
     Option(options.get("skip-overwrite-commits")).exists(_.toBoolean)
@@ -785,27 +842,6 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def latestOffset(): Offset =
     GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  // ---- admission control (SupportsAdmissionControl via
-  // SupportsTriggerAvailableNow): whole-version steps under file/row caps
-  @volatile private var availableNowCap: Option[Int] = None
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  override def getDefaultReadLimit: ReadLimit =
-    GeoChangelog.optionReadLimit(options)
-
-  override def reportLatestOffset(): Offset =
-    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = availableNowCap.getOrElse(
-      GeoManifest.currentVersion(spark, root).getOrElse(0))
-    GeoStreamOffset(GeoChangelog.admit(spark, root,
-      start.asInstanceOf[GeoStreamOffset].version, target, limit,
-      countRemoved = false))
-  }
 
   override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
 
@@ -859,7 +895,12 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
 class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan,
                           tableSchema: StructType, needMeta: Boolean,
                           options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  extends MicroBatchStream with GeoAdmissionControl {
+
+  override protected def admitSpark: SparkSession = spark
+  override protected def admitRoot: String = root
+  override protected def admitOptions: CaseInsensitiveStringMap = options
+  override protected def countRemoved: Boolean = true
 
   private val startVersion: Int =
     Option(options.get("stream-from-version")) match {
@@ -872,25 +913,6 @@ class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   override def latestOffset(): Offset =
     GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  @volatile private var availableNowCap: Option[Int] = None
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  override def getDefaultReadLimit: ReadLimit =
-    GeoChangelog.optionReadLimit(options)
-
-  override def reportLatestOffset(): Offset =
-    GeoStreamOffset(GeoManifest.currentVersion(spark, root).getOrElse(0))
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = availableNowCap.getOrElse(
-      GeoManifest.currentVersion(spark, root).getOrElse(0))
-    GeoStreamOffset(GeoChangelog.admit(spark, root,
-      start.asInstanceOf[GeoStreamOffset].version, target, limit,
-      countRemoved = true))
-  }
 
   override def deserializeOffset(json: String): Offset = GeoStreamOffset(json.trim.toInt)
 

@@ -1235,18 +1235,36 @@ object GeoTable {
   }
 
   /** Metadata-only DELETE commit: drop whole files from the manifest —
-    * no scan, no rewrite, no sidecar (the Iceberg metadata-delete
+    * no scan, no rewrite, no fresh sidecar (the Iceberg metadata-delete
     * shape). An empty drop set means the predicate provably matches
-    * nothing: no commit at all. Returns rows removed (file row counts;
-    * an upper bound while position sidecars reference a dropped file). */
+    * nothing: no commit at all. Position sidecars whose referenced files
+    * ALL dropped are GC'd in the same commit (their rows are dead weight
+    * against maxLiveDeleteRows and would double-emit deletes in the CDC
+    * feed); rows already position-deleted inside dropped files are
+    * subtracted from the returned count. Sidecar loads here are the
+    * driver-side memoized reads every scan already pays, bounded by the
+    * live-delete ceiling — still zero DATA file I/O. */
   private[tables] def dropFiles(spark: SparkSession, root: String,
                                 m: Manifest, drop: Seq[FileEntry]): Long = {
     if (drop.isEmpty) return 0L
     val dropKeys = drop.map(_.key).toSet
+    val surviving = m.files.filterNot(f => dropKeys.contains(f.key))
+    val survivorKeys = surviving.map(_.key).toSet
+    var deadRows = 0L
+    val keptDeletes =
+      if (m.deletes.isEmpty) m.deletes
+      else m.deletes.filter { e =>
+        val byFile = GeoSidecarCache.positions(spark, Seq(e))
+        deadRows += byFile.iterator
+          .filter { case (k, _) => dropKeys.contains(k) }.map(_._2.length.toLong).sum
+        // keep only sidecars still referencing a live file; a sidecar
+        // whose targets are all gone can never subtract anything again
+        byFile.keysIterator.exists(survivorKeys.contains)
+      }
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-      files = m.files.filterNot(f => dropKeys.contains(f.key))), m.version,
+      files = surviving, deletes = keptDeletes), m.version,
       op = "delete")
-    drop.map(_.rows).sum
+    drop.map(_.rows).sum - deadRows
   }
 
   /**

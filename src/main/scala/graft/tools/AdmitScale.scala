@@ -52,11 +52,14 @@ object AdmitScale {
       var triggers = 0
       var totalMs = 0.0
       var maxMs = 0.0
+      // the per-stream parent memo: each version's header read is paid
+      // once across the whole catch-up, as in GeoAdmissionControl
+      val memo = scala.collection.mutable.Map.empty[Int, Int]
       val t0 = System.nanoTime()
       while (from < current) {
         val s = System.nanoTime()
         val end = GeoChangelog.admit(spark, root, from, current,
-          ReadLimit.maxFiles(cap), countRemoved = false)
+          ReadLimit.maxFiles(cap), countRemoved = false, memo)
         val ms = (System.nanoTime() - s) / 1e6
         totalMs += ms; maxMs = math.max(maxMs, ms)
         require(end > from, s"no progress at $from")

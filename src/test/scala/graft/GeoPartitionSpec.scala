@@ -570,6 +570,30 @@ class GeoPartitionSpec extends SparkSpec {
     assert(GeoManifest.read(spark, root).version == v, "no-op DELETE must not commit")
   }
 
+  test("metadata DELETE GCs position sidecars whose referenced files all dropped") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("geo_mdel_gc").toString + "/t"
+    val df = spark.range(0, 1000).selectExpr("id % 4 AS cluster", "id AS x")
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try graft.tables.GeoTable.create(spark, root, df, geomCol = None,
+      partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")))
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
+    // a MoR position delete inside cluster 0 (the x<10 leg straddles the
+    // file's x-range, so the stats-only route correctly declines)
+    val n1 = graft.tables.GeoTable.delete(spark, root,
+      col("cluster") === 0L && col("x") < 10L, mode = "mor")
+    val m1 = GeoManifest.read(spark, root)
+    assert(n1 == 3 && m1.deletes.nonEmpty, s"expected a MoR sidecar, got $m1")
+    // whole-file drop of cluster 0: the sidecar only referenced the
+    // dropped file — it must GC in the same commit, and the returned
+    // count must not re-count the 3 already-deleted rows
+    val n2 = graft.tables.GeoTable.delete(spark, root, col("cluster") === 0L)
+    assert(n2 == 250 - 3, s"dead sidecar rows re-counted: $n2")
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.deletes.isEmpty, s"dead sidecar not GC'd: ${m2.deletes}")
+    assert(graft.tables.GeoTable.read(spark, root).count() == 750)
+  }
+
   test("writer-side inline stats agree field-for-field with the read-back scan") {
     // DSv2 INSERT commits manifest entries from the writers' inline stats
     // (no read-back job); this pins their contract: re-running the old
