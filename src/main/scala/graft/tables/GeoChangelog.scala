@@ -785,6 +785,30 @@ private[tables] trait GeoAdmissionControl extends SupportsTriggerAvailableNow {
   private def currentVersion: Int =
     GeoManifest.currentVersion(admitSpark, admitRoot).getOrElse(0)
 
+  /** Where replay starts (EXCLUSIVE — batches cover `(start, end]`):
+    * `stream-from-version` = n | "current" (tail only), or
+    * `stream-from-timestamp` = epoch millis | ISO-8601 instant — replay
+    * begins at the first commit AT or AFTER the timestamp (the Iceberg
+    * stream-from-timestamp contract: the newest commit strictly before
+    * it is the exclusive start). Default 0 = replay the whole table. */
+  protected lazy val startVersion: Int = {
+    val byVersion = Option(admitOptions.get("stream-from-version"))
+    val byTs = Option(admitOptions.get("stream-from-timestamp"))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "set stream-from-version OR stream-from-timestamp, not both")
+    (byVersion, byTs) match {
+      case (Some("current"), _) => currentVersion
+      case (Some(v), _) => v.toInt
+      case (_, Some(raw)) =>
+        val cutoff = raw.trim.toLongOption.getOrElse(
+          java.time.Instant.parse(raw.trim).toEpochMilli)
+        GeoManifest.ancestry(admitSpark, admitRoot, currentVersion)
+          .filter(v => GeoManifest.commitTsOf(admitSpark, admitRoot, v) < cutoff)
+          .maxOption.getOrElse(0)
+      case _ => 0
+    }
+  }
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(currentVersion)
 
@@ -831,13 +855,6 @@ class GeoMicroBatchStream(spark: SparkSession, root: String, inner0: ParquetScan
 
   private val skipOverwrites =
     Option(options.get("skip-overwrite-commits")).exists(_.toBoolean)
-  private val startVersion: Int =
-    Option(options.get("stream-from-version")) match {
-      case Some("current") => GeoManifest.currentVersion(spark, root).getOrElse(0)
-      case Some(v) => v.toInt
-      case None => 0
-    }
-
   override def initialOffset(): Offset = GeoStreamOffset(startVersion)
 
   override def latestOffset(): Offset =
@@ -901,13 +918,6 @@ class GeoChangesCdcStream(spark: SparkSession, root: String, inner0: ParquetScan
   override protected def admitRoot: String = root
   override protected def admitOptions: CaseInsensitiveStringMap = options
   override protected def countRemoved: Boolean = true
-
-  private val startVersion: Int =
-    Option(options.get("stream-from-version")) match {
-      case Some("current") => GeoManifest.currentVersion(spark, root).getOrElse(0)
-      case Some(v) => v.toInt
-      case None => 0
-    }
 
   override def initialOffset(): Offset = GeoStreamOffset(startVersion)
 

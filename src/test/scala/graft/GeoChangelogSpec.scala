@@ -166,6 +166,38 @@ class GeoChangelogSpec extends SparkSpec {
     assert(got == (0L until 8L), s"AvailableNow missed rows: $got")
   }
 
+  test("stream-from-timestamp starts at the first commit at/after the cutoff") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.sft (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.sft SELECT id, 'a' FROM range(0, 4)")   // v1
+    Thread.sleep(30) // commit timestamps are millis: separate the commits
+    spark.sql("INSERT INTO geocls.db.sft SELECT id, 'b' FROM range(4, 8)")   // v2
+    val root = s"$warehouse/db/sft"
+    // a cutoff strictly between the two commits: replay must begin at v2
+    val cutoff = GeoManifest.commitTsOf(spark, root, 2)
+    assert(GeoManifest.commitTsOf(spark, root, 1) < cutoff,
+      "need distinct commit timestamps for this test")
+    val q = spark.readStream.option("stream-from-timestamp", cutoff.toString)
+      .table("geocls.db.sft")
+      .writeStream.format("memory").queryName("geo_sft").start()
+    q.processAllAvailable()
+    val got = spark.table("geo_sft").select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (4L until 8L), s"cutoff replay wrong: $got")
+    // ...and still tails commits made after the stream started
+    spark.sql("INSERT INTO geocls.db.sft SELECT id, 'c' FROM range(8, 10)")
+    q.processAllAvailable(); q.stop()
+    val tailed = spark.table("geo_sft").select($"id").as[Long].collect().sorted.toSeq
+    assert(tailed == (4L until 10L), s"tail after cutoff start: $tailed")
+    // both start options together are rejected loudly
+    val both = intercept[Exception] {
+      spark.readStream.option("stream-from-timestamp", cutoff.toString)
+        .option("stream-from-version", "1").table("geocls.db.sft")
+        .writeStream.format("memory").queryName("geo_sft_both").start()
+        .processAllAvailable()
+    }
+    assert(both.getMessage != null)
+  }
+
   test("streaming fails on CoW rewrites unless skip-overwrite-commits is set") {
     warehouse
     spark.sql("CREATE TABLE geocls.db.ow (id BIGINT, v STRING) USING geo")
