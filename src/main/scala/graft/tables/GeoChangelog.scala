@@ -529,6 +529,11 @@ object GeoChangelog {
  * the DML `_file` column). Version bounds come from read options:
  * `spark.read.option("from-version", 3).option("to-version", 7)
  * .table("geo.db.t.changes")`; defaults are table-start to current.
+ * Timestamp bounds compose the same way (`from-timestamp` /
+ * `to-timestamp`, epoch millis or ISO-8601): `from` is EXCLUSIVE of
+ * commits before the cutoff (changes AT/AFTER it are included, matching
+ * stream-from-timestamp), `to` resolves by the TIMESTAMP AS OF rule
+ * (newest commit at/before it).
  */
 class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
                       root: String, current: Int)
@@ -545,9 +550,26 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  private def parseTs(raw: String): Long =
+    raw.trim.toLongOption.getOrElse(java.time.Instant.parse(raw.trim).toEpochMilli)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val vTo = Option(options.get("to-version")).map(_.toInt).getOrElse(current)
-    val vFrom = Option(options.get("from-version")).map(_.toInt).getOrElse(0)
+    def one(kind: String, byVersion: Option[String], byTs: Option[String],
+            resolve: Long => Int, default: Int): Int = {
+      require(byVersion.isEmpty || byTs.isEmpty,
+        s"set $kind-version OR $kind-timestamp, not both")
+      byVersion.map(_.toInt)
+        .orElse(byTs.map(raw => resolve(parseTs(raw))))
+        .getOrElse(default)
+    }
+    val vTo = one("to", Option(options.get("to-version")),
+      Option(options.get("to-timestamp")),
+      ts => GeoManifest.versionAsOf(sparkAtLoad, root, ts), current)
+    val vFrom = one("from", Option(options.get("from-version")),
+      Option(options.get("from-timestamp")),
+      ts => GeoManifest.ancestry(sparkAtLoad, root, current)
+        .filter(v => GeoManifest.commitTsOf(sparkAtLoad, root, v) < ts)
+        .maxOption.getOrElse(0), 0)
     // Batch fileTags are computed eagerly (the parquet template scans the
     // changed files, which also feeds planning statistics). A STREAMING
     // read plans its own per-batch ranges from checkpoint offsets, so a

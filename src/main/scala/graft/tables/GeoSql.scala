@@ -60,6 +60,10 @@ object GeoSql {
   // code (stripOuterParens) because a trailing `\)?` in the regex steals the
   // closing paren of parameterized types: `ADD COLUMN price DECIMAL(10,2)`
   // must keep its `)`.
+  // by-reference file onboarding (Iceberg add_files procedure as a SQL
+  // verb): ALTER TABLE t ADD FILES 'p1'[, 'p2' ...]
+  private val alterAddFilesRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+FILES\s+(.+?)\s*;?\s*""".r
   private val alterAddRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
   private val alterDropRe =
@@ -156,6 +160,9 @@ object GeoSql {
       parseMerge(name, Option(alias), rest)
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
+    case alterAddFilesRe(name, pathsSql) if resolveRoot(name).isDefined =>
+      val paths = "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq
+      if (paths.isEmpty) None else Some(GeoAddFilesCommand(name, paths))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
@@ -820,6 +827,19 @@ case class GeoAnalyzeCommand(name: String, cols: Seq[String]) extends GeoRunnabl
 /** VACUUM t [RETAIN n VERSIONS]: delete data files referenced only by
   * expired versions (Iceberg expire-snapshots analog). Returns the number
   * of files removed. */
+/** ALTER TABLE t ADD FILES 'p'[, ...] — by-reference onboarding of
+  * existing parquet (the Iceberg add_files procedure as a SQL verb;
+  * footer-validated, one stats pass, zero data movement — see
+  * GeoTable.addFiles). Returns rows registered. */
+case class GeoAddFilesCommand(name: String, paths: Seq[String]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val n = GeoTable.addFiles(spark, root, paths)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(n))
+  }
+}
+
 case class GeoVacuumCommand(name: String, keep: Option[Int],
                             unit: String = "VERSIONS") extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {

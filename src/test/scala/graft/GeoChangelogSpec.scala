@@ -90,6 +90,38 @@ class GeoChangelogSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) FROM geocls.db.mt.changes").head.getLong(0) == 15L)
   }
 
+  test("changes table accepts timestamp bounds (from exclusive-before, to as-of)") {
+    warehouse
+    spark.sql("CREATE TABLE geocls.db.tsb (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geocls.db.tsb SELECT id, 'a' FROM range(0, 3)")  // v1
+    Thread.sleep(30)
+    spark.sql("INSERT INTO geocls.db.tsb SELECT id, 'b' FROM range(3, 6)")  // v2
+    Thread.sleep(30)
+    spark.sql("INSERT INTO geocls.db.tsb SELECT id, 'c' FROM range(6, 9)")  // v3
+    val root = s"$warehouse/db/tsb"
+    val t2 = GeoManifest.commitTsOf(spark, root, 2)
+    assert(GeoManifest.commitTsOf(spark, root, 1) < t2 &&
+      t2 < GeoManifest.commitTsOf(spark, root, 3), "need distinct commit timestamps")
+    // from-timestamp at v2's commit: v2 and v3 are at/after it
+    val from = spark.read.option("from-timestamp", t2.toString)
+      .table("geocls.db.tsb.changes").select($"id").as[Long].collect().sorted.toSeq
+    assert(from == (3L until 9L), s"from-timestamp: $from")
+    // to-timestamp at v2's commit: TIMESTAMP AS OF rule, v1..v2 included
+    val to = spark.read.option("to-timestamp", t2.toString)
+      .table("geocls.db.tsb.changes").select($"id").as[Long].collect().sorted.toSeq
+    assert(to == (0L until 6L), s"to-timestamp: $to")
+    // mixed forms compose; same-kind version+timestamp together reject
+    val both = spark.read.option("from-timestamp", t2.toString)
+      .option("to-version", "2")
+      .table("geocls.db.tsb.changes").select($"id").as[Long].collect().sorted.toSeq
+    assert(both == (3L until 6L), s"mixed bounds: $both")
+    val bad = intercept[Exception] {
+      spark.read.option("from-timestamp", t2.toString).option("from-version", "1")
+        .table("geocls.db.tsb.changes").collect()
+    }
+    assert(bad.getMessage.contains("not both"), bad.getMessage)
+  }
+
   test("readStream.table replays appends then tails new commits, batch-equal") {
     warehouse
     spark.sql("CREATE TABLE geocls.db.st (id BIGINT, v STRING) USING geo")

@@ -257,6 +257,19 @@ class GeoTableSpec extends SparkSpec {
     assert(extA.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))),
       "vacuum must never delete externally-owned imported files")
     assert(GeoTable.read(spark, root).count() == 149)
+    // the SQL verb (Iceberg add_files procedure analog) takes the same
+    // path: registered-name tables onboard by reference through ALTER
+    val dirD = s"$base/d"
+    spark.range(200, 220).select($"id", ($"id" % 7).as("w"))
+      .coalesce(1).write.parquet(dirD)
+    GeoTable.register(spark, "imp_sql_t", root)
+    try {
+      val files = spark.read.parquet(dirD).inputFiles
+      val n = GeoSql.exec(spark,
+        s"ALTER TABLE imp_sql_t ADD FILES ${files.map(f => s"'$f'").mkString(", ")}")
+      assert(n.head.getLong(0) == 20L, s"ADD FILES returned $n")
+      assert(GeoTable.read(spark, root).count() == 169)
+    } finally GeoTable.drop(spark, "imp_sql_t")
   }
 
   test("vacuum's orphan sweep has an age grace: in-flight writer files survive") {
