@@ -2237,6 +2237,39 @@ object SparkEntry {
         ORDER BY phase, k""")
     }),
 
+    // Declared write sort order (Iceberg write.sort-order analog):
+    // TBLPROPERTIES('sort.order'='price_cents') clusters every INSERT by
+    // the sort key, so per-file min/max stay tight WITHOUT any OPTIMIZE —
+    // require'd in-query: a range filter on the sort column scans fewer
+    // files than the table holds. The oracle replays the filter over raw
+    // orders (values pass through untouched).
+    "geo_sort_order" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geosoq").isEmpty) {
+        s.conf.set("spark.sql.catalog.geosoq", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geosoq.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_soq_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geosoq.db")
+      s.sql("DROP TABLE IF EXISTS geosoq.db.so")
+      s.sql("CREATE TABLE geosoq.db.so (k BIGINT, s BIGINT) USING geo " +
+        "TBLPROPERTIES('sort.order'='s')")
+      // insertion order is key order; s is scrambled relative to it —
+      // exactly the shape where only a declared sort makes the s-ranges
+      // prunable (pure-integer derivation: identical in the oracle)
+      s.sql("""INSERT INTO geosoq.db.so
+               SELECT o_orderkey, (o_orderkey * 7919) % 100000 FROM orders""")
+      val q = s.sql(
+        "SELECT k, s FROM geosoq.db.so WHERE s < 10000 ORDER BY k")
+      val root = s.conf.get("spark.sql.catalog.geosoq.warehouse") + "/db/so"
+      val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
+      val scanned = graft.tables.GeoCowScan.collectIn(q.queryExecution.executedPlan)
+        .map(_.scannedFiles.count(_.rows > 0)).min
+      require(total > 2 && scanned < total,
+        s"sort.order must prune the range scan: $scanned of $total")
+      q
+    }),
+
     // Metadata-only DELETE (Iceberg metadata-delete analog — the 100 TB
     // retention shape): a months(dd)-partitioned table drops everything
     // before a month boundary as a pure manifest commit. require'd
@@ -4124,6 +4157,14 @@ object SparkEntry {
       SELECT 3, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
       FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
       ORDER BY phase, k""",
+
+    // the range filter over the sort column, replayed on raw orders
+    // (pure-integer derivation: no float conversion ambiguity)
+    "geo_sort_order" -> """
+      SELECT o_orderkey AS k, (o_orderkey * 7919) % 100000 AS s
+      FROM orders
+      WHERE (o_orderkey * 7919) % 100000 < 10000
+      ORDER BY k""",
 
     // survivors of the retention cutoff, aggregated per date (bit-stable:
     // counts and key extrema, no float sums)

@@ -253,16 +253,42 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         GeoPartition.statsFor(tagged, ptransforms.toSeq)
       case None => Seq.empty
     }
+    // declared write sort order (Iceberg write.sort-order analog):
+    // TBLPROPERTIES('sort.order'='c1[,c2...]') — writes cluster by these
+    // columns AFTER the layout keys, so their per-file min/max stay
+    // tight on every ingest (pruning without OPTIMIZE); no partition
+    // tuples, no file rolling, SPJ unaffected
+    val sortT = Option(properties.get("sort.order"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+        val f = tagged.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"sort.order: '$c' is not a table column"))
+        require(GeoPartition.supports("sort", f.dataType),
+          s"sort.order: '$c' (${f.dataType.simpleString}) has no ordered long embedding")
+        require(!ptransforms.exists(t => t.layout && t.col.equalsIgnoreCase(c) &&
+            t.kind != "bucket"),
+          s"sort.order: '$c' already orders the layout via its partition transform")
+        GeoPartition.PTransform("sort", 0, f.name)
+      }).getOrElse(Seq.empty)
     // per-file bloom filters (point-lookup file skipping):
     // TBLPROPERTIES('bloom.columns'='a,b'[, 'bloom.fpp'=.., 'bloom.items'=..])
     val bloomT = Option(properties.get("bloom.columns"))
       .map(cols => GeoBloom.parseSpecs(spark, tagged, cols,
         Option(properties.get("bloom.fpp")), Option(properties.get("bloom.items"))))
       .getOrElse(Seq.empty)
-    GeoTable.createEmpty(spark, root, tagged, geomCol, ptransforms.toSeq ++ statsT,
+    // order matters: layout keys, then sort keys (the clustering key
+    // order layout() uses), then the stats-only tail
+    GeoTable.createEmpty(spark, root, tagged, geomCol,
+      ptransforms.toSeq ++ sortT ++ statsFiltered(statsT, sortT),
       bloomCols = bloomT)
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
+
+  /** Auto stats entries for columns a declared sort order already
+    * covers are redundant (the sort transform records the same per-file
+    * min/max) — drop them. */
+  private def statsFiltered(statsT: Seq[GeoPartition.PTransform],
+                            sortT: Seq[GeoPartition.PTransform]): Seq[GeoPartition.PTransform] =
+    statsT.filterNot(s => sortT.exists(_.col.equalsIgnoreCase(s.col)))
 
   /** ALTER TABLE through the catalog: ADD/DROP/RENAME COLUMN map onto
     * GeoTable's schema-evolution commits (same tombstone/CoW semantics as
@@ -874,6 +900,10 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       case Some(g) => base + (GeoCatalog.GeomColProp -> g)
       case None => base
     }
+    val sortCols = manifest.partitions.filter(_.kind == "sort").map(_.col)
+    val withSort =
+      if (sortCols.isEmpty) withGeom
+      else withGeom + ("sort.order" -> sortCols.mkString(","))
     // SHOW TBLPROPERTIES surfaces the bloom config it was set with.
     // Knobs can DIVERGE per column (sibling-knob inheritance across
     // ALTERs): a uniform value prints once, divergent values print as a
@@ -883,8 +913,8 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       val vs = manifest.bloomCols.map(get)
       if (vs.distinct.length == 1) vs.head.toString else vs.mkString(",")
     }
-    (if (manifest.bloomCols.isEmpty) withGeom
-     else withGeom +
+    (if (manifest.bloomCols.isEmpty) withSort
+     else withSort +
        ("bloom.columns" -> manifest.bloomCols.map(_.col).mkString(",")) +
        ("bloom.fpp" -> knob(_.fpp)) +
        ("bloom.items" -> knob(_.items))).asJava

@@ -44,7 +44,11 @@ object GeoPartition {
     * years — or `stats`, a STATS-ONLY identity: per-file min/max recorded
     * and pruned on exactly like identity, but exempt from write
     * clustering (the Iceberg column-stats analog: data skipping on
-    * filters over columns the layout does not order by). */
+    * filters over columns the layout does not order by) — or `sort`, a
+    * declared WRITE sort order (Iceberg write.sort-order analog): writes
+    * cluster by it AFTER the layout keys so per-file min/max stay tight
+    * on every ingest (no OPTIMIZE needed), but it defines no partition
+    * tuples — files don't roll at its boundaries and SPJ ignores it. */
   final case class PTransform(kind: String, n: Int, col: String) {
     def encode: String = kind match {
       case "bucket" => s"bucket($n,$col)"
@@ -52,12 +56,17 @@ object GeoPartition {
       case "identity" => col
       case k => s"$k($col)"
     }
-    /** True for transforms that drive the write layout (all but stats). */
-    def layout: Boolean = kind != "stats"
+    /** True for transforms that define the partition LAYOUT (tuple
+      * boundaries, SPJ key grouping, partition display) — all but the
+      * stats-only and sort-only kinds. */
+    def layout: Boolean = kind != "stats" && kind != "sort"
+    /** True for transforms the WRITE path clusters rows by (layout keys
+      * first, then declared sort keys; stats never cluster). */
+    def clusters: Boolean = kind != "stats"
     override def toString: String = encode
   }
 
-  private val unitRe = "(days|hours|months|years|stats)\\(([^)]+)\\)".r
+  private val unitRe = "(days|hours|months|years|stats|sort)\\(([^)]+)\\)".r
   private val bucketRe = "bucket\\((\\d+),([^)]+)\\)".r
   private val truncateRe = "truncate\\((\\d+),([^)]+)\\)".r
 
@@ -71,7 +80,7 @@ object GeoPartition {
   /** Column types a transform accepts (identity needs an ordered long
     * embedding; bucket anything murmur3 hashes). */
   private[tables] def supports(kind: String, dt: DataType): Boolean = kind match {
-    case "identity" | "stats" => dt match {
+    case "identity" | "stats" | "sort" => dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
       case _ => false
     }
@@ -137,7 +146,7 @@ object GeoPartition {
       throw new IllegalArgumentException(s"partition column '${t.col}' missing from schema"))
     val c = col(f.name)
     t.kind match {
-      case "identity" | "stats" => f.dataType match {
+      case "identity" | "stats" | "sort" => f.dataType match {
         case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(LongType)
         case TimestampType => unix_micros(c)
         case _ => c.cast(LongType)
@@ -170,9 +179,11 @@ object GeoPartition {
   def v2SortOrders(transforms: Seq[PTransform])
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    transforms.filter(_.layout).map { p =>
+    transforms.filter(_.clusters).map { p =>
       val e = p.kind match {
-        case "identity" => Expressions.column(p.col)
+        // a declared sort key orders by the raw column — its long
+        // embedding is order-isomorphic, no function resolution needed
+        case "identity" | "sort" => Expressions.column(p.col)
         case "bucket" => Expressions.bucket(p.n, p.col)
         case "truncate" => Expressions.apply("truncate",
           Expressions.literal(p.n), Expressions.column(p.col))
@@ -187,7 +198,7 @@ object GeoPartition {
     * one file and destroy the grouping); empty ranges produce zero-row
     * files that the commit drops. */
   def layout(df: DataFrame, transforms: Seq[PTransform], schema: StructType): DataFrame = {
-    val active = transforms.filter(_.layout) // stats transforms don't cluster
+    val active = transforms.filter(_.clusters) // stats transforms don't cluster
     if (active.isEmpty) return df
     val tcols = active.zipWithIndex.map { case (t, i) =>
       transformCol(t, schema).as(s"__graft_p$i")
@@ -233,7 +244,7 @@ object GeoPartition {
       case _ => None
     }
     t.kind match {
-      case "identity" | "stats" => dt match {
+      case "identity" | "stats" | "sort" => dt match {
         case DateType => Some(v.asInstanceOf[Int].toLong)
         case TimestampType => Some(v.asInstanceOf[Long])
         case ByteType | ShortType | IntegerType | LongType =>
@@ -509,7 +520,7 @@ object GeoPartition {
     *  - "eq": bucket — equality/IN disjointness only;
     *  - "none": no reasoning. */
   private def embClass(t: PTransform, dt: DataType): String = t.kind match {
-    case "identity" | "stats" => dt match {
+    case "identity" | "stats" | "sort" => dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => "exact"
       case _ => "none"
     }
@@ -536,7 +547,7 @@ object GeoPartition {
       case _ => None
     }
     t.kind match {
-      case "identity" | "stats" => true
+      case "identity" | "stats" | "sort" => true
       case "truncate" => dt match {
         case ByteType | ShortType | IntegerType | LongType =>
           Math.floorMod(v.asInstanceOf[Number].longValue(), t.n.toLong) == 0

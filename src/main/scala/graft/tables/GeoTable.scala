@@ -348,7 +348,7 @@ object GeoTable {
         data.withColumn("__z", z)
           .repartitionByRange(math.max(targetFiles, 1), col("__z"))
           .sortWithinPartitions("__z").drop("__z")
-      case None if m.partitions.exists(_.layout) =>
+      case None if m.partitions.exists(_.clusters) =>
         GeoPartition.layout(data, m.partitions, m.schema)
       case None => data.repartition(math.max(targetFiles, 1))
     }
@@ -874,7 +874,12 @@ object GeoTable {
     }
     require(canon.map(_.col.toLowerCase).distinct.length == canon.length,
       "duplicate partition column in SET PARTITIONED BY")
-    val newParts = canon ++ GeoPartition.statsFor(m.schema, canon)
+    // the declared sort order (CREATE-time property) survives spec
+    // evolution — unless the new layout itself orders that column
+    val keptSort = m.partitions.filter(t => t.kind == "sort" &&
+      !canon.exists(c => c.col.equalsIgnoreCase(t.col) && c.kind != "bucket"))
+    val newParts = canon ++ keptSort ++
+      GeoPartition.statsFor(m.schema, canon ++ keptSort)
     if (newParts == m.partitions) return // layout unchanged — no commit
     // retire the current spec; drop retired specs no file references any
     // more (files are spec-stamped on every committed manifest)
@@ -1892,7 +1897,7 @@ object GeoTable {
                           schema: StructType, geomCol: Option[String],
                           partitions: Seq[GeoPartition.PTransform] = Seq.empty,
                           cluster: Boolean = false): Seq[FileEntry] = {
-    val df = if (cluster && partitions.exists(_.layout))
+    val df = if (cluster && partitions.exists(_.clusters))
       GeoPartition.layout(df0, partitions, schema) else df0
     // write through the same stats-collecting writer as the DSv2 paths
     // (GeoCowDataWriterFactory): per-file rows/bbox/transform ranges

@@ -594,6 +594,71 @@ class GeoPartitionSpec extends SparkSpec {
     assert(graft.tables.GeoTable.read(spark, root).count() == 750)
   }
 
+  test("sort.order: ingest-time clustering prunes scans without OPTIMIZE") {
+    warehouse
+    // s is SCRAMBLED relative to insertion order: without a declared
+    // sort, every file covers nearly the full s-range and stats prune
+    // nothing; with sort.order the write clusters by s and range filters
+    // skip files immediately
+    spark.sql("CREATE TABLE geopt.db.so_plain (k BIGINT, s BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geopt.db.so_plain " +
+      "SELECT id, (id * 7919) % 1000, concat('v', id) FROM range(0, 40000)")
+    spark.sql("CREATE TABLE geopt.db.so (k BIGINT, s BIGINT, v STRING) USING geo " +
+      "TBLPROPERTIES('sort.order'='s')")
+    spark.sql("INSERT INTO geopt.db.so " +
+      "SELECT id, (id * 7919) % 1000, concat('v', id) FROM range(0, 40000)")
+    val m = GeoManifest.read(spark, warehouse + "/db/so")
+    assert(m.partitions.exists(t => t.kind == "sort" && t.col == "s"), m.partitions.toString)
+    // no duplicate auto-stats entry for the sort column
+    assert(!m.partitions.exists(t => t.kind == "stats" && t.col.equalsIgnoreCase("s")))
+    val plainAll = scannedFiles("SELECT * FROM geopt.db.so_plain")
+    val plainHit = scannedFiles("SELECT * FROM geopt.db.so_plain WHERE s < 100")
+    val sortedAll = scannedFiles("SELECT * FROM geopt.db.so")
+    val sortedHit = scannedFiles("SELECT * FROM geopt.db.so WHERE s < 100")
+    assert(plainHit == plainAll, "scrambled column should not prune unsorted files")
+    assert(sortedHit < sortedAll,
+      s"sort.order must make s-ranges prunable: $sortedHit of $sortedAll")
+    // same answers either way
+    val a = spark.sql("SELECT COUNT(*), SUM(k) FROM geopt.db.so_plain WHERE s < 100").head
+    val b = spark.sql("SELECT COUNT(*), SUM(k) FROM geopt.db.so WHERE s < 100").head
+    assert(a == b, s"$a vs $b")
+    // SHOW TBLPROPERTIES surfaces (and could re-apply) the declared order
+    val props = spark.sql("SHOW TBLPROPERTIES geopt.db.so").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("sort.order").contains("s"), props.toString)
+
+    // composes with a bucketed layout: sort keys order rows WITHIN the
+    // layout clustering, partition display stays layout-only. Pin the
+    // write's task count: files split a bucket's s-range only when a
+    // bucket spans several tasks (AQE coalescing on this toy volume
+    // would land each bucket in one task — at real scale buckets always
+    // span many)
+    spark.sql("CREATE TABLE geopt.db.so_b (k BIGINT, s BIGINT, v STRING) USING geo " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES('sort.order'='s')")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try spark.sql("INSERT INTO geopt.db.so_b " +
+      "SELECT id, (id * 7919) % 1000, concat('v', id) FROM range(0, 40000)")
+    finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
+    }
+    val allB = scannedFiles("SELECT * FROM geopt.db.so_b")
+    val hitB = scannedFiles("SELECT * FROM geopt.db.so_b WHERE s < 100")
+    assert(hitB < allB, s"bucketed+sorted must prune on s: $hitB of $allB")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED geopt.db.so_b").collect().mkString
+    assert(!desc.contains("sort(s)"), "sort keys must not display as partitioning")
+    assert(spark.sql("SELECT COUNT(*) FROM geopt.db.so_b WHERE s < 100").head.getLong(0) ==
+      a.getLong(0))
+    // partition-spec evolution carries the declared sort order over
+    graft.tables.GeoSql.exec(spark,
+      "ALTER TABLE geopt.db.so_b SET PARTITIONED BY (bucket(8, k))")
+    val m2 = GeoManifest.read(spark, warehouse + "/db/so_b")
+    assert(m2.partitions.exists(t => t.kind == "sort" && t.col == "s"),
+      s"sort order lost on spec evolution: ${m2.partitions}")
+  }
+
   test("writer-side inline stats agree field-for-field with the read-back scan") {
     // DSv2 INSERT commits manifest entries from the writers' inline stats
     // (no read-back job); this pins their contract: re-running the old
