@@ -34,7 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - [[GeoChangelog.changes]]: every row of every added file tagged
  *    `insert`, every row of every removed file tagged `delete`, with the
  *    commit version that did it (Iceberg changelog-scan semantics; a CoW
- *    rewrite shows its surviving rows as delete+insert pairs).
+ *    rewrite shows its surviving rows as delete+insert pairs). Removed
+ *    files replay their RAW rows — including rows an earlier sidecar
+ *    commit already deleted (whose delete events that commit emitted):
+ *    that is the file-granular contract; consumers needing row-exact
+ *    one-event-per-row CDC use [[netChanges]], which reads removed files
+ *    through the prior snapshot's sidecar merge.
  *  - [[GeoChangelog.netChanges]]: the row-level diff between two
  *    snapshots, computed from changed files only — common files cancel
  *    at file level (free), rewrite survivors cancel via `exceptAll` (a
@@ -126,14 +131,19 @@ object GeoChangelog {
     * files, fresh position sidecars, fresh equality sidecars) — the ONE
     * definition both the changelog replay and streaming admission count
     * against, so they can never disagree. */
-  private def stepDiff(prev: Manifest, cur: Manifest): (Seq[FileEntry], Seq[FileEntry],
+  private def stepDiff(prev: Manifest, cur: Manifest,
+      withSidecars: Boolean = true): (Seq[FileEntry], Seq[FileEntry],
       Seq[GeoManifest.DeleteEntry], Seq[GeoManifest.EqDeleteEntry]) = {
     val prevKeys = prev.files.map(_.key).toSet
     val curKeys = cur.files.map(_.key).toSet
+    val added = cur.files.filterNot(f => prevKeys.contains(f.key))
+    val removed = prev.files.filterNot(f => curKeys.contains(f.key))
+    // the append stream's admission never reads removed files or
+    // sidecars — skip building their key sets on that path
+    if (!withSidecars) return (added, removed, Seq.empty, Seq.empty)
     val prevDel = prev.deletes.map(_.key).toSet
     val prevEq = prev.eqDeletes.map(_.key).toSet
-    (cur.files.filterNot(f => prevKeys.contains(f.key)),
-      prev.files.filterNot(f => curKeys.contains(f.key)),
+    (added, removed,
       cur.deletes.filterNot(d => prevDel.contains(d.key)),
       cur.eqDeletes.filterNot(e => prevEq.contains(e.key)))
   }
@@ -169,7 +179,7 @@ object GeoChangelog {
     chain.reverse.foreach { v =>
       if (!stop) {
         val cur = GeoManifest.readVersion(spark, root, v)
-        val (added, removed0, newDel, newEq) = stepDiff(prev, cur)
+        val (added, removed0, newDel, newEq) = stepDiff(prev, cur, countRemoved)
         // the CDC stream also replays removed files as delete rows and
         // fresh delete sidecars as row-granular delete legs — both count;
         // the append stream reads neither
@@ -550,16 +560,13 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  private def parseTs(raw: String): Long =
-    raw.trim.toLongOption.getOrElse(java.time.Instant.parse(raw.trim).toEpochMilli)
-
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def one(kind: String, byVersion: Option[String], byTs: Option[String],
             resolve: Long => Int, default: Int): Int = {
       require(byVersion.isEmpty || byTs.isEmpty,
         s"set $kind-version OR $kind-timestamp, not both")
       byVersion.map(_.toInt)
-        .orElse(byTs.map(raw => resolve(parseTs(raw))))
+        .orElse(byTs.map(raw => resolve(GeoManifest.parseTsMillis(raw))))
         .getOrElse(default)
     }
     val vTo = one("to", Option(options.get("to-version")),
@@ -567,9 +574,7 @@ class GeoChangesTable(tableName: String, sparkAtLoad: SparkSession,
       ts => GeoManifest.versionAsOf(sparkAtLoad, root, ts), current)
     val vFrom = one("from", Option(options.get("from-version")),
       Option(options.get("from-timestamp")),
-      ts => GeoManifest.ancestry(sparkAtLoad, root, current)
-        .filter(v => GeoManifest.commitTsOf(sparkAtLoad, root, v) < ts)
-        .maxOption.getOrElse(0), 0)
+      ts => GeoManifest.versionBefore(sparkAtLoad, root, ts), 0)
     // Batch fileTags are computed eagerly (the parquet template scans the
     // changed files, which also feeds planning statistics). A STREAMING
     // read plans its own per-batch ranges from checkpoint offsets, so a
@@ -822,11 +827,8 @@ private[tables] trait GeoAdmissionControl extends SupportsTriggerAvailableNow {
       case (Some("current"), _) => currentVersion
       case (Some(v), _) => v.toInt
       case (_, Some(raw)) =>
-        val cutoff = raw.trim.toLongOption.getOrElse(
-          java.time.Instant.parse(raw.trim).toEpochMilli)
-        GeoManifest.ancestry(admitSpark, admitRoot, currentVersion)
-          .filter(v => GeoManifest.commitTsOf(admitSpark, admitRoot, v) < cutoff)
-          .maxOption.getOrElse(0)
+        GeoManifest.versionBefore(admitSpark, admitRoot,
+          GeoManifest.parseTsMillis(raw))
       case _ => 0
     }
   }

@@ -189,8 +189,11 @@ object GeoManifest {
         }
       colRanges.forall { case (cName, r) =>
         r.forall { case (kmin, kmax) =>
+          // sort-kind entries record the identical raw-column min/max,
+          // so a declared sort order keeps the range exemption the
+          // auto-stats entry it replaces would have given
           val i = partitions.indexWhere(t =>
-            (t.kind == "identity" || t.kind == "stats") &&
+            (t.kind == "identity" || t.kind == "stats" || t.kind == "sort") &&
               t.col.equalsIgnoreCase(cName))
           i < 0 || f.pstats.lift(i).forall { case (lo, hi) =>
             hi >= kmin && lo <= kmax
@@ -995,6 +998,24 @@ object GeoManifest {
       s"no snapshot of $root as of ${java.time.Instant.ofEpochMilli(cutoffMs)}")
     versions.max
   }
+
+  /** Newest committed snapshot STRICTLY BEFORE `cutoffMs` — the
+    * EXCLUSIVE-start rule the incremental reads share (a changelog or
+    * stream starting here includes every commit at/after the cutoff,
+    * the Iceberg stream-from-timestamp contract). 0 when every commit
+    * is at/after the cutoff (replay everything). */
+  def versionBefore(spark: SparkSession, root: String, cutoffMs: Long): Int = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no GeoTable at $root"))
+    ancestry(spark, root, cur)
+      .filter(v => commitTsOf(spark, root, v) < cutoffMs)
+      .maxOption.getOrElse(0)
+  }
+
+  /** A user-supplied timestamp option: epoch millis or an ISO-8601
+    * instant. One parser for every incremental-read surface. */
+  def parseTsMillis(raw: String): Long =
+    raw.trim.toLongOption.getOrElse(java.time.Instant.parse(raw.trim).toEpochMilli)
 
   // -------------------------------------------------------------------------
   // Stats collection

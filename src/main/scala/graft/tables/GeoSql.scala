@@ -161,8 +161,12 @@ object GeoSql {
     case dropRe(_, name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoDropTableCommand(name))
     case alterAddFilesRe(name, pathsSql) if resolveRoot(name).isDefined =>
-      val paths = "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq
-      if (paths.isEmpty) None else Some(GeoAddFilesCommand(name, paths))
+      // claim the statement even when no quoted path parsed: the command
+      // then fails at execution with the REAL problem (quoting) instead
+      // of falling through to Spark's parser and its unrelated syntax
+      // error (maybeCommand swallows parse-time throws by design)
+      Some(GeoAddFilesCommand(name,
+        "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
@@ -824,15 +828,15 @@ case class GeoAnalyzeCommand(name: String, cols: Seq[String]) extends GeoRunnabl
   }
 }
 
-/** VACUUM t [RETAIN n VERSIONS]: delete data files referenced only by
-  * expired versions (Iceberg expire-snapshots analog). Returns the number
-  * of files removed. */
 /** ALTER TABLE t ADD FILES 'p'[, ...] — by-reference onboarding of
   * existing parquet (the Iceberg add_files procedure as a SQL verb;
   * footer-validated, one stats pass, zero data movement — see
   * GeoTable.addFiles). Returns rows registered. */
 case class GeoAddFilesCommand(name: String, paths: Seq[String]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
+    require(paths.nonEmpty,
+      s"ALTER TABLE $name ADD FILES needs single-quoted paths: " +
+        "ADD FILES '/p/a.parquet'[, '/p/b.parquet' ...]")
     val root = GeoSql.rootOf(name)
     val n = GeoTable.addFiles(spark, root, paths)
     GeoSql.refresh(spark, name, root)
@@ -840,6 +844,9 @@ case class GeoAddFilesCommand(name: String, paths: Seq[String]) extends GeoRunna
   }
 }
 
+/** VACUUM t [RETAIN n VERSIONS]: delete data files referenced only by
+  * expired versions (Iceberg expire-snapshots analog). Returns the number
+  * of files removed. */
 case class GeoVacuumCommand(name: String, keep: Option[Int],
                             unit: String = "VERSIONS") extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {

@@ -863,8 +863,9 @@ object GeoTable {
                        layout: Seq[GeoPartition.PTransform]): Unit = {
     val m = GeoManifest.read(spark, root)
     val canon = layout.map { t =>
-      require(t.kind != "stats",
-        "stats transforms are auto-managed; declare layout transforms only")
+      require(t.kind != "stats" && t.kind != "sort",
+        "stats transforms are auto-managed and the sort order is a CREATE-time " +
+          "table property; declare layout transforms only")
       val f = m.schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
         throw new IllegalArgumentException(
           s"partition column '${t.col}' not in ${m.schema.fieldNames.mkString(", ")}"))
@@ -1244,11 +1245,16 @@ object GeoTable {
     * shape). An empty drop set means the predicate provably matches
     * nothing: no commit at all. Position sidecars whose referenced files
     * ALL dropped are GC'd in the same commit (their rows are dead weight
-    * against maxLiveDeleteRows and would double-emit deletes in the CDC
-    * feed); rows already position-deleted inside dropped files are
-    * subtracted from the returned count. Sidecar loads here are the
-    * driver-side memoized reads every scan already pays, bounded by the
-    * live-delete ceiling — still zero DATA file I/O. */
+    * that would otherwise count against the maxLiveDeleteRows fold
+    * ceiling forever), and rows already position-deleted inside dropped
+    * files are subtracted from the returned count. Note the FILE-granular
+    * changelog still replays a dropped file's raw rows as deletes — its
+    * documented contract for every file removal (rewrites emit
+    * delete+insert pairs); row-exact CDC is netChanges, which reads
+    * removed files through the prior snapshot's sidecar merge. Sidecar
+    * loads here are the driver-side memoized reads every scan already
+    * pays, bounded by the live-delete ceiling — still zero DATA file
+    * I/O. */
   private[tables] def dropFiles(spark: SparkSession, root: String,
                                 m: Manifest, drop: Seq[FileEntry]): Long = {
     if (drop.isEmpty) return 0L
