@@ -299,12 +299,21 @@ object GeoManifest {
     * discard the other writer's commit — fail loudly instead (the
     * Iceberg HadoopTableOperations rename-if-absent contract). */
   private def writeTextExclusive(fs: FileSystem, p: Path, text: String): Unit = {
-    def collision(e: Throwable) = new IllegalStateException(
-      s"manifest $p already exists — a concurrent writer in another JVM " +
-        "committed this version (lost-commit race), or an earlier commit " +
-        "crashed between its manifest write and the pointer flip. Re-read " +
-        "the table and retry; if the file is a torn leftover, inspect and " +
-        "remove it manually.", e)
+    // ConcurrentModificationException on purpose: every commit path's
+    // existing retry loop (batch write, branch write, streaming epoch)
+    // catches it, and a retry IS productive here — it re-reads the fresh
+    // manifest and remapVersion slides past the other writer's (or a
+    // crashed commit's) file to the next free number.
+    def collision(e: Throwable) = {
+      val ex = new java.util.ConcurrentModificationException(
+        s"manifest $p already exists — a concurrent writer in another JVM " +
+          "committed this version (lost-commit race), or an earlier commit " +
+          "crashed between its manifest write and the pointer flip. Re-read " +
+          "the table and retry; if the file is a torn leftover, inspect and " +
+          "remove it manually.")
+      ex.initCause(e)
+      ex
+    }
     val out =
       try fs.create(p, false)
       catch {

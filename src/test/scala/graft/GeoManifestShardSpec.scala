@@ -46,7 +46,9 @@ class GeoManifestShardSpec extends SparkSpec {
     // discard one commit's files
     val root = tmpRoot("excl")
     GeoManifest.write(spark, root, Manifest(0, schema, None, entries(3)))
-    val e = intercept[IllegalStateException] {
+    // ConcurrentModificationException: the commit paths' retry loops
+    // catch it, and retrying slides past the winner to a free version
+    val e = intercept[java.util.ConcurrentModificationException] {
       GeoManifest.write(spark, root, Manifest(0, schema, None, entries(5)))
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
