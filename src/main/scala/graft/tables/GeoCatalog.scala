@@ -524,6 +524,11 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("kind", StringType, nullable = false),
       StructField("file_count", IntegerType, nullable = false),
       StructField("size_bytes", LongType, nullable = false)))
+    case "all_files" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("added_at_version", IntegerType, nullable = false),
+      StructField("live", BooleanType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -660,6 +665,23 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
             UTF8String.fromString("list"), inline, size(s"m${m.version}.txt")) +:
           m.baseShards.map(s => InternalRow(UTF8String.fromString(s.name),
             UTF8String.fromString("shard"), s.entries.length, size(s.name)))).toArray
+      // every data file any reachable snapshot references (Iceberg
+      // all_data_files analog): deduplicated by path, with the version
+      // that added it and whether the CURRENT snapshot still holds it —
+      // the ops surface for vacuum planning and time-travel footprint
+      case "all_files" =>
+        val f = GeoManifest.fs(sparkAtLoad, root)
+        val live = GeoManifest.read(sparkAtLoad, root).files.map(_.key).toSet
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, InternalRow]
+        GeoMetaTable.visibleVersions(sparkAtLoad, root, current).sorted.foreach { v =>
+          if (f.exists(new Path(root, s"_manifests/m$v.txt")))
+            GeoManifest.readVersion(sparkAtLoad, root, v).files.foreach { e =>
+              if (!seen.contains(e.key))
+                seen(e.key) = InternalRow(UTF8String.fromString(e.path), e.rows,
+                  e.addedAt, live.contains(e.key))
+            }
+        }
+        seen.values.toArray
     }
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
@@ -671,7 +693,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests", "all_files")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays

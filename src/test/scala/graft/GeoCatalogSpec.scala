@@ -119,6 +119,18 @@ class GeoCatalogSpec extends SparkSpec {
       "SELECT operation FROM geo.db.meta_t.snapshots ORDER BY version DESC LIMIT 1")
       .head.getString(0)
     assert(lastOp == "delete", s"DML op: $lastOp")
+    // t.all_files (Iceberg all_data_files analog): every file any
+    // reachable snapshot references, deduped, with liveness — the
+    // delete's removed/rewritten file shows live=false, current files
+    // live=true, and the live set equals t.files
+    val allF = spark.sql(
+        "SELECT path, live FROM geo.db.meta_t.all_files ORDER BY path")
+      .as[(String, Boolean)].collect().toSeq
+    val curF = spark.sql("SELECT path FROM geo.db.meta_t.files")
+      .as[String].collect().toSet
+    assert(allF.map(_._1).distinct.length == allF.length, "all_files must dedup by path")
+    assert(allF.filter(_._2).map(_._1).toSet == curF, s"live set != current files: $allF")
+    assert(allF.exists(!_._2), "the DML's dropped/rewritten file must appear live=false")
     // t.manifests: metadata inventory — inline table = one `list` row
     // carrying every file entry; under a forced shard size the list row
     // slims down and `shard` rows carry the entries
