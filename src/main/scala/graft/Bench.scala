@@ -78,6 +78,19 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
+    // build/probe split for the index-backed ANN queries (full runs only):
+    // probe-only wall is the user-facing latency the combined record masks
+    val splits = if (only.isEmpty) SparkEntry.benchSplits.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        hygiene()
+        val parts = try fn(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] split $name FAILED: ${e.getMessage}")
+            Seq("build" -> -1.0, "probe_cold" -> -1.0, "probe" -> -1.0)
+        }
+        name -> parts
+    } else Seq.empty
+
     hygiene()
     val sentinelAfter = timeOnce(sentinelQuery)
     val drift = if (sentinelBefore > 0) sentinelAfter / sentinelBefore else -1.0
@@ -88,7 +101,11 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val okTotal = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}"""
+    val splitJson = splits.map { case (n, parts) =>
+      "\"" + n + "\":" + parts.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"splits":$splitJson,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}"""
     println(json)
     // Durable copies: stdout has been head-truncated by log capture before
     // (BENCH_r07's head was lost; BENCH_r13 kept only a 55-query tail

@@ -1450,6 +1450,38 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // Standard GeoParquet footer interop: the written file carries the
+    // spec's `geo` key, DuckDB reads the SAME footer bytes through its
+    // built-in parquet_kv_metadata() and re-extracts every field with its
+    // own JSON parser — raw-string AND field-level equality across two
+    // independent readers is the interop claim. Content is SF-independent
+    // (nation is 25 rows at every scale factor) so re-runs at other SFs
+    // rewrite byte-identical metadata. In-query require: a hint-free
+    // reader session recovers the GEOMETRY typing from the key alone.
+    "geoparquet_geo_key" -> ((s, d) => {
+      prep(s, d)
+      import graft.functions.GraftFunctions._
+      val dir = "/tmp/graft_geopq_meta/pts"
+      val pts = s.table("nation").repartition(1).select(col("n_nationkey"),
+        st_point((col("n_nationkey") * 2).cast("double"),
+                 (col("n_regionkey") * 3).cast("double")).as("geo"))
+      graft.plans.GeoParquet.write(pts, "geo", dir, cellSize = 10.0)
+      val back = graft.plans.GeoParquet.read(s, dir)
+      require(graft.tables.GeoSchema.isGeometry(back.schema("geo")),
+        "geoparquet read did not recover GEOMETRY typing from the geo key")
+      val raw = graft.sources.GeoParquetMeta.readGeoKey(s, dir)
+        .getOrElse(sys.error("geo footer key missing"))
+      val meta = graft.sources.GeoParquetMeta.parse(raw)
+        .getOrElse(sys.error("geo footer key unparseable"))
+      val c = meta.columns(meta.primary)
+      val (bxmin, bymin, bxmax, bymax) = c.bbox.getOrElse(sys.error("bbox missing"))
+      import s.implicits._
+      Seq((raw, meta.version, meta.primary, c.encoding,
+           c.geometryTypes.mkString(","), bxmin, bymin, bxmax, bymax, back.count()))
+        .toDF("geo_json", "version", "primary_column", "encoding",
+          "geometry_types", "xmin", "ymin", "xmax", "ymax", "n_rows")
+    }),
+
     // KML/GML reader-writer roundtrip: the parse must invert the writer
     // exactly, so st_astext of the roundtrip equals a directly-built WKT
     // string in the oracle (no XML on the DuckDB side at all)
@@ -3565,6 +3597,26 @@ object SparkEntry {
                || CAST(p_size AS VARCHAR) || ', 0 0))' AS gj_poly
       FROM part ORDER BY p_partkey""",
 
+    // two independent readers of one footer: DuckDB's parquet_kv_metadata
+    // + its JSON extension re-derive every column the Spark side produced
+    // from its own footer read — string-identical or the key is wrong
+    "geoparquet_geo_key" -> """
+      WITH kv AS (
+        SELECT decode(value) AS v
+        FROM parquet_kv_metadata('/tmp/graft_geopq_meta/pts/*.parquet')
+        WHERE decode(key) = 'geo')
+      SELECT v AS geo_json,
+             json_extract_string(v, '$.version') AS version,
+             json_extract_string(v, '$.primary_column') AS primary_column,
+             json_extract_string(v, '$.columns.geo.encoding') AS encoding,
+             json_extract_string(v, '$.columns.geo.geometry_types[0]') AS geometry_types,
+             CAST(json_extract(v, '$.columns.geo.bbox[0]') AS DOUBLE) AS xmin,
+             CAST(json_extract(v, '$.columns.geo.bbox[1]') AS DOUBLE) AS ymin,
+             CAST(json_extract(v, '$.columns.geo.bbox[2]') AS DOUBLE) AS xmax,
+             CAST(json_extract(v, '$.columns.geo.bbox[3]') AS DOUBLE) AS ymax,
+             (SELECT COUNT(*) FROM parquet_scan('/tmp/graft_geopq_meta/pts/*.parquet')) AS n_rows
+      FROM kv""",
+
     // the roundtrip preserves rows exactly; ST_Contains is strict, so
     // boundary values fall out on both sides identically
     "geoparquet_roundtrip" -> """
@@ -4327,4 +4379,50 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleBase +
     ("spatial_knn_grid_join" -> oracleBase("spatial_knn_join")) +
     ("spatial_lof_grid" -> oracleBase("spatial_lof"))
+
+  /**
+   * Bench-only build/probe split for the index-backed ANN queries. The
+   * headline [C] queries time index TRAINING + two probes inside one wall
+   * — honest, but it masks the metric a user of a persisted index cares
+   * about: probe latency against an ALREADY-BUILT index. These run the
+   * same code with the stopwatch at the build/probe boundaries (cold =
+   * first touch of the stored index, probe = steady state); correctness
+   * stays pinned by the [C] queries, which hash the probe output.
+   */
+  def benchSplits: Map[String, (SparkSession, String) => Seq[(String, Double)]] = Map(
+    "ann_ivfpq_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_split").toString + "/i"
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.buildIvfPqIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"),
+        k = 8, iters = 2, m = 16, pqK = 16)
+      val t1 = System.nanoTime()
+      graft.ops.Similarity.ivfPqSearch(s, idx, q, k = 10, nprobe = 5,
+        candidates = 192).count()
+      val t2 = System.nanoTime()
+      graft.ops.Similarity.ivfPqSearch(s, idx, q, k = 10, nprobe = 5,
+        candidates = 192).count()
+      val t3 = System.nanoTime()
+      Seq("build" -> (t1 - t0) / 1e9, "probe_cold" -> (t2 - t1) / 1e9,
+        "probe" -> (t3 - t2) / 1e9)
+    }),
+    "ann_ivf_persisted_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_split").toString + "/i"
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"), k = 8, iters = 2)
+      val t1 = System.nanoTime()
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 5).count()
+      val t2 = System.nanoTime()
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 5).count()
+      val t3 = System.nanoTime()
+      Seq("build" -> (t1 - t0) / 1e9, "probe_cold" -> (t2 - t1) / 1e9,
+        "probe" -> (t3 - t2) / 1e9)
+    }))
 }

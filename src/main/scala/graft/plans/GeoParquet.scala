@@ -41,9 +41,13 @@ object GeoParquet {
 
   /** Write geometry data with bbox sidecars; rows Z-order (Morton) sorted
     * so 2-D neighbors share row groups (tight min/max stats = real
-    * skipping, same idea as Delta/Iceberg Z-ordering). */
+    * skipping, same idea as Delta/Iceberg Z-ordering). Files carry the
+    * standard GeoParquet `geo` footer key (per-file-exact bbox +
+    * geometry_types) so GDAL/GeoPandas/DuckDB-spatial read them as typed
+    * geometry — see [[graft.sources.GeoParquetMeta]]. */
   def write(df: DataFrame, geomCol: String, path: String,
-            cellSize: Double = 1.0, partitionByCell: Boolean = false): Unit = {
+            cellSize: Double = 1.0, partitionByCell: Boolean = false,
+            crs: String = graft.tables.GeoSchema.DefaultCrs): Unit = {
     val out = withSidecars(df, geomCol, Some(cellSize))
       .withColumn("__z", GraftShim.column(graft.functions.StMortonCell(
         GraftShim.expression(col(geomCol)), GraftShim.expression(lit(cellSize)))))
@@ -53,11 +57,16 @@ object GeoParquet {
     // a small-file explosion on modest writes.
     val nParts = math.max(df.rdd.getNumPartitions, 1)
     val sorted = out.repartitionByRange(nParts, col("__z")).sortWithinPartitions("__z").drop("__z")
-    if (partitionByCell)
-      sorted.write.mode("overwrite").partitionBy(s"${geomCol}_cell").parquet(path)
-    else
-      sorted.write.mode("overwrite").parquet(path)
+    val writer = sorted.write.format("geoparquet").mode("overwrite")
+      .option(graft.sources.GeoParquetMeta.PrimaryOption, geomCol)
+      .option(graft.sources.GeoParquetMeta.CrsOptionPrefix + geomCol, crs)
+    if (partitionByCell) writer.partitionBy(s"${geomCol}_cell").save(path)
+    else writer.save(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  /** Read a (Geo)parquet layout; GEOMETRY typing is recovered from the
+    * standard `geo` footer key when present (graft's own exports AND
+    * third-party GeoParquet files), with no session hints needed. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("geoparquet").load(path)
 }

@@ -38,8 +38,7 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, m.schema)
+    val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, m.schema, m.geomCol)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     // the write's requiredDistribution/Ordering sorts rows by the layout
@@ -186,8 +185,7 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, m.schema)
+    val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, m.schema, m.geomCol)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     // branch writes carry the same clustering contract as main inserts,

@@ -960,7 +960,7 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, m.schema)
+    val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, m.schema, m.geomCol)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     // the write's requiredDistribution/Ordering (see GeoRowLevelOperation)

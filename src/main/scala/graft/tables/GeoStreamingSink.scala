@@ -67,8 +67,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, m.schema)
+    val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, m.schema, m.geomCol)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
     GeoStreamingWriterFactory(GeoCowDataWriterFactory(owf,

@@ -1916,8 +1916,7 @@ object GeoTable {
     val dir = s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, schema, geomCol, partitions)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, schema)
+    val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, schema, geomCol)
     GeoManifest.fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(dir))
     val incoming = df.schema
     val dataIdx = schema.fields.map(f => incoming.fieldIndex(f.name))

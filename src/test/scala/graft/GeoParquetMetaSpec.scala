@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.sources.GeoParquetMeta
+import graft.tables.GeoSchema
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Standard GeoParquet `geo` footer metadata (GeoParquetMeta): files written
+ * by GeoParquet.write AND by GeoTable carry the spec key with per-file-exact
+ * bbox/geometry_types, and a reader with no hints recovers GEOMETRY typing.
+ */
+class GeoParquetMetaSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def points(n: Int) = {
+    import spark.implicits._
+    spark.range(n).select(col("id"),
+      st_point((col("id") % 10).cast("double"), (col("id") % 7).cast("double")).as("geo"))
+  }
+
+  test("GeoParquet.write stamps the geo key; fields parse to the spec shape") {
+    val dir = tmp("gpq_meta") + "/pts"
+    graft.plans.GeoParquet.write(points(100).repartition(1), "geo", dir, cellSize = 5.0)
+    val raw = GeoParquetMeta.readGeoKey(spark, dir)
+    assert(raw.isDefined, "geo footer key missing")
+    val meta = GeoParquetMeta.parse(raw.get).get
+    assert(meta.version == GeoParquetMeta.SpecVersion)
+    assert(meta.primary == "geo")
+    val c = meta.columns("geo")
+    assert(c.encoding == "WKB")
+    assert(c.geometryTypes == Seq("Point"))
+    assert(c.bbox.contains((0.0, 0.0, 9.0, 6.0)))
+    assert(c.crs == GeoSchema.DefaultCrs) // omitted in JSON -> spec default
+    assert(!raw.get.contains("\"crs\"")) // default CRS is omitted, not null-spelled
+  }
+
+  test("per-file bbox is exact per FILE, not dataset-wide") {
+    val dir = tmp("gpq_pf") + "/pts"
+    // two range partitions over x -> two files with disjoint x ranges
+    import spark.implicits._
+    val df = spark.range(200).select(col("id"),
+      st_point(col("id").cast("double"), lit(1.0)).as("geo"))
+    graft.plans.GeoParquet.write(df.repartition(2), "geo", dir, cellSize = 50.0)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 2)
+    val metas = files.toSeq.map { f =>
+      val m = GeoParquetMeta.parse(
+        GeoParquetMeta.readGeoKeyOfFile(conf, f).get).get.columns("geo")
+      (m.bbox.get, spark.read.parquet(f.toString))
+    }
+    metas.foreach { case ((xmin, ymin, xmax, ymax), rows) =>
+      val agg = rows.agg(min(st_x(col("geo"))), max(st_x(col("geo"))),
+        min(st_y(col("geo"))), max(st_y(col("geo")))).head
+      assert(xmin == agg.getDouble(0) && xmax == agg.getDouble(1))
+      assert(ymin == agg.getDouble(2) && ymax == agg.getDouble(3))
+    }
+    // the two files' x ranges must differ (Z-order clustering) — proves the
+    // bbox is per-file, not a copied dataset bbox
+    val (b1, b2) = (metas(0)._1, metas(1)._1)
+    assert(b1 != b2)
+  }
+
+  test("reader with no hints recovers GEOMETRY typing (and CRS) from the key") {
+    val dir = tmp("gpq_tag") + "/pts"
+    graft.plans.GeoParquet.write(points(50).repartition(1), "geo", dir,
+      cellSize = 5.0, crs = "EPSG:3857")
+    // strip any Spark-side schema hints by reading through the geoparquet
+    // source alone (the geometry column was never tagged at write time —
+    // st_point output is plain BINARY)
+    val back = graft.plans.GeoParquet.read(spark, dir)
+    val f = back.schema("geo")
+    assert(GeoSchema.isGeometry(f), "geo column not tagged on read")
+    assert(GeoSchema.crsOf(f) == "EPSG:3857")
+    // non-default CRS must be spelled in the footer as a projjson id
+    val raw = GeoParquetMeta.readGeoKey(spark, dir).get
+    assert(raw.contains(""""crs":{"id":{"authority":"EPSG","code":3857}}"""))
+    // and the frame still reads correctly as geometry
+    assert(back.where(st_x(col("geo")) >= 0).count() == 50)
+  }
+
+  test("GeoTable INSERT data files carry the geo key (catalog write path)") {
+    val root = tmp("gpq_tbl") + "/t"
+    graft.tables.GeoSql.exec(spark,
+      s"CREATE TABLE gpq_meta_t (id BIGINT, geo GEOMETRY) USING GEO LOCATION '$root'")
+    graft.tables.GeoSql.exec(spark,
+      "INSERT INTO gpq_meta_t SELECT id, st_point(CAST(id AS DOUBLE), 2.0) FROM range(20)")
+    // every data file carries the key; the per-file bboxes union to the
+    // dataset bbox (the INSERT fans out across test shuffle partitions)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val files = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+    val boxes = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    var nFiles = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1
+        val raw = GeoParquetMeta.readGeoKeyOfFile(conf, f.getPath)
+        assert(raw.isDefined, s"GeoTable data file ${f.getPath} missing the geo footer key")
+        val meta = GeoParquetMeta.parse(raw.get).get
+        assert(meta.primary == "geo")
+        meta.columns("geo").bbox.foreach(boxes += _)
+      }
+    }
+    assert(nFiles > 0 && boxes.nonEmpty)
+    assert(boxes.map(_._1).min == 0.0 && boxes.map(_._2).min == 2.0 &&
+      boxes.map(_._3).max == 19.0 && boxes.map(_._4).max == 2.0)
+    graft.tables.GeoTable.drop(spark, "gpq_meta_t")
+  }
+
+  test("geometry-free schema writes NO geo key; nulls and mixed types accumulate right") {
+    val dir = tmp("gpq_plain")
+    spark.range(10).toDF("id").write.format("geoparquet").mode("overwrite").save(dir)
+    assert(GeoParquetMeta.readGeoKey(spark, dir).isEmpty)
+
+    val dir2 = tmp("gpq_mixed")
+    val df = spark.sql("""
+      SELECT id,
+             CASE WHEN id = 0 THEN CAST(NULL AS BINARY)
+                  WHEN id % 2 = 0 THEN st_geomfromtext('POINT Z (1 2 3)')
+                  ELSE st_geomfromtext('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))')
+             END AS geo
+      FROM range(6)""")
+    df.repartition(1).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(dir2)
+    val c = GeoParquetMeta.parse(GeoParquetMeta.readGeoKey(spark, dir2).get).get.columns("geo")
+    assert(c.geometryTypes.toSet == Set("Point Z", "MultiPolygon"),
+      s"got ${c.geometryTypes}") // container name only, Z-suffixed point
+    assert(c.bbox.contains((0.0, 0.0, 4.0, 4.0))) // null row skipped
+  }
+
+  test("third-party geo metadata (GeoPandas-style, crs null) tags on read") {
+    // hand-written footer shape a non-graft writer produces: version only
+    // 1.0.0, crs explicit null, bbox absent
+    val json = """{"version":"1.0.0","primary_column":"geometry","columns":
+      {"geometry":{"encoding":"WKB","geometry_types":[],"crs":null}}}""".stripMargin
+    val meta = GeoParquetMeta.parse(json).get
+    assert(meta.primary == "geometry")
+    assert(meta.columns("geometry").crs == GeoSchema.DefaultCrs)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("geometry",
+        org.apache.spark.sql.types.BinaryType)))
+    val tagged = GeoParquetMeta.tagSchema(schema, meta)
+    assert(GeoSchema.isGeometry(tagged("geometry")))
+  }
+}
