@@ -286,6 +286,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL image decode (javax.imageio): executors PNG-encode a
+    // deterministic per-id gradient, decodeImages decodes it back and
+    // sums each channel as exact integers. PNG is lossless and the
+    // gradient never wraps mod 256 at these sizes, so DuckDB replays the
+    // sums in closed form — a pixel-level decode oracle (any coordinate
+    // flip or channel swap changes a sum). 25 rows at every SF (nation).
+    "multimodal_image_decode" -> ((s, d) => {
+      prep(s, d)
+      import s.implicits._
+      val blobs = s.table("nation")
+        .select(col("n_nationkey").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.MediaMeta("png", w, h, 0L),
+            graft.ops.Multimodal.syntheticPng(id, w, h))
+        })
+      graft.ops.Multimodal.decodeImages(blobs, grid = 4)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // ----- geometry constructors + accessors (§2.2, §2.3) -----
     "st_point_xy" -> ((s, d) => prep(s, d).sql("""
       SELECT c_custkey, st_x(pt) AS x, st_y(pt) AS y
@@ -4296,6 +4320,25 @@ object SparkEntry {
     "multimodal_features" -> """
       SELECT doc_id AS media_id, 16 AS dim, TRUE AS unit_norm
       FROM documents ORDER BY media_id""",
+
+    // closed-form replay of the decoded-pixel channel sums: the gradient
+    // rgb((id+3x+5y), (2id+7x+11y), (3id+9x+11y)) never wraps mod 256 at
+    // these sizes, so sum over the w x h raster is pure arithmetic.
+    // PNG is lossless -> a correct decoder reproduces the exact integers.
+    "multimodal_image_decode" -> """
+      WITH n AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS id,
+               CAST(8 + n_nationkey % 5 AS BIGINT) AS w,
+               CAST(6 + n_nationkey % 3 AS BIGINT) AS h
+        FROM nation)
+      SELECT id AS media_id,
+             CAST(w AS INT) AS width,
+             CAST(h AS INT) AS height,
+             3 AS channels,
+             CAST(w*h*id   + 3*h*(w*(w-1)//2) +  5*w*(h*(h-1)//2) AS BIGINT) AS sum_r,
+             CAST(w*h*2*id + 7*h*(w*(w-1)//2) + 11*w*(h*(h-1)//2) AS BIGINT) AS sum_g,
+             CAST(w*h*3*id + 9*h*(w*(w-1)//2) + 11*w*(h*(h-1)//2) AS BIGINT) AS sum_b
+      FROM n ORDER BY media_id""",
 
     // independent full-pairwise replica of the banded-LSH + exact-Jaccard
     // near-dup pairs: char-5-gram shingle Jaccard over ALL pairs. Matching

@@ -8,11 +8,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  * BINARY payload plus a typed metadata struct; decode / feature-extract /
  * frame-sample are `mapPartitions` stages over typed Datasets.
  *
- * The codecs here are DETERMINISTIC STUBS (this container has no image or
- * audio libraries) — each stub documents the real library call it stands in
- * for. Everything Spark-side is real: schema, encoders, partition-sized
- * batching, explode shapes, and the feature vectors flow straight into
- * `Similarity` (ANN) and `Dedup` (embedding near-dup).
+ * The IMAGE leg is a REAL codec: [[decodeImages]] decodes PNG/BMP/GIF
+ * payloads with `javax.imageio` (JDK-public, deterministic for lossless
+ * formats) into true dimensions, exact integer channel sums, and a
+ * grid-mean-luminance embedding. Audio/video remain DETERMINISTIC STUBS
+ * (this container has no media libraries) — each stub documents the real
+ * library call it stands in for. Everything Spark-side is real: schema,
+ * encoders, partition-sized batching, explode shapes, and the feature
+ * vectors flow straight into `Similarity` (ANN) and `Dedup` (embedding
+ * near-dup).
  */
 object Multimodal {
 
@@ -20,6 +24,11 @@ object Multimodal {
   case class Blob(media_id: Long, meta: MediaMeta, payload: Array[Byte])
   case class Features(media_id: Long, features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+  /** Real decode output: true dimensions/components, exact per-channel
+    * integer pixel sums (orderless — safe to oracle-check), and a
+    * grid×grid mean-luminance embedding for the ANN/dedup stages. */
+  case class ImageInfo(media_id: Long, width: Int, height: Int, channels: Int,
+                       sum_r: Long, sum_g: Long, sum_b: Long, features: Array[Float])
 
   /** Deterministic stand-in for an image/audio decode+embed call
     * (e.g. JPEG decode -> CNN embedding). Hash-derived so tests are stable. */
@@ -58,6 +67,82 @@ object Multimodal {
       // real impl: init decoder/model ONCE here, then stream the partition
       it.map(b => Features(b.media_id, stubEmbed(b.payload, dim)))
     }
+  }
+
+  /** REAL image decode+embed, one partition at a time. `javax.imageio`
+    * reads PNG/BMP/GIF (lossless -> bit-exact pixels); each image yields
+    * its true width/height/component-count, exact integer channel sums,
+    * and a `grid`×`grid` box-averaged luminance embedding (row-major).
+    * Undecodable payloads drop (flatMap) rather than poison the stage —
+    * at 100 TB a corrupt object must cost one row, not a task retry loop. */
+  def decodeImages(blobs: Dataset[Blob], grid: Int = 8): Dataset[ImageInfo] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // ImageIO's plugin registry is JVM-global (initialized once); the
+      // per-partition shape still matters for codecs with per-batch state
+      it.flatMap { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val cells = new Array[Double](grid * grid)
+            val cnt = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val cy = y * grid / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val bl = rgb & 0xFF
+                sr += r; sg += g; sb += bl
+                val ci = cy * grid + x * grid / w
+                cells(ci) += (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
+                cnt(ci) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val feat = new Array[Float](grid * grid)
+            var i = 0
+            while (i < feat.length) {
+              feat(i) = if (cnt(i) > 0) (cells(i) / cnt(i)).toFloat else 0f
+              i += 1
+            }
+            Some(ImageInfo(b.media_id, w, h, img.getColorModel.getNumComponents,
+              sr, sg, sb, feat))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture: pixel (x,y) of image `id` is
+    * rgb((id+3x+5y)%256, (2id+7x+11y)%256, (3id+9x+11y)%256) — distinct
+    * per-channel/per-axis coefficients, so any coordinate flip or channel
+    * swap in a decoder changes the channel sums. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 3 * x + 5 * y) % 256).toInt
+        val g = ((2 * id + 7 * x + 11 * y) % 256).toInt
+        val b = ((3 * id + 9 * x + 11 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Sample every `stride`-th frame of a "video" payload (stub: slices). */

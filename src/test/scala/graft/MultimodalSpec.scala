@@ -48,4 +48,66 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(b => b.meta.width == 64 && b.meta.height == 64))
     assert(r.map(_.payload.toSeq).toSet == blobs.collect().map(_.payload.toSeq).toSet)
   }
+
+  // ---- REAL image codec (javax.imageio) ----
+
+  /** In-test PNG with hand-set pixels (row-major List of packed RGB). */
+  private def png(w: Int, h: Int, rgb: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: true dimensions, exact channel sums, hand-computed grid means") {
+    // 4x2: left half pure red (255,0,0), right half mid gray (100,100,100)
+    val pixels = Seq(0xFF0000, 0xFF0000, 0x646464, 0x646464,
+                     0xFF0000, 0xFF0000, 0x646464, 0x646464)
+    val ds = Seq(Multimodal.Blob(7L, Multimodal.MediaMeta("png", 4, 2, 0L),
+      png(4, 2, pixels))).toDS()
+    val out = Multimodal.decodeImages(ds, grid = 2).collect()
+    assert(out.length == 1)
+    val i = out.head
+    assert(i.width == 4 && i.height == 2 && i.channels == 3)
+    assert(i.sum_r == 4 * 255 + 4 * 100)
+    assert(i.sum_g == 4 * 100 && i.sum_b == 4 * 100)
+    // grid=2 over 4x2: each cell is a uniform 2x1 block -> closed-form lum
+    val lumRed = (0.299 * 255) / 255.0
+    val lumGray = (0.299 * 100 + 0.587 * 100 + 0.114 * 100) / 255.0
+    assert(math.abs(i.features(0) - lumRed) < 1e-6)   // top-left
+    assert(math.abs(i.features(1) - lumGray) < 1e-6)  // top-right
+    assert(math.abs(i.features(2) - lumRed) < 1e-6)   // bottom-left
+    assert(math.abs(i.features(3) - lumGray) < 1e-6)  // bottom-right
+  }
+
+  test("decodeImages: BMP decodes too; undecodable payloads drop, not fail") {
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0x0A141E) // (10,20,30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val ds = Seq(
+      Multimodal.Blob(1L, Multimodal.MediaMeta("bmp", 3, 3, 0L), bos.toByteArray),
+      Multimodal.Blob(2L, Multimodal.MediaMeta("png", 0, 0, 0L),
+        "not an image at all".getBytes)).toDS()
+    val out = Multimodal.decodeImages(ds, grid = 2).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L)) // corrupt row dropped
+    assert(out.head.sum_r == 90 && out.head.sum_g == 180 && out.head.sum_b == 270)
+  }
+
+  test("decodeImages roundtrips syntheticPng exactly (the [C] query's contract)") {
+    val ds = Seq(Multimodal.Blob(5L, Multimodal.MediaMeta("png", 10, 7, 0L),
+      Multimodal.syntheticPng(5L, 10, 7))).toDS()
+    val i = Multimodal.decodeImages(ds).head()
+    val exp = for (y <- 0 until 7; x <- 0 until 10)
+      yield ((5 + 3 * x + 5 * y) % 256, (10 + 7 * x + 11 * y) % 256,
+             (15 + 9 * x + 11 * y) % 256)
+    assert(i.width == 10 && i.height == 7)
+    assert(i.sum_r == exp.map(_._1).sum && i.sum_g == exp.map(_._2).sum &&
+      i.sum_b == exp.map(_._3).sum)
+    // decoded features feed ANN downstream exactly like the stub path
+    assert(i.features.length == 64 && i.features.forall(f => f >= 0f && f <= 1f))
+  }
 }
