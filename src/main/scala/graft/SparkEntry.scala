@@ -2258,6 +2258,36 @@ object SparkEntry {
       out
     }),
 
+    // Persisted views (Iceberg ViewCatalog analog): CREATE OR REPLACE VIEW
+    // through the SQL front-half (works on the driver's vanilla session),
+    // definition stored beside the table manifests, body uses a BARE table
+    // name resolved against the view's stored catalog.namespace context,
+    // read back through the no-extension path (GeoViews.readView — parse,
+    // CTE-substitute, qualify, analyze). Values pass through untouched, so
+    // DuckDB replays the view SQL over the raw source. In-query require:
+    // SHOW VIEWS lists the definition.
+    "geo_view" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geovw").isEmpty) {
+        s.conf.set("spark.sql.catalog.geovw", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geovw.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_vw_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geovw.db")
+      s.sql("DROP TABLE IF EXISTS geovw.db.ords")
+      s.sql("CREATE TABLE geovw.db.ords (k BIGINT, price DOUBLE, flag STRING) USING geo")
+      s.sql("INSERT INTO geovw.db.ords " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")
+      graft.tables.GeoSql.exec(s,
+        """CREATE OR REPLACE VIEW geovw.db.big_orders AS
+           SELECT flag, COUNT(*) AS n, SUM(k) AS sum_k
+           FROM ords WHERE price > 1000.0 GROUP BY flag""")
+      val shown = graft.tables.GeoSql.exec(s, "SHOW VIEWS IN geovw.db").collect()
+      require(shown.exists(_.getString(1) == "big_orders"),
+        "SHOW VIEWS does not list the created view")
+      graft.tables.GeoViews.readView(s, "geovw.db.big_orders").orderBy("flag")
+    }),
+
     // Partitioned geo table (Iceberg hidden-partitioning analog): DDL
     // carries days(d) + bucket(8, k) on one table and truncate(1000, k)
     // on a second; writes cluster rows by transform value, the manifest
@@ -4192,6 +4222,14 @@ object SparkEntry {
       SELECT c_custkey, c_nationkey,
              c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
       FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
+
+    // the view is a pass-through aggregation over the geo table's rows,
+    // which are the orders rows unchanged — replay the view SQL directly
+    "geo_view" -> """
+      SELECT o_orderstatus AS flag, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY 1 ORDER BY flag""",
 
     // partitioned-table legs reduce to the same filters over the source:
     // storage clusters/prunes by transform but never changes row values

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.GeoBboxPushdown.apply)
     ext.injectOptimizerRule(graft.plans.SpatialJoinRewrite.apply)
     ext.injectParser((_, delegate) => new GeoSqlParser(delegate))
+    // persisted-view name resolution (the Iceberg ResolveViews analog —
+    // OSS Spark ships the ViewCatalog API but no analyzer wiring)
+    ext.injectResolutionRule(spark => graft.tables.GeoViewResolution(spark))
     ext.injectCheckRule(_ => GraftExtensions.checkOpaqueBinary)
   }
 }

@@ -46,7 +46,8 @@ import scala.jdk.CollectionConverters._
  * native path has). No directory listing of data dirs ever happens on the
  * read path beyond resolving the manifest's explicit file list.
  */
-class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+  with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -92,6 +93,63 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def functionExists(ident: Identifier): Boolean =
     isSystemNs(ident.namespace) && GeoFunctions.load(ident.name).isDefined
+
+  // -------------------------------------------------------------------------
+  // ViewCatalog — persisted SQL views stored beside the table manifests
+  // (Iceberg ViewCatalog analog; resolution wiring in GeoViewResolution)
+  // -------------------------------------------------------------------------
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!fs.exists(nsPath(ns))) throw new NoSuchNamespaceException(catalogName +: ns)
+    GeoViews.list(spark, warehouse, ns.toSeq).map(n => Identifier.of(ns, n)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GeoViews.exists(spark, warehouse, ident.namespace.toSeq, ident.name)
+
+  override def loadView(ident: Identifier): View = {
+    val d = GeoViews.load(spark, warehouse, ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    new GeoSparkView(s"$catalogName.${ident.toString}", d)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    GeoViews.store(spark, warehouse, ident.namespace.toSeq, ident.name,
+      GeoViews.ViewDef(info.sql, info.currentCatalog, info.currentNamespace.toSeq,
+        info.schema.json, info.properties.asScala.toMap),
+      overwrite = false)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = ident.namespace.toSeq
+    val d = GeoViews.load(spark, warehouse, ns, ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(d.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (p, _) => p
+    }
+    GeoViews.store(spark, warehouse, ns, ident.name, d.copy(properties = props),
+      overwrite = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GeoViews.delete(spark, warehouse, ident.namespace.toSeq, ident.name)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val d = GeoViews.load(spark, warehouse, oldIdent.namespace.toSeq, oldIdent.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    GeoViews.store(spark, warehouse, newIdent.namespace.toSeq, newIdent.name, d,
+      overwrite = false)
+    GeoViews.delete(spark, warehouse, oldIdent.namespace.toSeq, oldIdent.name): Unit
+  }
 
   // -------------------------------------------------------------------------
   // TableCatalog

@@ -98,6 +98,15 @@ object GeoSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val dropTagRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  // persisted views on geo catalogs (Iceberg ViewCatalog analog; only
+  // claimed when the leading part names a configured GeoCatalog — session
+  // temp views and other catalogs keep Spark's native handling)
+  private val createViewRe =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+((?:SELECT|WITH|FROM|TABLE|VALUES)\b.+)\s*;?\s*""".r
+  private val dropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val showViewsRe =
+    """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*;?\s*""".r
   private val createBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val dropBranchRe =
@@ -204,6 +213,14 @@ object GeoSql {
       Some(GeoBranchCommand(name, b, "drop"))
     case publishBranchRe(name, b) if resolveRoot(name).isDefined =>
       Some(GeoBranchCommand(name, b, "publish"))
+    case createViewRe(orReplace, ifNotExists, name, query) if geoViewCatalog(name) =>
+      Some(GeoCreateViewCommand(name, query.trim,
+        orReplace != null, ifNotExists != null))
+    case dropViewRe(ifExists, name) if geoViewCatalog(name) =>
+      Some(GeoDropViewCommand(name, ifExists != null))
+    case showViewsRe(nsName) if SparkSession.getActiveSession.exists(s =>
+        GeoViews.warehouseFor(s, nsName.split('.').head).isDefined) =>
+      Some(GeoShowViewsCommand(nsName))
     case insertRe(name, colList, query) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoInsertCommand(name, query,
         Option(colList).map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)))
@@ -221,6 +238,13 @@ object GeoSql {
         else Some(GeoDeleteCommand(name, condSql))
       }
     case _ => None
+  }
+
+  /** `cat.db.v` targets a configured GeoCatalog (the view verbs' gate). */
+  private def geoViewCatalog(name: String): Boolean = {
+    val parts = name.split('.')
+    parts.length >= 2 && SparkSession.getActiveSession.exists(s =>
+      GeoViews.warehouseFor(s, parts.head).isDefined)
   }
 
   /** Strips ONE outer paren pair iff it is balanced around the whole
@@ -963,6 +987,66 @@ case class GeoDropTableCommand(name: String) extends GeoRunnable {
  * recognized here; every other statement — and every non-plan parse — goes
  * straight to Spark's parser.
  */
+/** CREATE [OR REPLACE] VIEW cat.db.v AS SELECT ... — validated (analyzed)
+  * in the creation context BEFORE anything lands on disk; the analyzed
+  * schema is stored with the definition (Iceberg view metadata shape). */
+case class GeoCreateViewCommand(name: String, query: String, orReplace: Boolean,
+                                ifNotExists: Boolean) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val (ns, v) = (parts.tail.init, parts.last)
+    if (GeoViews.exists(spark, wh, ns, v) && ifNotExists) return Seq(Row(0L))
+    require(GeoManifest.currentVersion(spark, (wh +: ns :+ v).mkString("/")).isEmpty,
+      s"$name already exists as a TABLE")
+    val d0 = GeoViews.ViewDef(query, parts.head, ns,
+      org.apache.spark.sql.types.StructType(Seq.empty).json, Map.empty)
+    // analyze now: bad SQL / missing tables / cycles fail the CREATE, and
+    // the analyzed schema rides the stored definition
+    val schema = org.apache.spark.sql.graft.GraftShim
+      .ofRows(spark, GeoViews.expandDef(spark, d0, v, Set(parts.mkString(".")))).schema
+    GeoViews.store(spark, wh, ns, v, d0.copy(schemaJson = schema.json),
+      overwrite = orReplace)
+    Seq(Row(0L))
+  }
+}
+
+case class GeoDropViewCommand(name: String, ifExists: Boolean) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val dropped = GeoViews.delete(spark, wh, parts.tail.init, parts.last)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last))
+    Seq(Row(if (dropped) 1L else 0L))
+  }
+}
+
+/** SHOW VIEWS IN cat.db — same output shape as Spark's native SHOW VIEWS. */
+case class GeoShowViewsCommand(nsName: String) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("viewName", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = nsName.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    GeoViews.list(spark, wh, parts.tail)
+      .map(v => Row(parts.tail.mkString("."), v, false))
+  }
+}
+
 class GeoSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GeoSql.maybeCommand(sqlText).getOrElse(delegate.parsePlan(sqlText))

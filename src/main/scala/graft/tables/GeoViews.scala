@@ -1,0 +1,245 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchViewException, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{AnalysisHelper, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.GraftShim
+
+/**
+ * Persisted SQL views over geo catalogs — the Iceberg ViewCatalog analog
+ * (Iceberg ships view support as a core catalog capability; OSS Spark 4.1
+ * publishes the `ViewCatalog` API but no analyzer wiring, exactly like it
+ * publishes nothing for Iceberg's views — engines bring their own
+ * resolution rule, which is what [[GeoViewResolution]] is).
+ *
+ * Storage: one JSON file per view at `<warehouse>/<ns...>/<name>.view.json`
+ * holding the SQL text, the creation-time catalog+namespace context, the
+ * analyzed schema, and properties — the same stateless-over-filesystem
+ * contract as GeoTable manifests (a view exists iff its file does, so the
+ * SQL front-end and the ViewCatalog surface see one truth).
+ *
+ * Resolution: view names expand EAGERLY at resolution time — parse the
+ * stored SQL, run CTE substitution on the body (the Substitution batch has
+ * already passed when a resolution rule fires), qualify bare relation names
+ * against the stored context (view/table in the view's own namespace wins;
+ * anything else is left for the session), and recursively expand nested
+ * views with cycle detection. The expanded subtree is ordinary unresolved
+ * Catalyst that the analyzer finishes — predicate pushdown, pruning, SPJ
+ * all see straight through a view.
+ */
+object GeoViews {
+
+  val Suffix = ".view.json"
+
+  case class ViewDef(sql: String, currentCatalog: String,
+                     currentNamespace: Seq[String], schemaJson: String,
+                     properties: Map[String, String])
+
+  /** The warehouse root when `cat` names a configured GeoCatalog. */
+  def warehouseFor(spark: SparkSession, cat: String): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$cat")
+      .filter(_ == classOf[GeoCatalog].getName)
+      .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse"))
+      .map(_.stripSuffix("/"))
+
+  def viewPath(warehouse: String, ns: Seq[String], name: String): Path =
+    new Path((warehouse +: ns).mkString("/"), name + Suffix)
+
+  def exists(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean =
+    GeoManifest.fs(spark, warehouse).exists(viewPath(warehouse, ns, name))
+
+  /** Store a definition (write-temp + rename, like the manifest publish). */
+  def store(spark: SparkSession, warehouse: String, ns: Seq[String], name: String,
+            d: ViewDef, overwrite: Boolean): Unit = {
+    val fs = GeoManifest.fs(spark, warehouse)
+    val dst = viewPath(warehouse, ns, name)
+    if (!overwrite && fs.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, s".${name}.view.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(toJson(d).getBytes("UTF-8")) finally out.close()
+    if (overwrite && fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+    }
+  }
+
+  def load(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Option[ViewDef] = {
+    val fs = GeoManifest.fs(spark, warehouse)
+    val p = viewPath(warehouse, ns, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 * 1024, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      Some(fromJson(text))
+    }
+  }
+
+  def delete(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean = {
+    val fs = GeoManifest.fs(spark, warehouse)
+    val p = viewPath(warehouse, ns, name)
+    fs.exists(p) && fs.delete(p, false)
+  }
+
+  def list(spark: SparkSession, warehouse: String, ns: Seq[String]): Seq[String] = {
+    val fs = GeoManifest.fs(spark, warehouse)
+    val dir = new Path((warehouse +: ns).mkString("/"))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix) &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName.stripSuffix(Suffix)).sorted
+  }
+
+  // ---------------------------------------------------------------------
+  // JSON serde (Jackson — already on the Spark classpath, used by Geom)
+
+  private def toJson(d: ViewDef): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("sql", d.sql)
+    root.put("currentCatalog", d.currentCatalog)
+    val ns = root.putArray("currentNamespace")
+    d.currentNamespace.foreach(ns.add)
+    root.put("schemaJson", d.schemaJson)
+    val props = root.putObject("properties")
+    d.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def fromJson(text: String): ViewDef = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val ns = root.path("currentNamespace")
+    val props = scala.collection.mutable.Map[String, String]()
+    val it = root.path("properties").fields()
+    while (it.hasNext) { val e = it.next(); props(e.getKey) = e.getValue.asText() }
+    ViewDef(root.path("sql").asText(), root.path("currentCatalog").asText(),
+      (0 until ns.size()).map(ns.get(_).asText()),
+      root.path("schemaJson").asText(), props.toMap)
+  }
+
+  // ---------------------------------------------------------------------
+  // name resolution + expansion
+
+  /** (catalog, warehouse, namespace, view) when `parts` names a geo view. */
+  def viewTarget(spark: SparkSession, parts: Seq[String])
+      : Option[(String, String, Seq[String], String)] =
+    if (parts.length < 2) None
+    else warehouseFor(spark, parts.head)
+      .filter(wh => exists(spark, wh, parts.tail.init, parts.last))
+      .map(wh => (parts.head, wh, parts.tail.init, parts.last))
+
+  /** A table (`_current`) or view file under `wh/ns/name`? */
+  private def existsUnder(spark: SparkSession, wh: String, ns: Seq[String],
+                          name: String): Boolean = {
+    val fs = GeoManifest.fs(spark, wh)
+    val base = new Path((wh +: ns).mkString("/"))
+    fs.exists(new Path(base, name + Suffix)) ||
+      fs.exists(new Path(new Path(base, name), "_current"))
+  }
+
+  /** Bare names inside a view body resolve in the view's own context
+    * first (when a table/view actually exists there), session scope
+    * second — Spark's own persisted-view resolution order. */
+  private def qualify(spark: SparkSession, parts: Seq[String],
+                      cat: String, ns: Seq[String]): Seq[String] =
+    warehouseFor(spark, cat) match {
+      case Some(wh) if parts.length == 1 && existsUnder(spark, wh, ns, parts.head) =>
+        cat +: ns :+ parts.head
+      case Some(wh) if parts.length == 2 && existsUnder(spark, wh, Seq(parts.head), parts(1)) =>
+        cat +: parts
+      case _ => parts
+    }
+
+  /** Stored SQL -> unresolved plan: parse, CTE-substitute, qualify against
+    * the stored context, expand nested views (cycle-checked). */
+  def expand(spark: SparkSession, cat: String, wh: String, ns: Seq[String],
+             name: String, seen: Set[String] = Set.empty): LogicalPlan = {
+    val key = (cat +: ns :+ name).mkString(".")
+    if (seen.contains(key))
+      throw new IllegalArgumentException(
+        s"cyclic view reference: ${(seen + key).toSeq.sorted.mkString(" -> ")}")
+    val d = load(spark, wh, ns, name).getOrElse(
+      throw new NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name)))
+    expandDef(spark, d, name, seen + key)
+  }
+
+  /** [[expand]] for an in-memory definition — CREATE-time validation runs
+    * this BEFORE anything lands on disk, with the self-key in `seen` so a
+    * self-referencing body fails cleanly. */
+  def expandDef(spark: SparkSession, d: ViewDef, alias: String,
+                seen: Set[String]): LogicalPlan = {
+    val parsed = GraftShim.parsePlan(spark, d.sql)
+    // the analyzer's Substitution batch has already passed by the time a
+    // resolution rule splices this subtree in — run CTE substitution on
+    // the body ourselves so WITH-clauses inside views work
+    val body = CTESubstitution(parsed)
+    val expanded = AnalysisHelper.allowInvokingTransformsInAnalyzer {
+      body.transformDownWithSubqueries {
+        case u: UnresolvedRelation =>
+          val q = qualify(spark, u.multipartIdentifier, d.currentCatalog, d.currentNamespace)
+          viewTarget(spark, q) match {
+            case Some((c2, w2, n2, v2)) =>
+              SubqueryAlias(v2, expand(spark, c2, w2, n2, v2, seen))
+            case None =>
+              if (q != u.multipartIdentifier) u.copy(multipartIdentifier = q) else u
+          }
+      }
+    }
+    SubqueryAlias(alias, expanded)
+  }
+
+  /** Read a view as a DataFrame on ANY session (the vanilla-session path —
+    * extension sessions just `spark.sql("SELECT ... FROM geo.db.v")`). */
+  def readView(spark: SparkSession, name: String): DataFrame = {
+    val parts = name.split('.').toSeq
+    val (cat, wh, ns, v) = viewTarget(spark, parts).getOrElse(
+      throw new NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last)))
+    GraftShim.ofRows(spark, expand(spark, cat, wh, ns, v))
+  }
+}
+
+/** The stored definition surfaced through Spark's `View` interface. */
+class GeoSparkView(fullName: String, d: GeoViews.ViewDef)
+  extends org.apache.spark.sql.connector.catalog.View {
+  import scala.jdk.CollectionConverters._
+  override def name(): String = fullName
+  override def query(): String = d.sql
+  override def currentCatalog(): String = d.currentCatalog
+  override def currentNamespace(): Array[String] = d.currentNamespace.toArray
+  override def schema(): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): java.util.Map[String, String] = d.properties.asJava
+}
+
+/**
+ * Injected resolution rule (GraftExtensions): any `geo.db.v` relation —
+ * top level, join leg, or subquery — expands to its stored definition.
+ * The analog of Iceberg's `ResolveViews` extension rule.
+ */
+case class GeoViewResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation =>
+      GeoViews.viewTarget(spark, u.multipartIdentifier) match {
+        case Some((cat, wh, ns, v)) => GeoViews.expand(spark, cat, wh, ns, v)
+        case None => u
+      }
+  }
+}

@@ -68,6 +68,21 @@ object GraftShim {
     ParquetScanBuilder(spark, index, schema, schema, options)
   }
 
+  /** Parse SQL text to an unresolved plan with the session's parser
+    * (needed by the view machinery; sessionState is private[sql]). */
+  def parsePlan(spark: SparkSession,
+                sqlText: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.sqlParser.parsePlan(sqlText)
+
+  /** Analyze + wrap a logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — how expanded view bodies become readable frames on
+    * sessions without the injected resolution rule. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSparkSession], plan)
+
   /** Wrap a raw Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 

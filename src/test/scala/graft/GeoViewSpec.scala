@@ -1,0 +1,131 @@
+package graft
+
+import graft.tables.{GeoCatalog, GeoViews}
+
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Persisted views (ViewCatalog + GeoViewResolution): SQL lifecycle on an
+ * extension session, the V2 ViewCatalog API surface, nested/CTE/bare-name
+ * resolution, and the vanilla-session read path.
+ */
+class GeoViewSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_view_wh").toString
+    spark.conf.set("spark.sql.catalog.geov", classOf[GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geov.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geov.db")
+    spark.sql("CREATE TABLE geov.db.pts (id BIGINT, geo GEOMETRY) USING geo")
+    spark.sql("""INSERT INTO geov.db.pts
+                 SELECT id, st_point(CAST(id AS DOUBLE), CAST(id % 3 AS DOUBLE))
+                 FROM range(10)""")
+    dir
+  }
+
+  test("SQL lifecycle: CREATE / SELECT / SHOW / OR REPLACE / DROP") {
+    wh
+    spark.sql("CREATE VIEW geov.db.v1 AS SELECT id, st_x(geo) AS x FROM geov.db.pts WHERE id > 2")
+    assert(spark.sql("SELECT SUM(id) FROM geov.db.v1").head.getLong(0) == (3 to 9).sum)
+    // the view composes: filter pushes THROUGH the expanded body
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.v1 WHERE x < 5.0").head.getLong(0) == 2)
+    val shown = spark.sql("SHOW VIEWS IN geov.db").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(shown.contains(("db", "v1", false)))
+    // CREATE without OR REPLACE over an existing view fails; OR REPLACE works
+    intercept[Exception](spark.sql("CREATE VIEW geov.db.v1 AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW IF NOT EXISTS geov.db.v1 AS SELECT 1 AS one") // no-op
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.v1").head.getLong(0) == 7)
+    spark.sql("CREATE OR REPLACE VIEW geov.db.v1 AS SELECT id FROM geov.db.pts WHERE id < 2")
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.v1").head.getLong(0) == 2)
+    spark.sql("DROP VIEW geov.db.v1")
+    intercept[Exception](spark.sql("SELECT * FROM geov.db.v1").collect())
+    spark.sql("DROP VIEW IF EXISTS geov.db.v1") // idempotent
+  }
+
+  test("bare table names resolve in the view's own namespace; CTE bodies work") {
+    wh
+    spark.sql("""CREATE OR REPLACE VIEW geov.db.v_bare AS
+                 WITH big AS (SELECT id FROM pts WHERE id >= 5)
+                 SELECT COUNT(*) AS n FROM big""")
+    assert(spark.sql("SELECT n FROM geov.db.v_bare").head.getLong(0) == 5)
+    spark.sql("DROP VIEW geov.db.v_bare")
+  }
+
+  test("nested views expand recursively; cycles fail cleanly") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.base AS SELECT id FROM geov.db.pts WHERE id < 6")
+    spark.sql("CREATE OR REPLACE VIEW geov.db.outer_v AS SELECT COUNT(*) AS n FROM geov.db.base")
+    assert(spark.sql("SELECT n FROM geov.db.outer_v").head.getLong(0) == 6)
+    // a view joins + appears in subqueries like any relation
+    val joined = spark.sql("""
+      SELECT COUNT(*) FROM geov.db.pts p
+      WHERE p.id IN (SELECT id FROM geov.db.base)""").head.getLong(0)
+    assert(joined == 6)
+    // self-reference at CREATE is a clean error (validated before store)
+    intercept[Exception](
+      spark.sql("CREATE OR REPLACE VIEW geov.db.selfy AS SELECT * FROM geov.db.selfy"))
+    // replacing base with a body referencing outer_v closes a 2-view cycle:
+    // caught at CREATE time (validation expands with the self-key in seen),
+    // so a cyclic definition never lands on disk
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW geov.db.base AS SELECT n AS id FROM geov.db.outer_v"))
+    assert(e.getMessage.contains("cyclic view reference"))
+    // and the original definitions still read fine afterwards
+    assert(spark.sql("SELECT n FROM geov.db.outer_v").head.getLong(0) == 6)
+    spark.sql("DROP VIEW geov.db.outer_v")
+    spark.sql("DROP VIEW geov.db.base")
+  }
+
+  test("ViewCatalog API: create/load/list/alter/rename/drop + collisions") {
+    wh
+    val cat = new GeoCatalog()
+    cat.initialize("geov", new CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = Identifier.of(Array("db"), "api_v")
+    val schema = spark.sql("SELECT id FROM geov.db.pts").schema
+    cat.createView(new ViewInfo(ident, "SELECT id FROM geov.db.pts", "geov",
+      Array("db"), schema, Array.empty, Array.empty, Array.empty,
+      java.util.Map.of("owner", "graft")))
+    assert(cat.viewExists(ident))
+    val v = cat.loadView(ident)
+    assert(v.query() == "SELECT id FROM geov.db.pts")
+    assert(v.currentCatalog() == "geov" && v.currentNamespace().toSeq == Seq("db"))
+    assert(v.schema() == schema)
+    assert(v.properties().get("owner") == "graft")
+    assert(cat.listViews("db").map(_.name).contains("api_v"))
+    // the stored definition is readable through SQL too (one truth)
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.api_v").head.getLong(0) == 10)
+    // create over existing view / existing table both fail
+    intercept[Exception](cat.createView(new ViewInfo(ident, "SELECT 1", "geov",
+      Array("db"), schema, Array.empty, Array.empty, Array.empty,
+      java.util.Map.of())))
+    intercept[Exception](cat.createView(new ViewInfo(
+      Identifier.of(Array("db"), "pts"), "SELECT 1", "geov",
+      Array("db"), schema, Array.empty, Array.empty, Array.empty,
+      java.util.Map.of())))
+    // property round-trip through alterView
+    cat.alterView(ident, ViewChange.setProperty("comment", "c1"))
+    assert(cat.loadView(ident).properties().get("comment") == "c1")
+    cat.alterView(ident, ViewChange.removeProperty("comment"))
+    assert(!cat.loadView(ident).properties().containsKey("comment"))
+    // rename moves the definition
+    val ident2 = Identifier.of(Array("db"), "api_v2")
+    cat.renameView(ident, ident2)
+    assert(!cat.viewExists(ident) && cat.viewExists(ident2))
+    assert(cat.dropView(ident2) && !cat.dropView(ident2))
+  }
+
+  test("vanilla-session path: GeoViews.readView needs no injected rule") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.v_plain AS " +
+      "SELECT id, st_y(geo) AS y FROM geov.db.pts WHERE id % 2 = 0")
+    // readView goes straight through expand + ofRows — the exact path a
+    // session without GraftExtensions uses (the correctness driver's)
+    val rows = GeoViews.readView(spark, "geov.db.v_plain")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(0L -> 0.0, 2L -> 2.0, 4L -> 1.0, 6L -> 0.0, 8L -> 2.0))
+    spark.sql("DROP VIEW geov.db.v_plain")
+  }
+}
