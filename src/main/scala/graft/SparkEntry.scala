@@ -1501,9 +1501,10 @@ object SparkEntry {
       val (bxmin, bymin, bxmax, bymax) = c.bbox.getOrElse(sys.error("bbox missing"))
       import s.implicits._
       Seq((raw, meta.version, meta.primary, c.encoding,
-           c.geometryTypes.mkString(","), bxmin, bymin, bxmax, bymax, back.count()))
+           c.geometryTypes.mkString(","), bxmin, bymin, bxmax, bymax,
+           c.covering.getOrElse("xmin", Seq.empty).mkString("."), back.count()))
         .toDF("geo_json", "version", "primary_column", "encoding",
-          "geometry_types", "xmin", "ymin", "xmax", "ymax", "n_rows")
+          "geometry_types", "xmin", "ymin", "xmax", "ymax", "cov_xmin", "n_rows")
     }),
 
     // KML/GML reader-writer roundtrip: the parse must invert the writer
@@ -3668,6 +3669,7 @@ object SparkEntry {
              CAST(json_extract(v, '$.columns.geo.bbox[1]') AS DOUBLE) AS ymin,
              CAST(json_extract(v, '$.columns.geo.bbox[2]') AS DOUBLE) AS xmax,
              CAST(json_extract(v, '$.columns.geo.bbox[3]') AS DOUBLE) AS ymax,
+             json_extract_string(v, '$.columns.geo.covering.bbox.xmin[0]') AS cov_xmin,
              (SELECT COUNT(*) FROM parquet_scan('/tmp/graft_geopq_meta/pts/*.parquet')) AS n_rows
       FROM kv""",
 

@@ -106,7 +106,14 @@ object GeoParquetMeta {
       val sb = new StringBuilder
       while (it.hasNext) { if (sb.nonEmpty) sb += ','; sb ++= "\"" + it.next() + "\"" }
       val bbox = if (a.seen) s""","bbox":[${a.xmin},${a.ymin},${a.xmax},${a.ymax}]""" else ""
-      s""""${a.name}":{"encoding":"WKB","geometry_types":[$sb]$bbox${crsJson(a.crs)}}"""
+      // spec-1.1 covering: points third-party readers at the per-row bbox
+      // sidecar columns GeoParquet.write lays down, so THEIR row-group
+      // pruning uses the same doubles ours does
+      val covering = if (a.hasCovering)
+        s""","covering":{"bbox":{"xmin":["${a.name}_xmin"],"ymin":["${a.name}_ymin"],""" +
+          s""""xmax":["${a.name}_xmax"],"ymax":["${a.name}_ymax"]}}"""
+      else ""
+      s""""${a.name}":{"encoding":"WKB","geometry_types":[$sb]$bbox$covering${crsJson(a.crs)}}"""
     }.mkString(",")
     s"""{"version":"$SpecVersion","primary_column":"$primary","columns":{$cols}}"""
   }
@@ -129,7 +136,8 @@ object GeoParquetMeta {
 
   case class GeoColumn(encoding: String, crs: String,
                        bbox: Option[(Double, Double, Double, Double)],
-                       geometryTypes: Seq[String])
+                       geometryTypes: Seq[String],
+                       covering: Map[String, Seq[String]] = Map.empty)
   case class GeoMeta(version: String, primary: String, columns: Map[String, GeoColumn])
 
   /** Tolerant parse of a `geo` footer value (ours or a third party's). */
@@ -160,7 +168,18 @@ object GeoParquetMeta {
       else None
       val tn = c.path("geometry_types")
       val types = if (tn.isArray) (0 until tn.size()).map(i => tn.get(i).asText()) else Seq.empty
-      cols(e.getKey) = GeoColumn(c.path("encoding").asText(""), crs, bbox, types)
+      val covNode = c.path("covering").path("bbox")
+      val covering = if (covNode.isObject) {
+        val cb = scala.collection.mutable.Map[String, Seq[String]]()
+        val cit = covNode.fields()
+        while (cit.hasNext) {
+          val ce = cit.next()
+          if (ce.getValue.isArray)
+            cb(ce.getKey) = (0 until ce.getValue.size()).map(ce.getValue.get(_).asText())
+        }
+        cb.toMap
+      } else Map.empty[String, Seq[String]]
+      cols(e.getKey) = GeoColumn(c.path("encoding").asText(""), crs, bbox, types, covering)
     }
     Some(GeoMeta(root.path("version").asText(""), primary, cols.toMap))
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -213,7 +232,8 @@ object GeoParquetMeta {
 }
 
 /** Per-column per-file accumulator the write support fills row by row. */
-private[sources] final class GeomAcc(val name: String, val crs: String, val idx: Int) {
+private[sources] final class GeomAcc(val name: String, val crs: String, val idx: Int,
+                                     val hasCovering: Boolean = false) {
   var xmin: Double = Double.PositiveInfinity
   var ymin: Double = Double.PositiveInfinity
   var xmax: Double = Double.NegativeInfinity
@@ -303,9 +323,15 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
       primary = p
       accs = cols.flatMap { case (name, crs) =>
         val i = schema.fieldNames.indexOf(name)
-        if (i >= 0 && schema.fields(i).dataType == BinaryType)
-          Some(new GeomAcc(name, crs, i))
-        else None
+        if (i >= 0 && schema.fields(i).dataType == BinaryType) {
+          // GeoParquet.write sidecar doubles present -> declare them as
+          // the spec's covering columns
+          val covering = Seq("_xmin", "_ymin", "_xmax", "_ymax").forall { s =>
+            val j = schema.fieldNames.indexOf(name + s)
+            j >= 0 && schema.fields(j).dataType == org.apache.spark.sql.types.DoubleType
+          }
+          Some(new GeomAcc(name, crs, i, covering))
+        } else None
       }.toArray
       if (!accs.exists(_.name == primary)) accs = Array.empty
     } catch { case scala.util.control.NonFatal(_) => accs = Array.empty }

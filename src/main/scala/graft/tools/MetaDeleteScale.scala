@@ -39,13 +39,13 @@ object MetaDeleteScale {
 
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("v", StringType)))
-    val dayUs = 86400L * 1000000L
-
     def files(n: Int, straddleLast: Boolean, twoSpecs: Boolean): Seq[FileEntry] =
       (0 until n).map { i =>
-        val lo = i.toLong * dayUs
-        // single-valued per day; the optional last file straddles the cutoff
-        val hi = if (straddleLast && i == n - 1) lo + dayUs else lo
+        // pstats live in the TRANSFORM space: days() records day ordinals
+        // (GeoPartition.valueOf). Single-valued per day; the optional last
+        // file spans two days so it straddles any between-day cutoff.
+        val lo = i.toLong
+        val hi = if (straddleLast && i == n - 1) lo + 1 else lo
         FileEntry(s"f$i.parquet", 1000L, Double.NaN, Double.NaN, Double.NaN,
           Double.NaN, pstats = Seq((lo, hi)), addedAt = 0,
           pnulls = Seq(false), spec = if (twoSpecs) i % 2 else 0)

@@ -36,6 +36,21 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(c.bbox.contains((0.0, 0.0, 9.0, 6.0)))
     assert(c.crs == GeoSchema.DefaultCrs) // omitted in JSON -> spec default
     assert(!raw.get.contains("\"crs\"")) // default CRS is omitted, not null-spelled
+    // spec-1.1 covering names the bbox sidecar columns GeoParquet.write
+    // lays down — third-party readers prune on the same doubles we do
+    assert(c.covering == Map(
+      "xmin" -> Seq("geo_xmin"), "ymin" -> Seq("geo_ymin"),
+      "xmax" -> Seq("geo_xmax"), "ymax" -> Seq("geo_ymax")))
+  }
+
+  test("covering is only declared when the sidecar columns actually exist") {
+    val dir = tmp("gpq_nocov")
+    // direct geoparquet write WITHOUT sidecars -> no covering block
+    points(10).repartition(1).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(dir)
+    val c = GeoParquetMeta.parse(GeoParquetMeta.readGeoKey(spark, dir).get).get.columns("geo")
+    assert(c.covering.isEmpty)
+    assert(!GeoParquetMeta.readGeoKey(spark, dir).get.contains("covering"))
   }
 
   test("per-file bbox is exact per FILE, not dataset-wide") {
