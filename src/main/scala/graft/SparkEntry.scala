@@ -256,7 +256,9 @@ object SparkEntry {
     }),
 
     // stream-stream interval join, batch-parity leg: views followed by a
-    // purchase from the same user within 60s (same operator the streaming
+    // purchase from the same user within an hour (the 60s spelling matched
+    // ZERO pairs at the verify SFs - a 0=0 oracle; an hour matches 3/40/342
+    // pairs at sf0.001/0.01/0.1, so the hash now pins real join output) (same operator the streaming
     // spec runs on MemoryStreams; watermark is a no-op here)
     "interval_join_batch" -> ((s, d) => {
       prep(s, d)
@@ -265,7 +267,39 @@ object SparkEntry {
       val buys = s.table("events").where(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("bts"))
       graft.streaming.EventStreams.intervalJoin(views, buys,
-          "user_id", "vts", "bts", intervalSeconds = 60)
+          "user_id", "vts", "bts", intervalSeconds = 3600)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
+          sum(col("buy_id") - col("view_id")).as("id_delta_sum"))
+        .orderBy("user_id")
+    }),
+
+    // the SAME interval join actually STREAMED: two independent file
+    // streams over a 4-file copy of events (maxFilesPerTrigger=2 => the
+    // join state carries matches across micro-batches), inner stream-
+    // stream join emits eagerly, sink aggregated in batch afterwards —
+    // hash-matches the identical batch oracle, so the streaming state
+    // machinery provably loses/duplicates nothing
+    "stream_interval_join" -> ((s, d) => {
+      prep(s, d)
+      val srcDir = java.nio.file.Files.createTempDirectory("ssj_src").toString + "/files"
+      s.table("events").withColumn("b", col("event_id") % 4)
+        .repartition(4, col("b")).drop("b").write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      s.catalog.dropTempView("ssj_sink") // repeat-safe: bench runs twice
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      val views = src().where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val buys = src().where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("bts"))
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.intervalJoin(views, buys,
+            "user_id", "vts", "bts", intervalSeconds = 3600)
+          .writeStream.format("memory").outputMode("append")
+          .queryName("ssj_sink").start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table("ssj_sink")
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
           sum(col("buy_id") - col("view_id")).as("id_delta_sum"))
         .orderBy("user_id")
@@ -4347,7 +4381,7 @@ object SparkEntry {
       SELECT v.user_id, COUNT(*) AS n_pairs,
              CAST(SUM(b.buy_id - v.view_id) AS BIGINT) AS id_delta_sum
       FROM v JOIN b ON v.user_id = b.user_id
-        AND b.us >= v.us AND b.us <= v.us + 60000000
+        AND b.us >= v.us AND b.us <= v.us + 3600000000
       GROUP BY v.user_id ORDER BY v.user_id""",
 
     // fingerprint invariant: a collision-free dedup key over normalized text
@@ -4461,7 +4495,10 @@ object SparkEntry {
     * single output double — that identity is the point of the query. */
   def oracleSql: Map[String, String] = oracleBase +
     ("spatial_knn_grid_join" -> oracleBase("spatial_knn_join")) +
-    ("spatial_lof_grid" -> oracleBase("spatial_lof"))
+    ("spatial_lof_grid" -> oracleBase("spatial_lof")) +
+    // the STREAMED interval join must land on the exact rows the batch
+    // leg produces — same oracle, different execution machinery
+    ("stream_interval_join" -> oracleBase("interval_join_batch"))
 
   /**
    * Bench-only build/probe split for the index-backed ANN queries. The
