@@ -107,6 +107,10 @@ object GeoSql {
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val showViewsRe =
     """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*;?\s*""".r
+  private val alterViewSetRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val alterViewUnsetRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val createBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val dropBranchRe =
@@ -218,6 +222,14 @@ object GeoSql {
         orReplace != null, ifNotExists != null))
     case dropViewRe(ifExists, name) if geoViewCatalog(name) =>
       Some(GeoDropViewCommand(name, ifExists != null))
+    case alterViewSetRe(name, propsSql) if geoViewCatalog(name) =>
+      Some(GeoAlterViewPropsCommand(name,
+        "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(propsSql)
+          .map(m => m.group(1) -> m.group(2)).toSeq, unset = false))
+    case alterViewUnsetRe(name, propsSql) if geoViewCatalog(name) =>
+      Some(GeoAlterViewPropsCommand(name,
+        "'([^']*)'".r.findAllMatchIn(propsSql).map(m => m.group(1) -> "").toSeq,
+        unset = true))
     case showViewsRe(nsName) if SparkSession.getActiveSession.exists(s =>
         GeoViews.warehouseFor(s, nsName.split('.').head).isDefined) =>
       Some(GeoShowViewsCommand(nsName))
@@ -1025,6 +1037,26 @@ case class GeoDropViewCommand(name: String, ifExists: Boolean) extends GeoRunnab
         org.apache.spark.sql.connector.catalog.Identifier.of(
           parts.tail.init.toArray, parts.last))
     Seq(Row(if (dropped) 1L else 0L))
+  }
+}
+
+/** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */
+case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
+                                    unset: Boolean) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val (ns, v) = (parts.tail.init, parts.last)
+    val d = GeoViews.load(spark, wh, ns, v).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))
+    val next =
+      if (unset) d.properties -- props.map(_._1)
+      else d.properties ++ props
+    GeoViews.store(spark, wh, ns, v, d.copy(properties = next), overwrite = true)
+    Seq(Row(props.length.toLong))
   }
 }
 

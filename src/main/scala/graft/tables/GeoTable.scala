@@ -110,16 +110,25 @@ object GeoTable {
         s"${partCols.mkString(", ")} live in directory names, not in the files — " +
         "materialize them (read + GeoTable.create) or import the leaf dirs of one " +
         "partition value and add the column via ALTER/rewrite")
-    val df = geomCol.filterNot(g => GeoSchema.isGeometry(df0.schema(g)))
-      .foldLeft(df0)((d, g) => GeoSchema.markGeometry(d, g))
+    // Standard GeoParquet interop: with no explicit geomCol, the spec's
+    // `geo` footer key (if present) names the geometry columns and the
+    // primary — GeoPandas/GDAL datasets onboard by reference WITH typing.
+    val meta = if (geomCol.isDefined) None
+      else graft.sources.GeoParquetMeta.readGeoKey(spark, dir)
+        .flatMap(graft.sources.GeoParquetMeta.parse)
+    val tagged = meta.map(m => graft.sources.GeoParquetMeta.tag(df0, m)).getOrElse(df0)
+    val geom = geomCol.orElse(meta.map(_.primary).filter(p =>
+      tagged.schema.fieldNames.contains(p) && GeoSchema.isGeometry(tagged.schema(p))))
+    val df = geom.filterNot(g => GeoSchema.isGeometry(tagged.schema(g)))
+      .foldLeft(tagged)((d, g) => GeoSchema.markGeometry(d, g))
     val schema = df.schema
     val paths = df0.inputFiles.toSeq.sorted
     require(paths.nonEmpty, s"no parquet files under $dir")
     validateFooters(spark, schema, paths)
     val partitions = GeoPartition.statsFor(schema, Seq.empty)
-    val files = GeoManifest.collectStats(spark, schema, paths, geomCol, partitions)
+    val files = GeoManifest.collectStats(spark, schema, paths, geom, partitions)
     GeoManifest.write(spark, root,
-      Manifest(0, schema, geomCol, files, partitions = partitions),
+      Manifest(0, schema, geom, files, partitions = partitions),
       op = "import")
     files.map(_.rows).sum
   }

@@ -151,6 +151,23 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(c.bbox.contains((0.0, 0.0, 4.0, 4.0))) // null row skipped
   }
 
+  test("importParquet auto-discovers geometry typing from the geo key") {
+    // a GeoParquet dataset whose SPARK schema is untagged (st_point output
+    // is plain BINARY) — only the geo footer key names the geometry
+    val dir = tmp("gpq_import") + "/pts"
+    graft.plans.GeoParquet.write(points(40).repartition(1), "geo", dir, cellSize = 5.0)
+    val root = tmp("gpq_import_t") + "/t"
+    val n = graft.tables.GeoTable.importParquet(spark, root, dir) // NO geomCol hint
+    assert(n == 40)
+    val m = graft.tables.GeoManifest.read(spark, root)
+    assert(m.geomCol.contains("geo"), s"geomCol not discovered: ${m.geomCol}")
+    assert(GeoSchema.isGeometry(m.schema("geo")))
+    // spatial reads work immediately on the by-reference import
+    val cnt = graft.tables.GeoTable.read(spark, root)
+      .where(st_x(col("geo")) < 5.0).count()
+    assert(cnt == 20)
+  }
+
   test("third-party geo metadata (GeoPandas-style, crs null) tags on read") {
     // hand-written footer shape a non-graft writer produces: version only
     // 1.0.0, crs explicit null, bbox absent

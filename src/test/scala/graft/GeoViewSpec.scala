@@ -117,6 +117,23 @@ class GeoViewSpec extends SparkSpec {
     assert(cat.dropView(ident2) && !cat.dropView(ident2))
   }
 
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES round-trips through the file") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.v_props AS SELECT 1 AS one")
+    spark.sql("ALTER VIEW geov.db.v_props SET TBLPROPERTIES('owner'='team-x', 'tier'='gold')")
+    val cat = new GeoCatalog()
+    cat.initialize("geov", new CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+    val ident = Identifier.of(Array("db"), "v_props")
+    assert(cat.loadView(ident).properties().get("owner") == "team-x")
+    assert(cat.loadView(ident).properties().get("tier") == "gold")
+    spark.sql("ALTER VIEW geov.db.v_props UNSET TBLPROPERTIES('tier')")
+    assert(!cat.loadView(ident).properties().containsKey("tier"))
+    assert(cat.loadView(ident).properties().get("owner") == "team-x")
+    // properties never perturb the definition
+    assert(spark.sql("SELECT one FROM geov.db.v_props").head.getInt(0) == 1)
+    spark.sql("DROP VIEW geov.db.v_props")
+  }
+
   test("vanilla-session path: GeoViews.readView needs no injected rule") {
     wh
     spark.sql("CREATE OR REPLACE VIEW geov.db.v_plain AS " +
