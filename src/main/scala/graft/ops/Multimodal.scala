@@ -79,7 +79,11 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // ImageIO's plugin registry is JVM-global (initialized once); the
-      // per-partition shape still matters for codecs with per-batch state
+      // per-partition shape still matters for codecs with per-batch state.
+      // Payloads are already in memory — disable the default disk-backed
+      // FileCacheImageInputStream or every row pays a tmpdir
+      // create/write/delete round-trip.
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { b =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))

@@ -162,10 +162,13 @@ object GeoParquetMeta {
           if (auth.nonEmpty && code.nonEmpty) s"$auth:$code" else GeoSchema.DefaultCrs
         }
       val bboxNode = c.path("bbox")
-      val bbox = if (bboxNode.isArray && bboxNode.size() >= 4)
+      // spec bbox: [xmin,ymin,xmax,ymax] (2D) or [xmin,ymin,zmin,xmax,
+      // ymax,zmax] (3D) — the max block starts at the midpoint
+      val bbox = if (bboxNode.isArray && bboxNode.size() >= 4) {
+        val k = bboxNode.size() / 2
         Some((bboxNode.get(0).asDouble(), bboxNode.get(1).asDouble(),
-          bboxNode.get(bboxNode.size() - 2).asDouble(), bboxNode.get(bboxNode.size() - 1).asDouble()))
-      else None
+          bboxNode.get(k).asDouble(), bboxNode.get(k + 1).asDouble()))
+      } else None
       val tn = c.path("geometry_types")
       val types = if (tn.isArray) (0 until tn.size()).map(i => tn.get(i).asText()) else Seq.empty
       val covNode = c.path("covering").path("bbox")
@@ -280,8 +283,14 @@ private[sources] object WkbScan {
       case other => throw new IllegalArgumentException(s"WKB type $other")
     }
     // only the outermost type names the file's content (a MultiPolygon's
-    // shells must not also report "Polygon")
-    if (depth == 0) acc.types.add(names(base) + (if (hasZ) " Z" else ""))
+    // shells must not also report "Polygon"); dimension suffixes follow
+    // the OGC spelling (" Z" per the GeoParquet spec; " M"/" ZM" for
+    // measured WKB, matching GDAL's extension of the same list)
+    if (depth == 0) {
+      val suffix =
+        if (hasZ && hasM) " ZM" else if (hasZ) " Z" else if (hasM) " M" else ""
+      acc.types.add(names(base) + suffix)
+    }
   }
 
   private def coord(buf: java.nio.ByteBuffer, acc: GeomAcc, skip: Int): Unit = {

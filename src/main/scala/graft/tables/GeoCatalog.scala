@@ -244,6 +244,12 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // a table must not shadow a view: the two resolution paths would
+    // return different data for the same name (views win in the injected
+    // rule, tables in ResolveRelations) — symmetric with createView's
+    // tableExists check
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     // Partition transforms: identity / bucket(n, col) / days|hours|
     // months|years(ts) are NATIVE — writes cluster rows by transform
     // value, the manifest records per-file transform min/max, scans
@@ -413,6 +419,8 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
     // the target namespace must already exist — otherwise a target spelled
     // with a stray catalog prefix would silently mint a new directory tree
     if (!namespaceExists(to.namespace)) throw new NoSuchNamespaceException(catalogName +: to.namespace)

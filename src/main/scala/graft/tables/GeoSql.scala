@@ -223,13 +223,19 @@ object GeoSql {
     case dropViewRe(ifExists, name) if geoViewCatalog(name) =>
       Some(GeoDropViewCommand(name, ifExists != null))
     case alterViewSetRe(name, propsSql) if geoViewCatalog(name) =>
+      // keys/values in any Spark spelling: 'k', "k", or bare identifiers
+      val token = """(?:'([^']*)'|"([^"]*)"|([\w.]+))"""
       Some(GeoAlterViewPropsCommand(name,
-        "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(propsSql)
-          .map(m => m.group(1) -> m.group(2)).toSeq, unset = false))
+        (token + """\s*=\s*""" + token).r.findAllMatchIn(propsSql).map { m =>
+          val k = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get
+          val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
+          k -> v
+        }.toSeq, unset = false))
     case alterViewUnsetRe(name, propsSql) if geoViewCatalog(name) =>
       Some(GeoAlterViewPropsCommand(name,
-        "'([^']*)'".r.findAllMatchIn(propsSql).map(m => m.group(1) -> "").toSeq,
-        unset = true))
+        """(?:'([^']*)'|"([^"]*)"|([\w.]+))""".r.findAllMatchIn(propsSql)
+          .map(m => Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get -> "")
+          .toSeq, unset = true))
     case showViewsRe(nsName) if SparkSession.getActiveSession.exists(s =>
         GeoViews.warehouseFor(s, nsName.split('.').head).isDefined) =>
       Some(GeoShowViewsCommand(nsName))
@@ -250,6 +256,17 @@ object GeoSql {
         else Some(GeoDeleteCommand(name, condSql))
       }
     case _ => None
+  }
+
+  /** CREATE TABLE guards (front-end paths that bypass
+    * GeoCatalog.createTable): a table must not shadow a view. */
+  private[tables] def requireNoView(spark: SparkSession, name: String): Unit = {
+    val parts = name.split('.').toSeq
+    if (parts.length >= 2)
+      GeoViews.warehouseFor(spark, parts.head).foreach { wh =>
+        require(!GeoViews.exists(spark, wh, parts.tail.init, parts.last),
+          s"$name already exists as a VIEW")
+      }
   }
 
   /** `cat.db.v` targets a configured GeoCatalog (the view verbs' gate). */
@@ -562,6 +579,7 @@ sealed trait GeoRunnable extends LeafRunnableCommand {
 case class GeoCreateTableCommand(name: String, colsDdl: String,
                                  location: Option[String]) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
+    GeoSql.requireNoView(spark, name)
     val schema = GeoSchema.fromDdl(colsDdl)
     val geomCol = GeoSchema.geometryColumns(schema).headOption.map(_._1)
     val catalogRoot = GeoCatalog.resolveWarehouseRoot(name)
@@ -661,6 +679,7 @@ case class GeoDeleteCommand(name: String, condSql: Option[String]) extends GeoRu
 case class GeoCtasCommand(name: String, location: Option[String],
                           query: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
+    GeoSql.requireNoView(spark, name)
     val df = spark.sql(query)
     val geomCol = GeoSchema.geometryColumns(df.schema).headOption.map(_._1)
       .orElse(sniffGeometry(df))
@@ -1049,6 +1068,9 @@ case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
       throw new IllegalArgumentException(
         s"'${parts.head}' is not a configured GeoCatalog"))
     val (ns, v) = (parts.tail.init, parts.last)
+    require(props.nonEmpty,
+      "could not parse any TBLPROPERTIES pair — use ('k'='v', ...) " +
+        "with quoted or identifier keys/values")
     val d = GeoViews.load(spark, wh, ns, v).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
         org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))

@@ -47,10 +47,33 @@ object GeoViews {
   def viewPath(warehouse: String, ns: Seq[String], name: String): Path =
     new Path((warehouse +: ns).mkString("/"), name + Suffix)
 
-  def exists(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean =
-    GeoManifest.fs(spark, warehouse).exists(viewPath(warehouse, ns, name))
+  /** Existence memo: the resolution rule probes EVERY geo-catalog relation
+    * for a view file, and a live fs.exists() per analyzer fixpoint
+    * iteration is an object-store HEAD round-trip for the common no-view
+    * case. Entries expire after [[CacheTtlMs]] (cross-process creates
+    * become visible); local store/delete invalidate immediately. */
+  private val CacheTtlMs = 30000L
+  private val existsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
 
-  /** Store a definition (write-temp + rename, like the manifest publish). */
+  private def invalidate(p: Path): Unit = existsCache.remove(p.toString): Unit
+
+  def exists(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean = {
+    val p = viewPath(warehouse, ns, name)
+    val now = System.currentTimeMillis()
+    val cached = existsCache.get(p.toString)
+    if (cached != null && now - cached._2 < CacheTtlMs) cached._1
+    else {
+      val e = GeoManifest.fs(spark, warehouse).exists(p)
+      existsCache.put(p.toString, (e, now))
+      e
+    }
+  }
+
+  /** Store a definition: write-temp + rename. Fresh CREATE renames onto a
+    * must-not-exist target; REPLACE renames OVER the live file
+    * (FileContext Rename.OVERWRITE — atomic where the FS supports it), so
+    * readers never observe a missing or torn definition. */
   def store(spark: SparkSession, warehouse: String, ns: Seq[String], name: String,
             d: ViewDef, overwrite: Boolean): Unit = {
     val fs = GeoManifest.fs(spark, warehouse)
@@ -62,12 +85,18 @@ object GeoViews {
     val tmp = new Path(dst.getParent, s".${name}.view.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(toJson(d).getBytes("UTF-8")) finally out.close()
-    if (overwrite && fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(
-        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
-    }
+    try {
+      if (overwrite && fs.exists(dst)) {
+        // atomic replace: no delete-then-rename window where the view is
+        // missing (the old definition survives a crash before the rename)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } else if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(
+          org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
+      }
+    } finally invalidate(dst)
   }
 
   def load(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Option[ViewDef] = {
@@ -88,7 +117,8 @@ object GeoViews {
   def delete(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean = {
     val fs = GeoManifest.fs(spark, warehouse)
     val p = viewPath(warehouse, ns, name)
-    fs.exists(p) && fs.delete(p, false)
+    try fs.exists(p) && fs.delete(p, false)
+    finally invalidate(p)
   }
 
   def list(spark: SparkSession, warehouse: String, ns: Seq[String]): Seq[String] = {

@@ -151,6 +151,30 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(c.bbox.contains((0.0, 0.0, 4.0, 4.0))) // null row skipped
   }
 
+  test("M / ZM suffixes and 3D bbox parse (review regressions)") {
+    // measured + 3D-measured geometries get the OGC suffixes, not " Z"
+    val dir = tmp("gpq_zm")
+    spark.sql("""
+      SELECT id, CASE WHEN id % 2 = 0
+             THEN st_force3dm(st_geomfromtext('LINESTRING (0 0, 4 4)'), 7.0)
+             ELSE st_force4d(st_geomfromtext('LINESTRING (1 1, 2 2)'), 3.0, 9.0)
+             END AS geo
+      FROM range(4)""").repartition(1)
+      .write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(dir)
+    val c = GeoParquetMeta.parse(GeoParquetMeta.readGeoKey(spark, dir).get).get.columns("geo")
+    assert(c.geometryTypes.toSet == Set("LineString M", "LineString ZM"),
+      s"got ${c.geometryTypes}")
+    assert(c.bbox.contains((0.0, 0.0, 4.0, 4.0))) // M/Z never pollute x/y
+    // a third-party 3D bbox ([xmin,ymin,zmin,xmax,ymax,zmax]) parses the
+    // max block from the midpoint, not the last two slots
+    val json3d = """{"version":"1.1.0","primary_column":"g","columns":
+      {"g":{"encoding":"WKB","geometry_types":["Point Z"],
+            "bbox":[0.0,10.0,5.0,100.0,20.0,7.0]}}}"""
+    val b = GeoParquetMeta.parse(json3d).get.columns("g").bbox.get
+    assert(b == ((0.0, 10.0, 100.0, 20.0)), s"got $b")
+  }
+
   test("importParquet auto-discovers geometry typing from the geo key") {
     // a GeoParquet dataset whose SPARK schema is untagged (st_point output
     // is plain BINARY) — only the geo footer key names the geometry

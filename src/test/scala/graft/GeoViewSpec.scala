@@ -117,10 +117,32 @@ class GeoViewSpec extends SparkSpec {
     assert(cat.dropView(ident2) && !cat.dropView(ident2))
   }
 
+  test("a table can never shadow a view (both creation paths)") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.shadow AS SELECT 1 AS one")
+    // native catalog path
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE geov.db.shadow (id BIGINT) USING geo"))
+    assert(e1.getMessage.toLowerCase.contains("view"), e1.getMessage)
+    // regex front-end path (non-native GEOMETRY spelling forces it)
+    val e2 = intercept[Exception](graft.tables.GeoSql.exec(spark,
+      "CREATE TABLE geov.db.shadow (id BIGINT, geo GEOMETRY) USING GEO"))
+    assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+    // renameTable onto a view name is rejected too
+    spark.sql("CREATE TABLE IF NOT EXISTS geov.db.realtbl (id BIGINT) USING geo")
+    val cat = new GeoCatalog()
+    cat.initialize("geov", new CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
+    intercept[Exception](cat.renameTable(
+      Identifier.of(Array("db"), "realtbl"), Identifier.of(Array("db"), "shadow")))
+    spark.sql("DROP TABLE geov.db.realtbl")
+    spark.sql("DROP VIEW geov.db.shadow")
+  }
+
   test("ALTER VIEW SET/UNSET TBLPROPERTIES round-trips through the file") {
     wh
     spark.sql("CREATE OR REPLACE VIEW geov.db.v_props AS SELECT 1 AS one")
-    spark.sql("ALTER VIEW geov.db.v_props SET TBLPROPERTIES('owner'='team-x', 'tier'='gold')")
+    // mixed quoting: single, double, bare — all valid Spark spellings
+    spark.sql("""ALTER VIEW geov.db.v_props SET TBLPROPERTIES("owner"="team-x", tier='gold')""")
     val cat = new GeoCatalog()
     cat.initialize("geov", new CaseInsensitiveStringMap(java.util.Map.of("warehouse", wh)))
     val ident = Identifier.of(Array("db"), "v_props")
