@@ -37,16 +37,47 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Sidecar attributes for a geometry attribute, if present. */
-  private def sidecars(g: Expression, child: LogicalPlan): Option[(Attribute, Attribute, Attribute, Attribute)] =
+  /** Sidecar expressions for a geometry attribute, if present: the
+    * spec `covering` paths recorded in the attribute's metadata win
+    * (third-party GeoParquet — possibly struct fields like `bbox.xmin`),
+    * else graft's own flat naming convention. */
+  private def sidecars(g: Expression, child: LogicalPlan): Option[(Expression, Expression, Expression, Expression)] =
     g match {
       case a: Attribute =>
-        def find(s: String) = child.output.find(c =>
-          c.name == s"${a.name}_$s" && c.dataType == org.apache.spark.sql.types.DoubleType)
-        for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
-          yield (x0, y0, x1, y1)
+        coveringSidecars(a, child).orElse {
+          def find(s: String): Option[Expression] = child.output.find(c =>
+            c.name == s"${a.name}_$s" && c.dataType == org.apache.spark.sql.types.DoubleType)
+          for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
+            yield (x0, y0, x1, y1)
+        }
       case _ => None
     }
+
+  /** Third-party GeoParquet files declare their bbox columns in the `geo`
+    * footer's spec-1.1 `covering` block; GeoParquetMeta.tagSchema records
+    * the four paths in the geometry field's metadata at read. Resolve each
+    * dotted path against the child's output — struct steps via
+    * ExtractValue; parquet pushes nested-field comparisons too, so a
+    * `bbox.xmin >= v` conjunct still reaches PushedFilters. */
+  private def coveringSidecars(a: Attribute, child: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    def path(corner: String): Option[Expression] = {
+      val key = graft.tables.GeoSchema.CoveringPrefix + corner
+      if (!a.metadata.contains(key)) None
+      else {
+        val parts = a.metadata.getString(key).split('.')
+        child.output.find(_.name.equalsIgnoreCase(parts.head)).flatMap { root =>
+          try {
+            val e = parts.tail.foldLeft(root: Expression)((acc, f) =>
+              ExtractValue(acc, Literal(f), conf.resolver))
+            if (e.dataType == org.apache.spark.sql.types.DoubleType) Some(e) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+    for (x0 <- path("xmin"); y0 <- path("ymin"); x1 <- path("xmax"); y1 <- path("ymax"))
+      yield (x0, y0, x1, y1)
+  }
 
   /** Envelope of a foldable geometry literal; None when the literal
     * evaluates to null (e.g. st_geomfromtext(NULL) constant-folded) or to

@@ -214,12 +214,24 @@ object GeoParquetMeta {
   }
 
   /** Schema with GEOMETRY tags applied from parsed `geo` metadata (only
-    * BINARY fields named there; existing tags win). */
+    * BINARY fields named there; existing tags win). A declared `covering`
+    * block rides along as graft.covering.* metadata so GeoBboxPushdown can
+    * derive pruning conjuncts on the third party's OWN bbox columns. */
   def tagSchema(schema: StructType, meta: GeoMeta): StructType =
     StructType(schema.fields.map { f =>
       meta.columns.get(f.name) match {
         case Some(c) if c.encoding == "WKB" && f.dataType == BinaryType && !GeoSchema.isGeometry(f) =>
-          f.copy(metadata = GeoSchema.geometryMetadata(c.crs, f.metadata))
+          val base = GeoSchema.geometryMetadata(c.crs, f.metadata)
+          val corners = Seq("xmin", "ymin", "xmax", "ymax")
+          val md =
+            if (corners.forall(k => c.covering.get(k).exists(p =>
+                p.nonEmpty && p.forall(s => s.nonEmpty && !s.contains('.'))))) {
+              val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(base)
+              corners.foreach(k =>
+                b.putString(GeoSchema.CoveringPrefix + k, c.covering(k).mkString(".")))
+              b.build()
+            } else base
+          f.copy(metadata = md)
         case _ => f
       }
     })

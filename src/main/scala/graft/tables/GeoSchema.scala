@@ -26,6 +26,11 @@ object GeoSchema {
 
   val TypeKey = "graft.type"
   val CrsKey = "graft.crs"
+  /** Metadata-key prefix recording a GeoParquet `covering` bbox path per
+    * corner (`graft.covering.xmin` = dotted column path, etc.) — set by
+    * GeoParquetMeta.tagSchema from third-party footers, consumed by
+    * GeoBboxPushdown to derive pruning conjuncts on THEIR columns. */
+  val CoveringPrefix = "graft.covering."
   val GeometryTag = "geometry"
   /** Explicit opt-out tag: binary that must NOT be fed to ST_ functions. */
   val OpaqueTag = "opaque"

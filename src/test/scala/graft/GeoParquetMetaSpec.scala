@@ -192,6 +192,43 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(cnt == 20)
   }
 
+  test("third-party covering (struct bbox) drives pushdown on THEIR columns") {
+    // dataset shaped like a GeoPandas 1.1 export: WKB `geometry` + a
+    // `bbox` STRUCT column, with the footer declaring covering paths into
+    // the struct
+    val dir = tmp("gpq_cov3p")
+    spark.sql("""
+      SELECT st_point(CAST(id AS DOUBLE), CAST(id % 5 AS DOUBLE)) AS geometry,
+             named_struct('xmin', CAST(id AS DOUBLE), 'ymin', CAST(id % 5 AS DOUBLE),
+                          'xmax', CAST(id AS DOUBLE), 'ymax', CAST(id % 5 AS DOUBLE)) AS bbox,
+             id
+      FROM range(100)""").repartition(1).write.mode("overwrite").parquet(dir)
+    val json = """{"version":"1.1.0","primary_column":"geometry","columns":
+      {"geometry":{"encoding":"WKB","geometry_types":["Point"],
+        "covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],
+                            "xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}}}}"""
+    val meta = GeoParquetMeta.parse(json).get
+    val tagged = GeoParquetMeta.tagSchema(spark.read.parquet(dir).schema, meta)
+    val f = tagged("geometry")
+    assert(f.metadata.getString(GeoSchema.CoveringPrefix + "xmin") == "bbox.xmin")
+    // read with the tagged schema (what inferSchema produces when the
+    // footer carries the key) and filter with a literal ST predicate: the
+    // derived range conjuncts must land on the THIRD PARTY's struct
+    // fields and reach the parquet scan
+    import graft.functions.GraftFunctions._
+    val df = spark.read.schema(tagged).parquet(dir)
+      .where(st_contains(st_polygonFromEnvelope(lit(10.0), lit(0.0), lit(20.0), lit(4.0)),
+        col("geometry")))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.replace("`", "").contains("bbox.xmin"),
+      s"covering conjuncts did not reach the scan:\n$physical")
+    // ST_Contains is strict: boundary points (x=10/20, y=0/4) fall out
+    assert(df.count() == spark.read.parquet(dir)
+      .where(col("id") > 10 && col("id") < 20 &&
+        col("id") % 5 > 0 && col("id") % 5 < 4).count())
+  }
+
   test("third-party geo metadata (GeoPandas-style, crs null) tags on read") {
     // hand-written footer shape a non-graft writer produces: version only
     // 1.0.0, crs explicit null, bbox absent
