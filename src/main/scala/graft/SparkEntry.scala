@@ -2293,6 +2293,33 @@ object SparkEntry {
       out
     }),
 
+    // Iceberg stored-procedure spelling: the same maintenance verbs
+    // through CALL cat.system.proc(k => v) — compact to one file, tag the
+    // result, expire history — with the compaction and tag require'd
+    // in-query; rows pass through untouched so DuckDB replays the inserts
+    "geo_call_procedures" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geocall").isEmpty) {
+        s.conf.set("spark.sql.catalog.geocall", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geocall.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_call_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocall.db")
+      s.sql("DROP TABLE IF EXISTS geocall.db.mt")
+      s.sql("CREATE TABLE geocall.db.mt (k BIGINT, price DOUBLE) USING geo")
+      s.sql("INSERT INTO geocall.db.mt SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0")
+      s.sql("INSERT INTO geocall.db.mt SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1")
+      s.sql("CALL geocall.system.rewrite_data_files(table => 'db.mt', target_file_count => 1)")
+      s.sql("CALL geocall.system.create_tag(table => 'db.mt', tag => 'post_compact')")
+      s.sql("CALL geocall.system.expire_snapshots(table => 'db.mt', retain_last => 2)")
+      val root = s.conf.get("spark.sql.catalog.geocall.warehouse").stripSuffix("/") + "/db/mt"
+      require(graft.tables.GeoManifest.read(s, root).files.size == 1,
+        "rewrite_data_files did not compact to one file")
+      require(graft.tables.GeoManifest.refs(s, root).names.contains("post_compact"),
+        "create_tag did not record the tag")
+      s.sql("SELECT k, price FROM geocall.db.mt").orderBy("k")
+    }),
+
     // Persisted views (Iceberg ViewCatalog analog): CREATE OR REPLACE VIEW
     // through the SQL front-half (works on the driver's vanilla session),
     // definition stored beside the table manifests, body uses a BARE table
@@ -4258,6 +4285,12 @@ object SparkEntry {
       SELECT c_custkey, c_nationkey,
              c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
       FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
+
+    // CALL procedures are pure maintenance: compaction + tagging + expiry
+    // never change row values — the final table is the two inserts' union
+    "geo_call_procedures" -> """
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 IN (0, 1) ORDER BY k""",
 
     // the view is a pass-through aggregation over the geo table's rows,
     // which are the orders rows unchanged — replay the view SQL directly

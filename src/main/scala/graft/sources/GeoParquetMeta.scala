@@ -236,6 +236,17 @@ object GeoParquetMeta {
       }
     })
 
+  /** Test hook: what one WkbScan accumulation yields for a single WKB
+    * value — (xmin, ymin, xmax, ymax, top-level type name), None when the
+    * scan saw nothing (empty geometry / unscannable bytes). */
+  private[graft] def scanOne(wkb: Array[Byte]): Option[(Double, Double, Double, Double, String)] = {
+    val acc = new GeomAcc("g", GeoSchema.DefaultCrs, 0)
+    WkbScan.accumulate(wkb, acc)
+    if (!acc.seen) None
+    else Some((acc.xmin, acc.ymin, acc.xmax, acc.ymax,
+      if (acc.types.isEmpty) "" else acc.types.first()))
+  }
+
   /** DataFrame variant of [[tagSchema]] for already-loaded frames. */
   def tag(df: DataFrame, meta: GeoMeta): DataFrame =
     meta.columns.foldLeft(df) {

@@ -47,7 +47,7 @@ import scala.jdk.CollectionConverters._
  * read path beyond resolving the manifest's explicit file list.
  */
 class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-  with ViewCatalog {
+  with ViewCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -93,6 +93,22 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def functionExists(ident: Identifier): Boolean =
     isSystemNs(ident.namespace) && GeoFunctions.load(ident.name).isDefined
+
+  // -------------------------------------------------------------------------
+  // ProcedureCatalog -- Iceberg-style maintenance procedures, resolved by
+  // Spark's own CALL machinery (ResolveProcedures/BindProcedures)
+  // -------------------------------------------------------------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (isSystemNs(namespace))
+      GeoProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else throw new NoSuchNamespaceException(catalogName +: namespace)
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (if (isSystemNs(ident.namespace)) GeoProcedures.load(catalogName, ident.name)
+     else None).getOrElse(throw new IllegalArgumentException(
+      s"unknown procedure ${ident.toString}; available under $catalogName.system: " +
+        GeoProcedures.names.mkString(", ")))
 
   // -------------------------------------------------------------------------
   // ViewCatalog — persisted SQL views stored beside the table manifests

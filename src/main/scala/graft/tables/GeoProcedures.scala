@@ -1,0 +1,110 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/**
+ * Iceberg-style stored procedures as a NATIVE Spark 4.1 ProcedureCatalog:
+ * `CALL geo.system.rewrite_data_files(table => 'db.t', ...)` parses,
+ * resolves, coerces and defaults through Spark's own analyzer
+ * (ResolveProcedures/BindProcedures) — no regex front-end, the same
+ * no-front-end rule as the rest of GeoCatalog. Each procedure maps 1:1
+ * onto the verb the engine already has (OPTIMIZE / VACUUM / RESTORE /
+ * ADD FILES / CREATE TAG), so CALL is one behavior with two spellings,
+ * exactly like Iceberg's procedures over its actions API.
+ */
+object GeoProcedures {
+
+  private def req(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def opt(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).defaultValue("NULL").build()
+
+  /** Typed access to the bound-call argument row, by parameter name. */
+  private final class Args(ps: Array[ProcedureParameter], row: InternalRow) {
+    private def idx(n: String): Int = ps.indexWhere(_.name == n)
+    def str(n: String): Option[String] = {
+      val i = idx(n)
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    }
+    def int(n: String): Option[Int] = {
+      val i = idx(n); if (row.isNullAt(i)) None else Some(row.getInt(i))
+    }
+    def long(n: String): Option[Long] = {
+      val i = idx(n); if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    def reqStr(n: String): String = str(n).getOrElse(
+      throw new IllegalArgumentException(s"argument '$n' must not be NULL"))
+  }
+
+  /** The procedure's result set (the mapped command's own output rows). */
+  private case class ResultScan(schema: StructType, data: Array[InternalRow])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data
+  }
+
+  private class Proc(procName: String, ps: Array[ProcedureParameter],
+                     make: Args => GeoRunnable)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val cmd = make(new Args(ps, input))
+      val out = cmd.execute(spark)
+      val schema = StructType(cmd.output.map(a =>
+        StructField(a.name, a.dataType, a.nullable)))
+      val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      java.util.List.of[Scan](ResultScan(schema,
+        out.map(r => conv(r).asInstanceOf[InternalRow]).toArray)).iterator()
+    }
+  }
+
+  val names: Seq[String] = Seq("add_files", "create_tag", "expire_snapshots",
+    "remove_orphan_files", "rewrite_data_files", "rollback_to_snapshot",
+    "rollback_to_timestamp")
+
+  /** The procedure for `name` under catalog `cat`, if known. */
+  def load(cat: String, name: String): Option[UnboundProcedure] = {
+    def table(a: Args): String = cat + "." + a.reqStr("table")
+    name.toLowerCase match {
+      case "rewrite_data_files" => Some(new Proc(name, Array(
+          req("table", StringType), opt("target_file_count", IntegerType),
+          opt("where", StringType), opt("zorder", StringType),
+          opt("small_below_rows", LongType)),
+        a => GeoOptimizeCommand(table(a), a.int("target_file_count"),
+          a.str("where"),
+          a.str("zorder").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          a.long("small_below_rows"))))
+      case "expire_snapshots" => Some(new Proc(name, Array(
+          req("table", StringType), opt("retain_last", IntegerType)),
+        a => GeoVacuumCommand(table(a), a.int("retain_last"), "VERSIONS")))
+      case "remove_orphan_files" => Some(new Proc(name,
+        Array(req("table", StringType)),
+        a => GeoVacuumCommand(table(a), None, "VERSIONS")))
+      case "rollback_to_snapshot" => Some(new Proc(name, Array(
+          req("table", StringType), req("snapshot_id", IntegerType)),
+        a => GeoRestoreCommand(table(a), Left(a.int("snapshot_id").getOrElse(
+          throw new IllegalArgumentException("snapshot_id must not be NULL"))))))
+      case "rollback_to_timestamp" => Some(new Proc(name, Array(
+          req("table", StringType), req("timestamp", StringType)),
+        a => GeoRestoreCommand(table(a), Right(a.reqStr("timestamp")))))
+      case "add_files" => Some(new Proc(name, Array(
+          req("table", StringType), req("files", StringType)),
+        a => GeoAddFilesCommand(table(a),
+          a.reqStr("files").split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
+      case "create_tag" => Some(new Proc(name, Array(
+          req("table", StringType), req("tag", StringType),
+          opt("snapshot_id", IntegerType)),
+        a => GeoCreateTagCommand(table(a), a.reqStr("tag"), a.int("snapshot_id"))))
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.tables.{GeoManifest, GeoSql}
+
+/**
+ * Iceberg stored-procedure spelling: CALL cat.system.proc(k => v, ...)
+ * maps 1:1 onto the engine's existing maintenance verbs.
+ */
+class GeoCallSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_call_wh").toString
+    spark.conf.set("spark.sql.catalog.geoc", classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geoc.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geoc.db")
+    dir
+  }
+
+  private def root(t: String) = s"$wh/db/$t"
+
+  test("rewrite_data_files compacts; expire_snapshots trims; rollback restores") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.m")
+    spark.sql("CREATE TABLE geoc.db.m (id BIGINT, v STRING) USING geo")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO geoc.db.m SELECT id, concat('x', id) FROM range(${i * 10}, ${i * 10 + 10})")
+    val before = GeoManifest.read(spark, root("m"))
+    assert(before.files.size > 1)
+    val v1 = before.version
+
+    spark.sql("CALL geoc.system.rewrite_data_files(table => 'db.m', target_file_count => 1)")
+    val after = GeoManifest.read(spark, root("m"))
+    assert(after.files.size == 1 && after.files.map(_.rows).sum == 40)
+
+    // snapshot the compacted version, roll back to the pre-compaction one
+    spark.sql(s"CALL geoc.system.rollback_to_snapshot(table => 'db.m', snapshot_id => $v1)")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.m").head.getLong(0) == 40)
+    assert(GeoManifest.read(spark, root("m")).files.size == before.files.size)
+
+    spark.sql("CALL geoc.system.expire_snapshots(table => 'db.m', retain_last => 2)")
+    // expire keeps the table readable and the latest state intact
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.m").head.getLong(0) == 40)
+    spark.sql("DROP TABLE geoc.db.m")
+  }
+
+  test("create_tag + add_files + claim-and-fail errors") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.t2")
+    spark.sql("CREATE TABLE geoc.db.t2 (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geoc.db.t2 SELECT id, 'a' FROM range(5)")
+    spark.sql("CALL geoc.system.create_tag(table => 'db.t2', tag => 'audit')")
+    assert(GeoManifest.refs(spark, root("t2")).names.contains("audit"))
+
+    // by-reference file onboarding through the procedure spelling
+    val ext = java.nio.file.Files.createTempDirectory("call_add").toString + "/f"
+    spark.range(7).selectExpr("id", "'b' AS v").coalesce(1).write.parquet(ext)
+    val files = spark.read.parquet(ext).inputFiles.toSeq
+    spark.sql(s"CALL geoc.system.add_files(table => 'db.t2', files => '${files.mkString(",")}')")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.t2").head.getLong(0) == 12)
+
+    // recognized procedure + bad args = the REAL problem, not a parse error
+    val e = intercept[Exception](
+      spark.sql("CALL geoc.system.rollback_to_snapshot(table => 'db.t2')"))
+    assert(e.getMessage.contains("snapshot_id"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL geoc.system.expire_snapshots(retain_last => 1)"))
+    assert(e2.getMessage.contains("`table`"), e2.getMessage) // Spark's own REQUIRED_PARAMETER_NOT_FOUND
+    // unknown procedure falls through to Spark's own error, not ours
+    intercept[Exception](spark.sql("CALL geoc.system.launch_missiles(table => 'db.t2')"))
+    spark.sql("DROP TABLE geoc.db.t2")
+  }
+
+  test("CALL works on vanilla sessions through GeoSql.exec") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.t3")
+    spark.sql("CREATE TABLE geoc.db.t3 (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.t3 SELECT id FROM range(3)")
+    spark.sql("INSERT INTO geoc.db.t3 SELECT id FROM range(3, 6)")
+    GeoSql.exec(spark,
+      "CALL geoc.system.rewrite_data_files(table => 'db.t3', target_file_count => 1)")
+    assert(GeoManifest.read(spark, root("t3")).files.size == 1)
+    spark.sql("DROP TABLE geoc.db.t3")
+  }
+}

@@ -192,6 +192,46 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(cnt == 20)
   }
 
+  test("property: WkbScan envelope == JTS envelope over random geometries, both WKB flavors") {
+    import org.locationtech.jts.geom.{Coordinate, Geometry}
+    val fac = new org.locationtech.jts.geom.GeometryFactory()
+    val rnd = new scala.util.Random(42)
+    def coord(z: Boolean) = {
+      val c = new Coordinate(rnd.nextInt(2000) - 1000, rnd.nextInt(2000) - 1000)
+      if (z) c.setZ(rnd.nextInt(100)); c
+    }
+    def line(z: Boolean) = fac.createLineString(Array.fill(2 + rnd.nextInt(5))(coord(z)))
+    def rect(z: Boolean) = { // valid by construction
+      val c0 = coord(z); val w = 1 + rnd.nextInt(50); val h = 1 + rnd.nextInt(50)
+      fac.createPolygon(Array(c0, new Coordinate(c0.x + w, c0.y, c0.getZ),
+        new Coordinate(c0.x + w, c0.y + h, c0.getZ),
+        new Coordinate(c0.x, c0.y + h, c0.getZ), c0))
+    }
+    def geom(depth: Int): Geometry = rnd.nextInt(if (depth > 0) 7 else 6) match {
+      case 0 => fac.createPoint(coord(rnd.nextBoolean()))
+      case 1 => line(rnd.nextBoolean())
+      case 2 => rect(rnd.nextBoolean())
+      case 3 => fac.createMultiPointFromCoords(Array.fill(1 + rnd.nextInt(4))(coord(false)))
+      case 4 => fac.createMultiLineString(Array.fill(1 + rnd.nextInt(3))(line(false)))
+      case 5 => fac.createMultiPolygon(Array.fill(1 + rnd.nextInt(3))(rect(false)))
+      case _ => fac.createGeometryCollection(Array.fill(1 + rnd.nextInt(3))(geom(depth - 1)))
+    }
+    for (_ <- 1 to 300; g = geom(2);
+         wkb <- Seq(graft.geom.Geom.serialize(g), graft.geom.Geom.serializeIso(g))) {
+      val (e, got) = (g.getEnvelopeInternal,
+        GeoParquetMeta.scanOne(wkb).getOrElse(sys.error(s"scan saw nothing for $g")))
+      assert(got._1 == e.getMinX && got._2 == e.getMinY &&
+        got._3 == e.getMaxX && got._4 == e.getMaxY,
+        s"envelope mismatch for $g: got $got expected $e")
+      val expType = g.getGeometryType +
+        (if (!g.isEmpty && !java.lang.Double.isNaN(g.getCoordinate.getZ)) " Z" else "")
+      assert(got._5 == expType, s"type mismatch for $g: got ${got._5} expected $expType")
+    }
+    // empty geometries scan to no envelope, no crash
+    assert(GeoParquetMeta.scanOne(
+      graft.geom.Geom.serialize(fac.createPoint())).isEmpty)
+  }
+
   test("third-party covering (struct bbox) drives pushdown on THEIR columns") {
     // dataset shaped like a GeoPandas 1.1 export: WKB `geometry` + a
     // `bbox` STRUCT column, with the footer declaring covering paths into
