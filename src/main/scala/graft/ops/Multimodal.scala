@@ -79,14 +79,19 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // ImageIO's plugin registry is JVM-global (initialized once); the
-      // per-partition shape still matters for codecs with per-batch state.
-      // Payloads are already in memory — disable the default disk-backed
-      // FileCacheImageInputStream or every row pays a tmpdir
-      // create/write/delete round-trip.
-      javax.imageio.ImageIO.setUseCache(false)
+      // per-partition shape still matters for codecs with per-batch state
       it.flatMap { b =>
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          // payloads are already in memory: a MemoryCacheImageInputStream
+          // avoids the default disk-backed cache's per-row tmpdir
+          // create/write/delete WITHOUT flipping ImageIO's JVM-global
+          // useCache flag for unrelated code in the executor
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(b.payload))
+          // this JDK's ImageIO.read(ImageInputStream) closes the stream
+          // itself; the defensive close tolerates the double-close
+          val img = try javax.imageio.ImageIO.read(iis)
+            finally { try iis.close() catch { case _: java.io.IOException => () } }
           if (img == null) None
           else {
             val w = img.getWidth

@@ -41,17 +41,30 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
     * spec `covering` paths recorded in the attribute's metadata win
     * (third-party GeoParquet — possibly struct fields like `bbox.xmin`),
     * else graft's own flat naming convention. */
-  private def sidecars(g: Expression, child: LogicalPlan): Option[(Expression, Expression, Expression, Expression)] =
+  private def sidecars(g: Expression, child: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Expression, Boolean)] =
     g match {
       case a: Attribute =>
-        coveringSidecars(a, child).orElse {
-          def find(s: String): Option[Expression] = child.output.find(c =>
-            c.name == s"${a.name}_$s" && c.dataType == org.apache.spark.sql.types.DoubleType)
-          for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
-            yield (x0, y0, x1, y1)
-        }
+        // covering path: an UNTRUSTED writer may hold a NULL bbox beside a
+        // non-null geometry (spec-noncompliant but readable), so its
+        // conjuncts need a null-guard. Graft's own sidecars are null only
+        // when the geometry itself is null — and then the exact ST_
+        // predicate drops the row anyway — so the flat path stays bare.
+        coveringSidecars(a, child).map { case (x0, y0, x1, y1) => (x0, y0, x1, y1, true) }
+          .orElse {
+            def find(s: String): Option[Expression] = child.output.find(c =>
+              c.name == s"${a.name}_$s" && c.dataType == org.apache.spark.sql.types.DoubleType)
+            for (x0 <- find("xmin"); y0 <- find("ymin"); x1 <- find("xmax"); y1 <- find("ymax"))
+              yield (x0, y0, x1, y1, false)
+          }
       case _ => None
     }
+
+  /** `cmp` null-guarded when the column may be null on an untrusted
+    * writer's file — the row must fall through to the exact predicate,
+    * never be dropped by a derived conjunct. */
+  private def guarded(guard: Boolean, col: Expression, cmp: Expression): Expression =
+    if (guard && col.nullable) Or(cmp, IsNull(col)) else cmp
 
   /** Third-party GeoParquet files declare their bbox columns in the `geo`
     * footer's spec-1.1 `covering` block; GeoParquetMeta.tagSchema records
@@ -66,7 +79,8 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!a.metadata.contains(key)) None
       else {
         val parts = a.metadata.getString(key).split('.')
-        child.output.find(_.name.equalsIgnoreCase(parts.head)).flatMap { root =>
+        // same resolver as the struct steps (honors spark.sql.caseSensitive)
+        child.output.find(c => conf.resolver(c.name, parts.head)).flatMap { root =>
           try {
             val e = parts.tail.foldLeft(root: Expression)((acc, f) =>
               ExtractValue(acc, Literal(f), conf.resolver))
@@ -113,10 +127,12 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
     Option(dist.eval(null)).map(StKit.dbl)
 
   private def inside(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan): Seq[Expression] =
-    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1) =>
+    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1, guard) =>
       Seq(
-        GreaterThanOrEqual(x0, d(e.getMinX)), LessThanOrEqual(x1, d(e.getMaxX)),
-        GreaterThanOrEqual(y0, d(e.getMinY)), LessThanOrEqual(y1, d(e.getMaxY)))
+        guarded(guard, x0, GreaterThanOrEqual(x0, d(e.getMinX))),
+        guarded(guard, x1, LessThanOrEqual(x1, d(e.getMaxX))),
+        guarded(guard, y0, GreaterThanOrEqual(y0, d(e.getMinY))),
+        guarded(guard, y1, LessThanOrEqual(y1, d(e.getMaxY))))
     } ++ cellPruning(g, e, child)
 
   /** For containment predicates the geometry's bbox (hence its center) lies
@@ -143,9 +159,11 @@ case class GeoBboxPushdown(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def overlap(g: Expression, e: org.locationtech.jts.geom.Envelope, child: LogicalPlan, dist: Double): Seq[Expression] =
-    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1) =>
+    sidecars(g, child).toSeq.flatMap { case (x0, y0, x1, y1, guard) =>
       Seq(
-        LessThanOrEqual(x0, d(e.getMaxX + dist)), GreaterThanOrEqual(x1, d(e.getMinX - dist)),
-        LessThanOrEqual(y0, d(e.getMaxY + dist)), GreaterThanOrEqual(y1, d(e.getMinY - dist)))
+        guarded(guard, x0, LessThanOrEqual(x0, d(e.getMaxX + dist))),
+        guarded(guard, x1, GreaterThanOrEqual(x1, d(e.getMinX - dist))),
+        guarded(guard, y0, LessThanOrEqual(y0, d(e.getMaxY + dist))),
+        guarded(guard, y1, GreaterThanOrEqual(y1, d(e.getMinY - dist))))
     }
 }

@@ -102,6 +102,8 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (isSystemNs(namespace))
       GeoProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else if (namespaceExists(namespace)) Array.empty // an existing data
+      // namespace simply HOLDS no procedures -- not an unknown namespace
     else throw new NoSuchNamespaceException(catalogName +: namespace)
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -482,10 +484,14 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace) || namespace.isEmpty) return false
-    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty ||
+        GeoViews.list(spark, warehouse, namespace.toSeq).nonEmpty))
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
-    fs.delete(nsPath(namespace), true)
+    val ok = fs.delete(nsPath(namespace), true)
+    // view files went with the directory — drop the existence memo too
+    GeoViews.invalidateAll()
+    ok
   }
 }
 

@@ -88,7 +88,10 @@ object GeoProcedures {
         a => GeoVacuumCommand(table(a), a.int("retain_last"), "VERSIONS")))
       case "remove_orphan_files" => Some(new Proc(name,
         Array(req("table", StringType)),
-        a => GeoVacuumCommand(table(a), None, "VERSIONS")))
+        // orphan sweep ONLY — never expires committed history (Iceberg's
+        // remove_orphan_files contract; expire_snapshots is the verb that
+        // trims history)
+        a => GeoRemoveOrphanFilesCommand(table(a))))
       case "rollback_to_snapshot" => Some(new Proc(name, Array(
           req("table", StringType), req("snapshot_id", IntegerType)),
         a => GeoRestoreCommand(table(a), Left(a.int("snapshot_id").getOrElse(

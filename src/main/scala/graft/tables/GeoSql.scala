@@ -1059,6 +1059,13 @@ case class GeoDropViewCommand(name: String, ifExists: Boolean) extends GeoRunnab
   }
 }
 
+/** Orphan-file sweep that never expires history (the CALL
+  * remove_orphan_files target; see GeoTable.removeOrphanFiles). */
+case class GeoRemoveOrphanFilesCommand(name: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] =
+    Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name)).toLong))
+}
+
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */
 case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
                                     unset: Boolean) extends GeoRunnable {
@@ -1069,7 +1076,9 @@ case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
         s"'${parts.head}' is not a configured GeoCatalog"))
     val (ns, v) = (parts.tail.init, parts.last)
     require(props.nonEmpty,
-      "could not parse any TBLPROPERTIES pair — use ('k'='v', ...) " +
+      if (unset) "could not parse any TBLPROPERTIES key — use ('k', ...) " +
+        "with quoted or identifier keys"
+      else "could not parse any TBLPROPERTIES pair — use ('k'='v', ...) " +
         "with quoted or identifier keys/values")
     val d = GeoViews.load(spark, wh, ns, v).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(

@@ -453,6 +453,17 @@ object GeoTable {
       vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).take(keepVersions).toSet)
     }
 
+  /** Iceberg remove_orphan_files analog: sweep data files referenced by
+    * NO reachable snapshot (crashed commits, lost speculative attempts)
+    * past the grace window — and NOTHING else. Every manifest in main's
+    * lineage is kept, so committed history and time travel are untouched
+    * (unlike [[vacuum]], which expires history). */
+  def removeOrphanFiles(spark: SparkSession, root: String): Int =
+    GeoManifest.withCommitLock(root) {
+      val cur = GeoManifest.read(spark, root).version
+      vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).toSet)
+    }
+
   /** Age-based retention (Iceberg expire_snapshots older_than analog):
     * expire snapshots whose COMMIT timestamp is older than `cutoffMs`;
     * the current snapshot and ref'd snapshots always stay. */

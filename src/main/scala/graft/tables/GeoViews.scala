@@ -53,10 +53,15 @@ object GeoViews {
     * case. Entries expire after [[CacheTtlMs]] (cross-process creates
     * become visible); local store/delete invalidate immediately. */
   private val CacheTtlMs = 30000L
+  private val CacheMaxEntries = 4096
   private val existsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
 
   private def invalidate(p: Path): Unit = existsCache.remove(p.toString): Unit
+
+  /** Drop the whole memo — bulk filesystem changes (DROP NAMESPACE
+    * CASCADE deletes view files without going through delete()). */
+  def invalidateAll(): Unit = existsCache.clear()
 
   def exists(spark: SparkSession, warehouse: String, ns: Seq[String], name: String): Boolean = {
     val p = viewPath(warehouse, ns, name)
@@ -65,6 +70,9 @@ object GeoViews {
     if (cached != null && now - cached._2 < CacheTtlMs) cached._1
     else {
       val e = GeoManifest.fs(spark, warehouse).exists(p)
+      // bounded: one entry per relation name ever probed would otherwise
+      // grow for the life of the JVM; a rare full clear beats an LRU here
+      if (existsCache.size >= CacheMaxEntries) existsCache.clear()
       existsCache.put(p.toString, (e, now))
       e
     }
@@ -87,15 +95,31 @@ object GeoViews {
     try out.write(toJson(d).getBytes("UTF-8")) finally out.close()
     try {
       if (overwrite && fs.exists(dst)) {
-        // atomic replace: no delete-then-rename window where the view is
-        // missing (the old definition survives a crash before the rename)
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
-        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // atomic replace where the FS supports it: no delete-then-rename
+        // window where the view is missing (the old definition survives a
+        // crash before the rename). Filesystems without an
+        // AbstractFileSystem binding (FileContext is a separate API — many
+        // object-store configs lack it) fall back to delete+rename: a
+        // narrow window, but never a torn file.
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.makeQualified(dst).toUri, fs.getConf)
+          fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            fs.delete(dst, false)
+            if (!fs.rename(tmp, dst))
+              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        }
       } else if (!fs.rename(tmp, dst)) {
-        fs.delete(tmp, false)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(
           org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, name))
       }
+    } catch {
+      case t: Throwable =>
+        try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+        throw t
     } finally invalidate(dst)
   }
 

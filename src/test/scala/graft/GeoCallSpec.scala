@@ -70,6 +70,35 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.t2")
   }
 
+  test("remove_orphan_files sweeps unreferenced files but NEVER expires history") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.orph")
+    spark.sql("CREATE TABLE geoc.db.orph (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.orph SELECT id FROM range(4)")
+    spark.sql("INSERT INTO geoc.db.orph SELECT id FROM range(4, 8)")
+    val m = GeoManifest.read(spark, root("orph"))
+    // plant an orphan (a crashed commit's leftover) in the data dir
+    val fs = new org.apache.hadoop.fs.Path(root("orph"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(root("orph"), "data/cdead/part-00000-dead.parquet")
+    fs.mkdirs(orphan.getParent)
+    fs.create(orphan, true).close()
+    val old = spark.conf.getOption("spark.graft.vacuum.orphanGraceMs")
+    spark.conf.set("spark.graft.vacuum.orphanGraceMs", "0")
+    try spark.sql("CALL geoc.system.remove_orphan_files(table => 'db.orph')")
+    finally old match {
+      case Some(v) => spark.conf.set("spark.graft.vacuum.orphanGraceMs", v)
+      case None => spark.conf.unset("spark.graft.vacuum.orphanGraceMs")
+    }
+    assert(!fs.exists(orphan), "orphan file survived the sweep")
+    // committed history is untouched: every prior version still reads
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.orph").head.getLong(0) == 8)
+    for (v <- 1 to m.version)
+      assert(spark.sql(s"SELECT COUNT(*) FROM geoc.db.orph VERSION AS OF $v")
+        .head.getLong(0) == 4L * v, s"version $v lost by orphan sweep")
+    spark.sql("DROP TABLE geoc.db.orph")
+  }
+
   test("CALL works on vanilla sessions through GeoSql.exec") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.t3")

@@ -267,6 +267,20 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(df.count() == spark.read.parquet(dir)
       .where(col("id") > 10 && col("id") < 20 &&
         col("id") % 5 > 0 && col("id") % 5 < 4).count())
+
+    // spec-noncompliant writer: NULL bbox beside a matching non-null
+    // geometry — the null-guarded conjuncts must fall through to the
+    // exact predicate, never silently drop the row
+    val dir2 = tmp("gpq_cov_null")
+    spark.sql("""
+      SELECT st_point(15.0, 2.0) AS geometry,
+             CAST(NULL AS STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>) AS bbox,
+             0L AS id""").write.mode("overwrite").parquet(dir2)
+    val tagged2 = GeoParquetMeta.tagSchema(spark.read.parquet(dir2).schema, meta)
+    val survivors = spark.read.schema(tagged2).parquet(dir2)
+      .where(st_contains(st_polygonFromEnvelope(lit(10.0), lit(0.0), lit(20.0), lit(4.0)),
+        col("geometry"))).count()
+    assert(survivors == 1, "null-bbox row with matching geometry was dropped by a derived conjunct")
   }
 
   test("third-party geo metadata (GeoPandas-style, crs null) tags on read") {

@@ -156,6 +156,21 @@ class GeoViewSpec extends SparkSpec {
     spark.sql("DROP VIEW geov.db.v_props")
   }
 
+  test("DROP NAMESPACE CASCADE invalidates the view-existence memo") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geov.tmpns")
+    spark.sql("CREATE OR REPLACE VIEW geov.tmpns.vv AS SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM geov.tmpns.vv").head.getInt(0) == 1) // memo now warm
+    spark.sql("DROP NAMESPACE geov.tmpns CASCADE")
+    spark.sql("CREATE NAMESPACE geov.tmpns")
+    // within the memo TTL: the name must be creatable as a TABLE (no
+    // stale ViewAlreadyExists) and resolve to the table, not a ghost view
+    spark.sql("CREATE TABLE geov.tmpns.vv (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geov.tmpns.vv SELECT id FROM range(3)")
+    assert(spark.sql("SELECT COUNT(*) FROM geov.tmpns.vv").head.getLong(0) == 3)
+    spark.sql("DROP NAMESPACE geov.tmpns CASCADE")
+  }
+
   test("vanilla-session path: GeoViews.readView needs no injected rule") {
     wh
     spark.sql("CREATE OR REPLACE VIEW geov.db.v_plain AS " +
