@@ -292,7 +292,7 @@ object SparkEntry {
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
       val buys = src().where(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("bts"))
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStreams.intervalJoin(views, buys,
             "user_id", "vts", "bts", intervalSeconds = 3600)
           .writeStream.format("memory").outputMode("append")
