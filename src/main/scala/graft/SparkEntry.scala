@@ -2293,6 +2293,44 @@ object SparkEntry {
       out
     }),
 
+    // t.partitions metadata table, oracle-checked: per-partition ROW
+    // counts are layout-independent (clustered writes roll files at
+    // transform-tuple boundaries, so every file is single-valued on
+    // days(dd) and partitions group exactly by day). DuckDB replays the
+    // day ordinals + counts from the raw source; the in-query require
+    // pins the single-valued rendering (a range label would mean the
+    // write clustering contract broke). file_count is excluded — it IS
+    // layout-dependent.
+    "geo_partitions_meta" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.pd")
+      s.sql("CREATE TABLE geoptm.db.pd (k BIGINT, dd DATE) USING geo " +
+        "PARTITIONED BY (months(dd))")
+      // rollMinRows=1 for THIS insert: files must roll at every month
+      // boundary even where a month holds few rows (the default 4096 is
+      // the right 100 TB behavior — tiny partitions share files — but
+      // this query pins the per-tuple bookkeeping, so force the roll)
+      val rollKey = "spark.graft.write.rollMinRows"
+      val oldRoll = s.conf.getOption(rollKey)
+      s.conf.set(rollKey, "1")
+      try s.sql("INSERT INTO geoptm.db.pd SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders")
+      finally oldRoll match {
+        case Some(v) => s.conf.set(rollKey, v)
+        case None => s.conf.unset(rollKey)
+      }
+      val out = s.sql(
+        "SELECT partition, row_count FROM geoptm.db.pd.partitions ORDER BY partition")
+      require(out.collect().forall(_.getString(0).matches("""months\(dd\)=\d+""")),
+        "partitions rendered a range or unknown label — clustered-write contract broke")
+      s.sql("SELECT partition, row_count FROM geoptm.db.pd.partitions ORDER BY partition")
+    }),
+
     // Iceberg stored-procedure spelling: the same maintenance verbs
     // through CALL cat.system.proc(k => v) — compact to one file, tag the
     // result, expire history — with the compaction and tag require'd
@@ -4285,6 +4323,16 @@ object SparkEntry {
       SELECT c_custkey, c_nationkey,
              c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
       FROM customer WHERE c_acctbal > 0.005 ORDER BY c_custkey""",
+
+    // per-day row counts replayed from the raw source; the partition
+    // label is the UTC day ordinal the days() transform records
+    "geo_partitions_meta" -> """
+      SELECT 'months(dd)=' ||
+               CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                    + month(CAST(o_orderdate AS DATE)) - 1 AS VARCHAR)
+               AS "partition",
+             CAST(COUNT(*) AS BIGINT) AS row_count
+      FROM orders GROUP BY 1 ORDER BY "partition"""",
 
     // CALL procedures are pure maintenance: compaction + tagging + expiry
     // never change row values — the final table is the two inserts' union
