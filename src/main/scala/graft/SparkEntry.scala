@@ -2331,6 +2331,27 @@ object SparkEntry {
       s.sql("SELECT partition, row_count FROM geoptm.db.pd.partitions ORDER BY partition")
     }),
 
+    // t.snapshots metadata table, oracle-checked on its layout-INDEPENDENT
+    // columns: version sequence, operation verbs, cumulative total_rows and
+    // the per-commit added_rows diff all follow from the verb sequence and
+    // the source data alone (added/removed FILE counts are layout-dependent
+    // and excluded). TRUNCATE exercises the removed-rows direction.
+    "geo_snapshots_meta" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.snap")
+      s.sql("CREATE TABLE geoptm.db.snap (k BIGINT) USING geo")
+      s.sql("INSERT INTO geoptm.db.snap SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO geoptm.db.snap SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1")
+      s.sql("""SELECT version, operation, total_rows, added_rows
+               FROM geoptm.db.snap.snapshots ORDER BY version""")
+    }),
+
     // Iceberg stored-procedure spelling: the same maintenance verbs
     // through CALL cat.system.proc(k => v) — compact to one file, tag the
     // result, expire history — with the compaction and tag require'd
@@ -4333,6 +4354,20 @@ object SparkEntry {
                AS "partition",
              CAST(COUNT(*) AS BIGINT) AS row_count
       FROM orders GROUP BY 1 ORDER BY "partition"""",
+
+    // the verb sequence + source counts reproduce every non-layout column
+    "geo_snapshots_meta" -> """
+      WITH c AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT) AS n1
+        FROM orders)
+      SELECT * FROM (
+        SELECT 0 AS version, 'create' AS operation,
+               CAST(0 AS BIGINT) AS total_rows, CAST(0 AS BIGINT) AS added_rows FROM c
+        UNION ALL
+        SELECT 1, 'append', n0, n0 FROM c
+        UNION ALL
+        SELECT 2, 'append', n0 + n1, n1 FROM c) ORDER BY version""",
 
     // CALL procedures are pure maintenance: compaction + tagging + expiry
     // never change row values — the final table is the two inserts' union
