@@ -2352,6 +2352,28 @@ object SparkEntry {
                FROM geoptm.db.snap.snapshots ORDER BY version""")
     }),
 
+    // t.deletes metadata table, oracle-checked on its layout-independent
+    // columns: keyed DELETEs commit equality-delete sidecars whose type /
+    // key count / key columns / sequence / key range follow from the
+    // statements alone (paths excluded). Pins the O(keys) route's
+    // bookkeeping end-to-end.
+    "geo_deletes_meta" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.ed")
+      s.sql("CREATE TABLE geoptm.db.ed (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoptm.db.ed SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer")
+      s.sql("DELETE FROM geoptm.db.ed WHERE id IN (4, 10, 22, 40, 78)")
+      s.sql("DELETE FROM geoptm.db.ed WHERE id = 100")
+      s.sql("""SELECT type, rows, key_columns, sequence, key_min, key_max
+               FROM geoptm.db.ed.deletes ORDER BY sequence""")
+    }),
+
     // Iceberg stored-procedure spelling: the same maintenance verbs
     // through CALL cat.system.proc(k => v) — compact to one file, tag the
     // result, expire history — with the compaction and tag require'd
@@ -4354,6 +4376,15 @@ object SparkEntry {
                AS "partition",
              CAST(COUNT(*) AS BIGINT) AS row_count
       FROM orders GROUP BY 1 ORDER BY "partition"""",
+
+    // two keyed DELETE statements fully determine their sidecar rows
+    "geo_deletes_meta" -> """
+      SELECT * FROM (
+        SELECT 'equality' AS type, CAST(5 AS BIGINT) AS "rows", 'id' AS key_columns,
+               2 AS "sequence", CAST(4 AS BIGINT) AS key_min, CAST(78 AS BIGINT) AS key_max
+        UNION ALL
+        SELECT 'equality', CAST(1 AS BIGINT), 'id', 3, CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+      ORDER BY "sequence"""",
 
     // the verb sequence + source counts reproduce every non-layout column
     "geo_snapshots_meta" -> """
