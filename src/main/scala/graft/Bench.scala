@@ -78,6 +78,12 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
+    // sentinel BEFORE the splits: the split runs (heavy index builds) are
+    // not part of the timed query loop, so their load must not be able to
+    // inflate drift and spuriously mark the whole record as contended
+    hygiene()
+    val sentinelAfter = timeOnce(sentinelQuery)
+
     // build/probe split for the index-backed ANN queries (full runs only):
     // probe-only wall is the user-facing latency the combined record masks
     val splits = if (only.isEmpty) SparkEntry.benchSplits.toSeq.sortBy(_._1).map {
@@ -91,8 +97,6 @@ object Bench {
         name -> parts
     } else Seq.empty
 
-    hygiene()
-    val sentinelAfter = timeOnce(sentinelQuery)
     val drift = if (sentinelBefore > 0) sentinelAfter / sentinelBefore else -1.0
     val contended = drift > 2.0 || drift < 0
 

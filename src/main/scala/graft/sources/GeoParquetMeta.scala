@@ -51,6 +51,12 @@ object GeoParquetMeta {
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
+  /** Can `n` travel through [[encodeSpec]] (tab/`=` separators) and the
+    * hand-built `geo` JSON (quoted, unescaped) unmangled? Admits non-ASCII
+    * and spaced names; rejects only separator/JSON-breaking characters. */
+  private def encodable(n: String): Boolean =
+    n.nonEmpty && !n.exists(c => c == '\t' || c == '=' || c == '"' || c == '\\' || c < ' ')
+
   def encodeSpec(primary: String, cols: Seq[(String, String)]): String =
     (primary +: cols.map { case (n, c) => s"$n=$c" }).mkString("\t")
 
@@ -75,9 +81,13 @@ object GeoParquetMeta {
     }
     val tagged = GeoSchema.geometryColumns(schema)
     val primaryOpt = lower.get(PrimaryOption).flatMap(schemaName)
-    val names = (tagged.map(_._1) ++ primaryOpt).distinct
-      .filter(n => NameRe.findFirstIn(n).isDefined)
+    val all = (tagged.map(_._1) ++ primaryOpt).distinct
       .filter(n => schema.fields(schema.fieldIndex(n)).dataType == BinaryType)
+    val names = all.filter(encodable)
+    all.filterNot(encodable).foreach(n => org.slf4j.LoggerFactory
+      .getLogger(getClass).warn(
+        s"geometry column '$n' excluded from the geo footer: its name cannot " +
+        "be represented in the footer spec (tab/'='/quote/control character)"))
     if (names.isEmpty) return None
     val taggedCrs = tagged.toMap
     val cols = names.map { n =>
@@ -104,7 +114,9 @@ object GeoParquetMeta {
     val cols = accs.sortBy(_.name).map { a =>
       val it = a.types.iterator()
       val sb = new StringBuilder
-      while (it.hasNext) { if (sb.nonEmpty) sb += ','; sb ++= "\"" + it.next() + "\"" }
+      // a poisoned scan publishes an EMPTY type list (spec: "unknown") and
+      // no bbox — the partial accumulation could under-describe the file
+      while (!a.poisoned && it.hasNext) { if (sb.nonEmpty) sb += ','; sb ++= "\"" + it.next() + "\"" }
       val bbox = if (a.seen) s""","bbox":[${a.xmin},${a.ymin},${a.xmax},${a.ymax}]""" else ""
       // spec-1.1 covering: points third-party readers at the per-row bbox
       // sidecar columns GeoParquet.write lays down, so THEIR row-group
@@ -264,8 +276,13 @@ private[sources] final class GeomAcc(val name: String, val crs: String, val idx:
   var ymin: Double = Double.PositiveInfinity
   var xmax: Double = Double.NegativeInfinity
   var ymax: Double = Double.NegativeInfinity
+  /** A row's WKB failed to scan (unsupported type code / malformed bytes).
+    * Whatever coordinates WERE consumed may under-cover the file, and a
+    * spec reader pruning on an under-covering bbox silently drops rows —
+    * so a poisoned accumulator publishes NO bbox and NO geometry_types. */
+  var poisoned: Boolean = false
   val types = new java.util.TreeSet[String]()
-  def seen: Boolean = xmin <= xmax
+  def seen: Boolean = !poisoned && xmin <= xmax
 }
 
 /**
@@ -279,7 +296,10 @@ private[sources] object WkbScan {
 
   def accumulate(bytes: Array[Byte], acc: GeomAcc): Unit =
     try scan(java.nio.ByteBuffer.wrap(bytes), acc, 0)
-    catch { case _: RuntimeException => () } // malformed WKB: skip, never fail the write
+    catch { case _: RuntimeException => acc.poisoned = true }
+    // malformed WKB: poison (the partial coordinates already consumed could
+    // UNDER-cover the file — publishing that bbox would make spec-compliant
+    // readers prune away matching rows); the write itself never fails
 
   private def scan(buf: java.nio.ByteBuffer, acc: GeomAcc, depth: Int): Unit = {
     if (depth > 16) throw new IllegalArgumentException("WKB nesting too deep")

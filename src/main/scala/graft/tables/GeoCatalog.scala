@@ -149,7 +149,9 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val props = changes.foldLeft(d.properties) {
       case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
       case (p, r: ViewChange.RemoveProperty) => p - r.property()
-      case (p, _) => p
+      case (_, other) => throw new UnsupportedOperationException(
+        s"ALTER VIEW: ${other.getClass.getSimpleName} is not supported on " +
+          s"$catalogName views (only SET/UNSET TBLPROPERTIES)")
     }
     GeoViews.store(spark, warehouse, ns, ident.name, d.copy(properties = props),
       overwrite = true)

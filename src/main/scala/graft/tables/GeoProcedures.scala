@@ -71,6 +71,14 @@ object GeoProcedures {
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rollback_to_snapshot", "rollback_to_timestamp")
 
+  /** Manifest versions are Int internally; the procedure surface speaks
+    * bigint (Iceberg snapshot ids are int64) so metadata-table and
+    * ancestors_of outputs bind back into CALL arguments unchanged. */
+  private def version(id: Long): Int = {
+    require(id >= 0 && id <= Int.MaxValue, s"snapshot_id $id out of range")
+    id.toInt
+  }
+
   /** The procedure for `name` under catalog `cat`, if known. */
   def load(cat: String, name: String): Option[UnboundProcedure] = {
     def table(a: Args): String = cat + "." + a.reqStr("table")
@@ -93,9 +101,11 @@ object GeoProcedures {
         // trims history)
         a => GeoRemoveOrphanFilesCommand(table(a))))
       case "rollback_to_snapshot" => Some(new Proc(name, Array(
-          req("table", StringType), req("snapshot_id", IntegerType)),
-        a => GeoRestoreCommand(table(a), Left(a.int("snapshot_id").getOrElse(
-          throw new IllegalArgumentException("snapshot_id must not be NULL"))))))
+          // bigint like Iceberg's procedure — ancestors_of emits LongType
+          // snapshot ids, so they must feed back into rollback unchanged
+          req("table", StringType), req("snapshot_id", LongType)),
+        a => GeoRestoreCommand(table(a), Left(version(a.long("snapshot_id").getOrElse(
+          throw new IllegalArgumentException("snapshot_id must not be NULL")))))))
       case "rollback_to_timestamp" => Some(new Proc(name, Array(
           req("table", StringType), req("timestamp", StringType)),
         a => GeoRestoreCommand(table(a), Right(a.reqStr("timestamp")))))
@@ -109,8 +119,9 @@ object GeoProcedures {
         a => GeoAncestorsCommand(table(a))))
       case "create_tag" => Some(new Proc(name, Array(
           req("table", StringType), req("tag", StringType),
-          opt("snapshot_id", IntegerType)),
-        a => GeoCreateTagCommand(table(a), a.reqStr("tag"), a.int("snapshot_id"))))
+          opt("snapshot_id", LongType)),
+        a => GeoCreateTagCommand(table(a), a.reqStr("tag"),
+          a.long("snapshot_id").map(version))))
       case _ => None
     }
   }

@@ -111,6 +111,13 @@ class GeoCallSpec extends SparkSpec {
     assert(rows.length == GeoManifest.read(spark, root("anc")).version + 1 ||
       rows.length == GeoManifest.read(spark, root("anc")).version) // create may or may not commit v0 rows
     assert(rows.forall(_._2 > 0L), "commit timestamps missing")
+    // the LongType snapshot ids ancestors_of emits bind straight back into
+    // rollback_to_snapshot (Iceberg takes bigint too) — advice regression
+    val oldest = rows.map(_._1).min
+    spark.sql(s"CALL geoc.system.rollback_to_snapshot(table => 'db.anc', " +
+      s"snapshot_id => CAST($oldest AS BIGINT))")
+    assert(GeoManifest.read(spark, root("anc")).files.map(_.rows).sum ==
+      (if (oldest == 0L) 0L else 2L))
     spark.sql("DROP TABLE geoc.db.anc")
   }
 

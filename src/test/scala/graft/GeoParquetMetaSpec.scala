@@ -232,6 +232,31 @@ class GeoParquetMetaSpec extends SparkSpec {
       graft.geom.Geom.serialize(fac.createPoint())).isEmpty)
   }
 
+  test("unsupported WKB type POISONS the file's footer stats (never under-covers)") {
+    import spark.implicits._
+    import org.locationtech.jts.geom.Coordinate
+    val fac = new org.locationtech.jts.geom.GeometryFactory()
+    val good = graft.geom.Geom.serialize(fac.createPoint(new Coordinate(1, 2)))
+    // GeometryCollection(LE) of [Point(500,600), CircularString(type 8)]:
+    // the far point is consumed BEFORE the unsupported code aborts the scan,
+    // so a non-poisoning writer would stamp a bbox that misses whatever the
+    // curve covers — spec readers pruning on it would silently drop rows
+    val bb = java.nio.ByteBuffer.allocate(35).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(7).putInt(2)                       // collection, 2 parts
+    bb.put(1: Byte).putInt(1).putDouble(500).putDouble(600)   // the far point
+    bb.put(1: Byte).putInt(8)                                 // CircularString
+    val bad = bb.array()
+    assert(GeoParquetMeta.scanOne(bad).isEmpty) // poisoned: scan reports nothing
+    val dir = tmp("gpq_poison")
+    Seq((0L, good), (1L, bad)).toDF("id", "geo")
+      .repartition(1).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(dir)
+    val c = GeoParquetMeta.parse(GeoParquetMeta.readGeoKey(spark, dir).get).get.columns("geo")
+    assert(c.bbox.isEmpty, s"poisoned file must publish NO bbox, got ${c.bbox}")
+    assert(c.geometryTypes.isEmpty,
+      s"poisoned file must publish NO geometry_types, got ${c.geometryTypes}")
+  }
+
   test("third-party covering (struct bbox) drives pushdown on THEIR columns") {
     // dataset shaped like a GeoPandas 1.1 export: WKB `geometry` + a
     // `bbox` STRUCT column, with the footer declaring covering paths into
