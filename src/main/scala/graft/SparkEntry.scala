@@ -344,6 +344,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode (javax.sound.sampled): executors WAV-encode a
+    // deterministic per-id PCM16 ramp (sample i of channel c = id+3i+7c,
+    // never clips), decodeAudio reads it back and sums each channel as
+    // exact integers. WAV is lossless, so DuckDB replays rate/channels/
+    // frames and both sums in closed form — a sample-level decode oracle
+    // (a frame skip, channel swap, or byte-order mistake changes a sum).
+    // 25 rows at every SF (nation).
+    "multimodal_audio_decode" -> ((s, d) => {
+      prep(s, d)
+      import s.implicits._
+      val blobs = s.table("nation")
+        .select(col("n_nationkey").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = 200 + (id * 17).toInt
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 + 500 * (id % 3).toInt
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.MediaMeta("wav", 0, 0, 0L),
+            graft.ops.Multimodal.syntheticWav(id, frames, ch, rate))
+        })
+      graft.ops.Multimodal.decodeAudio(blobs, bins = 8)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("frames"), col("sum_c0"), col("sum_c1"))
+        .orderBy("media_id")
+    }),
+
     // ----- geometry constructors + accessors (§2.2, §2.3) -----
     "st_point_xy" -> ((s, d) => prep(s, d).sql("""
       SELECT c_custkey, st_x(pt) AS x, st_y(pt) AS y
@@ -4559,6 +4585,23 @@ object SparkEntry {
              CAST(w*h*id   + 3*h*(w*(w-1)//2) +  5*w*(h*(h-1)//2) AS BIGINT) AS sum_r,
              CAST(w*h*2*id + 7*h*(w*(w-1)//2) + 11*w*(h*(h-1)//2) AS BIGINT) AS sum_g,
              CAST(w*h*3*id + 9*h*(w*(w-1)//2) + 11*w*(h*(h-1)//2) AS BIGINT) AS sum_b
+      FROM n ORDER BY media_id""",
+
+    // closed-form replay of the decoded-sample channel sums: sample i of
+    // channel c is (id + 3i + 7c), so over fr frames the channel sum is
+    // pure arithmetic. WAV/PCM16 is lossless -> a correct decoder (header
+    // rate/channel facts included) reproduces the exact integers.
+    "multimodal_audio_decode" -> """
+      WITH n AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS id,
+               CAST(200 + n_nationkey * 17 AS BIGINT) AS fr,
+               CAST(1 + n_nationkey % 2 AS INT) AS ch,
+               CAST(8000 + 500 * (n_nationkey % 3) AS INT) AS rate
+        FROM nation)
+      SELECT id AS media_id, rate AS sample_rate, ch AS channels, fr AS frames,
+             CAST(fr*id + 3*(fr*(fr-1)//2) AS BIGINT) AS sum_c0,
+             CAST(CASE WHEN ch = 2 THEN fr*id + 3*(fr*(fr-1)//2) + 7*fr
+                       ELSE 0 END AS BIGINT) AS sum_c1
       FROM n ORDER BY media_id""",
 
     // independent full-pairwise replica of the banded-LSH + exact-Jaccard

@@ -11,12 +11,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  * The IMAGE leg is a REAL codec: [[decodeImages]] decodes PNG/BMP/GIF
  * payloads with `javax.imageio` (JDK-public, deterministic for lossless
  * formats) into true dimensions, exact integer channel sums, and a
- * grid-mean-luminance embedding. Audio/video remain DETERMINISTIC STUBS
- * (this container has no media libraries) — each stub documents the real
- * library call it stands in for. Everything Spark-side is real: schema,
- * encoders, partition-sized batching, explode shapes, and the feature
- * vectors flow straight into `Similarity` (ANN) and `Dedup` (embedding
- * near-dup).
+ * grid-mean-luminance embedding. The AUDIO leg is a REAL codec too:
+ * [[decodeAudio]] reads WAV/PCM with `javax.sound.sampled` (JDK-public,
+ * lossless) into true rate/channels/frame-count, exact integer per-channel
+ * sample sums, and a fixed-bin energy embedding. VIDEO remains a
+ * DETERMINISTIC STUB (no JDK-public video codec exists; the stub documents
+ * the real library call it stands in for). Everything Spark-side is real:
+ * schema, encoders, partition-sized batching, explode shapes, and the
+ * feature vectors flow straight into `Similarity` (ANN) and `Dedup`
+ * (embedding near-dup).
  */
 object Multimodal {
 
@@ -151,6 +154,122 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode output for audio: true format facts plus exact integer
+    * per-channel sample sums (first two channels; orderless — safe to
+    * oracle-check) and a `bins`-slot mean-amplitude energy embedding. */
+  case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
+                       frames: Long, sum_c0: Long, sum_c1: Long,
+                       features: Array[Float])
+
+  /** REAL audio decode+embed, one partition at a time. `javax.sound.sampled`
+    * reads WAV (RIFF) headers and PCM frames deterministically — the audio
+    * analog of [[decodeImages]]: true sample rate / channel count / frame
+    * count, EXACT integer sample sums for the first two channels, and a
+    * `bins`-slot embedding (mean |amplitude|/fullScale per time bin, frames
+    * split evenly). Handles PCM_SIGNED 16-bit (either endianness) and WAV's
+    * 8-bit unsigned flavor; anything else — and any corrupt payload — drops
+    * that ONE row (flatMap), never a task retry loop. */
+  def decodeAudio(blobs: Dataset[Blob], bins: Int = 16): Dataset[AudioInfo] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        try {
+          // ByteArrayInputStream supports mark/reset, so the format sniffing
+          // AudioSystem does never touches disk
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b.payload))
+          try {
+            val f = ais.getFormat
+            val enc = f.getEncoding
+            val bits = f.getSampleSizeInBits
+            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            // 16-bit must be signed (the WAV norm); 8-bit is signed or
+            // WAV's unsigned flavor — anything else is not plain PCM
+            if (!((bits == 16 && signed) || (bits == 8 && (signed || unsigned)))) None
+            else {
+              val ch = f.getChannels
+              val bytesPer = bits / 8
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var r = ais.read(buf)
+              while (r > 0) { out.write(buf, 0, r); r = ais.read(buf) }
+              val data = out.toByteArray
+              val frameSize = ch * bytesPer
+              val frames = data.length / frameSize
+              if (frames == 0) None
+              else {
+                val big = f.isBigEndian
+                val full = if (bits == 16) 32768.0 else 128.0
+                def sample(off: Int): Int =
+                  if (bits == 16) {
+                    val lo = data(if (big) off + 1 else off) & 0xFF
+                    val hi = data(if (big) off else off + 1).toInt
+                    (hi << 8) | lo
+                  } else if (signed) data(off).toInt
+                  else (data(off) & 0xFF) - 128 // WAV 8-bit is unsigned
+                var s0 = 0L; var s1 = 0L
+                val energy = new Array[Double](bins)
+                val cnt = new Array[Long](bins)
+                var i = 0
+                while (i < frames) {
+                  val bin = (i.toLong * bins / frames).toInt
+                  var amp = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val v = sample((i * ch + c) * bytesPer)
+                    if (c == 0) s0 += v else if (c == 1) s1 += v
+                    amp += math.abs(v) / full
+                    c += 1
+                  }
+                  energy(bin) += amp / ch
+                  cnt(bin) += 1
+                  i += 1
+                }
+                val feat = new Array[Float](bins)
+                var j = 0
+                while (j < bins) {
+                  feat(j) = if (cnt(j) > 0) (energy(j) / cnt(j)).toFloat else 0f
+                  j += 1
+                }
+                Some(AudioInfo(b.media_id, math.round(f.getSampleRate), ch,
+                  frames.toLong, s0, s1, feat))
+              }
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture: PCM16 little-endian, sample i of channel c
+    * is (id + 3i + 7c) — distinct per-axis/per-channel coefficients that
+    * never clip at fixture sizes, so a frame skip, channel swap, or
+    * byte-order mistake in a decoder changes a sum. */
+  def syntheticWav(id: Long, frames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = (id + 3L * i + 7L * c).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (v & 0xFF).toByte
+        pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

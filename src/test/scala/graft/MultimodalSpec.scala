@@ -110,4 +110,42 @@ class MultimodalSpec extends SparkSpec {
     // decoded features feed ANN downstream exactly like the stub path
     assert(i.features.length == 64 && i.features.forall(f => f >= 0f && f <= 1f))
   }
+
+  test("decodeAudio: true format facts, exact sample sums, hand-computed energy") {
+    // stereo PCM16 ramp at 11025 Hz: sample i of channel c = 9 + 3i + 7c
+    val frames = 100
+    val ds = Seq(Multimodal.Blob(9L, Multimodal.MediaMeta("wav", 0, 0, 0L),
+      Multimodal.syntheticWav(9L, frames, channels = 2, sampleRate = 11025))).toDS()
+    val out = Multimodal.decodeAudio(ds, bins = 4).collect()
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.sample_rate == 11025 && a.channels == 2 && a.frames == frames.toLong)
+    val exp0 = (0 until frames).map(i => 9L + 3 * i).sum
+    assert(a.sum_c0 == exp0 && a.sum_c1 == exp0 + 7L * frames)
+    // bins split 100 frames into 4×25; all samples positive -> closed form
+    val expBins = (0 until 4).map { b =>
+      val is = (b * 25) until ((b + 1) * 25)
+      is.map(i => ((9.0 + 3 * i) + (16.0 + 3 * i)) / 2 / 32768.0).sum / 25
+    }
+    assert(a.features.length == 4)
+    expBins.zipWithIndex.foreach { case (e, j) =>
+      assert(math.abs(a.features(j) - e) < 1e-6, s"bin $j: ${a.features(j)} vs $e")
+    }
+  }
+
+  test("decodeAudio: mono roundtrip matches the [C] query's closed form; corrupt drops") {
+    val ds = Seq(
+      Multimodal.Blob(3L, Multimodal.MediaMeta("wav", 0, 0, 0L),
+        Multimodal.syntheticWav(3L, 251, channels = 1, sampleRate = 8000)),
+      Multimodal.Blob(4L, Multimodal.MediaMeta("wav", 0, 0, 0L),
+        "definitely not RIFF bytes".getBytes)).toDS()
+    val out = Multimodal.decodeAudio(ds).collect()
+    assert(out.map(_.media_id).toSeq == Seq(3L)) // corrupt row dropped, not failed
+    val a = out.head
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.frames == 251L)
+    assert(a.sum_c0 == (0 until 251).map(i => 3L + 3 * i).sum && a.sum_c1 == 0L)
+    assert(a.features.length == 16 && a.features.forall(f => f >= 0f && f <= 1f))
+    // energies feed ANN/dedup downstream like every other embedding
+    assert(a.features.exists(_ > 0f))
+  }
 }
