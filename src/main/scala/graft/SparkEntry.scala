@@ -1030,7 +1030,9 @@ object SparkEntry {
         FROM geowp.db.wp
         UNION ALL
         SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geowp.db.wp VERSION AS OF 'stage'""")
-      graft.tables.GeoSql.exec(s, "ALTER TABLE geowp.db.wp PUBLISH BRANCH stage")
+      // publish through the Iceberg-procedure spelling — CALL maps 1:1
+      // onto the PUBLISH BRANCH verb, so the phase hashes cannot move
+      s.sql("CALL geowp.system.publish_changes(table => 'db.wp', branch => 'stage')")
       phase12.unionAll(s.sql(
         "SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geowp.db.wp"))
         .orderBy("phase")

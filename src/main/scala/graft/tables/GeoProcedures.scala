@@ -68,7 +68,8 @@ object GeoProcedures {
   }
 
   val names: Seq[String] = Seq("add_files", "ancestors_of", "create_tag",
-    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "expire_snapshots", "fast_forward", "publish_changes",
+    "remove_orphan_files", "rewrite_data_files",
     "rollback_to_snapshot", "rollback_to_timestamp")
 
   /** Manifest versions are Int internally; the procedure surface speaks
@@ -117,6 +118,24 @@ object GeoProcedures {
         Array(req("table", StringType)),
         // read-only multi-row result set (the LocalScan path end-to-end)
         a => GeoAncestorsCommand(table(a))))
+      // WAP publish, Iceberg-procedure spelling: both map 1:1 onto the
+      // engine's PUBLISH BRANCH verb (fast-forward main to the staged
+      // branch head, refused after divergence)
+      case "publish_changes" => Some(new Proc(name, Array(
+          req("table", StringType), req("branch", StringType)),
+        a => GeoBranchCommand(table(a), a.reqStr("branch"), "publish")))
+      case "fast_forward" => Some(new Proc(name, Array(
+          req("table", StringType), req("branch", StringType),
+          req("to", StringType)),
+        a => {
+          // graft branches publish INTO main only (staged lineage model);
+          // Iceberg's general branch->branch fast-forward has no analog
+          val b = a.reqStr("branch")
+          require(b == "main",
+            s"fast_forward can only move 'main' (got '$b'); stage work on a " +
+              "branch and fast-forward main to it")
+          GeoBranchCommand(table(a), a.reqStr("to"), "publish")
+        }))
       case "create_tag" => Some(new Proc(name, Array(
           req("table", StringType), req("tag", StringType),
           opt("snapshot_id", LongType)),

@@ -701,8 +701,10 @@ object GeoTable {
   /** Publish (fast-forward): point main at the branch head. Refused when
     * main has moved past the branch's fork point — the staged lineage
     * would silently drop those commits; rebase by hand (re-stage on a
-    * fresh branch) instead. The branch ref survives publish (it still
-    * names a valid snapshot); drop it when done. */
+    * fresh branch) instead. The branch ref survives publish with its fork
+    * point ADVANCED to the published head (main and the branch are
+    * identical at that instant), so iterative stage→audit→publish cycles
+    * keep working on one branch; drop it when done. */
   def publishBranch(spark: SparkSession, root: String, name: String): Int =
     GeoManifest.withCommitLock(root) {
       val r = GeoManifest.refs(spark, root)
@@ -713,6 +715,8 @@ object GeoTable {
         s"cannot publish branch '$name' of $root: main moved $cur != fork point " +
           s"${b.base} — staged commits would drop main's; re-stage on a fresh branch")
       GeoManifest.publishVersion(spark, root, b.head)
+      GeoManifest.writeRefs(spark, root, r.copy(branches =
+        r.branches + (name -> b.copy(base = b.head))))
       b.head
     }
 

@@ -121,6 +121,34 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.anc")
   }
 
+  test("publish_changes / fast_forward publish a staged branch; divergence refuses") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.wap")
+    spark.sql("CREATE TABLE geoc.db.wap (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.wap SELECT id FROM range(4)")
+    GeoSql.exec(spark, "ALTER TABLE geoc.db.wap CREATE BRANCH st")
+    spark.sql("INSERT INTO geoc.db.wap.branch_st SELECT id FROM range(4, 9)")
+    // main still sees the pre-stage rows until the CALL publishes
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.wap").head.getLong(0) == 4)
+    spark.sql("CALL geoc.system.publish_changes(table => 'db.wap', branch => 'st')")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.wap").head.getLong(0) == 9)
+
+    // fast_forward spelling: main -> branch head (Iceberg's signature)
+    spark.sql("INSERT INTO geoc.db.wap.branch_st SELECT id FROM range(9, 11)")
+    spark.sql("CALL geoc.system.fast_forward(table => 'db.wap', " +
+      "branch => 'main', to => 'st')")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.wap").head.getLong(0) == 11)
+    // only main can be fast-forwarded, and divergence refuses
+    val e1 = intercept[Exception] { spark.sql(
+      "CALL geoc.system.fast_forward(table => 'db.wap', branch => 'st', to => 'main')") }
+    assert(e1.getMessage.contains("main"))
+    spark.sql("INSERT INTO geoc.db.wap SELECT id FROM range(11, 12)") // main moves
+    val e2 = intercept[Exception] { spark.sql(
+      "CALL geoc.system.publish_changes(table => 'db.wap', branch => 'st')") }
+    assert(e2.getMessage.contains("fork point") || e2.getMessage.contains("moved"))
+    spark.sql("DROP TABLE geoc.db.wap")
+  }
+
   test("CALL works on vanilla sessions through GeoSql.exec") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.t3")
