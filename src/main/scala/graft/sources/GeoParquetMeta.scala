@@ -225,6 +225,70 @@ object GeoParquetMeta {
     finally reader.close()
   }
 
+  /** Conf key: cap on the cross-file CRS-consistency footer reads at
+    * schema-inference time (first read per file is memoized, so repeated
+    * planning over an unchanged snapshot costs zero footer opens). */
+  val CrsCheckMaxKey = "spark.graft.geoparquet.crsCheck.maxFiles"
+
+  /** geo key per (path, length, mtime) — bounded LRU (access-ordered). */
+  private val keyMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[String]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[String]]): Boolean = size() > 8192
+    })
+
+  private def cachedGeoKey(conf: Configuration, f: FileStatus): Option[String] = {
+    val k = s"${f.getPath}#${f.getLen}#${f.getModificationTime}"
+    var v = keyMemo.get(k)
+    if (v == null) { v = readGeoKeyOfFile(conf, f.getPath); keyMemo.put(k, v) }
+    v
+  }
+
+  private def normCrs(c: String): String =
+    if (c == "OGC:CRS84") "EPSG:4326" else c // coordinate-order-identical in WKB
+
+  /** The relation's `geo` metadata, CROSS-CHECKED for CRS consistency: a
+    * directory mixing files from writers that declared DIFFERENT CRSs for
+    * the same column is a silent wrong-coordinates hazard (first-file-wins
+    * would tag every file with one writer's CRS), so it fails loudly with
+    * both files named. One footer read per file, memoized by
+    * (path, len, mtime) and parsed once per distinct raw JSON (writer
+    * signature); capped at [[CrsCheckMaxKey]] files (default 1024, the
+    * overflow logged) so million-file plans stay bounded. */
+  def consistentGeoMeta(spark: SparkSession, conf: Configuration,
+                        files: Seq[FileStatus]): Option[GeoMeta] = {
+    val pq = files.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (pq.isEmpty) return None
+    val max = spark.conf.get(CrsCheckMaxKey, "1024").toInt
+    if (pq.length > max) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"geoparquet CRS consistency check capped at $max of ${pq.length} files " +
+        s"(raise $CrsCheckMaxKey to widen)")
+    val seenJson = scala.collection.mutable.Set[String]()
+    val crsOf = scala.collection.mutable.Map[String, (String, String)]()
+    var result: Option[GeoMeta] = None
+    pq.take(math.max(max, 1)).foreach { f =>
+      cachedGeoKey(conf, f).foreach { raw =>
+        if (seenJson.add(raw)) parse(raw).foreach { meta =>
+          meta.columns.foreach { case (n, c) =>
+            crsOf.get(n) match {
+              case Some((crs0, f0)) if normCrs(crs0) != normCrs(c.crs) =>
+                throw new IllegalStateException(
+                  s"conflicting geo footer CRS for column '$n': $f0 declares " +
+                    s"$crs0 but ${f.getPath} declares ${c.crs} — reading them " +
+                    "as one relation would tag every file with one writer's " +
+                    "CRS (silent wrong coordinates); split the read or " +
+                    "rewrite one side into the other's CRS")
+              case None => crsOf(n) = (c.crs, f.getPath.toString)
+              case _ => ()
+            }
+          }
+          if (result.isEmpty) result = Some(meta)
+        }
+      }
+    }
+    result
+  }
+
   /** Schema with GEOMETRY tags applied from parsed `geo` metadata (only
     * BINARY fields named there; existing tags win). A declared `covering`
     * block rides along as graft.covering.* metadata so GeoBboxPushdown can
@@ -437,9 +501,9 @@ class GeoParquetFileFormat extends ParquetFileFormat {
                            files: Seq[FileStatus]): Option[StructType] =
     super.inferSchema(sparkSession, parameters, files).map { schema =>
       val conf = sparkSession.sessionState.newHadoopConf()
-      files.find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .flatMap(f => GeoParquetMeta.readGeoKeyOfFile(conf, f.getPath))
-        .flatMap(GeoParquetMeta.parse)
+      // reads every footer's geo key (memoized, capped) and FAILS on
+      // cross-writer CRS conflicts instead of first-file-wins tagging
+      GeoParquetMeta.consistentGeoMeta(sparkSession, conf, files)
         .map(GeoParquetMeta.tagSchema(schema, _))
         .getOrElse(schema)
     }

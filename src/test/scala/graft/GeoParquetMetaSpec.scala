@@ -257,6 +257,34 @@ class GeoParquetMetaSpec extends SparkSpec {
       s"poisoned file must publish NO geometry_types, got ${c.geometryTypes}")
   }
 
+  test("conflicting cross-file CRS fails loudly instead of first-file-wins") {
+    // two writers, same directory, same column name, DIFFERENT declared CRS
+    // — tagging the whole relation with either writer's CRS would silently
+    // misplace the other writer's coordinates
+    val a = tmp("gpq_crs_a"); val b = tmp("gpq_crs_b"); val mix = tmp("gpq_crs_mix")
+    points(10).repartition(1).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(a)
+    points(10).repartition(1).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo")
+      .option(GeoParquetMeta.CrsOptionPrefix + "geo", "EPSG:3857").save(b)
+    val fs = java.nio.file.FileSystems.getDefault
+    def copyParts(src: String, tag: String): Unit =
+      java.nio.file.Files.list(fs.getPath(src)).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p, fs.getPath(mix, tag + p.getFileName)))
+    copyParts(a, "a_"); copyParts(b, "b_")
+    val e = intercept[IllegalStateException] {
+      spark.read.format("geoparquet").load(mix).count()
+    }
+    assert(e.getMessage.contains("conflicting geo footer CRS") &&
+      e.getMessage.contains("EPSG:3857"), s"wrong error: ${e.getMessage}")
+    // a same-CRS multi-file directory still reads (and tags) fine
+    val ok = tmp("gpq_crs_ok")
+    points(20).repartition(3).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(ok)
+    val df = spark.read.format("geoparquet").load(ok)
+    assert(GeoSchema.isGeometry(df.schema("geo")) && df.count() == 20)
+  }
+
   test("third-party covering (struct bbox) drives pushdown on THEIR columns") {
     // dataset shaped like a GeoPandas 1.1 export: WKB `geometry` + a
     // `bbox` STRUCT column, with the footer declaring covering paths into
