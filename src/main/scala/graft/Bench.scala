@@ -92,7 +92,7 @@ object Bench {
         val parts = try fn(spark, sfDir) catch {
           case e: Throwable =>
             System.err.println(s"[bench] split $name FAILED: ${e.getMessage}")
-            Seq("build" -> -1.0, "probe_cold" -> -1.0, "probe" -> -1.0)
+            Seq("error" -> -1.0)
         }
         name -> parts
     } else Seq.empty
