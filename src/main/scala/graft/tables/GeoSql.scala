@@ -113,6 +113,10 @@ object GeoSql {
     """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val alterViewUnsetRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val renameViewRe =
+    """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  private val describeViewRe =
+    """(?is)\s*DESC(?:RIBE)?\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val createBranchRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val dropBranchRe =
@@ -235,6 +239,10 @@ object GeoSql {
           val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
           k -> v
         }.toSeq, unset = false))
+    case renameViewRe(name, newName) if geoViewCatalog(name) =>
+      Some(GeoRenameViewCommand(name, newName))
+    case describeViewRe(name) if geoViewCatalog(name) =>
+      Some(GeoDescribeViewCommand(name))
     case alterViewUnsetRe(name, propsSql) if geoViewCatalog(name) =>
       Some(GeoAlterViewPropsCommand(name,
         """(?:'([^']*)'|"([^"]*)"|([\w.]+))""".r.findAllMatchIn(propsSql)
@@ -1130,6 +1138,74 @@ case class GeoShowCreateViewCommand(name: String) extends GeoRunnable {
         .map { case (k, p) => s"'$k' = '$p'" }
         .mkString("\nTBLPROPERTIES (", ", ", ")")
     Seq(Row(s"CREATE VIEW ${(parts.head +: ns :+ v).mkString(".")}$props AS\n${d.sql}"))
+  }
+}
+
+/** ALTER VIEW cat.db.v RENAME TO v2 (or cat.db2.v2 within the SAME
+  * catalog) — the SQL spelling of ViewCatalog.renameView: refuses when the
+  * target exists as a view or table, atomic per the store's own rename. */
+case class GeoRenameViewCommand(name: String, newName: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val (ns, v) = (parts.tail.init, parts.last)
+    val newParts = newName.split('.').toSeq
+    val (ns2, v2) =
+      if (newParts.length == 1) (ns, newParts.head) // bare name: same namespace
+      else {
+        require(newParts.head == parts.head,
+          s"RENAME cannot move a view across catalogs (${parts.head} -> " +
+            s"${newParts.head}); the definitions live in the source catalog's " +
+            "warehouse")
+        (newParts.tail.init, newParts.last)
+      }
+    val d = GeoViews.load(spark, wh, ns, v).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))
+    require(GeoViews.load(spark, wh, ns2, v2).isEmpty,
+      s"${(parts.head +: ns2 :+ v2).mkString(".")} already exists as a VIEW")
+    require(GeoManifest.currentVersion(spark,
+        (wh +: ns2 :+ v2).mkString("/")).isEmpty,
+      s"${(parts.head +: ns2 :+ v2).mkString(".")} already exists as a TABLE")
+    GeoViews.store(spark, wh, ns2, v2, d, overwrite = false)
+    GeoViews.delete(spark, wh, ns, v)
+    Seq(Row(1L))
+  }
+}
+
+/** DESCRIBE VIEW cat.db.v — one row per output column from the stored
+  * analyzed schema, then a # View Information block (text, catalog,
+  * namespace, properties), Spark's DESCRIBE output shape. */
+case class GeoDescribeViewCommand(name: String) extends GeoRunnable {
+  private val S = org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", S, nullable = false)(),
+    AttributeReference("data_type", S, nullable = false)(),
+    AttributeReference("comment", S, nullable = true)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val parts = name.split('.').toSeq
+    val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured GeoCatalog"))
+    val (ns, v) = (parts.tail.init, parts.last)
+    val d = GeoViews.load(spark, wh, ns, v).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    val props = d.properties.toSeq.sorted
+      .map { case (k, p) => s"$k=$p" }.mkString(", ")
+    cols ++ Seq(
+      Row("", "", null),
+      Row("# View Information", "", null),
+      Row("View Text", d.sql, null),
+      Row("View Catalog", d.currentCatalog, null),
+      Row("View Namespace", d.currentNamespace.mkString("."), null)) ++
+      (if (props.isEmpty) Seq.empty else Seq(Row("View Properties", props, null)))
   }
 }
 

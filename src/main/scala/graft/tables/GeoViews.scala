@@ -277,7 +277,10 @@ class GeoSparkView(fullName: String, d: GeoViews.ViewDef)
   override def schema(): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-  override def queryColumnNames(): Array[String] = Array.empty
+  // the stored ANALYZED schema's field names are the query's output
+  // columns (Iceberg persists the same fact in its view metadata); no
+  // column-list aliasing surface exists, so aliases/comments stay empty
+  override def queryColumnNames(): Array[String] = schema().fieldNames
   override def columnAliases(): Array[String] = Array.empty
   override def columnComments(): Array[String] = Array.empty
   override def properties(): java.util.Map[String, String] = d.properties.asJava

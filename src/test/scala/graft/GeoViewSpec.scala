@@ -117,6 +117,50 @@ class GeoViewSpec extends SparkSpec {
     assert(cat.dropView(ident2) && !cat.dropView(ident2))
   }
 
+  test("DESCRIBE VIEW: stored analyzed columns + view-information block") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.dv AS " +
+      "SELECT id, st_x(geo) AS x FROM geov.db.pts WHERE id > 2")
+    spark.sql("ALTER VIEW geov.db.dv SET TBLPROPERTIES ('owner'='graft')")
+    val rows = spark.sql("DESCRIBE VIEW geov.db.dv").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.take(2).toSeq == Seq(("id", "bigint"), ("x", "double")), s"got ${rows.toSeq}")
+    val info = rows.toMap
+    assert(info("View Text").contains("FROM geov.db.pts"))
+    assert(info("View Catalog") == "geov" && info("View Namespace") == "db")
+    assert(info("View Properties").contains("owner=graft"))
+    // the V2 View interface surfaces the same column names
+    val cat = new GeoCatalog()
+    cat.initialize("geov", new CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    assert(cat.loadView(Identifier.of(Array("db"), "dv"))
+      .queryColumnNames().toSeq == Seq("id", "x"))
+    spark.sql("DROP VIEW geov.db.dv")
+  }
+
+  test("ALTER VIEW RENAME TO: moves the definition; collisions refuse") {
+    wh
+    spark.sql("CREATE OR REPLACE VIEW geov.db.rv AS SELECT id FROM geov.db.pts")
+    spark.sql("ALTER VIEW geov.db.rv RENAME TO rv2") // bare: same namespace
+    intercept[Exception](spark.sql("SELECT * FROM geov.db.rv").collect())
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.rv2").head.getLong(0) == 10)
+    spark.sql("ALTER VIEW geov.db.rv2 RENAME TO geov.db.rv3") // qualified form
+    assert(spark.sql("SELECT COUNT(*) FROM geov.db.rv3").head.getLong(0) == 10)
+    // renaming onto an existing view or table refuses with a named error
+    spark.sql("CREATE OR REPLACE VIEW geov.db.rv_other AS SELECT 1 AS one")
+    val e1 = intercept[Exception](
+      spark.sql("ALTER VIEW geov.db.rv3 RENAME TO rv_other"))
+    assert(e1.getMessage.contains("VIEW"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER VIEW geov.db.rv3 RENAME TO pts"))
+    assert(e2.getMessage.contains("TABLE"), e2.getMessage)
+    // cross-catalog moves are refused, not silently mis-stored
+    val e3 = intercept[Exception](
+      spark.sql("ALTER VIEW geov.db.rv3 RENAME TO other_cat.db.rv4"))
+    assert(e3.getMessage.contains("across catalogs"), e3.getMessage)
+    spark.sql("DROP VIEW geov.db.rv3"); spark.sql("DROP VIEW geov.db.rv_other")
+  }
+
   test("a table can never shadow a view (both creation paths)") {
     wh
     spark.sql("CREATE OR REPLACE VIEW geov.db.shadow AS SELECT 1 AS one")
