@@ -2384,6 +2384,117 @@ object SparkEntry {
                FROM geoptm.db.ed.deletes ORDER BY sequence""")
     }),
 
+    // t.refs metadata table, oracle-checked as literals: a known verb
+    // sequence (tag at v1, branch forked at v2 and advanced to v3 by a
+    // branch-table INSERT, a CALL create_tag pinned at snapshot 1 through
+    // the bigint procedure surface) fully determines every row.
+    "geo_refs_meta" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.rm")
+      s.sql("CREATE TABLE geoptm.db.rm (k BIGINT) USING geo")
+      s.sql("INSERT INTO geoptm.db.rm SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0") // v1
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geoptm.db.rm CREATE TAG t1")
+      s.sql("INSERT INTO geoptm.db.rm SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1") // v2
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geoptm.db.rm CREATE BRANCH b1")
+      s.sql("INSERT INTO geoptm.db.rm.branch_b1 SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0") // b1 -> v3
+      s.sql("CALL geoptm.system.create_tag(table => 'db.rm', tag => 't2', snapshot_id => 1)")
+      s.sql("SELECT name, type, version FROM geoptm.db.rm.refs ORDER BY name")
+    }),
+
+    // t.all_files metadata table, oracle-checked on its layout-independent
+    // aggregate: a keyed equality DELETE leaves the data files intact (v2
+    // is sidecar-only), then a CALL compaction to ONE file retires every
+    // v1 file — so live -> summed rows follows from the verbs and the
+    // source counts alone (added_at_version is a v6-manifest surface and
+    // reads 0 once compaction folds the deletes away, so it is excluded).
+    // The single-live-file layout is require'd in-query
+    // (target_file_count => 1 forces it).
+    "geo_allfiles_meta" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.af")
+      s.sql("CREATE TABLE geoptm.db.af (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoptm.db.af SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer") // v1
+      s.sql("DELETE FROM geoptm.db.af WHERE id IN (7, 19, 23)") // v2: equality sidecar only
+      s.sql("CALL geoptm.system.rewrite_data_files(table => 'db.af', target_file_count => 1)") // v3
+      require(s.sql(
+          "SELECT COUNT(*) FROM geoptm.db.af.all_files WHERE live").head.getLong(0) == 1,
+        "compaction must leave exactly one live file")
+      s.sql("""SELECT live, CAST(SUM(rows) AS BIGINT) AS n_rows
+               FROM geoptm.db.af.all_files GROUP BY live ORDER BY live""")
+    }),
+
+    // MERGE with BOTH not-matched directions (Spark 3.4+ clause surface):
+    // matched rows update, source-only rows insert, target-only rows split
+    // between a conditional DELETE and a catch-all UPDATE. DuckDB has no
+    // MERGE — the oracle replays the final state as set algebra over the
+    // same predicates, so a mis-routed row in any clause changes the hash.
+    "geo_merge_nmbs" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.mg")
+      s.sql("CREATE TABLE geoptm.db.mg (id BIGINT, bal DOUBLE) USING geo")
+      s.sql("""INSERT INTO geoptm.db.mg
+               SELECT c_custkey, CAST(c_acctbal AS DOUBLE) FROM customer
+               WHERE c_custkey % 3 = 0""")
+      s.sql("""
+        MERGE INTO geoptm.db.mg t
+        USING (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) * 2 AS nb
+               FROM customer WHERE c_custkey % 2 = 0) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET bal = s.nb
+        WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.nb)
+        WHEN NOT MATCHED BY SOURCE AND t.id % 5 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1.0""")
+      s.sql("SELECT id, bal FROM geoptm.db.mg ORDER BY id")
+    }),
+
+    // OPTIMIZE ... SMALL BELOW n ROWS: three single-file VALUES inserts
+    // land three sub-threshold files, one bulk insert lands full ones;
+    // the verb must consolidate ONLY the small files (require'd via
+    // t.files) while the rows pass through untouched for DuckDB to replay.
+    "geo_optimize_small" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.sm")
+      s.sql("CREATE TABLE geoptm.db.sm (k BIGINT, v STRING) USING geo")
+      s.sql("INSERT INTO geoptm.db.sm VALUES (-1, 'a'), (-2, 'b'), (-3, 'c')")
+      s.sql("INSERT INTO geoptm.db.sm VALUES (-4, 'd'), (-5, 'e')")
+      s.sql("INSERT INTO geoptm.db.sm VALUES (-6, 'f')")
+      s.sql("INSERT INTO geoptm.db.sm SELECT o_orderkey, o_orderstatus FROM orders")
+      val before = s.sql(
+        "SELECT COUNT(*) FROM geoptm.db.sm.files WHERE rows < 10").head.getLong(0)
+      // >= 3: each VALUES insert lands AT LEAST one sub-threshold file
+      // (local-relation parallelism may split rows further — layout)
+      require(before >= 3, s"expected >=3 sub-threshold files before OPTIMIZE, got $before")
+      graft.tables.GeoSql.exec(s, "OPTIMIZE geoptm.db.sm SMALL BELOW 10 ROWS")
+      val after = s.sql(
+        "SELECT COUNT(*) FROM geoptm.db.sm.files WHERE rows < 10").head.getLong(0)
+      require(after == 1, s"expected the small files consolidated to 1, got $after")
+      s.sql("SELECT k, v FROM geoptm.db.sm ORDER BY k, v")
+    }),
+
     // Iceberg stored-procedure spelling: the same maintenance verbs
     // through CALL cat.system.proc(k => v) — compact to one file, tag the
     // result, expire history — with the compaction and tag require'd
@@ -4409,6 +4520,42 @@ object SparkEntry {
         SELECT 1, 'append', n0, n0 FROM c
         UNION ALL
         SELECT 2, 'append', n0 + n1, n1 FROM c) ORDER BY version""",
+
+    // the ref verb sequence fully determines every t.refs row
+    "geo_refs_meta" -> """
+      SELECT * FROM (VALUES ('b1', 'BRANCH', 3), ('t1', 'TAG', 1), ('t2', 'TAG', 1))
+        t(name, type, version) ORDER BY name""",
+
+    // keyed DELETE leaves data files intact (sidecar-only commit); the
+    // CALL compaction retires every v1 file into one live v3 file holding
+    // the merged (deleted-rows-applied) count
+    "geo_allfiles_meta" -> """
+      WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM customer)
+      SELECT * FROM (
+        SELECT FALSE AS live, n0 AS n_rows FROM c
+        UNION ALL
+        SELECT TRUE, n0 - 3 FROM c) ORDER BY live""",
+
+    // set-algebra replay of the four MERGE clauses: evens end at 2x
+    // balance (matched-update or not-matched-insert), target-only rows
+    // (odd multiples of 3) delete when %5=0 and park at -1 otherwise
+    "geo_merge_nmbs" -> """
+      SELECT * FROM (
+        SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) * 2 AS bal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, -1.0 FROM customer
+        WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1 AND c_custkey % 5 <> 0)
+      ORDER BY id""",
+
+    // small-file consolidation is pure maintenance: rows pass through
+    "geo_optimize_small" -> """
+      SELECT * FROM (
+        SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT * FROM (VALUES (-1, 'a'), (-2, 'b'), (-3, 'c'),
+                              (-4, 'd'), (-5, 'e'), (-6, 'f')) t(k, v))
+      ORDER BY k, v""",
 
     // CALL procedures are pure maintenance: compaction + tagging + expiry
     // never change row values — the final table is the two inserts' union

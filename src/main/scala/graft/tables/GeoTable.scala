@@ -110,20 +110,28 @@ object GeoTable {
         s"${partCols.mkString(", ")} live in directory names, not in the files — " +
         "materialize them (read + GeoTable.create) or import the leaf dirs of one " +
         "partition value and add the column via ALTER/rewrite")
+    val paths = df0.inputFiles.toSeq.sorted
+    require(paths.nonEmpty, s"no parquet files under $dir")
     // Standard GeoParquet interop: with no explicit geomCol, the spec's
     // `geo` footer key (if present) names the geometry columns and the
     // primary — GeoPandas/GDAL datasets onboard by reference WITH typing.
+    // Cross-checked across files (same contract as the geoparquet source):
+    // importing a mixed-CRS directory fails loudly, not first-file-wins.
     val meta = if (geomCol.isDefined) None
-      else graft.sources.GeoParquetMeta.readGeoKey(spark, dir)
-        .flatMap(graft.sources.GeoParquetMeta.parse)
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        val statuses = paths.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).getFileStatus(hp)
+        }
+        graft.sources.GeoParquetMeta.consistentGeoMeta(spark, conf, statuses)
+      }
     val tagged = meta.map(m => graft.sources.GeoParquetMeta.tag(df0, m)).getOrElse(df0)
     val geom = geomCol.orElse(meta.map(_.primary).filter(p =>
       tagged.schema.fieldNames.contains(p) && GeoSchema.isGeometry(tagged.schema(p))))
     val df = geom.filterNot(g => GeoSchema.isGeometry(tagged.schema(g)))
       .foldLeft(tagged)((d, g) => GeoSchema.markGeometry(d, g))
     val schema = df.schema
-    val paths = df0.inputFiles.toSeq.sorted
-    require(paths.nonEmpty, s"no parquet files under $dir")
     validateFooters(spark, schema, paths)
     val partitions = GeoPartition.statsFor(schema, Seq.empty)
     val files = GeoManifest.collectStats(spark, schema, paths, geom, partitions)
