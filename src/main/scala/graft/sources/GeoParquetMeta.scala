@@ -263,11 +263,29 @@ object GeoParquetMeta {
     if (pq.length > max) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"geoparquet CRS consistency check capped at $max of ${pq.length} files " +
         s"(raise $CrsCheckMaxKey to widen)")
+    val checked = pq.take(math.max(max, 1))
+    // footer opens parallelized (cold object storage pays ~10s of ms per
+    // open; serial x1024 would stall planning) — the conflict scan below
+    // stays sequential over the ORDERED results so the error names the
+    // first conflicting pair deterministically
+    val keys: Seq[Option[String]] =
+      if (checked.length <= 1) checked.map(cachedGeoKey(conf, _))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, checked.length))
+        try {
+          val futs = checked.map(f => pool.submit(
+            new java.util.concurrent.Callable[Option[String]] {
+              override def call(): Option[String] = cachedGeoKey(conf, f)
+            }))
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
     val seenJson = scala.collection.mutable.Set[String]()
     val crsOf = scala.collection.mutable.Map[String, (String, String)]()
     var result: Option[GeoMeta] = None
-    pq.take(math.max(max, 1)).foreach { f =>
-      cachedGeoKey(conf, f).foreach { raw =>
+    checked.zip(keys).foreach { case (f, key) =>
+      key.foreach { raw =>
         if (seenJson.add(raw)) parse(raw).foreach { meta =>
           meta.columns.foreach { case (n, c) =>
             crsOf.get(n) match {
