@@ -2491,7 +2491,11 @@ object SparkEntry {
       graft.tables.GeoSql.exec(s, "OPTIMIZE geoptm.db.sm SMALL BELOW 10 ROWS")
       val after = s.sql(
         "SELECT COUNT(*) FROM geoptm.db.sm.files WHERE rows < 10").head.getLong(0)
-      require(after == 1, s"expected the small files consolidated to 1, got $after")
+      // <= 1, not == 1: a sub-threshold straggler from the bulk insert can
+      // push the consolidated file to >= 10 rows (then after == 0) — the
+      // verb's contract is consolidation, pinned by after < before
+      require(after <= 1 && after < before,
+        s"small files not consolidated: $before -> $after")
       s.sql("SELECT k, v FROM geoptm.db.sm ORDER BY k, v")
     }),
 

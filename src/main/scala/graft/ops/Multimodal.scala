@@ -250,6 +250,9 @@ object Multimodal {
     * never clip at fixture sizes, so a frame skip, channel swap, or
     * byte-order mistake in a decoder changes a sum. */
   def syntheticWav(id: Long, frames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(id + 3L * (frames - 1) + 7L * (channels - 1) <= Short.MaxValue,
+      s"fixture would clip: id=$id frames=$frames channels=$channels peaks past " +
+        "Int16 — the closed-form sum oracle only holds without wrap")
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, channels, true, false)
     val pcm = new Array[Byte](frames * channels * 2)

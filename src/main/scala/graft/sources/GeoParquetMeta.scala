@@ -237,11 +237,25 @@ object GeoParquetMeta {
           e: java.util.Map.Entry[String, Option[String]]): Boolean = size() > 8192
     })
 
+  /** Best-effort memoized footer open: a file that vanished under a
+    * concurrent compaction/vacuum (or has a truncated footer) must not
+    * fail PLANNING of queries that may never scan it — it is skipped from
+    * the consistency check (logged, NOT memoized so a transient error
+    * heals) and the scan itself surfaces any real read error later. */
   private def cachedGeoKey(conf: Configuration, f: FileStatus): Option[String] = {
     val k = s"${f.getPath}#${f.getLen}#${f.getModificationTime}"
-    var v = keyMemo.get(k)
-    if (v == null) { v = readGeoKeyOfFile(conf, f.getPath); keyMemo.put(k, v) }
-    v
+    val v = keyMemo.get(k)
+    if (v != null) v
+    else try {
+      val read = readGeoKeyOfFile(conf, f.getPath)
+      keyMemo.put(k, read)
+      read
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"skipping unreadable footer ${f.getPath} in the geo CRS check: $e")
+        None
+    }
   }
 
   private def normCrs(c: String): String =
@@ -258,33 +272,62 @@ object GeoParquetMeta {
   def consistentGeoMeta(spark: SparkSession, conf: Configuration,
                         files: Seq[FileStatus]): Option[GeoMeta] = {
     val pq = files.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (pq.isEmpty) return None
-    val max = spark.conf.get(CrsCheckMaxKey, "1024").toInt
-    if (pq.length > max) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"geoparquet CRS consistency check capped at $max of ${pq.length} files " +
+    val checked = capped(spark, pq)
+    checkConsistent(checked.map(_.getPath.toString).zip(
+      gatherParallel(checked, (f: FileStatus) => cachedGeoKey(conf, f),
+        // pool only when something actually misses the memo — repeated
+        // planning of an unchanged relation must not pay thread churn
+        skipPool = checked.forall(f => keyMemo.containsKey(
+          s"${f.getPath}#${f.getLen}#${f.getModificationTime}")))))
+  }
+
+  /** [[consistentGeoMeta]] over bare path strings — the import path: Spark
+    * has ALREADY listed these files, so fetching a FileStatus per path just
+    * to build memo keys would cost one serial metadata RPC per file
+    * (minutes on a 100k-file object-store import). One-shot, unmemoized. */
+  def consistentGeoMetaPaths(spark: SparkSession, conf: Configuration,
+                             paths: Seq[String]): Option[GeoMeta] = {
+    val pq = capped(spark, paths.filter(_.endsWith(".parquet")))
+    checkConsistent(pq.zip(gatherParallel(pq, (p: String) =>
+      try readGeoKeyOfFile(conf, new Path(p))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"skipping unreadable footer $p in the geo CRS check: $e")
+          None
+      }, skipPool = false)))
+  }
+
+  private def capped[A](spark: SparkSession, xs: Seq[A]): Seq[A] = {
+    val max = math.max(spark.conf.get(CrsCheckMaxKey, "1024").toInt, 1)
+    if (xs.length > max) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"geoparquet CRS consistency check capped at $max of ${xs.length} files " +
         s"(raise $CrsCheckMaxKey to widen)")
-    val checked = pq.take(math.max(max, 1))
-    // footer opens parallelized (cold object storage pays ~10s of ms per
-    // open; serial x1024 would stall planning) — the conflict scan below
-    // stays sequential over the ORDERED results so the error names the
-    // first conflicting pair deterministically
-    val keys: Seq[Option[String]] =
-      if (checked.length <= 1) checked.map(cachedGeoKey(conf, _))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, checked.length))
-        try {
-          val futs = checked.map(f => pool.submit(
-            new java.util.concurrent.Callable[Option[String]] {
-              override def call(): Option[String] = cachedGeoKey(conf, f)
-            }))
-          futs.map(_.get())
-        } finally pool.shutdown()
-      }
+    xs.take(max)
+  }
+
+  /** Footer opens through a small pool (cold object storage pays ~10s of
+    * ms per open; serial x1024 would stall planning), ORDER PRESERVED so
+    * the conflict scan names the first conflicting pair deterministically.
+    * The readers never throw (errors log + skip), so `get` cannot wrap a
+    * planning-time failure. */
+  private def gatherParallel[A](xs: Seq[A], read: A => Option[String],
+                                skipPool: Boolean): Seq[Option[String]] =
+    if (skipPool || xs.length <= 1) xs.map(read)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, xs.length))
+      try xs.map(x => pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        override def call(): Option[String] = read(x)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
+
+  private def checkConsistent(pathKeys: Seq[(String, Option[String])]): Option[GeoMeta] = {
     val seenJson = scala.collection.mutable.Set[String]()
     val crsOf = scala.collection.mutable.Map[String, (String, String)]()
     var result: Option[GeoMeta] = None
-    checked.zip(keys).foreach { case (f, key) =>
+    pathKeys.foreach { case (path, key) =>
       key.foreach { raw =>
         if (seenJson.add(raw)) parse(raw).foreach { meta =>
           meta.columns.foreach { case (n, c) =>
@@ -292,11 +335,11 @@ object GeoParquetMeta {
               case Some((crs0, f0)) if normCrs(crs0) != normCrs(c.crs) =>
                 throw new IllegalStateException(
                   s"conflicting geo footer CRS for column '$n': $f0 declares " +
-                    s"$crs0 but ${f.getPath} declares ${c.crs} — reading them " +
+                    s"$crs0 but $path declares ${c.crs} — reading them " +
                     "as one relation would tag every file with one writer's " +
                     "CRS (silent wrong coordinates); split the read or " +
                     "rewrite one side into the other's CRS")
-              case None => crsOf(n) = (c.crs, f.getPath.toString)
+              case None => crsOf(n) = (c.crs, path)
               case _ => ()
             }
           }

@@ -1141,9 +1141,14 @@ case class GeoShowCreateViewCommand(name: String) extends GeoRunnable {
   }
 }
 
-/** ALTER VIEW cat.db.v RENAME TO v2 (or cat.db2.v2 within the SAME
-  * catalog) — the SQL spelling of ViewCatalog.renameView: refuses when the
-  * target exists as a view or table, atomic per the store's own rename. */
+/** ALTER VIEW cat.db.v RENAME TO v2 (bare: same namespace) or to the
+  * fully-qualified cat.db2.v2 within the SAME catalog — the SQL spelling
+  * of ViewCatalog.renameView: refuses targets that exist as a view or
+  * table. A 2-part target is REFUSED as ambiguous (it could mean
+  * `cat.name` or `ns.name`) rather than silently mis-stored. Store-then-
+  * delete, same crash window as ViewCatalog.renameView: a crash between
+  * the two leaves both names readable (never a lost definition), and a
+  * failed delete of the old name fails the command loudly. */
 case class GeoRenameViewCommand(name: String, newName: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val parts = name.split('.').toSeq
@@ -1154,13 +1159,16 @@ case class GeoRenameViewCommand(name: String, newName: String) extends GeoRunnab
     val newParts = newName.split('.').toSeq
     val (ns2, v2) =
       if (newParts.length == 1) (ns, newParts.head) // bare name: same namespace
-      else {
-        require(newParts.head == parts.head,
+      else if (newParts.length == parts.length && newParts.head == parts.head)
+        (newParts.tail.init, newParts.last)
+      else throw new IllegalArgumentException(
+        if (newParts.head != parts.head && newParts.length == parts.length)
           s"RENAME cannot move a view across catalogs (${parts.head} -> " +
             s"${newParts.head}); the definitions live in the source catalog's " +
-            "warehouse")
-        (newParts.tail.init, newParts.last)
-      }
+            "warehouse"
+        else s"ambiguous RENAME target '$newName' — use a bare view name " +
+          s"(stays in ${(parts.head +: ns).mkString(".")}) or the fully " +
+          s"qualified ${parts.head}.<namespace>.<view>")
     val d = GeoViews.load(spark, wh, ns, v).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
         org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, v)))
@@ -1170,7 +1178,11 @@ case class GeoRenameViewCommand(name: String, newName: String) extends GeoRunnab
         (wh +: ns2 :+ v2).mkString("/")).isEmpty,
       s"${(parts.head +: ns2 :+ v2).mkString(".")} already exists as a TABLE")
     GeoViews.store(spark, wh, ns2, v2, d, overwrite = false)
-    GeoViews.delete(spark, wh, ns, v)
+    if (!GeoViews.delete(spark, wh, ns, v))
+      throw new IllegalStateException(
+        s"rename stored ${(parts.head +: ns2 :+ v2).mkString(".")} but could " +
+          s"not remove $name — both names currently resolve; DROP VIEW $name " +
+          "to finish the rename")
     Seq(Row(1L))
   }
 }

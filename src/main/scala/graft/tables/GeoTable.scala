@@ -118,14 +118,8 @@ object GeoTable {
     // Cross-checked across files (same contract as the geoparquet source):
     // importing a mixed-CRS directory fails loudly, not first-file-wins.
     val meta = if (geomCol.isDefined) None
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        val statuses = paths.map { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).getFileStatus(hp)
-        }
-        graft.sources.GeoParquetMeta.consistentGeoMeta(spark, conf, statuses)
-      }
+      else graft.sources.GeoParquetMeta.consistentGeoMetaPaths(spark,
+        spark.sessionState.newHadoopConf(), paths)
     val tagged = meta.map(m => graft.sources.GeoParquetMeta.tag(df0, m)).getOrElse(df0)
     val geom = geomCol.orElse(meta.map(_.primary).filter(p =>
       tagged.schema.fieldNames.contains(p) && GeoSchema.isGeometry(tagged.schema(p))))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
  *
  *  - images: 256x256 RGB PNGs (synthetic gradient, ~real photo dimensions
  *    for thumbnail/vision-embedding pipelines)
- *  - audio: 1 s of 16 kHz stereo PCM16 WAV (~64 KB, the ASR-chunk shape)
+ *  - audio: 0.5 s of 16 kHz stereo PCM16 WAV (~32 KB, an ASR-chunk shape)
  *
  * Usage: runMain graft.tools.DecodeThroughput [rowsPerKind] [cores]
  */
@@ -45,9 +45,11 @@ object DecodeThroughput {
     println(s"[decode] image payload bytes: ${imgBlobs.head().payload.length}")
     run("image", () => Multimodal.decodeImages(imgBlobs, grid = 8).count())
 
+    // id % 100 + 8000 frames keeps the ramp inside Int16 (syntheticWav
+    // enforces the no-clip invariant its sum oracle depends on)
     val wavBlobs = spark.range(n).as[Long].mapPartitions(_.map { id =>
-      Multimodal.Blob(id, Multimodal.MediaMeta("wav", 0, 0, 1000L),
-        Multimodal.syntheticWav(id, frames = 16000, channels = 2,
+      Multimodal.Blob(id, Multimodal.MediaMeta("wav", 0, 0, 500L),
+        Multimodal.syntheticWav(id % 100, frames = 8000, channels = 2,
           sampleRate = 16000))
     }).cache()
     println(s"[decode] audio payload bytes: ${wavBlobs.head().payload.length}")

@@ -54,7 +54,7 @@ object ShardGrowth {
       GeoTable.append(spark, root,
         spark.range(c * 10L, c * 10L + 10).select($"id", lit("x").as("v"))
           .coalesce(1))
-      if (c % (commits / 5) == 0) stats("append", c)
+      if (c % math.max(commits / 5, 1) == 0) stats("append", c)
     }
     val appendSec = (System.nanoTime() - t0) / 1e9
     println(f"[shards] append phase: $commits commits in $appendSec%.1f s " +
