@@ -2435,6 +2435,57 @@ object SparkEntry {
                FROM geoptm.db.af.all_files GROUP BY live ORDER BY live""")
     }),
 
+    // FunctionCatalog transform functions invoked straight from SQL
+    // (Iceberg SparkFunctions analog): truncate/days/months/years are
+    // pure arithmetic DuckDB replays exactly — the same code path the
+    // clustered writer and scan pruning evaluate, so a drifted transform
+    // changes the hash. bucket() is excluded (murmur3 has no DuckDB
+    // replay); its write/scan parity is property-tested in GeoFnSpec.
+    "geo_transform_fns" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("""
+        SELECT o_orderkey AS k,
+               geoptm.system.truncate(1000, o_orderkey) AS trunc_k,
+               geoptm.system.days(CAST(o_orderdate AS DATE)) AS d_days,
+               geoptm.system.months(CAST(o_orderdate AS DATE)) AS d_months,
+               geoptm.system.years(CAST(o_orderdate AS DATE)) AS d_years
+        FROM orders ORDER BY k""")
+    }),
+
+    // partition-scoped OPTIMIZE ... WHERE: only the targeted partition's
+    // files compact (require'd via t.partitions file counts — the other
+    // partition's layout must be untouched); rows pass through for DuckDB.
+    "geo_optimize_where" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoptm.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
+      s.sql("DROP TABLE IF EXISTS geoptm.db.ow")
+      s.sql("CREATE TABLE geoptm.db.ow (id BIGINT, nat BIGINT) USING geo " +
+        "PARTITIONED BY (nat)")
+      for (r <- 0 until 3)
+        s.sql("INSERT INTO geoptm.db.ow SELECT c_custkey, CAST(c_nationkey % 2 AS BIGINT) " +
+          s"FROM customer WHERE c_custkey % 3 = $r")
+      def fileCount(p: String): Long = s.sql(
+        s"SELECT file_count FROM geoptm.db.ow.partitions WHERE partition = '$p'")
+        .head.getInt(0).toLong
+      val (b0, b1) = (fileCount("nat=0"), fileCount("nat=1"))
+      require(b0 >= 3 && b1 >= 3, s"expected >=3 files per partition, got $b0/$b1")
+      graft.tables.GeoSql.exec(s, "OPTIMIZE geoptm.db.ow INTO 1 FILES WHERE nat = 0")
+      val (a0, a1) = (fileCount("nat=0"), fileCount("nat=1"))
+      require(a0 == 1, s"targeted partition not compacted to 1 file: $a0")
+      require(a1 == b1, s"untargeted partition rewritten: $b1 -> $a1")
+      s.sql("SELECT id, nat FROM geoptm.db.ow ORDER BY id")
+    }),
+
     // MERGE with BOTH not-matched directions (Spark 3.4+ clause surface):
     // matched rows update, source-only rows insert, target-only rows split
     // between a conditional DELETE and a catch-all UPDATE. DuckDB has no
@@ -4539,6 +4590,23 @@ object SparkEntry {
         SELECT FALSE AS live, n0 AS n_rows FROM c
         UNION ALL
         SELECT TRUE, n0 - 3 FROM c) ORDER BY live""",
+
+    // the partition transforms are pure arithmetic: truncate = floor to a
+    // multiple (positive keys), days = epoch days, months/years = offsets
+    // from 1970 (all UTC-floored, matching the layout column resolution)
+    "geo_transform_fns" -> """
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey - (o_orderkey % 1000) AS BIGINT) AS trunc_k,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1970) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS d_months,
+             CAST(year(CAST(o_orderdate AS DATE)) - 1970 AS BIGINT) AS d_years
+      FROM orders ORDER BY k""",
+
+    // partition-scoped compaction is pure maintenance: rows pass through
+    "geo_optimize_where" -> """
+      SELECT c_custkey AS id, CAST(c_nationkey % 2 AS BIGINT) AS nat
+      FROM customer ORDER BY id""",
 
     // set-algebra replay of the four MERGE clauses: evens end at 2x
     // balance (matched-update or not-matched-insert), target-only rows
