@@ -1312,6 +1312,40 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // streaming ADMISSION CONTROL end-to-end: a 5-version backlog drains
+    // under max-files-per-micro-batch=1 with Trigger.AvailableNow — the
+    // offset must advance by whole versions under the cap, across AT
+    // LEAST 5 micro-batches (require'd from query progress), consuming
+    // everything exactly-once: the sink hash-matches the batch oracle.
+    "geo_stream_admit" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoss.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
+      s.sql("DROP TABLE IF EXISTS geoss.db.adm")
+      s.sql("CREATE TABLE geoss.db.adm (id BIGINT, nat BIGINT) USING geo")
+      for (r <- 0 until 5)
+        s.sql("INSERT INTO geoss.db.adm SELECT c_custkey, c_nationkey FROM customer " +
+          s"WHERE c_custkey % 5 = $r") // v1..v5: the backlog
+      s.catalog.dropTempView("geo_stream_admit_sink") // repeat-safe
+      val q = s.readStream
+        .option("max-files-per-micro-batch", "1")
+        .table("geoss.db.adm")
+        .writeStream.format("memory").queryName("geo_stream_admit_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= 5,
+        s"admission control must split the 5-version backlog into >=5 bounded " +
+          s"micro-batches, got $fed data-carrying triggers")
+      s.table("geo_stream_admit_sink").groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // OPTIMIZE + VACUUM preserve content exactly: phases read the same
     // aggregate before compaction, after OPTIMIZE INTO 2 FILES, and after
     // VACUUM RETAIN 1 VERSIONS — identical by set algebra (the oracle
@@ -3843,6 +3877,13 @@ object SparkEntry {
     // streaming source reduces the same way: both snapshots stream out
     // whole, each customer exactly once
     "geo_stream_source" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // the admission-controlled drain must consume the same rows
+    // exactly-once as one unbounded batch would
+    "geo_stream_admit" -> """
       SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
              CAST(SUM(c_custkey) AS BIGINT) AS sum_id
       FROM customer GROUP BY 1 ORDER BY nat""",
