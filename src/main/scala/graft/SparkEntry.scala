@@ -1346,6 +1346,42 @@ object SparkEntry {
         .orderBy("nat")
     }),
 
+    // stream-from-timestamp: replay begins at the first commit at/after a
+    // cutoff resolved through the IN-MANIFEST commit timestamps — the
+    // cutoff is v3's own recorded ts (strictly after v2's, require'd), so
+    // the drained content is exactly versions 3..5 and DuckDB replays it
+    // as the matching source predicate. Pins the timestamp->version
+    // resolution end-to-end, not just the offset arithmetic.
+    "geo_stream_from_ts" -> ((s, d) => {
+      prep(s, d)
+      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
+        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
+        s.conf.set("spark.sql.catalog.geoss.warehouse",
+          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
+      s.sql("DROP TABLE IF EXISTS geoss.db.sft")
+      s.sql("CREATE TABLE geoss.db.sft (id BIGINT, nat BIGINT) USING geo")
+      for (r <- 0 until 5) {
+        if (r > 0) Thread.sleep(30) // commit ts are millis: keep them distinct
+        s.sql("INSERT INTO geoss.db.sft SELECT c_custkey, c_nationkey FROM customer " +
+          s"WHERE c_custkey % 5 = $r") // v1..v5
+      }
+      val root = s.conf.get("spark.sql.catalog.geoss.warehouse").stripSuffix("/") + "/db/sft"
+      val cutoff = graft.tables.GeoManifest.commitTsOf(s, root, 3)
+      require(graft.tables.GeoManifest.commitTsOf(s, root, 2) < cutoff,
+        "commit timestamps not distinct — cutoff would be ambiguous")
+      s.catalog.dropTempView("geo_stream_from_ts_sink") // repeat-safe
+      val q = s.readStream.option("stream-from-timestamp", cutoff.toString)
+        .table("geoss.db.sft")
+        .writeStream.format("memory").queryName("geo_stream_from_ts_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("geo_stream_from_ts_sink").groupBy("nat")
+        .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id"))
+        .orderBy("nat")
+    }),
+
     // OPTIMIZE + VACUUM preserve content exactly: phases read the same
     // aggregate before compaction, after OPTIMIZE INTO 2 FILES, and after
     // VACUUM RETAIN 1 VERSIONS — identical by set algebra (the oracle
@@ -3887,6 +3923,13 @@ object SparkEntry {
       SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
              CAST(SUM(c_custkey) AS BIGINT) AS sum_id
       FROM customer GROUP BY 1 ORDER BY nat""",
+
+    // replay from v3's commit timestamp = exactly the last three inserts
+    "geo_stream_from_ts" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer WHERE c_custkey % 5 IN (2, 3, 4)
+      GROUP BY 1 ORDER BY nat""",
 
     // compaction + vacuum preserve content: all three phases equal the
     // post-DELETE set by algebra on the predicates
