@@ -2023,6 +2023,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Incremental index ingest: build the persisted IVF on HALF the
+    // corpus, appendToIvfIndex the other half (nearest-centroid assign
+    // against the STORED centroids, cluster-clustered append, NO
+    // re-training — the 100 TB ingest shape), then probe ALL k clusters:
+    // the post-append top-10 must equal brute force over the WHOLE corpus
+    // (the same DuckDB oracle every ANN query answers to), so an append
+    // that drops, duplicates, or corrupts a vector changes the hash.
+    // nprobe = k because half-corpus centroids shift the cluster geometry
+    // (a true neighbor can legally sit outside any fixed probe subset —
+    // inherent IVF approximation, not an append defect); probe
+    // SELECTIVITY after append is pinned by SimilaritySpec at its tuning.
+    "ann_ivf_append_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/i"
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 2 === 0),
+        col("embedding"), col("vec_id"), k = 8, iters = 2)
+      graft.ops.Similarity.appendToIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 2 === 1),
+        col("embedding"), col("vec_id"))
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 8)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Persisted IVF-PQ: the composed 100 TB ANN shape. Build pays both
     // Lloyd's levels once and stores vectors (+ PQ codes) cluster-
     // partitioned with the centroid and codebook tables; the returned
@@ -3567,6 +3596,16 @@ object SparkEntry {
     // exact top-10: nprobe covers every true neighbor's cluster at the
     // verify SF, so the probed IVF search returns the exact answer
     "ann_ivf_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // post-append search must equal brute force over the WHOLE corpus
+    "ann_ivf_append_top10" -> """
       SELECT vec_id, CAST(rn AS INT) AS rank FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
