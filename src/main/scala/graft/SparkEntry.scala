@@ -60,6 +60,17 @@ object SparkEntry {
     spark
   }
 
+  /** Ensure a GeoCatalog named `cat` is configured on this session
+    * (idempotent; the warehouse is a fresh temp dir on first touch). The
+    * catalog-backed [C] queries each bootstrap a per-purpose catalog so
+    * reruns stay hermetic. */
+  private def ensureGeoCatalog(s: SparkSession, cat: String, prefix: String): Unit =
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GeoCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory(prefix).toString)
+    }
+
   /** Run `body` with spark.sql.shuffle.partitions pinned to `n`, restoring
     * the prior value afterwards. Streaming stateful operators create one
     * state-store instance per shuffle partition per trigger, so a tiny
@@ -769,11 +780,7 @@ object SparkEntry {
       // Spark caches the catalog INSTANCE at first resolution — the
       // warehouse conf must be set once and reused, and the query made
       // idempotent (bench invokes it repeatedly on one session)
-      if (s.conf.getOption("spark.sql.catalog.geott").isEmpty) {
-        s.conf.set("spark.sql.catalog.geott", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geott.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_tt_wh").toString)
-      }
+      ensureGeoCatalog(s, "geott", "geo_tt_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geott.db")
       s.sql("DROP TABLE IF EXISTS geott.db.tt")
       s.sql("CREATE TABLE geott.db.tt (id BIGINT, g BINARY) USING geo " +
@@ -824,11 +831,7 @@ object SparkEntry {
     // replays both legs from the insert/delete predicates.
     "geo_changelog" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geocl").isEmpty) {
-        s.conf.set("spark.sql.catalog.geocl", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geocl.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_cl_wh").toString)
-      }
+      ensureGeoCatalog(s, "geocl", "geo_cl_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocl.db")
       s.sql("DROP TABLE IF EXISTS geocl.db.cl")
       s.sql("CREATE TABLE geocl.db.cl (id BIGINT, nat BIGINT, g BINARY) USING geo " +
@@ -965,11 +968,7 @@ object SparkEntry {
     // mis-kept stats range, changes the hash.
     "geo_colstats" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geocs").isEmpty) {
-        s.conf.set("spark.sql.catalog.geocs", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geocs.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_cs_wh").toString)
-      }
+      ensureGeoCatalog(s, "geocs", "geo_cs_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocs.db")
       s.sql("DROP TABLE IF EXISTS geocs.db.cs")
       s.sql("CREATE TABLE geocs.db.cs (id BIGINT, nat BIGINT) USING geo")
@@ -993,11 +992,7 @@ object SparkEntry {
     // pointer discipline must have produced exactly.
     "geo_wap" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geowp").isEmpty) {
-        s.conf.set("spark.sql.catalog.geowp", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geowp.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_wp_wh").toString)
-      }
+      ensureGeoCatalog(s, "geowp", "geo_wp_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geowp.db")
       s.sql("DROP TABLE IF EXISTS geowp.db.wp")
       s.sql("CREATE TABLE geowp.db.wp (id BIGINT, nat BIGINT) USING geo")
@@ -1026,11 +1021,7 @@ object SparkEntry {
     // a ref resolving to the wrong snapshot changes the hash.
     "geo_refs" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.georf").isEmpty) {
-        s.conf.set("spark.sql.catalog.georf", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.georf.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_rf_wh").toString)
-      }
+      ensureGeoCatalog(s, "georf", "geo_rf_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS georf.db")
       s.sql("DROP TABLE IF EXISTS georf.db.rf")
       s.sql("CREATE TABLE georf.db.rf (id BIGINT, nat BIGINT) USING geo")
@@ -1062,11 +1053,7 @@ object SparkEntry {
     // all four statements as set algebra over customer.
     "geo_dml_delete_eq_sql" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoeqv").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoeqv", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoeqv.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_eqv_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoeqv", "geo_eqv_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqv.db")
       s.sql("DROP TABLE IF EXISTS geoeqv.db.sq")
       s.sql("CREATE TABLE geoeqv.db.sq (id BIGINT, nat BIGINT) USING geo")
@@ -1107,11 +1094,7 @@ object SparkEntry {
 
     "geo_dml_delete_eq" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoeqd").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoeqd", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoeqd.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_eqd_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoeqd", "geo_eqd_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoeqd.db")
       s.sql("DROP TABLE IF EXISTS geoeqd.db.eq")
       s.sql("CREATE TABLE geoeqd.db.eq (id BIGINT, nat BIGINT) USING geo")
@@ -1137,11 +1120,7 @@ object SparkEntry {
     // new commits. The oracle replays both phases as set algebra.
     "geo_clone" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geocn").isEmpty) {
-        s.conf.set("spark.sql.catalog.geocn", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geocn.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_cn_wh").toString)
-      }
+      ensureGeoCatalog(s, "geocn", "geo_cn_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocn.db")
       s.sql("DROP TABLE IF EXISTS geocn.db.dup")
       s.sql("DROP TABLE IF EXISTS geocn.db.src")
@@ -1169,11 +1148,7 @@ object SparkEntry {
     // SRID or a broken GeometryType->WKB mapping changes the hash.
     "geo_typed_ddl" -> ((s, d) => {
       prep(s, d); import GraftFunctions._
-      if (s.conf.getOption("spark.sql.catalog.geotd").isEmpty) {
-        s.conf.set("spark.sql.catalog.geotd", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geotd.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_td_wh").toString)
-      }
+      ensureGeoCatalog(s, "geotd", "geo_td_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geotd.db")
       s.sql("DROP TABLE IF EXISTS geotd.db.td")
       s.conf.set("spark.sql.geospatial.enabled", "true")
@@ -1198,11 +1173,7 @@ object SparkEntry {
     // missed row-granular delete changes the hash.
     "geo_cdc_mor" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geocd").isEmpty) {
-        s.conf.set("spark.sql.catalog.geocd", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geocd.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_cd_wh").toString)
-      }
+      ensureGeoCatalog(s, "geocd", "geo_cd_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocd.db")
       s.sql("DROP TABLE IF EXISTS geocd.db.cd")
       s.sql("CREATE TABLE geocd.db.cd (id BIGINT, nat BIGINT) USING geo")
@@ -1227,11 +1198,7 @@ object SparkEntry {
     // oracle replays the set algebra from the DML predicates alone.
     "geo_restore" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geors").isEmpty) {
-        s.conf.set("spark.sql.catalog.geors", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geors.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_rs_wh").toString)
-      }
+      ensureGeoCatalog(s, "geors", "geo_rs_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geors.db")
       s.sql("DROP TABLE IF EXISTS geors.db.rs")
       s.sql("CREATE TABLE geors.db.rs (id BIGINT, nat BIGINT) USING geo")
@@ -1259,11 +1226,7 @@ object SparkEntry {
     // source directly: any dropped/duplicated epoch changes the hash.
     "geo_stream_sink" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geosk").isEmpty) {
-        s.conf.set("spark.sql.catalog.geosk", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geosk.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_sk_wh").toString)
-      }
+      ensureGeoCatalog(s, "geosk", "geo_sk_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geosk.db")
       s.sql("DROP TABLE IF EXISTS geosk.db.sk")
       s.sql("CREATE TABLE geosk.db.sk (id BIGINT, nat BIGINT) USING geo")
@@ -1293,11 +1256,7 @@ object SparkEntry {
     // replayed, dropped or partially-read snapshot changes the hash.
     "geo_stream_source" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoss.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoss", "geo_ss_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
       s.sql("DROP TABLE IF EXISTS geoss.db.src")
       s.sql("CREATE TABLE geoss.db.src (id BIGINT, nat BIGINT) USING geo")
@@ -1319,11 +1278,7 @@ object SparkEntry {
     // everything exactly-once: the sink hash-matches the batch oracle.
     "geo_stream_admit" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoss.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoss", "geo_ss_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
       s.sql("DROP TABLE IF EXISTS geoss.db.adm")
       s.sql("CREATE TABLE geoss.db.adm (id BIGINT, nat BIGINT) USING geo")
@@ -1354,11 +1309,7 @@ object SparkEntry {
     // resolution end-to-end, not just the offset arithmetic.
     "geo_stream_from_ts" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoss").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoss", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoss.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ss_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoss", "geo_ss_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoss.db")
       s.sql("DROP TABLE IF EXISTS geoss.db.sft")
       s.sql("CREATE TABLE geoss.db.sft (id BIGINT, nat BIGINT) USING geo")
@@ -1389,11 +1340,7 @@ object SparkEntry {
     // in-query (a compaction that didn't compact fails the query).
     "geo_optimize" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoop").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoop", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoop.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_op_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoop", "geo_op_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoop.db")
       s.sql("DROP TABLE IF EXISTS geoop.db.op")
       s.sql("CREATE TABLE geoop.db.op (id BIGINT, nat BIGINT) USING geo")
@@ -2294,11 +2241,7 @@ object SparkEntry {
     // hash-checked, not smoke-checked.
     "geo_dml_delete_mor" -> ((s, d) => {
       prep(s, d); import GraftFunctions._
-      if (s.conf.getOption("spark.sql.catalog.geomr").isEmpty) {
-        s.conf.set("spark.sql.catalog.geomr", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geomr.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_mr_wh").toString)
-      }
+      ensureGeoCatalog(s, "geomr", "geo_mr_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geomr.db")
       s.sql("DROP TABLE IF EXISTS geomr.db.dm")
       s.sql("CREATE TABLE geomr.db.dm (c_custkey BIGINT, c_nationkey BIGINT, geo BINARY) " +
@@ -2412,11 +2355,7 @@ object SparkEntry {
     // layout-dependent.
     "geo_partitions_meta" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.pd")
       s.sql("CREATE TABLE geoptm.db.pd (k BIGINT, dd DATE) USING geo " +
@@ -2447,11 +2386,7 @@ object SparkEntry {
     // and excluded). TRUNCATE exercises the removed-rows direction.
     "geo_snapshots_meta" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.snap")
       s.sql("CREATE TABLE geoptm.db.snap (k BIGINT) USING geo")
@@ -2468,11 +2403,7 @@ object SparkEntry {
     // bookkeeping end-to-end.
     "geo_deletes_meta" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.ed")
       s.sql("CREATE TABLE geoptm.db.ed (id BIGINT, nat BIGINT) USING geo")
@@ -2489,11 +2420,7 @@ object SparkEntry {
     // the bigint procedure surface) fully determines every row.
     "geo_refs_meta" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.rm")
       s.sql("CREATE TABLE geoptm.db.rm (k BIGINT) USING geo")
@@ -2516,11 +2443,7 @@ object SparkEntry {
     // (target_file_count => 1 forces it).
     "geo_allfiles_meta" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.af")
       s.sql("CREATE TABLE geoptm.db.af (id BIGINT, nat BIGINT) USING geo")
@@ -2542,11 +2465,7 @@ object SparkEntry {
     // replay); its write/scan parity is property-tested in GeoFnSpec.
     "geo_transform_fns" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("""
         SELECT o_orderkey AS k,
                geoptm.system.truncate(1000, o_orderkey) AS trunc_k,
@@ -2561,11 +2480,7 @@ object SparkEntry {
     // partition's layout must be untouched); rows pass through for DuckDB.
     "geo_optimize_where" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.ow")
       s.sql("CREATE TABLE geoptm.db.ow (id BIGINT, nat BIGINT) USING geo " +
@@ -2592,11 +2507,7 @@ object SparkEntry {
     // same predicates, so a mis-routed row in any clause changes the hash.
     "geo_merge_nmbs" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.mg")
       s.sql("CREATE TABLE geoptm.db.mg (id BIGINT, bal DOUBLE) USING geo")
@@ -2621,11 +2532,7 @@ object SparkEntry {
     // t.files) while the rows pass through untouched for DuckDB to replay.
     "geo_optimize_small" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoptm").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoptm", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoptm.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_ptm_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoptm", "geo_ptm_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoptm.db")
       s.sql("DROP TABLE IF EXISTS geoptm.db.sm")
       s.sql("CREATE TABLE geoptm.db.sm (k BIGINT, v STRING) USING geo")
@@ -2655,11 +2562,7 @@ object SparkEntry {
     // in-query; rows pass through untouched so DuckDB replays the inserts
     "geo_call_procedures" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geocall").isEmpty) {
-        s.conf.set("spark.sql.catalog.geocall", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geocall.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_call_wh").toString)
-      }
+      ensureGeoCatalog(s, "geocall", "geo_call_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocall.db")
       s.sql("DROP TABLE IF EXISTS geocall.db.mt")
       s.sql("CREATE TABLE geocall.db.mt (k BIGINT, price DOUBLE) USING geo")
@@ -2686,11 +2589,7 @@ object SparkEntry {
     // SHOW VIEWS lists the definition.
     "geo_view" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geovw").isEmpty) {
-        s.conf.set("spark.sql.catalog.geovw", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geovw.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_vw_wh").toString)
-      }
+      ensureGeoCatalog(s, "geovw", "geo_vw_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geovw.db")
       s.sql("DROP TABLE IF EXISTS geovw.db.ords")
       s.sql("CREATE TABLE geovw.db.ords (k BIGINT, price DOUBLE, flag STRING) USING geo")
@@ -2715,11 +2614,7 @@ object SparkEntry {
     // through untouched, so DuckDB replays the filters over the raw source.
     "geo_partitioned" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geopq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geopq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geopq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_pq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geopq", "geo_pq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geopq.db")
       s.sql("DROP TABLE IF EXISTS geopq.db.pt")
       s.sql("CREATE TABLE geopq.db.pt (k BIGINT, dd DATE, price DOUBLE) USING geo " +
@@ -2749,11 +2644,7 @@ object SparkEntry {
     // orders (values pass through untouched).
     "geo_sort_order" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geosoq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geosoq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geosoq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_soq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geosoq", "geo_soq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geosoq.db")
       s.sql("DROP TABLE IF EXISTS geosoq.db.so")
       s.sql("CREATE TABLE geosoq.db.so (k BIGINT, s BIGINT) USING geo " +
@@ -2783,11 +2674,7 @@ object SparkEntry {
     // raw orders — the drop must remove exactly the aligned partitions.
     "geo_metadata_delete" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geomdq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geomdq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geomdq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_mdq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geomdq", "geo_mdq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geomdq.db")
       s.sql("DROP TABLE IF EXISTS geomdq.db.ret")
       s.sql("CREATE TABLE geomdq.db.ret (k BIGINT, dd DATE, price DOUBLE) USING geo " +
@@ -2828,11 +2715,7 @@ object SparkEntry {
     // the filters over raw orders: evolution must never change results.
     "geo_spec_evolution" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoevq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoevq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoevq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_evq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoevq", "geo_evq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoevq.db")
       s.sql("DROP TABLE IF EXISTS geoevq.db.evo")
       s.sql("CREATE TABLE geoevq.db.evo (k BIGINT, dd DATE, price DOUBLE) USING geo " +
@@ -2881,11 +2764,7 @@ object SparkEntry {
     // maintenance must never change results.
     "geo_zorder" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geozoq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geozoq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geozoq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_zoq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geozoq", "geo_zoq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geozoq.db")
       s.sql("DROP TABLE IF EXISTS geozoq.db.zt")
       s.sql("CREATE TABLE geozoq.db.zt (k BIGINT, dd DATE, price DOUBLE) USING geo")
@@ -2922,11 +2801,7 @@ object SparkEntry {
     // from the raw source tables.
     "geo_spj" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geospjq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geospjq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geospjq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_spjq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geospjq", "geo_spjq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geospjq.db")
       s.sql("DROP TABLE IF EXISTS geospjq.db.cust")
       s.sql("DROP TABLE IF EXISTS geospjq.db.ord")
@@ -2985,11 +2860,7 @@ object SparkEntry {
     // (dynamicpruning subquery present AND scanned files < total).
     "geo_runtime_prune" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geodppq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geodppq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geodppq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_dppq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geodppq", "geo_dppq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geodppq.db")
       s.sql("DROP TABLE IF EXISTS geodppq.db.fact")
       s.sql("CREATE TABLE geodppq.db.fact (nk BIGINT, bal DOUBLE) USING geo " +
@@ -3027,11 +2898,7 @@ object SparkEntry {
     // scanned < total on the executed scan; the oracle pins the rows.
     "geo_bloom_prune" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoblq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoblq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoblq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_blq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoblq", "geo_blq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoblq.db")
       s.sql("DROP TABLE IF EXISTS geoblq.db.cust")
       s.sql("CREATE TABLE geoblq.db.cust (nk BIGINT, ck BIGINT, c_name STRING, " +
@@ -3063,11 +2930,7 @@ object SparkEntry {
     // zero sort-merge), the oracle pins the results.
     "geo_analyze" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geoanaq").isEmpty) {
-        s.conf.set("spark.sql.catalog.geoanaq", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geoanaq.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_anaq_wh").toString)
-      }
+      ensureGeoCatalog(s, "geoanaq", "geo_anaq_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geoanaq.db")
       s.sql("DROP TABLE IF EXISTS geoanaq.db.ord")
       s.sql("DROP TABLE IF EXISTS geoanaq.db.cust")
@@ -3109,11 +2972,7 @@ object SparkEntry {
     // so shard resolution is hash-checked, not smoke-checked.
     "geo_sharded" -> ((s, d) => {
       prep(s, d)
-      if (s.conf.getOption("spark.sql.catalog.geosh").isEmpty) {
-        s.conf.set("spark.sql.catalog.geosh", classOf[graft.tables.GeoCatalog].getName)
-        s.conf.set("spark.sql.catalog.geosh.warehouse",
-          java.nio.file.Files.createTempDirectory("geo_sh_wh").toString)
-      }
+      ensureGeoCatalog(s, "geosh", "geo_sh_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geosh.db")
       s.sql("DROP TABLE IF EXISTS geosh.db.sh")
       s.conf.set("spark.graft.manifest.shardSize", "2")
