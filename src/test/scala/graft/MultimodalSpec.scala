@@ -148,4 +148,39 @@ class MultimodalSpec extends SparkSpec {
     // energies feed ANN/dedup downstream like every other embedding
     assert(a.features.exists(_ > 0f))
   }
+
+  test("decodeAudio: 8-bit unsigned WAV and big-endian AIFF branches decode exactly") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def encode(pcm: Array[Byte], fmt: AudioFormat, frames: Int,
+               t: AudioFileFormat.Type): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong), t, bos)
+      bos.toByteArray
+    }
+    val n = 200
+    // WAV stores 8-bit PCM UNSIGNED (value+128) — the third-party shape
+    val pcm8 = Array.tabulate(n)(i => ((i % 100) + 128).toByte)
+    val wav8 = encode(pcm8, new AudioFormat(8000f, 8, 1, false, false), n,
+      AudioFileFormat.Type.WAVE)
+    // AIFF stores PCM16 BIG-endian — the other byte-order branch
+    val pcm16 = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = 5 + 3 * i
+      pcm16(2 * i) = ((v >> 8) & 0xFF).toByte; pcm16(2 * i + 1) = (v & 0xFF).toByte
+    }
+    val aiff = encode(pcm16, new AudioFormat(8000f, 16, 1, true, true), n,
+      AudioFileFormat.Type.AIFF)
+    val out = Multimodal.decodeAudio(Seq(
+        Multimodal.Blob(1L, Multimodal.MediaMeta("wav", 0, 0, 0L), wav8),
+        Multimodal.Blob(2L, Multimodal.MediaMeta("aiff", 0, 0, 0L), aiff)).toDS(),
+      bins = 4).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out(0).channels == 1 && out(0).frames == n.toLong &&
+      out(0).sum_c0 == (0 until n).map(i => (i % 100).toLong).sum,
+      s"8-bit unsigned WAV mis-decoded: ${out(0)}")
+    assert(out(1).channels == 1 && out(1).frames == n.toLong &&
+      out(1).sum_c0 == (0 until n).map(i => 5L + 3 * i).sum,
+      s"big-endian AIFF mis-decoded: ${out(1)}")
+  }
 }
