@@ -2579,6 +2579,31 @@ object SparkEntry {
       s.sql("SELECT k, price FROM geocall.db.mt").orderBy("k")
     }),
 
+    // CALL snapshot: zero-copy onboarding of an existing readable table
+    // (here a temp view over freshly-written parquet) as a NEW geo table
+    // — version 0 must reference the SOURCE files by absolute path
+    // (require'd against the manifest: no copy, no rewrite) and the rows
+    // pass through for DuckDB to replay.
+    "geo_snapshot_table" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geocall", "geo_call_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocall.db")
+      s.sql("DROP TABLE IF EXISTS geocall.db.snp")
+      val dir = java.nio.file.Files.createTempDirectory("geo_snap_src").toString + "/files"
+      s.sql("SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat " +
+        "FROM customer WHERE c_custkey % 2 = 0").write.parquet(dir)
+      s.read.parquet(dir).createOrReplaceTempView("geo_snap_src")
+      s.sql("CALL geocall.system.snapshot(table => 'db.snp', " +
+        "source_table => 'geo_snap_src')")
+      val root = s.conf.get("spark.sql.catalog.geocall.warehouse")
+        .stripSuffix("/") + "/db/snp"
+      val refd = graft.tables.GeoManifest.read(s, root).files
+        .map(_.path.stripPrefix("file:")).toSet
+      val src = s.read.parquet(dir).inputFiles.map(_.stripPrefix("file:")).toSet
+      require(refd == src, "snapshot must reference the source files by path (zero copy)")
+      s.sql("SELECT id, nat FROM geocall.db.snp ORDER BY id")
+    }),
+
     // Persisted views (Iceberg ViewCatalog analog): CREATE OR REPLACE VIEW
     // through the SQL front-half (works on the driver's vanilla session),
     // definition stored beside the table manifests, body uses a BARE table
@@ -4610,6 +4635,11 @@ object SparkEntry {
         SELECT * FROM (VALUES (-1, 'a'), (-2, 'b'), (-3, 'c'),
                               (-4, 'd'), (-5, 'e'), (-6, 'f')) t(k, v))
       ORDER BY k, v""",
+
+    // snapshot is zero-copy registration: rows pass through unchanged
+    "geo_snapshot_table" -> """
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nat
+      FROM customer WHERE c_custkey % 2 = 0 ORDER BY id""",
 
     // CALL procedures are pure maintenance: compaction + tagging + expiry
     // never change row values — the final table is the two inserts' union

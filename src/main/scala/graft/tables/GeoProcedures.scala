@@ -70,7 +70,7 @@ object GeoProcedures {
   val names: Seq[String] = Seq("add_files", "ancestors_of", "create_tag",
     "expire_snapshots", "fast_forward", "publish_changes",
     "remove_orphan_files", "rewrite_data_files",
-    "rollback_to_snapshot", "rollback_to_timestamp")
+    "rollback_to_snapshot", "rollback_to_timestamp", "snapshot")
 
   /** Manifest versions are Int internally; the procedure surface speaks
     * bigint (Iceberg snapshot ids are int64) so metadata-table and
@@ -110,6 +110,11 @@ object GeoProcedures {
       case "rollback_to_timestamp" => Some(new Proc(name, Array(
           req("table", StringType), req("timestamp", StringType)),
         a => GeoRestoreCommand(table(a), Right(a.reqStr("timestamp")))))
+      // zero-copy onboarding of an EXISTING readable table's parquet
+      // files as a new geo table (Iceberg snapshot-procedure analog)
+      case "snapshot" => Some(new Proc(name, Array(
+          req("table", StringType), req("source_table", StringType)),
+        a => GeoSnapshotTableCommand(table(a), a.reqStr("source_table"))))
       case "add_files" => Some(new Proc(name, Array(
           req("table", StringType), req("files", StringType)),
         a => GeoAddFilesCommand(table(a),

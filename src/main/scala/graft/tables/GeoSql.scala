@@ -1085,6 +1085,40 @@ case class GeoAncestorsCommand(name: String) extends GeoRunnable {
   }
 }
 
+/** CALL snapshot(table => 'db.t', source_table => 'any.readable.name') —
+  * Iceberg snapshot-procedure analog: create a NEW geo table whose
+  * version 0 references the source's existing parquet files by absolute
+  * path (zero copy, one distributed stats pass; the source keeps file
+  * ownership, so vacuum never touches them). The source is anything
+  * `spark.table` resolves — a temp view over parquet, a catalog table —
+  * as long as its data is parquet files with self-contained columns. */
+case class GeoSnapshotTableCommand(dest: String, source: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val src = spark.table(source)
+    val paths = src.inputFiles.toSeq
+    require(paths.nonEmpty, s"source table '$source' exposes no input files")
+    require(paths.forall(_.endsWith(".parquet")),
+      s"snapshot needs a parquet-backed source; '$source' has non-parquet files")
+    // Hive-partitioned sources keep partition VALUES in directory names;
+    // a by-reference snapshot would read those columns as null forever
+    val fileCols = spark.read.parquet(paths: _*).schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = src.schema.fieldNames.filterNot(c =>
+      fileCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(missing.isEmpty,
+      s"cannot snapshot '$source' by reference: column(s) ${missing.mkString(", ")} " +
+        "live outside the data files (Hive partition directories) — " +
+        "materialize them (CTAS) instead")
+    val root = GeoCatalog.resolveWarehouseRoot(dest).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$dest' does not name a table under a configured GeoCatalog"))
+    require(GeoManifest.currentVersion(spark, root).isEmpty,
+      s"$dest already exists — snapshot creates a NEW table")
+    GeoSql.requireNoView(spark, dest)
+    Seq(Row(GeoTable.importFiles(spark, root, paths)))
+  }
+}
+
 /** Orphan-file sweep that never expires history (the CALL
   * remove_orphan_files target; see GeoTable.removeOrphanFiles). */
 case class GeoRemoveOrphanFilesCommand(name: String) extends GeoRunnable {

@@ -112,6 +112,20 @@ object GeoTable {
         "partition value and add the column via ALTER/rewrite")
     val paths = df0.inputFiles.toSeq.sorted
     require(paths.nonEmpty, s"no parquet files under $dir")
+    importFiles(spark, root, paths, geomCol, df0)
+  }
+
+  /** [[importParquet]] over EXPLICIT file paths (Iceberg `snapshot`
+    * analog's engine): register existing parquet files as version 0 of a
+    * new table by reference — one distributed stats pass, no copy. */
+  def importFiles(spark: SparkSession, root: String, paths0: Seq[String],
+                  geomCol: Option[String] = None,
+                  frame: DataFrame = null): Long = {
+    require(GeoManifest.currentVersion(spark, root).isEmpty,
+      s"GeoTable already exists at $root — use addFiles to register more files")
+    val paths = paths0.sorted
+    require(paths.nonEmpty, "importFiles needs at least one path")
+    val df0 = Option(frame).getOrElse(spark.read.parquet(paths: _*))
     // Standard GeoParquet interop: with no explicit geomCol, the spec's
     // `geo` footer key (if present) names the geometry columns and the
     // primary — GeoPandas/GDAL datasets onboard by reference WITH typing.

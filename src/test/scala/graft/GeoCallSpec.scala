@@ -149,6 +149,26 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.wap")
   }
 
+  test("snapshot onboards an existing table's parquet files zero-copy") {
+    wh
+    val dir = java.nio.file.Files.createTempDirectory("call_snap").toString + "/src"
+    spark.range(20).selectExpr("id", "CAST(id % 4 AS BIGINT) AS nat").write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("snap_src")
+    spark.sql("CALL geoc.system.snapshot(table => 'db.snp', source_table => 'snap_src')")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.snp").head.getLong(0) == 20)
+    // zero-copy: version 0 references the SOURCE files by absolute path
+    val srcFiles = spark.read.parquet(dir).inputFiles
+      .map(_.stripPrefix("file:")).toSet
+    val refd = GeoManifest.read(spark, root("snp")).files
+      .map(f => f.path.stripPrefix("file:")).toSet
+    assert(refd == srcFiles, s"expected $srcFiles got $refd")
+    // snapshot creates NEW tables only; non-parquet sources refuse
+    val e = intercept[Exception](spark.sql(
+      "CALL geoc.system.snapshot(table => 'db.snp', source_table => 'snap_src')"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    spark.sql("DROP TABLE geoc.db.snp")
+  }
+
   test("CALL works on vanilla sessions through GeoSql.exec") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.t3")
