@@ -120,9 +120,10 @@ object GeoProcedures {
         a => GeoAddFilesCommand(table(a),
           a.reqStr("files").split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
       case "ancestors_of" => Some(new Proc(name,
-        Array(req("table", StringType)),
-        // read-only multi-row result set (the LocalScan path end-to-end)
-        a => GeoAncestorsCommand(table(a))))
+        Array(req("table", StringType), opt("snapshot_id", LongType)),
+        // read-only multi-row result set (the LocalScan path end-to-end);
+        // optional bigint starting snapshot, Iceberg's signature
+        a => GeoAncestorsCommand(table(a), a.long("snapshot_id").map(version))))
       // WAP publish, Iceberg-procedure spelling: both map 1:1 onto the
       // engine's PUBLISH BRANCH verb (fast-forward main to the staged
       // branch head, refused after divergence)

@@ -1071,15 +1071,17 @@ case class GeoDropViewCommand(name: String, ifExists: Boolean) extends GeoRunnab
   }
 }
 
-/** CALL ancestors_of result set: main's lineage, newest first, with the
-  * in-manifest commit timestamps (Iceberg's ancestors_of shape). */
-case class GeoAncestorsCommand(name: String) extends GeoRunnable {
+/** CALL ancestors_of result set: the lineage of `from` (default: main's
+  * current version), newest first, with the in-manifest commit timestamps
+  * (Iceberg's ancestors_of shape, optional snapshot_id included). */
+case class GeoAncestorsCommand(name: String, from: Option[Int] = None)
+  extends GeoRunnable {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("snapshot_id", LongType, nullable = false)(),
     AttributeReference("committed_at_ms", LongType, nullable = false)())
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
-    val cur = GeoManifest.read(spark, root).version
+    val cur = from.getOrElse(GeoManifest.read(spark, root).version)
     GeoManifest.ancestry(spark, root, cur)
       .map(v => Row(v.toLong, GeoManifest.commitTsOf(spark, root, v)))
   }

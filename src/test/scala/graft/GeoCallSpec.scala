@@ -111,6 +111,13 @@ class GeoCallSpec extends SparkSpec {
     assert(rows.length == GeoManifest.read(spark, root("anc")).version + 1 ||
       rows.length == GeoManifest.read(spark, root("anc")).version) // create may or may not commit v0 rows
     assert(rows.forall(_._2 > 0L), "commit timestamps missing")
+    // the optional starting snapshot (Iceberg's signature) walks lineage
+    // from THERE, newest first
+    val mid = rows.map(_._1).max - 1
+    val fromMid = spark.sql(s"CALL geoc.system.ancestors_of(" +
+      s"table => 'db.anc', snapshot_id => $mid)").collect().map(_.getLong(0))
+    assert(fromMid.headOption.contains(mid) && fromMid.forall(_ <= mid),
+      s"lineage from $mid wrong: ${fromMid.toSeq}")
     // the LongType snapshot ids ancestors_of emits bind straight back into
     // rollback_to_snapshot (Iceberg takes bigint too) — advice regression
     val oldest = rows.map(_._1).min
