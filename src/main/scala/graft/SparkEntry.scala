@@ -363,6 +363,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // END-TO-END multimodal -> ANN: executors WAV-encode a per-id 8-bin
+    // amplitude pattern, decodeAudio recovers the pattern as the energy
+    // embedding EXACTLY (every value is amp/2^15, dyadic at every step —
+    // Multimodal.syntheticWavPattern documents the arithmetic), and
+    // bruteTopK ranks all 25 ids against id 0's pattern. Because the
+    // cosine's dot/norm sums stay exact until the final sqrt/divide,
+    // DuckDB replays the SCORES bit-identically in closed form — this
+    // pins decode -> embedding -> VecCosine -> top-k end to end (a bin
+    // permutation, frame skip, or channel mistake changes the ranking
+    // AND the score bits).
+    "multimodal_ann_top10" -> ((s, d) => {
+      prep(s, d)
+      import s.implicits._
+      val blobs = s.table("nation")
+        .select(col("n_nationkey").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.MediaMeta("wav", 0, 0, 0L),
+            graft.ops.Multimodal.syntheticWavPattern(id, frames = 400, bins = 8, sampleRate = 16000))
+        })
+      val feats = graft.ops.Multimodal.decodeAudio(blobs, bins = 8).toDF()
+      val q = Array.tabulate(8)(b => graft.ops.Multimodal.patternAmp(0L, b).toFloat / 32768f)
+      graft.ops.Similarity.bruteTopK(feats, col("features"), col("media_id"), q, 10)
+        .orderBy(desc("score"), asc("vec_id"))
+    }),
+
     // ----- geometry constructors + accessors (§2.2, §2.3) -----
     "st_point_xy" -> ((s, d) => prep(s, d).sql("""
       SELECT c_custkey, st_x(pt) AS x, st_y(pt) AS y
@@ -958,6 +984,108 @@ object SparkEntry {
           .groupBy(lit(2).as("phase"))
           .agg(count(lit(1)).as("n_rows"), sum("id").cast("bigint").as("sum_id")))
         .orderBy("phase")
+    }),
+
+    // INSERT OVERWRITE on a catalog table (DSv2 SupportsTruncate): the
+    // overwrite atomically replaces the evens with the odds in ONE
+    // versioned commit — require'd in-query: the pre-overwrite snapshot
+    // still time-travels (an overwrite must version, not destroy). The
+    // oracle replays the final state as set algebra.
+    "geo_insert_overwrite" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geoiow", "geo_iow_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoiow.db")
+      s.sql("DROP TABLE IF EXISTS geoiow.db.ow")
+      s.sql("CREATE TABLE geoiow.db.ow (k BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoiow.db.ow " +
+        "SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0")
+      s.sql("INSERT OVERWRITE geoiow.db.ow " +
+        "SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 1")
+      s.sql("INSERT INTO geoiow.db.ow " +
+        "SELECT c_custkey + 1000000, 99 FROM customer WHERE c_custkey <= 10")
+      val root = s.conf.get("spark.sql.catalog.geoiow.warehouse") + "/db/ow"
+      val v1 = graft.tables.GeoTable.readAt(s, root, 1).count()
+      val evens = s.table("customer").where("c_custkey % 2 = 0").count()
+      require(v1 == evens,
+        s"pre-overwrite snapshot must still time-travel: v1 has $v1 rows, expected $evens")
+      s.sql("SELECT nat, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k " +
+        "FROM geoiow.db.ow GROUP BY nat ORDER BY nat")
+    }),
+
+    // By-reference onboarding through BOTH public spellings — the SQL verb
+    // (ALTER TABLE t ADD FILES 'p', ...) and the Iceberg-parity CALL
+    // procedure (add_files(table, files)) — onto one catalog table.
+    // require'd in-query: the manifest references the SOURCE files by
+    // path (zero copy). The union of both dirs is two thirds of customer.
+    "geo_add_files_sql" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geoafs", "geo_afs_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoafs.db")
+      s.sql("DROP TABLE IF EXISTS geoafs.db.af")
+      s.sql("CREATE TABLE geoafs.db.af (id BIGINT, nat BIGINT) USING geo")
+      val base = java.nio.file.Files.createTempDirectory("geo_afs_src").toString
+      s.sql("SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat " +
+        "FROM customer WHERE c_custkey % 3 = 0").write.parquet(s"$base/a")
+      s.sql("SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat " +
+        "FROM customer WHERE c_custkey % 3 = 1").write.parquet(s"$base/b")
+      val aFiles = s.read.parquet(s"$base/a").inputFiles.toSeq
+      val bFiles = s.read.parquet(s"$base/b").inputFiles.toSeq
+      graft.tables.GeoSql.exec(s,
+        s"ALTER TABLE geoafs.db.af ADD FILES ${aFiles.map(f => s"'$f'").mkString(", ")}")
+      s.sql(s"CALL geoafs.system.add_files(table => 'db.af', files => '${bFiles.mkString(",")}')")
+      val root = s.conf.get("spark.sql.catalog.geoafs.warehouse") + "/db/af"
+      val refd = graft.tables.GeoManifest.read(s, root).files
+        .map(_.path.stripPrefix("file:")).toSet
+      require(refd == (aFiles ++ bFiles).map(_.stripPrefix("file:")).toSet,
+        "ADD FILES must reference the source files by path (zero copy)")
+      s.sql("SELECT nat, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id " +
+        "FROM geoafs.db.af GROUP BY nat ORDER BY nat")
+    }),
+
+    // Exact IN-value-set file pruning (the truncate-transform leg): every
+    // probe key lands in the first 50-wide truncate partition, so the scan
+    // must answer from ONE file however many the table holds — require'd
+    // in-query. The oracle replays the IN filter over raw customer.
+    "geo_in_prune" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geoinp", "geo_inp_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoinp.db")
+      s.sql("DROP TABLE IF EXISTS geoinp.db.ip")
+      s.sql("CREATE TABLE geoinp.db.ip (k BIGINT, nat BIGINT) USING geo " +
+        "PARTITIONED BY (truncate(50, k))")
+      s.sql("INSERT INTO geoinp.db.ip SELECT c_custkey, c_nationkey FROM customer")
+      val q = s.sql("SELECT k, nat FROM geoinp.db.ip WHERE k IN (3, 5, 17, 23, 41) ORDER BY k")
+      val root = s.conf.get("spark.sql.catalog.geoinp.warehouse") + "/db/ip"
+      val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
+      val scanned = graft.tables.GeoCowScan.collectIn(q.queryExecution.executedPlan)
+        .map(_.scannedFiles.count(_.rows > 0)).min
+      require(total > 1 && scanned == 1,
+        s"IN set within one truncate bucket must scan exactly 1 file: $scanned of $total")
+      q
+    }),
+
+    // GeoBboxPushdown under the driver's own gate: the ST_Intersects range
+    // query answers ONLY through derived bbox conjuncts that must reach
+    // the parquet scan as data filters — require'd in-query against the
+    // FileSourceScanExec (not a plan-string heuristic). The oracle replays
+    // the envelope test as plain coordinate arithmetic.
+    "geo_bbox_pushdown" -> ((s, d) => {
+      prep(s, d)
+      import graft.functions.GraftFunctions._
+      val dir = java.nio.file.Files.createTempDirectory("geo_bpd").toString + "/pts"
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(col("c_acctbal"), col("c_nationkey").cast("double")).as("geo"))
+      graft.plans.GeoParquet.write(pts, "geo", dir, cellSize = 500.0)
+      val q = graft.plans.GeoParquet.read(s, dir)
+        .where(st_intersects(
+          st_polygonFromEnvelope(lit(0.0), lit(2.5), lit(3000.0), lit(17.5)), col("geo")))
+        .select(col("c_custkey").cast("bigint").as("id"))
+      val pushed = q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.dataFilters.map(_.sql)
+      }.flatten
+      require(pushed.exists(_.contains("geo_xmin")) && pushed.exists(_.contains("geo_ymax")),
+        s"bbox conjuncts did not reach the parquet scan: $pushed")
+      q.orderBy("id")
     }),
 
     // Column-stats data skipping (Iceberg column-stats analog): an
@@ -3720,6 +3848,37 @@ object SparkEntry {
       FROM customer WHERE c_custkey < 500
       ORDER BY phase""",
 
+    // overwrite replaces the evens wholesale; the tail append survives
+    "geo_insert_overwrite" -> """
+      WITH fin AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS BIGINT) AS nat
+        FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL
+        SELECT CAST(c_custkey + 1000000 AS BIGINT), CAST(99 AS BIGINT)
+        FROM customer WHERE c_custkey <= 10)
+      SELECT nat, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM fin GROUP BY nat ORDER BY nat""",
+
+    // both ADD FILES spellings register thirds of customer by reference
+    "geo_add_files_sql" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS nat, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id
+      FROM customer WHERE c_custkey % 3 IN (0, 1)
+      GROUP BY nat ORDER BY nat""",
+
+    // IN-set pruning must return exactly the probed keys
+    "geo_in_prune" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS BIGINT) AS nat
+      FROM customer WHERE c_custkey IN (3, 5, 17, 23, 41) ORDER BY k""",
+
+    // point-in-envelope reduces to coordinate range arithmetic (boundary
+    // inclusive — ST_Intersects, not ST_ContainsProperly)
+    "geo_bbox_pushdown" -> """
+      SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+      WHERE c_acctbal >= 0.0 AND c_acctbal <= 3000.0
+        AND c_nationkey >= 2.5 AND c_nationkey <= 17.5
+      ORDER BY id""",
+
     // the CDC upsert sink reduces to set algebra: %15 deleted, %9
     // updated to -1, the rest of the %3 subset untouched
     "geo_stream_upsert_sink" -> """
@@ -4818,6 +4977,24 @@ object SparkEntry {
              CAST(CASE WHEN ch = 2 THEN fr*id + 3*(fr*(fr-1)//2) + 7*fr
                        ELSE 0 END AS BIGINT) AS sum_c1
       FROM n ORDER BY media_id""",
+
+    // closed-form replay of the END-TO-END audio->embedding->ANN ranking,
+    // SCORES INCLUDED: bin b of id embeds as exactly
+    // 256*(4+(31*id+17*b) mod 64)/2^15 (dyadic — no rounding anywhere on
+    // the Spark path), and the cosine's dot/norm sums are exact dyadic
+    // sums too, so sum-order doesn't matter and the only rounded ops
+    // (sqrt, the nx*ny multiply, the final divide) are IEEE-identical in
+    // both engines -> the DOUBLE scores hash-match bit-for-bit.
+    "multimodal_ann_top10" -> """
+      WITH b AS (SELECT unnest(range(8)) AS b),
+      e AS (SELECT CAST(n.n_nationkey AS BIGINT) AS id, b.b AS b,
+                   CAST(256*(4 + (n.n_nationkey*31 + b.b*17) % 64) AS DOUBLE)/32768 AS v
+            FROM nation n, b),
+      q AS (SELECT b, CAST(256*(4 + (b*17) % 64) AS DOUBLE)/32768 AS v FROM b),
+      s AS (SELECT e.id AS vec_id,
+                   sum(e.v*q.v)/(sqrt(sum(e.v*e.v))*sqrt(sum(q.v*q.v))) AS score
+            FROM e JOIN q USING (b) GROUP BY e.id)
+      SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10""",
 
     // independent full-pairwise replica of the banded-LSH + exact-Jaccard
     // near-dup pairs: char-5-gram shingle Jaccard over ALL pairs. Matching

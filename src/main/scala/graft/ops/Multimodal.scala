@@ -276,6 +276,45 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Amplitude of bin `b` in id's pattern fixture: `256*(4+(31*id+17*b) mod 64)`.
+    * Always a multiple of 256 and < 2^15, so `amp/32768` is exactly
+    * representable in Float32 — the whole decode→embed→cosine path stays
+    * in exact dyadic arithmetic (see [[syntheticWavPattern]]). */
+  def patternAmp(id: Long, b: Int): Int =
+    256 * (4 + ((31 * id + 17 * b) % 64)).toInt
+
+  /** Deterministic WAV fixture for the END-TO-END multimodal→ANN oracle:
+    * mono PCM16, `frames` split into `bins` equal segments (`frames` must
+    * be a multiple of `bins` so fixture segments align exactly with
+    * [[decodeAudio]]'s `i*bins/frames` binning); every sample of segment
+    * `b` holds the constant [[patternAmp]] value. decodeAudio's energy
+    * embedding then recovers bin b as EXACTLY `patternAmp(id,b)/32768`:
+    * each per-frame term is `amp/2^15` (dyadic, exact in double), the
+    * per-bin sum is `cnt*amp/2^15` (< 2^21, exact), the `/cnt` division
+    * has a representable true quotient (exact), and the Float32 cast is
+    * value-preserving. A cosine over these embeddings is exact dyadic
+    * arithmetic until the final sqrt/divide — so DuckDB can replay ANN
+    * SCORES bit-identically from the closed form. */
+  def syntheticWavPattern(id: Long, frames: Int, bins: Int, sampleRate: Int): Array[Byte] = {
+    require(frames % bins == 0, s"frames=$frames must be a multiple of bins=$bins " +
+      "so fixture segments align with decodeAudio's binning")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = patternAmp(id, (i.toLong * bins / frames).toInt)
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Sample every `stride`-th frame of a "video" payload (stub: slices). */
   def sampleFrames(blobs: Dataset[Blob], stride: Int = 10): Dataset[Frame] = {
     import blobs.sparkSession.implicits._

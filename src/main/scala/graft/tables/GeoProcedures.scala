@@ -70,7 +70,8 @@ object GeoProcedures {
   val names: Seq[String] = Seq("add_files", "ancestors_of", "create_tag",
     "expire_snapshots", "fast_forward", "publish_changes",
     "remove_orphan_files", "rewrite_data_files",
-    "rollback_to_snapshot", "rollback_to_timestamp", "snapshot")
+    "rollback_to_snapshot", "rollback_to_timestamp",
+    "set_current_snapshot", "snapshot")
 
   /** Manifest versions are Int internally; the procedure surface speaks
     * bigint (Iceberg snapshot ids are int64) so metadata-table and
@@ -141,6 +142,20 @@ object GeoProcedures {
             s"fast_forward can only move 'main' (got '$b'); stage work on a " +
               "branch and fast-forward main to it")
           GeoBranchCommand(table(a), a.reqStr("to"), "publish")
+        }))
+      // Iceberg set_current_snapshot: exactly one of snapshot_id / ref.
+      // Both map 1:1 onto the existing RESTORE verbs — snapshot ids are
+      // committed main versions (restore moves the pointer forward OR
+      // backward), and a ref resolves through t.refs exactly as
+      // `VERSION AS OF 'ref'` does (tags and branch heads alike)
+      case "set_current_snapshot" => Some(new Proc(name, Array(
+          req("table", StringType), opt("snapshot_id", LongType),
+          opt("ref", StringType)),
+        a => (a.long("snapshot_id"), a.str("ref")) match {
+          case (Some(id), None) => GeoRestoreCommand(table(a), Left(version(id)))
+          case (None, Some(r)) => GeoRestoreRefCommand(table(a), r)
+          case _ => throw new IllegalArgumentException(
+            "set_current_snapshot takes exactly one of snapshot_id / ref")
         }))
       case "create_tag" => Some(new Proc(name, Array(
           req("table", StringType), req("tag", StringType),

@@ -156,6 +156,32 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.wap")
   }
 
+  test("set_current_snapshot moves the pointer by id or ref, exactly one of them") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.scs")
+    spark.sql("CREATE TABLE geoc.db.scs (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.scs SELECT id FROM range(3)")
+    spark.sql("INSERT INTO geoc.db.scs SELECT id FROM range(3, 7)")
+    val v2 = GeoManifest.read(spark, root("scs")).version
+    spark.sql("CALL geoc.system.create_tag(table => 'db.scs', tag => 'seven')")
+    // backward by snapshot id...
+    spark.sql(s"CALL geoc.system.set_current_snapshot(table => 'db.scs', " +
+      s"snapshot_id => CAST(${v2 - 1} AS BIGINT))")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.scs").head.getLong(0) == 3)
+    // ...and forward again by ref (tags resolve exactly as VERSION AS OF)
+    spark.sql("CALL geoc.system.set_current_snapshot(table => 'db.scs', ref => 'seven')")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.scs").head.getLong(0) == 7)
+    // exactly one selector: neither and both are named errors
+    val e1 = intercept[Exception](spark.sql(
+      "CALL geoc.system.set_current_snapshot(table => 'db.scs')"))
+    assert(e1.getMessage.contains("exactly one"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL geoc.system.set_current_snapshot(table => 'db.scs', " +
+        "snapshot_id => CAST(1 AS BIGINT), ref => 'seven')"))
+    assert(e2.getMessage.contains("exactly one"), e2.getMessage)
+    spark.sql("DROP TABLE geoc.db.scs")
+  }
+
   test("snapshot onboards an existing table's parquet files zero-copy") {
     wh
     val dir = java.nio.file.Files.createTempDirectory("call_snap").toString + "/src"

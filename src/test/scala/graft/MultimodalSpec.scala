@@ -149,6 +149,37 @@ class MultimodalSpec extends SparkSpec {
     assert(a.features.exists(_ > 0f))
   }
 
+  test("syntheticWavPattern: exact dyadic embeddings; ANN scores replay bit-exactly " +
+       "in the closed form (the multimodal_ann_top10 [C] contract)") {
+    val ids = (0L until 25L).toSeq
+    val blobs = ids.map(id => Multimodal.Blob(id, Multimodal.MediaMeta("wav", 0, 0, 0L),
+      Multimodal.syntheticWavPattern(id, frames = 400, bins = 8, sampleRate = 16000))).toDS()
+    val feats = Multimodal.decodeAudio(blobs, bins = 8)
+    val byId = feats.collect().map(a => a.media_id -> a).toMap
+    assert(byId.size == 25)
+    // the embedding recovers the pattern EXACTLY — zero float rounding
+    for (id <- ids; b <- 0 until 8)
+      assert(byId(id).features(b) == Multimodal.patternAmp(id, b).toFloat / 32768f,
+        s"id=$id bin=$b not exact")
+    // closed-form double replica of the cosine — the same math the DuckDB
+    // oracle runs; every sum is exact dyadic so association can't matter
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(8)(b => Multimodal.patternAmp(id, b).toDouble / 32768)
+    val qd = vec(0L)
+    def cosd(e: Array[Double]): Double = {
+      val d = (0 until 8).map(i => e(i) * qd(i)).sum
+      d / (math.sqrt(e.map(x => x * x).sum) * math.sqrt(qd.map(x => x * x).sum))
+    }
+    val qf = Array.tabulate(8)(b => Multimodal.patternAmp(0L, b).toFloat / 32768f)
+    val got = Similarity.bruteTopK(feats.toDF(), col("features"), col("media_id"), qf, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (-t._2, t._1)).toSeq
+    val want = ids.map(id => (id, cosd(vec(id)))).sortBy(t => (-t._2, t._1)).take(10)
+    assert(got == want, "engine scores must equal the closed form BIT-exactly")
+    // belt-and-braces: ranking margins dwarf any conceivable rounding skew
+    val sorted = ids.map(id => cosd(vec(id))).sorted
+    sorted.sliding(2).foreach { case Seq(a, b) => assert(b - a > 1e-6) ; case _ => () }
+  }
+
   test("decodeAudio: 8-bit unsigned WAV and big-endian AIFF branches decode exactly") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     def encode(pcm: Array[Byte], fmt: AudioFormat, frames: Int,
