@@ -1113,6 +1113,28 @@ object SparkEntry {
         ORDER BY phase""")
     }),
 
+    // t.colstats metadata table as literals (Iceberg table-stats surface):
+    // ANALYZE ... FOR ALL COLUMNS records ndv / null_count / min / max in
+    // the manifest; the metadata table replays them with zero data I/O.
+    // Cardinalities are tiny (<=25) so the HLL++ sketch sits in its exact
+    // sparse range — DuckDB's COUNT(DISTINCT) replays ndv precisely, and
+    // null_count/min/max are exact aggregates by construction.
+    "geo_colstats_meta" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geocsm", "geo_csm_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocsm.db")
+      s.sql("DROP TABLE IF EXISTS geocsm.db.cs")
+      s.sql("CREATE TABLE geocsm.db.cs (nat BIGINT, flag BIGINT, v BIGINT) USING geo")
+      s.sql("""INSERT INTO geocsm.db.cs
+               SELECT CAST(c_nationkey AS BIGINT), c_custkey % 3,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END
+               FROM customer""")
+      graft.tables.GeoSql.exec(s,
+        "ANALYZE TABLE geocsm.db.cs COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("SELECT column, ndv, null_count, min, max FROM geocsm.db.cs.colstats " +
+        "ORDER BY column")
+    }),
+
     // Write-audit-publish through branch refs (Iceberg branch +
     // fast_forward analog): stage odd customers on a branch — main reads
     // stay pinned to the evens — audit via VERSION AS OF 'branch', then
@@ -3005,6 +3027,63 @@ object SparkEntry {
       }
     }),
 
+    // Storage-partitioned join SURVIVING CoW DML: after a row-level
+    // DELETE rewrites order files and an UPDATE rewrites customer files,
+    // the same co-bucketed equi-join must STILL plan with zero Exchange
+    // under the join — require'd in-plan exactly as geo_spj. A DML writer
+    // that lost the bucket clustering (multi-valued rewritten files)
+    // would force a shuffle and fail the require; wrong surviving rows
+    // change the hash. The oracle replays DELETE+UPDATE as set algebra.
+    "geo_spj_dml" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geospjd", "geo_spjd_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geospjd.db")
+      s.sql("DROP TABLE IF EXISTS geospjd.db.cust")
+      s.sql("DROP TABLE IF EXISTS geospjd.db.ord")
+      val confs = Seq(
+        "spark.graft.write.rollMinRows" -> "1",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        s.sql("CREATE TABLE geospjd.db.cust (c_custkey BIGINT, c_nationkey BIGINT) " +
+          "USING geo PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO geospjd.db.cust SELECT c_custkey, c_nationkey FROM customer")
+        s.sql("CREATE TABLE geospjd.db.ord (o_custkey BIGINT, o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE) USING geo PARTITIONED BY (bucket(8, o_custkey))")
+        s.sql("INSERT INTO geospjd.db.ord " +
+          "SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders")
+        // CoW row-level DML on BOTH sides: files rewrite, clustering must hold
+        s.sql("DELETE FROM geospjd.db.ord WHERE o_orderkey % 10 = 0")
+        s.sql("UPDATE geospjd.db.cust SET c_nationkey = 99 WHERE c_custkey % 100 = 0")
+        val j = s.sql("""
+          SELECT c.c_nationkey, COUNT(*) AS n, SUM(o.o_orderkey) AS sum_ok,
+                 MAX(o.o_totalprice) AS max_price
+          FROM geospjd.db.cust c JOIN geospjd.db.ord o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")
+        val p0 = j.queryExecution.sparkPlan
+        val joins = p0.collect {
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }
+        require(joins.nonEmpty, s"no join in plan:\n$p0")
+        val underJoin = joins.flatMap(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        })
+        require(underJoin.isEmpty,
+          s"SPJ must survive CoW DML without re-shuffling the join inputs " +
+            s"(${underJoin.length} exchanges under the join):\n$p0")
+        val out = j.localCheckpoint()
+        lastMaterializedPlan = Some(j.queryExecution.executedPlan.toString)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Runtime file pruning END-TO-END (DPP / Iceberg runtime-filtering
     // analog): a fact geo table partitioned by nation key joins a
     // selectively-filtered dim; Spark's dynamic partition pruning hands
@@ -4839,6 +4918,39 @@ object SparkEntry {
              COUNT(*) AS n, CAST(SUM(CAST(o.o_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
              MAX(CAST(o.o_totalprice AS DOUBLE)) AS max_price
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY 1""",
+
+    // the recorded statistics are plain aggregates over the same rows
+    "geo_colstats_meta" -> """
+      WITH src AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(c_custkey % 3 AS BIGINT) AS flag,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE CAST(c_custkey % 5 AS BIGINT) END AS v
+        FROM customer)
+      SELECT 'flag' AS "column", COUNT(DISTINCT flag) AS ndv,
+             COUNT(*) FILTER (WHERE flag IS NULL) AS null_count,
+             MIN(flag) AS min, MAX(flag) AS max FROM src
+      UNION ALL
+      SELECT 'nat', COUNT(DISTINCT nat),
+             COUNT(*) FILTER (WHERE nat IS NULL), MIN(nat), MAX(nat) FROM src
+      UNION ALL
+      SELECT 'v', COUNT(DISTINCT v),
+             COUNT(*) FILTER (WHERE v IS NULL), MIN(v), MAX(v) FROM src
+      ORDER BY "column"""",
+
+    // DELETE drops every 10th order; UPDATE retags every 100th customer
+    "geo_spj_dml" -> """
+      WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 100 = 0 THEN 99
+                    ELSE CAST(c_nationkey AS BIGINT) END AS c_nationkey
+        FROM customer),
+      o AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT c.c_nationkey,
+             COUNT(*) AS n, CAST(SUM(CAST(o.o_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
+             MAX(CAST(o.o_totalprice AS DOUBLE)) AS max_price
+      FROM c JOIN o ON c.c_custkey = o.o_custkey
       GROUP BY 1 ORDER BY 1""",
 
     "geo_partitioned" -> """
