@@ -1135,6 +1135,42 @@ object SparkEntry {
         "ORDER BY column")
     }),
 
+    // Age-based snapshot expiry through the Iceberg CALL signature
+    // (expire_snapshots older_than): the cutoff is v2's OWN in-manifest
+    // commit timestamp, so exactly the history strictly older than v2
+    // expires — require'd in-query: v1 is unreadable afterwards, v2
+    // still time-travels. The oracle replays both surviving states.
+    "geo_expire_age" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geoexp", "geo_exp_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoexp.db")
+      s.sql("DROP TABLE IF EXISTS geoexp.db.ret")
+      s.sql("CREATE TABLE geoexp.db.ret (k BIGINT, nat BIGINT) USING geo")
+      (0 until 3).foreach { i =>
+        s.sql("INSERT INTO geoexp.db.ret SELECT c_custkey, c_nationkey FROM customer " +
+          s"WHERE c_custkey % 3 = $i")
+        Thread.sleep(5) // age cutoffs need strictly ordered commit timestamps
+      }
+      val root = s.conf.get("spark.sql.catalog.geoexp.warehouse") + "/db/ret"
+      val ts2 = graft.tables.GeoManifest.commitTsOf(s, root, 2)
+      require(graft.tables.GeoManifest.commitTsOf(s, root, 1) < ts2,
+        "commit timestamps must order strictly for an age-cutoff check")
+      val cut = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts2))
+      s.sql(s"CALL geoexp.system.expire_snapshots(table => 'db.ret', older_than => '$cut')")
+      require(scala.util.Try(
+        s.sql("SELECT COUNT(*) FROM geoexp.db.ret VERSION AS OF 1").collect()).isFailure,
+        "v1 must be expired by the age cutoff")
+      s.sql("""
+        SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM geoexp.db.ret
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(k) AS BIGINT)
+        FROM geoexp.db.ret VERSION AS OF 2
+        ORDER BY phase""")
+    }),
+
     // Write-audit-publish through branch refs (Iceberg branch +
     // fast_forward analog): stage odd customers on a branch — main reads
     // stay pinned to the evens — audit via VERSION AS OF 'branch', then
@@ -4919,6 +4955,15 @@ object SparkEntry {
              MAX(CAST(o.o_totalprice AS DOUBLE)) AS max_price
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       GROUP BY 1 ORDER BY 1""",
+
+    // phase 1 = everything (current); phase 2 = the first two thirds (v2)
+    "geo_expire_age" -> """
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS sum_k
+      FROM customer
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+      FROM customer WHERE c_custkey % 3 IN (0, 1)
+      ORDER BY phase""",
 
     // the recorded statistics are plain aggregates over the same rows
     "geo_colstats_meta" -> """

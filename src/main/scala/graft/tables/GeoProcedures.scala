@@ -94,8 +94,15 @@ object GeoProcedures {
           a.str("zorder").toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
           a.long("small_below_rows"))))
       case "expire_snapshots" => Some(new Proc(name, Array(
-          req("table", StringType), opt("retain_last", IntegerType)),
-        a => GeoVacuumCommand(table(a), a.int("retain_last"), "VERSIONS")))
+          // Iceberg's signature: age cutoff and/or count floor — a
+          // snapshot survives if it is fresh enough OR recent enough
+          req("table", StringType), opt("retain_last", IntegerType),
+          opt("older_than", StringType)),
+        a => a.str("older_than") match {
+          case Some(ts) =>
+            GeoExpireSnapshotsCommand(table(a), ts, a.int("retain_last"))
+          case None => GeoVacuumCommand(table(a), a.int("retain_last"), "VERSIONS")
+        }))
       case "remove_orphan_files" => Some(new Proc(name,
         Array(req("table", StringType)),
         // orphan sweep ONLY — never expires committed history (Iceberg's

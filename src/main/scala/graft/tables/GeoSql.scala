@@ -929,6 +929,23 @@ case class GeoVacuumCommand(name: String, keep: Option[Int],
   }
 }
 
+/** CALL expire_snapshots(older_than => 'ts'[, retain_last => n]) — the
+  * Iceberg signature over [[GeoTable.vacuumExpire]]: expire snapshots
+  * whose commit timestamp is older than the cutoff while always keeping
+  * the newest `retain_last` (union semantics). The timestamp literal
+  * parses through Spark's CAST exactly as TIMESTAMP AS OF reads do. */
+case class GeoExpireSnapshotsCommand(name: String, olderThan: String,
+                                     retainLast: Option[Int]) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val cutoff = spark.sql(s"SELECT CAST('$olderThan' AS TIMESTAMP)")
+      .head.getTimestamp(0)
+    require(cutoff != null, s"cannot parse timestamp '$olderThan'")
+    Seq(Row(GeoTable.vacuumExpire(spark, root,
+      Some(cutoff.getTime), retainLast).toLong))
+  }
+}
+
 /** RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts' (Delta
   * RESTORE / Iceberg rollback analog): commit a new version carrying the
   * target snapshot's data state — history preserved, O(1) data I/O.

@@ -460,13 +460,31 @@ object GeoTable {
    * window stops working — same contract as Iceberg's expire-snapshots.
    */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int =
+    vacuumExpire(spark, root, None, Some(keepVersions))
+
+  /** The one expiry engine (Iceberg expire_snapshots semantics): expire
+    * snapshots older than `cutoffMs` while ALWAYS retaining the newest
+    * `retainLast` — either selector alone works, together the kept set is
+    * the union (a snapshot survives if it is fresh enough OR recent
+    * enough). The current snapshot and ref'd snapshots always stay;
+    * [[vacuum]] and [[vacuumOlderThan]] are thin spellings of this. */
+  def vacuumExpire(spark: SparkSession, root: String,
+                   cutoffMs: Option[Long], retainLast: Option[Int]): Int =
     GeoManifest.withCommitLock(root) {
-      require(keepVersions >= 1, "vacuum must keep at least the current version")
+      require(cutoffMs.nonEmpty || retainLast.nonEmpty,
+        "expire needs older_than and/or retain_last")
+      retainLast.foreach(n => require(n >= 1,
+        "vacuum must keep at least the current version"))
       val cur = GeoManifest.read(spark, root).version
-      // the newest N of main's LINEAGE (ancestry walk, newest first) —
-      // a numeric window would miscount when branch commits interleave
-      // in the shared manifest number space
-      vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).take(keepVersions).toSet)
+      // the LINEAGE walk (newest first) — a numeric window would miscount
+      // when branch commits interleave in the shared manifest number space
+      val anc = GeoManifest.ancestry(spark, root, cur)
+      val byAge = cutoffMs.map(c => anc.filter { v =>
+        v == cur || GeoManifest.commitTsOf(spark, root, v) >= c
+      }).getOrElse(Seq.empty)
+      val byCount = retainLast.map(n => anc.take(n))
+        .getOrElse(if (cutoffMs.isDefined) Seq.empty else anc.take(1))
+      vacuum0(spark, root, (byAge ++ byCount).toSet + cur)
     }
 
   /** Iceberg remove_orphan_files analog: sweep data files referenced by
@@ -484,13 +502,7 @@ object GeoTable {
     * expire snapshots whose COMMIT timestamp is older than `cutoffMs`;
     * the current snapshot and ref'd snapshots always stay. */
   def vacuumOlderThan(spark: SparkSession, root: String, cutoffMs: Long): Int =
-    GeoManifest.withCommitLock(root) {
-      val cur = GeoManifest.read(spark, root).version
-      val fresh = GeoManifest.ancestry(spark, root, cur).filter { v =>
-        v == cur || GeoManifest.commitTsOf(spark, root, v) >= cutoffMs
-      }
-      vacuum0(spark, root, fresh.toSet)
-    }
+    vacuumExpire(spark, root, Some(cutoffMs), None)
 
   // under the commit lock: GC must not race an in-flight commit whose new
   // data/shard files are referenced by nothing until the pointer flips.

@@ -156,6 +156,35 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.wap")
   }
 
+  test("expire_snapshots older_than expires by age; retain_last floors the keep set") {
+    wh
+    def utc(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    spark.sql("DROP TABLE IF EXISTS geoc.db.exp")
+    spark.sql("CREATE TABLE geoc.db.exp (id BIGINT) USING geo")
+    for (i <- 0 until 3) {
+      spark.sql(s"INSERT INTO geoc.db.exp SELECT id FROM range(${i * 10}, ${i * 10 + 10})")
+      Thread.sleep(5) // commit timestamps must order strictly for the age legs
+    }
+    val ts2 = GeoManifest.commitTsOf(spark, root("exp"), 2)
+    assert(GeoManifest.commitTsOf(spark, root("exp"), 1) < ts2, "need distinct commit ts")
+    spark.sql(s"CALL geoc.system.expire_snapshots(table => 'db.exp', " +
+      s"older_than => '${utc(ts2)}')")
+    // v1 is older than the cutoff -> expired; v2 (== cutoff) and v3 survive
+    intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM geoc.db.exp VERSION AS OF 1").collect())
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.exp VERSION AS OF 2")
+      .head.getLong(0) == 20)
+    // age alone would expire EVERYTHING below; retain_last floors it at 2
+    spark.sql("CALL geoc.system.expire_snapshots(table => 'db.exp', " +
+      "older_than => '2100-01-01 00:00:00', retain_last => 2)")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.exp VERSION AS OF 2")
+      .head.getLong(0) == 20, "retain_last must keep the second-newest snapshot")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.exp").head.getLong(0) == 30)
+    spark.sql("DROP TABLE geoc.db.exp")
+  }
+
   test("set_current_snapshot moves the pointer by id or ref, exactly one of them") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.scs")
