@@ -104,11 +104,14 @@ object GeoProcedures {
           case None => GeoVacuumCommand(table(a), a.int("retain_last"), "VERSIONS")
         }))
       case "remove_orphan_files" => Some(new Proc(name,
-        Array(req("table", StringType)),
+        Array(req("table", StringType), opt("older_than", StringType)),
         // orphan sweep ONLY — never expires committed history (Iceberg's
         // remove_orphan_files contract; expire_snapshots is the verb that
-        // trims history)
-        a => GeoRemoveOrphanFilesCommand(table(a))))
+        // trims history). older_than pins an ABSOLUTE cutoff in place of
+        // the relative grace window: only orphans modified at or before
+        // it fall (Iceberg's default is now - 3 days; ours is the
+        // spark.graft.vacuum.orphanGraceMs window when omitted)
+        a => GeoRemoveOrphanFilesCommand(table(a), a.str("older_than"))))
       case "rollback_to_snapshot" => Some(new Proc(name, Array(
           // bigint like Iceberg's procedure — ancestors_of emits LongType
           // snapshot ids, so they must feed back into rollback unchanged

@@ -1140,9 +1140,16 @@ case class GeoSnapshotTableCommand(dest: String, source: String) extends GeoRunn
 
 /** Orphan-file sweep that never expires history (the CALL
   * remove_orphan_files target; see GeoTable.removeOrphanFiles). */
-case class GeoRemoveOrphanFilesCommand(name: String) extends GeoRunnable {
-  override def execute(spark: SparkSession): Seq[Row] =
-    Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name)).toLong))
+case class GeoRemoveOrphanFilesCommand(name: String,
+                                       olderThan: Option[String] = None) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val cutoff = olderThan.map { ts =>
+      val t = spark.sql(s"SELECT CAST('$ts' AS TIMESTAMP)").head.getTimestamp(0)
+      require(t != null, s"cannot parse timestamp '$ts'")
+      t.getTime
+    }
+    Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name), cutoff).toLong))
+  }
 }
 
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */

@@ -492,10 +492,15 @@ object GeoTable {
     * past the grace window — and NOTHING else. Every manifest in main's
     * lineage is kept, so committed history and time travel are untouched
     * (unlike [[vacuum]], which expires history). */
-  def removeOrphanFiles(spark: SparkSession, root: String): Int =
+  def removeOrphanFiles(spark: SparkSession, root: String,
+                        olderThanMs: Option[Long] = None): Int =
     GeoManifest.withCommitLock(root) {
       val cur = GeoManifest.read(spark, root).version
-      vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).toSet)
+      // `olderThanMs` (Iceberg's older_than) replaces the relative grace
+      // window with an absolute cutoff: only orphans last modified at or
+      // before it fall — same in-flight-writer protection, caller-pinned
+      vacuum0(spark, root, GeoManifest.ancestry(spark, root, cur).toSet,
+        orphanCutoffOverride = olderThanMs)
     }
 
   /** Age-based retention (Iceberg expire_snapshots older_than analog):
@@ -510,7 +515,8 @@ object GeoTable {
   // must be in it, ref'd snapshots (tags AND branch heads) are added —
   // they PIN their manifest and files regardless of the retention window
   // (Iceberg ref retention).
-  private def vacuum0(spark: SparkSession, root: String, keepSet: Set[Int]): Int = {
+  private def vacuum0(spark: SparkSession, root: String, keepSet: Set[Int],
+                      orphanCutoffOverride: Option[Long] = None): Int = {
     val fs = GeoManifest.fs(spark, root)
     val cur = GeoManifest.read(spark, root)
     require(keepSet.contains(cur.version), "vacuum must keep the current version")
@@ -561,7 +567,8 @@ object GeoTable {
       }
     val graceMs = spark.conf.getOption("spark.graft.vacuum.orphanGraceMs")
       .map(_.toLong).getOrElse(GeoTable.DefaultOrphanGraceMs)
-    val orphanCutoff = System.currentTimeMillis() - graceMs
+    val orphanCutoff = orphanCutoffOverride
+      .getOrElse(System.currentTimeMillis() - graceMs)
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     var removed = 0
     if (fs.exists(dataDir)) {

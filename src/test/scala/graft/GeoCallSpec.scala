@@ -99,6 +99,31 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.orph")
   }
 
+  test("remove_orphan_files older_than pins an absolute cutoff") {
+    wh
+    def utc(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    spark.sql("DROP TABLE IF EXISTS geoc.db.orph2")
+    spark.sql("CREATE TABLE geoc.db.orph2 (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.orph2 SELECT id FROM range(4)")
+    val fs = new org.apache.hadoop.fs.Path(root("orph2"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(root("orph2"), "data/cx/part-00000-x.parquet")
+    fs.mkdirs(orphan.getParent)
+    fs.create(orphan, true).close()
+    // a cutoff in the past spares the young orphan (it was modified later)
+    spark.sql("CALL geoc.system.remove_orphan_files(table => 'db.orph2', " +
+      "older_than => '2000-01-01 00:00:00')")
+    assert(fs.exists(orphan), "past cutoff must not sweep a younger orphan")
+    // a future cutoff catches it WITHOUT touching the grace-window conf
+    spark.sql("CALL geoc.system.remove_orphan_files(table => 'db.orph2', " +
+      s"older_than => '${utc(System.currentTimeMillis() + 3600000L)}')")
+    assert(!fs.exists(orphan), "absolute cutoff must sweep the orphan")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.orph2").head.getLong(0) == 4)
+    spark.sql("DROP TABLE geoc.db.orph2")
+  }
+
   test("ancestors_of returns the lineage newest-first as a real result set") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.anc")
