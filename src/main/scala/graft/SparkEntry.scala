@@ -298,6 +298,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stream-stream LEFT OUTER interval join, actually streamed: matched
+    // pairs emit eagerly; unmatched views must be HELD in state until a
+    // later-arriving flush file advances both watermarks past their join
+    // window, then emit null-extended (the outer-eviction path). The
+    // oracle is the plain batch LEFT JOIN — a dropped, duplicated, or
+    // never-flushed unmatched row changes n_unmatched for its user.
+    "stream_interval_join_outer" -> ((s, d) => {
+      prep(s, d)
+      val (sink, _, _) = runStreamOuterIntervalJoin(s)
+      sink.groupBy("user_id").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("buy_id")).as("n_matched"),
+          (count(lit(1)) - count(col("buy_id"))).as("n_unmatched"),
+          coalesce(sum(col("buy_id") - col("view_id")), lit(0L))
+            .cast("bigint").as("id_delta_sum"))
+        .orderBy("user_id")
+    }),
+
     // invariant oracle: every payload must produce a dim-16 feature vector
     // with non-zero norm (self-cosine 1 within fp tolerance) — verifies the
     // mapPartitions plumbing end-to-end without depending on stub values
@@ -5088,6 +5106,20 @@ object SparkEntry {
         AND b.us >= v.us AND b.us <= v.us + 3600000000
       GROUP BY v.user_id ORDER BY v.user_id""",
 
+    // batch replica of the streamed LEFT OUTER interval join: every view
+    // appears (matched n times or null-extended once)
+    "stream_interval_join_outer" -> """
+      WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'view'),
+           b AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS us
+                 FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id, COUNT(*) AS n_rows, COUNT(b.buy_id) AS n_matched,
+             COUNT(*) - COUNT(b.buy_id) AS n_unmatched,
+             CAST(COALESCE(SUM(b.buy_id - v.view_id), 0) AS BIGINT) AS id_delta_sum
+      FROM v LEFT JOIN b ON v.user_id = b.user_id
+        AND b.us >= v.us AND b.us <= v.us + 3600000000
+      GROUP BY v.user_id ORDER BY v.user_id""",
+
     // fingerprint invariant: a collision-free dedup key over normalized text
     "text_fingerprint" -> """
       SELECT COUNT(DISTINCT hash(norm)) AS n_fp, COUNT(DISTINCT norm) AS n_text
@@ -5260,6 +5292,53 @@ object SparkEntry {
     (s.table("ssj_sink"), (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
+  /** Stream-stream LEFT OUTER interval join engine: the same 4-file
+    * source wave as [[runStreamIntervalJoin]] plus a LATER-mtime flush
+    * file holding one far-future sentinel row per side. The file source
+    * processes files oldest-mtime-first, so the sentinel arrives last,
+    * advances BOTH watermarks past every view's join window, and the
+    * state store must then EMIT the unmatched views as null-extended
+    * rows — the outer-eviction path an inner join never exercises.
+    * Watermark delay = the data's full ts span, so no data row is ever
+    * late before the flush. Returns (sink, setupSec, streamSec). */
+  private def runStreamOuterIntervalJoin(s: SparkSession): (DataFrame, Double, Double) = {
+    import s.implicits._
+    val t0 = System.nanoTime()
+    val srcDir = java.nio.file.Files.createTempDirectory("ssoj_src").toString + "/files"
+    s.table("events").withColumn("b", col("event_id") % 4)
+      .repartition(4, col("b")).drop("b").write.parquet(srcDir)
+    val mm = s.table("events")
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long")).head
+    val spanSec = math.max(mm.getLong(1) - mm.getLong(0), 7200L) + 3700L
+    val flushTs = mm.getLong(1) + 2 * spanSec
+    Thread.sleep(15) // the flush wave must carry a strictly later mtime
+    Seq(("view", -101L), ("purchase", -102L)).toDF("event_type", "event_id")
+      .select(col("event_id"), timestamp_seconds(lit(flushTs)).as("ts"),
+        lit(-999L).as("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    s.catalog.dropTempView("ssoj_sink") // repeat-safe: bench runs twice
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(srcDir)
+    val views = src().where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val buys = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("bts"))
+    val t1 = System.nanoTime()
+    withShufflePartitions(s, 4) {
+      val q = graft.streaming.EventStreams.intervalJoin(views, buys,
+          "user_id", "vts", "bts", watermark = s"$spanSec seconds",
+          intervalSeconds = 3600, joinType = "left_outer")
+        .writeStream.format("memory").outputMode("append")
+        .queryName("ssoj_sink").start()
+      q.processAllAvailable(); q.stop()
+    }
+    val t2 = System.nanoTime()
+    (s.table("ssoj_sink").where(col("user_id") =!= -999L),
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
+
   /** The grid (partitioned-KNN) variants replay EXACTLY the SQL of their
     * broadcast twins: the partitioned path changes the plan shape, not a
     * single output double — that identity is the point of the query. */
@@ -5290,6 +5369,17 @@ object SparkEntry {
       sink.groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
           sum(col("buy_id") - col("view_id")).as("id_delta_sum"))
         .orderBy("user_id").collect()
+      val t1 = System.nanoTime()
+      Seq("setup" -> setup, "stream" -> stream, "agg" -> (t1 - t0) / 1e9)
+    }),
+    // same shape for the outer flavor: setup (source + flush-file write)
+    // vs the state machinery incl. the watermark-driven final eviction
+    "stream_interval_join_outer" -> ((s, d) => {
+      prep(s, d)
+      val (sink, setup, stream) = runStreamOuterIntervalJoin(s)
+      val t0 = System.nanoTime()
+      sink.groupBy("user_id").agg(count(lit(1)).as("n_rows"),
+          count(col("buy_id")).as("n_matched")).orderBy("user_id").collect()
       val t1 = System.nanoTime()
       Seq("setup" -> setup, "stream" -> stream, "agg" -> (t1 - t0) / 1e9)
     }),

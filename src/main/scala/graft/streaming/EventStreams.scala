@@ -146,14 +146,20 @@ object EventStreams {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    tsLeft: String, tsRight: String,
                    watermark: String = "10 minutes",
-                   intervalSeconds: Long = 60): DataFrame = {
+                   intervalSeconds: Long = 60,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsLeft, watermark)
     val r = right.withColumnRenamed(key, "__graft_rkey")
       .withWatermark(tsRight, watermark)
+    // outer flavors ride the same state machinery: matched pairs emit
+    // eagerly, unmatched left rows emit null-extended ONCE the watermark
+    // closes their join window (both sides watermarked + the time-range
+    // conjunct below are exactly Spark's outer-eviction preconditions)
     l.join(r,
         col(key) === col("__graft_rkey") &&
           col(tsRight) >= col(tsLeft) &&
-          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $intervalSeconds SECONDS"))
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $intervalSeconds SECONDS"),
+        joinType)
       .drop("__graft_rkey")
   }
 
