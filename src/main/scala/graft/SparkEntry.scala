@@ -298,6 +298,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Spark's NATIVE session_window, actually streamed: sessions stay
+    // open in state across micro-batches and only emit once the
+    // watermark (advanced by a later-arriving flush file) passes their
+    // close — then rolled up per user. Boundary semantics differ from
+    // the fmgws sessionizer ON PURPOSE (an event exactly gap after its
+    // predecessor STARTS a new session here, window half-open), so the
+    // oracle replays >= in microseconds — a ms-truncation or an
+    // off-by-one at the merge boundary changes session counts.
+    "sessionize_native_stream" -> ((s, d) => {
+      prep(s, d)
+      val (srcDir, spanSec) = writeEventsWaveWithFlush(s)
+      val schema = s.read.parquet(srcDir).schema
+      s.catalog.dropTempView("snw_sink")
+      val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", "2")
+        .parquet(srcDir).withWatermark("ts", s"$spanSec seconds")
+      withShufflePartitions(s, 4) {
+        val q = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").outputMode("append")
+          .queryName("snw_sink").start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table("snw_sink").where(col("user_id") =!= -999L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("bigint").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // stream-stream LEFT OUTER interval join, actually streamed: matched
     // pairs emit eagerly; unmatched views must be HELD in state until a
     // later-arriving flush file advances both watermarks past their join
@@ -5106,6 +5135,22 @@ object SparkEntry {
         AND b.us >= v.us AND b.us <= v.us + 3600000000
       GROUP BY v.user_id ORDER BY v.user_id""",
 
+    // native session_window semantics in microseconds: merge while the
+    // next event is STRICTLY inside [prev, prev+gap) — an event exactly
+    // gap later starts a new session (note >=, unlike the fmgws oracle)
+    "sessionize_native_stream" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      ), flagged AS (
+        SELECT user_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id ORDER BY user_id""",
+
     // batch replica of the streamed LEFT OUTER interval join: every view
     // appears (matched n times or null-extended once)
     "stream_interval_join_outer" -> """
@@ -5301,9 +5346,14 @@ object SparkEntry {
     * rows — the outer-eviction path an inner join never exercises.
     * Watermark delay = the data's full ts span, so no data row is ever
     * late before the flush. Returns (sink, setupSec, streamSec). */
-  private def runStreamOuterIntervalJoin(s: SparkSession): (DataFrame, Double, Double) = {
+  /** Write the 4-file events wave plus a LATER-mtime flush file (one
+    * far-future sentinel row per join side, user_id = -999). The file
+    * source processes files oldest-mtime-first, so the sentinel arrives
+    * last and advances watermarks past every data row's window. Returns
+    * (srcDir, spanSec): spanSec is the data's full ts span — the right
+    * watermark delay so no data row is ever late before the flush. */
+  private def writeEventsWaveWithFlush(s: SparkSession): (String, Long) = {
     import s.implicits._
-    val t0 = System.nanoTime()
     val srcDir = java.nio.file.Files.createTempDirectory("ssoj_src").toString + "/files"
     s.table("events").withColumn("b", col("event_id") % 4)
       .repartition(4, col("b")).drop("b").write.parquet(srcDir)
@@ -5317,6 +5367,12 @@ object SparkEntry {
         lit(-999L).as("user_id"), col("event_type"),
         lit(0.0).as("value"), lit("").as("props"))
       .coalesce(1).write.mode("append").parquet(srcDir)
+    (srcDir, spanSec)
+  }
+
+  private def runStreamOuterIntervalJoin(s: SparkSession): (DataFrame, Double, Double) = {
+    val t0 = System.nanoTime()
+    val (srcDir, spanSec) = writeEventsWaveWithFlush(s)
     val schema = s.read.parquet(srcDir).schema
     s.catalog.dropTempView("ssoj_sink") // repeat-safe: bench runs twice
     def src() = s.readStream.schema(schema)
