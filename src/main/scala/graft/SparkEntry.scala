@@ -844,6 +844,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ExactSubstr-style duplicated-SPAN detection (within-document
+    // granularity doc-level near-dup misses): 50-char windows sampled
+    // every 10 chars; windows whose exact text recurs across >= 2 docs
+    // flag a span. Per-doc rollup (flagged window count + first flagged
+    // offset) — a stride drift, off-by-one window, or hash-collision
+    // false positive changes counts or offsets. Pure string algebra, so
+    // DuckDB replays the whole rule.
+    "dedup_exact_substr" -> ((s, d) => {
+      prep(s, d)
+      graft.ops.Dedup.exactSubstrWindows(s.table("documents"),
+          col("doc_id"), col("text"), window = 50, stride = 10, minDocs = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_windows"),
+          min("pos").cast("bigint").as("first_pos"))
+        .orderBy("doc_id")
+    }),
+
     // Iceberg-style SQL time travel through the DSv2 catalog: two inserts
     // produce snapshots 1 and 2; VERSION AS OF must see exactly the rows
     // committed at each version (counts + key sums, replayed from the
@@ -3935,6 +3952,18 @@ object SparkEntry {
     // boilerplate replay: same seeding, same >= minDocs distinct-doc rule
     // with the length floor, same positional rebuild (string_agg ORDER BY
     // the zipped unnest ordinal)
+    // full replay of the window sampling + cross-doc recurrence rule
+    "dedup_exact_substr" -> """
+      WITH w AS (
+        SELECT doc_id, p AS pos, substring(text, CAST(p + 1 AS INT), 50) AS win
+        FROM documents,
+             LATERAL unnest(range(0, greatest(length(text) - 50 + 1, 0), 10)) AS t(p)
+        WHERE length(text) >= 50),
+      flagged AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT doc_id, COUNT(*) AS n_dup_windows, CAST(MIN(pos) AS BIGINT) AS first_pos
+      FROM w JOIN flagged USING (win)
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "dedup_boilerplate_lines" -> """
       WITH seeded AS (
         SELECT doc_id,

@@ -333,4 +333,41 @@ object Dedup {
         coalesce(c("n_kept"), lit(0L)).as("n_kept"),
         (c("n_lines") - coalesce(c("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /**
+   * ExactSubstr-style duplicated-SPAN detection (the within-document
+   * granularity of Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better" — doc-level near-dup misses a boilerplate
+   * paragraph pasted into thousands of otherwise-unique pages): sample a
+   * `window`-char window every `stride` chars; a window whose exact text
+   * occurs in >= `minDocs` DISTINCT documents flags a duplicated span.
+   *
+   * Scale shape: one explode (rows x windows-per-doc), one equi-shuffle
+   * on the window text, one count-distinct, one semi-join back — the
+   * same banded equi-join family as MinHash LSH, no all-pairs pass. The
+   * grouping key is the exact window text (not a hash), so a collision
+   * can never flag a false span; stride trades recall for volume exactly
+   * like the paper's suffix-array sampling.
+   *
+   * @return (doc_id, pos, win) — every sampled window inside a duplicated span
+   */
+  def exactSubstrWindows(df: DataFrame, id: Column, text: Column,
+                         window: Int = 50, stride: Int = 10,
+                         minDocs: Int = 2): DataFrame = {
+    require(window > 0 && stride > 0 && minDocs >= 2)
+    val c = org.apache.spark.sql.functions.col _
+    val w = df
+      .select(id.cast("long").as("doc_id"), text.as("__t"))
+      .where(length(c("__t")) >= window)
+      .select(c("doc_id"), explode(expr(
+        s"transform(sequence(0, length(__t) - $window, $stride), " +
+          s"p -> struct(p AS pos, substring(__t, p + 1, $window) AS win))")).as("w"))
+      .select(c("doc_id"), c("w.pos").as("pos"), c("w.win").as("win"))
+    val flagged = w.groupBy("win")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .where(c("__nd") >= minDocs)
+      .select("win")
+    w.join(flagged, Seq("win"), "left_semi")
+      .select(c("doc_id"), c("pos"), c("win"))
+  }
 }

@@ -36,6 +36,33 @@ class OpsSpec extends SparkSpec {
     assert(out(1)._2.endsWith("ok"))
   }
 
+  test("exactSubstrWindows flags shared spans at sampled offsets, exact text only") {
+    // doc 1 and 2 share a 60-char paragraph at DIFFERENT offsets; doc 3 is
+    // unique; doc 4 is shorter than the window and must not explode
+    val para = "x" * 26 + "shared paragraph body here" + "y" * 8 // 60 chars
+    val fx = Seq(
+      (1L, "AAAA" + para + "tail one"),            // para at pos 4
+      (2L, para + "completely different tail"),    // para at pos 0
+      (3L, "z" * 80),                              // unique long doc
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrWindows(fx, col("doc_id"), col("text"),
+        window = 20, stride = 2, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet == Set(1L, 2L), s"flagged docs: ${out.map(_._1).toSet}")
+    // every flagged window really is a 20-char substring present in BOTH docs
+    val t1 = "AAAA" + para + "tail one"
+    val t2 = para + "completely different tail"
+    out.foreach { case (id, pos, win) =>
+      val src = if (id == 1L) t1 else t2
+      assert(src.substring(pos, pos + 20) == win, s"offset drift at $id/$pos")
+      assert(t1.contains(win) && t2.contains(win), s"non-shared window flagged: $win")
+    }
+    // doc 3's windows ('zzzz…') recur WITHIN the doc but not across docs
+    assert(!out.exists(_._1 == 3L), "within-doc recurrence must not flag")
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(docs, col("doc_id"), col("text"))
     assert(groups.count() == 4)
