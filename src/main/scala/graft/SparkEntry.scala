@@ -1121,8 +1121,9 @@ object SparkEntry {
       val q = s.sql("SELECT k, nat FROM geoinp.db.ip WHERE k IN (3, 5, 17, 23, 41) ORDER BY k")
       val root = s.conf.get("spark.sql.catalog.geoinp.warehouse") + "/db/ip"
       val total = graft.tables.GeoManifest.read(s, root).files.count(_.rows > 0)
-      val scanned = graft.tables.GeoCowScan.collectIn(q.queryExecution.executedPlan)
-        .map(_.scannedFiles.count(_.rows > 0)).min
+      val scans = graft.tables.GeoCowScan.collectIn(q.queryExecution.executedPlan)
+      require(scans.nonEmpty, "no GeoCowScan in the executed plan")
+      val scanned = scans.map(_.scannedFiles.count(_.rows > 0)).min
       require(total > 1 && scanned == 1,
         s"IN set within one truncate bucket must scan exactly 1 file: $scanned of $total")
       q
@@ -1180,9 +1181,11 @@ object SparkEntry {
     // t.colstats metadata table as literals (Iceberg table-stats surface):
     // ANALYZE ... FOR ALL COLUMNS records ndv / null_count / min / max in
     // the manifest; the metadata table replays them with zero data I/O.
-    // Cardinalities are tiny (<=25) so the HLL++ sketch sits in its exact
-    // sparse range — DuckDB's COUNT(DISTINCT) replays ndv precisely, and
-    // null_count/min/max are exact aggregates by construction.
+    // null_count/min/max are exact aggregates -> DuckDB replays them
+    // bit-for-bit. ndv is an HLL++ ESTIMATE (approx_count_distinct) whose
+    // value at any cardinality can sit one register collision off the
+    // exact count — so it is gated IN-QUERY against the default 5% rsd
+    // (with a +-1 floor) rather than hash-compared.
     "geo_colstats_meta" -> ((s, d) => {
       prep(s, d)
       ensureGeoCatalog(s, "geocsm", "geo_csm_wh")
@@ -1195,7 +1198,16 @@ object SparkEntry {
                FROM customer""")
       graft.tables.GeoSql.exec(s,
         "ANALYZE TABLE geocsm.db.cs COMPUTE STATISTICS FOR ALL COLUMNS")
-      s.sql("SELECT column, ndv, null_count, min, max FROM geocsm.db.cs.colstats " +
+      val exact = s.sql("""SELECT COUNT(DISTINCT nat), COUNT(DISTINCT flag),
+        COUNT(DISTINCT v) FROM geocsm.db.cs""").head
+      val want = Map("nat" -> exact.getLong(0), "flag" -> exact.getLong(1),
+        "v" -> exact.getLong(2))
+      s.sql("SELECT column, ndv FROM geocsm.db.cs.colstats").collect().foreach { r =>
+        val (c, ndv, ex) = (r.getString(0), r.getLong(1), want(r.getString(0)))
+        require(math.abs(ndv - ex) <= math.max(1L, math.round(0.05 * ex)),
+          s"recorded ndv for '$c' ($ndv) outside the 5% sketch envelope of $ex")
+      }
+      s.sql("SELECT column, null_count, min, max FROM geocsm.db.cs.colstats " +
         "ORDER BY column")
     }),
 
@@ -1219,9 +1231,7 @@ object SparkEntry {
       val ts2 = graft.tables.GeoManifest.commitTsOf(s, root, 2)
       require(graft.tables.GeoManifest.commitTsOf(s, root, 1) < ts2,
         "commit timestamps must order strictly for an age-cutoff check")
-      val cut = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
-        .format(java.time.Instant.ofEpochMilli(ts2))
+      val cut = graft.tables.GeoSql.formatUtcMillis(ts2)
       s.sql(s"CALL geoexp.system.expire_snapshots(table => 'db.ret', older_than => '$cut')")
       require(scala.util.Try(
         s.sql("SELECT COUNT(*) FROM geoexp.db.ret VERSION AS OF 1").collect()).isFailure,
@@ -5041,7 +5051,8 @@ object SparkEntry {
       FROM customer WHERE c_custkey % 3 IN (0, 1)
       ORDER BY phase""",
 
-    // the recorded statistics are plain aggregates over the same rows
+    // the exact recorded statistics (ndv is sketch-gated in-query, not
+    // hash-compared) are plain aggregates over the same rows
     "geo_colstats_meta" -> """
       WITH src AS (
         SELECT CAST(c_nationkey AS BIGINT) AS nat,
@@ -5049,14 +5060,14 @@ object SparkEntry {
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE CAST(c_custkey % 5 AS BIGINT) END AS v
         FROM customer)
-      SELECT 'flag' AS "column", COUNT(DISTINCT flag) AS ndv,
+      SELECT 'flag' AS "column",
              COUNT(*) FILTER (WHERE flag IS NULL) AS null_count,
              MIN(flag) AS min, MAX(flag) AS max FROM src
       UNION ALL
-      SELECT 'nat', COUNT(DISTINCT nat),
+      SELECT 'nat',
              COUNT(*) FILTER (WHERE nat IS NULL), MIN(nat), MAX(nat) FROM src
       UNION ALL
-      SELECT 'v', COUNT(DISTINCT v),
+      SELECT 'v',
              COUNT(*) FILTER (WHERE v IS NULL), MIN(v), MAX(v) FROM src
       ORDER BY "column"""",
 
@@ -5366,15 +5377,6 @@ object SparkEntry {
     (s.table("ssj_sink"), (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
-  /** Stream-stream LEFT OUTER interval join engine: the same 4-file
-    * source wave as [[runStreamIntervalJoin]] plus a LATER-mtime flush
-    * file holding one far-future sentinel row per side. The file source
-    * processes files oldest-mtime-first, so the sentinel arrives last,
-    * advances BOTH watermarks past every view's join window, and the
-    * state store must then EMIT the unmatched views as null-extended
-    * rows — the outer-eviction path an inner join never exercises.
-    * Watermark delay = the data's full ts span, so no data row is ever
-    * late before the flush. Returns (sink, setupSec, streamSec). */
   /** Write the 4-file events wave plus a LATER-mtime flush file (one
     * far-future sentinel row per join side, user_id = -999). The file
     * source processes files oldest-mtime-first, so the sentinel arrives
@@ -5399,6 +5401,11 @@ object SparkEntry {
     (srcDir, spanSec)
   }
 
+  /** Stream-stream LEFT OUTER interval join engine over the flush-file
+    * wave: the sentinel advances BOTH watermarks past every view's join
+    * window, so the state store must EMIT the unmatched views as
+    * null-extended rows — the outer-eviction path an inner join never
+    * exercises. Returns (sink, setupSec, streamSec). */
   private def runStreamOuterIntervalJoin(s: SparkSession): (DataFrame, Double, Double) = {
     val t0 = System.nanoTime()
     val (srcDir, spanSec) = writeEventsWaveWithFlush(s)

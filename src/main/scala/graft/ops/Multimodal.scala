@@ -280,8 +280,12 @@ object Multimodal {
     * Always a multiple of 256 and < 2^15, so `amp/32768` is exactly
     * representable in Float32 — the whole decode→embed→cosine path stays
     * in exact dyadic arithmetic (see [[syntheticWavPattern]]). */
-  def patternAmp(id: Long, b: Int): Int =
+  def patternAmp(id: Long, b: Int): Int = {
+    // signed % would return a NEGATIVE amplitude for id < 0 and silently
+    // break the exact decode contract (decodeAudio takes |sample|)
+    require(id >= 0 && b >= 0, s"patternAmp needs non-negative id/b: $id/$b")
     256 * (4 + ((31 * id + 17 * b) % 64)).toInt
+  }
 
   /** Deterministic WAV fixture for the END-TO-END multimodal→ANN oracle:
     * mono PCM16, `frames` split into `bins` equal segments (`frames` must

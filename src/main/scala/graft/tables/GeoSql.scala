@@ -138,6 +138,26 @@ object GeoSql {
         SparkSession.getActiveSession.exists(s =>
           GeoManifest.currentVersion(s, root).isDefined)))
 
+  /** Parse a timestamp literal through Spark's own CAST, so every SQL
+    * timestamp form and the session timezone behave exactly as
+    * TIMESTAMP AS OF reads do. Quotes are escaped, so a stray `'` in the
+    * input yields the named cannot-parse error instead of a confusing
+    * SQL parse failure inside the probe query. Epoch milliseconds. */
+  private[tables] def parseTimestampMs(spark: SparkSession, ts: String): Long = {
+    val t = spark.sql(s"SELECT CAST('${ts.replace("'", "''")}' AS TIMESTAMP)")
+      .head.getTimestamp(0)
+    require(t != null, s"cannot parse timestamp '$ts'")
+    t.getTime
+  }
+
+  /** The inverse convention for builder-authored cutoffs: epoch millis
+    * rendered in UTC with millisecond precision — the one formatting the
+    * older_than procedure surface round-trips through [[parseTimestampMs]]
+    * on UTC sessions. */
+  def formatUtcMillis(ms: Long): String = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    .format(java.time.Instant.ofEpochMilli(ms))
+
   private[tables] def rootOf(name: String): String = resolveRoot(name).getOrElse(
     throw new IllegalArgumentException(s"'$name' is not a geo table"))
 
@@ -936,14 +956,9 @@ case class GeoVacuumCommand(name: String, keep: Option[Int],
   * parses through Spark's CAST exactly as TIMESTAMP AS OF reads do. */
 case class GeoExpireSnapshotsCommand(name: String, olderThan: String,
                                      retainLast: Option[Int]) extends GeoRunnable {
-  override def execute(spark: SparkSession): Seq[Row] = {
-    val root = GeoSql.rootOf(name)
-    val cutoff = spark.sql(s"SELECT CAST('$olderThan' AS TIMESTAMP)")
-      .head.getTimestamp(0)
-    require(cutoff != null, s"cannot parse timestamp '$olderThan'")
-    Seq(Row(GeoTable.vacuumExpire(spark, root,
-      Some(cutoff.getTime), retainLast).toLong))
-  }
+  override def execute(spark: SparkSession): Seq[Row] =
+    Seq(Row(GeoTable.vacuumExpire(spark, GeoSql.rootOf(name),
+      Some(GeoSql.parseTimestampMs(spark, olderThan)), retainLast).toLong))
 }
 
 /** RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts' (Delta
@@ -956,11 +971,7 @@ case class GeoRestoreCommand(name: String, to: Either[Int, String]) extends GeoR
     val rows = to match {
       case Left(v) => GeoTable.restore(spark, root, v)
       case Right(ts) =>
-        // Spark evaluates the literal so every SQL timestamp form and the
-        // session timezone behave exactly as in TIMESTAMP AS OF reads
-        val cutoff = spark.sql(s"SELECT CAST('$ts' AS TIMESTAMP)").head.getTimestamp(0)
-        require(cutoff != null, s"cannot parse timestamp '$ts'")
-        GeoTable.restoreAsOf(spark, root, cutoff.getTime)
+        GeoTable.restoreAsOf(spark, root, GeoSql.parseTimestampMs(spark, ts))
     }
     GeoSql.refresh(spark, name, root)
     Seq(Row(rows))
@@ -1142,14 +1153,9 @@ case class GeoSnapshotTableCommand(dest: String, source: String) extends GeoRunn
   * remove_orphan_files target; see GeoTable.removeOrphanFiles). */
 case class GeoRemoveOrphanFilesCommand(name: String,
                                        olderThan: Option[String] = None) extends GeoRunnable {
-  override def execute(spark: SparkSession): Seq[Row] = {
-    val cutoff = olderThan.map { ts =>
-      val t = spark.sql(s"SELECT CAST('$ts' AS TIMESTAMP)").head.getTimestamp(0)
-      require(t != null, s"cannot parse timestamp '$ts'")
-      t.getTime
-    }
-    Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name), cutoff).toLong))
-  }
+  override def execute(spark: SparkSession): Seq[Row] =
+    Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name),
+      olderThan.map(GeoSql.parseTimestampMs(spark, _))).toLong))
 }
 
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */

@@ -482,8 +482,7 @@ object GeoTable {
       val byAge = cutoffMs.map(c => anc.filter { v =>
         v == cur || GeoManifest.commitTsOf(spark, root, v) >= c
       }).getOrElse(Seq.empty)
-      val byCount = retainLast.map(n => anc.take(n))
-        .getOrElse(if (cutoffMs.isDefined) Seq.empty else anc.take(1))
+      val byCount = retainLast.map(n => anc.take(n)).getOrElse(Seq.empty)
       vacuum0(spark, root, (byAge ++ byCount).toSet + cur)
     }
 

@@ -101,9 +101,7 @@ class GeoCallSpec extends SparkSpec {
 
   test("remove_orphan_files older_than pins an absolute cutoff") {
     wh
-    def utc(ms: Long): String = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochMilli(ms))
+    val utc = GeoSql.formatUtcMillis _
     spark.sql("DROP TABLE IF EXISTS geoc.db.orph2")
     spark.sql("CREATE TABLE geoc.db.orph2 (id BIGINT) USING geo")
     spark.sql("INSERT INTO geoc.db.orph2 SELECT id FROM range(4)")
@@ -183,9 +181,7 @@ class GeoCallSpec extends SparkSpec {
 
   test("expire_snapshots older_than expires by age; retain_last floors the keep set") {
     wh
-    def utc(ms: Long): String = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochMilli(ms))
+    val utc = GeoSql.formatUtcMillis _
     spark.sql("DROP TABLE IF EXISTS geoc.db.exp")
     spark.sql("CREATE TABLE geoc.db.exp (id BIGINT) USING geo")
     for (i <- 0 until 3) {
