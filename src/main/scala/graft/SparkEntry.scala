@@ -2122,6 +2122,25 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SemDedup (cluster-bucketed semantic dedup) end-to-end: same seeded
+    // near-dup construction as dedup_embedding_pairs; iters=0 pins the
+    // k-means centroids to vectors 0..7 so the oracle replays cluster
+    // assignment (argmax cosine, lowest cluster on ties) AND the greedy
+    // within-cluster drop set in closed form. A twin that lands in a
+    // DIFFERENT cluster than its source must KEEP (SemDedup's semantics:
+    // pairs never straddle clusters) — the oracle checks that boundary
+    // behavior too, not just the pair recall.
+    "cluster_semdedup" -> ((s, d) => {
+      prep(s, d)
+      val base = s.table("embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val pert = s.table("embeddings").select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.95D + 0.005D)").as("emb"))
+      graft.ops.Similarity.semDedup(base.union(pert), col("emb"), col("vec_id"),
+          k = 8, tau = 0.9, iters = 0)
+        .orderBy("vec_id")
+    }),
+
     // KNN-graph machinery under a verifiable contract: same seeded
     // construction as dedup_embedding_pairs (one cos>=0.999 twin per
     // vector, background <=0.62), k=1 — every seeded vector's nearest
@@ -3738,6 +3757,34 @@ object SparkEntry {
       FROM allv a JOIN allv b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
       ORDER BY id1, id2""",
+
+    // closed-form SemDedup replay: assignment = argmax cosine against the
+    // pinned seed centroids (vectors 0..7; lowest cluster wins ties, same
+    // as the Spark fold's strict >), drop = any smaller-id same-cluster
+    // row with cos >= tau
+    "cluster_semdedup" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           pert AS (SELECT vec_id + 100000 AS vec_id,
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * CAST(0.95 AS DOUBLE) + CAST(0.005 AS DOUBLE)) AS emb
+                    FROM embeddings),
+           allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+           seeds AS (SELECT vec_id AS cl, emb AS cemb FROM base WHERE vec_id < 8),
+           assign AS (
+             SELECT vec_id, emb, CAST(cl AS INT) AS cluster FROM (
+               SELECT v.vec_id, v.emb, s.cl,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                        ORDER BY list_cosine_similarity(v.emb, s.cemb) DESC, s.cl) AS rn
+               FROM allv v CROSS JOIN seeds s) t
+             WHERE rn = 1),
+           drops AS (
+             SELECT DISTINCT b.vec_id
+             FROM assign a JOIN assign b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9)
+      SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
+      FROM assign v LEFT JOIN drops d ON v.vec_id = d.vec_id
+      ORDER BY v.vec_id""",
 
     "ann_brute_top10" -> """
       SELECT vec_id, CAST(rn AS INT) AS rank FROM (

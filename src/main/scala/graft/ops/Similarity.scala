@@ -230,6 +230,59 @@ object Similarity {
     (assignClusters(base, centroids), centroids)
   }
 
+  /**
+   * SemDedup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup for
+   * web-scale corpora): k-means-cluster the embeddings, then drop any row
+   * whose cosine to a SMALLER-id row in the SAME cluster is >= `tau`
+   * (greedy by id: the smallest id of a duplicate CLIQUE survives; for a
+   * chain a~b~c with a!~c both b and c drop — compose [[Dedup.clusterPairs]]
+   * over the pair set when transitive keep-one-per-component is wanted).
+   * Pairwise
+   * work never leaves a cluster, and within a cluster candidates come from
+   * the same banded hyperplane LSH as [[cosineNearDupPairs]] with the
+   * cluster id prepended to the bucket key, so the join is bucketed both
+   * ways — no all-pairs pass at any scale. At corpus scale `k` grows with
+   * n to hold cluster populations bounded (the paper's regime); a pair
+   * that straddles a cluster boundary is NOT a SemDedup duplicate (both
+   * rows keep), exactly the paper's semantics.
+   *
+   * `iters = 0` pins the centroids to the first `k` vectors by id (no
+   * Lloyd's refinement) — fully deterministic, so the correctness oracle
+   * can replay assignment AND drop set in closed form; real runs pass
+   * `iters > 0` for balanced clusters.
+   *
+   * Returns (vec_id, cluster, keep).
+   */
+  def semDedup(df: DataFrame, vec: Column, id: Column, k: Int, tau: Double,
+               iters: Int = 3, bitsPerBand: Int = 16, bands: Int = 8): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    // assigned = (vec_id, __v, cluster); feeds the banded projection plus
+    // both exact-verify sides — persist for one scan, release before return
+    val assigned = kmeansAssign(df, vec, id, k, iters)._1.persist()
+    try {
+      val banded = assigned.select(c("cluster"), c("vec_id"),
+          posexplode(bandedSigs(c("__v"), bitsPerBand, bands)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__key")
+      val aSide = banded.select(c("cluster"), c("__band"), c("__key"), c("vec_id").as("id1"))
+      val bSide = banded.select(c("cluster").as("__cl2"), c("__band").as("__band2"),
+        c("__key").as("__key2"), c("vec_id").as("id2"))
+      val cands = aSide.join(bSide,
+          aSide("cluster") === bSide("__cl2") && c("__band") === c("__band2") &&
+            c("__key") === c("__key2") && c("id1") < c("id2"))
+        .select("id1", "id2").distinct()
+      val v1 = assigned.select(c("vec_id").as("id1"), c("__v").as("__v1"))
+      val v2 = assigned.select(c("vec_id").as("id2"), c("__v").as("__v2"))
+      // id2 > id1 by construction: id2 is the member that drops
+      val drops = cands.join(v1, "id1").join(v2, "id2")
+        .where(cosine(c("__v1"), c("__v2")) >= tau)
+        .select(c("id2").as("vec_id")).distinct()
+      assigned.select(c("vec_id"), c("cluster"))
+        .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+        .select(c("vec_id"), c("cluster"), coalesce(!c("__drop"), lit(true)).as("keep"))
+        .localCheckpoint()
+    } finally assigned.unpersist(blocking = false)
+  }
+
   private def assignClusters(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val cents = typedlit(centroids.map(_.toSeq).toSeq)
     // argmax cosine over the (small, literal) centroid array via an

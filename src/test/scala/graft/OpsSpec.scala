@@ -208,6 +208,34 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((3L, 100L)), s"expected (3,100) in $pairs")
   }
 
+  test("semDedup: within-cluster duplicates drop greedily, cross-cluster twins keep") {
+    // two well-separated directions (clusters) with a duplicate clique in
+    // each (scaled copies — cosine is scale-invariant, so clique cosine is
+    // exactly 1.0 and LSH recall is guaranteed) plus one non-dup loner per
+    // cluster (cos to its clique ~0.92, below tau=0.95).
+    val x = Array(1.0f, 0.0f, 0.05f, 0.0f)
+    val y = Array(0.0f, 1.0f, 0.0f, 0.05f)
+    def scale(v: Array[Float], s: Float) = v.map(_ * s)
+    val emb = Seq(
+      0L -> x, 1L -> scale(x, 1.01f), 2L -> scale(x, 0.99f), // x-clique
+      10L -> y, 11L -> scale(y, 1.02f),                      // y-clique
+      20L -> Array(0.7f, 0.3f, 0.05f, 0.0f),                 // x-cluster loner
+      21L -> Array(0.3f, 0.7f, 0.0f, 0.05f)                  // y-cluster loner
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, col("embedding"), col("vec_id"),
+        k = 2, tau = 0.95, iters = 3, bitsPerBand = 4, bands = 16)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    val keep = out.filter(_._3).map(_._1).toSet
+    val drop = out.filterNot(_._3).map(_._1).toSet
+    assert(keep == Set(0L, 10L, 20L, 21L), s"keep set was $keep")
+    assert(drop == Set(1L, 2L, 11L), s"drop set was $drop")
+    // scaled copies must co-cluster with their source
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(0L) == byId(1L) && byId(1L) == byId(2L))
+    assert(byId(10L) == byId(11L))
+    assert(byId(20L) != byId(21L), "loners should sit in different clusters")
+  }
+
   test("banded LSH candidate volume grows ~linearly with corpus size") {
     // each vector gets exactly one seeded near-dup (scaled copy); the rest
     // are pseudo-random. If banding works, candidates track the number of
