@@ -2347,6 +2347,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Okapi BM25 end-to-end: posting filter -> tf/df aggregations ->
+    // idf/length-normalized scoring -> top-k. Rank-only output (scores
+    // are doubles whose last ulp may differ across engines); the rank-10
+    // vs rank-11 score gap at every verify SF is ~1e-2, far above FP
+    // noise, and exact score ties (same tf vector + doc length) resolve
+    // identically in both engines via the doc_id tiebreak.
+    "text_bm25_topk" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.TextAnalysis.bm25TopK(s.table("documents"), col("doc_id"), col("text"),
+          query = Seq("spark", "customer", "merge"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // invariant oracle: the 64-bit fingerprint is a dedup key — distinct
     // fingerprints must equal distinct whitespace-normalized texts (the
     // hash value itself is engine-specific xxhash64, checked by spec)
@@ -4714,6 +4731,28 @@ object SparkEntry {
                   WHEN h_en = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'en'
                   ELSE 'de' END AS pred_lang
       FROM h ORDER BY doc_id""",
+
+    // exact BM25 replay: same +1-idf Okapi formulation, rank-only output
+    // (see the query comment for the FP-robustness argument)
+    "text_bm25_topk" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+                    FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                  WHERE term IN ('spark','customer','merge') GROUP BY doc_id, term),
+           dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           scored AS (
+             SELECT t.doc_id,
+                    sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+                        (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+             FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+                  CROSS JOIN stats s
+             GROUP BY t.doc_id)
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scored) t
+      WHERE rn <= 10 ORDER BY rn""",
 
     "text_quality_components" -> """
       SELECT doc_id,

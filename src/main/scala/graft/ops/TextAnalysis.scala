@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,4 +70,41 @@ object TextAnalysis {
   /** 64-bit content fingerprint of normalized text (case/space folded). */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), """\s+""", " "))
+
+  /**
+   * Okapi BM25 top-k: rank every document against a bag-of-words query
+   * (Robertson et al., TREC-3; the k1/b formulation with the +1 idf that
+   * never goes negative). Returns the k best (doc_id, score), ordered by
+   * score desc then doc_id.
+   *
+   * Distributed shape: tokenize → explode → FILTER TO QUERY TERMS before
+   * any shuffle (the aggregations see only matching postings, never a
+   * full inverted index); tf per (doc, term) and df per term are each one
+   * aggregation over that filtered frame; corpus N and avgdl ride a
+   * broadcast single-row aggregate (no driver action, no collect). The
+   * final top-k is orderBy+limit — Spark's TakeOrderedAndProject, a
+   * per-partition k-heap, no global sort.
+   */
+  def bm25TopK(df: DataFrame, id: Column, text: Column, query: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    val c = col _
+    val docs = df.select(id.as("doc_id"), size(tokens(text)).as("dl"),
+      tokens(text).as("__toks"))
+    val stats = docs.agg(count(lit(1)).as("n"), avg(c("dl")).as("avgdl"))
+    val posted = docs.select(c("doc_id"), c("dl"), explode(c("__toks")).as("term"))
+      .where(c("term").isin(query: _*))
+    val tf = posted.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(c("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (c("n") - c("df") + 0.5) / (c("df") + 0.5)) *
+          c("tf") * (k1 + 1.0) /
+          (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / c("avgdl"))))
+      .groupBy("doc_id").agg(sum(c("__w")).as("score"))
+      .orderBy(c("score").desc, c("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -539,6 +539,21 @@ class OpsSpec extends SparkSpec {
     docs.cache() // restore the fixture for any later test
   }
 
+  test("bm25: tf, idf, and length normalization order documents correctly") {
+    val docs = Seq(
+      (0L, "alpha beta beta common common common common"), // alpha + 2x beta, short
+      (1L, "alpha common x y z w q r s t u v"),            // 1 alpha, long -> penalized
+      (2L, "beta common common"),                          // 1 beta, shortest
+      (3L, "common common common")                         // no query terms -> no row
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        query = Seq("alpha", "beta"), k = 10)
+      .select("doc_id").as[Long].collect()
+    // alpha and beta have equal df(=2) hence equal idf; doc0 wins on tf,
+    // doc2 beats doc1 purely on length normalization (same tf, same idf)
+    assert(top.toSeq == Seq(0L, 2L, 1L), s"order was ${top.toSeq}")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("id", "t")
