@@ -1275,6 +1275,36 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // Cherry-pick (Iceberg cherrypick_snapshot): stage an append on a
+    // branch, let MAIN advance past the fork point — the divergence
+    // publish/fast_forward refuses — then CALL cherrypick_snapshot with
+    // the staged snapshot id: the staged files re-sequence onto the
+    // advanced head with zero data copied. Phase 1 pins main's interim
+    // state (pick not yet applied), phase 2 the post-pick union; the
+    // oracle replays both as set algebra over the insert predicates.
+    "geo_cherrypick" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geocp", "geo_cp_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocp.db")
+      s.sql("DROP TABLE IF EXISTS geocp.db.cp")
+      s.sql("CREATE TABLE geocp.db.cp (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geocp.db.cp SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 0") // v1
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geocp.db.cp CREATE BRANCH stage")
+      s.sql("INSERT INTO geocp.db.cp.branch_stage " +
+        "SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 1") // staged (branch head)
+      // bounded metadata read: the staged snapshot id from t.refs
+      val staged = s.sql(
+        "SELECT version FROM geocp.db.cp.refs WHERE name = 'stage' AND type = 'BRANCH'")
+        .head.getAs[Number](0).longValue
+      s.sql("INSERT INTO geocp.db.cp SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 2") // main advances
+      val phase1 = s.sql(
+        "SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM geocp.db.cp")
+      s.sql(s"CALL geocp.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $staged)")
+      phase1.unionAll(s.sql(
+        "SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM geocp.db.cp"))
+        .orderBy("phase")
+    }),
+
     // Named snapshot refs (Iceberg tag analog): tag v1, mutate twice,
     // read through VERSION AS OF 'tag', then RESTORE from the tag. The
     // oracle replays the phases as set algebra over the DML predicates —
@@ -4175,6 +4205,18 @@ object SparkEntry {
       SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       UNION ALL
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
+      ORDER BY phase""",
+
+    // cherry-pick reduces to set algebra: phase 1 = thirds {0,2} (main
+    // advanced past the fork, staged third {1} NOT visible), phase 2 =
+    // the full table once the staged append is picked onto the new head
+    "geo_cherrypick" -> """
+      WITH pre AS (SELECT c_custkey AS id FROM customer
+                   WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 2),
+           al AS (SELECT c_custkey AS id FROM customer)
+      SELECT 1 AS phase, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM pre
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       ORDER BY phase""",
 
     // refs reduce to set algebra: the tag pins the even-key snapshot,

@@ -67,8 +67,8 @@ object GeoProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("add_files", "ancestors_of", "create_tag",
-    "expire_snapshots", "fast_forward", "publish_changes",
+  val names: Seq[String] = Seq("add_files", "ancestors_of", "cherrypick_snapshot",
+    "create_tag", "expire_snapshots", "fast_forward", "publish_changes",
     "remove_orphan_files", "rewrite_data_files",
     "rollback_to_snapshot", "rollback_to_timestamp",
     "set_current_snapshot", "snapshot")
@@ -167,6 +167,13 @@ object GeoProcedures {
           case _ => throw new IllegalArgumentException(
             "set_current_snapshot takes exactly one of snapshot_id / ref")
         }))
+      // apply a staged snapshot's append delta onto a head that has
+      // ADVANCED since (the case publish/fast_forward refuses); Iceberg's
+      // append-only cherry-pick restriction is enforced by the verb
+      case "cherrypick_snapshot" => Some(new Proc(name, Array(
+          req("table", StringType), req("snapshot_id", LongType)),
+        a => GeoCherrypickCommand(table(a), version(a.long("snapshot_id").getOrElse(
+          throw new IllegalArgumentException("snapshot_id must not be NULL"))))))
       case "create_tag" => Some(new Proc(name, Array(
           req("table", StringType), req("tag", StringType),
           opt("snapshot_id", LongType)),

@@ -1040,6 +1040,19 @@ case class GeoBranchCommand(name: String, branch: String, op: String)
   }
 }
 
+/** CALL cherrypick_snapshot target: apply a staged snapshot's append
+  * delta onto the (possibly advanced) current head — see
+  * [[GeoTable.cherrypickSnapshot]]. Returns the new main version. */
+case class GeoCherrypickCommand(name: String, snapshotId: Int)
+  extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val v = GeoTable.cherrypickSnapshot(spark, root, snapshotId)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(v.toLong))
+  }
+}
+
 /** DROP TABLE on a registered geo table: unregister + delete the root dir.
   * Unregistered names never reach here (maybeCommand guards), so plain
   * Spark tables still go through Spark's own DROP. */

@@ -754,6 +754,56 @@ object GeoTable {
       b.head
     }
 
+  /**
+   * Cherry-pick (Iceberg `cherrypick_snapshot`): apply snapshot `v`'s
+   * APPEND delta — the files it added relative to its own lineage
+   * parent — onto the CURRENT head as a new commit. Unlike publish
+   * (fast-forward), main may have advanced since `v` was staged; that is
+   * the point. Iceberg's restriction applies here too: only snapshots
+   * that purely ADD data files can be cherry-picked — one that removed
+   * files or minted delete sidecars is refused, because its row-level
+   * effects cannot be replayed safely onto a moved base. The picked
+   * files RE-SEQUENCE (`addedAt` = the new version), so equality deletes
+   * committed between stage and pick do not retroactively apply to them
+   * (Iceberg's sequence-number reassignment rule). Zero-copy: only the
+   * manifest changes, the snapshot's data files are referenced as-is.
+   *
+   * @return the new main version
+   */
+  def cherrypickSnapshot(spark: SparkSession, root: String, v: Int): Int = {
+    val picked = GeoManifest.readVersion(spark, root, v)
+    val parentV = picked.parent.getOrElse(throw new IllegalArgumentException(
+      s"version $v of $root has no lineage parent — nothing to cherry-pick"))
+    val parent = GeoManifest.readVersion(spark, root, parentV)
+    def keys(m: Manifest) = m.files.map(f => GeoManifest.norm(f.path)).toSet
+    val parentKeys = keys(parent)
+    require((parentKeys -- keys(picked)).isEmpty &&
+        picked.deletes == parent.deletes && picked.eqDeletes == parent.eqDeletes,
+      s"cannot cherry-pick version $v of $root: only pure APPEND snapshots can " +
+        "be cherry-picked; this one removed files or changed delete sidecars")
+    val added = picked.files.filterNot(f => parentKeys(GeoManifest.norm(f.path)))
+    require(added.nonEmpty,
+      s"version $v of $root added no files over its parent $parentV — nothing to apply")
+    val head = GeoManifest.read(spark, root)
+    val headKeys = keys(head)
+    val dup = added.count(f => headKeys(GeoManifest.norm(f.path)))
+    require(dup == 0,
+      s"cannot cherry-pick version $v of $root: $dup of its added files are " +
+        "already referenced by the current version (already published or picked)")
+    require(head.schema == picked.schema,
+      s"cannot cherry-pick version $v of $root: the table schema changed since it was staged")
+    require(head.specId == picked.specId,
+      s"cannot cherry-pick version $v of $root: the partition spec changed since it was staged")
+    // addedAt may undershoot the committed number if remapVersion slides
+    // past a concurrent branch commit — harmless: it only needs to exceed
+    // every eq-delete version already in `head` (all <= head.version)
+    val reseq = added.map(_.copy(addedAt = head.version + 1))
+    GeoManifest.commit(spark, root,
+      head.copy(version = head.version + 1, files = head.files ++ reseq),
+      head.version, op = "cherrypick")
+    GeoManifest.read(spark, root).version
+  }
+
   /** Create an empty table with the given (possibly GEOMETRY-tagged) schema. */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
                   geomCol: Option[String],

@@ -122,6 +122,40 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.orph2")
   }
 
+  test("cherrypick_snapshot applies a staged append onto an advanced head; refusals are loud") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geoc.db.cp")
+    spark.sql("CREATE TABLE geoc.db.cp (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.cp SELECT id FROM range(10)") // v1
+    GeoSql.exec(spark, "ALTER TABLE geoc.db.cp CREATE BRANCH stage")
+    spark.sql("INSERT INTO geoc.db.cp.branch_stage SELECT id FROM range(10, 20)") // staged
+    val staged = spark.sql(
+      "SELECT version FROM geoc.db.cp.refs WHERE name = 'stage'")
+      .head.getAs[Number](0).longValue
+    spark.sql("INSERT INTO geoc.db.cp SELECT id FROM range(20, 25)") // main advances
+    // publish refuses the divergence — cherry-pick is the verb for this
+    val ep = intercept[Exception](spark.sql(
+      "CALL geoc.system.publish_changes(table => 'db.cp', branch => 'stage')"))
+    assert(ep.getMessage.contains("moved"), ep.getMessage)
+    spark.sql(s"CALL geoc.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $staged)")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.cp").head.getLong(0) == 25)
+    assert(spark.sql("SELECT CAST(SUM(id) AS BIGINT) FROM geoc.db.cp").head.getLong(0)
+      == (0 until 25).sum.toLong)
+    // double-pick refused: the files are already referenced
+    val e1 = intercept[Exception](spark.sql(
+      s"CALL geoc.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $staged)"))
+    assert(e1.getMessage.contains("already referenced"), e1.getMessage)
+    // non-append snapshots refused: whichever path the DELETE takes
+    // (CoW rewrite, metadata-only file drop, or equality sidecar), its
+    // delta is not a pure file append
+    spark.sql("DELETE FROM geoc.db.cp WHERE id < 5")
+    val delV = GeoManifest.read(spark, root("cp")).version
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL geoc.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $delV)"))
+    assert(e2.getMessage.contains("APPEND"), e2.getMessage)
+    spark.sql("DROP TABLE geoc.db.cp")
+  }
+
   test("ancestors_of returns the lineage newest-first as a real result set") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.anc")
