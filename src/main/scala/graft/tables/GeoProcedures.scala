@@ -70,6 +70,7 @@ object GeoProcedures {
   val names: Seq[String] = Seq("add_files", "ancestors_of", "cherrypick_snapshot",
     "create_tag", "expire_snapshots", "fast_forward", "publish_changes",
     "remove_orphan_files", "rewrite_data_files",
+    "rewrite_position_delete_files",
     "rollback_to_snapshot", "rollback_to_timestamp",
     "set_current_snapshot", "snapshot")
 
@@ -112,6 +113,11 @@ object GeoProcedures {
         // it fall (Iceberg's default is now - 3 days; ours is the
         // spark.graft.vacuum.orphanGraceMs window when omitted)
         a => GeoRemoveOrphanFilesCommand(table(a), a.str("older_than"))))
+      // consolidate position-delete sidecars, never touching data files
+      // (Iceberg's verb has the same position-deletes-only scope)
+      case "rewrite_position_delete_files" => Some(new Proc(name,
+        Array(req("table", StringType)),
+        a => GeoRewriteDeletesCommand(table(a))))
       case "rollback_to_snapshot" => Some(new Proc(name, Array(
           // bigint like Iceberg's procedure — ancestors_of emits LongType
           // snapshot ids, so they must feed back into rollback unchanged

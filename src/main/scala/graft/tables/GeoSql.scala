@@ -1053,6 +1053,18 @@ case class GeoCherrypickCommand(name: String, snapshotId: Int)
   }
 }
 
+/** CALL rewrite_position_delete_files target: consolidate position-delete
+  * sidecars (drop dangling entries) without rewriting data — see
+  * [[GeoTable.rewritePositionDeletes]]. Returns sidecar files retired. */
+case class GeoRewriteDeletesCommand(name: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val n = GeoTable.rewritePositionDeletes(spark, root)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(n))
+  }
+}
+
 /** DROP TABLE on a registered geo table: unregister + delete the root dir.
   * Unregistered names never reach here (maybeCommand guards), so plain
   * Spark tables still go through Spark's own DROP. */

@@ -1261,6 +1261,47 @@ object GeoTable {
     resolved
   }
 
+  /**
+   * Iceberg `rewrite_position_delete_files` analog: consolidate the live
+   * position-delete sidecars into ONE file, dropping dangling entries
+   * (rows whose target data file is no longer live — a later rewrite
+   * already retired it). DATA FILES ARE NOT REWRITTEN — this is the
+   * cheap maintenance verb for MoR-heavy tables between folds: reads go
+   * back to opening one sidecar instead of one per DML commit.
+   * Equality-delete sidecars are untouched (they are O(keys) by
+   * construction and scoped by data sequence number — consolidating
+   * them would need re-scoping; [[foldSidecars]] is their maintenance
+   * verb, exactly as Iceberg's verb also only rewrites position
+   * deletes). Returns the number of sidecar files retired; 0 = already
+   * consolidated and nothing dangles.
+   */
+  def rewritePositionDeletes(spark: SparkSession, root: String): Long = {
+    val m = GeoManifest.read(spark, root)
+    if (m.deletes.isEmpty) return 0L
+    val live = m.files.map(_.key).toSet
+    val sidecars = spark.read.parquet(m.deletes.map(_.path): _*)
+    // bounded driver set: the distinct data files referenced by any
+    // delete row — the same planning envelope foldSidecars pays
+    val refd = sidecars.select("file_path").distinct().collect().map(_.getString(0))
+    val keep = refd.filter(p => live.contains(GeoManifest.norm(p))).toSeq
+    if (m.deletes.length == 1 && keep.length == refd.length) return 0L
+    import spark.implicits._
+    val keepDf = keep.toDF("file_path")
+    // duplicates across sidecars are idempotent position deletes —
+    // distinct() preserves semantics and shrinks the consolidated file
+    val consolidated = sidecars
+      .join(broadcast(keepDf), Seq("file_path"), "left_semi")
+      .select("file_path", "pos").distinct()
+    val dir = s"$root/data/d${java.util.UUID.randomUUID().toString.take(12)}"
+    consolidated.coalesce(1).write.parquet(dir)
+    val entries = GeoManifest.listParquet(spark, dir).map { p =>
+      GeoManifest.DeleteEntry(p, spark.read.parquet(p).count())
+    }.filter(_.rows > 0)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      deletes = entries), m.version, op = "rewrite_deletes")
+    m.deletes.length.toLong
+  }
+
   /** Post-DML bound check: fold sidecars once the live total crosses the
     * ceiling. Commits a maintenance version of its own when it fires. */
   private def maybeFoldSidecars(spark: SparkSession, root: String): Unit = {

@@ -156,6 +156,43 @@ class GeoCallSpec extends SparkSpec {
     spark.sql("DROP TABLE geoc.db.cp")
   }
 
+  test("rewrite_position_delete_files consolidates sidecars, drops dangling, never moves rows") {
+    wh
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS geoc.db.pd")
+    spark.sql("CREATE TABLE geoc.db.pd (id BIGINT, grp BIGINT) USING geo")
+    spark.sql("INSERT INTO geoc.db.pd SELECT id, 0 FROM range(100)")      // file(s) A
+    spark.sql("INSERT INTO geoc.db.pd SELECT id, 1 FROM range(100, 200)") // file(s) B
+    graft.tables.GeoTable.delete(spark, root("pd"),
+      col("id") % 10 === 3 && col("grp") === 0, mode = "mor")
+    graft.tables.GeoTable.delete(spark, root("pd"),
+      col("id") % 10 === 7 && col("grp") === 1, mode = "mor")
+    assert(GeoManifest.read(spark, root("pd")).deletes.size == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.pd").head.getLong(0) == 180)
+    // rewrite ONLY grp=0's files: their sidecar rows fold into the
+    // rewrite, but the manifest keeps both sidecars (grp=1 untouched) —
+    // sidecar 1's entries now DANGLE (their target path was retired)
+    graft.tables.GeoTable.compactWhere(spark, root("pd"), col("grp") === 0, 1)
+    val mid = GeoManifest.read(spark, root("pd"))
+    assert(mid.deletes.size == 2, "compactWhere should carry the sidecars while B is untouched")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.pd").head.getLong(0) == 180)
+    val retired = spark.sql(
+      "CALL geoc.system.rewrite_position_delete_files(table => 'db.pd')").head.getLong(0)
+    assert(retired == 2, s"expected 2 sidecar files retired, got $retired")
+    val after = GeoManifest.read(spark, root("pd"))
+    assert(after.deletes.size == 1, s"expected one consolidated sidecar, got ${after.deletes}")
+    assert(after.deletes.head.rows == 10, s"only grp=1's 10 live entries survive: ${after.deletes}")
+    assert(after.files.map(_.path).toSet == mid.files.map(_.path).toSet,
+      "data files must not be rewritten")
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.pd").head.getLong(0) == 180)
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.pd WHERE id % 10 = 7 AND grp = 1")
+      .head.getLong(0) == 0, "consolidated sidecar must still delete grp=1's rows")
+    // idempotent: already one file, nothing dangles
+    assert(spark.sql("CALL geoc.system.rewrite_position_delete_files(table => 'db.pd')")
+      .head.getLong(0) == 0)
+    spark.sql("DROP TABLE geoc.db.pd")
+  }
+
   test("ancestors_of returns the lineage newest-first as a real result set") {
     wh
     spark.sql("DROP TABLE IF EXISTS geoc.db.anc")
