@@ -345,6 +345,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // DSIR importance resampling end-to-end: target = docs containing the
+    // token 'spark', raw = the whole corpus; every doc scores the summed
+    // hashed-unigram log-ratio. Rank-only output (weights are doubles);
+    // the rank-15/16 weight gap is 2e-3..8e-3 at every verify SF, far
+    // above cross-engine FP noise, and the hash is the engine-portable
+    // 20-bit polynomial the simhash oracle already replays.
+    "dsir_weights_topk" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.table("documents")
+      val target = docs.where(array_contains(
+        graft.ops.TextAnalysis.tokens(col("text")), "spark"))
+      // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+      // k-heap); the rank window then runs over 15 rows only
+      graft.ops.TrainingData.dsirWeights(docs, col("doc_id"), col("text"),
+          target, col("text"), buckets = 4096)
+        .orderBy(desc("weight"), asc("doc_id")).limit(15)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("weight"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // invariant oracle: every payload must produce a dim-16 feature vector
     // with non-zero norm (self-cosine 1 within fp tolerance) — verifies the
     // mapPartitions plumbing end-to-end without depending on stub values
@@ -3789,6 +3812,35 @@ object SparkEntry {
       WHERE bit_count(xor(a.s, b.s)) <= 1
       ORDER BY id1, id2"""
     },
+
+    // exact DSIR replay: same portable 20-bit polynomial token hash as
+    // the simhash oracle (ASCII contract), same Laplace smoothing and
+    // log-ratio; rank-only output (see the query comment for gaps)
+    "dsir_weights_topk" -> """
+      WITH rawtok AS (SELECT doc_id, unnest(string_split_regex(trim(text),' +')) AS tok
+                      FROM documents),
+           rb AS (SELECT doc_id, ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+                    (a,b) -> (a*31+b) % 1048576) * 2654435761) % 4294967296) % 4096 AS b
+                  FROM rawtok),
+           tdocs AS (SELECT text FROM documents
+                     WHERE list_contains(string_split_regex(trim(text),' +'), 'spark')),
+           ttok AS (SELECT unnest(string_split_regex(trim(text),' +')) AS tok FROM tdocs),
+           tb AS (SELECT ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+                    (a,b) -> (a*31+b) % 1048576) * 2654435761) % 4294967296) % 4096 AS b
+                  FROM ttok),
+           rc AS (SELECT b, count(*) AS rcnt FROM rb GROUP BY b),
+           tc AS (SELECT b, count(*) AS tcnt FROM tb GROUP BY b),
+           rt AS (SELECT sum(rcnt) AS rtot FROM rc),
+           tt AS (SELECT sum(tcnt) AS ttot FROM tc),
+           ratio AS (SELECT coalesce(rc.b, tc.b) AS b,
+               ln((coalesce(tcnt,0)+1)/(ttot+4096.0)) - ln((coalesce(rcnt,0)+1)/(rtot+4096.0)) AS lr
+               FROM rc FULL OUTER JOIN tc ON rc.b = tc.b CROSS JOIN rt CROSS JOIN tt),
+           w AS (SELECT doc_id, sum(lr) AS weight FROM rb JOIN ratio USING (b) GROUP BY doc_id)
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn FROM w) t
+      WHERE rn <= 15 ORDER BY rn""",
 
     // exact all-pairs answer; the Spark side's banded LSH must have 100%
     // recall on the seeded near-dups to match (verified: seeded pairs have

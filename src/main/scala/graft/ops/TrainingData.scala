@@ -238,6 +238,49 @@ object TrainingData {
         count(lit(1)).as("n_tokens"))
   }
 
+  /**
+   * DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+   * Selection for Language Models via Importance Resampling"): score each
+   * raw document by how target-like its hashed unigram profile is. Both
+   * corpora reduce to Laplace-smoothed distributions over `buckets`
+   * hashed-token buckets ([[Dedup.portableTokenHash]] mod `buckets` —
+   * the engine-portable hash, so the oracle replays it exactly); a doc's
+   * weight is the sum over its TOKENS of log(p_target(b) / p_raw(b)),
+   * the importance log-ratio DSIR resamples on (high = target-like).
+   *
+   * Scale shape: two groupBy-count passes build the bucket tables (at
+   * most `buckets` rows each — broadcastable by construction), the
+   * scoring pass is explode → broadcast-join → per-doc sum; nothing
+   * shuffles more than one row per token, and the driver never holds
+   * anything. Docs with zero tokens produce no row (no profile to score).
+   */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+                  target: DataFrame, targetText: Column,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"dsirWeights needs a positive bucket count, got $buckets")
+    val c = col _
+    def bucketOf(tok: Column): Column =
+      pmod(Dedup.portableTokenHash(tok), lit(buckets.toLong))
+    def counts(df: DataFrame, t: Column, as: String): DataFrame =
+      df.select(explode(TextAnalysis.tokens(t)).as("__tok"))
+        .select(bucketOf(c("__tok")).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as(as))
+    val rawCnt = counts(raw, text, "__rc")
+    val tgtCnt = counts(target, targetText, "__tc")
+    val rawTot = rawCnt.agg(sum(c("__rc")).as("__rt"))
+    val tgtTot = tgtCnt.agg(sum(c("__tc")).as("__tt"))
+    val ratio = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(c("__b"),
+        (log((coalesce(c("__tc"), lit(0L)) + 1.0) / (c("__tt") + buckets.toDouble)) -
+          log((coalesce(c("__rc"), lit(0L)) + 1.0) / (c("__rt") + buckets.toDouble)))
+          .as("__lr"))
+    raw.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("__tok"))
+      .select(c("doc_id"), bucketOf(c("__tok")).as("__b"))
+      .join(broadcast(ratio), "__b")
+      .groupBy("doc_id").agg(sum(c("__lr")).as("weight"))
+  }
+
   // ------------------------------------------------------ repetition metrics
 
   private def wordBigrams(text: Column): Column = {

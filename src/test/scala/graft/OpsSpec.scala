@@ -554,6 +554,26 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(0L, 2L, 1L), s"order was ${top.toSeq}")
   }
 
+  test("dsir weights rank target-dialect docs above off-target docs") {
+    import graft.ops.TrainingData
+    val raw = Seq(
+      (0L, "alpha beta alpha gamma beta alpha"),
+      (1L, "alpha beta beta alpha common beta"),
+      (2L, "zeta eta theta iota zeta eta"),
+      (3L, "theta iota zeta common eta iota")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      Tuple1("alpha beta alpha alpha beta"),
+      Tuple1("beta alpha beta common")
+    ).toDF("text")
+    val w = TrainingData.dsirWeights(raw, col("doc_id"), col("text"),
+        target, col("text"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 4)
+    assert(Seq(0L, 1L).map(w).min > Seq(2L, 3L).map(w).max,
+      s"alpha/beta docs must outweigh zeta/eta docs: $w")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("id", "t")
