@@ -2400,6 +2400,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher rule battery (Rae et al. 2021): every component is an exact
+    // integer and the verdict is cross-multiplied integer comparisons,
+    // so the oracle replays components AND verdict bit-exactly
+    "text_gopher_rules" -> ((s, d) => {
+      prep(s, d)
+      s.table("documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.sum_word_len"),
+          col("g.n_symbol_words"), col("g.n_alpha_words"), col("g.n_stop_hits"),
+          col("g.passes"))
+        .orderBy("doc_id")
+    }),
+
     // Okapi BM25 end-to-end: posting filter -> tf/df aggregations ->
     // idf/length-normalized scoring -> top-k. Rank-only output (scores
     // are doubles whose last ulp may differ across engines); the rank-10
@@ -4825,6 +4839,39 @@ object SparkEntry {
                   WHEN h_en = greatest(h_en, h_fr, h_es, h_de, h_zh) THEN 'en'
                   ELSE 'de' END AS pred_lang
       FROM h ORDER BY doc_id""",
+
+    // bit-exact Gopher replay: integer components, cross-multiplied
+    // integer threshold comparisons (no float anywhere); the line rules
+    // drop out of the projection (single-line corpus) but stay inside
+    // `passes` identically on both sides (0 bullet/ellipsis lines)
+    "text_gopher_rules" -> """
+      WITH t AS (SELECT doc_id, text,
+                        string_split_regex(trim(text), ' +') AS toks,
+                        string_split(text, chr(10)) AS lines
+                 FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_word_len,
+        CAST(len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')
+                                        OR contains(x, '…'))) AS BIGINT) AS n_symbol_words,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                             w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hits,
+        (len(toks) >= 50 AND len(toks) <= 100000
+         AND list_sum(list_transform(toks, x -> length(x))) >= len(toks) * 3
+         AND list_sum(list_transform(toks, x -> length(x))) <= len(toks) * 10
+         AND len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')
+                                        OR contains(x, '…'))) * 10 <= len(toks)
+         AND len(list_filter(lines, l -> starts_with(trim(l), '-')
+                 OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) * 10
+             <= len(lines) * 9
+         AND len(list_filter(lines, l -> suffix(trim(l), '...')
+                 OR suffix(trim(l), '…'))) * 10 <= len(lines) * 3
+         AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 5
+             >= len(toks) * 4
+         AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                             w -> list_contains(toks, w))) >= 2) AS passes
+      FROM t ORDER BY doc_id""",
 
     // exact BM25 replay: same +1-idf Okapi formulation, rank-only output
     // (see the query comment for the FP-robustness argument)

@@ -71,6 +71,59 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), """\s+""", " "))
 
+  /** Stopword set for the Gopher "has at least 2 of these" rule (Rae et
+    * al. 2021, table A1's required-word list). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+   * Models: ..." §A1.1 — the MassiveWeb filter set): per-document
+   * INTEGER components plus the composite verdict. Everything is exact
+   * integer arithmetic — mean-word-length and ratio thresholds are
+   * applied as cross-multiplied integer comparisons (3 <= mean <= 10
+   * becomes 3*wc <= sum_len <= 10*wc), so the oracle replays every
+   * component AND the verdict bit-exactly with no float anywhere.
+   *
+   * Components: `n_words`, `sum_word_len`, `n_symbol_words` (tokens
+   * carrying # or the ... / … ellipsis), `n_alpha_words` (tokens with at
+   * least one letter), `n_stop_hits` (DISTINCT Gopher stopwords
+   * present), `n_lines`, `n_bullet_lines`, `n_ellipsis_lines`.
+   * Verdict (`passes`): 50 <= n_words <= 100000, mean word length in
+   * [3, 10], symbol-word ratio <= 0.1, bullet lines <= 90%, ellipsis
+   * lines <= 30%, >= 80% words alphabetic, >= 2 stopwords present.
+   * One projection per row — whole-stage codegen, no shuffle, no UDF.
+   */
+  def gopherStats(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = coalesce(aggregate(toks, lit(0L), (a, t) => a + length(t)), lit(0L))
+    val nSymbol = size(filter(toks, t =>
+      t.contains("#") || t.contains("...") || t.contains("…"))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(
+      typedlit(gopherStopwords), w => array_contains(toks, w))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val passes = (nWords >= 50L) && (nWords <= 100000L) &&
+      (sumLen >= nWords * 3L) && (sumLen <= nWords * 10L) &&
+      (nSymbol * 10L <= nWords) &&
+      (nBullet * 10L <= nLines * 9L) &&
+      (nEllipsis * 10L <= nLines * 3L) &&
+      (nAlpha * 5L >= nWords * 4L) &&
+      (nStop >= 2L)
+    struct(nWords.as("n_words"), sumLen.as("sum_word_len"),
+      nSymbol.as("n_symbol_words"), nAlpha.as("n_alpha_words"),
+      nStop.as("n_stop_hits"), nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+      passes.as("passes"))
+  }
+
   /**
    * Okapi BM25 top-k: rank every document against a bag-of-words query
    * (Robertson et al., TREC-3; the k1/b formulation with the +1 idf that

@@ -554,6 +554,27 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(0L, 2L, 1L), s"order was ${top.toSeq}")
   }
 
+  test("gopher rules: components count exactly and the verdict composes them") {
+    import graft.ops.TextAnalysis
+    val good = (Seq.fill(20)("the quick be of and that have with") :+ "tail").mkString(" ") // 161 words, all rules pass
+    val shortDoc = "too short to pass"
+    val symbols = (Seq.fill(60)("word### ok") :+ "the be").mkString(" ")  // symbol ratio ~0.5
+    val bullets = Seq.fill(10)("- the be of and that have with item list here").mkString("\n")
+    val rows = Seq((0L, good), (1L, shortDoc), (2L, symbols), (3L, bullets))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.n_symbol_words"),
+        col("g.n_stop_hits"), col("g.n_bullet_lines"), col("g.n_lines"), col("g.passes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(rows(0L)._1 == 161 && rows(0L)._6, s"good doc: ${rows(0L)}")
+    assert(!rows(1L)._6, "short doc must fail the word-count rule")
+    assert(rows(2L)._2 == 60 && !rows(2L)._6, s"symbol doc: ${rows(2L)}")
+    assert(rows(3L)._4 == 10 && rows(3L)._5 == 10 && !rows(3L)._6,
+      s"all-bullet doc must fail the bullet-line rule: ${rows(3L)}")
+  }
+
   test("dsir weights rank target-dialect docs above off-target docs") {
     import graft.ops.TrainingData
     val raw = Seq(
