@@ -125,6 +125,64 @@ object TextAnalysis {
   }
 
   /**
+   * Persisted BM25 index (the text analog of [[Similarity]]'s persisted
+   * IVF index — tokenize ONCE, probe forever): stores under `indexRoot`
+   *
+   *   - `postings` (term, doc_id, tf, dl) — a geo table partitioned by
+   *     bucket(`buckets`, term): clustered writes roll files per bucket
+   *     run, and a probe's `term IN (...)` predicate prunes to just the
+   *     query terms' buckets via exact IN-value-set file pruning;
+   *   - `stats` — one row (n_docs, avgdl).
+   *
+   * [[bm25Search]] then answers any bag-of-words query from the PRUNED
+   * postings alone — the pruned rows ARE the complete posting lists for
+   * the query terms, so per-term df falls out of them and no global pass
+   * ever reruns. Build once over 100 TB; each probe reads a handful of
+   * bucket files plus a one-row stats table.
+   */
+  def buildTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                     df: DataFrame, id: Column, text: Column,
+                     buckets: Int = 64): Unit = {
+    import graft.tables.{GeoPartition, GeoTable}
+    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GeoTable.create(spark, s"$indexRoot/postings", postings, geomCol = None,
+      partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")))
+    GeoTable.create(spark, s"$indexRoot/stats",
+      docs.agg(count(lit(1)).cast("long").as("n_docs"), avg(col("dl")).as("avgdl")),
+      geomCol = None)
+  }
+
+  /** Probe a [[buildTextIndex]] index: identical scores to [[bm25TopK]]
+    * (same +1-idf Okapi formulation), but the scan reads only the query
+    * terms' bucket files. */
+  def bm25Search(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                 query: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    import graft.tables.GeoTable
+    val c = col _
+    // scan() file-prunes on the IN predicate AND applies it row-wise
+    val posts = GeoTable.scan(spark, s"$indexRoot/postings",
+      c("term").isin(query: _*))
+    val stats = GeoTable.read(spark, s"$indexRoot/stats")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (c("n_docs") - c("df") + 0.5) / (c("df") + 0.5)) *
+          c("tf") * (k1 + 1.0) /
+          (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / c("avgdl"))))
+      .groupBy("doc_id").agg(sum(c("__w")).as("score"))
+      .orderBy(c("score").desc, c("doc_id").asc)
+      .limit(k)
+  }
+
+  /**
    * Okapi BM25 top-k: rank every document against a bag-of-words query
    * (Robertson et al., TREC-3; the k1/b formulation with the +1 idf that
    * never goes negative). Returns the k best (doc_id, score), ordered by

@@ -575,6 +575,38 @@ class OpsSpec extends SparkSpec {
       s"all-bullet doc must fail the bullet-line rule: ${rows(3L)}")
   }
 
+  test("persisted BM25 index probe reproduces the ad-hoc ranking exactly") {
+    import graft.ops.TextAnalysis
+    val corpus = (0L until 30L).map { i =>
+      val words = (0 until (5 + (i % 7)).toInt).map(j => s"w${(i + 3 * j) % 11}")
+      (i, (words :+ (if (i % 3 == 0) "spark" else "other")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = Seq("spark", "w4")
+    val adhoc = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx, corpus, col("doc_id"), col("text"), buckets = 8)
+    val probed = TextAnalysis.bm25Search(spark, idx, q, k = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probed.map(_._1).toSeq == adhoc.map(_._1).toSeq,
+      s"ranking drifted: ${probed.toSeq} vs ${adhoc.toSeq}")
+    probed.zip(adhoc).foreach { case ((_, ps), (_, as)) =>
+      assert(math.abs(ps - as) < 1e-12, s"score drifted: $ps vs $as")
+    }
+    // the probe's term-IN scan must FILE-prune to the query terms' buckets
+    // path-table scans manifest-prune at PLAN time: the matching files are
+    // listed into the InMemoryFileIndex, so the path count IS the prune
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      "InMemoryFileIndex\\((\\d+) paths".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no InMemoryFileIndex in plan:\n$plan"))
+    }
+    import graft.tables.GeoTable
+    val all = filesIn(GeoTable.read(spark, idx + "/postings"))
+    val pruned = filesIn(GeoTable.scan(spark, idx + "/postings", col("term").isin(q: _*)))
+    assert(pruned < all, s"probe must prune bucket files: $pruned vs $all")
+  }
+
   test("dsir weights rank target-dialect docs above off-target docs") {
     import graft.ops.TrainingData
     val raw = Seq(
