@@ -47,7 +47,8 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
-      rollMinRows = GeoRowLevel.rollMinRows(spark))
+      rollMinRows = GeoRowLevel.rollMinRows(spark),
+      checks = GeoManifest.boundCheckExprs(spark, m.schema, m.checks))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -193,7 +194,8 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
-      rollMinRows = GeoRowLevel.rollMinRows(spark))
+      rollMinRows = GeoRowLevel.rollMinRows(spark),
+      checks = GeoManifest.boundCheckExprs(spark, m.schema, m.checks))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

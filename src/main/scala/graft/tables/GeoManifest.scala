@@ -250,7 +250,8 @@ object GeoManifest {
                             specId: Int = 0,
                             bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
                             blooms: Seq[GeoBloom.BloomEntry] = Seq.empty,
-                            op: Option[String] = None) {
+                            op: Option[String] = None,
+                            checks: Seq[(String, String)] = Seq.empty) {
     /** Per-file spec resolution for every pstats consumer. Lazy: the
       * eq-applicability loops call this per (file × delete) pair. */
     lazy val specSet: GeoPartition.SpecSet =
@@ -603,7 +604,7 @@ object GeoManifest {
     // the skip-unknown-tags rule instead of failing on them
     val v8 = m.files.exists(e =>
       e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty) ||
-      m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty
+      m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty || m.checks.nonEmpty
     val v9 = m.pastSpecs.nonEmpty || m.specId != 0
     val declared = if (v9) 9
                    else if (v8) 8
@@ -626,6 +627,10 @@ object GeoManifest {
     // trigger above) so pre-8 readers skip it instead of treating it as
     // a torn line. Absent = unknown ("--").
     m.op.foreach { o => lines ++= s"op\t$o\n" }
+    // CHECK constraints (Delta-parity): additive v8+ tag like `op` —
+    // enforced by every writer that reads this manifest; the SQL text is
+    // tab/newline-free by the ADD CONSTRAINT verb's contract
+    m.checks.foreach { case (n, sql) => lines ++= s"check\t$n\t$sql\n" }
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -817,6 +822,7 @@ object GeoManifest {
     val pastSpecs = Map.newBuilder[Int, Seq[GeoPartition.PTransform]]
     val bloomCols = Seq.newBuilder[GeoBloom.BloomSpec]
     val blooms = Seq.newBuilder[GeoBloom.BloomEntry]
+    val checks = Seq.newBuilder[(String, String)]
     var opv: Option[String] = None
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -838,6 +844,8 @@ object GeoManifest {
         case "ts" => commitTs = Some(parts(1).toLong)
         case "parent" => parent = Some(parts(1).toInt)
         case "op" => opv = Some(parts(1))
+        // rejoin defensively even though the verb forbids tabs in the SQL
+        case "check" => checks += parts(1) -> parts.drop(2).mkString("\t")
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += parseFileEntry(parts, declared >= 6)
@@ -885,7 +893,7 @@ object GeoManifest {
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
       parent, colStats.result(), pastSpecs.result(), specId,
-      bloomCols.result(), blooms.result(), opv)
+      bloomCols.result(), blooms.result(), opv, checks.result())
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan
@@ -1060,6 +1068,35 @@ object GeoManifest {
         r.replacement
     }).map(e => BindReferences.bindReference(e, pr.child.output))
     (exprs, bboxCol.isDefined)
+  }
+
+  /**
+   * CHECK constraints as bound boolean expressions for the row writer
+   * ([[boundStatsExprs]]'s analysis recipe): each constraint's SQL text
+   * analyzes against the TABLE schema, RuntimeReplaceable nodes rewrite
+   * (these expressions bypass the optimizer), and the result binds to
+   * schema ordinals — the writer evaluates them on the projected data
+   * row, so every write path (path verbs, DSv2 batch, streaming sink,
+   * CoW DML rewrites) enforces identically. SQL semantics: only a FALSE
+   * evaluation violates; UNKNOWN (null) passes.
+   */
+  def boundCheckExprs(spark: SparkSession, schema: StructType,
+                      checks: Seq[(String, String)])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    if (checks.isEmpty) return Seq.empty
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    checks.map { case (name, sql) =>
+      val cond = empty.where(expr(sql)).queryExecution.analyzed
+        .asInstanceOf[Filter]
+      val e = cond.condition.transformDown {
+        case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+          r.replacement
+      }
+      name -> BindReferences.bindReference(e, cond.child.output)
+    }
   }
 
   /** Fresh entries whose stats were recorded under `base`'s partition

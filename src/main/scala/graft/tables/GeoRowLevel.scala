@@ -969,7 +969,8 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     GeoCowDataWriterFactory(owf, new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = m.partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
-      rollMinRows = GeoRowLevel.rollMinRows(spark))
+      rollMinRows = GeoRowLevel.rollMinRows(spark),
+      checks = GeoManifest.boundCheckExprs(spark, m.schema, m.checks))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1098,7 +1099,8 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
                                    statsHasBbox: Boolean = false,
                                    rollIdx: Array[Int] = Array.empty,
                                    rollCap: Int = 64,
-                                   rollMinRows: Long = 4096L)
+                                   rollMinRows: Long = 4096L,
+                                   checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1114,6 +1116,12 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
       // inline stats machinery (only when statsExprs were supplied)
       private val statsProj =
         if (statsExprs.isEmpty) null else UnsafeProjection.create(statsExprs)
+
+      // CHECK constraints: one compiled projection over every predicate,
+      // evaluated on the projected (table-schema-order) row. SQL
+      // semantics — only FALSE violates, UNKNOWN (null) passes.
+      private val checkProj =
+        if (checks.isEmpty) null else UnsafeProjection.create(checks.map(_._2))
       private val nT = statsExprs.length - (if (statsHasBbox) 1 else 0)
       private val base = if (statsHasBbox) 1 else 0
 
@@ -1170,6 +1178,17 @@ case class GeoCowDataWriterFactory(owf: OutputWriterFactory,
 
       override def write(row: InternalRow): Unit = {
         val out = if (proj == null) row else proj(row)
+        if (checkProj != null) {
+          val cv = checkProj(out)
+          var ci = 0
+          while (ci < checks.length) {
+            if (!cv.isNullAt(ci) && !cv.getBoolean(ci))
+              throw new IllegalArgumentException(
+                s"CHECK constraint '${checks(ci)._1}' violated by an incoming row " +
+                  s"(${checks(ci)._2.sql}); the write aborts, nothing committed")
+            ci += 1
+          }
+        }
         val st = if (statsProj == null) null else statsProj(out)
         if (rollOn) {
           var changed = false

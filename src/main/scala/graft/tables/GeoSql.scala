@@ -94,6 +94,12 @@ object GeoSql {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val restoreTsRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  // Delta-parity CHECK constraints: write-time row enforcement, stored in
+  // the manifest, validated against existing rows at ADD
+  private val addConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val dropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val createTagRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val dropTagRe =
@@ -233,6 +239,10 @@ object GeoSql {
       Some(GeoRestoreRefCommand(name, ref))
     case restoreTsRe(name, ts) if resolveRoot(name).isDefined =>
       Some(GeoRestoreCommand(name, Right(ts)))
+    case addConstraintRe(name, cname, checkSql) if resolveRoot(name).isDefined =>
+      Some(GeoAddConstraintCommand(name, cname, checkSql.trim))
+    case dropConstraintRe(name, cname) if resolveRoot(name).isDefined =>
+      Some(GeoDropConstraintCommand(name, cname))
     case createTagRe(name, tag, v) if resolveRoot(name).isDefined =>
       Some(GeoCreateTagCommand(name, tag, Option(v).map(_.toInt)))
     case dropTagRe(name, tag) if resolveRoot(name).isDefined =>
@@ -999,6 +1009,31 @@ case class GeoRestoreRefCommand(name: String, ref: String) extends GeoRunnable {
     val rows = GeoTable.restore(spark, root, v)
     GeoSql.refresh(spark, name, root)
     Seq(Row(rows))
+  }
+}
+
+/** ALTER TABLE t ADD CONSTRAINT name CHECK (expr) — Delta-parity CHECK
+  * constraint: validates EXISTING rows in one scan, then every future
+  * write (path verbs, catalog INSERT, streaming sink, DML rewrites)
+  * enforces it row-by-row in the shared writer. */
+case class GeoAddConstraintCommand(name: String, cname: String, checkSql: String)
+  extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    GeoTable.addCheckConstraint(spark, root, cname, checkSql)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** ALTER TABLE t DROP CONSTRAINT name. */
+case class GeoDropConstraintCommand(name: String, cname: String)
+  extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    GeoTable.dropCheckConstraint(spark, root, cname)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(0L))
   }
 }
 

@@ -73,7 +73,8 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     GeoStreamingWriterFactory(GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx,
-      statsExprs = se, statsHasBbox = hasBbox))
+      statsExprs = se, statsHasBbox = hasBbox,
+      checks = GeoManifest.boundCheckExprs(spark, m.schema, m.checks)))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -1262,6 +1262,50 @@ object GeoTable {
   }
 
   /**
+   * ADD CONSTRAINT name CHECK (sql) — Delta-parity table constraint.
+   * The expression must analyze as a boolean against the table schema
+   * (Spark's own analyzer error names anything unresolvable or
+   * ill-typed), and EVERY existing visible row is validated in one scan
+   * before the constraint commits — exactly Delta's semantics. From then
+   * on every write path enforces it per row inside the shared writer
+   * ([[GeoCowDataWriterFactory]]), so path verbs, catalog INSERTs, the
+   * streaming sink, and CoW DML rewrites all refuse violating rows with
+   * the constraint's name. SQL semantics: only FALSE violates; a NULL
+   * evaluation passes (standard CHECK).
+   */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, sql: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    require(!m.checks.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists on $root")
+    require(!sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint SQL must not contain tabs or newlines")
+    // analyze NOW: unresolvable columns / non-boolean types fail here
+    // with Spark's own named error, before anything commits
+    GeoManifest.boundCheckExprs(spark, m.schema, Seq(name -> sql))
+    if (m.files.nonEmpty) {
+      // NULL passes (=== false filters UNKNOWN out), matching the writer
+      val violations = readMerged(spark, m, m.files)
+        .where(expr(sql) === false).count()
+      require(violations == 0L,
+        s"$violations existing row(s) violate CHECK constraint '$name' ($sql) on $root")
+    }
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      checks = m.checks :+ (name -> sql)), m.version, op = "add-constraint")
+  }
+
+  /** DROP CONSTRAINT name (loud when absent). */
+  def dropCheckConstraint(spark: SparkSession, root: String, name: String): Unit = {
+    val m = GeoManifest.read(spark, root)
+    require(m.checks.exists(_._1.equalsIgnoreCase(name)),
+      s"no constraint '$name' on $root " +
+        s"(constraints: ${m.checks.map(_._1).sorted.mkString(", ")})")
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      checks = m.checks.filterNot(_._1.equalsIgnoreCase(name))),
+      m.version, op = "drop-constraint")
+  }
+
+  /**
    * Iceberg `rewrite_position_delete_files` analog: consolidate the live
    * position-delete sidecars into ONE file, dropping dangling entries
    * (rows whose target data file is no longer live — a later rewrite
@@ -2072,11 +2116,18 @@ object GeoTable {
     // layout()-clustered input arrives sorted by the layout transforms:
     // the writer rolls files at tuple boundaries (single-valued files,
     // the storage-partitioned-join precondition)
+    // CHECK constraints ride the CURRENT manifest (empty for a first
+    // write): every path verb funnels here, so enforcement is uniform
+    val checks = GeoManifest.currentVersion(spark, root)
+      .map(_ => GeoManifest.read(spark, root).checks)
+      .filter(_.nonEmpty)
+      .map(cs => GeoManifest.boundCheckExprs(spark, schema, cs))
+      .getOrElse(Seq.empty)
     val factory = GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
-      rollMinRows = GeoRowLevel.rollMinRows(spark))
+      rollMinRows = GeoRowLevel.rollMinRows(spark), checks = checks)
     val msgs = GeoCowCommitMessage.flatten(
       df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())

@@ -1,0 +1,103 @@
+package graft
+
+import graft.tables.{GeoManifest, GeoSql}
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Delta-parity CHECK constraints: stored in the manifest, validated
+ * against existing rows at ADD, enforced row-by-row in the shared writer
+ * — so the catalog INSERT (DSv2), the path-table verb, and CoW DML
+ * rewrites all refuse violating rows through ONE code path.
+ */
+class GeoConstraintSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("geo_ck_wh").toString
+    spark.conf.set("spark.sql.catalog.geock", classOf[graft.tables.GeoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geock.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geock.db")
+    dir
+  }
+  private def root(t: String) = s"$wh/db/$t"
+
+  test("ADD validates existing rows; writes enforce; DROP lifts; NULL passes") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geock.db.c1")
+    spark.sql("CREATE TABLE geock.db.c1 (id BIGINT, amt BIGINT) USING geo")
+    spark.sql("INSERT INTO geock.db.c1 VALUES (1, 10), (2, 20), (3, NULL)")
+    // NULL amt passes standard CHECK semantics (only FALSE violates)
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c1 ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    assert(GeoManifest.read(spark, root("c1")).checks == Seq("amt_pos" -> "amt > 0"))
+
+    // catalog INSERT (DSv2 write path): valid passes, violating refuses
+    spark.sql("INSERT INTO geock.db.c1 VALUES (4, 40)")
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO geock.db.c1 VALUES (5, -1)"))
+    assert(exists(e1, "amt_pos"), s"error must name the constraint: ${e1.getMessage}")
+    // the failed write committed nothing
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c1").head.getLong(0) == 4)
+
+    // CoW DML rewrite path: an UPDATE that would break the constraint fails
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE geock.db.c1 SET amt = -5 WHERE id = 1"))
+    assert(exists(e2, "amt_pos"), e2.getMessage)
+    assert(spark.sql("SELECT amt FROM geock.db.c1 WHERE id = 1").head.getLong(0) == 10)
+    // a constraint-respecting UPDATE passes (rewrites untouched rows too)
+    spark.sql("UPDATE geock.db.c1 SET amt = 99 WHERE id = 1")
+    assert(spark.sql("SELECT amt FROM geock.db.c1 WHERE id = 1").head.getLong(0) == 99)
+
+    // DROP lifts enforcement
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c1 DROP CONSTRAINT amt_pos")
+    spark.sql("INSERT INTO geock.db.c1 VALUES (5, -1)")
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c1").head.getLong(0) == 5)
+    spark.sql("DROP TABLE geock.db.c1")
+  }
+
+  test("ADD refuses when existing rows violate; bad SQL fails with Spark's error") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geock.db.c2")
+    spark.sql("CREATE TABLE geock.db.c2 (id BIGINT, v STRING) USING geo")
+    spark.sql("INSERT INTO geock.db.c2 VALUES (1, 'a'), (-2, 'b'), (-3, 'c')")
+    val e = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c2 ADD CONSTRAINT id_pos CHECK (id > 0)"))
+    assert(e.getMessage.contains("2 existing row(s)"), e.getMessage)
+    assert(GeoManifest.read(spark, root("c2")).checks.isEmpty, "nothing must commit")
+    // unresolvable column: Spark's own analyzer error, nothing commits
+    val e2 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c2 ADD CONSTRAINT bad CHECK (nope > 0)"))
+    assert(exists(e2, "nope"), e2.getMessage)
+    // duplicate name refused
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c2 ADD CONSTRAINT v_len CHECK (length(v) < 10)")
+    val e3 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c2 ADD CONSTRAINT v_len CHECK (length(v) < 99)"))
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    spark.sql("DROP TABLE geock.db.c2")
+  }
+
+  test("path-table verbs enforce through the same writer; manifest round-trips") {
+    wh
+    val dir = java.nio.file.Files.createTempDirectory("geo_ck_path").toString + "/t"
+    import spark.implicits._
+    graft.tables.GeoTable.create(spark,
+      dir, Seq((1L, 5L)).toDF("id", "amt"), geomCol = None)
+    graft.tables.GeoTable.addCheckConstraint(spark, dir, "amt_cap", "amt <= 100")
+    // round-trip through the manifest text format
+    assert(GeoManifest.read(spark, dir).checks == Seq("amt_cap" -> "amt <= 100"))
+    graft.tables.GeoTable.append(spark, dir, Seq((2L, 100L)).toDF("id", "amt"))
+    val e = intercept[Exception](
+      graft.tables.GeoTable.append(spark, dir, Seq((3L, 101L)).toDF("id", "amt")))
+    assert(exists(e, "amt_cap"), e.getMessage)
+    assert(GeoManifest.read(spark, dir).totalRows == 2)
+  }
+
+  /** SparkExceptions wrap task failures several levels deep. */
+  private def exists(t: Throwable, needle: String): Boolean = {
+    var cur: Throwable = t
+    while (cur != null) {
+      if (cur.getMessage != null && cur.getMessage.contains(needle)) return true
+      cur = cur.getCause
+    }
+    false
+  }
+}

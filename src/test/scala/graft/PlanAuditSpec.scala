@@ -19,10 +19,13 @@ class PlanAuditSpec extends SparkSpec {
   // map-only enrich, not a quadratic join. Exact set — a new BNLJ anywhere
   // else fails the audit.
   private val oneRowBroadcastExpected = Set(
-    "spatial_knn_join",       // StKnn packed-candidates single row
-    "text_unigram_logprob",   // corpus-total scalar
-    "dedup_jaccard_exact",    // shingle-threshold scalar
-    "pack_bins_invariants")   // two one-row invariant aggregates crossed
+    "spatial_knn_join",        // StKnn packed-candidates single row
+    "text_unigram_logprob",    // corpus-total scalar
+    "dedup_jaccard_exact",     // shingle-threshold scalar
+    "pack_bins_invariants",    // two one-row invariant aggregates crossed
+    "text_bm25_topk",          // N+avgdl one-row corpus stats
+    "text_bm25_indexed_topk",  // the stored one-row stats table
+    "dsir_weights_topk")       // raw/target total one-row aggregates
 
   test("no driver-contract query plans a CartesianProduct; BNLJ only on one-row broadcasts") {
     val dir = "/root/testdata/sf0.001"
