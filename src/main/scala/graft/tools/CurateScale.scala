@@ -37,11 +37,15 @@ object CurateScale {
 
     for (r <- Seq(1, reps)) {
       val ids = spark.range(r)
-      // r disjoint id ranges; each replica perturbs embeddings slightly so
-      // replicas are NOT near-dups of each other (only in-replica twins)
+      // r disjoint id ranges; each replica flips signs per dimension from
+      // a hash of (replica, dim) — a REAL direction change (a scalar
+      // multiply is cosine-invariant and diagonal scalings still share
+      // the common component), so cross-replica cosine sits near 0 and
+      // the only seeded near-dups are the in-replica twins
       val e = ids.crossJoin(emb).selectExpr(
         "id * 1000000 + vec_id AS vec_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE) * (1.0 + id * 0.003)) AS emb")
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+          "(CASE WHEN pmod(hash(id, i), 2) = 0 THEN 1.0 ELSE -1.0 END)) AS emb")
       val twins = e.selectExpr("vec_id + 500000000 AS vec_id",
         "transform(emb, x -> x * 0.95 + 0.005) AS emb")
       val corpus = e.union(twins).localCheckpoint()
