@@ -269,11 +269,17 @@ object TrainingData {
     val tgtCnt = counts(target, targetText, "__tc")
     val rawTot = rawCnt.agg(sum(c("__rc")).as("__rt"))
     val tgtTot = tgtCnt.agg(sum(c("__tc")).as("__tt"))
+    // totals coalesce to 0 when a side has NO tokens at all (sum over an
+    // empty frame is NULL): an empty target then scores against the pure
+    // Laplace prior (uniform p_target = 1/buckets) instead of silently
+    // returning all-NULL weights
     val ratio = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
       .select(c("__b"),
-        (log((coalesce(c("__tc"), lit(0L)) + 1.0) / (c("__tt") + buckets.toDouble)) -
-          log((coalesce(c("__rc"), lit(0L)) + 1.0) / (c("__rt") + buckets.toDouble)))
+        (log((coalesce(c("__tc"), lit(0L)) + 1.0) /
+            (coalesce(c("__tt"), lit(0L)) + buckets.toDouble)) -
+          log((coalesce(c("__rc"), lit(0L)) + 1.0) /
+            (coalesce(c("__rt"), lit(0L)) + buckets.toDouble)))
           .as("__lr"))
     raw.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("__tok"))
       .select(c("doc_id"), bucketOf(c("__tok")).as("__b"))

@@ -70,11 +70,16 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     val owf = graft.sources.GeoParquetMeta.prepareWrite(spark, job, m.schema, m.geomCol)
     GeoManifest.fs(spark, root).mkdirs(new Path(commitDir))
     val (se, hasBbox) = GeoManifest.boundStatsExprs(spark, m.schema, m.geomCol, m.partitions)
+    // CHECK constraints re-read FRESH here (this factory method runs once
+    // per micro-batch, unlike the plan-time-pinned schema above): a
+    // constraint added while the stream runs starts enforcing on the next
+    // epoch instead of silently skipping until a restart
+    val freshChecks = GeoManifest.read(spark, root).checks
     GeoStreamingWriterFactory(GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx,
       statsExprs = se, statsHasBbox = hasBbox,
-      checks = GeoManifest.boundCheckExprs(spark, m.schema, m.checks)))
+      checks = GeoManifest.boundCheckExprs(spark, m.schema, freshChecks)))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

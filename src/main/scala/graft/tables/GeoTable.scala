@@ -163,6 +163,8 @@ object GeoTable {
     require(dup.isEmpty, s"file already referenced by $root: ${dup.get}")
     validateFooters(spark, m.schema, paths)
     val entries = GeoManifest.collectStats(spark, m.schema, paths, m.geomCol, m.partitions)
+    // by-reference rows never passed the row writer: validate them here
+    validateChecksOnEntries(spark, m, entries, "the added files")
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ entries), m.version, op = "import")
     entries.map(_.rows).sum
@@ -221,7 +223,7 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     val data = readMerged(spark, m, m.files) // MoR deletes fold in and clear
     val laidOut = compactLayout(data, m, targetFiles, cellSize, zorderBy)
-    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
         // every file is rewritten under the current layout — retired
@@ -309,7 +311,7 @@ object GeoTable {
     val untouched = m.files.filterNot(f => selKeys.contains(f.key))
     val data = readMerged(spark, m, selected)
     val laidOut = compactLayout(data, m, targetFiles, cellSize, zorderBy)
-    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, laidOut, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ files,
         deletes = if (untouched.isEmpty) Seq.empty else m.deletes,
@@ -725,7 +727,7 @@ object GeoTable {
       s"no branch '$name' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
     val m = GeoManifest.readVersion(spark, root, b.head)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commitBranch(spark, root,
       m.copy(version = b.head + 1, files = m.files ++ files), name, b.head,
       op = "append")
@@ -794,6 +796,9 @@ object GeoTable {
       s"cannot cherry-pick version $v of $root: the table schema changed since it was staged")
     require(head.specId == picked.specId,
       s"cannot cherry-pick version $v of $root: the partition spec changed since it was staged")
+    // the picked rows never passed MAIN's row writer, and main may have
+    // gained CHECK constraints the branch never saw: validate them here
+    validateChecksOnEntries(spark, head, added, s"snapshot $v's added files")
     // addedAt may undershoot the committed number if remapVersion slides
     // past a concurrent branch commit — harmless: it only needs to exceed
     // every eq-delete version already in `head` (all <= head.version)
@@ -904,6 +909,10 @@ object GeoTable {
       throw new IllegalArgumentException(s"no column '$name' in ${m.schema.fieldNames.mkString(", ")}"))
     require(!m.geomCol.exists(_.equalsIgnoreCase(name)),
       "cannot DROP the geometry column (it anchors per-file bbox stats)")
+    val refd = checksReferencing(spark, m, name)
+    require(refd.isEmpty,
+      s"cannot DROP '$name': CHECK constraint(s) ${refd.mkString(", ")} reference it " +
+        "(DROP the constraint first)")
     // a CURRENT-spec LAYOUT transform's column anchors the write
     // clustering — reject; a stats-only transform just stops being
     // collected. RETIRED specs are frozen history: any transform of
@@ -1014,6 +1023,10 @@ object GeoTable {
     require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists")
     require(!m.dropped.exists(_.equalsIgnoreCase(to)),
       s"'$to' was previously dropped; old data files may still hold it")
+    val refd = checksReferencing(spark, m, from)
+    require(refd.isEmpty,
+      s"cannot RENAME '$from': CHECK constraint(s) ${refd.mkString(", ")} reference it " +
+        "(DROP the constraint first, re-ADD it against the new name)")
     val newSchema = StructType(m.schema.fields.map { f =>
       if (f.name == actual.name) f.copy(name = to) else f
     })
@@ -1029,7 +1042,7 @@ object GeoTable {
       col(f.name).as(target, f.metadata)
     }: _*)
     val files = writeCommit(spark, root, renamed, newSchema, newGeom, newParts,
-      cluster = true)
+      cluster = true, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
         files = files, partitions = newParts,
@@ -1121,7 +1134,7 @@ object GeoTable {
              streamCommit: Option[(String, Long)]): Long = {
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
         streamCommits = m.streamCommits ++ streamCommit), m.version,
@@ -1135,7 +1148,7 @@ object GeoTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
         eqDeletes = Seq.empty, pastSpecs = Map.empty, blooms = Seq.empty), m.version, op = "overwrite")
@@ -1206,7 +1219,7 @@ object GeoTable {
       return 0L
     }
     val rewritten = writeCommit(spark, root, readMerged(spark, m, touched),
-      m.schema, m.geomCol, m.partitions, cluster = true)
+      m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
     val untouched = m.files.filterNot(f => touched.exists(_.key == f.key))
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
@@ -1276,13 +1289,34 @@ object GeoTable {
   def addCheckConstraint(spark: SparkSession, root: String,
                          name: String, sql: String): Unit = {
     val m = GeoManifest.read(spark, root)
+    require("""\w+""".r.matches(name),
+      s"bad constraint name '$name' (letters, digits, underscores only)")
     require(!m.checks.exists(_._1.equalsIgnoreCase(name)),
       s"constraint '$name' already exists on $root")
     require(!sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "constraint SQL must not contain tabs or newlines")
     // analyze NOW: unresolvable columns / non-boolean types fail here
     // with Spark's own named error, before anything commits
-    GeoManifest.boundCheckExprs(spark, m.schema, Seq(name -> sql))
+    val bound = GeoManifest.boundCheckExprs(spark, m.schema, Seq(name -> sql))
+    // the row writer must be able to EXECUTE it on every future write:
+    // nondeterministic expressions (rand()) would make enforcement
+    // meaningless, and subqueries cannot run inside a row projection —
+    // reject both HERE, not as a codegen crash on the table's next INSERT
+    require(bound.head._2.deterministic,
+      s"CHECK constraint '$name' must be deterministic ($sql)")
+    // a SubqueryExpression survives projection CREATION and only crashes
+    // at row-eval time (it is never planned) — reject it by node type
+    require(!bound.head._2.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"CHECK constraint '$name' ($sql) cannot run inside the row writer " +
+        "(subqueries are not supported in CHECK constraints)")
+    try org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      bound.map(_._2))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($sql) cannot run inside the row writer " +
+          s"(subqueries and non-projectable expressions are not supported): ${e.getMessage}")
+    }
     if (m.files.nonEmpty) {
       // NULL passes (=== false filters UNKNOWN out), matching the writer
       val violations = readMerged(spark, m, m.files)
@@ -1292,6 +1326,44 @@ object GeoTable {
     }
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       checks = m.checks :+ (name -> sql)), m.version, op = "add-constraint")
+  }
+
+  /** CHECK constraints referencing `colName` (from the ANALYZED, unbound
+    * condition — exact attribute references, not text matching). The DDL
+    * guard for DROP/RENAME COLUMN: Delta refuses both when a constraint
+    * references the column, because the stored SQL would no longer
+    * analyze against the evolved schema and poison every later write. */
+  private def checksReferencing(spark: SparkSession, m: Manifest,
+                                colName: String): Seq[String] = {
+    if (m.checks.isEmpty) return Seq.empty
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), m.schema)
+    m.checks.collect { case (n, sql) if empty.where(expr(sql))
+        .queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+        .condition.references.exists(_.name.equalsIgnoreCase(colName)) => n
+    }
+  }
+
+  /** Validate `entries`' ROWS against the table's CHECK constraints in
+    * one scan of just those files — the guard for metadata-only file
+    * commits (ADD FILES, cherry-pick), which reference rows that never
+    * passed through the row writer. */
+  private def validateChecksOnEntries(spark: SparkSession, m: Manifest,
+                                      entries: Seq[GeoManifest.FileEntry],
+                                      what: String): Unit = {
+    if (m.checks.isEmpty || entries.isEmpty) return
+    val rows = readFiles(spark, m.schema, entries)
+    // one pass, one violation counter per constraint
+    val aggs = m.checks.map { case (n, sql) =>
+      sum(when(expr(sql) === false, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    m.checks.zipWithIndex.foreach { case ((n, sql), i) =>
+      val v = if (r.isNullAt(i)) 0L else r.getLong(i)
+      require(v == 0L,
+        s"$v row(s) in $what violate CHECK constraint '$n' ($sql) on the target table")
+    }
   }
 
   /** DROP CONSTRAINT name (loud when absent). */
@@ -1390,7 +1462,7 @@ object GeoTable {
             .as(f.name, f.metadata)
         }: _*)
         val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions,
-          cluster = true)
+          cluster = true, checks = m.checks)
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version, op = "update")
         maybeFoldSidecars(spark, root)
@@ -1520,7 +1592,7 @@ object GeoTable {
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
     val eq = writeEqSidecar(spark, root, m, keyCols,
       aligned.select(keyCols.map(col): _*), pinned = true)
-    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
@@ -1591,7 +1663,7 @@ object GeoTable {
         flagged(flagged.columns.find(_.equalsIgnoreCase(c)).get)
           .cast(tableType(c)).as(c)): _*))
     val eq = writeEqSidecar(spark, root, m, keyCols, allKeys, pinned = true)
-    val files = writeCommit(spark, root, ups, m.schema, m.geomCol, m.partitions)
+    val files = writeCommit(spark, root, ups, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
@@ -1907,7 +1979,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions, cluster = true)
+        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
       }
 
     // --- 3. NOT MATCHED inserts (anti-join; equi `on` keys shuffle, never BNL
@@ -1933,7 +2005,7 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions, cluster = true)
+        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
       }
 
     if (affected.isEmpty && inserted.isEmpty) return 0L
@@ -1995,7 +2067,7 @@ object GeoTable {
       if (toRewrite.isEmpty) Seq.empty[FileEntry]
       else writeCommit(spark, root,
         transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol, m.partitions,
-        cluster = true)
+        cluster = true, checks = m.checks)
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version,
@@ -2095,7 +2167,8 @@ object GeoTable {
   private def writeCommit(spark: SparkSession, root: String, df0: DataFrame,
                           schema: StructType, geomCol: Option[String],
                           partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-                          cluster: Boolean = false): Seq[FileEntry] = {
+                          cluster: Boolean = false,
+                          checks: Seq[(String, String)] = Seq.empty): Seq[FileEntry] = {
     val df = if (cluster && partitions.exists(_.clusters))
       GeoPartition.layout(df0, partitions, schema) else df0
     // write through the same stats-collecting writer as the DSv2 paths
@@ -2116,18 +2189,14 @@ object GeoTable {
     // layout()-clustered input arrives sorted by the layout transforms:
     // the writer rolls files at tuple boundaries (single-valued files,
     // the storage-partitioned-join precondition)
-    // CHECK constraints ride the CURRENT manifest (empty for a first
-    // write): every path verb funnels here, so enforcement is uniform
-    val checks = GeoManifest.currentVersion(spark, root)
-      .map(_ => GeoManifest.read(spark, root).checks)
-      .filter(_.nonEmpty)
-      .map(cs => GeoManifest.boundCheckExprs(spark, schema, cs))
-      .getOrElse(Seq.empty)
+    // CHECK constraints come from the caller's manifest (empty for a
+    // first write): every path verb funnels here, enforcement is uniform
+    val boundChecks = GeoManifest.boundCheckExprs(spark, schema, checks)
     val factory = GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
-      rollMinRows = GeoRowLevel.rollMinRows(spark), checks = checks)
+      rollMinRows = GeoRowLevel.rollMinRows(spark), checks = boundChecks)
     val msgs = GeoCowCommitMessage.flatten(
       df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())

@@ -91,6 +91,66 @@ class GeoConstraintSpec extends SparkSpec {
     assert(GeoManifest.read(spark, dir).totalRows == 2)
   }
 
+  test("non-executable constraints refuse at ADD, not as a crash on the next write") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geock.db.c3")
+    spark.sql("CREATE TABLE geock.db.c3 (id BIGINT) USING geo")
+    // nondeterministic: enforcement would be meaningless
+    val e1 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c3 ADD CONSTRAINT r CHECK (rand() < 2)"))
+    assert(exists(e1, "deterministic"), e1.getMessage)
+    // subquery: cannot run inside a row projection
+    val e2 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c3 ADD CONSTRAINT s CHECK (id IN (SELECT 1))"))
+    assert(exists(e2, "row writer") || exists(e2, "subquer"), e2.getMessage)
+    assert(GeoManifest.read(spark, root("c3")).checks.isEmpty)
+    // bad name (public API path): tabs would corrupt the manifest line
+    val e3 = intercept[Exception](
+      graft.tables.GeoTable.addCheckConstraint(spark, root("c3"), "a\tb", "id > 0"))
+    assert(exists(e3, "bad constraint name"), e3.getMessage)
+    spark.sql("DROP TABLE geock.db.c3")
+  }
+
+  test("metadata-only file commits validate rows; DDL on referenced columns refuses") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geock.db.c4")
+    spark.sql("CREATE TABLE geock.db.c4 (id BIGINT, amt BIGINT) USING geo")
+    spark.sql("INSERT INTO geock.db.c4 VALUES (1, 10)")
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c4 ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    // ADD FILES must scan the by-reference rows (they never saw the writer)
+    val ext = java.nio.file.Files.createTempDirectory("ck_add").toString + "/f"
+    spark.range(3).selectExpr("id + 10 AS id", "-1L AS amt").coalesce(1).write.parquet(ext)
+    val files = spark.read.parquet(ext).inputFiles.toSeq
+    val e1 = intercept[Exception](
+      graft.tables.GeoTable.addFiles(spark, root("c4"), files))
+    assert(exists(e1, "amt_pos"), e1.getMessage)
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c4").head.getLong(0) == 1)
+    // cherry-pick of a snapshot staged BEFORE the constraint existed must
+    // validate against MAIN's current constraints
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c4 CREATE BRANCH stage")
+    spark.sql("INSERT INTO geock.db.c4.branch_stage VALUES (20, 5)")
+    val staged = spark.sql(
+      "SELECT version FROM geock.db.c4.refs WHERE name = 'stage'")
+      .head.getAs[Number](0).longValue
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c4 DROP CONSTRAINT amt_pos")
+    spark.sql("INSERT INTO geock.db.c4 VALUES (2, 20)") // main advances
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c4 ADD CONSTRAINT amt_big CHECK (amt >= 10)")
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL geock.system.cherrypick_snapshot(table => 'db.c4', snapshot_id => $staged)"))
+    assert(exists(e2, "amt_big"), e2.getMessage)
+    // DROP/RENAME of a referenced column refuses with the constraint's name
+    val e3 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c4 DROP COLUMN amt"))
+    assert(exists(e3, "amt_big"), e3.getMessage)
+    val e4 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE geock.db.c4 RENAME COLUMN amt TO amount"))
+    assert(exists(e4, "amt_big"), e4.getMessage)
+    // an UNREFERENCED column still renames fine
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c4 RENAME COLUMN id TO rid")
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c4 WHERE rid = 2").head.getLong(0) == 1)
+    spark.sql("DROP TABLE geock.db.c4")
+  }
+
   /** SparkExceptions wrap task failures several levels deep. */
   private def exists(t: Throwable, needle: String): Boolean = {
     var cur: Throwable = t
