@@ -1298,6 +1298,27 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // CHECK constraints end-to-end: ADD validates+stores, enforcement
+    // admits the valid inserts (counts require'd in-query — a violating
+    // insert is an error, spec-covered), DROP removes one; the
+    // t.constraints metadata table lists what survives as literals.
+    "geo_constraints_meta" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geocst", "geo_cst_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocst.db")
+      s.sql("DROP TABLE IF EXISTS geocst.db.ck")
+      s.sql("CREATE TABLE geocst.db.ck (id BIGINT, amt BIGINT) USING geo")
+      s.sql("INSERT INTO geocst.db.ck SELECT c_custkey, c_nationkey + 1 FROM customer WHERE c_custkey % 2 = 0")
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geocst.db.ck ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geocst.db.ck ADD CONSTRAINT id_cap CHECK (id < 100000000)")
+      s.sql("INSERT INTO geocst.db.ck SELECT c_custkey, c_nationkey + 1 FROM customer WHERE c_custkey % 2 = 1") // passes both
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geocst.db.ck DROP CONSTRAINT id_cap")
+      val expected = s.table("customer").count()
+      require(s.table("geocst.db.ck").count() == expected,
+        "constraint-respecting inserts must all land")
+      s.sql("SELECT name, expr FROM geocst.db.ck.constraints ORDER BY name")
+    }),
+
     // Cherry-pick (Iceberg cherrypick_snapshot): stage an append on a
     // branch, let MAIN advance past the fork point — the divergence
     // publish/fast_forward refuses — then CALL cherrypick_snapshot with
@@ -4291,6 +4312,10 @@ object SparkEntry {
       UNION ALL
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       ORDER BY phase""",
+
+    // the surviving constraint as literals (id_cap was dropped)
+    "geo_constraints_meta" -> """
+      SELECT * FROM (VALUES ('amt_pos', 'amt > 0')) t(name, expr) ORDER BY name""",
 
     // cherry-pick reduces to set algebra: phase 1 = thirds {0,2} (main
     // advanced past the fork, staged third {1} NOT visible), phase 2 =

@@ -585,6 +585,9 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "constraints" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType, nullable = false),
       StructField("file_count", IntegerType, nullable = false),
@@ -683,6 +686,10 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
           .sortBy(_._1).map { case (n, t, v) =>
             InternalRow(UTF8String.fromString(n), UTF8String.fromString(t), v)
           }.toArray
+      case "constraints" =>
+        GeoManifest.read(sparkAtLoad, root).checks.map { case (n, sql) =>
+          InternalRow(UTF8String.fromString(n), UTF8String.fromString(sql))
+        }.toArray
       // per-partition rollup (Iceberg `partitions` table analog): files
       // group by their layout-transform value tuple from the manifest's
       // per-file transform ranges — the ops-visibility surface for
@@ -783,7 +790,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests", "all_files")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests", "all_files", "constraints")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays
