@@ -2454,6 +2454,29 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Incremental BM25 index ingest: build on HALF the corpus, append
+    // the other half (postings append bucket-clustered, stats merge by
+    // recovering n*avgdl — no re-tokenize of existing postings), probe.
+    // Must reproduce the ad-hoc BM25 ranking over the WHOLE corpus —
+    // same oracle; a dropped/duplicated posting or a drifted stats row
+    // changes the ranking.
+    "text_bm25_append_topk" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25a").toString + "/i"
+      val docs = s.table("documents")
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.appendToTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+          query = Seq("spark", "customer", "merge"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Okapi BM25 end-to-end: posting filter -> tf/df aggregations ->
     // idf/length-normalized scoring -> top-k. Rank-only output (scores
     // are doubles whose last ulp may differ across engines); the rank-10
@@ -5713,7 +5736,10 @@ object SparkEntry {
     ("stream_interval_join" -> oracleBase("interval_join_batch")) +
     // the persisted-index probe must reproduce the ad-hoc BM25 ranking
     // exactly — same oracle, different storage machinery
-    ("text_bm25_indexed_topk" -> oracleBase("text_bm25_topk"))
+    ("text_bm25_indexed_topk" -> oracleBase("text_bm25_topk")) +
+    // ...and so must a probe after incremental ingest (build half,
+    // append half): the index machinery cannot change the ranking
+    ("text_bm25_append_topk" -> oracleBase("text_bm25_topk"))
 
   /**
    * Bench-only build/probe split for the index-backed ANN queries. The

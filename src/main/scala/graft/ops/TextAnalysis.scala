@@ -157,6 +157,38 @@ object TextAnalysis {
       geomCol = None)
   }
 
+  /**
+   * Incrementally ADD documents to a [[buildTextIndex]] index — the
+   * streaming-corpus ingest shape (the text analog of
+   * `Similarity.appendToIvfIndex`): the new docs tokenize in one pass,
+   * their postings APPEND bucket-clustered (the writer rolls files at
+   * bucket boundaries, so probes keep pruning), and the one-row stats
+   * table merges by recovering n·avgdl — the same up-to-last-ulp answer
+   * a fresh build computes (float summation order differs, ranks don't;
+   * tf/df/N are exact integers either way). A probe after any number of
+   * appends ranks identically to [[bm25TopK]] over the union corpus.
+   * Nothing re-reads the existing postings.
+   */
+  def appendToTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                        df: DataFrame, id: Column, text: Column): Unit = {
+    import graft.tables.GeoTable
+    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GeoTable.append(spark, s"$indexRoot/postings", postings)
+    val old = GeoTable.read(spark, s"$indexRoot/stats").head()
+    val (n0, sum0) = (old.getLong(0), old.getLong(0) * old.getDouble(1))
+    val add = docs.agg(count(lit(1)).cast("long"), sum(col("dl")).cast("double")).head()
+    val (n1, sum1) = (add.getLong(0), if (add.isNullAt(1)) 0.0 else add.getDouble(1))
+    val sp = spark
+    import sp.implicits._
+    GeoTable.overwrite(spark, s"$indexRoot/stats",
+      Seq((n0 + n1, (sum0 + sum1) / math.max(n0 + n1, 1L))).toDF("n_docs", "avgdl"))
+  }
+
   /** Probe a [[buildTextIndex]] index: identical scores to [[bm25TopK]]
     * (same +1-idf Okapi formulation), but the scan reads only the query
     * terms' bucket files. */

@@ -607,6 +607,25 @@ class OpsSpec extends SparkSpec {
     assert(pruned < all, s"probe must prune bucket files: $pruned vs $all")
   }
 
+  test("BM25 index append: probe after ingest equals ad-hoc over the union") {
+    import graft.ops.TextAnalysis
+    val corpus = (0L until 24L).map { i =>
+      val words = (0 until (4 + (i % 5)).toInt).map(j => s"w${(i + 5 * j) % 9}")
+      (i, (words :+ (if (i % 4 == 0) "spark" else "other")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25app").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx,
+      corpus.where(col("doc_id") < 12), col("doc_id"), col("text"), buckets = 8)
+    TextAnalysis.appendToTextIndex(spark, idx,
+      corpus.where(col("doc_id") >= 12), col("doc_id"), col("text"))
+    val q = Seq("spark", "w3")
+    val probed = TextAnalysis.bm25Search(spark, idx, q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val adhoc = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed == adhoc, s"post-append ranking drifted: $probed vs $adhoc")
+  }
+
   test("dsir weights rank target-dialect docs above off-target docs") {
     import graft.ops.TrainingData
     val raw = Seq(
