@@ -1298,6 +1298,48 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // CALL rewrite_position_delete_files end-to-end: two MoR deletes mint
+    // two position sidecars; a partition-scoped compaction retires one
+    // sidecar's target files (its entries now DANGLE); the CALL then
+    // consolidates to ONE sidecar holding only the live entries. Every
+    // phase row is closed-form from the delete predicates (sidecar count,
+    // summed sidecar rows, table count), so a dropped/kept-dangling entry
+    // or a data-file rewrite changes the hash.
+    "geo_rewrite_deletes" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geord", "geo_rd_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geord.db")
+      s.sql("DROP TABLE IF EXISTS geord.db.rd")
+      s.sql("CREATE TABLE geord.db.rd (id BIGINT, grp BIGINT) USING geo")
+      s.sql("INSERT INTO geord.db.rd SELECT c_custkey, 0 FROM customer WHERE c_custkey % 2 = 0")
+      s.sql("INSERT INTO geord.db.rd SELECT c_custkey, 1 FROM customer WHERE c_custkey % 2 = 1")
+      val root = s.conf.get("spark.sql.catalog.geord.warehouse") + "/db/rd"
+      graft.tables.GeoTable.delete(s, root,
+        col("id") % 10 === 4 && col("grp") === 0, mode = "mor")
+      graft.tables.GeoTable.delete(s, root,
+        col("id") % 10 === 7 && col("grp") === 1, mode = "mor")
+      // phases collect EAGERLY (a lazy frame would re-read the mutated
+      // table at execution time and show the final state in every phase)
+      def phase(p: Int): (Int, Long, Long, Long) = {
+        val r = s.sql(
+          s"""SELECT
+                (SELECT COUNT(*) FROM geord.db.rd.deletes WHERE type = 'position') AS n_sidecars,
+                (SELECT CAST(COALESCE(SUM(rows), 0) AS BIGINT) FROM geord.db.rd.deletes
+                 WHERE type = 'position') AS sidecar_rows,
+                (SELECT COUNT(*) FROM geord.db.rd) AS n_rows""").head()
+        (p, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val p1 = phase(1)
+      // retire grp 0's files: its sidecar entries dangle, reads unchanged
+      graft.tables.GeoTable.compactWhere(s, root, col("grp") === 0, 1)
+      val p2 = phase(2)
+      s.sql("CALL geord.system.rewrite_position_delete_files(table => 'db.rd')")
+      val p3 = phase(3)
+      import s.implicits._
+      Seq(p1, p2, p3).toDF("phase", "n_sidecars", "sidecar_rows", "n_rows")
+        .orderBy("phase")
+    }),
+
     // CHECK constraints end-to-end: ADD validates+stores, enforcement
     // admits the valid inserts (counts require'd in-query — a violating
     // insert is an error, spec-covered), DROP removes one; the
@@ -4336,6 +4378,22 @@ object SparkEntry {
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       ORDER BY phase""",
 
+    // closed-form from the delete predicates: two live sidecars before
+    // the verb (their recorded rows = the matched counts), still two
+    // after the partition-scoped compaction (one now dangling), ONE
+    // holding only the live entries after the rewrite; table count never
+    // moves (the verb must not touch data)
+    "geo_rewrite_deletes" -> """
+      WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),
+           d4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 10 = 4),
+           d7 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey % 10 = 7)
+      SELECT CAST(phase AS INT) AS phase, n_sidecars, sidecar_rows, n_rows FROM (
+        SELECT 1 AS phase, CAST(2 AS BIGINT) AS n_sidecars, d4.n + d7.n AS sidecar_rows,
+               c.total - d4.n - d7.n AS n_rows FROM c, d4, d7
+        UNION ALL SELECT 2, CAST(2 AS BIGINT), d4.n + d7.n, c.total - d4.n - d7.n FROM c, d4, d7
+        UNION ALL SELECT 3, CAST(1 AS BIGINT), d7.n, c.total - d4.n - d7.n FROM c, d4, d7
+      ) t ORDER BY phase""",
+
     // the surviving constraint as literals (id_cap was dropped)
     "geo_constraints_meta" -> """
       SELECT * FROM (VALUES ('amt_pos', 'amt > 0')) t(name, expr) ORDER BY name""",
@@ -5774,6 +5832,26 @@ object SparkEntry {
           count(col("buy_id")).as("n_matched")).orderBy("user_id").collect()
       val t1 = System.nanoTime()
       Seq("setup" -> setup, "stream" -> stream, "agg" -> (t1 - t0) / 1e9)
+    }),
+    // build/append/probe split for incremental BM25 ingest: the headline
+    // wall is dominated by TWO index constructions; the number a user of
+    // incremental ingest cares about is the append wall (new docs only)
+    "text_bm25_append_topk" -> ((s, d) => {
+      prep(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25a_split").toString + "/i"
+      val docs = s.table("documents")
+      val t0 = System.nanoTime()
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      val t1 = System.nanoTime()
+      graft.ops.TextAnalysis.appendToTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+      val t2 = System.nanoTime()
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+        Seq("spark", "customer", "merge"), k = 10).count()
+      val t3 = System.nanoTime()
+      Seq("build" -> (t1 - t0) / 1e9, "append" -> (t2 - t1) / 1e9,
+        "probe" -> (t3 - t2) / 1e9)
     }),
     // build/probe split for the persisted BM25 index, same rationale as
     // the ANN splits: the headline wall conflates tokenize-and-store with
