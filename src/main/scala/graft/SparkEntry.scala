@@ -2668,6 +2668,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Luhn-verified card redaction: one seeded VALID card (the classic
+    // 4111111111111111) must redact, one INVALID 16-digit run (same
+    // number, last digit bumped — fails the checksum) must SURVIVE:
+    // checksum verification is the whole point (regex-only redaction
+    // destroys order ids). Exact integer arithmetic on both sides.
+    "pii_redact_cards" -> ((s, d) => {
+      prep(s, d)
+      val seeded = s.table("documents")
+        .withColumn("text2",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" card 4111111111111111 ok")))
+            .otherwise(col("text")))
+        .withColumn("text2",
+          when(col("doc_id") % 17 === 0,
+            concat(col("text2"), lit(" ref 4111111111111112 x")))
+            .otherwise(col("text2")))
+      graft.ops.TrainingData.redactCards(seeded, col("text2"))
+        .select(col("doc_id"), col("n_cards"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ----- spatial SQL DML over GeoTable (§2.8; reference
     // TestSedonaIcebergExtension.scala:85-91) — a fresh copy-on-write table
     // per run, mutated through the SQL front-half, result read back from the
@@ -5185,6 +5206,32 @@ object SparkEntry {
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
       FROM seeded ORDER BY doc_id""",
+
+    // same seeding; Luhn replay: 1-based list_transform index i, so EVEN
+    // i doubles (Spark's 0-based transform doubles odd i — same digits)
+    "pii_redact_cards" -> """
+      WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN base || ' ref 4111111111111112 x'
+                    ELSE base END AS text2
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' card 4111111111111111 ok'
+                      ELSE text END AS base
+          FROM documents)),
+      cands AS (
+        SELECT doc_id, text2,
+               list_filter(regexp_extract_all(text2, '(^|[^0-9])([0-9]{13,19})([^0-9]|$)', 2),
+                 c -> list_sum(list_transform(list_reverse(string_split(c, '')),
+                        (d, i) -> CASE WHEN i % 2 = 0
+                                       THEN CAST(d AS INT) * 2 -
+                                            CASE WHEN CAST(d AS INT) * 2 > 9 THEN 9 ELSE 0 END
+                                       ELSE CAST(d AS INT) END)) % 10 = 0) AS valid
+        FROM seeded)
+      SELECT doc_id, CAST(len(valid) AS INT) AS n_cards,
+             md5(list_reduce(list_prepend(text2, valid),
+                 (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
+      FROM cands ORDER BY doc_id""",
 
     // end state of UPDATE ... WHERE st_within(point, envelope): strict
     // interior, bounds at non-representable decimals so no point sits on a

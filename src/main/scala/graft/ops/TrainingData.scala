@@ -342,4 +342,41 @@ object TrainingData {
         regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
           phonePattern, "<PHONE>"))
   }
+
+  /** 13–19-digit runs bounded by non-digits (capture group 2; boundary
+    * groups instead of lookaround so RE2-based engines replay the same
+    * matches). */
+  val cardPattern = "(^|[^0-9])([0-9]{13,19})([^0-9]|$)"
+
+  /** Luhn checksum over a digit string — pure integer expression folds
+    * (rightmost digit NOT doubled; every second digit from the right
+    * doubles, minus 9 past 9; sum divisible by 10). */
+  def luhnValid(num: Column): Column = {
+    // Spark's split('abc','') appends a trailing "" (java split limit -1)
+    val digits = filter(split(reverse(num), ""), d => length(d) === 1)
+    val terms = transform(digits, (d, i) => {
+      val v = d.cast("int")
+      when(i % 2 === 1, v * 2 - when(v * 2 > 9, 9).otherwise(0)).otherwise(v)
+    })
+    aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /**
+   * Credit-card redaction with CHECKSUM VERIFICATION: candidate digit
+   * runs that pass Luhn redact; runs that fail it stay (an order id or
+   * timestamp is not a card number — regex-only redaction destroys
+   * them). Extraction, verification, and the per-match replacement are
+   * all expression folds (codegen, no UDF), and the arithmetic is exact
+   * integers, so the oracle replays match set AND verdicts bit-exactly.
+   * Returns `n_cards` (verified matches) and `redacted`.
+   */
+  def redactCards(docs: DataFrame, text: Column): DataFrame = {
+    val valid = filter(
+      regexp_extract_all(text, lit(cardPattern), lit(2)), c => luhnValid(c))
+    docs
+      .withColumn("n_cards", size(valid))
+      .withColumn("redacted",
+        aggregate(valid, text,
+          (acc, c) => call_function("replace", acc, c, lit("<CARD>"))))
+  }
 }

@@ -148,6 +148,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("redactCards: Luhn-valid numbers redact, invalid runs survive") {
+    import graft.ops.TrainingData
+    val docs = Seq(
+      (0L, "pay with 4111111111111111 today"),          // valid Visa test number
+      (1L, "order 4111111111111112 shipped"),           // fails Luhn -> survives
+      (2L, "amex 378282246310005 and visa 4012888888881881"), // both valid
+      (3L, "short 123456789012 run"),                   // 12 digits: not a candidate
+      (4L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.redactCards(docs, col("text"))
+      .select("doc_id", "n_cards", "redacted")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(0L) == (1, "pay with <CARD> today"))
+    assert(out(1L) == (0, "order 4111111111111112 shipped"))
+    assert(out(2L) == (2, "amex <CARD> and visa <CARD>"))
+    assert(out(3L) == (0, "short 123456789012 run"))
+    assert(out(4L) == (0, "no digits at all"))
+  }
+
   test("redactPii counts and strips emails and phones") {
     val df = Seq(
       (0L, "reach me at jane.doe+spam@mail.example.org or +1-555-0199 thanks"),
