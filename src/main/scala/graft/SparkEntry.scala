@@ -5208,7 +5208,10 @@ object SparkEntry {
       FROM seeded ORDER BY doc_id""",
 
     // same seeding; Luhn replay: 1-based list_transform index i, so EVEN
-    // i doubles (Spark's 0-based transform doubles odd i — same digits)
+    // i doubles (Spark's 0-based transform doubles odd i — same digits).
+    // Extraction = maximal digit runs + length filter; replacement =
+    // span-anchored regexp per verified run with the 'g' flag (DuckDB's
+    // regexp_replace is first-match-only by default; Spark's is global)
     "pii_redact_cards" -> """
       WITH seeded AS (
         SELECT doc_id,
@@ -5221,8 +5224,9 @@ object SparkEntry {
           FROM documents)),
       cands AS (
         SELECT doc_id, text2,
-               list_filter(regexp_extract_all(text2, '(^|[^0-9])([0-9]{13,19})([^0-9]|$)', 2),
-                 c -> list_sum(list_transform(list_reverse(string_split(c, '')),
+               list_filter(regexp_extract_all(text2, '[0-9]+'),
+                 c -> length(c) BETWEEN 13 AND 19 AND
+                      list_sum(list_transform(list_reverse(string_split(c, '')),
                         (d, i) -> CASE WHEN i % 2 = 0
                                        THEN CAST(d AS INT) * 2 -
                                             CASE WHEN CAST(d AS INT) * 2 > 9 THEN 9 ELSE 0 END
@@ -5230,7 +5234,8 @@ object SparkEntry {
         FROM seeded)
       SELECT doc_id, CAST(len(valid) AS INT) AS n_cards,
              md5(list_reduce(list_prepend(text2, valid),
-                 (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
+                 (acc, c) -> regexp_replace(acc, '(^|[^0-9])' || c || '([^0-9]|$)',
+                                            '\1<CARD>\2', 'g'))) AS redacted_md5
       FROM cands ORDER BY doc_id""",
 
     // end state of UPDATE ... WHERE st_within(point, envelope): strict

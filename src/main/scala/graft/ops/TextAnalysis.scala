@@ -140,75 +140,108 @@ object TextAnalysis {
    * ever reruns. Build once over 100 TB; each probe reads a handful of
    * bucket files plus a one-row stats table.
    */
+  /** The stored posting rows for a batch of documents (one tokenize
+    * pass) — shared by build and append so the two can never diverge. */
+  private def postingsOf(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** (n_docs, sum_dl) of a postings frame — exact longs, so stats merge
+    * without drift and an empty corpus is (0, 0), never null. */
+  private def docStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   def buildTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                      df: DataFrame, id: Column, text: Column,
                      buckets: Int = 64): Unit = {
     import graft.tables.{GeoPartition, GeoTable}
-    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
-      .withColumn("dl", size(col("__toks")).cast("long"))
-    val postings = docs
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf", "dl")
-    GeoTable.create(spark, s"$indexRoot/postings", postings, geomCol = None,
+    GeoTable.create(spark, s"$indexRoot/postings", postingsOf(df, id, text),
+      geomCol = None,
       partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")))
+    // stats from the WRITTEN table (a two-column pruned scan — the
+    // tokenize pass ran once, in the write); the recorded version pins
+    // which postings snapshot the row covers
+    val v = graft.tables.GeoManifest.read(spark, s"$indexRoot/postings").version
+    val (n, s) = docStats(GeoTable.read(spark, s"$indexRoot/postings"))
+    val sp = spark
+    import sp.implicits._
     GeoTable.create(spark, s"$indexRoot/stats",
-      docs.agg(count(lit(1)).cast("long").as("n_docs"), avg(col("dl")).as("avgdl")),
+      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"),
       geomCol = None)
   }
 
   /**
-   * Incrementally ADD documents to a [[buildTextIndex]] index — the
-   * streaming-corpus ingest shape (the text analog of
-   * `Similarity.appendToIvfIndex`): the new docs tokenize in one pass,
-   * their postings APPEND bucket-clustered (the writer rolls files at
-   * bucket boundaries, so probes keep pruning), and the one-row stats
-   * table merges by recovering n·avgdl — the same up-to-last-ulp answer
-   * a fresh build computes (float summation order differs, ranks don't;
-   * tf/df/N are exact integers either way). A probe after any number of
-   * appends ranks identically to [[bm25TopK]] over the union corpus.
-   * Nothing re-reads the existing postings.
+   * Incrementally ADD documents (batch ids must be new — the standard
+   * append-only ingest contract) to a [[buildTextIndex]] index — the
+   * streaming-corpus shape, the text analog of
+   * `Similarity.appendToIvfIndex`: one tokenize pass writes the new
+   * postings bucket-clustered (the writer rolls files at bucket
+   * boundaries, so probes keep pruning), then the stats row advances by
+   * the CHANGELOG delta of the postings table. The two commits are not
+   * atomic, but a crash between them is SAFE: the stats row records the
+   * postings version it covers, and [[bm25Search]] heals a stale row by
+   * replaying the same changelog window (read-only — probes never
+   * write). tf/df/N/sum_dl are exact integers, so stats never drift; a
+   * probe after any number of appends ranks identically to [[bm25TopK]]
+   * over the union corpus. Nothing re-reads or re-tokenizes existing
+   * postings.
    */
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                         df: DataFrame, id: Column, text: Column): Unit = {
-    import graft.tables.GeoTable
-    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
-      .withColumn("dl", size(col("__toks")).cast("long"))
-    val postings = docs
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf", "dl")
-    GeoTable.append(spark, s"$indexRoot/postings", postings)
-    val old = GeoTable.read(spark, s"$indexRoot/stats").head()
-    val (n0, sum0) = (old.getLong(0), old.getLong(0) * old.getDouble(1))
-    val add = docs.agg(count(lit(1)).cast("long"), sum(col("dl")).cast("double")).head()
-    val (n1, sum1) = (add.getLong(0), if (add.isNullAt(1)) 0.0 else add.getDouble(1))
+    graft.tables.GeoTable.append(spark, s"$indexRoot/postings",
+      postingsOf(df, id, text))
+    val (n, s, v) = statsAsOfCurrent(spark, indexRoot)
     val sp = spark
     import sp.implicits._
-    GeoTable.overwrite(spark, s"$indexRoot/stats",
-      Seq((n0 + n1, (sum0 + sum1) / math.max(n0 + n1, 1L))).toDF("n_docs", "avgdl"))
+    graft.tables.GeoTable.overwrite(spark, s"$indexRoot/stats",
+      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
+  }
+
+  /** Stats valid for the postings table's CURRENT version: the stored
+    * row, advanced by the changelog delta when it lags (pure read). */
+  private def statsAsOfCurrent(spark: org.apache.spark.sql.SparkSession,
+                               indexRoot: String): (Long, Long, Int) = {
+    val root = s"$indexRoot/postings"
+    val cur = graft.tables.GeoManifest.read(spark, root).version
+    val row = graft.tables.GeoTable.read(spark, s"$indexRoot/stats").head()
+    val (n0, s0, v0) = (row.getLong(0), row.getLong(1), row.getInt(2))
+    if (v0 >= cur) return (n0, s0, v0)
+    // the changelog range is (base, target]: v0 is the covered snapshot
+    val (dn, ds) = docStats(
+      graft.tables.GeoChangelog.changes(spark, root, v0, cur)
+        .where(col("_change_type") === "insert"))
+    (n0 + dn, s0 + ds, cur)
   }
 
   /** Probe a [[buildTextIndex]] index: identical scores to [[bm25TopK]]
     * (same +1-idf Okapi formulation), but the scan reads only the query
-    * terms' bucket files. */
+    * terms' bucket files. Corpus stats resolve through
+    * [[statsAsOfCurrent]] (driver-side literals) — a stats row left
+    * stale by a crashed append heals transparently, and probes never
+    * write. */
   def bm25Search(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                  query: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25Search needs at least one query term")
     import graft.tables.GeoTable
     val c = col _
+    val (n, sumDl, _) = statsAsOfCurrent(spark, indexRoot)
+    val avgdl = sumDl.toDouble / math.max(n, 1L)
     // scan() file-prunes on the IN predicate AND applies it row-wise
     val posts = GeoTable.scan(spark, s"$indexRoot/postings",
       c("term").isin(query: _*))
-    val stats = GeoTable.read(spark, s"$indexRoot/stats")
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     posts.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
       .withColumn("__w",
-        log(lit(1.0) + (c("n_docs") - c("df") + 0.5) / (c("df") + 0.5)) *
+        log(lit(1.0) + (lit(n) - c("df") + 0.5) / (c("df") + 0.5)) *
           c("tf") * (k1 + 1.0) /
-          (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / c("avgdl"))))
+          (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / lit(avgdl))))
       .groupBy("doc_id").agg(sum(c("__w")).as("score"))
       .orderBy(c("score").desc, c("doc_id").asc)
       .limit(k)

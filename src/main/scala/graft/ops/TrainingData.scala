@@ -343,10 +343,12 @@ object TrainingData {
           phonePattern, "<PHONE>"))
   }
 
-  /** 13–19-digit runs bounded by non-digits (capture group 2; boundary
-    * groups instead of lookaround so RE2-based engines replay the same
-    * matches). */
-  val cardPattern = "(^|[^0-9])([0-9]{13,19})([^0-9]|$)"
+  /** MAXIMAL digit runs (greedy `[0-9]+` can never match adjacent to
+    * another digit, so no boundary groups are needed — a boundary-group
+    * pattern consumes the separator and MISSES the second of two runs
+    * one character apart). Card candidates are the runs of length
+    * 13..19, filtered by expression. RE2-safe (no lookaround). */
+  val digitRunPattern = "[0-9]+"
 
   /** Luhn checksum over a digit string — pure integer expression folds
     * (rightmost digit NOT doubled; every second digit from the right
@@ -372,11 +374,22 @@ object TrainingData {
    */
   def redactCards(docs: DataFrame, text: Column): DataFrame = {
     val valid = filter(
-      regexp_extract_all(text, lit(cardPattern), lit(2)), c => luhnValid(c))
+      regexp_extract_all(text, lit(digitRunPattern), lit(0)),
+      c => length(c) >= 13 && length(c) <= 19 && luhnValid(c))
+    // span-anchored replacement: each verified run replaces ONLY where it
+    // appears as a maximal run (boundary groups re-inserted via $1/$2) —
+    // a literal replace would also rewrite the card digits EMBEDDED in a
+    // longer non-card run (an order id), destroying it. One fold pass per
+    // extracted occurrence: when the same card appears twice one char
+    // apart, the first pass's consumed separator hides the second
+    // occurrence FROM THAT PASS, and the second occurrence's own fold
+    // pass picks it up.
+    val redacted = aggregate(valid, text, (acc, c) =>
+      regexp_replace(acc,
+        concat(lit("(^|[^0-9])"), c, lit("([^0-9]|$)")),
+        lit("$1<CARD>$2")))
     docs
       .withColumn("n_cards", size(valid))
-      .withColumn("redacted",
-        aggregate(valid, text,
-          (acc, c) => call_function("replace", acc, c, lit("<CARD>"))))
+      .withColumn("redacted", redacted)
   }
 }

@@ -626,6 +626,34 @@ class OpsSpec extends SparkSpec {
     assert(probed == adhoc, s"post-append ranking drifted: $probed vs $adhoc")
   }
 
+  test("BM25 index: a crash between postings append and stats commit self-heals") {
+    import graft.ops.TextAnalysis
+    val corpus = (0L until 20L).map(i =>
+      (i, s"w${i % 7} w${(i + 2) % 7} " + (if (i % 3 == 0) "spark" else "other")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25crash").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx,
+      corpus.where(col("doc_id") < 10), col("doc_id"), col("text"), buckets = 4)
+    // simulate the crash window: postings committed, stats row NOT —
+    // append the second half's postings directly, bypassing the stats leg
+    val late = corpus.where(col("doc_id") >= 10)
+      .select(col("doc_id"), org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim(col("text")), " +").as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    graft.tables.GeoTable.append(spark, idx + "/postings", late)
+    // the stored stats row now LAGS the postings table; the probe must
+    // heal it from the changelog (read-only) and rank like ad-hoc
+    val q = Seq("spark", "w3")
+    val probed = TextAnalysis.bm25Search(spark, idx, q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    val adhoc = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"), q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed == adhoc, s"stale-stats probe drifted: $probed vs $adhoc")
+  }
+
   test("dsir weights rank target-dialect docs above off-target docs") {
     import graft.ops.TrainingData
     val raw = Seq(

@@ -24,8 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_jaccard_exact",     // shingle-threshold scalar
     "pack_bins_invariants",    // two one-row invariant aggregates crossed
     "text_bm25_topk",          // N+avgdl one-row corpus stats
-    "text_bm25_indexed_topk",  // the stored one-row stats table
     "dsir_weights_topk")       // raw/target total one-row aggregates
+    // (the bm25 INDEX probes resolve stats driver-side as literals —
+    // no one-row broadcast in their plans)
 
   test("no driver-contract query plans a CartesianProduct; BNLJ only on one-row broadcasts") {
     val dir = "/root/testdata/sf0.001"

@@ -155,7 +155,10 @@ class TrainingDataSpec extends SparkSpec {
       (1L, "order 4111111111111112 shipped"),           // fails Luhn -> survives
       (2L, "amex 378282246310005 and visa 4012888888881881"), // both valid
       (3L, "short 123456789012 run"),                   // 12 digits: not a candidate
-      (4L, "no digits at all")
+      (4L, "no digits at all"),
+      (5L, "two 4111111111111111,4012888888881881 adjacent"), // one separator char
+      (6L, "id 99994111111111111111 has a card embedded"), // 20-digit run: NOT a card
+      (7L, "twice 4111111111111111,4111111111111111 same")  // same card, one sep
     ).toDF("doc_id", "text")
     val out = TrainingData.redactCards(docs, col("text"))
       .select("doc_id", "n_cards", "redacted")
@@ -165,6 +168,13 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2L) == (2, "amex <CARD> and visa <CARD>"))
     assert(out(3L) == (0, "short 123456789012 run"))
     assert(out(4L) == (0, "no digits at all"))
+    // maximal-run extraction: a single-char separator hides nothing
+    assert(out(5L) == (2, "two <CARD>,<CARD> adjacent"), out(5L))
+    // span-anchored replace: the embedded card digits do NOT rewrite the
+    // longer (non-card) run
+    assert(out(6L) == (0, "id 99994111111111111111 has a card embedded"), out(6L))
+    // duplicate occurrences: one fold pass per extracted occurrence
+    assert(out(7L) == (2, "twice <CARD>,<CARD> same"), out(7L))
   }
 
   test("redactPii counts and strips emails and phones") {
