@@ -1298,6 +1298,26 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // ADD COLUMN ... DEFAULT (Iceberg v3 initial-default analog): the
+    // add is metadata-only, yet every PRE-EXISTING row reads the FOLDED
+    // constant (40 + 2 -> 42) through the catalog scan; rows inserted
+    // after carry explicit values. The group-by replays both populations
+    // — a null-filled old row or an unfolded default changes the hash.
+    "geo_column_default" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geocd", "geo_cd_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geocd.db")
+      s.sql("DROP TABLE IF EXISTS geocd.db.cd")
+      s.sql("CREATE TABLE geocd.db.cd (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0")
+      graft.tables.GeoSql.exec(s,
+        "ALTER TABLE geocd.db.cd ADD COLUMN tier BIGINT DEFAULT 40 + 2")
+      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey, CAST(c_nationkey AS BIGINT) " +
+        "FROM customer WHERE c_custkey % 2 = 1")
+      s.sql("""SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+               FROM geocd.db.cd GROUP BY tier ORDER BY tier""")
+    }),
+
     // CALL rewrite_position_delete_files end-to-end: two MoR deletes mint
     // two position sidecars; a partition-scoped compaction retires one
     // sidecar's target files (its entries now DANGLE); the CALL then
@@ -4398,6 +4418,17 @@ object SparkEntry {
       UNION ALL
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       ORDER BY phase""",
+
+    // evens read the folded default 42, odds carry their explicit tier
+    "geo_column_default" -> """
+      WITH al AS (
+        SELECT CAST(42 AS BIGINT) AS tier, c_custkey AS id
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT CAST(c_nationkey AS BIGINT), c_custkey
+        FROM customer WHERE c_custkey % 2 = 1)
+      SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM al GROUP BY tier ORDER BY tier""",
 
     // closed-form from the delete predicates: two live sidecars before
     // the verb (their recorded rows = the matched counts), still two

@@ -64,6 +64,12 @@ object GeoSql {
   // verb): ALTER TABLE t ADD FILES 'p1'[, 'p2' ...]
   private val alterAddFilesRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+FILES\s+(.+?)\s*;?\s*""".r
+  // single-column ADD with a DEFAULT constant (Iceberg v3 initial-default
+  // analog) — claimed for catalog names too (resolveRoot guard), so the
+  // default lands in the manifest schema instead of silently dropping
+  // through a TableChange the catalog ignores
+  private val alterAddDefaultRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+([\w]+\s+[^;]+?)\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val alterAddRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
   private val alterDropRe =
@@ -212,6 +218,8 @@ object GeoSql {
       // error (maybeCommand swallows parse-time throws by design)
       Some(GeoAddFilesCommand(name,
         "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq))
+    case alterAddDefaultRe(name, colDdl, dflt) if resolveRoot(name).isDefined =>
+      Some(GeoAlterAddDefaultCommand(name, stripOuterParens(colDdl).trim, dflt.trim))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
@@ -820,6 +828,19 @@ case class GeoAlterAddCommand(name: String, colDdl: String) extends GeoRunnable 
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
     GeoTable.addColumn(spark, root, colDdl)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(0L))
+  }
+}
+
+/** ALTER TABLE t ADD COLUMN c TYPE DEFAULT <const> — metadata-only; old
+  * files read the folded default via EXISTS_DEFAULT (Iceberg v3
+  * initial-default analog). See GeoTable.addColumnWithDefault. */
+case class GeoAlterAddDefaultCommand(name: String, colDdl: String,
+                                     defaultSql: String) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    GeoTable.addColumnWithDefault(spark, root, colDdl, defaultSql)
     GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }

@@ -876,6 +876,46 @@ object GeoTable {
     addColumns(spark, root, parsed.fields.toSeq)
   }
 
+  /**
+   * ADD COLUMN with a DEFAULT (Iceberg v3 initial-default / Delta
+   * default-value analog), still metadata-only: the constant folds NOW
+   * and lands in the field's `EXISTS_DEFAULT` metadata, which Spark's
+   * own parquet readers consult when a data file physically lacks the
+   * column — so every pre-existing row reads the default with ZERO
+   * rewrites, on the catalog scan and the path readers alike (they all
+   * read under the manifest schema). CoW rewrites then materialize it.
+   * The default must be a foldable constant (Spark's reader eval point
+   * cannot run queries), and time travel is unaffected: old manifests
+   * keep their own schema.
+   */
+  def addColumnWithDefault(spark: SparkSession, root: String,
+                           colDdl: String, defaultSql: String): Unit = {
+    val parsed = GeoSchema.fromDdl(colDdl)
+    require(parsed.fields.length == 1,
+      s"ADD COLUMN ... DEFAULT takes exactly one column, got '$colDdl'")
+    val f = parsed.fields.head
+    require(!GeoSchema.isGeometry(f), "a GEOMETRY column cannot carry a DEFAULT")
+    // fold the default NOW against an empty frame: unresolvable names,
+    // type mismatches, and non-constant expressions all fail here
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), new StructType())
+    val analyzed = empty.select(expr(defaultSql).cast(f.dataType).as("__d"))
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+    require(analyzed.foldable,
+      s"DEFAULT must be a constant expression, got '$defaultSql'")
+    val folded = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(analyzed.eval(), f.dataType)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString("EXISTS_DEFAULT", folded.sql)
+      .putString("CURRENT_DEFAULT", defaultSql)
+      .build()
+    addColumns(spark, root, Seq(f.copy(metadata = md)))
+  }
+
   /** Field-based ADD COLUMNS (shared by the DDL front-end and the DSv2
     * catalog's alterTable) — one metadata-only commit for the whole batch. */
   def addColumns(spark: SparkSession, root: String,

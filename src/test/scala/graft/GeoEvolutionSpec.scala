@@ -43,6 +43,41 @@ class GeoEvolutionSpec extends SparkSpec {
     assert(all.where(col("tier").isNull).count() == 40)
   }
 
+  test("ADD COLUMN DEFAULT: old rows read the folded default, zero rewrites") {
+    val root = tmpRoot("adddef")
+    pointTable(root)
+    val filesBefore = GeoManifest.read(spark, root).files.map(_.key).toSet
+    GeoSql.exec(spark, s"ALTER TABLE __ignored ADD COLUMN tier INT DEFAULT 3 + 2"
+      .replace("__ignored", { GeoTable.register(spark, "evo_def_t", root); "evo_def_t" }))
+    val m = GeoManifest.read(spark, root)
+    assert(m.files.map(_.key).toSet == filesBefore, "must stay metadata-only")
+    // pre-existing rows read the FOLDED constant, not NULL
+    val afterAdd = GeoTable.read(spark, root)
+    assert(afterAdd.where(col("tier") === 5).count() == 40, "old rows must read the default")
+    // new rows carry explicit values; both populations coexist
+    GeoTable.append(spark, root, spark.range(40, 50).toDF("id")
+      .withColumn("flag", lit(1))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0)))
+      .withColumn("tier", lit(7)))
+    val all = GeoTable.read(spark, root)
+    assert(all.where(col("tier") === 5).count() == 40)
+    assert(all.where(col("tier") === 7).count() == 10)
+    // a CoW rewrite MATERIALIZES the default (the rewritten file carries it)
+    GeoTable.update(spark, root, Seq("flag" -> lit(9)), col("id") === 1, mode = "cow")
+    assert(GeoTable.read(spark, root)
+      .where(col("id") === 1 && col("tier") === 5).count() == 1)
+    // time travel: the pre-add snapshot has no such column
+    val old = GeoTable.readAt(spark, root, 0)
+    assert(!old.columns.contains("tier"))
+    // refusals: non-constant and GEOMETRY defaults
+    val e1 = intercept[Exception](
+      GeoTable.addColumnWithDefault(spark, root, "r DOUBLE", "rand()"))
+    assert(e1.getMessage.contains("constant"), e1.getMessage)
+    val e2 = intercept[Exception](
+      GeoTable.addColumnWithDefault(spark, root, "g GEOMETRY", "NULL"))
+    assert(e2.getMessage.toLowerCase.contains("geometry"), e2.getMessage)
+  }
+
   test("DROP COLUMN tombstones the name; re-ADD of it is rejected") {
     val root = tmpRoot("drop")
     pointTable(root)
