@@ -1300,20 +1300,25 @@ object SparkEntry {
 
     // ADD COLUMN ... DEFAULT (Iceberg v3 initial-default analog): the
     // add is metadata-only, yet every PRE-EXISTING row reads the FOLDED
-    // constant (40 + 2 -> 42) through the catalog scan; rows inserted
-    // after carry explicit values. The group-by replays both populations
-    // — a null-filled old row or an unfolded default changes the hash.
+    // constant (40 + 2 -> 42) through the catalog scan (EXISTS_DEFAULT,
+    // read side); an INSERT whose column list omits the column fills it
+    // via Spark's own analyzer (CURRENT_DEFAULT, write side); explicit
+    // values persist. The group-by replays all three populations — a
+    // null-filled row on either side changes the hash.
     "geo_column_default" -> ((s, d) => {
       prep(s, d)
       ensureGeoCatalog(s, "geocd", "geo_cd_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geocd.db")
       s.sql("DROP TABLE IF EXISTS geocd.db.cd")
       s.sql("CREATE TABLE geocd.db.cd (id BIGINT, nat BIGINT) USING geo")
-      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0")
+      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 0")
       graft.tables.GeoSql.exec(s,
         "ALTER TABLE geocd.db.cd ADD COLUMN tier BIGINT DEFAULT 40 + 2")
       s.sql("INSERT INTO geocd.db.cd SELECT c_custkey, c_nationkey, CAST(c_nationkey AS BIGINT) " +
-        "FROM customer WHERE c_custkey % 2 = 1")
+        "FROM customer WHERE c_custkey % 3 = 1")
+      // write-side default: the column list omits `tier`
+      s.sql("INSERT INTO geocd.db.cd (id, nat) SELECT c_custkey, c_nationkey " +
+        "FROM customer WHERE c_custkey % 3 = 2")
       s.sql("""SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
                FROM geocd.db.cd GROUP BY tier ORDER BY tier""")
     }),
@@ -4419,14 +4424,15 @@ object SparkEntry {
       SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM al
       ORDER BY phase""",
 
-    // evens read the folded default 42, odds carry their explicit tier
+    // thirds {0,2} get the folded 42 (read-side fill and write-side
+    // analyzer default respectively), third {1} carries explicit tiers
     "geo_column_default" -> """
       WITH al AS (
         SELECT CAST(42 AS BIGINT) AS tier, c_custkey AS id
-        FROM customer WHERE c_custkey % 2 = 0
+        FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 2
         UNION ALL
         SELECT CAST(c_nationkey AS BIGINT), c_custkey
-        FROM customer WHERE c_custkey % 2 = 1)
+        FROM customer WHERE c_custkey % 3 = 1)
       SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
       FROM al GROUP BY tier ORDER BY tier""",
 
