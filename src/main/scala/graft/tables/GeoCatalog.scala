@@ -63,6 +63,14 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def name(): String = catalogName
 
+  /** Column DEFAULTs are first-class: Spark's parser then accepts the
+    * DEFAULT clause in CREATE TABLE / ALTER TABLE for this catalog and
+    * delivers it on the V2 column / TableChange, where createTable's
+    * schema conversion and alterTable's AddColumn handling persist it
+    * into the manifest schema's field metadata. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private[tables] def tableRoot(ident: Identifier): String =
     (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
 
@@ -386,8 +394,25 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}") }
     if (adds.nonEmpty)
       GeoTable.addColumns(spark, root,
-        adds.map(a => GeoCatalog.fromSpatialDdl(
-          StructField(a.fieldNames.head, a.dataType, nullable = true))))
+        adds.map { a =>
+          val base = GeoCatalog.fromSpatialDdl(
+            StructField(a.fieldNames.head, a.dataType, nullable = true))
+          // DEFAULT rides the declared SUPPORT_COLUMN_DEFAULT_VALUE
+          // capability: CURRENT_DEFAULT = the user's SQL, EXISTS_DEFAULT
+          // = the analyzer's folded literal — dropping it silently would
+          // leave old rows NULL against the user's stated intent
+          Option(a.defaultValue()) match {
+            case None => base
+            case Some(d) =>
+              val folded = org.apache.spark.sql.catalyst.expressions.Literal
+                .create(d.getValue.value(), d.getValue.dataType())
+              base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(base.metadata)
+                .putString("EXISTS_DEFAULT", folded.sql)
+                .putString("CURRENT_DEFAULT", d.getSql)
+                .build())
+          }
+        })
     // SET TBLPROPERTIES('bloom.columns'=...): one commit for the whole
     // bloom property group — fpp/items ride along with the column list
     val setProps = changes.collect { case p: TableChange.SetProperty => p }

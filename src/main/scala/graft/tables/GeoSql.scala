@@ -64,14 +64,30 @@ object GeoSql {
   // verb): ALTER TABLE t ADD FILES 'p1'[, 'p2' ...]
   private val alterAddFilesRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+FILES\s+(.+?)\s*;?\s*""".r
-  // single-column ADD with a DEFAULT constant (Iceberg v3 initial-default
-  // analog) — claimed for catalog names too (resolveRoot guard), so the
-  // default lands in the manifest schema instead of silently dropping
-  // through a TableChange the catalog ignores
-  private val alterAddDefaultRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+([\w]+\s+[^;]+?)\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val alterAddRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
+
+  /** Split "c TYPE DEFAULT <expr>" at the LAST top-level DEFAULT keyword —
+    * quote-aware, so a DEFAULT inside a string literal (a comment text,
+    * a string default) never splits. None = no DEFAULT clause. */
+  private[tables] def splitDefault(ddl: String): Option[(String, String)] = {
+    val up = ddl.toUpperCase
+    var i = 0
+    var inQ = false
+    var last = -1
+    while (i < ddl.length) {
+      val ch = ddl.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && (ch == 'D' || ch == 'd') &&
+          up.startsWith("DEFAULT", i) &&
+          i > 0 && ddl.charAt(i - 1).isWhitespace &&
+          i + 7 < ddl.length && ddl.charAt(i + 7).isWhitespace)
+        last = i
+      i += 1
+    }
+    if (last < 0) None
+    else Some((ddl.substring(0, last).trim, ddl.substring(last + 7).trim))
+  }
   private val alterDropRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val alterRenameRe =
@@ -200,9 +216,14 @@ object GeoSql {
       // aside: GeoCatalog.createTable maps the native GeometryType to
       // tagged BINARY with full analyzer checks
       if (GeoCatalog.resolveWarehouseRoot(name).isDefined &&
-          SparkSession.getActiveSession.exists(
-            _.conf.get("spark.sql.geospatial.enabled", "false").toBoolean) &&
-          nonNativeGeomRe.findFirstIn(colsDdl).isEmpty) None
+          nonNativeGeomRe.findFirstIn(colsDdl).isEmpty &&
+          (SparkSession.getActiveSession.exists(
+            _.conf.get("spark.sql.geospatial.enabled", "false").toBoolean) ||
+           // a DEFAULT clause needs Spark's parser (the front-end's
+           // fromDdl cannot spell it); the catalog's declared
+           // SUPPORT_COLUMN_DEFAULT_VALUE capability takes it natively
+           (splitDefault(colsDdl).isDefined &&
+            !"(?i)\\bGEOMETRY\\b".r.unanchored.matches(colsDdl)))) None
       else Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
     // UPDATE/DELETE/MERGE: only PATH-REGISTERED tables use this front-end;
     // catalog tables (geo.db.t) run Spark's native row-level path
@@ -218,10 +239,16 @@ object GeoSql {
       // error (maybeCommand swallows parse-time throws by design)
       Some(GeoAddFilesCommand(name,
         "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq))
-    case alterAddDefaultRe(name, colDdl, dflt) if resolveRoot(name).isDefined =>
-      Some(GeoAlterAddDefaultCommand(name, stripOuterParens(colDdl).trim, dflt.trim))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
+      // path-registered tables have no Spark-native ALTER path, so the
+      // front-end owns the DEFAULT spelling too (simple single-column
+      // form); catalog names deliberately fall through to Spark's own
+      // parser, whose DEFAULT support rides the catalog's declared
+      // SUPPORT_COLUMN_DEFAULT_VALUE capability (every spelling works)
+      GeoSql.splitDefault(stripOuterParens(colDdl)) match {
+        case Some((cd, dflt)) => Some(GeoAlterAddDefaultCommand(name, cd, dflt))
+        case None => Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
+      }
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
@@ -673,6 +700,13 @@ case class GeoInsertCommand(name: String, query: String,
         renamed.select(schema.fields.toSeq.map { f =>
           columns.find(_.equalsIgnoreCase(f.name)) match {
             case Some(c) => renamed(c).as(f.name)
+            // an omitted column fills its declared DEFAULT (the same
+            // CURRENT_DEFAULT the catalog path resolves through Spark's
+            // analyzer) — writing NULL would contradict the column's
+            // contract and EXISTS_DEFAULT could not repair a physically
+            // written NULL
+            case None if f.metadata.contains("CURRENT_DEFAULT") =>
+              expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType).as(f.name)
             case None => org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
           }
         }: _*)

@@ -508,6 +508,42 @@ class GeoCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE geo.db.newname")
   }
 
+  test("column DEFAULTs through Spark's native DDL: every spelling, both sides") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("DROP TABLE IF EXISTS geo.db.dft")
+    // CREATE TABLE with a DEFAULT (capability-gated native parse)
+    spark.sql("CREATE TABLE geo.db.dft (id BIGINT, tier BIGINT DEFAULT 7) USING geo")
+    spark.sql("INSERT INTO geo.db.dft (id) VALUES (1)")
+    assert(spark.sql("SELECT tier FROM geo.db.dft WHERE id = 1").head.getLong(0) == 7)
+    // parenthesized ALTER spelling — rides the native parser too
+    spark.sql("ALTER TABLE geo.db.dft ADD COLUMNS (band INT DEFAULT 2 + 3)")
+    // pre-existing row reads the FOLDED default; omitted-column insert fills it
+    assert(spark.sql("SELECT band FROM geo.db.dft WHERE id = 1").head.getInt(0) == 5)
+    spark.sql("INSERT INTO geo.db.dft (id) VALUES (2)")
+    assert(spark.sql("SELECT tier, band FROM geo.db.dft WHERE id = 2").head ==
+      org.apache.spark.sql.Row(7L, 5))
+    // explicit DEFAULT keyword
+    spark.sql("INSERT INTO geo.db.dft VALUES (3, 9, DEFAULT)")
+    assert(spark.sql("SELECT tier, band FROM geo.db.dft WHERE id = 3").head ==
+      org.apache.spark.sql.Row(9L, 5))
+    spark.sql("DROP TABLE geo.db.dft")
+  }
+
+  test("path INSERT with a column list fills declared DEFAULTs, not NULL") {
+    warehouse
+    val root = java.nio.file.Files.createTempDirectory("geo_dft_p").toString + "/t"
+    GeoTable.create(spark, root, Seq((1L, 10L)).toDF("id", "amt"), geomCol = None)
+    GeoTable.register(spark, "dft_path_t", root)
+    GeoSql.exec(spark, "ALTER TABLE dft_path_t ADD COLUMN tier BIGINT DEFAULT 40 + 2")
+    GeoSql.exec(spark, "INSERT INTO dft_path_t (id, amt) SELECT 2L, 20L")
+    val rows = GeoTable.read(spark, root).orderBy("id")
+      .select("id", "tier").as[(Long, Long)].collect().toSeq
+    // row 1 reads the default via EXISTS_DEFAULT; row 2 had it WRITTEN via
+    // the front-end's CURRENT_DEFAULT fill (not a physical NULL)
+    assert(rows == Seq((1L, 42L), (2L, 42L)), rows)
+  }
+
   test("RESTORE TABLE rolls back data as a new history-preserving commit") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")

@@ -47,8 +47,8 @@ class GeoEvolutionSpec extends SparkSpec {
     val root = tmpRoot("adddef")
     pointTable(root)
     val filesBefore = GeoManifest.read(spark, root).files.map(_.key).toSet
-    GeoSql.exec(spark, s"ALTER TABLE __ignored ADD COLUMN tier INT DEFAULT 3 + 2"
-      .replace("__ignored", { GeoTable.register(spark, "evo_def_t", root); "evo_def_t" }))
+    GeoTable.register(spark, "evo_def_t", root)
+    GeoSql.exec(spark, "ALTER TABLE evo_def_t ADD COLUMN tier INT DEFAULT 3 + 2")
     val m = GeoManifest.read(spark, root)
     assert(m.files.map(_.key).toSet == filesBefore, "must stay metadata-only")
     // pre-existing rows read the FOLDED constant, not NULL
