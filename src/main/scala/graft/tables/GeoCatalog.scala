@@ -448,6 +448,12 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
             Some(GeoBloom.fppDefault(spark).toString) else None,
           items = if (p.property == "bloom.items")
             Some(GeoBloom.itemsDefault(spark).toString) else None)
+      // SET / DROP DEFAULT (capability-routed): future writes only —
+      // EXISTS_DEFAULT stays pinned at ADD time (committed history)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+        GeoTable.setColumnDefault(spark, root, u.fieldNames.head,
+          Option(u.newDefaultValue()).filter(_.nonEmpty))
       case other =>
         throw new UnsupportedOperationException(
           s"GeoCatalog does not support table change ${other.getClass.getSimpleName}")

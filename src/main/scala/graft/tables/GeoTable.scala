@@ -895,25 +895,63 @@ object GeoTable {
       s"ADD COLUMN ... DEFAULT takes exactly one column, got '$colDdl'")
     val f = parsed.fields.head
     require(!GeoSchema.isGeometry(f), "a GEOMETRY column cannot carry a DEFAULT")
-    // fold the default NOW against an empty frame: unresolvable names,
-    // type mismatches, and non-constant expressions all fail here
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), new StructType())
-    val analyzed = empty.select(expr(defaultSql).cast(f.dataType).as("__d"))
-      .queryExecution.analyzed
-      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-      .projectList.head
-      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
-    require(analyzed.foldable,
-      s"DEFAULT must be a constant expression, got '$defaultSql'")
-    val folded = org.apache.spark.sql.catalyst.expressions.Literal
-      .create(analyzed.eval(), f.dataType)
+    val folded = foldedDefault(spark, defaultSql, f.dataType)
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata)
       .putString("EXISTS_DEFAULT", folded.sql)
       .putString("CURRENT_DEFAULT", defaultSql)
       .build()
     addColumns(spark, root, Seq(f.copy(metadata = md)))
+  }
+
+  /** Fold a DEFAULT expression NOW against an empty frame: unresolvable
+    * names, type mismatches, and non-constant expressions all fail here
+    * with Spark's own errors, never at a later read or write. */
+  private def foldedDefault(spark: SparkSession, defaultSql: String,
+                            dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.expressions.Literal = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), new StructType())
+    val analyzed = empty.select(expr(defaultSql).cast(dt).as("__d"))
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+    require(analyzed.foldable,
+      s"DEFAULT must be a constant expression, got '$defaultSql'")
+    org.apache.spark.sql.catalyst.expressions.Literal.create(analyzed.eval(), dt)
+  }
+
+  /**
+   * SET / DROP a column's DEFAULT for FUTURE writes (`ALTER COLUMN c SET
+   * DEFAULT v` / `DROP DEFAULT`): only `CURRENT_DEFAULT` moves —
+   * `EXISTS_DEFAULT` is pinned at ADD time, because it is what files
+   * written BEFORE the column existed read, and that is committed
+   * history (re-pointing it would silently rewrite every old row's
+   * value). Delta and Iceberg v3 draw the same line. `None` drops the
+   * write-side default (omitted columns become NULL again); old files
+   * keep reading their ADD-time constant either way.
+   */
+  def setColumnDefault(spark: SparkSession, root: String, colName: String,
+                       defaultSql: Option[String]): Unit = {
+    val m = GeoManifest.read(spark, root)
+    val f = m.schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$colName' in ${m.schema.fieldNames.mkString(", ")}"))
+    require(!GeoSchema.isGeometry(f), "a GEOMETRY column cannot carry a DEFAULT")
+    val md = defaultSql match {
+      case Some(sql) =>
+        foldedDefault(spark, sql, f.dataType) // validates; value unused here
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString("CURRENT_DEFAULT", sql).build()
+      case None =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("CURRENT_DEFAULT").build()
+    }
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      schema = StructType(m.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(metadata = md) else x))),
+      m.version, op = "ddl")
   }
 
   /** Field-based ADD COLUMNS (shared by the DDL front-end and the DSv2

@@ -530,6 +530,31 @@ class GeoCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE geo.db.dft")
   }
 
+  test("SET/DROP DEFAULT moves future writes only; ADD-time fill is history") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("DROP TABLE IF EXISTS geo.db.sdf")
+    spark.sql("CREATE TABLE geo.db.sdf (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geo.db.sdf VALUES (1)") // pre-add row
+    spark.sql("ALTER TABLE geo.db.sdf ADD COLUMNS (tier BIGINT DEFAULT 7)")
+    spark.sql("ALTER TABLE geo.db.sdf ALTER COLUMN tier SET DEFAULT 99")
+    spark.sql("INSERT INTO geo.db.sdf (id) VALUES (2)") // new current default
+    // the pre-add row KEEPS reading the ADD-time constant — SET DEFAULT
+    // must not rewrite committed history
+    assert(spark.sql("SELECT tier FROM geo.db.sdf WHERE id = 1").head.getLong(0) == 7)
+    assert(spark.sql("SELECT tier FROM geo.db.sdf WHERE id = 2").head.getLong(0) == 99)
+    spark.sql("ALTER TABLE geo.db.sdf ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO geo.db.sdf (id) VALUES (3)") // NULL again
+    assert(spark.sql("SELECT tier FROM geo.db.sdf WHERE id = 3").head.isNullAt(0))
+    assert(spark.sql("SELECT tier FROM geo.db.sdf WHERE id = 1").head.getLong(0) == 7)
+    // validation still bites through the ALTER spelling
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE geo.db.sdf ALTER COLUMN tier SET DEFAULT rand()"))
+    assert(e.getMessage.contains("constant") || e.getMessage.contains("DEFAULT"),
+      e.getMessage)
+    spark.sql("DROP TABLE geo.db.sdf")
+  }
+
   test("path INSERT with a column list fills declared DEFAULTs, not NULL") {
     warehouse
     val root = java.nio.file.Files.createTempDirectory("geo_dft_p").toString + "/t"
