@@ -66,6 +66,9 @@ class GeoBatchWrite(root: String, incoming: StructType, truncate: Boolean)
         // a concurrent SET PARTITIONED BY between load and commit must
         // not mis-attribute these entries' stats to the new spec
         val aligned = GeoManifest.alignSpec(entries, m, fresh)
+        // a constraint ADDed since plan time never reached the writers —
+        // re-validate just the new files against it before committing
+        GeoTable.revalidateNewChecks(spark, fresh, m.checks, aligned, "this INSERT")
         GeoManifest.commit(spark, root, fresh.copy(
           version = fresh.version + 1,
           files = if (truncate) aligned else fresh.files ++ aligned,
@@ -213,6 +216,8 @@ class GeoBranchBatchWrite(root: String, branch: String, incoming: StructType)
       val fresh = GeoManifest.readVersion(spark, root, b.head)
       try {
         val aligned = GeoManifest.alignSpec(entries, m, fresh)
+        GeoTable.revalidateNewChecks(spark, fresh, m.checks, aligned,
+          s"this INSERT into branch '$branch'")
         GeoManifest.commitBranch(spark, root,
           fresh.copy(version = b.head + 1, files = fresh.files ++ aligned),
           branch, b.head, op = "append")

@@ -984,6 +984,10 @@ class GeoCowBatchWrite(root: String, incoming: StructType,
     // mis-attribute these entries' stats to the new spec (this commit
     // tolerates concurrent non-conflicting committers by design)
     val entries = GeoManifest.alignSpec(entries0, m, fresh)
+    // a constraint ADDed since plan time never reached the writers —
+    // re-validate just the replacement files against it before the swap
+    GeoTable.revalidateNewChecks(spark, fresh, m.checks, entries,
+      s"this ${cmd.toString.toLowerCase}")
     val replaced = scanned().map(_.map(_.key).toSet)
       .getOrElse(fresh.files.map(_.key).toSet)
     // Write-conflict validation (the Iceberg CoW rule): every file this

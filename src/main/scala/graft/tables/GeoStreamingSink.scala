@@ -63,6 +63,11 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
   private val m: Manifest = GeoManifest.read(spark, root)
   private val commitDir = s"$root/data/s${java.util.UUID.randomUUID().toString.take(12)}"
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  // the constraint set the CURRENT epoch's writers enforce (re-read per
+  // micro-batch in createStreamingWriterFactory); commit compares the
+  // fresh manifest against this to catch a constraint ADDed inside the
+  // factory-to-commit window
+  @volatile private var epochChecks: Seq[(String, String)] = m.checks
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val dataIdx = m.schema.fields.map(f => incoming.fieldIndex(f.name))
@@ -75,6 +80,7 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
     // constraint added while the stream runs starts enforcing on the next
     // epoch instead of silently skipping until a restart
     val freshChecks = GeoManifest.read(spark, root).checks
+    epochChecks = freshChecks
     GeoStreamingWriterFactory(GeoCowDataWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
       commitDir, m.schema, incoming, dataIdx,
@@ -119,6 +125,11 @@ class GeoStreamingWrite(root: String, incoming: StructType, sinkId: String,
             written.filter(_.rows > 0).map(_.path), fresh.geomCol, fresh.partitions)
       }
       try {
+        // a constraint ADDed after this epoch's writer factory bound its
+        // checks never reached the writers — re-validate just the new
+        // files against it before committing the epoch
+        GeoTable.revalidateNewChecks(spark, fresh, epochChecks, entries,
+          s"epoch $epochId")
         GeoManifest.commit(spark, root, fresh.copy(
           version = fresh.version + 1,
           files = if (truncate) entries else fresh.files ++ entries,

@@ -1444,6 +1444,31 @@ object GeoTable {
     }
   }
 
+  /** Commit-time CHECK re-validation for optimistic writers
+    * (DSv2 batch/branch/CoW/streaming commits, which commit onto a FRESH
+    * manifest): writer-side enforcement binds the constraints known at
+    * PLAN time, so a constraint ADDed between planning and the commit
+    * attempt would otherwise land rows that were never checked against
+    * it — a committed constraint silently violated. Delta's rule is to
+    * fail such transactions on concurrent metadata change; this is
+    * strictly better: re-validate the WRITTEN files against only the
+    * constraints that are new-or-changed since plan time (one scan of
+    * just the new files — O(write), never O(table)) and abort loudly on
+    * a violation. Dropped constraints need nothing. Validation reads
+    * under the FRESH schema, so a constraint on a concurrently-added
+    * column sees the column's read-time value (DEFAULT or null → UNKNOWN
+    * passes, SQL semantics). */
+  private[tables] def revalidateNewChecks(spark: SparkSession, fresh: Manifest,
+                                          planChecks: Seq[(String, String)],
+                                          entries: Seq[GeoManifest.FileEntry],
+                                          what: String): Unit = {
+    if (fresh.checks.isEmpty || entries.isEmpty) return
+    val planned = planChecks.map { case (n, sql) => (n.toLowerCase, sql) }.toSet
+    val added = fresh.checks.filterNot { case (n, sql) => planned((n.toLowerCase, sql)) }
+    if (added.nonEmpty)
+      validateChecksOnEntries(spark, fresh.copy(checks = added), entries, what)
+  }
+
   /** DROP CONSTRAINT name (loud when absent). */
   def dropCheckConstraint(spark: SparkSession, root: String, name: String): Unit = {
     val m = GeoManifest.read(spark, root)

@@ -151,6 +151,44 @@ class GeoConstraintSpec extends SparkSpec {
     spark.sql("DROP TABLE geock.db.c4")
   }
 
+  test("constraint ADDed between plan time and commit is enforced at commit") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS geock.db.c5")
+    spark.sql("CREATE TABLE geock.db.c5 (id BIGINT, amt BIGINT) USING geo")
+    spark.sql("INSERT INTO geock.db.c5 VALUES (1, 10)")
+    val r = root("c5")
+    // a UDF that commits ADD CONSTRAINT out from under the running INSERT
+    // (local mode: the task runs in this JVM, after the write's plan-time
+    // manifest read and before its commit — exactly the unguarded window)
+    def sneakConstraint(name: String): Unit = {
+      val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      spark.udf.register("sneak", (x: Long) => {
+        if (flag.compareAndSet(false, true)) {
+          val s = org.apache.spark.sql.SparkSession.active
+          val m = GeoManifest.read(s, r)
+          GeoManifest.commit(s, r, m.copy(version = m.version + 1,
+            checks = m.checks :+ (name -> "amt > 0")), m.version, op = "add-constraint")
+        }
+        x
+      })
+    }
+    // violating row: the writers never saw the constraint, so only the
+    // commit-time re-validation can refuse it
+    sneakConstraint("amt_pos")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO geock.db.c5 SELECT 2L AS id, sneak(-1L) AS amt"))
+    assert(exists(e, "amt_pos"), s"commit must re-validate: ${e.getMessage}")
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c5").head.getLong(0) == 1)
+    assert(GeoManifest.read(spark, r).checks == Seq("amt_pos" -> "amt > 0"))
+    // same race with a VALID row: re-validation passes, the insert lands
+    GeoSql.exec(spark, "ALTER TABLE geock.db.c5 DROP CONSTRAINT amt_pos")
+    sneakConstraint("amt_pos2")
+    spark.sql("INSERT INTO geock.db.c5 SELECT 3L AS id, sneak(7L) AS amt")
+    assert(spark.sql("SELECT COUNT(*) FROM geock.db.c5").head.getLong(0) == 2)
+    assert(GeoManifest.read(spark, r).checks == Seq("amt_pos2" -> "amt > 0"))
+    spark.sql("DROP TABLE geock.db.c5")
+  }
+
   /** SparkExceptions wrap task failures several levels deep. */
   private def exists(t: Throwable, needle: String): Boolean = {
     var cur: Throwable = t
