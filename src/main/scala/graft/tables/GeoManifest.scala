@@ -251,7 +251,8 @@ object GeoManifest {
                             bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
                             blooms: Seq[GeoBloom.BloomEntry] = Seq.empty,
                             op: Option[String] = None,
-                            checks: Seq[(String, String)] = Seq.empty) {
+                            checks: Seq[(String, String)] = Seq.empty,
+                            picked: Set[Int] = Set.empty) {
     /** Per-file spec resolution for every pstats consumer. Lazy: the
       * eq-applicability loops call this per (file × delete) pair. */
     lazy val specSet: GeoPartition.SpecSet =
@@ -604,7 +605,8 @@ object GeoManifest {
     // the skip-unknown-tags rule instead of failing on them
     val v8 = m.files.exists(e =>
       e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty) ||
-      m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty || m.checks.nonEmpty
+      m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty ||
+      m.checks.nonEmpty || m.picked.nonEmpty
     val v9 = m.pastSpecs.nonEmpty || m.specId != 0
     val declared = if (v9) 9
                    else if (v8) 8
@@ -631,6 +633,11 @@ object GeoManifest {
     // enforced by every writer that reads this manifest; the SQL text is
     // tab/newline-free by the ADD CONSTRAINT verb's contract
     m.checks.foreach { case (n, sql) => lines ++= s"check\t$n\t$sql\n" }
+    // cherry-picked source snapshot ids (Iceberg source-snapshot-id
+    // tracking): the idempotence record that survives OPTIMIZE retiring
+    // the picked files' paths — additive v8+ tag like `op`
+    if (m.picked.nonEmpty)
+      lines ++= s"picked\t${m.picked.toSeq.sorted.mkString(",")}\n"
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -823,6 +830,7 @@ object GeoManifest {
     val bloomCols = Seq.newBuilder[GeoBloom.BloomSpec]
     val blooms = Seq.newBuilder[GeoBloom.BloomEntry]
     val checks = Seq.newBuilder[(String, String)]
+    var picked = Set.empty[Int]
     var opv: Option[String] = None
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -846,6 +854,7 @@ object GeoManifest {
         case "op" => opv = Some(parts(1))
         // rejoin defensively even though the verb forbids tabs in the SQL
         case "check" => checks += parts(1) -> parts.drop(2).mkString("\t")
+        case "picked" => picked ++= parts(1).split(',').map(_.toInt)
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += parseFileEntry(parts, declared >= 6)
@@ -893,7 +902,7 @@ object GeoManifest {
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
       parent, colStats.result(), pastSpecs.result(), specId,
-      bloomCols.result(), blooms.result(), opv, checks.result())
+      bloomCols.result(), blooms.result(), opv, checks.result(), picked)
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

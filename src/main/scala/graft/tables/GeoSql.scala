@@ -88,6 +88,32 @@ object GeoSql {
     if (last < 0) None
     else Some((ddl.substring(0, last).trim, ddl.substring(last + 7).trim))
   }
+
+  /** Split a column-list ddl on TOP-LEVEL commas only — quote- and
+    * paren-aware, so `DECIMAL(10, 2)` and a `DEFAULT 'a,b'` literal
+    * never split. The multi-column ADD COLUMNS front-end applies
+    * [[splitDefault]] per clause through this. */
+  private[tables] def splitTopLevelCommas(ddl: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQ = false
+    var start = 0
+    var i = 0
+    while (i < ddl.length) {
+      ddl.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 =>
+          out += ddl.substring(start, i).trim
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += ddl.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
   private val alterDropRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*;?\s*""".r
   private val alterRenameRe =
@@ -241,14 +267,20 @@ object GeoSql {
         "'([^']+)'".r.findAllMatchIn(pathsSql).map(_.group(1)).toSeq))
     case alterAddRe(name, colDdl) if GeoTable.registeredRoot(name).isDefined =>
       // path-registered tables have no Spark-native ALTER path, so the
-      // front-end owns the DEFAULT spelling too (simple single-column
-      // form); catalog names deliberately fall through to Spark's own
-      // parser, whose DEFAULT support rides the catalog's declared
-      // SUPPORT_COLUMN_DEFAULT_VALUE capability (every spelling works)
-      GeoSql.splitDefault(stripOuterParens(colDdl)) match {
-        case Some((cd, dflt)) => Some(GeoAlterAddDefaultCommand(name, cd, dflt))
-        case None => Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
-      }
+      // front-end owns the DEFAULT spelling too; catalog names
+      // deliberately fall through to Spark's own parser, whose DEFAULT
+      // support rides the catalog's declared SUPPORT_COLUMN_DEFAULT_VALUE
+      // capability (every spelling works). DEFAULT detection is PER
+      // COLUMN CLAUSE (top-level-comma split), so the multi-column form
+      // `ADD COLUMNS (a INT DEFAULT 5, b INT)` parses each clause on its
+      // own instead of splitting at the statement's last DEFAULT
+      val clauses = splitTopLevelCommas(stripOuterParens(colDdl))
+      val cols = clauses.map(c => GeoSql.splitDefault(c) match {
+        case Some((cd, dflt)) => cd -> Some(dflt)
+        case None => c -> None
+      })
+      if (cols.exists(_._2.isDefined)) Some(GeoAlterAddDefaultCommand(name, cols))
+      else Some(GeoAlterAddCommand(name, stripOuterParens(colDdl)))
     case alterDropRe(name, colName) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoAlterDropCommand(name, colName))
     case alterRenameRe(name, from, to) if GeoTable.registeredRoot(name).isDefined =>
@@ -867,14 +899,16 @@ case class GeoAlterAddCommand(name: String, colDdl: String) extends GeoRunnable 
   }
 }
 
-/** ALTER TABLE t ADD COLUMN c TYPE DEFAULT <const> — metadata-only; old
-  * files read the folded default via EXISTS_DEFAULT (Iceberg v3
-  * initial-default analog). See GeoTable.addColumnWithDefault. */
-case class GeoAlterAddDefaultCommand(name: String, colDdl: String,
-                                     defaultSql: String) extends GeoRunnable {
+/** ALTER TABLE t ADD COLUMN(S) with at least one DEFAULT clause —
+  * metadata-only, one atomic commit for every column; old files read
+  * each folded default via EXISTS_DEFAULT (Iceberg v3 initial-default
+  * analog). See GeoTable.addColumnsWithDefaults. */
+case class GeoAlterAddDefaultCommand(name: String,
+                                     cols: Seq[(String, Option[String])])
+  extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     val root = GeoSql.rootOf(name)
-    GeoTable.addColumnWithDefault(spark, root, colDdl, defaultSql)
+    GeoTable.addColumnsWithDefaults(spark, root, cols)
     GeoSql.refresh(spark, name, root)
     Seq(Row(0L))
   }

@@ -787,6 +787,13 @@ object GeoTable {
     require(added.nonEmpty,
       s"version $v of $root added no files over its parent $parentV — nothing to apply")
     val head = GeoManifest.read(spark, root)
+    // idempotence by SOURCE SNAPSHOT ID (Iceberg's source-snapshot-id
+    // tracking), not just by path: after OPTIMIZE retires the picked
+    // files' paths the path guard below passes, and a second pick of the
+    // same snapshot would silently duplicate its rows
+    require(!head.picked.contains(v),
+      s"cannot cherry-pick version $v of $root: this snapshot was already " +
+        "cherry-picked onto main")
     val headKeys = keys(head)
     val dup = added.count(f => headKeys(GeoManifest.norm(f.path)))
     require(dup == 0,
@@ -804,7 +811,8 @@ object GeoTable {
     // every eq-delete version already in `head` (all <= head.version)
     val reseq = added.map(_.copy(addedAt = head.version + 1))
     GeoManifest.commit(spark, root,
-      head.copy(version = head.version + 1, files = head.files ++ reseq),
+      head.copy(version = head.version + 1, files = head.files ++ reseq,
+        picked = head.picked + v),
       head.version, op = "cherrypick")
     GeoManifest.read(spark, root).version
   }
@@ -889,19 +897,35 @@ object GeoTable {
    * keep their own schema.
    */
   def addColumnWithDefault(spark: SparkSession, root: String,
-                           colDdl: String, defaultSql: String): Unit = {
-    val parsed = GeoSchema.fromDdl(colDdl)
-    require(parsed.fields.length == 1,
-      s"ADD COLUMN ... DEFAULT takes exactly one column, got '$colDdl'")
-    val f = parsed.fields.head
-    require(!GeoSchema.isGeometry(f), "a GEOMETRY column cannot carry a DEFAULT")
-    val folded = foldedDefault(spark, defaultSql, f.dataType)
-    val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .withMetadata(f.metadata)
-      .putString("EXISTS_DEFAULT", folded.sql)
-      .putString("CURRENT_DEFAULT", defaultSql)
-      .build()
-    addColumns(spark, root, Seq(f.copy(metadata = md)))
+                           colDdl: String, defaultSql: String): Unit =
+    addColumnsWithDefaults(spark, root, Seq(colDdl -> Some(defaultSql)))
+
+  /** The multi-column form — `ADD COLUMNS (a INT DEFAULT 5, b INT)` —
+    * with a per-column optional DEFAULT: every column parses and every
+    * default folds BEFORE anything commits, then all land in ONE
+    * metadata commit (a mid-statement failure must not leave half the
+    * columns added). */
+  def addColumnsWithDefaults(spark: SparkSession, root: String,
+                             cols: Seq[(String, Option[String])]): Unit = {
+    val fields = cols.map { case (colDdl, defaultSql) =>
+      val parsed = GeoSchema.fromDdl(colDdl)
+      require(parsed.fields.length == 1,
+        s"ADD COLUMN ... DEFAULT takes one column per clause, got '$colDdl'")
+      val f = parsed.fields.head
+      defaultSql match {
+        case None => f
+        case Some(sql) =>
+          require(!GeoSchema.isGeometry(f), "a GEOMETRY column cannot carry a DEFAULT")
+          val folded = foldedDefault(spark, sql, f.dataType)
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", folded.sql)
+            .putString("CURRENT_DEFAULT", sql)
+            .build()
+          f.copy(metadata = md)
+      }
+    }
+    addColumns(spark, root, fields)
   }
 
   /** Fold a DEFAULT expression NOW against an empty frame: unresolvable

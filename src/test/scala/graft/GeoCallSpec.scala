@@ -141,10 +141,17 @@ class GeoCallSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM geoc.db.cp").head.getLong(0) == 25)
     assert(spark.sql("SELECT CAST(SUM(id) AS BIGINT) FROM geoc.db.cp").head.getLong(0)
       == (0 until 25).sum.toLong)
-    // double-pick refused: the files are already referenced
+    // double-pick refused by SOURCE SNAPSHOT ID, not just file paths
     val e1 = intercept[Exception](spark.sql(
       s"CALL geoc.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $staged)"))
-    assert(e1.getMessage.contains("already referenced"), e1.getMessage)
+    assert(e1.getMessage.contains("already cherry-picked"), e1.getMessage)
+    // ... and the id guard survives OPTIMIZE retiring the picked files'
+    // paths (the path-based guard alone would re-apply and duplicate)
+    GeoSql.exec(spark, "OPTIMIZE geoc.db.cp")
+    val e1b = intercept[Exception](spark.sql(
+      s"CALL geoc.system.cherrypick_snapshot(table => 'db.cp', snapshot_id => $staged)"))
+    assert(e1b.getMessage.contains("already cherry-picked"), e1b.getMessage)
+    assert(spark.sql("SELECT COUNT(*) FROM geoc.db.cp").head.getLong(0) == 25)
     // non-append snapshots refused: whichever path the DELETE takes
     // (CoW rewrite, metadata-only file drop, or equality sidecar), its
     // delta is not a pure file append

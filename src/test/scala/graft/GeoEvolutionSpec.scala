@@ -76,6 +76,24 @@ class GeoEvolutionSpec extends SparkSpec {
     val e2 = intercept[Exception](
       GeoTable.addColumnWithDefault(spark, root, "g GEOMETRY", "NULL"))
     assert(e2.getMessage.toLowerCase.contains("geometry"), e2.getMessage)
+    // multi-column ADD COLUMNS with a per-clause DEFAULT mix, one commit:
+    // DEFAULT detection is per top-level-comma clause (a DECIMAL(10, 2)
+    // type comma and a 'a,b' literal comma never split)
+    val vBefore = GeoManifest.read(spark, root).version
+    GeoSql.exec(spark, "ALTER TABLE evo_def_t ADD COLUMNS " +
+      "(amt DECIMAL(10, 2) DEFAULT 1.50, note STRING, tag STRING DEFAULT 'a,b')")
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.version == vBefore + 1, "ADD COLUMNS must land as ONE commit")
+    val multi = GeoTable.read(spark, root)
+    assert(multi.where(col("amt") === 1.50 && col("tag") === "a,b").count() == 50,
+      "every pre-add row must read both clause defaults")
+    assert(multi.where(col("note").isNull).count() == 50,
+      "the default-less clause reads NULL")
+    // an invalid default in ANY clause commits NOTHING
+    val e3 = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE evo_def_t ADD COLUMNS (ok1 INT, bad DOUBLE DEFAULT rand())"))
+    assert(e3.getMessage.contains("constant"), e3.getMessage)
+    assert(!GeoManifest.read(spark, root).schema.fieldNames.contains("ok1"))
   }
 
   test("DROP COLUMN tombstones the name; re-ADD of it is rejected") {
