@@ -2419,6 +2419,33 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Full index churn: build on half the corpus, append the rest, then
+    // REMOVE a slice by id (the post-build curation verb — dedup
+    // verdicts, takedowns). The removal is one equality-delete sidecar
+    // commit (O(keys), no vector rewrite); the probe's cluster-pruned
+    // scan merges the sidecar, so the result must equal brute force over
+    // exactly the surviving vectors (nprobe=8 covers all clusters at the
+    // verify SFs → exact).
+    "ann_ivf_delete_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/i"
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 2 === 0),
+        col("embedding"), col("vec_id"), k = 8, iters = 2)
+      graft.ops.Similarity.appendToIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 2 === 1),
+        col("embedding"), col("vec_id"))
+      graft.ops.Similarity.removeFromIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 5 === 2).select("vec_id"))
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 8)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Persisted IVF-PQ: the composed 100 TB ANN shape. Build pays both
     // Lloyd's levels once and stores vectors (+ PQ codes) cluster-
     // partitioned with the centroid and codebook tables; the returned
@@ -2536,6 +2563,32 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
       graft.ops.TextAnalysis.appendToTextIndex(s, idx,
         docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+          query = Seq("spark", "customer", "merge"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // Full index churn for BM25: build on half, append the rest, REMOVE
+    // a slice by doc id (the post-build curation verb). The removal is
+    // one equality-delete sidecar on the postings table plus a stats-row
+    // adjustment from the changelog's delete leg; the probe's pruned
+    // scan merges the sidecar, so tf, df, N and avgdl all reflect
+    // exactly the surviving corpus — the ranking must equal ad-hoc BM25
+    // over `documents WHERE doc_id % 7 <> 3`.
+    "text_bm25_delete_topk" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25d").toString + "/i"
+      val docs = s.table("documents")
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.appendToTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.removeFromTextIndex(s, idx,
+        docs.where(col("doc_id") % 7 === 3).select("doc_id"))
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
@@ -4126,6 +4179,17 @@ object SparkEntry {
         FROM embeddings) t
       WHERE rn <= 10 ORDER BY rn""",
 
+    // post-removal search must equal brute force over exactly the
+    // SURVIVING vectors — the removed slice can never resurface
+    "ann_ivf_delete_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings WHERE vec_id % 5 <> 2) t
+      WHERE rn <= 10 ORDER BY rn""",
+
     "text_quality_score" -> """
       WITH t AS (
         SELECT doc_id, text,
@@ -5061,6 +5125,30 @@ object SparkEntry {
     "text_bm25_topk" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
                     FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                  WHERE term IN ('spark','customer','merge') GROUP BY doc_id, term),
+           dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           scored AS (
+             SELECT t.doc_id,
+                    sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+                        (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+             FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+                  CROSS JOIN stats s
+             GROUP BY t.doc_id)
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scored) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // post-removal BM25 over the index must rank like ad-hoc BM25 over
+    // the SURVIVING corpus: tf and df lose the removed docs via the
+    // sidecar merge, N/avgdl via the stats-row changelog delta
+    "text_bm25_delete_topk" -> """
+      WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+           toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+                    FROM corpus),
            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -471,6 +471,22 @@ object Similarity {
     graft.tables.GeoTable.append(spark, s"$indexRoot/vectors", rows)
   }
 
+  /** REMOVE vectors from a persisted IVF or IVF-PQ index by id — the
+    * curation verb for post-build dedup verdicts, takedowns, and CDC
+    * replacements (delete + [[appendToIvfIndex]] the new embedding).
+    * O(keys), never a rebuild: the ids land as one equality-delete
+    * sidecar on the vectors geo table (metadata commit, no vector
+    * rewrite); every probe's cluster-pruned scan already merges sidecars,
+    * so removed vectors drop out of results immediately. Centroids and
+    * codebooks stay — like append-side centroid drift, removals never
+    * affect correctness (scoring is exact over surviving rows), they only
+    * age the partitioning until an explicit rebuild. Ids absent from the
+    * index are a no-op. */
+  def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexRoot: String, ids: DataFrame): Unit =
+    graft.tables.GeoTable.deleteByKey(spark, s"$indexRoot/vectors",
+      Seq("vec_id"), ids.toDF("vec_id"))
+
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {

@@ -190,7 +190,11 @@ object TextAnalysis {
    * write). tf/df/N/sum_dl are exact integers, so stats never drift; a
    * probe after any number of appends ranks identically to [[bm25TopK]]
    * over the union corpus. Nothing re-reads or re-tokenizes existing
-   * postings.
+   * postings. Index mutations (append/remove) assume ONE writer at a
+   * time — two concurrent mutators can interleave the stats overwrite so
+   * the row records either version; safe (the heal path corrects any
+   * outcome on the next probe) but the serial-writer contract is the
+   * supported one.
    */
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                         df: DataFrame, id: Column, text: Column): Unit = {
@@ -203,8 +207,36 @@ object TextAnalysis {
       Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
   }
 
+  /**
+   * REMOVE documents from a [[buildTextIndex]] index — the curation verb
+   * appends can't cover: dedup/decontamination verdicts arrive AFTER an
+   * index is built, and takedowns remove documents outright. O(keys),
+   * never a rebuild: the doc ids land as one equality-delete sidecar on
+   * the postings geo table (`deleteByKey` — a metadata commit, no
+   * postings rewrite), every probe's pruned scan already merges sidecars
+   * so the removed docs drop out of tf AND df immediately, and the stats
+   * row adjusts by the same changelog delta the heal path replays (the
+   * delete leg materializes exactly the removed docs' `(doc_id, dl)`).
+   * A crash between the two commits self-heals on the next probe, same
+   * as append. Ids absent from the index are a no-op. Sidecar growth is
+   * bounded by the table's own fold-at-threshold maintenance.
+   */
+  def removeFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexRoot: String, ids: DataFrame): Unit = {
+    graft.tables.GeoTable.deleteByKey(spark, s"$indexRoot/postings",
+      Seq("doc_id"), ids.toDF("doc_id"))
+    val (n, s, v) = statsAsOfCurrent(spark, indexRoot)
+    val sp = spark
+    import sp.implicits._
+    graft.tables.GeoTable.overwrite(spark, s"$indexRoot/stats",
+      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
+  }
+
   /** Stats valid for the postings table's CURRENT version: the stored
-    * row, advanced by the changelog delta when it lags (pure read). */
+    * row, advanced by the changelog delta when it lags (pure read).
+    * Delta = inserted docs − deleted docs over the window, so the heal
+    * covers appends AND removals; a doc both added and removed inside
+    * one window nets to zero on each side. */
   private def statsAsOfCurrent(spark: org.apache.spark.sql.SparkSession,
                                indexRoot: String): (Long, Long, Int) = {
     val root = s"$indexRoot/postings"
@@ -213,10 +245,10 @@ object TextAnalysis {
     val (n0, s0, v0) = (row.getLong(0), row.getLong(1), row.getInt(2))
     if (v0 >= cur) return (n0, s0, v0)
     // the changelog range is (base, target]: v0 is the covered snapshot
-    val (dn, ds) = docStats(
-      graft.tables.GeoChangelog.changes(spark, root, v0, cur)
-        .where(col("_change_type") === "insert"))
-    (n0 + dn, s0 + ds, cur)
+    val changes = graft.tables.GeoChangelog.changes(spark, root, v0, cur)
+    val (dn, ds) = docStats(changes.where(col("_change_type") === "insert"))
+    val (rn, rs) = docStats(changes.where(col("_change_type") === "delete"))
+    (n0 + dn - rn, s0 + ds - rs, cur)
   }
 
   /** Probe a [[buildTextIndex]] index: identical scores to [[bm25TopK]]

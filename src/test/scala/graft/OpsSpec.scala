@@ -654,6 +654,75 @@ class OpsSpec extends SparkSpec {
     assert(probed == adhoc, s"stale-stats probe drifted: $probed vs $adhoc")
   }
 
+  test("removeFromTextIndex: survivors rank like ad-hoc; crash heals; re-add works") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val corpus = (0L until 24L).map { i =>
+      val words = (0 until (4 + (i % 5)).toInt).map(j => s"w${(i + 5 * j) % 9}")
+      (i, (words :+ (if (i % 4 == 0) "spark" else "other")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25del").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx,
+      corpus.where(col("doc_id") < 12), col("doc_id"), col("text"), buckets = 8)
+    TextAnalysis.appendToTextIndex(spark, idx,
+      corpus.where(col("doc_id") >= 12), col("doc_id"), col("text"))
+    // remove a slice: probe must rank like ad-hoc over exactly the rest
+    TextAnalysis.removeFromTextIndex(spark, idx,
+      corpus.where(col("doc_id") % 6 === 0).select("doc_id"))
+    val q = Seq("spark", "w3")
+    val survivors = corpus.where(col("doc_id") % 6 =!= 0)
+    def probe() = TextAnalysis.bm25Search(spark, idx, q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val adhoc1 = TextAnalysis.bm25TopK(survivors, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe() == adhoc1, s"post-removal ranking drifted: ${probe()} vs $adhoc1")
+    // removing ids absent from the index is a no-op
+    TextAnalysis.removeFromTextIndex(spark, idx, Seq(900L, 901L).toDF("doc_id"))
+    assert(probe() == adhoc1, "absent-id removal must change nothing")
+    // crash window: postings delete committed, stats row NOT — the probe
+    // must heal N/avgdl from the changelog's DELETE leg (read-only)
+    graft.tables.GeoTable.deleteByKey(spark, idx + "/postings",
+      Seq("doc_id"), Seq(1L, 2L).toDF("doc_id"))
+    val survivors2 = survivors.where(!col("doc_id").isin(1L, 2L))
+    val adhoc2 = TextAnalysis.bm25TopK(survivors2, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe() == adhoc2, "stale-stats probe must heal the delete leg")
+    // re-add a removed doc: the fresh postings out-sequence the old
+    // equality delete, so the doc scores again
+    TextAnalysis.appendToTextIndex(spark, idx,
+      corpus.where(col("doc_id") === 6), col("doc_id"), col("text"))
+    val survivors3 = survivors2.unionByName(corpus.where(col("doc_id") === 6))
+    val adhoc3 = TextAnalysis.bm25TopK(survivors3, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe() == adhoc3, "a re-added doc must score again")
+  }
+
+  test("removeFromIvfIndex: probes see only survivors; absent ids are a no-op") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_del").toString + "/i"
+    Similarity.buildIvfPqIndex(spark, idx,
+      emb.where(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+    Similarity.appendToIvfIndex(spark, idx,
+      emb.where(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"))
+    Similarity.removeFromIvfIndex(spark, idx,
+      emb.where(col("vec_id") % 5 === 2).select("vec_id"))
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteTopK(emb.where(col("vec_id") % 5 =!= 2),
+        col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val r = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r == brute, s"post-removal probe diverged: $r vs $brute")
+    assert(!r.exists(_ % 5 == 2), "removed vectors must never surface")
+    // absent ids: metadata no-op, probe unchanged
+    Similarity.removeFromIvfIndex(spark, idx, Seq(100000L).toDF("vec_id"))
+    val r2 = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r2 == brute)
+  }
+
   test("dsir weights rank target-dialect docs above off-target docs") {
     import graft.ops.TrainingData
     val raw = Seq(
