@@ -3146,6 +3146,47 @@ object SparkEntry {
       s.sql("SELECT k, price FROM geocall.db.mt").orderBy("k")
     }),
 
+    // CALL set_current_snapshot + ancestors_of with a starting snapshot:
+    // the pointer moves BACKWARD to a named ancestor (phase 2's rows are
+    // exactly the first insert) as a history-preserving commit, and the
+    // ancestry chain read FROM that snapshot must be a proper tail of
+    // the full chain (require'd in-query — timestamps are
+    // nondeterministic, so the chain shape is pinned here and the row
+    // states feed the hash).
+    "geo_set_current_snapshot" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geoscs", "geo_scs_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoscs.db")
+      s.sql("DROP TABLE IF EXISTS geoscs.db.sc")
+      s.sql("CREATE TABLE geoscs.db.sc (id BIGINT, nat BIGINT) USING geo")
+      s.sql("INSERT INTO geoscs.db.sc SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0") // v1
+      val root = s.conf.get("spark.sql.catalog.geoscs.warehouse").stripSuffix("/") + "/db/sc"
+      val v1 = graft.tables.GeoManifest.read(s, root).version
+      s.sql("INSERT INTO geoscs.db.sc SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 1") // v2
+      val full = s.sql("CALL geoscs.system.ancestors_of(table => 'db.sc')")
+        .select("snapshot_id").collect().map(_.getLong(0)).toSeq
+      val fromV1 = s.sql(
+        s"CALL geoscs.system.ancestors_of(table => 'db.sc', snapshot_id => $v1)")
+        .select("snapshot_id").collect().map(_.getLong(0)).toSeq
+      require(fromV1.headOption.contains(v1.toLong) && fromV1.length < full.length &&
+          full.takeRight(fromV1.length) == fromV1,
+        s"ancestors_of(snapshot_id => $v1) must be the chain's tail from v$v1: " +
+          s"$fromV1 vs full $full")
+      // phases collect EAGERLY (a lazy frame would re-read the moved
+      // pointer at execution time and show the final state in both)
+      def phase(p: Int): (Int, Long, Long) = {
+        val r = s.sql("SELECT COUNT(*), CAST(SUM(id) AS BIGINT) FROM geoscs.db.sc").head()
+        (p, r.getLong(0), r.getLong(1))
+      }
+      val p1 = phase(1)
+      s.sql(s"CALL geoscs.system.set_current_snapshot(table => 'db.sc', snapshot_id => $v1)")
+      val p2 = phase(2)
+      require(graft.tables.GeoManifest.read(s, root).version > v1,
+        "set_current_snapshot must move the pointer via a NEW commit (history preserved)")
+      import s.implicits._
+      Seq(p1, p2).toDF("phase", "n_rows", "sum_id").orderBy("phase")
+    }),
+
     // CALL snapshot: zero-copy onboarding of an existing readable table
     // (here a temp view over freshly-written parquet) as a NEW geo table
     // — version 0 must reference the SOURCE files by absolute path
@@ -5535,6 +5576,16 @@ object SparkEntry {
     "geo_call_procedures" -> """
       SELECT o_orderkey AS k, o_totalprice AS price
       FROM orders WHERE o_orderkey % 3 IN (0, 1) ORDER BY k""",
+
+    // set_current_snapshot rolls the pointer back to the first insert:
+    // phase 1 sees both inserts, phase 2 exactly the first
+    "geo_set_current_snapshot" -> """
+      SELECT 1 AS phase, COUNT(*) AS n_rows,
+             CAST(SUM(c_custkey) AS BIGINT) AS sum_id FROM customer
+      UNION ALL
+      SELECT 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+      FROM customer WHERE c_custkey % 2 = 0
+      ORDER BY phase""",
 
     // the view is a pass-through aggregation over the geo table's rows,
     // which are the orders rows unchanged — replay the view SQL directly

@@ -230,6 +230,12 @@ object GeoParquetMeta {
     * planning over an unchanged snapshot costs zero footer opens). */
   val CrsCheckMaxKey = "spark.graft.geoparquet.crsCheck.maxFiles"
 
+  /** Conf key: when true, a plan whose file count exceeds
+    * [[CrsCheckMaxKey]] REFUSES instead of best-effort-checking the
+    * first `maxFiles` (the cap otherwise lets a conflicting file past
+    * with only a warn line). */
+  val CrsCheckStrictKey = "spark.graft.geoparquet.crsCheck.strict"
+
   /** geo key per (path, length, mtime) — bounded LRU (access-ordered). */
   private val keyMemo = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Option[String]](1024, 0.75f, true) {
@@ -300,9 +306,23 @@ object GeoParquetMeta {
 
   private def capped[A](spark: SparkSession, xs: Seq[A]): Seq[A] = {
     val max = math.max(spark.conf.get(CrsCheckMaxKey, "1024").toInt, 1)
-    if (xs.length > max) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"geoparquet CRS consistency check capped at $max of ${xs.length} files " +
-        s"(raise $CrsCheckMaxKey to widen)")
+    if (xs.length > max) {
+      // past the cap the check is BEST-EFFORT: a conflicting file beyond
+      // it slips through with only the warn line. Pipelines that would
+      // rather pay 100k footer opens than risk silent wrong coordinates
+      // opt into the strict mode and get a loud planning error instead.
+      if (spark.conf.get(CrsCheckStrictKey, "false").toBoolean)
+        throw new IllegalArgumentException(
+          s"geoparquet CRS consistency check needs ${xs.length} footer reads but " +
+            s"$CrsCheckMaxKey caps it at $max and $CrsCheckStrictKey is true — " +
+            s"raise the cap to cover every file, or unset strict to accept a " +
+            s"best-effort check over the first $max")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"geoparquet CRS consistency check capped at $max of ${xs.length} files " +
+          s"(BEST-EFFORT past the cap: a conflict beyond it is not detected; " +
+          s"raise $CrsCheckMaxKey to widen, or set $CrsCheckStrictKey=true to " +
+          s"refuse instead)")
+    }
     xs.take(max)
   }
 

@@ -1538,11 +1538,23 @@ object GeoTable {
     val dir = s"$root/data/d${java.util.UUID.randomUUID().toString.take(12)}"
     consolidated.coalesce(1).write.parquet(dir)
     val entries = GeoManifest.listParquet(spark, dir).map { p =>
-      GeoManifest.DeleteEntry(p, spark.read.parquet(p).count())
+      GeoManifest.DeleteEntry(p, footerRowCount(spark, p))
     }.filter(_.rows > 0)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       deletes = entries), m.version, op = "rewrite_deletes")
     m.deletes.length.toLong
+  }
+
+  /** Exact row count of one just-written parquet file from its FOOTER
+    * metadata (driver-side, no Spark job, no data pages read) — the
+    * sidecar writers record counts through this instead of a read-back
+    * scan, matching the writer-inline stats discipline everywhere else. */
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
   }
 
   /** Post-DML bound check: fold sidecars once the live total crosses the
@@ -2011,7 +2023,7 @@ object GeoTable {
     matched.select(col("__graft_file").as("file_path"), col("__graft_row").as("pos"))
       .coalesce(1).write.parquet(dir)
     val entries = GeoManifest.listParquet(spark, dir).map { p =>
-      GeoManifest.DeleteEntry(p, spark.read.parquet(p).count())
+      GeoManifest.DeleteEntry(p, footerRowCount(spark, p))
     }
     Some((matched.drop("__graft_file", "__graft_row"), entries))
   }

@@ -285,6 +285,33 @@ class GeoParquetMetaSpec extends SparkSpec {
     assert(GeoSchema.isGeometry(df.schema("geo")) && df.count() == 20)
   }
 
+  test("crsCheck.strict refuses past the file cap; default stays best-effort") {
+    val dir = tmp("gpq_crs_strict")
+    points(30).repartition(4).write.format("geoparquet").mode("overwrite")
+      .option(GeoParquetMeta.PrimaryOption, "geo").save(dir)
+    // cap below the file count: default mode reads (best-effort, warn only)
+    spark.conf.set(GeoParquetMeta.CrsCheckMaxKey, "2")
+    try {
+      assert(spark.read.format("geoparquet").load(dir).count() == 30)
+      // strict mode: the same overflow REFUSES at planning, naming the knobs
+      spark.conf.set(GeoParquetMeta.CrsCheckStrictKey, "true")
+      val e = intercept[Exception] {
+        spark.read.format("geoparquet").load(dir).count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .flatMap(x => Option(x.getMessage)).toSeq
+      assert(chain(e).exists(m => m.contains("crsCheck") && m.contains("strict")),
+        s"strict overflow must name the confs: ${chain(e)}")
+      // a cap covering every file satisfies strict mode again
+      spark.conf.set(GeoParquetMeta.CrsCheckMaxKey, "1024")
+      assert(spark.read.format("geoparquet").load(dir).count() == 30)
+    } finally {
+      spark.conf.unset(GeoParquetMeta.CrsCheckMaxKey)
+      spark.conf.unset(GeoParquetMeta.CrsCheckStrictKey)
+    }
+  }
+
   test("third-party covering (struct bbox) drives pushdown on THEIR columns") {
     // dataset shaped like a GeoPandas 1.1 export: WKB `geometry` + a
     // `bbox` STRUCT column, with the footer declaring covering paths into
