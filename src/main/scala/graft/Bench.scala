@@ -26,6 +26,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val sentinelQuery = "q1_pricing"
+    // second sentinel, JOIN-shaped (r18 lesson: q3_shipping moved +64%
+    // with untouched code while the scan/agg sentinel barely moved —
+    // compute-drift and fs-commit drift need separately measurable
+    // floors). Same protocol: warmed double-time before, re-time after.
+    val sentinel2Query = "q3_shipping"
 
     def hygiene(): Unit = {
       spark.catalog.clearCache()
@@ -54,6 +59,7 @@ object Bench {
         System.err.println(s"[bench] warmup FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     val sentinelBefore = { timeOnce(sentinelQuery); timeOnce(sentinelQuery) }
+    val sentinel2Before = { timeOnce(sentinel2Query); timeOnce(sentinel2Query) }
 
     // Focused mode for perf work: SPARK_GRAFT_BENCH_ONLY=a,b,c limits the
     // set; SPARK_GRAFT_BENCH_REPS=N times each query N times and prints
@@ -83,6 +89,7 @@ object Bench {
     // inflate drift and spuriously mark the whole record as contended
     hygiene()
     val sentinelAfter = timeOnce(sentinelQuery)
+    val sentinel2After = timeOnce(sentinel2Query)
 
     // build/probe split for the index-backed ANN queries (full runs only):
     // probe-only wall is the user-facing latency the combined record masks
@@ -98,7 +105,8 @@ object Bench {
     } else Seq.empty
 
     val drift = if (sentinelBefore > 0) sentinelAfter / sentinelBefore else -1.0
-    val contended = drift > 2.0 || drift < 0
+    val drift2 = if (sentinel2Before > 0) sentinel2After / sentinel2Before else -1.0
+    val contended = drift > 2.0 || drift < 0 || drift2 > 2.0 || drift2 < 0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -109,7 +117,7 @@ object Bench {
       "\"" + n + "\":" + parts.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"splits":$splitJson,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$okTotal,"unit":"sec","ok_total":$okTotal,"n_ok":${results.count(_._2 >= 0)},"n_queries":${results.size},"queries":$qs,"splits":$splitJson,"errors":$errs,"sentinel":{"query":"$sentinelQuery","before":$sentinelBefore,"after":$sentinelAfter,"drift":$drift,"contended":$contended},"sentinel2":{"query":"$sentinel2Query","before":$sentinel2Before,"after":$sentinel2After,"drift":$drift2},"sf":"$sfDir"}"""
     println(json)
     // Durable copies: stdout has been head-truncated by log capture before
     // (BENCH_r07's head was lost; BENCH_r13 kept only a 55-query tail
