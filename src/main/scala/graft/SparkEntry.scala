@@ -2446,6 +2446,30 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // CDC replacement: build over the whole corpus, then UPSERT a slice
+    // with a deterministically transformed embedding (negation — exact
+    // in IEEE floats, so DuckDB replays it bit-for-bit). The replaced
+    // vectors' OLD embeddings must never surface; the new ones probe
+    // immediately (fresh rows out-sequence the removal's delete).
+    "ann_ivf_upsert_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_ups").toString + "/i"
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"), k = 8, iters = 2)
+      graft.ops.Similarity.upsertIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 7 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")),
+        col("embedding"), col("vec_id"))
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfSearch(s, idx, q, k = 10, nprobe = 8)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Persisted IVF-PQ: the composed 100 TB ANN shape. Build pays both
     // Lloyd's levels once and stores vectors (+ PQ codes) cluster-
     // partitioned with the centroid and codebook tables; the returned
@@ -2589,6 +2613,30 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
       graft.ops.TextAnalysis.removeFromTextIndex(s, idx,
         docs.where(col("doc_id") % 7 === 3).select("doc_id"))
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+          query = Seq("spark", "customer", "merge"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // CDC replacement for BM25: build over the whole corpus, UPSERT a
+    // slice whose text gains two query-term hits (a concat both engines
+    // spell identically) — the ranking must equal ad-hoc BM25 over the
+    // modified corpus: replaced docs score under their NEW text (old
+    // postings sequenced out), dl/avgdl/df all follow.
+    "text_bm25_upsert_topk" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25u").toString + "/i"
+      val docs = s.table("documents")
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs, col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.upsertTextIndex(s, idx,
+        docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" spark merge")).as("text")),
+        col("doc_id"), col("text"))
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
@@ -4220,6 +4268,19 @@ object SparkEntry {
         FROM embeddings) t
       WHERE rn <= 10 ORDER BY rn""",
 
+    // post-upsert search must equal brute force over the MODIFIED corpus
+    // (negation is exact in IEEE floats — both engines agree bit-for-bit)
+    "ann_ivf_upsert_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(CASE WHEN vec_id % 7 = 1
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
     // post-removal search must equal brute force over exactly the
     // SURVIVING vectors — the removed slice can never resurface
     "ann_ivf_delete_top10" -> """
@@ -5166,6 +5227,32 @@ object SparkEntry {
     "text_bm25_topk" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
                     FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                  WHERE term IN ('spark','customer','merge') GROUP BY doc_id, term),
+           dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           scored AS (
+             SELECT t.doc_id,
+                    sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+                        (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+             FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+                  CROSS JOIN stats s
+             GROUP BY t.doc_id)
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scored) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // post-upsert BM25 must rank like ad-hoc BM25 over the MODIFIED
+    // corpus: replaced docs score under their new text only
+    "text_bm25_upsert_topk" -> """
+      WITH corpus AS (SELECT doc_id,
+                             CASE WHEN doc_id % 5 = 0 THEN text || ' spark merge'
+                                  ELSE text END AS text
+                      FROM documents),
+           toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+                    FROM corpus),
            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -487,6 +487,18 @@ object Similarity {
     graft.tables.GeoTable.deleteByKey(spark, s"$indexRoot/vectors",
       Seq("vec_id"), ids.toDF("vec_id"))
 
+  /** UPSERT vectors (the CDC-replacement verb): ids already indexed are
+    * replaced by their batch embedding, new ids are added — compose
+    * [[removeFromIvfIndex]] (absent ids no-op) with [[appendToIvfIndex]]
+    * (the append assigns to the stored centroids and out-sequences the
+    * removal's equality delete, so the new embedding probes
+    * immediately). Two O(batch) commits, no re-clustering. */
+  def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                     df: DataFrame, vec: Column, id: Column): Long = {
+    removeFromIvfIndex(spark, indexRoot, df.select(id.as("vec_id")))
+    appendToIvfIndex(spark, indexRoot, df, vec, id)
+  }
+
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {

@@ -232,6 +232,18 @@ object TextAnalysis {
       Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
   }
 
+  /** UPSERT documents (the CDC-replacement verb): ids already indexed
+    * are replaced by their batch text, new ids are added — compose
+    * [[removeFromTextIndex]] (ids absent are a no-op) with
+    * [[appendToTextIndex]] (fresh postings out-sequence the removal's
+    * equality delete, so a replaced doc's new text scores immediately).
+    * Two O(batch) commits, nothing re-reads existing postings. */
+  def upsertTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                      df: DataFrame, id: Column, text: Column): Unit = {
+    removeFromTextIndex(spark, indexRoot, df.select(id.as("doc_id")))
+    appendToTextIndex(spark, indexRoot, df, id, text)
+  }
+
   /** Stats valid for the postings table's CURRENT version: the stored
     * row, advanced by the changelog delta when it lags (pure read).
     * Delta = inserted docs − deleted docs over the window, so the heal

@@ -695,6 +695,17 @@ class OpsSpec extends SparkSpec {
     val adhoc3 = TextAnalysis.bm25TopK(survivors3, col("doc_id"), col("text"), q, k = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(probe() == adhoc3, "a re-added doc must score again")
+    // upsert (CDC replace): a doc's text changes; it must score under
+    // the NEW text only, ranking like ad-hoc over the modified corpus
+    val newText = concat(col("text"), lit(" spark spark w3"))
+    TextAnalysis.upsertTextIndex(spark, idx,
+      corpus.where(col("doc_id") === 5).select(col("doc_id"), newText.as("text")),
+      col("doc_id"), col("text"))
+    val modified = survivors3.where(col("doc_id") =!= 5).unionByName(
+      corpus.where(col("doc_id") === 5).select(col("doc_id"), newText.as("text")))
+    val adhoc4 = TextAnalysis.bm25TopK(modified, col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe() == adhoc4, "an upserted doc must rank under its new text")
   }
 
   test("removeFromIvfIndex: probes see only survivors; absent ids are a no-op") {
@@ -721,6 +732,15 @@ class OpsSpec extends SparkSpec {
     val r2 = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
       .select("vec_id").as[Long].collect().toSeq
     assert(r2 == brute)
+    // upsert (CDC replace): vec 7 gets the NEGATED embedding — it must
+    // stop matching itself (cosine -1 to the query = its old self)
+    Similarity.upsertIvfIndex(spark, idx,
+      emb.where(col("vec_id") === 7)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding")),
+      col("embedding"), col("vec_id"))
+    val r3 = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!r3.contains(7L), "the replaced embedding must probe, not the old one")
   }
 
   test("dsir weights rank target-dialect docs above off-target docs") {
