@@ -246,9 +246,14 @@ object TextAnalysis {
 
   /** Stats valid for the postings table's CURRENT version: the stored
     * row, advanced by the changelog delta when it lags (pure read).
-    * Delta = inserted docs − deleted docs over the window, so the heal
-    * covers appends AND removals; a doc both added and removed inside
-    * one window nets to zero on each side. */
+    * Delta = NET inserted docs − NET deleted docs over the window
+    * ([[graft.tables.GeoChangelog.netChanges]], the row-exact diff —
+    * NOT the file-granular `changes`, whose rewrite commits replay
+    * removed files RAW: a sidecar fold landing inside the window — which
+    * `deleteByKey` itself triggers past the live-delete cap — would
+    * double-count every folded-away doc). Content-preserving rewrites
+    * net to zero; a doc added and removed inside one window never
+    * surfaces on either side. */
   private def statsAsOfCurrent(spark: org.apache.spark.sql.SparkSession,
                                indexRoot: String): (Long, Long, Int) = {
     val root = s"$indexRoot/postings"
@@ -257,7 +262,7 @@ object TextAnalysis {
     val (n0, s0, v0) = (row.getLong(0), row.getLong(1), row.getInt(2))
     if (v0 >= cur) return (n0, s0, v0)
     // the changelog range is (base, target]: v0 is the covered snapshot
-    val changes = graft.tables.GeoChangelog.changes(spark, root, v0, cur)
+    val changes = graft.tables.GeoChangelog.netChanges(spark, root, v0, cur)
     val (dn, ds) = docStats(changes.where(col("_change_type") === "insert"))
     val (rn, rs) = docStats(changes.where(col("_change_type") === "delete"))
     (n0 + dn - rn, s0 + ds - rs, cur)

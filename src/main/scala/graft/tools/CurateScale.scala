@@ -80,6 +80,22 @@ object CurateScale {
       }
       println(f"[curate] bm25 n=$nd%d build=$tBuild%.2f s " +
         f"probe_cold=$tProbeCold%.2f s probe=$tProbe%.2f s")
+
+      // r19 removal: a FIXED-size takedown batch (500 ids) as the corpus
+      // grows. Expected shape: the eq-delete commit is O(keys); the
+      // stats delta is one column-pruned (doc_id, dl) pass over the
+      // postings files the delete applies to — linear in corpus size but
+      // ~bytes of two small columns, amortized per takedown BATCH. The
+      // post-removal probe must stay near-constant.
+      val victims = d.select(col("doc_id")).orderBy("doc_id").limit(500)
+      val (_, tRemove) = wall {
+        TextAnalysis.removeFromTextIndex(spark, idx, victims)
+      }
+      val (_, tProbeAfter) = wall {
+        TextAnalysis.bm25Search(spark, idx, Seq("spark", "customer", "merge"), 10).count()
+      }
+      println(f"[curate] bm25-remove n=$nd%d keys=500 remove=$tRemove%.2f s " +
+        f"probe_after=$tProbeAfter%.2f s")
     }
     spark.stop()
   }

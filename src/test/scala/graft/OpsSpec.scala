@@ -706,6 +706,30 @@ class OpsSpec extends SparkSpec {
     val adhoc4 = TextAnalysis.bm25TopK(modified, col("doc_id"), col("text"), q, k = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(probe() == adhoc4, "an upserted doc must rank under its new text")
+    // a sidecar FOLD landing inside the stats window (deleteByKey fires
+    // it past the live-delete cap) must not skew the delta: the heal is
+    // a NET row diff, so the fold's content-preserving rewrite cancels
+    // (the file-granular changelog would double-count every folded doc)
+    spark.conf.set("spark.graft.mor.maxLiveDeleteRows", "1")
+    try {
+      TextAnalysis.removeFromTextIndex(spark, idx,
+        corpus.where(col("doc_id") === 10).select("doc_id"))
+      assert(graft.tables.GeoManifest.read(spark, idx + "/postings").eqDeletes.isEmpty,
+        "the cap must have folded the delete sidecar away")
+      val modified2 = modified.where(col("doc_id") =!= 10)
+      val adhoc5 = TextAnalysis.bm25TopK(modified2, col("doc_id"), col("text"), q, k = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(probe() == adhoc5, "fold-in-window removal must keep stats exact")
+      // bit-exact: the stored stats row must equal the surviving corpus'
+      // true (n_docs, sum_dl) — rank parity alone can mask a small skew
+      val stRow = graft.tables.GeoTable.read(spark, idx + "/stats").head()
+      val truth = modified2.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+        .agg(count(lit(1)), sum(col("dl"))).head()
+      assert(stRow.getLong(0) == truth.getLong(0) && stRow.getLong(1) == truth.getLong(1),
+        s"stats row (${stRow.getLong(0)}, ${stRow.getLong(1)}) != " +
+          s"truth (${truth.getLong(0)}, ${truth.getLong(1)})")
+    } finally spark.conf.unset("spark.graft.mor.maxLiveDeleteRows")
   }
 
   test("removeFromIvfIndex: probes see only survivors; absent ids are a no-op") {
