@@ -1365,6 +1365,33 @@ object SparkEntry {
         .orderBy("phase")
     }),
 
+    // User table properties (Iceberg/Delta TBLPROPERTIES parity): SET
+    // through Spark's native ALTER (one manifest commit), carried
+    // untouched across data commits, UNSET removes, a re-SET updates;
+    // SHOW TBLPROPERTIES and row counts require'd in-query, the final
+    // t.properties metadata table lists survivors as literals.
+    "geo_tblproperties" -> ((s, d) => {
+      prep(s, d)
+      ensureGeoCatalog(s, "geopr", "geo_pr_wh")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geopr.db")
+      s.sql("DROP TABLE IF EXISTS geopr.db.pr")
+      s.sql("CREATE TABLE geopr.db.pr (id BIGINT) USING geo")
+      s.sql("INSERT INTO geopr.db.pr SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0")
+      s.sql("ALTER TABLE geopr.db.pr SET TBLPROPERTIES " +
+        "('team'='data-eng', 'tier'='bronze', 'ttl.days'='7')")
+      // props ride data commits untouched
+      s.sql("INSERT INTO geopr.db.pr SELECT c_custkey FROM customer WHERE c_custkey % 2 = 1")
+      s.sql("ALTER TABLE geopr.db.pr UNSET TBLPROPERTIES ('ttl.days')")
+      s.sql("ALTER TABLE geopr.db.pr SET TBLPROPERTIES ('tier'='gold')")
+      val shown = s.sql("SHOW TBLPROPERTIES geopr.db.pr").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      require(shown.get("team").contains("data-eng") && shown.get("tier").contains("gold"),
+        s"SHOW TBLPROPERTIES must surface user properties, got $shown")
+      require(s.table("geopr.db.pr").count() == s.table("customer").count(),
+        "property commits must not disturb data")
+      s.sql("SELECT key, value FROM geopr.db.pr.properties ORDER BY key")
+    }),
+
     // CHECK constraints end-to-end: ADD validates+stores, enforcement
     // admits the valid inserts (counts require'd in-query — a violating
     // insert is an error, spec-covered), DROP removes one; the
@@ -4617,6 +4644,12 @@ object SparkEntry {
         UNION ALL SELECT 2, CAST(2 AS BIGINT), d4.n + d7.n, c.total - d4.n - d7.n FROM c, d4, d7
         UNION ALL SELECT 3, CAST(1 AS BIGINT), d7.n, c.total - d4.n - d7.n FROM c, d4, d7
       ) t ORDER BY phase""",
+
+    // the surviving user properties as literals (ttl.days was unset,
+    // tier was re-set to gold)
+    "geo_tblproperties" -> """
+      SELECT * FROM (VALUES ('team', 'data-eng'), ('tier', 'gold')) t(key, value)
+      ORDER BY key""",
 
     // the surviving constraint as literals (id_cap was dropped)
     "geo_constraints_meta" -> """

@@ -132,7 +132,10 @@ object TextAnalysis {
    *     bucket(`buckets`, term): clustered writes roll files per bucket
    *     run, and a probe's `term IN (...)` predicate prunes to just the
    *     query terms' buckets via exact IN-value-set file pruning;
-   *   - `stats` — one row (n_docs, avgdl).
+   *   - corpus stats (n_docs, sum_dl) as the postings table's OWN
+   *     manifest properties, committed atomically with every mutation
+   *     (pre-upgrade indexes carry them as a one-row `stats` table
+   *     instead — still readable, migrated on first mutation).
    *
    * [[bm25Search]] then answers any bag-of-words query from the PRUNED
    * postings alone — the pruned rows ARE the complete posting lists for
@@ -157,6 +160,20 @@ object TextAnalysis {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Corpus-stats table properties on the POSTINGS table itself: every
+    * index mutation commits its stats in the SAME manifest commit as the
+    * postings change (GeoTable append/deleteByKey propsDelta), so the
+    * two-table crash window of the original stats-row design no longer
+    * exists for atomic verbs. `postings_version` records which snapshot's
+    * CONTENT the numbers cover — out-of-band table mutations (a raw
+    * GeoTable.append that bypassed this API) still heal read-only through
+    * the changelog, exactly as before. */
+  private val NDocsProp = "graft.bm25.n_docs"
+  private val SumDlProp = "graft.bm25.sum_dl"
+  private val VersionProp = "graft.bm25.postings_version"
+  private def statsProps(n: Long, s: Long, v: Int): Map[String, String] =
+    Map(NDocsProp -> n.toString, SumDlProp -> s.toString, VersionProp -> v.toString)
+
   def buildTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                      df: DataFrame, id: Column, text: Column,
                      buckets: Int = 64): Unit = {
@@ -165,15 +182,14 @@ object TextAnalysis {
       geomCol = None,
       partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")))
     // stats from the WRITTEN table (a two-column pruned scan — the
-    // tokenize pass ran once, in the write); the recorded version pins
-    // which postings snapshot the row covers
-    val v = graft.tables.GeoManifest.read(spark, s"$indexRoot/postings").version
+    // tokenize pass ran once, in the write), committed as table
+    // properties. The set-properties commit changes no content, so the
+    // covered version is ITS version; a crash between the two commits
+    // leaves an index statsOf refuses loudly (incomplete build — rebuild),
+    // the same failure class as a torn build always had.
     val (n, s) = docStats(GeoTable.read(spark, s"$indexRoot/postings"))
-    val sp = spark
-    import sp.implicits._
-    GeoTable.create(spark, s"$indexRoot/stats",
-      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"),
-      geomCol = None)
+    val v = graft.tables.GeoManifest.read(spark, s"$indexRoot/postings").version
+    GeoTable.setProperties(spark, s"$indexRoot/postings", statsProps(n, s, v + 1))
   }
 
   /**
@@ -182,29 +198,29 @@ object TextAnalysis {
    * streaming-corpus shape, the text analog of
    * `Similarity.appendToIvfIndex`: one tokenize pass writes the new
    * postings bucket-clustered (the writer rolls files at bucket
-   * boundaries, so probes keep pruning), then the stats row advances by
-   * the CHANGELOG delta of the postings table. The two commits are not
-   * atomic, but a crash between them is SAFE: the stats row records the
-   * postings version it covers, and [[bm25Search]] heals a stale row by
-   * replaying the same changelog window (read-only — probes never
-   * write). tf/df/N/sum_dl are exact integers, so stats never drift; a
-   * probe after any number of appends ranks identically to [[bm25TopK]]
-   * over the union corpus. Nothing re-reads or re-tokenizes existing
-   * postings. Index mutations (append/remove) assume ONE writer at a
-   * time — two concurrent mutators can interleave the stats overwrite so
-   * the row records either version; safe (the heal path corrects any
-   * outcome on the next probe) but the serial-writer contract is the
-   * supported one.
+   * boundaries, so probes keep pruning), and the advanced stats ride the
+   * SAME manifest commit as the new postings files (propsDelta) — files
+   * and stats can never disagree, there is no crash window. The batch's
+   * postings persist briefly (O(batch) memory) so its doc stats and its
+   * write see one computation. tf/df/N/sum_dl are exact integers, so
+   * stats never drift; a probe after any number of appends ranks
+   * identically to [[bm25TopK]] over the union corpus. Nothing re-reads
+   * or re-tokenizes existing postings. Index mutations (append/remove/
+   * upsert) assume ONE writer at a time — the serial-writer contract is
+   * the supported one (the heal path in [[bm25Search]] still corrects any
+   * interleaved outcome on the next probe).
    */
   def appendToTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                         df: DataFrame, id: Column, text: Column): Unit = {
-    graft.tables.GeoTable.append(spark, s"$indexRoot/postings",
-      postingsOf(df, id, text))
-    val (n, s, v) = statsAsOfCurrent(spark, indexRoot)
-    val sp = spark
-    import sp.implicits._
-    graft.tables.GeoTable.overwrite(spark, s"$indexRoot/stats",
-      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
+    val root = s"$indexRoot/postings"
+    val posts = postingsOf(df, id, text).persist()
+    try {
+      val (dn, ds) = docStats(posts)
+      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
+      val v = graft.tables.GeoManifest.read(spark, root).version
+      graft.tables.GeoTable.append(spark, root, posts, None,
+        statsProps(n0 + dn, s0 + ds, v + 1))
+    } finally posts.unpersist()
   }
 
   /**
@@ -214,22 +230,27 @@ object TextAnalysis {
    * never a rebuild: the doc ids land as one equality-delete sidecar on
    * the postings geo table (`deleteByKey` — a metadata commit, no
    * postings rewrite), every probe's pruned scan already merges sidecars
-   * so the removed docs drop out of tf AND df immediately, and the stats
-   * row adjusts by the same changelog delta the heal path replays (the
-   * delete leg materializes exactly the removed docs' `(doc_id, dl)`).
-   * A crash between the two commits self-heals on the next probe, same
-   * as append. Ids absent from the index are a no-op. Sidecar growth is
-   * bounded by the table's own fold-at-threshold maintenance.
+   * so the removed docs drop out of tf AND df immediately, and the
+   * adjusted stats ride the SAME commit as the delete (propsDelta) — no
+   * crash window. The removed docs' exact (count, Σdl) comes from one
+   * pre-commit semi-join scan, the same work the old changelog replay
+   * did after the fact. Ids absent from the index are a no-op. A
+   * delete past the live-sidecar cap folds in a follow-up commit; the
+   * fold is content-preserving, so the committed stats stay exact.
+   * Sidecar growth is bounded by the table's own fold-at-threshold
+   * maintenance.
    */
   def removeFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           indexRoot: String, ids: DataFrame): Unit = {
-    graft.tables.GeoTable.deleteByKey(spark, s"$indexRoot/postings",
-      Seq("doc_id"), ids.toDF("doc_id"))
-    val (n, s, v) = statsAsOfCurrent(spark, indexRoot)
-    val sp = spark
-    import sp.implicits._
-    graft.tables.GeoTable.overwrite(spark, s"$indexRoot/stats",
-      Seq((n, s, v)).toDF("n_docs", "sum_dl", "postings_version"))
+    val root = s"$indexRoot/postings"
+    // pin: the stats scan and the filed delete keys must see one batch
+    val keyDf = ids.toDF("doc_id").localCheckpoint()
+    val (rn, rs) = docStats(graft.tables.GeoTable.read(spark, root)
+      .join(keyDf, Seq("doc_id"), "left_semi"))
+    val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
+    val v = graft.tables.GeoManifest.read(spark, root).version
+    graft.tables.GeoTable.deleteByKey(spark, root, Seq("doc_id"), keyDf,
+      statsProps(n0 - rn, s0 - rs, v + 1))
   }
 
   /** UPSERT documents (the CDC-replacement verb): ids already indexed
@@ -245,21 +266,38 @@ object TextAnalysis {
   }
 
   /** Stats valid for the postings table's CURRENT version: the stored
-    * row, advanced by the changelog delta when it lags (pure read).
-    * Delta = NET inserted docs − NET deleted docs over the window
-    * ([[graft.tables.GeoChangelog.netChanges]], the row-exact diff —
-    * NOT the file-granular `changes`, whose rewrite commits replay
-    * removed files RAW: a sidecar fold landing inside the window — which
-    * `deleteByKey` itself triggers past the live-delete cap — would
-    * double-count every folded-away doc). Content-preserving rewrites
-    * net to zero; a doc added and removed inside one window never
-    * surfaces on either side. */
+    * numbers (manifest props when present — every atomic verb maintains
+    * them in the postings commit itself; the legacy `stats` TABLE row for
+    * pre-upgrade indexes), advanced by the changelog delta when they lag
+    * (pure read — out-of-band table mutations and legacy crash windows
+    * heal here). Delta = NET inserted docs − NET deleted docs over the
+    * window ([[graft.tables.GeoChangelog.netChanges]], the row-exact
+    * diff — NOT the file-granular `changes`, whose rewrite commits
+    * replay removed files RAW: a sidecar fold landing inside the window —
+    * which `deleteByKey` itself triggers past the live-delete cap —
+    * would double-count every folded-away doc). Content-preserving
+    * rewrites net to zero; a doc added and removed inside one window
+    * never surfaces on either side. */
   private def statsAsOfCurrent(spark: org.apache.spark.sql.SparkSession,
                                indexRoot: String): (Long, Long, Int) = {
     val root = s"$indexRoot/postings"
-    val cur = graft.tables.GeoManifest.read(spark, root).version
-    val row = graft.tables.GeoTable.read(spark, s"$indexRoot/stats").head()
-    val (n0, s0, v0) = (row.getLong(0), row.getLong(1), row.getInt(2))
+    val m = graft.tables.GeoManifest.read(spark, root)
+    val cur = m.version
+    val (n0, s0, v0) =
+      (m.props.get(NDocsProp), m.props.get(SumDlProp)) match {
+        case (Some(n), Some(s)) =>
+          (n.toLong, s.toLong, m.props.get(VersionProp).map(_.toInt).getOrElse(cur))
+        case _ =>
+          // pre-upgrade index: the one-row stats TABLE (kept readable
+          // forever; the first mutation through this API migrates the
+          // numbers into postings props and the table goes inert)
+          require(graft.tables.GeoManifest.currentVersion(
+              spark, s"$indexRoot/stats").isDefined,
+            s"$indexRoot is not a complete text index (no stats props and no " +
+              "stats table) — the build crashed before its stats commit; rebuild")
+          val row = graft.tables.GeoTable.read(spark, s"$indexRoot/stats").head()
+          (row.getLong(0), row.getLong(1), row.getInt(2))
+      }
     if (v0 >= cur) return (n0, s0, v0)
     // the changelog range is (base, target]: v0 is the covered snapshot
     val changes = graft.tables.GeoChangelog.netChanges(spark, root, v0, cur)

@@ -417,13 +417,25 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // bloom property group — fpp/items ride along with the column list
     val setProps = changes.collect { case p: TableChange.SetProperty => p }
       .map(p => p.property -> p.value).toMap
-    if (setProps.keySet.exists(Set("bloom.columns", "bloom.fpp", "bloom.items"))) {
+    val bloomKeys = Set("bloom.columns", "bloom.fpp", "bloom.items")
+    if (setProps.keySet.exists(bloomKeys)) {
       // tuning fpp/items without re-listing columns keeps the current set
       val cols = setProps.getOrElse("bloom.columns",
         GeoManifest.read(spark, root).bloomCols.map(_.col).mkString(","))
       GeoTable.setBloomColumns(spark, root, cols,
         setProps.get("bloom.fpp"), setProps.get("bloom.items"))
     }
+    // everything that is not a bloom/config knob is a USER table property
+    // (Iceberg SET TBLPROPERTIES parity): the whole non-bloom group lands
+    // in ONE manifest commit; reserved config keys are refused loudly in
+    // GeoTable.validateProps rather than half-honored
+    val userSet = setProps -- bloomKeys
+    val userUnset = changes.collect {
+      case p: TableChange.RemoveProperty if !bloomKeys.contains(p.property) =>
+        p.property
+    }
+    if (userSet.nonEmpty || userUnset.nonEmpty)
+      GeoTable.setProperties(spark, root, userSet, userUnset)
     changes.foreach {
       case _: TableChange.AddColumn => // handled above (single commit)
       case d: TableChange.DeleteColumn =>
@@ -432,9 +444,7 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested RENAME COLUMN not supported")
         GeoTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
-      case p: TableChange.SetProperty
-        if p.property == "bloom.columns" || p.property == "bloom.fpp" ||
-           p.property == "bloom.items" => // handled above (single commit)
+      case _: TableChange.SetProperty => // handled above (grouped commits)
       case p: TableChange.RemoveProperty if p.property == "bloom.columns" =>
         GeoTable.setBloomColumns(spark, root, "")
       // UNSET of a tuning knob returns THAT knob to the session default,
@@ -448,6 +458,7 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
             Some(GeoBloom.fppDefault(spark).toString) else None,
           items = if (p.property == "bloom.items")
             Some(GeoBloom.itemsDefault(spark).toString) else None)
+      case _: TableChange.RemoveProperty => // user property, handled above
       // SET / DROP DEFAULT (capability-routed): future writes only —
       // EXISTS_DEFAULT stays pinned at ADD time (committed history)
       case u: TableChange.UpdateColumnDefaultValue =>
@@ -619,6 +630,9 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
     case "constraints" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("expr", StringType, nullable = false)))
+    case "properties" => StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
     case "partitions" => StructType(Seq(
       StructField("partition", StringType, nullable = false),
       StructField("file_count", IntegerType, nullable = false),
@@ -721,6 +735,12 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
         GeoManifest.read(sparkAtLoad, root).checks.map { case (n, sql) =>
           InternalRow(UTF8String.fromString(n), UTF8String.fromString(sql))
         }.toArray
+      // user TBLPROPERTIES only (Iceberg t.properties analog): the derived
+      // config facts live on SHOW TBLPROPERTIES via properties()
+      case "properties" =>
+        GeoManifest.read(sparkAtLoad, root).props.toSeq.sortBy(_._1).map {
+          case (k, v) => InternalRow(UTF8String.fromString(k), UTF8String.fromString(v))
+        }.toArray
       // per-partition rollup (Iceberg `partitions` table analog): files
       // group by their layout-transform value tuple from the manifest's
       // per-file transform ranges — the ops-visibility surface for
@@ -821,7 +841,7 @@ class GeoMetaTable(tableName: String, sparkAtLoad: SparkSession, root: String,
 }
 
 object GeoMetaTable {
-  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests", "all_files", "constraints")
+  val Kinds: Set[String] = Set("snapshots", "files", "history", "refs", "partitions", "colstats", "deletes", "blooms", "manifests", "all_files", "constraints", "properties")
 
   /** Snapshot versions the metadata tables list: main ancestry plus
     * ref-pinned snapshots (a tagged version survives vacuum and stays
@@ -1039,7 +1059,10 @@ class GeoV2Table(tableName: String, root: String, manifest: Manifest)
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] = {
-    val base = Map(
+    // user TBLPROPERTIES first: the structural/config entries below are
+    // derived facts and always win a key collision (reserved keys cannot
+    // be set as user props anyway — GeoTable.validateProps refuses them)
+    val base = manifest.props ++ Map(
       TableCatalog.PROP_LOCATION -> root,
       TableCatalog.PROP_PROVIDER -> "geo",
       "format-version" -> "2",

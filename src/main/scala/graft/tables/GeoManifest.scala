@@ -252,7 +252,8 @@ object GeoManifest {
                             blooms: Seq[GeoBloom.BloomEntry] = Seq.empty,
                             op: Option[String] = None,
                             checks: Seq[(String, String)] = Seq.empty,
-                            picked: Set[Int] = Set.empty) {
+                            picked: Set[Int] = Set.empty,
+                            props: Map[String, String] = Map.empty) {
     /** Per-file spec resolution for every pstats consumer. Lazy: the
       * eq-applicability loops call this per (file × delete) pair. */
     lazy val specSet: GeoPartition.SpecSet =
@@ -606,7 +607,7 @@ object GeoManifest {
     val v8 = m.files.exists(e =>
       e.pstats.nonEmpty && e.pnulls.length == e.pstats.length && e.pnulls.nonEmpty) ||
       m.bloomCols.nonEmpty || m.blooms.nonEmpty || m.op.nonEmpty ||
-      m.checks.nonEmpty || m.picked.nonEmpty
+      m.checks.nonEmpty || m.picked.nonEmpty || m.props.nonEmpty
     val v9 = m.pastSpecs.nonEmpty || m.specId != 0
     val declared = if (v9) 9
                    else if (v8) 8
@@ -638,6 +639,14 @@ object GeoManifest {
     // the picked files' paths — additive v8+ tag like `op`
     if (m.picked.nonEmpty)
       lines ++= s"picked\t${m.picked.toSeq.sorted.mkString(",")}\n"
+    // user table properties (Iceberg/Delta TBLPROPERTIES analog): additive
+    // v8+ tag like `op`. They ride EVERY commit via copy(), so a property
+    // set and the data change it describes can share one atomic commit
+    // (setProperties validates keys/values newline-free and keys tab-free;
+    // values rejoin on read like `check` lines, so embedded tabs survive)
+    m.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      lines ++= s"prop\t$k\t$v\n"
+    }
     lines ++= s"schema\t${m.schema.json}\n"
     lines ++= s"geom\t${m.geomCol.getOrElse("--")}\n"
     m.dropped.foreach { d => lines ++= s"dropped\t$d\n" }
@@ -831,6 +840,7 @@ object GeoManifest {
     val blooms = Seq.newBuilder[GeoBloom.BloomEntry]
     val checks = Seq.newBuilder[(String, String)]
     var picked = Set.empty[Int]
+    var props = Map.empty[String, String]
     var opv: Option[String] = None
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val parts = line.split('\t')
@@ -855,6 +865,10 @@ object GeoManifest {
         // rejoin defensively even though the verb forbids tabs in the SQL
         case "check" => checks += parts(1) -> parts.drop(2).mkString("\t")
         case "picked" => picked ++= parts(1).split(',').map(_.toInt)
+        // value rejoins on tabs (like `check`); a trailing empty value
+        // drops its split cell, so absent parts(2) reads as ""
+        case "prop" =>
+          props += parts(1) -> (if (parts.length > 2) parts.drop(2).mkString("\t") else "")
         case "dropped" => dropped += parts(1)
         case "stream" => streams += parts(1) -> parts(2).toLong
         case "file" => files += parseFileEntry(parts, declared >= 6)
@@ -902,7 +916,7 @@ object GeoManifest {
     Manifest(v, schema, geomCol, files.result(), dropped.result(), streams.result(),
       commitTs, deletes.result(), partitions.result(), shards, eqDeletes.result(),
       parent, colStats.result(), pastSpecs.result(), specId,
-      bloomCols.result(), blooms.result(), opv, checks.result(), picked)
+      bloomCols.result(), blooms.result(), opv, checks.result(), picked, props)
   }
 
   /** (commit ts, lineage parent) of snapshot `v` from a header-only scan

@@ -163,6 +163,14 @@ object GeoSql {
     """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*;?\s*""".r
   private val showCreateViewRe =
     """(?is)\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  // user table properties on PATH-registered tables (catalog names fall
+  // through to Spark's native SET TBLPROPERTIES → alterTable(SetProperty))
+  private val alterTableSetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val alterTableUnsetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val showTblPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*""".r
   private val alterViewSetRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val alterViewUnsetRe =
@@ -320,6 +328,23 @@ object GeoSql {
       Some(GeoBranchCommand(name, b, "drop"))
     case publishBranchRe(name, b) if resolveRoot(name).isDefined =>
       Some(GeoBranchCommand(name, b, "publish"))
+    // path tables only: Spark owns the catalog spelling natively. Matched
+    // BEFORE the view regexes cannot collide (ALTER TABLE vs ALTER VIEW).
+    case alterTableSetPropsRe(name, propsSql) if GeoTable.registeredRoot(name).isDefined =>
+      val token = """(?:'([^']*)'|"([^"]*)"|([\w.-]+))"""
+      Some(GeoSetTblPropsCommand(name,
+        (token + """\s*=\s*""" + token).r.findAllMatchIn(propsSql).map { m =>
+          val k = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get
+          val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
+          k -> v
+        }.toSeq, unset = false))
+    case alterTableUnsetPropsRe(name, propsSql) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoSetTblPropsCommand(name,
+        """(?:'([^']*)'|"([^"]*)"|([\w.-]+))""".r.findAllMatchIn(propsSql)
+          .map(m => Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get -> "")
+          .toSeq, unset = true))
+    case showTblPropsRe(name) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoShowTblPropsCommand(name))
     case createViewRe(orReplace, ifNotExists, name, query) if geoViewCatalog(name) =>
       Some(GeoCreateViewCommand(name, query.trim,
         orReplace != null, ifNotExists != null))
@@ -1305,6 +1330,36 @@ case class GeoRemoveOrphanFilesCommand(name: String,
   override def execute(spark: SparkSession): Seq[Row] =
     Seq(Row(GeoTable.removeOrphanFiles(spark, GeoSql.rootOf(name),
       olderThan.map(GeoSql.parseTimestampMs(spark, _))).toLong))
+}
+
+/** ALTER TABLE <path-registered> SET/UNSET TBLPROPERTIES — the user
+  * table-property surface for path tables (one metadata-only commit;
+  * catalog tables take Spark's native spelling through alterTable). */
+case class GeoSetTblPropsCommand(name: String, props: Seq[(String, String)],
+                                 unset: Boolean) extends GeoRunnable {
+  override def execute(spark: SparkSession): Seq[Row] = {
+    require(props.nonEmpty,
+      if (unset) "could not parse any TBLPROPERTIES key — use ('k', ...) " +
+        "with quoted or identifier keys"
+      else "could not parse any TBLPROPERTIES pair — use ('k'='v', ...) " +
+        "with quoted or identifier keys/values")
+    val root = GeoSql.rootOf(name)
+    if (unset) GeoTable.setProperties(spark, root, Map.empty, props.map(_._1))
+    else GeoTable.setProperties(spark, root, props.toMap)
+    GeoSql.refresh(spark, name, root)
+    Seq(Row(props.length.toLong))
+  }
+}
+
+/** SHOW TBLPROPERTIES <path-registered> — user properties of the current
+  * snapshot as (key, value) rows, sorted by key. */
+case class GeoShowTblPropsCommand(name: String) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] =
+    GeoTable.properties(spark, GeoSql.rootOf(name)).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */

@@ -67,8 +67,10 @@ object GeoTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
              geomCol: Option[String] = None, zorder: Boolean = false,
              cellSize: Double = 1.0,
-             partitions: Seq[GeoPartition.PTransform] = Seq.empty): Unit = {
+             partitions: Seq[GeoPartition.PTransform] = Seq.empty,
+             props: Map[String, String] = Map.empty): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
+    validateProps(props.keys, props.values)
     val tagged = geomCol.filterNot(g => GeoSchema.isGeometry(df.schema(g)))
       .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
     val laidOut =
@@ -76,7 +78,7 @@ object GeoTable {
       else GeoPartition.layout(tagged, partitions, tagged.schema)
     val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol, partitions)
     GeoManifest.write(spark, root,
-      Manifest(0, tagged.schema, geomCol, files, partitions = partitions),
+      Manifest(0, tagged.schema, geomCol, files, partitions = partitions, props = props),
       op = "create")
   }
 
@@ -1231,15 +1233,21 @@ object GeoTable {
     * (sinkId, batchId))` records the micro-batch id IN the same atomic
     * manifest commit as the data, so a replayed batch after a crash is
     * detectable (see [[lastStreamBatch]]) — files and watermark can never
-    * disagree. */
+    * disagree. `propsDelta` rides the SAME commit: derived bookkeeping a
+    * caller keeps in table properties (e.g. a text index's corpus stats)
+    * can never disagree with the files it describes — there is no window
+    * where one landed and the other didn't. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-             streamCommit: Option[(String, Long)]): Long = {
+             streamCommit: Option[(String, Long)],
+             propsDelta: Map[String, String] = Map.empty): Long = {
+    validateProps(propsDelta.keys, propsDelta.values)
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
-        streamCommits = m.streamCommits ++ streamCommit), m.version,
+        streamCommits = m.streamCommits ++ streamCommit,
+        props = m.props ++ propsDelta), m.version,
       op = if (streamCommit.isDefined) "stream-append" else "append")
     files.map(_.rows).sum
   }
@@ -1261,6 +1269,51 @@ object GeoTable {
     * never committed. Read from the current manifest — no sidecar files. */
   def lastStreamBatch(spark: SparkSession, root: String, sinkId: String): Option[Long] =
     GeoManifest.read(spark, root).streamCommits.get(sinkId)
+
+  /** Keys whose behavior lives OUTSIDE the manifest props map (catalog
+    * config resolved at create/ALTER through their own verbs, or derived
+    * facts `properties()` reports). Accepting them here would look like it
+    * worked while changing nothing — refuse with the real verb instead. */
+  private val ReservedPropKeys: Set[String] = Set(
+    GeoCatalog.GeomColProp, "stats.columns", "sort.order",
+    "bloom.columns", "bloom.fpp", "bloom.items",
+    "location", "provider", "format-version", "snapshot-version",
+    "data-files", "total-rows")
+
+  private[tables] def validateProps(keys: Iterable[String],
+                                    values: Iterable[String]): Unit = {
+    keys.foreach { k =>
+      require(k.nonEmpty && !k.contains('\t') && !k.contains('\n') && !k.contains('\r'),
+        s"table property key '$k' must be non-empty and tab/newline-free")
+      require(!ReservedPropKeys.contains(k),
+        s"'$k' is a reserved table config key — set it through its own verb " +
+          "(CREATE TABLE TBLPROPERTIES / ALTER TABLE for bloom.*), not setProperties")
+    }
+    values.foreach { v =>
+      require(v != null && !v.contains('\n') && !v.contains('\r'),
+        "table property values must be non-null and newline-free")
+    }
+  }
+
+  /** User table properties of the CURRENT snapshot (Iceberg/Delta
+    * TBLPROPERTIES analog). Time travel reads a snapshot's own props;
+    * RESTORE reverts them with the rest of the table state. */
+  def properties(spark: SparkSession, root: String): Map[String, String] =
+    GeoManifest.read(spark, root).props
+
+  /** SET/UNSET table properties in one metadata-only commit (no data I/O;
+    * ordinary snapshot — time travel and RESTORE see properties as of each
+    * version). Unset keys absent from the table are a no-op; a call that
+    * changes nothing still commits (the history records the intent). */
+  def setProperties(spark: SparkSession, root: String,
+                    set: Map[String, String],
+                    unset: Seq[String] = Seq.empty): Unit = {
+    require(set.nonEmpty || unset.nonEmpty, "setProperties: nothing to do")
+    validateProps(set.keys ++ unset, set.values)
+    val m = GeoManifest.read(spark, root)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      props = (m.props -- unset) ++ set), m.version, op = "set-properties")
+  }
 
   /** Fraction of the affected files' rows below which DML goes
     * merge-on-read instead of copy-on-write (auto mode). Conservative:
@@ -1695,13 +1748,24 @@ object GeoTable {
    * distinct key tuples filed.
    */
   def deleteByKey(spark: SparkSession, root: String,
-                  keyCols: Seq[String], keys: DataFrame): Long = {
+                  keyCols: Seq[String], keys: DataFrame,
+                  propsDelta: Map[String, String] = Map.empty): Long = {
+    validateProps(propsDelta.keys, propsDelta.values)
     val m = GeoManifest.read(spark, root)
     writeEqSidecar(spark, root, m, keyCols, keys) match {
-      case None => 0L
+      case None =>
+        // no keys filed — but a caller-supplied props delta that actually
+        // CHANGES something still deserves its commit (the caller derived
+        // it from this delete's intent; dropping it silently would strand
+        // their bookkeeping). Value-identical deltas stay zero-commit.
+        if (propsDelta.nonEmpty && (m.props ++ propsDelta) != m.props)
+          GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+            props = m.props ++ propsDelta), m.version, op = "set-properties")
+        0L
       case Some((entry, n)) =>
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
-          eqDeletes = m.eqDeletes :+ entry), m.version, op = "delete")
+          eqDeletes = m.eqDeletes :+ entry,
+          props = m.props ++ propsDelta), m.version, op = "delete")
         maybeFoldSidecars(spark, root)
         n
     }

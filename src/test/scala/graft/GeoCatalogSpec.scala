@@ -614,6 +614,40 @@ class GeoCatalogSpec extends SparkSpec {
     assert(spark.table("geo.db.rsv").count() == 3)
   }
 
+  test("SET/UNSET TBLPROPERTIES resolve natively; SHOW + t.properties surface them") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    spark.sql("CREATE TABLE geo.db.props (id BIGINT) USING geo")
+    spark.sql("INSERT INTO geo.db.props VALUES (1), (2)")
+    // Spark's native parser → alterTable(SetProperty) → one manifest
+    // commit ('owner'/'location'/'provider' are SPARK-reserved in SQL —
+    // its parser refuses them before the catalog ever sees the change)
+    spark.sql("ALTER TABLE geo.db.props SET TBLPROPERTIES " +
+      "('team'='data-eng', 'retention.days'='30')")
+    val root = s"$warehouse/db/props"
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.props == Map("team" -> "data-eng", "retention.days" -> "30"))
+    assert(m1.op.contains("set-properties"))
+    // SHOW TBLPROPERTIES rides properties(); user keys surface verbatim
+    val shown = spark.sql("SHOW TBLPROPERTIES geo.db.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("team") == "data-eng" && shown("retention.days") == "30")
+    // t.properties metadata table: USER props only, sorted
+    val meta = spark.sql("SELECT key, value FROM geo.db.props.properties")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(meta == Seq("retention.days" -> "30", "team" -> "data-eng"))
+    // UNSET removes; both changes in their own single commits
+    spark.sql("ALTER TABLE geo.db.props UNSET TBLPROPERTIES ('retention.days')")
+    assert(GeoTable.properties(spark, root) == Map("team" -> "data-eng"))
+    // props ride data commits untouched
+    spark.sql("INSERT INTO geo.db.props VALUES (3)")
+    assert(GeoTable.properties(spark, root) == Map("team" -> "data-eng"))
+    // reserved config keys refuse loudly instead of half-working
+    val err = intercept[Exception](spark.sql(
+      "ALTER TABLE geo.db.props SET TBLPROPERTIES ('sort.order'='id')"))
+    assert(err.getMessage.contains("reserved"), err.getMessage)
+  }
+
   test("RESTORE keeps streaming watermarks monotone (epoch dedup survives rollback)") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")

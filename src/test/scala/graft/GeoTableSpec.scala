@@ -692,6 +692,59 @@ class GeoTableSpec extends SparkSpec {
       .head.getLong(0) == 40, "branch head must survive vacuum")
   }
 
+  test("table properties: set/unset, carry across commits, restore reverts") {
+    val root = tmpRoot("props")
+    pointTable(root)
+    assert(GeoTable.properties(spark, root).isEmpty, "fresh table has no props")
+    // values keep exact bytes: '=' and embedded tabs round-trip, "" is legal
+    GeoTable.setProperties(spark, root,
+      Map("owner" -> "data-eng", "note" -> "a=b\tc", "empty" -> ""))
+    val v1 = GeoManifest.read(spark, root).version
+    assert(GeoTable.properties(spark, root) ==
+      Map("owner" -> "data-eng", "note" -> "a=b\tc", "empty" -> ""))
+    // props ride EVERY subsequent commit untouched (append, DML, optimize)
+    GeoTable.append(spark, root, spark.range(100, 110).toDF("id")
+      .withColumn("flag", lit(0))
+      .withColumn("geo", st_point(col("id").cast("double"), lit(0.0))))
+    GeoTable.delete(spark, root, col("id") === 105)
+    GeoTable.compact(spark, root, targetFiles = 2)
+    assert(GeoTable.properties(spark, root)("owner") == "data-eng",
+      "props must carry through data commits")
+    // unset + overwrite-in-one-call semantics
+    GeoTable.setProperties(spark, root, Map("owner" -> "ml-infra"), unset = Seq("empty"))
+    val after = GeoTable.properties(spark, root)
+    assert(after == Map("owner" -> "ml-infra", "note" -> "a=b\tc"))
+    // snapshots keep their own props: restore to v1 reverts them
+    GeoTable.restore(spark, root, v1)
+    assert(GeoTable.properties(spark, root)("owner") == "data-eng",
+      "RESTORE must revert table properties with the rest of the state")
+    // validation: newlines, tab keys, reserved config keys all refuse
+    intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map("bad" -> "line1\nline2")))
+    intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map("a\tb" -> "x")))
+    intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map("bloom.columns" -> "id")))
+    intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map("geometry.column" -> "geo")))
+  }
+
+  test("table properties: path-SQL SET/UNSET/SHOW TBLPROPERTIES verbs") {
+    val root = tmpRoot("props_sql")
+    pointTable(root)
+    GeoTable.register(spark, "props_t", root)
+    GeoSql.exec(spark,
+      "ALTER TABLE props_t SET TBLPROPERTIES ('owner'='data-eng', 'tier'='gold')")
+    val shown = GeoSql.exec(spark, "SHOW TBLPROPERTIES props_t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("owner" -> "data-eng", "tier" -> "gold"))
+    GeoSql.exec(spark, "ALTER TABLE props_t UNSET TBLPROPERTIES ('tier')")
+    assert(GeoTable.properties(spark, root) == Map("owner" -> "data-eng"))
+    // a reserved key through SQL refuses just like the API
+    intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE props_t SET TBLPROPERTIES ('sort.order'='id')"))
+  }
+
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
     val root = tmpRoot("droptest")
     pointTable(root)

@@ -626,7 +626,86 @@ class OpsSpec extends SparkSpec {
     assert(probed == adhoc, s"post-append ranking drifted: $probed vs $adhoc")
   }
 
-  test("BM25 index: a crash between postings append and stats commit self-heals") {
+  test("BM25 index: stats commit atomically with every mutation (no stats table)") {
+    import graft.ops.TextAnalysis
+    import graft.tables.{GeoManifest, GeoTable}
+    val corpus = (0L until 16L).map(i =>
+      (i, s"w${i % 5} w${(i + 1) % 5} " + (if (i % 2 == 0) "spark" else "other")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25atom").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx,
+      corpus.where(col("doc_id") < 8), col("doc_id"), col("text"), buckets = 4)
+    // the crash window of the old two-table design no longer exists:
+    // stats live as the postings table's own manifest props
+    assert(GeoManifest.currentVersion(spark, idx + "/stats").isEmpty,
+      "a fresh index must not materialize a stats table")
+    def assertAtomic(): Unit = {
+      val m = GeoManifest.read(spark, idx + "/postings")
+      assert(m.props("graft.bm25.postings_version").toInt == m.version,
+        s"stats props must ride the mutation's own commit (covered " +
+          s"${m.props("graft.bm25.postings_version")}, current ${m.version})")
+    }
+    assertAtomic()
+    TextAnalysis.appendToTextIndex(spark, idx,
+      corpus.where(col("doc_id") >= 8), col("doc_id"), col("text"))
+    assertAtomic()
+    val m1 = GeoManifest.read(spark, idx + "/postings")
+    TextAnalysis.removeFromTextIndex(spark, idx,
+      corpus.where(col("doc_id") === 3).select("doc_id"))
+    val m2 = GeoManifest.read(spark, idx + "/postings")
+    assert(m2.version == m1.version + 1 && m2.op.contains("delete"),
+      "a removal must be ONE commit carrying both the delete and the stats")
+    assertAtomic()
+    val q = Seq("spark", "w2")
+    val probed = TextAnalysis.bm25Search(spark, idx, q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    val adhoc = TextAnalysis.bm25TopK(corpus.where(col("doc_id") =!= 3),
+      col("doc_id"), col("text"), q, k = 6).collect().map(_.getLong(0)).toSeq
+    assert(probed == adhoc, s"ranking drifted: $probed vs $adhoc")
+  }
+
+  test("BM25 index: a legacy stats-table index probes, heals, and migrates to props") {
+    import graft.ops.TextAnalysis
+    import graft.tables.{GeoManifest, GeoPartition, GeoTable}
+    import spark.implicits._
+    val corpus = (0L until 18L).map(i =>
+      (i, s"w${i % 6} w${(i + 2) % 6} " + (if (i % 3 == 0) "spark" else "other")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25legacy").toString + "/i"
+    // hand-build the PRE-UPGRADE layout: postings geo table without stats
+    // props + the one-row stats TABLE the old builder wrote
+    val toks = split(trim(col("text")), " +")
+    val postings = corpus.where(col("doc_id") < 12)
+      .select(col("doc_id"), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GeoTable.create(spark, idx + "/postings", postings, geomCol = None,
+      partitions = Seq(GeoPartition.PTransform("bucket", 4, "term")))
+    val st = postings.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("long"), sum(col("dl"))).head()
+    GeoTable.create(spark, idx + "/stats",
+      Seq((st.getLong(0), st.getLong(1), 0)).toDF("n_docs", "sum_dl", "postings_version"),
+      geomCol = None)
+    val q = Seq("spark", "w3")
+    def probe() = TextAnalysis.bm25Search(spark, idx, q, k = 6)
+      .collect().map(_.getLong(0)).toSeq
+    def adhoc(c: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopK(c, col("doc_id"), col("text"), q, k = 6)
+        .collect().map(_.getLong(0)).toSeq
+    assert(probe() == adhoc(corpus.where(col("doc_id") < 12)),
+      "a pre-upgrade index must keep probing")
+    // first mutation migrates the numbers into postings props atomically
+    TextAnalysis.appendToTextIndex(spark, idx,
+      corpus.where(col("doc_id") >= 12), col("doc_id"), col("text"))
+    val m = GeoManifest.read(spark, idx + "/postings")
+    assert(m.props("graft.bm25.postings_version").toInt == m.version,
+      "the first mutation must migrate legacy stats into props")
+    assert(probe() == adhoc(corpus), "post-migration ranking drifted")
+  }
+
+  test("BM25 index: an out-of-band postings append self-heals on probe") {
     import graft.ops.TextAnalysis
     val corpus = (0L until 20L).map(i =>
       (i, s"w${i % 7} w${(i + 2) % 7} " + (if (i % 3 == 0) "spark" else "other")))
@@ -634,8 +713,9 @@ class OpsSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("bm25crash").toString + "/i"
     TextAnalysis.buildTextIndex(spark, idx,
       corpus.where(col("doc_id") < 10), col("doc_id"), col("text"), buckets = 4)
-    // simulate the crash window: postings committed, stats row NOT —
-    // append the second half's postings directly, bypassing the stats leg
+    // out-of-band mutation: append the second half's postings RAW through
+    // the table API, bypassing the index verbs (so the committed stats
+    // props lag the postings content — the shape a foreign writer leaves)
     val late = corpus.where(col("doc_id") >= 10)
       .select(col("doc_id"), org.apache.spark.sql.functions.split(
         org.apache.spark.sql.functions.trim(col("text")), " +").as("__toks"))
@@ -644,8 +724,8 @@ class OpsSpec extends SparkSpec {
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
     graft.tables.GeoTable.append(spark, idx + "/postings", late)
-    // the stored stats row now LAGS the postings table; the probe must
-    // heal it from the changelog (read-only) and rank like ad-hoc
+    // the stored stats now LAG the postings table; the probe must
+    // heal them from the changelog (read-only) and rank like ad-hoc
     val q = Seq("spark", "w3")
     val probed = TextAnalysis.bm25Search(spark, idx, q, k = 6)
       .collect().map(_.getLong(0)).toSeq
@@ -679,7 +759,7 @@ class OpsSpec extends SparkSpec {
     // removing ids absent from the index is a no-op
     TextAnalysis.removeFromTextIndex(spark, idx, Seq(900L, 901L).toDF("doc_id"))
     assert(probe() == adhoc1, "absent-id removal must change nothing")
-    // crash window: postings delete committed, stats row NOT — the probe
+    // out-of-band delete (raw table API, stats props now lag) — the probe
     // must heal N/avgdl from the changelog's DELETE leg (read-only)
     graft.tables.GeoTable.deleteByKey(spark, idx + "/postings",
       Seq("doc_id"), Seq(1L, 2L).toDF("doc_id"))
@@ -720,15 +800,17 @@ class OpsSpec extends SparkSpec {
       val adhoc5 = TextAnalysis.bm25TopK(modified2, col("doc_id"), col("text"), q, k = 8)
         .collect().map(_.getLong(0)).toSeq
       assert(probe() == adhoc5, "fold-in-window removal must keep stats exact")
-      // bit-exact: the stored stats row must equal the surviving corpus'
-      // true (n_docs, sum_dl) — rank parity alone can mask a small skew
-      val stRow = graft.tables.GeoTable.read(spark, idx + "/stats").head()
+      // bit-exact: the COMMITTED stats props (they rode the delete's own
+      // manifest commit) must equal the surviving corpus' true
+      // (n_docs, sum_dl) — rank parity alone can mask a small skew
+      val props = graft.tables.GeoTable.properties(spark, idx + "/postings")
       val truth = modified2.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
         .agg(count(lit(1)), sum(col("dl"))).head()
-      assert(stRow.getLong(0) == truth.getLong(0) && stRow.getLong(1) == truth.getLong(1),
-        s"stats row (${stRow.getLong(0)}, ${stRow.getLong(1)}) != " +
-          s"truth (${truth.getLong(0)}, ${truth.getLong(1)})")
+      assert(props("graft.bm25.n_docs").toLong == truth.getLong(0) &&
+          props("graft.bm25.sum_dl").toLong == truth.getLong(1),
+        s"stats props (${props("graft.bm25.n_docs")}, ${props("graft.bm25.sum_dl")}) " +
+          s"!= truth (${truth.getLong(0)}, ${truth.getLong(1)})")
     } finally spark.conf.unset("spark.graft.mor.maxLiveDeleteRows")
   }
 
