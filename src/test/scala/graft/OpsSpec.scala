@@ -814,6 +814,49 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mor.maxLiveDeleteRows")
   }
 
+  test("RRF hybrid retrieval: fusion math, single-leg docs, index parity") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until (4 + (i % 5)).toInt).map(j => s"w${(i + 3 * j) % 7}")
+        .mkString(" ") + (if (i % 4 == 0) " spark" else " other"))
+    }.toDF("doc_id", "text")
+    // embeddings: 2-d unit-ish vectors spread on a quarter circle, so
+    // cosine to the query vector orders them deterministically
+    val embs = (0L until 30L).map { i =>
+      val a = 0.05 * i
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qv = Array(1.0f, 0.0f)
+    val q = Seq("spark", "w3")
+    val fused = Retrieval.hybridTopK(docs, col("doc_id"), col("text"), q,
+      embs, col("vec_id"), col("embedding"), qv, k = 10, perLeg = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // replay the fusion by hand from the two legs
+    val lex = graft.ops.TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), q, 8)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> 1.0 / (60 + i + 1) }.toMap
+    val dense = graft.ops.Similarity.bruteTopK(embs, col("embedding"), col("vec_id"), qv, 8)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> 1.0 / (60 + i + 1) }.toMap
+    val expect = (lex.keySet ++ dense.keySet).toSeq
+      .map(id => id -> (lex.getOrElse(id, 0.0) + dense.getOrElse(id, 0.0)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(fused == expect, s"fusion drifted:\n$fused\nvs\n$expect")
+    // docs appearing in only one leg must surface with that leg's term
+    assert(fused.map(_._1).exists(id => !lex.contains(id) || !dense.contains(id)),
+      "test shape must exercise single-leg docs")
+    // index-backed spelling returns the identical fusion (all clusters probed)
+    val tIdx = java.nio.file.Files.createTempDirectory("hyb_t").toString + "/i"
+    val vIdx = java.nio.file.Files.createTempDirectory("hyb_v").toString + "/i"
+    graft.ops.TextAnalysis.buildTextIndex(spark, tIdx, docs, col("doc_id"), col("text"), buckets = 4)
+    graft.ops.Similarity.buildIvfIndex(spark, vIdx, embs, col("embedding"), col("vec_id"), k = 4, iters = 2)
+    val viaIdx = Retrieval.hybridSearch(spark, tIdx, vIdx, q, qv,
+      k = 10, perLeg = 8, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(viaIdx == expect, s"indexed fusion drifted:\n$viaIdx\nvs\n$expect")
+  }
+
   test("removeFromIvfIndex: probes see only survivors; absent ids are a no-op") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
