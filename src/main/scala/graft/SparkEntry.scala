@@ -2813,6 +2813,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source document cap (C4/FineWeb domain-cap curation): keep the
+    // cap smallest hashUniform(doc_id) per source — an unbiased
+    // deterministic without-replacement sample, replayed exactly by the
+    // oracle (the Knuth-hash integer formula is engine-portable). The
+    // pre-filter shrinks two sources UNDER the cap so the pass-through
+    // path is exercised alongside the ranked path.
+    "curate_source_cap" -> ((s, d) => {
+      prep(s, d)
+      val corpus = s.table("documents")
+        .where(!(col("source").isin("src2", "src3") && col("doc_id") % 2 === 1))
+      graft.ops.TrainingData.capPerSource(corpus, col("doc_id"), col("source"), cap = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // decontamination: probe set = every 17th document (a stand-in
     // benchmark), word 5-gram overlap, self-pairs excluded — the oracle
     // computes the identical string-gram join
@@ -5538,6 +5553,21 @@ object SparkEntry {
                   + 104729) % 4294967296 AS DOUBLE)
             / 4294967296.0 < r.sample_rate
       ORDER BY d.doc_id""",
+
+    // rank-by-portable-hash per source, keep rank <= cap (under-cap
+    // sources pass whole: their every rank <= count <= cap)
+    "curate_source_cap" -> """
+      WITH corpus AS (SELECT doc_id, source FROM documents
+                      WHERE NOT (source IN ('src2','src3') AND doc_id % 2 = 1)),
+           h AS (SELECT doc_id, source,
+                   CAST((((doc_id % 4294967296) % 65536) * 2654435761
+                         + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+                         + 104729) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+                 FROM corpus),
+           r AS (SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+                 FROM h)
+      SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""",
 
     "decontaminate_overlap" -> """
       -- Spark joins on xxhash64(gram) fingerprints; this oracle joins on

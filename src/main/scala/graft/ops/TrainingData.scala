@@ -174,6 +174,39 @@ object TrainingData {
       .drop("sample_rate")
   }
 
+  /**
+   * Per-source document cap (the C4/FineWeb "domain cap" curation verb:
+   * no single domain may dominate the training mix): keep at most `cap`
+   * documents per source, chosen as the cap smallest [[hashUniform]](id)
+   * values — an unbiased deterministic without-replacement sample per
+   * source, NOT "first cap by id" (which would bias toward a crawl's
+   * oldest pages). Ties on the hash break by id; the selection is stable
+   * across runs, partitionings, and engines.
+   *
+   * Scale shape: one tiny per-source count (map-side partial agg →
+   * |sources| rows, broadcast back), then UNDER-cap sources pass through
+   * untouched — a broadcast anti-join, their rows never shuffle or sort.
+   * Only over-cap sources' rows rank, and each ranks only its own rows.
+   * The inherent hot key of any per-group cap: one mega-source's rows
+   * land on one partition for its rank — bounded by that source's own
+   * volume, and the alternative (threshold refinement) only pays past
+   * ~billions of rows per single source.
+   */
+  def capPerSource(docs: DataFrame, id: Column, source: Column,
+                   cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val keyed = docs.withColumn("__src", source)
+      .withColumn("__h", hashUniform(id)).withColumn("__cid", id)
+    val over = keyed.groupBy("__src").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > cap).select("__src")
+    val pass = keyed.join(broadcast(over), Seq("__src"), "left_anti")
+    val capped = keyed.join(broadcast(over), Seq("__src"), "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__src")).orderBy(col("__h"), col("__cid"))))
+      .where(col("__rn") <= cap).drop("__rn")
+    pass.unionByName(capped).drop("__src", "__h", "__cid")
+  }
+
   // -------------------------------------------------- decontamination / LM
 
   /** Word n-grams of a text column as strings (empty array when the text

@@ -192,4 +192,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(r1 == ((0, 0, "no pii here at all")))
     out.unpersist()
   }
+
+  test("capPerSource keeps the cap smallest hashes per over-cap source; under-cap passes whole") {
+    val corpus = (0L until 40L).map { i =>
+      (i, if (i < 30) "big" else "small", s"text $i")
+    }.toDF("doc_id", "source", "text")
+    val out = TrainingData.capPerSource(corpus, col("doc_id"), col("source"), cap = 10)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    // under-cap source: all 10 rows, untouched
+    assert(out.count(_._2 == "small") == 10, "under-cap source must pass whole")
+    assert(out.count(_._2 == "big") == 10, "over-cap source must cut to the cap")
+    // the kept big-source ids are exactly the 10 smallest hashUniform values
+    val expect = corpus.where(col("source") === "big")
+      .select(col("doc_id"), TrainingData.hashUniform(col("doc_id")).as("u"))
+      .orderBy(col("u"), col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "big").map(_._1).toSet == expect,
+      "selection must be rank-by-hash, not first-by-id")
+    // unbiased shape: the hash selection must differ from first-10-by-id
+    assert(expect != (0L until 10L).toSet,
+      "test shape must distinguish hash order from id order")
+    // schema passthrough: original columns survive, helpers dropped
+    val cols = TrainingData.capPerSource(corpus, col("doc_id"), col("source"), 10).columns.toSeq
+    assert(cols == Seq("doc_id", "source", "text"))
+  }
 }
