@@ -457,18 +457,26 @@ object Similarity {
     * only widens the candidate pool a given nprobe covers). Returns rows
     * appended. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
-                       df: DataFrame, vec: Column, id: Column): Long = {
+                       df: DataFrame, vec: Column, id: Column): Long =
+    graft.tables.GeoTable.append(spark, s"$indexRoot/vectors",
+      encodeForIndex(spark, indexRoot, df, vec, id))
+
+  /** The stored-index row encoding shared by append and upsert: assign to
+    * the STORED centroids, re-encode with the STORED codebooks when
+    * present — so the two ingest verbs can never diverge. */
+  private def encodeForIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexRoot: String, df: DataFrame,
+                             vec: Column, id: Column): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
     val centroids = readCentroids(spark, indexRoot).map(_._2).toArray
     val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull)
     val assigned = assignClusters(base, centroids)
-    val rows = readCodebooks(spark, indexRoot) match {
+    readCodebooks(spark, indexRoot) match {
       case Some(cb) => assigned
         .withColumn("pq_code", col2(graft.functions.PqEncode(ex(c("__v")), cb)))
         .select(c("vec_id"), c("cluster"), c("__v").as("vec"), c("pq_code"))
       case None => assigned.select(c("vec_id"), c("cluster"), c("__v").as("vec"))
     }
-    graft.tables.GeoTable.append(spark, s"$indexRoot/vectors", rows)
   }
 
   /** REMOVE vectors from a persisted IVF or IVF-PQ index by id — the
@@ -488,16 +496,17 @@ object Similarity {
       Seq("vec_id"), ids.toDF("vec_id"))
 
   /** UPSERT vectors (the CDC-replacement verb): ids already indexed are
-    * replaced by their batch embedding, new ids are added — compose
-    * [[removeFromIvfIndex]] (absent ids no-op) with [[appendToIvfIndex]]
-    * (the append assigns to the stored centroids and out-sequences the
-    * removal's equality delete, so the new embedding probes
-    * immediately). Two O(batch) commits, no re-clustering. */
+    * replaced by their batch embedding, new ids are added — ONE atomic
+    * commit via the table's keyed upsert (the equality-delete leg and the
+    * fresh rows share the commit; the fresh rows out-sequence the delete,
+    * so the new embedding probes immediately and a crash leaves either
+    * the whole batch applied or none of it — never a removed-but-not-yet-
+    * re-added window). O(batch), no re-clustering: rows assign to the
+    * stored centroids and re-encode with the stored codebooks. */
   def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
-                     df: DataFrame, vec: Column, id: Column): Long = {
-    removeFromIvfIndex(spark, indexRoot, df.select(id.as("vec_id")))
-    appendToIvfIndex(spark, indexRoot, df, vec, id)
-  }
+                     df: DataFrame, vec: Column, id: Column): Long =
+    graft.tables.GeoTable.upsertByKey(spark, s"$indexRoot/vectors",
+      Seq("vec_id"), encodeForIndex(spark, indexRoot, df, vec, id))
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],

@@ -220,7 +220,46 @@ object TextAnalysis {
       val v = graft.tables.GeoManifest.read(spark, root).version
       graft.tables.GeoTable.append(spark, root, posts, None,
         statsProps(n0 + dn, s0 + ds, v + 1))
+      reconcileIfInterleaved(spark, root, v + 1)
     } finally posts.unpersist()
+  }
+
+  /** Detect-and-repair for the one hole the serial-writer contract
+    * leaves: a FOREIGN commit (raw table append, maintenance, a second
+    * mutator) landing between a mutation's stats read and its commit
+    * makes the just-committed stats base stale — and no covered-version
+    * claim can make the changelog heal exact for them (the claim is
+    * either too low, replaying the mutation's own rows twice, or too
+    * high, asserting coverage of rows never counted). Detection is one
+    * manifest read: in the serial case, version `claimed` IS the
+    * mutation's own commit, so its props name `claimed` (a later fold
+    * carrying the props forward stays a pass — the fold is content-
+    * preserving and heals net-zero). On mismatch, recompute the truth
+    * from the live postings (one two-column scan — rare-path cost) and
+    * commit it; bounded retries cover a persistently racing writer. */
+  private[graft] def reconcileIfInterleaved(spark: org.apache.spark.sql.SparkSession,
+                                            root: String, claimed: Int): Unit = {
+    // claimed > current means the mutation was a no-op (nothing
+    // committed) — the stored props still cover exactly what they claim
+    if (graft.tables.GeoManifest.read(spark, root).version < claimed) return
+    def namesItself(v: Int): Boolean =
+      graft.tables.GeoManifest.readVersion(spark, root, v).props
+        .get(VersionProp).contains(v.toString)
+    if (namesItself(claimed)) return
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val (n, s) = docStats(graft.tables.GeoTable.read(spark, root))
+      val v = graft.tables.GeoManifest.read(spark, root).version
+      try {
+        graft.tables.GeoTable.setProperties(spark, root, statsProps(n, s, v + 1))
+        if (namesItself(v + 1)) return
+      } catch { case _: java.util.ConcurrentModificationException => () } // retry
+    }
+    throw new IllegalStateException(
+      s"persistent concurrent mutation of the text index at $root — index " +
+        "mutators are single-writer (see scaladoc); stop the other writer " +
+        "and re-run (stats were recomputed but kept being overtaken)")
   }
 
   /**
@@ -251,18 +290,37 @@ object TextAnalysis {
     val v = graft.tables.GeoManifest.read(spark, root).version
     graft.tables.GeoTable.deleteByKey(spark, root, Seq("doc_id"), keyDf,
       statsProps(n0 - rn, s0 - rs, v + 1))
+    reconcileIfInterleaved(spark, root, v + 1)
   }
 
   /** UPSERT documents (the CDC-replacement verb): ids already indexed
-    * are replaced by their batch text, new ids are added — compose
-    * [[removeFromTextIndex]] (ids absent are a no-op) with
-    * [[appendToTextIndex]] (fresh postings out-sequence the removal's
-    * equality delete, so a replaced doc's new text scores immediately).
-    * Two O(batch) commits, nothing re-reads existing postings. */
+    * are replaced by their batch text, new ids are added — ONE atomic
+    * commit via the table's keyed upsert: the equality-delete leg (every
+    * batch doc's OLD postings) and the fresh postings share the commit,
+    * the fresh rows out-sequence the delete so a replaced doc's new text
+    * scores immediately, and the stats delta (old footprint out, new
+    * footprint in) rides the same commit. A crash leaves the whole batch
+    * applied or none of it — never a removed-but-not-yet-re-added
+    * window. Nothing re-reads or re-tokenizes existing postings beyond
+    * the one semi-join scan that prices the replaced docs' old dl.
+    * A batch doc with ZERO tokens contributes no postings and therefore
+    * no delete key — replacing a doc with empty text is a removal, spell
+    * it [[removeFromTextIndex]]. */
   def upsertTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                       df: DataFrame, id: Column, text: Column): Unit = {
-    removeFromTextIndex(spark, indexRoot, df.select(id.as("doc_id")))
-    appendToTextIndex(spark, indexRoot, df, id, text)
+    val root = s"$indexRoot/postings"
+    val posts = postingsOf(df, id, text).persist()
+    try {
+      val (dn, ds) = docStats(posts)
+      val ids = posts.select("doc_id").distinct()
+      val (rn, rs) = docStats(graft.tables.GeoTable.read(spark, root)
+        .join(ids, Seq("doc_id"), "left_semi"))
+      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
+      val v = graft.tables.GeoManifest.read(spark, root).version
+      graft.tables.GeoTable.upsertByKey(spark, root, Seq("doc_id"), posts,
+        streamCommit = None, propsDelta = statsProps(n0 - rn + dn, s0 - rs + ds, v + 1))
+      reconcileIfInterleaved(spark, root, v + 1)
+    } finally posts.unpersist()
   }
 
   /** Stats valid for the postings table's CURRENT version: the stored

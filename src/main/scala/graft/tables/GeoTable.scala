@@ -1786,10 +1786,13 @@ object GeoTable {
   /** Upsert with a streaming watermark: `streamCommit = Some((sinkId,
     * batchId))` rides the SAME atomic manifest commit as the delete leg
     * and the appended files — the exactly-once mechanism streaming CDC
-    * ingest needs (see [[append]]'s streamCommit for the contract). */
+    * ingest needs (see [[append]]'s streamCommit for the contract).
+    * `propsDelta` rides the same commit too (see [[append]]). */
   def upsertByKey(spark: SparkSession, root: String,
                   keyCols: Seq[String], rows: DataFrame,
-                  streamCommit: Option[(String, Long)]): Long = {
+                  streamCommit: Option[(String, Long)],
+                  propsDelta: Map[String, String] = Map.empty): Long = {
+    validateProps(propsDelta.keys, propsDelta.values)
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
@@ -1799,7 +1802,8 @@ object GeoTable {
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
-      streamCommits = m.streamCommits ++ streamCommit), m.version, op = "upsert")
+      streamCommits = m.streamCommits ++ streamCommit,
+      props = m.props ++ propsDelta), m.version, op = "upsert")
     maybeFoldSidecars(spark, root)
     files.map(_.rows).sum
   }

@@ -51,7 +51,9 @@ object PlanDump {
       "dsir_weights_topk" -> "DSIR: two bounded bucket-count aggregates broadcast into one explode-join-sum pass",
       "text_gopher_rules" -> "Gopher battery: one codegen projection per row, integer-only verdict, no shuffle before the sort",
       "geo_column_default" -> "column DEFAULT: old files' scan fills EXISTS_DEFAULT inside the reader — no coalesce projection, no rewrite, plain agg above the scan",
-      "text_bm25_delete_topk" -> "post-removal BM25 probe: the same term-IN bucket-pruned scan, the removal's equality delete merged IN-READER (no extra join node), df from surviving lists only")
+      "text_bm25_delete_topk" -> "post-removal BM25 probe: the same term-IN bucket-pruned scan, the removal's equality delete merged IN-READER (no extra join node), df from surviving lists only",
+      "hybrid_rrf_top10" -> "hybrid RRF: both bounded legs rank in tiny single-partition windows; the fusion is one aggregation over <=2N rows — corpus-side work lives entirely inside the legs",
+      "curate_source_cap" -> "domain cap: tiny over-cap verdict broadcast BOTH ways (anti-join pass-through never sorts; only over-cap sources rank, each over its own rows)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -664,6 +664,47 @@ class OpsSpec extends SparkSpec {
     assert(probed == adhoc, s"ranking drifted: $probed vs $adhoc")
   }
 
+  test("BM25 index: an interleaved foreign commit is detected and repaired exactly") {
+    import graft.ops.TextAnalysis
+    import graft.tables.{GeoManifest, GeoTable}
+    val corpus = (0L until 14L).map(i =>
+      (i, s"w${i % 4} w${(i + 1) % 4} " + (if (i % 2 == 0) "spark" else "other")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25race").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx,
+      corpus.where(col("doc_id") < 7), col("doc_id"), col("text"), buckets = 4)
+    // manufacture the interleave aftermath: a raw commit takes a version
+    // whose carried props name an OLDER version (what a foreign writer
+    // landing inside a mutation's read→commit gap leaves behind)
+    val toks = split(trim(col("text")), " +")
+    val raw = corpus.where(col("doc_id") >= 7)
+      .select(col("doc_id"), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GeoTable.append(spark, idx + "/postings", raw)
+    val vRaw = GeoManifest.read(spark, idx + "/postings").version
+    assert(!GeoManifest.readVersion(spark, idx + "/postings", vRaw).props
+      .get("graft.bm25.postings_version").contains(vRaw.toString),
+      "test shape: the raw commit must NOT name itself")
+    // detection + repair: one recompute commit, then props are exact
+    TextAnalysis.reconcileIfInterleaved(spark, idx + "/postings", vRaw)
+    val m = GeoManifest.read(spark, idx + "/postings")
+    assert(m.props("graft.bm25.postings_version").toInt == m.version,
+      "repair must leave props naming their own commit")
+    val truth = corpus.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert(m.props("graft.bm25.n_docs").toLong == truth.getLong(0) &&
+      m.props("graft.bm25.sum_dl").toLong == truth.getLong(1),
+      "repair must commit the exact live-corpus stats")
+    // the claimed-commit check passes on the repaired state (idempotent)
+    TextAnalysis.reconcileIfInterleaved(spark, idx + "/postings", m.version)
+    assert(GeoManifest.read(spark, idx + "/postings").version == m.version,
+      "a clean state must not trigger another repair commit")
+  }
+
   test("BM25 index: a legacy stats-table index probes, heals, and migrates to props") {
     import graft.ops.TextAnalysis
     import graft.tables.{GeoManifest, GeoPartition, GeoTable}

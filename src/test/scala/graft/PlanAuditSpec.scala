@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_jaccard_exact",     // shingle-threshold scalar
     "pack_bins_invariants",    // two one-row invariant aggregates crossed
     "text_bm25_topk",          // N+avgdl one-row corpus stats
+    "hybrid_rrf_top10",        // its ad-hoc BM25 leg IS bm25TopK (same one-row stats)
     "dsir_weights_topk")       // raw/target total one-row aggregates
     // (the bm25 INDEX probes resolve stats driver-side as literals —
     // no one-row broadcast in their plans)
