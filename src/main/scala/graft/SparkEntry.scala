@@ -2622,6 +2622,93 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // STREAMED BM25 index ingest, exactly-once: build on the even half,
+    // stream the odd half in (maxFilesPerTrigger=1 forces >= 2
+    // micro-batches, require'd in-query), each batch committing postings
+    // + stats + its epoch watermark atomically. A manual re-delivery of
+    // the last batch id must be a no-op (watermark skip, version
+    // unchanged — require'd). Probe must equal ad-hoc BM25 over the
+    // union corpus: a dropped, doubled, or stats-skewed epoch changes
+    // the hash. Shares the ad-hoc oracle.
+    "text_bm25_stream_ingest" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+      val idx = base + "/i"
+      val srcDir = base + "/files"
+      val docs = s.table("documents")
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .withColumn("b", (col("doc_id") / 2).cast("long") % 2)
+        .repartition(2, col("b")).drop("b")
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = graft.ops.TextAnalysis.textIndexSink(stream, idx,
+        col("doc_id"), col("text"), base + "/ck").start()
+      q.processAllAvailable(); q.stop()
+      val m = graft.tables.GeoManifest.read(s, idx + "/postings")
+      val (sinkId, lastBatch) = m.streamCommits.toSeq.maxBy(_._2)
+      require(lastBatch >= 1, s"expected >= 2 micro-batches, saw last id $lastBatch")
+      // crash-replay idempotence: re-deliver the last batch id verbatim
+      val replayed = graft.ops.TextAnalysis.appendToTextIndexBatch(s, idx,
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        sinkId, lastBatch)
+      require(!replayed &&
+          graft.tables.GeoManifest.read(s, idx + "/postings").version == m.version,
+        "a replayed micro-batch must be skipped by the watermark")
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+          query = Seq("spark", "customer", "merge"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // STREAMED ANN index ingest, exactly-once: build IVF on the even
+    // half, stream the odd half (>= 2 micro-batches, replay no-op —
+    // require'd in-query as above). Probe over ALL clusters so the
+    // result is unconditionally exact — must hash-match brute force over
+    // the whole corpus (a dropped/doubled vector changes it).
+    "ann_ivf_stream_ingest" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfs").toString
+      val idx = base + "/i"
+      val srcDir = base + "/files"
+      val emb = s.table("embeddings")
+      val q0 = emb.where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.ops.Similarity.buildIvfIndex(s, idx,
+        emb.where(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"),
+        k = 8, iters = 2)
+      emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .withColumn("b", (col("vec_id") / 2).cast("long") % 2)
+        .repartition(2, col("b")).drop("b")
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = graft.ops.Similarity.ivfIndexSink(stream, idx,
+        col("embedding"), col("vec_id"), base + "/ck").start()
+      q.processAllAvailable(); q.stop()
+      val m = graft.tables.GeoManifest.read(s, idx + "/vectors")
+      val (sinkId, lastBatch) = m.streamCommits.toSeq.maxBy(_._2)
+      require(lastBatch >= 1, s"expected >= 2 micro-batches, saw last id $lastBatch")
+      val replayed = graft.ops.Similarity.appendToIvfIndexBatch(s, idx,
+        emb.where(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"),
+        sinkId, lastBatch)
+      require(!replayed &&
+          graft.tables.GeoManifest.read(s, idx + "/vectors").version == m.version,
+        "a replayed micro-batch must be skipped by the watermark")
+      graft.ops.Similarity.ivfSearch(s, idx, q0, k = 10, nprobe = 8)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Full index churn for BM25: build on half, append the rest, REMOVE
     // a slice by doc id (the post-build curation verb). The removal is
     // one equality-delete sidecar on the postings table plus a stats-row
@@ -6293,7 +6380,12 @@ object SparkEntry {
     ("text_bm25_indexed_topk" -> oracleBase("text_bm25_topk")) +
     // ...and so must a probe after incremental ingest (build half,
     // append half): the index machinery cannot change the ranking
-    ("text_bm25_append_topk" -> oracleBase("text_bm25_topk"))
+    ("text_bm25_append_topk" -> oracleBase("text_bm25_topk")) +
+    // STREAMED index ingest (exactly-once foreachBatch sinks) must land
+    // on the identical union corpus — same oracles as the batch paths;
+    // a dropped/doubled/stats-skewed epoch changes the hash
+    ("text_bm25_stream_ingest" -> oracleBase("text_bm25_topk")) +
+    ("ann_ivf_stream_ingest" -> oracleBase("ann_brute_top10"))
 
   /**
    * Bench-only build/probe split for the index-backed ANN queries. The

@@ -461,6 +461,42 @@ object Similarity {
     graft.tables.GeoTable.append(spark, s"$indexRoot/vectors",
       encodeForIndex(spark, indexRoot, df, vec, id))
 
+  /**
+   * Exactly-once MICRO-BATCH ingest into a persisted IVF/IVF-PQ index:
+   * the encoded rows and the `(sinkId, batchId)` watermark share one
+   * manifest commit on the vectors table, so a crash-replayed batch is
+   * skipped, never double-indexed. Returns true when the batch
+   * committed, false for a replayed or empty batch.
+   */
+  def appendToIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                            indexRoot: String, df: DataFrame,
+                            vec: Column, id: Column,
+                            sinkId: String, batchId: Long): Boolean = {
+    val root = s"$indexRoot/vectors"
+    if (graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId).exists(_ >= batchId))
+      return false
+    val rows = encodeForIndex(spark, indexRoot, df, vec, id)
+    if (rows.isEmpty) return false
+    graft.tables.GeoTable.append(spark, root, rows, Some(sinkId -> batchId)) > 0
+  }
+
+  /** Streaming ANN index ingest as a `foreachBatch` sink: each
+    * micro-batch assigns to the STORED centroids (no Lloyd's per batch),
+    * re-encodes with the stored codebooks, and lands with its epoch
+    * watermark in one atomic commit ([[appendToIvfIndexBatch]]) — the
+    * exactly-once contract of the geo table sinks. */
+  def ivfIndexSink(stream: DataFrame, indexRoot: String, vec: Column, id: Column,
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendToIvfIndexBatch(batch.sparkSession, indexRoot, batch, vec, id,
+          graft.streaming.EventStreams.sinkIdFor(batch.sparkSession, checkpointDir),
+          batchId): Unit
+      }
+
   /** The stored-index row encoding shared by append and upsert: assign to
     * the STORED centroids, re-encode with the STORED codebooks when
     * present — so the two ingest verbs can never diverge. */

@@ -224,6 +224,52 @@ object TextAnalysis {
     } finally posts.unpersist()
   }
 
+  /**
+   * Exactly-once MICRO-BATCH ingest into a text index (the streaming-
+   * corpus shape): the new postings, the advanced stats, AND the
+   * `(sinkId, batchId)` watermark all ride ONE manifest commit, so a
+   * crash-replayed micro-batch is detected by the watermark and skipped
+   * — never double-indexed, and stats never double-count. Returns true
+   * when the batch committed, false for a replayed or empty batch.
+   */
+  def appendToTextIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                             indexRoot: String, df: DataFrame,
+                             id: Column, text: Column,
+                             sinkId: String, batchId: Long): Boolean = {
+    val root = s"$indexRoot/postings"
+    if (graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId).exists(_ >= batchId))
+      return false
+    val posts = postingsOf(df, id, text).persist()
+    try {
+      val (dn, ds) = docStats(posts)
+      if (dn == 0L) return false
+      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
+      val v = graft.tables.GeoManifest.read(spark, root).version
+      graft.tables.GeoTable.append(spark, root, posts, Some(sinkId -> batchId),
+        statsProps(n0 + dn, s0 + ds, v + 1))
+      reconcileIfInterleaved(spark, root, v + 1)
+      true
+    } finally posts.unpersist()
+  }
+
+  /** Streaming BM25 index ingest as a `foreachBatch` sink: each
+    * micro-batch lands through [[appendToTextIndexBatch]] — postings,
+    * stats, and the epoch watermark in one atomic commit per batch
+    * (the exactly-once contract of the geo table sinks; see
+    * `EventStreams.geoTableSink` for the sink-identity rules). Probes
+    * stay read-only and see each batch whole or not at all. */
+  def textIndexSink(stream: DataFrame, indexRoot: String, id: Column, text: Column,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendToTextIndexBatch(batch.sparkSession, indexRoot, batch, id, text,
+          graft.streaming.EventStreams.sinkIdFor(batch.sparkSession, checkpointDir),
+          batchId): Unit
+      }
+
   /** Detect-and-repair for the one hole the serial-writer contract
     * leaves: a FOREIGN commit (raw table append, maintenance, a second
     * mutator) landing between a mutation's stats read and its commit
