@@ -2639,10 +2639,14 @@ object SparkEntry {
       val docs = s.table("documents")
       graft.ops.TextAnalysis.buildTextIndex(s, idx,
         docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
-      docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
-        .withColumn("b", (col("doc_id") / 2).cast("long") % 2)
-        .repartition(2, col("b")).drop("b")
-        .write.parquet(srcDir)
+      // two sequential one-file writes: >= 2 source files (hence >= 2
+      // micro-batches under maxFilesPerTrigger=1) in ANY session config —
+      // a hash repartition can land both keys in one partition
+      val odd = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      odd.where((col("doc_id") / 2).cast("long") % 2 === 0)
+        .coalesce(1).write.parquet(srcDir)
+      odd.where((col("doc_id") / 2).cast("long") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
@@ -2684,10 +2688,11 @@ object SparkEntry {
       graft.ops.Similarity.buildIvfIndex(s, idx,
         emb.where(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"),
         k = 8, iters = 2)
-      emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding")
-        .withColumn("b", (col("vec_id") / 2).cast("long") % 2)
-        .repartition(2, col("b")).drop("b")
-        .write.parquet(srcDir)
+      val odd = emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+      odd.where((col("vec_id") / 2).cast("long") % 2 === 0)
+        .coalesce(1).write.parquet(srcDir)
+      odd.where((col("vec_id") / 2).cast("long") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
@@ -6458,6 +6463,65 @@ object SparkEntry {
         Seq("spark", "customer", "merge"), k = 10).count()
       val t3 = System.nanoTime()
       Seq("build" -> (t1 - t0) / 1e9, "probe_cold" -> (t2 - t1) / 1e9,
+        "probe" -> (t3 - t2) / 1e9)
+    }),
+    // the headline conflates TWO index builds with the fusion itself —
+    // this split isolates the fused-probe latency a retrieval user pays
+    "hybrid_rrf_indexed_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val tIdx = java.nio.file.Files.createTempDirectory("graft_hyb_ts").toString + "/i"
+      val vIdx = java.nio.file.Files.createTempDirectory("graft_hyb_vs").toString + "/i"
+      val t0 = System.nanoTime()
+      graft.ops.TextAnalysis.buildTextIndex(s, tIdx,
+        s.table("documents"), col("doc_id"), col("text"))
+      val t1 = System.nanoTime()
+      graft.ops.Similarity.buildIvfIndex(s, vIdx,
+        s.table("embeddings"), col("embedding"), col("vec_id"), k = 8, iters = 2)
+      val t2 = System.nanoTime()
+      graft.ops.Retrieval.hybridSearch(s, tIdx, vIdx,
+        Seq("spark", "customer", "merge"), q, k = 10, nprobe = 8).count()
+      val t3 = System.nanoTime()
+      graft.ops.Retrieval.hybridSearch(s, tIdx, vIdx,
+        Seq("spark", "customer", "merge"), q, k = 10, nprobe = 8).count()
+      val t4 = System.nanoTime()
+      Seq("build_text" -> (t1 - t0) / 1e9, "build_ivf" -> (t2 - t1) / 1e9,
+        "probe_cold" -> (t3 - t2) / 1e9, "probe" -> (t4 - t3) / 1e9)
+    }),
+    // streamed BM25 ingest: separate the in-query source setup + build
+    // from the micro-batch machinery and the probe, so a state/commit
+    // regression can't hide in setup noise (same rationale as the
+    // stream_interval_join splits)
+    "text_bm25_stream_ingest" -> ((s, d) => {
+      prep(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25s_sp").toString
+      val idx = base + "/i"
+      val srcDir = base + "/files"
+      val docs = s.table("documents")
+      val t0 = System.nanoTime()
+      graft.ops.TextAnalysis.buildTextIndex(s, idx,
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+      // two sequential one-file writes: >= 2 source files (hence >= 2
+      // micro-batches under maxFilesPerTrigger=1) in ANY session config —
+      // a hash repartition can land both keys in one partition
+      val odd = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      odd.where((col("doc_id") / 2).cast("long") % 2 === 0)
+        .coalesce(1).write.parquet(srcDir)
+      odd.where((col("doc_id") / 2).cast("long") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val t1 = System.nanoTime()
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = graft.ops.TextAnalysis.textIndexSink(stream, idx,
+        col("doc_id"), col("text"), base + "/ck").start()
+      q.processAllAvailable(); q.stop()
+      val t2 = System.nanoTime()
+      graft.ops.TextAnalysis.bm25Search(s, idx,
+        Seq("spark", "customer", "merge"), k = 10).count()
+      val t3 = System.nanoTime()
+      Seq("setup" -> (t1 - t0) / 1e9, "stream" -> (t2 - t1) / 1e9,
         "probe" -> (t3 - t2) / 1e9)
     }),
     "ann_ivfpq_top10" -> ((s, d) => {
