@@ -351,7 +351,9 @@ object TextAnalysis {
     * the one semi-join scan that prices the replaced docs' old dl.
     * A batch doc with ZERO tokens contributes no postings and therefore
     * no delete key — replacing a doc with empty text is a removal, spell
-    * it [[removeFromTextIndex]]. */
+    * it [[removeFromTextIndex]]. The batch must carry AT MOST ONE text
+    * per doc_id (the keyed-upsert contract without a sequence column —
+    * duplicates would all land); net a CDC burst per key first. */
   def upsertTextIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                       df: DataFrame, id: Column, text: Column): Unit = {
     val root = s"$indexRoot/postings"

@@ -195,16 +195,24 @@ object TrainingData {
   def capPerSource(docs: DataFrame, id: Column, source: Column,
                    cap: Long): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val keyed = docs.withColumn("__src", source)
+    // null-safe group key: a NULL source is its own group (C4's "unknown
+    // domain"), but a bare null join key matches nothing — an over-cap
+    // null group would silently bypass the cap through the anti-join
+    // pass path. Split the key into (is-null flag, coalesced value).
+    val keyed = docs
+      .withColumn("__src", coalesce(source.cast("string"), lit("")))
+      .withColumn("__srcn", source.isNull)
       .withColumn("__h", hashUniform(id)).withColumn("__cid", id)
-    val over = keyed.groupBy("__src").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > cap).select("__src")
-    val pass = keyed.join(broadcast(over), Seq("__src"), "left_anti")
-    val capped = keyed.join(broadcast(over), Seq("__src"), "left_semi")
+    val k = Seq("__src", "__srcn")
+    val over = keyed.groupBy(k.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > cap).select(k.map(col): _*)
+    val pass = keyed.join(broadcast(over), k, "left_anti")
+    val capped = keyed.join(broadcast(over), k, "left_semi")
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__src")).orderBy(col("__h"), col("__cid"))))
+        Window.partitionBy(col("__src"), col("__srcn"))
+          .orderBy(col("__h"), col("__cid"))))
       .where(col("__rn") <= cap).drop("__rn")
-    pass.unionByName(capped).drop("__src", "__h", "__cid")
+    pass.unionByName(capped).drop("__src", "__srcn", "__h", "__cid")
   }
 
   // -------------------------------------------------- decontamination / LM

@@ -215,5 +215,16 @@ class TrainingDataSpec extends SparkSpec {
     // schema passthrough: original columns survive, helpers dropped
     val cols = TrainingData.capPerSource(corpus, col("doc_id"), col("source"), 10).columns.toSeq
     assert(cols == Seq("doc_id", "source", "text"))
+    // a NULL source is its own group and respects the cap (a bare null
+    // join key would bypass it through the anti-join pass path)
+    val withNulls = (0L until 40L).map { i =>
+      (i, if (i < 25) null else if (i < 30) "" else "small", s"text $i")
+    }.toDF("doc_id", "source", "text")
+    val outN = TrainingData.capPerSource(withNulls, col("doc_id"), col("source"), 10)
+      .select("doc_id", "source").collect()
+    assert(outN.count(_.isNullAt(1)) == 10, "over-cap NULL group must cut to the cap")
+    assert(outN.count(r => !r.isNullAt(1) && r.getString(1) == "") == 5,
+      "empty-string source is NOT the null group and passes whole under cap")
+    assert(outN.count(r => !r.isNullAt(1) && r.getString(1) == "small") == 10)
   }
 }
