@@ -1392,6 +1392,49 @@ object SparkEntry {
       s.sql("SELECT key, value FROM geopr.db.pr.properties ORDER BY key")
     }),
 
+    // SHOW CREATE TABLE end-to-end: create a path table with the full
+    // clause surface (partitions, user props, a Delta-style constraint
+    // prop, geometry typing), take its emitted DDL, replay it VERBATIM
+    // under a new name+location, load the same rows into both, and emit
+    // the REPLAYED table's metadata + row stats. Identical literals prove
+    // the emitted statement is a complete, working migration recipe —
+    // a dropped clause (partitioning, constraint, prop, CRS) changes a
+    // row; the in-query require pins content equality too.
+    "geo_show_create" -> ((s, d) => {
+      prep(s, d)
+      val sp = s
+      import sp.implicits._
+      val base = java.nio.file.Files.createTempDirectory("geo_sct").toString
+      graft.tables.GeoSql.exec(s,
+        s"""CREATE TABLE sct_q (id BIGINT NOT NULL, nat BIGINT, g GEOMETRY('EPSG:3857'))
+           | USING geo PARTITIONED BY (bucket(4,id))
+           | TBLPROPERTIES ('team'='data-eng', 'graft.constraints.id_pos'='id >= 0')
+           | LOCATION '$base/t1'""".stripMargin)
+      def fill(t: String): Unit = graft.tables.GeoSql.exec(s,
+        s"INSERT INTO $t SELECT c_custkey, c_nationkey, " +
+          "st_point(CAST(c_custkey % 100 AS DOUBLE), CAST(c_nationkey AS DOUBLE)) FROM customer")
+      fill("sct_q")
+      val stmt = graft.tables.GeoSql.exec(s, "SHOW CREATE TABLE sct_q")
+        .head.getString(0)
+      graft.tables.GeoSql.exec(s,
+        stmt.replace("sct_q", "sct_q2").replace(s"$base/t1", s"$base/t2"))
+      fill("sct_q2")
+      val m2 = graft.tables.GeoManifest.read(s, s"$base/t2")
+      require(s.table("sct_q2").count() == s.table("sct_q").count(),
+        "replayed table must accept the same rows")
+      val meta =
+        m2.checks.map { case (n, sql) => ("check", s"$n: $sql") } ++
+        m2.props.toSeq.map { case (k, v) => ("prop", s"$k=$v") } ++
+        m2.partitions.filter(_.layout).map(p => ("partition", p.encode)) ++
+        Seq(("geom", m2.geomCol.getOrElse("--")))
+      val metaDf = meta.toDF("kind", "value")
+      val stats = s.table("sct_q2")
+        .agg(count(lit(1)).cast("long").as("n"), sum("id").cast("long").as("sum_id"))
+        .select(lit("rows").as("kind"),
+          concat(col("n").cast("string"), lit(":"), col("sum_id").cast("string")).as("value"))
+      metaDf.unionByName(stats).orderBy("kind", "value")
+    }),
+
     // CHECK constraints end-to-end: ADD validates+stores, enforcement
     // admits the valid inserts (counts require'd in-query — a violating
     // insert is an error, spec-covered), DROP removes one; the
@@ -4798,6 +4841,21 @@ object SparkEntry {
         UNION ALL SELECT 2, CAST(2 AS BIGINT), d4.n + d7.n, c.total - d4.n - d7.n FROM c, d4, d7
         UNION ALL SELECT 3, CAST(1 AS BIGINT), d7.n, c.total - d4.n - d7.n FROM c, d4, d7
       ) t ORDER BY phase""",
+
+    // the replayed table's surface as literals: one constraint, one user
+    // prop, the bucket layout + the auto stats transforms the replay
+    // re-derives (id NOT NULL and nat are stats-eligible; geometry is
+    // not), the CRS-typed geometry column, and the loaded row stats
+    "geo_show_create" -> """
+      SELECT * FROM (
+        VALUES ('check', 'id_pos: id >= 0'),
+               ('prop', 'team=data-eng'),
+               ('partition', 'bucket(4,id)'),
+               ('geom', 'g')
+        UNION ALL
+        SELECT 'rows', CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(c_custkey) AS VARCHAR)
+        FROM customer
+      ) t(kind, value) ORDER BY kind, value""",
 
     // the surviving user properties as literals (ttl.days was unset,
     // tier was re-set to gold)

@@ -43,7 +43,47 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object GeoSql {
 
   private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*USING\s+GEO\b(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*USING\s+GEO\b(.*?)\s*;?\s*""".r
+  // CREATE tail clauses, any order: PARTITIONED BY (one paren level for
+  // bucket(n,c)-style transforms), TBLPROPERTIES (quoted values may hold
+  // parens), LOCATION. Anything else in the tail un-claims the statement
+  // (strict bail — Spark's parser owns what we can't cleanly parse).
+  private val createPartByRe =
+    """(?is)^\s*PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val createTblPropsRe =
+    """(?is)^\s*TBLPROPERTIES\s*\(((?:[^()']|'[^']*')*)\)""".r
+  private val createLocRe =
+    """(?is)^\s*LOCATION\s+'([^']+)'""".r
+
+  /** (partition transform ddls, tblproperties pairs, location, leftover). */
+  private[tables] def parseCreateTail(tail: String)
+      : (Seq[String], Seq[(String, String)], Option[String], String) = {
+    var rest = tail
+    var parts = Seq.empty[String]
+    var props = Seq.empty[(String, String)]
+    var loc: Option[String] = None
+    var progressed = true
+    val token = """(?:'([^']*)'|"([^"]*)"|([\w.-]+))"""
+    val pairRe = (token + """\s*=\s*""" + token).r
+    while (progressed && rest.trim.nonEmpty) {
+      progressed = false
+      createPartByRe.findPrefixMatchOf(rest).foreach { m =>
+        parts ++= splitTopLevelCommas(m.group(1)); rest = rest.substring(m.end); progressed = true
+      }
+      if (!progressed) createTblPropsRe.findPrefixMatchOf(rest).foreach { m =>
+        props ++= pairRe.findAllMatchIn(m.group(1)).map { p =>
+          val k = Seq(p.group(1), p.group(2), p.group(3)).find(_ != null).get
+          val v = Seq(p.group(4), p.group(5), p.group(6)).find(_ != null).get
+          k -> v
+        }
+        rest = rest.substring(m.end); progressed = true
+      }
+      if (!progressed) createLocRe.findPrefixMatchOf(rest).foreach { m =>
+        loc = Some(m.group(1)); rest = rest.substring(m.end); progressed = true
+      }
+    }
+    (parts, props, loc, rest.trim)
+  }
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?(VALUES\b.+|SELECT\b.+|FROM\b.+|WITH\b.+|TABLE\b.+)\s*;?\s*""".r
   private val updateRe =
@@ -171,6 +211,8 @@ object GeoSql {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val showTblPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*""".r
+  private val showCreateTableRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*""".r
   private val alterViewSetRe =
     """(?is)\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val alterViewUnsetRe =
@@ -240,7 +282,7 @@ object GeoSql {
   private def maybeCommandUnsafe(sqlText: String): Option[LogicalPlan] = sqlText match {
     case ctasRe(name, location, query) =>
       Some(GeoCtasCommand(name, Option(location), query))
-    case createRe(name, colsDdl, location) =>
+    case createRe(name, colsDdl, tail) =>
       // the CREATE front-end exists to paper over Spark's parser not
       // spelling GEOMETRY; when the statement targets a configured
       // GeoCatalog AND the session's parser can take it natively
@@ -258,7 +300,17 @@ object GeoSql {
            // SUPPORT_COLUMN_DEFAULT_VALUE capability takes it natively
            (splitDefault(colsDdl).isDefined &&
             !"(?i)\\bGEOMETRY\\b".r.unanchored.matches(colsDdl)))) None
-      else Some(GeoCreateTableCommand(name, colsDdl, Option(location)))
+      else {
+        val (parts, props, location, leftover) = parseCreateTail(tail)
+        if (leftover.nonEmpty) None // unknown tail clause: Spark owns it
+        // catalog names keep Spark's NATIVE CREATE for PARTITIONED BY /
+        // TBLPROPERTIES (full analyzer checks, transform hints,
+        // createTable's config routing) — the front-end's extended tail
+        // exists for PATH tables, which have no native CREATE at all
+        else if (GeoCatalog.resolveWarehouseRoot(name).isDefined &&
+                 (parts.nonEmpty || props.nonEmpty)) None
+        else Some(GeoCreateTableCommand(name, colsDdl, location, parts, props))
+      }
     // UPDATE/DELETE/MERGE: only PATH-REGISTERED tables use this front-end;
     // catalog tables (geo.db.t) run Spark's native row-level path
     // (SupportsRowLevelOperations on GeoV2Table) with full analyzer checks
@@ -345,6 +397,8 @@ object GeoSql {
           .toSeq, unset = true))
     case showTblPropsRe(name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoShowTblPropsCommand(name))
+    case showCreateTableRe(name) if GeoTable.registeredRoot(name).isDefined =>
+      Some(GeoShowCreateTableCommand(name))
     case createViewRe(orReplace, ifNotExists, name, query) if geoViewCatalog(name) =>
       Some(GeoCreateViewCommand(name, query.trim,
         orReplace != null, ifNotExists != null))
@@ -711,24 +765,62 @@ sealed trait GeoRunnable extends LeafRunnableCommand {
 /** CREATE TABLE ... USING GEO: GEOMETRY columns become tagged BINARY
   * (GeoSchema.fromDdl); default location under the warehouse dir. */
 case class GeoCreateTableCommand(name: String, colsDdl: String,
-                                 location: Option[String]) extends GeoRunnable {
+                                 location: Option[String],
+                                 partitionsDdl: Seq[String] = Seq.empty,
+                                 tblProps: Seq[(String, String)] = Seq.empty)
+    extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
     GeoSql.requireNoView(spark, name)
-    val schema = GeoSchema.fromDdl(colsDdl)
-    val geomCol = GeoSchema.geometryColumns(schema).headOption.map(_._1)
+    val props = tblProps.toMap
+    val schema0 = GeoSchema.fromDdl(colsDdl)
+    // TBLPROPERTIES('geometry.column'='g') tags an untyped BINARY column
+    // (catalog-createTable parity); a GEOMETRY-typed column wins
+    val propGeom = props.get(GeoCatalog.GeomColProp).filter(_.nonEmpty)
+    val schema = propGeom.filterNot(g =>
+        GeoSchema.geometryColumns(schema0).exists(_._1 == g))
+      .foldLeft(schema0) { (sch, g) =>
+        org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+          if (f.name == g) f.copy(metadata = GeoSchema.geometryMetadata(base = f.metadata))
+          else f))
+      }
+    val geomCol = propGeom.orElse(GeoSchema.geometryColumns(schema).headOption.map(_._1))
     val catalogRoot = GeoCatalog.resolveWarehouseRoot(name)
     val root = location.orElse(catalogRoot).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       s"$wh/geo/${name.replace('.', '_')}"
     }
     if (GeoManifest.currentVersion(spark, root).isEmpty) {
-      // automatic stats-only transforms, same default as the catalog's
-      // createTable (spark.graft.stats.auto, on by default)
-      val statsT =
-        if (spark.conf.get("spark.graft.stats.auto", "true").toBoolean)
-          GeoPartition.statsFor(schema, Seq.empty)
-        else Seq.empty
-      GeoTable.createEmpty(spark, root, schema, geomCol, statsT)
+      val layout = partitionsDdl.map(GeoPartition.decode)
+      // stats.columns pins the stats set ('' disables); absent = the same
+      // automatic default as the catalog's createTable
+      val statsT = props.get("stats.columns") match {
+        case Some(csv) => csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          .map(c => GeoPartition.PTransform("stats", 0, c))
+        case None =>
+          if (spark.conf.get("spark.graft.stats.auto", "true").toBoolean)
+            GeoPartition.statsFor(schema, layout)
+          else Seq.empty
+      }
+      val sortT = props.get("sort.order").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .map(c => GeoPartition.PTransform("sort", 0, c))
+      // user props = everything that is not a routed config key
+      val configKeys = Set(GeoCatalog.GeomColProp, "stats.columns", "sort.order",
+        "bloom.columns", "bloom.fpp", "bloom.items")
+      val checkProps = props.keys.filter(_.startsWith("graft.constraints.")).toSeq
+      val userProps = props -- configKeys -- checkProps
+      GeoTable.createEmpty(spark, root, schema, geomCol,
+        layout ++ statsT ++ sortT, props = userProps)
+      if (props.get("bloom.columns").exists(_.nonEmpty))
+        GeoTable.setBloomColumns(spark, root, props("bloom.columns"),
+          props.get("bloom.fpp"), props.get("bloom.items"))
+      // CHECK constraints Delta-style ('graft.constraints.<name>'='expr'
+      // — the spelling SHOW CREATE TABLE emits); the table is empty, so
+      // ADD-time validation is trivially green
+      checkProps.sorted.foreach { k =>
+        GeoTable.addCheckConstraint(spark, root,
+          k.stripPrefix("graft.constraints."), props(k))
+      }
     }
     // catalog-qualified names resolve through GeoCatalog (stateless over
     // the warehouse dir); only plain names get the registry + temp view
@@ -1360,6 +1452,59 @@ case class GeoShowTblPropsCommand(name: String) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] =
     GeoTable.properties(spark, GeoSql.rootOf(name)).toSeq.sortBy(_._1)
       .map { case (k, v) => Row(k, v) }
+}
+
+/** SHOW CREATE TABLE <path-registered> — reconstruct a runnable CREATE
+  * statement from the manifest: columns (GEOMETRY columns spelled with
+  * their CRS, NOT NULL and DEFAULT clauses preserved), USING geo,
+  * PARTITIONED BY the layout transforms, TBLPROPERTIES carrying user
+  * props plus the config surface (stats.columns / sort.order / bloom.*)
+  * and CHECK constraints Delta-style as `graft.constraints.<name>`, and
+  * the LOCATION. The emitted text round-trips through this front-end's
+  * own CREATE TABLE (spec-pinned), so it is a working migration recipe,
+  * not just documentation. Catalog names fall through to Spark's native
+  * V2 SHOW CREATE TABLE. */
+case class GeoShowCreateTableCommand(name: String) extends GeoRunnable {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def execute(spark: SparkSession): Seq[Row] = {
+    val root = GeoSql.rootOf(name)
+    val m = GeoManifest.read(spark, root)
+    val cols = m.schema.fields.map { f =>
+      val tpe =
+        if (GeoSchema.isGeometry(f)) s"GEOMETRY('${GeoSchema.crsOf(f)}')"
+        else f.dataType.sql
+      val notNull = if (f.nullable) "" else " NOT NULL"
+      val dflt =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          s" DEFAULT ${f.metadata.getString("CURRENT_DEFAULT")}"
+        else ""
+      s"  ${f.name} $tpe$notNull$dflt"
+    }.mkString(",\n")
+    val layout = m.partitions.filter(_.layout)
+    val partBy =
+      if (layout.isEmpty) ""
+      else layout.map(_.encode).mkString("\nPARTITIONED BY (", ", ", ")")
+    // config surface rendered the way it is SET: stats/sort/bloom as
+    // their TBLPROPERTIES spellings, constraints Delta-style
+    val statsCols = m.partitions.filter(_.kind == "stats").map(_.col)
+    val sortCols = m.partitions.filter(_.kind == "sort").map(_.col)
+    val props =
+      m.props.toSeq ++
+      (if (statsCols.isEmpty) Seq.empty else Seq("stats.columns" -> statsCols.mkString(","))) ++
+      (if (sortCols.isEmpty) Seq.empty else Seq("sort.order" -> sortCols.mkString(","))) ++
+      (if (m.bloomCols.isEmpty) Seq.empty
+       else Seq("bloom.columns" -> m.bloomCols.map(_.col).mkString(","))) ++
+      m.geomCol.map(g => GeoCatalog.GeomColProp -> g).toSeq ++
+      m.checks.map { case (n, sql) => s"graft.constraints.$n" -> sql }
+    val tblProps =
+      if (props.isEmpty) ""
+      else props.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE TABLE $name (\n$cols\n) USING geo$partBy$tblProps\nLOCATION '$root'"))
+  }
 }
 
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */

@@ -823,12 +823,14 @@ object GeoTable {
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
                   geomCol: Option[String],
                   partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-                  bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty): Unit = {
+                  bloomCols: Seq[GeoBloom.BloomSpec] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
     GeoSchema.validate(schema)
+    validateProps(props.keys, props.values)
     GeoManifest.write(spark, root,
       Manifest(0, schema, geomCol, Seq.empty, partitions = partitions,
-        bloomCols = bloomCols), op = "create")
+        bloomCols = bloomCols, props = props), op = "create")
   }
 
   /** Enable (or retune) per-file bloom filters on `colsProp` columns

@@ -745,6 +745,39 @@ class GeoTableSpec extends SparkSpec {
       "ALTER TABLE props_t SET TBLPROPERTIES ('sort.order'='id')"))
   }
 
+  test("SHOW CREATE TABLE: emitted DDL is complete and round-trips through CREATE") {
+    val root = tmpRoot("showcreate")
+    GeoSql.exec(spark,
+      s"""CREATE TABLE sct_t (
+         |  id BIGINT NOT NULL, ts TIMESTAMP, name STRING, g GEOMETRY('EPSG:3857')
+         |) USING geo
+         |PARTITIONED BY (bucket(4,id))
+         |TBLPROPERTIES ('team'='data-eng', 'graft.constraints.id_pos'='id >= 0')
+         |LOCATION '$root'""".stripMargin)
+    val m1 = GeoManifest.read(spark, root)
+    assert(m1.props == Map("team" -> "data-eng"), s"user props: ${m1.props}")
+    assert(m1.checks == Seq("id_pos" -> "id >= 0"))
+    assert(m1.partitions.exists(p => p.kind == "bucket" && p.col == "id"))
+    assert(m1.geomCol.contains("g"))
+    // constraints enforce from the first insert
+    GeoSql.exec(spark,
+      "INSERT INTO sct_t SELECT 1L, TIMESTAMP'2024-01-01', 'a', st_point(1.0D, 2.0D)")
+    intercept[Exception](GeoSql.exec(spark,
+      "INSERT INTO sct_t SELECT -1L, TIMESTAMP'2024-01-01', 'b', st_point(1.0D, 2.0D)"))
+    val stmt = GeoSql.exec(spark, "SHOW CREATE TABLE sct_t").head.getString(0)
+    assert(stmt.contains("GEOMETRY('EPSG:3857')") && stmt.contains("NOT NULL") &&
+      stmt.contains("bucket(4,id)") && stmt.contains("'team' = 'data-eng'") &&
+      stmt.contains("'graft.constraints.id_pos' = 'id >= 0'") &&
+      stmt.contains(s"LOCATION '$root'"), s"incomplete DDL:\n$stmt")
+    // round-trip: replay the emitted text verbatim under a new name+location
+    GeoSql.exec(spark, stmt.replace("sct_t", "sct_t2").replace(root, root + "2"))
+    val m2 = GeoManifest.read(spark, root + "2")
+    assert(m2.schema == m1.schema, s"schema drifted:\n${m2.schema}\nvs\n${m1.schema}")
+    assert(m2.partitions == m1.partitions,
+      s"partitions drifted: ${m2.partitions} vs ${m1.partitions}")
+    assert(m2.props == m1.props && m2.checks == m1.checks && m2.geomCol == m1.geomCol)
+  }
+
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
     val root = tmpRoot("droptest")
     pointTable(root)
