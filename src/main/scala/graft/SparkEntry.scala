@@ -2810,9 +2810,12 @@ object SparkEntry {
     // Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     // Büttcher, SIGIR 2009): BM25 lexical leg × brute-cosine dense leg
     // over the shared doc_id/vec_id space, each cut to its top-50,
-    // fused as Σ 1/(60+rank). The fused score is a sum of at most TWO
-    // IEEE doubles (order-free), so the oracle replays rrf_score
-    // bit-exactly, not just the order.
+    // fused as Σ 1/(60+rank). Rank-only output, same FP-robustness
+    // argument as text_bm25_topk: the fused score is an exact function
+    // of the legs' INTEGER ranks, but the BM25 leg's top-50 rank order
+    // rests on double scores whose last ulp may differ across engines —
+    // emitting ranks keeps the oracle pinned to the fused ORDER without
+    // betting on leg-score ulps at every SF.
     "hybrid_rrf_top10" -> ((s, d) => {
       prep(s, d)
       import org.apache.spark.sql.expressions.Window
@@ -2825,7 +2828,7 @@ object SparkEntry {
           k = 10)
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("rrf_score"), asc("id"))))
-        .select(col("id").as("doc_id"), col("rrf_score"), col("rank"))
+        .select(col("id").as("doc_id"), col("rank"))
         .orderBy("rank")
     }),
 
@@ -2834,7 +2837,7 @@ object SparkEntry {
     // cluster here so index-vs-oracle equality is unconditional at any
     // SF (selective nprobe is the production knob; its recall contract
     // is ann_ivf_top10's). Shares the ad-hoc oracle — the stored-index
-    // machinery must not move a single fused score.
+    // machinery must not move a single fused rank.
     "hybrid_rrf_indexed_top10" -> ((s, d) => {
       prep(s, d)
       import org.apache.spark.sql.expressions.Window
@@ -2850,7 +2853,37 @@ object SparkEntry {
           Seq("spark", "customer", "merge"), q, k = 10, nprobe = 8)
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("rrf_score"), asc("id"))))
-        .select(col("id").as("doc_id"), col("rrf_score"), col("rank"))
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // The fusion again with the dense leg on a persisted IVF-PQ index:
+    // hybridSearch auto-detects the stored codebooks and routes through
+    // ivfPqSearch, whose ADC sweep scans (vec_id, pq_code) ONLY — the
+    // float column loads for the ≤candidates rerank pool alone (the
+    // 100 TB probe shape; OpsSpec asserts the codes-only read schema).
+    // nprobe covers every cluster and candidates=512 covers the whole
+    // 500-row corpus, so the PQ leg is unconditionally exact and the
+    // query shares the ad-hoc oracle — the quantized machinery must not
+    // move a single fused rank.
+    "hybrid_rrf_pq_top10" -> ((s, d) => {
+      prep(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val tIdx = java.nio.file.Files.createTempDirectory("graft_hybp_t").toString + "/i"
+      val vIdx = java.nio.file.Files.createTempDirectory("graft_hybp_v").toString + "/i"
+      graft.ops.TextAnalysis.buildTextIndex(s, tIdx,
+        s.table("documents"), col("doc_id"), col("text"))
+      graft.ops.Similarity.buildIvfPqIndex(s, vIdx,
+        s.table("embeddings"), col("embedding"), col("vec_id"),
+        k = 8, iters = 2, m = 16, pqK = 16)
+      graft.ops.Retrieval.hybridSearch(s, tIdx, vIdx,
+          Seq("spark", "customer", "merge"), q, k = 10, nprobe = 8,
+          candidates = 512)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("rrf_score"), asc("id"))))
+        .select(col("id").as("doc_id"), col("rank"))
         .orderBy("rank")
     }),
 
@@ -5471,8 +5504,9 @@ object SparkEntry {
     // (see the query comment for the FP-robustness argument)
     // RRF fusion replayed exactly: BM25 top-50 ranks (the verified CTE
     // stack) full-outer-joined with cosine top-50 ranks, fused as
-    // 1/(60+rank) sums — at most two IEEE doubles per doc, so rrf_score
-    // compares bit-for-bit, and ranks pin the fused order
+    // 1/(60+rank) sums; rank-only output (the fused score is exact in
+    // the legs' integer ranks, but the BM25 leg's rank order rests on
+    // double scores — see the query comment)
     "hybrid_rrf_top10" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
                     FROM documents),
@@ -5500,13 +5534,13 @@ object SparkEntry {
            fused AS (SELECT COALESCE(l.id, v.id) AS doc_id,
                             COALESCE(1.0/(60 + l.rn), 0) + COALESCE(1.0/(60 + v.rn), 0) AS rrf_score
                      FROM lex l FULL OUTER JOIN dense v ON l.id = v.id)
-      SELECT doc_id, rrf_score, CAST(rn AS INT) AS rank FROM (
-        SELECT doc_id, rrf_score,
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
         FROM fused) t
       WHERE rn <= 10 ORDER BY rn""",
 
-    // the stored-index spelling must not move a single fused score
+    // the stored-index spelling must not move a single fused rank
     "hybrid_rrf_indexed_top10" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
                     FROM documents),
@@ -5534,8 +5568,43 @@ object SparkEntry {
            fused AS (SELECT COALESCE(l.id, v.id) AS doc_id,
                             COALESCE(1.0/(60 + l.rn), 0) + COALESCE(1.0/(60 + v.rn), 0) AS rrf_score
                      FROM lex l FULL OUTER JOIN dense v ON l.id = v.id)
-      SELECT doc_id, rrf_score, CAST(rn AS INT) AS rank FROM (
-        SELECT doc_id, rrf_score,
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // the PQ-quantized dense leg (ADC sweep + exact rerank, candidates
+    // covering the corpus) must reproduce the exact fused ranks too
+    "hybrid_rrf_pq_top10" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+                    FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+           stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                  WHERE term IN ('spark','customer','merge') GROUP BY doc_id, term),
+           dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           scored AS (
+             SELECT t.doc_id,
+                    sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2 /
+                        (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+             FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+                  CROSS JOIN stats s
+             GROUP BY t.doc_id),
+           lex AS (SELECT doc_id AS id, rn FROM (
+                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                     FROM scored) t WHERE rn <= 50),
+           dense AS (SELECT vec_id AS id, rn FROM (
+                     SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+                       vec_id) AS rn
+                     FROM embeddings) t WHERE rn <= 50),
+           fused AS (SELECT COALESCE(l.id, v.id) AS doc_id,
+                            COALESCE(1.0/(60 + l.rn), 0) + COALESCE(1.0/(60 + v.rn), 0) AS rrf_score
+                     FROM lex l FULL OUTER JOIN dense v ON l.id = v.id)
+      SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+        SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
         FROM fused) t
       WHERE rn <= 10 ORDER BY rn""",

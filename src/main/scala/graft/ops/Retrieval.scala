@@ -72,21 +72,30 @@ object Retrieval {
   /**
    * Index-backed hybrid top-k: probe a persisted BM25 index
    * ([[TextAnalysis.buildTextIndex]] — bucket-pruned term scan) and a
-   * persisted IVF index ([[Similarity.buildIvfIndex]] — cluster-pruned
-   * exact-cosine scan), fuse with RRF. Per-leg work is a pruned read of
-   * stored index tables; nothing re-tokenizes or re-clusters. `nprobe`
-   * trades dense-leg recall for probe cost exactly as in
+   * persisted IVF or IVF-PQ index, fuse with RRF. Per-leg work is a
+   * pruned read of stored index tables; nothing re-tokenizes,
+   * re-clusters, or retrains. The dense leg auto-detects the index
+   * flavor: stored codebooks present ⇒ [[Similarity.ivfPqSearch]] (the
+   * ADC sweep reads CODES only; floats load for the ≤`candidates`
+   * rerank pool alone — the 100 TB probe shape), absent ⇒
+   * [[Similarity.ivfSearch]] (exact cosine over the probed clusters).
+   * `nprobe` trades dense-leg recall for probe cost exactly as in
    * [[Similarity.ivfSearch]] (probe every cluster for unconditional
-   * exactness).
+   * exactness); on a PQ index `candidates` must additionally cover the
+   * true per-leg top-`perLeg` within the probed clusters for the fused
+   * ranks to be exact ([[Similarity.pqTopK]]'s recall contract).
    */
   def hybridSearch(spark: SparkSession, textIndexRoot: String, ivfIndexRoot: String,
                    query: Seq[String], queryVec: Array[Float], k: Int,
-                   perLeg: Int = 50, rrfK: Int = 60, nprobe: Int = 2): DataFrame = {
+                   perLeg: Int = 50, rrfK: Int = 60, nprobe: Int = 2,
+                   candidates: Int = 128): DataFrame = {
     val lex = ranked(
       TextAnalysis.bm25Search(spark, textIndexRoot, query, perLeg), "doc_id", "score")
-    val dense = ranked(
-      Similarity.ivfSearch(spark, ivfIndexRoot, queryVec, perLeg, nprobe),
-      "vec_id", "score")
+    val denseLeg =
+      if (Similarity.hasPqCodebooks(spark, ivfIndexRoot))
+        Similarity.ivfPqSearch(spark, ivfIndexRoot, queryVec, perLeg, nprobe, candidates)
+      else Similarity.ivfSearch(spark, ivfIndexRoot, queryVec, perLeg, nprobe)
+    val dense = ranked(denseLeg, "vec_id", "score")
     rrfFuse(Seq(lex, dense), k, rrfK)
   }
 }

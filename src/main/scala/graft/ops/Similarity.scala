@@ -414,6 +414,15 @@ object Similarity {
       .orderBy("cluster").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
 
+  /** Whether a persisted index at `indexRoot` carries trained PQ
+    * codebooks (i.e. was built by [[buildIvfPqIndex]]) — one manifest
+    * HEAD read, no data files open. Callers use this to route probes:
+    * codebooks present ⇒ [[ivfPqSearch]] (ADC over codes), absent ⇒
+    * [[ivfSearch]] (exact cosine over the probed clusters' floats). */
+  def hasPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                     indexRoot: String): Boolean =
+    graft.tables.GeoManifest.currentVersion(spark, s"$indexRoot/codebooks").isDefined
+
   /** The stored PQ codebooks, or None for a plain IVF index. */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             indexRoot: String): Option[Array[Array[Array[Double]]]] = {
@@ -428,22 +437,38 @@ object Similarity {
 
   /** Probe a prebuilt IVF-PQ index: coarse prune to the `nprobe` nearest
     * clusters (file-level — only their files open), ADC-sweep the PQ
-    * codes of just those rows, exact-rerank the candidate pool. No
-    * k-means or codebook training runs here; the codebooks load as m*k
-    * tiny rows. Exact whenever `candidates` covers the true top-k within
-    * the probed clusters (the same two recall contracts as [[ivfSearch]]
-    * and [[pqTopK]], composed). */
+    * codes of just those rows, exact-rerank the candidate pool. The
+    * sweep is its own FIRST job whose scan reads (vec_id, pq_code) only
+    * — column pruning drops the float column, so its parquet pages never
+    * load for scoring (at dim=1024/m=8 that is ~100× fewer data bytes
+    * per probed row); the rerank then re-opens the probed clusters for
+    * just the ≤`candidates` winning ids (id IN-pushdown scan — floats
+    * load for the pool alone). The driver holds only the candidate id
+    * list, bounded by `candidates`. No k-means or codebook training runs
+    * here; the codebooks load as m*k tiny rows. Exact whenever
+    * `candidates` covers the true top-k within the probed clusters (the
+    * same two recall contracts as [[ivfSearch]] and [[pqTopK]],
+    * composed). */
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                   q: Array[Float], k: Int, nprobe: Int = 2,
                   candidates: Int = 128): DataFrame = {
     import graft.tables.GeoTable
+    import org.apache.spark.sql.functions.{asc, desc}
     val c = org.apache.spark.sql.functions.col _
     val probes = nearestClusters(readCentroids(spark, indexRoot), q, nprobe)
     val cb = readCodebooks(spark, indexRoot).getOrElse(throw new IllegalArgumentException(
       s"$indexRoot has no codebooks table — a plain IVF index probes via ivfSearch"))
-    pqTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
-        c("cluster").isin(probes: _*)).withColumnRenamed("vec", "__v"),
-      cb, q, k, candidates)
+    // phase 1 — codes-only ADC sweep: ties at __approx break by vec_id
+    // ascending (same rule as pqTopK), so the candidate pool — and with
+    // it the exact final top-k — is deterministic
+    val ids = GeoTable.scan(spark, s"$indexRoot/vectors", c("cluster").isin(probes: _*))
+      .select(c("vec_id"),
+        col2(graft.functions.PqAdcScore(ex(c("pq_code")), adcLut(cb, q))).as("__approx"))
+      .orderBy(desc("__approx"), asc("vec_id")).limit(candidates)
+      .select("vec_id").collect().map(_.get(0))
+    // phase 2 — exact rerank of the pool: floats load for these ids only
+    probeTopK(GeoTable.scan(spark, s"$indexRoot/vectors",
+      c("cluster").isin(probes: _*) && c("vec_id").isin(ids: _*)), "vec", q, k)
   }
 
   /** Incrementally ADD vectors to a persisted IVF or IVF-PQ index: new
@@ -653,22 +678,31 @@ object Similarity {
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
              q: Array[Float], k: Int, candidates: Int = 128): DataFrame = {
     val c = org.apache.spark.sql.functions.col _
-    val m = codebooks.length
+    // single-plan sweep+rerank: `encoded` is an ad-hoc frame whose codes
+    // were just computed FROM the floats, so a codes-only first pass
+    // saves nothing here — the stored-index probe ([[ivfPqSearch]]) is
+    // where the sweep runs as its own codes-only scan
+    val approx = encoded.withColumn("__approx",
+      col2(graft.functions.PqAdcScore(ex(c("pq_code")), adcLut(codebooks, q))))
+    val cand = approx.orderBy(desc("__approx"), asc("vec_id")).limit(candidates)
+    cand.select(c("vec_id"), cosine(c("__v"), typedlit(q.toSeq)).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The per-query ADC lookup table: lut(j)(ci) = dot(q_sub_j, centroid)
+    * — the approximate-cosine summand for code ci in subspace j, computed
+    * once on the driver from the (tiny) codebooks. */
+  private def adcLut(codebooks: Array[Array[Array[Double]]],
+                     q: Array[Float]): Array[Array[Double]] = {
     val dsub = codebooks.head.head.length
     val qn = normalize(q.map(_.toDouble))
-    // lut(j)(ci) = dot(q_sub_j, centroid) — approximate cosine summand
-    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
-      codebooks(j).toSeq.map { cent =>
+    Array.tabulate(codebooks.length) { j =>
+      codebooks(j).map { cent =>
         var d = 0.0; var i = 0
         while (i < dsub) { d += qn(j * dsub + i) * cent(i); i += 1 }
         d
       }
     }
-    val approx = encoded.withColumn("__approx",
-      col2(graft.functions.PqAdcScore(ex(c("pq_code")), lut.map(_.toArray).toArray)))
-    val cand = approx.orderBy(desc("__approx"), asc("vec_id")).limit(candidates)
-    cand.select(c("vec_id"), cosine(c("__v"), typedlit(q.toSeq)).as("score"))
-      .orderBy(desc("score"), asc("vec_id"))
-      .limit(k)
   }
 }

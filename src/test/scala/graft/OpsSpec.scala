@@ -417,6 +417,106 @@ class OpsSpec extends SparkSpec {
       s"training must run at BUILD only (build $buildJobs vs probe $probeJobs)")
   }
 
+  test("ivfPqSearch ADC sweep reads CODES only; the floats load for the rerank pool alone") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_bytes").toString + "/i"
+    Similarity.buildIvfPqIndex(spark, idx, emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+
+    // capture every action's executed plan while the probe runs: the
+    // sweep is ivfPqSearch's own internal collect, so a listener is the
+    // only honest witness of what its scan actually read
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        captured.add(qe): Unit
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+      val r = Similarity.ivfPqSearch(spark, idx, q, k = 10, nprobe = 8, candidates = 256)
+      val got = r.select("vec_id").as[Long].collect().toSeq
+      val brute = Similarity.bruteTopK(emb, col("embedding"), col("vec_id"), q, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == brute, s"covering-pool probe must stay exact: $got vs $brute")
+
+      // path-table reads are the stock V1 parquet scan: walk executed
+      // plans (into AQE stages) for FileSourceScanExec's pruned schema
+      def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val buf = scala.collection.mutable.ListBuffer
+          .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+        def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+          case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(e.child)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => buf += f
+          case other => other.children.foreach(walk)
+        }
+        walk(plan); buf.toList
+      }
+      // the listener bus is async — wait for the sweep plan to land
+      import scala.jdk.CollectionConverters._
+      def sweepScans = captured.asScala.toSeq
+        .flatMap(qe => fileScans(qe.executedPlan))
+        .filter(_.requiredSchema.fieldNames.contains("pq_code"))
+      var tries = 0
+      while (sweepScans.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val sweeps = sweepScans
+      assert(sweeps.nonEmpty,
+        s"no codes-reading scan captured for the ADC sweep; captured ${captured.size} plans: " +
+        captured.asScala.toSeq.map(qe => fileScans(qe.executedPlan)
+            .map(_.requiredSchema.fieldNames.mkString("(", ",", ")")).mkString("[", " ", "]"))
+          .mkString(" | "))
+      sweeps.foreach { s =>
+        assert(!s.requiredSchema.fieldNames.contains("vec"),
+          s"the ADC sweep must never read the float column, got ${s.requiredSchema}")
+      }
+      // the rerank (the returned frame's own plan) reads floats but no codes
+      val rerank = fileScans(r.queryExecution.executedPlan)
+      assert(rerank.nonEmpty, "no rerank scan in the probe plan")
+      rerank.foreach { s =>
+        val fields = s.requiredSchema.fieldNames.toSeq
+        assert(fields.contains("vec") && !fields.contains("pq_code"),
+          s"rerank must read floats only, got $fields")
+        // the candidate-id predicate reaches the parquet reader
+        assert(s.dataFilters.exists(_.references.exists(_.name == "vec_id")),
+          s"rerank scan must filter on the candidate ids, got ${s.dataFilters}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("hybridSearch auto-routes the dense leg: PQ index fuses identically to plain IVF") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("hyb_pq").toString
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    TextAnalysis.buildTextIndex(spark, s"$base/t", docsDf, col("doc_id"), col("text"))
+    Similarity.buildIvfIndex(spark, s"$base/ivf", emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2)
+    Similarity.buildIvfPqIndex(spark, s"$base/pq", emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+    assert(!Similarity.hasPqCodebooks(spark, s"$base/ivf"))
+    assert(Similarity.hasPqCodebooks(spark, s"$base/pq"))
+    val terms = Seq("quick", "engines", "maison")
+    // nprobe covers all clusters and candidates covers the corpus, so the
+    // quantized leg is exact and fusion must match the plain-IVF spelling
+    // score-for-score
+    def run(vIdx: String) = graft.ops.Retrieval
+      .hybridSearch(spark, s"$base/t", vIdx, terms, q, k = 10, nprobe = 8,
+        candidates = 1024)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = run(s"$base/ivf")
+    val pq = run(s"$base/pq")
+    assert(plain == pq, s"PQ-backed fusion diverged:\n$plain\nvs\n$pq")
+    assert(plain.nonEmpty && plain.map(_._1).distinct.size == plain.size)
+  }
+
   test("appendToIvfIndex: new vectors assign to stored centroids, probes stay exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val total = emb.count()
