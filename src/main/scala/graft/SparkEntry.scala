@@ -1375,7 +1375,11 @@ object SparkEntry {
       ensureGeoCatalog(s, "geopr", "geo_pr_wh")
       s.sql("CREATE NAMESPACE IF NOT EXISTS geopr.db")
       s.sql("DROP TABLE IF EXISTS geopr.db.pr")
-      s.sql("CREATE TABLE geopr.db.pr (id BIGINT) USING geo")
+      // CREATE-time user properties must ride into the manifest exactly
+      // like the path-table route (the config keys — geometry.column,
+      // stats.columns, ... — are consumed as config, not stored)
+      s.sql("CREATE TABLE geopr.db.pr (id BIGINT) USING geo " +
+        "TBLPROPERTIES ('origin'='create-time', 'tier'='raw')")
       s.sql("INSERT INTO geopr.db.pr SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0")
       s.sql("ALTER TABLE geopr.db.pr SET TBLPROPERTIES " +
         "('team'='data-eng', 'tier'='bronze', 'ttl.days'='7')")
@@ -1387,6 +1391,8 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       require(shown.get("team").contains("data-eng") && shown.get("tier").contains("gold"),
         s"SHOW TBLPROPERTIES must surface user properties, got $shown")
+      require(shown.get("origin").contains("create-time"),
+        s"CREATE-time TBLPROPERTIES must survive to the manifest, got $shown")
       require(s.table("geopr.db.pr").count() == s.table("customer").count(),
         "property commits must not disturb data")
       s.sql("SELECT key, value FROM geopr.db.pr.properties ORDER BY key")
@@ -2637,7 +2643,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -2660,7 +2666,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -2709,7 +2715,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -2778,7 +2784,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -2802,7 +2808,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Search(s, idx,
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -2888,18 +2894,20 @@ object SparkEntry {
     }),
 
     // Okapi BM25 end-to-end: posting filter -> tf/df aggregations ->
-    // idf/length-normalized scoring -> top-k. Rank-only output (scores
-    // are doubles whose last ulp may differ across engines); the rank-10
-    // vs rank-11 score gap at every verify SF is ~1e-2, far above FP
-    // noise, and exact score ties (same tf vector + doc length) resolve
-    // identically in both engines via the doc_id tiebreak.
+    // idf/length-normalized scoring -> top-k. Rank-only output, ranked
+    // by the score QUANTIZED to 6 decimals (adjacent ranks differ by
+    // >=1e-3 at the verify SFs, far above the quantum): two docs with
+    // the same tf vector + doc length tie EXACTLY in math but land ulps
+    // apart under each engine's own parallel-sum addend order — DuckDB
+    // even flips them run-to-run — so the doc_id tiebreak only engages
+    // portably after quantization (both sides rank by round(score, 6)).
     "text_bm25_topk" -> ((s, d) => {
       prep(s, d)
       import org.apache.spark.sql.expressions.Window
       graft.ops.TextAnalysis.bm25TopK(s.table("documents"), col("doc_id"), col("text"),
           query = Seq("spark", "customer", "merge"), k = 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(round(col("score"), 6).desc, asc("doc_id"))))
         .select(col("doc_id"), col("rank"))
         .orderBy("rank")
     }),
@@ -4890,10 +4898,12 @@ object SparkEntry {
         FROM customer
       ) t(kind, value) ORDER BY kind, value""",
 
-    // the surviving user properties as literals (ttl.days was unset,
-    // tier was re-set to gold)
+    // the surviving user properties as literals (origin from CREATE-time
+    // TBLPROPERTIES, ttl.days was unset, tier was re-set to gold over its
+    // create-time 'raw')
     "geo_tblproperties" -> """
-      SELECT * FROM (VALUES ('team', 'data-eng'), ('tier', 'gold')) t(key, value)
+      SELECT * FROM (VALUES ('origin', 'create-time'), ('team', 'data-eng'),
+                            ('tier', 'gold')) t(key, value)
       ORDER BY key""",
 
     // the surviving constraint as literals (id_cap was dropped)
@@ -5625,7 +5635,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id)
       SELECT doc_id, CAST(rn AS INT) AS rank FROM (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
         FROM scored) t
       WHERE rn <= 10 ORDER BY rn""",
 
@@ -5651,7 +5661,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id)
       SELECT doc_id, CAST(rn AS INT) AS rank FROM (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
         FROM scored) t
       WHERE rn <= 10 ORDER BY rn""",
 
@@ -5675,7 +5685,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id)
       SELECT doc_id, CAST(rn AS INT) AS rank FROM (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
         FROM scored) t
       WHERE rn <= 10 ORDER BY rn""",
 

@@ -189,7 +189,7 @@ object TextAnalysis {
     // the same failure class as a torn build always had.
     val (n, s) = docStats(GeoTable.read(spark, s"$indexRoot/postings"))
     val v = graft.tables.GeoManifest.read(spark, s"$indexRoot/postings").version
-    GeoTable.setProperties(spark, s"$indexRoot/postings", statsProps(n, s, v + 1))
+    GeoTable.setStatsProperties(spark, s"$indexRoot/postings", statsProps(n, s, v + 1))
   }
 
   /**
@@ -216,11 +216,14 @@ object TextAnalysis {
     val posts = postingsOf(df, id, text).persist()
     try {
       val (dn, ds) = docStats(posts)
-      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
-      val v = graft.tables.GeoManifest.read(spark, root).version
+      // ONE stats read covers both the base numbers and the expected
+      // commit version: a foreign commit landing anywhere after it makes
+      // the mutation's commit land past vBase+1, which reconcile detects
+      // (the claimed version no longer names the commit it sits on)
+      val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
       graft.tables.GeoTable.append(spark, root, posts, None,
-        statsProps(n0 + dn, s0 + ds, v + 1))
-      reconcileIfInterleaved(spark, root, v + 1)
+        statsProps(n0 + dn, s0 + ds, vBase + 1))
+      reconcileIfInterleaved(spark, root, vBase + 1)
     } finally posts.unpersist()
   }
 
@@ -243,11 +246,10 @@ object TextAnalysis {
     try {
       val (dn, ds) = docStats(posts)
       if (dn == 0L) return false
-      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
-      val v = graft.tables.GeoManifest.read(spark, root).version
+      val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
       graft.tables.GeoTable.append(spark, root, posts, Some(sinkId -> batchId),
-        statsProps(n0 + dn, s0 + ds, v + 1))
-      reconcileIfInterleaved(spark, root, v + 1)
+        statsProps(n0 + dn, s0 + ds, vBase + 1))
+      reconcileIfInterleaved(spark, root, vBase + 1)
       true
     } finally posts.unpersist()
   }
@@ -298,7 +300,7 @@ object TextAnalysis {
       val (n, s) = docStats(graft.tables.GeoTable.read(spark, root))
       val v = graft.tables.GeoManifest.read(spark, root).version
       try {
-        graft.tables.GeoTable.setProperties(spark, root, statsProps(n, s, v + 1))
+        graft.tables.GeoTable.setStatsProperties(spark, root, statsProps(n, s, v + 1))
         if (namesItself(v + 1)) return
       } catch { case _: java.util.ConcurrentModificationException => () } // retry
     }
@@ -330,13 +332,15 @@ object TextAnalysis {
     val root = s"$indexRoot/postings"
     // pin: the stats scan and the filed delete keys must see one batch
     val keyDf = ids.toDF("doc_id").localCheckpoint()
-    val (rn, rs) = docStats(graft.tables.GeoTable.read(spark, root)
+    // base numbers, removed-docs pricing, and the expected commit version
+    // all come from ONE snapshot (vBase): a foreign commit after the read
+    // pushes the delete past vBase+1 and reconcile recomputes
+    val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
+    val (rn, rs) = docStats(graft.tables.GeoTable.readAt(spark, root, vBase)
       .join(keyDf, Seq("doc_id"), "left_semi"))
-    val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
-    val v = graft.tables.GeoManifest.read(spark, root).version
     graft.tables.GeoTable.deleteByKey(spark, root, Seq("doc_id"), keyDf,
-      statsProps(n0 - rn, s0 - rs, v + 1))
-    reconcileIfInterleaved(spark, root, v + 1)
+      statsProps(n0 - rn, s0 - rs, vBase + 1))
+    reconcileIfInterleaved(spark, root, vBase + 1)
   }
 
   /** UPSERT documents (the CDC-replacement verb): ids already indexed
@@ -361,13 +365,13 @@ object TextAnalysis {
     try {
       val (dn, ds) = docStats(posts)
       val ids = posts.select("doc_id").distinct()
-      val (rn, rs) = docStats(graft.tables.GeoTable.read(spark, root)
+      val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
+      val (rn, rs) = docStats(graft.tables.GeoTable.readAt(spark, root, vBase)
         .join(ids, Seq("doc_id"), "left_semi"))
-      val (n0, s0, _) = statsAsOfCurrent(spark, indexRoot)
-      val v = graft.tables.GeoManifest.read(spark, root).version
       graft.tables.GeoTable.upsertByKey(spark, root, Seq("doc_id"), posts,
-        streamCommit = None, propsDelta = statsProps(n0 - rn + dn, s0 - rs + ds, v + 1))
-      reconcileIfInterleaved(spark, root, v + 1)
+        streamCommit = None,
+        propsDelta = statsProps(n0 - rn + dn, s0 - rs + ds, vBase + 1))
+      reconcileIfInterleaved(spark, root, vBase + 1)
     } finally posts.unpersist()
   }
 
@@ -390,10 +394,9 @@ object TextAnalysis {
     val m = graft.tables.GeoManifest.read(spark, root)
     val cur = m.version
     val (n0, s0, v0) =
-      (m.props.get(NDocsProp), m.props.get(SumDlProp)) match {
-        case (Some(n), Some(s)) =>
-          (n.toLong, s.toLong, m.props.get(VersionProp).map(_.toInt).getOrElse(cur))
-        case _ =>
+      (m.props.get(NDocsProp), m.props.get(SumDlProp), m.props.get(VersionProp)) match {
+        case (Some(n), Some(s), Some(v)) => (n.toLong, s.toLong, v.toInt)
+        case (None, None, None) =>
           // pre-upgrade index: the one-row stats TABLE (kept readable
           // forever; the first mutation through this API migrates the
           // numbers into postings props and the table goes inert)
@@ -403,8 +406,21 @@ object TextAnalysis {
               "stats table) — the build crashed before its stats commit; rebuild")
           val row = graft.tables.GeoTable.read(spark, s"$indexRoot/stats").head()
           (row.getLong(0), row.getLong(1), row.getInt(2))
+        case partial =>
+          // every writer commits the three keys together — a partial
+          // triple means a hand-edit slipped past the reserved-prefix
+          // guard (or a pre-guard snapshot); trusting it would silently
+          // pin wrong stats with no heal
+          throw new IllegalStateException(
+            s"$root carries an incomplete graft.bm25.* stats triple " +
+              s"($partial) — never written by this library's index verbs; " +
+              "rebuild the index (buildTextIndex) or restore a snapshot " +
+              "whose props are intact")
       }
-    if (v0 >= cur) return (n0, s0, v0)
+    // clamp to cur: callers thread the returned version as the expected
+    // commit base, and a (pathological) future claim must not let a
+    // mutation claim a version no commit will land on
+    if (v0 >= cur) return (n0, s0, cur)
     // the changelog range is (base, target]: v0 is the covered snapshot
     val changes = graft.tables.GeoChangelog.netChanges(spark, root, v0, cur)
     val (dn, ds) = docStats(changes.where(col("_change_type") === "insert"))

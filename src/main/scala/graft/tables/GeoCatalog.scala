@@ -367,11 +367,25 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       .map(cols => GeoBloom.parseSpecs(spark, tagged, cols,
         Option(properties.get("bloom.fpp")), Option(properties.get("bloom.items"))))
       .getOrElse(Seq.empty)
+    // CREATE-time user TBLPROPERTIES: everything not consumed as engine
+    // config above and not Spark-injected table metadata rides into the
+    // manifest as user properties — the same clause already works on
+    // path tables and via ALTER ... SET TBLPROPERTIES, so the catalog
+    // route must neither drop them silently nor accept reserved keys
+    // (createEmpty's validateProps refuses those loudly)
+    val consumedConfig = Set(GeoCatalog.GeomColProp, "stats.columns", "sort.order",
+      "bloom.columns", "bloom.fpp", "bloom.items")
+    val sparkInjected = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      consumedConfig.contains(k) || sparkInjected.contains(k)
+    }
     // order matters: layout keys, then sort keys (the clustering key
     // order layout() uses), then the stats-only tail
     GeoTable.createEmpty(spark, root, tagged, geomCol,
       ptransforms.toSeq ++ sortT ++ statsFiltered(statsT, sortT),
-      bloomCols = bloomT)
+      bloomCols = bloomT, props = userProps)
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
 

@@ -1242,7 +1242,7 @@ object GeoTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
              streamCommit: Option[(String, Long)],
              propsDelta: Map[String, String] = Map.empty): Long = {
-    validateProps(propsDelta.keys, propsDelta.values)
+    validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
@@ -1282,14 +1282,27 @@ object GeoTable {
     "location", "provider", "format-version", "snapshot-version",
     "data-files", "total-rows")
 
+  /** Prefix of the BM25 index-stats bookkeeping props — maintained by
+    * the text-index writers in the postings commit itself and TRUSTED by
+    * probes, so a user hand-SET would silently pin wrong corpus stats
+    * with no heal. Reserved on every user property surface; the index
+    * writers ride the trusted channels ([[setStatsProperties]] and the
+    * verbs' propsDelta). */
+  private[graft] val StatsPropPrefix = "graft.bm25."
+
   private[tables] def validateProps(keys: Iterable[String],
-                                    values: Iterable[String]): Unit = {
+                                    values: Iterable[String],
+                                    allowStats: Boolean = false): Unit = {
     keys.foreach { k =>
       require(k.nonEmpty && !k.contains('\t') && !k.contains('\n') && !k.contains('\r'),
         s"table property key '$k' must be non-empty and tab/newline-free")
       require(!ReservedPropKeys.contains(k),
         s"'$k' is a reserved table config key — set it through its own verb " +
           "(CREATE TABLE TBLPROPERTIES / ALTER TABLE for bloom.*), not setProperties")
+      require(allowStats || !k.startsWith(StatsPropPrefix),
+        s"'$k' is index-stats bookkeeping maintained by the text-index " +
+          "writers — hand-setting it would silently pin wrong BM25 corpus " +
+          "stats; rebuild or mutate the index through its own verbs instead")
     }
     values.foreach { v =>
       require(v != null && !v.contains('\n') && !v.contains('\r'),
@@ -1315,6 +1328,18 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       props = (m.props -- unset) ++ set), m.version, op = "set-properties")
+  }
+
+  /** The text-index writers' trusted property channel: identical to
+    * [[setProperties]] but allowed to touch the reserved
+    * [[StatsPropPrefix]] bookkeeping keys (which user SET refuses). */
+  private[graft] def setStatsProperties(spark: SparkSession, root: String,
+                                        set: Map[String, String]): Unit = {
+    require(set.nonEmpty, "setStatsProperties: nothing to do")
+    validateProps(set.keys, set.values, allowStats = true)
+    val m = GeoManifest.read(spark, root)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      props = m.props ++ set), m.version, op = "set-properties")
   }
 
   /** Fraction of the affected files' rows below which DML goes
@@ -1752,7 +1777,7 @@ object GeoTable {
   def deleteByKey(spark: SparkSession, root: String,
                   keyCols: Seq[String], keys: DataFrame,
                   propsDelta: Map[String, String] = Map.empty): Long = {
-    validateProps(propsDelta.keys, propsDelta.values)
+    validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
     writeEqSidecar(spark, root, m, keyCols, keys) match {
       case None =>
@@ -1794,7 +1819,7 @@ object GeoTable {
                   keyCols: Seq[String], rows: DataFrame,
                   streamCommit: Option[(String, Long)],
                   propsDelta: Map[String, String] = Map.empty): Long = {
-    validateProps(propsDelta.keys, propsDelta.values)
+    validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
       .localCheckpoint() // pin: the delete keys and the appended rows must agree

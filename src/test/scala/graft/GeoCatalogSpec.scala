@@ -648,6 +648,35 @@ class GeoCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("reserved"), err.getMessage)
   }
 
+  test("CREATE-time TBLPROPERTIES persist as user props; config keys stay config") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")
+    // user keys land in the manifest; the consumed config keys
+    // (geometry.column / sort.order / ...) and Spark-injected metadata
+    // (owner/provider/...) do NOT masquerade as user properties
+    spark.sql("CREATE TABLE geo.db.cprops (id BIGINT, g BINARY) USING geo " +
+      "TBLPROPERTIES ('geometry.column'='g', 'sort.order'='id', " +
+      "'team'='data-eng', 'pipeline'='ingest-v2')")
+    val root = s"$warehouse/db/cprops"
+    val m = GeoManifest.read(spark, root)
+    assert(m.props == Map("team" -> "data-eng", "pipeline" -> "ingest-v2"), m.props)
+    assert(m.geomCol.contains("g"), "config keys must still configure")
+    assert(m.partitions.exists(p => p.kind == "sort" && p.col == "id"))
+    // ... and they survive INSERTs + surface through SHOW TBLPROPERTIES
+    spark.sql("INSERT INTO geo.db.cprops SELECT 1L, st_point(1.0D, 2.0D)")
+    val shown = spark.sql("SHOW TBLPROPERTIES geo.db.cprops")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team").contains("data-eng") &&
+      shown.get("pipeline").contains("ingest-v2"), shown)
+    // a RESERVED manifest key at CREATE refuses loudly (never a silent
+    // drop, never a fake user prop shadowing the derived fact)
+    val err = intercept[Exception](spark.sql(
+      "CREATE TABLE geo.db.cprops2 (id BIGINT) USING geo " +
+        "TBLPROPERTIES ('format-version'='9')"))
+    assert(err.getMessage.contains("reserved"), err.getMessage)
+    assert(!spark.catalog.tableExists("geo.db.cprops2"))
+  }
+
   test("RESTORE keeps streaming watermarks monotone (epoch dedup survives rollback)") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS geo.db")

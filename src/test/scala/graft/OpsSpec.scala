@@ -805,6 +805,37 @@ class OpsSpec extends SparkSpec {
       "a clean state must not trigger another repair commit")
   }
 
+  test("graft.bm25.* stats props: hand-SET refuses, an incomplete triple fails loudly") {
+    import graft.ops.TextAnalysis
+    import graft.tables.{GeoManifest, GeoTable}
+    val corpus = (0L until 8L).map(i => (i, s"w${i % 3} spark doc"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25resv").toString + "/i"
+    TextAnalysis.buildTextIndex(spark, idx, corpus, col("doc_id"), col("text"),
+      buckets = 4)
+    val root = idx + "/postings"
+    // probes TRUST these numbers — user SET/UNSET must refuse, never
+    // silently pin wrong stats (both SQL routes call setProperties)
+    val e1 = intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map("graft.bm25.n_docs" -> "999")))
+    assert(e1.getMessage.contains("index-stats bookkeeping"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GeoTable.setProperties(spark, root, Map.empty,
+        unset = Seq("graft.bm25.sum_dl")))
+    assert(e2.getMessage.contains("index-stats bookkeeping"), e2.getMessage)
+    // ... and an ordinary user property still works alongside the stats
+    GeoTable.setProperties(spark, root, Map("team" -> "retrieval"))
+    assert(TextAnalysis.bm25Search(spark, idx, Seq("spark"), k = 3).count() == 3)
+    // an INCOMPLETE triple (a hand-edit that slipped in below the API,
+    // or a pre-guard snapshot) is detected at probe time, never trusted
+    val m = GeoManifest.read(spark, root)
+    GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
+      props = m.props - "graft.bm25.sum_dl"), m.version, op = "set-properties")
+    val e3 = intercept[IllegalStateException](
+      TextAnalysis.bm25Search(spark, idx, Seq("spark"), k = 3).count())
+    assert(e3.getMessage.contains("incomplete graft.bm25."), e3.getMessage)
+  }
+
   test("BM25 index: a legacy stats-table index probes, heals, and migrates to props") {
     import graft.ops.TextAnalysis
     import graft.tables.{GeoManifest, GeoPartition, GeoTable}
