@@ -55,6 +55,48 @@ object GeoSql {
   private val createLocRe =
     """(?is)^\s*LOCATION\s+'([^']+)'""".r
 
+  // TBLPROPERTIES token in any Spark spelling — 'k', "k", or a bare
+  // identifier; a single-quoted token may escape a quote as '' (the
+  // SHOW CREATE emitter's spelling, so emitted DDL round-trips verbatim)
+  private val propToken = """(?:'((?:[^']|'')*)'|"([^"]*)"|([\w.-]+))"""
+  private val propTokenRe = propToken.r
+  private val propPairRe = (propToken + """\s*=\s*""" + propToken).r
+  private def tokenOf(m: scala.util.matching.Regex.Match, off: Int): String =
+    if (m.group(off + 1) != null) m.group(off + 1).replace("''", "'")
+    else Seq(m.group(off + 2), m.group(off + 3)).find(_ != null).get
+  // a pair list must be FULLY consumed: a malformed entry (mismatched
+  // quote, an unquoted value with exotic characters) raises instead of
+  // silently vanishing from the parsed set
+  private def checkPropResidue(sql: String,
+                               ms: Seq[scala.util.matching.Regex.Match]): Unit = {
+    var pos = 0
+    val gaps = ms.map { m =>
+      val g = sql.substring(pos, m.start); pos = m.end; g
+    } :+ sql.substring(pos)
+    gaps.foreach { g =>
+      require(g.forall(c => c == ',' || c.isWhitespace),
+        s"unparseable TBLPROPERTIES fragment '${g.trim}' — every entry must " +
+          "be 'k'='v' (or a bare key for UNSET); escape a quote inside a " +
+          "single-quoted token as ''")
+    }
+  }
+
+  /** TBLPROPERTIES ('k'='v', ...) — shared by CREATE tails, ALTER TABLE,
+    * and ALTER VIEW. Raises on unparseable residue. */
+  private[tables] def parsePropPairs(propsSql: String): Seq[(String, String)] = {
+    val ms = propPairRe.findAllMatchIn(propsSql).toSeq
+    checkPropResidue(propsSql, ms)
+    ms.map(m => tokenOf(m, 0) -> tokenOf(m, 3))
+  }
+
+  /** UNSET TBLPROPERTIES ('k', ...) key list — same spellings and the
+    * same no-silent-drop rule. */
+  private[tables] def parsePropKeys(propsSql: String): Seq[String] = {
+    val ms = propTokenRe.findAllMatchIn(propsSql).toSeq
+    checkPropResidue(propsSql, ms)
+    ms.map(tokenOf(_, 0))
+  }
+
   /** (partition transform ddls, tblproperties pairs, location, leftover). */
   private[tables] def parseCreateTail(tail: String)
       : (Seq[String], Seq[(String, String)], Option[String], String) = {
@@ -63,19 +105,13 @@ object GeoSql {
     var props = Seq.empty[(String, String)]
     var loc: Option[String] = None
     var progressed = true
-    val token = """(?:'([^']*)'|"([^"]*)"|([\w.-]+))"""
-    val pairRe = (token + """\s*=\s*""" + token).r
     while (progressed && rest.trim.nonEmpty) {
       progressed = false
       createPartByRe.findPrefixMatchOf(rest).foreach { m =>
         parts ++= splitTopLevelCommas(m.group(1)); rest = rest.substring(m.end); progressed = true
       }
       if (!progressed) createTblPropsRe.findPrefixMatchOf(rest).foreach { m =>
-        props ++= pairRe.findAllMatchIn(m.group(1)).map { p =>
-          val k = Seq(p.group(1), p.group(2), p.group(3)).find(_ != null).get
-          val v = Seq(p.group(4), p.group(5), p.group(6)).find(_ != null).get
-          k -> v
-        }
+        props ++= parsePropPairs(m.group(1))
         rest = rest.substring(m.end); progressed = true
       }
       if (!progressed) createLocRe.findPrefixMatchOf(rest).foreach { m =>
@@ -382,19 +418,13 @@ object GeoSql {
       Some(GeoBranchCommand(name, b, "publish"))
     // path tables only: Spark owns the catalog spelling natively. Matched
     // BEFORE the view regexes cannot collide (ALTER TABLE vs ALTER VIEW).
+    // the pair list parses in execute(), not here: a malformed entry must
+    // surface the residue error, not silently bail the whole statement to
+    // Spark (which cannot see path tables anyway)
     case alterTableSetPropsRe(name, propsSql) if GeoTable.registeredRoot(name).isDefined =>
-      val token = """(?:'([^']*)'|"([^"]*)"|([\w.-]+))"""
-      Some(GeoSetTblPropsCommand(name,
-        (token + """\s*=\s*""" + token).r.findAllMatchIn(propsSql).map { m =>
-          val k = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get
-          val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
-          k -> v
-        }.toSeq, unset = false))
+      Some(GeoSetTblPropsCommand(name, propsSql, unset = false))
     case alterTableUnsetPropsRe(name, propsSql) if GeoTable.registeredRoot(name).isDefined =>
-      Some(GeoSetTblPropsCommand(name,
-        """(?:'([^']*)'|"([^"]*)"|([\w.-]+))""".r.findAllMatchIn(propsSql)
-          .map(m => Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get -> "")
-          .toSeq, unset = true))
+      Some(GeoSetTblPropsCommand(name, propsSql, unset = true))
     case showTblPropsRe(name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoShowTblPropsCommand(name))
     case showCreateTableRe(name) if GeoTable.registeredRoot(name).isDefined =>
@@ -407,23 +437,13 @@ object GeoSql {
     case showCreateViewRe(name) if geoViewCatalog(name) =>
       Some(GeoShowCreateViewCommand(name))
     case alterViewSetRe(name, propsSql) if geoViewCatalog(name) =>
-      // keys/values in any Spark spelling: 'k', "k", or bare identifiers
-      val token = """(?:'([^']*)'|"([^"]*)"|([\w.]+))"""
-      Some(GeoAlterViewPropsCommand(name,
-        (token + """\s*=\s*""" + token).r.findAllMatchIn(propsSql).map { m =>
-          val k = Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get
-          val v = Seq(m.group(4), m.group(5), m.group(6)).find(_ != null).get
-          k -> v
-        }.toSeq, unset = false))
+      Some(GeoAlterViewPropsCommand(name, propsSql, unset = false))
     case renameViewRe(name, newName) if geoViewCatalog(name) =>
       Some(GeoRenameViewCommand(name, newName))
     case describeViewRe(name) if geoViewCatalog(name) =>
       Some(GeoDescribeViewCommand(name))
     case alterViewUnsetRe(name, propsSql) if geoViewCatalog(name) =>
-      Some(GeoAlterViewPropsCommand(name,
-        """(?:'([^']*)'|"([^"]*)"|([\w.]+))""".r.findAllMatchIn(propsSql)
-          .map(m => Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get -> "")
-          .toSeq, unset = true))
+      Some(GeoAlterViewPropsCommand(name, propsSql, unset = true))
     case showViewsRe(nsName) if SparkSession.getActiveSession.exists(s =>
         GeoViews.warehouseFor(s, nsName.split('.').head).isDefined) =>
       Some(GeoShowViewsCommand(nsName))
@@ -1426,18 +1446,51 @@ case class GeoRemoveOrphanFilesCommand(name: String,
 
 /** ALTER TABLE <path-registered> SET/UNSET TBLPROPERTIES — the user
   * table-property surface for path tables (one metadata-only commit;
-  * catalog tables take Spark's native spelling through alterTable). */
-case class GeoSetTblPropsCommand(name: String, props: Seq[(String, String)],
+  * catalog tables take Spark's native spelling through alterTable).
+  * bloom.* keys route to [[GeoTable.setBloomColumns]] exactly as
+  * GeoCatalog.alterTable routes them — the statement the error message
+  * used to point at now WORKS on path tables too. */
+case class GeoSetTblPropsCommand(name: String, propsSql: String,
                                  unset: Boolean) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
+    val props =
+      if (unset) GeoSql.parsePropKeys(propsSql).map(_ -> "")
+      else GeoSql.parsePropPairs(propsSql)
     require(props.nonEmpty,
       if (unset) "could not parse any TBLPROPERTIES key — use ('k', ...) " +
         "with quoted or identifier keys"
       else "could not parse any TBLPROPERTIES pair — use ('k'='v', ...) " +
         "with quoted or identifier keys/values")
     val root = GeoSql.rootOf(name)
-    if (unset) GeoTable.setProperties(spark, root, Map.empty, props.map(_._1))
-    else GeoTable.setProperties(spark, root, props.toMap)
+    val bloomKeys = Set("bloom.columns", "bloom.fpp", "bloom.items")
+    val (bloom, user) = props.partition(p => bloomKeys.contains(p._1))
+    if (unset) {
+      bloom.map(_._1).foreach {
+        case "bloom.columns" => GeoTable.setBloomColumns(spark, root, "")
+        // UNSET of a tuning knob returns THAT knob to the session
+        // default, keeping the column list and the sibling knob
+        case knob =>
+          val cur = GeoManifest.read(spark, root).bloomCols
+          if (cur.nonEmpty) GeoTable.setBloomColumns(spark, root,
+            cur.map(_.col).mkString(","),
+            fpp = if (knob == "bloom.fpp")
+              Some(GeoBloom.fppDefault(spark).toString) else None,
+            items = if (knob == "bloom.items")
+              Some(GeoBloom.itemsDefault(spark).toString) else None)
+      }
+      if (user.nonEmpty)
+        GeoTable.setProperties(spark, root, Map.empty, user.map(_._1))
+    } else {
+      val bset = bloom.toMap
+      if (bset.nonEmpty) {
+        // tuning fpp/items without re-listing columns keeps the current set
+        val cols = bset.getOrElse("bloom.columns",
+          GeoManifest.read(spark, root).bloomCols.map(_.col).mkString(","))
+        GeoTable.setBloomColumns(spark, root, cols,
+          bset.get("bloom.fpp"), bset.get("bloom.items"))
+      }
+      if (user.nonEmpty) GeoTable.setProperties(spark, root, user.toMap)
+    }
     GeoSql.refresh(spark, name, root)
     Seq(Row(props.length.toLong))
   }
@@ -1501,16 +1554,20 @@ case class GeoShowCreateTableCommand(name: String) extends GeoRunnable {
     val tblProps =
       if (props.isEmpty) ""
       else props.sortBy(_._1)
-        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .map { case (k, v) =>
+          s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (", ", ", ")")
     Seq(Row(s"CREATE TABLE $name (\n$cols\n) USING geo$partBy$tblProps\nLOCATION '$root'"))
   }
 }
 
 /** ALTER VIEW v SET/UNSET TBLPROPERTIES — the ViewChange surface in SQL. */
-case class GeoAlterViewPropsCommand(name: String, props: Seq[(String, String)],
+case class GeoAlterViewPropsCommand(name: String, propsSql: String,
                                     unset: Boolean) extends GeoRunnable {
   override def execute(spark: SparkSession): Seq[Row] = {
+    val props =
+      if (unset) GeoSql.parsePropKeys(propsSql).map(_ -> "")
+      else GeoSql.parsePropPairs(propsSql)
     val parts = name.split('.').toSeq
     val wh = GeoViews.warehouseFor(spark, parts.head).getOrElse(
       throw new IllegalArgumentException(
@@ -1550,7 +1607,8 @@ case class GeoShowCreateViewCommand(name: String) extends GeoRunnable {
     val props =
       if (d.properties.isEmpty) ""
       else d.properties.toSeq.sorted
-        .map { case (k, p) => s"'$k' = '$p'" }
+        .map { case (k, p) =>
+          s"'${k.replace("'", "''")}' = '${p.replace("'", "''")}'" }
         .mkString("\nTBLPROPERTIES (", ", ", ")")
     Seq(Row(s"CREATE VIEW ${(parts.head +: ns :+ v).mkString(".")}$props AS\n${d.sql}"))
   }

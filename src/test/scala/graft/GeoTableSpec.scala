@@ -778,6 +778,45 @@ class GeoTableSpec extends SparkSpec {
     assert(m2.props == m1.props && m2.checks == m1.checks && m2.geomCol == m1.geomCol)
   }
 
+  test("TBLPROPERTIES: quoted quotes round-trip, malformed pairs refuse, bloom routes") {
+    val root = tmpRoot("props_edge")
+    pointTable(root)
+    GeoTable.register(spark, "prope_t", root)
+    // a value containing a quote (the CHECK-constraint shape) survives
+    // SET -> SHOW CREATE -> replay byte-for-byte: the emitter escapes it
+    // as '' and every parser unescapes it
+    GeoSql.exec(spark, "ALTER TABLE prope_t SET TBLPROPERTIES " +
+      "('note'='it''s quoted', " +
+      "'graft.constraints.id_ne'='cast(id AS string) != ''nope''')")
+    assert(GeoTable.properties(spark, root) ==
+      Map("note" -> "it's quoted",
+        "graft.constraints.id_ne" -> "cast(id AS string) != 'nope'"))
+    val stmt = GeoSql.exec(spark, "SHOW CREATE TABLE prope_t").head.getString(0)
+    assert(stmt.contains("'note' = 'it''s quoted'"), s"emitter must escape:\n$stmt")
+    GeoSql.exec(spark, stmt.replace("prope_t", "prope_t2").replace(root, root + "2"))
+    assert(GeoManifest.read(spark, root + "2").props ==
+      GeoTable.properties(spark, root) -- Seq("graft.constraints.id_ne"),
+      "replayed props must carry the quote intact")
+    assert(GeoManifest.read(spark, root + "2").checks
+      .contains("id_ne" -> "cast(id AS string) != 'nope'"),
+      "constraint must rebuild verbatim")
+    // UNSET spells the escaped key the same way
+    GeoSql.exec(spark, "ALTER TABLE prope_t UNSET TBLPROPERTIES ('note')")
+    assert(!GeoTable.properties(spark, root).contains("note"))
+    // a malformed pair RAISES instead of silently vanishing
+    val bad = intercept[Exception](GeoSql.exec(spark,
+      "ALTER TABLE prope_t SET TBLPROPERTIES ('ok'='fine', 'broken'=un$parse@ble)"))
+    assert(bad.getMessage.contains("unparseable TBLPROPERTIES"), bad.getMessage)
+    assert(!GeoTable.properties(spark, root).contains("ok"),
+      "a refused statement must apply nothing")
+    // bloom.* on a PATH table routes to setBloomColumns (catalog parity),
+    // instead of dead-ending at the reserved-key error
+    GeoSql.exec(spark, "ALTER TABLE prope_t SET TBLPROPERTIES ('bloom.columns'='id')")
+    assert(GeoManifest.read(spark, root).bloomCols.map(_.col) == Seq("id"))
+    GeoSql.exec(spark, "ALTER TABLE prope_t UNSET TBLPROPERTIES ('bloom.columns')")
+    assert(GeoManifest.read(spark, root).bloomCols.isEmpty)
+  }
+
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
     val root = tmpRoot("droptest")
     pointTable(root)
