@@ -1319,8 +1319,15 @@ object SparkEntry {
       // write-side default: the column list omits `tier`
       s.sql("INSERT INTO geocd.db.cd (id, nat) SELECT c_custkey, c_nationkey " +
         "FROM customer WHERE c_custkey % 3 = 2")
-      s.sql("""SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
-               FROM geocd.db.cd GROUP BY tier ORDER BY tier""")
+      // TWO columns in ONE ALTER (the multi-column front-end splitting
+      // surface): every pre-ALTER row reads BOTH folded defaults; a
+      // post-ALTER insert lands explicit values for both
+      graft.tables.GeoSql.exec(s, "ALTER TABLE geocd.db.cd ADD COLUMNS " +
+        "(src STRING DEFAULT 'web', qty BIGINT DEFAULT 5 + 2)")
+      s.sql("INSERT INTO geocd.db.cd SELECT c_custkey + 1000000, c_nationkey, " +
+        "CAST(c_nationkey AS BIGINT), 'app', 9L FROM customer WHERE c_custkey % 5 = 0")
+      s.sql("""SELECT tier, src, qty, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+               FROM geocd.db.cd GROUP BY tier, src, qty ORDER BY tier, src, qty""")
     }),
 
     // CALL rewrite_position_delete_files end-to-end: two MoR deletes mint
@@ -1435,6 +1442,62 @@ object SparkEntry {
         Seq(("geom", m2.geomCol.getOrElse("--")))
       val metaDf = meta.toDF("kind", "value")
       val stats = s.table("sct_q2")
+        .agg(count(lit(1)).cast("long").as("n"), sum("id").cast("long").as("sum_id"))
+        .select(lit("rows").as("kind"),
+          concat(col("n").cast("string"), lit(":"), col("sum_id").cast("string")).as("value"))
+      metaDf.unionByName(stats).orderBy("kind", "value")
+    }),
+
+    // SHOW CREATE TABLE for CATALOG names: the native V2 emitter cannot
+    // round-trip a geo table (it leaks the derived bookkeeping props —
+    // which CREATE refuses as reserved — and flattens GEOMETRY CRS
+    // typing to BINARY), so the geo front-end owns the catalog spelling
+    // too. Full clause surface in: native CREATE (GEOMETRY(3857),
+    // PARTITIONED BY, TBLPROPERTIES with a quoted quote, a Delta-style
+    // constraint, sort.order). The emitted DDL is require'd free of
+    // derived keys + CRS-typed, replayed VERBATIM under a new name, and
+    // the replayed table's metadata + row stats are the output.
+    "geo_show_create_catalog" -> ((s, d) => {
+      prep(s, d)
+      val sp = s
+      import sp.implicits._
+      ensureGeoCatalog(s, "geoscc", "geo_scc_wh")
+      s.conf.set("spark.sql.geospatial.enabled", "true")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS geoscc.db")
+      s.sql("DROP TABLE IF EXISTS geoscc.db.sctc")
+      s.sql("DROP TABLE IF EXISTS geoscc.db.sctc2")
+      s.sql("CREATE TABLE geoscc.db.sctc " +
+        "(id BIGINT NOT NULL, nat BIGINT, g GEOMETRY(3857)) USING geo " +
+        "PARTITIONED BY (bucket(4, id)) " +
+        "TBLPROPERTIES ('team'='data-eng', 'note'='it''s quoted', " +
+        "'graft.constraints.id_pos'='id >= 0', 'sort.order'='nat')")
+      def fill(t: String): Unit = s.sql(
+        s"INSERT INTO $t SELECT c_custkey, c_nationkey, " +
+          "st_point(CAST(c_custkey % 100 AS DOUBLE), CAST(c_nationkey AS DOUBLE)) " +
+          "FROM customer")
+      fill("geoscc.db.sctc")
+      val stmt = graft.tables.GeoSql.exec(s, "SHOW CREATE TABLE geoscc.db.sctc")
+        .head.getString(0)
+      require(!stmt.contains("format-version") && !stmt.contains("snapshot-version") &&
+        !stmt.contains("data-files") && !stmt.contains("total-rows"),
+        s"derived bookkeeping must not leak into DDL:\n$stmt")
+      require(stmt.contains("GEOMETRY('EPSG:3857')"),
+        s"CRS typing must survive the emitter:\n$stmt")
+      graft.tables.GeoSql.exec(s, stmt.replace("sctc", "sctc2"))
+      fill("geoscc.db.sctc2")
+      val root2 = s.conf.get("spark.sql.catalog.geoscc.warehouse") + "/db/sctc2"
+      val m2 = graft.tables.GeoManifest.read(s, root2)
+      require(s.table("geoscc.db.sctc2").count() == s.table("geoscc.db.sctc").count(),
+        "replayed table must accept the same rows")
+      val meta =
+        m2.checks.map { case (n, sql) => ("check", s"$n: $sql") } ++
+        m2.props.toSeq.map { case (k, v) => ("prop", s"$k=$v") } ++
+        m2.partitions.filter(_.layout).map(p => ("partition", p.encode)) ++
+        m2.partitions.filter(_.kind == "sort").map(p => ("sort", p.col)) ++
+        Seq(("geom", m2.geomCol.getOrElse("--")),
+            ("crs", graft.tables.GeoSchema.crsOf(m2.schema("g"))))
+      val metaDf = meta.toDF("kind", "value")
+      val stats = s.table("geoscc.db.sctc2")
         .agg(count(lit(1)).cast("long").as("n"), sum("id").cast("long").as("sum_id"))
         .select(lit("rows").as("kind"),
           concat(col("n").cast("string"), lit(":"), col("sum_id").cast("string")).as("value"))
@@ -4859,13 +4922,17 @@ object SparkEntry {
     // analyzer default respectively), third {1} carries explicit tiers
     "geo_column_default" -> """
       WITH al AS (
-        SELECT CAST(42 AS BIGINT) AS tier, c_custkey AS id
+        SELECT CAST(42 AS BIGINT) AS tier, 'web' AS src, CAST(7 AS BIGINT) AS qty,
+               c_custkey AS id
         FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 2
         UNION ALL
-        SELECT CAST(c_nationkey AS BIGINT), c_custkey
-        FROM customer WHERE c_custkey % 3 = 1)
-      SELECT tier, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
-      FROM al GROUP BY tier ORDER BY tier""",
+        SELECT CAST(c_nationkey AS BIGINT), 'web', CAST(7 AS BIGINT), c_custkey
+        FROM customer WHERE c_custkey % 3 = 1
+        UNION ALL
+        SELECT CAST(c_nationkey AS BIGINT), 'app', CAST(9 AS BIGINT), c_custkey + 1000000
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT tier, src, qty, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id
+      FROM al GROUP BY tier, src, qty ORDER BY tier, src, qty""",
 
     // closed-form from the delete predicates: two live sidecars before
     // the verb (their recorded rows = the matched counts), still two
@@ -4893,6 +4960,23 @@ object SparkEntry {
                ('prop', 'team=data-eng'),
                ('partition', 'bucket(4,id)'),
                ('geom', 'g')
+        UNION ALL
+        SELECT 'rows', CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(c_custkey) AS VARCHAR)
+        FROM customer
+      ) t(kind, value) ORDER BY kind, value""",
+
+    // the catalog-name replay's metadata as literals (the quote in
+    // 'note' survives emit -> unescape; the constraint, partition,
+    // sort order, geometry CRS all rebuild from the emitted DDL)
+    "geo_show_create_catalog" -> """
+      SELECT * FROM (
+        VALUES ('check', 'id_pos: id >= 0'),
+               ('prop', 'note=it''s quoted'),
+               ('prop', 'team=data-eng'),
+               ('partition', 'bucket(4,id)'),
+               ('sort', 'nat'),
+               ('geom', 'g'),
+               ('crs', 'EPSG:3857')
         UNION ALL
         SELECT 'rows', CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(c_custkey) AS VARCHAR)
         FROM customer

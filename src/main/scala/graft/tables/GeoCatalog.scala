@@ -378,14 +378,23 @@ class GeoCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val sparkInjected = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+    val nonConfig = properties.asScala.toMap.filterNot { case (k, _) =>
       consumedConfig.contains(k) || sparkInjected.contains(k)
     }
+    // CHECK constraints Delta-style ('graft.constraints.<name>'='expr' —
+    // the spelling SHOW CREATE TABLE emits), same routing as the path
+    // CREATE front-end; the table is empty, so ADD-time validation is
+    // trivially green
+    val (checkProps, userProps) = nonConfig.partition(_._1.startsWith("graft.constraints."))
     // order matters: layout keys, then sort keys (the clustering key
     // order layout() uses), then the stats-only tail
     GeoTable.createEmpty(spark, root, tagged, geomCol,
       ptransforms.toSeq ++ sortT ++ statsFiltered(statsT, sortT),
       bloomCols = bloomT, props = userProps)
+    checkProps.toSeq.sortBy(_._1).foreach { case (k, expr) =>
+      GeoTable.addCheckConstraint(spark, root,
+        k.stripPrefix("graft.constraints."), expr)
+    }
     new GeoV2Table(s"$catalogName.${ident.toString}", root, GeoManifest.read(spark, root))
   }
 

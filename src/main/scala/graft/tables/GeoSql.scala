@@ -342,9 +342,13 @@ object GeoSql {
         // catalog names keep Spark's NATIVE CREATE for PARTITIONED BY /
         // TBLPROPERTIES (full analyzer checks, transform hints,
         // createTable's config routing) — the front-end's extended tail
-        // exists for PATH tables, which have no native CREATE at all
+        // exists for PATH tables, which have no native CREATE at all.
+        // EXCEPT when a column uses a spelling the native grammar lacks
+        // (bare GEOMETRY / quoted-CRS — SHOW CREATE TABLE emits the
+        // latter): native would parse-error, so the front-end owns it
         else if (GeoCatalog.resolveWarehouseRoot(name).isDefined &&
-                 (parts.nonEmpty || props.nonEmpty)) None
+                 (parts.nonEmpty || props.nonEmpty) &&
+                 nonNativeGeomRe.findFirstIn(colsDdl).isEmpty) None
         else Some(GeoCreateTableCommand(name, colsDdl, location, parts, props))
       }
     // UPDATE/DELETE/MERGE: only PATH-REGISTERED tables use this front-end;
@@ -427,7 +431,12 @@ object GeoSql {
       Some(GeoSetTblPropsCommand(name, propsSql, unset = true))
     case showTblPropsRe(name) if GeoTable.registeredRoot(name).isDefined =>
       Some(GeoShowTblPropsCommand(name))
-    case showCreateTableRe(name) if GeoTable.registeredRoot(name).isDefined =>
+    // path-registered AND catalog geo names: Spark's native V2 SHOW
+    // CREATE cannot round-trip (it emits the derived props — which
+    // CREATE rightly refuses as reserved — and flattens GEOMETRY CRS
+    // typing to BINARY), so this front-end owns both spellings and emits
+    // the replayable form
+    case showCreateTableRe(name) if resolveRoot(name).isDefined =>
       Some(GeoShowCreateTableCommand(name))
     case createViewRe(orReplace, ifNotExists, name, query) if geoViewCatalog(name) =>
       Some(GeoCreateViewCommand(name, query.trim,
@@ -1507,16 +1516,18 @@ case class GeoShowTblPropsCommand(name: String) extends GeoRunnable {
       .map { case (k, v) => Row(k, v) }
 }
 
-/** SHOW CREATE TABLE <path-registered> — reconstruct a runnable CREATE
-  * statement from the manifest: columns (GEOMETRY columns spelled with
-  * their CRS, NOT NULL and DEFAULT clauses preserved), USING geo,
-  * PARTITIONED BY the layout transforms, TBLPROPERTIES carrying user
-  * props plus the config surface (stats.columns / sort.order / bloom.*)
-  * and CHECK constraints Delta-style as `graft.constraints.<name>`, and
-  * the LOCATION. The emitted text round-trips through this front-end's
-  * own CREATE TABLE (spec-pinned), so it is a working migration recipe,
-  * not just documentation. Catalog names fall through to Spark's native
-  * V2 SHOW CREATE TABLE. */
+/** SHOW CREATE TABLE (path-registered or catalog geo name) — reconstruct
+  * a runnable CREATE statement from the manifest: columns (GEOMETRY
+  * columns spelled with their CRS, NOT NULL and DEFAULT clauses
+  * preserved), USING geo, PARTITIONED BY the layout transforms,
+  * TBLPROPERTIES carrying user props plus the config surface
+  * (stats.columns / sort.order / bloom.*) and CHECK constraints
+  * Delta-style as `graft.constraints.<name>`, and the LOCATION. The
+  * emitted text round-trips through this front-end's own CREATE TABLE
+  * (spec-pinned), so it is a working migration recipe, not just
+  * documentation. Spark's native V2 SHOW CREATE cannot do this for geo
+  * tables: it emits the derived bookkeeping props — which CREATE
+  * refuses as reserved — and flattens GEOMETRY CRS typing to BINARY. */
 case class GeoShowCreateTableCommand(name: String) extends GeoRunnable {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("createtab_stmt", org.apache.spark.sql.types.StringType,
