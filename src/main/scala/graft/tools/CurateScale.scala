@@ -96,6 +96,26 @@ object CurateScale {
       }
       println(f"[curate] bm25-remove n=$nd%d keys=500 remove=$tRemove%.2f s " +
         f"probe_after=$tProbeAfter%.2f s")
+
+      // r20: the domain-cap verb at SKEW — one mega-source holds 80% of
+      // the corpus (the C4/FineWeb reality: one giant crawl domain), the
+      // rest spread over ~1k small sources that pass through untouched.
+      // The mega group is capPerSource's documented hot key: the
+      // over-cap verdict broadcasts, pass-through rows never sort, and
+      // WindowGroupLimit (partial+final) bounds the mega group's
+      // per-partition sort at cap rows — so wall must track CORPUS size
+      // (one hash pass + the bounded group limit), not blow up with the
+      // hot group. Kept = small sources whole + exactly cap mega rows.
+      val sourced = d.withColumn("src",
+        when(pmod(col("doc_id"), lit(5)) < 4, lit("mega.example"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(997)))))
+      val capN = 1000L
+      val (kept, tCap) = wall {
+        TrainingData.capPerSource(sourced, col("doc_id"), col("src"), capN).count()
+      }
+      val megaKept = kept - sourced.where(col("src") =!= "mega.example").count()
+      println(f"[curate] cap-skew n=$nd%d mega=${nd * 4 / 5}%d cap=$capN%d " +
+        f"kept=$kept%d megaKept=$megaKept%d wall=$tCap%.2f s (${nd / tCap}%.0f rows/s)")
     }
     spark.stop()
   }
