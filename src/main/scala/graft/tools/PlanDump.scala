@@ -53,6 +53,7 @@ object PlanDump {
       "geo_column_default" -> "column DEFAULT: old files' scan fills EXISTS_DEFAULT inside the reader — no coalesce projection, no rewrite, plain agg above the scan",
       "text_bm25_delete_topk" -> "post-removal BM25 probe: the same term-IN bucket-pruned scan, the removal's equality delete merged IN-READER (no extra join node), df from surviving lists only",
       "hybrid_rrf_top10" -> "hybrid RRF: both bounded legs rank in tiny single-partition windows; the fusion is one aggregation over <=2N rows — corpus-side work lives entirely inside the legs",
+      "hybrid_rrf_pq_top10" -> "hybrid RRF over a PQ index: the dense leg's ADC sweep ran as its OWN codes-only job (scan read vec_id+pq_code — OpsSpec pins the read schema); this plan shows the id-pushdown float rerank under the same bounded fusion",
       "curate_source_cap" -> "domain cap: tiny over-cap verdict broadcast BOTH ways (anti-join pass-through never sorts; only over-cap sources rank, each over its own rows)")
 
     val sb = new StringBuilder
