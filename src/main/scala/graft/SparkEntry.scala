@@ -2609,6 +2609,46 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // The REBUILD maintenance verb (tools/ChurnScale's recipe, closing
+    // the index lifecycle: build -> append -> remove -> upsert -> stream
+    // -> REBUILD): build IVF-PQ, churn it (remove one slice, upsert
+    // another with negated embeddings — exact in IEEE floats), then
+    // rebuildIvfIndex over the survivors at a fresh root. Training
+    // params (k, m, pqK) come back from the STORED tables — callers
+    // never re-specify them. The rebuilt index must probe EXACTLY brute
+    // force over the churned corpus (nprobe=all, covering pool) and
+    // start sidecar-free (require'd).
+    "ann_ivf_rebuild_top10" -> ((s, d) => {
+      prep(s, d)
+      val q = s.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val base = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
+      val idx = base + "/i"
+      val idx2 = base + "/i2"
+      graft.ops.Similarity.buildIvfPqIndex(s, idx,
+        s.table("embeddings"), col("embedding"), col("vec_id"),
+        k = 8, iters = 2, m = 16, pqK = 16)
+      graft.ops.Similarity.removeFromIvfIndex(s, idx,
+        s.table("embeddings").where(col("vec_id") % 5 === 2).select("vec_id"))
+      graft.ops.Similarity.upsertIvfIndex(s, idx,
+        s.table("embeddings")
+          .where(col("vec_id") % 7 === 1 && col("vec_id") % 5 =!= 2)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")),
+        col("embedding"), col("vec_id"))
+      val rebuilt = graft.ops.Similarity.rebuildIvfIndex(s, idx, idx2)
+      require(rebuilt == graft.tables.GeoTable.read(s, s"$idx/vectors").count(),
+        "rebuild must carry every survivor")
+      require(graft.tables.GeoManifest.read(s, s"$idx2/vectors").eqDeletes.isEmpty,
+        "a rebuilt index starts sidecar-free")
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Similarity.ivfPqSearch(s, idx2, q, k = 10, nprobe = 8,
+          candidates = 512)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
+        .select(col("vec_id"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // Persisted IVF-PQ: the composed 100 TB ANN shape. Build pays both
     // Lloyd's levels once and stores vectors (+ PQ codes) cluster-
     // partitioned with the centroid and codebook tables; the returned
@@ -4607,6 +4647,19 @@ object SparkEntry {
             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
           vec_id) AS rn
         FROM embeddings) t
+      WHERE rn <= 10 ORDER BY rn""",
+
+    // the rebuilt index must rank exactly as brute force over the
+    // churned corpus: %5==2 removed, surviving %7==1 negated
+    "ann_ivf_rebuild_top10" -> """
+      SELECT vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(CAST(CASE WHEN vec_id % 7 = 1
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+          vec_id) AS rn
+        FROM embeddings WHERE vec_id % 5 <> 2) t
       WHERE rn <= 10 ORDER BY rn""",
 
     // post-removal search must equal brute force over exactly the

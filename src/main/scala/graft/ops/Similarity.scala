@@ -569,6 +569,38 @@ object Similarity {
     graft.tables.GeoTable.upsertByKey(spark, s"$indexRoot/vectors",
       Seq("vec_id"), encodeForIndex(spark, indexRoot, df, vec, id))
 
+  /** REBUILD a churned IVF/IVF-PQ index: Lloyd's (both levels when the
+    * old index is PQ) re-runs over the SURVIVORS and the result lands at
+    * `newRoot` — the maintenance verb the churn envelope motivates
+    * (tools/ChurnScale: after ~30% cumulative drifted churn the
+    * probed-row share had aged 0.126 → 0.198; one rebuild restored the
+    * build-day share and probe wall). Training params (k, m, pqK) are
+    * read back from the STORED tables, so callers need not remember the
+    * build-day tuning; `iters` re-prices Lloyd's. The old index stays
+    * readable throughout (rebuild is a reader of it) — cut probes over
+    * to `newRoot`, then drop the old directory; the two-root shape is
+    * what makes the swap crash-safe without a cross-table transaction.
+    * Returns the number of vectors rebuilt. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexRoot: String, newRoot: String,
+                      iters: Int = 3): Long = {
+    val c = org.apache.spark.sql.functions.col _
+    require(graft.tables.GeoManifest.currentVersion(spark, newRoot + "/vectors").isEmpty,
+      s"$newRoot already holds an index — rebuild lands at a FRESH root")
+    val survivors = graft.tables.GeoTable.read(spark, s"$indexRoot/vectors")
+      .select(c("vec_id"), c("vec"))
+    val k = graft.tables.GeoTable.read(spark, s"$indexRoot/centroids").count().toInt
+    readCodebooks(spark, indexRoot) match {
+      case Some(cb) =>
+        buildIvfPqIndex(spark, newRoot, survivors, c("vec"), c("vec_id"),
+          k = k, iters = iters, m = cb.length, pqK = cb.head.length)
+      case None =>
+        buildIvfIndex(spark, newRoot, survivors, c("vec"), c("vec_id"),
+          k = k, iters = iters)
+    }
+    graft.tables.GeoTable.read(spark, s"$newRoot/vectors").count()
+  }
+
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
               q: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {

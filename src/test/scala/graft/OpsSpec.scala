@@ -491,6 +491,41 @@ class OpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("rebuildIvfIndex: params recovered from storage, flavor preserved, fresh root only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
+    // plain IVF: churn, rebuild, probe == brute over survivors; NO
+    // codebooks table minted (flavor preserved)
+    Similarity.buildIvfIndex(spark, s"$base/ivf", emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2)
+    Similarity.removeFromIvfIndex(spark, s"$base/ivf",
+      emb.where(col("vec_id") % 3 === 0).select("vec_id"))
+    val n = Similarity.rebuildIvfIndex(spark, s"$base/ivf", s"$base/ivf2")
+    assert(n == emb.where(col("vec_id") % 3 =!= 0).count())
+    assert(!Similarity.hasPqCodebooks(spark, s"$base/ivf2"),
+      "a plain-IVF rebuild must not mint codebooks")
+    assert(graft.tables.GeoTable.read(spark, s"$base/ivf2/centroids").count() == 8,
+      "k must come back from the stored centroids")
+    val got = Similarity.ivfSearch(spark, s"$base/ivf2", q, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteTopK(emb.where(col("vec_id") % 3 =!= 0),
+        col("embedding"), col("vec_id"), q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == brute, s"rebuilt probe diverged: $got vs $brute")
+    // PQ flavor: m/pqK recovered; an occupied root refuses
+    Similarity.buildIvfPqIndex(spark, s"$base/pq", emb, col("embedding"), col("vec_id"),
+      k = 8, iters = 2, m = 16, pqK = 16)
+    Similarity.rebuildIvfIndex(spark, s"$base/pq", s"$base/pq2")
+    assert(Similarity.hasPqCodebooks(spark, s"$base/pq2"))
+    val cb2 = graft.tables.GeoTable.read(spark, s"$base/pq2/codebooks")
+    assert(cb2.agg(max("subspace"), max("code")).head() ==
+      org.apache.spark.sql.Row(15, 15), "m/pqK must come back from storage")
+    val err = intercept[IllegalArgumentException](
+      Similarity.rebuildIvfIndex(spark, s"$base/pq", s"$base/pq2"))
+    assert(err.getMessage.contains("FRESH root"), err.getMessage)
+  }
+
   test("hybridSearch auto-routes the dense leg: PQ index fuses identically to plain IVF") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
