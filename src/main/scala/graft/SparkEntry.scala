@@ -1467,12 +1467,15 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS geoscc.db.sctc")
       s.sql("DROP TABLE IF EXISTS geoscc.db.sctc2")
       s.sql("CREATE TABLE geoscc.db.sctc " +
-        "(id BIGINT NOT NULL, nat BIGINT, g GEOMETRY(3857)) USING geo " +
+        "(id BIGINT NOT NULL, nat BIGINT, qty BIGINT DEFAULT 5 + 2, " +
+        "g GEOMETRY(3857)) USING geo " +
         "PARTITIONED BY (bucket(4, id)) " +
         "TBLPROPERTIES ('team'='data-eng', 'note'='it''s quoted', " +
         "'graft.constraints.id_pos'='id >= 0', 'sort.order'='nat')")
+      // the column list omits qty: BOTH tables must fill the declared
+      // default write-side (the replayed table re-folds it from the DDL)
       def fill(t: String): Unit = s.sql(
-        s"INSERT INTO $t SELECT c_custkey, c_nationkey, " +
+        s"INSERT INTO $t (id, nat, g) SELECT c_custkey, c_nationkey, " +
           "st_point(CAST(c_custkey % 100 AS DOUBLE), CAST(c_nationkey AS DOUBLE)) " +
           "FROM customer")
       fill("geoscc.db.sctc")
@@ -1495,12 +1498,15 @@ object SparkEntry {
         m2.partitions.filter(_.layout).map(p => ("partition", p.encode)) ++
         m2.partitions.filter(_.kind == "sort").map(p => ("sort", p.col)) ++
         Seq(("geom", m2.geomCol.getOrElse("--")),
-            ("crs", graft.tables.GeoSchema.crsOf(m2.schema("g"))))
+            ("crs", graft.tables.GeoSchema.crsOf(m2.schema("g"))),
+            ("default", "qty=" + m2.schema("qty").metadata.getString("CURRENT_DEFAULT")))
       val metaDf = meta.toDF("kind", "value")
       val stats = s.table("geoscc.db.sctc2")
-        .agg(count(lit(1)).cast("long").as("n"), sum("id").cast("long").as("sum_id"))
+        .agg(count(lit(1)).cast("long").as("n"), sum("id").cast("long").as("sum_id"),
+          sum("qty").cast("long").as("sum_qty"))
         .select(lit("rows").as("kind"),
-          concat(col("n").cast("string"), lit(":"), col("sum_id").cast("string")).as("value"))
+          concat(col("n").cast("string"), lit(":"), col("sum_id").cast("string"),
+            lit(":"), col("sum_qty").cast("string")).as("value"))
       metaDf.unionByName(stats).orderBy("kind", "value")
     }),
 
@@ -5019,8 +5025,9 @@ object SparkEntry {
       ) t(kind, value) ORDER BY kind, value""",
 
     // the catalog-name replay's metadata as literals (the quote in
-    // 'note' survives emit -> unescape; the constraint, partition,
-    // sort order, geometry CRS all rebuild from the emitted DDL)
+    // 'note' survives emit -> unescape; the constraint, partition, sort
+    // order, geometry CRS, and the column DEFAULT all rebuild from the
+    // emitted DDL; both tables' qty filled write-side from the default)
     "geo_show_create_catalog" -> """
       SELECT * FROM (
         VALUES ('check', 'id_pos: id >= 0'),
@@ -5029,9 +5036,11 @@ object SparkEntry {
                ('partition', 'bucket(4,id)'),
                ('sort', 'nat'),
                ('geom', 'g'),
-               ('crs', 'EPSG:3857')
+               ('crs', 'EPSG:3857'),
+               ('default', 'qty=5 + 2')
         UNION ALL
         SELECT 'rows', CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(c_custkey) AS VARCHAR)
+                       || ':' || CAST(COUNT(*) * 7 AS VARCHAR)
         FROM customer
       ) t(kind, value) ORDER BY kind, value""",
 

@@ -801,7 +801,32 @@ case class GeoCreateTableCommand(name: String, colsDdl: String,
   override def execute(spark: SparkSession): Seq[Row] = {
     GeoSql.requireNoView(spark, name)
     val props = tblProps.toMap
-    val schema0 = GeoSchema.fromDdl(colsDdl)
+    // per-clause DEFAULT handling (the spelling SHOW CREATE emits, so
+    // DEFAULT-bearing DDL round-trips): fromDdl cannot spell DEFAULT, so
+    // strip it per top-level clause and fold it exactly as ADD COLUMN
+    // ... DEFAULT does — both metadata keys pinned at CREATE (no
+    // pre-column files exist yet, but one rule beats two)
+    val schema0 = org.apache.spark.sql.types.StructType(
+      GeoSql.splitTopLevelCommas(colsDdl).flatMap { clause =>
+        val (colDdl, dflt) = GeoSql.splitDefault(clause) match {
+          case Some((cd, d)) => (cd, Some(d))
+          case None => (clause, None)
+        }
+        GeoSchema.fromDdl(colDdl).fields.map { f =>
+          dflt match {
+            case None => f
+            case Some(sql) =>
+              require(!GeoSchema.isGeometry(f),
+                "a GEOMETRY column cannot carry a DEFAULT")
+              val folded = GeoTable.foldedDefault(spark, sql, f.dataType)
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("EXISTS_DEFAULT", folded.sql)
+                .putString("CURRENT_DEFAULT", sql)
+                .build())
+          }
+        }
+      }.toArray)
     // TBLPROPERTIES('geometry.column'='g') tags an untyped BINARY column
     // (catalog-createTable parity); a GEOMETRY-typed column wins
     val propGeom = props.get(GeoCatalog.GeomColProp).filter(_.nonEmpty)

@@ -935,7 +935,7 @@ object GeoTable {
   /** Fold a DEFAULT expression NOW against an empty frame: unresolvable
     * names, type mismatches, and non-constant expressions all fail here
     * with Spark's own errors, never at a later read or write. */
-  private def foldedDefault(spark: SparkSession, defaultSql: String,
+  private[tables] def foldedDefault(spark: SparkSession, defaultSql: String,
                             dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.catalyst.expressions.Literal = {
     val empty = spark.createDataFrame(

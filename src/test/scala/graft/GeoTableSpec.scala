@@ -817,6 +817,34 @@ class GeoTableSpec extends SparkSpec {
     assert(GeoManifest.read(spark, root).bloomCols.isEmpty)
   }
 
+  test("CREATE TABLE with DEFAULT columns: write-side fill + SHOW CREATE round-trip") {
+    val root = tmpRoot("create_dflt")
+    // the front-end CREATE folds per-clause DEFAULTs exactly as
+    // ADD COLUMN ... DEFAULT does (fromDdl cannot spell them) — the
+    // spelling SHOW CREATE emits, so DEFAULT-bearing DDL round-trips
+    GeoSql.exec(spark, "CREATE TABLE cdflt_t (id BIGINT NOT NULL, " +
+      s"tier BIGINT DEFAULT 40 + 2, tag STRING DEFAULT 'web') USING geo LOCATION '$root'")
+    val f = GeoManifest.read(spark, root).schema("tier")
+    assert(f.metadata.getString("CURRENT_DEFAULT") == "40 + 2" &&
+      f.metadata.getString("EXISTS_DEFAULT") == "42L", f.metadata.toString)
+    GeoSql.exec(spark, "INSERT INTO cdflt_t (id) SELECT 1L")
+    assert(spark.table("cdflt_t").collect().toSeq.map(_.toString) == Seq("[1,42,web]"))
+    // a non-constant or unresolvable DEFAULT fails AT CREATE, not later
+    val bad = intercept[Exception](GeoSql.exec(spark,
+      s"CREATE TABLE cdflt_bad (id BIGINT, x BIGINT DEFAULT id + 1) USING geo " +
+        s"LOCATION '${root}_bad'"))
+    assert(bad != null)
+    val stmt = GeoSql.exec(spark, "SHOW CREATE TABLE cdflt_t").head.getString(0)
+    assert(stmt.contains("DEFAULT 40 + 2") && stmt.contains("DEFAULT 'web'"), stmt)
+    GeoSql.exec(spark, stmt.replace("cdflt_t", "cdflt_t2").replace(root, root + "2"))
+    val f2 = GeoManifest.read(spark, root + "2").schema("tier")
+    assert(f2.metadata.getString("CURRENT_DEFAULT") == "40 + 2" &&
+      f2.metadata.getString("EXISTS_DEFAULT") == "42L",
+      "the replayed table must fold the same defaults")
+    GeoSql.exec(spark, "INSERT INTO cdflt_t2 (id) SELECT 9L")
+    assert(spark.table("cdflt_t2").collect().toSeq.map(_.toString) == Seq("[9,42,web]"))
+  }
+
   test("DROP TABLE removes a geo table and its files; other DROPs delegate") {
     val root = tmpRoot("droptest")
     pointTable(root)
