@@ -5679,7 +5679,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id),
            lex AS (SELECT doc_id AS id, rn FROM (
-                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
                      FROM scored) t WHERE rn <= 50),
            dense AS (SELECT vec_id AS id, rn FROM (
                      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
@@ -5713,7 +5713,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id),
            lex AS (SELECT doc_id AS id, rn FROM (
-                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
                      FROM scored) t WHERE rn <= 50),
            dense AS (SELECT vec_id AS id, rn FROM (
                      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
@@ -5748,7 +5748,7 @@ object SparkEntry {
                   CROSS JOIN stats s
              GROUP BY t.doc_id),
            lex AS (SELECT doc_id AS id, rn FROM (
-                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+                     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
                      FROM scored) t WHERE rn <= 50),
            dense AS (SELECT vec_id AS id, rn FROM (
                      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY

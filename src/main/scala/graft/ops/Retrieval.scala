@@ -34,6 +34,21 @@ object Retrieval {
         row_number().over(Window.orderBy(desc(score), asc(id))))
       .select(col(id).as("id"), col("rank"))
 
+  /** The LEXICAL leg ranks by the QUANTIZED BM25 score (round to 1e-6 —
+    * the same spelling the standalone BM25 rank queries use): documents
+    * with identical tf vectors and doc length tie EXACTLY in real
+    * arithmetic, but each engine's parallel sum lands them ulps apart in
+    * an order that varies run to run, so a raw-score rank is a coin flip
+    * exactly where it feeds fusion (two lex-only docs at leg ranks n and
+    * n+1 swap fused scores). Quantized, exact ties compare equal on
+    * every engine and the id tiebreak engages portably; two TRULY
+    * distinct scores within 1e-6 also just tiebreak by id — portable as
+    * well, since both engines quantize identically. The DENSE leg stays
+    * raw: a cosine over distinct float vectors is a fixed-order product
+    * sum (bit-identical across engines, no structural ties). */
+  private def rankedLex(leg: DataFrame, id: String, score: String): DataFrame =
+    ranked(leg.withColumn(score, round(col(score), 6)), id, score)
+
   /**
    * Fuse bounded (id, rank) legs: Σ 1/(rrfK + rank), ties broken by id
    * ascending. Exactly engine-portable for two legs (IEEE addition of two
@@ -62,7 +77,7 @@ object Retrieval {
   def hybridTopK(docs: DataFrame, docId: Column, text: Column, query: Seq[String],
                  embs: DataFrame, embId: Column, emb: Column, queryVec: Array[Float],
                  k: Int, perLeg: Int = 50, rrfK: Int = 60): DataFrame = {
-    val lex = ranked(
+    val lex = rankedLex(
       TextAnalysis.bm25TopK(docs, docId, text, query, perLeg), "doc_id", "score")
     val dense = ranked(
       Similarity.bruteTopK(embs, emb, embId, queryVec, perLeg), "vec_id", "score")
@@ -89,7 +104,7 @@ object Retrieval {
                    query: Seq[String], queryVec: Array[Float], k: Int,
                    perLeg: Int = 50, rrfK: Int = 60, nprobe: Int = 2,
                    candidates: Int = 128): DataFrame = {
-    val lex = ranked(
+    val lex = rankedLex(
       TextAnalysis.bm25Search(spark, textIndexRoot, query, perLeg), "doc_id", "score")
     val denseLeg =
       if (Similarity.hasPqCodebooks(spark, ivfIndexRoot))
