@@ -452,7 +452,7 @@ object TextAnalysis {
           c("tf") * (k1 + 1.0) /
           (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / lit(avgdl))))
       .groupBy("doc_id").agg(sum(c("__w")).as("score"))
-      .orderBy(c("score").desc, c("doc_id").asc)
+      .orderBy(round(c("score"), 6).desc, c("doc_id").asc)
       .limit(k)
   }
 
@@ -460,7 +460,11 @@ object TextAnalysis {
    * Okapi BM25 top-k: rank every document against a bag-of-words query
    * (Robertson et al., TREC-3; the k1/b formulation with the +1 idf that
    * never goes negative). Returns the k best (doc_id, score), ordered by
-   * score desc then doc_id.
+   * the QUANTIZED score (round to 1e-6) desc then doc_id — docs with
+   * identical tf vectors and doc length tie exactly in real arithmetic
+   * but land ulps apart under any engine's parallel-sum addend order, so
+   * the selection and order rule must not rest on those ulps; the
+   * returned score column itself stays raw.
    *
    * Distributed shape: tokenize → explode → FILTER TO QUERY TERMS before
    * any shuffle (the aggregations see only matching postings, never a
@@ -489,7 +493,7 @@ object TextAnalysis {
           c("tf") * (k1 + 1.0) /
           (c("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * c("dl") / c("avgdl"))))
       .groupBy("doc_id").agg(sum(c("__w")).as("score"))
-      .orderBy(c("score").desc, c("doc_id").asc)
+      .orderBy(round(c("score"), 6).desc, c("doc_id").asc)
       .limit(k)
   }
 }
