@@ -204,6 +204,14 @@ object Similarity {
     // are ContextCleaner-freed when the frames are dropped — a cache()
     // here would stay pinned in the CacheManager for the session lifetime.
     val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).localCheckpoint()
+    kmeansAssignOn(base, k, iters)
+  }
+
+  /** Lloyd's over an already-materialized `(vec_id, __v)` base —
+    * [[buildIvfPqIndex]] shares ONE checkpointed base between the coarse
+    * quantizer and PQ training, so the input is scanned/projected once. */
+  private def kmeansAssignOn(base: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Double]]) = {
     // deterministic init: first k vectors by id; element type read
     // agnostically (embeddings are float[], centroids/other sources double[])
     var centroids: Array[Array[Double]] =
@@ -211,21 +219,24 @@ object Similarity {
         .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     for (_ <- 1 to iters) {
       val assigned = assignClusters(base, centroids)
+      // per-dimension means collected as (cluster, pos, m) rows — k*dim
+      // rows, one shuffle (the old second groupBy that pivoted them into
+      // a map was a pure reshape: same avg() aggregate, same values, one
+      // more exchange per Lloyd's round for nothing)
       val upd = assigned
         .select(org.apache.spark.sql.functions.col("cluster"),
           posexplode(org.apache.spark.sql.functions.col("__v")))
         .groupBy("cluster", "pos").agg(avg(org.apache.spark.sql.functions.col("col")).as("m"))
-        .groupBy("cluster").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
         .collect()
+      val fresh = new java.util.HashMap[Int, Array[Double]]()
       for (r <- upd) {
         val cl = r.getInt(0)
         if (cl >= 0 && cl < centroids.length) { // defensive: unassignable rows fold to -1
-          val mm = r.getMap[Int, Double](1)
-          val arr = centroids(cl).clone()
-          mm.foreach { case (i, v) => arr(i) = v }
-          centroids(cl) = arr
+          val arr = fresh.computeIfAbsent(cl, c => centroids(c).clone())
+          arr(r.getInt(1)) = r.getDouble(2)
         }
       }
+      fresh.forEach((cl, arr) => centroids(cl) = arr)
     }
     (assignClusters(base, centroids), centroids)
   }
@@ -351,8 +362,12 @@ object Similarity {
                       k: Int, iters: Int = 3, m: Int = 8, pqK: Int = 16,
                       pqIters: Int = 8, sampleN: Int = 4096): Unit = {
     val c = org.apache.spark.sql.functions.col _
-    val (assigned, cents) = kmeansAssign(df, vec, id, k, iters)
-    val cb = pqTrain(df, vec, id, m, pqK, pqIters, sampleN)
+    // ONE materialized (vec_id, __v) base feeds both Lloyd's levels: the
+    // coarse quantizer's rounds and the PQ training sample read the same
+    // checkpointed blocks instead of re-scanning + re-projecting the input
+    val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).localCheckpoint()
+    val (assigned, cents) = kmeansAssignOn(base, k, iters)
+    val cb = pqTrainOn(base, m, pqK, pqIters, sampleN)
     writeIvfTables(spark, indexRoot,
       assigned
         .withColumn("pq_code", col2(graft.functions.PqEncode(ex(c("__v")), cb)))
@@ -407,12 +422,45 @@ object Similarity {
       org.apache.spark.sql.functions.col("cluster").isin(probes: _*)), "vec", q, k)
   }
 
-  /** The stored centroids, ordered by cluster id. */
+  // Driver-side memo of the tiny index-METADATA tables (k centroid rows,
+  // m*k codebook rows — never vectors, never results) keyed by (table
+  // root, manifest version): index workflows and per-micro-batch ingest
+  // re-read these constant tables several times each (probe + encode +
+  // rebuild legs), and every re-read is a full Spark job. A version-keyed
+  // entry can never go stale — commits mint new versions — and the
+  // version lookup is one driver-side `_current` read. Bounded LRU, so
+  // driver state stays a handful of k*dim arrays (the same state the
+  // probe already holds transiently).
+  private val metaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int, Option[Long], String), AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, Option[Long], String), AnyRef]): Boolean =
+          size() > 32
+      })
+
+  private def cachedMeta[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+                                      table: String, kind: String)(load: Int => T): T = {
+    // key on (root, version, commit ts): version alone could alias a
+    // dropped-and-recreated root whose fresh v0 holds different rows —
+    // the commit timestamp separates the two lineages. Manifest read is
+    // one driver-side file, no job.
+    val m = graft.tables.GeoManifest.read(spark, table)
+    val key = (graft.tables.GeoManifest.norm(table), m.version, m.commitTs, kind)
+    val hit = metaCache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else { val loaded = load(m.version); metaCache.put(key, loaded); loaded }
+  }
+
+  /** The stored centroids, ordered by cluster id (memoized per manifest
+    * version — see [[metaCache]]). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexRoot: String): Seq[(Int, Array[Double])] =
-    graft.tables.GeoTable.read(spark, s"$indexRoot/centroids")
-      .orderBy("cluster").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    cachedMeta(spark, s"$indexRoot/centroids", "centroids") { v =>
+      graft.tables.GeoTable.readAt(spark, s"$indexRoot/centroids", v)
+        .orderBy("cluster").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    }
 
   /** Whether a persisted index at `indexRoot` carries trained PQ
     * codebooks (i.e. was built by [[buildIvfPqIndex]]) — one manifest
@@ -423,16 +471,20 @@ object Similarity {
                      indexRoot: String): Boolean =
     graft.tables.GeoManifest.currentVersion(spark, s"$indexRoot/codebooks").isDefined
 
-  /** The stored PQ codebooks, or None for a plain IVF index. */
+  /** The stored PQ codebooks, or None for a plain IVF index (memoized per
+    * manifest version — see [[metaCache]]; absence stays a cheap
+    * driver-side `_current` check, never cached). */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             indexRoot: String): Option[Array[Array[Array[Double]]]] = {
     if (graft.tables.GeoManifest
         .currentVersion(spark, s"$indexRoot/codebooks").isEmpty) return None
-    val rows = graft.tables.GeoTable.read(spark, s"$indexRoot/codebooks")
-      .orderBy("subspace", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = rows.map(_._1).max + 1
-    Some(Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3)))
+    Some(cachedMeta(spark, s"$indexRoot/codebooks", "codebooks") { v =>
+      val rows = graft.tables.GeoTable.readAt(spark, s"$indexRoot/codebooks", v)
+        .orderBy("subspace", "code").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val m = rows.map(_._1).max + 1
+      Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    })
   }
 
   /** Probe a prebuilt IVF-PQ index: coarse prune to the `nprobe` nearest
@@ -589,7 +641,9 @@ object Similarity {
       s"$newRoot already holds an index — rebuild lands at a FRESH root")
     val survivors = graft.tables.GeoTable.read(spark, s"$indexRoot/vectors")
       .select(c("vec_id"), c("vec"))
-    val k = graft.tables.GeoTable.read(spark, s"$indexRoot/centroids").count().toInt
+    // k from the memoized centroid rows (readCentroids) — the old
+    // count() re-scanned the k-row table as its own Spark job
+    val k = readCentroids(spark, indexRoot).length
     readCodebooks(spark, indexRoot) match {
       case Some(cb) =>
         buildIvfPqIndex(spark, newRoot, survivors, c("vec"), c("vec_id"),
@@ -629,9 +683,17 @@ object Similarity {
     * L2-normalized first so summed sub-dot-products approximate COSINE.
     * Returns codebooks(m)(k)(dim/m). */
   def pqTrain(df: DataFrame, vec: Column, id: Column, m: Int = 8, k: Int = 16,
-              iters: Int = 8, sampleN: Int = 4096): Array[Array[Array[Double]]] = {
-    val sample = df.select(id.as("__id"), vec.as("__v")).where(vec.isNotNull)
-      .orderBy("__id").limit(sampleN).collect()
+              iters: Int = 8, sampleN: Int = 4096): Array[Array[Array[Double]]] =
+    pqTrainOn(df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull),
+      m, k, iters, sampleN)
+
+  /** [[pqTrain]] over an already-projected `(vec_id, __v)` base (shared
+    * with the coarse quantizer in [[buildIvfPqIndex]] — same rows, same
+    * deterministic first-`sampleN`-by-id sample). */
+  private def pqTrainOn(base: DataFrame, m: Int, k: Int,
+                        iters: Int, sampleN: Int): Array[Array[Array[Double]]] = {
+    val sample = base
+      .orderBy("vec_id").limit(sampleN).collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     require(sample.nonEmpty, "pqTrain: empty input")
     val dim = sample.head.length

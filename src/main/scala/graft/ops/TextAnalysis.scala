@@ -178,18 +178,22 @@ object TextAnalysis {
                      df: DataFrame, id: Column, text: Column,
                      buckets: Int = 64): Unit = {
     import graft.tables.{GeoPartition, GeoTable}
-    GeoTable.create(spark, s"$indexRoot/postings", postingsOf(df, id, text),
-      geomCol = None,
-      partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")))
-    // stats from the WRITTEN table (a two-column pruned scan — the
-    // tokenize pass ran once, in the write), committed as table
-    // properties. The set-properties commit changes no content, so the
-    // covered version is ITS version; a crash between the two commits
-    // leaves an index statsOf refuses loudly (incomplete build — rebuild),
-    // the same failure class as a torn build always had.
-    val (n, s) = docStats(GeoTable.read(spark, s"$indexRoot/postings"))
-    val v = graft.tables.GeoManifest.read(spark, s"$indexRoot/postings").version
-    GeoTable.setStatsProperties(spark, s"$indexRoot/postings", statsProps(n, s, v + 1))
+    // ONE tokenize pass, ONE commit: the postings persist briefly
+    // (O(batch) blocks, released below — the appendToTextIndex shape) so
+    // the doc stats and the clustered write read the same computation,
+    // and the stats ride the CREATE commit itself as table props
+    // (VersionProp = 0 names the create). The old shape re-scanned the
+    // written table for stats and landed them as a SECOND commit — an
+    // extra table pass plus a crash window between the two commits that
+    // no longer exists at all.
+    val posts = postingsOf(df, id, text).persist()
+    try {
+      val (n, s) = docStats(posts)
+      GeoTable.create(spark, s"$indexRoot/postings", posts,
+        geomCol = None,
+        partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")),
+        props = statsProps(n, s, 0), allowStatsProps = true)
+    } finally posts.unpersist(blocking = false)
   }
 
   /**

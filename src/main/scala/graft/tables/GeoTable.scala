@@ -68,9 +68,14 @@ object GeoTable {
              geomCol: Option[String] = None, zorder: Boolean = false,
              cellSize: Double = 1.0,
              partitions: Seq[GeoPartition.PTransform] = Seq.empty,
-             props: Map[String, String] = Map.empty): Unit = {
+             props: Map[String, String] = Map.empty,
+             allowStatsProps: Boolean = false): Unit = {
     require(GeoManifest.currentVersion(spark, root).isEmpty, s"GeoTable already exists at $root")
-    validateProps(props.keys, props.values)
+    // allowStatsProps opens the trusted writer channel (graft.bm25.*)
+    // for library index builders whose derived stats ride the CREATE
+    // commit itself — the same channel append/deleteByKey's propsDelta
+    // rides; user-facing CREATE surfaces never set it
+    validateProps(props.keys, props.values, allowStats = allowStatsProps)
     val tagged = geomCol.filterNot(g => GeoSchema.isGeometry(df.schema(g)))
       .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
     val laidOut =
