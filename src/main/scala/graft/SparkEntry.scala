@@ -913,26 +913,25 @@ object SparkEntry {
       val Seq(ts1, ts2) = s.sql(
           "SELECT committed_at FROM geott.db.tt.snapshots WHERE version IN (1, 2) ORDER BY version")
         .collect().toSeq.map(r => fmt.format(r.getTimestamp(0).toInstant))
+      // each snapshot is ONE aggregate pass (count + sum together) — the
+      // old spelling ran two scalar subqueries per snapshot, i.e. two
+      // full scans of every snapshot; identical output rows
       s.sql(s"""
-        SELECT 0 AS version,
-               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 0) AS n_rows,
-               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 0) AS key_sum
+        SELECT 0 AS version, COUNT(*) AS n_rows,
+               COALESCE(SUM(id), 0L) AS key_sum
+        FROM geott.db.tt VERSION AS OF 0
         UNION ALL
-        SELECT 1,
-               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 1),
-               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 1)
+        SELECT 1, COUNT(*), COALESCE(SUM(id), 0L)
+        FROM geott.db.tt VERSION AS OF 1
         UNION ALL
-        SELECT 2,
-               (SELECT COUNT(*) FROM geott.db.tt VERSION AS OF 2),
-               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt VERSION AS OF 2)
+        SELECT 2, COUNT(*), COALESCE(SUM(id), 0L)
+        FROM geott.db.tt VERSION AS OF 2
         UNION ALL
-        SELECT 101,
-               (SELECT COUNT(*) FROM geott.db.tt TIMESTAMP AS OF '$ts1'),
-               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt TIMESTAMP AS OF '$ts1')
+        SELECT 101, COUNT(*), COALESCE(SUM(id), 0L)
+        FROM geott.db.tt TIMESTAMP AS OF '$ts1'
         UNION ALL
-        SELECT 102,
-               (SELECT COUNT(*) FROM geott.db.tt TIMESTAMP AS OF '$ts2'),
-               (SELECT COALESCE(SUM(id), 0L) FROM geott.db.tt TIMESTAMP AS OF '$ts2')
+        SELECT 102, COUNT(*), COALESCE(SUM(id), 0L)
+        FROM geott.db.tt TIMESTAMP AS OF '$ts2'
         ORDER BY version""")
     }),
 
@@ -1353,13 +1352,15 @@ object SparkEntry {
       // phases collect EAGERLY (a lazy frame would re-read the mutated
       // table at execution time and show the final state in every phase)
       def phase(p: Int): (Int, Long, Long, Long) = {
-        val r = s.sql(
-          s"""SELECT
-                (SELECT COUNT(*) FROM geord.db.rd.deletes WHERE type = 'position') AS n_sidecars,
-                (SELECT CAST(COALESCE(SUM(rows), 0) AS BIGINT) FROM geord.db.rd.deletes
-                 WHERE type = 'position') AS sidecar_rows,
-                (SELECT COUNT(*) FROM geord.db.rd) AS n_rows""").head()
-        (p, r.getLong(0), r.getLong(1), r.getLong(2))
+        // one aggregate over the deletes metadata + one count over the
+        // table — the old spelling ran three scalar subqueries (three
+        // jobs, two of them scanning the same metadata); identical values
+        val del = s.sql(
+          """SELECT COUNT(*) AS n_sidecars,
+                    CAST(COALESCE(SUM(rows), 0) AS BIGINT) AS sidecar_rows
+             FROM geord.db.rd.deletes WHERE type = 'position'""").head()
+        val n = s.sql("SELECT COUNT(*) FROM geord.db.rd").head().getLong(0)
+        (p, del.getLong(0), del.getLong(1), n)
       }
       val p1 = phase(1)
       // retire grp 0's files: its sidecar entries dangle, reads unchanged

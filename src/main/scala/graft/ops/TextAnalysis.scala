@@ -343,7 +343,7 @@ object TextAnalysis {
     val (rn, rs) = docStats(graft.tables.GeoTable.readAt(spark, root, vBase)
       .join(keyDf, Seq("doc_id"), "left_semi"))
     graft.tables.GeoTable.deleteByKey(spark, root, Seq("doc_id"), keyDf,
-      statsProps(n0 - rn, s0 - rs, vBase + 1))
+      statsProps(n0 - rn, s0 - rs, vBase + 1), keysPinned = true)
     reconcileIfInterleaved(spark, root, vBase + 1)
   }
 

@@ -1781,10 +1781,14 @@ object GeoTable {
    */
   def deleteByKey(spark: SparkSession, root: String,
                   keyCols: Seq[String], keys: DataFrame,
-                  propsDelta: Map[String, String] = Map.empty): Long = {
+                  propsDelta: Map[String, String] = Map.empty,
+                  keysPinned: Boolean = false): Long = {
     validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
-    writeEqSidecar(spark, root, m, keyCols, keys) match {
+    // keysPinned: the caller already localCheckpoint'd `keys` (e.g. a
+    // text-index removal that also prices the removed docs from the same
+    // pinned batch) — the sidecar writer then skips its own re-pin
+    writeEqSidecar(spark, root, m, keyCols, keys, pinned = keysPinned) match {
       case None =>
         // no keys filed — but a caller-supplied props delta that actually
         // CHANGES something still deserves its commit (the caller derived
@@ -1861,8 +1865,11 @@ object GeoTable {
                sequenceCol: Option[Column] = None): (Long, Long) = {
     val m = GeoManifest.read(spark, root)
     // pin once: the flag split, the key union and the appended rows must
-    // all see the same batch
-    val flagged0 = rows.localCheckpoint()
+    // all see the same batch. With a sequence column the netting window's
+    // own EAGER checkpoint below is that pin — its input is consumed
+    // exactly once to materialize it, so pinning the raw batch too would
+    // just pay a second materialization job per micro-batch.
+    val flagged0 = if (sequenceCol.isEmpty) rows.localCheckpoint() else rows
     val flagged = sequenceCol match {
       case None => flagged0
       case Some(seq) =>
@@ -2436,14 +2443,34 @@ object GeoTable {
       dir, schema, incoming, dataIdx, statsExprs = se, statsHasBbox = hasBbox,
       rollIdx = partitions.zipWithIndex.filter(_._1.layout).map(_._2).toArray,
       rollMinRows = GeoRowLevel.rollMinRows(spark), checks = boundChecks)
-    val msgs = GeoCowCommitMessage.flatten(
-      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-        val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
-        try {
-          while (it.hasNext) w.write(it.next())
-          Iterator.single(w.commit())
-        } catch { case t: Throwable => w.abort(); throw t }
-      }.collect().toSeq)
+    // Driver fast path for LITERAL row sets (index metadata tables — a
+    // k-row centroid table, m*k codebooks — and other tiny local
+    // frames): run the SAME stats-collecting writer inline on the
+    // driver — identical file format, stats, manifest entries — instead
+    // of paying a Spark job for a handful of rows. Mirrors
+    // writeEqSidecarLocal's contract (Iceberg writes metadata-sized
+    // files driver-side the same way); capped so anything big stays
+    // distributed. Layout-clustered writes arrive as a repartition plan,
+    // never a LocalRelation, so they always take the distributed path.
+    val localRows = df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length <= 10000 => Some(lr.data)
+      case _ => None
+    }
+    val msgs = GeoCowCommitMessage.flatten(localRows match {
+      case Some(rows) =>
+        val w = factory.createWriter(0, 0L)
+        try { rows.foreach(w.write); Seq(w.commit()) }
+        catch { case t: Throwable => w.abort(); throw t }
+      case None =>
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+          try {
+            while (it.hasNext) w.write(it.next())
+            Iterator.single(w.commit())
+          } catch { case t: Throwable => w.abort(); throw t }
+        }.collect().toSeq
+    })
     // empty shuffle partitions (common under pinned-count partition
     // layout) write zero-row files: drop them from disk AND the manifest
     val empty = msgs.filter(_.rows == 0)

@@ -27,9 +27,19 @@ object StageCount {
 
     val stages = new AtomicInteger(0)
     val jobs = new AtomicInteger(0)
+    val trace = sys.env.get("STAGE_TRACE").exists(_.toBoolean)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (trace) {
+          val i = sc.stageInfo
+          val where = i.details.split('\n')
+            .find(l => l.contains("graft") && !l.contains("StageCount"))
+            .getOrElse(i.name.takeWhile(_ != '\n')).trim.take(90)
+          val wall = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
+          println(f"[trace] stage ${i.stageId}%4d ${wall}%5d ms ${i.numTasks}%3d tasks  $where")
+        }
         stages.incrementAndGet(): Unit
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.incrementAndGet(): Unit
     })
