@@ -552,9 +552,10 @@ object Similarity {
     val root = s"$indexRoot/vectors"
     if (graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId).exists(_ >= batchId))
       return false
-    val rows = encodeForIndex(spark, indexRoot, df, vec, id)
-    if (rows.isEmpty) return false
-    graft.tables.GeoTable.append(spark, root, rows, Some(sinkId -> batchId)) > 0
+    // append itself skips the commit for an empty batch — no isEmpty
+    // probe job per micro-batch
+    graft.tables.GeoTable.append(spark, root,
+      encodeForIndex(spark, indexRoot, df, vec, id), Some(sinkId -> batchId)) > 0
   }
 
   /** Streaming ANN index ingest as a `foreachBatch` sink: each

@@ -247,14 +247,15 @@ object EventStreams {
             s"(table already committed batch ${committed.get}); expected only on crash replay")
         return false
       }
-      if (batch.isEmpty) return false
       val flag = deleteFlagCol.map(org.apache.spark.sql.functions.col)
         .getOrElse(org.apache.spark.sql.functions.lit(false))
       try {
-        graft.tables.GeoTable.cdcByKey(spark, root, keyCols, batch, flag,
+        // cdcByKey itself skips the commit for a batch that nets to
+        // nothing — no separate isEmpty probe job per batch
+        val (nu, nk) = graft.tables.GeoTable.cdcByKey(spark, root, keyCols, batch, flag,
           streamCommit = Some(sinkId -> batchId),
           sequenceCol = sequenceCol.map(org.apache.spark.sql.functions.col))
-        return true
+        return nu + nk > 0
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -292,11 +293,11 @@ object EventStreams {
             s"(table already committed batch ${committed.get}); expected only on crash replay")
         return false
       }
-      if (batch.isEmpty) return false
       try {
-        graft.tables.GeoTable.append(spark, root, batch,
-          streamCommit = Some(sinkId -> batchId))
-        return true
+        // append itself skips the commit (and returns 0) for an empty
+        // micro-batch — no separate isEmpty probe job per batch
+        return graft.tables.GeoTable.append(spark, root, batch,
+          streamCommit = Some(sinkId -> batchId)) > 0
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < maxAttempts =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(

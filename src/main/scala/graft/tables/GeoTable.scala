@@ -1251,6 +1251,11 @@ object GeoTable {
     val m = GeoManifest.read(spark, root)
     val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
+    // a STREAMING append of an empty micro-batch commits nothing (no
+    // junk version, no watermark — a replay of the same empty batch is
+    // idempotent either way). This lets the sinks drop their per-batch
+    // isEmpty probe job: the write itself is the emptiness check.
+    if (files.isEmpty && streamCommit.isDefined) return 0L
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = m.files ++ files,
         streamCommits = m.streamCommits ++ streamCommit,
@@ -1910,6 +1915,9 @@ object GeoTable {
           .cast(tableType(c)).as(c)): _*))
     val eq = writeEqSidecar(spark, root, m, keyCols, allKeys, pinned = true)
     val files = writeCommit(spark, root, ups, m.schema, m.geomCol, m.partitions, checks = m.checks)
+    // same streaming empty-batch rule as append: nothing to apply ⇒ no
+    // commit, no watermark — the sink needs no separate isEmpty probe
+    if (files.isEmpty && eq.isEmpty && streamCommit.isDefined) return (0L, 0L)
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = m.files ++ files,
       eqDeletes = m.eqDeletes ++ eq.map(_._1),
