@@ -2460,20 +2460,23 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
-    // maxHamming is corpus-tuned: 10 is the measured max signature distance
-    // of the true top-10 at the verify SF (AnnProbe tool), so the prefilter
+    // maxHamming is corpus-tuned: 12 is the measured max signature distance
+    // of the true top-10 across ALL verify SFs (tools/LshRecallProbe:
+    // sf0.001 peaks at 12 — vec 483; sf0.01/sf0.1 at 10), so the prefilter
     // passes every true neighbor and the result equals the exact top-10 —
-    // which is what the DuckDB oracle computes. On a real (clustered)
-    // corpus the same structure runs with a much tighter threshold; the
-    // recall/threshold trade-off itself is covered by the OpsSpec recall
-    // spec, the oracle checks the end-to-end prefilter+rerank machinery.
+    // which is what the DuckDB oracle computes. (The old value 10 was tuned
+    // against one SF and silently missed sf0.001's hamming-12 neighbor —
+    // caught by this round's full small-SF selfcheck.) On a real
+    // (clustered) corpus the same structure runs with a much tighter
+    // threshold; the recall/threshold trade-off itself is covered by the
+    // OpsSpec recall spec, the oracle checks the prefilter+rerank machinery.
     "ann_lsh_top10" -> ((s, d) => {
       prep(s, d)
       val q = s.table("embeddings").where(col("vec_id") === 0)
         .select("embedding").head.getSeq[Float](0).toArray
       import org.apache.spark.sql.expressions.Window
       graft.ops.Similarity.lshTopK(s.table("embeddings"), col("embedding"), col("vec_id"),
-          q, k = 10, nbits = 16, maxHamming = 10)
+          q, k = 10, nbits = 16, maxHamming = 12)
         .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("vec_id"))))
         .select(col("vec_id"), col("rank"))
         .orderBy("rank")
