@@ -913,26 +913,24 @@ object SparkEntry {
       val Seq(ts1, ts2) = s.sql(
           "SELECT committed_at FROM geott.db.tt.snapshots WHERE version IN (1, 2) ORDER BY version")
         .collect().toSeq.map(r => fmt.format(r.getTimestamp(0).toInstant))
-      // each snapshot is ONE aggregate pass (count + sum together) — the
-      // old spelling ran two scalar subqueries per snapshot, i.e. two
-      // full scans of every snapshot; identical output rows
-      s.sql(s"""
-        SELECT 0 AS version, COUNT(*) AS n_rows,
-               COALESCE(SUM(id), 0L) AS key_sum
-        FROM geott.db.tt VERSION AS OF 0
-        UNION ALL
-        SELECT 1, COUNT(*), COALESCE(SUM(id), 0L)
-        FROM geott.db.tt VERSION AS OF 1
-        UNION ALL
-        SELECT 2, COUNT(*), COALESCE(SUM(id), 0L)
-        FROM geott.db.tt VERSION AS OF 2
-        UNION ALL
-        SELECT 101, COUNT(*), COALESCE(SUM(id), 0L)
-        FROM geott.db.tt TIMESTAMP AS OF '$ts1'
-        UNION ALL
-        SELECT 102, COUNT(*), COALESCE(SUM(id), 0L)
-        FROM geott.db.tt TIMESTAMP AS OF '$ts2'
-        ORDER BY version""")
+      // each snapshot is ONE aggregate pass (count + sum inside a single
+      // struct-valued scalar subquery) — the original spelling ran TWO
+      // scalar subqueries per snapshot, i.e. two full scans of every
+      // snapshot. Keeping the legs as scalar subqueries (rather than a
+      // plain union of aggregates) preserves Spark's concurrent driver-
+      // thread execution of independent subqueries, so locally the five
+      // snapshot scans still overlap; identical output rows.
+      def leg(label: String, asOf: String) =
+        s"""SELECT $label AS version, s.n AS n_rows, s.k AS key_sum FROM
+           (SELECT (SELECT named_struct('n', COUNT(*), 'k', COALESCE(SUM(id), 0L))
+                    FROM geott.db.tt $asOf) AS s)"""
+      s.sql(Seq(
+          leg("0", "VERSION AS OF 0"),
+          leg("1", "VERSION AS OF 1"),
+          leg("2", "VERSION AS OF 2"),
+          leg("101", s"TIMESTAMP AS OF '$ts1'"),
+          leg("102", s"TIMESTAMP AS OF '$ts2'"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY version"))
     }),
 
     // Incremental read of a geo table (Iceberg incremental-scan analog):
