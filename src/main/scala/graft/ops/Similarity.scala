@@ -209,14 +209,19 @@ object Similarity {
 
   /** Lloyd's over an already-materialized `(vec_id, __v)` base —
     * [[buildIvfPqIndex]] shares ONE checkpointed base between the coarse
-    * quantizer and PQ training, so the input is scanned/projected once. */
-  private def kmeansAssignOn(base: DataFrame, k: Int, iters: Int)
+    * quantizer and PQ training, so the input is scanned/projected once.
+    * `init` (the first-k-by-id rows, pre-collected) lets a caller that
+    * already holds a deterministic head sample skip the TakeOrdered job
+    * — the values are identical by construction, so centroids stay
+    * bit-exact. */
+  private def kmeansAssignOn(base: DataFrame, k: Int, iters: Int,
+                             init: Option[Array[Array[Double]]] = None)
       : (DataFrame, Array[Array[Double]]) = {
     // deterministic init: first k vectors by id; element type read
     // agnostically (embeddings are float[], centroids/other sources double[])
-    var centroids: Array[Array[Double]] =
+    var centroids: Array[Array[Double]] = init.getOrElse(
       base.orderBy("vec_id").limit(k).collect()
-        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray))
     for (_ <- 1 to iters) {
       val assigned = assignClusters(base, centroids)
       // per-dimension means collected as (cluster, pos, m) rows — k*dim
@@ -335,13 +340,22 @@ object Similarity {
   /** The shared store step: `vectors` identity-partitioned by `cluster`
     * (clustered writes roll one file per cluster run; probes open only
     * their clusters' files via exact IN-value pruning) + the k-row
-    * `centroids` table. */
+    * `centroids` table. The vectors table pins `graft.write.layout=hash`:
+    * a range-clustered write would run the range SAMPLER over the
+    * assignment frame first — the final k-means assignment computed
+    * TWICE, at corpus scale a second full pass per build/append — while
+    * the hash exchange assigns and lands rows in ONE pass with identical
+    * per-file single-cluster grouping (see GeoPartition.LayoutModeProp).
+    * This is the "fuse the final assignment into the clustered write"
+    * step: every verb that lays out by cluster (build, append, upsert,
+    * stream ingest, rebuild, compaction) inherits it from the prop. */
   private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
                              indexRoot: String, vectors: DataFrame,
                              cents: Array[Array[Double]]): Unit = {
     import graft.tables.{GeoPartition, GeoTable}
     GeoTable.create(spark, s"$indexRoot/vectors", vectors, geomCol = None,
-      partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")))
+      partitions = Seq(GeoPartition.PTransform("identity", 0, "cluster")),
+      props = Map(GeoPartition.LayoutModeProp -> "hash"))
     val sp = spark
     import sp.implicits._
     GeoTable.create(spark, s"$indexRoot/centroids",
@@ -366,8 +380,16 @@ object Similarity {
     // coarse quantizer's rounds and the PQ training sample read the same
     // checkpointed blocks instead of re-scanning + re-projecting the input
     val base = df.select(id.as("vec_id"), vec.as("__v")).where(vec.isNotNull).localCheckpoint()
-    val (assigned, cents) = kmeansAssignOn(base, k, iters)
-    val cb = pqTrainOn(base, m, pqK, pqIters, sampleN)
+    // ONE deterministic head sample (first max(k, sampleN) rows by id)
+    // serves BOTH the coarse quantizer's init (its first k rows — exactly
+    // what kmeansAssignOn would have collected) and PQ training (its
+    // first sampleN rows): one TakeOrdered pass over the base instead of
+    // two. Values are identical by construction, so centroids and
+    // codebooks stay bit-exact.
+    val head = base.orderBy("vec_id").limit(math.max(k, sampleN)).collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val (assigned, cents) = kmeansAssignOn(base, k, iters, init = Some(head.take(k)))
+    val cb = pqTrainOnSample(head.take(sampleN), m, pqK, pqIters)
     writeIvfTables(spark, indexRoot,
       assigned
         .withColumn("pq_code", col2(graft.functions.PqEncode(ex(c("__v")), cb)))
@@ -653,7 +675,13 @@ object Similarity {
         buildIvfIndex(spark, newRoot, survivors, c("vec"), c("vec_id"),
           k = k, iters = iters)
     }
-    graft.tables.GeoTable.read(spark, s"$newRoot/vectors").count()
+    // rows rebuilt = the fresh table's manifest row sum: the rebuild just
+    // wrote these files with exact per-file stats, the new root is
+    // sidecar-free by construction (require'd above: fresh root, and
+    // create files no deletes) — a full table re-scan (count()) would
+    // recompute what the manifest already records (the Iceberg
+    // count-from-stats fast path)
+    graft.tables.GeoManifest.read(spark, s"$newRoot/vectors").files.map(_.rows).sum
   }
 
   /** IVF search: score only rows in the `nprobe` clusters nearest the query. */
@@ -692,10 +720,16 @@ object Similarity {
     * with the coarse quantizer in [[buildIvfPqIndex]] — same rows, same
     * deterministic first-`sampleN`-by-id sample). */
   private def pqTrainOn(base: DataFrame, m: Int, k: Int,
-                        iters: Int, sampleN: Int): Array[Array[Array[Double]]] = {
-    val sample = base
+                        iters: Int, sampleN: Int): Array[Array[Array[Double]]] =
+    pqTrainOnSample(base
       .orderBy("vec_id").limit(sampleN).collect()
-      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray), m, k, iters)
+
+  /** [[pqTrain]] over an ALREADY-COLLECTED deterministic head sample —
+    * [[buildIvfPqIndex]] shares one TakeOrdered collect between k-means
+    * init and PQ training. */
+  private def pqTrainOnSample(sample: Array[Array[Double]], m: Int, k: Int,
+                              iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "pqTrain: empty input")
     val dim = sample.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m subspaces")

@@ -152,10 +152,47 @@ object TextAnalysis {
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
 
+  /** Reserved term of the per-doc SUMMARY rows ([[docRowsFor]]): one
+    * `(DocRowTerm, doc_id, tf=0, dl)` row per indexed doc rides the
+    * postings table itself, so the remove/upsert pricing scan prunes to
+    * the sentinel term's bucket files (~n_docs rows) instead of a full
+    * postings pass (~Σdl rows) — at 100 TB the difference between a
+    * metadata-sized read and a full index pass per delete batch — while
+    * staying inside the SAME atomic commit as the postings (the
+    * two-table design's crash window never exists). The embedded SPACE
+    * makes collision impossible by construction — [[tokens]] splits on
+    * runs of spaces, so no real posting term can ever contain one;
+    * [[bm25Search]] additionally refuses it as a query term, and
+    * everything that aggregates per-doc stats goes through [[docStats]]'
+    * DISTINCT (doc_id, dl), which a doc's same-valued summary row cannot
+    * perturb. */
+  private[graft] val DocRowTerm = " doc"
+  /** Marker prop (create-time): the index has carried summary rows since
+    * birth, so pricing may trust the pruned scan. Pre-upgrade indexes
+    * lack it and keep the full-scan pricing path. */
+  private val DocRowsProp = "graft.bm25.doc_rows"
+
+  /** The batch's per-doc summary frame — one (doc_id, dl) row per
+    * distinct doc. Computed ONCE per mutation from the persisted
+    * postings (the same distinct [[docStats]] needs) and reused for the
+    * stats numbers, the summary rows in the write, and (upsert) the
+    * replaced-id set. */
+  private def docRowsFor(posts: DataFrame): DataFrame =
+    posts.select("doc_id", "dl").distinct()
+
+  /** Summary rows shaped as postings-schema rows. */
+  private def asDocRows(docRows: DataFrame): DataFrame =
+    docRows.select(lit(DocRowTerm).as("term"), col("doc_id"),
+      lit(0L).as("tf"), col("dl"))
+
   /** (n_docs, sum_dl) of a postings frame — exact longs, so stats merge
     * without drift and an empty corpus is (0, 0), never null. */
-  private def docStats(postings: DataFrame): (Long, Long) = {
-    val r = postings.select("doc_id", "dl").distinct()
+  private def docStats(postings: DataFrame): (Long, Long) =
+    docStatsOf(postings.select("doc_id", "dl").distinct())
+
+  /** [[docStats]] over an already-distinct (doc_id, dl) frame. */
+  private def docStatsOf(docRows: DataFrame): (Long, Long) = {
+    val r = docRows
       .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
@@ -187,12 +224,31 @@ object TextAnalysis {
     // extra table pass plus a crash window between the two commits that
     // no longer exists at all.
     val posts = postingsOf(df, id, text).persist()
+    // docRows is NOT persisted: each consumer recomputes a narrow
+    // (doc_id, dl) distinct from the persisted postings inside its own
+    // job — cheaper than the extra materialization job a second cache
+    // would cost, locally and at scale
+    val docRows = docRowsFor(posts)
     try {
-      val (n, s) = docStats(posts)
-      GeoTable.create(spark, s"$indexRoot/postings", posts,
+      val (n, s) = docStatsOf(docRows)
+      // graft.write.layout=hash: the postings' layout column is ALREADY a
+      // hash bucket (bucket(term)), so range-clustering it buys nothing —
+      // but repartitionByRange's range SAMPLER is an extra pass over the
+      // postings frame per write (build, every append/upsert batch, every
+      // streamed micro-batch — a cached read here, a batch recompute
+      // wherever the persist doesn't hold). The hash exchange lands the
+      // same single-bucket files with no sampling pass (see
+      // GeoPartition.LayoutModeProp); probes prune identically.
+      // The per-doc summary rows (docRows — the SAME distinct the stats
+      // read) ride the create too: DocRowsProp marks the index as
+      // summary-priced from birth.
+      GeoTable.create(spark, s"$indexRoot/postings",
+        posts.unionByName(asDocRows(docRows)),
         geomCol = None,
         partitions = Seq(GeoPartition.PTransform("bucket", buckets, "term")),
-        props = statsProps(n, s, 0), allowStatsProps = true)
+        props = statsProps(n, s, 0) +
+          (GeoPartition.LayoutModeProp -> "hash") + (DocRowsProp -> "1"),
+        allowStatsProps = true)
     } finally posts.unpersist(blocking = false)
   }
 
@@ -218,18 +274,31 @@ object TextAnalysis {
                         df: DataFrame, id: Column, text: Column): Unit = {
     val root = s"$indexRoot/postings"
     val posts = postingsOf(df, id, text).persist()
+    val docRows = docRowsFor(posts)
     try {
-      val (dn, ds) = docStats(posts)
+      val (dn, ds) = docStatsOf(docRows)
       // ONE stats read covers both the base numbers and the expected
       // commit version: a foreign commit landing anywhere after it makes
       // the mutation's commit land past vBase+1, which reconcile detects
       // (the claimed version no longer names the commit it sits on)
       val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
-      graft.tables.GeoTable.append(spark, root, posts, None,
+      graft.tables.GeoTable.append(spark, root,
+        withDocRows(spark, root, posts, docRows), None,
         statsProps(n0 + dn, s0 + ds, vBase + 1))
       reconcileIfInterleaved(spark, root, vBase + 1)
     } finally posts.unpersist()
   }
+
+  /** The batch payload for a mutation: postings plus the per-doc summary
+    * rows — but ONLY on an index that has carried summary rows since
+    * birth ([[DocRowsProp]]). A pre-upgrade index stays summary-free and
+    * keeps full-scan pricing: mixing (summaries for new docs only) would
+    * make the pruned scan silently under-price old docs. */
+  private def withDocRows(spark: org.apache.spark.sql.SparkSession, root: String,
+                          posts: DataFrame, docRows: DataFrame): DataFrame =
+    if (graft.tables.GeoManifest.read(spark, root).props.contains(DocRowsProp))
+      posts.unionByName(asDocRows(docRows))
+    else posts
 
   /**
    * Exactly-once MICRO-BATCH ingest into a text index (the streaming-
@@ -247,11 +316,13 @@ object TextAnalysis {
     if (graft.tables.GeoTable.lastStreamBatch(spark, root, sinkId).exists(_ >= batchId))
       return false
     val posts = postingsOf(df, id, text).persist()
+    val docRows = docRowsFor(posts)
     try {
-      val (dn, ds) = docStats(posts)
+      val (dn, ds) = docStatsOf(docRows)
       if (dn == 0L) return false
       val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
-      graft.tables.GeoTable.append(spark, root, posts, Some(sinkId -> batchId),
+      graft.tables.GeoTable.append(spark, root,
+        withDocRows(spark, root, posts, docRows), Some(sinkId -> batchId),
         statsProps(n0 + dn, s0 + ds, vBase + 1))
       reconcileIfInterleaved(spark, root, vBase + 1)
       true
@@ -340,11 +411,49 @@ object TextAnalysis {
     // all come from ONE snapshot (vBase): a foreign commit after the read
     // pushes the delete past vBase+1 and reconcile recomputes
     val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
-    val (rn, rs) = docStats(graft.tables.GeoTable.readAt(spark, root, vBase)
-      .join(keyDf, Seq("doc_id"), "left_semi"))
+    val (rn, rs) = priceRemoved(spark, root, vBase, keyDf)
     graft.tables.GeoTable.deleteByKey(spark, root, Seq("doc_id"), keyDf,
       statsProps(n0 - rn, s0 - rs, vBase + 1), keysPinned = true)
     reconcileIfInterleaved(spark, root, vBase + 1)
+  }
+
+  /** The removed/replaced docs' exact (count, Σdl). On a summary-carrying
+    * index ([[DocRowsProp]]): ONE aggregation over the keys left-joined
+    * to the snapshot-pinned PRUNED summary scan — file pruning opens only
+    * the reserved term's bucket files and the scan yields one row per
+    * live doc (~n_docs rows), not one per posting (~Σdl rows). At 100 TB
+    * that turns the per-delete-batch full-postings pass into a
+    * metadata-sized read. Sidecar merges still apply through the scan (a
+    * previously removed doc has no live summary row and is not
+    * re-priced). Keys with NO summary row are either not live (a legal
+    * no-op) or were landed by an out-of-band RAW table append that
+    * bypassed the index verbs — only then does a fallback price exactly
+    * those keys from the full snapshot, so the out-of-band heal contract
+    * keeps its exactness. Pre-upgrade indexes keep the old full-scan
+    * pricing unconditionally. */
+  private def priceRemoved(spark: org.apache.spark.sql.SparkSession,
+                           root: String, vBase: Int,
+                           keys: DataFrame): (Long, Long) = {
+    import graft.tables.GeoTable
+    if (!graft.tables.GeoManifest.read(spark, root).props.contains(DocRowsProp))
+      return docStats(GeoTable.readAt(spark, root, vBase)
+        .join(keys, Seq("doc_id"), "left_semi"))
+    val sent = GeoTable.scanAt(spark, root, vBase,
+        col("term") === lit(DocRowTerm))
+      .select("doc_id", "dl").distinct()
+    val kd = keys.select("doc_id").distinct()
+    val r = kd.join(sent, Seq("doc_id"), "left")
+      .agg(count(col("dl")).cast("long"),
+        coalesce(sum(col("dl")), lit(0L)),
+        count(when(col("dl").isNull, lit(1))).cast("long")).head()
+    val (rn, rs, uncovered) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (uncovered == 0L) (rn, rs)
+    else {
+      val uncov = kd.join(sent, Seq("doc_id"), "left_anti")
+      val (mn, ms) = docStats(GeoTable.readAt(spark, root, vBase)
+        .join(uncov, Seq("doc_id"), "left_semi"))
+      (rn + mn, rs + ms)
+    }
   }
 
   /** UPSERT documents (the CDC-replacement verb): ids already indexed
@@ -366,13 +475,14 @@ object TextAnalysis {
                       df: DataFrame, id: Column, text: Column): Unit = {
     val root = s"$indexRoot/postings"
     val posts = postingsOf(df, id, text).persist()
+    val docRows = docRowsFor(posts)
     try {
-      val (dn, ds) = docStats(posts)
-      val ids = posts.select("doc_id").distinct()
+      val (dn, ds) = docStatsOf(docRows)
+      val ids = docRows.select("doc_id")
       val (n0, s0, vBase) = statsAsOfCurrent(spark, indexRoot)
-      val (rn, rs) = docStats(graft.tables.GeoTable.readAt(spark, root, vBase)
-        .join(ids, Seq("doc_id"), "left_semi"))
-      graft.tables.GeoTable.upsertByKey(spark, root, Seq("doc_id"), posts,
+      val (rn, rs) = priceRemoved(spark, root, vBase, ids)
+      graft.tables.GeoTable.upsertByKey(spark, root, Seq("doc_id"),
+        withDocRows(spark, root, posts, docRows),
         streamCommit = None,
         propsDelta = statsProps(n0 - rn + dn, s0 - rs + ds, vBase + 1))
       reconcileIfInterleaved(spark, root, vBase + 1)
@@ -442,6 +552,11 @@ object TextAnalysis {
                  query: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25Search needs at least one query term")
+    // no tokenized term can contain a space ([[tokens]] splits on them),
+    // so the reserved summary term is unreachable from real text — refuse
+    // it as a query term rather than let it rank summary rows
+    require(!query.contains(DocRowTerm),
+      s"'$DocRowTerm' is the reserved per-doc summary term, not a query term")
     import graft.tables.GeoTable
     val c = col _
     val (n, sumDl, _) = statsAsOfCurrent(spark, indexRoot)

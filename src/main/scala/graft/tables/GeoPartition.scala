@@ -193,11 +193,34 @@ object GeoPartition {
     }.toArray
   }
 
+  /** Table property selecting the clustered-write exchange: `range`
+    * (default — global transform order across files) or `hash` (hash the
+    * transform tuple). `hash` exists because `repartitionByRange` runs a
+    * RANGE-SAMPLE job over its input first — for a derived frame (an IVF
+    * assignment, a tokenize+aggregate postings batch) that is a second
+    * full computation of the input per write, at 100 TB a second corpus
+    * pass. Hash partitioning is sample-free and ONE pass. File contents
+    * stay equivalent for pruning either way: `sortWithinPartitions` on
+    * the transform tuple plus the writer's tuple-boundary file rolling
+    * keep every file single-valued per layout tuple (the SPJ
+    * precondition), and per-file transform stats stay exact — only which
+    * worker wrote which tuple changes. The Iceberg analog is
+    * write.distribution-mode = hash vs range. */
+  val LayoutModeProp = "graft.write.layout"
+  def layoutMode(props: Map[String, String]): String =
+    props.getOrElse(LayoutModeProp, "range") match {
+      case m @ ("range" | "hash") => m
+      case other => throw new IllegalArgumentException(
+        s"$LayoutModeProp must be 'range' or 'hash', got '$other'")
+    }
+
   /** Cluster rows so files hold tight transform ranges. The partition
     * count is pinned (AQE would coalesce an unsized range shuffle into
     * one file and destroy the grouping); empty ranges produce zero-row
-    * files that the commit drops. */
-  def layout(df: DataFrame, transforms: Seq[PTransform], schema: StructType): DataFrame = {
+    * files that the commit drops. `mode` picks the exchange — see
+    * [[LayoutModeProp]]. */
+  def layout(df: DataFrame, transforms: Seq[PTransform], schema: StructType,
+             mode: String = "range"): DataFrame = {
     val active = transforms.filter(_.clusters) // stats transforms don't cluster
     if (active.isEmpty) return df
     val tcols = active.zipWithIndex.map { case (t, i) =>
@@ -206,7 +229,11 @@ object GeoPartition {
     val withT = df.select((df.columns.map(col) ++ tcols): _*)
     val pnames = active.indices.map(i => col(s"__graft_p$i"))
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    withT.repartitionByRange(math.max(n, 1), pnames: _*).sortWithinPartitions(pnames: _*)
+    val shaped = mode match {
+      case "hash" => withT.repartition(math.max(n, 1), pnames: _*)
+      case _ => withT.repartitionByRange(math.max(n, 1), pnames: _*)
+    }
+    shaped.sortWithinPartitions(pnames: _*)
       .drop(active.indices.map(i => s"__graft_p$i"): _*)
   }
 

@@ -80,7 +80,8 @@ object GeoTable {
       .foldLeft(df)((d, g) => GeoSchema.markGeometry(d, g))
     val laidOut =
       if (zorder) zorderBy(tagged, geomCol.get, cellSize)
-      else GeoPartition.layout(tagged, partitions, tagged.schema)
+      else GeoPartition.layout(tagged, partitions, tagged.schema,
+        GeoPartition.layoutMode(props))
     val files = writeCommit(spark, root, laidOut, tagged.schema, geomCol, partitions)
     GeoManifest.write(spark, root,
       Manifest(0, tagged.schema, geomCol, files, partitions = partitions, props = props),
@@ -383,7 +384,8 @@ object GeoTable {
           .repartitionByRange(math.max(targetFiles, 1), col("__z"))
           .sortWithinPartitions("__z").drop("__z")
       case None if m.partitions.exists(_.clusters) =>
-        GeoPartition.layout(data, m.partitions, m.schema)
+        GeoPartition.layout(data, m.partitions, m.schema,
+          GeoPartition.layoutMode(m.props))
       case None => data.repartition(math.max(targetFiles, 1))
     }
 
@@ -733,7 +735,8 @@ object GeoTable {
     val b = r.branches.getOrElse(name, throw new IllegalArgumentException(
       s"no branch '$name' on $root (branches: ${r.branches.keys.toSeq.sorted.mkString(", ")})"))
     val m = GeoManifest.readVersion(spark, root, b.head)
-    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema,
+      GeoPartition.layoutMode(m.props))
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commitBranch(spark, root,
       m.copy(version = b.head + 1, files = m.files ++ files), name, b.head,
@@ -1153,7 +1156,8 @@ object GeoTable {
       col(f.name).as(target, f.metadata)
     }: _*)
     val files = writeCommit(spark, root, renamed, newSchema, newGeom, newParts,
-      cluster = true, checks = m.checks)
+      cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, schema = newSchema, geomCol = newGeom,
         files = files, partitions = newParts,
@@ -1208,8 +1212,17 @@ object GeoTable {
     * the manifest first; the full `cond` still applies as the refine.
     * With `graft.display.wktPreview=true` a `<geom>_wkt` sibling column is
     * appended for human-readable show() output (see [[GeoDisplay]]). */
-  def scan(spark: SparkSession, root: String, cond: Column): DataFrame = {
-    val m = GeoManifest.read(spark, root)
+  def scan(spark: SparkSession, root: String, cond: Column): DataFrame =
+    scanOn(spark, GeoManifest.read(spark, root), cond)
+
+  /** [[scan]] pinned at a snapshot: the same manifest/transform/bloom
+    * file pruning and row filter, over `version`'s file set (the
+    * time-travel analog of scan — readAt with pushdown). */
+  def scanAt(spark: SparkSession, root: String, version: Int,
+             cond: Column): DataFrame =
+    scanOn(spark, GeoManifest.readVersion(spark, root, version), cond)
+
+  private def scanOn(spark: SparkSession, m: Manifest, cond: Column): DataFrame = {
     var files = m.geomCol.flatMap(g => queryEnvelope(spark, m, cond, g)) match {
       case Some(env) => m.prune(env)
       case None => m.files
@@ -1249,7 +1262,8 @@ object GeoTable {
              propsDelta: Map[String, String] = Map.empty): Long = {
     validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
-    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema,
+      GeoPartition.layoutMode(m.props))
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     // a STREAMING append of an empty micro-batch commits nothing (no
     // junk version, no watermark — a replay of the same empty batch is
@@ -1269,7 +1283,8 @@ object GeoTable {
     * `vacuum` — same snapshot mechanics as every other commit. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val m = GeoManifest.read(spark, root)
-    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema)
+    val aligned = GeoPartition.layout(conform(df, m.schema), m.partitions, m.schema,
+      GeoPartition.layoutMode(m.props))
     val files = writeCommit(spark, root, aligned, m.schema, m.geomCol, m.partitions, checks = m.checks)
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = files, deletes = Seq.empty,
@@ -1411,7 +1426,8 @@ object GeoTable {
       return 0L
     }
     val rewritten = writeCommit(spark, root, readMerged(spark, m, touched),
-      m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
+      m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
     val untouched = m.files.filterNot(f => touched.exists(_.key == f.key))
     GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
       files = untouched ++ rewritten, deletes = Seq.empty, eqDeletes = Seq.empty),
@@ -1691,7 +1707,8 @@ object GeoTable {
             .as(f.name, f.metadata)
         }: _*)
         val appended = writeCommit(spark, root, newRows, m.schema, m.geomCol, m.partitions,
-          cluster = true, checks = m.checks)
+          cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
         GeoManifest.commit(spark, root, m.copy(version = m.version + 1,
           files = m.files ++ appended, deletes = m.deletes ++ sidecar), m.version, op = "update")
         maybeFoldSidecars(spark, root)
@@ -1835,7 +1852,8 @@ object GeoTable {
                   propsDelta: Map[String, String] = Map.empty): Long = {
     validateProps(propsDelta.keys, propsDelta.values, allowStats = true)
     val m = GeoManifest.read(spark, root)
-    val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema)
+    val aligned = GeoPartition.layout(conform(rows, m.schema), m.partitions, m.schema,
+        GeoPartition.layoutMode(m.props))
       .localCheckpoint() // pin: the delete keys and the appended rows must agree
     val eq = writeEqSidecar(spark, root, m, keyCols,
       aligned.select(keyCols.map(col): _*), pinned = true)
@@ -1903,7 +1921,7 @@ object GeoTable {
           s"cdcByKey rows are missing table column '${f.name}'"))).as(f.name, f.metadata))
     val ups = GeoPartition.layout(
       conform(flagged.where(!isDel).select(byName: _*), m.schema),
-      m.partitions, m.schema).localCheckpoint()
+      m.partitions, m.schema, GeoPartition.layoutMode(m.props)).localCheckpoint()
     // the delete leg covers EVERY key in the batch: upserted keys must
     // hide their old rows too (the upsertByKey contract); fresh files
     // carry this commit's sequence number, so their own rows survive
@@ -2233,7 +2251,8 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
+        writeCommit(spark, root, out, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
       }
 
     // --- 3. NOT MATCHED inserts (anti-join; equi `on` keys shuffle, never BNL
@@ -2259,7 +2278,8 @@ object GeoTable {
           }
           v.as(f.name, f.metadata)
         }: _*)
-        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks)
+        writeCommit(spark, root, rows, m.schema, m.geomCol, m.partitions, cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
       }
 
     if (affected.isEmpty && inserted.isEmpty) return 0L
@@ -2321,7 +2341,8 @@ object GeoTable {
       if (toRewrite.isEmpty) Seq.empty[FileEntry]
       else writeCommit(spark, root,
         transform(readMerged(spark, m, toRewrite), cond), m.schema, m.geomCol, m.partitions,
-        cluster = true, checks = m.checks)
+        cluster = true, checks = m.checks,
+      layoutMode = GeoPartition.layoutMode(m.props))
     val untouched = m.files.filterNot(f => affected.exists(_.key == f.key))
     GeoManifest.commit(spark, root,
       m.copy(version = m.version + 1, files = untouched ++ newFiles), m.version,
@@ -2422,9 +2443,10 @@ object GeoTable {
                           schema: StructType, geomCol: Option[String],
                           partitions: Seq[GeoPartition.PTransform] = Seq.empty,
                           cluster: Boolean = false,
-                          checks: Seq[(String, String)] = Seq.empty): Seq[FileEntry] = {
+                          checks: Seq[(String, String)] = Seq.empty,
+                          layoutMode: String = "range"): Seq[FileEntry] = {
     val df = if (cluster && partitions.exists(_.clusters))
-      GeoPartition.layout(df0, partitions, schema) else df0
+      GeoPartition.layout(df0, partitions, schema, layoutMode) else df0
     // write through the same stats-collecting writer as the DSv2 paths
     // (GeoCowDataWriterFactory): per-file rows/bbox/transform ranges
     // accumulate INLINE as rows stream out, so the commit needs no

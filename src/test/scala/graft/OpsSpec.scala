@@ -335,7 +335,14 @@ class OpsSpec extends SparkSpec {
     def jobsInGroup(g: String): Int = sc.statusTracker.getJobIdsForGroup(g).length
 
     sc.setJobGroup("ivf_build", "index build")
-    Similarity.buildIvfIndex(spark, idx, emb, col("embedding"), col("vec_id"), k = 8, iters = 2)
+    // per-tuple file rolling pinned on: the multi-file + pruning
+    // assertions below are about the SCALE shape (single-cluster files),
+    // which production row volumes produce naturally; at toy scale the
+    // sample-free hash layout can land several clusters in one partition
+    // and rollMinRows would merge their runs into one file
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try Similarity.buildIvfIndex(spark, idx, emb, col("embedding"), col("vec_id"), k = 8, iters = 2)
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
     sc.clearJobGroup()
 
     val q = emb.where(col("vec_id") === 7).select("embedding").head.getSeq[Float](0).toArray
@@ -720,7 +727,12 @@ class OpsSpec extends SparkSpec {
     val adhoc = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"), q, k = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/i"
-    TextAnalysis.buildTextIndex(spark, idx, corpus, col("doc_id"), col("text"), buckets = 8)
+    // per-bucket file rolling pinned on for the file-prune assertion (see
+    // the IVF pruning test: at toy scale the sample-free hash layout can
+    // co-locate buckets whose runs rollMinRows would merge into one file)
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try TextAnalysis.buildTextIndex(spark, idx, corpus, col("doc_id"), col("text"), buckets = 8)
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
     val probed = TextAnalysis.bm25Search(spark, idx, q, k = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(probed.map(_._1).toSeq == adhoc.map(_._1).toSeq,
@@ -797,6 +809,82 @@ class OpsSpec extends SparkSpec {
     val adhoc = TextAnalysis.bm25TopK(corpus.where(col("doc_id") =!= 3),
       col("doc_id"), col("text"), q, k = 6).collect().map(_.getLong(0)).toSeq
     assert(probed == adhoc, s"ranking drifted: $probed vs $adhoc")
+  }
+
+  test("BM25 per-doc summary rows: pruned pricing is exact, covered, and heals raw appends") {
+    import graft.ops.TextAnalysis
+    import graft.tables.{GeoManifest, GeoTable}
+    val corpus = (0L until 30L).map { i =>
+      val words = (0 until (4 + (i % 6)).toInt).map(j => s"w${(i + 7 * j) % 10}")
+      (i, (words :+ (if (i % 3 == 0) "spark" else "other")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25sum").toString + "/i"
+    // per-bucket rolling pinned for the file-prune assertion (toy scale)
+    spark.conf.set("spark.graft.write.rollMinRows", "1")
+    try TextAnalysis.buildTextIndex(spark, idx, corpus, col("doc_id"), col("text"), buckets = 8)
+    finally spark.conf.unset("spark.graft.write.rollMinRows")
+    val root = idx + "/postings"
+    // the reserved summary term is refused as a query term
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bm25Search(spark, idx, Seq("spark", TextAnalysis.DocRowTerm), k = 3))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // the pricing source file-prunes to the summary term's bucket files
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      "InMemoryFileIndex\\((\\d+) paths".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no InMemoryFileIndex in plan:\n$plan"))
+    }
+    val v = GeoManifest.read(spark, root).version
+    val all = filesIn(GeoTable.read(spark, root))
+    val pruned = filesIn(GeoTable.scanAt(spark, root, v,
+      col("term") === lit(TextAnalysis.DocRowTerm)))
+    assert(pruned < all, s"summary pricing must file-prune: $pruned vs $all")
+    // remove a slice, then remove an OVERLAPPING slice (already-removed ids
+    // must not re-price — the pruned scan merges the delete sidecar) plus
+    // ids that were never indexed (legal no-op, prices zero via fallback)
+    TextAnalysis.removeFromTextIndex(spark, idx,
+      corpus.where(col("doc_id") % 5 === 0).select("doc_id"))
+    TextAnalysis.removeFromTextIndex(spark, idx,
+      corpus.where(col("doc_id") % 10 === 0).select("doc_id")
+        .union(Seq(901L, 902L).toDF("doc_id")))
+    val survivors = corpus.where(col("doc_id") % 5 =!= 0)
+    val truth = survivors.select(
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val m = GeoManifest.read(spark, root)
+    assert(m.props("graft.bm25.n_docs").toLong == truth.getLong(0) &&
+      m.props("graft.bm25.sum_dl").toLong == truth.getLong(1),
+      s"summary-priced stats drifted: ${m.props}")
+    // out-of-band RAW append (no summary rows) — a later remove of those
+    // very docs must still price exactly (the fallback leg)
+    val extra = (100L until 106L).map(i => (i, s"w1 w2 spark extra$i"))
+      .toDF("doc_id", "text")
+    val raw = extra
+      .select(col("doc_id"), split(trim(col("text")), " +").as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GeoTable.append(spark, root, raw)
+    TextAnalysis.removeFromTextIndex(spark, idx,
+      extra.where(col("doc_id") < 103).select("doc_id"))
+    val liveTruth = survivors.select(col("doc_id"), col("text"))
+      .union(extra.where(col("doc_id") >= 103))
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val m2 = GeoManifest.read(spark, root)
+    assert(m2.props("graft.bm25.n_docs").toLong == liveTruth.getLong(0) &&
+      m2.props("graft.bm25.sum_dl").toLong == liveTruth.getLong(1),
+      s"raw-append fallback pricing drifted: ${m2.props}")
+    // and the ranking over the final live set matches ad-hoc exactly
+    val q = Seq("spark", "w3")
+    val probed = TextAnalysis.bm25Search(spark, idx, q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val adhoc = TextAnalysis.bm25TopK(
+        survivors.union(extra.where(col("doc_id") >= 103)),
+        col("doc_id"), col("text"), q, k = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed == adhoc, s"post-churn ranking drifted: $probed vs $adhoc")
   }
 
   test("BM25 index: an interleaved foreign commit is detected and repaired exactly") {
