@@ -177,12 +177,20 @@ object Similarity {
     else banded
     val a = probeSide.select(c("__band"), c("__key"), c("__id").as("id1"))
     val b = banded.select(c("__band").as("__band2"), c("__key").as("__key2"), c("__id").as("id2"))
-    // directed candidates (both orders survive: each side needs its own knn)
+    // directed candidates (both orders survive: each side needs its own knn).
+    // Co-partitioning (§2.3/§2.4): an explicit repartition by id1 BEFORE the
+    // dedup — HashPartitioning(id1) satisfies the (id1, id2) distinct's
+    // clustering requirement AND the per-id window's, so the dedup
+    // aggregation and the top-k window ride ONE exchange instead of each
+    // inserting its own (the dedup's (id1,id2) exchange satisfied neither
+    // downstream need). The vector re-attachment joins go id2-first so the
+    // LAST join is keyed id1 — when they run as shuffle joins at corpus
+    // scale, the window then reuses the final join's partitioning too.
     val cands = a.join(b, a("__band") === b("__band2") && a("__key") === b("__key2") && a("id1") =!= b("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2").repartition(c("id1")).distinct()
     val v1 = base.select(c("__id").as("id1"), c("__v").as("__v1"))
     val v2 = base.select(c("__id").as("id2"), c("__v").as("__v2"))
-    val scored = cands.join(v1, "id1").join(v2, "id2")
+    val scored = cands.join(v2, "id2").join(v1, "id1")
       .select(c("id1"), c("id2"), cosine(c("__v1"), c("__v2")).as("cos"))
     import org.apache.spark.sql.expressions.Window
     scored.withColumn("knn_rank", row_number().over(

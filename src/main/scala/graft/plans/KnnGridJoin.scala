@@ -242,15 +242,23 @@ object KnnGridJoin {
         // a narrow LEFT source (a single parquet file at test scale, a
         // small cached frame) would serialize each round's
         // explode-join-aggregate map work — the plan's hot side — on one
-        // thread; widen it to the cluster's parallelism before the ladder.
-        // At real scale inputs arrive wider than defaultParallelism
-        // already and this is a no-op. The right side is only projected
-        // and cell-keyed (the join itself re-shuffles it), so it keeps
-        // its native partitioning. Fallback-only runs skip the shuffle:
-        // their map side is the right side, not this frame.
+        // thread; widen it before the ladder. The width is sized to the
+        // DATA, capped by the cluster's parallelism (guide §2.1:
+        // partitions sized to rows, not cores): the left count is already
+        // in hand from the stats pass, so tiny inputs get a handful of
+        // real tasks instead of defaultParallelism near-empty ones (the
+        // measured inverse-scaling signature at bench scale), while at
+        // real volume rows/task dwarfs the divisor and the target is
+        // defaultParallelism exactly as before. The right side is only
+        // projected and cell-keyed (the join itself re-shuffles it), so
+        // it keeps its native partitioning. Fallback-only runs skip the
+        // shuffle: their map side is the right side, not this frame.
         val defPar = left.sparkSession.sparkContext.defaultParallelism
-        if (unresolved.rdd.getNumPartitions < defPar)
-          unresolved = unresolved.repartition(defPar)
+        val rowsPerTask = 2048L
+        val target = math.min(defPar.toLong,
+          math.max(1L, (remaining + rowsPerTask - 1) / rowsPerTask)).toInt
+        if (unresolved.rdd.getNumPartitions < target)
+          unresolved = unresolved.repartition(target)
       }
       while (remaining > 0 && ringsLeft && rCount > 0) {
         // after a ladder-capping round (covers-all or the classic max of
