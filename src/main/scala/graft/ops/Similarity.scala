@@ -471,12 +471,16 @@ object Similarity {
 
   private def cachedMeta[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
                                       table: String, kind: String)(load: Int => T): T = {
-    // key on (root, version, commit ts): version alone could alias a
-    // dropped-and-recreated root whose fresh v0 holds different rows —
-    // the commit timestamp separates the two lineages. Manifest read is
-    // one driver-side file, no job.
+    // key on (root, version, commit ts, file-path hash): version alone
+    // could alias a dropped-and-recreated root whose fresh v0 holds
+    // different rows; the commit timestamp separates lineages at ms
+    // resolution, and the data-file path set (UUID-fresh per commit dir,
+    // already in the manifest in memory — no extra I/O) separates even a
+    // same-millisecond recreate or a legacy manifest with no ts line.
+    // Manifest read is one driver-side file, no job.
     val m = graft.tables.GeoManifest.read(spark, table)
-    val key = (graft.tables.GeoManifest.norm(table), m.version, m.commitTs, kind)
+    val key = (graft.tables.GeoManifest.norm(table), m.version, m.commitTs,
+      kind + "#" + m.files.map(_.path).hashCode())
     val hit = metaCache.get(key)
     if (hit != null) hit.asInstanceOf[T]
     else { val loaded = load(m.version); metaCache.put(key, loaded); loaded }

@@ -2482,9 +2482,14 @@ object GeoTable {
     // files driver-side the same way); capped so anything big stays
     // distributed. Layout-clustered writes arrive as a repartition plan,
     // never a LocalRelation, so they always take the distributed path.
+    // cap from conf (mirrors the eq-delete sidecar fast path's
+    // spark.graft.eqdelete.driverMaxKeys): operators can tune a wide
+    // local frame's cutoff or disable the driver write with 0
+    val driverMaxRows = spark.conf
+      .getOption("spark.graft.write.driverMaxRows").map(_.toLong).getOrElse(10000L)
     val localRows = df.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-          if lr.data.length <= 10000 => Some(lr.data)
+          if lr.data.length <= driverMaxRows => Some(lr.data)
       case _ => None
     }
     val msgs = GeoCowCommitMessage.flatten(localRows match {
@@ -2509,6 +2514,14 @@ object GeoTable {
       empty.foreach(e => try fs.delete(new org.apache.hadoop.fs.Path(e.path), false)
         catch { case scala.util.control.NonFatal(_) => () })
     }
+    // an all-empty write produced nothing any manifest will ever
+    // reference — remove the commit dir too, so an idle stream's
+    // empty micro-batches (whose commit the caller then skips) stop
+    // leaving one junk directory per trigger for vacuum to sweep
+    if (msgs.forall(_.rows == 0))
+      try GeoManifest.fs(spark, root)
+        .delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
     GeoManifest.entriesFromMessages(spark, schema, msgs, geomCol, partitions)
   }
 
